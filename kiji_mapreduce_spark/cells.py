@@ -1,0 +1,95 @@
+"""Versioned-cell semantics — the genuinely custom part (SURVEY.md §4).
+
+A cell is ``array<struct<ts: long, value: T>>`` kept sorted ts-descending
+(newest first). These helpers implement, as pure Catalyst expressions:
+
+- ``latest`` / ``latest_value``: most-recent version
+  (reference ``KijiRowData.getMostRecentValue``)
+- ``put_cell``: timestamped insert with latest-wins-at-equal-ts semantics
+  (reference resolves ``HConstants.LATEST_TIMESTAMP`` at write time,
+  ``KijiHFileOutputFormat.java:190-194``)
+- ``retain_versions`` / ``expire_ttl``: maxVersions & TTL retention applied
+  at compaction (the reference delegates these to HBase compactions)
+- ``apply_tombstones``: delete-cell / delete-column / up-to-timestamp
+  semantics (``DirectKijiTableWriterContext.java:104-151``)
+
+All operate element-wise on array columns — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def sort_cells(cells: Column) -> Column:
+    """Normalize a cell array to ts-descending (newest first)."""
+    return F.reverse(F.array_sort(cells))
+
+
+def latest(cells: Column) -> Column:
+    """Most recent version struct (ts, value), or null for empty cells."""
+    return F.element_at(cells, 1)
+
+
+def latest_value(cells: Column) -> Column:
+    """Most recent value (``getMostRecentValue``)."""
+    return F.element_at(cells, 1)["value"]
+
+
+def value_at(cells: Column, ts) -> Column:
+    """Value as of timestamp ``ts`` (newest version with cell.ts <= ts)."""
+    ts = F.lit(ts) if not isinstance(ts, Column) else ts
+    return F.element_at(F.filter(cells, lambda c: c["ts"] <= ts), 1)["value"]
+
+
+def put_cell(cells: Column, ts, value) -> Column:
+    """Insert one version; same-ts put overwrites (latest write wins).
+
+    Null-safe: putting into a never-written (null) cell creates it.
+    """
+    ts = F.lit(ts) if not isinstance(ts, Column) else ts
+    value = F.lit(value) if not isinstance(value, Column) else value
+    base = F.coalesce(cells, F.array())
+    without_dup = F.filter(base, lambda c: c["ts"] != ts)
+    new = F.struct(ts.alias("ts"), value.alias("value"))
+    return sort_cells(F.array_append(without_dup, new))
+
+
+def retain_versions(cells: Column, max_versions: int) -> Column:
+    """Keep the newest ``max_versions`` versions (maxVersions retention)."""
+    return F.slice(cells, 1, max_versions)
+
+
+def expire_ttl(cells: Column, ttl_seconds: int, now_ms) -> Column:
+    """Drop versions older than ``ttl_seconds`` relative to ``now_ms``."""
+    now_ms = F.lit(now_ms) if not isinstance(now_ms, Column) else now_ms
+    cutoff = now_ms - F.lit(ttl_seconds * 1000)
+    return F.filter(cells, lambda c: c["ts"] >= cutoff)
+
+
+def delete_cell(cells: Column, ts) -> Column:
+    """Tombstone one exact version (DeleteCell)."""
+    ts = F.lit(ts) if not isinstance(ts, Column) else ts
+    return F.filter(cells, lambda c: c["ts"] != ts)
+
+
+def delete_upto(cells: Column, ts) -> Column:
+    """Tombstone all versions with cell.ts <= ts ('up to timestamp')."""
+    ts = F.lit(ts) if not isinstance(ts, Column) else ts
+    return F.filter(cells, lambda c: c["ts"] > ts)
+
+
+def rewrite_values(cells: Column, fn) -> Column:
+    """Cell rewrite preserving timestamps — the KijiCellRewriter primitive
+    (``.../pivot/KijiCellRewriter.java:250-269``): apply ``fn`` (e.g. a
+    cast for int->long schema migration) to every version's value."""
+    return F.transform(
+        cells, lambda c: F.struct(c["ts"].alias("ts"), fn(c["value"]).alias("value"))
+    )
+
+
+def cells_from_events(ts: Column, value: Column) -> Column:
+    """groupBy aggregation expression building a versioned cell from
+    (ts, value) event rows: ``collect_list(struct(ts, value))`` sorted
+    newest-first. Use inside ``.agg(...)``."""
+    return sort_cells(F.collect_list(F.struct(ts.alias("ts"), value.alias("value"))))

@@ -1,0 +1,237 @@
+"""Table layouts: the KijiMR data model expressed as Spark schemas.
+
+The reference declares tables in a JSON layout (locality groups → families →
+columns, each column an Avro schema; see
+``kiji-mapreduce/src/test/resources/org/kiji/mapreduce/layout/test.json:20-93``
+in the reference). We accept the same *concepts* in a simplified JSON dialect
+and compile them to a ``StructType``:
+
+- group-type family  -> struct column, one field per qualifier
+- map-type family    -> ``map<string, cells>`` column
+- every cell         -> versioned: ``array<struct<ts: long, value: T>>``
+                        kept sorted descending by ``ts`` (newest first)
+- entity id          -> ``entity_id`` struct of typed components plus a
+                        derived binary ``_key_hash`` for salting / range
+                        partitioning (HASH / HASH_PREFIX / FORMATTED / RAW
+                        encodings — reference
+                        ``.../output/HFileMapReduceJobOutput.java:201-216``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Avro primitive names -> Spark types (reference stores Avro-typed cells;
+# SURVEY.md §1.2).
+_AVRO_TO_SPARK: dict[str, DataType] = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "string": StringType(),
+    "bytes": BinaryType(),
+    "counter": LongType(),
+}
+
+ROW_KEY_FORMATS = ("RAW", "HASH", "HASH_PREFIX", "FORMATTED")
+
+
+def cell_type(value_type: DataType) -> ArrayType:
+    """Versioned-cell type: array<struct<ts:long, value:T>>, newest first."""
+    return ArrayType(
+        StructType([
+            StructField("ts", LongType(), False),
+            StructField("value", value_type, True),
+        ])
+    )
+
+
+def _resolve_type(schema: str | DataType) -> DataType:
+    if isinstance(schema, DataType):
+        return schema
+    try:
+        return _AVRO_TO_SPARK[schema]
+    except KeyError:
+        raise ValueError(
+            f"unsupported cell schema {schema!r}; expected one of "
+            f"{sorted(_AVRO_TO_SPARK)} or a Spark DataType"
+        ) from None
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    schema: str | DataType = "string"
+    max_versions: int | None = None
+
+
+@dataclass
+class FamilySpec:
+    """A column family: 'group' (declared qualifiers) or 'map' (dynamic)."""
+
+    name: str
+    kind: str = "group"  # 'group' | 'map'
+    columns: list[ColumnSpec] = field(default_factory=list)
+    map_schema: str | DataType = "string"
+    max_versions: int = 1
+    ttl_seconds: int | None = None
+
+    def spark_type(self) -> DataType:
+        if self.kind == "map":
+            return MapType(StringType(), cell_type(_resolve_type(self.map_schema)))
+        return StructType([
+            StructField(c.name, cell_type(_resolve_type(c.schema)), True)
+            for c in self.columns
+        ])
+
+
+@dataclass
+class RowKeySpec:
+    """Entity-id encoding. ``components`` are (name, type) pairs for
+    FORMATTED keys; RAW/HASH/HASH_PREFIX take a single component."""
+
+    format: str = "FORMATTED"
+    components: list[tuple[str, str | DataType]] = field(
+        default_factory=lambda: [("key", "string")]
+    )
+    hash_prefix_bytes: int = 2
+
+    def __post_init__(self):
+        if self.format not in ROW_KEY_FORMATS:
+            raise ValueError(f"row key format must be one of {ROW_KEY_FORMATS}")
+
+    def spark_type(self) -> StructType:
+        return StructType([
+            StructField(n, _resolve_type(t), False) for n, t in self.components
+        ])
+
+    def key_expr(self, prefix: str = "entity_id"):
+        """String packing of the components (the sortable logical key)."""
+        cols = [F.col(f"{prefix}.{n}").cast("string") for n, _ in self.components]
+        return F.concat_ws("\x00", *cols)
+
+    def hash_expr(self, prefix: str = "entity_id"):
+        """Derived binary hash column used for salting / even range
+        partitioning, mirroring HASH/HASH_PREFIX row-key encodings."""
+        packed = self.key_expr(prefix)
+        if self.format == "HASH":
+            return F.unhex(F.md5(packed))
+        if self.format == "HASH_PREFIX":
+            n_hex = 2 * self.hash_prefix_bytes
+            return F.unhex(
+                F.concat(F.substring(F.md5(packed), 1, n_hex), F.hex(packed))
+            )
+        return F.encode(packed, "UTF-8")  # RAW / FORMATTED: byte order = key order
+
+
+@dataclass
+class TableLayout:
+    """A table layout: row key + families. Compiles to a Spark StructType."""
+
+    name: str
+    row_key: RowKeySpec = field(default_factory=RowKeySpec)
+    families: list[FamilySpec] = field(default_factory=list)
+
+    def family(self, name: str) -> FamilySpec:
+        for fam in self.families:
+            if fam.name == name:
+                return fam
+        raise KeyError(f"no family {name!r} in layout {self.name!r}")
+
+    def spark_schema(self) -> StructType:
+        fields = [StructField("entity_id", self.row_key.spark_type(), False)]
+        fields += [
+            StructField(fam.name, fam.spark_type(), True) for fam in self.families
+        ]
+        return StructType(fields)
+
+    # -- JSON layout dialect ------------------------------------------------
+    @classmethod
+    def from_json(cls, text_or_dict: str | dict) -> "TableLayout":
+        """Parse the simplified layout JSON::
+
+            {"name": "users",
+             "row_key": {"format": "HASH_PREFIX",
+                         "components": [{"name": "key", "type": "string"}]},
+             "families": [
+               {"name": "info", "kind": "group", "max_versions": 3,
+                "columns": [{"name": "email", "schema": "string"}]},
+               {"name": "map_family", "kind": "map", "map_schema": "string"}]}
+        """
+        d = json.loads(text_or_dict) if isinstance(text_or_dict, str) else text_or_dict
+        rk = d.get("row_key", {})
+        row_key = RowKeySpec(
+            format=rk.get("format", "FORMATTED"),
+            components=[
+                (c["name"], c.get("type", "string"))
+                for c in rk.get("components", [{"name": "key"}])
+            ],
+            hash_prefix_bytes=rk.get("hash_prefix_bytes", 2),
+        )
+        families = []
+        for fd in d.get("families", []):
+            families.append(
+                FamilySpec(
+                    name=fd["name"],
+                    kind=fd.get("kind", "group"),
+                    columns=[
+                        ColumnSpec(
+                            c["name"], c.get("schema", "string"),
+                            c.get("max_versions"),
+                        )
+                        for c in fd.get("columns", [])
+                    ],
+                    map_schema=fd.get("map_schema", "string"),
+                    max_versions=fd.get("max_versions", 1),
+                    ttl_seconds=fd.get("ttl_seconds"),
+                )
+            )
+        return cls(name=d["name"], row_key=row_key, families=families)
+
+    def to_json(self) -> str:
+        def _type_name(t: str | DataType) -> str:
+            return t if isinstance(t, str) else t.simpleString()
+
+        return json.dumps({
+            "name": self.name,
+            "row_key": {
+                "format": self.row_key.format,
+                "components": [
+                    {"name": n, "type": _type_name(t)}
+                    for n, t in self.row_key.components
+                ],
+                "hash_prefix_bytes": self.row_key.hash_prefix_bytes,
+            },
+            "families": [
+                {
+                    "name": f.name,
+                    "kind": f.kind,
+                    "columns": [
+                        {"name": c.name, "schema": _type_name(c.schema)}
+                        for c in f.columns
+                    ],
+                    "map_schema": _type_name(f.map_schema),
+                    "max_versions": f.max_versions,
+                    "ttl_seconds": f.ttl_seconds,
+                }
+                for f in self.families
+            ],
+        }, indent=2)

@@ -1,0 +1,8 @@
+"""Large-scale training-data pipeline operators (beyond the reference's
+own surface): deduplication, similarity search, text analysis, multimodal
+columns. All expression-first; Python only where semantics demand it.
+"""
+
+from kiji_mapreduce_spark.pipeline import dedup, similarity, text, multimodal
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

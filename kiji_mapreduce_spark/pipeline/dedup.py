@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, orderable by cost/recall:
+
+- ``exact``           — hash-groupBy on a content digest (md5). One shuffle
+                        on the digest; at 100 TB the digest (16 bytes) is
+                        what shuffles, never the document text.
+- ``ngram_jaccard``   — exact n-gram-shingle Jaccard over candidate pairs.
+- ``minhash_lsh``     — MinHash signatures + banded LSH: candidate pairs
+                        only within a band bucket (linear-ish scaling, the
+                        standard web-dedup pipeline).
+- ``simhash``         — 64-bit rotation-invariant fingerprint; near-dups
+                        differ in few bits; grouping by band of bits finds
+                        them without pairwise comparison.
+- ``embedding cosine``— semantic near-dup via pipeline.similarity.
+
+Everything is built from Spark built-ins (``xxhash64``, higher-order array
+functions); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# -- tokenization / shingling (shared) --------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens (non-empty runs of non-space)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as strings."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by digest: (digest, representative id, count).
+
+    The representative is the minimum id (deterministic). Only the digest
+    and id shuffle.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per identical text."""
+    w_digest = F.md5(F.col(text_col))
+    keep = exact_groups(df, text_col, id_col).select(
+        "digest", F.col("keep_id").alias(id_col))
+    return df.withColumn("digest", w_digest).join(
+        keep, on=["digest", id_col], how="left_semi").drop("digest")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, i). Universal-ish family via the seed argument."""
+    sh = shingles(text, n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band bucket.
+
+    rows_per_band = num_hashes/bands controls the similarity threshold
+    (~ (1/bands)^(1/rows)). Returns (id_a, id_b) with id_a < id_b, distinct.
+    At scale the band-bucket groupBy shuffles only (band, bucket-hash, id).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    band_entries = with_sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("_sig", b * rows + r + 1).cast("string")
+                           for r in range(rows)]
+                )).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard; keep >= threshold.
+    ``pairs`` has (id_a, id_b)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    return (
+        pairs
+        .join(sh.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("_sh", "_sh_a"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("_sh", "_sh_b"), on="id_b")
+        .select("id_a", "id_b",
+                jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    Returns verified near-duplicate pairs (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint: sign-sum over token-hash bits.
+
+    For each bit position, sum +1/-1 across tokens according to the
+    token's xxhash64 bit, then take the sign. Near-identical documents
+    differ in few bits (compare with hamming distance).
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 of a signed long is the sign bit: mask must be negative
+        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        out = out.bitwiseOR(F.when(votes >= 0, mask).otherwise(F.lit(0)).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks;
+    any pair within ``max_hamming`` (< bands) shares at least one exact
+    band (pigeonhole), so candidates come from an equi-join on a band
+    value — no cross join. Returns (id_a, id_b, hamming)."""
+    width = 64 // bands
+    with_h = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
+    entries = with_h.select(
+        id_col, "_sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sh"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "_sh", "bb.band", "bb.chunk")
+    a, b = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; LSH bucketing is the scale
+path (probe only same-bucket candidates — at 100 TB the cross join is the
+bottleneck, so the bucketed variant turns O(N*Q) into O(N*Q/buckets) with
+recall traded via band count).
+
+All dot products / norms are computed JVM-side with ``zip_with`` +
+``aggregate`` (whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    (huge) corpus — one scan of the corpus, no shuffle until the final
+    per-query top-k (tiny). Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double(F.col(vec_col)).alias("_qvec"),
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cvec"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col, "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.col("_cos").alias("cosine"), "rank")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
+    seed: int = 42, dim: int | None = None,
+) -> DataFrame:
+    """SimHash-style LSH bucketing: sign pattern against ``n_planes``
+    pseudo-random hyperplanes -> integer bucket id column ``bucket``.
+
+    Hyperplane components are derived deterministically from (seed, plane,
+    dim index) via a hash -> uniform in [-1, 1) — no driver-side RNG state,
+    reproducible across runs/executors.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.array(*[
+            (F.pmod(F.hash(F.lit(seed), F.lit(p), F.lit(i)), F.lit(10007))
+             / F.lit(5003.5) - F.lit(1.0))
+            for i in range(dim)
+        ])
+        sign_bit = (dot(v, comps) >= 0).cast("long")
+        bucket = bucket * 2 + sign_bit
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    At scale: corpus bucketing is a one-off narrow pass; the candidate
+    join is an equi-join on ``bucket`` (shuffle-partitioned, no cross
+    join). Recall < 1.0 by construction; raise n_planes for smaller
+    buckets or rerun with several seeds (multi-probe) and union.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    corpus = random_hyperplane_buckets(
+        embeddings, vec_col, n_planes, seed, dim
+    ).select(F.col(id_col).alias("neighbor_id"),
+             as_double(F.col(vec_col)).alias("_cvec"), "bucket")
+    q = random_hyperplane_buckets(
+        queries, vec_col, n_planes, seed, dim
+    ).select(F.col(id_col).alias("query_id"),
+             as_double(F.col(vec_col)).alias("_qvec"), "bucket")
+    scored = (
+        corpus.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,97 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (regexp/array
+built-ins) — they run inside whole-stage codegen and scale linearly with
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and deterministic (public common-word lists).
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "que", "pour"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (runs of non-space)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: words + digits + punctuation as separate
+    tokens (a deterministic regex approximation of a BPE pre-tokenizer)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: lengths, token stats, punctuation /
+    digit / uppercase ratios, stopword ratio (en), and a composite score in
+    [0, 1] (heuristics in the style of C4/Gopher quality rules)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    n_stop = F.regexp_count(
+        F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
+        F.lit(r" (" + "|".join(_STOPWORDS["en"]) + r") "))
+    avg_token_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((avg_token_len >= 2) & (avg_token_len <= 12), F.lit(0.2)).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(digit_ratio <= 0.2, F.lit(0.1)).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_txt", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_token_len, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("digit_ratio", F.round(digit_ratio, 4))
+        .withColumn("upper_ratio", F.round(upper_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def language_id(text: Column, langs: list[str] | None = None) -> Column:
+    """Stopword-vote language ID: count stopword hits per language, pick
+    the argmax (ties broken by language code order); 'und' when no hits."""
+    langs = langs or sorted(_STOPWORDS)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = F.array(*[
+        F.struct(
+            F.regexp_count(
+                padded, F.lit(r" (" + "|".join(_STOPWORDS[lg]) + r") ")
+            ).alias("hits"),
+            F.lit(lg).alias("lang"),
+        )
+        for lg in langs
+    ])
+    best = F.array_max(F.filter(scores, lambda s: s["hits"] > 0))
+    # array_max on struct orders by (hits, lang) — argmax with lang tiebreak
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): min xxhash64
+    over all ``window``-token shingles — robust to small edits at the ends.
+    Falls back to hashing the whole text for short documents."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.when(n > 0, F.array_min(grams)).otherwise(F.xxhash64(text))

@@ -1,0 +1,96 @@
+"""DataRequest: declarative projection + version/time slicing.
+
+The reference drives every table read through a ``KijiDataRequest``
+(columns + maxVersions + timestamp range + column filters — reference
+``.../input/KijiTableMapReduceJobInput.java:53-56``). Here a DataRequest
+compiles to a ``select`` (column pruning, which Catalyst pushes into the
+Parquet scan) plus per-cell ``filter``/``slice`` expressions on the
+versioned-cell arrays — all JVM-side built-ins, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class ColumnRequest:
+    """One requested column (``family:qualifier``) or whole family.
+
+    ``qualifier_regex`` mirrors RegexQualifierColumnFilter (map families);
+    ``strip_values`` mirrors StripValueColumnFilter (existence checks).
+    """
+
+    family: str
+    qualifier: str | None = None
+    max_versions: int = 1
+    min_ts: int | None = None
+    max_ts: int | None = None  # exclusive, like HBase time ranges
+    qualifier_regex: str | None = None
+    strip_values: bool = False
+
+    def _slice_cells(self, cells: Column) -> Column:
+        expr = cells
+        if self.min_ts is not None or self.max_ts is not None:
+            lo = self.min_ts if self.min_ts is not None else -(1 << 62)
+            hi = self.max_ts if self.max_ts is not None else (1 << 62)
+            expr = F.filter(expr, lambda c: (c["ts"] >= F.lit(lo)) & (c["ts"] < F.lit(hi)))
+        # cells are stored newest-first, so version limiting is a prefix slice
+        if self.max_versions > 0:
+            expr = F.slice(expr, 1, self.max_versions)
+        if self.strip_values:
+            expr = F.transform(
+                expr, lambda c: F.struct(c["ts"].alias("ts"), F.lit(None).alias("value"))
+            )
+        return expr
+
+    def exprs(self) -> list[Column]:
+        """Projection expressions for this request entry."""
+        if self.qualifier is not None:  # one column of a group family
+            cells = F.col(f"{self.family}.{self.qualifier}")
+            name = f"{self.family}_{self.qualifier}"
+            return [self._slice_cells(cells).alias(name)]
+        # whole family: map families get regex qualifier filtering
+        fam = F.col(self.family)
+        if self.qualifier_regex is not None:
+            fam = F.map_filter(fam, lambda k, _: k.rlike(self.qualifier_regex))
+            fam = F.transform_values(fam, lambda _, v: self._slice_cells(v))
+            return [fam.alias(self.family)]
+        return [fam.alias(self.family)]
+
+
+@dataclass
+class DataRequest:
+    """A set of ColumnRequests; compiles to a pruned projection."""
+
+    columns: list[ColumnRequest] = field(default_factory=list)
+
+    @classmethod
+    def build(cls, *cols: str | ColumnRequest, max_versions: int = 1,
+              min_ts: int | None = None, max_ts: int | None = None) -> "DataRequest":
+        """Build from ``"family:qualifier"`` / ``"family"`` strings."""
+        out = []
+        for c in cols:
+            if isinstance(c, ColumnRequest):
+                out.append(c)
+            else:
+                family, _, qual = c.partition(":")
+                out.append(ColumnRequest(
+                    family=family, qualifier=qual or None,
+                    max_versions=max_versions, min_ts=min_ts, max_ts=max_ts,
+                ))
+        return cls(out)
+
+    def apply(self, df: DataFrame, keep: list[str] = ("entity_id",)) -> DataFrame:
+        """Project the table down to the requested columns.
+
+        Catalyst prunes unrequested families out of the Parquet scan —
+        the analogue of the reference pushing the data request into the
+        HBase scan (``HBaseKijiTableInputFormat.java:226-248``).
+        """
+        exprs: list[Column] = [F.col(k) for k in keep if k in df.columns]
+        for creq in self.columns:
+            exprs.extend(creq.exprs())
+        return df.select(*exprs)

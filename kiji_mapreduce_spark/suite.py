@@ -1,0 +1,745 @@
+"""The engine's query suite over the driver's test tables.
+
+Each entry exercises a specific operator from SURVEY.md §2 through the
+engine's own API (operators / kv stores / cells / pipeline modules) and has
+a DuckDB-equivalent oracle SQL (except genuinely non-SQL-expressible ops,
+which are flagged rows-only).
+
+Conventions for oracle hash-matching:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (sums -> 2 dp, ratios/avgs -> 4 dp) so
+  accumulation-order FP noise cannot flip the value hash;
+- timestamps cross the engine boundary as epoch milliseconds
+  (``unix_millis`` / ``epoch_ms``);
+- int casts that truncate use explicit ``floor`` in both dialects
+  (Spark casts truncate; DuckDB casts round).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kiji_mapreduce_spark import cells
+from kiji_mapreduce_spark.operators import (
+    BulkImporter, CellRewriter, Gatherer, MapReduceOperator, Pivoter, Producer,
+)
+from kiji_mapreduce_spark.operators.base import OperatorContext
+from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
+from kiji_mapreduce_spark.pipeline import dedup, similarity, text as text_ops
+from kiji_mapreduce_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized: the driver writes TIMESTAMP(NANOS),
+    which Spark reads as long nanos (nanosAsLong); expose epoch-millis
+    ``ts_ms`` (matches DuckDB ``epoch_ms``) and a microsecond ``ts``."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = (ev.withColumn("ts_ms", F.floor(F.col("ts") / 1000000).cast("long"))
+              .withColumn("ts", F.timestamp_micros(
+                  F.floor(F.col("ts") / 1000).cast("long"))))
+    else:
+        ev = ev.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Gatherer + reducer: scan -> flatMap -> combine/reduce (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+class _PricingSummaryGatherer(Gatherer):
+    """Gather (returnflag, linestatus) keyed measures; reduce = grouped agg.
+    Catalyst supplies the map-side combine the reference used a combiner
+    for (MapReduceJobBuilder.java:438-448)."""
+
+    def gather_df(self, df, ctx):
+        return df.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        ).select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_disc_price"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             * (1 + F.col("l_tax"))).alias("_charge"),
+            "l_discount",
+        )
+
+    def reduce_df(self, g, ctx):
+        return g.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum("_disc_price"), 2).alias("sum_disc_price"),
+            F.round(F.sum("_charge"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+
+
+def q_gather_pricing_summary(spark, sf_dir):
+    return _PricingSummaryGatherer().compile(_t(spark, sf_dir, "lineitem"))
+
+
+SQL_GATHER_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 filters / predicate pushdown (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+def q_filter_pushdown_revenue(spark, sf_dir):
+    """Filters + projection reach the Parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_FILTER_PUSHDOWN = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 KV stores: broadcast lookup / semi / anti joins
+# ---------------------------------------------------------------------------
+
+def q_kvstore_lookup_join(spark, sf_dir):
+    """get(key) enrich: customer rows + nation name via a broadcast KV
+    store (miss -> null = left join, KeyValueStoreReader.get)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    store = DataFrameKeyValueStore(
+        df=nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
+        key_cols=["c_nationkey"])
+    return store.lookup(customer, how="left").select(
+        "c_custkey", "c_nationkey", "n_name")
+
+
+SQL_KVSTORE_LOOKUP = """
+SELECT c_custkey, c_nationkey, n_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_semi_join_customers_with_orders(spark, sf_dir):
+    """containsKey idiom -> left_semi."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    store = DataFrameKeyValueStore(
+        df=orders.select(F.col("o_custkey").alias("c_custkey")),
+        key_cols=["c_custkey"])
+    return store.lookup(customer, how="left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join_customers_without_orders(spark, sf_dir):
+    """NOT containsKey: customers with no order in early 1995."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    store = DataFrameKeyValueStore(
+        df=orders.select(F.col("o_custkey").alias("c_custkey")),
+        key_cols=["c_custkey"])
+    return store.lookup(customer, how="left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate < TIMESTAMP '1995-04-01')
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-join aggregate (TPC-H Q5 shape): broadcast dims, shuffle facts
+# ---------------------------------------------------------------------------
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Producer: per-row derive (same-row write-back shape)
+# ---------------------------------------------------------------------------
+
+class _PriceBandProducer(Producer):
+    def output_column(self):
+        return "derived:price_band"
+
+    def produce_expr(self, df, ctx):
+        return (
+            F.when(F.col("o_totalprice") < 100000, "low")
+            .when(F.col("o_totalprice") < 300000, "mid")
+            .otherwise("high")
+        )
+
+
+def q_producer_price_band(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = _PriceBandProducer().compile(orders)
+    return out.select("o_orderkey", F.col("price_band"))
+
+
+SQL_PRODUCER_PRICE_BAND = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 300000 THEN 'mid'
+            ELSE 'high' END AS price_band
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Pivoter: re-key rows into a different table
+# ---------------------------------------------------------------------------
+
+class _OrdersByCustomerPivoter(Pivoter):
+    """Pivot order rows into a customer-keyed summary table."""
+
+    def output_key(self):
+        return ["c_custkey"]
+
+    def pivot_df(self, df, ctx):
+        return df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.unix_millis(F.max("o_orderdate").cast("timestamp")).alias("last_order_ms"),
+        )
+
+
+def q_pivot_orders_by_customer(spark, sf_dir):
+    return _OrdersByCustomerPivoter().compile(_t(spark, sf_dir, "orders"))
+
+
+SQL_PIVOT_ORDERS = """
+SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent,
+       epoch_ms(max(o_orderdate)) AS last_order_ms
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §1.1 versioned cells: events -> versioned table -> latest value
+# ---------------------------------------------------------------------------
+
+def _events_as_cells(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        cells.cells_from_events(F.col("ts_ms"), F.col("value")).alias("value_cells"))
+
+
+def q_versioned_latest_event_value(spark, sf_dir):
+    """Build versioned cells per user; read back the most recent value
+    (getMostRecentValue). Tie at equal ts resolves to max value (cells
+    sort by (ts, value) desc)."""
+    t = _events_as_cells(spark, sf_dir)
+    return t.select(
+        "user_id",
+        cells.latest_value(F.col("value_cells")).alias("last_value"),
+        F.size("value_cells").alias("n_versions"),
+    )
+
+
+SQL_VERSIONED_LATEST = """
+SELECT user_id, value AS last_value, n_versions
+FROM (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_versioned_slice_maxversions(spark, sf_dir):
+    """maxVersions=3 slice + ts-range filter: newest 3 readings per user
+    within 2024, exploded back to rows (KijiDataRequest withMaxVersions)."""
+    t = _events_as_cells(spark, sf_dir)
+    lo = F.unix_millis(F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    sliced = t.select(
+        "user_id",
+        cells.retain_versions(
+            F.filter(F.col("value_cells"), lambda c: c["ts"] >= lo), 3).alias("v3"))
+    return sliced.select(
+        "user_id", F.explode("v3").alias("cell")
+    ).select("user_id", F.col("cell.ts").alias("ts_ms"),
+             F.col("cell.value").alias("value"))
+
+
+SQL_VERSIONED_SLICE = """
+SELECT user_id, ts_ms, value FROM (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 CellRewriter: schema migration preserving timestamps
+# ---------------------------------------------------------------------------
+
+def q_cell_rewrite_int_to_long(spark, sf_dir):
+    """int -> long cell migration preserving per-cell timestamps
+    (KijiCellRewriter.convertAvro); exploded for comparison."""
+    ev = _events(spark, sf_dir)
+    table = ev.groupBy("user_id").agg(
+        cells.cells_from_events(
+            F.col("ts_ms"),
+            F.floor(F.col("value")).cast("int")).alias("m"),
+    ).select("user_id", F.struct(F.col("m").alias("reading")).alias("metrics"))
+    rewriter = CellRewriter("metrics:reading", {"int": "long"})
+    out = rewriter.compile(table)
+    return out.select(
+        "user_id", F.explode("metrics.reading").alias("cell")
+    ).select("user_id", F.col("cell.ts").alias("ts_ms"),
+             F.col("cell.value").alias("value_long"))
+
+
+SQL_CELL_REWRITE = """
+SELECT user_id, epoch_ms(ts) AS ts_ms,
+       CAST(floor(value) AS BIGINT) AS value_long
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 map-family + RegexQualifierColumnFilter
+# ---------------------------------------------------------------------------
+
+def q_map_family_regex_filter(spark, sf_dir):
+    """Map family (qualifier = event_type) filtered by qualifier regex
+    '^p' (RegexQualifierColumnFilter), latest value per kept qualifier."""
+    ev = _events(spark, sf_dir)
+    per_qual = ev.groupBy("user_id", "event_type").agg(
+        cells.cells_from_events(F.col("ts_ms"), F.col("value")).alias("cells"))
+    as_map = per_qual.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cells"))).alias("fam"))
+    filtered = as_map.select(
+        "user_id",
+        F.map_filter("fam", lambda k, _: k.rlike("^p")).alias("fam"))
+    exploded = filtered.select(
+        "user_id", F.explode("fam").alias("qualifier", "cells"))
+    return exploded.select(
+        "user_id", "qualifier",
+        cells.latest_value(F.col("cells")).alias("latest_value"))
+
+
+SQL_MAP_FAMILY_REGEX = """
+SELECT user_id, event_type AS qualifier, value AS latest_value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
+  FROM events
+  WHERE regexp_matches(event_type, '^p')
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 BulkImporter: parse external records (JSON props) into table rows
+# ---------------------------------------------------------------------------
+
+class _PropsImporter(BulkImporter):
+    """Parse the JSON ``props`` payload (regexp fast-path, no Python)."""
+
+    def import_df(self, df, ctx):
+        return df.select(
+            F.col("event_id"),
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+            F.col("event_type"),
+        )
+
+
+def q_bulk_import_props(spark, sf_dir):
+    return _PropsImporter().compile(_t(spark, sf_dir, "events"))
+
+
+SQL_BULK_IMPORT = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+       event_type
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows / set ops / rollup (free on Spark, absent in reference)
+# ---------------------------------------------------------------------------
+
+def q_window_top3_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+SQL_WINDOW_TOP3 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_set_intersect_nations(spark, sf_dir):
+    """Nations that have both customers and suppliers (INTERSECT)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (customer.select(F.col("c_nationkey").alias("nationkey"))
+            .intersect(supplier.select(F.col("s_nationkey").alias("nationkey"))))
+
+
+SQL_SET_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP (region, nation) with subtotal labels."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic MapReduce: map + grouped reduce
+# ---------------------------------------------------------------------------
+
+class _EventStatsMR(MapReduceOperator):
+    def group_keys(self):
+        return ["event_type"]
+
+    def map_df(self, df, ctx):
+        return df.select("event_type", "value",
+                         F.hour("ts").alias("hour"))
+
+    def reduce_exprs(self, ctx):
+        return [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("hour").alias("n_hours"),
+        ]
+
+
+def q_mapreduce_event_stats(spark, sf_dir):
+    return _EventStatsMR().compile(_events(spark, sf_dir))
+
+
+SQL_MAPREDUCE_EVENTS = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT date_part('hour', ts)) AS n_hours
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_groups(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_txt"),
+        text_ops.bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars_txt,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subtokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality_score")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(' ' || lower(text) || ' ',
+             ' (the|and|of|to|in|is|that|it|was|for) ')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1.0) / n_tokens ELSE 0.0 END AS atl,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_chars > 0 THEN n_digits * 1.0 / n_chars ELSE 0.0 END AS dr,
+         CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS sr
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       round(atl, 4) AS avg_token_len,
+       round(pr, 4) AS punct_ratio,
+       round(dr, 4) AS digit_ratio,
+       round(sr, 4) AS stopword_ratio,
+       round(CAST(
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+         (CASE WHEN atl BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END) +
+         (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+FROM r
+"""
+
+
+def q_knn_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs verified by exact Jaccard (>= 0.5).
+    Not SQL-expressible (hash-family specific) -> rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 10) -> rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=10, bands=4)
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-vote language id -> rows-only (heuristic, not ANSI SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        text_ops.language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint -> rows-only
+    (xxhash64-specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_knn_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate KNN -> rows-only (hash-family specific)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gather_pricing_summary": q_gather_pricing_summary,
+    "filter_pushdown_revenue": q_filter_pushdown_revenue,
+    "kvstore_lookup_join": q_kvstore_lookup_join,
+    "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "producer_price_band": q_producer_price_band,
+    "pivot_orders_by_customer": q_pivot_orders_by_customer,
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "bulk_import_props": q_bulk_import_props,
+    "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
+    "set_intersect_nations": q_set_intersect_nations,
+    "rollup_revenue": q_rollup_revenue,
+    "mapreduce_event_stats": q_mapreduce_event_stats,
+    "dedup_exact": q_dedup_exact,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "knn_lsh_topk": q_knn_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "gather_pricing_summary": SQL_GATHER_PRICING,
+    "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
+    "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,
+    "semi_join_customers_with_orders": SQL_SEMI_JOIN,
+    "anti_join_customers_without_orders": SQL_ANTI_JOIN,
+    "join_revenue_by_nation": SQL_JOIN_REVENUE,
+    "producer_price_band": SQL_PRODUCER_PRICE_BAND,
+    "pivot_orders_by_customer": SQL_PIVOT_ORDERS,
+    "versioned_latest_event_value": SQL_VERSIONED_LATEST,
+    "versioned_slice_maxversions": SQL_VERSIONED_SLICE,
+    "cell_rewrite_int_to_long": SQL_CELL_REWRITE,
+    "map_family_regex_filter": SQL_MAP_FAMILY_REGEX,
+    "bulk_import_props": SQL_BULK_IMPORT,
+    "window_top3_orders_per_customer": SQL_WINDOW_TOP3,
+    "set_intersect_nations": SQL_SET_INTERSECT,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "mapreduce_event_stats": SQL_MAPREDUCE_EVENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "knn_cosine_topk": SQL_KNN_COSINE,
+    # rows-only (non-SQL-expressible): dedup_minhash_pairs,
+    # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
+}
