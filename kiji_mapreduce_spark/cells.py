@@ -27,19 +27,21 @@ def sort_cells(cells: Column) -> Column:
 
 
 def latest(cells: Column) -> Column:
-    """Most recent version struct (ts, value), or null for empty cells."""
-    return F.element_at(cells, 1)
+    """Most recent version struct (ts, value), or null for empty cells.
+    try_element_at: empty cells yield null instead of erroring (ANSI)."""
+    return F.try_element_at(cells, F.lit(1))
 
 
 def latest_value(cells: Column) -> Column:
     """Most recent value (``getMostRecentValue``)."""
-    return F.element_at(cells, 1)["value"]
+    return latest(cells)["value"]
 
 
 def value_at(cells: Column, ts) -> Column:
     """Value as of timestamp ``ts`` (newest version with cell.ts <= ts)."""
     ts = F.lit(ts) if not isinstance(ts, Column) else ts
-    return F.element_at(F.filter(cells, lambda c: c["ts"] <= ts), 1)["value"]
+    return F.try_element_at(
+        F.filter(cells, lambda c: c["ts"] <= ts), F.lit(1))["value"]
 
 
 def put_cell(cells: Column, ts, value) -> Column:

@@ -172,7 +172,7 @@ class TableKeyValueStore(KeyValueStore):
             lo = self.min_ts if self.min_ts is not None else -(1 << 62)
             hi = self.max_ts if self.max_ts is not None else (1 << 62)
             cells = F.filter(cells, lambda c: (c["ts"] >= F.lit(lo)) & (c["ts"] < F.lit(hi)))
-        value = F.element_at(cells, 1)["value"]
+        value = F.try_element_at(cells, F.lit(1))["value"]
         return self.table.select(*self.key_cols, value.alias("value"))
 
 

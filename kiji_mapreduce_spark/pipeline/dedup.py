@@ -66,13 +66,56 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 
 # -- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, i). Universal-ish family via the seed argument."""
-    sh = shingles(text, n)
+# 31-bit Mersenne prime: permutation arithmetic stays far below long
+# overflow (ANSI mode would reject wrap-around products).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, n: int = 3, seed: int = 42,
+) -> DataFrame:
+    """(id, m0..m{num_hashes-1}) MinHash signature columns.
+
+    Scale shape: explode shingles -> one xxhash64 per shingle -> groupBy id
+    with ``num_hashes`` min-aggregates over cheap affine permutations.
+    Partial aggregation makes the shuffle carry one row per doc, and the
+    document text itself never shuffles.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s"))
+    hashed = exploded.select(
+        id_col, F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3,
+                      seed: int = 42) -> Column:
+    """Signature as one array column (per-row expression form; prefer
+    ``minhash_signatures`` for full-table pipelines)."""
+    sh = F.transform(
+        shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(
+            sh, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))))
+        for a, b in _perm_params(num_hashes, seed)
     ])
 
 
@@ -87,15 +130,14 @@ def minhash_lsh_candidates(
     At scale the band-bucket groupBy shuffles only (band, bucket-hash, id).
     """
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_entries = with_sig.select(
         id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("_sig", b * rows + r + 1).cast("string")
+                    ",", *[F.col(f"m{b * rows + r}").cast("string")
                            for r in range(rows)]
                 )).alias("bucket"),
             )
@@ -178,6 +220,31 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash) via exploded aggregation: one xxhash64 per token, then
+    64 conditional-sum bit votes in a single groupBy — the scalable shape
+    (token hashes shuffle pre-aggregated, one row per doc)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    hashed = exploded.select(id_col, F.xxhash64("_t").alias("_h"))
+    vote_aggs = []
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        vote_aggs.append(
+            F.sum(F.when(F.col("_h").bitwiseAND(F.lit(mask).cast("long")) != 0,
+                         1).otherwise(-1)).alias(f"v{b}"))
+    votes = hashed.groupBy(id_col).agg(*vote_aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") >= 0, F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
@@ -187,7 +254,8 @@ def simhash_near_duplicates(
     band (pigeonhole), so candidates come from an equi-join on a band
     value — no cross join. Returns (id_a, id_b, hamming)."""
     width = 64 // bands
-    with_h = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
+    with_h = simhash_fingerprints(df, text_col, id_col) \
+        .withColumnRenamed("simhash", "_sh")
     entries = with_h.select(
         id_col, "_sh",
         F.explode(F.array(*[

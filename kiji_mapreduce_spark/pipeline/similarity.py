@@ -64,28 +64,31 @@ def brute_force_topk(
     )
 
 
+def _plane(seed: int, p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim (seeded PRNG;
+    no RNG state crosses the driver/executor boundary — the plane ships as
+    a literal array constant)."""
+    import random
+
+    rnd = random.Random(seed * 1000003 + p)
+    return [rnd.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
 def random_hyperplane_buckets(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
     seed: int = 42, dim: int | None = None,
 ) -> DataFrame:
     """SimHash-style LSH bucketing: sign pattern against ``n_planes``
     pseudo-random hyperplanes -> integer bucket id column ``bucket``.
-
-    Hyperplane components are derived deterministically from (seed, plane,
-    dim index) via a hash -> uniform in [-1, 1) — no driver-side RNG state,
-    reproducible across runs/executors.
-    """
+    Planes are literal constants — per row the work is n_planes dot
+    products, nothing else."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = first["d"] if first else 0
     v = as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        comps = F.array(*[
-            (F.pmod(F.hash(F.lit(seed), F.lit(p), F.lit(i)), F.lit(10007))
-             / F.lit(5003.5) - F.lit(1.0))
-            for i in range(dim)
-        ])
+        comps = F.array(*[F.lit(c) for c in _plane(seed, p, dim)])
         sign_bit = (dot(v, comps) >= 0).cast("long")
         bucket = bucket * 2 + sign_bit
     return df.withColumn("bucket", bucket)

@@ -41,9 +41,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts_ms`` (matches DuckDB ``epoch_ms``) and a microsecond ``ts``."""
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = (ev.withColumn("ts_ms", F.floor(F.col("ts") / 1000000).cast("long"))
-              .withColumn("ts", F.timestamp_micros(
-                  F.floor(F.col("ts") / 1000).cast("long"))))
+        # integer division: nanos exceed double's 2^53 mantissa, so / would
+        # drift by ±1 ms — `div` stays in long arithmetic
+        ev = (ev.withColumn("ts_ms", F.expr("ts div 1000000"))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     else:
         ev = ev.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
     return ev

@@ -1,0 +1,102 @@
+"""Inputs/outputs: spec parsing, XML record reader, sorted bulk staging +
+atomic bulk load (SURVEY.md §2.1, §2.2, §3.2/3.3)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.io.inputs import JobInput, job_input
+from kiji_mapreduce_spark.io.outputs import (
+    JobOutput, bulk_load, job_output, stage_sorted,
+)
+
+
+def test_input_spec_parsing():
+    ji = job_input("format=text file=/a,/b foo=bar")
+    assert ji.format == "text" and ji.paths == ["/a", "/b"]
+    assert ji.options == {"foo": "bar"}
+    with pytest.raises(ValueError):
+        job_input("file=/a")
+
+
+def test_output_spec_parsing():
+    jo = job_output("format=hfile@8 file=/staging table=/t")
+    assert jo.format == "hfile" and jo.nsplits == 8
+    jo2 = job_output("format=text file=/out nsplits=3")
+    assert jo2.nsplits == 3 and jo2.path == "/out"
+
+
+def test_text_input(spark, tmp_path):
+    (tmp_path / "in.txt").write_text("l1\nl2\n")
+    df = JobInput("text", [str(tmp_path / "in.txt")]).load(spark)
+    assert sorted(r.value for r in df.collect()) == ["l1", "l2"]
+
+
+def test_wholefile_input(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha body")
+    (tmp_path / "b.txt").write_text("beta body")
+    df = JobInput("small-text-files", [str(tmp_path / "*.txt")]).load(spark)
+    got = {os.path.basename(r.path): r.text for r in df.collect()}
+    assert got == {"a.txt": "alpha body", "b.txt": "beta body"}
+
+
+def test_xml_input_records(spark, tmp_path):
+    (tmp_path / "r.xml").write_text(
+        "<root><user><name>a</name></user>junk"
+        "<user attr=\"1\"><name>b</name></user></root>")
+    df = JobInput("xml", [str(tmp_path / "r.xml")],
+                  options={"rowTag": "user"}).load(spark)
+    xmls = sorted(r.xml for r in df.collect())
+    assert len(xmls) == 2
+    assert xmls[0] == "<user attr=\"1\"><name>b</name></user>"
+    assert xmls[1] == "<user><name>a</name></user>"
+
+
+def test_csv_input(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("gwu@x.com,Garrett\n")
+    df = JobInput("csv", [str(tmp_path / "d.csv")]).load(spark)
+    assert df.count() == 1
+
+
+def test_text_output_multi_column_tab_joined(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    JobOutput("text", str(tmp_path / "o"), nsplits=1).save(df)
+    part = [f for f in os.listdir(tmp_path / "o") if f.startswith("part")][0]
+    assert open(tmp_path / "o" / part).read().strip() == "a\t1"
+
+
+def test_stage_sorted_and_bulk_load(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in [5, 3, 9, 1, 7, 2, 8, 4, 6, 0]],
+        "entity_id int, v string")
+    staging = str(tmp_path / "staging")
+    table = str(tmp_path / "table")
+    stage_sorted(df, staging, key_cols=["entity_id"], nsplits=2)
+    # each parquet file must be internally sorted (HFile invariant)
+    files = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    assert len(files) >= 1
+    for f in files:
+        vals = [r.entity_id for r in
+                spark.read.parquet(f"{staging}/{f}").collect()]
+        assert vals == sorted(vals)
+    bulk_load(staging, table)
+    assert spark.read.parquet(table).count() == 10
+    # second load replaces atomically
+    df2 = df.limit(3)
+    stage_sorted(df2, staging, key_cols=["entity_id"], nsplits=1)
+    bulk_load(staging, table)
+    assert spark.read.parquet(table).count() == 3
+
+
+def test_avro_fallback_or_skip(spark, tmp_path):
+    """spark-avro is an external jar; accept either a working write or a
+    clean failure (the engine gates avro behind the format option)."""
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    try:
+        JobOutput("avro", str(tmp_path / "av")).save(df)
+    except Exception as e:
+        assert "avro" in str(e).lower() or "Failed to find" in str(e)
+        pytest.skip("spark-avro jar not bundled")
+    back = JobInput("avro", [str(tmp_path / "av")]).load(spark)
+    assert back.count() == 1

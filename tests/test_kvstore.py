@@ -1,0 +1,95 @@
+"""KeyValueStore subsystem (SURVEY.md §2.4; reference kvstore/lib tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.kvstore import (
+    DataFrameKeyValueStore, EmptyKeyValueStore, InMemoryMapKeyValueStore,
+    TableKeyValueStore, TextFileKeyValueStore, UnconfiguredKeyValueStore,
+    bind_stores, parse_bindings_xml,
+)
+
+
+def test_in_memory_store_lookup(spark):
+    probe = spark.createDataFrame([("a",), ("b",), ("zz",)], "key string")
+    store = InMemoryMapKeyValueStore(data={"a": "1", "b": "2"})
+    got = {r.key: r.value for r in store.lookup(probe).collect()}
+    assert got == {"a": "1", "b": "2", "zz": None}  # miss -> null (get())
+    assert store.lookup(probe, how="left_semi").count() == 2
+    assert store.lookup(probe, how="left_anti").count() == 1
+
+
+def test_text_file_store(spark, tmp_path):
+    p = tmp_path / "kv.tsv"
+    p.write_text("a\t1\nb\t2:2\nskipme\n")
+    store = TextFileKeyValueStore(paths=[str(p)])
+    got = {r.key: r.value for r in store.dataframe(spark).collect()}
+    assert got == {"a": "1", "b": "2:2"}  # delimiter-less line skipped
+
+
+def test_text_file_store_custom_delimiter(spark, tmp_path):
+    p = tmp_path / "kv.csv"
+    p.write_text("x,10\ny,20\n")
+    store = TextFileKeyValueStore(paths=[str(p)], delimiter=",")
+    assert store.reader(spark)["y"].value == "20"
+
+
+def test_table_store_latest_in_range(spark):
+    table = spark.createDataFrame(
+        [(("u1",), ([(30, "new"), (20, "mid"), (10, "old")],))],
+        "entity_id struct<key:string>, "
+        "info struct<name:array<struct<ts:long,value:string>>>")
+    store = TableKeyValueStore(table=table, column="info:name",
+                               min_ts=5, max_ts=25)
+    got = store.dataframe(spark).first()
+    assert got.value == "mid"  # newest within [5, 25)
+
+
+def test_empty_and_unconfigured(spark):
+    assert EmptyKeyValueStore().reader(spark) == {}
+    with pytest.raises(RuntimeError):
+        UnconfiguredKeyValueStore().dataframe(spark)
+
+
+def test_bind_stores_validation():
+    req = {"a": None, "b": InMemoryMapKeyValueStore(data={})}
+    with pytest.raises(ValueError, match="'a' is not bound"):
+        bind_stores(req, {})
+    with pytest.raises(ValueError, match="undeclared"):
+        bind_stores(req, {"zzz": EmptyKeyValueStore()})
+    out = bind_stores(req, {"a": EmptyKeyValueStore()})
+    assert isinstance(out["a"], EmptyKeyValueStore)
+    assert isinstance(out["b"], InMemoryMapKeyValueStore)
+
+
+def test_bindings_xml_roundtrip():
+    xml = """
+    <stores>
+      <store class="org.kiji.mapreduce.kvstore.lib.TextFileKeyValueStore" name="t">
+        <configuration>
+          <property><name>paths</name><value>/a,/b</value></property>
+          <property><name>delimiter</name><value>,</value></property>
+        </configuration>
+      </store>
+      <store class="InMemoryMapKeyValueStore" name="m"/>
+    </stores>
+    """
+    stores = parse_bindings_xml(xml)
+    assert stores["t"].paths == ["/a", "/b"]
+    assert stores["t"].delimiter == ","
+    assert isinstance(stores["m"], InMemoryMapKeyValueStore)
+
+
+def test_bindings_xml_errors():
+    with pytest.raises(ValueError, match="root"):
+        parse_bindings_xml("<x/>")
+    with pytest.raises(ValueError, match="unknown store class"):
+        parse_bindings_xml('<stores><store class="Nope" name="n"/></stores>')
+    with pytest.raises(ValueError, match="name"):
+        parse_bindings_xml('<stores><store class="EmptyKeyValueStore"/></stores>')
+
+
+def test_dataframe_store_first_wins(spark):
+    df = spark.createDataFrame([("k", 1), ("k", 2)], "key string, v int")
+    store = DataFrameKeyValueStore(df=df, key_cols=["key"])
+    assert store.dataframe(spark).count() == 1  # dup keys collapse

@@ -1,0 +1,102 @@
+"""Layout -> StructType compilation and DataRequest projection
+(FIXTURES.md F1/F2; reference layout/test.json semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StructType
+
+from kiji_mapreduce_spark.layout import TableLayout, RowKeySpec
+from kiji_mapreduce_spark.request import ColumnRequest, DataRequest
+
+LAYOUT_JSON = """
+{"name": "users",
+ "row_key": {"format": "HASH_PREFIX",
+             "components": [{"name": "key", "type": "string"}]},
+ "families": [
+   {"name": "info", "kind": "group", "max_versions": 3,
+    "columns": [{"name": "email", "schema": "string"},
+                {"name": "zip_code", "schema": "int"}]},
+   {"name": "map_family", "kind": "map", "map_schema": "string"}]}
+"""
+
+
+def test_layout_json_roundtrip_and_schema():
+    layout = TableLayout.from_json(LAYOUT_JSON)
+    schema = layout.spark_schema()
+    assert schema.fieldNames() == ["entity_id", "info", "map_family"]
+    info = schema["info"].dataType
+    assert isinstance(info, StructType)
+    assert info["email"].dataType.simpleString() == \
+        "array<struct<ts:bigint,value:string>>"
+    assert info["zip_code"].dataType.simpleString() == \
+        "array<struct<ts:bigint,value:int>>"
+    assert isinstance(schema["map_family"].dataType, MapType)
+    # round trip
+    again = TableLayout.from_json(layout.to_json())
+    assert again.spark_schema() == schema
+
+
+def test_bad_row_key_format():
+    with pytest.raises(ValueError):
+        RowKeySpec(format="NOPE")
+
+
+def test_bad_cell_schema():
+    with pytest.raises(ValueError, match="unsupported cell schema"):
+        TableLayout.from_json(
+            '{"name": "x", "families": [{"name": "f", "columns":'
+            ' [{"name": "c", "schema": "decimal"}]}]}'
+        ).spark_schema()
+
+
+def _user_df(spark):
+    layout = TableLayout.from_json(LAYOUT_JSON)
+    rows = [
+        (("alice",),
+         ([(20, "a2@x.com"), (10, "a1@x.com")], [(10, 94110)]),
+         {"t1": [(10, "hello")], "p9": [(10, "bye")]}),
+    ]
+    return spark.createDataFrame(rows, layout.spark_schema()), layout
+
+
+def test_data_request_projection_and_versions(spark):
+    df, _ = _user_df(spark)
+    req = DataRequest.build("info:email", max_versions=1)
+    out = req.apply(df)
+    assert out.columns == ["entity_id", "info_email"]
+    assert [c.value for c in out.first().info_email] == ["a2@x.com"]
+
+
+def test_data_request_ts_range(spark):
+    df, _ = _user_df(spark)
+    req = DataRequest([ColumnRequest("info", "email", max_versions=10,
+                                     min_ts=5, max_ts=15)])
+    out = req.apply(df)
+    assert [c.ts for c in out.first().info_email] == [10]
+
+
+def test_map_family_regex_filter(spark):
+    df, _ = _user_df(spark)
+    req = DataRequest([ColumnRequest("map_family", qualifier_regex="^t")])
+    out = req.apply(df)
+    fam = out.first().map_family
+    assert set(fam.keys()) == {"t1"}
+
+
+def test_strip_values(spark):
+    df, _ = _user_df(spark)
+    req = DataRequest([ColumnRequest("info", "email", strip_values=True,
+                                     max_versions=5)])
+    cell = req.apply(df).first().info_email[0]
+    assert cell.ts == 20 and cell.value is None
+
+
+def test_row_key_exprs(spark):
+    _, layout = _user_df(spark)
+    df, _ = _user_df(spark)
+    out = df.select(
+        layout.row_key.key_expr().alias("k"),
+        layout.row_key.hash_expr().alias("h"))
+    row = out.first()
+    assert row.k == "alice"
+    assert isinstance(row.h, (bytes, bytearray)) and len(row.h) > 2

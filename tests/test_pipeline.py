@@ -1,0 +1,154 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.pipeline import dedup, multimodal, similarity
+from kiji_mapreduce_spark.pipeline import text as text_ops
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the old river bend"),
+    (3, "completely different content about spark sql engines and parquet files"),
+    (4, "the quick brown fox jumps over the lazy dog near the old river bank"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r.keep_id: r.n_dups for r in dedup.exact_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 4 identical
+    kept = dedup.drop_exact_duplicates(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5, num_hashes=32, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got or (1, 4) in got  # near/exact dups surface
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_signature_column_matches_df_form(spark, docs):
+    """The per-row expression form and the exploded-aggregation form must
+    produce identical signatures."""
+    expr = docs.select(
+        "doc_id", dedup.minhash_signature(F.col("text"), 8).alias("sig"))
+    dfform = dedup.minhash_signatures(docs, num_hashes=8)
+    e = {r.doc_id: list(r.sig) for r in expr.collect()}
+    d = {r.doc_id: [r[f"m{i}"] for i in range(8)] for r in dfform.collect()}
+    assert e == d
+
+
+def test_simhash_near_dups(spark, docs):
+    fps = {r.doc_id: r.simhash
+           for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[4]  # identical docs -> identical fingerprint
+    assert dedup.hamming64(F.lit(fps[1]), F.lit(fps[2])) is not None
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                  "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.0)
+    j = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 < j[(1, 2)] < 1.0
+    assert j[(1, 3)] < 0.1
+
+
+def test_brute_force_topk_selfsim(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [3, 1]  # most-aligned first
+    assert rows[0].cosine > rows[1].cosine > 0.9
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    out = similarity.lsh_topk(emb, emb.filter("vec_id < 2"), k=3, n_planes=2)
+    rows = out.collect()
+    assert all(r.rank <= 3 for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_token_counts(spark, docs):
+    out = docs.select(
+        text_ops.token_count(F.col("text")).alias("n"),
+        text_ops.bpe_ish_token_count(F.col("text")).alias("nb")).first()
+    assert out.n == 14 and out.nb >= out.n
+
+
+def test_quality_features(spark, docs):
+    out = text_ops.quality_features(docs).first()
+    assert 0.0 <= out.quality_score <= 1.0
+    assert out.n_tokens == 14
+    assert out.stopword_ratio > 0  # 'the' appears
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the market and it was good"),
+         (2, "el gato y la casa de un amigo en la ciudad con los perros"),
+         (3, "zzz qqq www")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", text_ops.language_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = {r.doc_id: r.f for r in docs.select(
+        "doc_id", text_ops.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[4]  # identical docs
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2")],
+        "media_id long, content binary")
+    out = multimodal.extract_features(media, dim=8)
+    rows = {r.media_id: r.feature for r in out.collect()}
+    assert len(rows[1]) == 8
+    assert rows[1] != rows[2]
+    assert all(-1.0 <= x < 1.0 for x in rows[1])
+    # deterministic across runs
+    again = {r.media_id: r.feature
+             for r in multimodal.extract_features(media, dim=8).collect()}
+    assert rows == again
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    media = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    out = multimodal.extract_features(media, use_real_decoder=True)
+    with pytest.raises(Exception, match="(?i)decod|NotImplemented|PythonException"):
+        out.collect()
+
+
+def test_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10)], "media_id long, content binary")
+    out = multimodal.sample_frames(media, every_n=2, frame_size=256)
+    rows = sorted(out.collect(), key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 2, 4, 6, 8]
+    assert all(len(r.frame_bytes) == 256 for r in rows)
+
+
+def test_attach_media_meta(spark):
+    media = spark.createDataFrame([(1, b"abcd")], "media_id long, content binary")
+    row = multimodal.attach_media_meta(media).first()
+    assert row.meta.media_type == "image"
+    assert row.meta.duration_ms == 4

@@ -1,0 +1,29 @@
+"""Smoke: every suite query runs at sf0.001 and returns rows with the
+expected columns (full oracle comparison lives in
+tools/check_correctness.py and the driver's own harness)."""
+
+import pytest
+
+from kiji_mapreduce_spark import suite
+
+MAY_BE_EMPTY = set()
+
+
+@pytest.mark.parametrize("name", sorted(suite.QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = suite.QUERIES[name](spark, sf_dir)
+    rows = df.limit(5000).collect()
+    assert df.columns, name
+    if name not in MAY_BE_EMPTY:
+        assert len(rows) > 0, f"{name} returned no rows"
+
+
+def test_every_oracle_has_a_query():
+    assert set(suite.ORACLES) <= set(suite.QUERIES)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.oracle_sql()) <= set(m.queries())
