@@ -1,0 +1,163 @@
+"""CLI: the reference's tool surface, Spark-first.
+
+Mirrors ``kiji bulk-import | produce | gather | pivot | bulk-load |
+job-history`` (reference ``.../tools/KijiBulkImport.java:52-119`` etc.)
+with the same ``--input="format=... file=..."`` / ``--output="format=...
+file=... nsplits=N"`` spec strings (``JobInputSpec.java:52-68``,
+``JobOutputSpec.java:53-66``), plus ``create-table`` / ``compact`` for the
+entity-table layer.
+
+Operators are referenced by dotted path (``pkg.module.ClassName``) — the
+analogue of ``--importer=com.example.MyImporter`` class loading.
+
+Usage::
+
+    python -m kiji_mapreduce_spark.cli gather \
+        --gatherer my_pkg.DomainGatherer \
+        --input "format=kiji file=/tables/users" \
+        --output "format=text file=/out nsplits=4"
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+from kiji_mapreduce_spark.io.inputs import job_input
+from kiji_mapreduce_spark.io.outputs import bulk_load, job_output
+from kiji_mapreduce_spark.job import (
+    BulkImportJobBuilder, GatherJobBuilder, JobHistory, MapReduceJobBuilder,
+    PivotJobBuilder, ProduceJobBuilder,
+)
+from kiji_mapreduce_spark.kvstore import parse_bindings_xml
+from kiji_mapreduce_spark.session import make_session
+
+
+def _load_class(dotted: str):
+    mod_name, _, cls_name = dotted.rpartition(".")
+    if not mod_name:
+        raise SystemExit(f"operator must be a dotted path, got {dotted!r}")
+    return getattr(importlib.import_module(mod_name), cls_name)
+
+
+def _load_input(spark, spec: str):
+    ji = job_input(spec)
+    if ji.format in ("kiji", "table"):
+        from kiji_mapreduce_spark.table import EntityTable
+
+        return EntityTable.open(spark, ji.paths[0]).read()
+    return ji.load(spark)
+
+
+def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
+    spark = make_session(app_name=f"kiji-{args.command}")
+    op_cls = _load_class(getattr(args, operator_flag))
+    builder = (builder_cls()
+               .with_input(_load_input(spark, args.input))
+               .with_operator(op_cls())
+               .with_name(f"{args.command}:{op_cls.__name__}"))
+    if args.output:
+        builder.with_output(job_output(args.output))
+    if args.kvstores:
+        for name, store in parse_bindings_xml(open(args.kvstores).read()).items():
+            builder.with_store(name, store)
+    if args.history:
+        builder.with_history(JobHistory(path=args.history))
+    job = builder.build()
+    ok = job.run()
+    print(json.dumps({"job_id": job.job_id, "name": job.name,
+                      "counters": job.counters}))
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kiji-mr-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def _job_parser(name: str, operator_flag: str):
+        sp = sub.add_parser(name)
+        sp.add_argument(f"--{operator_flag}", required=True,
+                        help="dotted path to the operator class")
+        sp.add_argument("--input", required=True,
+                        help='"format=text file=/a,/b" spec')
+        sp.add_argument("--output", default=None,
+                        help='"format=text file=/out nsplits=N" spec')
+        sp.add_argument("--kvstores", default=None,
+                        help="store-bindings XML file")
+        sp.add_argument("--history", default=None,
+                        help="job-history table path")
+        return sp
+
+    _job_parser("bulk-import", "importer")
+    _job_parser("produce", "producer")
+    _job_parser("gather", "gatherer")
+    _job_parser("pivot", "pivoter")
+    _job_parser("mapreduce", "operator")
+
+    lp = sub.add_parser("bulk-load")
+    lp.add_argument("--staging", required=True)
+    lp.add_argument("--table", required=True)
+
+    hp = sub.add_parser("job-history")
+    hp.add_argument("--path", required=True)
+    hp.add_argument("--job-id", default=None)
+
+    cp = sub.add_parser("create-table")
+    cp.add_argument("--layout", required=True, help="layout JSON file")
+    cp.add_argument("--path", required=True)
+
+    mp = sub.add_parser("compact")
+    mp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.command == "bulk-import":
+        return _run_operator_job(args, BulkImportJobBuilder, "importer")
+    if args.command == "produce":
+        return _run_operator_job(args, ProduceJobBuilder, "producer")
+    if args.command == "gather":
+        return _run_operator_job(args, GatherJobBuilder, "gatherer")
+    if args.command == "pivot":
+        return _run_operator_job(args, PivotJobBuilder, "pivoter")
+    if args.command == "mapreduce":
+        return _run_operator_job(args, MapReduceJobBuilder, "operator")
+
+    if args.command == "bulk-load":
+        bulk_load(args.staging, args.table)
+        print(json.dumps({"loaded": args.table}))
+        return 0
+
+    if args.command == "job-history":
+        spark = make_session(app_name="kiji-job-history")
+        df = JobHistory(path=args.path).read(spark)
+        if args.job_id:
+            df = df.filter(df.job_id == args.job_id)
+        for r in df.collect():
+            print(json.dumps(r.asDict()))
+        return 0
+
+    if args.command == "create-table":
+        from kiji_mapreduce_spark.layout import TableLayout
+        from kiji_mapreduce_spark.table import EntityTable
+
+        spark = make_session(app_name="kiji-create-table")
+        layout = TableLayout.from_json(open(args.layout).read())
+        EntityTable.create(spark, args.path, layout)
+        print(json.dumps({"created": args.path, "table": layout.name}))
+        return 0
+
+    if args.command == "compact":
+        from kiji_mapreduce_spark.table import EntityTable
+
+        spark = make_session(app_name="kiji-compact")
+        EntityTable.open(spark, args.table).compact()
+        print(json.dumps({"compacted": args.table}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

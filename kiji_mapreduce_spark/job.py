@@ -181,11 +181,13 @@ class _JobBuilder:
         op = self._operator
         stores = bind_stores(op.required_stores(), self._bindings)
         context = OperatorContext(stores=stores, conf=self._conf)
-        plan = op.compile(self._input_df, context)
-        # rows-processed counter, observed inside the job (no second pass)
+        # rows-processed counter on the INPUT (the reference counts rows
+        # fed to the operator, e.g. GATHERER_ROWS_PROCESSED in
+        # GatherMapper:139) — observed inside the job, no second pass
         obs = Observation(f"{op.COUNTER_PREFIX}_counters")
-        plan = plan.observe(
+        observed_input = self._input_df.observe(
             obs, F.count(F.lit(1)).alias(f"{op.COUNTER_PREFIX}_ROWS_PROCESSED"))
+        plan = op.compile(observed_input, context)
         name = self._name or f"{type(op).__name__}"
         return Job(name, plan, self._output, observation=obs,
                    history=self._history, conf=self._conf)

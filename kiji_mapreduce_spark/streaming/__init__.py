@@ -1,0 +1,5 @@
+from kiji_mapreduce_spark.streaming.jobs import (
+    stream_operator, windowed_aggregate, running_latest,
+)
+
+__all__ = ["stream_operator", "windowed_aggregate", "running_latest"]

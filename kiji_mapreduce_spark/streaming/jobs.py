@@ -1,0 +1,102 @@
+"""Structured-Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.6: streaming absent; the
+out-of-band 'freshener' concept lives in a separate project). The engine
+exposes the same operator classes over streams:
+
+- ``stream_operator``: run any batch archetype per micro-batch via
+  ``foreachBatch`` — every operator in the engine is instantly streaming-
+  capable without a second implementation (incremental produce jobs =
+  fresheners on a schedule);
+- ``windowed_aggregate``: watermarked event-time windows (late-data-safe
+  gather+reduce);
+- ``running_latest``: custom stateful operator via
+  ``applyInPandasWithState`` keeping the most-recent (ts, value) per key —
+  the streaming twin of the versioned-cell 'latest' read.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kiji_mapreduce_spark.operators.base import Operator, OperatorContext
+
+
+def stream_operator(
+    stream_df: DataFrame,
+    operator: Operator,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    context: OperatorContext | None = None,
+):
+    """Apply a batch operator to each micro-batch and hand the result to
+    ``sink(batch_df, batch_id)``. Returns the StreamingQuery."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(operator.compile(batch_df, context), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process) \
+        .option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is bounded — the 100 TB-safe default)."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(*aggs)
+    )
+
+
+_LATEST_STATE_SCHEMA = "ts long, value double"
+_LATEST_OUT_SCHEMA = "key long, ts long, value double"
+
+
+def _latest_fn(key, pdf_iter, state: GroupState):
+    """Keep the max-(ts, value) pair per key across micro-batches."""
+    if state.exists:
+        ts, value = state.get
+    else:
+        ts, value = -(1 << 62), float("-inf")
+    for pdf in pdf_iter:
+        for row_ts, row_v in zip(pdf["ts"], pdf["value"]):
+            if (row_ts, row_v) > (ts, value):
+                ts, value = int(row_ts), float(row_v)
+    state.update((ts, value))
+    yield pd.DataFrame({"key": [key[0]], "ts": [ts], "value": [value]})
+
+
+def running_latest(stream_df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts_ms", value_col: str = "value") -> DataFrame:
+    """Custom stateful operator: per-key running most-recent value
+    (ties broken by value, matching cells.latest ordering)."""
+    normalized = stream_df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=_LATEST_OUT_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

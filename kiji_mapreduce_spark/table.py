@@ -1,0 +1,203 @@
+"""Entity tables: layout-typed, versioned, Parquet-backed.
+
+The Spark mapping of a Kiji table (SURVEY.md §1.4): rows keyed by an
+``entity_id`` struct, group families as structs of versioned-cell arrays,
+map families as MapType — stored as Parquet partitioned by a hashed key
+bucket so scans parallelize evenly and writes co-locate by key.
+
+Write paths mirror the reference's two (SURVEY.md §2.2):
+- ``merge_put``   = DirectKijiTableWriterContext (live upsert of cells)
+- ``bulk_stage`` + ``io.outputs.bulk_load`` = the HFile pipeline
+
+``compact`` applies maxVersions/TTL retention — the work HBase compactions
+did for the reference (SURVEY.md §4 "genuinely custom" item 1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kiji_mapreduce_spark import cells as cell_fns
+from kiji_mapreduce_spark.io.outputs import bulk_load, stage_sorted
+from kiji_mapreduce_spark.layout import TableLayout
+
+_LAYOUT_FILE = "_kiji_layout.json"
+
+
+class EntityTable:
+    """A layout-typed entity table at a filesystem path."""
+
+    def __init__(self, spark: SparkSession, path: str, layout: TableLayout,
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.layout = layout
+        self.n_buckets = n_buckets
+
+    # -- creation / open ----------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, layout: TableLayout,
+               n_buckets: int = 16) -> "EntityTable":
+        """Create an empty table: write the layout descriptor + empty data."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
+            f.write(layout.to_json())
+        table = cls(spark, path, layout, n_buckets)
+        empty = spark.createDataFrame([], table._physical_schema())
+        empty.write.mode("overwrite").parquet(table._data_path())
+        return table
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str,
+             n_buckets: int = 16) -> "EntityTable":
+        with open(os.path.join(path, _LAYOUT_FILE)) as f:
+            layout = TableLayout.from_json(f.read())
+        return cls(spark, path, layout, n_buckets)
+
+    def _data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _physical_schema(self):
+        from pyspark.sql.types import IntegerType
+
+        schema = self.layout.spark_schema()
+        return schema.add("_bucket", IntegerType(), False)
+
+    def _bucket_expr(self):
+        """Deterministic key bucket from the row-key hash — the analogue of
+        region assignment; co-locates a key's writes and enables
+        bucket-pruned point lookups."""
+        return F.pmod(
+            F.crc32(self.layout.row_key.hash_expr()), F.lit(self.n_buckets)
+        ).cast("int")
+
+    # -- read ---------------------------------------------------------------
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._data_path()).drop("_bucket")
+
+    def scan(self, data_request=None, start_key=None, limit_key=None) -> DataFrame:
+        """Scan with optional DataRequest projection + key range
+        (KijiTableMapReduceJobInput RowOptions: start inclusive, limit
+        exclusive on the packed string key)."""
+        df = self.read()
+        key = self.layout.row_key.key_expr()
+        if start_key is not None:
+            df = df.filter(key >= F.lit(start_key))
+        if limit_key is not None:
+            df = df.filter(key < F.lit(limit_key))
+        if data_request is not None:
+            df = data_request.apply(df)
+        return df
+
+    # -- write --------------------------------------------------------------
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("_bucket", self._bucket_expr())
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace table contents (bucketed, clustered by key)."""
+        (self._with_bucket(df)
+         .repartition(self.n_buckets, "_bucket")
+         .sortWithinPartitions(self.layout.row_key.key_expr())
+         .write.mode("overwrite").parquet(self._data_path()))
+
+    def merge_put(self, puts: DataFrame) -> None:
+        """Upsert cell versions into the table (the direct-writer path).
+
+        ``puts`` rows: (entity_id, family, qualifier, ts, value_str).
+        Values arrive as strings and are cast to the column's declared
+        type — the Avro-encode step of the reference collapsed to a cast.
+        New rows are created for unseen keys; existing cells get a
+        timestamped version inserted (same-ts put overwrites).
+
+        Implementation: full-outer merge on entity key, then per affected
+        column a ``put_cell``. One shuffle on the key; existing cell
+        arrays never leave the JVM.
+        """
+        current = self.read()
+        key_expr_cur = self.layout.row_key.key_expr()
+        grouped = (
+            puts.withColumn("_k", self.layout.row_key.key_expr())
+            .groupBy("_k")
+            .agg(
+                F.first("entity_id").alias("_eid"),
+                F.collect_list(
+                    F.struct("family", "qualifier", "ts", "value_str")
+                ).alias("_puts"),
+            )
+        )
+        merged = current.withColumn("_k", key_expr_cur).join(
+            grouped, on="_k", how="full_outer")
+        # seed brand-new rows with their entity_id and null families
+        merged = merged.withColumn(
+            "entity_id", F.coalesce(F.col("entity_id"), F.col("_eid")))
+        for fam in self.layout.families:
+            if fam.kind != "group":
+                continue
+            fam_struct = F.col(fam.name)
+            # null family struct on fresh rows -> struct of null cells
+            fam_struct = F.coalesce(fam_struct, F.struct(*[
+                F.lit(None).cast(
+                    self.layout.family(fam.name).spark_type()[c.name].dataType
+                ).alias(c.name)
+                for c in fam.columns
+            ]))
+            for col in fam.columns:
+                matching = F.filter(
+                    F.col("_puts"),
+                    lambda p: (p["family"] == fam.name)
+                    & (p["qualifier"] == col.name),
+                )
+                value_type = (
+                    self.layout.family(fam.name).spark_type()
+                    [col.name].dataType.elementType["value"].dataType
+                )
+                updated = F.aggregate(
+                    F.coalesce(matching, F.array()),
+                    fam_struct[col.name],
+                    lambda acc, p: cell_fns.put_cell(
+                        acc, p["ts"], p["value_str"].cast(value_type)),
+                )
+                fam_struct = fam_struct.withField(col.name, updated)
+            merged = merged.withColumn(fam.name, fam_struct)
+        result = merged.select(*[f.name for f in self.layout.spark_schema()])
+        self.overwrite(result)
+
+    def bulk_stage(self, df: DataFrame, staging_path: str) -> None:
+        """Stage full rows sorted by key (HFile analogue)."""
+        stage_sorted(
+            self._with_bucket(df), staging_path,
+            key_cols=["_bucket"], bucket_expr=F.col("_bucket"))
+
+    def bulk_commit(self, staging_path: str) -> None:
+        bulk_load(staging_path, self._data_path())
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, now_ms: int | None = None) -> None:
+        """Apply maxVersions + TTL retention to every versioned cell —
+        the compaction the reference delegated to HBase. Narrow job: no
+        shuffle, rewrite in place."""
+        import time as _time
+
+        now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+        df = self.read()
+        for fam in self.layout.families:
+            def retained(col_expr):
+                out = cell_fns.retain_versions(col_expr, fam.max_versions)
+                if fam.ttl_seconds:
+                    out = cell_fns.expire_ttl(out, fam.ttl_seconds, now_ms)
+                return out
+
+            if fam.kind == "map":
+                df = df.withColumn(
+                    fam.name,
+                    F.transform_values(F.col(fam.name), lambda _, v: retained(v)),
+                )
+            else:
+                fam_struct = F.col(fam.name)
+                for col in fam.columns:
+                    fam_struct = fam_struct.withField(
+                        col.name, retained(fam_struct[col.name]))
+                df = df.withColumn(fam.name, fam_struct)
+        self.overwrite(df)

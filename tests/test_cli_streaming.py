@@ -1,0 +1,117 @@
+"""CLI surface + streaming wrappers."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark import cli
+from kiji_mapreduce_spark.operators import Gatherer
+from kiji_mapreduce_spark.streaming import (
+    running_latest, stream_operator, windowed_aggregate,
+)
+
+
+class WordCount(Gatherer):
+    """Module-level so the CLI can import it by dotted path."""
+
+    def gather_df(self, df, ctx):
+        return df.select(F.explode(F.split("value", r"\s+")).alias("w"))
+
+    def reduce_df(self, g, ctx):
+        return g.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+
+
+def test_cli_gather_and_history(spark, tmp_path, capsys):
+    (tmp_path / "in.txt").write_text("a b a\nc a\n")
+    rc = cli.main([
+        "gather", "--gatherer", "test_cli_streaming.WordCount",
+        "--input", f"format=text file={tmp_path}/in.txt",
+        "--output", f"format=text file={tmp_path}/out nsplits=1",
+        "--history", f"{tmp_path}/hist",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])["counters"][
+        "GATHERER_ROWS_PROCESSED"] == 2
+    part = [f for f in os.listdir(tmp_path / "out") if f.startswith("part")][0]
+    lines = sorted(open(tmp_path / "out" / part).read().splitlines())
+    assert lines == ["a\t3", "b\t1", "c\t1"]
+    rc = cli.main(["job-history", "--path", f"{tmp_path}/hist"])
+    assert rc == 0
+    hist_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hist_line["job_end_status"] == "SUCCEEDED"
+
+
+def test_cli_create_table_and_compact(spark, tmp_path, capsys):
+    layout = tmp_path / "layout.json"
+    layout.write_text(json.dumps({
+        "name": "t", "families": [
+            {"name": "f", "columns": [{"name": "c"}], "max_versions": 1}]}))
+    assert cli.main(["create-table", "--layout", str(layout),
+                     "--path", f"{tmp_path}/tbl"]) == 0
+    assert cli.main(["compact", "--table", f"{tmp_path}/tbl"]) == 0
+
+
+def _write_stream_input(tmp_path, rows):
+    src = tmp_path / "stream_in"
+    src.mkdir(exist_ok=True)
+    with open(src / "part1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(src)
+
+
+def test_stream_operator_foreachbatch(spark, tmp_path):
+    src = _write_stream_input(tmp_path, [
+        {"value": "x y"}, {"value": "x"}])
+    stream = spark.readStream.schema("value string").json(src)
+    results = []
+
+    def sink(df, batch_id):
+        results.extend((r.w, r.n) for r in df.collect())
+
+    q = stream_operator(stream, WordCount(), sink,
+                        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert sorted(results) == [("x", 2), ("y", 1)]
+
+
+def test_windowed_aggregate_stream(spark, tmp_path):
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:05:00Z", "user": 1},
+        {"ts": "2024-01-01T00:20:00Z", "user": 1},
+        {"ts": "2024-01-01T01:10:00Z", "user": 2},
+    ])
+    stream = (spark.readStream.schema("ts timestamp, user long").json(src))
+    agg = windowed_aggregate(stream, "ts", "1 hour", "2 hours")
+    out = []
+    # complete mode: append would withhold windows until a later batch
+    # advances the watermark, and this bounded test stream has no later
+    # batch
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+    q.awaitTermination(60)
+    got = {(r.window.start.hour, r.n_events) for r in out}
+    assert got == {(0, 2), (1, 1)}
+
+
+def test_running_latest_stateful(spark, tmp_path):
+    src = _write_stream_input(tmp_path, [
+        {"user_id": 1, "ts_ms": 10, "value": 1.5},
+        {"user_id": 1, "ts_ms": 30, "value": 2.5},
+        {"user_id": 2, "ts_ms": 20, "value": 9.0},
+    ])
+    stream = (spark.readStream
+              .schema("user_id long, ts_ms long, value double").json(src))
+    latest = running_latest(stream)
+    out = []
+    q = (latest.writeStream.outputMode("update")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt3")).start())
+    q.awaitTermination(60)
+    got = {r.key: (r.ts, r.value) for r in out}
+    assert got == {1: (30, 2.5), 2: (20, 9.0)}

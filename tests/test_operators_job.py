@@ -50,7 +50,7 @@ def test_gather_job_end_to_end(spark, tmp_path):
     part = [f for f in os.listdir(tmp_path / "out") if f.startswith("part")][0]
     lines = sorted(open(tmp_path / "out" / part).read().splitlines())
     assert lines == ["example.com\t1", "usermail.example.com\t2"]
-    assert job.counters["GATHERER_ROWS_PROCESSED"] == 2
+    assert job.counters["GATHERER_ROWS_PROCESSED"] == 3  # input rows
     h = hist.read(spark).first()
     assert h.job_name == "domain-count" and h.job_end_status == "SUCCEEDED"
 

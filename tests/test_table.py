@@ -1,0 +1,97 @@
+"""EntityTable: create/open, scan with key range, merge_put upsert,
+bulk staging + commit, compaction (maxVersions/TTL)."""
+
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.cells import latest_value
+from kiji_mapreduce_spark.layout import TableLayout
+from kiji_mapreduce_spark.request import DataRequest
+from kiji_mapreduce_spark.table import EntityTable
+
+LAYOUT = TableLayout.from_json("""
+{"name": "users",
+ "row_key": {"format": "FORMATTED",
+             "components": [{"name": "key", "type": "string"}]},
+ "families": [
+   {"name": "info", "kind": "group", "max_versions": 2, "ttl_seconds": 10,
+    "columns": [{"name": "email", "schema": "string"},
+                {"name": "visits", "schema": "long"}]}]}
+""")
+
+
+def _puts(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string")
+
+
+def test_create_open_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    EntityTable.create(spark, path, LAYOUT)
+    t = EntityTable.open(spark, path)
+    assert t.layout.name == "users"
+    assert t.read().count() == 0
+
+
+def test_merge_put_creates_and_updates(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("alice",), "info", "email", 10, "a1@x.com"),
+        (("bob",), "info", "visits", 10, "3"),
+    ]))
+    assert t.read().count() == 2
+    # update alice (new version) + same-ts overwrite for bob
+    t.merge_put(_puts(spark, [
+        (("alice",), "info", "email", 20, "a2@x.com"),
+        (("bob",), "info", "visits", 10, "4"),
+    ]))
+    got = {r["entity_id"]["key"]: r for r in t.read().collect()}
+    alice_email = [(c.ts, c.value) for c in got["alice"]["info"]["email"]]
+    assert alice_email == [(20, "a2@x.com"), (10, "a1@x.com")]
+    bob_visits = [(c.ts, c.value) for c in got["bob"]["info"]["visits"]]
+    assert bob_visits == [(10, 4)]  # cast to long, overwritten at equal ts
+
+
+def test_scan_key_range_and_request(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("a",), "info", "email", 1, "a@x"),
+        (("b",), "info", "email", 1, "b@x"),
+        (("c",), "info", "email", 1, "c@x"),
+    ]))
+    out = t.scan(DataRequest.build("info:email"), start_key="a", limit_key="c")
+    keys = sorted(r.entity_id.key for r in out.collect())
+    assert keys == ["a", "b"]
+    assert out.columns == ["entity_id", "info_email"]
+
+
+def test_compact_enforces_retention(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("u",), "info", "email", ts, f"v{ts}@x") for ts in (1000, 2000, 3000)
+    ]))
+    # 3 versions present before compaction (max_versions=2 applies there)
+    assert len(t.read().first().info.email) == 3
+    t.compact(now_ms=11_500)  # ttl 10s -> cutoff 1500: drops ts=1000 too
+    cells = t.read().first().info.email
+    assert [c.ts for c in cells] == [3000, 2000]
+    t.compact(now_ms=13_000)  # cutoff 3000 -> only ts=3000 survives
+    assert [c.ts for c in t.read().first().info.email] == [3000]
+
+
+def test_bulk_stage_commit(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    t = EntityTable.create(spark, path, LAYOUT)
+    rows = spark.createDataFrame(
+        [(("x",), ([(1, "x@x")], None)), (("y",), ([(1, "y@x")], None))],
+        LAYOUT.spark_schema())
+    t.bulk_stage(rows, str(tmp_path / "staging"))
+    t.bulk_commit(str(tmp_path / "staging"))
+    got = t.read()
+    assert got.count() == 2
+    assert sorted(
+        r[0] for r in got.select(latest_value(F.col("info.email"))).collect()
+    ) == ["x@x", "y@x"]
