@@ -1,0 +1,99 @@
+"""Relational operators beyond both the reference and stock Spark.
+
+The reference's join surface is equi-lookup only (SURVEY.md §2.4). Spark
+adds shuffle equi-joins; this module adds the time-series joins a
+training-data / event pipeline needs, built scale-first:
+
+- ``asof_join``: for each left row, the most recent right row at-or-before
+  its timestamp (per key). Implemented with the union-tag trick — one
+  shuffle on (key), one sort, a last-non-null window — never a range
+  cross-product, so it survives arbitrarily dense right sides.
+- ``range_join_binned``: inequality join accelerated by binning, turning
+  a cross-product range predicate into an equi-join on overlapping bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``strict``) for the same key.
+
+    Scale shape: union the two sides with a tag, one shuffle by key, one
+    window pass carrying the last-seen right values forward. No range
+    explosion; right rows with equal timestamps resolve to the last one
+    in (ts, value...) order (deterministic).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts]
+
+    # tag: right rows sort before left rows at equal ts unless strict,
+    # so <= vs < is just the tag ordering
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0 if not strict else 2).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(dict(r.dtypes)[f"_r_{c}"]).alias(f"_r_{c}")
+          for c in value_cols],
+    )
+    unioned = l.unionByName(r.select(
+        *keys, "_ts", "_tag",
+        *[F.col(f"_r_{c}") for c in value_cols]), allowMissingColumns=True)
+    w = (Window.partitionBy(*keys)
+         .orderBy("_ts", "_tag",
+                  *[F.col(f"_r_{c}") for c in value_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        "*",
+        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+          .alias(f"_filled_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("_tag") == 1)
+    for c in value_cols:
+        out = out.withColumn(c if c not in left.columns else f"{c}_right",
+                             F.col(f"_filled_{c}"))
+    drop = (["_ts", "_tag"]
+            + [f"_r_{c}" for c in value_cols]
+            + [f"_filled_{c}" for c in value_cols])
+    return out.drop(*drop)
+
+
+def range_join_binned(
+    left: DataFrame, right: DataFrame,
+    left_point: str, right_lo: str, right_hi: str,
+    bin_width: int, extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Join left points into right [lo, hi) ranges via bin equi-join.
+
+    Each range explodes into ceil((hi-lo)/bin_width)+1 bin rows; points
+    map to one bin — the join is an equi-join on (bin, extra_on) followed
+    by the exact range predicate. Keeps Catalyst in hash-join land instead
+    of BroadcastNestedLoop for big-big range joins.
+    """
+    extra_on = extra_on or []
+    lo_bin = (F.col(right_lo) / bin_width).cast("long")
+    hi_bin = (F.col(right_hi) / bin_width).cast("long")
+    r = right.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    l = left.withColumn("_bin", (F.col(left_point) / bin_width).cast("long"))
+    joined = l.join(r, on=["_bin", *extra_on]).filter(
+        (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) < F.col(right_hi)))
+    return joined.drop("_bin")

@@ -648,6 +648,235 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# order+limit, set ops, cube, distinct, windows, key encodings, byte stats
+# ---------------------------------------------------------------------------
+
+def q_topk_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: global ORDER BY ... LIMIT (total-order top-k —
+    Spark's TakeOrderedAndProject replaces the reference's total-order
+    partitioner + sort job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer.filter(F.col("c_mktsegment") == "BUILDING"),
+              orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_SHIPPING = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_set_except_nations(spark, sf_dir):
+    """Nations with customers but no suppliers (EXCEPT/MINUS)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    rich = supplier.filter(F.col("s_acctbal") >= 9500)
+    return (customer.select(F.col("c_nationkey").alias("nationkey"))
+            .subtract(rich.select(F.col("s_nationkey").alias("nationkey"))))
+
+
+SQL_SET_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
+"""
+
+
+def q_union_all_parties(spark, sf_dir):
+    """UNION ALL + grouped count over heterogenous sources."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    both = (customer.select(F.col("c_nationkey").alias("nationkey"),
+                            F.lit("customer").alias("kind"))
+            .unionAll(supplier.select(F.col("s_nationkey").alias("nationkey"),
+                                      F.lit("supplier").alias("kind"))))
+    return both.groupBy("nationkey", "kind").agg(
+        F.count(F.lit(1)).alias("n_parties"))
+
+
+SQL_UNION_ALL = """
+SELECT nationkey, kind, count(*) AS n_parties FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+) GROUP BY nationkey, kind
+"""
+
+
+def q_cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority) with all subtotal combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders", "avg_price")
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_segments(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(F.col("c_mktsegment").alias("segment")).distinct()
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment AS segment FROM customer"
+
+
+def q_entity_key_hash(spark, sf_dir):
+    """Row-key encodings (SURVEY §1.1): HASH and HASH_PREFIX keys derived
+    from FORMATTED components, matching the reference's deterministic
+    hashed entity ids (md5-based)."""
+    from kiji_mapreduce_spark.layout import RowKeySpec
+
+    customer = _t(spark, sf_dir, "customer")
+    rk = RowKeySpec(format="FORMATTED", components=[("custkey", "long")])
+    with_eid = customer.select(
+        F.struct(F.col("c_custkey").alias("custkey")).alias("entity_id"))
+    packed = rk.key_expr()
+    return with_eid.select(
+        F.col("entity_id.custkey").alias("custkey"),
+        F.md5(packed).alias("key_hash"),
+        F.substring(F.md5(packed), 1, 4).alias("hash_prefix"),
+    )
+
+
+SQL_ENTITY_KEY_HASH = """
+SELECT c_custkey AS custkey,
+       md5(CAST(c_custkey AS VARCHAR)) AS key_hash,
+       substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS hash_prefix
+FROM customer
+"""
+
+
+def q_text_byte_stats(spark, sf_dir):
+    """Binary-column handling: byte vs char lengths (multibyte docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars_txt"),
+        (F.octet_length("text") > F.length("text")).alias("is_multibyte"),
+    )
+
+
+SQL_TEXT_BYTE_STATS = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) AS n_chars_txt,
+       octet_length(encode(text)) > length(text) AS is_multibyte
+FROM documents
+"""
+
+
+def q_window_running_revenue(spark, sf_dir):
+    """Running totals + lag per customer (ordered analytic windows)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       lag(o_orderkey, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS prev_orderkey
+FROM orders
+"""
+
+
+def q_asof_join_purchase_click(spark, sf_dir):
+    """As-of join (engine extension, functions.asof_join): each purchase
+    event picks up the most recent prior-or-equal click value of the same
+    user. Union-tag implementation — one shuffle, no range explosion."""
+    from kiji_mapreduce_spark.functions import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", F.col("value").alias("click_value"))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts_ms", value_cols=["click_value"])
+    return out.select("event_id", "user_id", "ts_ms", "click_value")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_ms, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+"""
+
+
+def q_range_join_price_bands(spark, sf_dir):
+    """Binned range join (engine extension): parts priced into static
+    bands via equi-join on bins instead of a nested-loop range join."""
+    from kiji_mapreduce_spark.functions import range_join_binned
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
+         ("premium", 1500.0, 10000.0)],
+        "band string, lo double, hi double")
+    out = range_join_binned(
+        part, bands, left_point="p_retailprice",
+        right_lo="lo", right_hi="hi", bin_width=500)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+
+
+SQL_RANGE_JOIN = """
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+             ('premium', 1500.0, 10000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -708,6 +937,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect_nations": q_set_intersect_nations,
     "rollup_revenue": q_rollup_revenue,
     "mapreduce_event_stats": q_mapreduce_event_stats,
+    "topk_shipping_priority": q_topk_shipping_priority,
+    "set_except_nations": q_set_except_nations,
+    "union_all_parties": q_union_all_parties,
+    "cube_order_stats": q_cube_order_stats,
+    "distinct_segments": q_distinct_segments,
+    "entity_key_hash": q_entity_key_hash,
+    "text_byte_stats": q_text_byte_stats,
+    "window_running_revenue": q_window_running_revenue,
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
     "dedup_exact": q_dedup_exact,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -737,6 +976,16 @@ ORACLES: dict[str, str] = {
     "set_intersect_nations": SQL_SET_INTERSECT,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "mapreduce_event_stats": SQL_MAPREDUCE_EVENTS,
+    "topk_shipping_priority": SQL_TOPK_SHIPPING,
+    "set_except_nations": SQL_SET_EXCEPT,
+    "union_all_parties": SQL_UNION_ALL,
+    "cube_order_stats": SQL_CUBE_ORDERS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "entity_key_hash": SQL_ENTITY_KEY_HASH,
+    "text_byte_stats": SQL_TEXT_BYTE_STATS,
+    "window_running_revenue": SQL_WINDOW_RUNNING,
+    "asof_join_purchase_click": SQL_ASOF_JOIN,
+    "range_join_price_bands": SQL_RANGE_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
