@@ -30,8 +30,14 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         extra_conf={"spark.ui.enabled": "false"},
     )
-    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warm-up covering the scan/shuffle/agg/join machinery so
+    # the first measured query isn't charged for JIT + class loading
+    from pyspark.sql import functions as F
+    warm = spark.range(100000).withColumn("k", F.pmod("id", F.lit(100)))
+    warm.groupBy("k").count().join(
+        F.broadcast(spark.range(100).withColumnRenamed("id", "k")), "k"
+    ).write.mode("overwrite").format("noop").save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     timings: dict[str, float] = {}
     for name, fn in suite.QUERIES.items():

@@ -6,7 +6,7 @@ no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small and deterministic (public common-word lists).
@@ -87,11 +87,59 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:
-    """Rolling-hash document fingerprint (winnowing-style): min xxhash64
-    over all ``window``-token shingles — robust to small edits at the ends.
+    """Rolling-hash document fingerprint (winnowing-style): min polynomial
+    hash over all ``window``-token shingles — robust to small edits at the
+    ends. Tokens are hashed once (xxhash64) and shingle hashes combined
+    with modular polynomial arithmetic over pre-hashed longs (no per-gram
+    string building; products stay below long overflow for ANSI mode).
     Falls back to hashing the whole text for short documents."""
+    p = (1 << 31) - 1
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
+    hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    n = F.size(hashes)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(hashes, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * 31 + h, F.lit(p)),
+        ),
+    )
     return F.when(n > 0, F.array_min(grams)).otherwise(F.xxhash64(text))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """(id, fingerprint) for a whole table — the scale shape.
+
+    Higher-order array lambdas are interpreted row-at-a-time in Spark, so
+    the per-row ``fingerprint`` expression doesn't codegen. This variant
+    posexplodes token hashes and builds each rolling polynomial from
+    ``window`` lag() terms — window functions + hash aggregate, fully
+    codegen'd, one shuffle on (id). Documents shorter than ``window``
+    tokens hash over their full (padded) prefix, matching the expression
+    form's fallback semantics closely enough for dedup use."""
+    p = (1 << 31) - 1
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    ex = df.select(F.col(id_col), F.posexplode(hashes).alias("pos", "h"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # gram(pos) = sum_j h[pos-j] * 31^j mod p over the trailing window;
+    # each product < 2^62 (both factors < 2^31), sum of window terms < 2^35
+    coeffs = [pow(31, j, p) for j in range(window)]
+    term0 = F.pmod(F.col("h") * F.lit(coeffs[0]), F.lit(p))
+    terms = [term0] + [
+        F.pmod(F.coalesce(F.lag("h", j).over(w), F.lit(0)) * F.lit(c), F.lit(p))
+        for j, c in enumerate(coeffs[1:], start=1)
+    ]
+    gram = F.pmod(sum(terms[1:], terms[0]), F.lit(p))
+    n_w = Window.partitionBy(id_col)
+    grams = ex.select(
+        id_col, "pos", gram.alias("gram"),
+        F.max("pos").over(n_w).alias("_max_pos"))
+    # full windows only — unless the doc is shorter than one window
+    valid = grams.filter(
+        (F.col("pos") >= window - 1) | (F.col("_max_pos") == F.col("pos")))
+    return valid.groupBy(id_col).agg(F.min("gram").alias("fingerprint"))

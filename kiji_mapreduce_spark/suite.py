@@ -902,10 +902,9 @@ def q_text_langid(spark, sf_dir):
 
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing-style rolling-hash fingerprint -> rows-only
-    (xxhash64-specific)."""
+    (xxhash64-specific). Uses the posexplode+window form (codegen'd)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text_ops.fingerprint(F.col("text")).alias("fingerprint"))
+    return text_ops.fingerprints(docs)
 
 
 def q_knn_lsh_topk(spark, sf_dir):
