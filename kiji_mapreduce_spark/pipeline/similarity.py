@@ -94,6 +94,40 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Within-group pairwise-cosine stats via a vectorized Pandas UDF.
+
+    Pairwise scoring inside a bounded group is the textbook Arrow/numpy
+    case: one 200x64 matrix multiply replaces 20k interpreted expression
+    evaluations. Groups must fit in executor memory (they're clusters, so
+    they do); the groupBy shuffles only (id, label, vector).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        cos = (m / norms) @ (m / norms).T
+        iu = np.triu_indices(len(m), k=1)
+        vals = cos[iu]
+        # no rounding here: double rounding (python banker's then SQL
+        # HALF_UP) flips values sitting on a rounding boundary
+        return pd.DataFrame({
+            "label": [pdf[label_col].iloc[0]],
+            "n_pairs": [len(vals)],
+            "max_cosine": [float(vals.max())],
+            "avg_cosine": [float(vals.mean())],
+        })
+
+    return embeddings.select(label_col, id_col, vec_col).groupBy(
+        label_col).applyInPandas(
+            _stats,
+            "label int, n_pairs long, max_cosine double, avg_cosine double")
+
+
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -625,7 +625,8 @@ def q_knn_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 4).alias("cosine"), "rank")
+                      (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+                      "rank")
 
 
 SQL_KNN_COSINE = """
@@ -643,7 +644,7 @@ WITH q AS (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -877,6 +878,32 @@ GROUP BY band
 """
 
 
+def q_embedding_label_cosine_stats(spark, sf_dir):
+    """Embedding-cosine near-dup machinery, oracle-checked: pairwise
+    cosine stats within each label cluster via the vectorized Pandas UDF
+    path (numpy matrix multiply per group — the Arrow fast path; the
+    synthetic embeddings have no true near-dups, so the check targets the
+    scoring math itself). avg rounds to 3dp: numpy pairwise-mean vs
+    DuckDB's sequential sum agree to ~1e-12, far inside 3dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.label_cosine_stats(emb)
+    return out.select(
+        "label", "n_pairs",
+        (F.round("max_cosine", 4) + F.lit(0.0)).alias("max_cosine"),
+        (F.round("avg_cosine", 3) + F.lit(0.0)).alias("avg_cosine"))
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.label, count(*) AS n_pairs,
+       round(max(list_cosine_similarity(a.v, b.v)), 4) + 0.0 AS max_cosine,
+       round(avg(list_cosine_similarity(a.v, b.v)), 3) + 0.0 AS avg_cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+"""
+
+
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -950,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
@@ -989,6 +1017,7 @@ ORACLES: dict[str, str] = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "knn_cosine_topk": SQL_KNN_COSINE,
+    "embedding_label_cosine_stats": SQL_EMBEDDING_LABEL_STATS,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
 }

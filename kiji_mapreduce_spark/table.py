@@ -133,7 +133,31 @@ class EntityTable:
         merged = merged.withColumn(
             "entity_id", F.coalesce(F.col("entity_id"), F.col("_eid")))
         for fam in self.layout.families:
-            if fam.kind != "group":
+            if fam.kind == "map":
+                # dynamic qualifiers: fold puts into the map, one
+                # qualifier at a time (try_element_at: absent key -> null
+                # cell -> put_cell creates it)
+                value_type = (
+                    fam.spark_type().valueType.elementType["value"].dataType)
+                matching = F.filter(
+                    F.coalesce(F.col("_puts"), F.array()),
+                    lambda p: p["family"] == fam.name)
+                base_map = F.coalesce(
+                    F.col(fam.name),
+                    F.map_from_arrays(F.array(), F.array()).cast(
+                        fam.spark_type()))
+                updated_map = F.aggregate(
+                    matching,
+                    base_map,
+                    lambda acc, p: F.map_concat(
+                        F.map_filter(acc, lambda k, _: k != p["qualifier"]),
+                        F.create_map(
+                            p["qualifier"],
+                            cell_fns.put_cell(
+                                F.try_element_at(acc, p["qualifier"]),
+                                p["ts"], p["value_str"].cast(value_type)))),
+                )
+                merged = merged.withColumn(fam.name, updated_map)
                 continue
             fam_struct = F.col(fam.name)
             # null family struct on fresh rows -> struct of null cells
@@ -164,6 +188,67 @@ class EntityTable:
         result = merged.select(*[f.name for f in self.layout.spark_schema()])
         self.overwrite(result)
 
+    def merge_delete(self, deletes: DataFrame) -> None:
+        """Apply tombstones (DirectKijiTableWriterContext semantics,
+        reference `:104-151`): rows of (entity_id, family, qualifier,
+        upto_ts) where
+
+        - family NULL                -> delete the whole row
+        - qualifier NULL             -> delete the whole family
+        - upto_ts NULL               -> delete all versions of the column
+        - upto_ts set                -> delete versions with ts <= upto_ts
+
+        Same shape as merge_put: one key-join, cell arrays edited in
+        place. Deletion is eager (no tombstone files to compact later) —
+        the Spark-side simplification of HBase's delete markers.
+        """
+        current = self.read()
+        keyed_deletes = (
+            deletes.withColumn("_k", self.layout.row_key.key_expr())
+            .groupBy("_k")
+            .agg(F.collect_list(
+                F.struct("family", "qualifier", "upto_ts")).alias("_dels"))
+        )
+        merged = current.withColumn(
+            "_k", self.layout.row_key.key_expr()
+        ).join(keyed_deletes, on="_k", how="left")
+        dels = F.coalesce(F.col("_dels"), F.array())
+        # row-level tombstone: family is NULL in any delete for this key
+        row_deleted = F.exists(dels, lambda d: d["family"].isNull())
+        merged = merged.filter(~row_deleted)
+
+        def apply_cell_deletes(cells_col, fam_name, qual_expr):
+            """Remove versions covered by any matching tombstone."""
+            def covered(c):
+                return F.exists(
+                    dels,
+                    lambda d: (d["family"] == fam_name)
+                    & (d["qualifier"].isNull() | (d["qualifier"] == qual_expr))
+                    & (d["upto_ts"].isNull() | (c["ts"] <= d["upto_ts"])),
+                )
+            return F.filter(cells_col, lambda c: ~covered(c))
+
+        for fam in self.layout.families:
+            if fam.kind == "map":
+                merged = merged.withColumn(
+                    fam.name,
+                    F.map_filter(
+                        F.transform_values(
+                            F.col(fam.name),
+                            lambda k, v: apply_cell_deletes(v, fam.name, k)),
+                        lambda k, v: F.size(v) > 0),
+                )
+                continue
+            fam_struct = F.col(fam.name)
+            for col in fam.columns:
+                fam_struct = fam_struct.withField(
+                    col.name,
+                    apply_cell_deletes(
+                        fam_struct[col.name], fam.name, F.lit(col.name)))
+            merged = merged.withColumn(fam.name, fam_struct)
+        self.overwrite(
+            merged.select(*[f.name for f in self.layout.spark_schema()]))
+
     def bulk_stage(self, df: DataFrame, staging_path: str) -> None:
         """Stage full rows sorted by key (HFile analogue)."""
         stage_sorted(
@@ -172,6 +257,23 @@ class EntityTable:
 
     def bulk_commit(self, staging_path: str) -> None:
         bulk_load(staging_path, self._data_path())
+
+    def produce(self, producer, context=None) -> None:
+        """Run a Producer against this table and write the derived cells
+        back to the SAME table — the enforced same-table produce flow
+        (KijiProduceJobBuilder.java:168-171). The producer's output column
+        must exist in the layout."""
+        out_col = producer.output_column()
+        family, _, qualifier = out_col.partition(":")
+        fam = self.layout.family(family)  # KeyError if undeclared
+        if qualifier and fam.kind == "group" and qualifier not in [
+                c.name for c in fam.columns]:
+            raise ValueError(
+                f"producer output column {out_col!r} not in layout "
+                f"{self.layout.name!r}")
+        updated = producer.compile(self.read(), context)
+        self.overwrite(updated.select(
+            *[f.name for f in self.layout.spark_schema()]))
 
     # -- maintenance --------------------------------------------------------
     def compact(self, now_ms: int | None = None) -> None:

@@ -15,7 +15,9 @@ LAYOUT = TableLayout.from_json("""
  "families": [
    {"name": "info", "kind": "group", "max_versions": 2, "ttl_seconds": 10,
     "columns": [{"name": "email", "schema": "string"},
-                {"name": "visits", "schema": "long"}]}]}
+                {"name": "visits", "schema": "long"}]},
+   {"name": "tags", "kind": "map", "map_schema": "string",
+    "max_versions": 5}]}
 """)
 
 
@@ -82,11 +84,89 @@ def test_compact_enforces_retention(spark, tmp_path):
     assert [c.ts for c in t.read().first().info.email] == [3000]
 
 
+def test_merge_put_map_family(spark, tmp_path):
+    path = str(tmp_path / "tm")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("u",), "tags", "color", 10, "red"),
+        (("u",), "tags", "size", 10, "xl"),
+    ]))
+    t.merge_put(_puts(spark, [(("u",), "tags", "color", 20, "blue")]))
+    fam = t.read().first()["tags"]
+    assert set(fam.keys()) == {"color", "size"}
+    assert [(c.ts, c.value) for c in fam["color"]] == [(20, "blue"), (10, "red")]
+
+
+def _deletes(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity_id struct<key:string>, family string,"
+        " qualifier string, upto_ts long")
+
+
+def test_merge_delete_granularities(spark, tmp_path):
+    path = str(tmp_path / "td")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("a",), "info", "email", 10, "a1"),
+        (("a",), "info", "email", 20, "a2"),
+        (("a",), "info", "visits", 10, "7"),
+        (("a",), "tags", "color", 10, "red"),
+        (("b",), "info", "email", 10, "b1"),
+        (("c",), "info", "email", 10, "c1"),
+    ]))
+    # cell-range delete: a/info:email up to ts 10; family delete: a/tags;
+    # row delete: b
+    t.merge_delete(_deletes(spark, [
+        (("a",), "info", "email", 10),
+        (("a",), "tags", None, None),
+        (("b",), None, None, None),
+    ]))
+    rows = {r.entity_id.key: r for r in t.read().collect()}
+    assert set(rows) == {"a", "c"}
+    assert [(c.ts, c.value) for c in rows["a"].info.email] == [(20, "a2")]
+    assert [(c.ts, c.value) for c in rows["a"].info.visits] == [(10, 7)]
+    assert rows["a"].tags == {}
+    assert [(c.ts, c.value) for c in rows["c"].info.email] == [(10, "c1")]
+
+
+def test_same_table_produce(spark, tmp_path):
+    from kiji_mapreduce_spark.operators import Producer
+
+    path = str(tmp_path / "tp")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [(("u",), "info", "email", 10, "u@example.com")]))
+
+    class DomainProducer(Producer):
+        def output_column(self):
+            return "info:visits"
+
+        def produce_expr(self, df, ctx):
+            return F.length(latest_value(F.col("info.email"))).cast("long")
+
+        def produce_ts(self, df, ctx):
+            return F.lit(99).cast("long")
+
+    t.produce(DomainProducer())
+    row = t.read().first()
+    assert [(c.ts, c.value) for c in row.info.visits] == [(99, 13)]
+
+    class BadProducer(DomainProducer):
+        def output_column(self):
+            return "info:nope"
+
+    try:
+        t.produce(BadProducer())
+        assert False, "should reject undeclared output column"
+    except ValueError as e:
+        assert "not in layout" in str(e)
+
+
 def test_bulk_stage_commit(spark, tmp_path):
     path = str(tmp_path / "t5")
     t = EntityTable.create(spark, path, LAYOUT)
     rows = spark.createDataFrame(
-        [(("x",), ([(1, "x@x")], None)), (("y",), ([(1, "y@x")], None))],
+        [(("x",), ([(1, "x@x")], None), None),
+         (("y",), ([(1, "y@x")], None), None)],
         LAYOUT.spark_schema())
     t.bulk_stage(rows, str(tmp_path / "staging"))
     t.bulk_commit(str(tmp_path / "staging"))
