@@ -128,6 +128,63 @@ def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
             "label int, n_pairs long, max_cosine double, avg_cosine double")
 
 
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_centroids: int = 8, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42, max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-partition the
+    corpus, then search only the ``nprobe`` cells nearest each query.
+
+    The scale path for ANN when LSH recall is too blunt: the index build
+    is one MLlib KMeans fit (itself sampled/distributed), corpus
+    assignment is a narrow pass, and each query probes
+    ``nprobe/n_centroids`` of the corpus via an equi-join on cell id.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"))
+    with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
+    km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                 featuresCol="_features", predictionCol="_cell")
+          .fit(with_vec))
+    indexed = km.transform(with_vec).select("neighbor_id", "_cvec", "_cell")
+
+    # nprobe nearest cells per query: centers are tiny -> literal arrays,
+    # distance ranked per query
+    centers = [[float(x) for x in c] for c in km.clusterCenters()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qvec"))
+    center_rows = [(i, c) for i, c in enumerate(centers)]
+    centers_df = q.sparkSession.createDataFrame(
+        center_rows, "_cell int, _center array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_center"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2"), F.col("_cell"))
+    probes = (q.crossJoin(F.broadcast(centers_df))
+              .withColumn("_d2", d2)
+              .withColumn("_pr", F.row_number().over(probe_w))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "_qvec", "_cell"))
+
+    scored = (indexed.join(F.broadcast(probes), on="_cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

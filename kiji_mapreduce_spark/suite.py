@@ -904,6 +904,69 @@ GROUP BY a.label
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard on a deterministic pairing
+    (doc_id, doc_id+1) — oracle-checks the shingling + set-similarity
+    math that backs the MinHash verify stage."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b")), on="id_a")
+    out = dedup.ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.0)
+    return out.select("id_a", "id_b",
+                      (F.round("jaccard", 4) + F.lit(0.0)).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(w)-2, 1))]
+                       ) AS sh
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 4) + 0.0 AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
+SQL_TEXT_LANGID = r"""
+WITH padded AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+), scores AS (
+  SELECT doc_id, lang, 'de' AS cand,
+         len(regexp_extract_all(t, ' (der|die|und|das|ist|von|mit|den|ein|zu) ')) AS hits FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'en',
+         len(regexp_extract_all(t, ' (the|and|of|to|in|is|that|it|was|for) ')) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'es',
+         len(regexp_extract_all(t, ' (el|la|de|que|y|en|un|por|con|los) ')) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'fr',
+         len(regexp_extract_all(t, ' (le|la|de|et|les|des|est|dans|que|pour) ')) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'zh',
+         len(regexp_extract_all(t, ' (的|是|在|了|和|有|我|不|人|这) ')) FROM padded
+), best AS (
+  SELECT doc_id, lang, cand, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang,
+       CASE WHEN hits > 0 THEN cand ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -920,7 +983,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    """Stopword-vote language id -> rows-only (heuristic, not ANSI SQL)."""
+    """Stopword-vote language id (oracle: the same vote in SQL)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang",
@@ -939,6 +1002,14 @@ def q_knn_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+def q_knn_ivf_topk(spark, sf_dir):
+    """IVF (k-means cell) approximate KNN -> rows-only (kmeans-specific
+    cell assignment has no ANSI-SQL equivalent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -978,11 +1049,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "knn_cosine_topk": q_knn_cosine_topk,
     "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
+    "knn_ivf_topk": q_knn_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1018,6 +1091,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "knn_cosine_topk": SQL_KNN_COSINE,
     "embedding_label_cosine_stats": SQL_EMBEDDING_LABEL_STATS,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
 }

@@ -74,6 +74,21 @@ def test_brute_force_topk_selfsim(spark):
     assert rows[0].cosine > rows[1].cosine > 0.9
 
 
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    # two tight clusters; IVF with nprobe=1 must stay inside the cluster
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.2, 0.1]) for i in range(10)]
+    rows += [(i, [0.1, 9.0 + (i % 3) * 0.01, 0.3]) for i in range(10, 20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(emb, emb.filter("vec_id IN (0, 15)"),
+                              k=3, n_centroids=2, nprobe=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(n < 10 for n in got[0])     # cluster A neighbors only
+    assert all(n >= 10 for n in got[15])   # cluster B neighbors only
+    assert all(len(v) == 3 for v in got.values())
+
+
 def test_lsh_topk_subset_of_bucket(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
