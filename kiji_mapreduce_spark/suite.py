@@ -967,6 +967,50 @@ FROM best WHERE rn = 1
 """
 
 
+def q_streaming_windowed_counts(spark, sf_dir):
+    """End-to-end Structured Streaming: file-stream the events table,
+    watermarked 1-hour tumbling windows (streaming.windowed_aggregate),
+    drain with availableNow into a memory sink, return the final result.
+    The streaming output is deterministic, so the ORACLE IS PLAIN BATCH
+    SQL — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import windowed_aggregate
+
+    static = _t(spark, sf_dir, "events")
+    # the file-stream source wants a directory: stream the sf_dir with a
+    # glob pinned to the events file
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    if dict(static.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_aggregate(
+        stream, "ts", "1 hour", "2 hours", group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("sum_value")])
+    qname = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    return out.select(
+        F.unix_millis(F.col("window.start").cast("timestamp"))
+        .alias("window_start_ms"),
+        "event_type", "n_events", "sum_value")
+
+
+SQL_STREAMING_WINDOWED = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -1050,6 +1094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
@@ -1092,6 +1137,7 @@ ORACLES: dict[str, str] = {
     "knn_cosine_topk": SQL_KNN_COSINE,
     "embedding_label_cosine_stats": SQL_EMBEDDING_LABEL_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "streaming_windowed_counts": SQL_STREAMING_WINDOWED,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
