@@ -116,6 +116,22 @@ def stage_sorted(df: DataFrame, staging_path: str,
     staged.write.mode("overwrite").parquet(staging_path)
 
 
+def write_bucketed(df: DataFrame, table_name: str, keys: list[str],
+                   n_buckets: int = 16, sort_keys: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed catalog table (``bucketBy`` + ``sortBy``).
+
+    Two tables bucketed identically on their join key equi-join with NO
+    shuffle on either side — the 100 TB replacement for re-shuffling a
+    fact table on every join (the reference co-located via HBase regions;
+    Spark buckets are the analogue). Requires the session catalog (any
+    warehouse dir works; no Hive needed).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    writer = writer.sortBy(*(sort_keys or keys))
+    writer.saveAsTable(table_name)
+
+
 def bulk_load(staging_path: str, table_path: str) -> None:
     """Commit staged files into the live table atomically — the analogue
     of ``HFileLoader.load`` + ``kiji bulk-load`` (``KijiBulkLoad.java:46``).

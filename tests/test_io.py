@@ -89,6 +89,36 @@ def test_stage_sorted_and_bulk_load(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the key join without an
+    Exchange on either side (the 100 TB co-location strategy)."""
+    from kiji_mapreduce_spark.io.outputs import write_bucketed
+
+    import shutil
+
+    for t in ("bt_facts", "bt_dims"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    facts = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(100)], "k long, v double")
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "k long, name string")
+    write_bucketed(facts, "bt_facts", ["k"], n_buckets=4)
+    write_bucketed(dims, "bt_dims", ["k"], n_buckets=4)
+    # force a non-broadcast plan so bucketing (not broadcast) elides the
+    # shuffle — at real scale both sides are too big to broadcast anyway
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_avro_fallback_or_skip(spark, tmp_path):
     """spark-avro is an external jar; accept either a working write or a
     clean failure (the engine gates avro behind the format option)."""
