@@ -76,6 +76,41 @@ def asof_join(
     return out.drop(*drop)
 
 
+def salted_topk(
+    df: DataFrame, key_cols: list[str] | str, order_col: str, k: int,
+    n_salts: int = 16, ascending: bool = False,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k per key, skew-safe: two-phase window.
+
+    A plain ``Window.partitionBy(key)`` puts every row of a hot key into
+    one task. Phase 1 splits each key into ``n_salts`` deterministic
+    sub-partitions (hash-salted) and takes a local top-k; phase 2 ranks
+    the ≤ n_salts*k survivors per key. The hot key's row count per task
+    drops by n_salts; correctness is unaffected because any global top-k
+    row is necessarily in its salt's local top-k.
+
+    Tie-break is (order_col, tiebreak_cols...) so results are
+    deterministic.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tiebreak = tiebreak_cols or []
+    order = ([F.col(order_col).asc()] if ascending
+             else [F.col(order_col).desc()])
+    order += [F.col(c) for c in tiebreak]
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    local_w = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    final_w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrank", F.row_number().over(local_w))
+        .filter(F.col("_lrank") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .drop("_salt", "_lrank")
+    )
+
+
 def range_join_binned(
     left: DataFrame, right: DataFrame,
     left_point: str, right_lo: str, right_hi: str,

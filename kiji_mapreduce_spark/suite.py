@@ -1011,6 +1011,45 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: per-user sessions with a 30-minute inactivity gap
+    via ``session_window`` (the batch form of the streaming session
+    operator). Oracle: the classic lag/cumsum sessionization in SQL."""
+    ev = _events(spark, sf_dir)
+    # truncate to ms so boundary decisions match the oracle's epoch_ms math
+    ev = ev.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start").cast("timestamp"))
+            .alias("session_start_ms"),
+            "n_events", "session_value")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                   OR lag(epoch_ms(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+), s AS (
+  SELECT user_id, ts_ms, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, min(ts_ms) AS session_start_ms,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -1039,6 +1078,26 @@ def q_text_fingerprint(spark, sf_dir):
     (xxhash64-specific). Uses the posexplode+window form (codegen'd)."""
     docs = _t(spark, sf_dir, "documents")
     return text_ops.fingerprints(docs)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over real data: treat each document's UTF-8
+    bytes as an opaque media blob, attach typed metadata, extract a
+    deterministic fake embedding via the Arrow/mapInPandas path ->
+    rows-only (the sha256-float mapping has no SQL equivalent)."""
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"))
+    with_meta = multimodal.attach_media_meta(media, media_type="text/blob")
+    feats = multimodal.extract_features(with_meta, dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.size("feature").alias("dim"))
 
 
 def q_knn_lsh_topk(spark, sf_dir):
@@ -1095,11 +1154,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "streaming_windowed_counts": q_streaming_windowed_counts,
+    "sessionize_events": q_sessionize_events,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
+    "multimodal_features": q_multimodal_features,
     "knn_ivf_topk": q_knn_ivf_topk,
 }
 
@@ -1138,6 +1199,7 @@ ORACLES: dict[str, str] = {
     "embedding_label_cosine_stats": SQL_EMBEDDING_LABEL_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED,
+    "sessionize_events": SQL_SESSIONIZE,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk

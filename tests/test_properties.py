@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): engine semantics vs pure-Python
+models. Goes beyond the reference's example-based testing (SURVEY §5).
+
+Each property builds ONE DataFrame per example (batched cases) to keep
+Spark round-trips bounded.
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark import cells
+from kiji_mapreduce_spark.functions import asof_join, salted_topk
+
+# (ts, value) versions; ts bounded so groups stay small
+_version = st.tuples(st.integers(0, 50), st.integers(-5, 5))
+_cellcase = st.lists(_version, min_size=0, max_size=8)
+
+
+def _model_cells(versions):
+    """Python model: newest-first by (ts, value) where the tie-break
+    follows the STORED type's ordering — these cells hold strings, so
+    '-1' < '-2' lexicographically (matches Spark struct ordering)."""
+    return sorted(versions, key=lambda c: (c[0], str(c[1])), reverse=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_cellcase, min_size=1, max_size=30))
+def test_cells_sort_latest_retain_model(spark, cases):
+    rows = [(i, [(ts, str(v)) for ts, v in case]) for i, case in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "id int, c array<struct<ts:long,value:string>>")
+    out = df.select(
+        "id",
+        cells.sort_cells(F.col("c")).alias("sorted"),
+        cells.latest_value(cells.sort_cells(F.col("c"))).alias("latest"),
+        cells.retain_versions(cells.sort_cells(F.col("c")), 3).alias("top3"),
+    ).collect()
+    for r in out:
+        model = _model_cells(cases[r.id])
+        model_str = [(ts, str(v)) for ts, v in model]
+        assert [(c.ts, c.value) for c in r.sorted] == model_str
+        assert r.latest == (model_str[0][1] if model_str else None)
+        assert [(c.ts, c.value) for c in r.top3] == model_str[:3]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)),
+             min_size=1, max_size=25),  # left: (key, ts)
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30),
+                       st.integers(0, 99)),
+             min_size=0, max_size=25),  # right: (key, ts, value)
+)
+def test_asof_join_matches_model(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "row_id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, v long") \
+        if right_rows else spark.createDataFrame([], "k long, t long, v long")
+    out = {r.row_id: r.v
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              value_cols=["v"]).collect()}
+    for i, (k, t) in enumerate(left_rows):
+        matches = [(rt, rv) for rk, rt, rv in right_rows
+                   if rk == k and rt <= t]
+        expect = max(matches)[1] if matches else None
+        assert out[i] == expect, (i, k, t, matches)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+                min_size=1, max_size=60))
+def test_salted_topk_matches_plain_topk(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "row_id long, k long, v long")
+    got = {(r.k, r.rank): (r.v, r.row_id)
+           for r in salted_topk(df, "k", "v", k=3, n_salts=4,
+                                tiebreak_cols=["row_id"]).collect()}
+    # python model: per key, top-3 by (v desc, row_id asc)
+    per_key = {}
+    for i, (k, v) in enumerate(rows):
+        per_key.setdefault(k, []).append((-v, i))
+    for k, items in per_key.items():
+        items.sort()
+        for rank, (negv, i) in enumerate(items[:3], start=1):
+            assert got[(k, rank)] == (-negv, i), (k, rank)
