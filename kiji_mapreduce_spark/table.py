@@ -91,16 +91,50 @@ class EntityTable:
             df = data_request.apply(df)
         return df
 
+    def get(self, *components) -> DataFrame:
+        """Point lookup by entity-id components: computes the key's
+        bucket and filters on the partition column first, so the scan
+        prunes to one bucket directory before touching row data."""
+        packed = "\x00".join(str(c) for c in components)
+        key = self.layout.row_key.key_expr()
+        raw = self.spark.read.parquet(self._data_path())
+        if "_bucket" in raw.columns:
+            import zlib
+
+            hashed = self._hash_bytes(components)
+            bucket = zlib.crc32(hashed) % self.n_buckets
+            raw = raw.filter(F.col("_bucket") == bucket)
+        return raw.filter(key == F.lit(packed)).drop("_bucket")
+
+    def _hash_bytes(self, components) -> bytes:
+        """Driver-side mirror of RowKeySpec.hash_expr for bucket routing."""
+        import hashlib
+
+        packed = "\x00".join(str(c) for c in components).encode("utf-8")
+        fmt = self.layout.row_key.format
+        if fmt == "HASH":
+            return hashlib.md5(packed).digest()
+        if fmt == "HASH_PREFIX":
+            n = self.layout.row_key.hash_prefix_bytes
+            return bytes.fromhex(
+                hashlib.md5(packed).hexdigest()[: 2 * n]
+                + packed.hex())
+        return packed
+
     # -- write --------------------------------------------------------------
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("_bucket", self._bucket_expr())
 
     def overwrite(self, df: DataFrame) -> None:
-        """Replace table contents (bucketed, clustered by key)."""
+        """Replace table contents, physically partitioned by key bucket
+        (one directory per bucket, rows sorted by key inside) — point
+        lookups prune to one bucket directory (PartitionFilters), the
+        analogue of routing a get() to one HBase region."""
         (self._with_bucket(df)
          .repartition(self.n_buckets, "_bucket")
          .sortWithinPartitions(self.layout.row_key.key_expr())
-         .write.mode("overwrite").parquet(self._data_path()))
+         .write.mode("overwrite").partitionBy("_bucket")
+         .parquet(self._data_path()))
 
     def merge_put(self, puts: DataFrame) -> None:
         """Upsert cell versions into the table (the direct-writer path).

@@ -69,6 +69,23 @@ def test_scan_key_range_and_request(spark, tmp_path):
     assert out.columns == ["entity_id", "info_email"]
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    path = str(tmp_path / "tg")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=8)
+    t.merge_put(_puts(spark, [
+        ((f"user{i}",), "info", "email", 1, f"u{i}@x") for i in range(50)
+    ]))
+    got = t.get("user7")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0].entity_id.key == "user7"
+    # the plan prunes on the partition column before scanning row data
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_bucket" in plan, plan
+    # miss returns empty, not an error
+    assert t.get("no-such-user").count() == 0
+
+
 def test_compact_enforces_retention(spark, tmp_path):
     path = str(tmp_path / "t4")
     t = EntityTable.create(spark, path, LAYOUT)
