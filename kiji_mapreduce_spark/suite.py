@@ -1080,6 +1080,27 @@ def q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprints(docs)
 
 
+def q_quantiles_order_price(spark, sf_dir):
+    """Exact interpolated percentiles per group (absent in the reference;
+    both engines use the same linear-interpolation definition)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"))
+
+
+SQL_QUANTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over real data: treat each document's UTF-8
     bytes as an opaque media blob, attach typed metadata, extract a
@@ -1155,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "sessionize_events": q_sessionize_events,
+    "quantiles_order_price": q_quantiles_order_price,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
@@ -1200,6 +1222,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED,
     "sessionize_events": SQL_SESSIONIZE,
+    "quantiles_order_price": SQL_QUANTILES,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
