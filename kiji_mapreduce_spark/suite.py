@@ -25,10 +25,8 @@ from kiji_mapreduce_spark import cells
 from kiji_mapreduce_spark.operators import (
     BulkImporter, CellRewriter, Gatherer, MapReduceOperator, Pivoter, Producer,
 )
-from kiji_mapreduce_spark.operators.base import OperatorContext
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark.pipeline import dedup, similarity, text as text_ops
-from kiji_mapreduce_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -43,6 +43,65 @@ def test_cli_gather_and_history(spark, tmp_path, capsys):
     assert hist_line["job_end_status"] == "SUCCEEDED"
 
 
+from kiji_mapreduce_spark.operators import BulkImporter, Pivoter, Producer
+
+
+class ColonImporter(BulkImporter):
+    """rowkey:value lines (TestBulkImportInput.txt shape)."""
+
+    def import_df(self, df, ctx):
+        return df.select(
+            F.substring_index("value", ":", 1).alias("row_key"),
+            F.substring_index("value", ":", -1).alias("name"))
+
+
+class LenProducer(Producer):
+    def output_column(self):
+        return "derived:name_len"
+
+    def produce_expr(self, df, ctx):
+        return F.length("name")
+
+
+class KeyPivoter(Pivoter):
+    def output_key(self):
+        return ["name_len"]
+
+    def pivot_df(self, df, ctx):
+        return df.groupBy("name_len").agg(F.count(F.lit(1)).alias("n"))
+
+
+def test_cli_bulk_import_produce_pivot_chain(spark, tmp_path, capsys):
+    (tmp_path / "in.txt").write_text("r1:Marsellus Wallace\nr2:Vincent Vega\n")
+    # bulk-import: text lines -> parquet table
+    assert cli.main([
+        "bulk-import", "--importer", "test_cli_streaming.ColonImporter",
+        "--input", f"format=text file={tmp_path}/in.txt",
+        "--output", f"format=parquet file={tmp_path}/imported",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "counters"]["BULKIMPORTER_ROWS_PROCESSED"] == 2
+    # produce: derive a column over the imported table
+    assert cli.main([
+        "produce", "--producer", "test_cli_streaming.LenProducer",
+        "--input", f"format=parquet file={tmp_path}/imported",
+        "--output", f"format=parquet file={tmp_path}/produced",
+    ]) == 0
+    produced = spark.read.parquet(f"{tmp_path}/produced")
+    assert {r.name: r.name_len for r in produced.collect()} == {
+        "Marsellus Wallace": 17, "Vincent Vega": 12}
+    # pivot: re-key into a length-keyed summary
+    assert cli.main([
+        "pivot", "--pivoter", "test_cli_streaming.KeyPivoter",
+        "--input", f"format=parquet file={tmp_path}/produced",
+        "--output", f"format=text file={tmp_path}/pivoted nsplits=1",
+    ]) == 0
+    part = [f for f in os.listdir(tmp_path / "pivoted")
+            if f.startswith("part")][0]
+    assert sorted(open(tmp_path / "pivoted" / part).read().splitlines()) == [
+        "12\t1", "17\t1"]
+
+
 def test_cli_create_table_and_compact(spark, tmp_path, capsys):
     layout = tmp_path / "layout.json"
     layout.write_text(json.dumps({
