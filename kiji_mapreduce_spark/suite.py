@@ -1099,6 +1099,27 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+SQL_BIG_SPENDERS = """
+SELECT c_custkey, round(total, 2) AS total_spent
+FROM (
+  SELECT c_custkey, sum(o_totalprice) AS total
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+WHERE total > 2 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def q_sql_surface_big_spenders(spark, sf_dir):
+    """The SQL surface (SURVEY §7.1): tables registered as temp views and
+    queried with the SAME portable ANSI text the oracle runs — scalar
+    subquery + join + aggregation through spark.sql."""
+    from kiji_mapreduce_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(SQL_BIG_SPENDERS)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over real data: treat each document's UTF-8
     bytes as an opaque media blob, attach typed metadata, extract a
@@ -1175,6 +1196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "sessionize_events": q_sessionize_events,
     "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
@@ -1221,6 +1243,7 @@ ORACLES: dict[str, str] = {
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED,
     "sessionize_events": SQL_SESSIONIZE,
     "quantiles_order_price": SQL_QUANTILES,
+    "sql_surface_big_spenders": SQL_BIG_SPENDERS,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
