@@ -30,6 +30,11 @@ class ColumnRequest:
     max_ts: int | None = None  # exclusive, like HBase time ranges
     qualifier_regex: str | None = None
     strip_values: bool = False
+    #: reader-schema override: decode cell values as this type at read time
+    #: (the ColumnReaderSpec / avro.reader.schema analogue — reference
+    #: HBaseKijiTableInputFormat.java:226-232); e.g. "long" to read
+    #: int-written cells through a widened reader schema
+    reader_schema: str | None = None
 
     def _slice_cells(self, cells: Column) -> Column:
         expr = cells
@@ -43,6 +48,13 @@ class ColumnRequest:
         if self.strip_values:
             expr = F.transform(
                 expr, lambda c: F.struct(c["ts"].alias("ts"), F.lit(None).alias("value"))
+            )
+        if self.reader_schema is not None:
+            target = self.reader_schema
+            expr = F.transform(
+                expr,
+                lambda c: F.struct(
+                    c["ts"].alias("ts"), c["value"].cast(target).alias("value")),
             )
         return expr
 

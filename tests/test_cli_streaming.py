@@ -112,6 +112,45 @@ def test_cli_create_table_and_compact(spark, tmp_path, capsys):
     assert cli.main(["compact", "--table", f"{tmp_path}/tbl"]) == 0
 
 
+def test_cli_gather_over_kiji_table(spark, tmp_path, capsys):
+    """format=kiji input: CLI jobs read entity tables by path."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "users", "families": [
+            {"name": "info", "columns": [{"name": "email"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/users", layout)
+    puts = spark.createDataFrame(
+        [(("u1",), "info", "email", 1, "a@x.com"),
+         (("u2",), "info", "email", 1, "b@y.com")],
+        "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.merge_put(puts)
+    assert cli.main([
+        "gather", "--gatherer", "test_cli_streaming.DomainFromTable",
+        "--input", f"format=kiji file={tmp_path}/users",
+        "--output", f"format=text file={tmp_path}/domains nsplits=1",
+    ]) == 0
+    part = [f for f in os.listdir(tmp_path / "domains")
+            if f.startswith("part")][0]
+    assert sorted(open(tmp_path / "domains" / part).read().splitlines()) == [
+        "x.com\t1", "y.com\t1"]
+
+
+class DomainFromTable(Gatherer):
+    def gather_df(self, df, ctx):
+        from kiji_mapreduce_spark.cells import latest_value
+
+        return df.select(F.substring_index(
+            latest_value(F.col("info.email")), "@", -1).alias("domain"))
+
+    def reduce_df(self, g, ctx):
+        return g.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _write_stream_input(tmp_path, rows):
     src = tmp_path / "stream_in"
     src.mkdir(exist_ok=True)

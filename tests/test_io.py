@@ -89,6 +89,15 @@ def test_stage_sorted_and_bulk_load(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_sequence_file_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "seqdata")
+    spark.sparkContext.parallelize(
+        [("k1", "v1"), ("k2", "v2")], 1).saveAsSequenceFile(path)
+    back = JobInput("seq", [path]).load(spark)
+    assert {(r.key, r.value) for r in back.collect()} == {
+        ("k1", "v1"), ("k2", "v2")}
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located join: two tables bucketed on the key join without an
     Exchange on either side (the 100 TB co-location strategy)."""

@@ -91,6 +91,18 @@ def test_strip_values(spark):
     assert cell.ts == 20 and cell.value is None
 
 
+def test_reader_schema_override(spark):
+    """ColumnReaderSpec analogue: read int-written cells through a long
+    reader schema."""
+    df, _ = _user_df(spark)
+    req = DataRequest([ColumnRequest("info", "zip_code",
+                                     reader_schema="long")])
+    out = req.apply(df)
+    assert dict(out.dtypes)["info_zip_code"] == \
+        "array<struct<ts:bigint,value:bigint>>"
+    assert out.first().info_zip_code[0].value == 94110
+
+
 def test_row_key_exprs(spark):
     _, layout = _user_df(spark)
     df, _ = _user_df(spark)
