@@ -67,11 +67,15 @@ class Job:
     def __init__(self, name: str, plan: DataFrame, output: JobOutput | None,
                  observation: Observation | None = None,
                  history: JobHistory | None = None,
-                 conf: dict[str, Any] | None = None):
+                 conf: dict[str, Any] | None = None,
+                 out_observation: Observation | None = None,
+                 counter_prefix: str = "OPERATOR"):
         self.name = name
         self.plan = plan
         self.output = output
         self.observation = observation
+        self.out_observation = out_observation
+        self.counter_prefix = counter_prefix
         self.history = history or JobHistory()
         self.conf = conf or {}
         self.job_id = f"job_{uuid.uuid4().hex[:12]}"
@@ -92,6 +96,18 @@ class Job:
                 self.plan.count()
             if self.observation is not None:
                 self.counters = dict(self.observation.get)
+            if self.out_observation is not None:
+                self.counters.update(self.out_observation.get)
+                n_in = self.counters.get(
+                    f"{self.counter_prefix}_ROWS_PROCESSED")
+                n_out = self.counters.get(
+                    f"{self.counter_prefix}_ROWS_OUT")
+                # rows dropped by a row-wise operator = rejected records
+                # (BulkImportMapper's RECORDS_REJECTED counter); only
+                # meaningful when the operator is 1-row-in/<=1-row-out
+                if n_in is not None and n_out is not None and n_in >= n_out:
+                    self.counters[
+                        f"{self.counter_prefix}_RECORDS_REJECTED"] = n_in - n_out
             return True
         except BaseException:
             status = "FAILED"
@@ -188,9 +204,14 @@ class _JobBuilder:
         observed_input = self._input_df.observe(
             obs, F.count(F.lit(1)).alias(f"{op.COUNTER_PREFIX}_ROWS_PROCESSED"))
         plan = op.compile(observed_input, context)
+        obs_out = Observation(f"{op.COUNTER_PREFIX}_out")
+        plan = plan.observe(
+            obs_out, F.count(F.lit(1)).alias(f"{op.COUNTER_PREFIX}_ROWS_OUT"))
         name = self._name or f"{type(op).__name__}"
         return Job(name, plan, self._output, observation=obs,
-                   history=self._history, conf=self._conf)
+                   history=self._history, conf=self._conf,
+                   out_observation=obs_out,
+                   counter_prefix=op.COUNTER_PREFIX)
 
 
 class GatherJobBuilder(_JobBuilder):

@@ -85,6 +85,25 @@ def test_bulk_import_pandas_path(spark):
     assert rows == {"row1": "Marsellus Wallace", "row2": "Vincent Vega"}
 
 
+class RejectingImporter(BulkImporter):
+    """Drops malformed records — they count as REJECTED."""
+
+    def import_df(self, df, ctx):
+        return df.filter(F.col("value").contains(":")).select(
+            F.substring_index("value", ":", 1).alias("row_key"))
+
+
+def test_bulk_import_rejected_counter(spark):
+    raw = spark.createDataFrame(
+        [("a:1",), ("malformed",), ("b:2",), ("junk",)], "value string")
+    job = (BulkImportJobBuilder().with_input(raw)
+           .with_importer(RejectingImporter()).build())
+    job.run()
+    assert job.counters["BULKIMPORTER_ROWS_PROCESSED"] == 4
+    assert job.counters["BULKIMPORTER_ROWS_OUT"] == 2
+    assert job.counters["BULKIMPORTER_RECORDS_REJECTED"] == 2
+
+
 class DomainProducer(Producer):
     def output_column(self):
         return "derived:domain"
