@@ -36,6 +36,9 @@ class JobOutput:
     mode: str = "overwrite"
     options: dict[str, str] = field(default_factory=dict)
     key_cols: list[str] = field(default_factory=lambda: ["entity_id"])
+    #: hive-style partition columns for file outputs (date partitioning is
+    #: the standard 100 TB layout: partition pruning on every read)
+    partition_by: list[str] = field(default_factory=list)
 
     def save(self, df: DataFrame) -> None:
         n = self.nsplits
@@ -65,8 +68,11 @@ class JobOutput:
             rdd.saveAsSequenceFile(self.path)
             return
         if fmt in ("kiji", "table", "parquet"):
-            (df.repartition(n) if n else df).write.mode(self.mode) \
-                .options(**self.options).parquet(self.path)
+            w = (df.repartition(n) if n else df).write.mode(self.mode) \
+                .options(**self.options)
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(self.path)
             return
         if fmt == "hfile":
             stage_sorted(df, self.path, key_cols=self.key_cols, nsplits=self.nsplits)
@@ -84,11 +90,14 @@ def job_output(spec: str) -> JobOutput:
         nsplits = int(ns)
     if "nsplits" in parts:
         nsplits = int(parts["nsplits"])
+    partition_by = [c for c in parts.get("partition_by", "").split(",") if c]
     return JobOutput(
         format=fmt, path=parts.get("file", parts.get("table", "")),
         nsplits=nsplits,
         options={k: v for k, v in parts.items()
-                 if k not in ("format", "file", "table", "nsplits")},
+                 if k not in ("format", "file", "table", "nsplits",
+                              "partition_by")},
+        partition_by=partition_by,
     )
 
 

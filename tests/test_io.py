@@ -89,6 +89,21 @@ def test_stage_sorted_and_bulk_load(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_partitioned_parquet_output(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-01", 3)],
+        "dt string, v int")
+    jo = job_output(f"format=parquet file={tmp_path}/part partition_by=dt")
+    jo.save(df)
+    assert sorted(d for d in os.listdir(tmp_path / "part")
+                  if d.startswith("dt=")) == ["dt=2024-01-01", "dt=2024-01-02"]
+    back = spark.read.parquet(f"{tmp_path}/part")
+    pruned = back.filter(F.col("dt") == "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert pruned.count() == 2
+
+
 def test_sequence_file_roundtrip(spark, tmp_path):
     path = str(tmp_path / "seqdata")
     spark.sparkContext.parallelize(

@@ -183,6 +183,31 @@ def test_mapreduce_operator(spark):
     assert {r.zip: r.n for r in out.collect()} == {94110: 2, 10001: 1}
 
 
+class PandasReducerMR(MapReduceOperator):
+    """Python-style reducer: whole group in memory via applyInPandas
+    (the Hadoop reducer Iterable analogue)."""
+
+    reduce_output_schema = "zip int, names string"
+
+    def group_keys(self):
+        return ["zip"]
+
+    @staticmethod
+    def reduce_pandas(key, pdf):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "zip": [key[0]],
+            "names": [",".join(sorted(pdf["name"]))],
+        })
+
+
+def test_mapreduce_pandas_reducer(spark):
+    out = PandasReducerMR().compile(_people(spark))
+    got = {r.zip: r.names for r in out.collect()}
+    assert got == {94110: "aaron,gwu", 10001: "bob"}
+
+
 def test_builder_validations(spark):
     with pytest.raises(TypeError):
         GatherJobBuilder().with_operator(DomainProducer())

@@ -1,0 +1,74 @@
+"""Plan linter: walk every suite query's physical plan and flag shapes
+that won't survive 100 TB.
+
+Checks (per query):
+- CartesianProduct anywhere -> ERROR (unbounded blow-up)
+- BroadcastNestedLoopJoin -> WARN unless the query is on an allowlist
+  (intentional tiny-broadcast patterns like KNN query sets)
+- parquet scans that read every column of a wide table -> WARN
+  (projection should prune; wide = >8 columns read from lineitem/orders)
+- row-at-a-time PythonUDF (non-Arrow) in the plan -> ERROR
+  (only ArrowEvalPython / mapInPandas allowed)
+
+Usage: python tools/plan_lint.py [sf_dir]
+Exit 1 on any ERROR.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# queries where a nested-loop over a tiny broadcast side is the intended
+# plan (query sets of ~5 rows; IVF probes cross tiny centroid tables)
+BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk"}
+# queries whose whole point is reading most of a table
+WIDE_SCAN_ALLOWED = {"producer_price_band", "window_top3_orders_per_customer",
+                     "window_running_revenue", "quantiles_order_price",
+                     "cube_order_stats"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from kiji_mapreduce_spark.session import make_session
+    from kiji_mapreduce_spark import suite
+
+    spark = make_session(master="local[8]", shuffle_partitions=16,
+                         extra_conf={"spark.ui.enabled": "false"})
+    errors, warnings = [], []
+    for name, fn in suite.QUERIES.items():
+        if name == "streaming_windowed_counts":
+            continue  # streaming plans are inspected via their own API
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            errors.append(f"{name}: failed to plan: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            errors.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            warnings.append(f"{name}: BroadcastNestedLoopJoin (check the "
+                            f"build side is genuinely tiny)")
+        if re.search(r"\bBatchEvalPython\b", plan):
+            errors.append(f"{name}: row-at-a-time Python UDF in plan")
+        for m in re.finditer(r"FileScan parquet[^\n]*ReadSchema: struct<([^\n]*)", plan):
+            ncols = m.group(1).count(",") + 1
+            if ncols > 8 and name not in WIDE_SCAN_ALLOWED:
+                warnings.append(f"{name}: scan reads {ncols} columns — "
+                                f"is projection pruning working?")
+    spark.stop()
+    for w in warnings:
+        print(f"WARN  {w}")
+    for e in errors:
+        print(f"ERROR {e}")
+    print(f"\n{len(errors)} errors, {len(warnings)} warnings "
+          f"across {len(suite.QUERIES) - 1} plans")
+    sys.exit(1 if errors else 0)
+
+
+if __name__ == "__main__":
+    main()
