@@ -309,6 +309,40 @@ class EntityTable:
         self.overwrite(updated.select(
             *[f.name for f in self.layout.spark_schema()]))
 
+    def fresh_get(self, components, producer, max_age_ms: int,
+                  now_ms: int | None = None, context=None) -> DataFrame:
+        """Freshened read: return the row, re-running ``producer`` first
+        if its output column is missing or older than ``max_age_ms`` —
+        the on-demand produce ('freshener') concept the reference points
+        to from ``KijiContext.progress()`` (KijiScoring; SURVEY §2.6).
+
+        The produce runs on just this row (bucket-pruned single-row scan)
+        and merges back one cell.
+        """
+        import time as _time
+
+        now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+        row_df = self.get(*components)
+        first = row_df.first()
+        if first is None:
+            return row_df
+        family, _, qualifier = producer.output_column().partition(":")
+        fam_val = first[family] if family in row_df.columns else None
+        cell_list = fam_val[qualifier] if (
+            fam_val is not None and qualifier) else None
+        latest_ts = cell_list[0].ts if cell_list else None
+        if latest_ts is not None and now_ms - latest_ts <= max_age_ms:
+            return row_df  # still fresh: no compute
+        updated = producer.compile(row_df, context)
+        new_cell = updated.first()[family][qualifier][0]
+        puts = self.spark.createDataFrame(
+            [(tuple(first["entity_id"]), family, qualifier,
+              new_cell.ts, str(new_cell.value))],
+            f"entity_id {self.layout.row_key.spark_type().simpleString()}, "
+            "family string, qualifier string, ts long, value_str string")
+        self.merge_put(puts)
+        return self.get(*components)
+
     # -- maintenance --------------------------------------------------------
     def compact(self, now_ms: int | None = None) -> None:
         """Apply maxVersions + TTL retention to every versioned cell —

@@ -178,6 +178,37 @@ def test_same_table_produce(spark, tmp_path):
         assert "not in layout" in str(e)
 
 
+def test_fresh_get_refreshes_stale_rows(spark, tmp_path):
+    from kiji_mapreduce_spark.operators import Producer
+
+    path = str(tmp_path / "tf")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("u",), "info", "email", 10, "someone@example.com"),
+        (("u",), "info", "visits", 100, "1"),
+    ]))
+
+    class EmailLenProducer(Producer):
+        def output_column(self):
+            return "info:visits"
+
+        def produce_expr(self, df, ctx):
+            return F.length(latest_value(F.col("info.email"))).cast("long")
+
+        def produce_ts(self, df, ctx):
+            return F.lit(5000).cast("long")
+
+    # fresh enough: untouched (cell ts 100, age 900 <= max_age 1000)
+    row = t.fresh_get(("u",), EmailLenProducer(), max_age_ms=1000, now_ms=1000)
+    assert [(c.ts, c.value) for c in row.first().info.visits] == [(100, 1)]
+    # stale: recomputed and merged at the producer's ts
+    row = t.fresh_get(("u",), EmailLenProducer(), max_age_ms=50, now_ms=1000)
+    assert [(c.ts, c.value) for c in row.first().info.visits] == [
+        (5000, 19), (100, 1)]
+    # missing row: empty result, no error
+    assert t.fresh_get(("nobody",), EmailLenProducer(), 1000).count() == 0
+
+
 def test_bulk_stage_commit(spark, tmp_path):
     path = str(tmp_path / "t5")
     t = EntityTable.create(spark, path, LAYOUT)
