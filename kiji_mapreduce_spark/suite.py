@@ -1099,6 +1099,45 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders")
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_array_agg_priorities(spark, sf_dir):
+    """Sorted array aggregation (collect_list -> deterministic array)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_ARRAY_AGG = """
+SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 SQL_BIG_SPENDERS = """
 SELECT c_custkey, round(total, 2) AS total_spent
 FROM (
@@ -1197,6 +1236,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "quantiles_order_price": q_quantiles_order_price,
     "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
@@ -1244,6 +1285,8 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE,
     "quantiles_order_price": SQL_QUANTILES,
     "sql_surface_big_spenders": SQL_BIG_SPENDERS,
+    "grouping_sets_orders": SQL_GROUPING_SETS,
+    "array_agg_priorities": SQL_ARRAY_AGG,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
     # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
