@@ -129,12 +129,21 @@ class EntityTable:
         """Replace table contents, physically partitioned by key bucket
         (one directory per bucket, rows sorted by key inside) — point
         lookups prune to one bucket directory (PartitionFilters), the
-        analogue of routing a get() to one HBase region."""
+        analogue of routing a get() to one HBase region.
+
+        Writes land in a staging directory and swap in atomically
+        (bulk_load), so concurrent readers never see a half-written
+        table — the same commit discipline as the HFile path.
+        """
+        import uuid
+
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
         (self._with_bucket(df)
          .repartition(self.n_buckets, "_bucket")
          .sortWithinPartitions(self.layout.row_key.key_expr())
          .write.mode("overwrite").partitionBy("_bucket")
-         .parquet(self._data_path()))
+         .parquet(staging))
+        bulk_load(staging, self._data_path())
 
     def merge_put(self, puts: DataFrame) -> None:
         """Upsert cell versions into the table (the direct-writer path).

@@ -113,6 +113,14 @@ def test_sequence_file_roundtrip(spark, tmp_path):
         ("k1", "v1"), ("k2", "v2")}
 
 
+def test_seq_output_format_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    JobOutput("seq", str(tmp_path / "seqout")).save(df)
+    back = JobInput("seq", [str(tmp_path / "seqout")]).load(spark)
+    assert {(r.key, r.value) for r in back.collect()} == {
+        ("a", "1"), ("b", "2")}
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located join: two tables bucketed on the key join without an
     Exchange on either side (the 100 TB co-location strategy)."""
