@@ -1138,6 +1138,104 @@ FROM orders GROUP BY o_custkey
 """
 
 
+class _WordCountGatherer(Gatherer):
+    """THE canonical MapReduce job as a Gatherer: tokenize -> emit ->
+    count (reference KijiGatherer docs pattern)."""
+
+    def gather_df(self, df, ctx):
+        return df.select(F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"))
+
+    def reduce_df(self, g, ctx):
+        return g.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_wordcount_top50(spark, sf_dir):
+    counts = _WordCountGatherer().compile(_t(spark, sf_dir, "documents"))
+    return counts.orderBy(F.col("n").desc(), "word").limit(50)
+
+
+SQL_WORDCOUNT = r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF per (doc, term), top 3 terms per doc — the classic two-pass
+    MapReduce workload as DataFrame ops (one explode, two aggregations,
+    one broadcast-joined doc-frequency table)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .alias("_tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term",
+                    F.round("_tfidf", 6).alias("tfidf"), "rnk"))
+
+
+SQL_TFIDF = r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfreq.df)
+         AS tfidf_raw
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def q_pivot_wide_event_values(spark, sf_dir):
+    """Wide pivot (reshape): one column per event type with its summed
+    value per user (groupBy().pivot() with explicit values)."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", kinds)
+            .agg(F.round(F.sum("value"), 2))
+            .select("user_id", *[F.col(k).alias(f"sum_{k}") for k in kinds]))
+
+
+SQL_PIVOT_WIDE = """
+SELECT user_id,
+       round(sum(value) FILTER (event_type = 'click'), 2) AS sum_click,
+       round(sum(value) FILTER (event_type = 'error'), 2) AS sum_error,
+       round(sum(value) FILTER (event_type = 'purchase'), 2) AS sum_purchase,
+       round(sum(value) FILTER (event_type = 'signup'), 2) AS sum_signup,
+       round(sum(value) FILTER (event_type = 'view'), 2) AS sum_view
+FROM events GROUP BY user_id
+"""
+
+
 SQL_BIG_SPENDERS = """
 SELECT c_custkey, round(total, 2) AS total_spent
 FROM (
@@ -1237,6 +1335,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_order_price": q_quantiles_order_price,
     "sql_surface_big_spenders": q_sql_surface_big_spenders,
     "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
     "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1286,6 +1387,9 @@ ORACLES: dict[str, str] = {
     "quantiles_order_price": SQL_QUANTILES,
     "sql_surface_big_spenders": SQL_BIG_SPENDERS,
     "grouping_sets_orders": SQL_GROUPING_SETS,
+    "wordcount_top50": SQL_WORDCOUNT,
+    "tfidf_top_terms": SQL_TFIDF,
+    "pivot_wide_event_values": SQL_PIVOT_WIDE,
     "array_agg_priorities": SQL_ARRAY_AGG,
     "text_langid": SQL_TEXT_LANGID,
     # rows-only (non-SQL-expressible): dedup_minhash_pairs,
