@@ -254,6 +254,64 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iters: int = 10) -> DataFrame:
+    """Collapse near-dup pair edges into groups and pick one survivor
+    per group (the minimum id): iterative min-label propagation — the
+    standard Spark approximation of connected components, converging in
+    O(diameter) rounds (near-dup clusters are shallow).
+
+    Returns (doc_id, keep_id): every id appearing in a pair mapped to
+    its group's minimum id.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst"))))
+    # materialize edges once; each round cuts lineage with a
+    # localCheckpoint so iteration N never re-executes rounds 0..N-1
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("keep_id", F.col("doc_id")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(
+            labels.withColumnRenamed("doc_id", "dst")
+                  .withColumnRenamed("keep_id", "_nb"), on="dst")
+            .groupBy("src").agg(F.min("_nb").alias("_min_nb")))
+        new_labels = (labels.join(
+            neighbor_min.withColumnRenamed("src", "doc_id"),
+            on="doc_id", how="left")
+            .select("doc_id", F.least(
+                F.col("keep_id"),
+                F.coalesce(F.col("_min_nb"), F.col("keep_id"))
+            ).alias("keep_id"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n").join(
+            labels.alias("o"), on="doc_id")
+            .filter(F.col("n.keep_id") != F.col("o.keep_id")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end corpus dedup: drop exact duplicates, then drop near
+    duplicates (MinHash LSH -> Jaccard verify -> connected components,
+    keeping each group's minimum id). Returns the surviving rows."""
+    exact = drop_exact_duplicates(df, text_col, id_col)
+    pairs = minhash_dedup(exact, text_col, id_col,
+                          num_hashes, bands, shingle_n, threshold)
+    groups = connected_keep_ids(pairs)
+    losers = groups.filter(F.col("doc_id") != F.col("keep_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return exact.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

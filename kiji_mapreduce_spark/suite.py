@@ -1050,6 +1050,13 @@ FROM s GROUP BY user_id, session_id
 
 # -- rows-only ops (no faithful ANSI-SQL oracle) ----------------------------
 
+def q_dedup_corpus_survivors(spark, sf_dir):
+    """Full corpus dedup (exact + MinHash near-dup + connected
+    components) -> surviving doc ids. Rows-only (hash-family specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_corpus(docs, threshold=0.5).select("doc_id", "lang")
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by exact Jaccard (>= 0.5).
     Not SQL-expressible (hash-family specific) -> rows-only check."""
@@ -1340,6 +1347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_wide_event_values": q_pivot_wide_event_values,
     "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,

@@ -44,6 +44,40 @@ def test_minhash_signature_column_matches_df_form(spark, docs):
     assert e == d
 
 
+def test_connected_keep_ids_transitive(spark):
+    # chain 1-2, 2-5, plus isolated pair 7-9: groups {1,2,5} and {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 9)], "id_a long, id_b long")
+    got = {r.doc_id: r.keep_id
+           for r in dedup.connected_keep_ids(pairs).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def test_dedup_corpus_end_to_end(spark, docs):
+    survivors = sorted(
+        r.doc_id for r in dedup.dedup_corpus(docs, threshold=0.5).collect())
+    # doc 4 is an exact dup of 1; doc 2 is a near dup of 1; doc 3 unique
+    assert survivors == [1, 3]
+
+
+def test_ann_recall_against_brute_force(spark, sf_dir):
+    """Approximation quality on real embeddings: both ANN variants must
+    recover a reasonable fraction of the true top-5 neighbors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in similarity.lsh_topk(emb, queries, k=5, n_planes=4).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                        nprobe=4).collect()}
+    lsh_recall = len(truth & lsh) / len(truth)
+    ivf_recall = len(truth & ivf) / len(truth)
+    assert lsh_recall >= 0.2, lsh_recall  # 4 planes = 16 buckets, 1 probe
+    assert ivf_recall >= 0.5, ivf_recall  # probes half the cells
+
+
 def test_simhash_near_dups(spark, docs):
     fps = {r.doc_id: r.simhash
            for r in dedup.simhash_fingerprints(docs).collect()}
