@@ -226,6 +226,44 @@ def minhash_dedup(
     return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
 
 
+# -- embedding cosine near-dup ----------------------------------------------
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42, exact: bool = False,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold.
+
+    Default path buckets with random hyperplanes first (near-identical
+    vectors land in the same bucket with high probability) so the
+    pairwise check is an equi-join on bucket; ``exact=True`` compares
+    all pairs (quadratic — small corpora only). Returns
+    (id_a, id_b, cosine).
+    """
+    from kiji_mapreduce_spark.pipeline.similarity import (
+        as_double, cosine, random_hyperplane_buckets,
+    )
+
+    e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    if exact:
+        a, b = e.alias("a"), e.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        bucketed = random_hyperplane_buckets(
+            e.withColumnRenamed("_v", vec_col), vec_col, n_planes, seed
+        ).withColumnRenamed(vec_col, "_v")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col("a._v"), F.col("b._v")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 def simhash(text: Column, bits: int = 64) -> Column:

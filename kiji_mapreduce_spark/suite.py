@@ -1057,6 +1057,15 @@ def q_dedup_corpus_survivors(spark, sf_dir):
     return dedup.dedup_corpus(docs, threshold=0.5).select("doc_id", "lang")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane bucketing ->
+    rows-only (plane family specific; synthetic data yields few/no pairs
+    at high thresholds, so the threshold is set low to exercise the
+    path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.35, n_planes=4)
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by exact Jaccard (>= 0.5).
     Not SQL-expressible (hash-family specific) -> rows-only check."""
@@ -1348,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
+    "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,

@@ -60,6 +60,21 @@ def test_dedup_corpus_end_to_end(spark, docs):
     assert survivors == [1, 3]
 
 
+def test_embedding_near_duplicates(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+         (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got_exact = {(r.id_a, r.id_b)
+                 for r in dedup.embedding_near_duplicates(
+                     emb, threshold=0.95, exact=True).collect()}
+    assert got_exact == {(0, 1)}
+    got_lsh = {(r.id_a, r.id_b)
+               for r in dedup.embedding_near_duplicates(
+                   emb, threshold=0.95, n_planes=2).collect()}
+    assert got_lsh == {(0, 1)}  # near-identical vectors share every bucket
+
+
 def test_ann_recall_against_brute_force(spark, sf_dir):
     """Approximation quality on real embeddings: both ANN variants must
     recover a reasonable fraction of the true top-5 neighbors."""
