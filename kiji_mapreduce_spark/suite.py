@@ -29,7 +29,21 @@ from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark.pipeline import dedup, similarity, text as text_ops
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive session confs for externally-created sessions (the
+    driver builds its own SparkSession): nanos timestamps must read as
+    long, and epoch-millis conversions assume a UTC session. Both are
+    runtime-settable."""
+    for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # already set at session build, or not settable here
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
