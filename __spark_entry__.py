@@ -11,11 +11,19 @@ a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kiji_mapreduce_spark import suite
+# self-locating: works even when loaded by file path without the repo
+# root on sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from kiji_mapreduce_spark import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
