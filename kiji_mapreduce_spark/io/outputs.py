@@ -68,6 +68,14 @@ class JobOutput:
             rdd.saveAsSequenceFile(self.path)
             return
         if fmt in ("kiji", "table", "parquet"):
+            if fmt == "kiji" and os.path.exists(
+                    os.path.join(self.path, "_kiji_layout.json")):
+                # target is an entity table: upsert rows through the
+                # table's atomic write path instead of raw parquet
+                from kiji_mapreduce_spark.table import EntityTable
+
+                EntityTable.open(df.sparkSession, self.path).upsert_rows(df)
+                return
             w = (df.repartition(n) if n else df).write.mode(self.mode) \
                 .options(**self.options)
             if self.partition_by:

@@ -231,6 +231,19 @@ class EntityTable:
         result = merged.select(*[f.name for f in self.layout.spark_schema()])
         self.overwrite(result)
 
+    def upsert_rows(self, rows: DataFrame) -> None:
+        """Row-level upsert: incoming full rows replace existing rows
+        with the same entity key; other rows are untouched (the
+        direct-table-write path for operators that emit whole rows, e.g.
+        pivoters/table-reducers targeting this table)."""
+        current = self.read()
+        key = self.layout.row_key.key_expr()
+        incoming_keys = rows.select(key.alias("_k")).distinct()
+        kept = current.withColumn("_k", key).join(
+            incoming_keys, on="_k", how="left_anti").drop("_k")
+        cols = [f.name for f in self.layout.spark_schema()]
+        self.overwrite(kept.select(*cols).unionByName(rows.select(*cols)))
+
     def merge_delete(self, deletes: DataFrame) -> None:
         """Apply tombstones (DirectKijiTableWriterContext semantics,
         reference `:104-151`): rows of (entity_id, family, qualifier,

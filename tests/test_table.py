@@ -178,6 +178,30 @@ def test_same_table_produce(spark, tmp_path):
         assert "not in layout" in str(e)
 
 
+def test_upsert_rows_and_kiji_output(spark, tmp_path):
+    from kiji_mapreduce_spark.io.outputs import JobOutput
+
+    path = str(tmp_path / "tu")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("a",), "info", "email", 1, "old-a"),
+        (("b",), "info", "email", 1, "keep-b"),
+    ]))
+    new_rows = spark.createDataFrame(
+        [(("a",), ([(2, "new-a")], None), None),
+         (("c",), ([(2, "new-c")], None), None)],
+        LAYOUT.spark_schema())
+    # route through the kiji output format (detects the layout file)
+    JobOutput("kiji", path).save(new_rows)
+    rows = {r.entity_id.key: [(c.ts, c.value) for c in r.info.email]
+            for r in t.read().collect()}
+    assert rows == {
+        "a": [(2, "new-a")],     # replaced
+        "b": [(1, "keep-b")],    # untouched
+        "c": [(2, "new-c")],     # inserted
+    }
+
+
 def test_fresh_get_refreshes_stale_rows(spark, tmp_path):
     from kiji_mapreduce_spark.operators import Producer
 
