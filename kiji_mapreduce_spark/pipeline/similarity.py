@@ -188,30 +188,43 @@ def ivf_topk(
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 8, seed: int = 42, n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
     At scale: corpus bucketing is a one-off narrow pass; the candidate
-    join is an equi-join on ``bucket`` (shuffle-partitioned, no cross
-    join). Recall < 1.0 by construction; raise n_planes for smaller
-    buckets or rerun with several seeds (multi-probe) and union.
+    join is an equi-join on ``(probe, bucket)`` (shuffle-partitioned, no
+    cross join). Recall < 1.0 by construction; raise ``n_planes`` for
+    smaller buckets, or ``n_probes`` for multi-probe (each probe is an
+    independent hyperplane family — candidates union across probes,
+    recall rises roughly geometrically with probes).
     """
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
-    corpus = random_hyperplane_buckets(
-        embeddings, vec_col, n_planes, seed, dim
-    ).select(F.col(id_col).alias("neighbor_id"),
-             as_double(F.col(vec_col)).alias("_cvec"), "bucket")
-    q = random_hyperplane_buckets(
-        queries, vec_col, n_planes, seed, dim
-    ).select(F.col(id_col).alias("query_id"),
-             as_double(F.col(vec_col)).alias("_qvec"), "bucket")
+
+    def _bucketed(df, alias_id):
+        parts = []
+        for p in range(n_probes):
+            b = random_hyperplane_buckets(
+                df, vec_col, n_planes, seed + 7919 * p, dim)
+            parts.append(b.select(
+                F.col(id_col).alias(alias_id),
+                as_double(F.col(vec_col)).alias(f"_{alias_id}_v"),
+                F.lit(p).alias("probe"), "bucket"))
+        out = parts[0]
+        for more in parts[1:]:
+            out = out.unionByName(more)
+        return out
+
+    corpus = _bucketed(embeddings, "neighbor_id")
+    q = _bucketed(queries, "query_id")
     scored = (
-        corpus.join(F.broadcast(q), on="bucket")
+        corpus.join(F.broadcast(q), on=["probe", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                .alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))

@@ -91,6 +91,13 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     ivf_recall = len(truth & ivf) / len(truth)
     assert lsh_recall >= 0.2, lsh_recall  # 4 planes = 16 buckets, 1 probe
     assert ivf_recall >= 0.5, ivf_recall  # probes half the cells
+    # multi-probe recovers more of the true neighbors than single-probe
+    multi = {(r.query_id, r.neighbor_id)
+             for r in similarity.lsh_topk(emb, queries, k=5, n_planes=4,
+                                          n_probes=4).collect()}
+    multi_recall = len(truth & multi) / len(truth)
+    assert multi_recall >= lsh_recall, (multi_recall, lsh_recall)
+    assert multi_recall >= 0.5, multi_recall
 
 
 def test_simhash_near_dups(spark, docs):
