@@ -110,6 +110,38 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(_extract, schema)
 
 
+def resize_images(df: DataFrame, content_col: str = "content",
+                  id_col: str = "media_id", width: int = 224,
+                  height: int = 224,
+                  use_real_decoder: bool = False) -> DataFrame:
+    """Resize plumbing: (id, resized binary, meta struct with the new
+    dimensions). Real decode/resize is stubbed (no image libs here):
+    the fake path produces a deterministic byte payload of the target
+    'pixel' size so batch shapes and downstream schemas are exercised
+    for real; swap the stub for PIL's ``Image.resize`` in production."""
+    out_schema = (f"{id_col} long, content binary, "
+                  "width int, height int")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if use_real_decoder:
+                _decode_image_real(b"")
+            resized = []
+            for c in pdf[content_col]:
+                raw = bytes(c) if c is not None else b""
+                # deterministic fake: cycle the source bytes to the
+                # target 'pixel count' (stands in for decoded+resized)
+                reps = (target // max(len(raw), 1)) + 1
+                resized.append((raw * reps)[:target])
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "content": resized,
+                "width": width, "height": height,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(_resize, out_schema)
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", every_n: int = 10,
                   frame_size: int = 256) -> DataFrame:

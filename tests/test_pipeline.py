@@ -209,6 +209,16 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         out.collect()
 
 
+def test_resize_images_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "media_id long, content binary")
+    out = multimodal.resize_images(media, width=4, height=3)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows[1].content) == 12 and rows[1].width == 4
+    assert rows[1].content == b"abcabcabcabc"
+    assert len(rows[2].content) == 12  # null-safe
+
+
 def test_frame_sampling(spark):
     media = spark.createDataFrame(
         [(1, bytes(range(256)) * 10)], "media_id long, content binary")
