@@ -216,7 +216,7 @@ def test_resize_images_plumbing(spark):
     rows = {r.media_id: r for r in out.collect()}
     assert len(rows[1].content) == 12 and rows[1].width == 4
     assert rows[1].content == b"abcabcabcabc"
-    assert len(rows[2].content) == 12  # null-safe
+    assert rows[2].content == b""  # null/empty source -> empty output
 
 
 def test_frame_sampling(spark):
