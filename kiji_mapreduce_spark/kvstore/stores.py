@@ -118,8 +118,9 @@ class TextFileKeyValueStore(KeyValueStore):
 class AvroRecordKeyValueStore(KeyValueStore):
     """Avro container file of records indexed by a named key field
     (``.../kvstore/lib/AvroRecordKeyValueStore.java:84``). Duplicate keys:
-    first record wins (`:307`) — enforced in ``dataframe`` with a
-    first-by-file-order window so join semantics match reader semantics."""
+    first record wins (`:307`) — enforced with a min-file-order window
+    (monotonically_increasing_id preserves within-file record order) so
+    join semantics match reader semantics."""
 
     paths: list[str] = field(default_factory=list)
     key_field: str = "key"
@@ -129,8 +130,13 @@ class AvroRecordKeyValueStore(KeyValueStore):
         self.key_cols = [self.key_field]
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+
         df = spark.read.format(self.format).load(self.paths)
-        return df.dropDuplicates([self.key_field])
+        w = Window.partitionBy(self.key_field).orderBy("_ord")
+        return (df.withColumn("_ord", F.monotonically_increasing_id())
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_ord", "_rn"))
 
 
 @dataclass

@@ -93,3 +93,18 @@ def test_dataframe_store_first_wins(spark):
     df = spark.createDataFrame([("k", 1), ("k", 2)], "key string, v int")
     store = DataFrameKeyValueStore(df=df, key_cols=["key"])
     assert store.dataframe(spark).count() == 1  # dup keys collapse
+
+
+def test_avro_record_store_first_record_wins(spark, tmp_path):
+    """First-in-file-order record wins per key (reference
+    AvroRecordKeyValueStore semantics), using the parquet fallback."""
+    from kiji_mapreduce_spark.kvstore import AvroRecordKeyValueStore
+
+    p = str(tmp_path / "recs")
+    spark.createDataFrame(
+        [(1, "first"), (2, "only"), (1, "second")], "key int, name string"
+    ).coalesce(1).write.parquet(p)
+    store = AvroRecordKeyValueStore(paths=[p], key_field="key",
+                                    format="parquet")
+    got = {r.key: r.name for r in store.dataframe(spark).collect()}
+    assert got == {1: "first", 2: "only"}
