@@ -1,0 +1,62 @@
+"""Edge cases in thinner-covered paths: session helpers, job error
+propagation, layout serialization, request edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.job import GatherJobBuilder
+from kiji_mapreduce_spark.layout import TableLayout
+from kiji_mapreduce_spark.operators import Gatherer
+from kiji_mapreduce_spark.session import load_tables
+
+
+def test_load_tables_registers_views(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ["nation", "region"])
+    assert set(tables) == {"nation", "region"}
+    assert spark.sql("SELECT count(*) AS n FROM nation").first().n == 25
+    # missing tables are skipped, not errors
+    assert load_tables(spark, "/nonexistent", ["nation"]) == {}
+
+
+class ExplodingGatherer(Gatherer):
+    def gather_df(self, df, ctx):
+        # analysis-time failure: unknown column
+        return df.select("no_such_column")
+
+
+def test_submitted_job_propagates_errors(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(Exception):
+        job = (GatherJobBuilder().with_input(df)
+               .with_gatherer(ExplodingGatherer()).build())
+        job.submit()
+        job.join(60)
+
+
+def test_layout_map_family_roundtrip():
+    layout = TableLayout.from_json("""
+    {"name": "t", "families": [
+      {"name": "mm", "kind": "map", "map_schema": "long",
+       "max_versions": 7, "ttl_seconds": 3600}]}
+    """)
+    again = TableLayout.from_json(layout.to_json())
+    fam = again.family("mm")
+    assert fam.kind == "map" and fam.max_versions == 7
+    assert fam.ttl_seconds == 3600
+    assert again.spark_schema()["mm"].dataType.simpleString() == \
+        "map<string,array<struct<ts:bigint,value:bigint>>>"
+    with pytest.raises(KeyError):
+        again.family("nope")
+
+
+def test_empty_cells_are_null_safe(spark):
+    from kiji_mapreduce_spark import cells
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None)], "id int, c array<struct<ts:long,value:string>>")
+    out = df.select(
+        "id",
+        cells.latest_value(F.col("c")).alias("lv"),
+        cells.value_at(F.col("c"), 100).alias("va"),
+    ).collect()
+    assert all(r.lv is None and r.va is None for r in out)
