@@ -112,7 +112,9 @@ def job_output(spec: str) -> JobOutput:
 def stage_sorted(df: DataFrame, staging_path: str,
                  key_cols: list[str] | None = None,
                  nsplits: int | None = None,
-                 bucket_expr: Column | None = None) -> None:
+                 bucket_expr: Column | None = None,
+                 partition_cols: list[str] | None = None,
+                 max_records_per_file: int | None = None) -> None:
     """Bulk staging: globally range-partitioned, within-partition sorted
     parquet — the reference's HFile pipeline in one Spark job.
 
@@ -120,7 +122,12 @@ def stage_sorted(df: DataFrame, staging_path: str,
     analogue of honoring an existing table's region boundaries
     (``HFileMapReduceJobOutput.makeTableKeySplit``, `:182-230`); without
     it Spark samples range boundaries (the reference's sampled
-    TotalOrderPartitioner path).
+    TotalOrderPartitioner path). ``partition_cols`` writes hive-style
+    partition directories (the entity-table canonical layout).
+    ``max_records_per_file`` rolls output files at a bounded size, the
+    analogue of KijiHFileOutputFormat's 256 MB HFile rolling
+    (``.../output/framework/KijiHFileOutputFormat.java:160-200``) — rows
+    stay sorted across the rolled files of a partition.
     """
     key_cols = key_cols or ["entity_id"]
     keys = [F.col(c) for c in key_cols]
@@ -130,7 +137,12 @@ def stage_sorted(df: DataFrame, staging_path: str,
         staged = df.repartitionByRange(nsplits, *keys).sortWithinPartitions(*keys)
     else:
         staged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    staged.write.mode("overwrite").parquet(staging_path)
+    writer = staged.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging_path)
 
 
 def write_bucketed(df: DataFrame, table_name: str, keys: list[str],
@@ -149,19 +161,107 @@ def write_bucketed(df: DataFrame, table_name: str, keys: list[str],
     writer.saveAsTable(table_name)
 
 
-def bulk_load(staging_path: str, table_path: str) -> None:
+def _is_local_path(path: str) -> bool:
+    scheme, sep, _ = path.partition("://")
+    return not sep or scheme == "file"
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def _swap_dir_local(staging_path: str, live_path: str) -> None:
+    """Replace ``live_path`` with ``staging_path`` by renames, restoring
+    the old directory if the swap fails partway (a crash between the two
+    moves must not strand the table in a missing state)."""
+    live_path = _strip_file_scheme(live_path)
+    staging_path = _strip_file_scheme(staging_path)
+    parent = os.path.dirname(os.path.abspath(live_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    if not os.path.exists(live_path):
+        shutil.move(staging_path, live_path)
+        return
+    # the trash dir is dot-prefixed: Spark readers skip hidden dirs, so a
+    # reader racing the swap never double-counts the old files
+    trash = tempfile.mkdtemp(prefix=".bulkload-old-", dir=parent)
+    old = os.path.join(trash, "old")
+    shutil.move(live_path, old)
+    try:
+        shutil.move(staging_path, live_path)
+    except BaseException:
+        shutil.move(old, live_path)  # restore the previous table state
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _swap_dir_hadoop(staging_path: str, live_path: str, spark=None) -> None:
+    """Same swap discipline through the Hadoop FileSystem API (HDFS, S3A,
+    ...): rename live -> trash, staging -> live, restore on failure. The
+    Spark-cluster analogue of HFileLoader's region-server file moves."""
+    import uuid
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "bulk_load on a non-local filesystem needs an active SparkSession "
+            "(the Hadoop FileSystem client lives in the JVM)")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    live_p, stage_p = HPath(live_path), HPath(staging_path)
+    fs = live_p.getFileSystem(hconf)
+    parent = live_p.getParent()
+    fs.mkdirs(parent)
+    if not fs.exists(live_p):
+        if not fs.rename(stage_p, live_p):
+            raise IOError(f"bulk_load: rename {staging_path} -> {live_path} failed")
+        return
+    trash = HPath(parent, f".bulkload-old-{uuid.uuid4().hex[:8]}")
+    if not fs.rename(live_p, trash):
+        raise IOError(f"bulk_load: could not move old table {live_path} aside")
+    if not fs.rename(stage_p, live_p):
+        fs.rename(trash, live_p)  # restore the previous table state
+        raise IOError(f"bulk_load: rename {staging_path} -> {live_path} failed")
+    fs.delete(trash, True)
+
+
+def bulk_load(staging_path: str, table_path: str, spark=None) -> None:
     """Commit staged files into the live table atomically — the analogue
     of ``HFileLoader.load`` + ``kiji bulk-load`` (``KijiBulkLoad.java:46``).
 
-    Parquet tables: stage next to the target and atomic-rename into place
-    (same-filesystem rename, like HBase's bulk-load file moves).
+    Local paths swap via os renames; paths with a non-file scheme
+    (hdfs://, s3a://, ...) go through the JVM Hadoop FileSystem API. Both
+    follow the same restore-on-failure discipline, so a crash mid-commit
+    leaves the previous table intact rather than missing.
     """
-    parent = os.path.dirname(os.path.abspath(table_path)) or "."
-    os.makedirs(parent, exist_ok=True)
-    if os.path.exists(table_path):
-        trash = tempfile.mkdtemp(prefix=".bulkload-old-", dir=parent)
-        shutil.move(table_path, os.path.join(trash, "old"))
-        shutil.move(staging_path, table_path)
-        shutil.rmtree(trash, ignore_errors=True)
+    if _is_local_path(staging_path) and _is_local_path(table_path):
+        _swap_dir_local(staging_path, table_path)
     else:
-        shutil.move(staging_path, table_path)
+        _swap_dir_hadoop(staging_path, table_path, spark)
+
+
+def swap_partition_dirs(staging_path: str, table_path: str,
+                        subdirs: list[str]) -> None:
+    """Commit only the named hive-partition subdirectories from a staging
+    write into the live table — the incremental (bucket-scoped) commit:
+    every other partition's files are left byte-untouched, so a one-row
+    put rewrites one bucket, not the table.
+
+    A partition with no staged output (all its rows deleted) is removed.
+    Each subdirectory swap is individually atomic (restore-on-failure);
+    cross-bucket visibility is bucket-at-a-time, matching the reference's
+    region-level (not table-level) write atomicity.
+    """
+    staging_path = _strip_file_scheme(staging_path)
+    table_path = _strip_file_scheme(table_path)
+    for sub in subdirs:
+        stage_sub = os.path.join(staging_path, sub)
+        live_sub = os.path.join(table_path, sub)
+        if os.path.exists(stage_sub):
+            _swap_dir_local(stage_sub, live_sub)
+        elif os.path.exists(live_sub):
+            shutil.rmtree(live_sub)
+    shutil.rmtree(staging_path, ignore_errors=True)

@@ -228,39 +228,87 @@ def minhash_dedup(
 
 # -- embedding cosine near-dup ----------------------------------------------
 
+def embedding_lsh_candidates(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    bands: int = 8, planes_per_band: int = 8, seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs — the MinHash band structure
+    (``minhash_lsh_candidates``) applied to sign-bit sketches: ``bands``
+    independent families of ``planes_per_band`` hyperplanes; a pair is a
+    candidate iff some band's full sign pattern matches.
+
+    Scale shape: one narrow pass computes every band's bucket id, one
+    explode emits (id, band, bucket), candidates come from an equi-join
+    on (band, bucket). Per-band bucket count is 2^planes_per_band (256
+    at the default), so in-bucket pair counts shrink geometrically with
+    ``planes_per_band`` while recall is recovered by adding independent
+    ``bands`` — never by a self-join on a constant-size key. Returns
+    distinct (id_a, id_b), id_a < id_b.
+    """
+    from kiji_mapreduce_spark.pipeline.similarity import _plane, as_double, dot
+
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
+    e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    band_structs = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes_per_band):
+            comps = F.array(*[
+                F.lit(c) for c in _plane(seed + 7919 * b, p, dim)])
+            bucket = bucket * 2 + (dot(F.col("_v"), comps) >= 0).cast("long")
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    entries = (e.select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
+               .select(id_col, "bb.band", "bb.bucket"))
+    a, bb = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(bb, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, seed: int = 42, exact: bool = False,
+    bands: int = 8, planes_per_band: int = 8, seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold.
 
-    Default path buckets with random hyperplanes first (near-identical
-    vectors land in the same bucket with high probability) so the
-    pairwise check is an equi-join on bucket; ``exact=True`` compares
-    all pairs (quadratic — small corpora only). Returns
-    (id_a, id_b, cosine).
+    Default path: banded hyperplane-LSH candidates (see
+    ``embedding_lsh_candidates``) verified with exact cosine — candidate
+    generation shuffles (id, band, bucket) only, vectors are joined back
+    just for the surviving candidate pairs. ``exact=True`` compares all
+    pairs (quadratic — small corpora only). Returns (id_a, id_b, cosine).
     """
-    from kiji_mapreduce_spark.pipeline.similarity import (
-        as_double, cosine, random_hyperplane_buckets,
-    )
+    from kiji_mapreduce_spark.pipeline.similarity import as_double, cosine
 
     e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     if exact:
         a, b = e.alias("a"), e.alias("b")
-        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pairs = (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         F.col("a._v").alias("_v_a"),
+                         F.col("b._v").alias("_v_b")))
     else:
-        bucketed = random_hyperplane_buckets(
-            e.withColumnRenamed("_v", vec_col), vec_col, n_planes, seed
-        ).withColumnRenamed(vec_col, "_v")
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pairs = a.join(
-            b, (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        cands = embedding_lsh_candidates(
+            embeddings, id_col, vec_col, bands, planes_per_band, seed)
+        pairs = (
+            cands
+            .join(e.select(F.col(id_col).alias("id_a"),
+                           F.col("_v").alias("_v_a")), on="id_a")
+            .join(e.select(F.col(id_col).alias("id_b"),
+                           F.col("_v").alias("_v_b")), on="id_b"))
     return (pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("cosine"))
+        "id_a", "id_b",
+        cosine(F.col("_v_a"), F.col("_v_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold))
 
 

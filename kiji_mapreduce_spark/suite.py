@@ -507,18 +507,25 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
-def q_set_intersect_nations(spark, sf_dir):
-    """Nations that have both customers and suppliers (INTERSECT)."""
+def q_set_ops_nations(spark, sf_dir):
+    """INTERSECT + EXCEPT in one plan: nations that have both customers
+    and suppliers, minus nations with a rich supplier. (One query covers
+    both set operators — the driver's correctness harness records at most
+    50 rows, so the suite holds exactly 50 queries.)"""
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
-    return (customer.select(F.col("c_nationkey").alias("nationkey"))
+    rich = supplier.filter(F.col("s_acctbal") >= 9500)
+    both = (customer.select(F.col("c_nationkey").alias("nationkey"))
             .intersect(supplier.select(F.col("s_nationkey").alias("nationkey"))))
+    return both.subtract(rich.select(F.col("s_nationkey").alias("nationkey")))
 
 
-SQL_SET_INTERSECT = """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier
+SQL_SET_OPS = """
+(SELECT c_nationkey AS nationkey FROM customer
+ INTERSECT
+ SELECT s_nationkey AS nationkey FROM supplier)
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
 """
 
 
@@ -729,22 +736,6 @@ WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
-"""
-
-
-def q_set_except_nations(spark, sf_dir):
-    """Nations with customers but no suppliers (EXCEPT/MINUS)."""
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
-    rich = supplier.filter(F.col("s_acctbal") >= 9500)
-    return (customer.select(F.col("c_nationkey").alias("nationkey"))
-            .subtract(rich.select(F.col("s_nationkey").alias("nationkey"))))
-
-
-SQL_SET_EXCEPT = """
-SELECT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
 """
 
 
@@ -1105,13 +1096,71 @@ def q_dedup_corpus_survivors(spark, sf_dir):
     return dedup.dedup_corpus(docs, threshold=0.5).select("doc_id", "lang")
 
 
+_EMB_LSH = dict(bands=4, planes_per_band=6, seed=42, dim=64, threshold=0.35)
+
+
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane bucketing ->
-    rows-only (plane family specific; synthetic data yields few/no pairs
-    at high thresholds, so the threshold is set low to exercise the
-    path)."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH
+    (4 bands x 6 sign bits -> 64 buckets/band) with exact-cosine verify.
+
+    Oracle-checked: the hyperplanes are deterministic literal constants,
+    so DuckDB reproduces the band bucketing bit-for-bit with
+    ``list_dot_product`` (see ``_embedding_lsh_oracle_sql``) — both
+    engines compute the SAME candidate set, then the same cosine filter."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_duplicates(emb, threshold=0.35, n_planes=4)
+    p = _EMB_LSH
+    pairs = dedup.embedding_near_duplicates(
+        emb, threshold=p["threshold"], bands=p["bands"],
+        planes_per_band=p["planes_per_band"], seed=p["seed"])
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    """DuckDB mirror of ``dedup.embedding_lsh_candidates`` + cosine
+    verify: same literal planes, same band/bucket arithmetic, same
+    threshold. Generated, not hand-written, so the two sides cannot
+    drift."""
+    from kiji_mapreduce_spark.pipeline.similarity import _plane
+
+    p = _EMB_LSH
+    band_selects = []
+    for b in range(p["bands"]):
+        bucket_terms = []
+        for pi in range(p["planes_per_band"]):
+            comps = _plane(p["seed"] + 7919 * b, pi, p["dim"])
+            lit = "[" + ", ".join(repr(c) for c in comps) + "]"
+            weight = 2 ** (p["planes_per_band"] - 1 - pi)
+            bucket_terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {weight} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, "
+            + " + ".join(bucket_terms) + " AS bucket FROM e")
+    entries = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+entries AS (
+{entries}
+),
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM entries a JOIN entries b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea.v, eb.v)
+         / (sqrt(list_dot_product(ea.v, ea.v))
+            * sqrt(list_dot_product(eb.v, eb.v))) AS raw_cos
+  FROM cands
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, round(raw_cos, 6) AS cosine
+FROM scored WHERE raw_cos >= {p["threshold"]}
+"""
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -1188,15 +1237,22 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 
 
 def q_array_agg_priorities(spark, sf_dir):
-    """Sorted array aggregation (collect_list -> deterministic array)."""
+    """Sorted array aggregation (collect_list -> deterministic array).
+
+    The array is emitted joined to one string: the driver's canonicalizer
+    sorts result rows with pandas, which cannot sort list-typed cells
+    (round-1 CORRECTNESS err) — a joined string is the same value,
+    hash-comparable."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",")
+        .alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"))
 
 
 SQL_ARRAY_AGG = """
-SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """
@@ -1234,16 +1290,19 @@ def q_tfidf_top_terms(spark, sf_dir):
     MapReduce workload as DataFrame ops (one explode, two aggregations,
     one broadcast-joined doc-frequency table)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size folded INTO the plan as a broadcast scalar (a driver-side
+    # docs.count() would be a second full scan of documents at 100 TB)
+    n_docs = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs")))
     terms = docs.select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
                            lambda t: t != "")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), on="term").select(
+    scored = tf.join(F.broadcast(dfreq), on="term").crossJoin(n_docs).select(
         "doc_id", "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        (F.col("tf") * F.log(F.col("_n_docs") / F.col("df")))
         .alias("_tfidf"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("_tfidf").desc(), F.col("term"))
@@ -1375,11 +1434,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_family_regex_filter": q_map_family_regex_filter,
     "bulk_import_props": q_bulk_import_props,
     "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
-    "set_intersect_nations": q_set_intersect_nations,
+    "set_ops_nations": q_set_ops_nations,
     "rollup_revenue": q_rollup_revenue,
     "mapreduce_event_stats": q_mapreduce_event_stats,
     "topk_shipping_priority": q_topk_shipping_priority,
-    "set_except_nations": q_set_except_nations,
     "union_all_parties": q_union_all_parties,
     "cube_order_stats": q_cube_order_stats,
     "distinct_segments": q_distinct_segments,
@@ -1429,11 +1487,10 @@ ORACLES: dict[str, str] = {
     "map_family_regex_filter": SQL_MAP_FAMILY_REGEX,
     "bulk_import_props": SQL_BULK_IMPORT,
     "window_top3_orders_per_customer": SQL_WINDOW_TOP3,
-    "set_intersect_nations": SQL_SET_INTERSECT,
+    "set_ops_nations": SQL_SET_OPS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "mapreduce_event_stats": SQL_MAPREDUCE_EVENTS,
     "topk_shipping_priority": SQL_TOPK_SHIPPING,
-    "set_except_nations": SQL_SET_EXCEPT,
     "union_all_parties": SQL_UNION_ALL,
     "cube_order_stats": SQL_CUBE_ORDERS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
@@ -1458,6 +1515,9 @@ ORACLES: dict[str, str] = {
     "pivot_wide_event_values": SQL_PIVOT_WIDE,
     "array_agg_priorities": SQL_ARRAY_AGG,
     "text_langid": SQL_TEXT_LANGID,
-    # rows-only (non-SQL-expressible): dedup_minhash_pairs,
-    # dedup_simhash_pairs, text_langid, text_fingerprint, knn_lsh_topk
+    "embedding_near_dups": _embedding_lsh_oracle_sql(),
+    # rows-only (non-SQL-expressible, xxhash64/kmeans-specific):
+    # dedup_minhash_pairs, dedup_simhash_pairs, dedup_corpus_survivors,
+    # text_fingerprint, knn_lsh_topk, knn_ivf_topk, embedding_near_dups,
+    # multimodal_features
 }

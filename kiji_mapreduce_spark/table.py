@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kiji_mapreduce_spark import cells as cell_fns
-from kiji_mapreduce_spark.io.outputs import bulk_load, stage_sorted
+from kiji_mapreduce_spark.io.outputs import bulk_load, swap_partition_dirs
 from kiji_mapreduce_spark.layout import TableLayout
 
 _LAYOUT_FILE = "_kiji_layout.json"
@@ -125,6 +125,60 @@ class EntityTable:
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("_bucket", self._bucket_expr())
 
+    def _is_bucket_partitioned(self) -> bool:
+        """True once the data dir is hive-partitioned by ``_bucket`` (the
+        canonical layout; a freshly created empty table is not yet)."""
+        import glob
+
+        return bool(glob.glob(os.path.join(self._data_path(), "_bucket=*")))
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Partition-pruned read of only the given bucket directories."""
+        raw = self.spark.read.parquet(self._data_path())
+        return raw.filter(F.col("_bucket").isin(list(buckets))).drop("_bucket")
+
+    def _affected_buckets(self, df: DataFrame) -> list[int]:
+        """Distinct bucket ids touched by incoming puts/deletes/rows —
+        at most ``n_buckets`` values, so collecting them is a constant-size
+        driver action, never proportional to the data."""
+        rows = (df.select(self._bucket_expr().alias("_bucket"))
+                .distinct().collect())
+        return sorted(r["_bucket"] for r in rows)
+
+    def _write_canonical(self, df: DataFrame, out_path: str,
+                         n_partitions: int | None = None,
+                         max_records_per_file: int | None = None) -> None:
+        """Write rows in the table's canonical physical layout: hive
+        partition directory per key bucket, rows sorted by entity key
+        inside each file (the HFile discipline: region dir + sorted
+        cells). ``maxRecordsPerFile`` rolls oversized buckets into
+        several still-sorted files, the analogue of
+        ``KijiHFileOutputFormat``'s 256 MB rolling."""
+        writer = (self._with_bucket(df)
+                  .repartition(n_partitions or self.n_buckets, "_bucket")
+                  .sortWithinPartitions(self.layout.row_key.key_expr())
+                  .write.mode("overwrite"))
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("_bucket").parquet(out_path)
+
+    def _rewrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Incremental commit: write ``df`` (the new contents of exactly
+        the ``buckets`` partitions) to staging and swap only those bucket
+        directories into the live table. Untouched buckets' files are
+        never read or rewritten — the Spark analogue of the reference's
+        point-write path (``DirectKijiTableWriterContext.java:47-170``),
+        where a put lands in one region, not a table rewrite. At 100 TB
+        this is the difference between a seconds-long upsert and a full
+        table job; writers touching disjoint buckets don't conflict.
+        """
+        import uuid
+
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        self._write_canonical(df, staging, n_partitions=max(len(buckets), 1))
+        swap_partition_dirs(
+            staging, self._data_path(), [f"_bucket={b}" for b in buckets])
+
     def overwrite(self, df: DataFrame) -> None:
         """Replace table contents, physically partitioned by key bucket
         (one directory per bucket, rows sorted by key inside) — point
@@ -138,11 +192,7 @@ class EntityTable:
         import uuid
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
-        (self._with_bucket(df)
-         .repartition(self.n_buckets, "_bucket")
-         .sortWithinPartitions(self.layout.row_key.key_expr())
-         .write.mode("overwrite").partitionBy("_bucket")
-         .parquet(staging))
+        self._write_canonical(df, staging)
         bulk_load(staging, self._data_path())
 
     def merge_put(self, puts: DataFrame) -> None:
@@ -156,9 +206,14 @@ class EntityTable:
 
         Implementation: full-outer merge on entity key, then per affected
         column a ``put_cell``. One shuffle on the key; existing cell
-        arrays never leave the JVM.
+        arrays never leave the JVM. The merge reads and rewrites ONLY the
+        bucket partitions the puts hash to (bucket-scoped incremental
+        commit); a one-row put is a one-bucket job regardless of table
+        size.
         """
-        current = self.read()
+        buckets = (self._affected_buckets(puts)
+                   if self._is_bucket_partitioned() else None)
+        current = self.read() if buckets is None else self._read_buckets(buckets)
         key_expr_cur = self.layout.row_key.key_expr()
         grouped = (
             puts.withColumn("_k", self.layout.row_key.key_expr())
@@ -229,20 +284,30 @@ class EntityTable:
                 fam_struct = fam_struct.withField(col.name, updated)
             merged = merged.withColumn(fam.name, fam_struct)
         result = merged.select(*[f.name for f in self.layout.spark_schema()])
-        self.overwrite(result)
+        if buckets is None:
+            self.overwrite(result)
+        else:
+            self._rewrite_buckets(result, buckets)
 
     def upsert_rows(self, rows: DataFrame) -> None:
         """Row-level upsert: incoming full rows replace existing rows
         with the same entity key; other rows are untouched (the
         direct-table-write path for operators that emit whole rows, e.g.
-        pivoters/table-reducers targeting this table)."""
-        current = self.read()
+        pivoters/table-reducers targeting this table). Bucket-scoped:
+        only the partitions the incoming keys hash to are rewritten."""
+        buckets = (self._affected_buckets(rows)
+                   if self._is_bucket_partitioned() else None)
+        current = self.read() if buckets is None else self._read_buckets(buckets)
         key = self.layout.row_key.key_expr()
         incoming_keys = rows.select(key.alias("_k")).distinct()
         kept = current.withColumn("_k", key).join(
             incoming_keys, on="_k", how="left_anti").drop("_k")
         cols = [f.name for f in self.layout.spark_schema()]
-        self.overwrite(kept.select(*cols).unionByName(rows.select(*cols)))
+        result = kept.select(*cols).unionByName(rows.select(*cols))
+        if buckets is None:
+            self.overwrite(result)
+        else:
+            self._rewrite_buckets(result, buckets)
 
     def merge_delete(self, deletes: DataFrame) -> None:
         """Apply tombstones (DirectKijiTableWriterContext semantics,
@@ -257,8 +322,12 @@ class EntityTable:
         Same shape as merge_put: one key-join, cell arrays edited in
         place. Deletion is eager (no tombstone files to compact later) —
         the Spark-side simplification of HBase's delete markers.
+        Bucket-scoped like merge_put; a bucket whose rows are all deleted
+        has its partition directory removed.
         """
-        current = self.read()
+        buckets = (self._affected_buckets(deletes)
+                   if self._is_bucket_partitioned() else None)
+        current = self.read() if buckets is None else self._read_buckets(buckets)
         keyed_deletes = (
             deletes.withColumn("_k", self.layout.row_key.key_expr())
             .groupBy("_k")
@@ -302,14 +371,19 @@ class EntityTable:
                     apply_cell_deletes(
                         fam_struct[col.name], fam.name, F.lit(col.name)))
             merged = merged.withColumn(fam.name, fam_struct)
-        self.overwrite(
-            merged.select(*[f.name for f in self.layout.spark_schema()]))
+        result = merged.select(*[f.name for f in self.layout.spark_schema()])
+        if buckets is None:
+            self.overwrite(result)
+        else:
+            self._rewrite_buckets(result, buckets)
 
-    def bulk_stage(self, df: DataFrame, staging_path: str) -> None:
-        """Stage full rows sorted by key (HFile analogue)."""
-        stage_sorted(
-            self._with_bucket(df), staging_path,
-            key_cols=["_bucket"], bucket_expr=F.col("_bucket"))
+    def bulk_stage(self, df: DataFrame, staging_path: str,
+                   max_records_per_file: int | None = None) -> None:
+        """Stage full rows, bucket-partitioned and key-sorted within each
+        bucket (HFile analogue) — the staged layout is exactly the live
+        table's canonical layout, so ``bulk_commit`` is a pure rename."""
+        self._write_canonical(df, staging_path,
+                              max_records_per_file=max_records_per_file)
 
     def bulk_commit(self, staging_path: str) -> None:
         bulk_load(staging_path, self._data_path())

@@ -89,6 +89,41 @@ def test_stage_sorted_and_bulk_load(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_bulk_load_hadoop_fs_path(spark, tmp_path):
+    """Non-local-scheme commits go through the JVM Hadoop FileSystem API
+    (exercised here with file:/ URIs — the same code path HDFS/S3A take)."""
+    from kiji_mapreduce_spark.io.outputs import _swap_dir_hadoop
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    staging = str(tmp_path / "hstaging")
+    table = str(tmp_path / "htable")
+    df.write.parquet(staging)
+    bulk_load(f"file://{staging}", f"file://{table}", spark)
+    assert spark.read.parquet(table).count() == 2
+    # replace via the explicit hadoop swap (restore-on-failure discipline)
+    df.limit(1).write.parquet(staging)
+    _swap_dir_hadoop(f"file://{staging}", f"file://{table}", spark)
+    assert spark.read.parquet(table).count() == 1
+    assert not os.path.exists(staging)
+
+
+def test_stage_sorted_rolls_files_at_max_records(spark, tmp_path):
+    """maxRecordsPerFile bounds staged file size (the 256 MB HFile-rolling
+    analogue); rolled files stay individually sorted."""
+    df = spark.createDataFrame(
+        [(k,) for k in range(100, 0, -1)], "entity_id int")
+    staging = str(tmp_path / "rolled")
+    stage_sorted(df, staging, key_cols=["entity_id"], nsplits=1,
+                 max_records_per_file=30)
+    files = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    assert len(files) >= 4  # 100 rows / 30-row bound
+    for f in files:
+        vals = [r.entity_id for r in
+                spark.read.parquet(f"{staging}/{f}").collect()]
+        assert vals == sorted(vals)
+        assert len(vals) <= 30
+
+
 def test_partitioned_parquet_output(spark, tmp_path):
     df = spark.createDataFrame(
         [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-01", 3)],

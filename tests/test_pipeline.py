@@ -71,8 +71,17 @@ def test_embedding_near_duplicates(spark):
     assert got_exact == {(0, 1)}
     got_lsh = {(r.id_a, r.id_b)
                for r in dedup.embedding_near_duplicates(
-                   emb, threshold=0.95, n_planes=2).collect()}
+                   emb, threshold=0.95, bands=4, planes_per_band=2).collect()}
     assert got_lsh == {(0, 1)}  # near-identical vectors share every bucket
+    # banded recall: candidates are the UNION over bands, so adding bands
+    # can only add candidates (compare 1 band vs 4 at equal band width)
+    one_band = {(r.id_a, r.id_b)
+                for r in dedup.embedding_lsh_candidates(
+                    emb, bands=1, planes_per_band=2).collect()}
+    four_bands = {(r.id_a, r.id_b)
+                  for r in dedup.embedding_lsh_candidates(
+                      emb, bands=4, planes_per_band=2).collect()}
+    assert one_band <= four_bands
 
 
 def test_ann_recall_against_brute_force(spark, sf_dir):

@@ -233,6 +233,105 @@ def test_fresh_get_refreshes_stale_rows(spark, tmp_path):
     assert t.fresh_get(("nobody",), EmailLenProducer(), 1000).count() == 0
 
 
+def _data_file_digests(table_path):
+    """{relative path: content digest} of every data file, per bucket dir."""
+    import hashlib
+    import os
+
+    out = {}
+    data = os.path.join(table_path, "data")
+    for root, _dirs, files in os.walk(data):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue  # _SUCCESS / CRCs / hidden
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, data)
+            with open(full, "rb") as f:
+                out[rel] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_merge_put_rewrites_only_affected_buckets(spark, tmp_path):
+    """The scale-critical property: a one-row put must leave every
+    untouched bucket's parquet files byte-identical (same file names,
+    same bytes) — the write is a one-bucket job, not a table rewrite."""
+    path = str(tmp_path / "tb")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=8)
+    t.merge_put(_puts(spark, [
+        ((f"user{i}",), "info", "email", 1, f"u{i}@x") for i in range(64)
+    ]))
+    before = _data_file_digests(path)
+    assert len({p.split("/")[0] for p in before}) > 2  # several buckets exist
+
+    one_put = _puts(spark, [(("user3",), "info", "email", 2, "new@x")])
+    touched = {f"_bucket={b}" for b in t._affected_buckets(one_put)}
+    assert len(touched) == 1
+    t.merge_put(one_put)
+    after = _data_file_digests(path)
+
+    untouched_before = {p: h for p, h in before.items()
+                        if p.split("/")[0] not in touched}
+    untouched_after = {p: h for p, h in after.items()
+                       if p.split("/")[0] not in touched}
+    assert untouched_before == untouched_after  # byte-identical
+    # and the put itself landed
+    row = t.get("user3").first()
+    assert [(c.ts, c.value) for c in row.info.email] == [
+        (2, "new@x"), (1, "u3@x")]
+    assert t.read().count() == 64
+
+
+def test_merge_delete_scoped_and_can_empty_bucket(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tdb")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=4)
+    t.merge_put(_puts(spark, [
+        ((f"k{i}",), "info", "email", 1, f"v{i}") for i in range(12)
+    ]))
+    before = _data_file_digests(path)
+    # delete every row of one bucket: find keys sharing a bucket
+    deletes = _deletes(spark, [((f"k{i}",), None, None, None)
+                               for i in range(12)])
+    by_bucket = {}
+    for i in range(12):
+        b = t._affected_buckets(
+            _deletes(spark, [((f"k{i}",), None, None, None)]))[0]
+        by_bucket.setdefault(b, []).append(i)
+    victim_bucket, victim_ids = next(iter(by_bucket.items()))
+    t.merge_delete(_deletes(
+        spark, [((f"k{i}",), None, None, None) for i in victim_ids]))
+    # the emptied bucket's directory is gone; other buckets byte-identical
+    assert not os.path.exists(
+        os.path.join(path, "data", f"_bucket={victim_bucket}"))
+    after = _data_file_digests(path)
+    untouched = {p: h for p, h in before.items()
+                 if p.split("/")[0] != f"_bucket={victim_bucket}"}
+    assert untouched == after
+    assert t.read().count() == 12 - len(victim_ids)
+
+
+def test_bulk_commit_layout_supports_incremental_writes(spark, tmp_path):
+    """bulk_stage writes the canonical bucket-partitioned layout, so a
+    bulk-loaded table takes the incremental write path immediately."""
+    path = str(tmp_path / "tbl")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=4)
+    rows = spark.createDataFrame(
+        [((f"r{i}",), ([(1, f"r{i}@x")], None), None) for i in range(16)],
+        LAYOUT.spark_schema())
+    t.bulk_stage(rows, str(tmp_path / "staging"))
+    t.bulk_commit(str(tmp_path / "staging"))
+    assert t._is_bucket_partitioned()
+    before = _data_file_digests(path)
+    one = _puts(spark, [(("r1",), "info", "email", 2, "fresh@x")])
+    touched = {f"_bucket={b}" for b in t._affected_buckets(one)}
+    t.merge_put(one)
+    after = _data_file_digests(path)
+    assert ({p: h for p, h in before.items() if p.split("/")[0] not in touched}
+            == {p: h for p, h in after.items() if p.split("/")[0] not in touched})
+    assert t.read().count() == 16
+
+
 def test_bulk_stage_commit(spark, tmp_path):
     path = str(tmp_path / "t5")
     t = EntityTable.create(spark, path, LAYOUT)
