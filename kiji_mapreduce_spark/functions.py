@@ -30,9 +30,12 @@ def asof_join(
     ``right_ts <= left_ts`` (or ``<`` when ``strict``) for the same key.
 
     Scale shape: union the two sides with a tag, one shuffle by key, one
-    window pass carrying the last-seen right values forward. No range
-    explosion; right rows with equal timestamps resolve to the last one
-    in (ts, value...) order (deterministic).
+    window pass carrying the last-seen right ROW forward as a single
+    struct — so every filled column comes from the same matched right
+    row (ASOF semantics: the match is a row, not per-column), and a
+    right row's NULL value correctly overrides an older non-null one.
+    No range explosion; right rows with equal timestamps resolve to the
+    last one in (ts, value-struct) order (deterministic).
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -45,35 +48,26 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0 if not strict else 2).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(dict(r.dtypes)[f"_r_{c}"]).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(dict(r.dtypes)["_r"]).alias("_r"),
     )
-    unioned = l.unionByName(r.select(
-        *keys, "_ts", "_tag",
-        *[F.col(f"_r_{c}") for c in value_cols]), allowMissingColumns=True)
+    unioned = l.unionByName(
+        r.select(*keys, "_ts", "_tag", "_r"), allowMissingColumns=True)
     w = (Window.partitionBy(*keys)
-         .orderBy("_ts", "_tag",
-                  *[F.col(f"_r_{c}") for c in value_cols])
+         .orderBy("_ts", "_tag", "_r")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
-        "*",
-        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-          .alias(f"_filled_{c}") for c in value_cols],
-    )
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m"))
     out = filled.filter(F.col("_tag") == 1)
     for c in value_cols:
         out = out.withColumn(c if c not in left.columns else f"{c}_right",
-                             F.col(f"_filled_{c}"))
-    drop = (["_ts", "_tag"]
-            + [f"_r_{c}" for c in value_cols]
-            + [f"_filled_{c}" for c in value_cols])
-    return out.drop(*drop)
+                             F.col("_m")[c])
+    return out.drop("_ts", "_tag", "_r", "_m")
 
 
 def salted_topk(

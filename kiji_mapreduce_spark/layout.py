@@ -131,7 +131,12 @@ class RowKeySpec:
     def hash_expr(self, prefix: str = "entity_id"):
         """Derived binary hash column used for salting / even range
         partitioning, mirroring HASH/HASH_PREFIX row-key encodings."""
-        packed = self.key_expr(prefix)
+        return self.hash_of(self.key_expr(prefix))
+
+    def hash_of(self, packed):
+        """The hash encoding applied to an already-packed key column —
+        shared by row-column hashing and point-lookup bucket routing (so
+        both always render components with the same Spark casts)."""
         if self.format == "HASH":
             return F.unhex(F.md5(packed))
         if self.format == "HASH_PREFIX":

@@ -1,0 +1,318 @@
+"""Generated DuckDB oracle SQL for the hash-parameterized suite queries.
+
+Every builder here mirrors — constant for constant, fold for fold — the
+Spark operator it checks, so the two engines compute the SAME candidate
+sets and the SAME numbers, not merely statistically-similar ones:
+
+- token/shingle hashes use ``dedup.token_hash64``'s "md5" mode, which
+  DuckDB reproduces as ``('0x' || substr(md5(x), 1, 15))::BIGINT``
+  (verified bit-for-bit including unicode);
+- MinHash permutations reuse the exact ``(a, b)`` literals from
+  ``dedup._perm_params``; LSH hyperplanes reuse ``similarity._plane``;
+- every floating-point reduction (dot product, squared distance) is
+  written as a sequential left fold with the same association order as
+  Spark's ``F.aggregate``/``zip_with`` form, so doubles match exactly.
+
+The SQL is generated, not hand-written, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+_P = (1 << 31) - 1  # dedup._MERSENNE
+
+# md5-prefix 60-bit hash (dedup.token_hash64 hash_fn="md5")
+def _md5h(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# lowercase whitespace tokens, empties dropped (dedup.tokens / text tokens)
+def _toks(text: str = "text") -> str:
+    return (f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), "
+            "x -> x <> '')")
+
+
+# sequential left-fold dot product — same association order as
+# similarity.dot (F.aggregate over zip_with): ((0+x1)+x2)+...
+def _dotseq(a: str, b: str, dim: int) -> str:
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i]*{b}[i]), (x, y) -> x + y)")
+
+
+def _cos(a: str, b: str, dim: int) -> str:
+    return (f"({_dotseq(a, b, dim)} / "
+            f"(sqrt({_dotseq(a, a, dim)}) * sqrt({_dotseq(b, b, dim)})))")
+
+
+def fingerprint_sql(window: int = 8, source: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """Mirror of text.fingerprints(hash_fn="md5"): min rolling polynomial
+    hash over full token windows; docs shorter than one window hash their
+    whole token list; zero-token docs emit no row."""
+    fold = f"(a, b) -> (a * 31 + b) % {_P}"
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+hs AS (
+  SELECT {id_col},
+         list_transform(t, x -> {_md5h('x')} % {_P}) AS h,
+         len(t) AS n
+  FROM toks WHERE len(t) >= 1
+)
+SELECT {id_col},
+  CASE WHEN n >= {window}
+       THEN list_min(list_transform(range({window}, n + 1),
+            i -> list_reduce(h[i - {window} + 1 : i], {fold})))
+       ELSE list_reduce(h, {fold})
+  END AS fingerprint
+FROM hs
+"""
+
+
+def _shingle_cte(n: int, source: str, id_col: str) -> str:
+    """CTEs shared by the MinHash oracles: per-doc shingle-hash lists
+    (window-form semantics: full n-grams only, except docs shorter than n
+    keep their single edge gram; zero-token docs drop)."""
+    return f"""
+toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+grams AS (
+  SELECT {id_col},
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+              i -> array_to_string(t[i : i + {n - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks WHERE len(t) >= 1
+),
+hs AS (SELECT {id_col}, list_transform(g, x -> {_md5h('x')}) AS h
+       FROM grams)"""
+
+
+def _minhash_pair_ctes(num_hashes: int, bands: int, n: int, seed: int,
+                       source: str, id_col: str) -> str:
+    """CTEs computing verified-candidate CTE ``scored`` =
+    (id_a, id_b, jac) from minhash-LSH banding + exact Jaccard."""
+    from kiji_mapreduce_spark.pipeline.dedup import _perm_params
+
+    rows = num_hashes // bands
+    params = _perm_params(num_hashes, seed)
+    mins = ",\n    ".join(
+        f"list_min(list_transform(h, x -> ((x % {_P}) * {a} + {b}) % {_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(params))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {b} AS band, concat_ws(','"
+        + "".join(f", m{b * rows + r}" for r in range(rows))
+        + f") AS bucket FROM sigs"
+        for b in range(bands))
+    return f"""{_shingle_cte(n, source, id_col)},
+sigs AS (SELECT {id_col},
+    {mins}
+  FROM hs),
+entries AS (
+{band_rows}
+),
+cands AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM entries a JOIN entries b USING (band, bucket)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+),
+sets AS (SELECT {id_col}, list_distinct(h) AS s FROM hs),
+scored AS (
+  SELECT id_a, id_b,
+    CASE WHEN len(list_distinct(sa.s || sb.s)) > 0
+         THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+              / len(list_distinct(sa.s || sb.s))::DOUBLE
+         ELSE 0.0 END AS jac
+  FROM cands
+  JOIN sets sa ON sa.{id_col} = id_a
+  JOIN sets sb ON sb.{id_col} = id_b
+)"""
+
+
+def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5, seed: int = 42,
+                      source: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    """Mirror of dedup.minhash_dedup(hash_fn="md5")."""
+    ctes = _minhash_pair_ctes(num_hashes, bands, n, seed, source, id_col)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM scored WHERE jac >= {threshold}
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 10, bands: int = 4,
+                      source: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    """Mirror of dedup.simhash_near_duplicates(hash_fn="md5"): 64 bit
+    votes per doc (md5 mode: bits 60-63 vote zero on both engines),
+    band-chunk equi-join, hamming verify."""
+    width = 64 // bands
+    sums = ",\n    ".join(
+        f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
+    # bit set when ones >= zeros <=> 2*ones >= n (bits 60+ never set: n>=1)
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * s{b} >= n THEN {1 << b} ELSE 0 END)"
+        for b in range(60))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, sh, {b} AS band, "
+        f"(sh >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+ex AS (SELECT {id_col}, unnest(t) AS tok FROM toks),
+hs AS (SELECT {id_col}, {_md5h('tok')} AS h FROM ex),
+votes AS (
+  SELECT {id_col}, count(*) AS n,
+    {sums}
+  FROM hs GROUP BY {id_col}
+),
+fp AS (SELECT {id_col}, ({fp_terms})::BIGINT AS sh FROM votes),
+entries AS (
+{band_rows}
+),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM entries a JOIN entries b USING (band, chunk)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def corpus_survivors_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                         threshold: float = 0.5, seed: int = 42,
+                         id_col: str = "doc_id") -> str:
+    """Mirror of dedup.dedup_corpus(hash_fn="md5"): exact dedup (min id
+    per md5 digest), MinHash near-dup pairs over the survivors, TRUE
+    connected components via a recursive CTE (the Spark side's
+    pointer-jumping label propagation converges to the same labels), drop
+    non-minimum members, return (doc_id, lang)."""
+    pair_ctes = _minhash_pair_ctes(num_hashes, bands, n, seed, "exact",
+                                   id_col)
+    return f"""
+WITH RECURSIVE
+exact_keep AS (
+  SELECT min({id_col}) AS {id_col} FROM documents GROUP BY md5(text)
+),
+exact AS (
+  SELECT d.* FROM documents d JOIN exact_keep USING ({id_col})
+),
+{pair_ctes},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jac >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+labels AS (
+  SELECT id AS {id_col}, least(id, min(r)) AS keep_id
+  FROM reach GROUP BY id
+),
+losers AS (SELECT {id_col} FROM labels WHERE keep_id <> {id_col})
+SELECT {id_col}, lang FROM exact
+WHERE {id_col} NOT IN (SELECT {id_col} FROM losers)
+"""
+
+
+def knn_lsh_sql(n_planes: int = 4, seed: int = 42, k: int = 5,
+                n_probes: int = 1, dim: int = 64,
+                query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.lsh_topk: per-probe hyperplane-family sign
+    buckets (literal planes), same-bucket candidates unioned across
+    probes, exact cosine, per-query top-k."""
+    from kiji_mapreduce_spark.pipeline.similarity import _plane
+
+    probe_rows = []
+    for pr in range(n_probes):
+        terms = []
+        for p in range(n_planes):
+            comps = _plane(seed + 7919 * pr, p, dim)
+            lit = "[" + ", ".join(repr(c) for c in comps) + "]"
+            weight = 2 ** (n_planes - 1 - p)
+            terms.append(f"(CASE WHEN {_dotseq('v', lit, dim)} >= 0 "
+                         f"THEN {weight} ELSE 0 END)")
+        probe_rows.append(
+            f"SELECT vec_id, v, {pr} AS probe, "
+            + " + ".join(terms) + " AS bucket FROM e")
+    entries = "\nUNION ALL\n".join(probe_rows)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+entries AS (
+{entries}
+),
+q AS (SELECT vec_id AS query_id, v AS qv, probe, bucket
+      FROM entries WHERE {query_pred}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_cos('qv', 'c.v', dim)} AS cos
+  FROM q JOIN entries c USING (probe, bucket)
+  WHERE c.vec_id <> query_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def knn_ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5,
+                dim: int = 64, query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ivf_topk(centroids=...): deterministic
+    centroids = the vectors of the ``n_centroids`` lowest vec_ids (cells
+    0..n-1 in that order), nearest-cell assignment by sequential-fold
+    squared L2 (ties to the lowest cell), nprobe nearest cells per query,
+    exact cosine over probed cells, per-query top-k."""
+    d2 = (f"list_reduce(list_transform(range(1, {dim + 1}), "
+          "i -> (v[i]-c[i])*(v[i]-c[i])), (x, y) -> x + y)")
+    d2q = d2.replace("v[i]", "qv[i]")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_centroids})
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cents.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, cents.cell) AS rn
+    FROM e CROSS JOIN cents)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2q}, cents.cell) AS pr
+    FROM q CROSS JOIN cents)
+  WHERE pr <= {nprobe}
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         {_cos('qv', 'a.v', dim)} AS cos
+  FROM probes JOIN assign a USING (cell)
+  WHERE a.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

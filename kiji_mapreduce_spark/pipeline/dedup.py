@@ -22,6 +22,24 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# -- hashing ---------------------------------------------------------------
+
+def token_hash64(col: Column, hash_fn: str = "xx") -> Column:
+    """64-bit-ish token/shingle hash as a long.
+
+    ``"xx"`` (default): xxhash64 — the fast path for production pipelines.
+    ``"md5"``: the first 60 bits of md5 as a long — ~3x slower per call but
+    reproducible in any engine with ``md5()`` + hex→int (DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``), which is what makes the
+    dedup suite queries hash-checkable against the SQL oracle.
+    """
+    if hash_fn == "xx":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xx' or 'md5')")
+
+
 # -- tokenization / shingling (shared) --------------------------------------
 
 def tokens(text: Column) -> Column:
@@ -84,7 +102,8 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_hashes(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                   id_col: str = "doc_id", n: int = 3,
+                   hash_fn: str = "xx") -> DataFrame:
     """(id, _h) one row per n-gram shingle hash — the codegen'd shape.
 
     posexplode tokens, build each gram from ``lead()`` window terms
@@ -105,13 +124,15 @@ def shingle_hashes(df: DataFrame, text_col: str = "text",
            .filter((F.col("pos") <= F.col("_mx") - (n - 1))
                    | ((F.col("_mx") < n - 1) & (F.col("pos") == 0))))
     # full 64-bit hash: set-cardinality users (Jaccard) need collision
-    # odds ~2^-63; MinHash permutations pmod down to 31 bits themselves
-    return out.select(id_col, F.xxhash64("_g").alias("_h"))
+    # odds ~2^-63 (~2^-59 for md5 mode); MinHash permutations pmod down
+    # to 31 bits themselves
+    return out.select(id_col, token_hash64(F.col("_g"), hash_fn).alias("_h"))
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, n: int = 3, seed: int = 42,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """(id, m0..m{num_hashes-1}) MinHash signature columns.
 
@@ -120,7 +141,7 @@ def minhash_signatures(
     aggregation makes the shuffle carry one row per doc, and the document
     text itself never shuffles.
     """
-    hashed = shingle_hashes(df, text_col, id_col, n).select(
+    hashed = shingle_hashes(df, text_col, id_col, n, hash_fn).select(
         id_col, F.pmod(F.col("_h"), F.lit(_MERSENNE)).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
@@ -146,6 +167,7 @@ def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3,
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band bucket.
 
@@ -154,17 +176,19 @@ def minhash_lsh_candidates(
     At scale the band-bucket groupBy shuffles only (band, bucket-hash, id).
     """
     rows = num_hashes // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    with_sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
+    # band bucket = hash of the band's signature slice; the md5 mode keys
+    # on the joined string itself (any-engine-reproducible, same join)
+    def _bucket(b):
+        joined = F.concat_ws(
+            ",", *[F.col(f"m{b * rows + r}").cast("string")
+                   for r in range(rows)])
+        return F.xxhash64(joined) if hash_fn == "xx" else joined
     band_entries = with_sig.select(
         id_col,
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.col(f"m{b * rows + r}").cast("string")
-                           for r in range(rows)]
-                )).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
@@ -187,22 +211,24 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                 id_col: str = "doc_id", n: int = 3,
+                 hash_fn: str = "xx") -> DataFrame:
     """(id, _sh) distinct 64-bit shingle-hash sets per doc — built from
     the codegen'd window form; set sizes equal the string-shingle sets
     (collision odds ~2^-63 per pair)."""
-    return (shingle_hashes(df, text_col, id_col, n)
+    return (shingle_hashes(df, text_col, id_col, n, hash_fn)
             .groupBy(id_col).agg(F.collect_set("_h").alias("_sh")))
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, threshold: float = 0.8,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard; keep >= threshold.
     ``pairs`` has (id_a, id_b). Set intersections run over hashed shingle
     sets (longs), never the shingle strings."""
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(df, text_col, id_col, n, hash_fn)
     return (
         pairs
         .join(sh.withColumnRenamed(id_col, "id_a")
@@ -218,12 +244,14 @@ def ngram_jaccard_pairs(
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-    threshold: float = 0.8,
+    threshold: float = 0.8, hash_fn: str = "xx",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
     Returns verified near-duplicate pairs (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn)
+    return ngram_jaccard_pairs(
+        df, cands, text_col, id_col, shingle_n, threshold, hash_fn)
 
 
 # -- embedding cosine near-dup ----------------------------------------------
@@ -343,9 +371,15 @@ def hamming64(a: Column, b: Column) -> Column:
 def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", max_iters: int = 10) -> DataFrame:
     """Collapse near-dup pair edges into groups and pick one survivor
-    per group (the minimum id): iterative min-label propagation — the
-    standard Spark approximation of connected components, converging in
-    O(diameter) rounds (near-dup clusters are shallow).
+    per group (the minimum id): min-label propagation with pointer
+    jumping — each round takes the min over neighbors' labels AND
+    follows ``keep_id -> keep_id's own label``, so chain depth halves
+    per round and convergence is O(log diameter), not O(diameter). A
+    10-round budget covers components of diameter ~2^10.
+
+    Raises if the labels are still changing after ``max_iters`` rounds
+    (silently-unconverged labels would split one duplicate group into
+    several and under-dedup with no signal).
 
     Returns (doc_id, keep_id): every id appearing in a pair mapped to
     its group's minimum id.
@@ -359,39 +393,52 @@ def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .withColumn("keep_id", F.col("doc_id")) \
         .localCheckpoint(eager=True)
+    changed = None
     for _ in range(max_iters):
         neighbor_min = (edges.join(
             labels.withColumnRenamed("doc_id", "dst")
                   .withColumnRenamed("keep_id", "_nb"), on="dst")
             .groupBy("src").agg(F.min("_nb").alias("_min_nb")))
-        new_labels = (labels.join(
+        stepped = (labels.join(
             neighbor_min.withColumnRenamed("src", "doc_id"),
             on="doc_id", how="left")
             .select("doc_id", F.least(
                 F.col("keep_id"),
                 F.coalesce(F.col("_min_nb"), F.col("keep_id"))
-            ).alias("keep_id"))
-            .localCheckpoint(eager=True))
+            ).alias("keep_id")))
+        # pointer jumping: keep_id <- min(keep_id, label(keep_id))
+        parent = stepped.select(F.col("doc_id").alias("keep_id"),
+                                F.col("keep_id").alias("_pk"))
+        new_labels = (stepped.join(parent, on="keep_id", how="left")
+                      .select("doc_id", F.least(
+                          F.col("keep_id"),
+                          F.coalesce(F.col("_pk"), F.col("keep_id"))
+                      ).alias("keep_id"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n").join(
             labels.alias("o"), on="doc_id")
             .filter(F.col("n.keep_id") != F.col("o.keep_id")).count())
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_keep_ids: labels still changing after {max_iters} "
+            "rounds (component diameter > 2^rounds); raise max_iters")
     return labels
 
 
 def dedup_corpus(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-    threshold: float = 0.8,
+    threshold: float = 0.8, hash_fn: str = "xx",
 ) -> DataFrame:
     """End-to-end corpus dedup: drop exact duplicates, then drop near
     duplicates (MinHash LSH -> Jaccard verify -> connected components,
     keeping each group's minimum id). Returns the surviving rows."""
     exact = drop_exact_duplicates(df, text_col, id_col)
     pairs = minhash_dedup(exact, text_col, id_col,
-                          num_hashes, bands, shingle_n, threshold)
+                          num_hashes, bands, shingle_n, threshold, hash_fn)
     groups = connected_keep_ids(pairs)
     losers = groups.filter(F.col("doc_id") != F.col("keep_id")) \
         .select(F.col("doc_id").alias(id_col))
@@ -400,13 +447,17 @@ def dedup_corpus(
 
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
-    """(id, simhash) via exploded aggregation: one xxhash64 per token, then
-    64 conditional-sum bit votes in a single groupBy — the scalable shape
-    (token hashes shuffle pre-aggregated, one row per doc)."""
+    """(id, simhash) via exploded aggregation: one token hash per token,
+    then 64 conditional-sum bit votes in a single groupBy — the scalable
+    shape (token hashes shuffle pre-aggregated, one row per doc). With
+    ``hash_fn="md5"`` the hash carries 60 effective bits (top 4 vote all
+    zeros — both engines agree, so cross-engine checks still hold)."""
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
-    hashed = exploded.select(id_col, F.xxhash64("_t").alias("_h"))
+    hashed = exploded.select(
+        id_col, token_hash64(F.col("_t"), hash_fn).alias("_h"))
     # arithmetic bit extraction (shift+and) instead of conditional sums:
     # equal results, ~3x faster cold (smaller codegen)
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -428,14 +479,14 @@ def simhash_fingerprints(
 
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, bands: int = 4,
+    max_hamming: int = 3, bands: int = 4, hash_fn: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks;
     any pair within ``max_hamming`` (< bands) shares at least one exact
     band (pigeonhole), so candidates come from an equi-join on a band
     value — no cross join. Returns (id_a, id_b, hamming)."""
     width = 64 // bands
-    with_h = simhash_fingerprints(df, text_col, id_col) \
+    with_h = simhash_fingerprints(df, text_col, id_col, hash_fn) \
         .withColumnRenamed("simhash", "_sh")
     entries = with_h.select(
         id_col, "_sh",

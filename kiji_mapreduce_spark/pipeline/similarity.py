@@ -133,44 +133,64 @@ def ivf_topk(
     n_centroids: int = 8, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     seed: int = 42, max_iter: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means-partition the
-    corpus, then search only the ``nprobe`` cells nearest each query.
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    cells, then search only the ``nprobe`` cells nearest each query.
 
     The scale path for ANN when LSH recall is too blunt: the index build
     is one MLlib KMeans fit (itself sampled/distributed), corpus
     assignment is a narrow pass, and each query probes
     ``nprobe/n_centroids`` of the corpus via an equi-join on cell id.
     Returns (query_id, neighbor_id, cosine, rank).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``centroids`` (optional): a (_cell int, _center array<double>)
+    DataFrame of pre-chosen cell centers — FAISS's "train once, reuse the
+    quantizer" mode. Skips the KMeans fit; corpus rows are assigned to
+    their nearest given centroid (squared-L2, ties to the lowest cell).
+    With deterministic centroids the whole query is reproducible in any
+    SQL engine — the suite uses this for its DuckDB oracle.
+    """
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cvec"))
-    with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
-    km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
-                 featuresCol="_features", predictionCol="_cell")
-          .fit(with_vec))
-    indexed = km.transform(with_vec).select("neighbor_id", "_cvec", "_cell")
+    d2_to = {}
+    for src in ("_cvec", "_qvec"):
+        d2_to[src] = F.aggregate(
+            F.zip_with(F.col(src), F.col("_center"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # nprobe nearest cells per query: centers are tiny -> literal arrays,
+        with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
+        km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                     featuresCol="_features", predictionCol="_cell")
+              .fit(with_vec))
+        indexed = km.transform(with_vec).select("neighbor_id", "_cvec", "_cell")
+        centers = [(i, [float(x) for x in c])
+                   for i, c in enumerate(km.clusterCenters())]
+        centers_df = embeddings.sparkSession.createDataFrame(
+            centers, "_cell int, _center array<double>")
+    else:
+        centers_df = centroids.select("_cell", "_center")
+        assign_w = Window.partitionBy("neighbor_id").orderBy(
+            F.col("_d2"), F.col("_cell"))
+        indexed = (corpus.crossJoin(F.broadcast(centers_df))
+                   .withColumn("_d2", d2_to["_cvec"])
+                   .withColumn("_rn", F.row_number().over(assign_w))
+                   .filter(F.col("_rn") == 1)
+                   .select("neighbor_id", "_cvec", "_cell"))
+
+    # nprobe nearest cells per query: centers are tiny -> broadcast,
     # distance ranked per query
-    centers = [[float(x) for x in c] for c in km.clusterCenters()]
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qvec"))
-    center_rows = [(i, c) for i, c in enumerate(centers)]
-    centers_df = q.sparkSession.createDataFrame(
-        center_rows, "_cell int, _center array<double>")
-    d2 = F.aggregate(
-        F.zip_with(F.col("_qvec"), F.col("_center"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("_d2"), F.col("_cell"))
     probes = (q.crossJoin(F.broadcast(centers_df))
-              .withColumn("_d2", d2)
+              .withColumn("_d2", d2_to["_qvec"])
               .withColumn("_pr", F.row_number().over(probe_w))
               .filter(F.col("_pr") <= nprobe)
               .select("query_id", "_qvec", "_cell"))

@@ -110,7 +110,8 @@ def fingerprint(text: Column, window: int = 8) -> Column:
 
 
 def fingerprints(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", window: int = 8) -> DataFrame:
+                 id_col: str = "doc_id", window: int = 8,
+                 hash_fn: str = "xx") -> DataFrame:
     """(id, fingerprint) for a whole table — the scale shape.
 
     Higher-order array lambdas are interpreted row-at-a-time in Spark, so
@@ -119,11 +120,18 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     ``window`` lag() terms — window functions + hash aggregate, fully
     codegen'd, one shuffle on (id). Documents shorter than ``window``
     tokens hash over their full (padded) prefix, matching the expression
-    form's fallback semantics closely enough for dedup use."""
+    form's fallback semantics closely enough for dedup use.
+
+    ``hash_fn="md5"`` swaps the token hash for a 60-bit md5 prefix that
+    any SQL engine reproduces (see ``dedup.token_hash64``) — the
+    cross-engine-checkable mode; default xxhash64 is the fast path."""
+    from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+
     p = (1 << 31) - 1
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    hashes = F.transform(
+        toks, lambda t: F.pmod(token_hash64(t, hash_fn), F.lit(p)))
     ex = df.select(F.col(id_col), F.posexplode(hashes).alias("pos", "h"))
     w = Window.partitionBy(id_col).orderBy("pos")
     # gram(pos) = sum_j h[pos-j] * 31^j mod p over the trailing window;

@@ -26,6 +26,7 @@ from kiji_mapreduce_spark.operators import (
     BulkImporter, CellRewriter, Gatherer, MapReduceOperator, Pivoter, Producer,
 )
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
+from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import dedup, similarity, text as text_ops
 
 
@@ -1091,9 +1092,16 @@ FROM s GROUP BY user_id, session_id
 
 def q_dedup_corpus_survivors(spark, sf_dir):
     """Full corpus dedup (exact + MinHash near-dup + connected
-    components) -> surviving doc ids. Rows-only (hash-family specific)."""
+    components) -> surviving doc ids.
+
+    Oracle-checked end-to-end: the md5-mode token hash is reproducible in
+    DuckDB, whose oracle recomputes the same exact-dedup digests, the
+    same LSH candidate pairs, and TRUE connected components via a
+    recursive CTE (``oracles.corpus_survivors_sql``); the Spark side's
+    pointer-jumping label propagation converges to the same labels."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_corpus(docs, threshold=0.5).select("doc_id", "lang")
+    return dedup.dedup_corpus(
+        docs, threshold=0.5, hash_fn="md5").select("doc_id", "lang")
 
 
 _EMB_LSH = dict(bands=4, planes_per_band=6, seed=42, dim=64, threshold=0.35)
@@ -1165,15 +1173,23 @@ FROM scored WHERE raw_cos >= {p["threshold"]}
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by exact Jaccard (>= 0.5).
-    Not SQL-expressible (hash-family specific) -> rows-only check."""
+
+    Oracle-checked: md5-mode shingle hashes + the same literal (a, b)
+    permutation constants reproduce the identical signatures, band
+    buckets, candidate pairs, and Jaccard values in DuckDB
+    (``oracles.minhash_pairs_sql``)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(docs, threshold=0.5)
+    pairs = dedup.minhash_dedup(docs, threshold=0.5, hash_fn="md5")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 10) -> rows-only check."""
+    """SimHash near-dup pairs (hamming <= 10), oracle-checked via the
+    md5-mode token hash (``oracles.simhash_pairs_sql`` recomputes the
+    same 64 bit votes, band chunks, and hamming distances)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=10, bands=4)
+    return dedup.simhash_near_duplicates(
+        docs, max_hamming=10, bands=4, hash_fn="md5")
 
 
 def q_text_langid(spark, sf_dir):
@@ -1185,10 +1201,12 @@ def q_text_langid(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Winnowing-style rolling-hash fingerprint -> rows-only
-    (xxhash64-specific). Uses the posexplode+window form (codegen'd)."""
+    """Winnowing-style rolling-hash fingerprint, oracle-checked: the
+    md5-mode token hash makes the rolling polynomial reproducible in
+    DuckDB (``oracles.fingerprint_sql``). Uses the posexplode+window
+    form (codegen'd)."""
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.fingerprints(docs)
+    return text_ops.fingerprints(docs, hash_fn="md5")
 
 
 def q_quantiles_order_price(spark, sf_dir):
@@ -1401,18 +1419,32 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_knn_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate KNN -> rows-only (hash-family specific)."""
+    """LSH-bucketed approximate KNN, oracle-checked: the hyperplanes are
+    literal constants, so DuckDB reproduces the buckets, candidate sets,
+    and cosines exactly (``oracles.knn_lsh_sql``)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def q_knn_ivf_topk(spark, sf_dir):
-    """IVF (k-means cell) approximate KNN -> rows-only (kmeans-specific
-    cell assignment has no ANSI-SQL equivalent)."""
+    """IVF approximate KNN with deterministic centroids (the vectors of
+    the 8 lowest vec_ids — FAISS's pre-trained-quantizer mode), making
+    cell assignment and probing reproducible in DuckDB
+    (``oracles.knn_ivf_sql``). The KMeans-fit path stays the default for
+    production use; this query exercises the probe machinery."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    w = Window.orderBy("vec_id")
+    cents = (emb.orderBy("vec_id").limit(8)
+             .select((F.row_number().over(w) - 1).alias("_cell"),
+                     similarity.as_double(F.col("embedding")).alias("_center")))
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -1516,8 +1548,12 @@ ORACLES: dict[str, str] = {
     "array_agg_priorities": SQL_ARRAY_AGG,
     "text_langid": SQL_TEXT_LANGID,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
-    # rows-only (non-SQL-expressible, xxhash64/kmeans-specific):
-    # dedup_minhash_pairs, dedup_simhash_pairs, dedup_corpus_survivors,
-    # text_fingerprint, knn_lsh_topk, knn_ivf_topk, embedding_near_dups,
-    # multimodal_features
+    "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
+    "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),
+    "dedup_corpus_survivors": oracles.corpus_survivors_sql(threshold=0.5),
+    "text_fingerprint": oracles.fingerprint_sql(),
+    "knn_lsh_topk": oracles.knn_lsh_sql(n_planes=4, k=5),
+    "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
+    # rows-only (genuinely non-SQL-expressible): multimodal_features
+    # (the sha256-float fake-decode runs in a Pandas UDF)
 }

@@ -91,35 +91,42 @@ class EntityTable:
             df = data_request.apply(df)
         return df
 
+    def _key_literals(self, components) -> list:
+        """Typed literal expressions for entity-id components — every
+        comparison/rendering happens with Spark's own casts, so bool,
+        double, and timestamp components match the stored values (a
+        Python ``str(c)`` renders e.g. True as 'True' where Spark casts
+        to 'true' — silent empty lookups)."""
+        fields = self.layout.row_key.spark_type().fields
+        if len(components) != len(fields):
+            raise ValueError(
+                f"expected {len(fields)} entity-id components "
+                f"({[f.name for f in fields]}), got {len(components)}")
+        return [F.lit(v).cast(f.dataType)
+                for f, v in zip(fields, components)]
+
+    def _bucket_of(self, lits) -> int:
+        """Bucket id for a point lookup, computed by the SAME Spark
+        expression pipeline as the write path (one 1-row local job —
+        constant cost, no table scan)."""
+        packed = F.concat_ws("\x00", *[l.cast("string") for l in lits])
+        expr = F.pmod(
+            F.crc32(self.layout.row_key.hash_of(packed)),
+            F.lit(self.n_buckets)).cast("int")
+        return self.spark.range(1).select(expr.alias("b")).first()["b"]
+
     def get(self, *components) -> DataFrame:
         """Point lookup by entity-id components: computes the key's
         bucket and filters on the partition column first, so the scan
         prunes to one bucket directory before touching row data."""
-        packed = "\x00".join(str(c) for c in components)
-        key = self.layout.row_key.key_expr()
+        lits = self._key_literals(components)
         raw = self.spark.read.parquet(self._data_path())
         if "_bucket" in raw.columns:
-            import zlib
-
-            hashed = self._hash_bytes(components)
-            bucket = zlib.crc32(hashed) % self.n_buckets
-            raw = raw.filter(F.col("_bucket") == bucket)
-        return raw.filter(key == F.lit(packed)).drop("_bucket")
-
-    def _hash_bytes(self, components) -> bytes:
-        """Driver-side mirror of RowKeySpec.hash_expr for bucket routing."""
-        import hashlib
-
-        packed = "\x00".join(str(c) for c in components).encode("utf-8")
-        fmt = self.layout.row_key.format
-        if fmt == "HASH":
-            return hashlib.md5(packed).digest()
-        if fmt == "HASH_PREFIX":
-            n = self.layout.row_key.hash_prefix_bytes
-            return bytes.fromhex(
-                hashlib.md5(packed).hexdigest()[: 2 * n]
-                + packed.hex())
-        return packed
+            raw = raw.filter(F.col("_bucket") == self._bucket_of(lits))
+        cond = F.lit(True)
+        for f, lit in zip(self.layout.row_key.spark_type().fields, lits):
+            cond = cond & (F.col(f"entity_id.{f.name}").eqNullSafe(lit))
+        return raw.filter(cond).drop("_bucket")
 
     # -- write --------------------------------------------------------------
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -431,11 +438,24 @@ class EntityTable:
             return row_df  # still fresh: no compute
         updated = producer.compile(row_df, context)
         new_cell = updated.first()[family][qualifier][0]
+        fam_type = self.layout.family(family).spark_type()
+        value_type = (fam_type.valueType if hasattr(fam_type, "valueType")
+                      else fam_type[qualifier].dataType
+                      ).elementType["value"].dataType
+        from pyspark.sql.types import StructType
+
+        # value travels typed and is rendered by Spark's cast — a Python
+        # str() would disagree with the cast for bool/double/timestamp
+        put_schema = (StructType()
+                      .add("entity_id", self.layout.row_key.spark_type(), False)
+                      .add("family", "string").add("qualifier", "string")
+                      .add("ts", "long").add("value", value_type))
         puts = self.spark.createDataFrame(
             [(tuple(first["entity_id"]), family, qualifier,
-              new_cell.ts, str(new_cell.value))],
-            f"entity_id {self.layout.row_key.spark_type().simpleString()}, "
-            "family string, qualifier string, ts long, value_str string")
+              new_cell.ts, new_cell.value)], put_schema)
+        puts = puts.select(
+            "entity_id", "family", "qualifier", "ts",
+            F.col("value").cast("string").alias("value_str"))
         self.merge_put(puts)
         return self.get(*components)
 

@@ -40,6 +40,21 @@ def test_asof_ties_pick_max_value(spark):
     assert out.first().v == 9.0  # deterministic tie-break
 
 
+def test_asof_match_is_one_row_not_per_column(spark):
+    """ASOF semantics: all value columns come from the single matched
+    right row — a NULL in one column of the newest right row must not be
+    backfilled from an older row, and a newer all-but-one-NULL row must
+    override an older complete one."""
+    left = spark.createDataFrame([(1, 30, "p")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 20, None, "new")],
+        "k long, t long, v double, s string")
+    out = asof_join(left, right, on="k", left_ts="t",
+                    value_cols=["v", "s"]).first()
+    assert out.s == "new"
+    assert out.v is None  # the matched row's v IS null; no column mixing
+
+
 def test_asof_preserves_left_count(spark):
     left, right = _sides(spark)
     assert asof_join(left, right, on="k", left_ts="t").count() == left.count()

@@ -233,6 +233,32 @@ def test_fresh_get_refreshes_stale_rows(spark, tmp_path):
     assert t.fresh_get(("nobody",), EmailLenProducer(), 1000).count() == 0
 
 
+def test_get_typed_components_not_python_rendered(spark, tmp_path):
+    """Point lookups on bool/double-typed key components must use Spark's
+    own rendering — Python str(True)='True' vs Spark 'true' silently
+    returned empty before."""
+    layout = TableLayout.from_json("""
+    {"name": "flags",
+     "row_key": {"format": "HASH",
+                 "components": [{"name": "flag", "type": "boolean"},
+                                {"name": "score", "type": "double"}]},
+     "families": [
+       {"name": "info", "kind": "group",
+        "columns": [{"name": "email", "schema": "string"}]}]}
+    """)
+    path = str(tmp_path / "tbool")
+    t = EntityTable.create(spark, path, layout, n_buckets=4)
+    rows = spark.createDataFrame(
+        [((True, 1e20), ([(1, "big@x")],)), ((False, 0.5), ([(1, "s@x")],))],
+        layout.spark_schema())
+    t.upsert_rows(rows)
+    got = t.get(True, 1e20).collect()
+    assert len(got) == 1
+    assert got[0].info.email[0].value == "big@x"
+    assert t.get(False, 0.5).count() == 1
+    assert t.get(True, 0.5).count() == 0
+
+
 def _data_file_digests(table_path):
     """{relative path: content digest} of every data file, per bucket dir."""
     import hashlib
