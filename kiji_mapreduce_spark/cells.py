@@ -90,6 +90,43 @@ def rewrite_values(cells: Column, fn) -> Column:
     )
 
 
+def convert_record(value: Column, src, dst, defaults: dict | None = None) -> Column:
+    """Avro-style record schema resolution as one Catalyst expression
+    (``KijiCellRewriter.java:250-269``: the reference decodes with the
+    writer schema and re-encodes with the reader schema):
+
+    - fields present in both: matched BY NAME (not position), value cast
+      to the target field type, recursing into nested records;
+    - fields only in ``dst``: filled from ``defaults`` (or null) — the
+      Avro reader-schema default;
+    - fields only in ``src``: dropped.
+
+    ``src``/``dst`` are StructTypes; a null source record stays null.
+    """
+    from pyspark.sql.types import StructType
+
+    defaults = defaults or {}
+    src_names = set(src.fieldNames())
+    parts = []
+    for f in dst.fields:
+        if f.name in src_names:
+            sub = value[f.name]
+            sub_src = src[f.name].dataType
+            if isinstance(f.dataType, StructType) and isinstance(sub_src, StructType):
+                sub = convert_record(
+                    sub, sub_src, f.dataType,
+                    defaults.get(f.name) if isinstance(
+                        defaults.get(f.name), dict) else None)
+            else:
+                sub = sub.cast(f.dataType)
+            parts.append(sub.alias(f.name))
+        else:
+            parts.append(F.lit(defaults.get(f.name)).cast(f.dataType)
+                         .alias(f.name))
+    return F.when(value.isNull(), F.lit(None).cast(dst)) \
+        .otherwise(F.struct(*parts))
+
+
 def cells_from_events(ts: Column, value: Column) -> Column:
     """groupBy aggregation expression building a versioned cell from
     (ts, value) event rows: ``collect_list(struct(ts, value))`` sorted

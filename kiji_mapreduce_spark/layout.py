@@ -27,15 +27,20 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    ByteType,
     DataType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
     MapType,
+    ShortType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # Avro primitive names -> Spark types (reference stores Avro-typed cells;
@@ -64,16 +69,107 @@ def cell_type(value_type: DataType) -> ArrayType:
     )
 
 
-def _resolve_type(schema: str | DataType) -> DataType:
+def _resolve_type(schema: str | dict | list | DataType) -> DataType:
+    """Resolve a cell schema declaration to a Spark type.
+
+    Accepted forms (mirroring the reference's Avro cell schemas,
+    ``KijiCellRewriter.java:250-269`` / ``cell-rewriter.avdl:23-52``):
+
+    - Avro primitive name: ``"long"``, ``"string"``, ... (+ ``counter``)
+    - Avro record dict: ``{"type": "record", "fields": [{"name": ...,
+      "type": ...}, ...]}``  -> struct (fields nullable)
+    - Avro array/map dict: ``{"type": "array", "items": ...}`` /
+      ``{"type": "map", "values": ...}``
+    - Avro optional union: ``["null", X]`` -> X (cells are nullable
+      already); multi-branch unions must be declared as a record of
+      optional fields (Spark has no native tagged union)
+    - a Spark ``DataType``, or a Spark DDL string
+      (``"struct<a:bigint,b:string>"``) — which is what ``to_json``
+      emits for programmatic types, so layouts round-trip
+    """
     if isinstance(schema, DataType):
         return schema
-    try:
-        return _AVRO_TO_SPARK[schema]
-    except KeyError:
+    if isinstance(schema, list):
+        branches = [s for s in schema if s != "null"]
+        if len(branches) == 1:
+            return _resolve_type(branches[0])
         raise ValueError(
-            f"unsupported cell schema {schema!r}; expected one of "
-            f"{sorted(_AVRO_TO_SPARK)} or a Spark DataType"
+            f"multi-branch union {schema!r}: declare a record of optional "
+            "fields instead (Spark has no tagged union)")
+    if isinstance(schema, dict):
+        kind = schema.get("type")
+        if kind == "record":
+            return StructType([
+                StructField(f["name"], _resolve_type(f["type"]), True)
+                for f in schema.get("fields", [])
+            ])
+        if kind == "array":
+            return ArrayType(_resolve_type(schema["items"]))
+        if kind == "map":
+            return MapType(StringType(), _resolve_type(schema["values"]))
+        raise ValueError(f"unsupported complex cell schema {schema!r}")
+    if schema in _AVRO_TO_SPARK:
+        return _AVRO_TO_SPARK[schema]
+    try:
+        return _parse_simple_string(schema)
+    except Exception:
+        raise ValueError(
+            f"unsupported cell schema {schema!r}; expected an Avro "
+            f"primitive ({sorted(_AVRO_TO_SPARK)}), a record/array/map "
+            "dict, a Spark DataType, or a Spark simpleString type"
         ) from None
+
+
+_SIMPLE_PRIMITIVES: dict[str, DataType] = {
+    "tinyint": ByteType(), "smallint": ShortType(), "int": IntegerType(),
+    "bigint": LongType(), "float": FloatType(), "double": DoubleType(),
+    "string": StringType(), "boolean": BooleanType(), "binary": BinaryType(),
+    "date": DateType(), "timestamp": TimestampType(),
+}
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside <...> or (...)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _parse_simple_string(s: str) -> DataType:
+    """Parse Spark ``DataType.simpleString()`` syntax without a session
+    (``DataType.fromDDL`` needs a live JVM; layouts must parse at import
+    / CLI time). Covers what ``to_json`` can emit: primitives,
+    decimal(p,s), struct<...>, array<...>, map<...>."""
+    s = s.strip()
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top_level(s[len("struct<"):-1]):
+            name, _, sub = part.partition(":")
+            fields.append(StructField(name.strip(),
+                                      _parse_simple_string(sub), True))
+        return StructType(fields)
+    if s.startswith("array<") and s.endswith(">"):
+        return ArrayType(_parse_simple_string(s[len("array<"):-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        k, v = _split_top_level(s[len("map<"):-1])
+        return MapType(_parse_simple_string(k), _parse_simple_string(v))
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = s[len("decimal("):-1].split(",")
+        return DecimalType(int(p), int(sc))
+    if s == "decimal":
+        return DecimalType()
+    return _SIMPLE_PRIMITIVES[s]  # KeyError -> ValueError upstream
 
 
 @dataclass
@@ -212,8 +308,10 @@ class TableLayout:
         return cls(name=d["name"], row_key=row_key, families=families)
 
     def to_json(self) -> str:
-        def _type_name(t: str | DataType) -> str:
-            return t if isinstance(t, str) else t.simpleString()
+        def _type_name(t: str | dict | list | DataType):
+            # str/dict/list declarations pass through as-is; programmatic
+            # DataTypes serialize to DDL, which _resolve_type parses back
+            return t if isinstance(t, (str, dict, list)) else t.simpleString()
 
         return json.dumps({
             "name": self.name,

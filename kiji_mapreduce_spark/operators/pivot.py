@@ -52,12 +52,26 @@ class CellRewriter(Pivoter):
     ``rules`` maps type-name -> type-name (e.g. {"int": "long"}); chains
     (int->long->double) are resolved transitively up front, with cycle
     detection, then applied as a single cast preserving timestamps.
+
+    Record-typed cells (``KijiCellRewriter.java:250-269`` converts between
+    record schemas with Avro reader/writer resolution): pass
+    ``record_target`` (a StructType or any layout cell-schema declaration)
+    and optional ``record_defaults`` for fields new in the target; fields
+    are matched by name, dropped fields discarded, timestamps preserved.
     """
 
-    def __init__(self, column: str, rules: dict[str, str], conf=None):
+    def __init__(self, column: str, rules: dict[str, str] | None = None,
+                 conf=None, record_target=None,
+                 record_defaults: dict | None = None):
         super().__init__(conf)
         self.column = column
-        self.rules = dict(rules)
+        self.rules = dict(rules or {})
+        if record_target is not None:
+            from kiji_mapreduce_spark.layout import _resolve_type
+
+            record_target = _resolve_type(record_target)
+        self.record_target = record_target
+        self.record_defaults = record_defaults
 
     def _final_type(self, start: str) -> str:
         seen, cur = {start}, start
@@ -75,16 +89,30 @@ class CellRewriter(Pivoter):
         return rewrite_values(cells, lambda v: v.cast(to_type))
 
     def pivot_df(self, df: DataFrame, context: OperatorContext) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        from kiji_mapreduce_spark.cells import convert_record
+
         family, _, qualifier = self.column.partition(":")
         target = f"{family}.{qualifier}" if qualifier else family
         cells_col = F.col(target)
         # current value type, from the schema
         fam_type = df.schema[family].dataType
         if qualifier:
-            cur = fam_type[qualifier].dataType.elementType["value"].dataType.simpleString()
+            cur_type = fam_type[qualifier].dataType.elementType["value"].dataType
         else:
-            cur = fam_type.elementType["value"].dataType.simpleString()
-        rewritten = self.rewrite_column(cells_col, cur)
+            cur_type = fam_type.elementType["value"].dataType
+        if self.record_target is not None:
+            if not isinstance(cur_type, StructType):
+                raise TypeError(
+                    f"record_target set but column {self.column!r} holds "
+                    f"{cur_type.simpleString()}, not a record")
+            rewritten = rewrite_values(
+                cells_col,
+                lambda v: convert_record(v, cur_type, self.record_target,
+                                         self.record_defaults))
+        else:
+            rewritten = self.rewrite_column(cells_col, cur_type.simpleString())
         if qualifier:
             return df.withColumn(family, F.col(family).withField(qualifier, rewritten))
         return df.withColumn(family, rewritten)

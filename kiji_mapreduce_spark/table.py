@@ -26,6 +26,17 @@ from kiji_mapreduce_spark.layout import TableLayout
 _LAYOUT_FILE = "_kiji_layout.json"
 
 
+def _parse_value(value_str, value_type):
+    """Decode a put's string value to the column's declared type: plain
+    cast for primitives, JSON for record/array/map cells (the Avro-decode
+    step of the reference's put path collapsed to from_json)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(value_type, (StructType, ArrayType, MapType)):
+        return F.from_json(value_str, value_type)
+    return value_str.cast(value_type)
+
+
 class EntityTable:
     """A layout-typed entity table at a filesystem path."""
 
@@ -260,7 +271,8 @@ class EntityTable:
                             p["qualifier"],
                             cell_fns.put_cell(
                                 F.try_element_at(acc, p["qualifier"]),
-                                p["ts"], p["value_str"].cast(value_type)))),
+                                p["ts"],
+                                _parse_value(p["value_str"], value_type)))),
                 )
                 merged = merged.withColumn(fam.name, updated_map)
                 continue
@@ -286,7 +298,7 @@ class EntityTable:
                     F.coalesce(matching, F.array()),
                     fam_struct[col.name],
                     lambda acc, p: cell_fns.put_cell(
-                        acc, p["ts"], p["value_str"].cast(value_type)),
+                        acc, p["ts"], _parse_value(p["value_str"], value_type)),
                 )
                 fam_struct = fam_struct.withField(col.name, updated)
             merged = merged.withColumn(fam.name, fam_struct)

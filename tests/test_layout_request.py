@@ -45,7 +45,55 @@ def test_bad_cell_schema():
     with pytest.raises(ValueError, match="unsupported cell schema"):
         TableLayout.from_json(
             '{"name": "x", "families": [{"name": "f", "columns":'
-            ' [{"name": "c", "schema": "decimal"}]}]}'
+            ' [{"name": "c", "schema": "not_a_type"}]}]}'
+        ).spark_schema()
+
+
+RECORD_LAYOUT_JSON = """
+{"name": "profiles",
+ "row_key": {"format": "HASH",
+             "components": [{"name": "key", "type": "string"}]},
+ "families": [
+   {"name": "info", "kind": "group",
+    "columns": [
+      {"name": "contact", "schema":
+        {"type": "record", "name": "Contact", "fields": [
+          {"name": "email", "type": "string"},
+          {"name": "zips", "type": {"type": "array", "items": "int"}},
+          {"name": "home", "type": {"type": "record", "name": "Addr",
+            "fields": [{"name": "city", "type": "string"},
+                       {"name": "opt", "type": ["null", "long"]}]}}]}},
+      {"name": "n_logins", "schema": "counter"}]}]}
+"""
+
+
+def test_layout_record_cell_schema_and_roundtrip():
+    """The JSON dialect declares nested Avro record/array/union cell
+    schemas (reference stores IndexedRecord cells,
+    AvroRecordKeyValueStore.java:84); layouts with them round-trip."""
+    layout = TableLayout.from_json(RECORD_LAYOUT_JSON)
+    contact = layout.spark_schema()["info"].dataType["contact"].dataType
+    assert contact.simpleString() == (
+        "array<struct<ts:bigint,value:struct<email:string,"
+        "zips:array<int>,home:struct<city:string,opt:bigint>>>>")
+    again = TableLayout.from_json(layout.to_json())
+    assert again.spark_schema() == layout.spark_schema()
+
+
+def test_layout_spark_ddl_cell_schema():
+    """Programmatic Spark types serialize to DDL and parse back."""
+    layout = TableLayout.from_json(
+        '{"name": "x", "families": [{"name": "f", "columns":'
+        ' [{"name": "c", "schema": "struct<a:bigint,b:array<double>>"}]}]}')
+    assert layout.spark_schema()["f"].dataType["c"].dataType.simpleString() \
+        == "array<struct<ts:bigint,value:struct<a:bigint,b:array<double>>>>"
+
+
+def test_multi_branch_union_rejected():
+    with pytest.raises(ValueError, match="union"):
+        TableLayout.from_json(
+            '{"name": "x", "families": [{"name": "f", "columns":'
+            ' [{"name": "c", "schema": ["int", "string"]}]}]}'
         ).spark_schema()
 
 

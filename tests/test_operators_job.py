@@ -170,6 +170,35 @@ def test_cell_rewriter_applies(spark):
     assert (cell.ts, cell.value) == (10, 5)
 
 
+def test_cell_rewriter_record_to_record(spark):
+    """Record-schema migration (KijiCellRewriter.java:250-269): fields
+    matched by name, new field from default, dropped field discarded,
+    nulls and timestamps preserved."""
+    df = spark.createDataFrame(
+        [(1, ([(10, (5, "old")), (20, None)],))],
+        "id int, fam struct<c:array<struct<ts:long,"
+        "value:struct<n:int,legacy:string>>>>")
+    target = {"type": "record", "name": "V2", "fields": [
+        {"name": "n", "type": "long"},
+        {"name": "tag", "type": "string"},
+    ]}
+    out = CellRewriter("fam:c", record_target=target,
+                       record_defaults={"tag": "v2"}).compile(df)
+    assert dict(out.dtypes)["fam"] == (
+        "struct<c:array<struct<ts:bigint,value:struct<n:bigint,tag:string>>>>")
+    cells = out.first().fam.c
+    assert (cells[0].ts, cells[0].value.n, cells[0].value.tag) == (10, 5, "v2")
+    assert cells[1].ts == 20 and cells[1].value is None  # null stays null
+
+
+def test_cell_rewriter_record_target_on_primitive_raises(spark):
+    df = spark.createDataFrame(
+        [(1, ([(10, 5)],))],
+        "id int, fam struct<c:array<struct<ts:long,value:int>>>")
+    with pytest.raises(TypeError, match="not a record"):
+        CellRewriter("fam:c", record_target="struct<n:bigint>").compile(df)
+
+
 class StatsMR(MapReduceOperator):
     def group_keys(self):
         return ["zip"]

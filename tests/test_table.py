@@ -259,6 +259,43 @@ def test_get_typed_components_not_python_rendered(spark, tmp_path):
     assert t.get(True, 0.5).count() == 0
 
 
+def test_record_typed_cells_roundtrip(spark, tmp_path):
+    """A layout declaring an Avro-record cell schema persists and reads
+    back through create/open (the descriptor round-trips the nested
+    type), and upserted record values survive."""
+    layout = TableLayout.from_json("""
+    {"name": "profiles",
+     "row_key": {"format": "FORMATTED",
+                 "components": [{"name": "key", "type": "string"}]},
+     "families": [
+       {"name": "info", "kind": "group",
+        "columns": [{"name": "contact", "schema":
+          {"type": "record", "name": "Contact", "fields": [
+            {"name": "email", "type": "string"},
+            {"name": "zip", "type": "int"}]}}]}]}
+    """)
+    path = str(tmp_path / "trec")
+    EntityTable.create(spark, path, layout, n_buckets=4)
+    t = EntityTable.open(spark, path)  # layout parsed back from disk
+    rows = spark.createDataFrame(
+        [((f"u{i}",), ([(1, (f"u{i}@x", 94110 + i))],)) for i in range(6)],
+        t.layout.spark_schema())
+    t.upsert_rows(rows)
+    got = t.get("u3").first().info.contact[0]
+    assert (got.ts, got.value.email, got.value.zip) == (1, "u3@x", 94113)
+    # incremental write path works on the record-typed table too
+    t.upsert_rows(spark.createDataFrame(
+        [(("u3",), ([(2, ("new@x", 10001))],))], t.layout.spark_schema()))
+    assert t.get("u3").first().info.contact[0].value.zip == 10001
+    assert t.read().count() == 6
+    # merge_put decodes JSON values for record cells
+    t.merge_put(_puts(spark, [
+        (("u0",), "info", "contact", 9,
+         '{"email": "json@x", "zip": 77}')]))
+    got = t.get("u0").first().info.contact[0]
+    assert (got.value.email, got.value.zip) == ("json@x", 77)
+
+
 def _data_file_digests(table_path):
     """{relative path: content digest} of every data file, per bucket dir."""
     import hashlib
