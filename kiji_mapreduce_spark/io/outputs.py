@@ -62,10 +62,13 @@ class JobOutput:
             (df.coalesce(n) if n else df).write.mode(self.mode) \
                 .format("avro").options(**self.options).save(self.path)
             return
-        if fmt in ("seq", "map"):
-            # SequenceFile/MapFile: K/V pairs via the RDD API
+        if fmt == "seq":
+            # SequenceFile: K/V pairs via the RDD API
             rdd = df.rdd.map(lambda r: (str(r[0]), str(r[1])))
             rdd.saveAsSequenceFile(self.path)
+            return
+        if fmt == "map":
+            write_mapfile(df, self.path, nsplits=n)
             return
         if fmt in ("kiji", "table", "parquet"):
             if fmt == "kiji" and os.path.exists(
@@ -159,6 +162,69 @@ def write_bucketed(df: DataFrame, table_name: str, keys: list[str],
     writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
     writer = writer.sortBy(*(sort_keys or keys))
     writer.saveAsTable(table_name)
+
+
+_MAPFILE_INDEX = "_mapfile_index.json"
+
+
+def write_mapfile(df: DataFrame, path: str, nsplits: int | None = None) -> None:
+    """MapFile-format output, Spark-first (``MapFileMapReduceJobOutput
+    .java:71``: "an indexed, sorted SequenceFile"): globally key-sorted
+    K/V sequence files plus a key-range index sidecar.
+
+    The Hadoop MapFile pairs a sorted ``data`` SequenceFile with an
+    ``index`` of sampled keys for binary-search lookup. The Spark
+    re-expression: range-partition on the key (so part files are
+    globally ordered), sort within each, and index each part file's
+    [min, max] key span — ``mapfile_lookup`` then prunes a point read to
+    one file, the same O(log n)-ish access the MapFile index bought.
+    First column = key, second = value, both rendered as strings (the
+    Text/Text MapFile case the reference emits).
+    """
+    import json
+
+    key, value = df.columns[0], df.columns[1]
+    kv = df.select(F.col(key).cast("string").alias("k"),
+                   F.col(value).cast("string").alias("v"))
+    n = nsplits or kv.rdd.getNumPartitions()
+    sorted_kv = kv.repartitionByRange(n, F.col("k")).sortWithinPartitions("k")
+
+    def _bounds(idx, it):
+        lo = hi = None
+        for k, _ in it:
+            if lo is None:
+                lo = hi = k
+            else:
+                hi = k if k > hi else hi
+                lo = k if k < lo else lo
+        if lo is not None:
+            yield (idx, lo, hi)
+
+    pair_rdd = sorted_kv.rdd.map(lambda r: (r["k"], r["v"]))
+    pair_rdd.saveAsSequenceFile(path)
+    bounds = sorted_kv.rdd.mapPartitionsWithIndex(_bounds).collect()
+    index = {f"part-{i:05d}": [lo, hi] for i, lo, hi in bounds}
+    with open(os.path.join(_strip_file_scheme(path), _MAPFILE_INDEX), "w") as f:
+        json.dump(index, f, indent=1, sort_keys=True)
+
+
+def mapfile_lookup(spark, path: str, key) -> list[str]:
+    """Point lookup against a ``write_mapfile`` output: consult the
+    index, read only the one part file whose key range covers ``key``
+    (the MapFile binary-search analogue), scan it for the key."""
+    import json
+
+    with open(os.path.join(_strip_file_scheme(path), _MAPFILE_INDEX)) as f:
+        index = json.load(f)
+    key = str(key)
+    hits = [part for part, (lo, hi) in index.items() if lo <= key <= hi]
+    if not hits:
+        return []
+    out = []
+    for part in hits:  # ranges only touch at boundaries: usually 1 file
+        rdd = spark.sparkContext.sequenceFile(os.path.join(path, part))
+        out.extend(v for k, v in rdd.filter(lambda kv: kv[0] == key).collect())
+    return out
 
 
 def _is_local_path(path: str) -> bool:

@@ -328,6 +328,103 @@ class EntityTable:
         else:
             self._rewrite_buckets(result, buckets)
 
+    def increment(self, increments: DataFrame) -> None:
+        """Counter increment (``KijiTableWriter.increment``; counter
+        columns in the reference layout dialect, e.g.
+        ``foo-test-rkf2.json:80``): add ``delta`` to the column's latest
+        value, recording the sum as a new version at ``ts``.
+
+        ``increments`` rows: (entity_id, family, qualifier, ts, delta).
+        Only columns DECLARED ``counter`` accept increments (same
+        contract as the reference, which throws on non-counter columns).
+        A missing/never-written cell increments from 0. Several deltas
+        for one cell in a batch are summed (one new version at the max
+        ts). Batch-atomic per bucket like every table write; the
+        bucket-scoped path keeps a single-row increment a one-bucket job.
+        """
+        # validate: every referenced (family, qualifier) is a counter.
+        # distinct set is bounded by the layout (group) / qualifier count
+        # (map) — a tiny driver action, like _affected_buckets.
+        refs = [(r["family"], r["qualifier"]) for r in
+                increments.select("family", "qualifier").distinct().collect()]
+        for fam_name, qual in refs:
+            fam = self.layout.family(fam_name)
+            declared = (fam.map_schema if fam.kind == "map" else next(
+                (c.schema for c in fam.columns if c.name == qual), None))
+            if declared != "counter":
+                raise ValueError(
+                    f"increment on non-counter column {fam_name}:{qual} "
+                    f"(declared {declared!r})")
+        buckets = (self._affected_buckets(increments)
+                   if self._is_bucket_partitioned() else None)
+        current = self.read() if buckets is None else self._read_buckets(buckets)
+        grouped = (
+            increments.withColumn("_k", self.layout.row_key.key_expr())
+            .groupBy("_k")
+            .agg(F.first("entity_id").alias("_eid"),
+                 F.collect_list(F.struct("family", "qualifier", "ts", "delta"))
+                 .alias("_incs")))
+        merged = current.withColumn(
+            "_k", self.layout.row_key.key_expr()).join(
+            grouped, on="_k", how="full_outer")
+        merged = merged.withColumn(
+            "entity_id", F.coalesce(F.col("entity_id"), F.col("_eid")))
+
+        def bumped(cells, matching):
+            """One new version: latest (or 0) + sum(deltas) @ max ts."""
+            delta = F.aggregate(matching, F.lit(0).cast("long"),
+                                lambda acc, i: acc + i["delta"])
+            ts = F.array_max(F.transform(matching, lambda i: i["ts"]))
+            new_val = F.coalesce(cell_fns.latest_value(cells), F.lit(0)) + delta
+            return F.when(F.size(matching) > 0,
+                          cell_fns.put_cell(cells, ts, new_val)) \
+                .otherwise(cells)
+
+        incs = F.coalesce(F.col("_incs"), F.array())
+        touched_fams = {f for f, _ in refs}
+        for fam in self.layout.families:
+            if fam.name not in touched_fams:
+                continue
+            if fam.kind == "map":
+                quals = [q for f, q in refs if f == fam.name]
+                base_map = F.coalesce(
+                    F.col(fam.name),
+                    F.map_from_arrays(F.array(), F.array()).cast(
+                        fam.spark_type()))
+                out = base_map
+                for q in quals:
+                    matching = F.filter(
+                        incs, lambda i: (i["family"] == fam.name)
+                        & (i["qualifier"] == q))
+                    out = F.when(
+                        F.size(matching) > 0,
+                        F.map_concat(
+                            F.map_filter(out, lambda k, _: k != q),
+                            F.create_map(
+                                F.lit(q),
+                                bumped(F.try_element_at(out, F.lit(q)),
+                                       matching)))
+                    ).otherwise(out)
+                merged = merged.withColumn(fam.name, out)
+                continue
+            fam_struct = F.coalesce(F.col(fam.name), F.struct(*[
+                F.lit(None).cast(fam.spark_type()[c.name].dataType)
+                .alias(c.name) for c in fam.columns]))
+            for col in fam.columns:
+                if (fam.name, col.name) not in refs:
+                    continue
+                matching = F.filter(
+                    incs, lambda i: (i["family"] == fam.name)
+                    & (i["qualifier"] == col.name))
+                fam_struct = fam_struct.withField(
+                    col.name, bumped(fam_struct[col.name], matching))
+            merged = merged.withColumn(fam.name, fam_struct)
+        result = merged.select(*[f.name for f in self.layout.spark_schema()])
+        if buckets is None:
+            self.overwrite(result)
+        else:
+            self._rewrite_buckets(result, buckets)
+
     def merge_delete(self, deletes: DataFrame) -> None:
         """Apply tombstones (DirectKijiTableWriterContext semantics,
         reference `:104-151`): rows of (entity_id, family, qualifier,

@@ -149,6 +149,34 @@ def test_stage_sorted_rolls_files_at_max_records(spark, tmp_path):
         assert len(vals) <= 30
 
 
+def test_mapfile_output_sorted_indexed(spark, tmp_path):
+    """'map' output is NOT a plain seq file (MapFileMapReduceJobOutput):
+    part files are globally key-ordered, keys sorted within each file,
+    and the index sidecar prunes a point lookup to one file."""
+    from kiji_mapreduce_spark.io.outputs import mapfile_lookup
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", f"v{i}") for i in range(100, 0, -1)],
+        "key string, value string")
+    path = str(tmp_path / "mapfile")
+    JobOutput("map", path, nsplits=4).save(df)
+
+    parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
+    assert len(parts) == 4
+    all_keys, prev_max = [], None
+    for p in parts:
+        ks = [k for k, _ in
+              spark.sparkContext.sequenceFile(f"{path}/{p}").collect()]
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            assert prev_max is None or prev_max <= ks[0]  # global order
+            prev_max = ks[-1]
+        all_keys.extend(ks)
+    assert len(all_keys) == 100
+    assert mapfile_lookup(spark, path, "k042") == ["v42"]
+    assert mapfile_lookup(spark, path, "nope") == []
+
+
 def test_partitioned_parquet_output(spark, tmp_path):
     df = spark.createDataFrame(
         [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-01", 3)],

@@ -259,6 +259,53 @@ def test_get_typed_components_not_python_rendered(spark, tmp_path):
     assert t.get(True, 0.5).count() == 0
 
 
+COUNTER_LAYOUT = TableLayout.from_json("""
+{"name": "stats",
+ "row_key": {"format": "FORMATTED",
+             "components": [{"name": "key", "type": "string"}]},
+ "families": [
+   {"name": "info", "kind": "group", "max_versions": 10,
+    "columns": [{"name": "visits", "schema": "counter"},
+                {"name": "email", "schema": "string"}]},
+   {"name": "tallies", "kind": "map", "map_schema": "counter",
+    "max_versions": 10}]}
+""")
+
+
+def _incs(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, delta long")
+
+
+def test_increment_counter_columns(spark, tmp_path):
+    """Counter increment (KijiTableWriter.increment): adds to the latest
+    value (0 for fresh cells), sums batch deltas, works on group and map
+    counter columns, rejects non-counter columns."""
+    import pytest
+
+    path = str(tmp_path / "tcnt")
+    t = EntityTable.create(spark, path, COUNTER_LAYOUT, n_buckets=4)
+    t.increment(_incs(spark, [
+        (("a",), "info", "visits", 10, 5),
+        (("a",), "info", "visits", 12, 2),   # same batch: summed @ ts 12
+        (("b",), "tallies", "clicks", 10, 7),
+    ]))
+    got = {r.entity_id.key: r for r in t.read().collect()}
+    assert [(c.ts, c.value) for c in got["a"].info.visits] == [(12, 7)]
+    assert [(c.ts, c.value) for c in got["b"].tallies["clicks"]] == [(10, 7)]
+    # second batch increments from the latest value, new version kept
+    t.increment(_incs(spark, [
+        (("a",), "info", "visits", 20, -3),
+        (("b",), "tallies", "clicks", 20, 1),
+    ]))
+    got = {r.entity_id.key: r for r in t.read().collect()}
+    assert [(c.ts, c.value) for c in got["a"].info.visits] == [(20, 4), (12, 7)]
+    assert got["b"].tallies["clicks"][0].value == 8
+    with pytest.raises(ValueError, match="non-counter"):
+        t.increment(_incs(spark, [(("a",), "info", "email", 30, 1)]))
+
+
 def test_record_typed_cells_roundtrip(spark, tmp_path):
     """A layout declaring an Avro-record cell schema persists and reads
     back through create/open (the descriptor round-trips the nested
