@@ -85,6 +85,46 @@ hs AS (SELECT {id_col}, list_transform(g, x -> {_md5h('x')}) AS h
        FROM grams)"""
 
 
+def decontaminate_sql(n: int = 3, modulus: int = 23, threshold: float = 0.5,
+                      source: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    """Mirror of decontaminate.ngram_overlap(hash_fn="md5") with
+    benchmark = rows where id % modulus == 0, candidates = the rest.
+    Same gram semantics as _shingle_cte (full n-grams; shorter docs keep
+    their single edge gram), distinct hashes per doc."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {_toks()} AS t, ({id_col} % {modulus} = 0) AS is_bench
+  FROM {source}
+),
+grams AS (
+  SELECT {id_col}, is_bench,
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+              i -> array_to_string(t[i : i + {n - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks WHERE len(t) >= 1
+),
+ex AS (
+  SELECT {id_col}, is_bench,
+         unnest(list_distinct(list_transform(g, x -> {_md5h('x')}))) AS h
+  FROM grams
+),
+bench AS (SELECT DISTINCT h FROM ex WHERE is_bench),
+cand AS (SELECT {id_col}, h FROM ex WHERE NOT is_bench),
+tot AS (SELECT {id_col}, count(*) AS n_grams FROM cand GROUP BY 1),
+hit AS (
+  SELECT {id_col}, count(*) AS n_hit
+  FROM cand WHERE h IN (SELECT h FROM bench) GROUP BY 1
+)
+SELECT tot.{id_col}, n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       round(coalesce(n_hit, 0) / n_grams, 4) AS overlap_frac,
+       round(coalesce(n_hit, 0) / n_grams, 4) >= {threshold} AS contaminated
+FROM tot LEFT JOIN hit USING ({id_col})
+"""
+
+
 def _minhash_pair_ctes(num_hashes: int, bands: int, n: int, seed: int,
                        source: str, id_col: str) -> str:
     """CTEs computing verified-candidate CTE ``scored`` =

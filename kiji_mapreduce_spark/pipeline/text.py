@@ -86,6 +86,106 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
     return F.coalesce(best["lang"], F.lit("und"))
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB/most engines): ASCII classes, \b, bounded repetition only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text",
+                 redacted_col: str = "redacted") -> DataFrame:
+    """Append PII counts (emails, phone numbers, IPv4 addresses) and a
+    redacted copy of the text with each match replaced by a typed token
+    (``[EMAIL]``/``[PHONE]``/``[IPV4]``, applied in that order).
+
+    Pure regexp built-ins — codegen'd, no shuffle; the standard
+    pre-training scrub pass. Patterns are deliberately cross-engine
+    (ASCII classes + word boundaries), so the op is oracle-checkable.
+    """
+    t = F.col(text_col)
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return (df
+            .withColumn("n_emails", F.regexp_count(t, F.lit(PII_PATTERNS["email"])))
+            .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PATTERNS["phone"])))
+            .withColumn("n_ipv4", F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"])))
+            .withColumn(redacted_col, red)
+            .withColumn("has_pii",
+                        (F.col("n_emails") + F.col("n_phones")
+                         + F.col("n_ipv4")) > 0))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        top_ns: tuple[int, ...] = (2, 3),
+                        dup_ns: tuple[int, ...] = (5,)) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    For each n in ``top_ns``: ``top{n}_frac`` — the character mass of the
+    most-repeated word n-gram (count x gram length) over the document's
+    normalized length (tokens joined by single spaces). For each n in
+    ``dup_ns``: ``dup{n}_frac`` — the character mass of all n-gram
+    occurrences whose gram appears more than once. High values flag
+    boilerplate/spam for training-data filtering (repetition rules in the
+    style of the Gopher quality heuristics).
+
+    Scale shape: one posexplode of tokens, every n's gram built in the
+    same window pass (lag over (id, pos) — codegen'd, one shuffle on id),
+    stack()ed to (id, n, gram) so all n share one (id, n, gram) count
+    aggregate. Only token positions and gram strings shuffle, never the
+    document text.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram_cols = []
+    for n in ns:
+        parts = [F.lag("tok", n - 1 - j).over(w) if j < n - 1 else F.col("tok")
+                 for j in range(n)]
+        gram = F.when(F.lag("tok", n - 1).over(w).isNotNull() | F.lit(n == 1),
+                      F.concat_ws(" ", *parts))
+        gram_cols.append(gram.alias(f"_g{n}"))
+    per_tok = ex.select(id_col, F.length("tok").alias("_tl"), *gram_cols)
+    norm = per_tok.groupBy(id_col).agg(
+        (F.sum("_tl") + F.count(F.lit(1)) - 1).alias("_norm_len"))
+    stacked = per_tok.select(
+        id_col,
+        F.expr("stack({}, {}) as (n, gram)".format(
+            len(ns), ", ".join(f"{n}, _g{n}" for n in ns)))
+    ).filter(F.col("gram").isNotNull())
+    counts = stacked.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    masses = counts.groupBy(id_col, "n").agg(
+        F.max(F.col("c") * F.length("gram")).alias("top_mass"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+              .otherwise(F.lit(0))).alias("dup_mass"))
+    pivots = [
+        F.max(F.when(F.col("n") == n, F.col("top_mass"))).alias(f"_top{n}")
+        for n in top_ns
+    ] + [
+        F.max(F.when(F.col("n") == n, F.col("dup_mass"))).alias(f"_dup{n}")
+        for n in dup_ns
+    ]
+    wide = masses.groupBy(id_col).agg(*pivots)
+    out = norm.join(wide, on=id_col, how="left")
+    fracs = [
+        F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0)) / F.col("_norm_len"),
+                4).alias(f"top{n}_frac")
+        for n in top_ns
+    ] + [
+        F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / F.col("_norm_len"),
+                4).alias(f"dup{n}_frac")
+        for n in dup_ns
+    ]
+    return out.select(id_col, *fracs)
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min polynomial
     hash over all ``window``-token shingles — robust to small edits at the

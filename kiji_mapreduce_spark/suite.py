@@ -27,7 +27,9 @@ from kiji_mapreduce_spark.operators import (
 )
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
-from kiji_mapreduce_spark.pipeline import dedup, similarity, text as text_ops
+from kiji_mapreduce_spark.pipeline import (
+    decontaminate, dedup, similarity, text as text_ops,
+)
 
 
 _SHIPPED_SESSIONS: set = set()
@@ -1209,6 +1211,138 @@ def q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprints(docs, hash_fn="md5")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: character mass of the
+    most-repeated word 2-/3-gram and of duplicated 5-grams, over the
+    normalized doc length. One explode + one (id, n, gram) count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_features(docs, top_ns=(2, 3), dup_ns=(5,))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         list_sum(list_transform(t, x -> length(x))) + len(t) - 1 AS norm_len
+  FROM toks WHERE len(t) >= 1
+),
+g AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, len(t) - n + 2),
+                i -> array_to_string(t[i : i + n - 1], ' '))) AS gram
+  FROM toks, (VALUES (2), (3), (5)) v(n)
+  WHERE len(t) >= n
+),
+c AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+),
+m AS (
+  SELECT doc_id, n,
+         max(c * length(gram)) AS top_mass,
+         coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
+           AS dup_mass
+  FROM c GROUP BY doc_id, n
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_mass END) AS top2,
+         max(CASE WHEN n = 3 THEN top_mass END) AS top3,
+         max(CASE WHEN n = 5 THEN dup_mass END) AS dup5
+  FROM m GROUP BY doc_id
+)
+SELECT norm.doc_id,
+       round(coalesce(top2, 0) / norm_len, 4) AS top2_frac,
+       round(coalesce(top3, 0) / norm_len, 4) AS top3_frac,
+       round(coalesce(dup5, 0) / norm_len, 4) AS dup5_frac
+FROM norm LEFT JOIN wide ON norm.doc_id = wide.doc_id
+"""
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scrub: regex-count emails / phones / IPv4s and hash the
+    typed-token redaction. The driver's customer table carries no contact
+    columns, so deterministic PII is synthesized from the keys (email for
+    every 3rd customer, phone every 2nd, IP every 5th) — giving the
+    patterns real positive AND negative rows; patterns are
+    Java-regex/RE2-identical so the scrub is oracle-checkable."""
+    cust = _t(spark, sf_dir, "customer")
+    key, nat = F.col("c_custkey"), F.col("c_nationkey")
+    email = F.when(key % 3 == 0, F.concat(
+        F.lower(F.regexp_replace("c_name", r"[^A-Za-z0-9]", ".")),
+        F.lit("@example.com")))
+    phone = F.when(key % 2 == 0, F.concat(
+        F.lpad((nat % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"), F.lit("-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0")))
+    ip = F.when(key % 5 == 0, F.concat(
+        (key % 256).cast("string"), F.lit("."),
+        (nat % 256).cast("string"), F.lit(".0.1")))
+    blob = cust.select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment"),
+                    email, phone, ip).alias("text"))
+    return text_ops.pii_features(blob).select(
+        "c_custkey", "n_emails", "n_phones", "n_ipv4",
+        F.md5("redacted").alias("redacted_digest"), "has_pii")
+
+
+SQL_TEXT_PII = r"""
+WITH blob AS (
+  SELECT c_custkey,
+         concat_ws(' ', c_name, c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0 THEN
+             lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+             || '@example.com' END,
+           CASE WHEN c_custkey % 2 = 0 THEN
+             lpad((c_nationkey % 100)::VARCHAR, 2, '0') || '-'
+             || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-555-'
+             || lpad((c_custkey % 10000)::VARCHAR, 4, '0') END,
+           CASE WHEN c_custkey % 5 = 0 THEN
+             (c_custkey % 256)::VARCHAR || '.'
+             || (c_nationkey % 256)::VARCHAR || '.0.1' END) AS text
+  FROM customer
+)
+SELECT c_custkey,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text,
+      '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'))
+    AS redacted_digest,
+  (len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text,
+       '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b'))
+   + len(regexp_extract_all(text,
+       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
+FROM blob
+"""
+
+
+def q_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: every 23rd document plays the eval set;
+    the rest are scored by the fraction of their distinct 3-gram hashes
+    found in the benchmark union (broadcast semi-join probe — the corpus
+    side never shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate.ngram_overlap(
+        cand, bench, n=3, hash_fn="md5", threshold=0.5)
+
+
 def q_quantiles_order_price(spark, sf_dir):
     """Exact interpolated percentiles per group (absent in the reference;
     both engines use the same linear-interpolation definition)."""
@@ -1498,6 +1632,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_langid": q_text_langid,
+    "text_repetition": q_text_repetition,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "text_pii": q_text_pii,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1547,6 +1684,10 @@ ORACLES: dict[str, str] = {
     "pivot_wide_event_values": SQL_PIVOT_WIDE,
     "array_agg_priorities": SQL_ARRAY_AGG,
     "text_langid": SQL_TEXT_LANGID,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "decontaminate_overlap": oracles.decontaminate_sql(
+        n=3, modulus=23, threshold=0.5),
+    "text_pii": SQL_TEXT_PII,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

@@ -3,7 +3,9 @@
 import pytest
 from pyspark.sql import functions as F
 
-from kiji_mapreduce_spark.pipeline import dedup, multimodal, similarity
+from kiji_mapreduce_spark.pipeline import (
+    decontaminate, dedup, multimodal, similarity,
+)
 from kiji_mapreduce_spark.pipeline import text as text_ops
 
 DOCS = [
@@ -187,6 +189,55 @@ def test_language_id(spark):
     got = {r.doc_id: r.lang for r in df.select(
         "doc_id", text_ops.language_id(F.col("text")).alias("lang")).collect()}
     assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_pii_features(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.io or call 25-989-741-2988 from 10.0.0.1"),
+         (2, "nothing sensitive here at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.pii_features(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ipv4) == (1, 1, 1)
+    assert out[1].has_pii
+    assert out[1].redacted == "mail [EMAIL] or call [PHONE] from [IPV4]"
+    assert not out[2].has_pii and out[2].redacted == out[2].text
+
+
+def test_decontaminate_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # exact copy
+         (2, "the quick brown fox sat down quietly"),          # partial
+         (3, "parquet files and spark engines only here")],    # disjoint
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate.ngram_overlap(
+        cand, bench, n=3, threshold=0.5).collect()}
+    assert out[1].overlap_frac == 1.0 and out[1].contaminated
+    assert 0.0 < out[2].overlap_frac < 1.0 and not out[2].contaminated
+    assert out[3].overlap_frac == 0.0 and not out[3].contaminated
+    # n_grams = tokens - n + 1 for full-gram docs
+    assert out[1].n_grams == 9 - 3 + 1
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab"),          # one repeated token; every 2-gram is "ab ab"
+         (2, "a b c d e f g h"),      # no repetition at all
+         (3, "x y x y x y x y x y")], # 5-gram "x y x y x" repeats
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           text_ops.repetition_features(df, top_ns=(2,), dup_ns=(5,)).collect()}
+    # doc 1: norm_len=11, top 2-gram "ab ab" (len 5) occurs 3 times -> 15/11 capped? no cap: 1.3636
+    assert out[1].top2_frac == round(3 * 5 / 11, 4)
+    assert out[2].top2_frac == round(3 / 15, 4)  # every 2-gram unique, mass 1*3
+    assert out[2].dup5_frac == 0.0
+    assert out[3].dup5_frac > 0.5  # heavy 5-gram repetition
+    # doc shorter than n emits zero, not null
+    tiny = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    t = text_ops.repetition_features(tiny, top_ns=(2,), dup_ns=(5,)).first()
+    assert t.top2_frac == 0.0 and t.dup5_frac == 0.0
 
 
 def test_fingerprint_stability(spark, docs):
