@@ -3,6 +3,9 @@ own surface): deduplication, similarity search, text analysis, multimodal
 columns. All expression-first; Python only where semantics demand it.
 """
 
-from kiji_mapreduce_spark.pipeline import dedup, similarity, text, multimodal
+from kiji_mapreduce_spark.pipeline import (
+    decontaminate, dedup, multimodal, sample, similarity, text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["decontaminate", "dedup", "multimodal", "sample", "similarity",
+           "text"]

@@ -1,0 +1,116 @@
+"""Deterministic sampling and mixture weighting for training-data
+pipelines.
+
+Data mixing for pretraining needs *reproducible* subsets: the same
+corpus + seed must select the same rows on any cluster, any partition
+layout, any engine. Random() can't do that; a keyed hash can. All three
+ops here reduce to hash/aggregate built-ins — no shuffle beyond the
+aggregates themselves, nothing driver-side.
+
+- ``stratified_sample``  — per-stratum Bernoulli by key hash: keep a row
+  iff h(seed|key) mod 10000 < rate*10000. Filter only — no shuffle; at
+  100 TB this is a map-side pass that Catalyst folds into the scan.
+- ``stratum_topk``       — the k smallest key hashes per stratum: a
+  deterministic "reservoir" (exactly k rows per stratum, stable under
+  re-runs and re-partitioning). One shuffle on the stratum.
+- ``mixture_weights``    — per-source token totals and the sampling
+  weight that reshapes the corpus toward a target mixture (uniform by
+  default), normalized so the largest weight is 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+from kiji_mapreduce_spark.pipeline.text import token_count
+
+_BUCKETS = 10000
+
+
+def _key_unit(key_col: str, seed: int, hash_fn: str) -> "F.Column":
+    """Hash of (seed | key) folded to [0, 10000) — the sampling unit.
+    Keys should be string/int typed; the string rendering crosses
+    engines exactly for those (not for bool/float)."""
+    packed = F.concat_ws("|", F.lit(str(seed)),
+                         F.col(key_col).cast("string"))
+    return F.pmod(token_hash64(packed, hash_fn), F.lit(_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Keep each row iff its key hash lands under its stratum's rate.
+
+    Deterministic in the key alone — membership survives re-partitioning,
+    engine changes (``hash_fn="md5"``), and incremental re-runs, which is
+    what makes the sample auditable. Per-stratum thresholds are exact
+    integer bucket counts (rate * 10000), so a rate of 0.35 keeps
+    exactly the keys hashing below 3500.
+    """
+    u = _key_unit(key_col, seed, hash_fn)
+    thresh = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(rate * _BUCKETS))).otherwise(thresh)
+    return df.filter(u < thresh)
+
+
+def stratum_topk(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Exactly k rows per stratum: the k smallest key hashes, key as
+    tiebreak — a deterministic reservoir sample. Adds ``sample_rank``
+    (1..k). One shuffle on the stratum column."""
+    u = _key_unit(key_col, seed, hash_fn)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-group token totals and mixture sampling weights.
+
+    ``token_share`` is the group's fraction of corpus tokens;
+    ``sample_weight`` is (target share / token share) scaled so the
+    largest weight is 1 — i.e. the per-group keep probability that
+    reshapes the corpus toward ``target`` (uniform across observed
+    groups when omitted) without upsampling any group.
+
+    Shape: one grouped aggregate (map-side partial sums), then window
+    functions over the tiny per-group result — group counts are small
+    (sources, languages), so the single-partition window is safe.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
+    else:
+        tgt = F.lit(0.0)
+        for value, t in sorted(target.items()):
+            tgt = F.when(F.col(group_col) == value, F.lit(t)).otherwise(tgt)
+    raw = tgt / share
+    norm = raw / F.max(raw).over(w_all)
+    return per.select(
+        group_col, "n_docs", "n_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round(norm, 4).alias("sample_weight"))

@@ -28,7 +28,7 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    decontaminate, dedup, similarity, text as text_ops,
+    decontaminate, dedup, sample, similarity, text as text_ops,
 )
 
 
@@ -1343,6 +1343,72 @@ def q_decontaminate_overlap(spark, sf_dir):
         cand, bench, n=3, hash_fn="md5", threshold=0.5)
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample by md5 key hash —
+    membership is a pure function of (seed, doc_id), reproducible in any
+    engine and under any partitioning. Filter-only: no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample.stratified_sample(
+        docs, strata_col="lang", rates={"en": 0.5, "zh": 0.35},
+        default_rate=0.2, seed=42, hash_fn="md5",
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3500 ELSE 2000 END
+"""
+
+
+def q_sample_stratum_topk(spark, sf_dir):
+    """Deterministic reservoir: exactly 3 docs per language — the 3
+    smallest key hashes, stable under re-partitioning and re-runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample.stratum_topk(
+        docs, strata_col="lang", k=3, seed=42, hash_fn="md5",
+    ).select("doc_id", "lang", "sample_rank")
+
+
+SQL_SAMPLE_STRATUM_TOPK = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 10000, doc_id) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 3
+"""
+
+
+def q_mixture_token_budget(spark, sf_dir):
+    """Per-source token totals + the sampling weight that reshapes the
+    corpus toward a uniform source mixture (largest weight pinned to 1):
+    one grouped agg, windows over the tiny per-source result."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample.mixture_weights(docs, group_col="source")
+
+
+SQL_MIXTURE_TOKEN_BUDGET = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / sum(n_tokens) OVER () AS share,
+         (1.0 / count(*) OVER ()) / (n_tokens / sum(n_tokens) OVER ()) AS raw
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 4) AS token_share,
+       round(raw / max(raw) OVER (), 4) AS sample_weight
+FROM s
+"""
+
+
 def q_quantiles_order_price(spark, sf_dir):
     """Exact interpolated percentiles per group (absent in the reference;
     both engines use the same linear-interpolation definition)."""
@@ -1635,6 +1701,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "decontaminate_overlap": q_decontaminate_overlap,
     "text_pii": q_text_pii,
+    "sample_stratified": q_sample_stratified,
+    "sample_stratum_topk": q_sample_stratum_topk,
+    "mixture_token_budget": q_mixture_token_budget,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1688,6 +1757,9 @@ ORACLES: dict[str, str] = {
     "decontaminate_overlap": oracles.decontaminate_sql(
         n=3, modulus=23, threshold=0.5),
     "text_pii": SQL_TEXT_PII,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_stratum_topk": SQL_SAMPLE_STRATUM_TOPK,
+    "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark.pipeline import (
-    decontaminate, dedup, multimodal, similarity,
+    decontaminate, dedup, multimodal, sample, similarity,
 )
 from kiji_mapreduce_spark.pipeline import text as text_ops
 
@@ -189,6 +189,50 @@ def test_language_id(spark):
     got = {r.doc_id: r.lang for r in df.select(
         "doc_id", text_ops.language_id(F.col("text")).alias("lang")).collect()}
     assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"text {i}") for i in range(200)],
+        "doc_id long, lang string, text string")
+    kept = sample.stratified_sample(
+        df, strata_col="lang", rates={"en": 0.5}, default_rate=0.1)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # deterministic: same result on a re-run and under other partitioning
+    again = sorted(r.doc_id for r in sample.stratified_sample(
+        df.repartition(7), strata_col="lang",
+        rates={"en": 0.5}, default_rate=0.1).collect())
+    assert ids == again and 0 < len(ids) < 200
+    # en kept at a much higher rate than de
+    langs = {r.doc_id: r.lang for r in df.collect()}
+    n_en = sum(1 for i in ids if langs[i] == "en")
+    assert n_en > (len(ids) - n_en)
+
+
+def test_stratum_topk_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"text {i}") for i in range(50)],
+        "doc_id long, lang string, text string")
+    out = sample.stratum_topk(df, strata_col="lang", k=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert sorted(by_lang["en"]) == [1, 2, 3]
+    assert sorted(by_lang["de"]) == [1, 2, 3]
+
+
+def test_mixture_weights_uniform_target(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "one two three four"), (2, "a", "five six seven eight"),
+         (3, "b", "just two")],
+        "doc_id long, source string, text string")
+    out = {r.source: r for r in sample.mixture_weights(df).collect()}
+    assert out["a"].n_tokens == 8 and out["b"].n_tokens == 2
+    assert out["a"].token_share == 0.8
+    # the under-represented source gets the max weight (1.0); the
+    # over-represented one is downsampled proportionally: (0.5/0.8)/(0.5/0.2)
+    assert out["b"].sample_weight == 1.0
+    assert out["a"].sample_weight == 0.25
 
 
 def test_pii_features(spark):
