@@ -249,11 +249,62 @@ def minhash_dedup(
     threshold: float = 0.8, hash_fn: str = "xx",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-    Returns verified near-duplicate pairs (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn)
-    return ngram_jaccard_pairs(
-        df, cands, text_col, id_col, shingle_n, threshold, hash_fn)
+    Returns verified near-duplicate pairs (id_a, id_b, jaccard).
+
+    The signature mins and the exact shingle set come out of ONE
+    groupBy(id) over ONE shingle-hash pass, materialized once with an
+    eager localCheckpoint because the plan is a diamond: the banding
+    branch and both verify joins read it. Without it, Spark re-executes
+    the shingle scan + hash + aggregate once per branch — 3x the
+    dominant cost. (localCheckpoint rather than persist(): cache()d
+    plans freeze their pre-AQE 200-partition layout, while the
+    checkpoint job runs with AQE coalescing and stores the compacted
+    result. At 100 TB the checkpoint is |corpus| rows of
+    (id, 32 longs, set) — orders smaller than the text it replaces.)
+    """
+    rows = num_hashes // bands
+    hashed = shingle_hashes(df, text_col, id_col, shingle_n, hash_fn)
+    hm = F.pmod(F.col("_h"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(hm * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ] + [F.collect_set("_h").alias("_sh")]
+    sig_sets = (hashed.groupBy(id_col).agg(*aggs)
+                .localCheckpoint(eager=True))
+
+    def _bucket(b):
+        joined = F.concat_ws(
+            ",", *[F.col(f"m{b * rows + r}").cast("string")
+                   for r in range(rows)])
+        return F.xxhash64(joined) if hash_fn == "xx" else joined
+
+    band_entries = sig_sets.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a_e, b_e = band_entries.alias("a"), band_entries.alias("b")
+    cands = (
+        a_e.join(b_e, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = sig_sets.select(id_col, "_sh")
+    return (
+        cands
+        .join(sets.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("_sh", "_sh_a"), on="id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("_sh", "_sh_b"), on="id_b")
+        .select("id_a", "id_b",
+                jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # -- embedding cosine near-dup ----------------------------------------------
