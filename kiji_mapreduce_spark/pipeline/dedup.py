@@ -352,7 +352,9 @@ def embedding_lsh_candidates(
 
     entries = embeddings.select(
         F.col(id_col),
-        F.posexplode(_band_buckets(vec_col)).alias("band", "bucket"))
+        F.posexplode(_band_buckets(vec_col)).alias("band", "bucket")) \
+        .localCheckpoint(eager=True)  # feeds both sides of the self-join:
+    # without it the Arrow-UDF matmul pass runs twice
     a, bb = entries.alias("a"), entries.alias("b")
     return (
         a.join(bb, on=["band", "bucket"])
@@ -548,8 +550,12 @@ def simhash_near_duplicates(
     band (pigeonhole), so candidates come from an equi-join on a band
     value — no cross join. Returns (id_a, id_b, hamming)."""
     width = 64 // bands
+    # the fingerprint agg feeds both sides of the band self-join;
+    # materialize it once (same diamond as minhash_dedup — without this
+    # the token scan + 64-bit-vote agg executes twice)
     with_h = simhash_fingerprints(df, text_col, id_col, hash_fn) \
-        .withColumnRenamed("simhash", "_sh")
+        .withColumnRenamed("simhash", "_sh") \
+        .localCheckpoint(eager=True)
     entries = with_h.select(
         id_col, "_sh",
         F.explode(F.array(*[
