@@ -93,6 +93,26 @@ def stream_into_table(
     return writer.start()
 
 
+def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
+                       ts_col: str = "ts", watermark: str = "24 hours",
+                       digest_col: str = "digest") -> DataFrame:
+    """Streaming exact dedup: emit only the first-seen copy of each
+    content digest — the streaming twin of
+    ``dedup.drop_exact_duplicates`` for continuous ingest.
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on the digest
+    and expires entries once the watermark passes them, so state is
+    bounded by (dedup horizon x ingest rate), not corpus size — the only
+    formulation that survives an unbounded 100 TB/day stream. A
+    duplicate arriving later than ``watermark`` after its first copy
+    can re-emit; pick the horizon accordingly.
+    """
+    return (stream_df
+            .withColumn(digest_col, F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([digest_col]))
+
+
 _LATEST_STATE_SCHEMA = "ts long, value double"
 _LATEST_OUT_SCHEMA = "key long, ts long, value double"
 

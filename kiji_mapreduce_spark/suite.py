@@ -1051,6 +1051,43 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_streaming_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup of a document stream: watermarked
+    first-seen-wins on the content digest
+    (``dropDuplicatesWithinWatermark`` — state bounded by the horizon,
+    not corpus size). Which physical row survives a duplicate group is
+    arbitrary, so the query emits only digest-determined columns; the
+    oracle is the batch DISTINCT — stream/batch consistency is the
+    check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import stream_dedup_exact
+
+    static = _t(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .load(sf_dir))
+    # synthetic event time for the watermark (documents carry none);
+    # offset from epoch: the initial watermark is epoch 0 and an event
+    # time of exactly 0 (doc_id=0) would be dropped as late
+    stream = stream.withColumn(
+        "_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000)))
+    deduped = stream_dedup_exact(stream, ts_col="_ts")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "digest", F.length("text").alias("n_chars_txt"))
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT md5(text) AS digest, length(text) AS n_chars_txt
+FROM documents
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: per-user sessions with a 30-minute inactivity gap
     via ``session_window`` (the batch form of the streaming session
@@ -1704,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
     "mixture_token_budget": q_mixture_token_budget,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1760,6 +1798,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_stratum_topk": SQL_SAMPLE_STRATUM_TOPK,
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
+    "streaming_dedup_docs": SQL_STREAMING_DEDUP,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

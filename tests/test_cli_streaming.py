@@ -196,6 +196,28 @@ def test_windowed_aggregate_stream(spark, tmp_path):
     assert got == {(0, 2), (1, 1)}
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Watermarked streaming dedup keeps one copy per content digest."""
+    from kiji_mapreduce_spark.streaming import stream_dedup_exact
+
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:05:00Z", "text": "same words"},
+        {"ts": "2024-01-01T00:06:00Z", "text": "same words"},
+        {"ts": "2024-01-01T00:07:00Z", "text": "other words"},
+    ])
+    stream = spark.readStream.schema("ts timestamp, text string").json(src)
+    deduped = stream_dedup_exact(stream, watermark="1 hour")
+    out = []
+    q = (deduped.writeStream.outputMode("append")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd")).start())
+    q.awaitTermination(60)
+    texts = sorted(r.text for r in out)
+    assert texts == ["other words", "same words"]
+    assert all(r.digest for r in out)
+
+
 def test_stream_into_table(spark, tmp_path):
     """Streamed puts merge into an entity table batch by batch."""
     import json as _json
