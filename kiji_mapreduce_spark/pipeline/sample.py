@@ -79,6 +79,53 @@ def stratum_topk(
             .filter(F.col("sample_rank") <= k))
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_shards: int = 1,
+    seed: int = 42,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing
+    for pretraining batches).
+
+    Within each (group, shard), documents are ordered by key hash (a
+    deterministic shuffle) and concatenated into one token stream;
+    ``pack_id = floor(running_tokens_before / budget)`` and
+    ``pack_offset`` locate each document's start in that stream — the
+    concat-then-chunk packing used for pretraining sequence batches
+    (documents may straddle a pack boundary, exactly as the token
+    stream does).
+
+    Scale shape: one window per (group, shard). Sharding exists because
+    a per-group window is one task — 20 sources over 100 TB would give
+    20 straggler tasks; ``n_shards`` splits each group into independent
+    hash shards packed in parallel (packs never span shards, which
+    costs at most one partially-filled pack per shard).
+    """
+    u = _key_unit(key_col, seed, hash_fn)
+    shard = F.pmod(token_hash64(
+        F.concat_ws("|", F.lit(f"shard{seed}"),
+                    F.col(key_col).cast("string")), hash_fn),
+        F.lit(n_shards))
+    toks = token_count(F.col(text_col))
+    base = df.select(
+        F.col(key_col), F.col(group_col), shard.alias("_shard"),
+        toks.alias("n_tokens"), u.alias("_u"))
+    w = (Window.partitionBy(group_col, "_shard")
+         .orderBy("_u", key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        key_col, group_col, "n_tokens",
+        F.col("_shard").alias("shard"),
+        F.floor(before / budget).alias("pack_id"),
+        F.pmod(before, F.lit(budget)).alias("pack_offset"))
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "source",

@@ -1051,6 +1051,141 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing: deterministic hash order per (source, shard),
+    cumulative token counts chunked into 512-token packs. 4 shards per
+    source keep the windows parallel (a straggler-avoidance shape that
+    matters at 100 TB, exercised here)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample.pack_documents(
+        docs, budget=512, n_shards=4, seed=42, hash_fn="md5")
+
+
+SQL_PACK_DOCUMENTS = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS u,
+         ('0x' || substr(md5('shard42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 4 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM base
+)
+SELECT doc_id, source, n_tokens, shard,
+       floor(before / 512)::BIGINT AS pack_id,
+       before % 512 AS pack_offset
+FROM c
+"""
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """The flagship LLM-data curation chain, end to end: quality filter
+    -> exact dedup -> benchmark decontamination -> stratified sample.
+    Each stage is an engine operator; the oracle recomputes the same
+    chain in SQL. Emits the surviving doc ids with their stage stats."""
+    docs = _t(spark, sf_dir, "documents")
+    # 1. quality: keep docs with a passing composite score
+    quality = text_ops.quality_features(docs).filter(
+        F.col("quality_score") >= 0.8)
+    # 2. exact dedup (min-id survivor per digest)
+    deduped = dedup.drop_exact_duplicates(quality.select(
+        "doc_id", "text", "lang", "source", "n_tokens", "quality_score"))
+    # 3. decontamination vs the doc_id%23 benchmark split
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = deduped.filter(F.col("doc_id") % 23 != 0)
+    overlap = decontaminate.ngram_overlap(
+        cand, bench, n=3, hash_fn="md5", threshold=0.5)
+    clean = cand.join(
+        overlap.filter(~F.col("contaminated"))
+        .select("doc_id", "overlap_frac"), on="doc_id")
+    # 4. deterministic stratified sample by language
+    sampled = sample.stratified_sample(
+        clean, strata_col="lang", rates={"en": 0.9}, default_rate=0.5,
+        seed=7, hash_fn="md5")
+    return sampled.select(
+        "doc_id", "lang", "source", "n_tokens", "quality_score",
+        "overlap_frac")
+
+
+SQL_PIPELINE_CURATE = r"""
+WITH f AS (
+  SELECT doc_id, text, lang, source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(' ' || lower(text) || ' ',
+             ' (the|and|of|to|in|is|that|it|was|for) ')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT *,
+         CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1.0) / n_tokens ELSE 0.0 END AS atl,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_chars > 0 THEN n_digits * 1.0 / n_chars ELSE 0.0 END AS dr,
+         CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS sr
+  FROM f
+), q AS (
+  SELECT doc_id, text, lang, source, n_tokens,
+         round(CAST(
+           (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+           (CASE WHEN atl BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END) +
+           (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) +
+           (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END) +
+           (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2)
+           AS quality_score
+  FROM r
+), quality AS (
+  SELECT * FROM q WHERE quality_score >= 0.8
+), dd AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+), toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i : i + 2], ' '))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks WHERE len(t) >= 1
+), ex AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(g,
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS h
+  FROM grams
+), bench AS (
+  SELECT DISTINCT h FROM ex WHERE doc_id % 23 = 0
+), cand_grams AS (
+  SELECT ex.doc_id, ex.h FROM ex
+  JOIN dd ON dd.doc_id = ex.doc_id
+  WHERE ex.doc_id % 23 <> 0
+), overlap AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 4) AS overlap_frac
+  FROM cand_grams GROUP BY doc_id
+), clean AS (
+  SELECT dd.doc_id, dd.lang, dd.source, dd.n_tokens, dd.quality_score,
+         overlap.overlap_frac
+  FROM dd JOIN overlap ON dd.doc_id = overlap.doc_id
+  WHERE overlap.overlap_frac < 0.5
+)
+SELECT doc_id, lang, source, n_tokens, quality_score, overlap_frac
+FROM clean
+WHERE ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+      < CASE lang WHEN 'en' THEN 9000 ELSE 5000 END
+"""
+
+
 def q_streaming_dedup_docs(spark, sf_dir):
     """Streaming exact dedup of a document stream: watermarked
     first-seen-wins on the content digest
@@ -1742,6 +1877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratum_topk": q_sample_stratum_topk,
     "mixture_token_budget": q_mixture_token_budget,
     "streaming_dedup_docs": q_streaming_dedup_docs,
+    "pack_documents": q_pack_documents,
+    "pipeline_curate": q_pipeline_curate,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1799,6 +1936,8 @@ ORACLES: dict[str, str] = {
     "sample_stratum_topk": SQL_SAMPLE_STRATUM_TOPK,
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "streaming_dedup_docs": SQL_STREAMING_DEDUP,
+    "pack_documents": SQL_PACK_DOCUMENTS,
+    "pipeline_curate": SQL_PIPELINE_CURATE,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

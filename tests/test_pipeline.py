@@ -221,6 +221,25 @@ def test_stratum_topk_exact_k(spark):
     assert sorted(by_lang["de"]) == [1, 2, 3]
 
 
+def test_pack_documents_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, source string, text string")
+    out = sample.pack_documents(df, budget=20, n_shards=2).collect()
+    assert len(out) == 40
+    # within each (source, shard), offsets advance by exactly the token
+    # stream: doc k's (pack_id, pack_offset) == cumsum of predecessors
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.pack_id, r.pack_offset)):
+        run = by_shard.setdefault(r.shard, 0)
+        assert r.pack_id * 20 + r.pack_offset == run
+        by_shard[r.shard] = run + r.n_tokens
+    # deterministic under repartitioning
+    again = sample.pack_documents(df.repartition(5), budget=20, n_shards=2)
+    assert sorted((r.doc_id, r.pack_id, r.pack_offset) for r in out) == \
+        sorted((r.doc_id, r.pack_id, r.pack_offset) for r in again.collect())
+
+
 def test_mixture_weights_uniform_target(spark):
     df = spark.createDataFrame(
         [(1, "a", "one two three four"), (2, "a", "five six seven eight"),
