@@ -6,6 +6,9 @@ no shuffle.
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -84,6 +87,27 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
     best = F.array_max(F.filter(scores, lambda s: s["hits"] > 0))
     # array_max on struct orders by (hits, lang) — argmax with lang tiebreak
     return F.coalesce(best["lang"], F.lit("und"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Canonical text normalization for dedup/tokenization: Unicode NFC,
+    then lowercase, collapse whitespace runs to single spaces, trim.
+
+    Only the NFC step leaves the JVM — one vectorized Arrow pass (Spark
+    has no NFC builtin; Python's unicodedata and DuckDB's nfc_normalize
+    agree bit-for-bit, which is what makes the op oracle-checkable); the
+    rest is codegen'd. Order matters and is part of the contract:
+    NFC -> lower -> whitespace.
+    """
+    @F.pandas_udf("string")  # inside the fn: the decorator parses the
+    def _nfc(s: pd.Series) -> pd.Series:  # DDL type via the live session
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    norm = F.trim(F.regexp_replace(
+        F.lower(_nfc(F.col(text_col))), r"\s+", " "))
+    return df.withColumn(out_col, norm)
 
 
 # PII patterns chosen to mean the same thing in Java regex (Spark) and

@@ -1186,6 +1186,36 @@ WHERE ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000
 """
 
 
+# decomposed E + combining acute (NFC must recompose it), double spaces
+# (the collapse must fold them), fullwidth A (Unicode lower must map it)
+_NFC_SUFFIX = "  CAFE\u0301  \uFF21  "
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC + lower + whitespace-collapse normalization. A
+    combining-sequence suffix (see ``_NFC_SUFFIX``) is appended so NFC
+    provably recomposes — the documents themselves are ASCII.
+    Digest-compared against DuckDB's nfc_normalize."""
+    docs = _t(spark, sf_dir, "documents")
+    suffixed = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text"))
+    return text_ops.normalize_text(suffixed).select(
+        "doc_id", F.md5("text_norm").alias("norm_digest"),
+        F.length("text_norm").alias("norm_len"))
+
+
+SQL_TEXT_NORMALIZE = f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(nfc_normalize(
+           text || '{_NFC_SUFFIX}')), '\\s+', ' ', 'g')))
+         AS norm_digest,
+       length(trim(regexp_replace(lower(nfc_normalize(
+           text || '{_NFC_SUFFIX}')), '\\s+', ' ', 'g')))
+         AS norm_len
+FROM documents
+"""
+
+
 def q_streaming_dedup_docs(spark, sf_dir):
     """Streaming exact dedup of a document stream: watermarked
     first-seen-wins on the content digest
@@ -1879,6 +1909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "pack_documents": q_pack_documents,
     "pipeline_curate": q_pipeline_curate,
+    "text_normalize": q_text_normalize,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1938,6 +1969,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_docs": SQL_STREAMING_DEDUP,
     "pack_documents": SQL_PACK_DOCUMENTS,
     "pipeline_curate": SQL_PIPELINE_CURATE,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

@@ -254,6 +254,21 @@ def test_mixture_weights_uniform_target(spark):
     assert out["a"].sample_weight == 0.25
 
 
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "CAFE\u0301   du  Parc"),   # decomposed accent + space runs
+         (2, "\uFF21\uFF22 c"),          # fullwidth letters
+         (3, "  plain  text  "),
+         (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text_norm
+           for r in text_ops.normalize_text(df).collect()}
+    assert out[1] == "caf\u00e9 du parc"  # NFC-composed, lowered, collapsed
+    assert out[2] == "\uFF41\uFF42 c"     # fullwidth lowercase preserved
+    assert out[3] == "plain text"
+    assert out[4] is None
+
+
 def test_pii_features(spark):
     df = spark.createDataFrame(
         [(1, "mail bob.smith@corp.io or call 25-989-741-2988 from 10.0.0.1"),
