@@ -243,35 +243,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_dedup(
+def minhash_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-    threshold: float = 0.8, hash_fn: str = "xx",
+    num_hashes: int = 32, n: int = 3, hash_fn: str = "xx",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-    Returns verified near-duplicate pairs (id_a, id_b, jaccard).
+    """The per-doc dedup index: signature mins m0..m{k-1} AND the exact
+    shingle-hash set, from ONE groupBy over ONE shingle pass.
 
-    The signature mins and the exact shingle set come out of ONE
-    groupBy(id) over ONE shingle-hash pass, materialized once with an
-    eager localCheckpoint because the plan is a diamond: the banding
-    branch and both verify joins read it. Without it, Spark re-executes
-    the shingle scan + hash + aggregate once per branch — 3x the
-    dominant cost. (localCheckpoint rather than persist(): cache()d
-    plans freeze their pre-AQE 200-partition layout, while the
-    checkpoint job runs with AQE coalescing and stores the compacted
-    result. At 100 TB the checkpoint is |corpus| rows of
-    (id, 32 longs, set) — orders smaller than the text it replaces.)
+    This is the table to persist for incremental dedup: (id, k longs,
+    set) — orders of magnitude smaller than the text it summarizes, and
+    everything ``minhash_dedup_incremental`` needs to dedup a new batch
+    against the corpus WITHOUT re-reading any corpus text.
     """
-    rows = num_hashes // bands
-    hashed = shingle_hashes(df, text_col, id_col, shingle_n, hash_fn)
+    hashed = shingle_hashes(df, text_col, id_col, n, hash_fn)
     hm = F.pmod(F.col("_h"), F.lit(_MERSENNE))
     aggs = [
         F.min(F.pmod(hm * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
         .alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes))
     ] + [F.collect_set("_h").alias("_sh")]
-    sig_sets = (hashed.groupBy(id_col).agg(*aggs)
-                .localCheckpoint(eager=True))
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _band_entries(sig_df: DataFrame, id_col: str, num_hashes: int,
+                  bands: int, hash_fn: str) -> DataFrame:
+    """(id, band, bucket) rows from an index's signature columns."""
+    rows = num_hashes // bands
 
     def _bucket(b):
         joined = F.concat_ws(
@@ -279,22 +276,19 @@ def minhash_dedup(
                    for r in range(rows)])
         return F.xxhash64(joined) if hash_fn == "xx" else joined
 
-    band_entries = sig_sets.select(
+    return sig_df.select(
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a_e, b_e = band_entries.alias("a"), band_entries.alias("b")
-    cands = (
-        a_e.join(b_e, on=["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sets = sig_sets.select(id_col, "_sh")
+
+
+def _verify_pairs(cands: DataFrame, sets: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """Join candidate (id_a, id_b) back to shingle sets, keep pairs with
+    exact Jaccard >= threshold."""
     return (
         cands
         .join(sets.withColumnRenamed(id_col, "id_a")
@@ -305,6 +299,81 @@ def minhash_dedup(
                 jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    threshold: float = 0.8, hash_fn: str = "xx",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    Returns verified near-duplicate pairs (id_a, id_b, jaccard).
+
+    The index (signatures + sets) is materialized once with an eager
+    localCheckpoint because the plan is a diamond: the banding branch
+    and both verify joins read it. Without it, Spark re-executes the
+    shingle scan + hash + aggregate once per branch — 3x the dominant
+    cost. (localCheckpoint rather than persist(): cache()d plans freeze
+    their pre-AQE 200-partition layout, while the checkpoint job runs
+    with AQE coalescing and stores the compacted result.)
+    """
+    sig_sets = (minhash_index(df, text_col, id_col, num_hashes,
+                              shingle_n, hash_fn)
+                .localCheckpoint(eager=True))
+    band_entries = _band_entries(sig_sets, id_col, num_hashes, bands,
+                                 hash_fn)
+    a_e, b_e = band_entries.alias("a"), band_entries.alias("b")
+    cands = (
+        a_e.join(b_e, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(cands, sig_sets.select(id_col, "_sh"), id_col,
+                         threshold)
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame, index: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    threshold: float = 0.8, hash_fn: str = "xx",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus ``minhash_index``
+    (plus within the batch itself) — no corpus text is read.
+
+    Emits verified pairs (id_a, id_b, jaccard) where at least one side
+    is new. This is the steady-state shape of corpus dedup at 100 TB:
+    the index table (id, signatures, shingle set) is the only corpus
+    state touched; each ingest batch computes its own signatures,
+    band-joins against the index's band entries, and appends its rows
+    to the index afterwards. Candidate volume scales with the batch,
+    not the corpus.
+    """
+    new_idx = (minhash_index(new_df, text_col, id_col, num_hashes,
+                             shingle_n, hash_fn)
+               .localCheckpoint(eager=True))
+    is_new = F.lit(True).alias("_new")
+    entries = (
+        _band_entries(new_idx, id_col, num_hashes, bands, hash_fn)
+        .select(id_col, "band", "bucket", is_new)
+        .unionByName(
+            _band_entries(index, id_col, num_hashes, bands, hash_fn)
+            .select(id_col, "band", "bucket",
+                    F.lit(False).alias("_new"))))
+    a_e, b_e = entries.alias("a"), entries.alias("b")
+    cands = (
+        a_e.join(b_e, on=["band", "bucket"])
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a._new") | F.col("b._new")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = (new_idx.select(id_col, "_sh")
+            .unionByName(index.select(id_col, "_sh")))
+    return _verify_pairs(cands, sets, id_col, threshold)
 
 
 # -- embedding cosine near-dup ----------------------------------------------

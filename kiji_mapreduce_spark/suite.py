@@ -1396,6 +1396,23 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         docs, max_hamming=10, bands=4, hash_fn="md5")
 
 
+def q_dedup_incremental_pairs(spark, sf_dir):
+    """Incremental dedup: even doc_ids play the already-indexed corpus
+    (only their ``minhash_index`` rows are touched — no corpus text),
+    odd doc_ids are the new ingest batch. Emits verified pairs with at
+    least one new side. Oracle: the full-corpus minhash pairs filtered
+    to the same condition — the incremental path must find exactly the
+    pairs the batch path would."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.minhash_index(corpus, hash_fn="md5")
+    pairs = dedup.minhash_dedup_incremental(
+        new, index, threshold=0.5, hash_fn="md5")
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_text_langid(spark, sf_dir):
     """Stopword-vote language id (oracle: the same vote in SQL)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1910,6 +1927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "pipeline_curate": q_pipeline_curate,
     "text_normalize": q_text_normalize,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1970,6 +1988,9 @@ ORACLES: dict[str, str] = {
     "pack_documents": SQL_PACK_DOCUMENTS,
     "pipeline_curate": SQL_PIPELINE_CURATE,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "dedup_incremental_pairs": (
+        "SELECT * FROM (\n" + oracles.minhash_pairs_sql(threshold=0.5)
+        + "\n) WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),

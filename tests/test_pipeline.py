@@ -46,6 +46,21 @@ def test_minhash_signature_column_matches_df_form(spark, docs):
     assert e == d
 
 
+def test_minhash_incremental_matches_batch(spark, docs):
+    """Dedup of a new batch against a prebuilt index finds exactly the
+    pairs the batch path finds (restricted to pairs touching the batch),
+    without reading corpus text."""
+    corpus = docs.filter("doc_id IN (1, 2)")
+    new = docs.filter("doc_id IN (3, 4)")
+    index = dedup.minhash_index(corpus)
+    got = {(r.id_a, r.id_b) for r in dedup.minhash_dedup_incremental(
+        new, index, threshold=0.5).collect()}
+    full = {(r.id_a, r.id_b)
+            for r in dedup.minhash_dedup(docs, threshold=0.5).collect()}
+    want = {p for p in full if p[0] in (3, 4) or p[1] in (3, 4)}
+    assert got == want and (1, 4) in got  # 4 is an exact dup of corpus doc 1
+
+
 def test_connected_keep_ids_transitive(spark):
     # chain 1-2, 2-5, plus isolated pair 7-9: groups {1,2,5} and {7,9}
     pairs = spark.createDataFrame(
