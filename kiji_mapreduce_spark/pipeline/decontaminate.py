@@ -42,15 +42,17 @@ def ngram_overlap(
     """
     cand = shingle_hashes(docs, text_col, id_col, n, hash_fn).distinct()
     bench = (shingle_hashes(benchmark, text_col, id_col, n, hash_fn)
-             .select("_h").distinct())
+             .select("_h").distinct().withColumn("_hit", F.lit(1)))
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    hits = (cand.join(bench, on="_h", how="left_semi")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit")))
-    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    out = totals.join(hits, on=id_col, how="left").select(
-        id_col, "n_grams",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+    # membership as a left-join flag, so gram totals and hit counts come
+    # from ONE pass over the candidate grams (a semi-join + separate
+    # totals aggregate would re-execute the shingle scan per branch);
+    # bench hashes are distinct, so the join can't duplicate rows
+    flagged = cand.join(bench, on="_h", how="left")
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"))
     frac = F.round(F.col("n_hit") / F.col("n_grams"), 4)
     return out.select(
         id_col, "n_grams", "n_hit", frac.alias("overlap_frac"),
