@@ -1253,6 +1253,34 @@ FROM documents
 """
 
 
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Per-type outlier detection: |z| >= 2.5 against the type's
+    population mean/stddev. Shape: grouped agg (partial aggregation) +
+    broadcast join back — NOT a window partitioned by event_type, which
+    would serialize 100 TB into one task per type."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mean"),
+        F.stddev_pop("value").alias("_std"))
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (ev.join(F.broadcast(stats), on="event_type")
+            .filter(F.abs(z) >= 2.5)
+            .select("event_id", "event_type", "value",
+                    F.round(z, 4).alias("zscore")))
+
+
+SQL_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_id, events.event_type, value,
+       round((value - m) / s, 4) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE abs((value - m) / s) >= 2.5
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: per-user sessions with a 30-minute inactivity gap
     via ``session_window`` (the batch form of the streaming session
@@ -1928,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curate": q_pipeline_curate,
     "text_normalize": q_text_normalize,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -1991,6 +2020,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_pairs": (
         "SELECT * FROM (\n" + oracles.minhash_pairs_sql(threshold=0.5)
         + "\n) WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
+    "events_anomaly_zscore": SQL_EVENTS_ANOMALY,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),
