@@ -285,6 +285,24 @@ def _band_entries(sig_df: DataFrame, id_col: str, num_hashes: int,
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _prune_hot_buckets(entries: DataFrame, keys: list[str],
+                       max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket`` entries.
+
+    The scale guard for degenerate content: boilerplate, empty-ish docs,
+    or a constant-signature pathology can put millions of docs in one
+    bucket, and the candidate self-join is quadratic IN THE BUCKET. Such
+    buckets carry almost no signal (everything matches everything);
+    standard LSH practice drops them. ``None`` disables (exact
+    candidate-set semantics, the oracle-checked default)."""
+    if max_bucket is None:
+        return entries
+    sizes = (entries.groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("_bsz"))
+             .filter(F.col("_bsz") <= max_bucket))
+    return entries.join(sizes.select(*keys), on=keys, how="left_semi")
+
+
 def _verify_pairs(cands: DataFrame, sets: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
     """Join candidate (id_a, id_b) back to shingle sets, keep pairs with
@@ -305,6 +323,7 @@ def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
     threshold: float = 0.8, hash_fn: str = "xx",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
     Returns verified near-duplicate pairs (id_a, id_b, jaccard).
@@ -316,12 +335,17 @@ def minhash_dedup(
     cost. (localCheckpoint rather than persist(): cache()d plans freeze
     their pre-AQE 200-partition layout, while the checkpoint job runs
     with AQE coalescing and stores the compacted result.)
+
+    ``max_bucket`` prunes degenerate LSH buckets (see
+    ``_prune_hot_buckets``) — the guard that keeps a boilerplate-heavy
+    corpus from turning a band bucket quadratic.
     """
     sig_sets = (minhash_index(df, text_col, id_col, num_hashes,
                               shingle_n, hash_fn)
                 .localCheckpoint(eager=True))
-    band_entries = _band_entries(sig_sets, id_col, num_hashes, bands,
-                                 hash_fn)
+    band_entries = _prune_hot_buckets(
+        _band_entries(sig_sets, id_col, num_hashes, bands, hash_fn),
+        ["band", "bucket"], max_bucket)
     a_e, b_e = band_entries.alias("a"), band_entries.alias("b")
     cands = (
         a_e.join(b_e, on=["band", "bucket"])
@@ -339,6 +363,7 @@ def minhash_dedup_incremental(
     text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
     threshold: float = 0.8, hash_fn: str = "xx",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus ``minhash_index``
     (plus within the batch itself) — no corpus text is read.
@@ -355,13 +380,14 @@ def minhash_dedup_incremental(
                              shingle_n, hash_fn)
                .localCheckpoint(eager=True))
     is_new = F.lit(True).alias("_new")
-    entries = (
+    entries = _prune_hot_buckets(
         _band_entries(new_idx, id_col, num_hashes, bands, hash_fn)
         .select(id_col, "band", "bucket", is_new)
         .unionByName(
             _band_entries(index, id_col, num_hashes, bands, hash_fn)
             .select(id_col, "band", "bucket",
-                    F.lit(False).alias("_new"))))
+                    F.lit(False).alias("_new"))),
+        ["band", "bucket"], max_bucket)
     a_e, b_e = entries.alias("a"), entries.alias("b")
     cands = (
         a_e.join(b_e, on=["band", "bucket"])
@@ -381,7 +407,7 @@ def minhash_dedup_incremental(
 def embedding_lsh_candidates(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     bands: int = 8, planes_per_band: int = 8, seed: int = 42,
-    dim: int | None = None,
+    dim: int | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded hyperplane-LSH candidate pairs — the MinHash band structure
     (``minhash_lsh_candidates``) applied to sign-bit sketches: ``bands``
@@ -424,6 +450,7 @@ def embedding_lsh_candidates(
         F.posexplode(_band_buckets(vec_col)).alias("band", "bucket")) \
         .localCheckpoint(eager=True)  # feeds both sides of the self-join:
     # without it the Arrow-UDF matmul pass runs twice
+    entries = _prune_hot_buckets(entries, ["band", "bucket"], max_bucket)
     a, bb = entries.alias("a"), entries.alias("b")
     return (
         a.join(bb, on=["band", "bucket"])

@@ -46,6 +46,27 @@ def test_minhash_signature_column_matches_df_form(spark, docs):
     assert e == d
 
 
+def test_minhash_hot_bucket_pruning(spark):
+    """A degenerate corpus (every doc identical) floods one bucket per
+    band; max_bucket drops those buckets, cutting the quadratic
+    candidate join, while the default (None) keeps exact semantics."""
+    many = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated everywhere always")
+         for i in range(12)],
+        "doc_id long, text string")
+    full = dedup.minhash_dedup(many, threshold=0.5)
+    assert full.count() == 12 * 11 // 2  # all pairs, quadratic
+    pruned = dedup.minhash_dedup(many, threshold=0.5, max_bucket=5)
+    assert pruned.count() == 0  # every bucket is hot -> dropped
+    # non-degenerate docs are unaffected by the cap
+    mixed = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = {(r.id_a, r.id_b) for r in dedup.minhash_dedup(
+        mixed, threshold=0.5).collect()}
+    b = {(r.id_a, r.id_b) for r in dedup.minhash_dedup(
+        mixed, threshold=0.5, max_bucket=5).collect()}
+    assert a == b
+
+
 def test_minhash_incremental_matches_batch(spark, docs):
     """Dedup of a new batch against a prebuilt index finds exactly the
     pairs the batch path finds (restricted to pairs touching the batch),

