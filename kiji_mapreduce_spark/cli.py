@@ -111,6 +111,20 @@ def main(argv: list[str] | None = None) -> int:
     mp = sub.add_parser("compact")
     mp.add_argument("--table", required=True)
 
+    cu = sub.add_parser("curate", help="corpus curation chain: quality "
+                        "-> dedup -> decontaminate -> sample")
+    cu.add_argument("--input", required=True, help="documents parquet")
+    cu.add_argument("--output", required=True, help="survivors parquet")
+    cu.add_argument("--benchmark", default=None,
+                    help="eval-set parquet to decontaminate against")
+    cu.add_argument("--min-quality", type=float, default=0.8)
+    cu.add_argument("--near-threshold", type=float, default=None,
+                    help="enable MinHash near-dedup at this Jaccard")
+    cu.add_argument("--rates", default=None,
+                    help='per-stratum sample rates "en=0.9,de=0.5"')
+    cu.add_argument("--default-rate", type=float, default=1.0)
+    cu.add_argument("--strata-col", default="lang")
+
     args = p.parse_args(argv)
 
     if args.command == "bulk-import":
@@ -154,6 +168,30 @@ def main(argv: list[str] | None = None) -> int:
         spark = make_session(app_name="kiji-compact")
         EntityTable.open(spark, args.table).compact()
         print(json.dumps({"compacted": args.table}))
+        return 0
+
+    if args.command == "curate":
+        from kiji_mapreduce_spark.pipeline import curate
+
+        spark = make_session(app_name="kiji-curate")
+        docs = spark.read.parquet(args.input)
+        bench = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+        rates = {}
+        if args.rates:
+            for part in args.rates.split(","):
+                k, v = part.split("=")
+                rates[k] = float(v)
+        cfg = curate.CurateConfig(
+            min_quality=args.min_quality,
+            near_threshold=args.near_threshold,
+            sample_rates=rates, default_rate=args.default_rate,
+            strata_col=args.strata_col)
+        out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
+        out.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+        print(json.dumps({"curated": args.output, "docs_in": n_in,
+                          "docs_out": n_out}))
         return 0
 
     return 2

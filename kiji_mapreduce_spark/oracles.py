@@ -91,7 +91,8 @@ def decontaminate_sql(n: int = 3, modulus: int = 23, threshold: float = 0.5,
     """Mirror of decontaminate.ngram_overlap(hash_fn="md5") with
     benchmark = rows where id % modulus == 0, candidates = the rest.
     Same gram semantics as _shingle_cte (full n-grams; shorter docs keep
-    their single edge gram), distinct hashes per doc."""
+    their single edge gram), distinct hashes per doc. Total over the
+    candidate id set: a zero-token doc reports (0, 0, 0.0, false)."""
     return f"""
 WITH toks AS (
   SELECT {id_col}, {_toks()} AS t, ({id_col} % {modulus} = 0) AS is_bench
@@ -112,16 +113,24 @@ ex AS (
 ),
 bench AS (SELECT DISTINCT h FROM ex WHERE is_bench),
 cand AS (SELECT {id_col}, h FROM ex WHERE NOT is_bench),
+cand_ids AS (
+  SELECT DISTINCT {id_col} FROM toks WHERE NOT is_bench
+),
 tot AS (SELECT {id_col}, count(*) AS n_grams FROM cand GROUP BY 1),
 hit AS (
   SELECT {id_col}, count(*) AS n_hit
   FROM cand WHERE h IN (SELECT h FROM bench) GROUP BY 1
 )
-SELECT tot.{id_col}, n_grams,
+SELECT c.{id_col},
+       coalesce(n_grams, 0) AS n_grams,
        coalesce(n_hit, 0) AS n_hit,
-       round(coalesce(n_hit, 0) / n_grams, 4) AS overlap_frac,
-       round(coalesce(n_hit, 0) / n_grams, 4) >= {threshold} AS contaminated
-FROM tot LEFT JOIN hit USING ({id_col})
+       coalesce(round(coalesce(n_hit, 0) / n_grams, 4), 0.0)
+         AS overlap_frac,
+       coalesce(round(coalesce(n_hit, 0) / n_grams, 4), 0.0)
+         >= {threshold} AS contaminated
+FROM cand_ids c
+LEFT JOIN tot USING ({id_col})
+LEFT JOIN hit USING ({id_col})
 """
 
 

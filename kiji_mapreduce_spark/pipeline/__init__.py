@@ -4,8 +4,8 @@ columns. All expression-first; Python only where semantics demand it.
 """
 
 from kiji_mapreduce_spark.pipeline import (
-    decontaminate, dedup, multimodal, sample, similarity, text,
+    curate, decontaminate, dedup, multimodal, sample, similarity, text,
 )
 
-__all__ = ["decontaminate", "dedup", "multimodal", "sample", "similarity",
-           "text"]
+__all__ = ["curate", "decontaminate", "dedup", "multimodal", "sample",
+           "similarity", "text"]

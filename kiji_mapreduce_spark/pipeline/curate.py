@@ -1,0 +1,85 @@
+"""The end-to-end corpus curation chain as one composable operator.
+
+``curate_corpus`` wires the engine's training-data ops in the canonical
+order a pretraining pipeline runs them:
+
+    quality filter -> exact dedup -> (optional MinHash near-dedup)
+    -> (optional benchmark decontamination) -> stratified sample
+
+Every stage is one of the already-audited operators (quality_features,
+drop_exact_duplicates, minhash dedup + connected components,
+ngram_overlap, stratified_sample), so the chain inherits their scale
+shapes: nothing here adds a shuffle beyond what the stages themselves
+do, and the whole thing stays lazy except the near-dedup CC loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from kiji_mapreduce_spark.pipeline import decontaminate, dedup
+from kiji_mapreduce_spark.pipeline import sample as sample_ops
+from kiji_mapreduce_spark.pipeline import text as text_ops
+
+
+@dataclass
+class CurateConfig:
+    """Knobs for ``curate_corpus`` (defaults match the suite query)."""
+
+    min_quality: float = 0.8
+    near_threshold: float | None = None   # None = exact dedup only
+    decontaminate_n: int = 3
+    decontaminate_threshold: float = 0.5
+    sample_rates: dict[str, float] = field(default_factory=dict)
+    default_rate: float = 1.0             # 1.0 = keep everything
+    strata_col: str = "lang"
+    seed: int = 42
+    hash_fn: str = "xx"
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurateConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the curation chain; returns surviving rows of ``docs`` with
+    ``n_tokens``/``quality_score`` (and ``overlap_frac`` when a
+    benchmark is given) appended.
+
+    If ``benchmark`` rows share ids with ``docs`` (in-corpus eval
+    split), they are excluded from the output — a document cannot
+    survive into training data if it IS the benchmark.
+    """
+    cfg = config or CurateConfig()
+    scored = text_ops.quality_features(docs, text_col)
+    quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
+               .drop("n_chars_txt", "avg_token_len", "punct_ratio",
+                     "digit_ratio", "upper_ratio", "stopword_ratio"))
+    kept = dedup.drop_exact_duplicates(quality, text_col, id_col)
+    if cfg.near_threshold is not None:
+        pairs = dedup.minhash_dedup(
+            kept, text_col, id_col, threshold=cfg.near_threshold,
+            hash_fn=cfg.hash_fn)
+        groups = dedup.connected_keep_ids(pairs)
+        losers = groups.filter(F.col("doc_id") != F.col("keep_id")) \
+            .select(F.col("doc_id").alias(id_col))
+        kept = kept.join(losers, on=id_col, how="left_anti")
+    if benchmark is not None:
+        kept = kept.join(benchmark.select(id_col), on=id_col,
+                         how="left_anti")
+        overlap = decontaminate.ngram_overlap(
+            kept, benchmark, n=cfg.decontaminate_n, text_col=text_col,
+            id_col=id_col, hash_fn=cfg.hash_fn,
+            threshold=cfg.decontaminate_threshold)
+        kept = kept.join(
+            overlap.filter(~F.col("contaminated"))
+            .select(id_col, "overlap_frac"), on=id_col)
+    if cfg.sample_rates or cfg.default_rate < 1.0:
+        kept = sample_ops.stratified_sample(
+            kept, cfg.strata_col, cfg.sample_rates, cfg.default_rate,
+            key_col=id_col, seed=cfg.seed, hash_fn=cfg.hash_fn)
+    return kept

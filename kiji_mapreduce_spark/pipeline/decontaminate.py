@@ -36,9 +36,12 @@ def ngram_overlap(
     benchmark's n-gram union.
 
     Returns (id, n_grams, n_hit, overlap_frac, contaminated) — one row
-    per document with at least one token; ``contaminated`` is
-    ``overlap_frac >= threshold``. ``hash_fn="md5"`` makes the result
-    reproducible in any SQL engine (the suite's oracle mode).
+    per candidate document (total: a zero-token document gets
+    ``(0, 0, 0.0, false)`` — nothing to overlap means not contaminated,
+    and downstream inner joins must not silently drop it);
+    ``contaminated`` is ``overlap_frac >= threshold``.
+    ``hash_fn="md5"`` makes the result reproducible in any SQL engine
+    (the suite's oracle mode).
     """
     cand = shingle_hashes(docs, text_col, id_col, n, hash_fn).distinct()
     bench = (shingle_hashes(benchmark, text_col, id_col, n, hash_fn)
@@ -53,7 +56,17 @@ def ngram_overlap(
     out = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count("_hit").alias("n_hit"))
-    frac = F.round(F.col("n_hit") / F.col("n_grams"), 4)
+    # re-anchor on the full candidate id set: zero-token docs produce no
+    # shingle rows, so the aggregate alone would omit them. The id scan
+    # is column-pruned; the aggregate side is already partitioned on the
+    # id, so this adds one cheap exchange for the id side only.
+    ids = docs.select(F.col(id_col)).distinct()
+    out = ids.join(out, on=id_col, how="left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    frac = F.coalesce(F.round(F.col("n_hit") / F.col("n_grams"), 4),
+                      F.lit(0.0))
     return out.select(
-        id_col, "n_grams", "n_hit", frac.alias("overlap_frac"),
+        id_col, n_grams.alias("n_grams"), n_hit.alias("n_hit"),
+        frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"))

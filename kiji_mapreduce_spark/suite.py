@@ -28,7 +28,7 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    decontaminate, dedup, sample, similarity, text as text_ops,
+    curate, decontaminate, dedup, sample, similarity, text as text_ops,
 )
 
 
@@ -1086,30 +1086,18 @@ FROM c
 
 
 def q_pipeline_curate(spark, sf_dir):
-    """The flagship LLM-data curation chain, end to end: quality filter
-    -> exact dedup -> benchmark decontamination -> stratified sample.
-    Each stage is an engine operator; the oracle recomputes the same
-    chain in SQL. Emits the surviving doc ids with their stage stats."""
+    """The flagship LLM-data curation chain, end to end via the
+    composable ``curate.curate_corpus`` API: quality filter -> exact
+    dedup -> benchmark decontamination -> stratified sample. The oracle
+    recomputes the same chain in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    # 1. quality: keep docs with a passing composite score
-    quality = text_ops.quality_features(docs).filter(
-        F.col("quality_score") >= 0.8)
-    # 2. exact dedup (min-id survivor per digest)
-    deduped = dedup.drop_exact_duplicates(quality.select(
-        "doc_id", "text", "lang", "source", "n_tokens", "quality_score"))
-    # 3. decontamination vs the doc_id%23 benchmark split
     bench = docs.filter(F.col("doc_id") % 23 == 0)
-    cand = deduped.filter(F.col("doc_id") % 23 != 0)
-    overlap = decontaminate.ngram_overlap(
-        cand, bench, n=3, hash_fn="md5", threshold=0.5)
-    clean = cand.join(
-        overlap.filter(~F.col("contaminated"))
-        .select("doc_id", "overlap_frac"), on="doc_id")
-    # 4. deterministic stratified sample by language
-    sampled = sample.stratified_sample(
-        clean, strata_col="lang", rates={"en": 0.9}, default_rate=0.5,
+    cfg = curate.CurateConfig(
+        min_quality=0.8, decontaminate_n=3, decontaminate_threshold=0.5,
+        sample_rates={"en": 0.9}, default_rate=0.5, strata_col="lang",
         seed=7, hash_fn="md5")
-    return sampled.select(
+    out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
+    return out.select(
         "doc_id", "lang", "source", "n_tokens", "quality_score",
         "overlap_frac")
 

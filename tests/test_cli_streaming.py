@@ -196,6 +196,38 @@ def test_windowed_aggregate_stream(spark, tmp_path):
     assert got == {(0, 2), (1, 1)}
 
 
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    def _text(i):
+        # short shared prefix (overlap stays < 0.5) + unique body
+        return ("the engine processes data smoothly "
+                + " ".join(f"tok{i}x{j} filler{(i * 7 + j) % 97}"
+                           for j in range(10)))
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", _text(i)) for i in range(20)]
+        + [(100, "en", _text(0))]   # exact dup of doc 0
+        + [(101, "en", "short")],   # fails quality
+        "doc_id long, lang string, text string")
+    docs.write.parquet(f"{tmp_path}/docs")
+    docs.filter("doc_id = 0").write.parquet(f"{tmp_path}/bench")
+    rc = cli.main([
+        "curate", "--input", f"{tmp_path}/docs",
+        "--output", f"{tmp_path}/out",
+        "--benchmark", f"{tmp_path}/bench",
+        "--default-rate", "1.0",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 22
+    out = spark.read.parquet(f"{tmp_path}/out")
+    ids = {r.doc_id for r in out.collect()}
+    assert 101 not in ids          # quality-filtered
+    assert 0 not in ids            # benchmark doc excluded
+    assert 100 not in ids          # contaminated (copy of benchmark doc 0)
+    assert stats["docs_out"] == len(ids) and len(ids) == 19
+    assert "overlap_frac" in out.columns and "quality_score" in out.columns
+
+
 def test_stream_dedup_exact(spark, tmp_path):
     """Watermarked streaming dedup keeps one copy per content digest."""
     from kiji_mapreduce_spark.streaming import stream_dedup_exact

@@ -257,6 +257,21 @@ def test_stratum_topk_exact_k(spark):
     assert sorted(by_lang["de"]) == [1, 2, 3]
 
 
+def test_curate_corpus_near_dedup(spark):
+    from kiji_mapreduce_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the creek"),
+            (3, "completely different content about spark engines and files"),
+        ]], "doc_id long, lang string, text string")
+    cfg = curate.CurateConfig(min_quality=0.0, near_threshold=0.5)
+    ids = sorted(r.doc_id for r in
+                 curate.curate_corpus(df, config=cfg).collect())
+    assert ids == [1, 3]  # 2 is a near-dup of 1; min id survives
+
+
 def test_pack_documents_invariants(spark):
     df = spark.createDataFrame(
         [(i, "s", " ".join(["w"] * (5 + i % 7))) for i in range(40)],

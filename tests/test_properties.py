@@ -199,8 +199,16 @@ def test_decontaminate_fraction_bounds(spark, texts):
         [(i, t) for i, t in enumerate(texts)] + [(999, texts[0] or "pad")],
         "doc_id long, text string")
     out = decontaminate.ngram_overlap(cand, bench, n=2).collect()
+    assert len(out) == len(texts) + 1  # total: one row per candidate
     for r in out:
         assert 0 <= r.n_hit <= r.n_grams
         assert 0.0 <= r.overlap_frac <= 1.0
     copy = [r for r in out if r.doc_id == 999]
-    assert copy and copy[0].overlap_frac == 1.0 and copy[0].contaminated
+    assert copy
+    if (texts[0] or "pad").split():
+        # bench doc has tokens -> its identical copy fully overlaps
+        assert copy[0].overlap_frac == 1.0 and copy[0].contaminated
+    else:
+        # zero-token doc: nothing to overlap -> total row, clean verdict
+        assert copy[0].n_grams == 0 and copy[0].overlap_frac == 0.0
+        assert not copy[0].contaminated
