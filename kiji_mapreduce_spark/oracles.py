@@ -365,3 +365,91 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
 FROM ranked WHERE rank <= {k}
 """
+
+def bm25_sql(queries: list[tuple[str, str]], k: int = 10, k1: float = 1.2,
+             b: float = 0.75, source: str = "documents",
+             id_col: str = "doc_id") -> str:
+    """Mirror of search.bm25_topk: Okapi BM25 with the Lucene
+    always-positive idf, ranked by (score rounded to 6 dp desc, doc id)
+    — the rounding is what makes the rank order engine-independent."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in queries)
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+post AS (
+  SELECT {id_col}, term, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2
+),
+len AS (SELECT {id_col}, sum(tf) AS dl FROM post GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM len),
+qt AS (
+  SELECT DISTINCT query_id, unnest({_toks('query_text')}) AS term FROM q
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+),
+scored AS (
+  SELECT qt.query_id, post.{id_col},
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+         ) AS score
+  FROM post
+  JOIN qt USING (term)
+  JOIN len USING ({id_col})
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, {id_col}, round(score, 6) AS score, rank FROM (
+  SELECT query_id, {id_col}, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, {id_col}) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def bigram_lm_sql(alpha: float = 0.1, source: str = "documents",
+                  id_col: str = "doc_id") -> str:
+    """Mirror of lm.bigram_lm_scores(hash_fn="md5") in self-scoring mode
+    (reference = the corpus): add-alpha bigram LM, c(v) = per-context
+    sum of bigram counts, V = distinct reference tokens. Total over the
+    doc id set: docs with < 2 tokens report (0, NULL, NULL)."""
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+bi AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(hv := {_md5h('t[i]')},
+                                 hvw := {_md5h("t[i] || ' ' || t[i+1]")})))
+         AS s
+  FROM toks WHERE len(t) >= 2
+),
+cand AS (SELECT {id_col}, s.hv AS hv, s.hvw AS hvw FROM bi),
+model AS (SELECT hvw, any_value(hv) AS mhv, count(*) AS cbw
+          FROM cand GROUP BY 1),
+context AS (SELECT mhv AS hv, sum(cbw) AS cv FROM model GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tok)::DOUBLE AS vsz
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+scored AS (
+  SELECT cand.{id_col},
+         count(*) AS n_bigrams,
+         avg(ln((coalesce(cbw, 0) + {alpha})
+                / (coalesce(cv, 0) + {alpha} * vsz))) AS avg_lp
+  FROM cand
+  LEFT JOIN model USING (hvw)
+  LEFT JOIN context USING (hv)
+  CROSS JOIN vocab
+  GROUP BY 1
+)
+SELECT d.{id_col},
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       round(avg_lp, 4) AS avg_logprob,
+       round(exp(-avg_lp), 4) AS ppl
+FROM (SELECT DISTINCT {id_col} FROM {source}) d
+LEFT JOIN scored USING ({id_col})
+"""

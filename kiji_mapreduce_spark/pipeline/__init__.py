@@ -4,8 +4,9 @@ columns. All expression-first; Python only where semantics demand it.
 """
 
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, multimodal, sample, similarity, text,
+    curate, decontaminate, dedup, lm, multimodal, sample, search,
+    similarity, text,
 )
 
-__all__ = ["curate", "decontaminate", "dedup", "multimodal", "sample",
-           "similarity", "text"]
+__all__ = ["curate", "decontaminate", "dedup", "lm", "multimodal",
+           "sample", "search", "similarity", "text"]

@@ -28,7 +28,8 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, sample, similarity, text as text_ops,
+    curate, decontaminate, dedup, lm, sample, search, similarity,
+    text as text_ops,
 )
 
 
@@ -1790,6 +1791,35 @@ SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, rnk FROM (
 """
 
 
+# fixed query set for the BM25 suite query — terms drawn from the
+# synthetic documents vocabulary so every query matches
+_BM25_QUERIES = [
+    ("q1", "fast vector scan"),
+    ("q2", "customer order join"),
+    ("q3", "stream window agg"),
+]
+
+
+def q_bm25_search_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per query: postings from one explode+groupBy,
+    corpus stats as a broadcast scalar, query terms broadcast against
+    the postings; ranked on the 6-dp-rounded score so order matches the
+    oracle bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id string, query_text string")
+    return search.bm25_topk(docs, qs, k=10)
+
+
+def q_lm_bigram_quality(spark, sf_dir):
+    """CCNet-style LM quality signal: add-0.1-smoothed bigram model
+    trained on the corpus itself, every doc scored by mean token
+    log-likelihood + perplexity (the model is a DataFrame — two
+    aggregations — so a 100 TB reference trains with one shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bigram_lm_scores(docs, alpha=0.1, hash_fn="md5")
+
+
 def q_pivot_wide_event_values(spark, sf_dir):
     """Wide pivot (reshape): one column per event type with its summed
     value per user (groupBy().pivot() with explicit values)."""
@@ -1949,6 +1979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "knn_ivf_topk": q_knn_ivf_topk,
+    "bm25_search_topk": q_bm25_search_topk,
+    "lm_bigram_quality": q_lm_bigram_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -2016,6 +2048,8 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": oracles.fingerprint_sql(),
     "knn_lsh_topk": oracles.knn_lsh_sql(n_planes=4, k=5),
     "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
+    "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
+    "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),
     # rows-only (genuinely non-SQL-expressible): multimodal_features
     # (the sha256-float fake-decode runs in a Pandas UDF)
 }

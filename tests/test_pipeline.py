@@ -422,3 +422,70 @@ def test_attach_media_meta(spark):
     row = multimodal.attach_media_meta(media).first()
     assert row.meta.media_type == "image"
     assert row.meta.duration_ms == 4
+
+
+def test_bm25_topk_ranking(spark):
+    from kiji_mapreduce_spark.pipeline import search
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine spark engine spark"),     # heavy on "spark"
+         (2, "spark engine files and other words padding here now"),
+         (3, "completely unrelated text about cooking pasta dinner"),
+         (4, "engine engine engine maintenance manual")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([("q1", "spark"), ("q2", "engine")],
+                               "query_id string, query_text string")
+    out = search.bm25_topk(docs, qs, k=2)
+    rows = sorted(out.collect(), key=lambda r: (r.query_id, r.rank))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # only matching docs appear; ranks are 1..k; scores non-increasing
+    assert [r.doc_id for r in by_q["q1"]] == [1, 2]
+    assert by_q["q1"][0].score > by_q["q1"][1].score > 0
+    assert [r.rank for r in by_q["q2"]] == [1, 2]
+    assert by_q["q2"][0].doc_id == 4          # tf=3 and shortest doc wins
+    assert all(r.doc_id != 3 for r in rows)   # no shared term, no row
+
+
+def test_bm25_no_match_query_absent(spark):
+    from kiji_mapreduce_spark.pipeline import search
+
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id long, text string")
+    qs = spark.createDataFrame([("q1", "gamma")],
+                               "query_id string, query_text string")
+    assert search.bm25_topk(docs, qs, k=5).count() == 0
+
+
+def test_bigram_lm_scores(spark):
+    from kiji_mapreduce_spark.pipeline import lm
+
+    # reference grammar: "a b" dominates; "z z" never appears
+    ref = spark.createDataFrame(
+        [(i, "a b a b a b a b") for i in range(5)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "a b a b"),       # in-distribution
+         (11, "z z z z"),       # all-unseen bigrams AND contexts
+         (12, "a")],            # single token: no bigrams
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           lm.bigram_lm_scores(docs, reference=ref).collect()}
+    assert len(out) == 3                      # total: one row per doc
+    assert out[10].n_bigrams == 3 and out[11].n_bigrams == 3
+    assert out[10].avg_logprob > out[11].avg_logprob
+    assert out[10].ppl < out[11].ppl
+    assert out[12].n_bigrams == 0 and out[12].avg_logprob is None
+
+
+def test_bigram_lm_self_scoring_orders_outliers_last(spark):
+    from kiji_mapreduce_spark.pipeline import lm
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+        + [(99, "zxq wvut qqq zzz patchwork entropy chaos")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lm.bigram_lm_scores(docs).collect()}
+    common = [v.ppl for k, v in out.items() if k != 99]
+    assert all(out[99].ppl > p for p in common)
