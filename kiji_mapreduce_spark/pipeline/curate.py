@@ -45,6 +45,7 @@ def curate_corpus(
     config: CurateConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Run the curation chain; returns surviving rows of ``docs`` with
     ``n_tokens``/``quality_score`` (and ``overlap_frac`` when a
@@ -53,6 +54,12 @@ def curate_corpus(
     If ``benchmark`` rows share ids with ``docs`` (in-corpus eval
     split), they are excluded from the output — a document cannot
     survive into training data if it IS the benchmark.
+
+    The quality+dedup survivor set is a diamond: the near-dedup pass,
+    the decontamination shingle scan, its total-id anchor, and the
+    final join all read it, so by default it is materialized once with
+    an eager localCheckpoint (the ``dedup.minhash_dedup`` discipline)
+    instead of re-running the scoring scan per branch.
     """
     cfg = config or CurateConfig()
     scored = text_ops.quality_features(docs, text_col)
@@ -60,6 +67,8 @@ def curate_corpus(
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",
                      "digit_ratio", "upper_ratio", "stopword_ratio"))
     kept = dedup.drop_exact_duplicates(quality, text_col, id_col)
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
     if cfg.near_threshold is not None:
         pairs = dedup.minhash_dedup(
             kept, text_col, id_col, threshold=cfg.near_threshold,

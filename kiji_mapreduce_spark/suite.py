@@ -1423,7 +1423,11 @@ def q_dedup_incremental_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    index = dedup.minhash_index(corpus, hash_fn="md5")
+    # checkpoint stands in for the production persisted index table —
+    # minhash_dedup_incremental reads it twice (band entries + verify
+    # sets), and the steady state never recomputes it from text
+    index = dedup.minhash_index(corpus, hash_fn="md5") \
+        .localCheckpoint(eager=True)
     pairs = dedup.minhash_dedup_incremental(
         new, index, threshold=0.5, hash_fn="md5")
     return pairs.select("id_a", "id_b",
