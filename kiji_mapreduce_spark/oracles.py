@@ -453,3 +453,44 @@ SELECT d.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM {source}) d
 LEFT JOIN scored USING ({id_col})
 """
+
+
+def decontaminate_spans_sql(n: int = 3, modulus: int = 23,
+                            source: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """Mirror of decontaminate.contaminated_spans(hash_fn="md5") with
+    benchmark = rows where id % modulus == 0: positional grams, hit =
+    gram in benchmark union, consecutive hit positions merged via
+    gaps-and-islands. Positions are 0-based; edge grams of short docs
+    clamp span_end to the last token."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {_toks()} AS t, ({id_col} % {modulus} = 0) AS is_bench
+  FROM {source}
+),
+grams AS (
+  SELECT {id_col}, is_bench, len(t) - 1 AS mx,
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+              i -> struct_pack(p := i - 1,
+                   h := {_md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")}))
+         ELSE [struct_pack(p := 0,
+               h := {_md5h("array_to_string(t, ' ')")})] END AS g
+  FROM toks WHERE len(t) >= 1
+),
+ex AS (SELECT {id_col}, is_bench, mx, unnest(g) AS s FROM grams),
+bench AS (SELECT DISTINCT s.h AS h FROM ex WHERE is_bench),
+hits AS (
+  SELECT {id_col}, s.p AS p, mx FROM ex
+  WHERE NOT is_bench AND s.h IN (SELECT h FROM bench)
+),
+isl AS (
+  SELECT {id_col}, p, mx,
+         p - row_number() OVER (PARTITION BY {id_col} ORDER BY p) AS grp
+  FROM hits
+)
+SELECT {id_col}, min(p) AS span_start,
+       least(max(p) + {n - 1}, max(mx)) AS span_end,
+       count(*) AS n_grams_in_span
+FROM isl GROUP BY {id_col}, grp
+"""

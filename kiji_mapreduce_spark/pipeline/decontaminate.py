@@ -17,7 +17,7 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kiji_mapreduce_spark.pipeline.dedup import shingle_hashes
 
@@ -70,3 +70,49 @@ def ngram_overlap(
         id_col, n_grams.alias("n_grams"), n_hit.alias("n_hit"),
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"))
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Token spans of each document whose n-grams appear in the
+    benchmark — the redaction-grade view of contamination (pipelines
+    cut the overlapping span and keep the rest of the document, rather
+    than dropping it whole).
+
+    A token position is *hit* when the n-gram starting there is in the
+    benchmark's gram union; consecutive hit positions merge into one
+    span (gaps-and-islands: group key = pos - row_number over pos).
+    Returns (id, span_start, span_end, n_grams_in_span) with 0-based
+    inclusive token positions; ``span_end`` covers the last hit gram's
+    full extent, clamped to the document's last token for edge grams of
+    short documents. Documents with no hits emit no rows.
+
+    Scale shape: identical to ``ngram_overlap`` (the benchmark union is
+    a broadcast semi-join probe; only hashed longs shuffle) plus one
+    per-doc window over hit positions only — hits are a small fraction
+    of the corpus, so the window input is tiny.
+    """
+    cand = shingle_hashes(docs, text_col, id_col, n, hash_fn,
+                          with_pos=True)
+    bench = (shingle_hashes(benchmark, text_col, id_col, n, hash_fn)
+             .select("_h").distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = cand.join(bench, on="_h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w)
+    spans = (hits.withColumn("_grp", grp)
+             .groupBy(id_col, "_grp")
+             .agg(F.min("pos").alias("span_start"),
+                  F.least(F.max("pos") + (n - 1),
+                          F.max("_mx")).alias("span_end"),
+                  F.count(F.lit(1)).alias("n_grams_in_span")))
+    return spans.select(id_col, "span_start", "span_end",
+                        "n_grams_in_span")

@@ -105,7 +105,7 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingle_hashes(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
-                   hash_fn: str = "xx") -> DataFrame:
+                   hash_fn: str = "xx", with_pos: bool = False) -> DataFrame:
     """(id, _h) one row per n-gram shingle hash — the codegen'd shape.
 
     posexplode tokens, build each gram from ``lead()`` window terms
@@ -114,6 +114,11 @@ def shingle_hashes(df: DataFrame, text_col: str = "text",
     duplicate-insensitive (min over a multiset == min over its set), so
     no distinct pass is needed. Documents with zero tokens produce no
     rows (they cannot be near-duplicates of anything).
+
+    ``with_pos=True`` additionally keeps the gram's 0-based start token
+    position as ``pos`` and the doc's max token position as ``_mx``
+    (span-level consumers like ``decontaminate.contaminated_spans``
+    need both; they are computed here anyway).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
@@ -128,7 +133,8 @@ def shingle_hashes(df: DataFrame, text_col: str = "text",
     # full 64-bit hash: set-cardinality users (Jaccard) need collision
     # odds ~2^-63 (~2^-59 for md5 mode); MinHash permutations pmod down
     # to 31 bits themselves
-    return out.select(id_col, token_hash64(F.col("_g"), hash_fn).alias("_h"))
+    cols = ([F.col(id_col), "pos", "_mx"] if with_pos else [F.col(id_col)])
+    return out.select(*cols, token_hash64(F.col("_g"), hash_fn).alias("_h"))
 
 
 def minhash_signatures(

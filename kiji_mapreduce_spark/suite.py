@@ -1583,6 +1583,18 @@ def q_decontaminate_overlap(spark, sf_dir):
         cand, bench, n=3, hash_fn="md5", threshold=0.5)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: for every candidate doc, the merged
+    token ranges whose 3-grams hit the benchmark union (gaps-and-islands
+    over hit positions — the redaction view; pipelines cut the span,
+    not the document)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate.contaminated_spans(
+        cand, bench, n=3, hash_fn="md5")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language Bernoulli sample by md5 key hash —
     membership is a pure function of (seed, doc_id), reproducible in any
@@ -1985,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_topk": q_knn_ivf_topk,
     "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
+    "decontaminate_spans": q_decontaminate_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -2054,6 +2067,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),
+    "decontaminate_spans": oracles.decontaminate_spans_sql(n=3, modulus=23),
     # rows-only (genuinely non-SQL-expressible): multimodal_features
     # (the sha256-float fake-decode runs in a Pandas UDF)
 }

@@ -489,3 +489,39 @@ def test_bigram_lm_self_scoring_orders_outliers_last(spark):
     out = {r.doc_id: r for r in lm.bigram_lm_scores(docs).collect()}
     common = [v.ppl for k, v in out.items() if k != 99]
     assert all(out[99].ppl > p for p in common)
+
+
+def test_contaminated_spans(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five")], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        # hits at token positions 2,3,4 (grams "one two three",
+        # "two three four", "three four five" start at 2 and 3); plus a
+        # separate hit island later in the doc
+        [(1, "x y one two three four five z q one two three w"),
+         (2, "no overlap at all in this document"),
+         (3, "one two three four five")],                # exact copy
+        "doc_id long, text string")
+    out = decontaminate.contaminated_spans(cand, bench, n=3)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.span_start))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # doc 1: grams at pos 2,3,4 hit -> span tokens [2, 6]; gram at pos 9
+    # ("one two three") hits -> span [9, 11]
+    assert [(r.span_start, r.span_end, r.n_grams_in_span) for r in d1] \
+        == [(2, 6, 3), (9, 11, 1)]
+    assert not [r for r in rows if r.doc_id == 2]
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert [(r.span_start, r.span_end, r.n_grams_in_span) for r in d3] \
+        == [(0, 4, 3)]
+
+
+def test_contaminated_spans_short_doc_clamps(spark):
+    bench = spark.createDataFrame([(100, "tiny doc")],
+                                  "doc_id long, text string")
+    cand = spark.createDataFrame([(1, "tiny doc")],
+                                 "doc_id long, text string")
+    r = decontaminate.contaminated_spans(cand, bench, n=3).collect()
+    # 2-token doc, n=3: single edge gram at pos 0, span clamped to the
+    # last token (1), not 0 + n - 1
+    assert [(x.span_start, x.span_end, x.n_grams_in_span) for x in r] \
+        == [(0, 1, 1)]
