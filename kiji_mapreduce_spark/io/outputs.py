@@ -310,7 +310,7 @@ def bulk_load(staging_path: str, table_path: str, spark=None) -> None:
 
 
 def swap_partition_dirs(staging_path: str, table_path: str,
-                        subdirs: list[str]) -> None:
+                        subdirs: list[str], spark=None) -> None:
     """Commit only the named hive-partition subdirectories from a staging
     write into the live table — the incremental (bucket-scoped) commit:
     every other partition's files are left byte-untouched, so a one-row
@@ -320,7 +320,13 @@ def swap_partition_dirs(staging_path: str, table_path: str,
     Each subdirectory swap is individually atomic (restore-on-failure);
     cross-bucket visibility is bucket-at-a-time, matching the reference's
     region-level (not table-level) write atomicity.
+
+    Local paths swap via os renames; non-file schemes (hdfs://, s3a://,
+    ...) go through the JVM Hadoop FileSystem API like ``bulk_load``.
     """
+    if not (_is_local_path(staging_path) and _is_local_path(table_path)):
+        _swap_partition_dirs_hadoop(staging_path, table_path, subdirs, spark)
+        return
     staging_path = _strip_file_scheme(staging_path)
     table_path = _strip_file_scheme(table_path)
     for sub in subdirs:
@@ -331,3 +337,44 @@ def swap_partition_dirs(staging_path: str, table_path: str,
         elif os.path.exists(live_sub):
             shutil.rmtree(live_sub)
     shutil.rmtree(staging_path, ignore_errors=True)
+
+
+def _swap_partition_dirs_hadoop(staging_path: str, table_path: str,
+                                subdirs: list[str], spark=None) -> None:
+    """Bucket-scoped commit through the Hadoop FileSystem API: per
+    subdirectory, rename live aside, staged in, restore on failure —
+    the same discipline as ``_swap_dir_hadoop`` but per partition."""
+    import uuid
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "swap_partition_dirs on a non-local filesystem needs an active "
+            "SparkSession (the Hadoop FileSystem client lives in the JVM)")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    table_p = HPath(table_path)
+    fs = table_p.getFileSystem(hconf)
+    for sub in subdirs:
+        stage_sub = HPath(staging_path, sub)
+        live_sub = HPath(table_path, sub)
+        if fs.exists(stage_sub):
+            if not fs.exists(live_sub):
+                fs.mkdirs(live_sub.getParent())
+                if not fs.rename(stage_sub, live_sub):
+                    raise IOError(f"swap: rename {stage_sub} -> {live_sub} failed")
+                continue
+            trash = HPath(table_p, f".swap-old-{uuid.uuid4().hex[:8]}")
+            if not fs.rename(live_sub, trash):
+                raise IOError(f"swap: could not move {live_sub} aside")
+            if not fs.rename(stage_sub, live_sub):
+                fs.rename(trash, live_sub)  # restore the previous state
+                raise IOError(f"swap: rename {stage_sub} -> {live_sub} failed")
+            fs.delete(trash, True)
+        elif fs.exists(live_sub):
+            fs.delete(live_sub, True)
+    fs.delete(HPath(staging_path), True)

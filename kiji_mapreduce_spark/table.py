@@ -195,7 +195,8 @@ class EntityTable:
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
         self._write_canonical(df, staging, n_partitions=max(len(buckets), 1))
         swap_partition_dirs(
-            staging, self._data_path(), [f"_bucket={b}" for b in buckets])
+            staging, self._data_path(), [f"_bucket={b}" for b in buckets],
+            spark=self.spark)
 
     def overwrite(self, df: DataFrame) -> None:
         """Replace table contents, physically partitioned by key bucket

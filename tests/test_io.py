@@ -132,6 +132,31 @@ def test_bulk_load_hadoop_fs_path(spark, tmp_path):
     assert not os.path.exists(staging)
 
 
+def test_swap_partition_dirs_hadoop_fs_path(spark, tmp_path):
+    """Bucket-scoped commits on non-local schemes go through the JVM
+    FileSystem API: swapped partitions update, absent staged partitions
+    delete, unnamed partitions stay byte-untouched."""
+    from kiji_mapreduce_spark.io.outputs import _swap_partition_dirs_hadoop
+
+    table = str(tmp_path / "ptable")
+    staging = str(tmp_path / "pstaging")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "k int, _bucket int")
+    df.write.partitionBy("_bucket").parquet(table)
+    untouched = sorted(os.listdir(os.path.join(table, "_bucket=2")))
+    # stage new contents for bucket 0 only; name bucket 1 with no staged
+    # output (delete); leave bucket 2 unnamed (untouched)
+    spark.createDataFrame([(10, 0), (11, 0)], "k int, _bucket int") \
+        .write.partitionBy("_bucket").parquet(staging)
+    _swap_partition_dirs_hadoop(
+        f"file://{staging}", f"file://{table}",
+        ["_bucket=0", "_bucket=1"], spark)
+    out = spark.read.parquet(table)
+    assert sorted(r.k for r in out.collect()) == [3, 10, 11]
+    assert sorted(os.listdir(os.path.join(table, "_bucket=2"))) == untouched
+    assert not os.path.exists(staging)
+
+
 def test_stage_sorted_rolls_files_at_max_records(spark, tmp_path):
     """maxRecordsPerFile bounds staged file size (the 256 MB HFile-rolling
     analogue); rolled files stay individually sorted."""
