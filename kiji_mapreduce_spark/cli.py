@@ -111,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
     mp = sub.add_parser("compact")
     mp.add_argument("--table", required=True)
 
+    op = sub.add_parser("optimize", help="bin-pack small files in "
+                        "write-churned buckets (untouched buckets stay "
+                        "byte-identical)")
+    op.add_argument("--table", required=True)
+    op.add_argument("--max-files-per-bucket", type=int, default=1)
+    op.add_argument("--max-records-per-file", type=int, default=None)
+
     cu = sub.add_parser("curate", help="corpus curation chain: quality "
                         "-> dedup -> decontaminate -> sample")
     cu.add_argument("--input", required=True, help="documents parquet")
@@ -168,6 +175,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = make_session(app_name="kiji-compact")
         EntityTable.open(spark, args.table).compact()
         print(json.dumps({"compacted": args.table}))
+        return 0
+
+    if args.command == "optimize":
+        from kiji_mapreduce_spark.table import EntityTable
+
+        spark = make_session(app_name="kiji-optimize")
+        rewritten = EntityTable.open(spark, args.table).optimize(
+            max_files_per_bucket=args.max_files_per_bucket,
+            max_records_per_file=args.max_records_per_file)
+        print(json.dumps({"optimized": args.table, "buckets": rewritten}))
         return 0
 
     if args.command == "curate":

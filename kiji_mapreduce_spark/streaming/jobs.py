@@ -71,20 +71,35 @@ def stream_into_table(
     table,
     checkpoint: str,
     trigger_available_now: bool = True,
+    mode: str = "delta",
 ):
     """Continuously ingest a stream of puts into an EntityTable.
 
     ``put_stream`` rows follow the merge_put contract: (entity_id,
-    family, qualifier, ts, value_str). Each micro-batch merges in one
-    transaction (atomic directory swap), so readers always see a
-    consistent table — the streaming twin of the direct-writer path and
-    the engine's answer to continuous bulk import.
+    family, qualifier, ts, value_str). The streaming twin of the
+    direct-writer path and the engine's answer to continuous bulk
+    import.
+
+    ``mode='delta'`` (default) appends each micro-batch to the table's
+    delta log (``EntityTable.put_delta``): O(batch) per trigger with no
+    base read, the only shape that survives a high-frequency trigger on
+    a 100 TB table — readers see fragments via merge-on-read, and a
+    periodic ``flush_deltas``/``optimize`` folds them in.
+    ``mode='merge'`` merges each batch immediately (bucket-scoped base
+    rewrite per trigger): stronger read-optimized freshness, for
+    low-frequency triggers on modest tables.
     """
+    if mode not in ("delta", "merge"):
+        raise ValueError(f"stream_into_table mode {mode!r}: "
+                         "expected 'delta' or 'merge'")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.merge_put(batch_df)
+        if mode == "delta":
+            table.put_delta(batch_df)
+        else:
+            table.merge_put(batch_df)
 
     writer = put_stream.writeStream.foreachBatch(_merge) \
         .option("checkpointLocation", checkpoint)

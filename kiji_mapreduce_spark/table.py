@@ -85,8 +85,15 @@ class EntityTable:
         ).cast("int")
 
     # -- read ---------------------------------------------------------------
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._data_path()).drop("_bucket")
+    def read(self, merge_deltas: bool = True) -> DataFrame:
+        """Logical table scan. When a delta log exists the scan is the
+        merge-on-read view (base + fragments, ``_merge_view``);
+        ``merge_deltas=False`` is the read-optimized view (base files
+        only — what a flushed table always serves)."""
+        base = self.spark.read.parquet(self._data_path()).drop("_bucket")
+        if merge_deltas and self._has_deltas():
+            return self._merge_view(base, self._read_delta().drop("_bucket"))
+        return base
 
     def scan(self, data_request=None, start_key=None, limit_key=None) -> DataFrame:
         """Scan with optional DataRequest projection + key range
@@ -129,15 +136,24 @@ class EntityTable:
     def get(self, *components) -> DataFrame:
         """Point lookup by entity-id components: computes the key's
         bucket and filters on the partition column first, so the scan
-        prunes to one bucket directory before touching row data."""
+        prunes to one bucket directory before touching row data. With a
+        delta log present, the same bucket-pruned filter runs on the
+        (tiny) fragment set and the merge applies to this one key."""
         lits = self._key_literals(components)
-        raw = self.spark.read.parquet(self._data_path())
-        if "_bucket" in raw.columns:
-            raw = raw.filter(F.col("_bucket") == self._bucket_of(lits))
+        bucket = self._bucket_of(lits)
         cond = F.lit(True)
         for f, lit in zip(self.layout.row_key.spark_type().fields, lits):
             cond = cond & (F.col(f"entity_id.{f.name}").eqNullSafe(lit))
-        return raw.filter(cond).drop("_bucket")
+        raw = self.spark.read.parquet(self._data_path())
+        if "_bucket" in raw.columns:
+            raw = raw.filter(F.col("_bucket") == bucket)
+        row = raw.filter(cond).drop("_bucket")
+        if self._has_deltas():
+            frags = (self._read_delta()
+                     .filter(F.col("_bucket") == bucket)
+                     .filter(cond).drop("_bucket"))
+            return self._apply_puts(row, frags)
+        return row
 
     # -- write --------------------------------------------------------------
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -180,7 +196,8 @@ class EntityTable:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy("_bucket").parquet(out_path)
 
-    def _rewrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+    def _rewrite_buckets(self, df: DataFrame, buckets: list[int],
+                         max_records_per_file: int | None = None) -> None:
         """Incremental commit: write ``df`` (the new contents of exactly
         the ``buckets`` partitions) to staging and swap only those bucket
         directories into the live table. Untouched buckets' files are
@@ -193,7 +210,8 @@ class EntityTable:
         import uuid
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
-        self._write_canonical(df, staging, n_partitions=max(len(buckets), 1))
+        self._write_canonical(df, staging, n_partitions=max(len(buckets), 1),
+                              max_records_per_file=max_records_per_file)
         swap_partition_dirs(
             staging, self._data_path(), [f"_bucket={b}" for b in buckets],
             spark=self.spark)
@@ -213,35 +231,39 @@ class EntityTable:
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
         self._write_canonical(df, staging)
         bulk_load(staging, self._data_path())
+        # replace semantics: buffered fragments described the old contents
+        import shutil as _shutil
 
-    def merge_put(self, puts: DataFrame) -> None:
-        """Upsert cell versions into the table (the direct-writer path).
+        _shutil.rmtree(self._delta_path(), ignore_errors=True)
 
-        ``puts`` rows: (entity_id, family, qualifier, ts, value_str).
-        Values arrive as strings and are cast to the column's declared
-        type — the Avro-encode step of the reference collapsed to a cast.
-        New rows are created for unseen keys; existing cells get a
-        timestamped version inserted (same-ts put overwrites).
+    def _apply_puts(self, current: DataFrame, puts: DataFrame) -> DataFrame:
+        """The put-merge transformation: fold put fragments into the
+        ``current`` logical rows, returning the updated rows (every
+        layout column, no ``_bucket``).
 
-        Implementation: full-outer merge on entity key, then per affected
-        column a ``put_cell``. One shuffle on the key; existing cell
-        arrays never leave the JVM. The merge reads and rewrites ONLY the
-        bucket partitions the puts hash to (bucket-scoped incremental
-        commit); a one-row put is a one-bucket job regardless of table
-        size.
+        ``puts`` rows: (entity_id, family, qualifier, ts, value_str) and
+        optionally ``_seq`` (a commit sequence number: fragments apply in
+        ``_seq`` order, so a later delta batch wins a same-ts overwrite —
+        without it apply order inside one batch is collect_list's,
+        matching the reference's buffered-writer batch semantics).
+
+        Full-outer merge on entity key, then per affected column a
+        ``put_cell``. One shuffle on the key; existing cell arrays never
+        leave the JVM.
         """
-        buckets = (self._affected_buckets(puts)
-                   if self._is_bucket_partitioned() else None)
-        current = self.read() if buckets is None else self._read_buckets(buckets)
+        if "_seq" not in puts.columns:
+            puts = puts.withColumn("_seq", F.lit(0).cast("long"))
         key_expr_cur = self.layout.row_key.key_expr()
         grouped = (
             puts.withColumn("_k", self.layout.row_key.key_expr())
             .groupBy("_k")
             .agg(
                 F.first("entity_id").alias("_eid"),
-                F.collect_list(
-                    F.struct("family", "qualifier", "ts", "value_str")
-                ).alias("_puts"),
+                # struct leads with _seq so array_sort orders fragments
+                # by commit sequence (fields are still matched by name)
+                F.array_sort(F.collect_list(
+                    F.struct("_seq", "family", "qualifier", "ts",
+                             "value_str"))).alias("_puts"),
             )
         )
         merged = current.withColumn("_k", key_expr_cur).join(
@@ -303,11 +325,112 @@ class EntityTable:
                 )
                 fam_struct = fam_struct.withField(col.name, updated)
             merged = merged.withColumn(fam.name, fam_struct)
-        result = merged.select(*[f.name for f in self.layout.spark_schema()])
+        return merged.select(*[f.name for f in self.layout.spark_schema()])
+
+    def merge_put(self, puts: DataFrame) -> None:
+        """Upsert cell versions into the table (the direct-writer path).
+
+        ``puts`` rows: (entity_id, family, qualifier, ts, value_str).
+        Values arrive as strings and are cast to the column's declared
+        type — the Avro-encode step of the reference collapsed to a cast.
+        New rows are created for unseen keys; existing cells get a
+        timestamped version inserted (same-ts put overwrites).
+
+        The merge reads and rewrites ONLY the bucket partitions the puts
+        hash to (bucket-scoped incremental commit); a one-row put is a
+        one-bucket job regardless of table size. For high-frequency
+        small batches, ``put_delta`` defers even that (LSM-style).
+        """
+        self.flush_deltas()
+        buckets = (self._affected_buckets(puts)
+                   if self._is_bucket_partitioned() else None)
+        current = self.read() if buckets is None else self._read_buckets(buckets)
+        result = self._apply_puts(current, puts)
         if buckets is None:
             self.overwrite(result)
         else:
             self._rewrite_buckets(result, buckets)
+
+    # -- delta (LSM) write path --------------------------------------------
+    def _delta_path(self) -> str:
+        return os.path.join(self.path, "delta")
+
+    def _has_deltas(self) -> bool:
+        import glob
+
+        return bool(glob.glob(
+            os.path.join(self._delta_path(), "_bucket=*", "*.parquet")))
+
+    def _read_delta(self) -> DataFrame:
+        return self.spark.read.parquet(self._delta_path())
+
+    def put_delta(self, puts: DataFrame) -> None:
+        """Buffered put: append the fragments to the table's delta log
+        and return — no base read, no base rewrite, O(batch) regardless
+        of table or bucket size.
+
+        The LSM discipline the reference inherited from HBase (memstore
+        + HFiles): writes land in a small sorted structure, reads merge
+        base + deltas, and ``flush_deltas`` (HBase flush + minor
+        compaction) periodically folds deltas into their buckets. With
+        16 multi-TB buckets, ``merge_put``'s bucket rewrite is still a
+        heavy job for a one-row put; ``put_delta`` makes sustained
+        small-batch ingest (e.g. streaming micro-batches) cheap and
+        shifts the rewrite cost to a background flush cadence.
+
+        Fragments are bucket-partitioned like the base, so reads prune
+        both sides identically. Single-writer discipline assumed (same
+        as the base write path).
+        """
+        import time as _time
+
+        frag = (puts
+                .withColumn("_seq", F.lit(_time.time_ns()).cast("long"))
+                .withColumn("_bucket", self._bucket_expr()))
+        (frag.write.mode("append").partitionBy("_bucket")
+         .parquet(self._delta_path()))
+
+    def flush_deltas(self) -> list[int]:
+        """Fold every delta fragment into its base bucket (bucket-scoped
+        rewrite) and clear the delta log. Returns the buckets rewritten.
+        No-op when the log is empty — every base-mutating operator calls
+        this first, so base mutations always see linear history."""
+        import shutil as _shutil
+
+        if not self._has_deltas():
+            return []
+        puts = self._read_delta().drop("_bucket")
+        if self._is_bucket_partitioned():
+            buckets = self._affected_buckets(puts)
+            current = self._read_buckets(buckets)
+        else:
+            buckets = None
+            current = self.read(merge_deltas=False)
+        # the merged rows must be computed BEFORE the swap replaces the
+        # base files the plan reads from
+        result = self._apply_puts(current, puts).localCheckpoint(eager=True)
+        if buckets is None:
+            self.overwrite(result)
+        else:
+            self._rewrite_buckets(result, buckets)
+        _shutil.rmtree(self._delta_path(), ignore_errors=True)
+        return buckets if buckets is not None else []
+
+    def _merge_view(self, base: DataFrame, puts: DataFrame) -> DataFrame:
+        """Merge-on-read: apply delta fragments to the base scan without
+        shuffling the base. Only rows whose keys appear in the delta need
+        merging, so the base splits with broadcast semi/anti joins on the
+        (small) delta key set; the full-outer merge runs on that small
+        slice only. At 100 TB the base never shuffles."""
+        key = self.layout.row_key.key_expr()
+        hot_keys = puts.select(
+            self.layout.row_key.key_expr().alias("_k")).distinct()
+        base_k = base.withColumn("_k", key)
+        cold = base_k.join(F.broadcast(hot_keys), "_k", "left_anti") \
+            .drop("_k")
+        hot = base_k.join(F.broadcast(hot_keys), "_k", "left_semi") \
+            .drop("_k")
+        return cold.unionByName(self._apply_puts(hot, puts))
 
     def upsert_rows(self, rows: DataFrame) -> None:
         """Row-level upsert: incoming full rows replace existing rows
@@ -315,6 +438,7 @@ class EntityTable:
         direct-table-write path for operators that emit whole rows, e.g.
         pivoters/table-reducers targeting this table). Bucket-scoped:
         only the partitions the incoming keys hash to are rewritten."""
+        self.flush_deltas()
         buckets = (self._affected_buckets(rows)
                    if self._is_bucket_partitioned() else None)
         current = self.read() if buckets is None else self._read_buckets(buckets)
@@ -343,6 +467,7 @@ class EntityTable:
         ts). Batch-atomic per bucket like every table write; the
         bucket-scoped path keeps a single-row increment a one-bucket job.
         """
+        self.flush_deltas()
         # validate: every referenced (family, qualifier) is a counter.
         # distinct set is bounded by the layout (group) / qualifier count
         # (map) — a tiny driver action, like _affected_buckets.
@@ -442,6 +567,7 @@ class EntityTable:
         Bucket-scoped like merge_put; a bucket whose rows are all deleted
         has its partition directory removed.
         """
+        self.flush_deltas()
         buckets = (self._affected_buckets(deletes)
                    if self._is_bucket_partitioned() else None)
         current = self.read() if buckets is None else self._read_buckets(buckets)
@@ -503,7 +629,13 @@ class EntityTable:
                               max_records_per_file=max_records_per_file)
 
     def bulk_commit(self, staging_path: str) -> None:
+        """Swap staged files in as the table's new contents. Replace
+        semantics: any buffered delta fragments describe the OLD
+        contents and are discarded, like ``overwrite``."""
+        import shutil as _shutil
+
         bulk_load(staging_path, self._data_path())
+        _shutil.rmtree(self._delta_path(), ignore_errors=True)
 
     def produce(self, producer, context=None) -> None:
         """Run a Producer against this table and write the derived cells
@@ -518,6 +650,7 @@ class EntityTable:
             raise ValueError(
                 f"producer output column {out_col!r} not in layout "
                 f"{self.layout.name!r}")
+        self.flush_deltas()
         updated = producer.compile(self.read(), context)
         self.overwrite(updated.select(
             *[f.name for f in self.layout.spark_schema()]))
@@ -570,12 +703,46 @@ class EntityTable:
         return self.get(*components)
 
     # -- maintenance --------------------------------------------------------
+    def optimize(self, max_files_per_bucket: int = 1,
+                 max_records_per_file: int | None = None) -> list[int]:
+        """Small-file compaction: rewrite only the bucket partitions
+        whose file count exceeds ``max_files_per_bucket``, bin-packing
+        each back to key-sorted files (optionally rolled at
+        ``max_records_per_file``). Returns the bucket ids rewritten.
+
+        Small files accumulate from the delta log (flushed here first),
+        from rolled staging files (``max_records_per_file`` bulk loads),
+        and from external jobs appending into bucket directories — at
+        100 TB, scan throughput dies on file-open overhead long before
+        data volume. ``optimize`` is the companion op (Delta OPTIMIZE /
+        HBase minor-compaction analogue): untouched buckets' files stay
+        byte-identical, so it is safe to run continuously and only pays
+        for the buckets that actually churned.
+        """
+        import glob as _glob
+
+        flushed = self.flush_deltas()  # folding deltas packs those buckets
+        data = self._data_path()
+        if not self._is_bucket_partitioned():
+            return sorted(flushed)
+        over = []
+        for bdir in _glob.glob(os.path.join(data, "_bucket=*")):
+            n_files = len(_glob.glob(os.path.join(bdir, "*.parquet")))
+            if n_files > max_files_per_bucket:
+                over.append(int(os.path.basename(bdir).split("=")[1]))
+        if over:
+            over.sort()
+            self._rewrite_buckets(self._read_buckets(over), over,
+                                  max_records_per_file=max_records_per_file)
+        return sorted(set(flushed) | set(over))
+
     def compact(self, now_ms: int | None = None) -> None:
         """Apply maxVersions + TTL retention to every versioned cell —
         the compaction the reference delegated to HBase. Narrow job: no
         shuffle, rewrite in place."""
         import time as _time
 
+        self.flush_deltas()
         now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
         df = self.read()
         for fam in self.layout.families:

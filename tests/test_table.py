@@ -456,3 +456,120 @@ def test_bulk_stage_commit(spark, tmp_path):
     assert sorted(
         r[0] for r in got.select(latest_value(F.col("info.email"))).collect()
     ) == ["x@x", "y@x"]
+
+
+def test_optimize_binpacks_fragmented_buckets_only(spark, tmp_path):
+    """optimize() bin-packs ONLY buckets whose file count exceeds the
+    budget (here: one fragmented by an external append) and leaves every
+    other bucket's files byte-identical."""
+    import glob
+    import os
+
+    path = str(tmp_path / "topt")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=8)
+    t.merge_put(_puts(spark, [
+        ((f"user{i}",), "info", "email", 1, f"u{i}@x") for i in range(64)
+    ]))
+    # an external backfill job appends a second file into one bucket
+    extra = spark.createDataFrame(
+        [(("zz-backfill",), ([(1, "z@x")], None), None)],
+        LAYOUT.spark_schema())
+    victim = t._affected_buckets(
+        _puts(spark, [(("zz-backfill",), "info", "email", 1, "z@x")]))[0]
+    extra.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "data", f"_bucket={victim}"))
+    before = _data_file_digests(path)
+    assert len(glob.glob(os.path.join(
+        path, "data", f"_bucket={victim}", "*.parquet"))) > 1
+    rewritten = t.optimize(max_files_per_bucket=1)
+    after = _data_file_digests(path)
+    # only the fragmented bucket was rewritten, and it packs to 1 file
+    assert rewritten == [victim]
+    assert len(glob.glob(os.path.join(
+        path, "data", f"_bucket={victim}", "*.parquet"))) == 1
+    untouched = {f"_bucket={b}" for b in range(8)} - {f"_bucket={victim}"}
+    assert ({p: h for p, h in before.items() if p.split("/")[0] in untouched}
+            == {p: h for p, h in after.items() if p.split("/")[0] in untouched})
+    # data intact: 64 originals + the appended row
+    assert t.read().count() == 65
+    # second run is a no-op: everything already within budget
+    assert t.optimize(max_files_per_bucket=1) == []
+
+
+def test_put_delta_merge_on_read_and_flush(spark, tmp_path):
+    """The LSM write path: put_delta appends fragments without touching
+    base files; read()/get() serve the merged view; flush_deltas folds
+    fragments into exactly their buckets and clears the log."""
+    import os
+
+    path = str(tmp_path / "tlsm")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=8)
+    t.merge_put(_puts(spark, [
+        ((f"user{i}",), "info", "email", 1, f"u{i}@x") for i in range(32)
+    ]))
+    base_before = _data_file_digests(path)
+    # delta batch: update an existing key + create a brand-new key
+    t.put_delta(_puts(spark, [
+        (("user5",), "info", "email", 2, "fresh@x"),
+        (("newbie",), "info", "visits", 2, "7"),
+    ]))
+    # base files untouched by the append
+    assert _data_file_digests(path) == base_before
+    # merge-on-read: updates visible; read-optimized view unchanged
+    assert t.read().count() == 33
+    assert t.read(merge_deltas=False).count() == 32
+    row = t.get("user5").first()
+    assert [(c.ts, c.value) for c in row.info.email] == [
+        (2, "fresh@x"), (1, "u5@x")]
+    assert t.get("newbie").first().info.visits[0].value == 7
+    # flush folds fragments into their buckets only
+    touched = {f"_bucket={b}" for b in t._affected_buckets(_puts(spark, [
+        (("user5",), "info", "email", 2, "x"),
+        (("newbie",), "info", "visits", 2, "8")]))}
+    flushed = t.flush_deltas()
+    assert {f"_bucket={b}" for b in flushed} == touched
+    after = _data_file_digests(path)
+    assert ({p: h for p, h in base_before.items()
+             if p.split("/")[0] not in touched}
+            == {p: h for p, h in after.items()
+                if p.split("/")[0] not in touched})
+    assert not os.path.exists(os.path.join(path, "delta"))
+    # view identical after the flush
+    assert t.read().count() == 33
+    row = t.get("user5").first()
+    assert [(c.ts, c.value) for c in row.info.email] == [
+        (2, "fresh@x"), (1, "u5@x")]
+    # idempotent on an empty log
+    assert t.flush_deltas() == []
+
+
+def test_put_delta_seq_precedence(spark, tmp_path):
+    """Two delta batches writing the same cell at the SAME timestamp:
+    the later batch wins (fragments apply in commit-sequence order),
+    both in the merged view and after the flush."""
+    path = str(tmp_path / "tseq")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=4)
+    t.merge_put(_puts(spark, [(("k",), "info", "email", 1, "orig")]))
+    t.put_delta(_puts(spark, [(("k",), "info", "email", 5, "first")]))
+    t.put_delta(_puts(spark, [(("k",), "info", "email", 5, "second")]))
+
+    def email_cells():
+        return [(c.ts, c.value) for c in t.get("k").first().info.email]
+
+    assert email_cells() == [(5, "second"), (1, "orig")]
+    t.flush_deltas()
+    assert email_cells() == [(5, "second"), (1, "orig")]
+
+
+def test_mutations_flush_pending_deltas_first(spark, tmp_path):
+    """A base-mutating op on a table with buffered fragments must apply
+    them first (linear history): a merge_delete right after a put_delta
+    sees — and deletes — the buffered cell."""
+    path = str(tmp_path / "tflush")
+    t = EntityTable.create(spark, path, LAYOUT, n_buckets=4)
+    t.put_delta(_puts(spark, [(("gone",), "info", "email", 1, "x@x"),
+                              (("kept",), "info", "email", 1, "y@x")]))
+    t.merge_delete(_deletes(spark, [(("gone",), None, None, None)]))
+    keys = sorted(r.entity_id.key for r in t.read().collect())
+    assert keys == ["kept"]
+    assert not t._has_deltas()
