@@ -494,3 +494,71 @@ SELECT {id_col}, min(p) AS span_start,
        count(*) AS n_grams_in_span
 FROM isl GROUP BY {id_col}, grp
 """
+
+
+def knn_pq_sql(n_subspaces: int = 8, n_codes: int = 16, k: int = 5,
+               refine: int = 4, dim: int = 64,
+               query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.pq_topk(codebooks=...): deterministic
+    codebooks = per-subspace slices of the ``n_codes`` lowest-vec_id
+    vectors (code 1..n in vec_id order), nearest-code assignment by
+    sequential-fold squared L2 (ties to the lowest code), ADC scoring
+    (sum of per-subspace table lookups, rounded to 6 dp before ranking),
+    top refine*k candidates re-ranked by exact cosine."""
+    ds = dim // n_subspaces
+    d2sub = (f"list_reduce(list_transform(range(1, {ds + 1}), "
+             f"i -> (v[m*{ds}+i]-c[i])*(v[m*{ds}+i]-c[i])), (x, y) -> x + y)")
+    d2q = d2sub.replace("v[", "qv[")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+cb AS (
+  SELECT ms.m, cb0.code, cb0.v[ms.m*{ds}+1 : ms.m*{ds}+{ds}] AS c
+  FROM (SELECT unnest(range({n_subspaces})) AS m) ms CROSS JOIN cb0
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, cb.m, cb.code,
+           row_number() OVER (PARTITION BY e.vec_id, cb.m
+                              ORDER BY {d2sub}, cb.code) AS rn
+    FROM e CROSS JOIN cb)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+dt AS (
+  SELECT q.query_id, cb.m, cb.code, {d2q} AS d2
+  FROM q CROSS JOIN cb
+),
+approx AS (
+  SELECT dt.query_id, enc.vec_id AS neighbor_id, round(sum(dt.d2), 6) AS ad2
+  FROM enc JOIN dt ON dt.m = enc.m AND dt.code = enc.code
+  WHERE enc.vec_id <> dt.query_id
+  GROUP BY dt.query_id, enc.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ad2, neighbor_id) AS ar
+    FROM approx)
+  WHERE ar <= {refine * k}
+),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_cos('q.qv', 'e.v', dim)}, 6) AS cos
+  FROM cand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, cos AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -250,3 +250,132 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# -- product quantization (PQ) ANN ------------------------------------------
+
+def _d2_lit(sub: Column, center: list[float]) -> Column:
+    """Squared L2 from a subvector expression to a literal center —
+    sequential left-to-right fold, deterministic accumulation order."""
+    lits = F.array(*[F.lit(float(c)) for c in center])
+    return F.aggregate(
+        F.zip_with(sub, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def fit_pq_codebooks(
+    embeddings: DataFrame, n_subspaces: int = 8, n_codes: int = 16,
+    vec_col: str = "embedding", seed: int = 42, max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: an independent KMeans per subspace (the
+    classic product-quantization fit, Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public method). Returns
+    ``codebooks[m][code] = center`` (n_subspaces x n_codes x dim/m).
+
+    Each fit is an MLlib KMeans over ONE slice of the vectors —
+    sampled/distributed like any MLlib fit, and the result is tiny
+    (m*k*(dim/m) floats), so it ships to executors as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    ds = dim // n_subspaces
+    v = as_double(F.col(vec_col))
+    books = []
+    for m in range(n_subspaces):
+        sub = embeddings.select(
+            array_to_vector(F.slice(v, m * ds + 1, ds)).alias("_f"))
+        km = KMeans(k=n_codes, seed=seed + m, maxIter=max_iter,
+                    featuresCol="_f", predictionCol="_c").fit(sub)
+        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codebook-entry
+    codes: (id, _codes array<int>), 1-based codes, ties to the lowest
+    code (first-position argmin).
+
+    This IS the PQ index: dim doubles collapse to n_subspaces small
+    ints per row (64x compression at 64-dim/8-subspace/16-code), and
+    the encode is pure codegen (literal centers, no shuffle, no
+    Python) — materialize it once and top-k scans read codes only,
+    never the raw vectors."""
+    dim = sum(len(b[0]) for b in codebooks)
+    ds = len(codebooks[0][0])
+    v = as_double(F.col(vec_col))
+    codes = []
+    for m, centers in enumerate(codebooks):
+        sub = F.slice(v, m * ds + 1, ds)
+        d2s = F.array(*[_d2_lit(sub, c) for c in centers])
+        codes.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("_codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_subspaces: int = 8, n_codes: int = 16, refine: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """PQ approximate top-k with ADC scoring and exact re-rank.
+
+    Scale shape: the corpus is scanned as CODES (n_subspaces ints/row);
+    each query precomputes a distance table (n_subspaces x n_codes
+    squared distances to its subvectors) and a candidate's approximate
+    distance is n_subspaces table lookups — no full-dim arithmetic on
+    the big side, no shuffle of vectors. The approx top ``refine*k``
+    per query then re-ranks by exact cosine (only that sliver re-reads
+    real vectors). Returns (query_id, neighbor_id, cosine, rank).
+
+    Approximate distances and cosines are rounded to 6 dp before
+    ranking (ties then break on neighbor_id), which makes the rank
+    order engine-independent — the DuckDB oracle reproduces it exactly
+    when given the same literal codebooks.
+    """
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            embeddings, n_subspaces, n_codes, vec_col, seed)
+    ds = len(codebooks[0][0])
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+
+    qv = as_double(F.col(vec_col))
+    dtabs = []
+    for m, centers in enumerate(codebooks):
+        qsub = F.slice(qv, m * ds + 1, ds)
+        dtabs.append(F.array(*[_d2_lit(qsub, c) for c in centers]))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("_qvec"),
+        F.array(*dtabs).alias("_dt"))
+
+    approx_d2 = F.round(F.aggregate(
+        F.zip_with("_codes", "_dt", lambda c, t: F.get(t, c - 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("_ad2"), F.col("neighbor_id"))
+    cands = (codes
+             .join(F.broadcast(q.select("query_id", "_dt")),
+                   F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("_ad2", approx_d2)
+             .withColumn("_ar", F.row_number().over(w_approx))
+             .filter(F.col("_ar") <= refine * k)
+             .select("query_id", "neighbor_id"))
+
+    corpus_v = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cvec"))
+    exact = (corpus_v.join(F.broadcast(cands), on="neighbor_id")
+             .join(F.broadcast(q.select("query_id", "_qvec")), on="query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

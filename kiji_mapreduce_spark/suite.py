@@ -1928,6 +1928,28 @@ def q_knn_ivf_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_knn_pq_topk(spark, sf_dir):
+    """Product-quantization approximate KNN: corpus scanned as 8
+    uint-codes per row (ADC table lookups, no full-dim arithmetic on
+    the big side), approx top-20 re-ranked by exact cosine to top-5.
+    Deterministic codebooks — per-subspace slices of the 16 lowest
+    vec_id vectors (the pre-trained-quantizer mode) — make encode,
+    ADC, and re-rank reproducible in DuckDB (``oracles.knn_pq_sql``);
+    ``fit_pq_codebooks`` (per-subspace KMeans) stays the production
+    fit path, exercised in pytest."""
+    n_subspaces, n_codes = 8, 16
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").limit(n_codes).collect()  # 16 rows
+    dim = len(first[0]["embedding"])
+    ds = dim // n_subspaces
+    books = [[[float(x) for x in r["embedding"][m * ds:(m + 1) * ds]]
+              for r in first] for m in range(n_subspaces)]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        emb, queries, k=5, n_subspaces=n_subspaces, n_codes=n_codes,
+        refine=4, codebooks=books)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1995,6 +2017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_pq_topk": q_knn_pq_topk,
     "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
     "decontaminate_spans": q_decontaminate_spans,
@@ -2065,6 +2088,8 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": oracles.fingerprint_sql(),
     "knn_lsh_topk": oracles.knn_lsh_sql(n_planes=4, k=5),
     "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
+    "knn_pq_topk": oracles.knn_pq_sql(n_subspaces=8, n_codes=16, k=5,
+                                      refine=4),
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),
     "decontaminate_spans": oracles.decontaminate_spans_sql(n=3, modulus=23),

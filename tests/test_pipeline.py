@@ -192,6 +192,49 @@ def test_ivf_topk_finds_cluster_neighbors(spark):
     assert all(len(v) == 3 for v in got.values())
 
 
+def test_pq_topk_fitted_codebooks_recover_cluster_neighbors(spark):
+    """Production PQ path: per-subspace KMeans codebooks (dim 4 = 2
+    subspaces x 2 dims) must keep ANN results inside each query's tight
+    cluster — ADC on codes, exact-cosine re-rank."""
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.2, 10.0, 0.1])
+            for i in range(10)]
+    rows += [(i, [0.1, 9.0 + (i % 3) * 0.01, 0.2, 9.0])
+             for i in range(10, 20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_topk(emb, emb.filter("vec_id IN (0, 15)"),
+                             k=3, n_subspaces=2, n_codes=4, refine=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(n < 10 for n in got[0])     # cluster A neighbors only
+    assert all(n >= 10 for n in got[15])   # cluster B neighbors only
+    assert all(len(v) == 3 for v in got.values())
+
+
+def test_pq_encode_code_range_and_determinism(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 7) % 3),
+              float((i * 3) % 4), float(i % 2)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    books = similarity.fit_pq_codebooks(emb, n_subspaces=2, n_codes=4)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(1 <= c <= 4 for r in codes for c in r["_codes"])
+    again = {r["neighbor_id"]: list(r["_codes"])
+             for r in similarity.pq_encode(emb, books).collect()}
+    assert all(list(r["_codes"]) == again[r["neighbor_id"]] for r in codes)
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    emb = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                                "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.fit_pq_codebooks(emb, n_subspaces=2, n_codes=2)
+
+
 def test_lsh_topk_subset_of_bucket(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],

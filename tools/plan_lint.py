@@ -25,8 +25,8 @@ sys.path.insert(0, ".")
 # plan (query sets of ~5 rows; IVF probes cross tiny centroid tables;
 # tfidf/bm25/lm cross single-row broadcast scalar aggregates — corpus
 # size, avg doc length, vocabulary size)
-BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "tfidf_top_terms",
-                "bm25_search_topk", "lm_bigram_quality"}
+BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
+                "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality"}
 # queries whose whole point is reading most of a table
 WIDE_SCAN_ALLOWED = {"producer_price_band", "window_top3_orders_per_customer",
                      "window_running_revenue", "quantiles_order_price",
