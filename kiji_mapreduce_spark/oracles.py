@@ -562,3 +562,26 @@ ranked AS (
 SELECT query_id, neighbor_id, cos AS cosine, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def near_dup_source_matrix_sql(num_hashes: int = 32, bands: int = 8,
+                               n: int = 3, threshold: float = 0.5,
+                               seed: int = 42, source: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """Mirror of dedup.near_dup_source_matrix over
+    dedup.minhash_dedup(hash_fn="md5") pairs: verified pairs labeled
+    with their documents' sources, counted per unordered source pair."""
+    ctes = _minhash_pair_ctes(num_hashes, bands, n, seed, source, id_col)
+    return f"""
+WITH {ctes},
+p AS (SELECT id_a, id_b FROM scored WHERE jac >= {threshold}),
+lab AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM p
+  JOIN {source} da ON da.{id_col} = p.id_a
+  JOIN {source} db ON db.{id_col} = p.id_b
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       count(*) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""

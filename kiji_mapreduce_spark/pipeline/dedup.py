@@ -84,6 +84,65 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
         keep, on=["digest", id_col], how="left_semi").drop("digest")
 
 
+def duplicate_source_matrix(df: DataFrame, text_col: str = "text",
+                            source_col: str = "source") -> DataFrame:
+    """Cross-source exact-duplicate pair counts: for every unordered
+    source pair (a <= b), how many duplicate DOC pairs share a text —
+    the standard overlap diagnostic for corpus mixes (which feeds are
+    re-crawls of which).
+
+    Scale shape: aggregate to (digest, source, n) first — one row per
+    source per duplicate group — then pair WITHIN each digest. The
+    within-digest join touches at most |sources| rows per digest, never
+    the documents, so it is O(dup_groups x sources^2) with only
+    (digest, source, count) shuffling. Same-source pairs are n-choose-2,
+    cross-source pairs n_a*n_b.
+    """
+    per = (df.select(F.md5(F.col(text_col)).alias("digest"),
+                     F.col(source_col).alias("source"))
+           .groupBy("digest", "source")
+           .agg(F.count(F.lit(1)).alias("n")))
+    a, b = per.alias("a"), per.alias("b")
+    pairs = (a.join(b, on="digest")
+             .filter(F.col("a.source") <= F.col("b.source"))
+             .select(
+                 F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"),
+                 F.when(F.col("a.source") == F.col("b.source"),
+                        F.col("a.n") * (F.col("a.n") - 1) / 2)
+                 .otherwise(F.col("a.n") * F.col("b.n"))
+                 .cast("long").alias("n_pairs")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.sum("n_pairs").alias("n_dup_pairs"))
+            .filter(F.col("n_dup_pairs") > 0))
+
+
+def near_dup_source_matrix(pairs: DataFrame, docs: DataFrame,
+                           id_col: str = "doc_id",
+                           source_col: str = "source") -> DataFrame:
+    """Label verified near-dup ``pairs`` (id_a, id_b, ...) with their
+    documents' sources and count pairs per unordered source pair — the
+    near-duplicate companion of ``duplicate_source_matrix`` (feed it
+    MinHash, SimHash, or embedding pairs alike).
+
+    The pair set is tiny relative to the corpus (it already survived
+    LSH + verify), so both labeling joins broadcast the pairs against
+    the documents scan — the corpus never shuffles.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col).alias("_s"))
+    labeled = (src.withColumnRenamed(id_col, "id_a")
+               .withColumnRenamed("_s", "_sa")
+               .join(F.broadcast(pairs.select("id_a", "id_b")), on="id_a"))
+    labeled = (src.withColumnRenamed(id_col, "id_b")
+               .withColumnRenamed("_s", "_sb")
+               .join(F.broadcast(labeled), on="id_b"))
+    return (labeled
+            .select(F.least("_sa", "_sb").alias("source_a"),
+                    F.greatest("_sa", "_sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 # 31-bit Mersenne prime: permutation arithmetic stays far below long

@@ -1,7 +1,8 @@
 from kiji_mapreduce_spark.streaming.jobs import (
     stream_operator, windowed_aggregate, running_latest, stream_into_table,
-    stream_dedup_exact,
+    stream_dedup_exact, stream_interval_join,
 )
 
 __all__ = ["stream_operator", "windowed_aggregate", "running_latest",
-           "stream_into_table", "stream_dedup_exact"]
+           "stream_into_table", "stream_dedup_exact",
+           "stream_interval_join"]

@@ -162,3 +162,37 @@ def running_latest(stream_df: DataFrame, key_col: str = "user_id",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "30 minutes",
+    upper: str = "0 seconds",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same ``on`` key whose time falls in
+    ``[left_ts - lower, left_ts + upper]``.
+
+    The canonical two-stream correlation (purchase <- preceding clicks).
+    Both sides carry watermarks and the join condition bounds the time
+    difference in both directions, so Spark can size and EXPIRE the join
+    state — without the range bound, stream-stream join state grows
+    forever; with it, state is (rate x horizon) per side, the only
+    formulation that survives an unbounded stream. Inner join in append
+    mode: a pair emits once both watermarks pass it.
+    """
+    lcol = F.col(f"_l.{left_ts}")
+    rcol = F.col(f"_r.{right_ts}")
+    cond = (
+        (F.col(f"_l.{on}") == F.col(f"_r.{on}"))
+        & (rcol >= lcol - F.expr(f"INTERVAL {lower}"))
+        & (rcol <= lcol + F.expr(f"INTERVAL {upper}"))
+    )
+    return (left.withWatermark(left_ts, watermark).alias("_l")
+            .join(right.withWatermark(right_ts, watermark).alias("_r"),
+                  cond, "inner"))

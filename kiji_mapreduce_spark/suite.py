@@ -1404,6 +1404,17 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_source_matrix(spark, sf_dir):
+    """Which sources duplicate which: MinHash-verified near-dup pairs
+    labeled by source, counted per unordered source pair — the corpus-
+    mix overlap diagnostic (re-crawl detection). The pair set is tiny
+    after LSH+verify, so the labeling joins broadcast it; the corpus
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, threshold=0.5, hash_fn="md5")
+    return dedup.near_dup_source_matrix(pairs, docs)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 10), oracle-checked via the
     md5-mode token hash (``oracles.simhash_pairs_sql`` recomputes the
@@ -1593,6 +1604,60 @@ def q_decontaminate_spans(spark, sf_dir):
     cand = docs.filter(F.col("doc_id") % 23 != 0)
     return decontaminate.contaminated_spans(
         cand, bench, n=3, hash_fn="md5")
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: purchases paired with
+    the same user's clicks in the preceding 30 minutes, both sides
+    file-streamed. The range bound is what keeps join state finite on
+    an unbounded stream; availableNow drains deterministically, so the
+    ORACLE IS THE BATCH JOIN — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import stream_interval_join
+
+    static = _t(spark, sf_dir, "events")
+
+    def _stream():
+        s = (spark.readStream.schema(static.schema)
+             .format("parquet")
+             .option("pathGlobFilter", "events.parquet")
+             .load(sf_dir))
+        if dict(static.dtypes)["ts"] in ("bigint", "long"):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    purchases = _stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"), F.col("ts").alias("p_ts"))
+    clicks = _stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id"), F.col("ts").alias("c_ts"))
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower="30 minutes", upper="0 seconds", watermark="1 hour")
+    out = joined.select(
+        "p_event_id", F.col("_r.c_event_id").alias("c_event_id"),
+        F.col("_l.user_id").alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"))
+    qname = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+       p.user_id AS user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -1997,6 +2062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_wide_event_values": q_pivot_wide_event_values,
     "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2018,6 +2084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_pq_topk": q_knn_pq_topk,
+    "streaming_interval_join": q_streaming_interval_join,
     "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
     "decontaminate_spans": q_decontaminate_spans,
@@ -2083,6 +2150,7 @@ ORACLES: dict[str, str] = {
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY,
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
+    "dedup_source_matrix": oracles.near_dup_source_matrix_sql(threshold=0.5),
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),
     "dedup_corpus_survivors": oracles.corpus_survivors_sql(threshold=0.5),
     "text_fingerprint": oracles.fingerprint_sql(),
@@ -2090,6 +2158,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
     "knn_pq_topk": oracles.knn_pq_sql(n_subspaces=8, n_codes=16, k=5,
                                       refine=4),
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),
     "decontaminate_spans": oracles.decontaminate_spans_sql(n=3, modulus=23),

@@ -568,3 +568,28 @@ def test_contaminated_spans_short_doc_clamps(spark):
     # last token (1), not 0 + n - 1
     assert [(x.span_start, x.span_end, x.n_grams_in_span) for x in r] \
         == [(0, 1, 1)]
+
+
+def test_duplicate_source_matrix(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text", "crawlA"), (2, "same text", "crawlB"),
+         (3, "same text", "crawlB"), (4, "unique", "crawlA"),
+         (5, "other dup", "crawlC"), (6, "other dup", "crawlC")],
+        "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.n_dup_pairs
+           for r in dedup.duplicate_source_matrix(docs).collect()}
+    # "same text": A x {B,B} = 2 cross pairs, B-B = 1 pair;
+    # "other dup": C-C = 1 pair; "unique" contributes nothing
+    assert out == {("crawlA", "crawlB"): 2, ("crawlB", "crawlB"): 1,
+                   ("crawlC", "crawlC"): 1}
+
+
+def test_near_dup_source_matrix_labels_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "sA"), (2, "y", "sB"), (3, "z", "sB"), (4, "w", "sC")],
+        "doc_id long, text string, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "id_a long, id_b long")
+    out = {(r.source_a, r.source_b): r.n_pairs
+           for r in dedup.near_dup_source_matrix(pairs, docs).collect()}
+    assert out == {("sA", "sB"): 2, ("sB", "sB"): 1}
