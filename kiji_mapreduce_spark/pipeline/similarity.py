@@ -11,6 +11,8 @@ All dot products / norms are computed JVM-side with ``zip_with`` +
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -254,13 +256,23 @@ def lsh_topk(
 
 # -- product quantization (PQ) ANN ------------------------------------------
 
-def _d2_lit(sub: Column, center: list[float]) -> Column:
-    """Squared L2 from a subvector expression to a literal center —
-    sequential left-to-right fold, deterministic accumulation order."""
-    lits = F.array(*[F.lit(float(c)) for c in center])
-    return F.aggregate(
-        F.zip_with(sub, lits, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _pq_d2_batch(x, mats, ds):
+    """Per-subspace squared L2 from an (n, dim) float64 batch to each
+    codebook center: list of (n, K_m) arrays. The inner accumulation is
+    an EXPLICIT j-loop so the float64 addition order is the sequential
+    left-to-right fold — bit-identical to the SQL ``list_reduce`` the
+    DuckDB oracle runs (numpy's .sum() would use pairwise summation)."""
+    import numpy as np
+
+    out = []
+    for m, c in enumerate(mats):
+        sub = x[:, m * ds:(m + 1) * ds]
+        diff = sub[:, None, :] - c[None, :, :]        # (n, K_m, ds)
+        d2 = np.zeros(diff.shape[:2])
+        for j in range(ds):
+            d2 += diff[:, :, j] * diff[:, :, j]
+        out.append(d2)
+    return out
 
 
 def fit_pq_codebooks(
@@ -303,20 +315,26 @@ def pq_encode(
     code (first-position argmin).
 
     This IS the PQ index: dim doubles collapse to n_subspaces small
-    ints per row (64x compression at 64-dim/8-subspace/16-code), and
-    the encode is pure codegen (literal centers, no shuffle, no
-    Python) — materialize it once and top-k scans read codes only,
-    never the raw vectors."""
-    dim = sum(len(b[0]) for b in codebooks)
+    ints per row (64x compression at 64-dim/8-subspace/16-code).
+    The encode is one Arrow-batched numpy pass (a literal-center
+    expression tree of n_subspaces x n_codes fold-d2s is interpreted
+    row-at-a-time by Catalyst — ~3 orders of magnitude slower); the
+    j-loop accumulation keeps it bit-identical to the sequential-fold
+    semantics the DuckDB oracle computes. No shuffle — materialize the
+    codes once and top-k scans never read raw vectors again."""
     ds = len(codebooks[0][0])
-    v = as_double(F.col(vec_col))
-    codes = []
-    for m, centers in enumerate(codebooks):
-        sub = F.slice(v, m * ds + 1, ds)
-        d2s = F.array(*[_d2_lit(sub, c) for c in centers])
-        codes.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        cols = [d2.argmin(axis=1) + 1 for d2 in _pq_d2_batch(x, mats, ds)]
+        return pd.Series(list(np.stack(cols, axis=1).astype(np.int32)))
+
     return embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("_codes"))
+        F.col(id_col).alias("neighbor_id"), _codes(vec_col).alias("_codes"))
 
 
 def pq_topk(
@@ -344,16 +362,22 @@ def pq_topk(
         codebooks = fit_pq_codebooks(
             embeddings, n_subspaces, n_codes, vec_col, seed)
     ds = len(codebooks[0][0])
+    mats = [np.array(b, dtype=np.float64) for b in codebooks]
     codes = pq_encode(embeddings, codebooks, id_col, vec_col)
 
-    qv = as_double(F.col(vec_col))
-    dtabs = []
-    for m, centers in enumerate(codebooks):
-        qsub = F.slice(qv, m * ds + 1, ds)
-        dtabs.append(F.array(*[_d2_lit(qsub, c) for c in centers]))
+    @F.pandas_udf("array<array<double>>")
+    def _dtabs(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        d2s = _pq_d2_batch(x, mats, ds)
+        return pd.Series([[d2s[m][i].tolist() for m in range(len(mats))]
+                          for i in range(len(x))])
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("_qvec"),
-        F.array(*dtabs).alias("_dt"))
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qvec"),
+        _dtabs(vec_col).alias("_dt"))
 
     approx_d2 = F.round(F.aggregate(
         F.zip_with("_codes", "_dt", lambda c, t: F.get(t, c - 1)),

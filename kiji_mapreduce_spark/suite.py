@@ -1641,9 +1641,18 @@ def q_streaming_interval_join(spark, sf_dir):
         F.col("_l.user_id").alias("user_id"),
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"))
     qname = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # state-store partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions; size it to the stream's key volume
+    # (join state = 2 stores x partitions, each with per-batch commit
+    # overhead), not the batch shuffle default
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(qname).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
