@@ -196,3 +196,47 @@ def stream_interval_join(
     return (left.withWatermark(left_ts, watermark).alias("_l")
             .join(right.withWatermark(right_ts, watermark).alias("_r"),
                   cond, "inner"))
+
+
+def stream_rollup_into_table(
+    stream_df: DataFrame,
+    table,
+    checkpoint: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+    to_rows: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous aggregate: maintain a time-bucketed rollup of a stream
+    AS an EntityTable (the materialized-view pattern — dashboards read
+    the tiny rollup table, never the raw stream).
+
+    Watermarked windowed aggregation in UPDATE mode, so each micro-batch
+    emits only the windows the batch changed; those rows upsert into the
+    table through its bucket-scoped write path. Incremental on both
+    sides: the aggregation state carries only open windows (watermark-
+    bounded) and the table write touches only the buckets of changed
+    windows — a day-long stream never rewrites January.
+
+    ``to_rows(batch_df) -> DataFrame`` shapes the aggregate output
+    (window struct + group cols + agg cols) into the table's logical
+    rows (entity_id + families); omit it if the stream query already
+    emits table-shaped rows.
+    """
+    agg = windowed_aggregate(
+        stream_df, ts_col, window_duration, watermark, group_cols, aggs)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.upsert_rows(to_rows(batch_df) if to_rows else batch_df)
+
+    writer = (agg.writeStream.outputMode("update")
+              .foreachBatch(_upsert)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1270,6 +1270,32 @@ WHERE abs((value - m) / s) >= 2.5
 """
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` payload
+    with a declared schema (``from_json`` — codegen'd, no Python) and
+    aggregate the extracted field per event type. The schema-on-read
+    path every event pipeline needs; Catalyst prunes the raw string
+    scan to the one parsed field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.count_distinct(F.col("k")).alias("n_distinct_k")))
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type, count(*) AS n_events,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: per-user sessions with a 30-minute inactivity gap
     via ``session_window`` (the batch form of the streaming session
@@ -2072,6 +2098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg_priorities": q_array_agg_priorities,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "events_json_props": q_events_json_props,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2160,6 +2187,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": _embedding_lsh_oracle_sql(),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_source_matrix": oracles.near_dup_source_matrix_sql(threshold=0.5),
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),
     "dedup_corpus_survivors": oracles.corpus_survivors_sql(threshold=0.5),
     "text_fingerprint": oracles.fingerprint_sql(),

@@ -296,3 +296,40 @@ def test_running_latest_stateful(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.key: (r.ts, r.value) for r in out}
     assert got == {1: (30, 2.5), 2: (20, 9.0)}
+
+
+def test_stream_rollup_into_table(spark, tmp_path):
+    """Continuous aggregate: a windowed rollup maintained as an
+    EntityTable; each micro-batch upserts only the windows it changed."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.streaming import stream_rollup_into_table
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "rollup", "families": [
+            {"name": "m", "columns": [{"name": "n", "schema": "long"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/rollup_table", layout)
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:05:00Z", "user": 1},
+        {"ts": "2024-01-01T00:20:00Z", "user": 1},
+        {"ts": "2024-01-01T01:10:00Z", "user": 2},
+    ])
+    stream = spark.readStream.schema("ts timestamp, user long").json(src)
+
+    def to_rows(batch_df):
+        return batch_df.select(
+            F.struct(F.concat_ws(
+                "|", F.date_format("window.start", "yyyy-MM-dd'T'HH"),
+                F.col("user")).alias("key")).alias("entity_id"),
+            F.struct(F.array(F.struct(
+                F.unix_timestamp("window.start").alias("ts"),
+                F.col("n_events").alias("value"))).alias("n")).alias("m"))
+
+    q = stream_rollup_into_table(
+        stream, t, checkpoint=str(tmp_path / "ru_ckpt"), ts_col="ts",
+        group_cols=["user"], to_rows=to_rows)
+    q.awaitTermination(120)
+    got = {r.entity_id.key: r.m.n[0].value for r in t.read().collect()}
+    assert got == {"2024-01-01T00|1": 2, "2024-01-01T01|2": 1}
