@@ -126,3 +126,86 @@ def range_join_binned(
         (F.col(left_point) >= F.col(right_lo))
         & (F.col(left_point) < F.col(right_hi)))
     return joined.drop("_bin")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Regularize a sparse time series onto a dense per-key grid with
+    last-observation-carried-forward fill (the resample/gap-fill step a
+    feature or metrics pipeline runs before model joins; TimescaleDB
+    calls this time_bucket_gapfill + locf).
+
+    The grid spans each key's own [min, max] bucket range — built with
+    ``sequence`` + ``explode``, so the spine is generated distributed,
+    sized per key, and never materializes a global calendar cross-join.
+    One shuffle (the per-key agg); the spine join is co-partitioned by
+    key, and the fill is a single running ``last(ignorenulls)`` window.
+
+    Returns (key_cols..., bucket, value_filled, observed). Buckets with
+    no prior observation (leading gaps) stay null.
+    """
+    n, unit = step.split()
+    if n != "1":
+        raise ValueError("gapfill_locf steps are calendar units: '1 day', "
+                         "'1 hour', ... (got %r)" % step)
+    bucket = F.date_trunc(unit.rstrip("s"), F.col(ts_col))
+    observed = (df
+                .withColumn("_bucket", bucket)
+                .groupBy(*key_cols, "_bucket")
+                .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("_v")))
+    spine = (observed
+             .groupBy(*key_cols)
+             .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+             .select(*key_cols,
+                     F.explode(F.sequence(
+                         "_lo", "_hi",
+                         F.expr(f"interval {step}"))).alias("_bucket")))
+    w = (Window.partitionBy(*key_cols).orderBy("_bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine
+            .join(observed, on=[*key_cols, "_bucket"], how="left")
+            .select(*key_cols,
+                    F.col("_bucket").alias("bucket"),
+                    F.last("_v", ignorenulls=True).over(w)
+                    .alias("value_filled"),
+                    F.col("_v").isNotNull().alias("observed")))
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots (the CDC primitive:
+    validate a migration, audit an incremental load, or emit a change
+    feed from periodic full snapshots).
+
+    One full outer join on the key; change detection hashes the
+    compared columns JVM-side (xxhash64 over the column structs — no
+    per-column comparison explosion for wide tables, no Python). Each
+    output row carries ``change`` in {inserted, deleted, updated}
+    plus the key; unchanged rows are dropped as early as possible so
+    only actual changes survive the join stage.
+    """
+    compare_cols = compare_cols or [
+        c for c in before.columns if c in set(after.columns)
+        and c not in set(key_cols)]
+    bh = before.select(
+        *key_cols,
+        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_bhash"))
+    ah = after.select(
+        *key_cols,
+        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_ahash"))
+    j = bh.join(ah, on=key_cols, how="full_outer")
+    change = (F.when(F.col("_bhash").isNull(), F.lit("inserted"))
+              .when(F.col("_ahash").isNull(), F.lit("deleted"))
+              .when(F.col("_bhash") != F.col("_ahash"), F.lit("updated")))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change"))

@@ -1296,6 +1296,138 @@ FROM events GROUP BY event_type
 """
 
 
+def q_timeseries_gapfill(spark, sf_dir):
+    """Gap-fill/resample (functions.gapfill_locf): each user's purchase
+    values regularized onto a dense daily grid, missing days filled by
+    last observation carried forward. Spine generated distributed
+    (sequence+explode per key), fill is one running window — no global
+    calendar cross-join."""
+    from kiji_mapreduce_spark.functions import gapfill_locf
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = gapfill_locf(ev, ["user_id"], "ts", "value", "1 day")
+    return out.select(
+        "user_id", F.unix_millis("bucket").alias("bucket_ms"),
+        F.round("value_filled", 4).alias("value_filled"), "observed")
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, max_by(value, ts) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL 1 DAY)) AS bucket
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, epoch_ms(s.bucket) AS bucket_ms,
+       round(last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS value_filled,
+       d.v IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily d
+  ON s.user_id = d.user_id AND s.bucket = d.bucket
+"""
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """CDC-style snapshot diff (functions.snapshot_diff): classify rows
+    as inserted/deleted/updated between two deterministic variants of
+    the orders table. One full-outer join on the key; change detection
+    is a JVM-side xxhash64 over the compared columns."""
+    from kiji_mapreduce_spark.functions import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    before = (o.filter(F.col("o_orderkey") % 97 != 0)
+              .select("o_orderkey", "o_totalprice"))
+    after = (o.filter(F.col("o_orderkey") % 89 != 0)
+             .select("o_orderkey",
+                     F.when(F.col("o_orderkey") % 13 == 0,
+                            F.col("o_totalprice") + F.lit(1.0))
+                     .otherwise(F.col("o_totalprice"))
+                     .alias("o_totalprice")))
+    d = snapshot_diff(before, after, ["o_orderkey"], ["o_totalprice"])
+    return (d.groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").cast("long").alias("key_checksum")))
+
+
+SQL_SNAPSHOT_DIFF_ORDERS = """
+WITH before_s AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 != 0),
+after_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 89 != 0),
+d AS (
+  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS k,
+         CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+              WHEN a.o_orderkey IS NULL THEN 'deleted'
+              WHEN b.o_totalprice <> a.o_totalprice THEN 'updated'
+         END AS change
+  FROM before_s b FULL OUTER JOIN after_s a
+    ON b.o_orderkey = a.o_orderkey)
+SELECT change, count(*) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM d WHERE change IS NOT NULL GROUP BY change
+"""
+
+
+def q_data_quality_audit(spark, sf_dir):
+    """Data-quality expectations (audit module): one-pass column
+    profiles (nulls, exact distincts, min/max) plus referential-orphan
+    counts, unioned into one (check_name, subject, value) report — the
+    promotion gate a pipeline runs before publishing a snapshot."""
+    from kiji_mapreduce_spark.audit import (
+        audit_union, column_profile, fk_orphans)
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return audit_union([
+        column_profile(orders, "orders", ["o_custkey", "o_totalprice"]),
+        fk_orphans(orders, customer, "o_custkey", "c_custkey",
+                   "orders.o_custkey->customer.c_custkey"),
+        fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey",
+                   "lineitem.l_orderkey->orders.o_orderkey"),
+    ])
+
+
+SQL_DATA_QUALITY_AUDIT = """
+SELECT 'n_rows' AS check_name, 'orders' AS subject,
+       CAST(count(*) AS DOUBLE) AS value FROM orders
+UNION ALL SELECT 'n_nulls', 'orders.o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       FROM orders
+UNION ALL SELECT 'n_distinct', 'orders.o_custkey',
+       CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+UNION ALL SELECT 'min', 'orders.o_custkey',
+       CAST(min(o_custkey) AS DOUBLE) FROM orders
+UNION ALL SELECT 'max', 'orders.o_custkey',
+       CAST(max(o_custkey) AS DOUBLE) FROM orders
+UNION ALL SELECT 'n_nulls', 'orders.o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) FROM orders
+UNION ALL SELECT 'n_distinct', 'orders.o_totalprice',
+       CAST(count(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+UNION ALL SELECT 'min', 'orders.o_totalprice',
+       CAST(min(o_totalprice) AS DOUBLE) FROM orders
+UNION ALL SELECT 'max', 'orders.o_totalprice',
+       CAST(max(o_totalprice) AS DOUBLE) FROM orders
+UNION ALL SELECT 'fk_orphans', 'orders.o_custkey->customer.c_custkey',
+       CAST(count(*) AS DOUBLE) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)
+UNION ALL SELECT 'fk_orphans', 'lineitem.l_orderkey->orders.o_orderkey',
+       CAST(count(*) AS DOUBLE) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: per-user sessions with a 30-minute inactivity gap
     via ``session_window`` (the batch form of the streaming session
@@ -2099,6 +2231,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_source_matrix": q_dedup_source_matrix,
     "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2188,6 +2323,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(threshold=0.5),
     "dedup_source_matrix": oracles.near_dup_source_matrix_sql(threshold=0.5),
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "timeseries_gapfill": SQL_TIMESERIES_GAPFILL,
+    "snapshot_diff_orders": SQL_SNAPSHOT_DIFF_ORDERS,
+    "data_quality_audit": SQL_DATA_QUALITY_AUDIT,
     "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=10, bands=4),
     "dedup_corpus_survivors": oracles.corpus_survivors_sql(threshold=0.5),
     "text_fingerprint": oracles.fingerprint_sql(),

@@ -72,3 +72,94 @@ def test_range_join_binned_matches_predicate(spark):
               for b, lo, hi in [("lo", 0, 30), ("mid", 30, 60), ("hi", 60, 95)]
               if lo <= i < hi}
     assert got == expect
+
+
+def test_gapfill_locf_fills_and_flags(spark):
+    from kiji_mapreduce_spark.functions import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0),
+         (1, "2024-01-01 18:00:00", 7.0),   # same day: latest wins
+         (1, "2024-01-04 00:00:00", 9.0),   # days 2-3 are gaps
+         (2, "2024-01-02 00:00:00", 1.0)],
+        "k long, t string, v double").withColumn("t", F.col("t").cast("timestamp"))
+    out = gapfill_locf(df, ["k"], "t", "v", "1 day")
+    got = {(r.k, r.bucket.day, r.value_filled, r.observed)
+           for r in out.collect()}
+    assert got == {(1, 1, 7.0, True), (1, 2, 7.0, False),
+                   (1, 3, 7.0, False), (1, 4, 9.0, True),
+                   (2, 2, 1.0, True)}
+
+
+def test_gapfill_locf_rejects_multi_unit_step(spark):
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.functions import gapfill_locf
+
+    df = spark.createDataFrame([(1, "2024-01-01", 1.0)],
+                               "k long, t string, v double")
+    with _pytest.raises(ValueError):
+        gapfill_locf(df, ["k"], "t", "v", "15 minutes")
+
+
+def test_snapshot_diff_classifies(spark):
+    from kiji_mapreduce_spark.functions import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double")
+    after = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)],
+        "id long, s string, v double")
+    got = {(r.id, r.change)
+           for r in snapshot_diff(before, after, ["id"]).collect()}
+    assert got == {(1, "deleted"), (3, "updated"), (4, "inserted")}
+
+
+def test_snapshot_diff_respects_compare_cols(spark):
+    from kiji_mapreduce_spark.functions import snapshot_diff
+
+    before = spark.createDataFrame([(1, "a", 10.0)], "id long, s string, v double")
+    after = spark.createDataFrame([(1, "a", 99.0)], "id long, s string, v double")
+    # v excluded from comparison -> no change rows at all
+    assert snapshot_diff(before, after, ["id"], ["s"]).count() == 0
+
+
+def test_fuzzy_match_blocked_best_match(spark):
+    from kiji_mapreduce_spark.pipeline.entity import fuzzy_match_blocked
+
+    canonical = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex Industries"),
+         (3, "Initech LLC")], "cid long, cname string")
+    records = spark.createDataFrame(
+        [(10, "acme corporation"),      # exact after casefold
+         (11, "Acme Corporatino"),      # transposition, dist 2
+         (12, "Globex Industies"),      # deletion, dist 1
+         (13, "Umbrella Corp")],        # no match within dist 2
+        "rid long, rname string")
+    out = fuzzy_match_blocked(records, canonical, "rid", "cid",
+                              "rname", "cname", max_dist=2)
+    got = {(r.record_id, r.canonical_id, r.dist) for r in out.collect()}
+    assert got == {(10, 1, 0), (11, 1, 2), (12, 2, 1)}
+
+
+def test_audit_profile_and_orphans(spark):
+    from kiji_mapreduce_spark.audit import (
+        audit_union, column_profile, fk_orphans)
+
+    child = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(100,)], "pk long")
+    report = audit_union([
+        column_profile(child, "child", ["fk"]),
+        fk_orphans(child, parent, "fk", "pk", "child.fk->parent.pk"),
+    ])
+    got = {(r.check_name, r.subject): r.value for r in report.collect()}
+    assert got[("n_rows", "child")] == 4.0
+    assert got[("n_nulls", "child.fk")] == 1.0
+    assert got[("n_distinct", "child.fk")] == 2.0
+    assert got[("min", "child.fk")] == 100.0
+    assert got[("max", "child.fk")] == 200.0
+    # the null-fk row does not join to parent and is not an orphan "hit"
+    # of a real key -> left_anti counts it too (fk null never matches)
+    assert got[("fk_orphans", "child.fk->parent.pk")] == 2.0
