@@ -240,3 +240,42 @@ def stream_rollup_into_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def table_change_stream(table, include_bucket: bool = False) -> DataFrame:
+    """Change data feed: tail an EntityTable's delta log as a stream.
+
+    ``put_delta`` appends immutable parquet fragments to the table's
+    delta directory; Spark's file source treats that directory as an
+    append-only log, so every new fragment becomes a micro-batch row
+    set — downstream consumers (index maintenance, rollup tables, cache
+    invalidation) subscribe to table changes without polling the base
+    or re-scanning anything. Each change row is a put fragment
+    (entity_id, family, qualifier, ts, value_str) plus ``_seq``, the
+    table's monotone fragment sequence number.
+
+    Note ``flush_deltas`` clears the log after folding fragments into
+    the base; a subscriber that must not miss changes either keeps its
+    own checkpoint ahead of the flush cadence or reads with
+    ``cleanSource`` semantics. (The 100 TB deployment runs flushes from
+    the same scheduler as the subscribers, so ordering is explicit.)
+    """
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType)
+
+    # the put-fragment contract written by put_delta: addressing +
+    # string-encoded value + fragment seq + bucket partition column
+    schema = StructType([
+        StructField("entity_id", table.layout.row_key.spark_type()),
+        StructField("family", StringType()),
+        StructField("qualifier", StringType()),
+        StructField("ts", LongType()),
+        StructField("value_str", StringType()),
+        StructField("_seq", LongType()),
+        StructField("_bucket", IntegerType()),
+    ])
+    reader = (table.spark.readStream
+              .schema(schema)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(table._delta_path()))
+    return reader if include_bucket else reader.drop("_bucket")

@@ -333,3 +333,48 @@ def test_stream_rollup_into_table(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.entity_id.key: r.m.n[0].value for r in t.read().collect()}
     assert got == {"2024-01-01T00|1": 2, "2024-01-01T01|2": 1}
+
+
+def test_table_change_stream(spark, tmp_path):
+    """put_delta fragments surface as a change stream (CDC feed)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.streaming import table_change_stream
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "cdc", "families": [
+            {"name": "m", "columns": [{"name": "v", "schema": "long"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/cdc_table", layout)
+    puts = spark.createDataFrame(
+        [(("a",), "m", "v", 1, "10"), (("b",), "m", "v", 2, "20")],
+        "entity_id struct<key:string>, family string, qualifier string, "
+        "ts long, value_str string")
+    t.put_delta(puts)
+
+    changes = table_change_stream(t)
+    out = []
+    q = (changes.writeStream.outputMode("append")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "cdc_ckpt")).start())
+    q.awaitTermination(60)
+    got = {(r.entity_id.key, r.family, r.qualifier, r.ts, r.value_str)
+           for r in out}
+    assert got == {("a", "m", "v", 1, "10"), ("b", "m", "v", 2, "20")}
+    assert all(r._seq is not None for r in out)
+
+    # a second batch of puts arrives as new files -> next trigger sees
+    # ONLY the new fragment (file-source incremental semantics)
+    t.put_delta(puts.filter("entity_id.key = 'a'")
+                .selectExpr("entity_id", "family", "qualifier",
+                            "cast(9 as long) as ts", "'99' as value_str"))
+    out2 = []
+    q2 = (table_change_stream(t).writeStream.outputMode("append")
+          .foreachBatch(lambda df, _: out2.extend(df.collect()))
+          .trigger(availableNow=True)
+          .option("checkpointLocation", str(tmp_path / "cdc_ckpt")).start())
+    q2.awaitTermination(60)
+    assert {(r.entity_id.key, r.ts, r.value_str) for r in out2} == {
+        ("a", 9, "99")}
