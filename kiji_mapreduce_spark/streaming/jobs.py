@@ -47,6 +47,19 @@ def stream_operator(
     return writer.start()
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require a TIMESTAMP (local-tz) event-time column
+    (Spark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+    Parquet written with TIMESTAMP(NANOS)/isAdjustedToUTC=false reaches
+    the file-stream source as TIMESTAMP_NTZ, so coerce defensively here
+    rather than making every caller know the parquet writer's dialect.
+    The engine pins spark.sql.session.timeZone=UTC (session.py), so the
+    NTZ->TIMESTAMP cast is an exact round-trip."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_aggregate(
     stream_df: DataFrame,
     ts_col: str,
@@ -59,6 +72,7 @@ def windowed_aggregate(
     watermark is dropped; state is bounded — the 100 TB-safe default)."""
     group_cols = group_cols or []
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    stream_df = _ensure_event_time(stream_df, ts_col)
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
@@ -122,7 +136,7 @@ def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
     duplicate arriving later than ``watermark`` after its first copy
     can re-emit; pick the horizon accordingly.
     """
-    return (stream_df
+    return (_ensure_event_time(stream_df, ts_col)
             .withColumn(digest_col, F.md5(F.col(text_col)))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark([digest_col]))
@@ -186,6 +200,8 @@ def stream_interval_join(
     formulation that survives an unbounded stream. Inner join in append
     mode: a pair emits once both watermarks pass it.
     """
+    left = _ensure_event_time(left, left_ts)
+    right = _ensure_event_time(right, right_ts)
     lcol = F.col(f"_l.{left_ts}")
     rcol = F.col(f"_r.{right_ts}")
     cond = (

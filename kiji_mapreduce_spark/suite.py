@@ -1025,9 +1025,13 @@ def q_streaming_windowed_counts(spark, sf_dir):
               .format("parquet")
               .option("pathGlobFilter", "events.parquet")
               .load(sf_dir))
-    if dict(static.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(static.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC, so NTZ->TIMESTAMP is exact (mirrors _events)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_aggregate(
         stream, "ts", "1 hour", "2 hours", group_cols=["event_type"],
         aggs=[F.count(F.lit(1)).alias("n_events"),
@@ -1781,8 +1785,11 @@ def q_streaming_interval_join(spark, sf_dir):
              .format("parquet")
              .option("pathGlobFilter", "events.parquet")
              .load(sf_dir))
-        if dict(static.dtypes)["ts"] in ("bigint", "long"):
+        ts_type = dict(static.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
     purchases = _stream().filter(F.col("event_type") == "purchase").select(
@@ -2186,7 +2193,39 @@ def q_knn_pq_topk(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# NOTE on ordering: the driver's correctness harness checks the FIRST 50
+# entries of this dict. Queries that have never had a driver-oracle row
+# (or failed their last one) are listed first so every round verifies
+# them; long-green queries (green in CORRECTNESS_r01/r02 and smoked by
+# pytest) rotate to the tail. New queries must be added INSIDE the
+# first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-verified (or failed last round): must be in window --
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
+    "text_fingerprint": q_text_fingerprint,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_pq_topk": q_knn_pq_topk,
+    "bm25_search_topk": q_bm25_search_topk,
+    "lm_bigram_quality": q_lm_bigram_quality,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
+    "pipeline_curate": q_pipeline_curate,
+    "text_langid": q_text_langid,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "text_normalize": q_text_normalize,
+    "sample_stratified": q_sample_stratified,
+    "sample_stratum_topk": q_sample_stratum_topk,
+    "mixture_token_budget": q_mixture_token_budget,
+    "pack_documents": q_pack_documents,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    # -- new in round 3 --
+    # -- long-green rotation (most recently verified last) --
     "gather_pricing_summary": q_gather_pricing_summary,
     "filter_pushdown_revenue": q_filter_pushdown_revenue,
     "kvstore_lookup_join": q_kvstore_lookup_join,
@@ -2219,7 +2258,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "streaming_windowed_counts": q_streaming_windowed_counts,
     "sessionize_events": q_sessionize_events,
     "quantiles_order_price": q_quantiles_order_price,
     "sql_surface_big_spenders": q_sql_surface_big_spenders,
@@ -2237,28 +2275,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "text_langid": q_text_langid,
-    "text_repetition": q_text_repetition,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "text_pii": q_text_pii,
-    "sample_stratified": q_sample_stratified,
-    "sample_stratum_topk": q_sample_stratum_topk,
-    "mixture_token_budget": q_mixture_token_budget,
-    "streaming_dedup_docs": q_streaming_dedup_docs,
-    "pack_documents": q_pack_documents,
-    "pipeline_curate": q_pipeline_curate,
-    "text_normalize": q_text_normalize,
-    "dedup_incremental_pairs": q_dedup_incremental_pairs,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
-    "text_fingerprint": q_text_fingerprint,
-    "knn_lsh_topk": q_knn_lsh_topk,
-    "multimodal_features": q_multimodal_features,
-    "knn_ivf_topk": q_knn_ivf_topk,
-    "knn_pq_topk": q_knn_pq_topk,
-    "streaming_interval_join": q_streaming_interval_join,
-    "bm25_search_topk": q_bm25_search_topk,
-    "lm_bigram_quality": q_lm_bigram_quality,
-    "decontaminate_spans": q_decontaminate_spans,
 }
 
 ORACLES: dict[str, str] = {
