@@ -10,7 +10,9 @@ to a Spark reader:
                       via openCostInBytes — replaces the vendored
                       CombineFileInputFormat)
 - seq              -> ``sc.sequenceFile`` lifted to a DataFrame
-- avro / avrokv    -> ``spark.read.format("avro")``
+- avro / avrokv    -> spark-avro jar when present, else the pure-Python
+                      container codec (``avro_io.py`` / ``avro_codec.py``)
+                      parallelized across files with mapInPandas
 - xml              -> split-capable record chunker (closing tag as text
                       lineSep; Hadoop's split-spanning line reader does
                       the boundary stitching ``XMLInputFormat.java:55-66``
@@ -52,7 +54,9 @@ class JobInput:
             rdd = spark.sparkContext.sequenceFile(",".join(self.paths))
             return spark.createDataFrame(rdd, ["key", "value"])
         if fmt in ("avro", "avrokv"):
-            return spark.read.format("avro").options(**self.options).load(self.paths)
+            from kiji_mapreduce_spark.io.avro_io import read_avro
+
+            return read_avro(spark, self.paths, self.options)
         if fmt == "xml":
             return _read_xml_records(
                 spark, self.paths, self.options.get("rowTag", "record"))

@@ -59,8 +59,10 @@ class JobOutput:
             w.csv(self.path)
             return
         if fmt in ("avro", "avrokv"):
-            (df.coalesce(n) if n else df).write.mode(self.mode) \
-                .format("avro").options(**self.options).save(self.path)
+            from kiji_mapreduce_spark.io.avro_io import write_avro
+
+            write_avro(df, self.path, mode=self.mode,
+                       options=self.options, nsplits=n)
             return
         if fmt == "seq":
             # SequenceFile: K/V pairs via the RDD API

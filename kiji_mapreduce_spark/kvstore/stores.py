@@ -124,7 +124,7 @@ class AvroRecordKeyValueStore(KeyValueStore):
 
     paths: list[str] = field(default_factory=list)
     key_field: str = "key"
-    format: str = "avro"  # parquet fallback when spark-avro jar is absent
+    format: str = "avro"  # "parquet" also accepted for staged stores
 
     def __post_init__(self):
         self.key_cols = [self.key_field]
@@ -132,7 +132,12 @@ class AvroRecordKeyValueStore(KeyValueStore):
     def dataframe(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import Window
 
-        df = spark.read.format(self.format).load(self.paths)
+        if self.format == "avro":
+            from kiji_mapreduce_spark.io.avro_io import read_avro
+
+            df = read_avro(spark, self.paths)
+        else:
+            df = spark.read.format(self.format).load(self.paths)
         w = Window.partitionBy(self.key_field).orderBy("_ord")
         return (df.withColumn("_ord", F.monotonically_increasing_id())
                 .withColumn("_rn", F.row_number().over(w))

@@ -1062,8 +1062,10 @@ def q_pack_documents(spark, sf_dir):
     source keep the windows parallel (a straggler-avoidance shape that
     matters at 100 TB, exercised here)."""
     docs = _t(spark, sf_dir, "documents")
-    return sample.pack_documents(
+    out = sample.pack_documents(
         docs, budget=512, n_shards=4, seed=42, hash_fn="md5")
+    # bigint to match the oracle's window-sum type discipline
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
 SQL_PACK_DOCUMENTS = r"""
@@ -1080,7 +1082,8 @@ c AS (
   SELECT doc_id, source, n_tokens, shard,
          coalesce(sum(n_tokens) OVER (
            PARTITION BY source, shard ORDER BY u, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS before
   FROM base
 )
 SELECT doc_id, source, n_tokens, shard,
@@ -1884,7 +1887,7 @@ def q_mixture_token_budget(spark, sf_dir):
 SQL_MIXTURE_TOKEN_BUDGET = r"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+         sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ),
 s AS (

@@ -1,0 +1,175 @@
+"""Avro container codec + IO tests.
+
+The codec implements the public Avro 1.11 container spec (see
+``io/avro_codec.py``); these tests cover binary-encoding edges, both
+codecs, the Spark schema bridge, distributed read/write, and the
+Avro-backed KV stores that the reference ships
+(``kvstore/lib/AvroRecordKeyValueStore.java:84``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from kiji_mapreduce_spark.io import avro_codec as ac
+from kiji_mapreduce_spark.io.avro_io import read_avro, write_avro
+from kiji_mapreduce_spark.io.inputs import JobInput
+from kiji_mapreduce_spark.io.outputs import JobOutput
+
+NESTED_SCHEMA = {
+    "type": "record", "name": "doc", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "v", "type": ["null", "long"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "int"}},
+        {"name": "nest", "type": {"type": "record", "name": "inner",
+                                  "fields": [{"name": "a", "type": "int"}]}},
+    ]}
+
+NESTED_ROWS = [
+    {"k": "x", "v": 5, "tags": ["a", "b"], "props": {"n": 1},
+     "nest": {"a": -3}},
+    {"k": "y", "v": None, "tags": [], "props": {}, "nest": {"a": 0}},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_container_roundtrip(codec):
+    buf = ac.write_container(NESTED_SCHEMA, NESTED_ROWS, codec=codec)
+    schema, back = ac.read_container(buf)
+    assert back == NESTED_ROWS
+    assert schema["name"] == "doc"
+
+
+def test_codec_zigzag_edges():
+    schema = {"type": "record", "name": "z",
+              "fields": [{"name": "x", "type": "long"}]}
+    vals = [{"x": v} for v in
+            (0, -1, 1, 63, -64, 64, -65, 2**31, -2**31, 2**62, -2**62)]
+    _, back = ac.read_container(ac.write_container(schema, vals, codec="null"))
+    assert back == vals
+
+
+def test_codec_multiple_blocks_and_header_peek():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "int"}]}
+    vals = [{"i": i} for i in range(1000)]
+    buf = ac.write_container(schema, vals, block_records=64)
+    got_schema, back = ac.read_container(buf)
+    assert back == vals
+    # header-only parse works on a prefix that covers the metadata map
+    assert ac.read_container_schema(buf[:2048]) == got_schema
+
+
+def test_codec_logical_types():
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    ]}
+    rows = [{"d": datetime.date(2024, 2, 29),
+             "ts": datetime.datetime(2024, 2, 29, 12, 0, 0, 123456)},
+            {"d": datetime.date(1969, 7, 20),
+             "ts": datetime.datetime(1969, 7, 20, 20, 17)}]
+    _, back = ac.read_container(ac.write_container(schema, rows))
+    assert back == rows
+
+
+def test_codec_rejects_general_union():
+    with pytest.raises(ValueError, match="union"):
+        ac.avro_to_spark_type(["int", "string"])
+
+
+def test_codec_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        ac.read_container(b"nope" + b"\x00" * 32)
+
+
+def test_spark_schema_bridge_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0], {"k": 2}, (5, "z"))],
+        "id long, name string, emb array<double>, m map<string,int>, "
+        "s struct<a:int, b:string>")
+    avro = ac.spark_schema_to_avro(df.schema)
+    st, _ = ac.avro_to_spark_type(avro)
+    assert [f.dataType.simpleString() for f in st.fields] == \
+        [f.dataType.simpleString() for f in df.schema.fields]
+
+
+def test_avro_write_read_nested(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], (3, "u")), (2, [], (0, None))],
+        "id long, tags array<string>, nest struct<a:int, b:string>")
+    write_avro(df, str(tmp_path / "out"))
+    back = read_avro(spark, [str(tmp_path / "out")])
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].tags == ["x", "y"] and rows[1].nest.a == 3
+    assert rows[2].nest.b is None
+    assert dict(back.dtypes)["nest"] == "struct<a:int,b:string>"
+
+
+def test_avro_empty_dataframe_preserves_schema(spark, tmp_path):
+    df = spark.createDataFrame([], "k string, v int")
+    write_avro(df, str(tmp_path / "empty"))
+    back = read_avro(spark, [str(tmp_path / "empty")])
+    assert back.count() == 0
+    assert dict(back.dtypes) == {"k": "string", "v": "int"}
+
+
+def test_avro_append_mode(spark, tmp_path):
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    df2 = spark.createDataFrame([("b", 2)], "k string, v int")
+    write_avro(df1, str(tmp_path / "app"))
+    write_avro(df2, str(tmp_path / "app"), mode="append")
+    back = read_avro(spark, [str(tmp_path / "app")])
+    assert sorted((r.k, r.v) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_avro_job_spec_roundtrip(spark, tmp_path):
+    """CLI spec strings route avro through the fallback transparently."""
+    from kiji_mapreduce_spark.io.inputs import job_input
+    from kiji_mapreduce_spark.io.outputs import job_output
+
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                               "id long, name string")
+    job_output(f"format=avro@2 file={tmp_path}/spec").save(df)
+    back = job_input(f"format=avro file={tmp_path}/spec").load(spark)
+    assert back.count() == 10
+    import os
+
+    parts = [f for f in os.listdir(tmp_path / "spec") if f.endswith(".avro")]
+    assert len(parts) == 2  # @2 nsplits honored
+
+
+def test_avro_kv_store_first_record_wins(spark, tmp_path):
+    """File-backed AvroRecordKeyValueStore now reads real container
+    files; duplicate keys resolve to the first record in file order
+    (AvroRecordKeyValueStore.java:307)."""
+    from kiji_mapreduce_spark.kvstore.stores import AvroRecordKeyValueStore
+
+    schema = {"type": "record", "name": "kv", "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "val", "type": "int"}]}
+    rows = [{"key": "a", "val": 1}, {"key": "b", "val": 2},
+            {"key": "a", "val": 99}]
+    p = tmp_path / "store"
+    p.mkdir()
+    (p / "part-00000.avro").write_bytes(ac.write_container(schema, rows))
+    store = AvroRecordKeyValueStore(paths=[str(p)], key_field="key")
+    got = {r.key: r.val for r in store.dataframe(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_avro_non_record_top_level(spark, tmp_path):
+    """Avro key files (top-level primitive schema) surface as a `value`
+    column, like spark-avro."""
+    p = tmp_path / "keys"
+    p.mkdir()
+    (p / "part-00000.avro").write_bytes(
+        ac.write_container(json.dumps("long"), [1, 2, 3]))
+    back = read_avro(spark, [str(p)])
+    assert sorted(r.value for r in back.collect()) == [1, 2, 3]
+    assert back.dtypes == [("value", "bigint")]

@@ -264,14 +264,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_avro_fallback_or_skip(spark, tmp_path):
-    """spark-avro is an external jar; accept either a working write or a
-    clean failure (the engine gates avro behind the format option)."""
-    df = spark.createDataFrame([("a", 1)], "k string, v int")
-    try:
-        JobOutput("avro", str(tmp_path / "av")).save(df)
-    except Exception as e:
-        assert "avro" in str(e).lower() or "Failed to find" in str(e)
-        pytest.skip("spark-avro jar not bundled")
+def test_avro_roundtrip(spark, tmp_path):
+    """Avro is no longer jar-gated: the pure-Python container codec
+    (``avro_io.py``) backs JobInput/JobOutput("avro") when spark-avro is
+    absent, so the format works out of the box like the reference's
+    first-class Avro inputs (MapReduceJobInputs.java:112-143)."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", None, -2.0), ("c", 7, 0.0)],
+        "k string, v int, f double")
+    JobOutput("avro", str(tmp_path / "av"), nsplits=2).save(df)
     back = JobInput("avro", [str(tmp_path / "av")]).load(spark)
-    assert back.count() == 1
+    assert sorted(r.k for r in back.collect()) == ["a", "b", "c"]
+    assert dict(back.dtypes)["v"] == "int"
+    assert {r.v for r in back.collect()} == {1, None, 7}

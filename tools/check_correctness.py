@@ -39,6 +39,54 @@ def _values_equal(a, b):
     return a == b
 
 
+# Typed-schema drift check, at type-CLASS granularity. The r3 lesson:
+# the driver's hash is insensitive to integer width (int32 rank vs int64
+# rank hashed equal) but an uncast DuckDB sum() yields HUGEINT/int128,
+# which turns into float64/decimal on the driver's conversion path and
+# fails the hash even though the Python values compare equal. So flag
+# int-vs-float/decimal/string class mismatches, not width differences.
+_INT_CLASSES = {"int8", "int16", "int32", "int64", "uint8", "uint16",
+                "uint32", "uint64"}
+_FLOAT_CLASSES = {"float", "double", "halffloat"}
+
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "string",
+    "boolean": "bool", "date": "date", "binary": "binary",
+}
+
+
+def _arrow_class(at: str) -> str | None:
+    if at in _INT_CLASSES:
+        return "int"
+    if at in _FLOAT_CLASSES:
+        return "float"
+    if at.startswith("decimal"):
+        return "decimal"
+    if at in ("string", "large_string"):
+        return "string"
+    if at == "bool":
+        return "bool"
+    if at.startswith("date"):
+        return "date"
+    if at in ("binary", "large_binary"):
+        return "binary"
+    return None  # timestamps/lists/structs: value check covers them
+
+
+def _type_mismatches(sdf, arrow_schema):
+    spark_types = dict(sdf.dtypes)
+    bad = []
+    for field in arrow_schema:
+        sc = _SPARK_CLASS.get(spark_types.get(field.name, ""))
+        ac = _arrow_class(str(field.type))
+        if sc is not None and ac is not None and sc != ac:
+            bad.append(
+                f"{field.name}: spark={spark_types[field.name]} "
+                f"oracle={field.type}")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,10 +126,17 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
+            otbl = res.arrow()
+            ocols = otbl.schema.names
+            orows = [tuple(r.values()) for r in otbl.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        tbad = _type_mismatches(sdf, otbl.schema)
+        if tbad:
+            print(f"FAIL  {name}: typed-schema drift (driver hash would "
+                  f"diverge): {tbad}")
             failures.append(name)
             continue
         sc, sr = _norm_rows(scols, srows)
