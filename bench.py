@@ -4,12 +4,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop data source (full compute,
-no sink cost, no driver collect)."""
+no sink cost, no driver collect) and run $SPARK_GRAFT_BENCH_REPS times
+(default 3); per-query numbers are MEDIANS, so one cold-JIT or GC-noisy
+execution can't masquerade as a plan regression (r3 lesson: four queries
+"regressed" purely because a registry reorder made them first-executed).
+The per-query spread (max-min) is reported alongside so noise stays
+visible instead of silently absorbed.
+"""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     from kiji_mapreduce_spark.session import make_session
@@ -39,17 +47,33 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in suite.QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in suite.QUERIES}
+    failed: set[str] = set()
+    # rep-major order: each rep sweeps the whole suite, so a query's
+    # samples are spread across the run instead of back-to-back (cache
+    # residency between identical back-to-back runs would flatter numbers)
+    for rep in range(reps):
+        for name, fn in suite.QUERIES.items():
+            if name in failed:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples[name].append(time.time() - t0)
+            except Exception as e:  # a failing query must not hide the rest
+                failed.add(name)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
     spark.stop()
+
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name, ts in samples.items():
+        if not ts or name in failed:
+            timings[name] = -1.0
+            continue
+        timings[name] = round(statistics.median(ts), 3)
+        spread[name] = round(max(ts) - min(ts), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
@@ -58,6 +82,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "spread": spread,
     }))
 
 

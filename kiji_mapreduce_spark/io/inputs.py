@@ -58,8 +58,18 @@ class JobInput:
 
             return read_avro(spark, self.paths, self.options)
         if fmt == "xml":
+            opts = self.options
             return _read_xml_records(
-                spark, self.paths, self.options.get("rowTag", "record"))
+                spark, self.paths,
+                opts.get("rowTag",
+                         opts.get("kiji.input.xml.record.tag", "record")),
+                header=opts.get("header",
+                                opts.get("kiji.input.xml.header", "")),
+                max_record_bytes=int(
+                    opts.get("overrunAllowance",
+                             opts.get("kiji.input.xml.overrun.allowance",
+                                      0)) or 0),
+            )
         if fmt in ("kiji", "table", "parquet"):
             df = spark.read.options(**self.options).parquet(*self.paths)
             return self.data_request.apply(df) if self.data_request else df
@@ -81,7 +91,9 @@ def job_input(spec: str) -> JobInput:
     return JobInput(format=parts["format"], paths=paths, options=options)
 
 
-def _read_xml_records(spark: SparkSession, paths: list[str], row_tag: str) -> DataFrame:
+def _read_xml_records(spark: SparkSession, paths: list[str], row_tag: str,
+                      header: str = "",
+                      max_record_bytes: int = 0) -> DataFrame:
     """XML record scanner: one ``<row_tag>...</row_tag>`` span per row —
     split-capable, so one multi-GB XML file parallelizes.
 
@@ -99,12 +111,33 @@ def _read_xml_records(spark: SparkSession, paths: list[str], row_tag: str) -> Da
     Same scoping rules as the reference's byte scanner: records must not
     nest the row tag inside itself, and tags inside CDATA/comments are
     not special-cased.
+
+    ``header`` mirrors ``kiji.input.xml.header`` (``XMLInputFormat.java:
+    62,358``): prepended to every record so each row is a standalone XML
+    document (the reference defaults to the XML 1.0 declaration; here the
+    default is empty because Spark's XML functions don't need it).
+
+    ``max_record_bytes`` mirrors ``kiji.input.xml.overrun.allowance``
+    (``XMLInputFormat.java:65,324-351``): the reference abandons a record
+    whose closing tag is not found within the allowance past the split
+    end — the guard against an unclosed tag swallowing the rest of a
+    multi-GB file. The separator chunker's equivalent pathology is one
+    monster segment stretching to the next closing tag (or EOF), so the
+    guard is a per-record byte cap: longer records are dropped, matching
+    the reference's drop-and-continue behavior. 0 = unbounded.
     """
     close = f"</{row_tag}>"
     raw = spark.read.option("lineSep", close).text(list(paths))
     # match both <tag>...</tag> and attributed <tag a="b">...</tag>;
     # [\s>] keeps <item> from matching <items>
     rec = F.regexp_extract(F.col("value"), f"(?s)<{row_tag}[\\s>].*$", 0)
-    return (raw.select(rec.alias("_rec"))
-            .filter(F.col("_rec") != "")
-            .select(F.concat(F.col("_rec"), F.lit(close)).alias("xml")))
+    out = (raw.select(rec.alias("_rec"))
+           .filter(F.col("_rec") != "")
+           .select(F.concat(F.col("_rec"), F.lit(close)).alias("xml")))
+    if max_record_bytes:
+        # exact per-record bound, applied after extraction so preceding
+        # inter-record bytes in the segment never count against a record
+        out = out.filter(F.octet_length("xml") <= max_record_bytes)
+    if header:
+        out = out.select(F.concat(F.lit(header), F.col("xml")).alias("xml"))
+    return out

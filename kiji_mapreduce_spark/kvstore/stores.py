@@ -59,10 +59,28 @@ class KeyValueStore:
             return joined
         return joined.drop(*[build[k] for k in self.key_cols])
 
-    def reader(self, spark: SparkSession) -> dict:
+    #: reader() materialization guard. The reference's stores are
+    #: explicitly small-side (per-task LRU, KijiTableKeyValueStore.java:
+    #: 526-530); an unbounded collect of a big store belongs in
+    #: ``lookup()`` (broadcast join), not on the driver heap.
+    reader_max_rows: int = 1_000_000
+
+    def reader(self, spark: SparkSession,
+               max_rows: int | None = None) -> dict:
         """Materialize as a dict for imperative get() in python-style
-        operators. Only for genuinely small stores (it collects)."""
-        rows = self.dataframe(spark).collect()
+        operators. Only for genuinely small stores (it collects); raises
+        once ``max_rows`` (default ``reader_max_rows``) is exceeded —
+        big stores must use ``lookup()``/broadcast instead."""
+        cap = self.reader_max_rows if max_rows is None else max_rows
+        # limit(cap+1) bounds the driver transfer even when the store is
+        # huge: the overflow probe never collects more than cap+1 rows
+        rows = self.dataframe(spark).limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"{type(self).__name__}.reader(): store exceeds "
+                f"{cap} rows; driver-side dicts are for small stores — "
+                "use .lookup(df, ...) (broadcast join) for large ones, "
+                "or raise max_rows explicitly")
         ks = self.key_cols
         out = {}
         for r in rows:

@@ -54,8 +54,17 @@ def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     the file-stream source as TIMESTAMP_NTZ, so coerce defensively here
     rather than making every caller know the parquet writer's dialect.
     The engine pins spark.sql.session.timeZone=UTC (session.py), so the
-    NTZ->TIMESTAMP cast is an exact round-trip."""
+    NTZ->TIMESTAMP cast is an exact round-trip — fail loudly for sessions
+    built another way, where the cast would silently shift every window
+    by the zone offset."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"streaming event-time coercion of NTZ column {ts_col!r} "
+                f"requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+                "build the session with kiji_mapreduce_spark.session."
+                "make_session or set the conf explicitly")
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

@@ -1027,11 +1027,10 @@ def q_streaming_windowed_counts(spark, sf_dir):
               .load(sf_dir))
     ts_type = dict(static.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
+        # nanos-as-long needs caller knowledge of the unit; the NTZ case
+        # is owned by the job-level _ensure_event_time coercion
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # session tz is UTC, so NTZ->TIMESTAMP is exact (mirrors _events)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_aggregate(
         stream, "ts", "1 hour", "2 hours", group_cols=["event_type"],
         aggs=[F.count(F.lit(1)).alias("n_events"),
@@ -1790,9 +1789,9 @@ def q_streaming_interval_join(spark, sf_dir):
              .load(sf_dir))
         ts_type = dict(static.dtypes)["ts"]
         if ts_type in ("bigint", "long"):
+            # NTZ coercion is owned by stream_interval_join's
+            # _ensure_event_time; only the long/nanos unit needs us
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
     purchases = _stream().filter(F.col("event_type") == "purchase").select(
@@ -2203,13 +2202,16 @@ def q_knn_pq_topk(spark, sf_dir):
 # pytest) rotate to the tail. New queries must be added INSIDE the
 # first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-verified (or failed last round): must be in window --
+    # -- failed last round (r3: hash drift, fixed) / no_oracle: first --
+    "mixture_token_budget": q_mixture_token_budget,
+    "pack_documents": q_pack_documents,
+    "multimodal_features": q_multimodal_features,
+    # -- verified green in r3 but most recently churned --
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh_topk": q_knn_lsh_topk,
-    "multimodal_features": q_multimodal_features,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_pq_topk": q_knn_pq_topk,
     "bm25_search_topk": q_bm25_search_topk,
@@ -2223,11 +2225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
-    "mixture_token_budget": q_mixture_token_budget,
-    "pack_documents": q_pack_documents,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "events_anomaly_zscore": q_events_anomaly_zscore,
-    # -- new in round 3 --
     # -- long-green rotation (most recently verified last) --
     "gather_pricing_summary": q_gather_pricing_summary,
     "filter_pushdown_revenue": q_filter_pushdown_revenue,
@@ -2279,6 +2278,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
+
+#: Names that MUST sit inside the driver's first-50 verification window
+#: this round: failed/changed last round, no_oracle holdouts, and any
+#: query added this round. Mechanically enforced by
+#: tests/test_suite_smoke.py::test_first_window_membership — hand-ordered
+#: dict entries alone proved too fragile (ADVICE r3).
+FIRST_WINDOW_REQUIRED: list[str] = [
+    "mixture_token_budget",
+    "pack_documents",
+    "multimodal_features",
+]
 
 ORACLES: dict[str, str] = {
     "gather_pricing_summary": SQL_GATHER_PRICING,

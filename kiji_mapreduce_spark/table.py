@@ -620,22 +620,63 @@ class EntityTable:
         else:
             self._rewrite_buckets(result, buckets)
 
-    def bulk_stage(self, df: DataFrame, staging_path: str,
-                   max_records_per_file: int | None = None) -> None:
+    def bulk_stage(self, df: DataFrame | None, staging_path: str,
+                   max_records_per_file: int | None = None,
+                   deletes: DataFrame | None = None) -> None:
         """Stage full rows, bucket-partitioned and key-sorted within each
         bucket (HFile analogue) — the staged layout is exactly the live
-        table's canonical layout, so ``bulk_commit`` is a pure rename."""
-        self._write_canonical(df, staging_path,
-                              max_records_per_file=max_records_per_file)
+        table's canonical layout, so ``bulk_commit`` is a pure rename.
+
+        ``deletes`` stages tombstone records alongside the rows,
+        mirroring the reference's HFile path where a staged batch carries
+        ``Put | DeleteFamily | DeleteColumn | DeleteCell`` markers
+        (``output/framework/HFileKeyValue.java:196-216``): rows of
+        (entity components, family, qualifier, upto_ts) with the same
+        NULL conventions as ``merge_delete`` (family NULL = row, qualifier
+        NULL = family, upto_ts NULL = all versions, else ts <= upto_ts).
+        They are applied atomically at ``bulk_commit`` time against the
+        committed contents. ``df=None`` stages a delete-only batch."""
+        if df is None and deletes is None:
+            raise ValueError("bulk_stage needs rows, deletes, or both")
+        if df is not None:
+            self._write_canonical(df, staging_path,
+                                  max_records_per_file=max_records_per_file)
+        if deletes is not None:
+            os.makedirs(staging_path, exist_ok=True)
+            deletes.write.mode("overwrite").parquet(
+                os.path.join(staging_path, "_deletes"))
 
     def bulk_commit(self, staging_path: str) -> None:
-        """Swap staged files in as the table's new contents. Replace
-        semantics: any buffered delta fragments describe the OLD
-        contents and are discarded, like ``overwrite``."""
+        """Swap staged files in as the table's new contents, then apply
+        any staged tombstones. Replace semantics for the row payload: any
+        buffered delta fragments describe the OLD contents and are
+        discarded, like ``overwrite``. Staged deletes (HFileKeyValue
+        delete markers) are applied after the swap through the same
+        eager-tombstone path as ``merge_delete``, so a bulk-staged
+        delete retracts exactly what a live delete would."""
         import shutil as _shutil
 
-        bulk_load(staging_path, self._data_path())
-        _shutil.rmtree(self._delta_path(), ignore_errors=True)
+        deletes_path = os.path.join(staging_path, "_deletes")
+        staged_deletes = None
+        if os.path.exists(deletes_path):
+            # read and pin the tombstones BEFORE the swap mutates paths
+            staged_deletes = self.spark.read.parquet(
+                deletes_path).localCheckpoint(eager=True)
+            _shutil.rmtree(deletes_path)
+        has_rows = any(
+            name.startswith("_bucket=") or name.endswith(".parquet")
+            for name in os.listdir(staging_path)) if os.path.exists(
+                staging_path) else False
+        if has_rows:
+            bulk_load(staging_path, self._data_path())
+            _shutil.rmtree(self._delta_path(), ignore_errors=True)
+        elif staged_deletes is None:
+            raise FileNotFoundError(
+                f"nothing staged at {staging_path!r}")
+        else:
+            _shutil.rmtree(staging_path, ignore_errors=True)
+        if staged_deletes is not None:
+            self.merge_delete(staged_deletes)
 
     def produce(self, producer, context=None) -> None:
         """Run a Producer against this table and write the derived cells

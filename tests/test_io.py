@@ -277,3 +277,32 @@ def test_avro_roundtrip(spark, tmp_path):
     assert sorted(r.k for r in back.collect()) == ["a", "b", "c"]
     assert dict(back.dtypes)["v"] == "int"
     assert {r.v for r in back.collect()} == {1, None, 7}
+
+
+def test_xml_header_option(spark, tmp_path):
+    """kiji.input.xml.header (XMLInputFormat.java:62,358): each record is
+    prefixed so it stands alone as an XML document."""
+    (tmp_path / "h.xml").write_text(
+        "<users><user><name>a</name></user></users>")
+    hdr = '<?xml version="1.0" encoding="UTF-8"?>'
+    df = JobInput("xml", [str(tmp_path / "h.xml")],
+                  {"rowTag": "user", "kiji.input.xml.header": hdr}) \
+        .load(spark)
+    assert df.collect()[0].xml == hdr + "<user><name>a</name></user>"
+
+
+def test_xml_overrun_bound_drops_monster_record(spark, tmp_path):
+    """kiji.input.xml.overrun.allowance (XMLInputFormat.java:65,324-351):
+    a record whose closing tag is farther than the allowance is dropped
+    instead of swallowing the rest of the file."""
+    ok = "<user><name>x</name></user>"
+    monster = "<user><name>" + "y" * 5000 + "</name></user>"
+    (tmp_path / "o.xml").write_text(f"<users>{ok}{monster}{ok}</users>")
+    df = JobInput("xml", [str(tmp_path / "o.xml")],
+                  {"rowTag": "user",
+                   "kiji.input.xml.overrun.allowance": "1000"}).load(spark)
+    assert [r.xml for r in df.collect()] == [ok, ok]
+    # unbounded keeps all three
+    df_all = JobInput("xml", [str(tmp_path / "o.xml")],
+                      {"rowTag": "user"}).load(spark)
+    assert df_all.count() == 3

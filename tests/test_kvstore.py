@@ -108,3 +108,19 @@ def test_avro_record_store_first_record_wins(spark, tmp_path):
                                     format="parquet")
     got = {r.key: r.name for r in store.dataframe(spark).collect()}
     assert got == {1: "first", 2: "only"}
+
+
+def test_reader_size_cap(spark):
+    """reader() refuses to collect oversized stores (the reference's
+    stores are explicitly small-side; big stores must go through
+    lookup()'s broadcast join)."""
+    import pytest
+
+    from kiji_mapreduce_spark.kvstore.stores import DataFrameKeyValueStore
+
+    store = DataFrameKeyValueStore(
+        df=spark.range(50).withColumnRenamed("id", "key"),
+        key_cols=["key"])
+    with pytest.raises(ValueError, match="lookup"):
+        store.reader(spark, max_rows=10)
+    assert len(store.reader(spark, max_rows=50)) == 50

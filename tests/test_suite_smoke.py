@@ -27,3 +27,14 @@ def test_entry_contract(spark):
     df = m.entry(spark)
     assert df.count() > 0
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_first_window_membership():
+    """The driver's oracle harness checks the FIRST 50 registry entries;
+    window membership for must-verify queries is enforced here instead of
+    by comment discipline (a mid-dict insertion silently evicting an
+    unverified query was a live failure mode — ADVICE r3)."""
+    window = list(suite.QUERIES)[:50]
+    missing = set(suite.FIRST_WINDOW_REQUIRED) - set(window)
+    assert not missing, (
+        f"must-verify queries fell out of the first-50 window: {missing}")

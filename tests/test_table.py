@@ -573,3 +573,47 @@ def test_mutations_flush_pending_deltas_first(spark, tmp_path):
     keys = sorted(r.entity_id.key for r in t.read().collect())
     assert keys == ["kept"]
     assert not t._has_deltas()
+
+
+def test_bulk_stage_tombstones(spark, tmp_path):
+    """A staged batch carries delete markers alongside puts, mirroring
+    the reference HFile path's Put|DeleteFamily|DeleteColumn|DeleteCell
+    records (HFileKeyValue.java:196-216): at bulk_commit the tombstones
+    retract exactly what a live merge_delete would."""
+    path = str(tmp_path / "tbt")
+    t = EntityTable.create(spark, path, LAYOUT)
+    rows = spark.createDataFrame(
+        [(("x",), ([(10, "x1"), (20, "x2")], None), None),
+         (("y",), ([(10, "y1")], None), None),
+         (("z",), ([(10, "z1")], None), None)],
+        LAYOUT.spark_schema())
+    # stage rows AND deletes in one batch: cell-range delete on x
+    # (ts <= 10), whole-row delete on y
+    t.bulk_stage(rows, str(tmp_path / "stg"),
+                 deletes=_deletes(spark, [
+                     (("x",), "info", "email", 10),
+                     (("y",), None, None, None)]))
+    t.bulk_commit(str(tmp_path / "stg"))
+    got = {r.entity_id.key: r for r in t.read().collect()}
+    assert set(got) == {"x", "z"}
+    assert [(c.ts, c.value) for c in got["x"].info.email] == [(20, "x2")]
+    assert [(c.ts, c.value) for c in got["z"].info.email] == [(10, "z1")]
+
+
+def test_bulk_stage_delete_only_batch(spark, tmp_path):
+    """df=None stages a pure-tombstone batch: commit retracts from the
+    live table without touching other cells."""
+    path = str(tmp_path / "tdo")
+    t = EntityTable.create(spark, path, LAYOUT)
+    t.merge_put(_puts(spark, [
+        (("a",), "info", "email", 10, "a1"),
+        (("b",), "info", "email", 10, "b1")]))
+    t.bulk_stage(None, str(tmp_path / "stg2"),
+                 deletes=_deletes(spark, [(("a",), None, None, None)]))
+    t.bulk_commit(str(tmp_path / "stg2"))
+    got = {r.entity_id.key for r in t.read().collect()}
+    assert got == {"b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rows, deletes"):
+        t.bulk_stage(None, str(tmp_path / "stg3"))
