@@ -47,13 +47,36 @@ MEDIA_SCHEMA = StructType([
 
 
 class DecoderNotAvailable(NotImplementedError):
-    """Raised by the real decode path: media libraries are not bundled."""
+    """Raised by the real decode path for formats needing libraries that
+    are not bundled (JPEG/WebP/video -> PIL/libvips/ffmpeg)."""
 
 
-def _decode_image_real(content: bytes):  # pragma: no cover - stub
-    raise DecoderNotAvailable(
-        "image decoding requires an image library (e.g. PIL) not present "
-        "in this environment; wire it here in production")
+def _decode_image_real(content: bytes):
+    """Real image decode. PNG decodes with the dependency-free codec in
+    ``media_codecs`` (public-spec implementation over stdlib zlib); PIL,
+    when installed, extends coverage to JPEG/WebP/...; anything else
+    raises ``DecoderNotAvailable``.
+
+    Returns (pixels uint8 ndarray [h, w, channels], width, height).
+    """
+    from kiji_mapreduce_spark.pipeline import media_codecs
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        pixels, width, height, _ = media_codecs.decode_png(content)
+        return pixels, width, height
+    try:  # optional extra: PIL widens format coverage when present
+        from PIL import Image
+        import io as _io
+
+        import numpy as _np
+
+        img = Image.open(_io.BytesIO(content))
+        arr = _np.asarray(img.convert("RGB"))
+        return arr, img.width, img.height
+    except ImportError:
+        raise DecoderNotAvailable(
+            "non-PNG image decoding requires PIL, which is not installed; "
+            "PNG decodes natively via media_codecs.decode_png") from None
 
 
 def _fake_feature(content: bytes, dim: int) -> list[float]:
@@ -97,12 +120,22 @@ def extract_features(df: DataFrame, content_col: str = "content",
     """
     schema = f"{id_col} long, feature array<double>"
 
+    def _real_feature(content: bytes, dim: int) -> list[float]:
+        """Decoded-pixel feature: a dim-bin normalized luminance
+        histogram — deterministic, library-free, and actually derived
+        from image content (the stand-in for a vision-model embedding)."""
+        import numpy as np
+
+        pixels, _w, _h = _decode_image_real(content)
+        lum = pixels.astype(np.float64).mean(axis=2).ravel()
+        hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+        return (hist / max(lum.size, 1)).tolist()
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_decoder:
-                _decode_image_real(b"")
+            fn = _real_feature if use_real_decoder else _fake_feature
             feats = [
-                _fake_feature(bytes(c) if c is not None else b"", dim)
+                fn(bytes(c) if c is not None else b"", dim)
                 for c in pdf[content_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
@@ -114,32 +147,80 @@ def resize_images(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", width: int = 224,
                   height: int = 224,
                   use_real_decoder: bool = False) -> DataFrame:
-    """Resize plumbing: (id, resized binary, meta struct with the new
-    dimensions). Real decode/resize is stubbed (no image libs here):
-    the fake path produces a deterministic byte payload of the target
-    'pixel' size so batch shapes and downstream schemas are exercised
-    for real; swap the stub for PIL's ``Image.resize`` in production."""
+    """Resize: (id, resized binary, width, height).
+
+    ``use_real_decoder=True`` decodes PNG content with the native codec
+    (``media_codecs``), nearest-neighbor-resamples, and re-encodes PNG —
+    a real image pipeline with zero external dependencies. The fake path
+    produces a deterministic byte payload of the target 'pixel' size so
+    batch shapes and downstream schemas are exercised even for formats
+    the environment cannot decode."""
     out_schema = (f"{id_col} long, content binary, "
                   "width int, height int")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if use_real_decoder:
-                _decode_image_real(b"")
             resized = []
             for c in pdf[content_col]:
                 raw = bytes(c) if c is not None else b""
-                # deterministic fake: cycle the source bytes to the
-                # target 'pixel count' (stands in for decoded+resized)
-                reps = (target // max(len(raw), 1)) + 1
-                resized.append((raw * reps)[:target])
+                if use_real_decoder:
+                    from kiji_mapreduce_spark.pipeline import media_codecs
+
+                    pixels, _w, _h = _decode_image_real(raw)
+                    out = media_codecs.resize_nearest(pixels, width, height)
+                    resized.append(media_codecs.encode_png(out))
+                else:
+                    # deterministic fake: cycle the source bytes to the
+                    # target 'pixel count' (stands in for decode+resize)
+                    reps = (target // max(len(raw), 1)) + 1
+                    resized.append((raw * reps)[:target])
             yield pd.DataFrame({
                 id_col: pdf[id_col], "content": resized,
                 "width": width, "height": height,
             })
 
     return df.select(id_col, content_col).mapInPandas(_resize, out_schema)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content",
+                           id_col: str = "media_id") -> DataFrame:
+    """Real audio decode via the stdlib WAV codec: per-clip
+    (sample_rate, n_frames, n_channels, rms, peak) — the metadata +
+    loudness profile a speech-data curation pass filters on. Non-WAV
+    content raises ``DecoderNotAvailable`` (ffmpeg territory)."""
+    schema = (f"{id_col} long, sample_rate int, n_frames long, "
+              "n_channels int, rms double, peak double")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate", "n_frames",
+                                    "n_channels", "rms", "peak")}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(c) if c is not None else b""
+                if raw[:4] != b"RIFF":
+                    raise DecoderNotAvailable(
+                        "non-WAV audio requires ffmpeg/soundfile, not "
+                        "bundled; WAV decodes natively")
+                samples, rate, _w = media_codecs.decode_wav(raw)
+                x = samples.astype(np.float64)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(samples.shape[0])
+                rows["n_channels"].append(samples.shape[1])
+                empty = samples.shape[0] == 0
+                rows["rms"].append(
+                    0.0 if empty else float(np.sqrt((x ** 2).mean())))
+                rows["peak"].append(
+                    0.0 if empty else float(np.abs(x).max()))
+            out = pd.DataFrame(rows)
+            yield out.rename(columns={"media_id": id_col})
+
+    return df.select(id_col, content_col).mapInPandas(_extract, schema)
 
 
 def sample_frames(df: DataFrame, content_col: str = "content",

@@ -2123,8 +2123,10 @@ def q_sql_surface_big_spenders(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over real data: treat each document's UTF-8
     bytes as an opaque media blob, attach typed metadata, extract a
-    deterministic fake embedding via the Arrow/mapInPandas path ->
-    rows-only (the sha256-float mapping has no SQL equivalent)."""
+    deterministic fake embedding via the Arrow/mapInPandas path. Fully
+    oracle-checked since r4: the fake feature is sha256-derived and
+    DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes, so the oracle
+    recomputes f0/f1 exactly from hex substrings."""
     from kiji_mapreduce_spark.pipeline import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -2138,6 +2140,25 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 2), 6).alias("f1"),
         F.size("feature").alias("dim"))
+
+
+# the fake feature maps h = sha256(content || be32(0)) to floats via
+# uint32_be(h[4i:4i+4]) / 2^31 - 1 (multimodal._fake_feature); dim=8
+# needs only counter 0, so f0/f1 are the first two 4-byte windows
+SQL_MULTIMODAL_FEATURES = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+  FROM documents
+)
+SELECT media_id,
+       round(('0x' || substr(hx, 1, 8))::BIGINT / 2147483648.0 - 1.0, 6)
+         AS f0,
+       round(('0x' || substr(hx, 9, 8))::BIGINT / 2147483648.0 - 1.0, 6)
+         AS f1,
+       8 AS dim
+FROM h
+"""
 
 
 def q_knn_lsh_topk(spark, sf_dir):
@@ -2291,6 +2312,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 ]
 
 ORACLES: dict[str, str] = {
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "gather_pricing_summary": SQL_GATHER_PRICING,
     "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
     "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,

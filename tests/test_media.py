@@ -1,0 +1,143 @@
+"""Real media decode: the dependency-free PNG/WAV codecs
+(``pipeline/media_codecs.py``) and the multimodal operators' real-decoder
+paths built on them."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kiji_mapreduce_spark.pipeline import media_codecs as mc
+from kiji_mapreduce_spark.pipeline import multimodal
+
+
+def _gradient(h, w, c):
+    base = np.arange(h * w * c, dtype=np.uint32).reshape(h, w, c)
+    return (base * 7 % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    px = _gradient(13, 9, channels)
+    back, w, h, c = mc.decode_png(mc.encode_png(px))
+    assert (w, h, c) == (9, 13, channels)
+    assert np.array_equal(back, px)
+
+
+def test_png_decode_all_filters():
+    """Decode a PNG whose scanlines use every filter type (build the
+    filtered stream by hand: filter byte f on line f%5)."""
+    import struct
+    import zlib
+
+    h, w, c = 6, 8, 3
+    px = _gradient(h, w, c)
+    stride = w * c
+    lines = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(stride).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = (line - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = (line - (left + prev.astype(np.int32)) // 2) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            up = prev.astype(np.int32)
+            ul = np.concatenate([np.zeros(c, np.int32), up[:-c]])
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            filt = (line - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = line.astype(np.uint8)
+    raw = b"".join(lines)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    back, gw, gh, gc = mc.decode_png(buf)
+    assert (gw, gh, gc) == (w, h, c)
+    assert np.array_equal(back, px)
+
+
+def test_png_rejects_unsupported_variants():
+    px = _gradient(4, 4, 3)
+    buf = bytearray(mc.encode_png(px))
+    with pytest.raises(mc.UnsupportedMedia, match="signature"):
+        mc.decode_png(b"JFIF" + bytes(buf))
+    # corrupt IHDR bit depth -> 16
+    assert buf[8 + 4:8 + 8] == b"IHDR"
+    buf[8 + 8 + 8] = 16
+    with pytest.raises(mc.UnsupportedMedia, match="bit depth"):
+        mc.decode_png(bytes(buf))
+
+
+def test_resize_nearest_shapes():
+    px = _gradient(10, 20, 3)
+    out = mc.resize_nearest(px, 5, 4)
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out[0, 0], px[0, 0])  # corner preserved
+
+
+def test_wav_roundtrip():
+    t = np.arange(800)
+    samples = (np.sin(t / 10.0) * 2000).astype(np.int16).reshape(-1, 2)
+    buf = mc.encode_wav(samples, 16000)
+    back, rate, width = mc.decode_wav(buf)
+    assert rate == 16000 and width == 2
+    assert np.array_equal(back, samples)
+
+
+def test_extract_features_real_png(spark):
+    """use_real_decoder=True over real PNG bytes: the luminance histogram
+    sums to 1 and shifts with image content."""
+    dark = mc.encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    light = mc.encode_png(np.full((8, 8, 3), 250, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, dark), (2, light)], "media_id long, content binary")
+    out = multimodal.extract_features(media, dim=4, use_real_decoder=True)
+    rows = {r.media_id: r.feature for r in out.collect()}
+    assert rows[1][0] == 1.0 and rows[1][3] == 0.0   # all-dark -> bin 0
+    assert rows[2][3] == 1.0 and rows[2][0] == 0.0   # all-light -> bin 3
+    assert abs(sum(rows[1]) - 1.0) < 1e-9
+
+
+def test_resize_images_real_png(spark):
+    px = _gradient(16, 12, 3)
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(px))], "media_id long, content binary")
+    out = multimodal.resize_images(
+        media, width=6, height=4, use_real_decoder=True)
+    row = out.first()
+    assert (row.width, row.height) == (6, 4)
+    back, w, h, c = mc.decode_png(bytes(row.content))
+    assert (w, h, c) == (6, 4, 3)
+    assert np.array_equal(back, mc.resize_nearest(px, 6, 4))
+
+
+def test_extract_audio_features(spark):
+    loud = (np.sin(np.arange(1600) / 5.0) * 20000).astype(np.int16)
+    quiet = (np.sin(np.arange(800) / 5.0) * 100).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, mc.encode_wav(loud, 16000)), (2, mc.encode_wav(quiet, 8000))],
+        "media_id long, content binary")
+    rows = {r.media_id: r
+            for r in multimodal.extract_audio_features(media).collect()}
+    assert rows[1].sample_rate == 16000 and rows[1].n_frames == 1600
+    assert rows[2].sample_rate == 8000 and rows[2].n_channels == 1
+    assert rows[1].rms > 100 * rows[2].rms
+    assert rows[1].peak <= 20000

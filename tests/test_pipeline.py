@@ -434,7 +434,9 @@ def test_multimodal_features_deterministic(spark):
     assert rows == again
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decoder_rejects_unknown_formats(spark):
+    """PNG decodes natively (test_media.py); formats needing external
+    libs still fail loudly instead of faking."""
     media = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
     out = multimodal.extract_features(media, use_real_decoder=True)
     with pytest.raises(Exception, match="(?i)decod|NotImplemented|PythonException"):
