@@ -212,3 +212,97 @@ def test_decontaminate_fraction_bounds(spark, texts):
         # zero-token doc: nothing to overlap -> total row, clean verdict
         assert copy[0].n_grams == 0 and copy[0].overlap_frac == 0.0
         assert not copy[0].contaminated
+
+
+# ---------------------------------------------------------------------------
+# scale-guard adversarial properties (dedup.py)
+
+
+def _union_find_keep(edges):
+    """Pure-Python model: min id per connected component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1, max_size=60).filter(
+        lambda es: any(a != b for a, b in es)))
+def test_connected_keep_ids_matches_union_find(spark, edges):
+    """Random graphs: log-depth label propagation lands on exactly the
+    union-find component minimum for every node."""
+    from kiji_mapreduce_spark.pipeline.dedup import connected_keep_ids
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.keep_id
+           for r in connected_keep_ids(pairs).collect()}
+    assert got == _union_find_keep(edges)
+
+
+def test_connected_keep_ids_chain_convergence_guard(spark):
+    """A path graph of diameter 40 converges within the default budget
+    (pointer jumping: O(log diameter)) — but with max_iters=2 the
+    convergence guard must RAISE rather than return silently-split
+    groups (the under-dedup failure mode the guard exists for)."""
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline.dedup import connected_keep_ids
+
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.doc_id: r.keep_id
+           for r in connected_keep_ids(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_keep_ids(pairs, max_iters=2)
+
+
+def test_prune_hot_buckets_drops_only_mega_bucket(spark):
+    """One boilerplate mega-bucket among normal buckets: pruning removes
+    exactly the pathological bucket's entries (the quadratic-in-bucket
+    guard), keeping every signal-bearing bucket intact."""
+    from kiji_mapreduce_spark.pipeline.dedup import _prune_hot_buckets
+
+    rows = [(b, i) for b in range(5) for i in range(3)]           # normal
+    rows += [(99, i) for i in range(500)]                         # mega
+    entries = spark.createDataFrame(rows, "bucket long, doc_id long")
+    kept = _prune_hot_buckets(entries, ["bucket"], max_bucket=100)
+    got = kept.groupBy("bucket").count().collect()
+    assert {r.bucket: r["count"] for r in got} == {b: 3 for b in range(5)}
+    # None disables the guard (exact semantics for the oracle path)
+    assert _prune_hot_buckets(entries, ["bucket"], None).count() == 515
+
+
+def test_minhash_dedup_boilerplate_bucket_guard(spark):
+    """End-to-end adversarial corpus: hundreds of identical boilerplate
+    docs (one degenerate LSH bucket) plus one genuine near-dup pair.
+    With max_bucket set, the quadratic bucket is skipped yet the real
+    near-dup pair is still found."""
+    from kiji_mapreduce_spark.pipeline.dedup import minhash_dedup
+
+    boiler = [(i, "lorem ipsum dolor sit amet " * 3) for i in range(200)]
+    real = [
+        (1000, "the quick brown fox jumps over the lazy dog every day"),
+        (1001, "the quick brown fox jumps over the lazy dog every single day"),
+    ]
+    far = [(2000, "completely unrelated text about spark partitioning")]
+    docs = spark.createDataFrame(boiler + real + far,
+                                 "doc_id long, text string")
+    pairs = minhash_dedup(docs, threshold=0.5, max_bucket=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert all(a >= 1000 and b >= 1000 for a, b in got)  # boiler pruned
