@@ -49,10 +49,16 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in suite.QUERIES}
     failed: set[str] = set()
-    # rep-major order: each rep sweeps the whole suite, so a query's
-    # samples are spread across the run instead of back-to-back (cache
-    # residency between identical back-to-back runs would flatter numbers)
-    for rep in range(reps):
+    # one untimed warm-up sweep first: each query's codegen/JIT cost is
+    # paid here, so the timed samples measure the steady-state plan (a
+    # first-executed query otherwise carries multi-second class-loading
+    # noise that medians can't fully remove), then rep-major timed
+    # sweeps: a query's samples spread across the run instead of
+    # back-to-back (cache residency between identical back-to-back runs
+    # would flatter numbers)
+    warm_sweep = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    for rep in range(reps + (1 if warm_sweep else 0)):
+        timed = not (warm_sweep and rep == 0)
         for name, fn in suite.QUERIES.items():
             if name in failed:
                 continue
@@ -60,7 +66,8 @@ def main() -> None:
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                samples[name].append(time.time() - t0)
+                if timed:
+                    samples[name].append(time.time() - t0)
             except Exception as e:  # a failing query must not hide the rest
                 failed.add(name)
                 print(f"bench error in {name}: {e}", file=sys.stderr)

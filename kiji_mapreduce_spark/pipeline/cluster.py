@@ -1,0 +1,91 @@
+"""Embedding clustering for corpus curation.
+
+K-means over an ``array<float>`` embedding column — the workhorse behind
+semantic domain discovery, cluster-balanced mixture design, and
+cluster-level dedup/filtering in LLM data pipelines (the reference has
+no clustering; this extends SURVEY §2's beyond-reference pipeline
+layer).
+
+Spark-first shape, sized for 100 TB:
+
+- centroids are tiny (k x dim) and live as **driver-side literals**
+  folded into the assignment expression — the classic k-means layout:
+  the N-row corpus never shuffles for assignment (one codegen'd
+  projection computes all k distances), only the (cluster, dim) partial
+  sums shuffle for the update, k*dim rows total.
+- the update aggregates with ``posexplode`` + partial aggregation
+  (map-side combine): shuffle volume is O(partitions * k * dim),
+  independent of corpus size.
+- determinism: centroids are seeded from the k smallest ids and every
+  centroid/distance is rounded before comparisons, so FP summation
+  order (which varies with partitioning) can never flip an argmin —
+  the property that makes the DuckDB oracle exact
+  (``suite.SQL_KMEANS_CLUSTERS``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", k: int = 4, iters: int = 2,
+                  round_digits: int = 6) -> DataFrame:
+    """Deterministic k-means: seed centroids from the ``k`` smallest-id
+    vectors, run ``iters`` Lloyd rounds, return
+    (id, cluster, dist) with dist rounded to 4 decimals.
+
+    Cluster labels are the seed vectors' ids. Ties in the argmin break
+    toward the smaller label. Empty clusters drop out of later rounds
+    (both engines compute centroids only from populated clusters).
+    """
+    emb = df.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+
+    seeds = (emb.orderBy(id_col).limit(k).collect())
+    centroids = [(r[id_col], [round(x, round_digits) for x in r["_v"]])
+                 for r in seeds]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        """Distance to every centroid in one projection; argmin via
+        array_min over (dist, cid) structs (struct ordering = tie-break
+        on cid)."""
+        pairs = [
+            F.struct(
+                F.round(
+                    F.sqrt(F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            F.array(*[F.lit(x) for x in vec]),
+                            lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)),
+                    round_digits).alias("dist"),
+                F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ]
+        best = F.array_min(F.array(*pairs))
+        return frame.select(
+            id_col, "_v",
+            best["cid"].alias("cluster"), best["dist"].alias("dist"))
+
+    assigned = _assign(emb)
+    for _ in range(iters - 1):
+        # update: (cluster, dim) partial means — k*dim shuffle rows
+        new_rows = (assigned
+                    .select("cluster", F.posexplode("_v").alias("pos", "x"))
+                    .groupBy("cluster", "pos")
+                    .agg(F.avg("x").alias("m"))
+                    .groupBy("cluster")
+                    .agg(F.array_sort(F.collect_list(
+                        F.struct("pos", "m"))).alias("pm"))
+                    .select("cluster", F.transform(
+                        "pm", lambda s: F.round(s["m"], round_digits))
+                        .alias("cv"))
+                    .collect())
+        centroids = [(r["cluster"], list(r["cv"])) for r in new_rows]
+        centroids.sort(key=lambda t: t[0])
+        assigned = _assign(emb)
+    return assigned.select(
+        id_col, F.col("cluster").cast("long").alias("cluster"),
+        F.round("dist", 4).alias("dist"))

@@ -2161,6 +2161,56 @@ FROM h
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means over the embeddings table (semantic domain
+    discovery for mixture design): centroids seeded from the 4 smallest
+    ids, 2 Lloyd rounds, every centroid/distance rounded before
+    comparison so the DuckDB oracle reproduces the argmin exactly.
+    Corpus never shuffles for assignment (centroid literals in one
+    codegen'd projection); the update shuffles k*dim partial means."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster.kmeans_assign(emb, k=4, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+  FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
+        FROM e CROSS JOIN c0 c)
+),
+s1 AS (SELECT vec_id, cid AS cluster FROM a1 WHERE rn = 1),
+u1 AS (
+  SELECT s1.cluster, generate_subscripts(e.v, 1) AS ord,
+         unnest(e.v) AS val
+  FROM e JOIN s1 USING (vec_id)
+),
+c1 AS (
+  SELECT cluster AS cid, list(round(m, 6) ORDER BY ord) AS cv
+  FROM (SELECT cluster, ord, avg(val) AS m FROM u1 GROUP BY cluster, ord)
+  GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
+        FROM e CROSS JOIN c1 c)
+)
+SELECT vec_id, cid AS cluster, round(dist, 4) AS dist
+FROM a2 WHERE rn = 1
+"""
+
+
 def q_knn_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate KNN, oracle-checked: the hyperplanes are
     literal constants, so DuckDB reproduces the buckets, candidate sets,
@@ -2223,10 +2273,11 @@ def q_knn_pq_topk(spark, sf_dir):
 # pytest) rotate to the tail. New queries must be added INSIDE the
 # first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- failed last round (r3: hash drift, fixed) / no_oracle: first --
+    # -- failed last round (r3: hash drift, fixed) / no_oracle / new: first --
     "mixture_token_budget": q_mixture_token_budget,
     "pack_documents": q_pack_documents,
     "multimodal_features": q_multimodal_features,
+    "kmeans_clusters": q_kmeans_clusters,
     # -- verified green in r3 but most recently churned --
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_interval_join": q_streaming_interval_join,
@@ -2309,10 +2360,12 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "mixture_token_budget",
     "pack_documents",
     "multimodal_features",
+    "kmeans_clusters",
 ]
 
 ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "gather_pricing_summary": SQL_GATHER_PRICING,
     "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
     "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,

@@ -595,3 +595,24 @@ def test_near_dup_source_matrix_labels_pairs(spark):
     out = {(r.source_a, r.source_b): r.n_pairs
            for r in dedup.near_dup_source_matrix(pairs, docs).collect()}
     assert out == {("sA", "sB"): 2, ("sB", "sB"): 1}
+
+
+def test_kmeans_assign_separable_clusters(spark):
+    """Two well-separated blobs: every point lands with its blob's seed,
+    distances shrink after the centroid update, output is deterministic
+    across runs."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    pts = [(0, [0.0, 0.1]), (1, [10.0, 10.2]),  # seeds (k=2)
+           (2, [0.2, 0.0]), (3, [0.1, 0.2]),
+           (4, [10.1, 10.0]), (5, [9.9, 10.1])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           cluster.kmeans_assign(df, k=2, iters=2).collect()}
+    assert [out[i].cluster for i in range(6)] == [0, 1, 0, 0, 1, 1]
+    again = {r.vec_id: (r.cluster, r.dist) for r in
+             cluster.kmeans_assign(df, k=2, iters=2).collect()}
+    assert again == {i: (out[i].cluster, out[i].dist) for i in range(6)}
+    # after one update the centroid is the blob mean, so no point's
+    # distance exceeds the blob radius
+    assert all(out[i].dist < 1.0 for i in range(6))
