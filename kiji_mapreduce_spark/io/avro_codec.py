@@ -376,6 +376,38 @@ def write_container(schema, values, codec: str = "deflate",
 # Avro <-> Spark schema bridging
 
 
+def resolve_records(values, writer_schema, reader_schema):
+    """Top-level record schema resolution (spec "Schema Resolution"):
+    project writer records onto the reader schema — fields matched by
+    name, missing reader fields filled from their ``default``, writer
+    fields absent from the reader dropped. Raises if a reader field has
+    no writer counterpart and no default."""
+    writer_schema = normalize_schema(writer_schema)
+    reader_schema = normalize_schema(reader_schema)
+    if not (isinstance(writer_schema, dict)
+            and writer_schema.get("type") == "record"
+            and isinstance(reader_schema, dict)
+            and reader_schema.get("type") == "record"):
+        raise ValueError("schema resolution supports record top-levels")
+    writer_fields = {f["name"] for f in writer_schema["fields"]}
+    plan = []  # (name, from_writer, default)
+    for f in reader_schema["fields"]:
+        name = f["name"]
+        if name in writer_fields:
+            plan.append((name, True, None))
+        elif "default" in f:
+            plan.append((name, False, f["default"]))
+        else:
+            raise ValueError(
+                f"reader field {name!r} missing from writer schema and "
+                "has no default")
+    return [
+        {name: (v.get(name) if from_writer else default)
+         for name, from_writer, default in plan}
+        for v in values
+    ]
+
+
 def avro_to_spark_type(schema):
     """Avro schema -> (pyspark DataType, nullable)."""
     from pyspark.sql import types as T

@@ -54,10 +54,12 @@ def read_avro(spark: SparkSession, paths: list[str],
     options = options or {}
     if spark_avro_jar_available(spark):
         return (spark.read.format("avro").options(**options).load(paths))
-    return _read_avro_fallback(spark, paths)
+    return _read_avro_fallback(spark, paths,
+                               reader_schema=options.get("avroSchema"))
 
 
-def _read_avro_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _read_avro_fallback(spark: SparkSession, paths: list[str],
+                        reader_schema: str | None = None) -> DataFrame:
     bin_df = spark.read.format("binaryFile").load(paths)
 
     # schema: decode ONE file's header executor-side; only the JSON
@@ -77,7 +79,16 @@ def _read_avro_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
     if not head:
         raise FileNotFoundError(f"no Avro files under {paths!r}")
     avro_schema = json.loads(head[0][0])
-    spark_type, _ = avro_codec.avro_to_spark_type(avro_schema)
+    if reader_schema is not None:
+        # reader-schema override (spark-avro's avroSchema option / the
+        # reference's avro.reader.schema): decode with the writer schema,
+        # project onto the reader schema with defaults for new fields
+        reader = avro_codec.normalize_schema(reader_schema)
+        avro_codec.resolve_records([], avro_schema, reader)  # validate now
+        out_schema = reader
+    else:
+        out_schema = avro_schema
+    spark_type, _ = avro_codec.avro_to_spark_type(out_schema)
     from pyspark.sql import types as T
 
     if not isinstance(spark_type, T.StructType):
@@ -95,12 +106,16 @@ def _read_avro_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                _, values = avro_codec.read_container(bytes(content))
+                wschema, values = avro_codec.read_container(bytes(content))
                 if not values:
                     # empty container (schema-only part file): yield
                     # nothing — pandas gives empty columns float64 dtype,
                     # which Arrow can't cast to list/struct types
                     continue
+                if reader_schema is not None:
+                    values = avro_codec.resolve_records(
+                        values, wschema,
+                        avro_codec.normalize_schema(reader_schema))
                 if wrap:
                     rows = {"value": values}
                 else:

@@ -204,6 +204,37 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def q_kvstore_avro_file_join(spark, sf_dir):
+    """End-to-end file-backed Avro KV store (AvroRecordKeyValueStore.
+    java:84): write the nation dim as a REAL Avro container file (the
+    built-in codec, io/avro_codec.py), open it as a store, broadcast-join
+    onto customers. Driver-verifies that the whole Avro write->read->
+    first-wins->lookup path produces exactly the plain SQL join."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from kiji_mapreduce_spark.io.avro_io import write_avro
+    from kiji_mapreduce_spark.kvstore.stores import AvroRecordKeyValueStore
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation_name"))
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"kiji_avro_nation_{_os.path.basename(sf_dir.rstrip('/'))}")
+    write_avro(nation, path, nsplits=1)
+    store = AvroRecordKeyValueStore(paths=[path], key_field="c_nationkey")
+    customer = _t(spark, sf_dir, "customer")
+    return store.lookup(customer, how="left").select(
+        "c_custkey", "c_nationkey", "nation_name")
+
+
+SQL_KVSTORE_AVRO_FILE = """
+SELECT c_custkey, c_nationkey, n_name AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_semi_join_customers_with_orders(spark, sf_dir):
     """containsKey idiom -> left_semi."""
     customer = _t(spark, sf_dir, "customer")
@@ -2278,6 +2309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "multimodal_features": q_multimodal_features,
     "kmeans_clusters": q_kmeans_clusters,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
     # -- verified green in r3 but most recently churned --
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_interval_join": q_streaming_interval_join,
@@ -2361,11 +2393,13 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "pack_documents",
     "multimodal_features",
     "kmeans_clusters",
+    "kvstore_avro_file_join",
 ]
 
 ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,
     "gather_pricing_summary": SQL_GATHER_PRICING,
     "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
     "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,

@@ -173,3 +173,41 @@ def test_avro_non_record_top_level(spark, tmp_path):
     back = read_avro(spark, [str(p)])
     assert sorted(r.value for r in back.collect()) == [1, 2, 3]
     assert back.dtypes == [("value", "bigint")]
+
+
+def test_reader_schema_resolution(spark, tmp_path):
+    """avroSchema option (the reference's avro.reader.schema override):
+    decode with the writer schema, project onto the reader — dropped
+    writer fields vanish, new reader fields take their defaults, a
+    default-less new field errors."""
+    df = spark.createDataFrame(
+        [("a", 1, 9.5), ("b", 2, -1.0)], "k string, v int, x double")
+    write_avro(df, str(tmp_path / "evolve"))
+    reader = json.dumps({
+        "type": "record", "name": "topLevelRecord", "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": ["null", "int"]},
+            {"name": "extra", "type": "long", "default": 7},
+        ]})
+    back = read_avro(spark, [str(tmp_path / "evolve")],
+                     {"avroSchema": reader})
+    rows = {r.k: r for r in back.collect()}
+    assert back.columns == ["k", "v", "extra"]          # x dropped
+    assert rows["a"].extra == 7 and rows["b"].v == 2    # default filled
+    bad = json.dumps({
+        "type": "record", "name": "topLevelRecord", "fields": [
+            {"name": "nope", "type": "long"}]})
+    with pytest.raises(Exception, match="default"):
+        read_avro(spark, [str(tmp_path / "evolve")],
+                  {"avroSchema": bad}).collect()
+
+
+def test_kvstore_avro_file_join_query(spark, sf_dir):
+    """The driver-registered end-to-end Avro KV store query returns the
+    plain-join result."""
+    from kiji_mapreduce_spark import suite
+
+    out = suite.QUERIES["kvstore_avro_file_join"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.nation_name is not None for r in rows)
