@@ -616,3 +616,16 @@ def test_kmeans_assign_separable_clusters(spark):
     # after one update the centroid is the blob mean, so no point's
     # distance exceeds the blob radius
     assert all(out[i].dist < 1.0 for i in range(6))
+
+
+def test_kmeans_assign_degenerate_all_identical(spark):
+    """All-identical vectors: seeds tie, argmin breaks to the smallest
+    label, the other cluster empties out, and the empty cluster drops
+    from later rounds without error."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    pts = [(i, [1.0, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = cluster.kmeans_assign(df, k=2, iters=3).collect()
+    assert {r.cluster for r in out} == {0}
+    assert all(r.dist == 0.0 for r in out)
