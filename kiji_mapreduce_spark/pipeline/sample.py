@@ -62,6 +62,40 @@ def stratified_sample(
     return df.filter(u < thresh)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    assign_df: DataFrame,
+    target_per_cluster: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    seed: int = 42,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Downsample over-represented clusters toward a uniform cluster
+    mixture: per-cluster keep rate = min(1, target/size), applied as a
+    keyed-hash Bernoulli (same integer-bucket discipline as
+    ``stratified_sample``, so membership is deterministic in the id and
+    exact across engines). ``assign_df`` is (id, cluster) — e.g.
+    ``cluster.kmeans_assign`` output. Thresholds use pure integer
+    arithmetic (floor((target*10000)/size)), never a float rate.
+
+    Shape at scale: cluster sizes are a tiny aggregate (k rows,
+    broadcast); the corpus takes one equi-join on id and a filter — no
+    extra shuffle beyond the assignment join.
+    """
+    sizes = assign_df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_sz"))
+    thr = F.least(
+        F.lit(_BUCKETS),
+        F.floor(F.lit(target_per_cluster * _BUCKETS) / F.col("_sz"))
+    ).cast("long")
+    u = _key_unit(id_col, seed, hash_fn)
+    return (df.join(assign_df, on=id_col)
+            .join(F.broadcast(sizes), on=cluster_col)
+            .filter(u < thr)
+            .drop("_sz"))
+
+
 def stratum_topk(
     df: DataFrame,
     strata_col: str,

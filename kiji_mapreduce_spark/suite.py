@@ -2205,7 +2205,9 @@ def q_kmeans_clusters(spark, sf_dir):
     return cluster.kmeans_assign(emb, k=4, iters=2)
 
 
-SQL_KMEANS_CLUSTERS = """
+# shared CTE chain: two deterministic Lloyd rounds (also the base of
+# SQL_SAMPLE_CLUSTER_BALANCED)
+_KMEANS_CTES = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
@@ -2236,9 +2238,45 @@ a2 AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM (SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
         FROM e CROSS JOIN c1 c)
-)
+)"""
+
+SQL_KMEANS_CLUSTERS = _KMEANS_CTES + """
 SELECT vec_id, cid AS cluster, round(dist, 4) AS dist
 FROM a2 WHERE rn = 1
+"""
+
+
+def q_sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced corpus sampling (SemDeDup-style diversity
+    control): k-means the embeddings, then keyed-hash Bernoulli with a
+    per-cluster rate targeting ~50 rows per cluster — over-represented
+    semantic clusters are downsampled toward a uniform cluster mixture.
+    Pure composition of two audited operators; membership is a
+    deterministic function of the id alone."""
+    from kiji_mapreduce_spark.pipeline import cluster, sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = cluster.kmeans_assign(emb, k=4, iters=2).select(
+        "vec_id", "cluster")
+    out = sample.cluster_balanced_sample(
+        emb.select("vec_id", "label"), assign, target_per_cluster=50,
+        id_col="vec_id", seed=42, hash_fn="md5")
+    return out.select("vec_id", "cluster", "label")
+
+
+SQL_SAMPLE_CLUSTER_BALANCED = _KMEANS_CTES + """,
+assign AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+sz AS (SELECT cluster, count(*) AS n FROM assign GROUP BY cluster),
+s AS (
+  SELECT a.vec_id, a.cluster, emb.label,
+         ('0x' || substr(md5('42|' || a.vec_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS u,
+         least(10000, (50 * 10000) // sz.n) AS thr
+  FROM assign a
+  JOIN sz USING (cluster)
+  JOIN embeddings emb USING (vec_id)
+)
+SELECT vec_id, cluster, label FROM s WHERE u < thr
 """
 
 
@@ -2310,6 +2348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "kmeans_clusters": q_kmeans_clusters,
     "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
     # -- verified green in r3 but most recently churned --
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_interval_join": q_streaming_interval_join,
@@ -2394,12 +2433,14 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "multimodal_features",
     "kmeans_clusters",
     "kvstore_avro_file_join",
+    "sample_cluster_balanced",
 ]
 
 ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,
+    "sample_cluster_balanced": SQL_SAMPLE_CLUSTER_BALANCED,
     "gather_pricing_summary": SQL_GATHER_PRICING,
     "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
     "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,

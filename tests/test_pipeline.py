@@ -629,3 +629,23 @@ def test_kmeans_assign_degenerate_all_identical(spark):
     out = cluster.kmeans_assign(df, k=2, iters=3).collect()
     assert {r.cluster for r in out} == {0}
     assert all(r.dist == 0.0 for r in out)
+
+
+def test_cluster_balanced_sample_downsamples_big_cluster(spark):
+    """A 200-row cluster and a 10-row cluster with target 10: the big
+    cluster shrinks toward the target, the small one keeps everything
+    (rate clamps at 1), and membership is deterministic."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(200)] + [(i, 1) for i in range(200, 210)],
+        "vec_id long, cluster long")
+    df = assign.select("vec_id")
+    out = sample.cluster_balanced_sample(df, assign, target_per_cluster=10)
+    got = out.groupBy("cluster").count().collect()
+    counts = {r.cluster: r["count"] for r in got}
+    assert counts[1] == 10                 # rate 1.0: all kept
+    assert 1 <= counts[0] <= 30            # ~5% Bernoulli of 200
+    again = sample.cluster_balanced_sample(df, assign, target_per_cluster=10)
+    assert sorted(r.vec_id for r in out.collect()) == \
+        sorted(r.vec_id for r in again.collect())
