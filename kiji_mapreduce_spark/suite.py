@@ -2246,6 +2246,32 @@ FROM a2 WHERE rn = 1
 """
 
 
+def q_salted_topk_events(spark, sf_dir):
+    """Skew-safe top-3 events per type via the two-phase salted window
+    (functions.salted_topk): a hot event_type's rows split across 16
+    deterministic sub-partitions for the local pass, so no single task
+    owns a hot key — same result as the plain window, verified by the
+    plain-window oracle."""
+    from kiji_mapreduce_spark.functions import salted_topk
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value")
+    out = salted_topk(ev, "event_type", "value", k=3,
+                      tiebreak_cols=["event_id"])
+    return out.select("event_type", "event_id",
+                      F.round("value", 2).alias("value"), "rank")
+
+
+SQL_SALTED_TOPK_EVENTS = """
+SELECT event_type, event_id, round(value, 2) AS value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
 def q_sample_cluster_balanced(spark, sf_dir):
     """Cluster-balanced corpus sampling (SemDeDup-style diversity
     control): k-means the embeddings, then keyed-hash Bernoulli with a
@@ -2349,6 +2375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "kvstore_avro_file_join": q_kvstore_avro_file_join,
     "sample_cluster_balanced": q_sample_cluster_balanced,
+    "salted_topk_events": q_salted_topk_events,
     # -- verified green in r3 but most recently churned --
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_interval_join": q_streaming_interval_join,
@@ -2434,6 +2461,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "kmeans_clusters",
     "kvstore_avro_file_join",
     "sample_cluster_balanced",
+    "salted_topk_events",
 ]
 
 ORACLES: dict[str, str] = {
@@ -2441,6 +2469,7 @@ ORACLES: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,
     "sample_cluster_balanced": SQL_SAMPLE_CLUSTER_BALANCED,
+    "salted_topk_events": SQL_SALTED_TOPK_EVENTS,
     "gather_pricing_summary": SQL_GATHER_PRICING,
     "filter_pushdown_revenue": SQL_FILTER_PUSHDOWN,
     "kvstore_lookup_join": SQL_KVSTORE_LOOKUP,
