@@ -211,3 +211,18 @@ def test_kvstore_avro_file_join_query(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.nation_name is not None for r in rows)
+
+
+def test_avro_write_modes_and_codec_errors(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    write_avro(df, str(tmp_path / "m"))
+    with pytest.raises(FileExistsError):
+        write_avro(df, str(tmp_path / "m"), mode="error")
+    write_avro(df, str(tmp_path / "m"), mode="ignore")  # no-op, no raise
+    with pytest.raises(ValueError, match="null/deflate"):
+        write_avro(df, str(tmp_path / "m2"),
+                   options={"compression": "snappy"})
+    # uncompressed alias maps to the null codec
+    write_avro(df, str(tmp_path / "m3"),
+               options={"compression": "uncompressed"})
+    assert read_avro(spark, [str(tmp_path / "m3")]).count() == 1
