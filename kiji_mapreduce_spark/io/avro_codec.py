@@ -36,7 +36,8 @@ array           array
 map             map (string keys)
 union[null, T]  nullable T
 int  {date}     date
-long {timestamp-micros/millis}  timestamp
+long {timestamp-micros/millis}        timestamp (instant)
+long {local-timestamp-micros/millis}  timestamp_ntz (wall clock)
 ==============  ==========================
 
 General (non-null) unions, decimals, and durations are rejected with a
@@ -166,13 +167,17 @@ class Decoder:
         if t == "fixed":
             return self.read(schema["size"])
         if t in _PRIMITIVES:  # {"type": "int", "logicalType": ...}
-            v = self.read_value(t)
             lt = _logical(schema)
+            if lt in ("decimal", "duration"):
+                raise ValueError(
+                    f"Avro {lt!r} logical type is not supported — "
+                    "rejecting instead of returning raw unscaled bytes")
+            v = self.read_value(t)
             if lt == "date":
                 return _EPOCH_DATE + _dt.timedelta(days=v)
-            if lt == "timestamp-micros":
+            if lt in ("timestamp-micros", "local-timestamp-micros"):
                 return _EPOCH_TS + _dt.timedelta(microseconds=v)
-            if lt == "timestamp-millis":
+            if lt in ("timestamp-millis", "local-timestamp-millis"):
                 return _EPOCH_TS + _dt.timedelta(milliseconds=v)
             return v
         raise ValueError(f"unsupported Avro schema {schema!r}")
@@ -272,12 +277,20 @@ class Encoder:
             return
         if t in _PRIMITIVES:
             lt = _logical(schema)
+            if lt in ("decimal", "duration"):
+                raise ValueError(
+                    f"Avro {lt!r} logical type is not supported")
             if lt == "date":
                 v = (v - _EPOCH_DATE).days
-            elif lt == "timestamp-micros":
-                v = round((v - _EPOCH_TS).total_seconds() * 1_000_000)
-            elif lt == "timestamp-millis":
-                v = round((v - _EPOCH_TS).total_seconds() * 1_000)
+            elif lt in ("timestamp-micros", "local-timestamp-micros",
+                        "timestamp-millis", "local-timestamp-millis"):
+                # exact integer arithmetic: float total_seconds() loses
+                # microseconds once |micros| > 2^53 (e.g. year-9999
+                # sentinels)
+                td = v - _EPOCH_TS
+                micros = (td.days * 86_400 + td.seconds) * 1_000_000 \
+                    + td.microseconds
+                v = micros if lt.endswith("micros") else micros // 1_000
             self.write_value(t, v)
             return
         raise ValueError(f"unsupported Avro schema {schema!r}")
@@ -376,6 +389,43 @@ def write_container(schema, values, codec: str = "deflate",
 # Avro <-> Spark schema bridging
 
 
+# writer type -> reader types it may resolve to (spec promotion rules)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _strip_null(schema):
+    """union[null, T] -> T (for compatibility comparison)."""
+    if isinstance(schema, list):
+        non_null = [normalize_schema(b) for b in schema
+                    if normalize_schema(b) != "null"]
+        if len(non_null) == 1:
+            return non_null[0]
+    return schema
+
+
+def _check_resolvable(writer_t, reader_t, name: str) -> None:
+    """Reject reader fields whose type can't hold the writer's values —
+    name-only matching would hand Arrow wrongly-typed Python objects and
+    crash (or silently coerce) executor-side."""
+    w, r = _strip_null(writer_t), _strip_null(reader_t)
+    if w == r:
+        return
+    if isinstance(w, str) and isinstance(r, str) and \
+            r in _PROMOTIONS.get(w, set()):
+        return
+    raise ValueError(
+        f"reader field {name!r}: type {reader_t!r} cannot resolve "
+        f"writer type {writer_t!r} (only identical types and spec "
+        "promotions are supported)")
+
+
 def resolve_records(values, writer_schema, reader_schema):
     """Top-level record schema resolution (spec "Schema Resolution"):
     project writer records onto the reader schema — fields matched by
@@ -389,11 +439,14 @@ def resolve_records(values, writer_schema, reader_schema):
             and isinstance(reader_schema, dict)
             and reader_schema.get("type") == "record"):
         raise ValueError("schema resolution supports record top-levels")
-    writer_fields = {f["name"] for f in writer_schema["fields"]}
+    writer_types = {f["name"]: normalize_schema(f["type"])
+                    for f in writer_schema["fields"]}
     plan = []  # (name, from_writer, default)
     for f in reader_schema["fields"]:
         name = f["name"]
-        if name in writer_fields:
+        if name in writer_types:
+            _check_resolvable(writer_types[name],
+                              normalize_schema(f["type"]), name)
             plan.append((name, True, None))
         elif "default" in f:
             plan.append((name, False, f["default"]))
@@ -433,9 +486,17 @@ def avro_to_spark_type(schema):
         raise ValueError(f"unsupported Avro type {schema!r}")
     t = schema["type"]
     lt = _logical(schema)
+    if lt in ("decimal", "duration"):
+        raise ValueError(
+            f"Avro {lt!r} logical type is not supported — rejecting "
+            "instead of surfacing raw unscaled bytes")
     if lt == "date":
         return T.DateType(), False
     if lt in ("timestamp-micros", "timestamp-millis"):
+        # instant semantics, like spark-avro (exact under the engine's
+        # pinned UTC session)
+        return T.TimestampType(), False
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
         return T.TimestampNTZType(), False
     if t == "record":
         fields = []
@@ -478,8 +539,11 @@ def spark_type_to_avro(dt, nullable: bool, name_hint: str = "rec"):
         out = "bytes"
     elif isinstance(dt, T.DateType):
         out = {"type": "int", "logicalType": "date"}
-    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    elif isinstance(dt, T.TimestampType):
         out = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.TimestampNTZType):
+        # wall-clock semantics survive round-trips and jar interop
+        out = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.ArrayType):
         out = {"type": "array",
                "items": spark_type_to_avro(

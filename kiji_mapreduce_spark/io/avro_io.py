@@ -45,7 +45,16 @@ def spark_avro_jar_available(spark: SparkSession) -> bool:
                 "/__avro_source_probe_nonexistent__")
             _JAR_PROBE[key] = True
         except Exception as e:
-            _JAR_PROBE[key] = "Failed to find data source" not in str(e)
+            # legacy template says "Failed to find data source"; the
+            # non-legacy error condition is DATA_SOURCE_NOT_FOUND with
+            # "Failed to find the data source" — match all three so a
+            # Spark upgrade can't flip the probe to a false positive
+            msg = str(e)
+            _JAR_PROBE[key] = not any(
+                marker in msg for marker in (
+                    "Failed to find data source",
+                    "Failed to find the data source",
+                    "DATA_SOURCE_NOT_FOUND"))
     return _JAR_PROBE[key]
 
 
@@ -88,9 +97,15 @@ def _read_avro_fallback(spark: SparkSession, paths: list[str],
         out_schema = reader
     else:
         out_schema = avro_schema
-    spark_type, _ = avro_codec.avro_to_spark_type(out_schema)
+    spark_type, top_nullable = avro_codec.avro_to_spark_type(out_schema)
     from pyspark.sql import types as T
 
+    if isinstance(spark_type, T.StructType) and top_nullable:
+        # union[null, record] top level decodes null records as all-null
+        # rows, so every column must accept nulls
+        spark_type = T.StructType([
+            T.StructField(f.name, f.dataType, True)
+            for f in spark_type.fields])
     if not isinstance(spark_type, T.StructType):
         # non-record top level (e.g. Avro key files of long/string):
         # surface as a single `value` column like spark-avro does
@@ -119,7 +134,10 @@ def _read_avro_fallback(spark: SparkSession, paths: list[str],
                 if wrap:
                     rows = {"value": values}
                 else:
-                    rows = {n: [v.get(n) for v in values] for n in names}
+                    # v may be None for union[null, record] top levels —
+                    # surface as an all-null row rather than crashing
+                    rows = {n: [None if v is None else v.get(n)
+                                for v in values] for n in names}
                 yield pd.DataFrame(rows, columns=names)
 
     return bin_df.select("content").mapInPandas(_decode, spark_type)

@@ -262,6 +262,46 @@ def _swap_dir_local(staging_path: str, live_path: str) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
+def _hadoop_fs(path: str, spark=None):
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "non-local filesystem access needs an active SparkSession "
+            "(the Hadoop FileSystem client lives in the JVM)")
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    p = HPath(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, HPath
+
+
+def fs_exists(path: str, spark=None) -> bool:
+    """Scheme-agnostic existence check (local via os, else Hadoop FS)."""
+    if _is_local_path(path):
+        return os.path.exists(_strip_file_scheme(path))
+    fs, p, _ = _hadoop_fs(path, spark)
+    return fs.exists(p)
+
+
+def fs_listdir(path: str, spark=None) -> list[str]:
+    """Scheme-agnostic child-name listing."""
+    if _is_local_path(path):
+        return os.listdir(_strip_file_scheme(path))
+    fs, p, _ = _hadoop_fs(path, spark)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def fs_delete(path: str, spark=None) -> None:
+    """Scheme-agnostic recursive delete (missing path is a no-op)."""
+    if _is_local_path(path):
+        shutil.rmtree(_strip_file_scheme(path), ignore_errors=True)
+        return
+    fs, p, _ = _hadoop_fs(path, spark)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def _swap_dir_hadoop(staging_path: str, live_path: str, spark=None) -> None:
     """Same swap discipline through the Hadoop FileSystem API (HDFS, S3A,
     ...): rename live -> trash, staging -> live, restore on failure. The

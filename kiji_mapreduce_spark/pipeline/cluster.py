@@ -42,6 +42,11 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
     emb = df.select(
         id_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    if iters > 1:
+        # each Lloyd round re-reads the vectors (update collect + next
+        # assignment); pin them once instead of re-scanning the source
+        # lineage ~2x per round
+        emb = emb.localCheckpoint(eager=True)
 
     seeds = (emb.orderBy(id_col).limit(k).collect())
     centroids = [(r[id_col], [round(x, round_digits) for x in r["_v"]])

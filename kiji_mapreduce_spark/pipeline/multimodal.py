@@ -62,8 +62,13 @@ def _decode_image_real(content: bytes):
     from kiji_mapreduce_spark.pipeline import media_codecs
 
     if content[:8] == b"\x89PNG\r\n\x1a\n":
-        pixels, width, height, _ = media_codecs.decode_png(content)
-        return pixels, width, height
+        try:
+            pixels, width, height, _ = media_codecs.decode_png(content)
+            return pixels, width, height
+        except media_codecs.UnsupportedMedia:
+            # palette/16-bit/interlaced PNG: fall through to PIL, which
+            # decodes those variants when installed
+            pass
     try:  # optional extra: PIL widens format coverage when present
         from PIL import Image
         import io as _io
@@ -75,8 +80,9 @@ def _decode_image_real(content: bytes):
         return arr, img.width, img.height
     except ImportError:
         raise DecoderNotAvailable(
-            "non-PNG image decoding requires PIL, which is not installed; "
-            "PNG decodes natively via media_codecs.decode_png") from None
+            "decoding this image requires PIL, which is not installed; "
+            "8-bit non-interlaced PNG decodes natively via "
+            "media_codecs.decode_png") from None
 
 
 def _fake_feature(content: bytes, dim: int) -> list[float]:

@@ -642,9 +642,10 @@ class EntityTable:
             self._write_canonical(df, staging_path,
                                   max_records_per_file=max_records_per_file)
         if deletes is not None:
-            os.makedirs(staging_path, exist_ok=True)
+            # Spark's writer creates parent dirs on any scheme; only mark
+            # the staging root for the pure-delete local case
             deletes.write.mode("overwrite").parquet(
-                os.path.join(staging_path, "_deletes"))
+                staging_path.rstrip("/") + "/_deletes")
 
     def bulk_commit(self, staging_path: str) -> None:
         """Swap staged files in as the table's new contents, then apply
@@ -653,30 +654,49 @@ class EntityTable:
         discarded, like ``overwrite``. Staged deletes (HFileKeyValue
         delete markers) are applied after the swap through the same
         eager-tombstone path as ``merge_delete``, so a bulk-staged
-        delete retracts exactly what a live delete would."""
-        import shutil as _shutil
+        delete retracts exactly what a live delete would.
 
-        deletes_path = os.path.join(staging_path, "_deletes")
+        Paths may be on any Hadoop-supported scheme (hdfs://, s3a://,
+        file://, bare local) — probing goes through the scheme-agnostic
+        fs helpers, same as ``bulk_load`` itself.
+
+        Crash discipline: the staged ``_deletes`` parquet is never
+        removed before the tombstones are APPLIED. The underscore prefix
+        hides it from Spark readers, so it rides through the directory
+        swap inside the committed table dir; a crash between swap and
+        apply leaves the tombstones on disk (unapplied but recoverable)
+        instead of silently dropping them."""
+        from kiji_mapreduce_spark.io.outputs import (
+            fs_delete, fs_exists, fs_listdir,
+        )
+
+        staging_path = staging_path.rstrip("/")
+        deletes_path = staging_path + "/_deletes"
         staged_deletes = None
-        if os.path.exists(deletes_path):
-            # read and pin the tombstones BEFORE the swap mutates paths
+        if fs_exists(deletes_path, self.spark):
+            # pin the tombstone CONTENTS before any path mutation
             staged_deletes = self.spark.read.parquet(
                 deletes_path).localCheckpoint(eager=True)
-            _shutil.rmtree(deletes_path)
         has_rows = any(
             name.startswith("_bucket=") or name.endswith(".parquet")
-            for name in os.listdir(staging_path)) if os.path.exists(
-                staging_path) else False
+            for name in fs_listdir(staging_path, self.spark)) if fs_exists(
+                staging_path, self.spark) else False
         if has_rows:
-            bulk_load(staging_path, self._data_path())
-            _shutil.rmtree(self._delta_path(), ignore_errors=True)
+            # _deletes rides along inside the swapped dir (hidden from
+            # readers by the underscore prefix) until the apply succeeds
+            bulk_load(staging_path, self._data_path(), self.spark)
+            fs_delete(self._delta_path(), self.spark)
         elif staged_deletes is None:
             raise FileNotFoundError(
                 f"nothing staged at {staging_path!r}")
-        else:
-            _shutil.rmtree(staging_path, ignore_errors=True)
         if staged_deletes is not None:
             self.merge_delete(staged_deletes)
+            # applied: clear the marker wherever the swap left it
+            fs_delete(self._data_path().rstrip("/") + "/_deletes",
+                      self.spark)
+            fs_delete(deletes_path, self.spark)
+            if not has_rows:
+                fs_delete(staging_path, self.spark)
 
     def produce(self, producer, context=None) -> None:
         """Run a Producer against this table and write the derived cells

@@ -226,3 +226,69 @@ def test_avro_write_modes_and_codec_errors(spark, tmp_path):
     write_avro(df, str(tmp_path / "m3"),
                options={"compression": "uncompressed"})
     assert read_avro(spark, [str(tmp_path / "m3")]).count() == 1
+
+
+def test_timestamp_exact_far_range_and_ntz_mapping(spark, tmp_path):
+    """Far-range timestamps encode with exact integer arithmetic (float
+    total_seconds loses microseconds past 2^53), and NTZ round-trips as
+    local-timestamp-micros while instants stay timestamp-micros."""
+    sentinel = datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "ts",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}}]}
+    _, back = ac.read_container(
+        ac.write_container(schema, [{"ts": sentinel}]))
+    assert back[0]["ts"] == sentinel
+    # spark NTZ column -> local-timestamp-micros -> NTZ on read
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-06-01 12:00:00' AS wall")
+    avro = ac.spark_schema_to_avro(df.schema)
+    assert avro["fields"][0]["type"]["logicalType"] == \
+        "local-timestamp-micros"
+    write_avro(df, str(tmp_path / "ntz"))
+    back_df = read_avro(spark, [str(tmp_path / "ntz")])
+    assert dict(back_df.dtypes)["wall"] == "timestamp_ntz"
+    assert str(back_df.first().wall) == "2024-06-01 12:00:00"
+
+
+def test_decimal_logical_type_rejected():
+    schema = {"type": "record", "name": "d", "fields": [
+        {"name": "m", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 2}}]}
+    with pytest.raises(ValueError, match="decimal"):
+        ac.avro_to_spark_type(schema)
+    with pytest.raises(ValueError, match="decimal"):
+        ac.write_container(schema, [{"m": b"\x01"}])
+
+
+def test_union_null_record_top_level(spark, tmp_path):
+    """union[null, record] top level: null values surface as all-null
+    rows instead of crashing the decode."""
+    schema = ["null", {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"}]}]
+    p = tmp_path / "nullable"
+    p.mkdir()
+    (p / "part-00000.avro").write_bytes(
+        ac.write_container(schema, [{"a": 5}, None]))
+    back = read_avro(spark, [str(p)])
+    assert sorted(r.a for r in back.collect()
+                  if r.a is not None) == [5]
+    assert back.count() == 2
+
+
+def test_reader_schema_type_mismatch_rejected(spark, tmp_path):
+    """Name-only matching is not enough: a reader field redeclaring a
+    type the writer's values can't resolve to fails at plan time, not
+    executor-side; spec promotions (int->long) are accepted."""
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    write_avro(df, str(tmp_path / "types"))
+    bad = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "string"}]})
+    with pytest.raises(Exception, match="resolve"):
+        read_avro(spark, [str(tmp_path / "types")], {"avroSchema": bad})
+    promoted = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"}]})
+    back = read_avro(spark, [str(tmp_path / "types")],
+                     {"avroSchema": promoted})
+    assert back.dtypes == [("v", "bigint")]
+    assert back.first().v == 1

@@ -617,3 +617,21 @@ def test_bulk_stage_delete_only_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="rows, deletes"):
         t.bulk_stage(None, str(tmp_path / "stg3"))
+
+
+def test_bulk_stage_commit_uri_scheme_paths(spark, tmp_path):
+    """Staging paths with an explicit scheme (file:// here — the same
+    code path hdfs/s3a take) work through the scheme-agnostic fs
+    helpers: existence probes, row detection, tombstone pickup."""
+    path = str(tmp_path / "turi")
+    t = EntityTable.create(spark, path, LAYOUT)
+    rows = spark.createDataFrame(
+        [(("u1",), ([(10, "a")], None), None),
+         (("u2",), ([(10, "b")], None), None)],
+        LAYOUT.spark_schema())
+    staging = f"file://{tmp_path}/uri_stg"
+    t.bulk_stage(rows, staging,
+                 deletes=_deletes(spark, [(("u2",), None, None, None)]))
+    t.bulk_commit(staging)
+    got = {r.entity_id.key for r in t.read().collect()}
+    assert got == {"u1"}
