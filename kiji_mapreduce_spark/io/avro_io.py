@@ -69,7 +69,12 @@ def read_avro(spark: SparkSession, paths: list[str],
 
 def _read_avro_fallback(spark: SparkSession, paths: list[str],
                         reader_schema: str | None = None) -> DataFrame:
-    bin_df = spark.read.format("binaryFile").load(paths)
+    # binaryFile lists files SIZE-descending (bin-packing order); pin
+    # lexicographic path order instead so row order — and with it the
+    # KV stores' first-record-wins semantics
+    # (AvroRecordKeyValueStore.java:307) — is deterministic and matches
+    # file naming, not file sizes
+    bin_df = spark.read.format("binaryFile").load(paths).orderBy("path")
 
     # schema: decode ONE file's header executor-side; only the JSON
     # schema string is collected (never a file's contents)

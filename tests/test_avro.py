@@ -292,3 +292,27 @@ def test_reader_schema_type_mismatch_rejected(spark, tmp_path):
                      {"avroSchema": promoted})
     assert back.dtypes == [("v", "bigint")]
     assert back.first().v == 1
+
+
+def test_kv_store_first_wins_across_files_path_order(spark, tmp_path):
+    """First-record-wins must follow file PATH order, not binaryFile's
+    size-descending listing: the earlier-named file wins even when it is
+    much smaller than a later file carrying the same key."""
+    from kiji_mapreduce_spark.kvstore.stores import AvroRecordKeyValueStore
+
+    schema = {"type": "record", "name": "kv", "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "val", "type": "int"}]}
+    p = tmp_path / "multi"
+    p.mkdir()
+    # part-00000: tiny, holds the authoritative first record
+    (p / "part-00000.avro").write_bytes(
+        ac.write_container(schema, [{"key": "a", "val": 1}]))
+    # part-00001: much larger (size-ordered listing would put it FIRST)
+    filler = [{"key": f"f{i}", "val": i} for i in range(500)]
+    (p / "part-00001.avro").write_bytes(
+        ac.write_container(schema, [{"key": "a", "val": 99}] + filler,
+                           codec="null"))
+    store = AvroRecordKeyValueStore(paths=[str(p)], key_field="key")
+    got = {r.key: r.val for r in store.dataframe(spark).collect()}
+    assert got["a"] == 1  # path order, not size order
