@@ -61,7 +61,17 @@ class JobOutput:
         if fmt in ("avro", "avrokv"):
             from kiji_mapreduce_spark.io.avro_io import write_avro
 
-            write_avro(df, self.path, mode=self.mode,
+            out = df
+            if fmt == "avrokv":
+                # AvroKeyValueOutputFormat shape: a (key, value) record
+                # per row, first column = key, second = value
+                if len(df.columns) != 2:
+                    raise ValueError(
+                        "avrokv output needs exactly 2 columns "
+                        f"(key, value); got {df.columns}")
+                out = df.select(F.col(df.columns[0]).alias("key"),
+                                F.col(df.columns[1]).alias("value"))
+            write_avro(out, self.path, mode=self.mode,
                        options=self.options, nsplits=n)
             return
         if fmt == "seq":

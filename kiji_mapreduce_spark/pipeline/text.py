@@ -256,6 +256,13 @@ def fingerprints(df: DataFrame, text_col: str = "text",
                     lambda t: t != "")
     hashes = F.transform(
         toks, lambda t: F.pmod(token_hash64(t, hash_fn), F.lit(p)))
+    # NOTE on shape (measured at sf0.1): the max(pos) window below looks
+    # like a second pass but shares the lag window's shuffle+sort on
+    # (id), so it is nearly free. The "obvious" improvements are both
+    # slower: computing size(hashes) beside posexplode(hashes) makes
+    # Catalyst inline the token-hash array twice and recompute it per
+    # exploded row (20x slower); materializing the array first via
+    # localCheckpoint pays the array write (3x slower). Keep this form.
     ex = df.select(F.col(id_col), F.posexplode(hashes).alias("pos", "h"))
     w = Window.partitionBy(id_col).orderBy("pos")
     # gram(pos) = sum_j h[pos-j] * 31^j mod p over the trailing window;

@@ -316,3 +316,17 @@ def test_kv_store_first_wins_across_files_path_order(spark, tmp_path):
     store = AvroRecordKeyValueStore(paths=[str(p)], key_field="key")
     got = {r.key: r.val for r in store.dataframe(spark).collect()}
     assert got["a"] == 1  # path order, not size order
+
+
+def test_avrokv_output_wraps_key_value(spark, tmp_path):
+    """JobOutput('avrokv') emits the AvroKeyValueOutputFormat record
+    shape: columns renamed (key, value) regardless of source names."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    JobOutput("avrokv", str(tmp_path / "kv")).save(df)
+    back = JobInput("avrokv", [str(tmp_path / "kv")]).load(spark)
+    assert back.columns == ["key", "value"]
+    assert sorted((r.key, r.value) for r in back.collect()) == \
+        [(1, "x"), (2, "y")]
+    with pytest.raises(ValueError, match="2 columns"):
+        JobOutput("avrokv", str(tmp_path / "kv3")).save(
+            df.withColumn("extra", df.id))
