@@ -83,15 +83,24 @@ def main() -> None:
         spread[name] = round(max(ts) - min(ts), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    # "queries" (the medians) is deliberately the LAST key: the driver's
+    # tail-capture truncates long lines from the LEFT, so whatever dict
+    # closes the line is what survives. r4 put "spread" last and the
+    # recorded BENCH_r04.json tail showed noise figures masquerading as
+    # timings (judge finding). A full copy also lands in BENCH_LOCAL.json.
+    payload = {
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "reps": reps,
         "spread": spread,
-    }))
+        "queries": timings,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -98,13 +98,20 @@ class Decoder:
         acc = 0
         buf = self.buf
         pos = self.pos
+        end = len(buf)
         while True:
+            if pos >= end:
+                raise EOFError("truncated Avro data (varint)")
             byte = buf[pos]
             pos += 1
             acc |= (byte & 0x7F) << shift
             if not byte & 0x80:
                 break
             shift += 7
+            if shift > 63:
+                # spec caps a long at 10 varint bytes; an unbounded run of
+                # continuation bytes is corruption, not a bigger number
+                raise ValueError("overlong Avro varint (corrupt data)")
         self.pos = pos
         return (acc >> 1) ^ -(acc & 1)  # zigzag
 
@@ -341,6 +348,90 @@ def read_container_schema(buf: bytes):
     return normalize_schema(meta["avro.schema"].decode("utf-8"))
 
 
+def read_file_header(f):
+    """Parse a container header from an open binary file ->
+    (schema, codec, sync, header_len). Reads only as much of the file as
+    the header occupies (schema JSON + codec metadata + sync marker),
+    growing the buffer on demand, so it is cheap even on huge files."""
+    f.seek(0)
+    buf = f.read(1 << 16)
+    while True:
+        try:
+            dec = Decoder(buf)
+            if dec.read(4) != MAGIC:
+                raise ValueError(
+                    "not an Avro object container file (bad magic)")
+            meta = dec.read_value({"type": "map", "values": "bytes"})
+            schema = normalize_schema(meta["avro.schema"].decode("utf-8"))
+            codec = meta.get("avro.codec", b"null").decode("utf-8")
+            sync = dec.read(16)
+            return schema, codec, sync, dec.pos
+        except EOFError:
+            more = f.read(len(buf))
+            if not more:
+                raise
+            buf += more
+
+
+def read_container_split(path, start, end, header=None):
+    """Decode the blocks of ``path`` owned by the byte range
+    ``[start, end)`` -> (writer_schema, values).
+
+    Split ownership follows the Hadoop/Avro convention
+    (``MapReduceJobInputs.java:112-143`` semantics, Avro
+    ``DataFileReader.sync``/``pastSync``): a split owns a block iff the
+    16-byte sync marker *preceding* the block starts inside
+    ``[start, end)``. The header's trailing sync counts, so the first
+    data block belongs to the split containing ``header_len - 16``.
+    Splits that tile ``[0, file_size)`` therefore decode every record
+    exactly once, and the last owned block may read past ``end`` —
+    exactly how the splittable jar path behaves. Like the Java reader,
+    a sync-pattern collision inside block data (probability 2^-128 per
+    position) would mis-align the scan; this is accepted by the format.
+    """
+    with open(path, "rb") as f:
+        if header is None:
+            header = read_file_header(f)
+        schema, codec, sync, header_len = header
+        if codec == "deflate":
+            inflate = lambda b: zlib.decompress(b, -15)  # noqa: E731
+        elif codec == "null":
+            inflate = lambda b: b  # noqa: E731
+        else:
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        size = os.fstat(f.fileno()).st_size
+        lo = max(start, header_len - 16)
+        if lo >= end or lo + 16 > size:
+            return schema, []
+        # scan [lo, end+15) for the first owned marker (it must START
+        # before `end` but may extend past it)
+        f.seek(lo)
+        win = f.read(end - lo + 15)
+        m = win.find(sync)
+        if m < 0 or lo + m >= end:
+            return schema, []
+        values = []
+        pos = lo + m + 16  # first owned block's count varint
+        while pos - 16 < end and pos < size:
+            f.seek(pos)
+            head = Decoder(f.read(20))  # two varints, <=10 bytes each
+            n_records = head.read_long()
+            block_len = head.read_long()
+            data_off = pos + head.pos
+            f.seek(data_off)
+            block = f.read(block_len)
+            if len(block) != block_len:
+                raise EOFError(f"truncated Avro block in {path}")
+            if f.read(16) != sync:
+                raise ValueError(
+                    f"sync marker mismatch in {path} (corrupt block)")
+            bdec = Decoder(inflate(block))
+            for _ in range(n_records):
+                values.append(bdec.read_value(schema))
+            pos = data_off + block_len + 16
+        return schema, values
+
+
 def write_container(schema, values, codec: str = "deflate",
                     block_records: int = 4096) -> bytes:
     """Encode values into container-file bytes. ``schema`` may be a JSON
@@ -426,6 +517,47 @@ def _check_resolvable(writer_t, reader_t, name: str) -> None:
         "promotions are supported)")
 
 
+def default_to_python(schema, default):
+    """Convert a field default from its JSON form (spec "default values")
+    to the representation ``read_value`` produces for the same schema, so
+    a row filled from a default has the same Python/Arrow type as a row
+    decoded from data: bytes/fixed defaults are ISO-8859-1 strings in
+    JSON, logical-typed defaults are raw ints."""
+    schema = normalize_schema(schema)
+    if isinstance(schema, list):
+        # spec: a union field's default is interpreted per the FIRST branch
+        return default_to_python(normalize_schema(schema[0]), default)
+    if default is None:
+        return None
+    if isinstance(schema, str):
+        return default.encode("iso-8859-1") if schema == "bytes" else default
+    lt = _logical(schema)
+    if lt in ("decimal", "duration"):
+        raise ValueError(f"Avro {lt!r} logical type is not supported")
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=default)
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        return _EPOCH_TS + _dt.timedelta(microseconds=default)
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
+        return _EPOCH_TS + _dt.timedelta(milliseconds=default)
+    t = schema["type"]
+    if t in ("bytes", "fixed"):
+        return default.encode("iso-8859-1")
+    if t == "record":
+        return {
+            f["name"]: default_to_python(
+                f["type"], default.get(f["name"], f.get("default")))
+            for f in schema["fields"]}
+    if t == "array":
+        return [default_to_python(schema["items"], d) for d in default]
+    if t == "map":
+        return {k: default_to_python(schema["values"], d)
+                for k, d in default.items()}
+    if t in _PRIMITIVES:  # {"type": "int"}-style wrapper, no logical type
+        return default_to_python(t, default)
+    return default  # enum: symbol string is already the decoded form
+
+
 def resolve_records(values, writer_schema, reader_schema):
     """Top-level record schema resolution (spec "Schema Resolution"):
     project writer records onto the reader schema — fields matched by
@@ -449,7 +581,11 @@ def resolve_records(values, writer_schema, reader_schema):
                               normalize_schema(f["type"]), name)
             plan.append((name, True, None))
         elif "default" in f:
-            plan.append((name, False, f["default"]))
+            # convert the JSON-form default to decoded-Python form NOW so
+            # default-filled rows carry the same types as decoded rows
+            # (a date default left as int would crash Arrow executor-side)
+            plan.append((name, False,
+                         default_to_python(f["type"], f["default"])))
         else:
             raise ValueError(
                 f"reader field {name!r} missing from writer schema and "

@@ -137,8 +137,12 @@ class AvroRecordKeyValueStore(KeyValueStore):
     """Avro container file of records indexed by a named key field
     (``.../kvstore/lib/AvroRecordKeyValueStore.java:84``). Duplicate keys:
     first record wins (`:307`) — enforced with a min-file-order window
-    (monotonically_increasing_id preserves within-file record order) so
-    join semantics match reader semantics."""
+    over an explicit ``_ord`` = (lexicographic path, within-file block
+    offset, within-block record index) sort key. A bare
+    monotonically_increasing_id is NOT enough when the source bin-packs
+    files size-descending or splits within files (the jar path did
+    exactly that — ADVICE r4), so every branch builds ``_ord`` from file
+    metadata."""
 
     paths: list[str] = field(default_factory=list)
     key_field: str = "key"
@@ -153,12 +157,16 @@ class AvroRecordKeyValueStore(KeyValueStore):
         if self.format == "avro":
             from kiji_mapreduce_spark.io.avro_io import read_avro
 
-            df = read_avro(spark, self.paths)
+            df = read_avro(spark, self.paths, ordered=True)
         else:
-            df = spark.read.format(self.format).load(self.paths)
+            df = (spark.read.format(self.format).load(self.paths)
+                  .select("*", F.struct(
+                      F.col("_metadata.file_path").alias("p"),
+                      F.col("_metadata.file_block_start").alias("b"),
+                      F.monotonically_increasing_id().alias("i"))
+                      .alias("_ord")))
         w = Window.partitionBy(self.key_field).orderBy("_ord")
-        return (df.withColumn("_ord", F.monotonically_increasing_id())
-                .withColumn("_rn", F.row_number().over(w))
+        return (df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_ord", "_rn"))
 
 

@@ -1071,9 +1071,11 @@ def q_streaming_windowed_counts(spark, sf_dir):
          .queryName(qname).trigger(availableNow=True).start())
     q.awaitTermination(300)
     out = spark.table(qname)
+    # window.start is TIMESTAMP already: _ensure_event_time (inside
+    # windowed_aggregate) owns the NTZ coercion, and the long/nanos case
+    # was converted above — no suite-level cast needed (ADVICE r3)
     return out.select(
-        F.unix_millis(F.col("window.start").cast("timestamp"))
-        .alias("window_start_ms"),
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type", "n_events", "sum_value")
 
 
@@ -1478,7 +1480,7 @@ def q_sessionize_events(spark, sf_dir):
              F.round(F.sum("value"), 2).alias("session_value"))
         .select(
             "user_id",
-            F.unix_millis(F.col("session_window.start").cast("timestamp"))
+            F.unix_millis(F.col("session_window.start"))
             .alias("session_start_ms"),
             "n_events", "session_value")
     )

@@ -1,0 +1,193 @@
+"""Jar-less Avro splittability + decoder hardening (round 5).
+
+Byte-range splits over sync-marker-delimited blocks give the fallback
+reader the same intra-file parallelism as the spark-avro jar
+(``MapReduceJobInputs.java:112-143`` semantics); the rest covers the
+ADVICE r4 decoder/resolution edges.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from kiji_mapreduce_spark.io import avro_codec as ac
+from kiji_mapreduce_spark.io.avro_io import read_avro, write_avro
+
+
+def _tile_splits(path, split_bytes):
+    size = os.path.getsize(path)
+    return [(s, min(s + split_bytes, size))
+            for s in range(0, size, split_bytes)]
+
+
+def test_split_tiling_decodes_every_record_exactly_once(tmp_path):
+    """For ANY tiling of the file into byte ranges, the union of
+    read_container_split over the tiles is the whole file, each record
+    exactly once — the invariant that makes jar-less intra-file splits
+    safe."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "int"}]}
+    vals = [{"i": i} for i in range(2000)]
+    p = str(tmp_path / "multi.avro")
+    with open(p, "wb") as f:
+        f.write(ac.write_container(schema, vals, block_records=64))
+    size = os.path.getsize(p)
+    whole = ac.read_container_split(p, 0, size)[1]
+    assert whole == vals
+    # awkward tilings: tiny, prime, around the header, larger than file
+    for sb in (1, 37, 997, size // 3, size + 10):
+        got = []
+        for s, e in _tile_splits(p, sb):
+            got.extend(ac.read_container_split(p, s, e)[1])
+        assert got == vals, f"split_bytes={sb}"
+
+
+def test_split_read_single_file_multiple_tasks(spark, tmp_path):
+    """A single multi-block container file decodes across >1 task in the
+    fallback reader when the split size is below the file size."""
+    df = spark.range(5000).selectExpr("id", "id * 2 AS v").coalesce(1)
+    write_avro(df, str(tmp_path / "big"), options={"compression": "null"})
+    prev = spark.conf.get("kiji.avro.fallback.split.bytes", None)
+    spark.conf.set("kiji.avro.fallback.split.bytes", "4096")
+    try:
+        back = read_avro(spark, [str(tmp_path / "big")])
+        assert back.rdd.getNumPartitions() > 1
+        rows = back.collect()
+        assert len(rows) == 5000
+        assert sorted(r.id for r in rows) == list(range(5000))
+    finally:
+        if prev is None:
+            spark.conf.unset("kiji.avro.fallback.split.bytes")
+        else:
+            spark.conf.set("kiji.avro.fallback.split.bytes", prev)
+
+
+def test_split_boundary_interop_java_written_file(spark, tmp_path):
+    """Byte-range splits decode a file written by the REAL Java Avro
+    library (many small deflate blocks) with no record lost or
+    duplicated at any split boundary."""
+    jvm = spark._jvm
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "int"}]}
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter())
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p = str(tmp_path / "java_big.avro")
+    w.create(sch, jvm.java.io.File(p))
+    w.setSyncInterval(512)  # force many small blocks
+    for i in range(3000):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("k", f"key{i:05d}")
+        rec.put("v", i)
+        w.append(rec)
+    w.close()
+    size = os.path.getsize(p)
+    for sb in (513, size // 7):
+        got = []
+        for s, e in _tile_splits(p, sb):
+            got.extend(ac.read_container_split(p, s, e)[1])
+        assert [r["v"] for r in got] == list(range(3000)), f"sb={sb}"
+
+
+def test_read_avro_ordered_gives_path_record_order(spark, tmp_path):
+    """ordered=True attaches an _ord sort key that reconstructs
+    (lexicographic path, within-file record) order even when files are
+    split — the contract the KV stores' first-record-wins window needs."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "int"}]}
+    d = tmp_path / "ordered"
+    d.mkdir()
+    (d / "part-00000.avro").write_bytes(ac.write_container(
+        schema, [{"i": i} for i in range(100)], block_records=16,
+        codec="null"))
+    (d / "part-00001.avro").write_bytes(ac.write_container(
+        schema, [{"i": 100 + i} for i in range(50)], codec="null"))
+    prev = spark.conf.get("kiji.avro.fallback.split.bytes", None)
+    spark.conf.set("kiji.avro.fallback.split.bytes", "256")
+    try:
+        back = read_avro(spark, [str(d)], ordered=True)
+        assert "_ord" in back.columns
+        rows = back.orderBy("_ord").collect()
+        assert [r.i for r in rows] == list(range(150))
+    finally:
+        if prev is None:
+            spark.conf.unset("kiji.avro.fallback.split.bytes")
+        else:
+            spark.conf.set("kiji.avro.fallback.split.bytes", prev)
+
+
+def test_truncated_varint_raises_eoferror():
+    d = ac.Decoder(b"\xff")  # continuation bit set, then nothing
+    with pytest.raises(EOFError, match="varint"):
+        d.read_long()
+
+
+def test_overlong_varint_raises_valueerror():
+    d = ac.Decoder(b"\xff" * 11)  # spec caps a long at 10 bytes
+    with pytest.raises(ValueError, match="overlong"):
+        d.read_long()
+
+
+def test_reader_default_conversion_logical_and_bytes(spark, tmp_path):
+    """Reader-schema defaults convert from JSON form to decoded-Python
+    form: date defaults become datetime.date, bytes defaults become
+    bytes (ISO-8859-1 chars are byte values) — so default-filled rows
+    survive the Arrow conversion (ADVICE r4)."""
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"},
+         "default": 19782},  # 2024-02-29
+        {"name": "b", "type": "bytes", "default": "\u00ff\u0001"}]}
+    out = ac.resolve_records([{"k": "a"}], writer, reader)
+    assert out[0]["d"] == datetime.date(2024, 2, 29)
+    assert out[0]["b"] == b"\xff\x01"  # ISO-8859-1 chars -> bytes
+    # end-to-end through the fallback reader
+    write_avro(spark.createDataFrame([("a",)], "k string"),
+               str(tmp_path / "dflt"))
+    back = read_avro(spark, [str(tmp_path / "dflt")],
+                     {"avroSchema": json.dumps(reader)})
+    row = back.first()
+    assert row.d == datetime.date(2024, 2, 29)
+    assert bytes(row.b) == b"\xff\x01"
+
+
+def test_writer_schema_mismatch_names_offending_file(spark, tmp_path):
+    """A later file whose writer schema cannot resolve onto the first
+    file's schema fails with an error naming the file, instead of
+    yielding silent Nones (ADVICE r4)."""
+    d = tmp_path / "mismatch"
+    d.mkdir()
+    a = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "long"}]}
+    b = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}]}  # v missing, no default
+    (d / "part-00000.avro").write_bytes(
+        ac.write_container(a, [{"k": "x", "v": 1}]))
+    (d / "part-00001.avro").write_bytes(
+        ac.write_container(b, [{"k": "y"}]))
+    with pytest.raises(Exception, match="part-00001"):
+        read_avro(spark, [str(d)]).collect()
+
+
+def test_writer_schema_promotion_across_files(spark, tmp_path):
+    """A later file with a promotable writer schema (int -> long)
+    resolves onto the first file's schema instead of failing."""
+    d = tmp_path / "promote"
+    d.mkdir()
+    a = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "long"}]}
+    b = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "int"}]}
+    (d / "part-00000.avro").write_bytes(
+        ac.write_container(a, [{"k": "x", "v": 2**40}]))
+    (d / "part-00001.avro").write_bytes(
+        ac.write_container(b, [{"k": "y", "v": 7}]))
+    got = {r.k: r.v for r in read_avro(spark, [str(d)]).collect()}
+    assert got == {"x": 2**40, "y": 7}
