@@ -76,12 +76,13 @@ def exact_groups(df: DataFrame, text_col: str = "text",
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per identical text."""
-    w_digest = F.md5(F.col(text_col))
+    """Keep one row (min id) per identical text. The survivor id set is
+    enough to filter on — semi-joining on the id alone avoids
+    recomputing the digest over the full table (keep_id is unique, so
+    the digest adds nothing to the join key)."""
     keep = exact_groups(df, text_col, id_col).select(
-        "digest", F.col("keep_id").alias(id_col))
-    return df.withColumn("digest", w_digest).join(
-        keep, on=["digest", id_col], how="left_semi").drop("digest")
+        F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 def duplicate_source_matrix(df: DataFrame, text_col: str = "text",
@@ -164,7 +165,10 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingle_hashes(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
-                   hash_fn: str = "xx", with_pos: bool = False) -> DataFrame:
+                   hash_fn: str = "xx", with_pos: bool = False,
+                   carry_cols: list | None = None,
+                   outer: bool = False,
+                   carry_first_only: bool = False) -> DataFrame:
     """(id, _h) one row per n-gram shingle hash — the codegen'd shape.
 
     posexplode tokens, build each gram from ``lead()`` window terms
@@ -172,28 +176,57 @@ def shingle_hashes(df: DataFrame, text_col: str = "text",
     are codegen'd — measured 4x faster at sf0.1). MinHash is
     duplicate-insensitive (min over a multiset == min over its set), so
     no distinct pass is needed. Documents with zero tokens produce no
-    rows (they cannot be near-duplicates of anything).
+    rows (they cannot be near-duplicates of anything) unless
+    ``outer=True``, which keeps them as one row with a null ``_h`` so a
+    downstream per-doc aggregate still sees every document.
 
     ``with_pos=True`` additionally keeps the gram's 0-based start token
     position as ``pos`` and the doc's max token position as ``_mx``
     (span-level consumers like ``decontaminate.contaminated_spans``
     need both; they are computed here anyway).
+
+    ``carry_cols`` is a list of (name, Column) computed per document in
+    the SAME projection as the tokenization and carried on every shingle
+    row — the fusion hook that lets e.g. ``corpus_index`` get the
+    exact-dedup digest without a second pass over the text.
+    ``carry_first_only=True`` nulls the carried values on every row but
+    the doc's first (pos 0 / the outer null row): a per-doc scalar only
+    needs to survive on ONE row for a ``first(ignorenulls)`` aggregate,
+    and nulling the rest keeps it out of the window-shuffle payload
+    (measured 1.1s -> 0.8s on the sf0.1 corpus index).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "_t"))
+    carry = [c.alias(nm) for nm, c in (carry_cols or [])]
+    carry_names = [nm for nm, _ in (carry_cols or [])]
+    explode = F.posexplode_outer(toks) if outer else F.posexplode(toks)
+    ex = df.select(F.col(id_col), *carry, explode.alias("pos", "_t"))
+    if carry_first_only and carry_names:
+        first_row = F.coalesce(F.col("pos"), F.lit(0)) == 0
+        ex = ex.select(
+            id_col, "pos", "_t",
+            *[F.when(first_row, F.col(nm)).alias(nm)
+              for nm in carry_names])
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
     gram = F.concat_ws(" ", *parts)  # null leads drop out -> edge grams
     mx = F.max("pos").over(Window.partitionBy(id_col))
-    out = (ex.select(id_col, "pos", gram.alias("_g"), mx.alias("_mx"))
-           .filter((F.col("pos") <= F.col("_mx") - (n - 1))
-                   | ((F.col("_mx") < n - 1) & (F.col("pos") == 0))))
+    keep = ((F.col("pos") <= F.col("_mx") - (n - 1))
+            | ((F.col("_mx") < n - 1) & (F.col("pos") == 0)))
+    if outer:
+        keep = keep | F.col("pos").isNull()
+    out = (ex.select(id_col, *carry_names, "pos", gram.alias("_g"),
+                     mx.alias("_mx"))
+           .filter(keep))
     # full 64-bit hash: set-cardinality users (Jaccard) need collision
     # odds ~2^-63 (~2^-59 for md5 mode); MinHash permutations pmod down
     # to 31 bits themselves
     cols = ([F.col(id_col), "pos", "_mx"] if with_pos else [F.col(id_col)])
-    return out.select(*cols, token_hash64(F.col("_g"), hash_fn).alias("_h"))
+    cols += [F.col(nm) for nm in carry_names]
+    h = token_hash64(F.col("_g"), hash_fn)
+    if outer:
+        h = F.when(F.col("pos").isNotNull(), h)  # null _h for empty docs
+    return out.select(*cols, h.alias("_h"))
 
 
 def minhash_signatures(
@@ -327,6 +360,31 @@ def minhash_index(
         .alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes))
     ] + [F.collect_set("_h").alias("_sh")]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def corpus_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, n: int = 3, hash_fn: str = "xx",
+) -> DataFrame:
+    """``minhash_index`` with the exact-dedup digest fused into the SAME
+    text scan: (id, digest, m0..m{k-1}, _sh). One pass over the corpus
+    text yields everything full-corpus dedup needs — the r4 design read
+    the documents twice (digest pass + shingle pass). Zero-token docs
+    keep their digest with null mins and an empty ``_sh`` (min and
+    collect_set skip nulls), so exact dedup still sees every document
+    while the near-dup stages filter them out."""
+    hashed = shingle_hashes(
+        df, text_col, id_col, n, hash_fn,
+        carry_cols=[("digest", F.md5(F.col(text_col)))], outer=True,
+        carry_first_only=True)
+    hm = F.pmod(F.col("_h"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(hm * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ] + [F.collect_set("_h").alias("_sh"),
+         F.first("digest", ignorenulls=True).alias("digest")]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -609,15 +667,25 @@ def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
     Returns (doc_id, keep_id): every id appearing in a pair mapped to
     its group's minimum id.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst"))))
+    # symmetrize via explode, NOT union: a union of two selects over
+    # ``pairs`` duplicates the (possibly expensive) pairs subtree and the
+    # checkpoint job would execute it twice
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")
     # materialize edges once; each round cuts lineage with a
     # localCheckpoint so iteration N never re-executes rounds 0..N-1
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
-        .withColumn("keep_id", F.col("doc_id")) \
-        .localCheckpoint(eager=True)
+    # seed with the 1-hop neighbor min instead of the identity: under
+    # identity labels round 1's neighbor join would just compute
+    # min(dst), so fold it into the init aggregate — for the dominant
+    # pair/star components the loop then converges on its FIRST
+    # confirming round. Left lazy: one extra agg over the checkpointed
+    # edges in round 1 is cheaper than a dedicated materialization job.
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("_m"))
+              .select(F.col("src").alias("doc_id"),
+                      F.least("src", "_m").alias("keep_id")))
     changed = None
     for _ in range(max_iters):
         neighbor_min = (edges.join(
@@ -627,23 +695,25 @@ def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
         stepped = (labels.join(
             neighbor_min.withColumnRenamed("src", "doc_id"),
             on="doc_id", how="left")
-            .select("doc_id", F.least(
+            .select("doc_id", F.col("keep_id").alias("_old"), F.least(
                 F.col("keep_id"),
                 F.coalesce(F.col("_min_nb"), F.col("keep_id"))
             ).alias("keep_id")))
-        # pointer jumping: keep_id <- min(keep_id, label(keep_id))
+        # pointer jumping: keep_id <- min(keep_id, label(keep_id));
+        # the changed flag rides the same plan so convergence costs a
+        # scan of the checkpointed partitions, not another join
         parent = stepped.select(F.col("doc_id").alias("keep_id"),
                                 F.col("keep_id").alias("_pk"))
         new_labels = (stepped.join(parent, on="keep_id", how="left")
-                      .select("doc_id", F.least(
+                      .select("doc_id", "_old", F.least(
                           F.col("keep_id"),
                           F.coalesce(F.col("_pk"), F.col("keep_id"))
                       ).alias("keep_id"))
+                      .withColumn("_chg", F.col("keep_id") != F.col("_old"))
+                      .drop("_old")
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n").join(
-            labels.alias("o"), on="doc_id")
-            .filter(F.col("n.keep_id") != F.col("o.keep_id")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed:
@@ -657,17 +727,48 @@ def dedup_corpus(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
     threshold: float = 0.8, hash_fn: str = "xx",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: drop exact duplicates, then drop near
     duplicates (MinHash LSH -> Jaccard verify -> connected components,
-    keeping each group's minimum id). Returns the surviving rows."""
-    exact = drop_exact_duplicates(df, text_col, id_col)
-    pairs = minhash_dedup(exact, text_col, id_col,
-                          num_hashes, bands, shingle_n, threshold, hash_fn)
-    groups = connected_keep_ids(pairs)
-    losers = groups.filter(F.col("doc_id") != F.col("keep_id")) \
-        .select(F.col("doc_id").alias(id_col))
-    return exact.join(losers, on=id_col, how="left_anti")
+    keeping each group's minimum id). Returns the surviving rows.
+
+    Scale shape: ONE text scan builds the fused ``corpus_index``
+    (digest + signature + shingle set); exact survivors are picked with
+    a per-digest min window over that index — never re-reading text —
+    and the survivor index is the single eager localCheckpoint, feeding
+    the banding branch and both verify joins. The only other text scan
+    is the final survivor semi-join that materializes the output rows.
+    (r4 ran the digest pass and the shingle pass as separate scans and
+    re-derived the exact-survivor frame three times.)
+    """
+    idx = corpus_index(df, text_col, id_col, num_hashes, shingle_n,
+                       hash_fn)
+    w_digest = Window.partitionBy("digest")
+    surv = (idx.withColumn("_min_id", F.min(id_col).over(w_digest))
+            .filter(F.col("_min_id") == F.col(id_col)).drop("_min_id")
+            .localCheckpoint(eager=True))
+    sig = surv.filter(F.size("_sh") > 0)  # empty docs can't be near-dups
+    entries = _prune_hot_buckets(
+        _band_entries(sig, id_col, num_hashes, bands, hash_fn),
+        ["band", "bucket"], max_bucket)
+    a_e, b_e = entries.alias("a"), entries.alias("b")
+    # no .distinct() here: the pairs feed connected components, which is
+    # insensitive to duplicate edges, so re-verifying a pair caught by
+    # several bands (cheap set intersections) beats a dedup shuffle
+    cands = (
+        a_e.join(b_e, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+    )
+    pairs = _verify_pairs(cands, sig.select(id_col, "_sh"), id_col,
+                          threshold)
+    losers = (connected_keep_ids(pairs)
+              .filter(F.col("doc_id") != F.col("keep_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return (df.join(surv.select(id_col), on=id_col, how="left_semi")
+            .join(losers, on=id_col, how="left_anti"))
 
 
 def simhash_fingerprints(
