@@ -2364,22 +2364,50 @@ def q_knn_pq_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-# entries of this dict. Queries that have never had a driver-oracle row
-# (or failed their last one) are listed first so every round verifies
-# them; long-green queries (green in CORRECTNESS_r01/r02 and smoked by
-# pytest) rotate to the tail. New queries must be added INSIDE the
-# first-50 window until they earn a green row.
+# entries of this dict. Ordering policy (r4 verdict ask #1): queries whose
+# code changed this round go FIRST, then the queries whose last oracle row
+# is oldest (r5 rotated the 26 that had not been driver-verified since
+# r2/r3 back through the window), then the freshest-verified fill the rest;
+# the tail holds only queries green in the IMMEDIATELY previous round, so
+# every registry query is oracle-fresh within two rounds. New queries must
+# be added INSIDE the first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- failed last round (r3: hash drift, fixed) / no_oracle / new: first --
-    "mixture_token_budget": q_mixture_token_budget,
-    "pack_documents": q_pack_documents,
-    "multimodal_features": q_multimodal_features,
-    "kmeans_clusters": q_kmeans_clusters,
-    "kvstore_avro_file_join": q_kvstore_avro_file_join,
-    "sample_cluster_balanced": q_sample_cluster_balanced,
-    "salted_topk_events": q_salted_topk_events,
-    # -- verified green in r3 but most recently churned --
+    # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
+    #    streaming cast removal): first --
+    "dedup_corpus_survivors": q_dedup_corpus_survivors,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_source_matrix": q_dedup_source_matrix,
+    "pipeline_curate": q_pipeline_curate,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
     "streaming_windowed_counts": q_streaming_windowed_counts,
+    "sessionize_events": q_sessionize_events,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    # -- last oracle row r2/r3: rotate through this round --
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "text_fingerprint": q_text_fingerprint,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
+    "array_agg_priorities": q_array_agg_priorities,
+    "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
+    "embedding_near_dups": q_embedding_near_dups,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    # -- verified r4; fill the remaining window slots --
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "knn_lsh_topk": q_knn_lsh_topk,
@@ -2387,18 +2415,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_topk": q_knn_pq_topk,
     "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_spans": q_decontaminate_spans,
-    "pipeline_curate": q_pipeline_curate,
     "text_langid": q_text_langid,
     "text_repetition": q_text_repetition,
     "text_pii": q_text_pii,
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
-    "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "events_anomaly_zscore": q_events_anomaly_zscore,
-    # -- long-green rotation (most recently verified last) --
+    "mixture_token_budget": q_mixture_token_budget,
+    "pack_documents": q_pack_documents,
+    "multimodal_features": q_multimodal_features,
+    "kmeans_clusters": q_kmeans_clusters,
+    # ---- window boundary (driver verifies the 50 entries above) ----
+    # -- tail: all green in r4, unchanged since; rotate next round --
+    "salted_topk_events": q_salted_topk_events,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
     "gather_pricing_summary": q_gather_pricing_summary,
     "filter_pushdown_revenue": q_filter_pushdown_revenue,
     "kvstore_lookup_join": q_kvstore_lookup_join,
@@ -2423,50 +2454,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_key_hash": q_entity_key_hash,
     "text_byte_stats": q_text_byte_stats,
     "window_running_revenue": q_window_running_revenue,
-    "asof_join_purchase_click": q_asof_join_purchase_click,
-    "range_join_price_bands": q_range_join_price_bands,
-    "dedup_exact": q_dedup_exact,
-    # moved behind the streaming trio: measured +0.4s median when run
-    # immediately after the memory-sink streaming queries (GC pressure),
-    # 1.1s isolated — registry order is ours since it is long-green
-    "text_fingerprint": q_text_fingerprint,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "sessionize_events": q_sessionize_events,
-    "quantiles_order_price": q_quantiles_order_price,
-    "sql_surface_big_spenders": q_sql_surface_big_spenders,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wordcount_top50": q_wordcount_top50,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pivot_wide_event_values": q_pivot_wide_event_values,
-    "array_agg_priorities": q_array_agg_priorities,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_source_matrix": q_dedup_source_matrix,
-    "events_json_props": q_events_json_props,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "data_quality_audit": q_data_quality_audit,
-    "dedup_corpus_survivors": q_dedup_corpus_survivors,
-    "embedding_near_dups": q_embedding_near_dups,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round: failed/changed last round, no_oracle holdouts, and any
-#: query added this round. Mechanically enforced by
+#: this round: anything whose code changed in r5 plus the r2/r3-stale
+#: rotation block. Mechanically enforced by
 #: tests/test_suite_smoke.py::test_first_window_membership — hand-ordered
 #: dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    "mixture_token_budget",
-    "pack_documents",
-    "multimodal_features",
-    "kmeans_clusters",
+    # changed in r5
+    "dedup_corpus_survivors",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_incremental_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_source_matrix",
+    "pipeline_curate",
+    "decontaminate_overlap",
+    "decontaminate_spans",
+    "streaming_windowed_counts",
+    "sessionize_events",
     "kvstore_avro_file_join",
-    "sample_cluster_balanced",
-    "salted_topk_events",
+    # last oracle row r2/r3
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "text_fingerprint",
+    "text_token_count",
+    "text_quality",
+    "knn_cosine_topk",
+    "embedding_label_cosine_stats",
+    "quantiles_order_price",
+    "sql_surface_big_spenders",
+    "grouping_sets_orders",
+    "wordcount_top50",
+    "tfidf_top_terms",
+    "pivot_wide_event_values",
+    "array_agg_priorities",
+    "events_json_props",
+    "timeseries_gapfill",
+    "snapshot_diff_orders",
+    "data_quality_audit",
+    "embedding_near_dups",
+    "dedup_simhash_pairs",
 ]
 
 ORACLES: dict[str, str] = {

@@ -378,3 +378,68 @@ def test_table_change_stream(spark, tmp_path):
     q2.awaitTermination(60)
     assert {(r.entity_id.key, r.ts, r.value_str) for r in out2} == {
         ("a", 9, "99")}
+
+
+def test_stream_interval_join_direct_with_late_rows(spark, tmp_path):
+    """Drive stream_interval_join directly through the memory sink over
+    two micro-batch rounds sharing a checkpoint: round 1 emits an
+    in-window pair and advances the watermark; round 2 adds one on-time
+    pair AND one click older than the watermark — the late click must be
+    DROPPED, so its (otherwise in-interval) pair never appears."""
+    from kiji_mapreduce_spark.streaming import stream_interval_join
+
+    left_dir = tmp_path / "ij_left"
+    right_dir = tmp_path / "ij_right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+
+    def _emit(d, name, rows):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # round 1: purchase 10:00 pairs with click 9:58 (within 30 min);
+    # max right event time 9:58 - 5 min watermark => watermark ~9:53
+    _emit(left_dir, "b1.json",
+          [{"id": "p1", "user": 1, "ts": "2024-01-01T10:00:00Z"}])
+    _emit(right_dir, "b1.json",
+          [{"id": "c1", "user": 1, "ts": "2024-01-01T09:58:00Z"}])
+
+    def _run():
+        left = (spark.readStream.schema("id string, user long, ts timestamp")
+                .json(str(left_dir))
+                .select(F.col("id").alias("p_id"), "user",
+                        F.col("ts").alias("p_ts")))
+        right = (spark.readStream.schema("id string, user long, ts timestamp")
+                 .json(str(right_dir))
+                 .select(F.col("id").alias("c_id"), "user",
+                         F.col("ts").alias("c_ts")))
+        joined = stream_interval_join(
+            left, right, on="user", left_ts="p_ts", right_ts="c_ts",
+            lower="30 minutes", upper="0 seconds", watermark="5 minutes")
+        out = joined.select("p_id", F.col("_r.c_id").alias("c_id"))
+        rows = []
+        # foreachBatch, not the memory sink: only foreachBatch supports
+        # RESUMING from a checkpoint, which is what carries the watermark
+        # between the two rounds
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda df, _: rows.extend(df.collect()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+             .start())
+        q.awaitTermination(120)
+        return {(r.p_id, r.c_id) for r in rows}
+
+    assert _run() == {("p1", "c1")}
+
+    # round 2: c_late (9:40) would pair with p1 inside the 30-minute
+    # interval, but it is older than the persisted watermark -> dropped;
+    # the on-time pair (p2, c2) must still come through
+    _emit(left_dir, "b2.json",
+          [{"id": "p2", "user": 2, "ts": "2024-01-01T10:10:00Z"}])
+    _emit(right_dir, "b2.json",
+          [{"id": "c_late", "user": 1, "ts": "2024-01-01T09:40:00Z"},
+           {"id": "c2", "user": 2, "ts": "2024-01-01T10:05:00Z"}])
+    got = _run()
+    assert ("p1", "c_late") not in got
+    assert got == {("p2", "c2")}  # round 2 emits only the on-time pair

@@ -306,3 +306,68 @@ def test_minhash_dedup_boilerplate_bucket_guard(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1000, 1001) in got
     assert all(a >= 1000 and b >= 1000 for a, b in got)  # boiler pruned
+
+
+def test_salted_topk_under_real_skew(spark):
+    """One key carries ~50% of all rows. Checks, per the r4 review ask:
+    (a) results equal the plain-window top-k model; (b) identical output
+    for n_salts in {1, 4, 16} (sensitivity: salting never changes the
+    answer, only the distribution); (c) spark_partition_id accounting on
+    the phase-1 shuffle layout — the hot key's rows spread across many
+    tasks with a per-task bound near hot/n_salts, where a plain window
+    would put all of them in ONE task."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    n_hot, n_salts, k = 10_000, 16, 5
+    rows = [(i, 0, rng.randrange(1_000_000)) for i in range(n_hot)]
+    rows += [(n_hot + i, 1 + i % 50, rng.randrange(1_000_000))
+             for i in range(n_hot)]
+    df = spark.createDataFrame(rows, "row_id long, k long, v long")
+
+    # python model: per key top-k by (v desc, row_id asc)
+    per_key = {}
+    for i, kk, v in rows:
+        per_key.setdefault(kk, []).append((-v, i))
+    expect = {}
+    for kk, items in per_key.items():
+        items.sort()
+        for rank, (negv, i) in enumerate(items[:k], start=1):
+            expect[(kk, rank)] = (-negv, i)
+
+    outs = {}
+    for ns in (1, 4, 16):
+        outs[ns] = {(r.k, r.rank): (r.v, r.row_id)
+                    for r in salted_topk(df, "k", "v", k=k, n_salts=ns,
+                                         tiebreak_cols=["row_id"])
+                    .collect()}
+    assert outs[16] == expect
+    assert outs[1] == outs[4] == outs[16]
+
+    # phase-1 layout accounting: reproduce salted_topk's salt expression
+    # and hash-repartition by (k, _salt) exactly as its window shuffle
+    # does, then count the hot key's rows per task
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                  F.lit(n_salts))
+    placed = (df.withColumn("_salt", salt)
+              .repartition(32, "k", "_salt")  # a cluster-like task count
+              .withColumn("_pid", F.spark_partition_id()))
+    hot_groups = (placed.filter(F.col("k") == 0)
+                  .groupBy("_pid", "_salt")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    # every salt group is populated and no window-partition group holds
+    # more than ~2x the ideal hot/n_salts share
+    per_group = [r.n for r in hot_groups]
+    assert len(per_group) == n_salts
+    assert max(per_group) < 2 * n_hot / n_salts
+    # task accounting: the hot key spans many tasks, and no single task
+    # sees more than a few salt groups' worth — a plain window would put
+    # all n_hot rows in ONE task
+    per_task: dict = {}
+    for r in hot_groups:
+        per_task[r._pid] = per_task.get(r._pid, 0) + r.n
+    assert len(per_task) >= n_salts // 2
+    assert max(per_task.values()) < 4 * n_hot / n_salts
+    assert sum(per_task.values()) == n_hot
