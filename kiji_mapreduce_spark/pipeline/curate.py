@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kiji_mapreduce_spark.pipeline import decontaminate, dedup
 from kiji_mapreduce_spark.pipeline import sample as sample_ops
@@ -66,7 +66,18 @@ def curate_corpus(
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",
                      "digit_ratio", "upper_ratio", "stopword_ratio"))
-    kept = dedup.drop_exact_duplicates(quality, text_col, id_col)
+    # exact dedup via a per-digest min window rather than
+    # drop_exact_duplicates: the agg+semi-join form evaluates the
+    # quality-features scan twice (once per join side), and here —
+    # unlike bare exact dedup — that scan is a stack of regex passes.
+    # One features eval + one shuffle of the (already quality-filtered)
+    # survivor rows measured 1.45s -> 0.85s at sf0.1; the rows shuffled
+    # are the same ones the checkpoint below materializes anyway.
+    w_digest = Window.partitionBy("_digest")
+    kept = (quality.withColumn("_digest", F.md5(F.col(text_col)))
+            .withColumn("_min_id", F.min(id_col).over(w_digest))
+            .filter(F.col("_min_id") == F.col(id_col))
+            .drop("_digest", "_min_id"))
     if materialize:
         kept = kept.localCheckpoint(eager=True)
     if cfg.near_threshold is not None:
