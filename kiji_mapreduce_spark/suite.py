@@ -852,6 +852,93 @@ FROM customer
 """
 
 
+def _resolution_blocker(c):
+    """Two fine-grained multi-blocking keys anchored on the LAST token
+    (the unique '#<key>' suffix of the synthesized entity names, which
+    the corruption never touches): (a) last token + length bucket,
+    (b) 2-char prefix + last token. Most true pairs are reached via BOTH
+    keys, so the dedup-before-levenshtein step is genuinely exercised."""
+    norm = F.lower(F.trim(c))
+    toks = F.split(norm, r"\s+")
+    last = F.element_at(toks, -1)
+    return F.array(
+        F.concat_ws("#", F.lit("a"), last,
+                    (F.length(norm) / 4).cast("long").cast("string")),
+        F.concat_ws("#", F.lit("b"), F.substring(norm, 1, 2), last))
+
+
+def q_entity_resolution(spark, sf_dir):
+    """Blocked fuzzy entity resolution (``entity.fuzzy_match_blocked``):
+    match deterministically-corrupted record names back to canonical
+    entities by levenshtein distance, candidates confined to blocking-key
+    equi-joins (never all-pairs).
+
+    The raw part names are degenerate for this (64 distinct strings), so
+    canonical names are synthesized unique — ``p_name || ' #' || key`` —
+    and the dirty side deletes one character at a key-dependent position.
+    Every step (corruption, blocking keys, distance, tie-break) is
+    reproducible in DuckDB (``levenshtein()``), which makes this the
+    oracle check for the entity-resolution operator."""
+    from kiji_mapreduce_spark.pipeline.entity import fuzzy_match_blocked
+
+    part = _t(spark, sf_dir, "part")
+    nm = F.concat(F.col("p_name"), F.lit(" #"),
+                  F.col("p_partkey").cast("string"))
+    canon = part.select(F.col("p_partkey").alias("cid"), nm.alias("name"))
+    dirty = (part.select(F.col("p_partkey").alias("rid"), nm.alias("_nm"),
+                         (F.col("p_partkey") % 4 + 2).cast("int")
+                         .alias("_dpos"))
+             .select("rid", F.expr(
+                 "concat(substring(_nm, 1, _dpos - 1), "
+                 "substring(_nm, _dpos + 1, length(_nm)))").alias("name")))
+    out = fuzzy_match_blocked(
+        dirty, canon, record_id="rid", canonical_id="cid",
+        record_name="name", canonical_name="name", max_dist=2,
+        blocker=_resolution_blocker)
+    return out.select("record_id", "canonical_id",
+                      F.col("dist").cast("long").alias("dist"))
+
+
+SQL_ENTITY_RESOLUTION = r"""
+WITH canon AS (
+  SELECT p_partkey AS cid, p_name || ' #' || p_partkey::VARCHAR AS name
+  FROM part),
+dirty AS (
+  SELECT p_partkey AS rid,
+         substr(nm, 1, dpos - 1) || substr(nm, dpos + 1) AS name
+  FROM (SELECT p_partkey, p_name || ' #' || p_partkey::VARCHAR AS nm,
+               CAST(p_partkey % 4 + 2 AS INT) AS dpos FROM part)),
+rk AS (
+  SELECT rid, name, unnest([
+      'a#' || l[-1] || '#'
+          || CAST(floor(length(n) / 4.0) AS BIGINT)::VARCHAR,
+      'b#' || substr(n, 1, 2) || '#' || l[-1]]) AS blk
+  FROM (SELECT rid, name, lower(trim(name)) AS n,
+               str_split_regex(lower(trim(name)), '\s+') AS l
+        FROM dirty)),
+ck AS (
+  SELECT cid, name, unnest([
+      'a#' || l[-1] || '#'
+          || CAST(floor(length(n) / 4.0) AS BIGINT)::VARCHAR,
+      'b#' || substr(n, 1, 2) || '#' || l[-1]]) AS blk
+  FROM (SELECT cid, name, lower(trim(name)) AS n,
+               str_split_regex(lower(trim(name)), '\s+') AS l
+        FROM canon)),
+cand AS (
+  SELECT DISTINCT r.rid, r.name AS rname, c.cid, c.name AS cname
+  FROM rk r JOIN ck c USING (blk)),
+scored AS (
+  SELECT rid AS record_id, cid AS canonical_id,
+         levenshtein(lower(trim(rname)), lower(trim(cname))) AS dist
+  FROM cand)
+SELECT record_id, canonical_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY record_id
+                               ORDER BY dist, canonical_id) AS _rk
+  FROM scored WHERE dist <= 2)
+WHERE _rk = 1
+"""
+
+
 def q_text_byte_stats(spark, sf_dir):
     """Binary-column handling: byte vs char lengths (multibyte docs)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2372,6 +2459,8 @@ def q_knn_pq_topk(spark, sf_dir):
 # every registry query is oracle-fresh within two rounds. New queries must
 # be added INSIDE the first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- NEW in r5: oracle for the one component that was pytest-only --
+    "entity_resolution_blocked": q_entity_resolution,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2462,6 +2551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: tests/test_suite_smoke.py::test_first_window_membership — hand-ordered
 #: dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
+    # new in r5
+    "entity_resolution_blocked",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2499,6 +2590,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 ]
 
 ORACLES: dict[str, str] = {
+    "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,
