@@ -649,3 +649,32 @@ def test_cluster_balanced_sample_downsamples_big_cluster(spark):
     again = sample.cluster_balanced_sample(df, assign, target_per_cluster=10)
     assert sorted(r.vec_id for r in out.collect()) == \
         sorted(r.vec_id for r in again.collect())
+
+
+def test_corpus_index_single_text_scan(spark, docs):
+    """The fused index + survivor window must keep ONE scan of the
+    source relation in the optimized plan — the whole point of fusing
+    the exact-dedup digest into the shingle pass (a second relation
+    appearing here would mean the fusion regressed to two text reads)."""
+    from pyspark.sql import Window
+
+    idx = dedup.corpus_index(docs, hash_fn="md5")
+    w = Window.partitionBy("digest")
+    surv = (idx.withColumn("_min_id", F.min("doc_id").over(w))
+            .filter(F.col("_min_id") == F.col("doc_id")).drop("_min_id"))
+    optimized = surv._jdf.queryExecution().optimizedPlan().toString()
+    n_relations = optimized.count("Relation") + optimized.count(
+        "LogicalRDD")
+    assert n_relations == 1, optimized
+
+
+def test_entity_resolution_plan_no_cross_product(spark, sf_dir):
+    """Blocked entity resolution must stay in hash-join land: candidates
+    come from the blocking-key equi-join, never a BroadcastNestedLoop or
+    cartesian product."""
+    from kiji_mapreduce_spark import suite
+
+    out = suite.QUERIES["entity_resolution_blocked"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
