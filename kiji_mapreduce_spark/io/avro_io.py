@@ -213,8 +213,13 @@ def _read_fallback_ranged(spark: SparkSession, files: list[str],
         for i in range(max(1, math.ceil(ln / split_bytes))):
             splits.append((p, i * split_bytes,
                            min((i + 1) * split_bytes, ln)))
+    # one task per split up to a few waves of the cluster's parallelism;
+    # beyond that, round-robin packs several splits per task rather than
+    # asking the scheduler for hundreds of thousands of one-row tasks
+    n_parts = min(len(splits),
+                  max(64, spark.sparkContext.defaultParallelism * 4))
     sdf = (spark.createDataFrame(splits, "path string, start long, end long")
-           .repartition(len(splits)))
+           .repartition(n_parts))
 
     def _decode(batches):
         import pandas as pd
