@@ -1,10 +1,12 @@
 from kiji_mapreduce_spark.streaming.jobs import (
-    stream_operator, windowed_aggregate, running_latest, stream_into_table,
+    stream_operator, windowed_aggregate, sessionized_aggregate,
+    running_latest, stream_into_table,
     stream_dedup_exact, stream_interval_join,
     stream_rollup_into_table, table_change_stream,
 )
 
-__all__ = ["stream_operator", "windowed_aggregate", "running_latest",
+__all__ = ["stream_operator", "windowed_aggregate",
+           "sessionized_aggregate", "running_latest",
            "stream_into_table", "stream_dedup_exact",
            "stream_interval_join", "stream_rollup_into_table",
            "table_change_stream"]

@@ -89,6 +89,30 @@ def windowed_aggregate(
     )
 
 
+def sessionized_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked session-window aggregation: per-key sessions close
+    after ``gap`` of inactivity (``F.session_window`` — the streaming
+    twin of the batch sessionization in ``suite.q_sessionize_events``).
+    Session state is bounded by the watermark: a session older than the
+    watermark can never be extended, so Spark evicts it — the property
+    that keeps per-user session state finite on an unbounded stream."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    stream_df = _ensure_event_time(stream_df, ts_col)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+    )
+
+
 def stream_into_table(
     put_stream: DataFrame,
     table,

@@ -1175,6 +1175,48 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization: per-user session windows with a
+    30-minute inactivity gap over the file-streamed events table
+    (``streaming.sessionized_aggregate`` — watermark-bounded session
+    state). availableNow drains deterministically and the ORACLE IS THE
+    BATCH SESSIONIZATION SQL — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import sessionized_aggregate
+    from kiji_mapreduce_spark.streaming.jobs import _ensure_event_time
+
+    static = _t(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    ts_type = dict(static.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # truncate to ms BEFORE sessionizing so gap decisions match the
+    # oracle's epoch_ms arithmetic (same normalization as the batch
+    # q_sessionize_events); coercion first — unix_millis rejects NTZ
+    stream = _ensure_event_time(stream, "ts")
+    stream = stream.withColumn("ts", F.timestamp_millis(F.unix_millis("ts")))
+    agg = sessionized_aggregate(
+        stream, "ts", gap="30 minutes", watermark="2 hours",
+        group_cols=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("session_value")])
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start"))
+        .alias("session_start_ms"),
+        "n_events", "session_value")
+
+
 def q_pack_documents(spark, sf_dir):
     """Sequence packing: deterministic hash order per (source, shard),
     cumulative token counts chunked into 512-token packs. 4 shards per
@@ -2459,8 +2501,10 @@ def q_knn_pq_topk(spark, sf_dir):
 # every registry query is oracle-fresh within two rounds. New queries must
 # be added INSIDE the first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- NEW in r5: oracle for the one component that was pytest-only --
+    # -- NEW in r5: oracle for the one component that was pytest-only,
+    #    plus streaming sessionization (stream/batch consistency) --
     "entity_resolution_blocked": q_entity_resolution,
+    "streaming_sessionize": q_streaming_sessionize,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2553,6 +2597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 FIRST_WINDOW_REQUIRED: list[str] = [
     # new in r5
     "entity_resolution_blocked",
+    "streaming_sessionize",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2591,6 +2636,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 
 ORACLES: dict[str, str] = {
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
+    "streaming_sessionize": SQL_SESSIONIZE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,

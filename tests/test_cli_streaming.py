@@ -443,3 +443,31 @@ def test_stream_interval_join_direct_with_late_rows(spark, tmp_path):
     got = _run()
     assert ("p1", "c_late") not in got
     assert got == {("p2", "c2")}  # round 2 emits only the on-time pair
+
+
+def test_sessionized_aggregate_stream(spark, tmp_path):
+    """Session windows close after the inactivity gap: three events 10
+    minutes apart form ONE session; an event 2 hours later opens a new
+    one."""
+    from kiji_mapreduce_spark.streaming import sessionized_aggregate
+
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:00:00Z", "user": 1},
+        {"ts": "2024-01-01T00:10:00Z", "user": 1},
+        {"ts": "2024-01-01T00:20:00Z", "user": 1},
+        {"ts": "2024-01-01T02:30:00Z", "user": 1},
+        {"ts": "2024-01-01T00:05:00Z", "user": 2},
+    ])
+    stream = spark.readStream.schema("ts timestamp, user long").json(src)
+    agg = sessionized_aggregate(stream, "ts", gap="30 minutes",
+                                group_cols=["user"])
+    out = []
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .start())
+    q.awaitTermination(60)
+    got = {(r.user, r.session_window.start.hour,
+            r.session_window.start.minute, r.n_events) for r in out}
+    assert got == {(1, 0, 0, 3), (1, 2, 30, 1), (2, 0, 5, 1)}
