@@ -33,6 +33,49 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
 
 
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_tokens: int = 128, stride: int = 96,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the
+    context-window / RAG-prep shape: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``, so consecutive chunks
+    overlap by ``chunk_tokens - stride`` tokens and every token lands in
+    at least one chunk whenever ``stride <= chunk_tokens``. The final
+    chunk may be short; zero-token documents produce no chunks.
+
+    Returns (id, chunk_id, chunk_text, n_tokens). Scale shape: one
+    narrow codegen'd pass — tokens split per row, chunk indices from a
+    per-row ``sequence`` explode (``ceil((n-chunk)/stride)+1`` rows per
+    doc, NOT one row per token), chunk text from ``slice`` on the
+    in-row token array. No shuffle at all.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = (F.when(n <= chunk_tokens, F.lit(1))
+                .otherwise(F.ceil((n - F.lit(chunk_tokens))
+                                  / F.lit(stride)).cast("int") + 1))
+    base = (df.select(F.col(id_col), toks.alias("_tk"), n.alias("_n"),
+                      n_chunks.alias("_nc"))
+            .filter(F.col("_n") > 0))
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    return (base.select(
+        id_col, "_tk", "_n",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        .alias("chunk_id"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("_tk"), start + 1,
+                                     F.lit(chunk_tokens)))
+            .alias("chunk_text"),
+            F.least(F.col("_n") - start, F.lit(chunk_tokens))
+            .cast("long").alias("n_tokens")))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring features: lengths, token stats, punctuation /
     digit / uppercase ratios, stopword ratio (en), and a composite score in

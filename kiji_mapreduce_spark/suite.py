@@ -1175,6 +1175,37 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_text_chunking(spark, sf_dir):
+    """Token-window chunking with overlap (``text.chunk_documents``) —
+    the context-window / RAG-prep operator: 64-token chunks, stride 48
+    (16-token overlap). Oracle: the same slicing arithmetic over
+    DuckDB's ``regexp_extract_all`` token lists."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        docs, chunk_tokens=64, stride=48).select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
+SQL_TEXT_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+         len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS nc
+  FROM t WHERE n > 0),
+e AS (
+  SELECT doc_id, tk, n, unnest(range(0, nc)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id,
+       array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                       ' ') AS chunk_text,
+       least(n - chunk_id * 48, 64) AS n_tokens
+FROM e
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Streaming sessionization: per-user session windows with a
     30-minute inactivity gap over the file-streamed events table
@@ -2505,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    plus streaming sessionization (stream/batch consistency) --
     "entity_resolution_blocked": q_entity_resolution,
     "streaming_sessionize": q_streaming_sessionize,
+    "text_chunking": q_text_chunking,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2598,6 +2630,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     # new in r5
     "entity_resolution_blocked",
     "streaming_sessionize",
+    "text_chunking",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2637,6 +2670,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 ORACLES: dict[str, str] = {
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
+    "text_chunking": SQL_TEXT_CHUNKING,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,

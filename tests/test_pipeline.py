@@ -678,3 +678,33 @@ def test_entity_resolution_plan_no_cross_product(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    """Chunk arithmetic: overlap = chunk - stride, every token covered,
+    short docs produce one chunk, empty docs none."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11))),  # 11 tokens
+         (2, "a b"),                                 # short: 1 chunk
+         (3, "   ")],                                # empty: 0 chunks
+        "doc_id long, text string")
+    out = text_ops.chunk_documents(df, chunk_tokens=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+            for r in out.collect()}
+    # doc 1: ceil((11-4)/3)+1 = 4 chunks at starts 0,3,6,9; last short
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert rows[(1, 3)] == ("t9 t10", 2)
+    assert rows[(2, 0)] == ("a b", 2)
+    assert not any(k[0] == 3 for k in rows)
+    # coverage: union of chunk tokens == all tokens of doc 1
+    covered = set()
+    for (d, _), (txt, _) in rows.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == {f"t{i}" for i in range(11)}
+    with pytest.raises(ValueError, match="positive"):
+        text_ops.chunk_documents(df, chunk_tokens=0, stride=3)
