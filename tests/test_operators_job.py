@@ -260,3 +260,34 @@ def test_job_store_binding(spark):
         b.build()
     b.with_store("dim", InMemoryMapKeyValueStore(data={"bob": "1"}))
     assert b.build().dataframe().count() == 1
+
+
+def test_jobstats_aggregation(spark):
+    """tools/jobstats.py (the kijistats analogue) rolls the job-history
+    table up into per-job runs/failures/wall-clock/throughput."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.jobstats import job_stats
+
+    hist = spark.createDataFrame(
+        [("j1", "wordcount", 1000, 3000, "SUCCEEDED",
+          _json.dumps({"GATHERER_ROWS_PROCESSED": 100}), "{}"),
+         ("j2", "wordcount", 5000, 6000, "SUCCEEDED",
+          _json.dumps({"GATHERER_ROWS_PROCESSED": 50}), "{}"),
+         ("j3", "importer", 0, 500, "FAILED",
+          _json.dumps({"BULKIMPORTER_ROWS_PROCESSED": 7}), "{}")],
+        "job_id string, job_name string, job_start_time long, "
+        "job_end_time long, job_end_status string, job_counters string, "
+        "job_configuration string")
+    out = {r.job_name: r for r in job_stats(hist).collect()}
+    wc = out["wordcount"]
+    assert (wc.runs, wc.failures, wc.total_rows) == (2, 0, 150)
+    assert wc.avg_wall_s == 1.5 and wc.max_wall_s == 2.0
+    assert wc.rows_per_s == 50.0  # 150 rows / 3 s
+    imp = out["importer"]
+    assert (imp.runs, imp.failures, imp.total_rows) == (1, 1, 7)
+    # name filter narrows to one job
+    assert [r.job_name for r in job_stats(hist, "importer").collect()] \
+        == ["importer"]

@@ -14,19 +14,12 @@ import sys
 sys.path.insert(0, ".")
 
 
-def main() -> None:
-    if len(sys.argv) < 2:
-        raise SystemExit(__doc__)
-    path = sys.argv[1]
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else None
-
+def job_stats(df, name_filter: str | None = None):
+    """Per-job-name timing/throughput rollup over a _job_history frame:
+    runs, failures, wall-clock avg/max, total rows (from whichever
+    operator counter the job recorded), rows/s."""
     from pyspark.sql import functions as F
-    from kiji_mapreduce_spark.session import make_session
 
-    spark = make_session(app_name="kiji-jobstats", master="local[4]",
-                         shuffle_partitions=4,
-                         extra_conf={"spark.ui.enabled": "false"})
-    df = spark.read.parquet(path)
     if name_filter:
         df = df.filter(F.col("job_name") == name_filter)
     rows_expr = F.coalesce(*[
@@ -36,7 +29,7 @@ def main() -> None:
                   "MAPREDUCE_ROWS_PROCESSED", "TABLEREDUCER_ROWS_PROCESSED")
     ])
     wall_s = (F.col("job_end_time") - F.col("job_start_time")) / 1000.0
-    stats = (
+    return (
         df.withColumn("_rows", rows_expr).withColumn("_wall_s", wall_s)
         .groupBy("job_name")
         .agg(
@@ -50,6 +43,20 @@ def main() -> None:
         )
         .orderBy("job_name")
     )
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    path = sys.argv[1]
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from kiji_mapreduce_spark.session import make_session
+
+    spark = make_session(app_name="kiji-jobstats", master="local[4]",
+                         shuffle_partitions=4,
+                         extra_conf={"spark.ui.enabled": "false"})
+    stats = job_stats(spark.read.parquet(path), name_filter)
     for r in stats.collect():
         print(json.dumps(r.asDict()))
     spark.stop()
