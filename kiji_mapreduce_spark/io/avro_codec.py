@@ -404,14 +404,29 @@ def read_container_split(path, start, end, header=None):
         if lo >= end or lo + 16 > size:
             return schema, []
         # scan [lo, end+15) for the first owned marker (it must START
-        # before `end` but may extend past it)
+        # before `end` but may extend past it) in 1 MB chunks with a
+        # 15-byte carry — materializing the whole range would hold up to
+        # split_bytes in memory and read those bytes twice (r5 review
+        # finding); the first marker is normally within one block of lo
+        m_abs = None
         f.seek(lo)
-        win = f.read(end - lo + 15)
-        m = win.find(sync)
-        if m < 0 or lo + m >= end:
+        pos = lo
+        carry = b""
+        while pos < end + 15:
+            chunk = f.read(min(1 << 20, end + 15 - pos))
+            if not chunk:
+                break
+            buf = carry + chunk
+            m = buf.find(sync)
+            if m >= 0:
+                m_abs = pos - len(carry) + m
+                break
+            carry = buf[-15:]
+            pos += len(chunk)
+        if m_abs is None or m_abs >= end:
             return schema, []
         values = []
-        pos = lo + m + 16  # first owned block's count varint
+        pos = m_abs + 16  # first owned block's count varint
         while pos - 16 < end and pos < size:
             f.seek(pos)
             head = Decoder(f.read(20))  # two varints, <=10 bytes each

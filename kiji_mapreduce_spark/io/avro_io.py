@@ -159,9 +159,6 @@ def _rows(values, names, wrap: bool) -> dict:
             for n in names}
 
 
-_ORD_DDL = "_ord struct<p: string, b: bigint, i: bigint>"
-
-
 def _with_ord(spark_type):
     from pyspark.sql import types as T
 

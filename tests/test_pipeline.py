@@ -708,3 +708,15 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert covered == {f"t{i}" for i in range(11)}
     with pytest.raises(ValueError, match="positive"):
         text_ops.chunk_documents(df, chunk_tokens=0, stride=3)
+
+
+def test_drop_exact_duplicates_with_duplicate_ids(spark):
+    """No id-uniqueness assumption: with a reused id, a duplicate TEXT
+    under that id must still be dropped (the join key is (digest, id),
+    not the id alone — r5 review finding)."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (2, "beta")],
+        "doc_id long, text string")
+    out = sorted((r.doc_id, r.text)
+                 for r in dedup.drop_exact_duplicates(df).collect())
+    assert out == [(1, "alpha"), (2, "beta")]

@@ -38,3 +38,22 @@ def test_first_window_membership():
     missing = set(suite.FIRST_WINDOW_REQUIRED) - set(window)
     assert not missing, (
         f"must-verify queries fell out of the first-50 window: {missing}")
+
+
+def test_window_boundary_comment():
+    """The '---- window boundary ----' comment in the registry must sit
+    exactly after entry 50: r5 added entries at the head without moving
+    it, silently pushing three 'inside the window' queries outside
+    (review finding). Parse the source and count dict entries above the
+    marker."""
+    import inspect
+    import re
+
+    src = inspect.getsource(suite)
+    registry = src[src.index("QUERIES: dict"):]
+    boundary = registry.index("window boundary")
+    above = registry[:boundary]
+    n_entries = len(re.findall(r'^\s{4}"[a-z0-9_]+":', above, re.M))
+    assert n_entries == 50, (
+        f"{n_entries} registry entries precede the window-boundary "
+        "comment; adding at the head requires re-slotting the boundary")
