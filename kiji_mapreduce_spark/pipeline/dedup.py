@@ -796,14 +796,18 @@ def simhash_fingerprints(
             F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1).cast("long"))
         ).alias(f"s{b}"))
     votes = hashed.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        # bit set when ones >= zeros  <=>  2*ones >= n
-        fp = fp.bitwiseOR(
-            F.when(2 * F.col(f"s{b}") >= F.col("_n"),
-                   F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
+    # pack via an array fold, not a 64-deep bitwiseOR chain: the chain
+    # costs ~0.65s of driver-side analysis PER execution (measured at
+    # sf0.1 — constant in data size, so invisible at scale but a third
+    # of the local query); the flat array keeps the tree shallow. Bit b
+    # set when ones >= zeros <=> 2*ones >= n; b=63 carries the sign mask.
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    bits = F.array(*[
+        F.when(2 * F.col(f"s{b}") >= F.col("_n"),
+               F.lit(masks[b]).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)])
+    fp = F.aggregate(bits, F.lit(0).cast("long"),
+                     lambda acc, x: acc.bitwiseOR(x))
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
