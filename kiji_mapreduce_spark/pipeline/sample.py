@@ -165,25 +165,39 @@ def mixture_weights(
     group_col: str = "source",
     text_col: str = "text",
     target: dict[str, float] | None = None,
+    temperature: float | None = None,
 ) -> DataFrame:
     """Per-group token totals and mixture sampling weights.
 
     ``token_share`` is the group's fraction of corpus tokens;
     ``sample_weight`` is (target share / token share) scaled so the
     largest weight is 1 — i.e. the per-group keep probability that
-    reshapes the corpus toward ``target`` (uniform across observed
-    groups when omitted) without upsampling any group.
+    reshapes the corpus toward the target mixture without upsampling
+    any group. The target is, in precedence order:
+
+    - ``target``: explicit per-group shares;
+    - ``temperature``: ``share^(1/T)`` renormalized — the standard
+      multilingual rebalancing knob (T=1 keeps the natural mixture,
+      T->inf approaches uniform, T<1 sharpens toward the head);
+    - neither: uniform across observed groups.
 
     Shape: one grouped aggregate (map-side partial sums), then window
     functions over the tiny per-group result — group counts are small
     (sources, languages), so the single-partition window is safe.
     """
+    if target is not None and temperature is not None:
+        raise ValueError("pass target or temperature, not both")
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"))
     w_all = Window.partitionBy()
     share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
-    if target is None:
+    if temperature is not None:
+        if temperature <= 0:
+            raise ValueError("temperature must be positive")
+        powed = F.pow(share, F.lit(1.0 / temperature))
+        tgt = powed / F.sum(powed).over(w_all)
+    elif target is None:
         tgt = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
     else:
         tgt = F.lit(0.0)

@@ -1175,6 +1175,34 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-based mixture rebalancing (``sample.mixture_weights``
+    with ``temperature=0.7``): per-source keep probabilities from
+    ``share^(1/T)`` renormalized — the standard multilingual data
+    balancing knob. Oracle: the same pow/window arithmetic in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample.mixture_weights(docs, "source", temperature=0.7)
+
+
+SQL_MIXTURE_TEMPERATURE = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+s AS (
+  SELECT *, n_tokens * 1.0 / sum(n_tokens) OVER () AS share FROM per),
+t AS (
+  SELECT *,
+         pow(share, 1.0 / 0.7) / sum(pow(share, 1.0 / 0.7)) OVER () AS tgt
+  FROM s),
+r AS (SELECT *, tgt / share AS raw FROM t)
+SELECT source, n_docs, n_tokens, round(share, 4) AS token_share,
+       round(raw / max(raw) OVER (), 4) AS sample_weight
+FROM r
+"""
+
+
 def q_text_chunking(spark, sf_dir):
     """Token-window chunking with overlap (``text.chunk_documents``) —
     the context-window / RAG-prep operator: 64-token chunks, stride 48
@@ -2537,6 +2565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution_blocked": q_entity_resolution,
     "streaming_sessionize": q_streaming_sessionize,
     "text_chunking": q_text_chunking,
+    "mixture_temperature": q_mixture_temperature,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2587,11 +2616,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
     "events_anomaly_zscore": q_events_anomaly_zscore,
-    "mixture_token_budget": q_mixture_token_budget,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: all green in r4, unchanged since; rotate next round --
+    "mixture_token_budget": q_mixture_token_budget,
     "pack_documents": q_pack_documents,
     "multimodal_features": q_multimodal_features,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2633,6 +2662,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "entity_resolution_blocked",
     "streaming_sessionize",
     "text_chunking",
+    "mixture_temperature",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2673,6 +2703,7 @@ ORACLES: dict[str, str] = {
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,
+    "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,

@@ -720,3 +720,26 @@ def test_drop_exact_duplicates_with_duplicate_ids(spark):
     out = sorted((r.doc_id, r.text)
                  for r in dedup.drop_exact_duplicates(df).collect())
     assert out == [(1, "alpha"), (2, "beta")]
+
+
+def test_mixture_weights_temperature(spark):
+    """T=1 reproduces the natural mixture (all weights 1); smaller T
+    sharpens toward the dominant group; target+temperature together are
+    rejected."""
+    df = spark.createDataFrame(
+        [(i, "big" if i < 9 else "small", "tok " * 10) for i in range(10)],
+        "doc_id long, source string, text string")
+    t1 = {r.source: r.sample_weight
+          for r in sample.mixture_weights(
+              df, "source", temperature=1.0).collect()}
+    assert t1 == {"big": 1.0, "small": 1.0}  # natural mixture untouched
+    # T -> large flattens toward uniform: the big group gets down-weighted
+    t5 = {r.source: r.sample_weight
+          for r in sample.mixture_weights(
+              df, "source", temperature=5.0).collect()}
+    assert t5["small"] == 1.0 and t5["big"] < 1.0
+    with pytest.raises(ValueError, match="not both"):
+        sample.mixture_weights(df, "source", target={"big": 1.0},
+                                   temperature=2.0)
+    with pytest.raises(ValueError, match="positive"):
+        sample.mixture_weights(df, "source", temperature=0.0)
