@@ -1,0 +1,57 @@
+"""Deterministic cardinality sketches.
+
+``kmv_distinct`` is the K-Minimum-Values distinct-count sketch
+(Bar-Yossef et al., "Counting distinct elements in a data stream"): hash
+every value to a unit interval, keep the k smallest hashes per group,
+and estimate distinct = (k-1) / R_k where R_k is the k-th smallest hash
+as a fraction of the hash range. Two properties make it the right
+sketch for this engine (over e.g. HyperLogLog):
+
+- **Cross-engine determinism**: the estimate is a pure function of the
+  md5-based hash, so DuckDB reproduces it bit-for-bit — it can sit
+  behind the driver's value-hash oracle, unlike engine-specific HLL
+  register layouts (`approx_count_distinct` differs between engines).
+- **Mergeable scale shape**: the per-group state is k longs. Here the
+  k-minimum selection reuses ``functions.salted_topk`` (ascending), so
+  even a group holding billions of distinct hashes never lands in one
+  task — the same skew discipline as every other top-k in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kiji_mapreduce_spark.functions import salted_topk
+
+#: hash range: md5-derived 60-bit hashes land in [0, 2^60)
+_HASH_RANGE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate -> (group, n_sketch, kth_hash,
+    estimate).
+
+    ``n_sketch`` is the number of hashes retained (< k means the group
+    had fewer than k distinct hashes, and the estimate IS the exact
+    distinct count). Shape: distinct (group, hash) first — map-side
+    partial dedup, only 60-bit hashes shuffle — then a skew-safe salted
+    k-minimum pass, then one tiny per-group aggregate.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct requires k >= 2")
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    entries = (df.select(F.col(group_col), h.alias("_h"))
+               .distinct())
+    mins = salted_topk(entries, group_col, "_h", k=k, ascending=True)
+    agg = mins.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("_h").alias("kth_hash"))
+    est = (F.when(F.col("n_sketch") < k,
+                  F.col("n_sketch").cast("double"))
+           .otherwise((k - 1) / (F.col("kth_hash") / F.lit(_HASH_RANGE))))
+    return agg.select(
+        group_col, "n_sketch", "kth_hash",
+        F.round(est, 2).alias("estimate"))

@@ -28,7 +28,7 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, lm, sample, search, similarity,
+    curate, decontaminate, dedup, lm, sample, search, similarity, sketch,
     text as text_ops,
 )
 
@@ -1172,6 +1172,35 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (``sketch.kmv_distinct``): estimated
+    distinct users per event type from the 64 minimum md5 hashes —
+    deterministic, so the ORACLE RECOMPUTES THE SAME SKETCH in DuckDB
+    (engine-specific HLLs could never hash-match)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketch.kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH e AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM e),
+a AS (
+  SELECT event_type, count(*) AS n_sketch, max(h) AS kth_hash
+  FROM r WHERE rk <= 64 GROUP BY event_type)
+SELECT event_type, n_sketch, kth_hash,
+       round(CASE WHEN n_sketch < 64 THEN n_sketch * 1.0
+                  ELSE 63 / (kth_hash / 1152921504606846976.0) END,
+             2) AS estimate
+FROM a
 """
 
 
@@ -2566,6 +2595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "text_chunking": q_text_chunking,
     "mixture_temperature": q_mixture_temperature,
+    "kmv_distinct_users": q_kmv_distinct_users,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2615,11 +2645,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: all green in r4, unchanged since; rotate next round --
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "mixture_token_budget": q_mixture_token_budget,
     "pack_documents": q_pack_documents,
     "multimodal_features": q_multimodal_features,
@@ -2663,6 +2693,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "streaming_sessionize",
     "text_chunking",
     "mixture_temperature",
+    "kmv_distinct_users",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2704,6 +2735,7 @@ ORACLES: dict[str, str] = {
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,
     "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
+    "kmv_distinct_users": SQL_KMV_DISTINCT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,

@@ -743,3 +743,22 @@ def test_mixture_weights_temperature(spark):
                                    temperature=2.0)
     with pytest.raises(ValueError, match="positive"):
         sample.mixture_weights(df, "source", temperature=0.0)
+
+
+def test_kmv_distinct_accuracy_and_exact_small_groups(spark):
+    """KMV: groups under k get their EXACT distinct count; large groups
+    get an estimate within the sketch's expected error (~1/sqrt(k))."""
+    from kiji_mapreduce_spark.pipeline.sketch import kmv_distinct
+
+    rows = [("small", f"u{i}") for i in range(10)]
+    rows += [("big", f"v{i}") for i in range(5000)]
+    rows += rows[:50]  # duplicates must not affect distinct counts
+    df = spark.createDataFrame(rows, "g string, user string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "user", k=64).collect()}
+    assert out["small"].n_sketch == 10
+    assert out["small"].estimate == 10.0  # exact below k
+    est = out["big"].estimate
+    assert out["big"].n_sketch == 64
+    assert abs(est - 5000) / 5000 < 0.5  # 3-4 sigma at k=64
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(df, "g", "user", k=1)
