@@ -160,6 +160,44 @@ def pack_documents(
         F.pmod(before, F.lit(budget)).alias("pack_offset"))
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per stratum, with
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis reservoir, expressed as exponential clocks: each
+    row draws clock = -ln(u)/w from its deterministic unit hash u, and
+    the k SMALLEST clocks win (a weight-w item's clock is an
+    exponential with rate w, so heavier items finish sooner).
+
+    Deterministic and engine-reproducible: u is the full-precision
+    60-bit md5 hash of (seed|key) mapped to (0, 1], never ``rand()`` —
+    the same corpus + seed selects the same rows on any cluster,
+    partition layout, or engine. The k-minimum selection reuses the
+    skew-safe salted top-k, so a hot stratum never lands in one task.
+
+    Returns the winning rows with their ``rank`` (1 = smallest clock).
+    Weights must be strictly positive; rows with NULL or non-positive
+    weight are excluded (they have zero inclusion probability).
+    """
+    from kiji_mapreduce_spark.functions import salted_topk
+
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(str(seed)), F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))  # (0, 1] — ln(0) guarded
+    clock = -F.log(u) / F.col(weight_col)
+    flt = df.filter(F.col(weight_col) > 0).withColumn("_clock", clock)
+    return (salted_topk(flt, strata_col, "_clock", k=k, ascending=True,
+                        tiebreak_cols=[key_col])
+            .drop("_clock"))
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "source",

@@ -1175,6 +1175,43 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (``sample.weighted_sample_topk``): 10 documents per language with
+    inclusion probability proportional to token count, selected by
+    deterministic exponential clocks. Oracle: the same -ln(u)/w ranking
+    in DuckDB (u is the shared md5 unit hash, so both engines draw the
+    SAME clocks)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "n_tokens", text_ops.token_count(F.col("text")).cast("long"))
+    out = sample.weighted_sample_topk(
+        docs, strata_col="lang", weight_col="n_tokens", k=10,
+        key_col="doc_id", seed=11)
+    return out.select("lang", F.col("rank").cast("long").alias("rank"),
+                      "doc_id", "n_tokens")
+
+
+SQL_WEIGHTED_SAMPLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         ('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         -ln((h + 1) / 1152921504606846976.0) / n_tokens AS clock
+  FROM d WHERE n_tokens > 0),
+r AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY clock, doc_id) AS rank
+  FROM c)
+SELECT lang, rank, doc_id, n_tokens FROM r WHERE rank <= 10
+"""
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV distinct-count sketch (``sketch.kmv_distinct``): estimated
     distinct users per event type from the 64 minimum md5 hashes —
@@ -2596,6 +2633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunking": q_text_chunking,
     "mixture_temperature": q_mixture_temperature,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "weighted_sample_topk": q_weighted_sample,
     # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
     #    streaming cast removal): first --
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
@@ -2644,11 +2682,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii": q_text_pii,
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
-    "sample_stratum_topk": q_sample_stratum_topk,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: all green in r4, unchanged since; rotate next round --
+    "sample_stratum_topk": q_sample_stratum_topk,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "mixture_token_budget": q_mixture_token_budget,
     "pack_documents": q_pack_documents,
@@ -2694,6 +2732,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "text_chunking",
     "mixture_temperature",
     "kmv_distinct_users",
+    "weighted_sample_topk",
     # changed in r5
     "dedup_corpus_survivors",
     "dedup_exact",
@@ -2736,6 +2775,7 @@ ORACLES: dict[str, str] = {
     "text_chunking": SQL_TEXT_CHUNKING,
     "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     "kmv_distinct_users": SQL_KMV_DISTINCT,
+    "weighted_sample_topk": SQL_WEIGHTED_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kvstore_avro_file_join": SQL_KVSTORE_AVRO_FILE,

@@ -762,3 +762,26 @@ def test_kmv_distinct_accuracy_and_exact_small_groups(spark):
     assert abs(est - 5000) / 5000 < 0.5  # 3-4 sigma at k=64
     with pytest.raises(ValueError, match="k >= 2"):
         kmv_distinct(df, "g", "user", k=1)
+
+
+def test_weighted_sample_topk_proportionality(spark):
+    """Heavier items win more often: over many strata (independent
+    draws), an item with 9x the weight of its 9 peers should be sampled
+    (k=1) far more often than 1/10 of the time; zero/NULL weights are
+    excluded; output is deterministic across calls."""
+    rows = []
+    for s in range(200):  # 200 independent strata
+        for i in range(10):
+            rows.append((s, f"d{s}_{i}", 9.0 if i == 0 else 1.0))
+    rows.append((0, "zero", 0.0))
+    df = spark.createDataFrame(rows, "s long, doc_id string, w double")
+    out = sample.weighted_sample_topk(df, "s", "w", k=1, key_col="doc_id")
+    picks = {r.s: r.doc_id for r in out.collect()}
+    assert len(picks) == 200 and "zero" not in picks.values()
+    heavy_wins = sum(1 for s, d in picks.items() if d.endswith("_0"))
+    # heavy item has p = 9/18 = 0.5 per stratum; ~100 expected, sd ~7
+    assert 70 <= heavy_wins <= 130, heavy_wins
+    again = {r.s: r.doc_id
+             for r in sample.weighted_sample_topk(
+                 df, "s", "w", k=1, key_col="doc_id").collect()}
+    assert again == picks  # deterministic
