@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kiji_mapreduce_spark.functions import salted_topk
 from kiji_mapreduce_spark.pipeline.dedup import token_hash64
 from kiji_mapreduce_spark.pipeline.text import token_count
 
@@ -182,17 +183,20 @@ def weighted_sample_topk(
     skew-safe salted top-k, so a hot stratum never lands in one task.
 
     Returns the winning rows with their ``rank`` (1 = smallest clock).
-    Weights must be strictly positive; rows with NULL or non-positive
-    weight are excluded (they have zero inclusion probability).
+    Weights must be strictly positive and keys non-NULL; rows failing
+    either are excluded (zero inclusion probability — and a NULL key
+    would hash as the bare seed in Spark's NULL-skipping concat_ws while
+    the SQL oracle's ``||`` nulls the whole clock, so the engines would
+    disagree about it; r5 review).
     """
-    from kiji_mapreduce_spark.functions import salted_topk
-
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        "|", F.lit(str(seed)), F.col(key_col).cast("string"))), 1, 15),
-        16, 10).cast("long")
+    packed = F.concat_ws("|", F.lit(str(seed)),
+                         F.col(key_col).cast("string"))
+    h = token_hash64(packed, "md5")
     u = (h + 1) / F.lit(float(1 << 60))  # (0, 1] — ln(0) guarded
     clock = -F.log(u) / F.col(weight_col)
-    flt = df.filter(F.col(weight_col) > 0).withColumn("_clock", clock)
+    flt = (df.filter((F.col(weight_col) > 0)
+                     & F.col(key_col).isNotNull())
+           .withColumn("_clock", clock))
     return (salted_topk(flt, strata_col, "_clock", k=k, ascending=True,
                         tiebreak_cols=[key_col])
             .drop("_clock"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kiji_mapreduce_spark.functions import salted_topk
+from kiji_mapreduce_spark.pipeline.dedup import token_hash64
 
 #: hash range: md5-derived 60-bit hashes land in [0, 2^60)
 _HASH_RANGE = float(1 << 60)
@@ -41,9 +42,14 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError("kmv_distinct requires k >= 2")
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
-               16, 10).cast("long")
-    entries = (df.select(F.col(group_col), h.alias("_h"))
+    h = token_hash64(F.col(value_col).cast("string"), "md5")
+    # NULL values must not enter the sketch: md5(NULL) is a NULL hash
+    # that ascending sort ranks FIRST (Spark NULLS FIRST), eating a
+    # sketch slot while max() ignores it — inflating the estimate and
+    # diverging from the NULLS-LAST oracle (r5 review, confirmed
+    # empirically: one NULL row shifted an estimate 93.1 -> 99.1)
+    entries = (df.filter(F.col(value_col).isNotNull())
+               .select(F.col(group_col), h.alias("_h"))
                .distinct())
     mins = salted_topk(entries, group_col, "_h", k=k, ascending=True)
     agg = mins.groupBy(group_col).agg(

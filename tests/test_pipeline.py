@@ -785,3 +785,24 @@ def test_weighted_sample_topk_proportionality(spark):
              for r in sample.weighted_sample_topk(
                  df, "s", "w", k=1, key_col="doc_id").collect()}
     assert again == picks  # deterministic
+
+
+def test_kmv_and_weighted_sample_null_safety(spark):
+    """NULL values/keys are excluded, not silently sketched/sampled:
+    a NULL hash would occupy a KMV slot under Spark's NULLS FIRST sort
+    while the oracle sorts NULLS LAST (r5 review, confirmed divergence),
+    and a NULL sample key would hash as the bare seed."""
+    from kiji_mapreduce_spark.pipeline.sketch import kmv_distinct
+
+    rows = [("g", f"u{i}") for i in range(100)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, user string")
+    with_null = kmv_distinct(df, "g", "user", k=8).first()
+    without = kmv_distinct(df.filter("user IS NOT NULL"),
+                           "g", "user", k=8).first()
+    assert with_null.estimate == without.estimate
+    sdf = spark.createDataFrame(
+        [(1, "a", 1.0), (1, None, 100.0), (1, "b", 1.0)],
+        "s long, doc_id string, w double")
+    picked = {r.doc_id for r in sample.weighted_sample_topk(
+        sdf, "s", "w", k=2, key_col="doc_id").collect()}
+    assert picked == {"a", "b"}  # the NULL-keyed heavy row is excluded
