@@ -22,8 +22,17 @@ from pyspark.sql import Column, functions as F
 
 
 def sort_cells(cells: Column) -> Column:
-    """Normalize a cell array to ts-descending (newest first)."""
-    return F.reverse(F.array_sort(cells))
+    """Normalize a cell array to ts-descending (newest first).
+
+    Sorts on ``ts`` ALONE via a comparator: the default struct ordering
+    would also compare values, which fails analysis outright for
+    unorderable value types (map-typed cells, which the layout schema
+    explicitly allows — r5 review finding) and is unnecessary because
+    every write path keeps ts unique within a cell array."""
+    return F.array_sort(
+        cells,
+        lambda a, b: (F.when(a["ts"] < b["ts"], 1)
+                      .when(a["ts"] > b["ts"], -1).otherwise(0)))
 
 
 def latest(cells: Column) -> Column:

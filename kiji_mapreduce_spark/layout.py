@@ -220,8 +220,28 @@ class RowKeySpec:
         ])
 
     def key_expr(self, prefix: str = "entity_id"):
-        """String packing of the components (the sortable logical key)."""
-        cols = [F.col(f"{prefix}.{n}").cast("string") for n, _ in self.components]
+        """String packing of the components (the sortable logical key).
+
+        Injective: a NULL component encodes as ``\\x01`` (concat_ws
+        would silently DROP it, conflating ('a', NULL, 'x') with
+        ('a', 'x', NULL) and merging two entities' puts — r5 review
+        finding), and literal ``\\x00`` bytes inside string components
+        are escaped as ``\\x00\\x02`` so the separator stays
+        unambiguous. Clean scalar components (the overwhelmingly common
+        case, and everything the oracle SQL mirrors) render as the bare
+        Spark cast, unchanged."""
+        return self.pack([F.col(f"{prefix}.{n}").cast("string")
+                          for n, _ in self.components])
+
+    @staticmethod
+    def pack(string_cols) -> "F.Column":
+        """Escape + join already-cast string components — shared by
+        ``key_expr`` and the point-lookup bucket router in
+        ``EntityTable._bucket_of`` so both always produce identical
+        packed keys."""
+        cols = [F.coalesce(F.replace(c, F.lit("\x00"), F.lit("\x00\x02")),
+                           F.lit("\x01"))
+                for c in string_cols]
         return F.concat_ws("\x00", *cols)
 
     def hash_expr(self, prefix: str = "entity_id"):
@@ -328,7 +348,9 @@ class TableLayout:
                     "name": f.name,
                     "kind": f.kind,
                     "columns": [
-                        {"name": c.name, "schema": _type_name(c.schema)}
+                        {"name": c.name, "schema": _type_name(c.schema),
+                         **({"max_versions": c.max_versions}
+                            if c.max_versions is not None else {})}
                         for c in f.columns
                     ],
                     "map_schema": _type_name(f.map_schema),

@@ -58,8 +58,18 @@ class ColumnRequest:
             )
         return expr
 
-    def exprs(self) -> list[Column]:
-        """Projection expressions for this request entry."""
+    def exprs(self, family_type=None) -> list[Column]:
+        """Projection expressions for this request entry.
+
+        ``family_type`` is the family column's Spark DataType (StructType
+        for group families, MapType for map families) when the caller
+        has a schema — whole-family requests need it to apply version/
+        time slicing per qualifier (KijiDataRequest semantics: maxVersions
+        and the timestamp range apply to EVERY requested column, whole
+        families included; without it, a bare-family request used to
+        return every stored version unsliced — r5 review finding)."""
+        from pyspark.sql import types as T
+
         if self.qualifier is not None:  # one column of a group family
             cells = F.col(f"{self.family}.{self.qualifier}")
             name = f"{self.family}_{self.qualifier}"
@@ -70,6 +80,12 @@ class ColumnRequest:
             fam = F.map_filter(fam, lambda k, _: k.rlike(self.qualifier_regex))
             fam = F.transform_values(fam, lambda _, v: self._slice_cells(v))
             return [fam.alias(self.family)]
+        if isinstance(family_type, T.MapType):
+            fam = F.transform_values(fam, lambda _, v: self._slice_cells(v))
+        elif isinstance(family_type, T.StructType):
+            fam = F.struct(*[
+                self._slice_cells(fam[f.name]).alias(f.name)
+                for f in family_type.fields])
         return [fam.alias(self.family)]
 
 
@@ -103,6 +119,7 @@ class DataRequest:
         HBase scan (``HBaseKijiTableInputFormat.java:226-248``).
         """
         exprs: list[Column] = [F.col(k) for k in keep if k in df.columns]
+        fields = {f.name: f.dataType for f in df.schema.fields}
         for creq in self.columns:
-            exprs.extend(creq.exprs())
+            exprs.extend(creq.exprs(family_type=fields.get(creq.family)))
         return df.select(*exprs)

@@ -2648,6 +2648,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "sessionize_events": q_sessionize_events,
     "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    # -- changed in r5 (cells sort comparator, key packing escapes,
+    #    whole-family request slicing): rotate back from the tail --
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "entity_key_hash": q_entity_key_hash,
     # -- last oracle row r2/r3: rotate through this round --
     "asof_join_purchase_click": q_asof_join_purchase_click,
     "range_join_price_bands": q_range_join_price_bands,
@@ -2677,15 +2684,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_topk": q_knn_pq_topk,
     "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: all green in r4, unchanged since; rotate next round --
     "text_langid": q_text_langid,
     "text_repetition": q_text_repetition,
     "text_pii": q_text_pii,
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: all green in r4, unchanged since; rotate next round --
     "sample_stratum_topk": q_sample_stratum_topk,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "mixture_token_budget": q_mixture_token_budget,
@@ -2702,10 +2709,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "producer_price_band": q_producer_price_band,
     "pivot_orders_by_customer": q_pivot_orders_by_customer,
-    "versioned_latest_event_value": q_versioned_latest_event_value,
-    "versioned_slice_maxversions": q_versioned_slice_maxversions,
-    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
-    "map_family_regex_filter": q_map_family_regex_filter,
     "bulk_import_props": q_bulk_import_props,
     "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
     "set_ops_nations": q_set_ops_nations,
@@ -2715,7 +2718,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_all_parties": q_union_all_parties,
     "cube_order_stats": q_cube_order_stats,
     "distinct_segments": q_distinct_segments,
-    "entity_key_hash": q_entity_key_hash,
     "text_byte_stats": q_text_byte_stats,
     "window_running_revenue": q_window_running_revenue,
 }
@@ -2746,6 +2748,11 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "streaming_windowed_counts",
     "sessionize_events",
     "kvstore_avro_file_join",
+    "versioned_latest_event_value",
+    "versioned_slice_maxversions",
+    "cell_rewrite_int_to_long",
+    "map_family_regex_filter",
+    "entity_key_hash",
     # last oracle row r2/r3
     "asof_join_purchase_click",
     "range_join_price_bands",

@@ -90,21 +90,60 @@ class EntityTable:
         merge-on-read view (base + fragments, ``_merge_view``);
         ``merge_deltas=False`` is the read-optimized view (base files
         only — what a flushed table always serves)."""
-        base = self.spark.read.parquet(self._data_path()).drop("_bucket")
+        try:
+            base = self.spark.read.parquet(self._data_path()).drop("_bucket")
+        except Exception as e:
+            # a table whose last rows were deleted (or a created-but-
+            # never-written table) has a data dir with no parquet
+            # footers — serve the layout's empty schema instead of an
+            # unreadable table (r5 review finding)
+            msg = str(e)
+            if ("UNABLE_TO_INFER_SCHEMA" not in msg
+                    and "Unable to infer schema" not in msg):
+                raise
+            base = self.spark.createDataFrame(
+                [], self.layout.spark_schema())
         if merge_deltas and self._has_deltas():
             return self._merge_view(base, self._read_delta().drop("_bucket"))
         return base
 
+    def _range_bound(self, bound, op: str):
+        """Range predicate for ``scan``: a string compares on the packed
+        key (RAW semantics, lexicographic); a tuple/list compares
+        componentwise with TYPED casts — the form numeric/timestamp
+        components need, since their string packing orders '10' < '2'
+        (r5 review finding). A tuple shorter than the key is a prefix
+        bound (start: inclusive of the prefix; limit: exclusive)."""
+        fields = self.layout.row_key.spark_type().fields
+        if not isinstance(bound, (tuple, list)):
+            key = self.layout.row_key.key_expr()
+            return key >= F.lit(bound) if op == ">=" else key < F.lit(bound)
+        if not bound or len(bound) > len(fields):
+            raise ValueError(
+                f"scan bound must have 1..{len(fields)} components")
+        comps = [F.col(f"entity_id.{f.name}") for f in fields[:len(bound)]]
+        lits = [F.lit(v).cast(f.dataType) for f, v in zip(fields, bound)]
+
+        def _cmp(i: int):
+            if i == len(bound) - 1:
+                return (comps[i] >= lits[i] if op == ">="
+                        else comps[i] < lits[i])
+            head = comps[i] > lits[i] if op == ">=" else comps[i] < lits[i]
+            return head | ((comps[i] == lits[i]) & _cmp(i + 1))
+
+        return _cmp(0)
+
     def scan(self, data_request=None, start_key=None, limit_key=None) -> DataFrame:
         """Scan with optional DataRequest projection + key range
         (KijiTableMapReduceJobInput RowOptions: start inclusive, limit
-        exclusive on the packed string key)."""
+        exclusive). String bounds compare on the packed key; tuple
+        bounds compare componentwise with typed casts — use tuples for
+        numeric or timestamp key components (see ``_range_bound``)."""
         df = self.read()
-        key = self.layout.row_key.key_expr()
         if start_key is not None:
-            df = df.filter(key >= F.lit(start_key))
+            df = df.filter(self._range_bound(start_key, ">="))
         if limit_key is not None:
-            df = df.filter(key < F.lit(limit_key))
+            df = df.filter(self._range_bound(limit_key, "<"))
         if data_request is not None:
             df = data_request.apply(df)
         return df
@@ -127,7 +166,7 @@ class EntityTable:
         """Bucket id for a point lookup, computed by the SAME Spark
         expression pipeline as the write path (one 1-row local job —
         constant cost, no table scan)."""
-        packed = F.concat_ws("\x00", *[l.cast("string") for l in lits])
+        packed = self.layout.row_key.pack([l.cast("string") for l in lits])
         expr = F.pmod(
             F.crc32(self.layout.row_key.hash_of(packed)),
             F.lit(self.n_buckets)).cast("int")
@@ -161,10 +200,17 @@ class EntityTable:
 
     def _is_bucket_partitioned(self) -> bool:
         """True once the data dir is hive-partitioned by ``_bucket`` (the
-        canonical layout; a freshly created empty table is not yet)."""
-        import glob
+        canonical layout; a freshly created empty table is not yet).
+        Scheme-agnostic: a local glob on an hdfs://s3a:// table would
+        always come up empty and silently degrade every merge to a
+        full-table overwrite (r5 review finding)."""
+        from kiji_mapreduce_spark.io.outputs import fs_exists, fs_listdir
 
-        return bool(glob.glob(os.path.join(self._data_path(), "_bucket=*")))
+        data = self._data_path()
+        if not fs_exists(data, self.spark):
+            return False
+        return any(n.startswith("_bucket=")
+                   for n in fs_listdir(data, self.spark))
 
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
         """Partition-pruned read of only the given bucket directories."""
@@ -356,10 +402,21 @@ class EntityTable:
         return os.path.join(self.path, "delta")
 
     def _has_deltas(self) -> bool:
-        import glob
+        # scheme-agnostic: local glob on a remote-scheme table would
+        # always answer False, making acknowledged put_delta writes
+        # invisible to read() forever (r5 review finding)
+        from kiji_mapreduce_spark.io.outputs import fs_exists, fs_listdir
 
-        return bool(glob.glob(
-            os.path.join(self._delta_path(), "_bucket=*", "*.parquet")))
+        delta = self._delta_path()
+        if not fs_exists(delta, self.spark):
+            return False
+        for n in fs_listdir(delta, self.spark):
+            if n.startswith("_bucket="):
+                sub = os.path.join(delta, n)
+                if any(f.endswith(".parquet")
+                       for f in fs_listdir(sub, self.spark)):
+                    return True
+        return False
 
     def _read_delta(self) -> DataFrame:
         return self.spark.read.parquet(self._delta_path())
@@ -639,6 +696,17 @@ class EntityTable:
         if df is None and deletes is None:
             raise ValueError("bulk_stage needs rows, deletes, or both")
         if df is not None:
+            from kiji_mapreduce_spark.io.outputs import fs_exists
+
+            if fs_exists(staging_path.rstrip("/") + "/_deletes",
+                         self.spark):
+                # the row write overwrites the staging root, which would
+                # silently wipe tombstones staged by an earlier call
+                # (r5 review finding) — fail loudly instead
+                raise ValueError(
+                    f"{staging_path!r} already holds staged tombstones; "
+                    "stage rows BEFORE deletes, or pass both to one "
+                    "bulk_stage call")
             self._write_canonical(df, staging_path,
                                   max_records_per_file=max_records_per_file)
         if deletes is not None:
@@ -728,6 +796,19 @@ class EntityTable:
         """
         import time as _time
 
+        def _cells_of(fam_val, qualifier):
+            # map families surface as Python dicts — a missing qualifier
+            # must read as "no cell yet" (freshen), not KeyError
+            # (r5 review finding); group families surface as Rows
+            if fam_val is None or not qualifier:
+                return None
+            if isinstance(fam_val, dict):
+                return fam_val.get(qualifier)
+            try:
+                return fam_val[qualifier]
+            except (KeyError, ValueError):
+                return None
+
         now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
         row_df = self.get(*components)
         first = row_df.first()
@@ -735,13 +816,17 @@ class EntityTable:
             return row_df
         family, _, qualifier = producer.output_column().partition(":")
         fam_val = first[family] if family in row_df.columns else None
-        cell_list = fam_val[qualifier] if (
-            fam_val is not None and qualifier) else None
+        cell_list = _cells_of(fam_val, qualifier)
         latest_ts = cell_list[0].ts if cell_list else None
         if latest_ts is not None and now_ms - latest_ts <= max_age_ms:
             return row_df  # still fresh: no compute
         updated = producer.compile(row_df, context)
-        new_cell = updated.first()[family][qualifier][0]
+        out_cells = _cells_of(updated.first()[family], qualifier)
+        if not out_cells:
+            raise ValueError(
+                f"producer {producer!r} wrote no cell for its declared "
+                f"output column {family}:{qualifier}")
+        new_cell = out_cells[0]
         fam_type = self.layout.family(family).spark_type()
         value_type = (fam_type.valueType if hasattr(fam_type, "valueType")
                       else fam_type[qualifier].dataType
@@ -757,9 +842,19 @@ class EntityTable:
         puts = self.spark.createDataFrame(
             [(tuple(first["entity_id"]), family, qualifier,
               new_cell.ts, new_cell.value)], put_schema)
+        # render complex values as JSON — _parse_value decodes
+        # record/array/map cells with from_json, and Spark's struct->
+        # string cast is NOT JSON, so a cast here would round-trip to
+        # null (r5 review finding); primitives keep the exact cast
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(value_type, (StructType, ArrayType, MapType)):
+            value_str = F.to_json(F.col("value"))
+        else:
+            value_str = F.col("value").cast("string")
         puts = puts.select(
             "entity_id", "family", "qualifier", "ts",
-            F.col("value").cast("string").alias("value_str"))
+            value_str.alias("value_str"))
         self.merge_put(puts)
         return self.get(*components)
 
@@ -780,17 +875,21 @@ class EntityTable:
         byte-identical, so it is safe to run continuously and only pays
         for the buckets that actually churned.
         """
-        import glob as _glob
+        from kiji_mapreduce_spark.io.outputs import fs_listdir
 
         flushed = self.flush_deltas()  # folding deltas packs those buckets
         data = self._data_path()
         if not self._is_bucket_partitioned():
             return sorted(flushed)
         over = []
-        for bdir in _glob.glob(os.path.join(data, "_bucket=*")):
-            n_files = len(_glob.glob(os.path.join(bdir, "*.parquet")))
+        for name in fs_listdir(data, self.spark):  # scheme-agnostic
+            if not name.startswith("_bucket="):
+                continue
+            n_files = sum(
+                1 for f in fs_listdir(os.path.join(data, name), self.spark)
+                if f.endswith(".parquet"))
             if n_files > max_files_per_bucket:
-                over.append(int(os.path.basename(bdir).split("=")[1]))
+                over.append(int(name.split("=")[1]))
         if over:
             over.sort()
             self._rewrite_buckets(self._read_buckets(over), over,
@@ -807,8 +906,11 @@ class EntityTable:
         now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
         df = self.read()
         for fam in self.layout.families:
-            def retained(col_expr):
-                out = cell_fns.retain_versions(col_expr, fam.max_versions)
+            def retained(col_expr, max_versions=None):
+                out = cell_fns.retain_versions(
+                    col_expr,
+                    max_versions if max_versions is not None
+                    else fam.max_versions)
                 if fam.ttl_seconds:
                     out = cell_fns.expire_ttl(out, fam.ttl_seconds, now_ms)
                 return out
@@ -821,7 +923,11 @@ class EntityTable:
             else:
                 fam_struct = F.col(fam.name)
                 for col in fam.columns:
+                    # per-column max_versions overrides the family's
+                    # (layout JSON declares it per column too; it was
+                    # parsed but never applied — r5 review finding)
                     fam_struct = fam_struct.withField(
-                        col.name, retained(fam_struct[col.name]))
+                        col.name, retained(fam_struct[col.name],
+                                           col.max_versions))
                 df = df.withColumn(fam.name, fam_struct)
         self.overwrite(df)

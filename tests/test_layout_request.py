@@ -160,3 +160,30 @@ def test_row_key_exprs(spark):
     row = out.first()
     assert row.k == "alice"
     assert isinstance(row.h, (bytes, bytearray)) and len(row.h) > 2
+
+
+def test_whole_family_request_slices_versions(spark):
+    """KijiDataRequest semantics: max_versions / ts-range apply to
+    whole-family requests too, for BOTH group (struct) and map
+    families — a bare-family request used to return every version
+    unsliced (r5 review finding)."""
+    from kiji_mapreduce_spark.request import ColumnRequest, DataRequest
+
+    df = spark.createDataFrame(
+        [(("r1",), ([(3, "v3"), (2, "v2"), (1, "v1")],),
+          {"q": [(9, "m9"), (8, "m8")]})],
+        "entity_id struct<key:string>, "
+        "info struct<email: array<struct<ts:long, value:string>>>, "
+        "m map<string, array<struct<ts:long, value:string>>>")
+    req = DataRequest([
+        ColumnRequest(family="info", max_versions=1),
+        ColumnRequest(family="m", max_versions=1),
+    ])
+    row = req.apply(df).first()
+    assert [c.ts for c in row.info.email] == [3]
+    assert [c.ts for c in row.m["q"]] == [9]
+    # ts-range slicing on a whole group family
+    req2 = DataRequest([ColumnRequest(family="info", max_versions=10,
+                                      min_ts=2, max_ts=3)])
+    row2 = req2.apply(df).first()
+    assert [c.ts for c in row2.info.email] == [2]

@@ -635,3 +635,139 @@ def test_bulk_stage_commit_uri_scheme_paths(spark, tmp_path):
     t.bulk_commit(staging)
     got = {r.entity_id.key for r in t.read().collect()}
     assert got == {"u1"}
+
+
+def test_map_valued_cells_write_and_read(spark, tmp_path):
+    """Map-typed cell values (allowed by the layout schema) survive the
+    put/sort/read path — the default struct sort over cells crashed on
+    unorderable element types (r5 review finding)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "mv", "families": [
+            {"name": "f", "max_versions": 2, "columns": [
+                {"name": "tags",
+                 "schema": {"type": "map", "values": "string"}}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/mv", layout)
+    puts = spark.createDataFrame(
+        [(("r1",), "f", "tags", 1, '{"a": "x"}'),
+         (("r1",), "f", "tags", 2, '{"b": "y"}')],
+        "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.merge_put(puts)
+    cells = t.read().first().f.tags
+    assert [c.ts for c in cells] == [2, 1]
+    assert dict(cells[0].value) == {"b": "y"}
+
+
+def test_fresh_get_complex_value_roundtrip(spark, tmp_path):
+    """A producer writing a record-typed cell must store real JSON the
+    put path can decode — cast('string') rendered structs in Spark's
+    non-JSON format and silently wrote null (r5 review finding). Also:
+    a map-family output column without the qualifier must freshen, not
+    KeyError."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.operators import Producer
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "fg", "families": [
+            {"name": "info", "columns": [{"name": "name"}]},
+            {"name": "derived", "columns": [
+                {"name": "stats", "schema": {
+                    "type": "record", "name": "s", "fields": [
+                        {"name": "len", "type": "int"},
+                        {"name": "upper", "type": "string"}]}}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/fg", layout)
+    t.merge_put(spark.createDataFrame(
+        [(("u1",), "info", "name", 1, "ada")],
+        "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string"))
+
+    class StatsProducer(Producer):
+        def output_column(self):
+            return "derived:stats"
+
+        def produce_expr(self, df, ctx):
+            from kiji_mapreduce_spark.cells import latest_value
+
+            nm = latest_value(F.col("info.name"))
+            return F.struct(F.length(nm).alias("len"),
+                            F.upper(nm).alias("upper"))
+
+    out = t.fresh_get(("u1",), StatsProducer(), max_age_ms=10**15,
+                      now_ms=10**13)
+    cell = out.first().derived.stats[0]
+    assert cell.value.len == 3 and cell.value.upper == "ADA"
+
+
+def test_scan_typed_tuple_bounds_numeric_order(spark, tmp_path):
+    """Tuple scan bounds compare componentwise with typed casts, so
+    numeric key ranges are numeric (the packed string orders '10' < '2'
+    — r5 review finding)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "nk",
+        "row_key": {"format": "FORMATTED",
+                    "components": [{"name": "id", "type": "long"}]},
+        "families": [{"name": "f", "columns": [{"name": "v"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/nk", layout)
+    t.merge_put(spark.createDataFrame(
+        [((i,), "f", "v", 1, str(i)) for i in (1, 2, 9, 10, 11, 30)],
+        "entity_id struct<id:long>, family string, qualifier string,"
+        " ts long, value_str string"))
+    got = sorted(r.entity_id.id for r in
+                 t.scan(start_key=(2,), limit_key=(11,)).collect())
+    assert got == [2, 9, 10]  # lexicographic would include 10,11 oddly
+
+
+def test_key_packing_null_and_separator_injective(spark):
+    """Distinct component tuples pack to distinct keys: NULLs encode
+    (concat_ws would drop them) and embedded separators escape."""
+    from kiji_mapreduce_spark.layout import RowKeySpec
+
+    rk = RowKeySpec(components=[("a", "string"), ("b", "string"),
+                                ("c", "string")])
+    df = spark.createDataFrame(
+        [(("a", None, "x"),), (("a", "x", None),),
+         (("a\x00b", "c", "d"),), (("a", "b\x00c", "d"),)],
+        "entity_id struct<a:string, b:string, c:string>")
+    keys = [r.k for r in df.select(rk.key_expr().alias("k")).collect()]
+    assert len(set(keys)) == 4
+
+
+def test_empty_table_after_full_delete_still_readable(spark, tmp_path):
+    """Deleting every row must leave a readable (empty) table, not a
+    directory without parquet footers (r5 review finding)."""
+    t = EntityTable.create(spark, f"{tmp_path}/edel", LAYOUT)
+    puts = spark.createDataFrame(
+        [(("k1",), "info", "email", 1, "a@x.com")],
+        "entity_id struct<key:string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.merge_put(puts)
+    t.merge_delete(_deletes(spark, [(("k1",), None, None, None)]))
+    assert t.read().count() == 0
+    assert t.scan().count() == 0
+
+
+def test_bulk_stage_rows_after_deletes_fails_loudly(spark, tmp_path):
+    """Staging rows into a path that already holds staged tombstones
+    raises instead of silently wiping them (r5 review finding)."""
+    import pytest
+
+    t = EntityTable.create(spark, f"{tmp_path}/bsd", LAYOUT)
+    stage = f"{tmp_path}/stage"
+    dels = _deletes(spark, [(("k1",), None, None, None)])
+    t.bulk_stage(None, stage, deletes=dels)
+    rows = spark.createDataFrame(
+        [(("k2",), ([(1, "b@y.com")],))],
+        "entity_id struct<key:string>, "
+        "info struct<email: array<struct<ts:long, value:string>>>")
+    with pytest.raises(ValueError, match="tombstones"):
+        t.bulk_stage(rows, stage)
