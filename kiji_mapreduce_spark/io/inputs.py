@@ -86,8 +86,14 @@ def job_input(spec: str) -> JobInput:
     parts = dict(p.split("=", 1) for p in spec.split() if "=" in p)
     if "format" not in parts:
         raise ValueError(f"input spec needs format=...: {spec!r}")
-    paths = [p for p in parts.get("file", "").split(",") if p]
-    options = {k: v for k, v in parts.items() if k not in ("format", "file")}
+    # table= is the reference's spelling for kiji table inputs
+    # (JobInputSpec accepts it and job_output mirrors it) — treat it as
+    # the path rather than an opaque option (a kiji spec using table=
+    # used to crash with IndexError on empty paths — r5 review finding)
+    raw_paths = parts.get("file", "") or parts.get("table", "")
+    paths = [p for p in raw_paths.split(",") if p]
+    options = {k: v for k, v in parts.items()
+               if k not in ("format", "file", "table")}
     return JobInput(format=parts["format"], paths=paths, options=options)
 
 
@@ -126,11 +132,17 @@ def _read_xml_records(spark: SparkSession, paths: list[str], row_tag: str,
     guard is a per-record byte cap: longer records are dropped, matching
     the reference's drop-and-continue behavior. 0 = unbounded.
     """
+    import re as _re
+
     close = f"</{row_tag}>"
     raw = spark.read.option("lineSep", close).text(list(paths))
     # match both <tag>...</tag> and attributed <tag a="b">...</tag>;
-    # [\s>] keeps <item> from matching <items>
-    rec = F.regexp_extract(F.col("value"), f"(?s)<{row_tag}[\\s>].*$", 0)
+    # [\s>] keeps <item> from matching <items>. The tag is escaped:
+    # XML names may contain regex metacharacters like '.' and the
+    # lineSep above is LITERAL, so an unescaped pattern could match
+    # different spans than the chunker split on (r5 review finding)
+    rec = F.regexp_extract(
+        F.col("value"), f"(?s)<{_re.escape(row_tag)}[\\s>].*$", 0)
     out = (raw.select(rec.alias("_rec"))
            .filter(F.col("_rec") != "")
            .select(F.concat(F.col("_rec"), F.lit(close)).alias("xml")))

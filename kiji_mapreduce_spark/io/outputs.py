@@ -75,11 +75,21 @@ class JobOutput:
                        options=self.options, nsplits=n)
             return
         if fmt == "seq":
-            # SequenceFile: K/V pairs via the RDD API
+            # SequenceFile: K/V pairs via the RDD API. saveAsSequenceFile
+            # has no write modes, so honor JobOutput.mode here (a rerun
+            # with the default overwrite used to crash on the existing
+            # dir — r5 review finding); nsplits coalesces like the other
+            # formats.
+            if not self._prepare_rdd_dest(df.sparkSession):
+                return
             rdd = df.rdd.map(lambda r: (str(r[0]), str(r[1])))
+            if n:
+                rdd = rdd.coalesce(n)
             rdd.saveAsSequenceFile(self.path)
             return
         if fmt == "map":
+            if not self._prepare_rdd_dest(df.sparkSession):
+                return
             write_mapfile(df, self.path, nsplits=n)
             return
         if fmt in ("kiji", "table", "parquet"):
@@ -102,6 +112,40 @@ class JobOutput:
             return
         raise ValueError(f"unknown output format {self.format!r}")
 
+    def _prepare_rdd_dest(self, spark) -> bool:
+        """Apply write-mode semantics for RDD-API sinks (seq/map), which
+        have none of their own. Returns False when the save should be
+        skipped (mode='ignore' on an existing path)."""
+        if fs_exists(self.path, spark):
+            if self.mode == "overwrite":
+                fs_delete(self.path, spark)
+            elif self.mode == "ignore":
+                return False
+            elif self.mode in ("error", "errorifexists"):
+                raise FileExistsError(self.path)
+        return True
+
+    @property
+    def fires_dataset_action(self) -> bool:
+        """False for sinks that execute through the RDD API — their jobs
+        never fire the QueryExecutionListener, so ``df.observe`` metrics
+        are NOT delivered and a blocking ``Observation.get`` would hang
+        forever (r5 review finding; ``Job.run`` consults this). seq/map
+        are always RDD-backed; avro is RDD-backed only when the
+        spark-avro jar is absent (the pure-Python fallback writer)."""
+        if self.format in ("seq", "map"):
+            return False
+        if self.format in ("avro", "avrokv"):
+            from pyspark.sql import SparkSession
+
+            from kiji_mapreduce_spark.io.avro_io import (
+                spark_avro_jar_available,
+            )
+
+            spark = SparkSession.getActiveSession()
+            return spark is not None and spark_avro_jar_available(spark)
+        return True
+
 
 def job_output(spec: str) -> JobOutput:
     """Parse ``"format=text file=/out nsplits=8"`` / ``"format=hfile@8 ..."``."""
@@ -117,9 +161,13 @@ def job_output(spec: str) -> JobOutput:
     return JobOutput(
         format=fmt, path=parts.get("file", parts.get("table", "")),
         nsplits=nsplits,
+        # mode= must land on JobOutput.mode, not in writer options —
+        # the parquet writer ignores an option('mode', ...), so a
+        # requested append would silently overwrite (r5 review finding)
+        mode=parts.get("mode", "overwrite"),
         options={k: v for k, v in parts.items()
                  if k not in ("format", "file", "table", "nsplits",
-                              "partition_by")},
+                              "partition_by", "mode")},
         partition_by=partition_by,
     )
 
@@ -199,7 +247,15 @@ def write_mapfile(df: DataFrame, path: str, nsplits: int | None = None) -> None:
     kv = df.select(F.col(key).cast("string").alias("k"),
                    F.col(value).cast("string").alias("v"))
     n = nsplits or kv.rdd.getNumPartitions()
-    sorted_kv = kv.repartitionByRange(n, F.col("k")).sortWithinPartitions("k")
+    # PIN the range shuffle before deriving both the files and the
+    # index from it: repartitionByRange re-SAMPLES boundaries per
+    # execution, so an unpinned plan could put a boundary key in part i
+    # during the write but attribute it to part i+1 in a re-executed
+    # index pass — lookups would then scan the wrong file and miss a
+    # present key (r5 review finding)
+    sorted_kv = (kv.repartitionByRange(n, F.col("k"))
+                 .sortWithinPartitions("k")
+                 .localCheckpoint(eager=True))
 
     def _bounds(idx, it):
         lo = hi = None
@@ -216,8 +272,9 @@ def write_mapfile(df: DataFrame, path: str, nsplits: int | None = None) -> None:
     pair_rdd.saveAsSequenceFile(path)
     bounds = sorted_kv.rdd.mapPartitionsWithIndex(_bounds).collect()
     index = {f"part-{i:05d}": [lo, hi] for i, lo, hi in bounds}
-    with open(os.path.join(_strip_file_scheme(path), _MAPFILE_INDEX), "w") as f:
-        json.dump(index, f, indent=1, sort_keys=True)
+    fs_write_text(os.path.join(path, _MAPFILE_INDEX),
+                  json.dumps(index, indent=1, sort_keys=True),
+                  df.sparkSession)
 
 
 def mapfile_lookup(spark, path: str, key) -> list[str]:
@@ -226,8 +283,8 @@ def mapfile_lookup(spark, path: str, key) -> list[str]:
     (the MapFile binary-search analogue), scan it for the key."""
     import json
 
-    with open(os.path.join(_strip_file_scheme(path), _MAPFILE_INDEX)) as f:
-        index = json.load(f)
+    index = json.loads(
+        fs_read_text(os.path.join(path, _MAPFILE_INDEX), spark))
     key = str(key)
     hits = [part for part, (lo, hi) in index.items() if lo <= key <= hi]
     if not hits:
@@ -300,6 +357,40 @@ def fs_listdir(path: str, spark=None) -> list[str]:
         return os.listdir(_strip_file_scheme(path))
     fs, p, _ = _hadoop_fs(path, spark)
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def fs_write_text(path: str, text: str, spark=None) -> None:
+    """Scheme-agnostic small-text write (index sidecars and markers)."""
+    if _is_local_path(path):
+        with open(_strip_file_scheme(path), "w") as f:
+            f.write(text)
+        return
+    fs, p, _ = _hadoop_fs(path, spark)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(path: str, spark=None) -> str:
+    """Scheme-agnostic small-text read."""
+    if _is_local_path(path):
+        with open(_strip_file_scheme(path)) as f:
+            return f.read()
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    fs, p, _ = _hadoop_fs(path, spark)
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Spark; one JVM call instead of a py4j
+        # roundtrip per byte
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def fs_delete(path: str, spark=None) -> None:

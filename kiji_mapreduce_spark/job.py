@@ -89,23 +89,33 @@ class Job:
     def run(self) -> bool:
         start = int(time.time() * 1000)
         status = "SUCCEEDED"
+        # RDD-API sinks (seq/map, jar-less avro) never fire the
+        # QueryExecutionListener that feeds Observation, so a blocking
+        # .get would hang forever (r5 review finding) — skip counters
+        # for those sinks instead
+        observable = (self.output is None
+                      or getattr(self.output, "fires_dataset_action", True))
         try:
             if self.output is not None:
                 self.output.save(self.plan)
             else:
                 self.plan.count()
-            if self.observation is not None:
+            if self.observation is not None and observable:
                 self.counters = dict(self.observation.get)
-            if self.out_observation is not None:
+            if self.out_observation is not None and observable:
                 self.counters.update(self.out_observation.get)
                 n_in = self.counters.get(
                     f"{self.counter_prefix}_ROWS_PROCESSED")
                 n_out = self.counters.get(
                     f"{self.counter_prefix}_ROWS_OUT")
                 # rows dropped by a row-wise operator = rejected records
-                # (BulkImportMapper's RECORDS_REJECTED counter); only
-                # meaningful when the operator is 1-row-in/<=1-row-out
-                if n_in is not None and n_out is not None and n_in >= n_out:
+                # (BulkImportMapper's RECORDS_REJECTED counter). Only
+                # 1-row-in/<=1-row-out operators get it — an aggregating
+                # gatherer would otherwise record rows_in - n_groups as
+                # bogus "rejections" (r5 review finding)
+                if (self.counter_prefix in ("PRODUCER", "BULKIMPORTER")
+                        and n_in is not None and n_out is not None
+                        and n_in >= n_out):
                     self.counters[
                         f"{self.counter_prefix}_RECORDS_REJECTED"] = n_in - n_out
             return True

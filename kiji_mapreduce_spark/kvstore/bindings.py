@@ -64,5 +64,11 @@ def parse_bindings_xml(text: str) -> dict[str, _stores.KeyValueStore]:
                     kwargs[pname] = int(pval)
                 else:
                     kwargs[pname] = pval
+        # cache_size is the reference's per-task LRU knob
+        # (KijiTableKeyValueStore.java:526-530) — parsed for
+        # compatibility but meaningless here (broadcast joins replace
+        # the LRU); dropping it beats a TypeError from a constructor
+        # that has no such field (r5 review finding)
+        kwargs.pop("cache_size", None)
         out[name] = _CLASSES[cls_name](**kwargs)
     return out

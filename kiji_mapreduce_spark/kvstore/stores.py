@@ -48,6 +48,12 @@ class KeyValueStore:
         if broadcast:
             build = F.broadcast(build)
         probe_cols = [on] if isinstance(on, str) else (on or self.key_cols)
+        if len(probe_cols) != len(self.key_cols):
+            # zip would silently drop the unmatched key columns and join
+            # on a PARTIAL key — wrong fan-out with no error (r5 review)
+            raise ValueError(
+                f"lookup probe columns {probe_cols!r} must match the "
+                f"store's composite key {self.key_cols!r} in length")
         if probe_cols == self.key_cols:
             return df.join(build, on=self.key_cols, how=how)
         cond = None

@@ -306,3 +306,87 @@ def test_xml_overrun_bound_drops_monster_record(spark, tmp_path):
     df_all = JobInput("xml", [str(tmp_path / "o.xml")],
                       {"rowTag": "user"}).load(spark)
     assert df_all.count() == 3
+
+
+def test_seq_output_job_with_counters_does_not_hang(spark, tmp_path):
+    """seq/map sinks run through the RDD API, which never fires the
+    QueryExecutionListener feeding df.observe — Job.run() used to block
+    forever on Observation.get (r5 review finding). The job must finish,
+    write the files, and simply skip the counters."""
+    from kiji_mapreduce_spark.job import GatherJobBuilder
+    from kiji_mapreduce_spark.io.outputs import job_output
+    from kiji_mapreduce_spark.operators import Gatherer
+
+    class KV(Gatherer):
+        def gather_df(self, df, ctx):
+            return df.select(F.col("k"), F.col("v"))
+
+        def reduce_df(self, g, ctx):
+            return g
+
+    df = spark.createDataFrame([("a", "1"), ("b", "2")],
+                               "k string, v string")
+    job = (GatherJobBuilder().with_input(df).with_gatherer(KV())
+           .with_output(job_output(f"format=seq file={tmp_path}/seq"))
+           .build())
+    assert job.run() is True  # returns — no counters, no hang
+    back = spark.sparkContext.sequenceFile(f"{tmp_path}/seq")
+    assert sorted(back.collect()) == [("a", "1"), ("b", "2")]
+    # rerun with default overwrite mode: must not crash on existing dir
+    job2 = (GatherJobBuilder().with_input(df).with_gatherer(KV())
+            .with_output(job_output(f"format=seq file={tmp_path}/seq"))
+            .build())
+    assert job2.run() is True
+
+
+def test_mapfile_index_matches_written_files(spark, tmp_path):
+    """The mapfile index derives from the SAME pinned shuffle as the
+    part files (an unpinned repartitionByRange re-samples boundaries per
+    execution), so every written key must be found via the index."""
+    from kiji_mapreduce_spark.io.outputs import mapfile_lookup, write_mapfile
+
+    rows = [(f"k{i:04d}", str(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    write_mapfile(df, str(tmp_path / "mf"), nsplits=8)
+    for probe in ("k0000", "k0137", "k0250", "k0499"):
+        got = mapfile_lookup(spark, str(tmp_path / "mf"), probe)
+        assert got == [str(int(probe[1:]))], probe
+
+
+def test_job_input_kiji_table_spec(spark, tmp_path):
+    """The reference spells kiji inputs with table=; it must parse as
+    the path (used to IndexError on empty paths — r5 review finding)."""
+    from kiji_mapreduce_spark.io.inputs import job_input
+
+    ji = job_input(f"format=kiji table={tmp_path}/users")
+    assert ji.paths == [f"{tmp_path}/users"]
+    assert "table" not in ji.options
+
+
+def test_job_output_mode_append_honored(spark, tmp_path):
+    """mode= in an output spec must set the writer mode, not vanish into
+    writer options (a requested append silently overwrote)."""
+    from kiji_mapreduce_spark.io.outputs import job_output
+
+    out = job_output(f"format=parquet file={tmp_path}/t mode=append")
+    assert out.mode == "append" and "mode" not in out.options
+    df = spark.createDataFrame([(1,)], "a long")
+    out.save(df)
+    out.save(df)
+    assert spark.read.parquet(f"{tmp_path}/t").count() == 2
+
+
+def test_xml_row_tag_with_regex_metachars(spark, tmp_path):
+    """XML names may contain regex metacharacters ('.' is legal); the
+    record pattern must treat the tag literally."""
+    from kiji_mapreduce_spark.io.inputs import JobInput
+
+    p = tmp_path / "dotted.xml"
+    p.write_text("<root><my.rec><v>1</v></my.rec>"
+                 "<myXrec><v>BAD</v></myXrec>"
+                 "<my.rec><v>2</v></my.rec></root>")
+    out = JobInput("xml", [str(p)],
+                   {"rowTag": "my.rec"}).load(spark).collect()
+    xmls = sorted(r.xml for r in out)
+    assert len(xmls) == 2
+    assert all("BAD" not in x for x in xmls)

@@ -124,3 +124,38 @@ def test_reader_size_cap(spark):
     with pytest.raises(ValueError, match="lookup"):
         store.reader(spark, max_rows=10)
     assert len(store.reader(spark, max_rows=50)) == 50
+
+
+def test_lookup_partial_composite_key_rejected(spark):
+    """A probe column list shorter than the store's composite key must
+    raise — zip used to silently join on a partial key (r5 review)."""
+    import pytest
+
+    from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
+
+    build = spark.createDataFrame([("a", "b", 1)],
+                                  "k1 string, k2 string, v long")
+    store = DataFrameKeyValueStore(df=build, key_cols=["k1", "k2"])
+    probe = spark.createDataFrame([("a",)], "k1 string")
+    with pytest.raises(ValueError, match="composite key"):
+        store.lookup(probe, on=["k1"])
+
+
+def test_bindings_cache_size_accepted_and_ignored(spark, tmp_path):
+    """The reference's cache_size LRU knob parses without crashing the
+    store construction (broadcast joins replace the per-task LRU)."""
+    from kiji_mapreduce_spark.kvstore.bindings import parse_bindings_xml
+
+    (tmp_path / "kv.txt").write_text("a\t1\n")
+    xml = f"""
+    <stores>
+      <store name="s" class="org.kiji.TextFileKeyValueStore">
+        <configuration>
+          <property><name>paths</name><value>{tmp_path}/kv.txt</value></property>
+          <property><name>cache_size</name><value>100</value></property>
+        </configuration>
+      </store>
+    </stores>"""
+    stores = parse_bindings_xml(xml)
+    got = stores["s"].reader(spark)
+    assert list(got) == ["a"] and "1" in str(got["a"])
