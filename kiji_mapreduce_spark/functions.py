@@ -196,12 +196,15 @@ def snapshot_diff(
     compare_cols = compare_cols or [
         c for c in before.columns if c in set(after.columns)
         and c not in set(key_cols)]
-    bh = before.select(
-        *key_cols,
-        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_bhash"))
-    ah = after.select(
-        *key_cols,
-        F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_ahash"))
+    # hash the JSON rendering with EXPLICIT nulls, not the raw columns:
+    # xxhash64 skips null children entirely, so ('x', NULL) and
+    # (NULL, 'x') hashed identically and a value moving between columns
+    # across a NULL read as "unchanged" (r5 review finding)
+    row_repr = F.to_json(
+        F.struct(*[F.col(c) for c in compare_cols]),
+        {"ignoreNullFields": "false"})
+    bh = before.select(*key_cols, F.xxhash64(row_repr).alias("_bhash"))
+    ah = after.select(*key_cols, F.xxhash64(row_repr).alias("_ahash"))
     j = bh.join(ah, on=key_cols, how="full_outer")
     change = (F.when(F.col("_bhash").isNull(), F.lit("inserted"))
               .when(F.col("_ahash").isNull(), F.lit("deleted"))

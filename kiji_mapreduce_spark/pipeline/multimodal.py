@@ -72,17 +72,26 @@ def _decode_image_real(content: bytes):
     try:  # optional extra: PIL widens format coverage when present
         from PIL import Image
         import io as _io
-
-        import numpy as _np
-
-        img = Image.open(_io.BytesIO(content))
-        arr = _np.asarray(img.convert("RGB"))
-        return arr, img.width, img.height
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
             "8-bit non-interlaced PNG decodes natively via "
             "media_codecs.decode_png") from None
+    import numpy as _np
+
+    try:
+        img = Image.open(_io.BytesIO(content))
+        arr = _np.asarray(img.convert("RGB"))
+        return arr, img.width, img.height
+    except Exception as e:
+        # corrupt/unrecognized bytes raise PIL.UnidentifiedImageError
+        # (and friends), NOT ImportError — map them onto the documented
+        # error surface so callers catching UnsupportedMedia see every
+        # undecodable blob the same way (r5 review finding)
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        raise media_codecs.UnsupportedMedia(
+            f"PIL could not decode the image bytes: {e}") from e
 
 
 def _fake_feature(content: bytes, dim: int) -> list[float]:
@@ -234,9 +243,11 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                   frame_size: int = 256) -> DataFrame:
     """Frame sampling plumbing: explode a video blob into frame rows
     (media_id, frame_no, frame_bytes). The stub slices the raw bytes into
-    fixed windows standing in for decoded frames."""
+    fixed windows standing in for decoded frames; the final window may be
+    short (flooring dropped the tail bytes entirely — r5 review)."""
     n_frames = F.greatest(
-        (F.length(content_col) / F.lit(frame_size)).cast("int"), F.lit(1))
+        F.ceil(F.length(content_col) / F.lit(frame_size)).cast("int"),
+        F.lit(1))
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return (
         df.select(id_col, content_col, F.explode(idx).alias("frame_no"))

@@ -32,7 +32,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, zero-norm safe: an all-zero (or empty)
+    embedding scores 0.0 against everything. Without the guard, Spark
+    4's default ANSI mode aborts the whole job with DIVIDE_BY_ZERO on
+    one bad vector, and with ANSI off the NaN result sorts ABOVE every
+    real cosine, ranking the zero vector as the best neighbor of every
+    query (r5 review finding, both verified empirically)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -111,9 +118,16 @@ def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        iu = np.triu_indices(len(m), k=1)
+        if len(iu[0]) == 0:
+            # a singleton group has no pairs: emit nothing, matching the
+            # SQL mirror (whose pair self-join yields no row) — calling
+            # .max() on the empty slice raised ValueError and killed the
+            # job for one lone cluster (r5 review finding)
+            return pd.DataFrame({"label": [], "n_pairs": [],
+                                 "max_cosine": [], "avg_cosine": []})
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         cos = (m / norms) @ (m / norms).T
-        iu = np.triu_indices(len(m), k=1)
         vals = cos[iu]
         # no rounding here: double rounding (python banker's then SQL
         # HALF_UP) flips values sitting on a rounding boundary
@@ -124,10 +138,15 @@ def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
             "avg_cosine": [float(vals.mean())],
         })
 
+    # the output schema follows the ACTUAL label column type — it was
+    # hardcoded 'label int', breaking any non-integer label_col
+    # (r5 review finding)
+    label_type = dict(embeddings.dtypes)[label_col]
     return embeddings.select(label_col, id_col, vec_col).groupBy(
         label_col).applyInPandas(
             _stats,
-            "label int, n_pairs long, max_cosine double, avg_cosine double")
+            f"label {label_type}, n_pairs long, "
+            "max_cosine double, avg_cosine double")
 
 
 def ivf_topk(

@@ -76,6 +76,18 @@ def chunk_documents(
             .cast("long").alias("n_tokens")))
 
 
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count tokens equal to any of ``words`` by token MEMBERSHIP, not a
+    space-delimited regex: ``regexp_count(' (the|and) ')`` consumes the
+    trailing space per match, so every second stopword in a consecutive
+    run was missed — halving stop_ratio on stopword-dense text and
+    skewing the language-ID vote (r5 review finding; the SQL oracles
+    count with the same list_filter form)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    word_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(word_arr, x)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring features: lengths, token stats, punctuation /
     digit / uppercase ratios, stopword ratio (en), and a composite score in
@@ -86,9 +98,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
     n_digits = F.regexp_count(t, F.lit(r"[0-9]"))
     n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
-    n_stop = F.regexp_count(
-        F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
-        F.lit(r" (" + "|".join(_STOPWORDS["en"]) + r") "))
+    n_stop = _stopword_hits(t, _STOPWORDS["en"])
     avg_token_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
     digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0)
@@ -117,12 +127,9 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
     """Stopword-vote language ID: count stopword hits per language, pick
     the argmax (ties broken by language code order); 'und' when no hits."""
     langs = langs or sorted(_STOPWORDS)
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = F.array(*[
         F.struct(
-            F.regexp_count(
-                padded, F.lit(r" (" + "|".join(_STOPWORDS[lg]) + r") ")
-            ).alias("hits"),
+            _stopword_hits(text, _STOPWORDS[lg]).alias("hits"),
             F.lit(lg).alias("lang"),
         )
         for lg in langs
@@ -157,7 +164,7 @@ def normalize_text(df: DataFrame, text_col: str = "text",
 # RE2 (DuckDB/most engines): ASCII classes, \b, bounded repetition only.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "phone": r"\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
@@ -206,9 +213,10 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     aggregate. Only token positions and gram strings shuffle, never the
     document text.
     """
+    from kiji_mapreduce_spark.pipeline.dedup import tokens
+
     ns = sorted(set(top_ns) | set(dup_ns))
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens(F.col(text_col))
     ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     gram_cols = []
@@ -228,9 +236,17 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     ).filter(F.col("gram").isNotNull())
     counts = stacked.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("c"))
+    # top_mass = character mass of the MOST-FREQUENT gram (Gopher's
+    # "fraction of characters in the most frequently-occurring n-gram"),
+    # NOT max(c * len) over all grams — a rarer-but-longer gram could
+    # otherwise win (r5 review finding). Encoded as one composite BIGINT
+    # max so both engines agree exactly: count dominates, mass breaks
+    # count ties (masses are < 1e8 — bounded by document length).
+    mass = F.col("c") * F.length("gram")
     masses = counts.groupBy(id_col, "n").agg(
-        F.max(F.col("c") * F.length("gram")).alias("top_mass"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram"))
+        F.pmod(F.max(F.col("c") * F.lit(100_000_000) + mass),
+               F.lit(100_000_000)).alias("top_mass"),
+        F.sum(F.when(F.col("c") >= 2, mass)
               .otherwise(F.lit(0))).alias("dup_mass"))
     pivots = [
         F.max(F.when(F.col("n") == n, F.col("top_mass"))).alias(f"_top{n}")
@@ -260,8 +276,10 @@ def fingerprint(text: Column, window: int = 8) -> Column:
     with modular polynomial arithmetic over pre-hashed longs (no per-gram
     string building; products stay below long overflow for ANSI mode).
     Falls back to hashing the whole text for short documents."""
+    from kiji_mapreduce_spark.pipeline.dedup import tokens
+
     p = (1 << 31) - 1
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    toks = tokens(text)
     hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
     n = F.size(hashes)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
@@ -292,11 +310,10 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     ``hash_fn="md5"`` swaps the token hash for a 60-bit md5 prefix that
     any SQL engine reproduces (see ``dedup.token_hash64``) — the
     cross-engine-checkable mode; default xxhash64 is the fast path."""
-    from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+    from kiji_mapreduce_spark.pipeline.dedup import token_hash64, tokens
 
     p = (1 << 31) - 1
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens(F.col(text_col))
     hashes = F.transform(
         toks, lambda t: F.pmod(token_hash64(t, hash_fn), F.lit(p)))
     # NOTE on shape (measured at sf0.1): the max(pos) window below looks

@@ -682,8 +682,8 @@ WITH f AS (
          len(regexp_extract_all(text, '\S+')) AS n_tokens,
          len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
          len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-         len(regexp_extract_all(' ' || lower(text) || ' ',
-             ' (the|and|of|to|in|is|that|it|was|for) ')) AS n_stop
+         len(list_filter(str_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) AS n_stop
   FROM documents
 ), r AS (
   SELECT doc_id, n_tokens,
@@ -1098,22 +1098,27 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 
 SQL_TEXT_LANGID = r"""
 WITH padded AS (
-  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+  SELECT doc_id, lang, lower(text) AS t FROM documents
 ), scores AS (
   SELECT doc_id, lang, 'de' AS cand,
-         len(regexp_extract_all(t, ' (der|die|und|das|ist|von|mit|den|ein|zu) ')) AS hits FROM padded
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'von', 'mit', 'den', 'ein', 'zu'], x))) AS hits FROM padded
   UNION ALL
   SELECT doc_id, lang, 'en',
-         len(regexp_extract_all(t, ' (the|and|of|to|in|is|that|it|was|for) ')) FROM padded
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) FROM padded
   UNION ALL
   SELECT doc_id, lang, 'es',
-         len(regexp_extract_all(t, ' (el|la|de|que|y|en|un|por|con|los) ')) FROM padded
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'por', 'con', 'los'], x))) FROM padded
   UNION ALL
   SELECT doc_id, lang, 'fr',
-         len(regexp_extract_all(t, ' (le|la|de|et|les|des|est|dans|que|pour) ')) FROM padded
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['le', 'la', 'de', 'et', 'les', 'des', 'est', 'dans', 'que', 'pour'], x))) FROM padded
   UNION ALL
   SELECT doc_id, lang, 'zh',
-         len(regexp_extract_all(t, ' (的|是|在|了|和|有|我|不|人|这) ')) FROM padded
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['的', '是', '在', '了', '和', '有', '我', '不', '人', '这'], x))) FROM padded
 ), best AS (
   SELECT doc_id, lang, cand, hits,
          row_number() OVER (PARTITION BY doc_id
@@ -1403,8 +1408,8 @@ WITH f AS (
          len(regexp_extract_all(text, '\S+')) AS n_tokens,
          len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
          len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-         len(regexp_extract_all(' ' || lower(text) || ' ',
-             ' (the|and|of|to|in|is|that|it|was|for) ')) AS n_stop
+         len(list_filter(str_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) AS n_stop
   FROM documents
 ), r AS (
   SELECT *,
@@ -1944,8 +1949,10 @@ c AS (
   SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
 ),
 m AS (
+  -- top_mass = char mass of the most-FREQUENT gram (count dominates the
+  -- composite key; mass breaks count ties) — mirrors repetition_features
   SELECT doc_id, n,
-         max(c * length(gram)) AS top_mass,
+         max(c * 100000000 + c * length(gram)) % 100000000 AS top_mass,
          coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
            AS dup_mass
   FROM c GROUP BY doc_id, n
@@ -2013,20 +2020,20 @@ SELECT c_custkey,
   len(regexp_extract_all(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
   len(regexp_extract_all(text,
-      '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
+      '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
   len(regexp_extract_all(text,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
   md5(regexp_replace(
         regexp_replace(
           regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-          '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+          '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'))
     AS redacted_digest,
   (len(regexp_extract_all(text,
        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
    + len(regexp_extract_all(text,
-       '\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b'))
+       '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b'))
    + len(regexp_extract_all(text,
        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
 FROM blob
@@ -2676,28 +2683,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_audit": q_data_quality_audit,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    # -- changed in r5 (stopword membership counting, PII phone
+    #    pattern, multimodal decode paths): rotate back in --
+    "text_langid": q_text_langid,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "multimodal_features": q_multimodal_features,
     # -- verified r4; fill the remaining window slots --
     "streaming_interval_join": q_streaming_interval_join,
-    "streaming_dedup_docs": q_streaming_dedup_docs,
-    "knn_lsh_topk": q_knn_lsh_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
-    "knn_pq_topk": q_knn_pq_topk,
-    "bm25_search_topk": q_bm25_search_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: all green in r4, unchanged since; rotate next round --
-    "text_langid": q_text_langid,
-    "text_repetition": q_text_repetition,
-    "text_pii": q_text_pii,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "knn_pq_topk": q_knn_pq_topk,
+    "bm25_search_topk": q_bm25_search_topk,
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
     "sample_stratum_topk": q_sample_stratum_topk,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "mixture_token_budget": q_mixture_token_budget,
     "pack_documents": q_pack_documents,
-    "multimodal_features": q_multimodal_features,
     "kmeans_clusters": q_kmeans_clusters,
     "salted_topk_events": q_salted_topk_events,
     "sample_cluster_balanced": q_sample_cluster_balanced,
@@ -2753,6 +2762,10 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "cell_rewrite_int_to_long",
     "map_family_regex_filter",
     "entity_key_hash",
+    "text_langid",
+    "text_repetition",
+    "text_pii",
+    "multimodal_features",
     # last oracle row r2/r3
     "asof_join_purchase_click",
     "range_join_price_bands",

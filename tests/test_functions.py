@@ -163,3 +163,17 @@ def test_audit_profile_and_orphans(spark):
     # the null-fk row does not join to parent and is not an orphan "hit"
     # of a real key -> left_anti counts it too (fk null never matches)
     assert got[("fk_orphans", "child.fk->parent.pk")] == 2.0
+
+
+def test_snapshot_diff_detects_null_column_swap(spark):
+    """A value moving between columns across a NULL is an update —
+    xxhash64 skips null children, so ('x', NULL) and (NULL, 'x') hashed
+    identically and the change was silently dropped (r5 review)."""
+    from kiji_mapreduce_spark.functions import snapshot_diff
+
+    before = spark.createDataFrame([(1, "x", None)],
+                                   "id long, a string, b string")
+    after = spark.createDataFrame([(1, None, "x")],
+                                  "id long, a string, b string")
+    out = snapshot_diff(before, after, ["id"]).collect()
+    assert [(r.id, r.change) for r in out] == [(1, "updated")]

@@ -806,3 +806,27 @@ def test_kmv_and_weighted_sample_null_safety(spark):
     picked = {r.doc_id for r in sample.weighted_sample_topk(
         sdf, "s", "w", k=2, key_col="doc_id").collect()}
     assert picked == {"a", "b"}  # the NULL-keyed heavy row is excluded
+
+
+def test_stopword_count_consecutive_run(spark):
+    """'of the and to in is' must count ALL six stopwords — the old
+    space-delimited regex consumed the trailing space per match and
+    missed every second word in a consecutive run (r5 review)."""
+    df = spark.createDataFrame([("of the and to in is",)], "text string")
+    r = text_ops.quality_features(df).first()
+    assert r.stopword_ratio == 1.0  # 6 of 6 tokens are stopwords
+    # language_id votes on the full count too
+    lang = df.select(text_ops.language_id(F.col("text")).alias("l")).first()
+    assert lang.l == "en"
+
+
+def test_repetition_top_frac_is_most_frequent_gram_mass(spark):
+    """top{n}_frac measures the most-FREQUENT gram's character mass, not
+    the max of count*len over all grams (a rarer-but-longer gram could
+    win — r5 review). 'x y' occurs 4x (mass 12); 'aaaaaa bbbbbb' occurs
+    2x (mass 26): the statistic must come from 'x y'."""
+    text = " ".join(["x y"] * 4 + ["aaaaaa bbbbbb"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = text_ops.repetition_features(df, top_ns=[2], dup_ns=[2]).first()
+    norm_len = len(text)
+    assert r.top2_frac == round(4 * len("x y") / norm_len, 4)
