@@ -17,10 +17,13 @@ _cellcase = st.lists(_version, min_size=0, max_size=8)
 
 
 def _model_cells(versions):
-    """Python model: newest-first by (ts, value) where the tie-break
-    follows the STORED type's ordering — these cells hold strings, so
-    '-1' < '-2' lexicographically (matches Spark struct ordering)."""
-    return sorted(versions, key=lambda c: (c[0], str(c[1])), reverse=True)
+    """Python model: newest-first by ts, STABLE for equal timestamps
+    (input order preserved). sort_cells compares on ts alone — value
+    tie-breaks would fail outright for unorderable (map-typed) cell
+    values — and every write path keeps ts unique within a cell, so
+    equal-ts order only matters for hand-built arrays like these.
+    Python's sorted() is stable, mirroring the comparator sort."""
+    return sorted(versions, key=lambda c: -c[0])
 
 
 @settings(max_examples=5, deadline=None)
