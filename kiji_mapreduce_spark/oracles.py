@@ -496,6 +496,102 @@ FROM isl GROUP BY {id_col}, grp
 """
 
 
+def pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 5,
+                 round_dp: int = 12, final_dp: int = 6,
+                 node_alias: str = "node",
+                 rank_alias: str = "rank") -> str:
+    """Mirror of graph.pagerank: ``edges_sql`` must yield (src, dst, w).
+    Same formulation constant-for-constant — loop-invariant w/outw
+    normalization, (1-d)/N base computed as the SAME Python double the
+    Spark side uses (emitted via repr, so e.g. 1-0.85's IEEE artifact
+    matches), and a round-to-``round_dp`` after every iteration that
+    pins both engines to one grid regardless of float summation order.
+    The iterations are unrolled into generated CTEs."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [f"""
+WITH e0 AS ({edges_sql}),
+outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS norm
+      FROM e0 JOIN outw ON outw.src = e0.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / nn.n, {round_dp}) AS rank
+       FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (SELECT e.dst AS node, sum(r.rank * e.norm) AS c
+         FROM e JOIN r{k - 1} r ON r.node = e.src GROUP BY 1),
+r{k} AS (SELECT n.node,
+                round({base} / nn.n + {d} * coalesce(c.c, 0.0),
+                      {round_dp}) AS rank
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN c{k} c ON c.node = n.node)""")
+    parts.append(f"""
+SELECT node AS {node_alias}, round(rank, {final_dp}) AS {rank_alias}
+FROM r{iters}""")
+    return "".join(parts)
+
+
+def repeated_ngram_coverage_sql(n: int = 3, min_docs: int = 2,
+                               source: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """Mirror of dedup.repeated_ngram_coverage(hash_fn="md5"): positional
+    grams (full n-grams; docs shorter than n keep one edge gram at
+    position 0), gram frequency counted as DISTINCT containing docs,
+    hits merged into spans when gaps <= n-1, coverage summed per doc
+    with span ends clamped to the last token. Every document (including
+    zero-token ones) reports a row; dup_frac rounds to 4 dp."""
+    gram_h = _md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")
+    edge_h = _md5h("array_to_string(t, ' ')")
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+grams AS (
+  SELECT {id_col}, len(t) - 1 AS mx,
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+              i -> struct_pack(p := i - 1, h := {gram_h}))
+         ELSE [struct_pack(p := 0, h := {edge_h})] END AS g
+  FROM toks WHERE len(t) >= 1
+),
+ex AS (SELECT {id_col}, mx, unnest(g) AS s FROM grams),
+freq AS (
+  SELECT s.h AS h FROM ex
+  GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+),
+hits AS (
+  SELECT {id_col}, s.p AS p, mx FROM ex
+  WHERE s.h IN (SELECT h FROM freq)
+),
+lagd AS (
+  SELECT {id_col}, p, mx,
+         lag(p) OVER (PARTITION BY {id_col} ORDER BY p) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT {id_col}, p, mx,
+         sum(CASE WHEN prev IS NULL OR p - prev > {n - 1}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY p) AS grp
+  FROM lagd
+),
+spans AS (
+  SELECT {id_col}, min(p) AS s, least(max(p) + {n - 1}, max(mx)) AS e
+  FROM isl GROUP BY {id_col}, grp
+),
+cov AS (
+  SELECT {id_col}, sum(e - s + 1) AS covered, count(*) AS n_spans
+  FROM spans GROUP BY {id_col}
+),
+anchor AS (SELECT {id_col}, len(t)::BIGINT AS n_tokens FROM toks)
+SELECT a.{id_col}, a.n_tokens,
+       coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(round(c.covered / a.n_tokens, 4), 0.0) AS dup_frac
+FROM anchor a LEFT JOIN cov c USING ({id_col})
+"""
+
+
 def knn_pq_sql(n_subspaces: int = 8, n_codes: int = 16, k: int = 5,
                refine: int = 4, dim: int = 64,
                query_pred: str = "vec_id < 5") -> str:

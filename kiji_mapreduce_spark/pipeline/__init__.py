@@ -4,9 +4,9 @@ columns. All expression-first; Python only where semantics demand it.
 """
 
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, lm, multimodal, sample, search,
+    curate, decontaminate, dedup, graph, lm, multimodal, sample, search,
     similarity, text,
 )
 
-__all__ = ["curate", "decontaminate", "dedup", "lm", "multimodal",
-           "sample", "search", "similarity", "text"]
+__all__ = ["curate", "decontaminate", "dedup", "graph", "lm",
+           "multimodal", "sample", "search", "similarity", "text"]

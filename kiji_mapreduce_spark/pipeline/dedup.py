@@ -345,6 +345,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_ngram_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, min_docs: int = 2, hash_fn: str = "xx",
+) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of token
+    positions covered by a word n-gram that occurs in at least
+    ``min_docs`` DISTINCT documents — the exact-substring duplication
+    measure behind span-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): pipelines cut or
+    down-weight the duplicated spans rather than dropping whole
+    documents. Parity note: span *measurement* has no direct analogue in
+    the reference (KijiMR ships the archetypes, not the analytics); the
+    gather->combine->reduce shape it runs on mirrors
+    ``KijiGatherer``/``KijiReducer`` (KijiGatherer.java:40).
+
+    Returns one row per document (including zero-token documents):
+    (id, n_tokens, covered_tokens, n_spans, dup_frac) where spans are
+    merged hit intervals [pos, pos+n-1] (clamped to the last token) and
+    ``dup_frac = covered_tokens / n_tokens`` rounded to 4 dp (0.0 for
+    empty docs).
+
+    Scale shape: ONE text scan produces positional gram hashes,
+    localCheckpoint'd because they feed three consumers (frequency
+    aggregate, hit probe, per-doc token counts). Gram frequency is a
+    digest-only groupBy (64-bit longs shuffle, never text); the hit
+    probe is a semi-join on the same longs; the interval merge windows
+    over hit positions only — hits are a small fraction of positions at
+    any duplication rate worth measuring. Nothing in the plan holds a
+    document's text after the first projection.
+    """
+    grams = shingle_hashes(df, text_col, id_col, n, hash_fn,
+                           with_pos=True, outer=True)
+    grams = grams.localCheckpoint(eager=True)
+    freq = (grams.filter(F.col("_h").isNotNull())
+            .groupBy("_h")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_h"))
+    hits = grams.join(freq, on="_h", how="left_semi")
+    # islands over hit positions: a new span starts when the gap to the
+    # previous hit exceeds n-1 (the grams no longer overlap). Equal-width
+    # intervals make the running-max-end test collapse to a lag test.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n - 1, 1
+    ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+    spans = (hits.withColumn("_ns", new_span)
+             .withColumn("_grp", F.sum("_ns").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "_grp")
+             .agg(F.min("pos").alias("_s"),
+                  F.least(F.max("pos") + (n - 1),
+                          F.max("_mx")).alias("_e")))
+    cov = spans.groupBy(id_col).agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("covered_tokens"),
+        F.count(F.lit(1)).alias("n_spans"))
+    # anchor on every document (outer=True kept zero-token docs as one
+    # null-pos row): n_tokens from the same checkpointed gram rows
+    anchor = grams.groupBy(id_col).agg(
+        (F.coalesce(F.max("_mx"), F.lit(-1)) + 1)
+        .cast("long").alias("n_tokens"))
+    out = anchor.join(cov, on=id_col, how="left")
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return out.select(
+        id_col, "n_tokens", covered.alias("covered_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+        .alias("n_spans"),
+        # try_divide: a zero-token doc divides by 0 -> null -> 0.0
+        # (plain `/` throws under ANSI mode)
+        F.coalesce(F.round(F.try_divide(covered, F.col("n_tokens")), 4),
+                   F.lit(0.0)).alias("dup_frac"))
+
+
 def minhash_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, n: int = 3, hash_fn: str = "xx",

@@ -28,8 +28,8 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, lm, sample, search, similarity, sketch,
-    text as text_ops,
+    curate, decontaminate, dedup, graph, lm, sample, search, similarity,
+    sketch, text as text_ops,
 )
 
 
@@ -2064,6 +2064,46 @@ def q_decontaminate_spans(spark, sf_dir):
         cand, bench, n=3, hash_fn="md5")
 
 
+def q_dedup_repeated_ngrams(spark, sf_dir):
+    """Span-level duplication measurement (Lee et al. 2022): per
+    document, the fraction of token positions covered by a 3-gram
+    occurring in >= 2 distinct documents. One positional-gram scan
+    (checkpointed for its three consumers), a longs-only frequency
+    groupBy, a semi-join hit probe, and a window over hits only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.repeated_ngram_coverage(docs, n=3, min_docs=2,
+                                         hash_fn="md5")
+
+
+def q_pagerank_nation_trade(spark, sf_dir):
+    """Fixed-iteration weighted PageRank over the nation trade graph
+    (supplier nation -> customer nation, weight = lineitem count): the
+    canonical iterative MapReduce computation on an edge table that a
+    5-way join aggregates down from the fact data — the loop itself
+    never touches a fact row. Per-round rank rounding pins both engines
+    to one grid, so the oracle is exact, not epsilon-based."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = nat.select(F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("src"))
+    cn = nat.select(F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("dst"))
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, orders.o_custkey == cust.c_custkey)
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("w")))
+    pr = graph.pagerank(edges, "src", "dst", weight="w",
+                        damping=0.85, iters=5)
+    return pr.select(F.col("node").alias("nation"),
+                     F.round(F.col("rank"), 6).alias("pagerank"))
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join: purchases paired with
     the same user's clicks in the preceding 30 minutes, both sides
@@ -2635,6 +2675,8 @@ def q_knn_pq_topk(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW in r5: oracle for the one component that was pytest-only,
     #    plus streaming sessionization (stream/batch consistency) --
+    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
+    "pagerank_nation_trade": q_pagerank_nation_trade,
     "entity_resolution_blocked": q_entity_resolution,
     "streaming_sessionize": q_streaming_sessionize,
     "text_chunking": q_text_chunking,
@@ -2689,14 +2731,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii": q_text_pii,
     "multimodal_features": q_multimodal_features,
-    # -- verified r4; fill the remaining window slots --
+    # -- verified r4; fill the remaining window slot --
     "streaming_interval_join": q_streaming_interval_join,
-    "knn_ivf_topk": q_knn_ivf_topk,
-    "lm_bigram_quality": q_lm_bigram_quality,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: all green in r4, unchanged since; rotate next round --
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "lm_bigram_quality": q_lm_bigram_quality,
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "knn_lsh_topk": q_knn_lsh_topk,
     "knn_pq_topk": q_knn_pq_topk,
@@ -2738,6 +2780,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
     # new in r5
+    "dedup_repeated_ngrams",
+    "pagerank_nation_trade",
     "entity_resolution_blocked",
     "streaming_sessionize",
     "text_chunking",
@@ -2876,6 +2920,20 @@ ORACLES: dict[str, str] = {
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),
     "decontaminate_spans": oracles.decontaminate_spans_sql(n=3, modulus=23),
+    "dedup_repeated_ngrams": oracles.repeated_ngram_coverage_sql(
+        n=3, min_docs=2),
+    "pagerank_nation_trade": oracles.pagerank_sql(
+        """SELECT sn.n_name AS src, cn.n_name AS dst,
+                  count(*)::DOUBLE AS w
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           GROUP BY 1, 2""",
+        damping=0.85, iters=5, node_alias="nation",
+        rank_alias="pagerank"),
     # rows-only (genuinely non-SQL-expressible): multimodal_features
     # (the sha256-float fake-decode runs in a Pandas UDF)
 }

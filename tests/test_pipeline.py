@@ -830,3 +830,120 @@ def test_repetition_top_frac_is_most_frequent_gram_mass(spark):
     r = text_ops.repetition_features(df, top_ns=[2], dup_ns=[2]).first()
     norm_len = len(text)
     assert r.top2_frac == round(4 * len("x y") / norm_len, 4)
+
+
+# -- repeated n-gram span coverage ----------------------------------------
+
+def test_repeated_ngram_coverage_basic(spark):
+    """Only 'a b c' occurs in >= 2 distinct docs: docs 1 and 2 get one
+    3-token span; the unique, empty, and short docs report zero
+    coverage (and the empty doc still reports a row)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "p q r s t u"),
+         (4, ""), (5, "a b")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.repeated_ngram_coverage(df, n=3, min_docs=2).collect()}
+    assert len(rows) == 5
+    for d in (1, 2):
+        assert (rows[d].n_tokens, rows[d].covered_tokens,
+                rows[d].n_spans, rows[d].dup_frac) == (6, 3, 1, 0.5)
+    for d in (3, 5):
+        assert rows[d].covered_tokens == 0 and rows[d].dup_frac == 0.0
+    assert (rows[4].n_tokens, rows[4].covered_tokens,
+            rows[4].dup_frac) == (0, 0, 0.0)
+
+
+def test_repeated_ngram_coverage_span_merge_and_gap(spark):
+    """Overlapping hit grams merge into one span; a gap wider than n-1
+    splits spans. Doc 3 repeats 'a b c' at positions 0 and 6 -> two
+    3-token spans, 6/9 covered."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"),
+         (3, "a b c q q q a b c")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.repeated_ngram_coverage(df, n=3, min_docs=2).collect()}
+    # identical docs: all grams frequent, one full-width span each
+    for d in (1, 2):
+        assert (rows[d].covered_tokens, rows[d].n_spans,
+                rows[d].dup_frac) == (5, 1, 1.0)
+    assert (rows[3].covered_tokens, rows[3].n_spans,
+            rows[3].dup_frac) == (6, 2, round(6 / 9, 4))
+
+
+def test_repeated_ngram_coverage_own_repeats_dont_count(spark):
+    """min_docs counts DISTINCT documents: a doc repeating its own
+    phrase is not corpus duplication."""
+    df = spark.createDataFrame(
+        [(1, "a b c z z a b c"), (2, "u v w x y")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.repeated_ngram_coverage(df, n=3, min_docs=2).collect()}
+    assert rows[1].covered_tokens == 0 and rows[1].n_spans == 0
+
+
+# -- pagerank --------------------------------------------------------------
+
+def test_pagerank_two_node_cycle(spark):
+    """A symmetric 2-cycle is the fixed point: both ranks stay 0.5."""
+    from kiji_mapreduce_spark.pipeline import graph
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    ranks = {r.node: r.rank for r in graph.pagerank(e, iters=5).collect()}
+    assert ranks == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_weighted_split(spark):
+    """Weights steer the mass: after one round from a uniform start,
+    b's contribution-above-base is 3x c's."""
+    from kiji_mapreduce_spark.pipeline import graph
+
+    e = spark.createDataFrame([("a", "b", 3.0), ("a", "c", 1.0)],
+                              "src string, dst string, w double")
+    ranks = {r.node: r.rank for r in
+             graph.pagerank(e, weight="w", iters=1).collect()}
+    base = 0.15 / 3
+    assert abs((ranks["b"] - base) / (ranks["c"] - base) - 3.0) < 1e-6
+    assert ranks["a"] == round(base, 12)  # no in-edges: base only
+
+
+def test_pagerank_sink_accumulates(spark):
+    """A star a->b, c->b ranks the sink above the sources, sources
+    equal by symmetry; dangling mass (b has no out-edges) is dropped,
+    so totals may be < 1 but ranking is unaffected."""
+    from kiji_mapreduce_spark.pipeline import graph
+
+    e = spark.createDataFrame([("a", "b"), ("c", "b")],
+                              "src string, dst string")
+    ranks = {r.node: r.rank for r in graph.pagerank(e, iters=4).collect()}
+    assert ranks["a"] == ranks["c"]
+    assert ranks["b"] > ranks["a"]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Cross-check a small cyclic graph against a straightforward numpy
+    power iteration of the same simplified formulation."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import graph
+
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("b", "a", 1.0),
+             ("c", "a", 1.0), ("a", "c", 1.0)]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in
+           graph.pagerank(e, weight="w", iters=8).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = np.zeros((len(nodes), len(nodes)))
+    for s, d, w in edges:
+        m[idx[d], idx[s]] += w
+    outw = m.sum(axis=0)
+    m = m / outw  # column-stochastic on non-dangling columns
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(8):
+        r = np.round(0.15 / len(nodes) + 0.85 * (m @ r), 12)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
