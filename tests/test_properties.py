@@ -374,3 +374,77 @@ def test_salted_topk_under_real_skew(spark):
     assert len(per_task) >= n_salts // 2
     assert max(per_task.values()) < 4 * n_hot / n_salts
     assert sum(per_task.values()) == n_hot
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                min_size=2, max_size=12))
+def test_repeated_ngram_coverage_matches_python_model(spark, texts):
+    """Coverage vs a brute-force model: count gram occurrences by
+    distinct doc, mark covered positions with a plain boolean array,
+    and compare n_tokens/covered/spans per doc."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    n, min_docs = 2, 2
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.repeated_ngram_coverage(df, n=n, min_docs=min_docs)
+           .collect()}
+
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in docs}
+
+    def grams(ts):
+        if not ts:
+            return []
+        if len(ts) < n:
+            return [(0, " ".join(ts))]
+        return [(p, " ".join(ts[p:p + n]))
+                for p in range(len(ts) - n + 1)]
+
+    by_gram = {}
+    for i, ts in toks.items():
+        for _, g in grams(ts):
+            by_gram.setdefault(g, set()).add(i)
+    frequent = {g for g, ids in by_gram.items() if len(ids) >= min_docs}
+
+    assert set(got) == set(toks)
+    for i, ts in toks.items():
+        covered = [False] * len(ts)
+        for p, g in grams(ts):
+            if g in frequent:
+                for q in range(p, min(p + n, len(ts))):
+                    covered[q] = True
+        n_spans = sum(1 for q, c in enumerate(covered)
+                      if c and (q == 0 or not covered[q - 1]))
+        r = got[i]
+        assert r.n_tokens == len(ts)
+        assert r.covered_tokens == sum(covered)
+        assert r.n_spans == n_spans
+        want_frac = round(sum(covered) / len(ts), 4) if ts else 0.0
+        assert r.dup_frac == want_frac
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6),
+                          st.integers(1, 4)),
+                min_size=1, max_size=20))
+def test_pagerank_invariants(spark, edges):
+    """On arbitrary small weighted digraphs: every rank >= the base
+    term, total mass <= 1 + eps (dangling mass only ever leaks OUT),
+    and the result is deterministic across runs."""
+    from kiji_mapreduce_spark.pipeline import graph
+
+    e = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", float(w)) for s, d, w in edges],
+        "src string, dst string, w double")
+    r1 = {r.node: r.rank for r in
+          graph.pagerank(e, weight="w", iters=3).collect()}
+    r2 = {r.node: r.rank for r in
+          graph.pagerank(e, weight="w", iters=3).collect()}
+    assert r1 == r2
+    nodes = {f"v{s}" for s, _, _ in edges} | {f"v{d}" for _, d, _ in edges}
+    assert set(r1) == nodes
+    base = 0.15 / len(nodes)
+    assert all(v >= base - 1e-9 for v in r1.values())
+    assert sum(r1.values()) <= 1.0 + 1e-6
