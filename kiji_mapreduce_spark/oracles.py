@@ -539,9 +539,11 @@ def repeated_ngram_coverage_sql(n: int = 3, min_docs: int = 2,
     """Mirror of dedup.repeated_ngram_coverage(hash_fn="md5"): positional
     grams (full n-grams; docs shorter than n keep one edge gram at
     position 0), gram frequency counted as DISTINCT containing docs,
-    hits merged into spans when gaps <= n-1, coverage summed per doc
-    with span ends clamped to the last token. Every document (including
-    zero-token ones) reports a row; dup_frac rounds to 4 dp."""
+    hits merged into spans when gaps <= n (adjacent intervals fuse, so
+    n_spans counts maximal covered runs), coverage summed per doc with
+    span ends clamped to the last token. Every document (including
+    zero-token and NULL-text ones) reports a row; dup_frac rounds to
+    4 dp."""
     gram_h = _md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")
     edge_h = _md5h("array_to_string(t, ' ')")
     return f"""
@@ -570,7 +572,7 @@ lagd AS (
 ),
 isl AS (
   SELECT {id_col}, p, mx,
-         sum(CASE WHEN prev IS NULL OR p - prev > {n - 1}
+         sum(CASE WHEN prev IS NULL OR p - prev > {n}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY {id_col} ORDER BY p) AS grp
   FROM lagd
@@ -583,7 +585,8 @@ cov AS (
   SELECT {id_col}, sum(e - s + 1) AS covered, count(*) AS n_spans
   FROM spans GROUP BY {id_col}
 ),
-anchor AS (SELECT {id_col}, len(t)::BIGINT AS n_tokens FROM toks)
+anchor AS (SELECT {id_col}, coalesce(len(t), 0)::BIGINT AS n_tokens
+           FROM toks)
 SELECT a.{id_col}, a.n_tokens,
        coalesce(c.covered, 0)::BIGINT AS covered_tokens,
        coalesce(c.n_spans, 0)::BIGINT AS n_spans,

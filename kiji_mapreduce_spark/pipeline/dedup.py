@@ -385,12 +385,14 @@ def repeated_ngram_coverage(
             .select("_h"))
     hits = grams.join(freq, on="_h", how="left_semi")
     # islands over hit positions: a new span starts when the gap to the
-    # previous hit exceeds n-1 (the grams no longer overlap). Equal-width
+    # previous hit exceeds n — at exactly n the two grams' intervals are
+    # adjacent and the covered tokens are contiguous, so they merge;
+    # n_spans therefore counts maximal covered runs. Equal-width
     # intervals make the running-max-end test collapse to a lag test.
     w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
     new_span = F.when(
-        F.col("pos") - F.lag("pos").over(w) > n - 1, 1
-    ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+        prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
     spans = (hits.withColumn("_ns", new_span)
              .withColumn("_grp", F.sum("_ns").over(
                  w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -12,8 +12,11 @@ Scale shape (100 TB): the edge table is the aggregated artifact — at
 web scale it is orders of magnitude smaller than the raw logs it is
 derived from, and it is the ONLY thing the loop touches. Each round
 shuffles rank rows (8-byte key + double) on the join key, never raw
-data. Per-round localCheckpoint keeps lineage flat (same discipline as
-``dedup.connected_keep_ids``). Dangling-node mass is dropped by design
+data. The fixed-count loop is a LINEAR DAG (rank_t feeds only
+rank_{t+1}), so unlike ``dedup.connected_keep_ids`` — whose per-round
+convergence count forces an action — no per-round materialization is
+needed; lineage is cut only every ``checkpoint_every`` rounds to bound
+analyzer cost. Dangling-node mass is dropped by design
 (the simplified formulation); ranks then need not sum to 1, which is
 irrelevant for ranking and keeps the per-round plan to one join + one
 aggregate.
@@ -36,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     round_dp: int = 12,
+    checkpoint_every: int = 10,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over a directed edge table.
 
@@ -69,7 +73,13 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
     rank = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
-    for _ in range(iters):
+    # NO per-round materialization: unlike connected components (whose
+    # convergence check forces an action every round), the iteration
+    # count is fixed and each rank_t feeds ONLY rank_{t+1} — the loop is
+    # a linear DAG that executes every shuffle exactly once. Lineage is
+    # cut every ``checkpoint_every`` rounds purely to bound analyzer
+    # cost on deep iteration counts.
+    for i in range(iters):
         contrib = (norm.join(
             rank.withColumnRenamed("node", "_src"), on="_src")
             .groupBy("_dst")
@@ -80,6 +90,7 @@ def pagerank(
             .select("node", F.round(
                 F.lit(base)
                 + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)),
-                round_dp).alias("rank"))
-            .localCheckpoint(eager=True))
+                round_dp).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            rank = rank.localCheckpoint(eager=True)
     return rank

@@ -855,12 +855,16 @@ def test_repeated_ngram_coverage_basic(spark):
 
 
 def test_repeated_ngram_coverage_span_merge_and_gap(spark):
-    """Overlapping hit grams merge into one span; a gap wider than n-1
-    splits spans. Doc 3 repeats 'a b c' at positions 0 and 6 -> two
-    3-token spans, 6/9 covered."""
+    """Overlapping hit grams merge into one span; a gap wider than n
+    splits spans (at exactly n the intervals are adjacent and coverage
+    is contiguous, so they fuse — n_spans counts maximal covered runs).
+    Doc 3 repeats 'a b c' at positions 0 and 6 -> two 3-token spans,
+    6/9 covered. Doc 4's hits at positions 0 and 3 touch -> ONE 6-token
+    run, and a NULL-text doc still reports a zero row."""
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"),
-         (3, "a b c q q q a b c")],
+         (3, "a b c q q q a b c"),
+         (4, "a b c a b c"), (5, None)],
         "doc_id long, text string")
     rows = {r.doc_id: r for r in
             dedup.repeated_ngram_coverage(df, n=3, min_docs=2).collect()}
@@ -870,6 +874,11 @@ def test_repeated_ngram_coverage_span_merge_and_gap(spark):
                 rows[d].dup_frac) == (5, 1, 1.0)
     assert (rows[3].covered_tokens, rows[3].n_spans,
             rows[3].dup_frac) == (6, 2, round(6 / 9, 4))
+    # "a b c" at 0 and 3: intervals [0,2] and [3,5] are adjacent -> one run
+    assert (rows[4].covered_tokens, rows[4].n_spans,
+            rows[4].dup_frac) == (6, 1, 1.0)
+    assert (rows[5].n_tokens, rows[5].covered_tokens,
+            rows[5].dup_frac) == (0, 0, 0.0)
 
 
 def test_repeated_ngram_coverage_own_repeats_dont_count(spark):
