@@ -371,3 +371,46 @@ def test_interop_with_java_avro_library(spark, tmp_path):
     with open(java_file, "rb") as f:
         _, back = ac.read_container(f.read())
     assert back == [{"k": "x", "v": 42}, {"k": "y", "v": -7}]
+
+
+def test_default_to_python_logical_and_binary_types():
+    """Reader-field defaults must decode to the same Python types
+    read_value produces: JSON ints become date/datetime for logical
+    types, ISO-8859-1 strings become bytes for bytes/fixed, and the
+    conversion recurses through unions (first branch), records, arrays,
+    and maps (r4 advice)."""
+    import datetime as dt
+
+    from kiji_mapreduce_spark.io.avro_codec import default_to_python
+
+    assert default_to_python(
+        {"type": "int", "logicalType": "date"}, 19723
+    ) == dt.date(1970, 1, 1) + dt.timedelta(days=19723)
+    ts = default_to_python(
+        {"type": "long", "logicalType": "timestamp-micros"}, 1_500_000)
+    # naive, like read_value's decode (the session pins UTC semantics)
+    assert ts == dt.datetime(1970, 1, 1, 0, 0, 1, 500000)
+    assert default_to_python("bytes", "\u00ff") == b"\xff"
+    assert default_to_python(
+        {"type": "fixed", "name": "f4", "size": 2}, "ab") == b"ab"
+    # union default uses the FIRST branch; null stays None
+    assert default_to_python(["null", "bytes"], None) is None
+    assert default_to_python(["bytes", "null"], "a") == b"a"
+    # recursion through containers
+    rec = default_to_python(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "s", "type": "string"}]},
+        {"d": 1, "s": "x"})
+    assert rec == {"d": dt.date(1970, 1, 2), "s": "x"}
+    assert default_to_python(
+        {"type": "array", "items": "bytes"}, ["a", "b"]) == [b"a", b"b"]
+    assert default_to_python(
+        {"type": "map", "values": {"type": "int", "logicalType": "date"}},
+        {"k": 2}) == {"k": dt.date(1970, 1, 3)}
+    # unsupported logical types fail loudly rather than mis-typing
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decimal"):
+        default_to_python(
+            {"type": "bytes", "logicalType": "decimal", "precision": 4},
+            "x")
