@@ -348,6 +348,7 @@ def ngram_jaccard_pairs(
 def repeated_ngram_coverage(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, min_docs: int = 2, hash_fn: str = "xx",
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-text coverage: the fraction of token
     positions covered by a word n-gram that occurs in at least
@@ -374,10 +375,17 @@ def repeated_ngram_coverage(
     over hit positions only — hits are a small fraction of positions at
     any duplication rate worth measuring. Nothing in the plan holds a
     document's text after the first projection.
+
+    ``materialize_grams`` trades executor storage for scans: the gram
+    table is ~1-2x the corpus text, so at the very largest corpora the
+    localCheckpoint may not fit local disks — ``False`` recomputes the
+    gram scan per consumer (three text scans, zero materialization)
+    instead. Results are identical either way.
     """
     grams = shingle_hashes(df, text_col, id_col, n, hash_fn,
                            with_pos=True, outer=True)
-    grams = grams.localCheckpoint(eager=True)
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     freq = (grams.filter(F.col("_h").isNotNull())
             .groupBy("_h")
             .agg(F.count_distinct(F.col(id_col)).alias("_nd"))

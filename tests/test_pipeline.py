@@ -956,3 +956,16 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = np.round(0.15 / len(nodes) + 0.85 * (m @ r), 12)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_repeated_ngram_coverage_unmaterialized_matches(spark):
+    """materialize_grams=False (the very-large-corpus path) must be
+    result-identical to the checkpointed default."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, dedup.repeated_ngram_coverage(
+        df, n=3, min_docs=2).collect()))
+    b = sorted(map(tuple, dedup.repeated_ngram_coverage(
+        df, n=3, min_docs=2, materialize_grams=False).collect()))
+    assert a == b
