@@ -422,3 +422,51 @@ def pq_topk(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def hard_negative_topk(
+    embeddings: DataFrame, anchors: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label", min_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each labeled
+    anchor, the top-k most-similar corpus vectors whose label DIFFERS.
+
+    The near-duplicates of an anchor that carry a different label are
+    exactly the "hard negatives" a contrastive or reranker training set
+    wants (most informative negatives = highest-similarity mismatches).
+    Shape is the brute-force scan: anchors broadcast, ONE pass over the
+    corpus, label-mismatch applied as a join predicate so matching-label
+    rows are dropped before scoring — at 100 TB this is a narrow
+    map-side pass plus a tiny per-anchor top-k shuffle, same plan class
+    as ``brute_force_topk``. For larger anchor sets swap the corpus scan
+    for ``lsh_topk``/``ivf_topk`` candidates and apply the same label
+    filter; semantics here are the exact baseline.
+
+    ``min_cosine`` optionally floors the similarity (negatives easier
+    than the floor are useless for training and bloat the output).
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(F.col(vec_col)).alias("_qvec"))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double(F.col(vec_col)).alias("_cvec"))
+    scored = (corpus.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & ~F.col("neighbor_label").eqNullSafe(F.col("query_label")))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                cosine(F.col("_qvec"), F.col("_cvec")).alias("_cos")))
+    if min_cosine is not None:
+        scored = scored.filter(F.col("_cos") >= min_cosine)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label", "neighbor_id",
+                    "neighbor_label", F.col("_cos").alias("cosine"), "rank"))

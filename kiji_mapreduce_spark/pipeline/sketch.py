@@ -19,7 +19,7 @@ sketch for this engine (over e.g. HyperLogLog):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from kiji_mapreduce_spark.functions import salted_topk
 from kiji_mapreduce_spark.pipeline.dedup import token_hash64
@@ -61,3 +61,74 @@ def kmv_distinct(
     return agg.select(
         group_col, "n_sketch", "kth_hash",
         F.round(est, 2).alias("estimate"))
+
+
+def _cm_bucket(value: Column, row: Column | int, width: int,
+               hash_fn: str) -> Column:
+    """Bucket of ``value`` in CMS row ``row``: md5/xx hash of
+    "value|row" mod width (hashes are 60-bit non-negative, so plain
+    ``%`` agrees between Spark and any SQL engine)."""
+    r = F.lit(row) if isinstance(row, int) else row
+    return token_hash64(
+        F.concat(value.cast("string"), F.lit("|"), r.cast("string")),
+        hash_fn) % width
+
+
+def countmin_table(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 512,
+    weight_col: str | None = None, hash_fn: str = "xx",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame of
+    (cm_row, cm_bucket, cm_count) — depth*width cells, mergeable by
+    summing cell-wise (union two sketches + re-aggregate).
+
+    Scale shape: the only corpus-sized work is the per-value exact count
+    (one shuffle with map-side partial agg — same cost as any word
+    count); the depth-way explode runs over DISTINCT values and the
+    final aggregate lands on depth*width rows. The sketch is a pure
+    function of the hash, so ``hash_fn="md5"`` makes it bit-reproducible
+    in DuckDB for the driver oracle (engine-native ``xx`` is the
+    production default, like every other sketch here).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("countmin_table requires depth >= 1, width >= 2")
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).alias("_v"))
+              .agg(F.sum(w).alias("_cnt")))
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (counts
+            .select("_v", "_cnt", F.explode(rows).alias("cm_row"))
+            .select(F.col("cm_row"),
+                    _cm_bucket(F.col("_v"), F.col("cm_row"), width,
+                               hash_fn).alias("cm_bucket"),
+                    F.col("_cnt"))
+            .groupBy("cm_row", "cm_bucket")
+            .agg(F.sum("_cnt").alias("cm_count")))
+
+
+def countmin_estimates(
+    cms: DataFrame, probes: DataFrame, value_col: str,
+    depth: int = 4, width: int = 512, hash_fn: str = "xx",
+) -> DataFrame:
+    """Point-query a count-min sketch: estimate(v) = min over rows of
+    the cell the value hashes to. Estimates never undercount
+    (cms_estimate >= true count, property-tested); overcounts shrink
+    with width. The probe side fans out depth rows per value and
+    equi-joins the (tiny, broadcast) sketch — no corpus access at all,
+    which is the point: heavy-hitter queries against a 100 TB corpus hit
+    the depth*width sketch, not the data.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probed = (probes
+              .withColumn("cm_row", F.explode(rows))
+              .withColumn("cm_bucket",
+                          _cm_bucket(F.col(value_col), F.col("cm_row"),
+                                     width, hash_fn)))
+    keys = [c for c in probes.columns]
+    joined = probed.join(F.broadcast(cms), on=["cm_row", "cm_bucket"],
+                         how="left")
+    return (joined.groupBy(*keys)
+            .agg(F.coalesce(F.min("cm_count"), F.lit(0))
+                 .alias("cms_estimate")))

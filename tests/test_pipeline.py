@@ -969,3 +969,66 @@ def test_repeated_ngram_coverage_unmaterialized_matches(spark):
     b = sorted(map(tuple, dedup.repeated_ngram_coverage(
         df, n=3, min_docs=2, materialize_grams=False).collect()))
     assert a == b
+
+
+def test_countmin_never_undercounts_and_exact_when_sparse(spark):
+    """CMS invariants: estimate >= exact for EVERY value (min over rows
+    of summed cells can only overcount); with width >> distinct values,
+    estimates are exact; weighted counts honor the weight column."""
+    from kiji_mapreduce_spark.pipeline.sketch import (
+        countmin_estimates, countmin_table)
+
+    rows = [(f"t{i % 37}",) for i in range(3000)] + [(None,)]
+    df = spark.createDataFrame(rows, "v string")
+    exact = df.groupBy("v").count().filter("v IS NOT NULL")
+
+    # tight sketch: collisions likely -> overcounts allowed, never under
+    cms = countmin_table(df, "v", depth=3, width=16)
+    est = countmin_estimates(cms, exact, "v", depth=3, width=16)
+    for r in est.collect():
+        assert r.cms_estimate >= r["count"], r
+    # wide sketch: 37 values in 4x512 cells -> every estimate exact
+    cms_w = countmin_table(df, "v", depth=4, width=512)
+    est_w = countmin_estimates(cms_w, exact, "v", depth=4, width=512)
+    assert all(r.cms_estimate == r["count"] for r in est_w.collect())
+    # unseen probe value -> 0 (empty cells coalesce, not NULL)
+    probe = spark.createDataFrame([("never-seen",)], "v string")
+    assert countmin_estimates(
+        cms_w, probe, "v", depth=4, width=512).first().cms_estimate == 0
+    # weighted: each value contributes its weight, not 1
+    wdf = spark.createDataFrame([("a", 10), ("a", 5), ("b", 7)],
+                                "v string, w int")
+    wcms = countmin_table(wdf, "v", depth=2, width=64, weight_col="w")
+    west = {r.v: r.cms_estimate
+            for r in countmin_estimates(
+                wcms, wdf.select("v").distinct(), "v",
+                depth=2, width=64).collect()}
+    assert west == {"a": 15, "b": 7}
+    with pytest.raises(ValueError, match="depth >= 1"):
+        countmin_table(df, "v", depth=0)
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Hard negatives: neighbors always carry a different label, are
+    ranked by cosine desc, and min_cosine floors the output; NULL labels
+    never match anything (null-safe inequality keeps them as negatives
+    for every anchor)."""
+    from kiji_mapreduce_spark.pipeline.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),     # anchor
+        (1, [0.99, 0.14], 0),   # near-dup, SAME label -> excluded
+        (2, [0.95, 0.31], 1),   # hard negative (most similar mismatch)
+        (3, [0.0, 1.0], 1),     # easy negative
+        (4, [0.9, 0.43], None), # NULL label -> negative for everyone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = df.filter("vec_id = 0")
+    out = hard_negative_topk(df, anchors, k=3).collect()
+    ids = [r.neighbor_id for r in out]
+    assert 1 not in ids            # same-label near-dup excluded
+    assert ids[0] == 2             # hardest negative first
+    assert set(ids) == {2, 3, 4}
+    assert [r.rank for r in out] == [1, 2, 3]
+    floored = hard_negative_topk(df, anchors, k=3, min_cosine=0.5).collect()
+    assert {r.neighbor_id for r in floored} == {2, 4}

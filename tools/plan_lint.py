@@ -26,7 +26,10 @@ sys.path.insert(0, ".")
 # tfidf/bm25/lm cross single-row broadcast scalar aggregates — corpus
 # size, avg doc length, vocabulary size)
 BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
-                "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality"}
+                "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality",
+                # 5 broadcast anchors x corpus with a non-equi (label
+                # mismatch) predicate — same intended shape as knn
+                "hard_negative_mining"}
 # queries whose whole point is reading most of a table
 WIDE_SCAN_ALLOWED = {"producer_price_band", "window_top3_orders_per_customer",
                      "window_running_revenue", "quantiles_order_price",
