@@ -212,3 +212,60 @@ def snapshot_diff(
     return (j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
             .select(*key_cols, "change"))
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str, probs: list[float], bins: int = 1000,
+    group_col: str | None = None, lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Scalable approximate quantiles via fixed-width histogram binning.
+
+    Exact percentiles (``F.percentile``) shuffle every value to its
+    group's reducer — at 100 TB that is the sort bottleneck. The
+    histogram path is two narrow passes: (1) global min/max (skipped if
+    ``lo``/``hi`` are given), (2) one partial-aggregated count per
+    (group, bin) — at most ``bins`` rows per group ever shuffle. The
+    estimate for probability p is the upper edge of the first bin whose
+    cumulative count reaches p — deterministic (no interpolation between
+    engine float orders), with error bounded by (hi-lo)/bins.
+
+    Returns (group?,) + one row per prob: (prob, quantile_est, n).
+    """
+    if not probs or any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError("probs must be in (0, 1]")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    vals = df.filter(F.col(value_col).isNotNull())
+    if lo is None or hi is None:
+        r = vals.agg(F.min(F.col(value_col).cast("double")),
+                     F.max(F.col(value_col).cast("double"))).first()
+        lo = float(r[0]) if lo is None else lo
+        hi = float(r[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate constant column: one bin holds all
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))
+    keys = [group_col] if group_col else []
+    hist = (vals.groupBy(*keys, bin_idx.alias("_bin"))
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    w = (Window.partitionBy(*keys) if keys
+         else Window.partitionBy(F.lit(1))).orderBy("_bin")
+    cum = (hist
+           .withColumn("_cum", F.sum("_cnt").over(w))
+           .withColumn("_n", F.sum("_cnt").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))))
+    # one explode over the (tiny) cumulative histogram — NOT a per-prob
+    # loop of filters, which would replay the corpus scan once per prob
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return (cum.withColumn("prob", F.explode(probs_arr))
+            .filter(F.col("_cum") >= F.col("prob") * F.col("_n"))
+            .groupBy(*keys, "prob")
+            .agg(F.min("_bin").alias("_b"), F.max("_n").alias("n"))
+            .select(*keys, "prob",
+                    (F.lit(lo) + (F.col("_b") + 1) * F.lit(width))
+                    .alias("quantile_est"), "n"))

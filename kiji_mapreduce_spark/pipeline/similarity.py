@@ -470,3 +470,81 @@ def hard_negative_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "query_label", "neighbor_id",
                     "neighbor_label", F.col("_cos").alias("cosine"), "rank"))
+
+
+def embedding_moments(embeddings: DataFrame, vec_col: str = "embedding"):
+    """One pass over the corpus -> (n, mean vector, covariance matrix)
+    as driver-side numpy (dim x dim; the corpus itself never shuffles).
+
+    Each Arrow batch contributes one partial (count, sum, X^T X) row —
+    numpy BLAS executor-side — and the driver sums the per-batch
+    partials: the collected volume is O(batches * dim^2), independent of
+    row count, which is what makes the pass viable at 100 TB (dim=64 ->
+    4 KB per batch). Covariance is centered driver-side from the raw
+    second moment."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("g", ArrayType(DoubleType())),
+    ])
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [len(m)],
+                "s": [m.sum(axis=0).tolist()],
+                "g": [(m.T @ m).ravel().tolist()],
+            })
+
+    rows = (embeddings.filter(F.col(vec_col).isNotNull())
+            .select(vec_col).mapInPandas(_partials, schema).collect())
+    if not rows:
+        raise ValueError("embedding_moments: no non-null vectors")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    dim = len(s)
+    g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def top_principal_component(cov, iters: int = 100, seed: int = 7):
+    """Leading eigenvector of a (small, driver-side) covariance matrix
+    by fixed-iteration power method — deterministic start vector from
+    the seed, sign fixed so the largest-|coord| entry is positive (the
+    eigenvector's sign is otherwise arbitrary)."""
+    rng = np.random.RandomState(seed)
+    v = rng.rand(cov.shape[0])
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        v = cov @ v
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            raise ValueError("power iteration collapsed (zero matrix?)")
+        v /= nv
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return v
+
+
+def project_embeddings(
+    embeddings: DataFrame, component, mean=None,
+    vec_col: str = "embedding", out_col: str = "pc1",
+) -> DataFrame:
+    """Scalar projection of every vector onto a (literal) component —
+    the whole PCA scoring pass compiles to one codegen'd fold per row,
+    zero exchanges, exactly like the k-means assignment pass. ``mean``
+    (if given) centers each vector first."""
+    comp = F.array(*[F.lit(float(c)) for c in component])
+    v = as_double(F.col(vec_col))
+    if mean is not None:
+        mu = F.array(*[F.lit(float(m)) for m in mean])
+        v = F.zip_with(v, mu, lambda x, m: x - m)
+    return embeddings.withColumn(out_col, dot(v, comp))

@@ -1032,3 +1032,74 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r.rank for r in out] == [1, 2, 3]
     floored = hard_negative_topk(df, anchors, k=3, min_cosine=0.5).collect()
     assert {r.neighbor_id for r in floored} == {2, 4}
+
+
+def test_embedding_moments_and_pca_match_numpy(spark):
+    """The distributed one-pass moments equal numpy's exact mean/cov,
+    the power-iteration component matches numpy's leading eigenvector
+    (up to the fixed sign), and the projection pass reproduces the
+    numpy projection — i.e. distributed PCA == single-node PCA."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.similarity import (
+        embedding_moments, project_embeddings, top_principal_component)
+
+    rng = np.random.RandomState(0)
+    # anisotropic cloud: strong direction along (3, 1, 0.2)
+    base = rng.randn(400, 3) * np.array([5.0, 1.0, 0.3])
+    rot = np.linalg.qr(rng.randn(3, 3))[0]
+    data = base @ rot + np.array([1.0, -2.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>").repartition(5)
+
+    n, mean, cov = embedding_moments(df)
+    assert n == 400
+    np.testing.assert_allclose(mean, data.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(data.T, bias=True), atol=1e-9)
+
+    v = top_principal_component(cov)
+    evals, evecs = np.linalg.eigh(cov)
+    expect = evecs[:, -1]
+    if expect[np.argmax(np.abs(expect))] < 0:
+        expect = -expect
+    np.testing.assert_allclose(v, expect, atol=1e-6)
+
+    proj = {r.vec_id: r.pc1 for r in
+            project_embeddings(df, v, mean=mean).collect()}
+    want = (data - data.mean(axis=0)) @ v
+    for i in range(400):
+        assert abs(proj[i] - want[i]) < 1e-9
+    with pytest.raises(ValueError, match="no non-null"):
+        embedding_moments(df.filter("vec_id < 0"))
+
+
+def test_histogram_quantiles_bounds_and_groups(spark):
+    """Histogram quantile estimates sit within one bin width of the
+    exact percentile, per group; p=1.0 returns (at most one bin above)
+    the max; constant columns don't divide by zero; a bad prob raises."""
+    from kiji_mapreduce_spark.functions import histogram_quantiles
+
+    rows = [("a", float(i)) for i in range(1000)]
+    rows += [("b", float(i * i % 700)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = histogram_quantiles(df, "x", [0.5, 0.9, 1.0], bins=200,
+                              group_col="g")
+    got = {(r.g, r.prob): r for r in out.collect()}
+    import numpy as np
+    for g in ("a", "b"):
+        vals = np.array([x for gg, x in rows if gg == g])
+        width = (vals.max() - vals.min()) / 200 if g == "a" else None
+        for p in (0.5, 0.9):
+            exact = np.quantile(vals, p)
+            est = got[(g, p)].quantile_est
+            binw = (df.filter(F.col("g") == g).agg(
+                F.max("x") - F.min("x")).first()[0]) / 200
+            assert abs(est - exact) <= binw + 1e-9, (g, p, est, exact)
+        assert got[(g, 1.0)].quantile_est >= vals.max() - 1e-9
+        assert got[(g, 0.5)].n == len(vals)
+    const = spark.createDataFrame([(5.0,)] * 10, "x double")
+    c = histogram_quantiles(const, "x", [0.5]).first()
+    assert c.quantile_est >= 5.0 and c.n == 10
+    with pytest.raises(ValueError, match="probs"):
+        histogram_quantiles(df, "x", [0.0])
