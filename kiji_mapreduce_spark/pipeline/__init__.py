@@ -5,8 +5,9 @@ columns. All expression-first; Python only where semantics demand it.
 
 from kiji_mapreduce_spark.pipeline import (
     curate, decontaminate, dedup, graph, lm, multimodal, sample, search,
-    similarity, text,
+    similarity, sketch, text, vocab,
 )
 
 __all__ = ["curate", "decontaminate", "dedup", "graph", "lm",
-           "multimodal", "sample", "search", "similarity", "text"]
+           "multimodal", "sample", "search", "similarity", "sketch",
+           "text", "vocab"]

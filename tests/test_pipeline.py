@@ -1103,3 +1103,83 @@ def test_histogram_quantiles_bounds_and_groups(spark):
     assert c.quantile_est >= 5.0 and c.n == 10
     with pytest.raises(ValueError, match="probs"):
         histogram_quantiles(df, "x", [0.0])
+
+
+def _reference_bpe(word_counts, num_merges, min_pair_count=2):
+    """Single-node textbook BPE (Sennrich alg. 1) the distributed
+    trainer must reproduce merge-for-merge."""
+    tabs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, syms in tabs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in tabs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            tabs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer learns the SAME merge list, in the same
+    order with the same counts, as the single-node reference — ties
+    included (deterministic (count desc, pair) ordering)."""
+    from kiji_mapreduce_spark.pipeline import vocab
+
+    word_counts = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    rows = [(w + " ") * c for w, c in word_counts.items()]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = vocab.bpe_train(df, num_merges=10, checkpoint_every=3)
+    want = _reference_bpe(word_counts, 10)
+    assert got == want, (got, want)
+    assert got[0][0:2] == ("u", "g") and got[0][2] == 20  # hf-classic
+    with pytest.raises(ValueError, match="num_merges"):
+        vocab.bpe_train(df, num_merges=0)
+
+
+def test_bpe_vocab_and_token_count(spark):
+    """After enough merges frequent words collapse to one token (plus
+    nothing), rare segmentations stay multi-token; the dictionary-apply
+    path prices documents correctly, empty/NULL text scores 0."""
+    from kiji_mapreduce_spark.pipeline import vocab
+
+    word_counts = {"hug": 10, "pug": 5, "pun": 12}
+    corpus = [(1, ("hug " * 10).strip()), (2, ("pug " * 5).strip()),
+              (3, ("pun " * 12).strip())]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = vocab.bpe_train(df, num_merges=30, min_pair_count=2)
+
+    voc = {r.subword: r.total_cnt
+           for r in vocab.bpe_vocab(df, merges=merges).collect()}
+    assert voc.get("hug</w>") == 10  # fully merged frequent word
+    assert sum(voc.values()) > 0
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug"), (2, "pun"), (3, "zebra"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bpe_tokens
+           for r in vocab.bpe_token_count(
+               docs, merges, id_cols=["doc_id"]).collect()}
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    from kiji_mapreduce_spark.pipeline.vocab import _segment_len
+    assert got[1] == 2 * _segment_len("hug", ranks) == 2
+    assert got[2] == _segment_len("pun", ranks) == 1
+    assert got[3] == _segment_len("zebra", ranks)  # unseen word
+    assert got[3] >= 5  # no zebra merges were learned -> stays chars
+    assert got[4] == 0 and got[5] == 0
