@@ -1,0 +1,133 @@
+"""Linear quality classifier trained IN the engine.
+
+The CCNet/fastText-style corpus-filtering recipe (Wenzek et al. 2020,
+public): score every document with a cheap linear model over hashed
+bag-of-words features and keep the high-probability slice. Training such
+a filter is itself a distributed job; this module runs batch-gradient
+logistic regression as a sequence of narrow Spark passes.
+
+Scale shape (the design constraint at 100 TB):
+
+- ``hashed_features`` is the only corpus-text pass: tokens hash into
+  ``dim`` buckets (feature hashing, Weinberger et al. 2009 — no vocab
+  table to build or ship) and the output is the exploded sparse matrix
+  (doc, feature_idx, value), L1-normalized per doc.
+- Each training round is: broadcast the dim-row weight table into the
+  feature matrix (no shuffle of the matrix), aggregate margins per doc,
+  and aggregate per-feature gradient partials — the ONLY per-round
+  shuffle volume is O(distinct feature ids) = dim rows. The feature
+  matrix is localCheckpoint'd once and reused by every round.
+- The weight vector lives on the driver (dim doubles); per-round
+  gradient rounding (9 dp) makes the trained model reproducible across
+  partitionings despite float summation order.
+- ``score_logreg`` prices new documents with the trained weights via
+  the same broadcast join — no Python in the loop at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kiji_mapreduce_spark.pipeline.dedup import tokens
+
+
+def hashed_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashed bag-of-words -> (id, feature_idx, value), one row per
+    distinct token per doc, value = token count / doc token count
+    (L1 tf). Empty/NULL docs produce no rows (they score through the
+    bias alone)."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                      .alias("_tok")))
+    per = (toks.groupBy(id_col,
+                        F.pmod(F.xxhash64("_tok"), F.lit(dim))
+                        .alias("feature_idx"))
+           .agg(F.count(F.lit(1)).alias("_cnt")))
+    tot = F.sum("_cnt").over(Window.partitionBy(id_col))
+    return per.select(
+        id_col, "feature_idx",
+        (F.col("_cnt") / tot).alias("value"))
+
+
+def train_logreg(
+    features: DataFrame, labels: DataFrame, dim: int,
+    id_col: str = "doc_id", label_col: str = "label",
+    iters: int = 20, lr: float = 2.0, l2: float = 0.0,
+) -> tuple[np.ndarray, float]:
+    """Batch-GD logistic regression over an exploded sparse feature
+    matrix -> (weights[dim], bias).
+
+    ``labels`` holds (id, label in {0,1}); docs without a label row are
+    ignored. The label joins into the matrix ONCE up front; afterwards
+    each round touches the checkpointed matrix with a broadcast
+    weight-table join, so no corpus-sized shuffle ever repeats."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = features.sparkSession
+    mat = (features
+           .join(labels.select(F.col(id_col),
+                               F.col(label_col).cast("double").alias("_y")),
+                 on=id_col)
+           .localCheckpoint())
+    n_docs = mat.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError("train_logreg: no labeled documents")
+
+    w = np.zeros(dim)
+    bias = 0.0
+    for _ in range(iters):
+        wt = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0]
+            or [(0, 0.0)],
+            "feature_idx int, _w double")
+        scored = (mat.join(F.broadcast(wt), on="feature_idx", how="left")
+                  .groupBy(id_col)
+                  .agg((F.sum(F.col("value")
+                              * F.coalesce(F.col("_w"), F.lit(0.0)))
+                        + F.lit(bias)).alias("_m"),
+                       F.first("_y").alias("_y")))
+        resid = scored.select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m")))
+             - F.col("_y")).alias("_r"))
+        grad_rows = (mat.join(resid, on=id_col)
+                     .groupBy("feature_idx")
+                     .agg(F.sum(F.col("value") * F.col("_r"))
+                          .alias("_g"))
+                     .collect())
+        grad = np.zeros(dim)
+        for r in grad_rows:
+            grad[r.feature_idx] = r._g
+        grad = grad / n_docs + l2 * w
+        gbias = resid.agg(F.sum("_r")).first()[0] / n_docs
+        # fixed-precision rounding per round: summation order must not
+        # leak into the model (same discipline as pagerank/kmeans)
+        w = np.round(w - lr * grad, 9)
+        bias = round(bias - lr * gbias, 9)
+    return w, bias
+
+
+def score_logreg(
+    features: DataFrame, weights: np.ndarray, bias: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probability per doc under a trained model -> (id, prob). One
+    broadcast join + one per-doc aggregate; docs absent from the matrix
+    (empty text) are absent here too — union them in at sigmoid(bias)
+    if needed."""
+    spark = features.sparkSession
+    wt = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(weights) if v != 0.0]
+        or [(0, 0.0)],
+        "feature_idx int, _w double")
+    return (features.join(F.broadcast(wt), on="feature_idx", how="left")
+            .groupBy(id_col)
+            .agg((F.lit(1.0) / (F.lit(1.0) + F.exp(
+                -(F.sum(F.col("value")
+                        * F.coalesce(F.col("_w"), F.lit(0.0)))
+                  + F.lit(bias))))).alias("prob")))

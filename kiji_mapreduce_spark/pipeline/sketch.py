@@ -19,6 +19,7 @@ sketch for this engine (over e.g. HyperLogLog):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kiji_mapreduce_spark.functions import salted_topk
@@ -132,3 +133,92 @@ def countmin_estimates(
     return (joined.groupBy(*keys)
             .agg(F.coalesce(F.min("cm_count"), F.lit(0))
                  .alias("cms_estimate")))
+
+
+def _bloom_positions(h1, h2, m_bits: int, k: int):
+    """k bit positions per value via double hashing
+    (Kirsch-Mitzenmacher: h1 + i*h2 covers k indexes from two base
+    hashes). The base hashes are computed JVM-side (xxhash64) so this is
+    pure vectorized numpy — no per-row Python hashing. int64 wraparound
+    is deterministic C semantics; numpy remainder is non-negative for a
+    positive modulus."""
+    import numpy as np
+
+    h1 = np.asarray(h1, dtype=np.int64)
+    h2 = np.asarray(h2, dtype=np.int64) | 1  # odd -> full cycle
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
+
+
+def _bloom_hash_cols(value_col: str):
+    v = F.col(value_col).cast("string")
+    return (F.xxhash64(v).alias("_h1"),
+            F.xxhash64(v, F.lit(1)).alias("_h2"))
+
+
+def bloom_build(df: DataFrame, value_col: str, m_bits: int = 1 << 20,
+                k: int = 7) -> bytes:
+    """Build a Bloom bitmap over a column -> m_bits/8 driver-side bytes.
+
+    The scale rationale vs a broadcast semi-join: a 1B-key blocklist is
+    ~16 GB of rows but ~1.2 GB of bits at 10 bits/key — small enough to
+    ship to every executor when the row form is not. Each partition
+    contributes ONE packed bitmap (numpy bit-OR inside mapInPandas);
+    the driver ORs #partitions bitmaps, so collected volume is
+    O(partitions * m/8), independent of row count.
+    """
+    import numpy as np
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    if m_bits % 8 or m_bits < 64:
+        raise ValueError("m_bits must be a multiple of 8, >= 64")
+
+    def _partial(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _bloom_positions(pdf["_h1"].to_numpy(),
+                                   pdf["_h2"].to_numpy(),
+                                   m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos // 8,
+                             (1 << (pos % 8)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = (df.filter(F.col(value_col).isNotNull())
+             .select(*_bloom_hash_cols(value_col))
+             .mapInPandas(_partial,
+                          StructType([StructField("bits", BinaryType())]))
+             .collect())
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r.bits, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_filter_rows(df: DataFrame, value_col: str, bitmap: bytes,
+                      k: int = 7, keep_hits: bool = True) -> DataFrame:
+    """Filter rows by Bloom membership of ``value_col`` (keep_hits=False
+    keeps probable-NON-members — the blocklist shape: guaranteed to keep
+    no listed value, may drop a ~fp-rate sliver of clean ones). The
+    bitmap rides to executors inside the Arrow UDF closure; the probe is
+    two JVM-side xxhash64 columns plus vectorized numpy bit tests — no
+    join, no shuffle, no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    m_bits = len(bits) * 8
+
+    @pandas_udf("boolean")
+    def _hit(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        pos = _bloom_positions(h1.to_numpy(), h2.to_numpy(), m_bits, k)
+        return pd.Series(((bits[pos // 8] >> (pos % 8)) & 1).all(axis=1))
+
+    c1, c2 = _bloom_hash_cols(value_col)
+    hit = F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
+        _hit(c1, c2))
+    return df.filter(hit if keep_hits else ~hit)

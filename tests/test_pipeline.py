@@ -1183,3 +1183,87 @@ def test_bpe_vocab_and_token_count(spark):
     assert got[3] == _segment_len("zebra", ranks)  # unseen word
     assert got[3] >= 5  # no zebra merges were learned -> stays chars
     assert got[4] == 0 and got[5] == 0
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Bloom membership: every inserted value hits (no false negatives,
+    guaranteed); non-members pass at roughly the theoretical fp rate;
+    blocklist mode (keep_hits=False) never keeps a listed value; NULLs
+    are never 'in' the filter."""
+    from kiji_mapreduce_spark.pipeline.sketch import (
+        bloom_build, bloom_filter_rows)
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(2000)] + [(None,)], "v string")
+    bf = bloom_build(members, "v", m_bits=1 << 15, k=7)
+    assert len(bf) == (1 << 15) // 8
+
+    # all members hit
+    kept = bloom_filter_rows(members.filter("v IS NOT NULL"), "v", bf)
+    assert kept.count() == 2000
+    # non-members: fp rate ~ (1-e^{-kn/m})^k ~ 0.8% at n=2000, m=32768, k=7
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(5000)], "v string")
+    fps = bloom_filter_rows(others, "v", bf).count()
+    assert fps < 5000 * 0.05, fps
+    # blocklist mode: every listed value dropped; NULL rows survive
+    mixed = members.unionByName(others)
+    clean = bloom_filter_rows(mixed, "v", bf, keep_hits=False)
+    assert clean.filter("v LIKE 'key%'").count() == 0
+    assert clean.filter("v IS NULL").count() == 1
+    assert clean.count() >= 5000 - fps
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(members, "v", m_bits=100)
+
+
+def test_logreg_classifier_matches_numpy_and_separates(spark):
+    """The distributed batch-GD logistic regression produces the SAME
+    model as single-node numpy GD on the same features (per-round
+    rounding pins summation order), separates two synthetic token
+    distributions, and score_logreg reproduces the training-time
+    probabilities."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.classifier import (
+        hashed_features, score_logreg, train_logreg)
+
+    rng = np.random.RandomState(3)
+    good_words = ["alpha", "beta", "gamma", "delta"]
+    bad_words = ["spamone", "spamtwo", "spamthree", "buynow"]
+    rows, labels = [], []
+    for i in range(120):
+        y = i % 2
+        pool = good_words if y else bad_words
+        text = " ".join(rng.choice(pool, size=12))
+        # a little overlap so the problem isn't trivial
+        if i % 5 == 0:
+            text += " shared shared"
+        rows.append((i, text))
+        labels.append((i, y))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, label int")
+
+    DIM = 64
+    feats = hashed_features(df, dim=DIM)
+    w, b = train_logreg(feats, lab, dim=DIM, iters=15, lr=2.0)
+
+    # single-node reference: identical updates on the collected matrix
+    fm = feats.collect()
+    X = np.zeros((120, DIM))
+    for r in fm:
+        X[r.doc_id, r.feature_idx] = r.value
+    y = np.array([l for _, l in labels], dtype=float)
+    wr, br = np.zeros(DIM), 0.0
+    for _ in range(15):
+        m = X @ wr + br
+        resid = 1.0 / (1.0 + np.exp(-m)) - y
+        wr = np.round(wr - 2.0 * (X.T @ resid) / 120, 9)
+        br = round(br - 2.0 * resid.mean() / 1, 9)
+    np.testing.assert_allclose(w, wr, atol=1e-7)
+    assert abs(b - br) < 1e-7
+
+    scored = {r.doc_id: r.prob for r in score_logreg(feats, w, b).collect()}
+    acc = np.mean([(scored[i] > 0.5) == bool(yy) for i, yy in labels])
+    assert acc > 0.95, acc
+    with pytest.raises(ValueError, match="no labeled"):
+        train_logreg(feats, lab.filter("doc_id < 0"), dim=DIM)
