@@ -240,12 +240,21 @@ def histogram_quantiles(
     if lo is None or hi is None:
         r = vals.agg(F.min(F.col(value_col).cast("double")),
                      F.max(F.col(value_col).cast("double"))).first()
+        if r[0] is None or r[1] is None:
+            raise ValueError(
+                "histogram_quantiles: no non-null values (and no "
+                "explicit lo/hi) to derive the bin range from")
         lo = float(r[0]) if lo is None else lo
         hi = float(r[1]) if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0  # degenerate constant column: one bin holds all
     width = (hi - lo) / bins
-    v = F.col(value_col).cast("double")
+    # clamp in DOUBLE space BEFORE the int cast: an outlier far outside
+    # a user-supplied [lo, hi] otherwise overflows the cast (ANSI mode
+    # aborts the job; non-ANSI wraps it into bin 0 — review finding,
+    # reproduced)
+    v = F.least(F.lit(hi), F.greatest(
+        F.lit(lo), F.col(value_col).cast("double")))
     bin_idx = F.least(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))

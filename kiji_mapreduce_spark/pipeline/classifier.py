@@ -69,12 +69,22 @@ def train_logreg(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     spark = features.sparkSession
-    mat = (features
-           .join(labels.select(F.col(id_col),
-                               F.col(label_col).cast("double").alias("_y")),
-                 on=id_col)
+    lab = labels.select(F.col(id_col),
+                        F.col(label_col).cast("double").alias("_y"))
+    # synthetic bias feature (idx -1, value 1, weight always 0 in the
+    # broadcast table): its gradient row IS sum(residual), so one
+    # aggregate per round yields both the weight gradient and the bias
+    # gradient — a separate resid.agg() action re-executed the whole
+    # margin lineage every round (review finding). It also enrolls
+    # labeled EMPTY documents, which the feature join alone dropped.
+    bias_rows = lab.select(
+        id_col, F.lit(-1).alias("feature_idx"),
+        F.lit(1.0).alias("value"), "_y")
+    mat = (features.join(lab, on=id_col)
+           .select(id_col, "feature_idx", "value", "_y")
+           .unionByName(bias_rows)
            .localCheckpoint())
-    n_docs = mat.select(id_col).distinct().count()
+    n_docs = lab.count()
     if n_docs == 0:
         raise ValueError("train_logreg: no labeled documents")
 
@@ -101,10 +111,14 @@ def train_logreg(
                           .alias("_g"))
                      .collect())
         grad = np.zeros(dim)
+        gsum = 0.0
         for r in grad_rows:
-            grad[r.feature_idx] = r._g
+            if r.feature_idx == -1:
+                gsum = r._g  # bias partial rides the same aggregate
+            else:
+                grad[r.feature_idx] = r._g
         grad = grad / n_docs + l2 * w
-        gbias = resid.agg(F.sum("_r")).first()[0] / n_docs
+        gbias = gsum / n_docs
         # fixed-precision rounding per round: summation order must not
         # leak into the model (same discipline as pagerank/kmeans)
         w = np.round(w - lr * grad, 9)

@@ -456,10 +456,17 @@ def hard_negative_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         as_double(F.col(vec_col)).alias("_cvec"))
+    # exclude ONLY a known-equal label: two NULL-labeled rows are not
+    # known to share a class, so a NULL-labeled anchor keeps NULL-labeled
+    # neighbors as negatives (eqNullSafe treated NULL==NULL as a match
+    # and silently dropped them — review finding)
+    label_known_equal = (
+        F.col("neighbor_label").isNotNull()
+        & F.col("query_label").isNotNull()
+        & (F.col("neighbor_label") == F.col("query_label")))
     scored = (corpus.join(
         F.broadcast(q),
-        (F.col("neighbor_id") != F.col("query_id"))
-        & ~F.col("neighbor_label").eqNullSafe(F.col("query_label")))
+        (F.col("neighbor_id") != F.col("query_id")) & ~label_known_equal)
         .select("query_id", "query_label", "neighbor_id", "neighbor_label",
                 cosine(F.col("_qvec"), F.col("_cvec")).alias("_cos")))
     if min_cosine is not None:

@@ -70,9 +70,13 @@ def _cm_bucket(value: Column, row: Column | int, width: int,
     "value|row" mod width (hashes are 60-bit non-negative, so plain
     ``%`` agrees between Spark and any SQL engine)."""
     r = F.lit(row) if isinstance(row, int) else row
-    return token_hash64(
+    # pmod, not %: xxhash64 is signed, and a negative bucket would
+    # silently double the cell space to depth*(2*width-1) and misalign
+    # any merge with an md5-built sketch (review finding; md5-path
+    # hashes are 60-bit non-negative so pmod is a no-op there)
+    return F.pmod(token_hash64(
         F.concat(value.cast("string"), F.lit("|"), r.cast("string")),
-        hash_fn) % width
+        hash_fn), F.lit(width))
 
 
 def countmin_table(
@@ -130,8 +134,13 @@ def countmin_estimates(
     keys = [c for c in probes.columns]
     joined = probed.join(F.broadcast(cms), on=["cm_row", "cm_bucket"],
                          how="left")
+    # coalesce INSIDE the min: an empty (count-0) cell arrives as NULL
+    # from the left join, and F.min skips NULLs — without the inner
+    # coalesce an unseen value whose other cells collide returned the
+    # collision count instead of the correct 0 (review finding,
+    # reproduced: estimate 100 where CMS says 0)
     return (joined.groupBy(*keys)
-            .agg(F.coalesce(F.min("cm_count"), F.lit(0))
+            .agg(F.min(F.coalesce(F.col("cm_count"), F.lit(0)))
                  .alias("cms_estimate")))
 
 

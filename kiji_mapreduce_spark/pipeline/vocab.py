@@ -109,17 +109,21 @@ def bpe_train(
 
 def bpe_vocab(
     df: DataFrame, text_col: str = "text",
-    merges: list[tuple[str, str, int]] | None = None, **train_kw,
+    merges: list[tuple[str, str, int]] | None = None,
+    checkpoint_every: int = 8, **train_kw,
 ) -> DataFrame:
     """Subword vocabulary with corpus frequencies under a merge list
     (trained here if not given) -> (subword, n_words, total_cnt)."""
     if merges is None:
         merges = bpe_train(df, text_col, **train_kw)
     symtab = _initial_symbols(_word_counts(df, text_col))
-    for a, b, _ in merges:
+    for i, (a, b, _) in enumerate(merges):
         symtab = symtab.select(
             "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
-        symtab = symtab.localCheckpoint()
+        # same cadence as bpe_train: checkpoint to bound fold nesting,
+        # not after every merge (each localCheckpoint is an eager job)
+        if (i + 1) % checkpoint_every == 0:
+            symtab = symtab.localCheckpoint()
     return (symtab.select(F.explode("syms").alias("subword"), "cnt")
             .groupBy("subword")
             .agg(F.count(F.lit(1)).alias("n_words"),

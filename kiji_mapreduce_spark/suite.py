@@ -1317,7 +1317,8 @@ WITH q AS (
          list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id != q.query_id
-    AND e.label IS DISTINCT FROM q.query_label
+    AND NOT (e.label IS NOT NULL AND q.query_label IS NOT NULL
+             AND e.label = q.query_label)
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank

@@ -995,6 +995,23 @@ def test_countmin_never_undercounts_and_exact_when_sparse(spark):
     probe = spark.createDataFrame([("never-seen",)], "v string")
     assert countmin_estimates(
         cms_w, probe, "v", depth=4, width=512).first().cms_estimate == 0
+    # an unseen value with SOME colliding cells must still estimate 0
+    # as soon as one of its cells is empty (min over cells, where an
+    # empty cell counts as 0 — the left-join NULL must not be skipped):
+    # with width=2 every cell of the 1-value sketch is 50/50 occupied,
+    # so across 8 rows an unseen probe almost surely sees both an
+    # occupied and an empty cell; assert estimate == 0 for at least one
+    # of several probes while members stay exact
+    one = spark.createDataFrame([("only",)] * 9, "v string")
+    tiny = countmin_table(one, "v", depth=8, width=2)
+    probes = spark.createDataFrame(
+        [(f"u{i}",) for i in range(20)], "v string")
+    ests = [r.cms_estimate for r in countmin_estimates(
+        tiny, probes, "v", depth=8, width=2).collect()]
+    assert 0 in ests
+    assert countmin_estimates(
+        tiny, one.distinct(), "v", depth=8, width=2
+    ).first().cms_estimate == 9
     # weighted: each value contributes its weight, not 1
     wdf = spark.createDataFrame([("a", 10), ("a", 5), ("b", 7)],
                                 "v string, w int")
@@ -1032,6 +1049,13 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r.rank for r in out] == [1, 2, 3]
     floored = hard_negative_topk(df, anchors, k=3, min_cosine=0.5).collect()
     assert {r.neighbor_id for r in floored} == {2, 4}
+    # a NULL-labeled ANCHOR keeps NULL-labeled neighbors too: two
+    # unlabeled rows are not known to share a class (exclusion fires
+    # only on a known-equal label)
+    null_anchor = df.filter("vec_id = 4")
+    got = {r.neighbor_id
+           for r in hard_negative_topk(df, null_anchor, k=4).collect()}
+    assert got == {0, 1, 2, 3}
 
 
 def test_embedding_moments_and_pca_match_numpy(spark):
@@ -1087,22 +1111,34 @@ def test_histogram_quantiles_bounds_and_groups(spark):
                               group_col="g")
     got = {(r.g, r.prob): r for r in out.collect()}
     import numpy as np
+    # the guarantee is GLOBAL range / bins (bins are built from the
+    # global min/max), not per-group range / bins
+    all_vals = np.array([x for _, x in rows])
+    binw = (all_vals.max() - all_vals.min()) / 200
     for g in ("a", "b"):
         vals = np.array([x for gg, x in rows if gg == g])
-        width = (vals.max() - vals.min()) / 200 if g == "a" else None
         for p in (0.5, 0.9):
             exact = np.quantile(vals, p)
             est = got[(g, p)].quantile_est
-            binw = (df.filter(F.col("g") == g).agg(
-                F.max("x") - F.min("x")).first()[0]) / 200
             assert abs(est - exact) <= binw + 1e-9, (g, p, est, exact)
         assert got[(g, 1.0)].quantile_est >= vals.max() - 1e-9
         assert got[(g, 0.5)].n == len(vals)
     const = spark.createDataFrame([(5.0,)] * 10, "x double")
     c = histogram_quantiles(const, "x", [0.5]).first()
     assert c.quantile_est >= 5.0 and c.n == 10
+    # an outlier far beyond explicit lo/hi must clamp into the last
+    # bin, not overflow the int cast (ANSI abort) or wrap to bin 0
+    out_df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(3e8,)], "x double")
+    r = histogram_quantiles(out_df, "x", [0.5, 1.0], bins=100,
+                            lo=0.0, hi=100.0).collect()
+    by_p = {row.prob: row for row in r}
+    assert abs(by_p[0.5].quantile_est - 51.0) <= 1.0
+    assert by_p[1.0].quantile_est == 100.0  # outlier clamped to top bin
     with pytest.raises(ValueError, match="probs"):
         histogram_quantiles(df, "x", [0.0])
+    with pytest.raises(ValueError, match="no non-null"):
+        histogram_quantiles(df.filter("1=0"), "x", [0.5])
 
 
 def _reference_bpe(word_counts, num_merges, min_pair_count=2):
