@@ -929,3 +929,69 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95, k: int = 8,
+    iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster the embedding space with k-means, find near-dup
+    pairs (cosine >= threshold) ONLY within each cluster, collapse the
+    pair graph with connected components, keep each group's minimum id.
+    Returns (id, cluster, keep_id, keep) for every input vector.
+
+    Scale shape: clustering is the zero-exchange centroid-literal
+    assignment (`cluster.kmeans_assign`), so the candidate space shrinks
+    from all-pairs O(N^2) to sum over clusters of O(|c|^2) — and the
+    within-cluster scoring is one numpy matmul per cluster via
+    applyInPandas (the `label_cosine_stats` pattern: groups must fit an
+    executor, which k controls). For clusters too big for that bound,
+    `embedding_near_duplicates` (banded LSH) is the composition to use
+    inside the cluster instead; `max_cluster` makes the choice explicit
+    by raising when a cluster exceeds it rather than OOMing an executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign
+    from kiji_mapreduce_spark.pipeline.similarity import as_double
+
+    assigned = kmeans_assign(embeddings, vec_col=vec_col, id_col=id_col,
+                             k=k, iters=iters)
+    with_vec = (embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .join(assigned.select(id_col, "cluster"), on=id_col))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_cluster is not None and len(pdf) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(pdf)} rows exceeds "
+                f"max_cluster={max_cluster}; raise k or use the LSH "
+                "path (embedding_near_duplicates) for this corpus")
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ (m / norms).T
+        iu = np.triu_indices(len(m), k=1)
+        hit = cos[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][hit]],
+                             "id_b": ids[iu[1][hit]]})
+
+    pairs = (with_vec.groupBy("cluster")
+             .applyInPandas(_pairs, "id_a long, id_b long"))
+    keep = connected_keep_ids(pairs)
+    out = (assigned.select(id_col, "cluster")
+           .join(keep.withColumnRenamed("doc_id", id_col),
+                 on=id_col, how="left"))
+    return out.select(
+        id_col, "cluster",
+        F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
+        (F.coalesce("keep_id", F.col(id_col)) == F.col(id_col))
+        .alias("keep"))

@@ -1303,3 +1303,39 @@ def test_logreg_classifier_matches_numpy_and_separates(spark):
     assert acc > 0.95, acc
     with pytest.raises(ValueError, match="no labeled"):
         train_logreg(feats, lab.filter("doc_id < 0"), dim=DIM)
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """SemDeDup: near-identical vectors collapse to the minimum id
+    within their cluster, distinct vectors all survive, every input id
+    comes back exactly once, and max_cluster raises instead of OOMing."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
+
+    rng = np.random.RandomState(1)
+    rows = []
+    # two far-apart semantic groups, each with a 3-way near-dup set
+    for base_id, center in ((0, np.array([10.0, 0.0, 0.0])),
+                            (100, np.array([0.0, 10.0, 0.0]))):
+        for j in range(3):  # near-dups: tiny jitter, cosine ~ 1
+            rows.append((base_id + j,
+                         (center + rng.randn(3) * 0.01).tolist()))
+        for j in range(3, 6):  # distinct members of the same region
+            v = center + rng.randn(3) * 0.01
+            v[2] += 6.0 * (j - 2)  # bend away -> cosine < threshold
+            rows.append((base_id + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, k=2, iters=2).collect()
+    assert len(out) == len(rows)
+    by_id = {r.vec_id: r for r in out}
+    for base in (0, 100):
+        # the jittered triple collapses to its min id
+        assert by_id[base].keep
+        assert not by_id[base + 1].keep and by_id[base + 1].keep_id == base
+        assert not by_id[base + 2].keep and by_id[base + 2].keep_id == base
+        for j in range(3, 6):  # bent-away vectors are not dups
+            assert by_id[base + j].keep
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(df, threshold=0.99, k=1, iters=1,
+                       max_cluster=3).collect()
