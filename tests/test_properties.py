@@ -448,3 +448,63 @@ def test_pagerank_invariants(spark, edges):
     base = 0.15 / len(nodes)
     assert all(v >= base - 1e-9 for v in r1.values())
     assert sum(r1.values()) <= 1.0 + 1e-6
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(1, 20)),
+                min_size=1, max_size=25))
+def test_countmin_estimate_dominates_exact(spark, items):
+    """CMS property over random weighted corpora: for EVERY value,
+    estimate >= exact weighted count (min over summed cells can only
+    overcount), and the whole sketch merges: the cell-wise sum of two
+    half-corpus sketches equals the full-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from kiji_mapreduce_spark.pipeline.sketch import (
+        countmin_estimates, countmin_table)
+
+    rows = [(f"v{v}", w) for v, w in items]
+    df = spark.createDataFrame(rows, "v string, w int")
+    exact = df.groupBy("v").agg(F.sum("w").alias("cnt"))
+
+    cms = countmin_table(df, "v", depth=3, width=8, weight_col="w")
+    est = countmin_estimates(cms, exact, "v", depth=3, width=8)
+    for r in est.join(exact, on="v").collect():
+        assert r.cms_estimate >= r.cnt, r
+
+    # mergeability: sketch(first half) (+) sketch(second half) ==
+    # sketch(all), cell for cell
+    half = len(rows) // 2
+    d1 = spark.createDataFrame(rows[:half] or [("_none", 0)],
+                               "v string, w int")
+    d2 = spark.createDataFrame(rows[half:], "v string, w int")
+    merged = (countmin_table(d1, "v", depth=3, width=8, weight_col="w")
+              .unionByName(countmin_table(d2, "v", depth=3, width=8,
+                                          weight_col="w"))
+              .groupBy("cm_row", "cm_bucket")
+              .agg(F.sum("cm_count").alias("cm_count")))
+    full = {(r.cm_row, r.cm_bucket): r.cm_count for r in cms.collect()}
+    got = {(r.cm_row, r.cm_bucket): r.cm_count for r in merged.collect()
+           if r.cm_count != 0}
+    assert got == {k: v for k, v in full.items() if v != 0}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.sets(st.integers(0, 10_000), min_size=1, max_size=300))
+def test_kmv_estimate_brackets_distinct(spark, values):
+    """KMV property: below k the estimate IS the exact distinct count;
+    above k it stays within the sketch's coarse error envelope and is
+    invariant to duplication and partitioning."""
+    from kiji_mapreduce_spark.pipeline.sketch import kmv_distinct
+
+    rows = [("g", str(v)) for v in values] * 2  # duplicates change nothing
+    df = spark.createDataFrame(rows, "g string, v string")
+    r1 = kmv_distinct(df, "g", "v", k=32).first()
+    r2 = kmv_distinct(df.repartition(7), "g", "v", k=32).first()
+    assert (r1.n_sketch, r1.kth_hash, r1.estimate) == \
+        (r2.n_sketch, r2.kth_hash, r2.estimate)
+    n = len(values)
+    if n < 32:
+        assert r1.estimate == float(n)
+    else:
+        assert 0.3 * n <= r1.estimate <= 3.0 * n  # ~5 sigma at k=32
