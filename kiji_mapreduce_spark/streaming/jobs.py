@@ -336,3 +336,41 @@ def table_change_stream(table, include_bucket: bool = False) -> DataFrame:
               .option("maxFilesPerTrigger", 64)
               .parquet(table._delta_path()))
     return reader if include_bucket else reader.drop("_bucket")
+
+
+def stream_countmin(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 512,
+    hash_fn: str = "xx",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch: per time window, the same
+    (cm_row, cm_bucket, cm_count) cell table ``sketch.countmin_table``
+    builds in batch — heavy-hitter estimates over an unbounded stream
+    with state bounded at open-windows x depth x width cells (the
+    watermark closes windows; late events beyond it are dropped).
+
+    Cells are sums, so Structured Streaming maintains them incrementally
+    per micro-batch; closed windows merge with batch-built sketches by
+    cell-wise addition (CMS mergeability), giving one probe surface over
+    historical parquet + live stream."""
+    from kiji_mapreduce_spark.pipeline.sketch import _cm_bucket
+
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    probed = (stream_df.filter(F.col(value_col).isNotNull())
+              .withColumn("cm_row", F.explode(rows))
+              .withColumn("cm_bucket",
+                          _cm_bucket(F.col(value_col), F.col("cm_row"),
+                                     width, hash_fn))
+              .withColumn("_w", w))
+    return windowed_aggregate(
+        probed, ts_col, window_duration, watermark,
+        group_cols=["cm_row", "cm_bucket"],
+        aggs=[F.sum("_w").alias("cm_count")])

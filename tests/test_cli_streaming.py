@@ -471,3 +471,37 @@ def test_sessionized_aggregate_stream(spark, tmp_path):
     got = {(r.user, r.session_window.start.hour,
             r.session_window.start.minute, r.n_events) for r in out}
     assert got == {(1, 0, 0, 3), (1, 2, 30, 1), (2, 0, 5, 1)}
+
+
+def test_stream_countmin_matches_batch_sketch(spark, tmp_path):
+    """The streaming CMS drained with availableNow equals the batch
+    sketch built per window — cell for cell — and merges with it (CMS
+    cells are sums)."""
+    from kiji_mapreduce_spark.pipeline.sketch import countmin_table
+    from kiji_mapreduce_spark.streaming import stream_countmin
+
+    events = [
+        {"ts": "2024-01-01T00:05:00Z", "tok": "a"},
+        {"ts": "2024-01-01T00:10:00Z", "tok": "a"},
+        {"ts": "2024-01-01T00:20:00Z", "tok": "b"},
+        {"ts": "2024-01-01T01:10:00Z", "tok": "a"},
+        {"ts": "2024-01-01T01:15:00Z", "tok": None},  # ignored
+    ]
+    src = _write_stream_input(tmp_path, events)
+    stream = spark.readStream.schema("ts timestamp, tok string").json(src)
+    agg = stream_countmin(stream, "tok", "ts", depth=2, width=8)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("cms_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window.start.hour, r.cm_row, r.cm_bucket): r.cm_count
+           for r in spark.table("cms_stream").collect()}
+
+    batch = spark.createDataFrame(
+        [(e["ts"], e["tok"]) for e in events], "ts string, tok string")
+    want = {}
+    for hour in (0, 1):
+        sub = batch.filter(
+            F.hour(F.to_timestamp("ts")) == hour)
+        for r in countmin_table(sub, "tok", depth=2, width=8).collect():
+            want[(hour, r.cm_row, r.cm_bucket)] = r.cm_count
+    assert got == want
