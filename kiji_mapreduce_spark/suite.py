@@ -1254,12 +1254,17 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     collision). md5 hash mode makes the sketch a pure function DuckDB
     reproduces cell-for-cell — the ORACLE REBUILDS THE WHOLE SKETCH."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # ONE corpus tokenization + count; the (vocab-sized) count table is
+    # checkpointed and feeds both the sketch (as weights) and the exact
+    # top-20 — the naive form scanned and shuffled the corpus twice
+    counts = (docs.select(
         F.explode(dedup.tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint())
     cms = sketch.countmin_table(
-        toks, "token", depth=4, width=512, hash_fn="md5")
-    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
-           .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+        counts, "token", depth=4, width=512, hash_fn="md5",
+        weight_col="exact_cnt")
+    top = (counts.orderBy(F.col("exact_cnt").desc(), F.col("token"))
            .limit(20))
     est = sketch.countmin_estimates(
         cms, top, "token", depth=4, width=512, hash_fn="md5")
