@@ -145,3 +145,58 @@ def score_logreg(
                 -(F.sum(F.col("value")
                         * F.coalesce(F.col("_w"), F.lit(0.0)))
                   + F.lit(bias))))).alias("prob")))
+
+
+def binary_metrics(
+    scored: DataFrame, labels: DataFrame, id_col: str = "doc_id",
+    score_col: str = "prob", label_col: str = "label",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Distributed evaluation of a binary scorer -> one row:
+    (n, n_pos, auc, accuracy, precision, recall).
+
+    AUC by the pairwise identity P(s_pos > s_neg) + 0.5 P(s_pos = s_neg),
+    computed from per-DISTINCT-SCORE counts: the corpus-sized work is one
+    partial-aggregated groupBy(score); the cumulative pass then runs over
+    the distinct-score table only. That bound is what makes this safe at
+    scale — a naive global rank() window funnels every row into one task,
+    while scores rounded to d decimals cap this window at 10^d rows
+    regardless of corpus size. Round scores upstream accordingly.
+    """
+    j = (scored.select(id_col, score_col)
+         .join(labels.select(F.col(id_col),
+                             F.col(label_col).cast("int").alias("_y")),
+               on=id_col))
+    g = (j.groupBy(F.col(score_col).alias("_s"))
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum("_y").alias("_pos")))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = g.select(
+        "_s", "_n", "_pos", (F.col("_n") - F.col("_pos")).alias("_neg"),
+        F.coalesce(F.sum(F.col("_n") - F.col("_pos")).over(w), F.lit(0))
+        .alias("_neg_below"))
+    agg = per.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_pos")
+              * (F.col("_neg_below") + 0.5 * F.col("_neg")))
+        .alias("_wins"),
+        F.sum(F.when(F.col("_s") >= threshold, F.col("_pos"))
+              .otherwise(F.col("_neg"))).alias("_correct"),
+        F.sum(F.when(F.col("_s") >= threshold, F.col("_pos"))
+              .otherwise(0)).alias("_tp"),
+        F.sum(F.when(F.col("_s") >= threshold, F.col("_n"))
+              .otherwise(0)).alias("_pred_pos"))
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when((F.col("n_pos") > 0) & (n_neg > 0),
+                 F.col("_wins") / (F.col("n_pos") * n_neg))
+    return agg.select(
+        "n", "n_pos",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.col("_correct") / F.col("n"), 6).alias("accuracy"),
+        F.round(F.when(F.col("_pred_pos") > 0,
+                       F.col("_tp") / F.col("_pred_pos")), 6)
+        .alias("precision"),
+        F.round(F.when(F.col("n_pos") > 0,
+                       F.col("_tp") / F.col("n_pos")), 6).alias("recall"))

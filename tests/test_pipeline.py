@@ -1339,3 +1339,35 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     with pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(df, threshold=0.99, k=1, iters=1,
                        max_cluster=3).collect()
+
+
+def test_binary_metrics_auc_matches_numpy(spark):
+    """Rank-sum AUC with midrank ties equals the numpy pairwise
+    definition (P(score_pos > score_neg) + 0.5*P(equal)); confusion
+    metrics match direct counting; degenerate single-class input yields
+    NULL auc rather than a crash."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.classifier import binary_metrics
+
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 2, size=300)
+    s = np.round(np.clip(y * 0.3 + rng.rand(300) * 0.7, 0, 1), 2)  # ties
+    scored = spark.createDataFrame(
+        [(i, float(s[i])) for i in range(300)], "doc_id long, prob double")
+    labels = spark.createDataFrame(
+        [(i, int(y[i])) for i in range(300)], "doc_id long, label int")
+    m = binary_metrics(scored, labels).first()
+
+    pos, neg = s[y == 1], s[y == 0]
+    gt = (pos[:, None] > neg[None, :]).mean()
+    eq = (pos[:, None] == neg[None, :]).mean()
+    assert abs(m.auc - (gt + 0.5 * eq)) < 1e-6
+    assert m.n == 300 and m.n_pos == int(y.sum())
+    pred = s >= 0.5
+    assert abs(m.accuracy - (pred == y.astype(bool)).mean()) < 1e-6
+    assert abs(m.recall - pred[y == 1].mean()) < 1e-6
+    assert abs(m.precision - y[pred].mean()) < 1e-6
+
+    one_class = labels.withColumn("label", F.lit(1))
+    assert binary_metrics(scored, one_class).first().auc is None
