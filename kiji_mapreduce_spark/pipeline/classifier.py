@@ -163,9 +163,16 @@ def binary_metrics(
     while scores rounded to d decimals cap this window at 10^d rows
     regardless of corpus size. Round scores upstream accordingly.
     """
+    # NULL hygiene: a NULL label (e.g. a failed cast) must not count as
+    # a confirmed negative, and a NULL score must not rank below every
+    # real score — silently skewing each metric (review finding; same
+    # class as the kmv_distinct NULL-slot bug). Rows missing either
+    # side are excluded from n.
     j = (scored.select(id_col, score_col)
+         .filter(F.col(score_col).isNotNull())
          .join(labels.select(F.col(id_col),
-                             F.col(label_col).cast("int").alias("_y")),
+                             F.col(label_col).try_cast("int").alias("_y"))
+               .filter(F.col("_y").isNotNull()),
                on=id_col))
     g = (j.groupBy(F.col(score_col).alias("_s"))
          .agg(F.count(F.lit(1)).alias("_n"),
@@ -189,8 +196,12 @@ def binary_metrics(
         F.sum(F.when(F.col("_s") >= threshold, F.col("_n"))
               .otherwise(0)).alias("_pred_pos"))
     n_neg = F.col("n") - F.col("n_pos")
+    # double math: n_pos * n_neg overflows int64 around 8B balanced
+    # rows (ANSI aborts, non-ANSI wraps negative) — review finding
     auc = F.when((F.col("n_pos") > 0) & (n_neg > 0),
-                 F.col("_wins") / (F.col("n_pos") * n_neg))
+                 F.col("_wins").cast("double")
+                 / (F.col("n_pos").cast("double")
+                    * n_neg.cast("double")))
     return agg.select(
         "n", "n_pos",
         F.round(auc, 6).alias("auc"),

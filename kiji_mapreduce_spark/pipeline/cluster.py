@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", k: int = 4, iters: int = 2,
-                  round_digits: int = 6) -> DataFrame:
+                  round_digits: int = 6,
+                  keep_vec: bool = False) -> DataFrame:
     """Deterministic k-means: seed centroids from the ``k`` smallest-id
     vectors, run ``iters`` Lloyd rounds, return
     (id, cluster, dist) with dist rounded to 4 decimals.
@@ -91,6 +92,12 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         centroids = [(r["cluster"], list(r["cv"])) for r in new_rows]
         centroids.sort(key=lambda t: t[0])
         assigned = _assign(emb)
-    return assigned.select(
-        id_col, F.col("cluster").cast("long").alias("cluster"),
-        F.round("dist", 4).alias("dist"))
+    cols = [id_col, F.col("cluster").cast("long").alias("cluster"),
+            F.round("dist", 4).alias("dist")]
+    if keep_vec:
+        # downstream consumers (semantic_dedup) need the vectors the
+        # assignment already materialized — re-scanning the source and
+        # shuffle-joining them back was the job's largest data movement
+        # (review finding)
+        cols.append(F.col("_v").alias(vec_col))
+    return assigned.select(*cols)

@@ -956,13 +956,11 @@ def semantic_dedup(
     import pandas as pd
 
     from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign
-    from kiji_mapreduce_spark.pipeline.similarity import as_double
 
     assigned = kmeans_assign(embeddings, vec_col=vec_col, id_col=id_col,
-                             k=k, iters=iters)
-    with_vec = (embeddings.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .join(assigned.select(id_col, "cluster"), on=id_col))
+                             k=k, iters=iters, keep_vec=True)
+    with_vec = assigned.select(
+        id_col, "cluster", F.col(vec_col).alias("_v"))
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if max_cluster is not None and len(pdf) > max_cluster:

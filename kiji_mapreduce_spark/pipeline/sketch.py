@@ -79,6 +79,26 @@ def _cm_bucket(value: Column, row: Column | int, width: int,
         hash_fn), F.lit(width))
 
 
+def _cm_check(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError("count-min requires depth >= 1, width >= 2")
+
+
+def cm_expand(df: DataFrame, value_col: str, depth: int, width: int,
+              hash_fn: str) -> DataFrame:
+    """Fan each non-null value out to its depth (cm_row, cm_bucket)
+    cells — the ONE construction shared by the batch sketch, the point
+    probe, and the streaming sketch, so a bucket-scheme change can never
+    desynchronize them (they must stay cell-for-cell mergeable)."""
+    _cm_check(depth, width)
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (df.filter(F.col(value_col).isNotNull())
+            .withColumn("cm_row", F.explode(rows))
+            .withColumn("cm_bucket",
+                        _cm_bucket(F.col(value_col), F.col("cm_row"),
+                                   width, hash_fn)))
+
+
 def countmin_table(
     df: DataFrame, value_col: str, depth: int = 4, width: int = 512,
     weight_col: str | None = None, hash_fn: str = "xx",
@@ -95,20 +115,13 @@ def countmin_table(
     in DuckDB for the driver oracle (engine-native ``xx`` is the
     production default, like every other sketch here).
     """
-    if depth < 1 or width < 2:
-        raise ValueError("countmin_table requires depth >= 1, width >= 2")
+    _cm_check(depth, width)
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
     counts = (df.filter(F.col(value_col).isNotNull())
               .groupBy(F.col(value_col).alias("_v"))
               .agg(F.sum(w).alias("_cnt")))
-    rows = F.array(*[F.lit(i) for i in range(depth)])
-    return (counts
-            .select("_v", "_cnt", F.explode(rows).alias("cm_row"))
-            .select(F.col("cm_row"),
-                    _cm_bucket(F.col("_v"), F.col("cm_row"), width,
-                               hash_fn).alias("cm_bucket"),
-                    F.col("_cnt"))
+    return (cm_expand(counts, "_v", depth, width, hash_fn)
             .groupBy("cm_row", "cm_bucket")
             .agg(F.sum("_cnt").alias("cm_count")))
 
@@ -125,12 +138,7 @@ def countmin_estimates(
     which is the point: heavy-hitter queries against a 100 TB corpus hit
     the depth*width sketch, not the data.
     """
-    rows = F.array(*[F.lit(i) for i in range(depth)])
-    probed = (probes
-              .withColumn("cm_row", F.explode(rows))
-              .withColumn("cm_bucket",
-                          _cm_bucket(F.col(value_col), F.col("cm_row"),
-                                     width, hash_fn)))
+    probed = cm_expand(probes, value_col, depth, width, hash_fn)
     keys = [c for c in probes.columns]
     joined = probed.join(F.broadcast(cms), on=["cm_row", "cm_bucket"],
                          how="left")

@@ -359,16 +359,11 @@ def stream_countmin(
     per micro-batch; closed windows merge with batch-built sketches by
     cell-wise addition (CMS mergeability), giving one probe surface over
     historical parquet + live stream."""
-    from kiji_mapreduce_spark.pipeline.sketch import _cm_bucket
+    from kiji_mapreduce_spark.pipeline.sketch import cm_expand
 
-    rows = F.array(*[F.lit(i) for i in range(depth)])
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
-    probed = (stream_df.filter(F.col(value_col).isNotNull())
-              .withColumn("cm_row", F.explode(rows))
-              .withColumn("cm_bucket",
-                          _cm_bucket(F.col(value_col), F.col("cm_row"),
-                                     width, hash_fn))
+    probed = (cm_expand(stream_df, value_col, depth, width, hash_fn)
               .withColumn("_w", w))
     return windowed_aggregate(
         probed, ts_col, window_duration, watermark,

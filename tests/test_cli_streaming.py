@@ -505,3 +505,20 @@ def test_stream_countmin_matches_batch_sketch(spark, tmp_path):
         for r in countmin_table(sub, "tok", depth=2, width=8).collect():
             want[(hour, r.cm_row, r.cm_bucket)] = r.cm_count
     assert got == want
+
+
+def test_stream_countmin_validates_params(spark, tmp_path):
+    """Degenerate sketch parameters raise loudly on the stream path,
+    matching the batch sketch (a depth-0 stream would silently emit an
+    empty sketch forever)."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.streaming import stream_countmin
+
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:05:00Z", "tok": "a"}])
+    stream = spark.readStream.schema("ts timestamp, tok string").json(src)
+    with _pytest.raises(ValueError, match="depth >= 1"):
+        stream_countmin(stream, "tok", "ts", depth=0)
+    with _pytest.raises(ValueError, match="width >= 2"):
+        stream_countmin(stream, "tok", "ts", width=1)

@@ -1371,3 +1371,20 @@ def test_binary_metrics_auc_matches_numpy(spark):
 
     one_class = labels.withColumn("label", F.lit(1))
     assert binary_metrics(scored, one_class).first().auc is None
+
+
+def test_binary_metrics_null_hygiene(spark):
+    """NULL scores and NULL/uncastable labels are excluded from every
+    metric rather than silently counted as negatives/lowest scores."""
+    from kiji_mapreduce_spark.pipeline.classifier import binary_metrics
+
+    scored = spark.createDataFrame(
+        [(0, 0.9), (1, 0.1), (2, None), (3, 0.8)],
+        "doc_id long, prob double")
+    labels = spark.createDataFrame(
+        [(0, "1"), (1, "0"), (2, "1"), (3, "oops")],
+        "doc_id long, label string")
+    m = binary_metrics(scored, labels).first()
+    # only docs 0 and 1 survive (2: null score, 3: uncastable label)
+    assert m.n == 2 and m.n_pos == 1
+    assert m.auc == 1.0 and m.accuracy == 1.0
