@@ -2763,7 +2763,8 @@ def q_knn_pq_topk(spark, sf_dir):
 # be added INSIDE the first-50 window until they earn a green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW in r5: oracle for the one component that was pytest-only,
-    #    plus streaming sessionization (stream/batch consistency) --
+    #    plus streaming sessionization (stream/batch consistency), the
+    #    sketch family (KMV, count-min) and contrastive mining --
     "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
     "pagerank_nation_trade": q_pagerank_nation_trade,
     "entity_resolution_blocked": q_entity_resolution,
