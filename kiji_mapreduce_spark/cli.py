@@ -132,6 +132,38 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--default-rate", type=float, default=1.0)
     cu.add_argument("--strata-col", default="lang")
 
+    ct = sub.add_parser("classify-train", help="train the hashed-"
+                        "features logistic-regression quality filter")
+    ct.add_argument("--input", required=True, help="labeled docs parquet")
+    ct.add_argument("--model", required=True, help="model JSON out path")
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--id-col", default="doc_id")
+    ct.add_argument("--label-col", default="label")
+    ct.add_argument("--dim", type=int, default=1024)
+    ct.add_argument("--iters", type=int, default=20)
+    ct.add_argument("--lr", type=float, default=2.0)
+
+    cs = sub.add_parser("classify-score", help="score documents with a "
+                        "trained quality-filter model")
+    cs.add_argument("--input", required=True, help="docs parquet")
+    cs.add_argument("--model", required=True, help="model JSON")
+    cs.add_argument("--output", required=True, help="(id, prob) parquet")
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--eval-labels", default=None,
+                    help="labeled parquet: also print AUC/precision/recall")
+
+    sk = sub.add_parser("sketch", help="build a column sketch: count-min "
+                        "cell table or per-group KMV distinct estimates")
+    sk.add_argument("--input", required=True, help="input parquet")
+    sk.add_argument("--kind", choices=["countmin", "kmv"], required=True)
+    sk.add_argument("--value-col", required=True)
+    sk.add_argument("--group-col", default=None, help="kmv group column")
+    sk.add_argument("--output", required=True, help="sketch parquet out")
+    sk.add_argument("--depth", type=int, default=4)
+    sk.add_argument("--width", type=int, default=512)
+    sk.add_argument("--k", type=int, default=64)
+
     args = p.parse_args(argv)
 
     if args.command == "bulk-import":
@@ -209,6 +241,70 @@ def main(argv: list[str] | None = None) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         print(json.dumps({"curated": args.output, "docs_in": n_in,
                           "docs_out": n_out}))
+        return 0
+
+    if args.command == "classify-train":
+        from kiji_mapreduce_spark.pipeline import classifier
+
+        spark = make_session(app_name="kiji-classify-train")
+        docs = spark.read.parquet(args.input)
+        feats = classifier.hashed_features(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            dim=args.dim)
+        w, b = classifier.train_logreg(
+            feats, docs.select(args.id_col, args.label_col),
+            dim=args.dim, id_col=args.id_col, label_col=args.label_col,
+            iters=args.iters, lr=args.lr)
+        model = {"dim": args.dim, "bias": b, "weights": list(w)}
+        with open(args.model, "w") as f:
+            json.dump(model, f)
+        print(json.dumps({"trained": args.model, "dim": args.dim,
+                          "nonzero_weights": int((w != 0).sum())}))
+        return 0
+
+    if args.command == "classify-score":
+        import numpy as np
+
+        from kiji_mapreduce_spark.pipeline import classifier
+
+        spark = make_session(app_name="kiji-classify-score")
+        model = json.load(open(args.model))
+        docs = spark.read.parquet(args.input)
+        feats = classifier.hashed_features(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            dim=model["dim"])
+        scored = classifier.score_logreg(
+            feats, np.array(model["weights"]), model["bias"],
+            id_col=args.id_col)
+        scored.write.mode("overwrite").parquet(args.output)
+        out = {"scored": args.output}
+        if args.eval_labels:
+            labels = spark.read.parquet(args.eval_labels)
+            m = classifier.binary_metrics(
+                spark.read.parquet(args.output), labels,
+                id_col=args.id_col).first()
+            out["metrics"] = {k: m[k] for k in
+                              ("n", "n_pos", "auc", "accuracy",
+                               "precision", "recall")}
+        print(json.dumps(out))
+        return 0
+
+    if args.command == "sketch":
+        from kiji_mapreduce_spark.pipeline import sketch as sketch_ops
+
+        spark = make_session(app_name="kiji-sketch")
+        df = spark.read.parquet(args.input)
+        if args.kind == "countmin":
+            out = sketch_ops.countmin_table(
+                df, args.value_col, depth=args.depth, width=args.width)
+        else:
+            if not args.group_col:
+                p.error("--group-col is required for kmv")
+            out = sketch_ops.kmv_distinct(
+                df, args.group_col, args.value_col, k=args.k)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"sketch": args.output, "kind": args.kind,
+                          "rows": spark.read.parquet(args.output).count()}))
         return 0
 
     return 2

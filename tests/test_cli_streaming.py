@@ -522,3 +522,54 @@ def test_stream_countmin_validates_params(spark, tmp_path):
         stream_countmin(stream, "tok", "ts", depth=0)
     with _pytest.raises(ValueError, match="width >= 2"):
         stream_countmin(stream, "tok", "ts", width=1)
+
+
+def test_cli_classify_and_sketch(spark, tmp_path, capsys):
+    """classify-train -> model JSON -> classify-score (+metrics) and
+    the sketch subcommand, end to end through the CLI."""
+    import json as _json
+
+    rows = []
+    for i in range(60):
+        y = i % 2
+        words = ["alpha", "beta", "gamma"] if y else ["spam", "junk", "ads"]
+        rows.append((i, " ".join(words * 4), y))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    docs.write.parquet(f"{tmp_path}/docs")
+
+    rc = cli.main([
+        "classify-train", "--input", f"{tmp_path}/docs",
+        "--model", f"{tmp_path}/model.json", "--dim", "64",
+        "--iters", "10"])
+    assert rc == 0
+    trained = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["nonzero_weights"] > 0
+
+    rc = cli.main([
+        "classify-score", "--input", f"{tmp_path}/docs",
+        "--model", f"{tmp_path}/model.json",
+        "--output", f"{tmp_path}/scored",
+        "--eval-labels", f"{tmp_path}/docs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metrics"]["auc"] > 0.95
+    assert out["metrics"]["n"] == 60
+
+    rc = cli.main([
+        "sketch", "--input", f"{tmp_path}/docs", "--kind", "kmv",
+        "--value-col", "doc_id", "--group-col", "label",
+        "--output", f"{tmp_path}/kmv"])
+    assert rc == 0
+    kmv = {r.label: r.estimate
+           for r in spark.read.parquet(f"{tmp_path}/kmv").collect()}
+    assert kmv == {0: 30.0, 1: 30.0}  # below k -> exact
+
+    rc = cli.main([
+        "sketch", "--input", f"{tmp_path}/docs", "--kind", "countmin",
+        "--value-col", "label", "--output", f"{tmp_path}/cms",
+        "--depth", "2", "--width", "16"])
+    assert rc == 0
+    cells = spark.read.parquet(f"{tmp_path}/cms")
+    assert cells.count() <= 2 * 16
+    total = sum(r.cm_count for r in cells.collect())
+    assert total == 60 * 2  # every row lands in depth cells
