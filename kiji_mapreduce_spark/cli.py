@@ -131,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
                     help='per-stratum sample rates "en=0.9,de=0.5"')
     cu.add_argument("--default-rate", type=float, default=1.0)
     cu.add_argument("--strata-col", default="lang")
+    cu.add_argument("--quality-model", default=None,
+                    help="classify-train model JSON: adds a learned "
+                    "filter stage after the heuristic quality gate")
+    cu.add_argument("--min-prob", type=float, default=0.5)
 
     ct = sub.add_parser("classify-train", help="train the hashed-"
                         "features logistic-regression quality filter")
@@ -235,7 +239,10 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             near_threshold=args.near_threshold,
             sample_rates=rates, default_rate=args.default_rate,
-            strata_col=args.strata_col)
+            strata_col=args.strata_col,
+            quality_model=(json.load(open(args.quality_model))
+                           if args.quality_model else None),
+            min_prob=args.min_prob)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()

@@ -37,6 +37,11 @@ class CurateConfig:
     strata_col: str = "lang"
     seed: int = 42
     hash_fn: str = "xx"
+    #: optional trained model (classifier.train_logreg output as
+    #: {"dim", "bias", "weights"}): adds a learned-filter stage after
+    #: the heuristic quality gate, keeping docs with prob >= min_prob
+    quality_model: dict | None = None
+    min_prob: float = 0.5
 
 
 def curate_corpus(
@@ -66,6 +71,22 @@ def curate_corpus(
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",
                      "digit_ratio", "upper_ratio", "stopword_ratio"))
+    if cfg.quality_model is not None:
+        # learned filter (CCNet recipe: heuristics first, model second —
+        # the cheap regex gate shrinks what the model has to score)
+        import numpy as np
+
+        from kiji_mapreduce_spark.pipeline import classifier
+
+        feats = classifier.hashed_features(
+            quality, text_col=text_col, id_col=id_col,
+            dim=cfg.quality_model["dim"])
+        probs = classifier.score_logreg(
+            feats, np.asarray(cfg.quality_model["weights"]),
+            cfg.quality_model["bias"], id_col=id_col)
+        keep_ids = (probs.filter(F.col("prob") >= cfg.min_prob)
+                    .select(id_col))
+        quality = quality.join(keep_ids, on=id_col, how="left_semi")
     # exact dedup via a per-digest min window rather than
     # drop_exact_duplicates: the agg+semi-join form evaluates the
     # quality-features scan twice (once per join side), and here —

@@ -1388,3 +1388,38 @@ def test_binary_metrics_null_hygiene(spark):
     # only docs 0 and 1 survive (2: null score, 3: uncastable label)
     assert m.n == 2 and m.n_pos == 1
     assert m.auc == 1.0 and m.accuracy == 1.0
+
+
+def test_curate_with_learned_quality_model(spark):
+    """A trained classifier plugged into CurateConfig drops the docs it
+    scores low while the heuristic-only chain keeps them; the rest of
+    the chain (exact dedup) still applies."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import classifier, curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    bad = "buyy nowz cheapz pillz delz dealz winz crypto moneyz fastz"
+    docs = spark.createDataFrame(
+        [(i, "en", good + f" filler{i}") for i in range(10)]
+        + [(i, "en", bad + f" filler{i}") for i in range(10, 20)]
+        + [(99, "en", good + " filler0")],  # exact dup of doc 0
+        "doc_id long, lang string, text string")
+    labels = spark.createDataFrame(
+        [(i, 1 if i < 10 else 0) for i in range(20)],
+        "doc_id long, label int")
+    DIM = 64
+    feats = classifier.hashed_features(docs.filter("doc_id < 20"), dim=DIM)
+    w, b = classifier.train_logreg(feats, labels, dim=DIM, iters=12)
+
+    cfg = curate.CurateConfig(
+        min_quality=0.0,
+        quality_model={"dim": DIM, "bias": b, "weights": list(w)},
+        min_prob=0.5)
+    out = {r.doc_id for r in curate.curate_corpus(
+        docs, config=cfg).collect()}
+    assert out == set(range(10))  # spam gone, dup 99 gone, good kept
+    # without the model the spam survives
+    no_model = {r.doc_id for r in curate.curate_corpus(
+        docs, config=curate.CurateConfig(min_quality=0.0)).collect()}
+    assert set(range(20)) <= no_model
