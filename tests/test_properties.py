@@ -508,3 +508,49 @@ def test_kmv_estimate_brackets_distinct(spark, values):
         assert r1.estimate == float(n)
     else:
         assert 0.3 * n <= r1.estimate <= 3.0 * n  # ~5 sigma at k=32
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(alphabet="abcd", min_size=1, max_size=5),
+              st.integers(1, 9)),
+    min_size=1, max_size=8))
+def test_bpe_train_matches_reference_on_random_corpora(spark, words):
+    """Distributed BPE == single-node reference BPE on arbitrary small
+    corpora: same merges, same order, same counts, same tie-breaks."""
+    from kiji_mapreduce_spark.pipeline import vocab
+    from tests.test_pipeline import _reference_bpe
+
+    word_counts = {}
+    for w, c in words:
+        word_counts[w] = word_counts.get(w, 0) + c
+    text = " ".join(" ".join([w] * c) for w, c in word_counts.items())
+    df = spark.createDataFrame([(text,)], "text string")
+    got = vocab.bpe_train(df, num_merges=6, checkpoint_every=2)
+    want = _reference_bpe(word_counts, 6)
+    assert got == want, (word_counts, got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=120))
+def test_histogram_quantiles_within_bound(spark, vals):
+    """Histogram quantile estimates sit within one (global) bin width
+    ABOVE the exact inverse-CDF quantile (the estimator's contract:
+    upper edge of the first bin whose cumulative share reaches p —
+    numpy's default interpolated quantile is a different statistic)."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.functions import histogram_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = histogram_quantiles(df, "x", [0.25, 0.5, 0.9, 1.0], bins=64)
+    arr = np.array(vals, dtype=float)
+    span = arr.max() - arr.min()
+    binw = (span if span > 0 else 1.0) / 64
+    for r in out.collect():
+        exact = np.quantile(arr, r.prob, method='inverted_cdf')
+        assert exact - 1e-9 <= r.quantile_est <= exact + binw + 1e-6, (
+            r.prob, r.quantile_est, exact)
+        assert r.n == len(vals)
