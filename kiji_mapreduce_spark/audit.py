@@ -62,3 +62,64 @@ def audit_union(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def distribution_drift(
+    before: DataFrame, after: DataFrame, col: str,
+    bins: int = 20, lo: float | None = None, hi: float | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift between two corpus
+    snapshots on a numeric column -> one row
+    (column, n_before, n_after, psi, drifted).
+
+    PSI = sum over bins of (p_after - p_before) * ln(p_after/p_before),
+    the standard monitoring statistic (rule of thumb: < 0.1 stable,
+    > 0.25 drifted — the ``drifted`` flag uses 0.25). Scale shape: one
+    min/max pass over the union (skipped when lo/hi given) plus one
+    partially-aggregated histogram per side — at most ``bins`` rows per
+    side ever shuffle, the same discipline as ``histogram_quantiles``.
+    Empty bins are smoothed with ``epsilon`` so a vanished bucket yields
+    a large-but-finite contribution instead of infinity.
+    """
+    if bins < 2:
+        raise ValueError("distribution_drift needs bins >= 2")
+    b = before.filter(F.col(col).isNotNull())
+    a = after.filter(F.col(col).isNotNull())
+    if lo is None or hi is None:
+        r = (b.select(F.col(col).cast("double").alias("_v"))
+             .unionByName(a.select(F.col(col).cast("double").alias("_v")))
+             .agg(F.min("_v"), F.max("_v")).first())
+        if r[0] is None:
+            raise ValueError("distribution_drift: no non-null values")
+        lo = float(r[0]) if lo is None else lo
+        hi = float(r[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    def _hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.least(F.lit(hi), F.greatest(
+            F.lit(lo), F.col(col).cast("double")))
+        idx = F.least(F.lit(bins - 1),
+                      F.greatest(F.lit(0),
+                                 F.floor((v - lo) / width).cast("int")))
+        return (df.groupBy(idx.alias("_bin"))
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    j = (_hist(b, "_nb").join(_hist(a, "_na"), on="_bin", how="full")
+         .select(F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_na", F.lit(0)).alias("_na")))
+    tot = j.agg(F.sum("_nb").alias("tb"), F.sum("_na").alias("ta"))
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "_nb", "_na", "tb", "ta",
+        (F.col("_nb") / F.col("tb") + epsilon).alias("_pb"),
+        (F.col("_na") / F.col("ta") + epsilon).alias("_pa"))
+    psi = scored.agg(
+        F.first("tb").alias("n_before"), F.first("ta").alias("n_after"),
+        F.sum((F.col("_pa") - F.col("_pb"))
+              * F.log(F.col("_pa") / F.col("_pb"))).alias("_psi"))
+    return psi.select(
+        F.lit(col).alias("column"), "n_before", "n_after",
+        F.round("_psi", 6).alias("psi"),
+        (F.col("_psi") > 0.25).alias("drifted"))

@@ -177,3 +177,41 @@ def test_snapshot_diff_detects_null_column_swap(spark):
                                   "id long, a string, b string")
     out = snapshot_diff(before, after, ["id"]).collect()
     assert [(r.id, r.change) for r in out] == [(1, "updated")]
+
+
+def test_distribution_drift_psi(spark):
+    """PSI drift: identical distributions score ~0 / not drifted; a
+    shifted distribution crosses the 0.25 threshold; result matches a
+    numpy PSI on the same bins; empty input raises."""
+    import numpy as np
+    import pytest
+
+    from kiji_mapreduce_spark.audit import distribution_drift
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(50, 10, size=4000)
+    same = rng.normal(50, 10, size=4000)
+    shifted = rng.normal(80, 10, size=4000)
+    mk = lambda a: spark.createDataFrame(
+        [(float(x),) for x in a], "x double")
+
+    stable = distribution_drift(mk(base), mk(same), "x", bins=20).first()
+    assert stable.psi < 0.1 and not stable.drifted
+    assert stable.n_before == stable.n_after == 4000
+
+    drift = distribution_drift(mk(base), mk(shifted), "x", bins=20).first()
+    assert drift.psi > 0.25 and drift.drifted
+
+    # cross-check against numpy on fixed explicit bounds
+    lo, hi = 0.0, 120.0
+    got = distribution_drift(mk(base), mk(shifted), "x", bins=10,
+                             lo=lo, hi=hi).first().psi
+    edges = np.linspace(lo, hi, 11)
+    nb, _ = np.histogram(np.clip(base, lo, hi), bins=edges)
+    na, _ = np.histogram(np.clip(shifted, lo, hi), bins=edges)
+    pb, pa = nb / nb.sum() + 1e-6, na / na.sum() + 1e-6
+    want = float(((pa - pb) * np.log(pa / pb)).sum())
+    assert abs(got - want) < 1e-4, (got, want)
+
+    with pytest.raises(ValueError, match="no non-null"):
+        distribution_drift(mk([]).filter("1=0"), mk([]).filter("1=0"), "x")
