@@ -168,6 +168,23 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--width", type=int, default=512)
     sk.add_argument("--k", type=int, default=64)
 
+    di = sub.add_parser("dedup-index", help="build or incrementally "
+                        "query the persisted MinHash dedup index")
+    di.add_argument("--mode", choices=["build", "ingest"], required=True)
+    di.add_argument("--input", required=True,
+                    help="documents parquet (corpus for build, new "
+                    "batch for ingest)")
+    di.add_argument("--index", required=True,
+                    help="index parquet (output for build, existing "
+                    "index for ingest)")
+    di.add_argument("--pairs", default=None,
+                    help="ingest: verified near-dup pairs parquet out")
+    di.add_argument("--updated-index", default=None,
+                    help="ingest: write index + batch rows here")
+    di.add_argument("--threshold", type=float, default=0.8)
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+
     args = p.parse_args(argv)
 
     if args.command == "bulk-import":
@@ -312,6 +329,37 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"sketch": args.output, "kind": args.kind,
                           "rows": spark.read.parquet(args.output).count()}))
+        return 0
+
+    if args.command == "dedup-index":
+        from kiji_mapreduce_spark.pipeline import dedup
+
+        spark = make_session(app_name="kiji-dedup-index")
+        docs = spark.read.parquet(args.input)
+        if args.mode == "build":
+            dedup.minhash_index(
+                docs, text_col=args.text_col, id_col=args.id_col
+            ).write.mode("overwrite").parquet(args.index)
+            print(json.dumps({
+                "index": args.index,
+                "rows": spark.read.parquet(args.index).count()}))
+            return 0
+        if not args.pairs:
+            p.error("--pairs is required for ingest")
+        index = spark.read.parquet(args.index)
+        pairs = dedup.minhash_dedup_incremental(
+            docs, index, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold)
+        pairs.write.mode("overwrite").parquet(args.pairs)
+        out = {"pairs": args.pairs,
+               "n_pairs": spark.read.parquet(args.pairs).count()}
+        if args.updated_index:
+            batch_rows = dedup.minhash_index(
+                docs, text_col=args.text_col, id_col=args.id_col)
+            index.unionByName(batch_rows).write.mode(
+                "overwrite").parquet(args.updated_index)
+            out["updated_index"] = args.updated_index
+        print(json.dumps(out))
         return 0
 
     return 2

@@ -573,3 +573,39 @@ def test_cli_classify_and_sketch(spark, tmp_path, capsys):
     assert cells.count() <= 2 * 16
     total = sum(r.cm_count for r in cells.collect())
     assert total == 60 * 2  # every row lands in depth cells
+
+
+def test_cli_dedup_index_build_and_ingest(spark, tmp_path, capsys):
+    """dedup-index build persists the MinHash index; ingest finds the
+    batch-vs-corpus near-dup and appends the batch to the index."""
+    import json as _json
+
+    def _text(i, fuzz=""):
+        return (" ".join(f"w{i}a{j}" for j in range(30)) + " " + fuzz)
+
+    corpus = spark.createDataFrame(
+        [(i, _text(i)) for i in range(8)], "doc_id long, text string")
+    corpus.write.parquet(f"{tmp_path}/corpus")
+    rc = cli.main(["dedup-index", "--mode", "build",
+                   "--input", f"{tmp_path}/corpus",
+                   "--index", f"{tmp_path}/idx"])
+    assert rc == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["rows"] == 8
+
+    # batch: one near-dup of corpus doc 3 (tiny suffix change), one new
+    batch = spark.createDataFrame(
+        [(100, _text(3, "extra")), (101, _text(55))],
+        "doc_id long, text string")
+    batch.write.parquet(f"{tmp_path}/batch")
+    rc = cli.main(["dedup-index", "--mode", "ingest",
+                   "--input", f"{tmp_path}/batch",
+                   "--index", f"{tmp_path}/idx",
+                   "--pairs", f"{tmp_path}/pairs",
+                   "--updated-index", f"{tmp_path}/idx2",
+                   "--threshold", "0.8"])
+    assert rc == 0
+    pairs = {(r.id_a, r.id_b)
+             for r in spark.read.parquet(f"{tmp_path}/pairs").collect()}
+    assert pairs == {(3, 100)}
+    assert spark.read.parquet(f"{tmp_path}/idx2").count() == 10
