@@ -555,3 +555,41 @@ def project_embeddings(
         mu = F.array(*[F.lit(float(m)) for m in mean])
         v = F.zip_with(v, mu, lambda x, m: x - m)
     return embeddings.withColumn(out_col, dot(v, comp))
+
+
+def top_principal_components(cov, k: int = 2, iters: int = 100,
+                             seed: int = 7):
+    """Leading k eigenvectors (and eigenvalues) by power iteration with
+    Hotelling deflation: after extracting v_i with eigenvalue l_i,
+    iterate on cov - l_i v_i v_i^T. Driver-side on the tiny dim x dim
+    matrix; same sign convention as ``top_principal_component``."""
+    if k < 1 or k > cov.shape[0]:
+        raise ValueError("k must be in [1, dim]")
+    m = np.array(cov, dtype=np.float64, copy=True)
+    comps, evals = [], []
+    for _ in range(k):
+        v = top_principal_component(m, iters=iters, seed=seed)
+        lam = float(v @ m @ v)
+        comps.append(v)
+        evals.append(lam)
+        m = m - lam * np.outer(v, v)
+    return np.array(comps), np.array(evals)
+
+
+def project_embeddings_multi(
+    embeddings: DataFrame, components, mean=None,
+    vec_col: str = "embedding", out_prefix: str = "pc",
+) -> DataFrame:
+    """Project every vector onto k (literal) components in ONE
+    projection pass -> columns pc1..pck. Still zero exchanges: the k
+    dot products share the single centered-vector subexpression."""
+    v = as_double(F.col(vec_col))
+    if mean is not None:
+        mu = F.array(*[F.lit(float(m)) for m in mean])
+        v = F.zip_with(v, mu, lambda x, m: x - m)
+    out = embeddings
+    cols = []
+    for i, comp in enumerate(components):
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        cols.append(dot(v, c).alias(f"{out_prefix}{i + 1}"))
+    return out.select("*", *cols)

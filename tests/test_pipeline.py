@@ -1423,3 +1423,40 @@ def test_curate_with_learned_quality_model(spark):
     no_model = {r.doc_id for r in curate.curate_corpus(
         docs, config=curate.CurateConfig(min_quality=0.0)).collect()}
     assert set(range(20)) <= no_model
+
+
+def test_top_k_principal_components_match_numpy(spark):
+    """Deflated power iteration recovers numpy's top-k eigenpairs (up to
+    sign) and the multi-projection equals per-component projections."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.similarity import (
+        embedding_moments, project_embeddings_multi,
+        top_principal_components)
+
+    rng = np.random.RandomState(2)
+    data = rng.randn(300, 4) * np.array([6.0, 3.0, 1.0, 0.2])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>")
+    _, mean, cov = embedding_moments(df)
+    comps, evals = top_principal_components(cov, k=3)
+
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    for i in range(3):
+        expect = v[:, order[i]]
+        if expect[np.argmax(np.abs(expect))] < 0:
+            expect = -expect
+        np.testing.assert_allclose(comps[i], expect, atol=1e-5)
+        assert abs(evals[i] - w[order[i]]) < 1e-6
+    assert evals[0] > evals[1] > evals[2]
+
+    proj = project_embeddings_multi(df, comps, mean=mean).collect()
+    want = (data - data.mean(axis=0)) @ comps.T
+    by_id = {r.vec_id: (r.pc1, r.pc2, r.pc3) for r in proj}
+    for i in range(300):
+        np.testing.assert_allclose(by_id[i], want[i], atol=1e-9)
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        top_principal_components(cov, k=9)
