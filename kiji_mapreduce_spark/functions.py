@@ -278,3 +278,48 @@ def histogram_quantiles(
             .select(*keys, "prob",
                     (F.lit(lo) + (F.col("_b") + 1) * F.lit(width))
                     .alias("quantile_est"), "n"))
+
+
+def zorder_key(
+    cols: list, bits: int = 16,
+    ranges: list[tuple[float, float]] | None = None,
+) -> Column:
+    """Z-order (Morton) sort key over 2+ numeric columns: quantize each
+    to ``bits`` levels, interleave the bits. Writing files sorted by
+    this key clusters ALL the keyed columns at once, so parquet min/max
+    stats prune scans filtered on ANY of them — single-column sort keys
+    only skip for their leading column. This is the lakehouse
+    multi-dimensional-clustering technique (public: Morton 1966; used
+    by Delta/Iceberg OPTIMIZE ZORDER).
+
+    ``ranges`` gives (lo, hi) per column for the quantization; required,
+    because deriving them here would add an aggregation pass to what
+    must stay a pure projection (compute them once upstream). Values
+    outside [lo, hi] clamp. The expression is ``bits * ncols`` codegen'd
+    bit ops — no shuffle, no Python; feed it to
+    ``repartitionByRange``/``sortWithinPartitions`` (e.g. via
+    ``stage_sorted``'s key) to lay files out.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if ranges is None or len(ranges) != n:
+        raise ValueError("zorder_key needs one (lo, hi) range per column")
+    if bits < 1 or bits * n > 63:
+        raise ValueError("bits * ncols must fit in a signed long")
+    quantized = []
+    for c, (lo, hi) in zip(cols, ranges):
+        col = F.col(c) if isinstance(c, str) else c
+        if hi <= lo:
+            raise ValueError(f"empty range ({lo}, {hi})")
+        scaled = (F.least(F.lit(float(hi)),
+                          F.greatest(F.lit(float(lo)),
+                                     col.cast("double")))
+                  - lo) / (hi - lo) * ((1 << bits) - 1)
+        quantized.append(F.round(scaled).cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
