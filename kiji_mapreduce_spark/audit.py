@@ -109,17 +109,25 @@ def distribution_drift(
 
     j = (_hist(b, "_nb").join(_hist(a, "_na"), on="_bin", how="full")
          .select(F.coalesce("_nb", F.lit(0)).alias("_nb"),
-                 F.coalesce("_na", F.lit(0)).alias("_na")))
-    tot = j.agg(F.sum("_nb").alias("tb"), F.sum("_na").alias("ta"))
-    scored = j.crossJoin(F.broadcast(tot)).select(
-        "_nb", "_na", "tb", "ta",
-        (F.col("_nb") / F.col("tb") + epsilon).alias("_pb"),
-        (F.col("_na") / F.col("ta") + epsilon).alias("_pa"))
+                 F.coalesce("_na", F.lit(0)).alias("_na"))
+         .localCheckpoint(eager=True))  # <= bins rows; read twice below
+    tb, ta = j.agg(F.sum("_nb"), F.sum("_na")).first()
+    if not tb or not ta:
+        # with explicit lo/hi the min/max guard above is skipped: an
+        # empty/all-NULL side would make 0/0 = NaN psi, and NaN > 0.25
+        # is TRUE under Spark's NaN ordering — a garbage "drifted"
+        # monitoring row instead of an error (review finding)
+        raise ValueError(
+            f"distribution_drift: empty snapshot (n_before={tb or 0}, "
+            f"n_after={ta or 0})")
+    scored = j.select(
+        (F.col("_nb") / F.lit(float(tb)) + epsilon).alias("_pb"),
+        (F.col("_na") / F.lit(float(ta)) + epsilon).alias("_pa"))
     psi = scored.agg(
-        F.first("tb").alias("n_before"), F.first("ta").alias("n_after"),
         F.sum((F.col("_pa") - F.col("_pb"))
               * F.log(F.col("_pa") / F.col("_pb"))).alias("_psi"))
     return psi.select(
-        F.lit(col).alias("column"), "n_before", "n_after",
+        F.lit(col).alias("column"),
+        F.lit(tb).alias("n_before"), F.lit(ta).alias("n_after"),
         F.round("_psi", 6).alias("psi"),
         (F.col("_psi") > 0.25).alias("drifted"))

@@ -347,15 +347,15 @@ def main(argv: list[str] | None = None) -> int:
         if not args.pairs:
             p.error("--pairs is required for ingest")
         index = spark.read.parquet(args.index)
-        pairs = dedup.minhash_dedup_incremental(
+        pairs, batch_rows = dedup.minhash_dedup_incremental(
             docs, index, text_col=args.text_col, id_col=args.id_col,
-            threshold=args.threshold)
+            threshold=args.threshold, return_index=True)
         pairs.write.mode("overwrite").parquet(args.pairs)
         out = {"pairs": args.pairs,
                "n_pairs": spark.read.parquet(args.pairs).count()}
         if args.updated_index:
-            batch_rows = dedup.minhash_index(
-                docs, text_col=args.text_col, id_col=args.id_col)
+            # batch_rows is the checkpointed index the dedup pass
+            # already built — no second shingle scan of the batch text
             index.unionByName(batch_rows).write.mode(
                 "overwrite").parquet(args.updated_index)
             out["updated_index"] = args.updated_index

@@ -128,12 +128,15 @@ def train_logreg(
 
 def score_logreg(
     features: DataFrame, weights: np.ndarray, bias: float,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", round_digits: int = 6,
 ) -> DataFrame:
     """Probability per doc under a trained model -> (id, prob). One
     broadcast join + one per-doc aggregate; docs absent from the matrix
     (empty text) are absent here too — union them in at sigmoid(bias)
-    if needed."""
+    if needed. Probabilities are rounded to ``round_digits`` — filtering
+    never needs more, and the rounding is what keeps a downstream
+    ``binary_metrics`` distinct-score table bounded at 10^digits rows
+    (its documented precondition)."""
     spark = features.sparkSession
     wt = spark.createDataFrame(
         [(int(i), float(v)) for i, v in enumerate(weights) if v != 0.0]
@@ -141,10 +144,12 @@ def score_logreg(
         "feature_idx int, _w double")
     return (features.join(F.broadcast(wt), on="feature_idx", how="left")
             .groupBy(id_col)
-            .agg((F.lit(1.0) / (F.lit(1.0) + F.exp(
-                -(F.sum(F.col("value")
-                        * F.coalesce(F.col("_w"), F.lit(0.0)))
-                  + F.lit(bias))))).alias("prob")))
+            .agg(F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(
+                    -(F.sum(F.col("value")
+                            * F.coalesce(F.col("_w"), F.lit(0.0)))
+                      + F.lit(bias)))),
+                round_digits).alias("prob")))
 
 
 def binary_metrics(

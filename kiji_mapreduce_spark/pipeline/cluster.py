@@ -92,7 +92,11 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         centroids = [(r["cluster"], list(r["cv"])) for r in new_rows]
         centroids.sort(key=lambda t: t[0])
         assigned = _assign(emb)
-    cols = [id_col, F.col("cluster").cast("long").alias("cluster"),
+    # cluster labels are seed-vector ids, so they follow the id
+    # column's type (a hardcoded long cast crashed string ids under
+    # ANSI — review follow-up)
+    id_type = dict(df.dtypes)[id_col]
+    cols = [id_col, F.col("cluster").cast(id_type).alias("cluster"),
             F.round("dist", 4).alias("dist")]
     if keep_vec:
         # downstream consumers (semantic_dedup) need the vectors the

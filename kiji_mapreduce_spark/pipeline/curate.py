@@ -74,19 +74,33 @@ def curate_corpus(
     if cfg.quality_model is not None:
         # learned filter (CCNet recipe: heuristics first, model second —
         # the cheap regex gate shrinks what the model has to score)
+        import math
+
         import numpy as np
 
         from kiji_mapreduce_spark.pipeline import classifier
 
+        if materialize:
+            # the semi-join below reads `quality` on both sides; without
+            # this pin the regex quality-feature scan executes twice
+            # (the exact double-scan the dedup stage's comment documents
+            # eliminating — review finding)
+            quality = quality.localCheckpoint(eager=True)
         feats = classifier.hashed_features(
             quality, text_col=text_col, id_col=id_col,
             dim=cfg.quality_model["dim"])
         probs = classifier.score_logreg(
             feats, np.asarray(cfg.quality_model["weights"]),
             cfg.quality_model["bias"], id_col=id_col)
-        keep_ids = (probs.filter(F.col("prob") >= cfg.min_prob)
-                    .select(id_col))
-        quality = quality.join(keep_ids, on=id_col, how="left_semi")
+        # token-less docs have no feature rows and thus no prob row;
+        # the model's verdict on them IS sigmoid(bias) (train_logreg
+        # enrolls them through the intercept) — dropping them
+        # unconditionally overrode the model (review finding)
+        bias_prob = 1.0 / (1.0 + math.exp(-cfg.quality_model["bias"]))
+        quality = (quality.join(probs, on=id_col, how="left")
+                   .filter(F.coalesce(F.col("prob"), F.lit(bias_prob))
+                           >= cfg.min_prob)
+                   .drop("prob"))
     # exact dedup via a per-digest min window rather than
     # drop_exact_duplicates: the agg+semi-join form evaluates the
     # quality-features scan twice (once per join side), and here —

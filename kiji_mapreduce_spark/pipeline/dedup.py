@@ -574,9 +574,13 @@ def minhash_dedup_incremental(
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
     threshold: float = 0.8, hash_fn: str = "xx",
     max_bucket: int | None = None,
-) -> DataFrame:
+    return_index: bool = False,
+):
     """Dedup a NEW batch against an existing corpus ``minhash_index``
     (plus within the batch itself) — no corpus text is read.
+    ``return_index=True`` additionally returns the batch's (already
+    checkpointed) index rows as ``(pairs, batch_index)`` so callers
+    appending to the persisted index don't re-run the shingle scan.
 
     Emits verified pairs (id_a, id_b, jaccard) where at least one side
     is new. This is the steady-state shape of corpus dedup at 100 TB:
@@ -609,7 +613,8 @@ def minhash_dedup_incremental(
     )
     sets = (new_idx.select(id_col, "_sh")
             .unionByName(index.select(id_col, "_sh")))
-    return _verify_pairs(cands, sets, id_col, threshold)
+    pairs = _verify_pairs(cands, sets, id_col, threshold)
+    return (pairs, new_idx) if return_index else pairs
 
 
 # -- embedding cosine near-dup ----------------------------------------------
@@ -982,8 +987,9 @@ def semantic_dedup(
         return pd.DataFrame({"id_a": ids[iu[0][hit]],
                              "id_b": ids[iu[1][hit]]})
 
+    id_type = dict(embeddings.dtypes)[id_col]
     pairs = (with_vec.groupBy("cluster")
-             .applyInPandas(_pairs, "id_a long, id_b long"))
+             .applyInPandas(_pairs, f"id_a {id_type}, id_b {id_type}"))
     keep = connected_keep_ids(pairs)
     out = (assigned.select(id_col, "cluster")
            .join(keep.withColumnRenamed("doc_id", id_col),

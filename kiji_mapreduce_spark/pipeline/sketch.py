@@ -137,6 +137,10 @@ def countmin_estimates(
     equi-joins the (tiny, broadcast) sketch — no corpus access at all,
     which is the point: heavy-hitter queries against a 100 TB corpus hit
     the depth*width sketch, not the data.
+
+    NULL probe values are EXCLUDED from the output (a NULL has no
+    defined cells), not returned as estimate 0 — filter them upstream
+    if one-row-per-probe alignment matters.
     """
     probed = cm_expand(probes, value_col, depth, width, hash_fn)
     keys = [c for c in probes.columns]

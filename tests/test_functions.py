@@ -254,3 +254,19 @@ def test_zorder_key_interleaves_and_clusters(spark):
         zorder_key(["x"], ranges=[(0, 1)])
     with pytest.raises(ValueError, match="signed long"):
         zorder_key(["x", "y"], bits=32, ranges=[(0, 1), (0, 1)])
+
+
+def test_distribution_drift_empty_side_raises(spark):
+    """With explicit lo/hi an empty/all-NULL snapshot raises instead of
+    returning a NaN psi that flags as drifted (review finding)."""
+    import pytest
+
+    from kiji_mapreduce_spark.audit import distribution_drift
+
+    full = spark.createDataFrame([(float(i),) for i in range(10)],
+                                 "x double")
+    empty = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="empty snapshot"):
+        distribution_drift(empty, full, "x", lo=0.0, hi=10.0)
+    with pytest.raises(ValueError, match="empty snapshot"):
+        distribution_drift(full, empty, "x", lo=0.0, hi=10.0)

@@ -1460,3 +1460,42 @@ def test_top_k_principal_components_match_numpy(spark):
     import pytest
     with pytest.raises(ValueError, match="k must be"):
         top_principal_components(cov, k=9)
+
+
+def test_semantic_dedup_string_ids(spark):
+    """The pair schema follows the actual id column type (hardcoded
+    'long' crashed on string ids — review finding)."""
+    from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [10.0, 0.0]), ("b", [10.0, 0.001]), ("c", [0.0, 10.0])],
+        "vec_id string, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, threshold=0.999, k=1, iters=1).collect()}
+    assert out["a"].keep and not out["b"].keep and out["b"].keep_id == "a"
+    assert out["c"].keep
+
+
+def test_curate_model_bias_verdict_on_empty_docs(spark):
+    """A token-less doc that passes the heuristic gate is judged by
+    sigmoid(bias), not silently dropped (review finding): with a
+    positive-bias model it survives, with a negative-bias model it
+    doesn't."""
+    from kiji_mapreduce_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "en", "real words here to score"), (2, "en", "")],
+        "doc_id long, lang string, text string")
+    base = dict(dim=8, weights=[0.0] * 8)
+    keep_all = curate.CurateConfig(
+        min_quality=0.0, quality_model={**base, "bias": 2.0},
+        min_prob=0.5)
+    got = {r.doc_id for r in curate.curate_corpus(
+        docs, config=keep_all).collect()}
+    assert got == {1, 2}
+    drop_empty = curate.CurateConfig(
+        min_quality=0.0, quality_model={**base, "bias": -2.0},
+        min_prob=0.5)
+    got = {r.doc_id for r in curate.curate_corpus(
+        docs, config=drop_empty).collect()}
+    assert got == set()  # bias < 0 -> every zero-signal doc scores 0.12
