@@ -690,29 +690,45 @@ def embedding_near_duplicates(
     just for the surviving candidate pairs. ``exact=True`` compares all
     pairs (quadratic — small corpora only). Returns (id_a, id_b, cosine).
     """
-    from kiji_mapreduce_spark.pipeline.similarity import as_double, cosine
+    from kiji_mapreduce_spark.pipeline.similarity import (
+        as_double, dot, l2_norm)
 
-    e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    # norms are per-VECTOR, so compute them once on the (small) id ->
+    # vector table instead of re-folding both sides' norms per candidate
+    # pair: the verify stage's work drops from three interpreted
+    # 64-element folds per pair to one (the dot), with bit-identical
+    # results — l2_norm over the same vector yields the same float, and
+    # the denominator norm_a * norm_b is unchanged arithmetic
+    # (measured 3.0 s -> 1.1 s verify at sf0.1 / 131k candidates).
+    e = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v"),
+        l2_norm(as_double(F.col(vec_col))).alias("_n"))
     if exact:
         a, b = e.alias("a"), e.alias("b")
         pairs = (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                  .select(F.col(f"a.{id_col}").alias("id_a"),
                          F.col(f"b.{id_col}").alias("id_b"),
                          F.col("a._v").alias("_v_a"),
-                         F.col("b._v").alias("_v_b")))
+                         F.col("b._v").alias("_v_b"),
+                         F.col("a._n").alias("_n_a"),
+                         F.col("b._n").alias("_n_b")))
     else:
         cands = embedding_lsh_candidates(
             embeddings, id_col, vec_col, bands, planes_per_band, seed)
         pairs = (
             cands
             .join(e.select(F.col(id_col).alias("id_a"),
-                           F.col("_v").alias("_v_a")), on="id_a")
+                           F.col("_v").alias("_v_a"),
+                           F.col("_n").alias("_n_a")), on="id_a")
             .join(e.select(F.col(id_col).alias("id_b"),
-                           F.col("_v").alias("_v_b")), on="id_b"))
-    return (pairs.select(
-        "id_a", "id_b",
-        cosine(F.col("_v_a"), F.col("_v_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold))
+                           F.col("_v").alias("_v_b"),
+                           F.col("_n").alias("_n_b")), on="id_b"))
+    denom = F.col("_n_a") * F.col("_n_b")
+    cos = F.when(denom != 0,
+                 dot(F.col("_v_a"), F.col("_v_b")) / denom
+                 ).otherwise(F.lit(0.0))
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
 
 
 # -- SimHash ----------------------------------------------------------------
