@@ -51,18 +51,26 @@ def brute_force_topk(
     (huge) corpus — one scan of the corpus, no shuffle until the final
     per-query top-k (tiny). Returns (query_id, neighbor_id, cosine, rank).
     """
+    # norms fold once per VECTOR (query norms would otherwise re-fold
+    # once per corpus row); the division is unchanged arithmetic, so
+    # results are bit-identical while the per-pair work drops from
+    # three interpreted folds to one
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double(F.col(vec_col)).alias("_qvec"),
+        l2_norm(as_double(F.col(vec_col))).alias("_qn"),
     )
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cvec"))
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"),
+        l2_norm(as_double(F.col(vec_col))).alias("_cn"))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom != 0,
+                 dot(F.col("_qvec"), F.col("_cvec")) / denom
+                 ).otherwise(F.lit(0.0))
     scored = (
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
-        .select(
-            query_id_col, "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
-        )
+        .select(query_id_col, "neighbor_id", cos.alias("_cos"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_cos").desc(), F.col("neighbor_id"))
@@ -451,11 +459,13 @@ def hard_negative_topk(
     q = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
-        as_double(F.col(vec_col)).alias("_qvec"))
+        as_double(F.col(vec_col)).alias("_qvec"),
+        l2_norm(as_double(F.col(vec_col))).alias("_qn"))
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
-        as_double(F.col(vec_col)).alias("_cvec"))
+        as_double(F.col(vec_col)).alias("_cvec"),
+        l2_norm(as_double(F.col(vec_col))).alias("_cn"))
     # exclude ONLY a known-equal label: two NULL-labeled rows are not
     # known to share a class, so a NULL-labeled anchor keeps NULL-labeled
     # neighbors as negatives (eqNullSafe treated NULL==NULL as a match
@@ -468,7 +478,10 @@ def hard_negative_topk(
         F.broadcast(q),
         (F.col("neighbor_id") != F.col("query_id")) & ~label_known_equal)
         .select("query_id", "query_label", "neighbor_id", "neighbor_label",
-                cosine(F.col("_qvec"), F.col("_cvec")).alias("_cos")))
+                F.when(F.col("_qn") * F.col("_cn") != 0,
+                       dot(F.col("_qvec"), F.col("_cvec"))
+                       / (F.col("_qn") * F.col("_cn")))
+                .otherwise(F.lit(0.0)).alias("_cos")))
     if min_cosine is not None:
         scored = scored.filter(F.col("_cos") >= min_cosine)
     w = Window.partitionBy("query_id").orderBy(
