@@ -270,3 +270,15 @@ def test_distribution_drift_empty_side_raises(spark):
         distribution_drift(empty, full, "x", lo=0.0, hi=10.0)
     with pytest.raises(ValueError, match="empty snapshot"):
         distribution_drift(full, empty, "x", lo=0.0, hi=10.0)
+
+
+def test_salted_topk_k_exceeds_group_size(spark):
+    """k larger than a group's row count returns the whole group,
+    ranked, with no phantom rows."""
+    from kiji_mapreduce_spark.functions import salted_topk
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g string, v int")
+    out = salted_topk(df, "g", "v", k=10)
+    got = {(r.g, r.v, r.rank) for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 1, 2), ("b", 5, 1)}

@@ -1499,3 +1499,17 @@ def test_curate_model_bias_verdict_on_empty_docs(spark):
     got = {r.doc_id for r in curate.curate_corpus(
         docs, config=drop_empty).collect()}
     assert got == set()  # bias < 0 -> every zero-signal doc scores 0.12
+
+
+def test_bloom_build_empty_input(spark):
+    """A Bloom over zero rows is all-zero bits: nothing hits, blocklist
+    mode keeps everything."""
+    from kiji_mapreduce_spark.pipeline.sketch import (
+        bloom_build, bloom_filter_rows)
+
+    empty = spark.createDataFrame([], "v string")
+    bf = bloom_build(empty, "v", m_bits=1 << 10)
+    assert bf == b"\x00" * 128
+    probe = spark.createDataFrame([("x",), ("y",)], "v string")
+    assert bloom_filter_rows(probe, "v", bf).count() == 0
+    assert bloom_filter_rows(probe, "v", bf, keep_hits=False).count() == 2
