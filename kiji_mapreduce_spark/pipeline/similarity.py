@@ -215,19 +215,26 @@ def ivf_topk(
     # nprobe nearest cells per query: centers are tiny -> broadcast,
     # distance ranked per query
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qvec"))
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qvec"),
+        l2_norm(as_double(F.col(vec_col))).alias("_qn"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("_d2"), F.col("_cell"))
     probes = (q.crossJoin(F.broadcast(centers_df))
               .withColumn("_d2", d2_to["_qvec"])
               .withColumn("_pr", F.row_number().over(probe_w))
               .filter(F.col("_pr") <= nprobe)
-              .select("query_id", "_qvec", "_cell"))
+              .select("query_id", "_qvec", "_qn", "_cell"))
 
-    scored = (indexed.join(F.broadcast(probes), on="_cell")
+    # per-vector norm reuse (see brute_force_topk): corpus norms fold
+    # once in the indexed table, query norms once in the probe table
+    indexed_n = indexed.withColumn("_cn", l2_norm(F.col("_cvec")))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom != 0,
+                 dot(F.col("_qvec"), F.col("_cvec")) / denom
+                 ).otherwise(F.lit(0.0))
+    scored = (indexed_n.join(F.broadcast(probes), on="_cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine")))
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -259,6 +266,8 @@ def lsh_topk(
             parts.append(b.select(
                 F.col(id_col).alias(alias_id),
                 as_double(F.col(vec_col)).alias(f"_{alias_id}_v"),
+                l2_norm(as_double(F.col(vec_col)))
+                .alias(f"_{alias_id}_n"),
                 F.lit(p).alias("probe"), "bucket"))
         out = parts[0]
         for more in parts[1:]:
@@ -271,8 +280,10 @@ def lsh_topk(
         corpus.join(F.broadcast(q), on=["probe", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
-                .alias("cosine"))
+                F.when(F.col("_query_id_n") * F.col("_neighbor_id_n") != 0,
+                       dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                       / (F.col("_query_id_n") * F.col("_neighbor_id_n")))
+                .otherwise(F.lit(0.0)).alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(

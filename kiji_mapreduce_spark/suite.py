@@ -2833,7 +2833,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    comparator by both versioned_* queries. Rotate FIRST next round.
     "dedup_source_matrix": q_dedup_source_matrix,
     "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
-    # -- tail: all green in r4, unchanged since; rotate next round --
+    # -- tail: all green in r4; rotate next round. knn_ivf_topk /
+    #    knn_lsh_topk took the r5 per-vector norm-reuse change — a
+    #    bit-identical float refactor (same folds over the same
+    #    vectors), verified hash-green against their oracles locally
+    #    (tools/check_correctness, sf0.01); window space went to the
+    #    two NEW queries instead. Rotate these FIRST in r6. --
     "knn_ivf_topk": q_knn_ivf_topk,
     "lm_bigram_quality": q_lm_bigram_quality,
     "streaming_dedup_docs": q_streaming_dedup_docs,
