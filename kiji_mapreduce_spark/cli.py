@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import importlib
 import json
+import os
 import sys
 
 from kiji_mapreduce_spark.io.inputs import job_input
@@ -180,7 +181,8 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--pairs", default=None,
                     help="ingest: verified near-dup pairs parquet out")
     di.add_argument("--updated-index", default=None,
-                    help="ingest: write index + batch rows here")
+                    help="ingest: write index + batch rows here (must "
+                    "be a different path than --index)")
     di.add_argument("--threshold", type=float, default=0.8)
     di.add_argument("--text-col", default="text")
     di.add_argument("--id-col", default="doc_id")
@@ -346,6 +348,14 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if not args.pairs:
             p.error("--pairs is required for ingest")
+        if args.updated_index and (
+                os.path.abspath(args.updated_index)
+                == os.path.abspath(args.index)):
+            # writing the union over the path the lazy `index` read is
+            # still scanning either fails ("cannot overwrite a path
+            # being read from") or corrupts the persisted index
+            p.error("--updated-index must differ from --index "
+                    "(write the new index to a fresh path, then swap)")
         index = spark.read.parquet(args.index)
         pairs, batch_rows = dedup.minhash_dedup_incremental(
             docs, index, text_col=args.text_col, id_col=args.id_col,

@@ -947,8 +947,12 @@ def simhash_near_duplicates(
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: the dedup shuffle then carries only
+        # surviving pairs, not every pigeonhole candidate the hamming
+        # cut is about to drop (r5 judge finding — this is the suite's
+        # most expensive shuffle at sf0.1)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -125,15 +125,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(text: Column, langs: list[str] | None = None) -> Column:
     """Stopword-vote language ID: count stopword hits per language, pick
-    the argmax (ties broken by language code order); 'und' when no hits."""
+    the argmax (ties broken by language code order); 'und' when no hits.
+
+    Single-pass scoring via a token→language-bitmask lookup: the text is
+    tokenized ONCE, each token resolves to one int whose bit i says
+    "stopword of langs[i]" (words shared across languages — 'de', 'la',
+    'en' — just set several bits), and one ``aggregate`` fold turns the
+    mask array into per-language hit counts. The per-language
+    ``_stopword_hits`` form re-tokenized the text once per language
+    (higher-order lambdas block Catalyst subexpression elimination), so
+    N languages cost N regex splits per row — the r5 perf regression."""
     langs = langs or sorted(_STOPWORDS)
-    scores = F.array(*[
-        F.struct(
-            _stopword_hits(text, _STOPWORDS[lg]).alias("hits"),
-            F.lit(lg).alias("lang"),
-        )
-        for lg in langs
-    ])
+    mask: dict[str, int] = {}
+    for i, lg in enumerate(langs):
+        for w in _STOPWORDS[lg]:
+            mask[w] = mask.get(w, 0) | (1 << i)
+    mask_map = F.create_map(*[
+        c for w in sorted(mask) for c in (F.lit(w), F.lit(mask[w]))])
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    # one map lookup per token (try_element_at: NULL, not ANSI error, on
+    # non-stopwords), then cheap bit tests fan the mask out to counts
+    masks = F.transform(
+        toks, lambda x: F.coalesce(F.try_element_at(mask_map, x), F.lit(0)))
+    lang_idx = F.sequence(F.lit(0), F.lit(len(langs) - 1))
+    counts = F.aggregate(
+        masks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, m: F.zip_with(
+            acc, lang_idx, lambda c, i: c + F.bit_get(m, i).cast("int")))
+    scores = F.zip_with(
+        counts, F.array(*[F.lit(lg) for lg in langs]),
+        lambda h, lg: F.struct(h.alias("hits"), lg.alias("lang")))
     best = F.array_max(F.filter(scores, lambda s: s["hits"] > 0))
     # array_max on struct orders by (hits, lang) — argmax with lang tiebreak
     return F.coalesce(best["lang"], F.lit("und"))

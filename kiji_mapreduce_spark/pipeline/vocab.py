@@ -124,9 +124,14 @@ def bpe_vocab(
         # not after every merge (each localCheckpoint is an eager job)
         if (i + 1) % checkpoint_every == 0:
             symtab = symtab.localCheckpoint()
-    return (symtab.select(F.explode("syms").alias("subword"), "cnt")
+    # carry the word through the explode: n_words is the number of
+    # DISTINCT words containing the subword (a word using it twice —
+    # 'aa' in 'aaaa' — counts once; F.count over exploded positions
+    # double-counted it, r5 advice), total_cnt keeps multiplicity
+    return (symtab.select("word", F.explode("syms").alias("subword"),
+                          "cnt")
             .groupBy("subword")
-            .agg(F.count(F.lit(1)).alias("n_words"),
+            .agg(F.countDistinct("word").alias("n_words"),
                  F.sum("cnt").alias("total_cnt")))
 
 

@@ -3,6 +3,7 @@
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark import cli
@@ -609,3 +610,12 @@ def test_cli_dedup_index_build_and_ingest(spark, tmp_path, capsys):
              for r in spark.read.parquet(f"{tmp_path}/pairs").collect()}
     assert pairs == {(3, 100)}
     assert spark.read.parquet(f"{tmp_path}/idx2").count() == 10
+
+    # --updated-index aliasing --index is rejected up front: overwriting
+    # the path the lazy index read still scans would fail or corrupt it
+    with pytest.raises(SystemExit):
+        cli.main(["dedup-index", "--mode", "ingest",
+                  "--input", f"{tmp_path}/batch",
+                  "--index", f"{tmp_path}/idx",
+                  "--pairs", f"{tmp_path}/pairs2",
+                  "--updated-index", f"{tmp_path}/sub/../idx"])

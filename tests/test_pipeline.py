@@ -1206,6 +1206,14 @@ def test_bpe_vocab_and_token_count(spark):
     assert voc.get("hug</w>") == 10  # fully merged frequent word
     assert sum(voc.values()) > 0
 
+    # n_words counts DISTINCT words containing the subword: 'a' occurs
+    # 3x inside the single word 'aaa' (no merges applied) but n_words
+    # is 1, while total_cnt keeps multiplicity (3 slots x 5 docs)
+    rep = spark.createDataFrame([("aaa",)] * 5, "text string")
+    row = {r.subword: r for r in vocab.bpe_vocab(rep, merges=[]).collect()}
+    assert row["a"].n_words == 1 and row["a"].total_cnt == 15
+    assert row["</w>"].n_words == 1 and row["</w>"].total_cnt == 5
+
     docs = spark.createDataFrame(
         [(1, "hug hug"), (2, "pun"), (3, "zebra"), (4, ""), (5, None)],
         "doc_id long, text string")
@@ -1250,6 +1258,28 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert clean.count() >= 5000 - fps
     with pytest.raises(ValueError, match="m_bits"):
         bloom_build(members, "v", m_bits=100)
+
+
+def test_bloom_driver_collect_bounded_by_fan_in(spark):
+    """The two-level OR reduces per-partition bitmaps executor-side:
+    with partitions >> fan_in the driver collects at most fan_in rows
+    (the r5 single-level collect was one bitmap PER input partition),
+    and the reduced build is bit-identical to the direct one."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline.sketch import (
+        _bloom_partials, bloom_build)
+
+    rows = spark.createDataFrame(
+        [(f"key{i}",) for i in range(4000)], "v string").repartition(64)
+    reduced = _bloom_partials(rows, "v", m_bits=1 << 15, k=7, fan_in=4)
+    assert reduced.count() <= 4
+    bf = bloom_build(rows, "v", m_bits=1 << 15, k=7, fan_in=4)
+    one = bloom_build(rows.coalesce(1), "v", m_bits=1 << 15, k=7)
+    assert np.array_equal(np.frombuffer(bf, dtype=np.uint8),
+                          np.frombuffer(one, dtype=np.uint8))
+    with pytest.raises(ValueError, match="fan_in"):
+        bloom_build(rows, "v", fan_in=0)
 
 
 def test_logreg_classifier_matches_numpy_and_separates(spark):
