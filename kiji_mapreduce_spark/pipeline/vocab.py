@@ -76,34 +76,103 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
         syms, F.array().cast("array<string>"), step)
 
 
+def _accept_batch(
+    rows, taken_budget: int, min_pair_count: int, truncated: bool,
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of one round's sorted top-P pair list that is
+    PROVABLY identical to taking them one recount at a time.
+
+    After merging pair (a1, b1), only three things can outrank a later
+    candidate c_i in the sequential algorithm: (1) c_i's own count
+    changed — impossible when c_i shares no symbol with any accepted
+    pair; (2) some old pair grew — counts only shrink under a merge;
+    (3) a NEW pair involving the merged symbol appeared. New-pair counts
+    are bounded by the OLD counts of pairs adjacent to the merged
+    symbols (each "x a1b1" occurrence came from "x a1 b1"), and those
+    adjacent pairs either sit BELOW c_i in this round's sorted list
+    (anything above was accepted, hence disjoint) or fell outside the
+    collected top-P (count <= the truncation floor). So c_i is safe iff
+    it is disjoint from every accepted pair AND strictly beats both the
+    floor and the first (= highest-count) remaining row that touches an
+    accepted symbol. Stop at the first unsafe row — later rows face the
+    same unknown and order among them is no longer provable.
+    """
+    floor = int(rows[-1].pair_cnt) if truncated else 0
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for i, r in enumerate(rows):
+        cnt = int(r.pair_cnt)
+        if cnt < min_pair_count or len(accepted) >= taken_budget:
+            break
+        if accepted:
+            if r.a in used or r.b in used:
+                break
+            shared_max = floor
+            for later in rows[i + 1:]:
+                if later.a in used or later.b in used:
+                    shared_max = max(shared_max, int(later.pair_cnt))
+                    break  # sorted desc: the first hit is the max
+            if cnt <= shared_max:
+                break
+        accepted.append((r.a, r.b, cnt))
+        used.update((r.a, r.b))
+    return accepted
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", num_merges: int = 100,
     min_pair_count: int = 2, checkpoint_every: int = 8,
+    batch_pairs: int = 64, stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right,
     pair_count)] in merge order — the tokenizer model. Stops early when
     no pair reaches ``min_pair_count`` (merging frequency-1 pairs only
     memorizes the corpus). Ties break deterministically on
     (count desc, left, right), so the learned model is reproducible
-    across partitionings and engines."""
+    across partitionings and engines.
+
+    Rounds are BATCHED: each pair-count job collects the top
+    ``batch_pairs`` candidates and accepts the longest prefix that
+    ``_accept_batch`` proves order-equivalent to one-merge-per-recount
+    (symbol-disjoint, strictly above every count an earlier accepted
+    merge could have created). A 32k-vocab train is then latency-bound
+    by the number of PROOF-LIMITED rounds, not 32k sequential jobs —
+    in the long Zipf tail most rounds accept many disjoint pairs. Pass
+    ``stats={}`` to get the round count back (``stats['rounds']``).
+    Worst case (every top pair chained on a shared symbol) degrades to
+    one merge per round — the price of exactness.
+    """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if batch_pairs < 1:
+        raise ValueError("batch_pairs must be >= 1")
     symtab = _initial_symbols(_word_counts(df, text_col)).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for round_no in range(num_merges):
-        best = (_pair_counts(symtab)
+    rounds = 0
+    applied_since_ckpt = 0
+    while len(merges) < num_merges:
+        rows = (_pair_counts(symtab)
                 .orderBy(F.col("pair_cnt").desc(), "a", "b")
-                .limit(1).collect())
-        if not best or best[0].pair_cnt < min_pair_count:
+                .limit(batch_pairs).collect())
+        rounds += 1
+        if not rows or rows[0].pair_cnt < min_pair_count:
             break
-        a, b, cnt = best[0].a, best[0].b, int(best[0].pair_cnt)
-        merges.append((a, b, cnt))
-        symtab = symtab.select(
-            "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        batch = _accept_batch(rows, num_merges - len(merges),
+                              min_pair_count,
+                              truncated=len(rows) == batch_pairs)
+        merges.extend(batch)
+        for a, b, _ in batch:
+            symtab = symtab.select(
+                "word", "cnt",
+                _apply_merge(F.col("syms"), a, b).alias("syms"))
         # truncate lineage periodically: the table is tiny but the fold
-        # expressions nest one level per un-checkpointed round
-        if (round_no + 1) % checkpoint_every == 0:
+        # expressions nest one level per un-checkpointed merge
+        applied_since_ckpt += len(batch)
+        if applied_since_ckpt >= checkpoint_every:
             symtab = symtab.localCheckpoint()
+            applied_since_ckpt = 0
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -1189,6 +1189,50 @@ def test_bpe_train_matches_reference_implementation(spark):
         vocab.bpe_train(df, num_merges=0)
 
 
+def test_bpe_batched_rounds_match_sequential_with_fewer_jobs(spark):
+    """Batched training accepts provably-safe disjoint pair prefixes per
+    pair-count job: the merge list stays identical to the one-merge-per-
+    recount reference (ties, chained symbols and all), while a corpus
+    with several independently-dominant pairs trains in fewer rounds
+    than merges."""
+    from kiji_mapreduce_spark.pipeline import vocab
+
+    # five disjoint two-symbol words, each doubled inside the word so
+    # its (x, y) pair strictly dominates every pair sharing its symbols
+    letters = "abcdefghij"
+    word_counts = {}
+    for i in range(5):
+        w = letters[2 * i] + letters[2 * i + 1]
+        word_counts[w + w] = 100 - 10 * i
+    rows = [(w + " ") * c for w, c in word_counts.items()]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+
+    stats = {}
+    got = vocab.bpe_train(df, num_merges=10, stats=stats)
+    want = _reference_bpe(word_counts, 10)
+    assert got == want, (got, want)
+    # round 1 accepts all five disjoint dominant pairs in one job
+    assert stats["rounds"] <= len(got) - 4, stats
+
+    # batch_pairs=1 degrades to the pure sequential trainer
+    seq_stats = {}
+    seq = vocab.bpe_train(df, num_merges=10, batch_pairs=1,
+                          stats=seq_stats)
+    assert seq == want
+    assert seq_stats["rounds"] >= len(seq)
+
+    # adversarial chained-tie corpus (every top pair shares a symbol
+    # with the next): batching must fall back to one merge per round
+    # and still match the reference exactly
+    chain = {"aaaa": 7, "aaab": 5}
+    cdf = spark.createDataFrame(
+        [((w + " ") * c,) for w, c in chain.items()], "text string")
+    assert vocab.bpe_train(cdf, num_merges=6) == _reference_bpe(chain, 6)
+
+    with pytest.raises(ValueError, match="batch_pairs"):
+        vocab.bpe_train(df, num_merges=1, batch_pairs=0)
+
+
 def test_bpe_vocab_and_token_count(spark):
     """After enough merges frequent words collapse to one token (plus
     nothing), rare segmentations stay multi-token; the dictionary-apply
