@@ -144,9 +144,14 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
         c for w in sorted(mask) for c in (F.lit(w), F.lit(mask[w]))])
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
     # one map lookup per token (try_element_at: NULL, not ANSI error, on
-    # non-stopwords), then cheap bit tests fan the mask out to counts
-    masks = F.transform(
-        toks, lambda x: F.coalesce(F.try_element_at(mask_map, x), F.lit(0)))
+    # non-stopwords); zero masks are dropped BEFORE the fold so the
+    # per-language bit fan-out only runs on actual stopword hits (a
+    # small fraction of tokens), not every token
+    masks = F.filter(
+        F.transform(
+            toks,
+            lambda x: F.coalesce(F.try_element_at(mask_map, x), F.lit(0))),
+        lambda m: m != 0)
     lang_idx = F.sequence(F.lit(0), F.lit(len(langs) - 1))
     counts = F.aggregate(
         masks,

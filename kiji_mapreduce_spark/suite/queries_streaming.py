@@ -1,0 +1,202 @@
+"""Structured Streaming queries (rate-limited micro-batch over the same
+tables) checked against batch SQL oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kiji_mapreduce_spark.suite.common import _t
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """End-to-end Structured Streaming: file-stream the events table,
+    watermarked 1-hour tumbling windows (streaming.windowed_aggregate),
+    drain with availableNow into a memory sink, return the final result.
+    The streaming output is deterministic, so the ORACLE IS PLAIN BATCH
+    SQL — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import windowed_aggregate
+
+    static = _t(spark, sf_dir, "events")
+    # the file-stream source wants a directory: stream the sf_dir with a
+    # glob pinned to the events file
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    ts_type = dict(static.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        # nanos-as-long needs caller knowledge of the unit; the NTZ case
+        # is owned by the job-level _ensure_event_time coercion
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_aggregate(
+        stream, "ts", "1 hour", "2 hours", group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("sum_value")])
+    qname = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    # window.start is TIMESTAMP already: _ensure_event_time (inside
+    # windowed_aggregate) owns the NTZ coercion, and the long/nanos case
+    # was converted above — no suite-level cast needed (ADVICE r3)
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type", "n_events", "sum_value")
+
+
+SQL_STREAMING_WINDOWED = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization: per-user session windows with a
+    30-minute inactivity gap over the file-streamed events table
+    (``streaming.sessionized_aggregate`` — watermark-bounded session
+    state). availableNow drains deterministically and the ORACLE IS THE
+    BATCH SESSIONIZATION SQL — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import sessionized_aggregate
+    from kiji_mapreduce_spark.streaming.jobs import _ensure_event_time
+
+    static = _t(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    ts_type = dict(static.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # truncate to ms BEFORE sessionizing so gap decisions match the
+    # oracle's epoch_ms arithmetic (same normalization as the batch
+    # q_sessionize_events); coercion first — unix_millis rejects NTZ
+    stream = _ensure_event_time(stream, "ts")
+    stream = stream.withColumn("ts", F.timestamp_millis(F.unix_millis("ts")))
+    agg = sessionized_aggregate(
+        stream, "ts", gap="30 minutes", watermark="2 hours",
+        group_cols=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("session_value")])
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start"))
+        .alias("session_start_ms"),
+        "n_events", "session_value")
+
+
+def q_streaming_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup of a document stream: watermarked
+    first-seen-wins on the content digest
+    (``dropDuplicatesWithinWatermark`` — state bounded by the horizon,
+    not corpus size). Which physical row survives a duplicate group is
+    arbitrary, so the query emits only digest-determined columns; the
+    oracle is the batch DISTINCT — stream/batch consistency is the
+    check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import stream_dedup_exact
+
+    static = _t(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .load(sf_dir))
+    # synthetic event time for the watermark (documents carry none);
+    # offset from epoch: the initial watermark is epoch 0 and an event
+    # time of exactly 0 (doc_id=0) would be dropped as late
+    stream = stream.withColumn(
+        "_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000)))
+    deduped = stream_dedup_exact(stream, ts_col="_ts")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        "digest", F.length("text").alias("n_chars_txt"))
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT md5(text) AS digest, length(text) AS n_chars_txt
+FROM documents
+"""
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: purchases paired with
+    the same user's clicks in the preceding 30 minutes, both sides
+    file-streamed. The range bound is what keeps join state finite on
+    an unbounded stream; availableNow drains deterministically, so the
+    ORACLE IS THE BATCH JOIN — stream/batch consistency is the check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import stream_interval_join
+
+    static = _t(spark, sf_dir, "events")
+
+    def _stream():
+        s = (spark.readStream.schema(static.schema)
+             .format("parquet")
+             .option("pathGlobFilter", "events.parquet")
+             .load(sf_dir))
+        ts_type = dict(static.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            # NTZ coercion is owned by stream_interval_join's
+            # _ensure_event_time; only the long/nanos unit needs us
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    purchases = _stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"), F.col("ts").alias("p_ts"))
+    clicks = _stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id"), F.col("ts").alias("c_ts"))
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower="30 minutes", upper="0 seconds", watermark="1 hour")
+    out = joined.select(
+        "p_event_id", F.col("_r.c_event_id").alias("c_event_id"),
+        F.col("_l.user_id").alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"))
+    qname = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    # state-store partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions; size it to the stream's key volume
+    # (join state = 2 stores x partitions, each with per-batch commit
+    # overhead), not the batch shuffle default
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(qname).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+       p.user_id AS user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""

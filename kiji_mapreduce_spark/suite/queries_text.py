@@ -1,0 +1,475 @@
+"""Text-analysis queries over the documents table: token/byte stats,
+quality, language ID, fingerprints, PII, normalization, chunking,
+wordcount/TF-IDF/BM25/bigram-LM, multimodal features."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kiji_mapreduce_spark.operators import Gatherer
+from kiji_mapreduce_spark import oracles
+from kiji_mapreduce_spark.pipeline import lm, search, text as text_ops
+from kiji_mapreduce_spark.suite.common import _t
+
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_txt"),
+        text_ops.bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars_txt,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subtokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality_score")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(list_filter(str_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1.0) / n_tokens ELSE 0.0 END AS atl,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_chars > 0 THEN n_digits * 1.0 / n_chars ELSE 0.0 END AS dr,
+         CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS sr
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       round(atl, 4) AS avg_token_len,
+       round(pr, 4) AS punct_ratio,
+       round(dr, 4) AS digit_ratio,
+       round(sr, 4) AS stopword_ratio,
+       round(CAST(
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+         (CASE WHEN atl BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN dr <= 0.2 THEN 0.1 ELSE 0.0 END) +
+         (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+FROM r
+"""
+
+
+def q_text_byte_stats(spark, sf_dir):
+    """Binary-column handling: byte vs char lengths (multibyte docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars_txt"),
+        (F.octet_length("text") > F.length("text")).alias("is_multibyte"),
+    )
+
+
+SQL_TEXT_BYTE_STATS = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) AS n_chars_txt,
+       octet_length(encode(text)) > length(text) AS is_multibyte
+FROM documents
+"""
+
+
+SQL_TEXT_LANGID = r"""
+WITH padded AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+), scores AS (
+  SELECT doc_id, lang, 'de' AS cand,
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['der', 'die', 'und', 'das', 'ist', 'von', 'mit', 'den', 'ein', 'zu'], x))) AS hits FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'en',
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'es',
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['el', 'la', 'de', 'que', 'y', 'en', 'un', 'por', 'con', 'los'], x))) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'fr',
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['le', 'la', 'de', 'et', 'les', 'des', 'est', 'dans', 'que', 'pour'], x))) FROM padded
+  UNION ALL
+  SELECT doc_id, lang, 'zh',
+         len(list_filter(str_split_regex(t, '\s+'),
+             x -> list_contains(['的', '是', '在', '了', '和', '有', '我', '不', '人', '这'], x))) FROM padded
+), best AS (
+  SELECT doc_id, lang, cand, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang,
+       CASE WHEN hits > 0 THEN cand ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+def q_text_chunking(spark, sf_dir):
+    """Token-window chunking with overlap (``text.chunk_documents``) —
+    the context-window / RAG-prep operator: 64-token chunks, stride 48
+    (16-token overlap). Oracle: the same slicing arithmetic over
+    DuckDB's ``regexp_extract_all`` token lists."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        docs, chunk_tokens=64, stride=48).select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
+SQL_TEXT_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+         len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS nc
+  FROM t WHERE n > 0),
+e AS (
+  SELECT doc_id, tk, n, unnest(range(0, nc)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id,
+       array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                       ' ') AS chunk_text,
+       least(n - chunk_id * 48, 64) AS n_tokens
+FROM e
+"""
+
+
+# decomposed E + combining acute (NFC must recompose it), double spaces
+# (the collapse must fold them), fullwidth A (Unicode lower must map it)
+_NFC_SUFFIX = "  CAFE\u0301  \uFF21  "
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC + lower + whitespace-collapse normalization. A
+    combining-sequence suffix (see ``_NFC_SUFFIX``) is appended so NFC
+    provably recomposes — the documents themselves are ASCII.
+    Digest-compared against DuckDB's nfc_normalize."""
+    docs = _t(spark, sf_dir, "documents")
+    suffixed = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text"))
+    return text_ops.normalize_text(suffixed).select(
+        "doc_id", F.md5("text_norm").alias("norm_digest"),
+        F.length("text_norm").alias("norm_len"))
+
+
+SQL_TEXT_NORMALIZE = f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(nfc_normalize(
+           text || '{_NFC_SUFFIX}')), '\\s+', ' ', 'g')))
+         AS norm_digest,
+       length(trim(regexp_replace(lower(nfc_normalize(
+           text || '{_NFC_SUFFIX}')), '\\s+', ' ', 'g')))
+         AS norm_len
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-vote language id (oracle: the same vote in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        text_ops.language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint, oracle-checked: the
+    md5-mode token hash makes the rolling polynomial reproducible in
+    DuckDB (``oracles.fingerprint_sql``). Uses the posexplode+window
+    form (codegen'd)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprints(docs, hash_fn="md5")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: character mass of the
+    most-repeated word 2-/3-gram and of duplicated 5-grams, over the
+    normalized doc length. One explode + one (id, n, gram) count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_features(docs, top_ns=(2, 3), dup_ns=(5,))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         list_sum(list_transform(t, x -> length(x))) + len(t) - 1 AS norm_len
+  FROM toks WHERE len(t) >= 1
+),
+g AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, len(t) - n + 2),
+                i -> array_to_string(t[i : i + n - 1], ' '))) AS gram
+  FROM toks, (VALUES (2), (3), (5)) v(n)
+  WHERE len(t) >= n
+),
+c AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+),
+m AS (
+  -- top_mass = char mass of the most-FREQUENT gram (count dominates the
+  -- composite key; mass breaks count ties) — mirrors repetition_features
+  SELECT doc_id, n,
+         max(c * 100000000 + c * length(gram)) % 100000000 AS top_mass,
+         coalesce(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
+           AS dup_mass
+  FROM c GROUP BY doc_id, n
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_mass END) AS top2,
+         max(CASE WHEN n = 3 THEN top_mass END) AS top3,
+         max(CASE WHEN n = 5 THEN dup_mass END) AS dup5
+  FROM m GROUP BY doc_id
+)
+SELECT norm.doc_id,
+       round(coalesce(top2, 0) / norm_len, 4) AS top2_frac,
+       round(coalesce(top3, 0) / norm_len, 4) AS top3_frac,
+       round(coalesce(dup5, 0) / norm_len, 4) AS dup5_frac
+FROM norm LEFT JOIN wide ON norm.doc_id = wide.doc_id
+"""
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scrub: regex-count emails / phones / IPv4s and hash the
+    typed-token redaction. The driver's customer table carries no contact
+    columns, so deterministic PII is synthesized from the keys (email for
+    every 3rd customer, phone every 2nd, IP every 5th) — giving the
+    patterns real positive AND negative rows; patterns are
+    Java-regex/RE2-identical so the scrub is oracle-checkable."""
+    cust = _t(spark, sf_dir, "customer")
+    key, nat = F.col("c_custkey"), F.col("c_nationkey")
+    email = F.when(key % 3 == 0, F.concat(
+        F.lower(F.regexp_replace("c_name", r"[^A-Za-z0-9]", ".")),
+        F.lit("@example.com")))
+    phone = F.when(key % 2 == 0, F.concat(
+        F.lpad((nat % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"), F.lit("-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0")))
+    ip = F.when(key % 5 == 0, F.concat(
+        (key % 256).cast("string"), F.lit("."),
+        (nat % 256).cast("string"), F.lit(".0.1")))
+    blob = cust.select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment"),
+                    email, phone, ip).alias("text"))
+    return text_ops.pii_features(blob).select(
+        "c_custkey", "n_emails", "n_phones", "n_ipv4",
+        F.md5("redacted").alias("redacted_digest"), "has_pii")
+
+
+SQL_TEXT_PII = r"""
+WITH blob AS (
+  SELECT c_custkey,
+         concat_ws(' ', c_name, c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0 THEN
+             lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+             || '@example.com' END,
+           CASE WHEN c_custkey % 2 = 0 THEN
+             lpad((c_nationkey % 100)::VARCHAR, 2, '0') || '-'
+             || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-555-'
+             || lpad((c_custkey % 10000)::VARCHAR, 4, '0') END,
+           CASE WHEN c_custkey % 5 = 0 THEN
+             (c_custkey % 256)::VARCHAR || '.'
+             || (c_nationkey % 256)::VARCHAR || '.0.1' END) AS text
+  FROM customer
+)
+SELECT c_custkey,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text,
+      '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'))
+    AS redacted_digest,
+  (len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text,
+       '\b(?:\d{2,3}[- ])?\d{3}[- ]\d{3}[- ]\d{4}\b'))
+   + len(regexp_extract_all(text,
+       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
+FROM blob
+"""
+
+
+class _WordCountGatherer(Gatherer):
+    """THE canonical MapReduce job as a Gatherer: tokenize -> emit ->
+    count (reference KijiGatherer docs pattern)."""
+
+    def gather_df(self, df, ctx):
+        return df.select(F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"))
+
+    def reduce_df(self, g, ctx):
+        return g.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_wordcount_top50(spark, sf_dir):
+    counts = _WordCountGatherer().compile(_t(spark, sf_dir, "documents"))
+    return counts.orderBy(F.col("n").desc(), "word").limit(50)
+
+
+SQL_WORDCOUNT = r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF per (doc, term), top 3 terms per doc — the classic two-pass
+    MapReduce workload as DataFrame ops (one explode, two aggregations,
+    one broadcast-joined doc-frequency table)."""
+    docs = _t(spark, sf_dir, "documents")
+    # corpus size folded INTO the plan as a broadcast scalar (a driver-side
+    # docs.count() would be a second full scan of documents at 100 TB)
+    n_docs = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs")))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="term").crossJoin(n_docs).select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.col("_n_docs") / F.col("df")))
+        .alias("_tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term",
+                    F.round("_tfidf", 6).alias("tfidf"), "rnk"))
+
+
+SQL_TFIDF = r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfreq.df)
+         AS tfidf_raw
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# fixed query set for the BM25 suite query — terms drawn from the
+# synthetic documents vocabulary so every query matches
+_BM25_QUERIES = [
+    ("q1", "fast vector scan"),
+    ("q2", "customer order join"),
+    ("q3", "stream window agg"),
+]
+
+
+def q_bm25_search_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per query: postings from one explode+groupBy,
+    corpus stats as a broadcast scalar, query terms broadcast against
+    the postings; ranked on the 6-dp-rounded score so order matches the
+    oracle bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id string, query_text string")
+    return search.bm25_topk(docs, qs, k=10)
+
+
+def q_lm_bigram_quality(spark, sf_dir):
+    """CCNet-style LM quality signal: add-0.1-smoothed bigram model
+    trained on the corpus itself, every doc scored by mean token
+    log-likelihood + perplexity (the model is a DataFrame — two
+    aggregations — so a 100 TB reference trains with one shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bigram_lm_scores(docs, alpha=0.1, hash_fn="md5")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over real data: treat each document's UTF-8
+    bytes as an opaque media blob, attach typed metadata, extract a
+    deterministic fake embedding via the Arrow/mapInPandas path. Fully
+    oracle-checked since r4: the fake feature is sha256-derived and
+    DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes, so the oracle
+    recomputes f0/f1 exactly from hex substrings."""
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"))
+    with_meta = multimodal.attach_media_meta(media, media_type="text/blob")
+    feats = multimodal.extract_features(with_meta, dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.size("feature").alias("dim"))
+
+
+# the fake feature maps h = sha256(content || be32(0)) to floats via
+# uint32_be(h[4i:4i+4]) / 2^31 - 1 (multimodal._fake_feature); dim=8
+# needs only counter 0, so f0/f1 are the first two 4-byte windows
+SQL_MULTIMODAL_FEATURES = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+  FROM documents
+)
+SELECT media_id,
+       round(('0x' || substr(hx, 1, 8))::BIGINT / 2147483648.0 - 1.0, 6)
+         AS f0,
+       round(('0x' || substr(hx, 9, 8))::BIGINT / 2147483648.0 - 1.0, 6)
+         AS f1,
+       8 AS dim
+FROM h
+"""

@@ -1,0 +1,326 @@
+"""Embedding-space queries: brute/LSH/IVF/PQ KNN, cosine stats, k-means,
+cluster-balanced sampling, hard negatives, PageRank, the scored
+classifier gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from kiji_mapreduce_spark import oracles
+from kiji_mapreduce_spark.pipeline import classifier, graph, sample, similarity
+from kiji_mapreduce_spark.suite.common import _t
+
+
+def q_knn_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+                      "rank")
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_label_cosine_stats(spark, sf_dir):
+    """Embedding-cosine near-dup machinery, oracle-checked: pairwise
+    cosine stats within each label cluster via the vectorized Pandas UDF
+    path (numpy matrix multiply per group — the Arrow fast path; the
+    synthetic embeddings have no true near-dups, so the check targets the
+    scoring math itself). avg rounds to 3dp: numpy pairwise-mean vs
+    DuckDB's sequential sum agree to ~1e-12, far inside 3dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.label_cosine_stats(emb)
+    return out.select(
+        "label", "n_pairs",
+        (F.round("max_cosine", 4) + F.lit(0.0)).alias("max_cosine"),
+        (F.round("avg_cosine", 3) + F.lit(0.0)).alias("avg_cosine"))
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.label, count(*) AS n_pairs,
+       round(max(list_cosine_similarity(a.v, b.v)), 4) + 0.0 AS max_cosine,
+       round(avg(list_cosine_similarity(a.v, b.v)), 3) + 0.0 AS avg_cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+"""
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive hard-negative mining (``similarity.hard_negative_topk``):
+    for each of 5 labeled anchors, the top-5 most-cosine-similar vectors
+    with a DIFFERENT label — broadcast anchors, one corpus scan, label
+    mismatch applied as the join predicate. Oracle: the knn SQL with the
+    label filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = similarity.hard_negative_topk(emb, anchors, k=5)
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"), "rank")
+
+
+SQL_HARD_NEGATIVE_MINING = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+    AND NOT (e.label IS NOT NULL AND q.query_label IS NOT NULL
+             AND e.label = q.query_label)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos, 4) + 0.0 AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pagerank_nation_trade(spark, sf_dir):
+    """Fixed-iteration weighted PageRank over the nation trade graph
+    (supplier nation -> customer nation, weight = lineitem count): the
+    canonical iterative MapReduce computation on an edge table that a
+    5-way join aggregates down from the fact data — the loop itself
+    never touches a fact row. Per-round rank rounding pins both engines
+    to one grid, so the oracle is exact, not epsilon-based."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = nat.select(F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("src"))
+    cn = nat.select(F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("dst"))
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, orders.o_custkey == cust.c_custkey)
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("w")))
+    pr = graph.pagerank(edges, "src", "dst", weight="w",
+                        damping=0.85, iters=5)
+    return pr.select(F.col("node").alias("nation"),
+                     F.round(F.col("rank"), 6).alias("pagerank"))
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means over the embeddings table (semantic domain
+    discovery for mixture design): centroids seeded from the 4 smallest
+    ids, 2 Lloyd rounds, every centroid/distance rounded before
+    comparison so the DuckDB oracle reproduces the argmin exactly.
+    Corpus never shuffles for assignment (centroid literals in one
+    codegen'd projection); the update shuffles k*dim partial means."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster.kmeans_assign(emb, k=4, iters=2)
+
+
+# shared CTE chain: two deterministic Lloyd rounds (also the base of
+# SQL_SAMPLE_CLUSTER_BALANCED)
+_KMEANS_CTES = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+  FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
+        FROM e CROSS JOIN c0 c)
+),
+s1 AS (SELECT vec_id, cid AS cluster FROM a1 WHERE rn = 1),
+u1 AS (
+  SELECT s1.cluster, generate_subscripts(e.v, 1) AS ord,
+         unnest(e.v) AS val
+  FROM e JOIN s1 USING (vec_id)
+),
+c1 AS (
+  SELECT cluster AS cid, list(round(m, 6) ORDER BY ord) AS cv
+  FROM (SELECT cluster, ord, avg(val) AS m FROM u1 GROUP BY cluster, ord)
+  GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, round(list_distance(e.v, c.cv), 6) AS dist
+        FROM e CROSS JOIN c1 c)
+)"""
+
+
+SQL_KMEANS_CLUSTERS = _KMEANS_CTES + """
+SELECT vec_id, cid AS cluster, round(dist, 4) AS dist
+FROM a2 WHERE rn = 1
+"""
+
+
+def q_sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced corpus sampling (SemDeDup-style diversity
+    control): k-means the embeddings, then keyed-hash Bernoulli with a
+    per-cluster rate targeting ~50 rows per cluster — over-represented
+    semantic clusters are downsampled toward a uniform cluster mixture.
+    Pure composition of two audited operators; membership is a
+    deterministic function of the id alone."""
+    from kiji_mapreduce_spark.pipeline import cluster, sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = cluster.kmeans_assign(emb, k=4, iters=2).select(
+        "vec_id", "cluster")
+    out = sample.cluster_balanced_sample(
+        emb.select("vec_id", "label"), assign, target_per_cluster=50,
+        id_col="vec_id", seed=42, hash_fn="md5")
+    return out.select("vec_id", "cluster", "label")
+
+
+SQL_SAMPLE_CLUSTER_BALANCED = _KMEANS_CTES + """,
+assign AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+sz AS (SELECT cluster, count(*) AS n FROM assign GROUP BY cluster),
+s AS (
+  SELECT a.vec_id, a.cluster, emb.label,
+         ('0x' || substr(md5('42|' || a.vec_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS u,
+         least(10000, (50 * 10000) // sz.n) AS thr
+  FROM assign a
+  JOIN sz USING (cluster)
+  JOIN embeddings emb USING (vec_id)
+)
+SELECT vec_id, cluster, label FROM s WHERE u < thr
+"""
+
+
+def q_knn_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate KNN, oracle-checked: the hyperplanes are
+    literal constants, so DuckDB reproduces the buckets, candidate sets,
+    and cosines exactly (``oracles.knn_lsh_sql``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_knn_ivf_topk(spark, sf_dir):
+    """IVF approximate KNN with deterministic centroids (the vectors of
+    the 8 lowest vec_ids — FAISS's pre-trained-quantizer mode), making
+    cell assignment and probing reproducible in DuckDB
+    (``oracles.knn_ivf_sql``). The KMeans-fit path stays the default for
+    production use; this query exercises the probe machinery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    w = Window.orderBy("vec_id")
+    cents = (emb.orderBy("vec_id").limit(8)
+             .select((F.row_number().over(w) - 1).alias("_cell"),
+                     similarity.as_double(F.col("embedding")).alias("_center")))
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_knn_pq_topk(spark, sf_dir):
+    """Product-quantization approximate KNN: corpus scanned as 8
+    uint-codes per row (ADC table lookups, no full-dim arithmetic on
+    the big side), approx top-20 re-ranked by exact cosine to top-5.
+    Deterministic codebooks — per-subspace slices of the 16 lowest
+    vec_id vectors (the pre-trained-quantizer mode) — make encode,
+    ADC, and re-rank reproducible in DuckDB (``oracles.knn_pq_sql``);
+    ``fit_pq_codebooks`` (per-subspace KMeans) stays the production
+    fit path, exercised in pytest."""
+    n_subspaces, n_codes = 8, 16
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").limit(n_codes).collect()  # 16 rows
+    dim = len(first[0]["embedding"])
+    ds = dim // n_subspaces
+    books = [[[float(x) for x in r["embedding"][m * ds:(m + 1) * ds]]
+              for r in first] for m in range(n_subspaces)]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        emb, queries, k=5, n_subspaces=n_subspaces, n_codes=n_codes,
+        refine=4, codebooks=books)
+
+
+def q_classifier_score_topk(spark, sf_dir):
+    """Learned-quality-gate scoring with a FIXED literal weight vector:
+    sigmoid of a dot product over md5-hashed L1-tf features, top-20 docs
+    by probability. The weights ``w[i] = ((i*37) % 21 - 10) / 10`` are a
+    deterministic formula both engines can generate, so the whole
+    scoring join — the exact plan ``score_logreg`` runs with TRAINED
+    weights — gets a driver hash (the train loop itself stays
+    pytest-vs-numpy, r5 verdict ask #6)."""
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, dim=64, hash_fn="md5")
+    w = np.array([((i * 37) % 21 - 10) / 10.0 for i in range(64)])
+    scored = classifier.score_logreg(feats, w, bias=0.25)
+    top = (scored.orderBy(F.col("prob").desc(), F.col("doc_id"))
+           .limit(20))
+    rank_w = Window.orderBy(F.col("prob").desc(), F.col("doc_id"))
+    return top.select("doc_id", "prob",
+                      F.row_number().over(rank_w).alias("rank"))
+
+
+SQL_CLASSIFIER_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS feature_idx,
+         count(*)::DOUBLE AS cnt
+  FROM toks GROUP BY 1, 2
+), norm AS (
+  SELECT doc_id, feature_idx,
+         cnt / sum(cnt) OVER (PARTITION BY doc_id) AS value
+  FROM feat
+), wt AS (
+  SELECT i AS feature_idx, ((i * 37) % 21 - 10) / 10.0 AS w
+  FROM range(0, 64) t(i)
+), prob AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(sum(value * w) + 0.25))), 6) AS prob
+  FROM norm JOIN wt USING (feature_idx)
+  GROUP BY doc_id
+)
+SELECT doc_id, prob, rank FROM (
+  SELECT doc_id, prob,
+         row_number() OVER (ORDER BY prob DESC, doc_id) AS rank
+  FROM prob
+) WHERE rank <= 20
+"""
