@@ -349,8 +349,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.pairs:
             p.error("--pairs is required for ingest")
         if args.updated_index and (
-                os.path.abspath(args.updated_index)
-                == os.path.abspath(args.index)):
+                os.path.realpath(args.updated_index)
+                == os.path.realpath(args.index)):
             # writing the union over the path the lazy `index` read is
             # still scanning either fails ("cannot overwrite a path
             # being read from") or corrupts the persisted index

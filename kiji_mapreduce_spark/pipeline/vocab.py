@@ -165,12 +165,14 @@ def bpe_train(
             symtab = symtab.select(
                 "word", "cnt",
                 _apply_merge(F.col("syms"), a, b).alias("syms"))
-        # truncate lineage periodically: the table is tiny but the fold
-        # expressions nest one level per un-checkpointed merge
-        applied_since_ckpt += len(batch)
-        if applied_since_ckpt >= checkpoint_every:
-            symtab = symtab.localCheckpoint()
-            applied_since_ckpt = 0
+            # truncate lineage INSIDE the apply loop: fold expressions
+            # nest one level per un-checkpointed merge, and a full
+            # batch (batch_pairs merges) in one plan would defeat the
+            # nesting bound the checkpoint exists for (review finding)
+            applied_since_ckpt += 1
+            if applied_since_ckpt >= checkpoint_every:
+                symtab = symtab.localCheckpoint()
+                applied_since_ckpt = 0
     if stats is not None:
         stats["rounds"] = rounds
     return merges

@@ -51,15 +51,26 @@ def build_ledger(repo: str = REPO) -> dict:
         raise SystemExit("no CORRECTNESS_r*.json artifacts found")
     # restrict to the live registry: renamed/retired queries (e.g. the
     # r1 set_intersect/set_except pair folded into set_ops_nations)
-    # would otherwise linger as false staleness alarms
-    sys.path.insert(0, repo)
-    from kiji_mapreduce_spark import suite
-
-    last_green = {q: r for q, r in last_green.items() if q in suite.QUERIES}
+    # would otherwise linger as false staleness alarms. Parse THAT
+    # repo's registry source rather than importing — an import would
+    # resolve to whichever kiji_mapreduce_spark copy is already loaded
+    # or first on sys.path, not necessarily ``repo``'s (review finding).
+    live = registry_names(repo)
+    last_green = {q: r for q, r in last_green.items() if q in live}
     return {
         "as_of_round": max(rounds),
         "last_green": dict(sorted(last_green.items())),
     }
+
+
+def registry_names(repo: str) -> set[str]:
+    """Query names in ``repo``'s registry, read from source (same entry
+    pattern test_window_boundary_comment pins)."""
+    path = os.path.join(repo, "kiji_mapreduce_spark/suite/registry.py")
+    src = open(path).read()
+    start = src.index("\nQUERIES: dict")
+    body = src[start:src.index("\nFIRST_WINDOW_REQUIRED", start)]
+    return set(re.findall(r'^\s{4}"([a-z0-9_]+)":', body, re.M))
 
 
 def main() -> int:
