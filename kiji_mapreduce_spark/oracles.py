@@ -595,6 +595,52 @@ FROM anchor a LEFT JOIN cov c USING ({id_col})
 """
 
 
+def knn_sq8_sql(k: int = 5, refine: int = 4, dim: int = 64,
+                query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.sq8_topk: per-vector int8 codes
+    (round(x * 127 / max|x|), the scale cancels out of the approximate
+    cosine), top refine*k candidates by code-cosine rounded to 6 dp
+    (ties on neighbor_id), exact-cosine re-rank to top-k."""
+    enc = (f"list_transform(v, x -> round(x / (CASE WHEN s = 0 THEN 1.0 "
+           "ELSE s END))::INT)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM e
+),
+codes AS (
+  SELECT vec_id, v, list_transform({enc}, x -> x::DOUBLE) AS c
+  FROM scaled
+),
+q AS (SELECT vec_id AS query_id, v AS qv, c AS qc
+      FROM codes WHERE {query_pred}),
+approx AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id, q.qv, codes.v,
+         round({_cos('qc', 'c', dim)}, 6) AS ac
+  FROM codes CROSS JOIN q
+  WHERE codes.vec_id <> q.query_id
+),
+cands AS (
+  SELECT query_id, neighbor_id, qv, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ac DESC, neighbor_id) AS ar
+    FROM approx)
+  WHERE ar <= {refine * k}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round({_cos('qv', 'v', dim)}, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_cos('qv', 'v', dim)}, 6) DESC,
+                                     neighbor_id) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def knn_pq_sql(n_subspaces: int = 8, n_codes: int = 16, k: int = 5,
                refine: int = 4, dim: int = 64,
                query_pred: str = "vec_id < 5") -> str:

@@ -443,6 +443,72 @@ def pq_topk(
             .filter(F.col("rank") <= k))
 
 
+def sq8_encode(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    out_col: str = "_codes",
+) -> DataFrame:
+    """Scalar int8 quantization (SQ8): per-vector scale = max|x| / 127,
+    codes = round(x / scale) in [-127, 127] -> (id, scale, codes).
+
+    Pure codegen'd projection — at 100 TB this is the point: the corpus
+    is SCANNED AND STORED as ~4x-smaller int codes, and because cosine
+    is scale-invariant the approximate score needs only the codes (the
+    per-vector scale cancels out of the ratio), so scoring never touches
+    the float vectors. All-zero vectors encode to all-zero codes (scale
+    guard) and score 0 through ``cosine``'s zero-norm guard."""
+    v = as_double(F.col(vec_col))
+    m = F.array_max(F.transform(v, F.abs))
+    s = m / F.lit(127.0)
+    safe = F.when(s != 0, s).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.round(x / safe).cast("int"))
+    return df.select(F.col(id_col).alias("neighbor_id"),
+                     s.alias("_scale"), codes.alias(out_col))
+
+
+def sq8_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    refine: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 approximate top-k with exact re-rank: approximate cosine over
+    int8 codes (scale-free — SQ8's scale factor cancels in the cosine
+    ratio), top ``refine*k`` candidates per query, exact-cosine re-rank
+    of only that sliver. Returns (query_id, neighbor_id, cosine, rank).
+
+    Same engine-independence discipline as ``pq_topk``: approximate
+    cosines are rounded to 6 dp before candidate ranking (ties break on
+    neighbor_id), and code dot products are exact small-integer sums, so
+    the DuckDB oracle reproduces the candidate set bit-for-bit."""
+    codes = sq8_encode(embeddings, id_col, vec_col)
+    qcodes = (sq8_encode(queries, id_col, vec_col, out_col="_qcodes")
+              .select(F.col("neighbor_id").alias("query_id"), "_qcodes"))
+    approx = F.round(
+        cosine(as_double(F.col("_qcodes")), as_double(F.col("_codes"))), 6)
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("_ac").desc(), F.col("neighbor_id"))
+    cands = (codes
+             .join(F.broadcast(qcodes),
+                   F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("_ac", approx)
+             .withColumn("_ar", F.row_number().over(w_approx))
+             .filter(F.col("_ar") <= refine * k)
+             .select("query_id", "neighbor_id"))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("_qvec"))
+    corpus_v = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"))
+    exact = (corpus_v.join(F.broadcast(cands), on="neighbor_id")
+             .join(F.broadcast(q), on="query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def hard_negative_topk(
     embeddings: DataFrame, anchors: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

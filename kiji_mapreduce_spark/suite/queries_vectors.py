@@ -273,6 +273,19 @@ def q_knn_pq_topk(spark, sf_dir):
         refine=4, codebooks=books)
 
 
+def q_knn_sq8_topk(spark, sf_dir):
+    """Scalar-int8-quantized approximate KNN: the corpus is scored as
+    4x-smaller codes (cosine is scale-invariant, so the per-vector SQ8
+    scale cancels and scoring never touches the float vectors), approx
+    top-20 re-ranked by exact cosine to top-5. Fully deterministic —
+    code dot products are exact small-integer sums — so DuckDB
+    reproduces codes, candidates, and ranks (``oracles.knn_sq8_sql``).
+    Completes the quantization family: brute / LSH / IVF / PQ / SQ8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.sq8_topk(emb, queries, k=5, refine=4)
+
+
 def q_classifier_score_topk(spark, sf_dir):
     """Learned-quality-gate scoring with a FIXED literal weight vector:
     sigmoid of a dot product over md5-hashed L1-tf features, top-20 docs

@@ -40,8 +40,9 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW in r6: oracle row for the classifier scoring join (the one
-    #    learned-gate path that was pytest-only) --
+    #    learned-gate path that was pytest-only) and SQ8 quantized KNN --
     "classifier_score_topk": q_classifier_score_topk,
+    "knn_sq8_topk": q_knn_sq8_topk,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -99,12 +100,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    "kmv_distinct_users": q_kmv_distinct_users,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
     # -- tail: ALL r5-green (CORRECTNESS_r05 50/50) — the ledger test
-    #    enforces that nothing here ages past 2 rounds --
+    #    enforces that nothing here ages past 2 rounds. kmv_distinct_users
+    #    was the fill slot ceded to the new knn_sq8_topk (its r6-changed
+    #    module neighbor bloom_build stays covered by the
+    #    countmin_heavy_hitters fill) --
+    "kmv_distinct_users": q_kmv_distinct_users,
     "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
     "pagerank_nation_trade": q_pagerank_nation_trade,
     "entity_resolution_blocked": q_entity_resolution,
@@ -153,6 +157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 FIRST_WINDOW_REQUIRED: list[str] = [
     # new in r6
     "classifier_score_topk",
+    "knn_sq8_topk",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -283,6 +288,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf_topk": oracles.knn_ivf_sql(n_centroids=8, nprobe=2, k=5),
     "knn_pq_topk": oracles.knn_pq_sql(n_subspaces=8, n_codes=16, k=5,
                                       refine=4),
+    "knn_sq8_topk": oracles.knn_sq8_sql(k=5, refine=4),
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),

@@ -138,6 +138,13 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     ivf_recall = len(truth & ivf) / len(truth)
     assert lsh_recall >= 0.2, lsh_recall  # 4 planes = 16 buckets, 1 probe
     assert ivf_recall >= 0.5, ivf_recall  # probes half the cells
+    # SQ8 is a high-fidelity approximation (int8 over 64 dims): with a
+    # 4x refine margin the exact re-rank should recover nearly all of
+    # the true top-5
+    sq8 = {(r.query_id, r.neighbor_id)
+           for r in similarity.sq8_topk(emb, queries, k=5,
+                                        refine=4).collect()}
+    assert len(truth & sq8) / len(truth) >= 0.9, sq8
     # multi-probe recovers more of the true neighbors than single-probe
     multi = {(r.query_id, r.neighbor_id)
              for r in similarity.lsh_topk(emb, queries, k=5, n_planes=4,
@@ -145,6 +152,29 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     multi_recall = len(truth & multi) / len(truth)
     assert multi_recall >= lsh_recall, (multi_recall, lsh_recall)
     assert multi_recall >= 0.5, multi_recall
+
+
+def test_sq8_encode_scale_invariance_and_zero_vectors(spark):
+    """SQ8 codes are scale-invariant (cosine drops the per-vector
+    scale): a vector and its 1000x multiple encode to the same codes;
+    all-zero vectors encode to zero codes and rank below every real
+    neighbor instead of poisoning the top-k."""
+    rows = [(0, [1.0, 2.0, -4.0, 0.5]),
+            (1, [1000.0, 2000.0, -4000.0, 500.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-1.0, -2.0, 4.0, -0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r.neighbor_id: (r._scale, list(r._codes))
+           for r in similarity.sq8_encode(emb).collect()}
+    assert enc[0][1] == enc[1][1]  # same codes, different scale
+    assert enc[0][0] * 1000 == pytest.approx(enc[1][0])
+    assert enc[2] == (0.0, [0, 0, 0, 0])
+    assert max(abs(c) for c in enc[0][1]) == 127
+    out = similarity.sq8_topk(emb, emb.filter("vec_id = 0"), k=3, refine=1)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    # 1 is the exact same direction (cos 1), 2 scores 0, 3 is opposite
+    assert got[0] == (1, 1)
+    assert got[1][0] == 2 and got[2][0] == 3
 
 
 def test_simhash_near_dups(spark, docs):
