@@ -14,7 +14,7 @@ into one tiny result that can gate a promotion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def column_profile(df: DataFrame, table_name: str,
@@ -69,13 +69,16 @@ def distribution_drift(
     bins: int = 20, lo: float | None = None, hi: float | None = None,
     epsilon: float = 1e-6,
 ) -> DataFrame:
-    """Population-stability-index (PSI) drift between two corpus
-    snapshots on a numeric column -> one row
-    (column, n_before, n_after, psi, drifted).
+    """Distribution drift between two corpus snapshots on a numeric
+    column -> one row (column, n_before, n_after, psi, ks, drifted).
 
     PSI = sum over bins of (p_after - p_before) * ln(p_after/p_before),
     the standard monitoring statistic (rule of thumb: < 0.1 stable,
-    > 0.25 drifted — the ``drifted`` flag uses 0.25). Scale shape: one
+    > 0.25 drifted — the ``drifted`` flag uses 0.25). ``ks`` is the
+    binned Kolmogorov-Smirnov statistic (max cumulative-CDF gap over
+    the same bins, unsmoothed) — scale-free where PSI is
+    log-ratio-weighted, so the pair catches different drift shapes
+    (KS: bulk shifts; PSI: tail re-weighting). Scale shape: one
     min/max pass over the union (skipped when lo/hi given) plus one
     partially-aggregated histogram per side — at most ``bins`` rows per
     side ever shuffle, the same discipline as ``histogram_quantiles``.
@@ -108,7 +111,8 @@ def distribution_drift(
                 .agg(F.count(F.lit(1)).alias(name)))
 
     j = (_hist(b, "_nb").join(_hist(a, "_na"), on="_bin", how="full")
-         .select(F.coalesce("_nb", F.lit(0)).alias("_nb"),
+         .select("_bin",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
                  F.coalesce("_na", F.lit(0)).alias("_na"))
          .localCheckpoint(eager=True))  # <= bins rows; read twice below
     tb, ta = j.agg(F.sum("_nb"), F.sum("_na")).first()
@@ -120,14 +124,26 @@ def distribution_drift(
         raise ValueError(
             f"distribution_drift: empty snapshot (n_before={tb or 0}, "
             f"n_after={ta or 0})")
+    # KS rides the same checkpointed bin table: cumulative bin-CDF gap
+    # (unsmoothed — epsilon is a log guard, not a probability). The
+    # cumulative window runs over <= bins rows, so the single partition
+    # it implies is bounded by construction, not by data size.
+    cum_w = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
     scored = j.select(
         (F.col("_nb") / F.lit(float(tb)) + epsilon).alias("_pb"),
-        (F.col("_na") / F.lit(float(ta)) + epsilon).alias("_pa"))
-    psi = scored.agg(
+        (F.col("_na") / F.lit(float(ta)) + epsilon).alias("_pa"),
+        F.abs(F.sum(F.col("_nb") / F.lit(float(tb))).over(cum_w)
+              - F.sum(F.col("_na") / F.lit(float(ta))).over(cum_w))
+        .alias("_gap"))
+    agg = scored.agg(
         F.sum((F.col("_pa") - F.col("_pb"))
-              * F.log(F.col("_pa") / F.col("_pb"))).alias("_psi"))
-    return psi.select(
+              * F.log(F.col("_pa") / F.col("_pb"))).alias("_psi"),
+        F.max("_gap").alias("_ks"))
+    return agg.select(
         F.lit(col).alias("column"),
-        F.lit(tb).alias("n_before"), F.lit(ta).alias("n_after"),
+        F.lit(tb).cast("long").alias("n_before"),
+        F.lit(ta).cast("long").alias("n_after"),
         F.round("_psi", 6).alias("psi"),
+        F.round("_ks", 6).alias("ks"),
         (F.col("_psi") > 0.25).alias("drifted"))

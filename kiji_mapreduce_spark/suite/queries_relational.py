@@ -369,6 +369,55 @@ FROM d WHERE change IS NOT NULL GROUP BY change
 """
 
 
+def q_drift_orders_price(spark, sf_dir):
+    """Distribution drift (PSI + binned KS) between the even- and
+    odd-keyed halves of orders on o_totalprice — the snapshot-monitoring
+    shape with literal bounds, so the binned histograms, the smoothed
+    PSI sum, and the cumulative-CDF KS gap are all reproducible in SQL
+    (the halves of one uniform population: expect psi ~ 0, drifted
+    false)."""
+    from kiji_mapreduce_spark.audit import distribution_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    before = (orders.filter(F.col("o_orderkey") % 2 == 0)
+              .select(F.col("o_totalprice").alias("price")))
+    after = (orders.filter(F.col("o_orderkey") % 2 == 1)
+             .select(F.col("o_totalprice").alias("price")))
+    return distribution_drift(before, after, "price", bins=20,
+                              lo=0.0, hi=600000.0)
+
+
+SQL_DRIFT_ORDERS_PRICE = """
+WITH v AS (
+  SELECT o_orderkey % 2 AS side, o_totalprice::DOUBLE AS v FROM orders
+), h AS (
+  SELECT side,
+         LEAST(19, GREATEST(0, floor(
+             LEAST(600000.0, GREATEST(0.0, v)) / 30000.0)))::INT AS bin,
+         count(*) AS n
+  FROM v GROUP BY 1, 2
+), j AS (
+  SELECT COALESCE(hb.bin, ha.bin) AS bin,
+         COALESCE(hb.n, 0)::DOUBLE AS nb, COALESCE(ha.n, 0)::DOUBLE AS na
+  FROM (SELECT bin, n FROM h WHERE side = 0) hb
+  FULL JOIN (SELECT bin, n FROM h WHERE side = 1) ha ON hb.bin = ha.bin
+), tot AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM j),
+cum AS (
+  SELECT (na / ta + 1e-6) AS pa, (nb / tb + 1e-6) AS pb,
+         abs(sum(nb / tb) OVER (ORDER BY bin)
+             - sum(na / ta) OVER (ORDER BY bin)) AS gap
+  FROM j, tot
+)
+SELECT 'price' AS "column",
+       (SELECT sum(nb) FROM j)::BIGINT AS n_before,
+       (SELECT sum(na) FROM j)::BIGINT AS n_after,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+       round(max(gap), 6) AS ks,
+       sum((pa - pb) * ln(pa / pb)) > 0.25 AS drifted
+FROM cum
+"""
+
+
 def q_data_quality_audit(spark, sf_dir):
     """Data-quality expectations (audit module): one-pass column
     profiles (nulls, exact distincts, min/max) plus referential-orphan

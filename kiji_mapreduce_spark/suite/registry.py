@@ -43,6 +43,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    learned-gate path that was pytest-only) and SQ8 quantized KNN --
     "classifier_score_topk": q_classifier_score_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
+    "drift_orders_price": q_drift_orders_price,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -98,7 +99,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
@@ -107,8 +107,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    enforces that nothing here ages past 2 rounds. kmv_distinct_users
     #    was the fill slot ceded to the new knn_sq8_topk (its r6-changed
     #    module neighbor bloom_build stays covered by the
-    #    countmin_heavy_hitters fill) --
+    #    countmin_heavy_hitters fill), dedup_ngram_jaccard to the new
+    #    drift_orders_price (dedup.py stays covered by four other dedup
+    #    fills) --
     "kmv_distinct_users": q_kmv_distinct_users,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
     "pagerank_nation_trade": q_pagerank_nation_trade,
     "entity_resolution_blocked": q_entity_resolution,
@@ -158,6 +161,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     # new in r6
     "classifier_score_topk",
     "knn_sq8_topk",
+    "drift_orders_price",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -289,6 +293,7 @@ ORACLES: dict[str, str] = {
     "knn_pq_topk": oracles.knn_pq_sql(n_subspaces=8, n_codes=16, k=5,
                                       refine=4),
     "knn_sq8_topk": oracles.knn_sq8_sql(k=5, refine=4),
+    "drift_orders_price": SQL_DRIFT_ORDERS_PRICE,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "bm25_search_topk": oracles.bm25_sql(_BM25_QUERIES, k=10),
     "lm_bigram_quality": oracles.bigram_lm_sql(alpha=0.1),

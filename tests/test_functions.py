@@ -213,6 +213,15 @@ def test_distribution_drift_psi(spark):
     want = float(((pa - pb) * np.log(pa / pb)).sum())
     assert abs(got - want) < 1e-4, (got, want)
 
+    # binned KS = max cumulative-CDF gap, cross-checked against numpy
+    # on the same fixed bins (unsmoothed proportions)
+    row = distribution_drift(mk(base), mk(shifted), "x", bins=10,
+                             lo=lo, hi=hi).first()
+    want_ks = float(np.abs(np.cumsum(nb / nb.sum())
+                           - np.cumsum(na / na.sum())).max())
+    assert abs(row.ks - want_ks) < 1e-4, (row.ks, want_ks)
+    assert stable.ks < 0.05  # identical distributions: tiny gap
+
     with pytest.raises(ValueError, match="no non-null"):
         distribution_drift(mk([]).filter("1=0"), mk([]).filter("1=0"), "x")
 

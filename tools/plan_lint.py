@@ -26,6 +26,7 @@ sys.path.insert(0, ".")
 # tfidf/bm25/lm cross single-row broadcast scalar aggregates — corpus
 # size, avg doc length, vocabulary size)
 BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
+                "knn_sq8_topk",
                 "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality",
                 # 5 broadcast anchors x corpus with a non-equi (label
                 # mismatch) predicate — same intended shape as knn
