@@ -206,9 +206,9 @@ def bpe_vocab(
                  F.sum("cnt").alias("total_cnt")))
 
 
-def _segment_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank-first BPE segmentation (the standard apply
-    rule), returning the token count for one word."""
+    rule), returning the subword symbols for one word."""
     syms = list(word) + [END]
     while len(syms) >= 2:
         best_rank, best_i = None, None
@@ -219,7 +219,11 @@ def _segment_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_i is None:
             break
         syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return len(syms)
+    return syms
+
+
+def _segment_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    return len(_segment(word, ranks))
 
 
 def bpe_token_count(
@@ -260,3 +264,53 @@ def bpe_token_count(
                            exploded["_w"] == priced["word"], "left")
     return (joined.groupBy(*keys)
             .agg(F.coalesce(F.sum("n_sub"), F.lit(0)).alias(out_col)))
+
+
+def bpe_segment(
+    df: DataFrame, merges: list[tuple[str, str, int]],
+    text_col: str = "text", out_col: str = "bpe_subwords",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Subword sequence per row under a trained BPE model -> (ids...,
+    out_col: array<string>) — the encode step a training pipeline runs
+    before token packing. Same dictionary-encoded shape as
+    ``bpe_token_count``: the rank-ordered merge walk (Python,
+    unavoidable) runs once per DISTINCT word in an Arrow batch, then a
+    broadcast join prices each document's words and a position-ordered
+    re-assembly flattens them back into one subword array per row —
+    corpus text is scanned, never segmented row-by-row. Empty/NULL text
+    yields an empty array."""
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def _seg(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "subs": [_segment(w, ranks) for w in pdf["word"]],
+            })
+
+    words = (df.filter(F.col(text_col).isNotNull())
+             .select(F.explode(tokens(F.col(text_col))).alias("word"))
+             .distinct())
+    segged = words.mapInPandas(_seg, "word string, subs array<string>")
+    keys = id_cols if id_cols else [c for c in df.columns
+                                    if c != text_col]
+    if not keys:
+        raise ValueError("bpe_segment needs id_cols (or non-text "
+                         "columns) to regroup documents by")
+    exploded = df.select(
+        *keys, F.posexplode_outer(tokens(F.col(text_col)))
+        .alias("_pos", "_w"))
+    joined = exploded.join(F.broadcast(segged),
+                           exploded["_w"] == segged["word"], "left")
+    # order-preserving re-assembly: collect (pos, subs) structs, sort by
+    # word position, flatten — array_sort on the struct sorts by _pos
+    assembled = (joined.groupBy(*keys)
+                 .agg(F.array_sort(F.collect_list(
+                     F.when(F.col("_pos").isNotNull(),
+                            F.struct("_pos", "subs"))))
+                      .alias("_parts")))
+    return assembled.select(
+        *keys,
+        F.flatten(F.transform("_parts", lambda p: p["subs"]))
+        .alias(out_col))

@@ -1303,6 +1303,37 @@ def test_bpe_vocab_and_token_count(spark):
     assert got[4] == 0 and got[5] == 0
 
 
+def test_bpe_segment_order_and_edges(spark):
+    """bpe_segment returns the per-row subword SEQUENCE (word order
+    preserved through the dictionary-encoded apply), matching the
+    single-word reference segmentation; empty/NULL text yields []."""
+    from kiji_mapreduce_spark.pipeline import vocab
+    from kiji_mapreduce_spark.pipeline.vocab import _segment
+
+    corpus = spark.createDataFrame(
+        [(1, ("hug " * 10).strip()), (2, ("pug " * 5).strip())],
+        "doc_id long, text string")
+    merges = vocab.bpe_train(corpus, num_merges=20, min_pair_count=2)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    docs = spark.createDataFrame(
+        [(1, "hug pug hug"), (2, "zebra"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: list(r.bpe_subwords)
+           for r in vocab.bpe_segment(docs, merges,
+                                      id_cols=["doc_id"]).collect()}
+    want1 = _segment("hug", ranks) + _segment("pug", ranks) \
+        + _segment("hug", ranks)
+    assert got[1] == want1, (got[1], want1)
+    assert got[2] == _segment("zebra", ranks)
+    assert got[3] == [] and got[4] == []
+    # segment and count agree by construction
+    counts = {r.doc_id: r.bpe_tokens
+              for r in vocab.bpe_token_count(docs, merges,
+                                             id_cols=["doc_id"]).collect()}
+    assert all(len(got[d]) == counts[d] for d in got)
+
+
 def test_bloom_no_false_negatives_and_low_fp(spark):
     """Bloom membership: every inserted value hits (no false negatives,
     guaranteed); non-members pass at roughly the theoretical fp rate;
