@@ -147,3 +147,48 @@ def distribution_drift(
         F.round("_psi", 6).alias("psi"),
         F.round("_ks", 6).alias("ks"),
         (F.col("_psi") > 0.25).alias("drifted"))
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    digest_col: str | None = None,
+    text_col: str = "text",
+    train_split: str = "train",
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Eval-set contamination check: for each held-out split, how many
+    of its documents share a content digest with a training document ->
+    (split, n_docs, n_leaked, leak_rate).
+
+    The integrity counterpart to ``split_assign``: a hash-keyed split
+    keeps an *example* on one side, but duplicates of its content can
+    still straddle the boundary, silently inflating eval scores. The
+    digest defines "duplicate": by default the byte-exact text hash;
+    pass ``digest_col`` to audit under any precomputed content key —
+    ``text.fingerprints`` for near-dup leakage, a simhash band, a URL
+    digest. Run this after splitting (and after dedup — a nonzero rate
+    here means the dedup pass missed cross-split duplicates).
+
+    Scale shape: only 64-bit digests cross the network. The train side
+    reduces to a DISTINCT digest set (partial-agg'd longs); held-out
+    rows left-join it — an equi-join Catalyst/AQE handles with a shuffle
+    of longs, never of text. ``hash_fn="md5"`` makes the default digest
+    engine-reproducible for the oracle.
+    """
+    from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+    digest = (F.col(digest_col) if digest_col is not None
+              else token_hash64(F.col(text_col), hash_fn))
+    hashed = df.select(
+        F.col(split_col).alias("_split"), digest.alias("_h"))
+    train_h = (hashed.filter(F.col("_split") == train_split)
+               .select("_h").distinct()
+               .withColumn("_in_train", F.lit(1)))
+    held = hashed.filter(F.col("_split") != train_split)
+    return (held.join(train_h, on="_h", how="left")
+            .groupBy(F.col("_split").alias(split_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce("_in_train", F.lit(0)))
+                 .cast("long").alias("n_leaked"))
+            .withColumn("leak_rate",
+                        F.round(F.col("n_leaked") / F.col("n_docs"), 4)))

@@ -161,6 +161,64 @@ def pack_documents(
         F.pmod(before, F.lit(budget)).alias("pack_offset"))
 
 
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float] | list[tuple[str, float]] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xx",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    Every training pipeline needs a held-out split that is a pure
+    function of the example's identity — never of partition order or a
+    sampler's RNG state — so that re-runs, engine changes, and
+    incremental appends keep every document on the SAME side of the
+    train/eval boundary (the alternative silently leaks eval data into
+    training over time). Same integer-bucket discipline as
+    ``stratified_sample``: u = h(seed|key) mod 10000, split intervals
+    are exact cumulative bucket counts, the LAST split absorbs the
+    rounding remainder so every row is assigned.
+
+    ``splits`` preserves the given order (dict insertion order counts);
+    default 80/10/10 train/val/test. Fractions must be positive and sum
+    to 1 (±1 bucket of rounding). Pure projection — no shuffle; at
+    100 TB this folds into the scan.
+    """
+    items = list(splits.items()) if isinstance(splits, dict) \
+        else list(splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    if len(items) < 2:
+        raise ValueError("need at least two splits")
+    if any(frac <= 0 for _, frac in items):
+        raise ValueError("split fractions must be positive")
+    if abs(sum(frac for _, frac in items) - 1.0) > 1.0 / _BUCKETS:
+        raise ValueError("split fractions must sum to 1")
+    u = _key_unit(key_col, seed, hash_fn)
+    cum, col = 0, None
+    for name, frac in items[:-1]:
+        cum += int(round(frac * _BUCKETS))
+        col = F.when(u < cum, name) if col is None else col.when(u < cum, name)
+    col = col.otherwise(items[-1][0])
+    return df.withColumn(out_col, col)
+
+
+def split_thresholds(
+    splits: dict[str, float] | list[tuple[str, float]] | None = None,
+) -> list[tuple[str, int]]:
+    """The (name, cumulative-bucket) boundaries ``split_assign`` uses —
+    exposed so SQL oracles / external systems can reproduce the exact
+    CASE expression."""
+    items = list(splits.items()) if isinstance(splits, dict) \
+        else list(splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    out, cum = [], 0
+    for name, frac in items[:-1]:
+        cum += int(round(frac * _BUCKETS))
+        out.append((name, cum))
+    out.append((items[-1][0], _BUCKETS))
+    return out
+
+
 def weighted_sample_topk(
     df: DataFrame,
     strata_col: str,

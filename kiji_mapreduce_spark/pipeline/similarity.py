@@ -509,6 +509,41 @@ def sq8_topk(
             .filter(F.col("rank") <= k))
 
 
+def knn_recall(
+    approx: DataFrame, exact: DataFrame,
+    query_col: str = "query_id", neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate KNN result against the exact one ->
+    (query_id, n_exact, n_hits, recall) per query.
+
+    The standard ANN quality gate (FAISS-style recall eval), run
+    IN-ENGINE so index parameters (nprobe, bands, codebooks) can be
+    tuned on a cluster-scale sample without exporting results: recall =
+    |approx ∩ exact| / |exact| per query, where both inputs are
+    (query, neighbor, ...) top-k tables from any pair of this module's
+    search paths (``ivf_topk``/``lsh_topk``/``pq_topk``/``sq8_topk`` vs
+    ``brute_force_topk``).
+
+    Scale shape: both sides are k rows per query — O(k·|Q|), already
+    reduced from the corpus by the searches themselves. One equi-join
+    on (query, neighbor) and one grouped count; the corpus is never
+    touched.
+    """
+    e = exact.select(F.col(query_col).alias("query_id"),
+                     F.col(neighbor_col).alias("neighbor_id"))
+    a = (approx.select(F.col(query_col).alias("query_id"),
+                       F.col(neighbor_col).alias("neighbor_id"))
+         .distinct()
+         .withColumn("_hit", F.lit(1)))
+    return (e.join(a, on=["query_id", "neighbor_id"], how="left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 F.sum(F.coalesce("_hit", F.lit(0)))
+                 .cast("long").alias("n_hits"))
+            .withColumn("recall",
+                        F.round(F.col("n_hits") / F.col("n_exact"), 4)))
+
+
 def hard_negative_topk(
     embeddings: DataFrame, anchors: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -256,3 +256,80 @@ SELECT source, n_docs, n_tokens,
        round(raw / max(raw) OVER (), 4) AS sample_weight
 FROM s
 """
+
+
+def q_split_train_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 key hash
+    (a pure function of doc_id — re-runs, appends, and engine changes
+    keep every doc on the same side), summarized per (source, split).
+    The assignment is a shuffle-free projection; only the summary
+    aggregates."""
+    from kiji_mapreduce_spark.pipeline.sample import split_assign
+    docs = _t(spark, sf_dir, "documents")
+    assigned = split_assign(docs, seed=42, hash_fn="md5")
+    return (assigned.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+SQL_SPLIT_TRAIN_TEST = """
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN u < 8000 THEN 'train'
+              WHEN u < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source, n_chars,
+               ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 10000 AS u
+        FROM documents)
+)
+SELECT source, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY source, split
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Eval contamination audit under a NEAR-dup content key: held-out
+    docs whose rolling-hash fingerprint (``text.fingerprints``) also
+    appears in the train split — the corpus has no byte-exact
+    duplicates, but fingerprints collide across near-identical docs, so
+    the rate is non-trivially positive. Only 64-bit digests shuffle —
+    the train side is a DISTINCT digest set, the held-out side
+    equi-joins it."""
+    from kiji_mapreduce_spark import audit
+    from kiji_mapreduce_spark.pipeline.sample import split_assign
+    docs = _t(spark, sf_dir, "documents")
+    assigned = split_assign(docs, seed=42, hash_fn="md5")
+    fp = text_ops.fingerprints(docs, hash_fn="md5")
+    return audit.split_leakage(assigned.join(fp, on="doc_id"),
+                               digest_col="fingerprint")
+
+
+def _split_leakage_sql() -> str:
+    from kiji_mapreduce_spark import oracles
+    return f"""
+WITH fp AS ({oracles.fingerprint_sql()}),
+s AS (
+  SELECT fp.fingerprint AS h,
+         CASE WHEN u < 8000 THEN 'train'
+              WHEN u < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM fp JOIN (
+    SELECT doc_id,
+           ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+             % 10000 AS u
+    FROM documents) u USING (doc_id)
+),
+tr AS (SELECT DISTINCT h FROM s WHERE split = 'train')
+SELECT split,
+       count(*) AS n_docs,
+       sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+       round(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS leak_rate
+FROM s LEFT JOIN tr USING (h)
+WHERE split <> 'train'
+GROUP BY split
+"""
+
+
+SQL_SPLIT_LEAKAGE = _split_leakage_sql()

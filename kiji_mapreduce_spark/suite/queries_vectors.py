@@ -337,3 +337,36 @@ SELECT doc_id, prob, rank FROM (
   FROM prob
 ) WHERE rank <= 20
 """
+
+
+def q_knn_recall_ivf(spark, sf_dir):
+    """In-engine ANN quality gate: recall@5 of IVF (8 deterministic
+    centroids, nprobe=2 — the same construction as ``knn_ivf_topk``)
+    against exact brute-force top-5, per query. Both sides are k-row
+    tables; the recall join never touches the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    w = Window.orderBy("vec_id")
+    cents = (emb.orderBy("vec_id").limit(8)
+             .select((F.row_number().over(w) - 1).alias("_cell"),
+                     similarity.as_double(F.col("embedding")).alias("_center")))
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.knn_recall(approx, exact)
+
+
+SQL_KNN_RECALL_IVF = f"""
+WITH approx AS ({oracles.knn_ivf_sql()}),
+exact AS ({SQL_KNN_COSINE})
+SELECT e.query_id,
+       count(*)::BIGINT AS n_exact,
+       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""

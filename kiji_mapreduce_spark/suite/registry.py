@@ -44,6 +44,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score_topk": q_classifier_score_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
     "drift_orders_price": q_drift_orders_price,
+    # -- NEW in r6 (second batch): deterministic split assignment, the
+    #    cross-split leakage audit over it, and the in-engine ANN
+    #    recall@k gate (IVF vs brute force) --
+    "split_train_test": q_split_train_test,
+    "split_leakage": q_split_leakage,
+    "knn_recall_ivf": q_knn_recall_ivf,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -90,13 +96,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_revenue": q_window_running_revenue,
     # -- r5-green fill: same modules as this round's code changes
     #    (text.py langid rewrite, dedup.py simhash reorder, sketch.py
-    #    Bloom two-level OR) --
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
+    #    Bloom two-level OR). text_token_count / text_quality /
+    #    dedup_minhash_pairs ceded their slots to the three second-batch
+    #    r6 queries (text.py stays covered by text_langid +
+    #    text_fingerprint + text_chunking, dedup.py by four other dedup
+    #    fills) --
     "text_fingerprint": q_text_fingerprint,
     "text_chunking": q_text_chunking,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -110,6 +117,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    countmin_heavy_hitters fill), dedup_ngram_jaccard to the new
     #    drift_orders_price (dedup.py stays covered by four other dedup
     #    fills) --
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "kmv_distinct_users": q_kmv_distinct_users,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
@@ -162,6 +172,9 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "classifier_score_topk",
     "knn_sq8_topk",
     "drift_orders_price",
+    "split_train_test",
+    "split_leakage",
+    "knn_recall_ivf",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -208,6 +221,9 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 
 ORACLES: dict[str, str] = {
     "classifier_score_topk": SQL_CLASSIFIER_SCORE,
+    "split_train_test": SQL_SPLIT_TRAIN_TEST,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
+    "knn_recall_ivf": SQL_KNN_RECALL_IVF,
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,

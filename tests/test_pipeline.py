@@ -197,6 +197,36 @@ def test_ngram_jaccard_bounds(spark, docs):
     assert j[(1, 3)] < 0.1
 
 
+def test_knn_recall_matches_set_arithmetic(spark, sf_dir):
+    """The in-engine recall table equals the driver-side set computation
+    for a real ANN run, and handles the edge shapes: duplicate approx
+    rows count once, a query the approx side missed entirely still gets
+    a recall-0 row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=4)
+    got = {r.query_id: (r.n_exact, r.n_hits, r.recall)
+           for r in similarity.knn_recall(approx, exact).collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    app = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    for q in {t[0] for t in truth}:
+        n_exact = sum(1 for t in truth if t[0] == q)
+        n_hits = sum(1 for t in truth if t[0] == q and t in app)
+        assert got[q] == (n_exact, n_hits, round(n_hits / n_exact, 4)), q
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)],
+        "query_id long, neighbor_id long")
+    a = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 99)],  # dup hit counts once; q2 absent
+        "query_id long, neighbor_id long")
+    got2 = {r.query_id: (r.n_hits, r.recall)
+            for r in similarity.knn_recall(a, e).collect()}
+    assert got2[1] == (1, 0.5)
+    assert got2[2] == (0, 0.0)
+
+
 def test_brute_force_topk_selfsim(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
@@ -316,6 +346,63 @@ def test_stratified_sample_deterministic(spark):
     langs = {r.doc_id: r.lang for r in df.collect()}
     n_en = sum(1 for i in ids if langs[i] == "en")
     assert n_en > (len(ids) - n_en)
+
+
+def test_split_assign_partition_and_determinism(spark):
+    """Every row lands in exactly one split; assignment is a pure
+    function of the key (stable under repartitioning); fractions are
+    roughly honored; bad fraction specs raise."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)],
+        "doc_id long, text string")
+    out = sample.split_assign(df)
+    counts = {r.split: r.n
+              for r in out.groupBy("split").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] + counts["test"]
+    assert abs(counts["train"] - 800) < 80
+    first = {r.doc_id: r.split for r in out.collect()}
+    again = {r.doc_id: r.split
+             for r in sample.split_assign(df.repartition(7)).collect()}
+    assert first == again
+    # custom ordered splits, md5 engine-reproducible mode
+    two = sample.split_assign(df, [("a", 0.5), ("b", 0.5)], hash_fn="md5")
+    assert set(r.split for r in two.collect()) == {"a", "b"}
+    with pytest.raises(ValueError):
+        sample.split_assign(df, {"train": 1.0})
+    with pytest.raises(ValueError):
+        sample.split_assign(df, {"train": 0.6, "test": 0.2})
+    with pytest.raises(ValueError):
+        sample.split_assign(df, {"train": 1.2, "test": -0.2})
+
+
+def test_split_leakage_counts(spark):
+    """Known cross-split duplicates are counted per held-out split;
+    within-split duplicates and unique docs are not leaks; a custom
+    digest column overrides the text hash."""
+    from kiji_mapreduce_spark import audit
+
+    rows = [
+        (1, "train", "alpha"), (2, "train", "beta"), (3, "train", "beta"),
+        (4, "val", "alpha"),        # leak: dups train doc 1
+        (5, "val", "unique val"),   # clean
+        (6, "test", "beta"),        # leak
+        (7, "test", "gamma"), (8, "test", "gamma"),  # dup inside test only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {r.split: (r.n_docs, r.n_leaked, r.leak_rate)
+           for r in audit.split_leakage(df).collect()}
+    assert got["val"] == (2, 1, 0.5)
+    assert got["test"] == (3, 1, round(1 / 3, 4))
+    # digest_col mode: collapse everything to one digest -> all leaked
+    allsame = df.withColumn("_d", F.lit(7))
+    got2 = {r.split: r.n_leaked
+            for r in audit.split_leakage(allsame, digest_col="_d").collect()}
+    assert got2 == {"val": 2, "test": 3}
 
 
 def test_stratum_topk_exact_k(spark):

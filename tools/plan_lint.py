@@ -27,6 +27,9 @@ sys.path.insert(0, ".")
 # size, avg doc length, vocabulary size)
 BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
                 "knn_sq8_topk",
+                # recall eval embeds the IVF + brute searches, so it
+                # inherits their tiny-broadcast query-set joins
+                "knn_recall_ivf",
                 "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality",
                 # 5 broadcast anchors x corpus with a non-equi (label
                 # mismatch) predicate — same intended shape as knn
