@@ -730,3 +730,59 @@ SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
        count(*) AS n_pairs
 FROM lab GROUP BY 1, 2
 """
+
+
+def stream_drift_sql(ref_pred: str = "event_type = 'click'",
+                     bins: int = 20, lo: float = 0.0, hi: float = 500.0,
+                     epsilon: float = 1e-6,
+                     source: str = "events", value_col: str = "value",
+                     ts_col: str = "ts") -> str:
+    """Mirror of streaming.stream_drift over 1-hour tumbling windows
+    (stream/batch consistency IS the check): same clamp + bin, epsilon
+    smoothing, and left-fold PSI term order (list_reduce over the
+    bin-ordered term list == Spark's i-ascending literal chain — FP
+    associativity preserved). Missing bins are zero-filled on both the
+    reference and the window side, as the Spark op's collect-and-fill
+    reference and when/otherwise(0) sums do."""
+    width = (hi - lo) / bins
+    idx = (f"least({bins - 1}, greatest(0, floor((least({hi!r}, "
+           f"greatest({lo!r}, {value_col}::DOUBLE)) - {lo!r}) / {width!r})::INT))")
+    return f"""
+WITH refc AS (
+  SELECT {idx} AS idx, count(*)::DOUBLE AS c
+  FROM {source} WHERE ({ref_pred}) AND {value_col} IS NOT NULL
+  GROUP BY 1
+),
+refp AS (
+  SELECT i AS idx,
+         coalesce(refc.c, 0) / (SELECT sum(c) FROM refc) + {epsilon!r} AS pr
+  FROM range(0, {bins}) t(i) LEFT JOIN refc ON refc.idx = i
+),
+vals AS (
+  SELECT date_trunc('hour', {ts_col}) AS w, {idx} AS idx
+  FROM {source} WHERE {value_col} IS NOT NULL
+),
+wn AS (SELECT w, count(*)::DOUBLE AS n FROM vals GROUP BY w),
+wh AS (SELECT w, idx, count(*)::DOUBLE AS c FROM vals GROUP BY w, idx),
+grid AS (SELECT wn.w, i AS idx FROM wn CROSS JOIN range(0, {bins}) t(i)),
+filled AS (
+  SELECT g.w, g.idx, coalesce(wh.c, 0) AS c
+  FROM grid g LEFT JOIN wh ON wh.w = g.w AND wh.idx = g.idx
+),
+terms AS (
+  SELECT f.w,
+         f.idx,
+         ((f.c / wn.n + {epsilon!r}) - refp.pr)
+           * ln((f.c / wn.n + {epsilon!r}) / refp.pr) AS term
+  FROM filled f JOIN wn ON wn.w = f.w JOIN refp ON refp.idx = f.idx
+),
+psi AS (
+  SELECT w, list_reduce(list(term ORDER BY idx), (x, y) -> x + y) AS s
+  FROM terms GROUP BY w
+)
+SELECT epoch_ms(psi.w) AS window_start_ms,
+       wn.n::BIGINT AS n_events,
+       round(psi.s, 6) AS psi,
+       psi.s > 0.25 AS drifted
+FROM psi JOIN wn ON wn.w = psi.w
+"""

@@ -4,10 +4,11 @@ from kiji_mapreduce_spark.streaming.jobs import (
     stream_dedup_exact, stream_interval_join,
     stream_rollup_into_table, table_change_stream,
     stream_countmin,
+    stream_drift,
 )
 
 __all__ = ["stream_operator", "windowed_aggregate",
            "sessionized_aggregate", "running_latest",
            "stream_into_table", "stream_dedup_exact",
            "stream_interval_join", "stream_rollup_into_table",
-           "table_change_stream", "stream_countmin"]
+           "table_change_stream", "stream_countmin", "stream_drift"]

@@ -369,3 +369,64 @@ def stream_countmin(
         probed, ts_col, window_duration, watermark,
         group_cols=["cm_row", "cm_bucket"],
         aggs=[F.sum("_w").alias("cm_count")])
+
+
+def stream_drift(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    ref_hist: list[int],
+    lo: float,
+    hi: float,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per time window, the PSI of
+    the window's histogram of ``value_col`` against a FIXED reference
+    histogram -> (window, n_events, psi, drifted) — the streaming twin
+    of ``audit.distribution_drift`` (same bin clamping, same epsilon
+    smoothing, same 0.25 drift threshold), for catching corpus-mixture
+    shift in an ingest stream against the training-set distribution.
+
+    ``ref_hist`` is the reference's per-bin counts (its length fixes the
+    bin count; build it once with the batch op's discipline over lo/hi).
+    The reference is literal-folded into the plan — nothing joins.
+
+    Single stateful aggregation: the per-window histogram is ``bins``
+    conditional sums in ONE windowed groupBy (state = open-windows x
+    bins cells, watermark-bounded), and PSI is a stateless projection
+    over that row — so the job stays inside Structured Streaming's
+    one-stateful-op happy path and works in append mode.
+    """
+    bins = len(ref_hist)
+    if bins < 2:
+        raise ValueError("stream_drift needs a reference with >= 2 bins")
+    ref_total = float(sum(ref_hist))
+    if ref_total <= 0:
+        raise ValueError("stream_drift: empty reference histogram")
+    if hi <= lo:
+        raise ValueError("stream_drift needs hi > lo")
+    width = (hi - lo) / bins
+    v = F.least(F.lit(float(hi)),
+                F.greatest(F.lit(float(lo)),
+                           F.col(value_col).cast("double")))
+    idx = F.least(F.lit(bins - 1),
+                  F.greatest(F.lit(0),
+                             F.floor((v - lo) / width).cast("int")))
+    hist = [F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"_b{i}")
+            for i in range(bins)]
+    agg = windowed_aggregate(
+        stream_df.filter(F.col(value_col).isNotNull()), ts_col,
+        window_duration, watermark, group_cols=[],
+        aggs=hist + [F.count(F.lit(1)).alias("n_events")])
+    n = F.col("n_events").cast("double")
+    psi = F.lit(0.0)
+    for i in range(bins):
+        p_ref = F.lit(ref_hist[i] / ref_total + epsilon)
+        p_win = F.col(f"_b{i}") / n + epsilon
+        psi = psi + (p_win - p_ref) * F.log(p_win / p_ref)
+    return agg.select(
+        "window", "n_events",
+        F.round(psi, 6).alias("psi"),
+        (psi > 0.25).alias("drifted"))

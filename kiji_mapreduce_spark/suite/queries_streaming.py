@@ -200,3 +200,57 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 30 MINUTE
  AND c.ts <= p.ts
 """
+
+
+def q_streaming_drift_psi(spark, sf_dir):
+    """Streaming drift monitor: per 1-hour window, PSI of the window's
+    ``value`` histogram against a fixed reference distribution (the
+    batch histogram of click events — built once, literal-folded into
+    the streaming plan). Single stateful aggregation (bins conditional
+    sums per window); PSI is a stateless projection. availableNow drains
+    deterministically and the ORACLE IS THE BATCH SQL
+    (``oracles.stream_drift_sql``) — stream/batch consistency is the
+    check."""
+    import uuid
+
+    from kiji_mapreduce_spark.streaming import stream_drift
+
+    bins, lo, hi = 20, 0.0, 500.0
+    width = (hi - lo) / bins
+    static = _t(spark, sf_dir, "events")
+    v = F.least(F.lit(hi), F.greatest(F.lit(lo), F.col("value").cast("double")))
+    idx = F.least(F.lit(bins - 1),
+                  F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))
+    counts = {r["idx"]: r["c"] for r in
+              (static.filter((F.col("event_type") == "click")
+                             & F.col("value").isNotNull())
+               .groupBy(idx.alias("idx"))
+               .agg(F.count(F.lit(1)).alias("c")).collect())}
+    ref_hist = [int(counts.get(i, 0)) for i in range(bins)]
+
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    ts_type = dict(static.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    drift = stream_drift(stream, "value", "ts", ref_hist, lo, hi,
+                         window_duration="1 hour", watermark="2 hours")
+    qname = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (drift.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n_events", "psi", "drifted")
+
+
+def _streaming_drift_sql() -> str:
+    from kiji_mapreduce_spark import oracles
+    return oracles.stream_drift_sql()
+
+
+SQL_STREAMING_DRIFT = _streaming_drift_sql()

@@ -50,6 +50,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": q_split_train_test,
     "split_leakage": q_split_leakage,
     "knn_recall_ivf": q_knn_recall_ivf,
+    # -- NEW in r6 (third batch): streaming PSI drift monitor --
+    "streaming_drift_psi": q_streaming_drift_psi,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -103,7 +105,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    fills) --
     "text_fingerprint": q_text_fingerprint,
     "text_chunking": q_text_chunking,
-    "dedup_exact": q_dedup_exact,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -119,6 +120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    fills) --
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "kmv_distinct_users": q_kmv_distinct_users,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -175,6 +177,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "split_train_test",
     "split_leakage",
     "knn_recall_ivf",
+    "streaming_drift_psi",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -224,6 +227,7 @@ ORACLES: dict[str, str] = {
     "split_train_test": SQL_SPLIT_TRAIN_TEST,
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "knn_recall_ivf": SQL_KNN_RECALL_IVF,
+    "streaming_drift_psi": SQL_STREAMING_DRIFT,
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,

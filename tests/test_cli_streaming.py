@@ -619,3 +619,56 @@ def test_cli_dedup_index_build_and_ingest(spark, tmp_path, capsys):
                   "--index", f"{tmp_path}/idx",
                   "--pairs", f"{tmp_path}/pairs2",
                   "--updated-index", f"{tmp_path}/sub/../idx"])
+
+
+def test_stream_drift_matches_numpy_psi(spark, tmp_path):
+    """Streaming PSI per window == the numpy PSI of the same window's
+    histogram vs the reference (same clamp/bins/epsilon); NULL values
+    are excluded; parameter guards raise."""
+    import math
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.streaming import stream_drift
+
+    events = [
+        {"ts": "2024-01-01T00:05:00Z", "v": 1.0},
+        {"ts": "2024-01-01T00:10:00Z", "v": 3.0},
+        {"ts": "2024-01-01T00:20:00Z", "v": 9.5},   # clamps into last bin
+        {"ts": "2024-01-01T01:10:00Z", "v": 7.0},
+        {"ts": "2024-01-01T01:15:00Z", "v": None},  # ignored
+    ]
+    ref = [2, 1, 1, 0]  # 4 bins over [0, 8)
+    src = _write_stream_input(tmp_path, events)
+    stream = spark.readStream.schema("ts timestamp, v double").json(src)
+    drift = stream_drift(stream, "v", "ts", ref, lo=0.0, hi=8.0,
+                         window_duration="1 hour")
+    q = (drift.writeStream.outputMode("complete").format("memory")
+         .queryName("drift_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window.start.hour: (r.n_events, r.psi, r.drifted)
+           for r in spark.table("drift_stream").collect()}
+
+    eps = 1e-6
+    rt = float(sum(ref))
+    by_hour = {0: [1.0, 3.0, 9.5], 1: [7.0]}
+    for hour, vals in by_hour.items():
+        hist = [0] * 4
+        for v in vals:
+            hist[min(3, max(0, int(min(8.0, max(0.0, v)) // 2)))] += 1
+        psi = 0.0
+        for i in range(4):
+            pw = hist[i] / len(vals) + eps
+            pr = ref[i] / rt + eps
+            psi += (pw - pr) * math.log(pw / pr)
+        n, got_psi, drifted = got[hour]
+        assert n == len(vals)
+        assert got_psi == round(psi, 6), (hour, got_psi, psi)
+        assert drifted == (psi > 0.25)
+
+    with _pytest.raises(ValueError):
+        stream_drift(stream, "v", "ts", [5], lo=0.0, hi=8.0)
+    with _pytest.raises(ValueError):
+        stream_drift(stream, "v", "ts", [0, 0], lo=0.0, hi=8.0)
+    with _pytest.raises(ValueError):
+        stream_drift(stream, "v", "ts", ref, lo=8.0, hi=8.0)
