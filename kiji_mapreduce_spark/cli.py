@@ -169,6 +169,21 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--width", type=int, default=512)
     sk.add_argument("--k", type=int, default=64)
 
+    tv = sub.add_parser("split", help="deterministic train/val/test "
+                        "assignment by key hash, with an optional "
+                        "cross-split leakage report")
+    tv.add_argument("--input", required=True, help="documents parquet")
+    tv.add_argument("--output", required=True,
+                    help="parquet out with the split column added")
+    tv.add_argument("--splits", default="train=0.8,val=0.1,test=0.1",
+                    help="ordered name=frac list; fractions sum to 1")
+    tv.add_argument("--key-col", default="doc_id")
+    tv.add_argument("--seed", type=int, default=42)
+    tv.add_argument("--leakage-report", action="store_true",
+                    help="also print per-held-out-split exact-text "
+                    "leakage counts")
+    tv.add_argument("--text-col", default="text")
+
     di = sub.add_parser("dedup-index", help="build or incrementally "
                         "query the persisted MinHash dedup index")
     di.add_argument("--mode", choices=["build", "ingest"], required=True)
@@ -331,6 +346,40 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"sketch": args.output, "kind": args.kind,
                           "rows": spark.read.parquet(args.output).count()}))
+        return 0
+
+    if args.command == "split":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark import audit
+        from kiji_mapreduce_spark.pipeline.sample import split_assign
+
+        try:
+            pairs = [kv.split("=", 1) for kv in args.splits.split(",")]
+            splits = [(name, float(frac)) for name, frac in pairs]
+        except ValueError:
+            p.error("--splits must look like train=0.8,val=0.1,test=0.1")
+        spark = make_session(app_name="kiji-split")
+        docs = spark.read.parquet(args.input)
+        try:
+            assigned = split_assign(docs, splits, key_col=args.key_col,
+                                    seed=args.seed)
+        except ValueError as e:
+            p.error(str(e))
+        assigned.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        out = {"output": args.output,
+               "counts": {r["split"]: r["n"] for r in
+                          written.groupBy("split")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}}
+        if args.leakage_report:
+            out["leakage"] = [
+                {"split": r["split"], "n_docs": r["n_docs"],
+                 "n_leaked": r["n_leaked"], "leak_rate": r["leak_rate"]}
+                for r in audit.split_leakage(
+                    written, train_split=splits[0][0],
+                    text_col=args.text_col).collect()]
+        print(json.dumps(out))
         return 0
 
     if args.command == "dedup-index":

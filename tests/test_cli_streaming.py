@@ -672,3 +672,48 @@ def test_stream_drift_matches_numpy_psi(spark, tmp_path):
         stream_drift(stream, "v", "ts", [0, 0], lo=0.0, hi=8.0)
     with _pytest.raises(ValueError):
         stream_drift(stream, "v", "ts", ref, lo=8.0, hi=8.0)
+
+
+def test_cli_split_with_leakage_report(spark, tmp_path, capsys):
+    """split assigns every row deterministically, honors custom split
+    specs, and the leakage report counts the planted cross-split
+    duplicate; malformed specs exit with a usage error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    rows = [(i, f"doc text {i}") for i in range(100)]
+    rows.append((100, "doc text 0"))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(f"{tmp_path}/docs")
+
+    rc = cli.main([
+        "split", "--input", f"{tmp_path}/docs",
+        "--output", f"{tmp_path}/assigned",
+        "--leakage-report"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(out["counts"].values()) == 101
+    assert set(out["counts"]) == {"train", "val", "test"}
+    held = {r["split"] for r in out["leakage"]}
+    assert held == {"val", "test"}
+    assert sum(r["n_leaked"] for r in out["leakage"]) <= 1
+
+    got = spark.read.parquet(f"{tmp_path}/assigned")
+    assert got.count() == 101 and "split" in got.columns
+
+    rc = cli.main([
+        "split", "--input", f"{tmp_path}/docs",
+        "--output", f"{tmp_path}/assigned2",
+        "--splits", "fit=0.5,holdout=0.5"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out2["counts"]) == {"fit", "holdout"}
+
+    with _pytest.raises(SystemExit):
+        cli.main(["split", "--input", f"{tmp_path}/docs",
+                  "--output", f"{tmp_path}/bad", "--splits", "oops"])
+    with _pytest.raises(SystemExit):
+        cli.main(["split", "--input", f"{tmp_path}/docs",
+                  "--output", f"{tmp_path}/bad",
+                  "--splits", "train=0.9,test=0.3"])
