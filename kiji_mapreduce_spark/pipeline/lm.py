@@ -116,3 +116,61 @@ def bigram_lm_scores(
                     .alias("n_bigrams"),
                     F.round(F.col("_avg"), 4).alias("avg_logprob"),
                     F.round(F.exp(-F.col("_avg")), 4).alias("ppl")))
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI collocation mining (the word2phrase signal for phrase-aware
+    tokenization): adjacent word pairs whose co-occurrence beats chance
+    -> (w1, w2, n_pair, n_w1, n_w2, pmi, npmi).
+
+    pmi  = ln(p(w1w2) / (p(w1) p(w2))) — pair probability from the
+    adjacent-pair distribution, unigram probabilities from the token
+    distribution (the standard estimator, Church & Hanks 1990);
+    npmi = pmi / -ln(p(w1w2)) — normalized to [-1, 1] so thresholds
+    transfer across corpus sizes (Bouma 2009). ``min_count`` drops rare
+    pairs BEFORE the joins (PMI is notoriously noisy at low counts, and
+    the filter shrinks the pair table by the Zipf tail).
+
+    Scale shape: ONE token scan feeds both count tables (unigrams via
+    groupBy(token), pairs via the same codegen'd lead() window as
+    ``_bigrams``); totals fold in as 1-row broadcast scalars; the two
+    unigram joins are equi-joins between aggregated, Heaps-law-bounded
+    tables — corpus text never shuffles.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    ex = docs.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "_v"))
+    uni = ex.groupBy(F.col("_v").alias("_w")).agg(
+        F.count(F.lit(1)).alias("_n_w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (ex.select(F.col("_v").alias("w1"),
+                       F.lead("_v", 1).over(w).alias("w2"))
+             .filter(F.col("w2").isNotNull())
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    tot_uni = uni.agg(F.sum("_n_w").cast("double").alias("_tu"))
+    tot_pair = ex.groupBy(id_col).agg(
+        (F.count(F.lit(1)) - 1).alias("_np")).agg(
+        F.sum(F.greatest("_np", F.lit(0))).cast("double").alias("_tp"))
+    j = (pairs
+         .join(uni.withColumnRenamed("_w", "w1")
+               .withColumnRenamed("_n_w", "n_w1"), on="w1")
+         .join(uni.withColumnRenamed("_w", "w2")
+               .withColumnRenamed("_n_w", "n_w2"), on="w2")
+         .crossJoin(F.broadcast(tot_uni))
+         .crossJoin(F.broadcast(tot_pair)))
+    p_pair = F.col("n_pair") / F.col("_tp")
+    pmi = F.log(p_pair / ((F.col("n_w1") / F.col("_tu"))
+                          * (F.col("n_w2") / F.col("_tu"))))
+    return j.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2",
+        pmi.alias("pmi"),
+        (pmi / -F.log(p_pair)).alias("npmi"))

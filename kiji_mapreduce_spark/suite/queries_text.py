@@ -473,3 +473,58 @@ SELECT media_id,
        8 AS dim
 FROM h
 """
+
+
+def q_collocations_top(spark, sf_dir):
+    """PMI collocation mining (word2phrase): top-20 adjacent pairs by
+    NPMI among those seen >= 5 times — one token scan feeds the unigram
+    and pair count tables, totals fold in as broadcast scalars."""
+    docs = _t(spark, sf_dir, "documents")
+    out = lm.collocations(docs, min_count=5)
+    w = Window.orderBy(F.col("npmi").desc(), "w1", "w2")
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                    F.round("pmi", 6).alias("pmi"),
+                    F.round("npmi", 6).alias("npmi"), "rank"))
+
+
+SQL_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pr AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+  FROM toks WHERE len(t) >= 2
+),
+pairs AS (
+  SELECT s.a AS w1, s.b AS w2, count(*) AS n_pair
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+),
+uni AS (
+  SELECT tok AS w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+),
+tu AS (SELECT sum(n_w)::DOUBLE AS tu FROM uni),
+tp AS (SELECT sum(greatest(len(t) - 1, 0))::DOUBLE AS tp FROM toks),
+j AS (
+  SELECT p.w1, p.w2, p.n_pair,
+         u1.n_w AS n_w1, u2.n_w AS n_w2,
+         ln((p.n_pair / tp) / ((u1.n_w / tu) * (u2.n_w / tu))) AS pmi,
+         ln((p.n_pair / tp) / ((u1.n_w / tu) * (u2.n_w / tu)))
+           / -ln(p.n_pair / tp) AS npmi
+  FROM pairs p
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN tu CROSS JOIN tp
+)
+SELECT w1, w2, n_pair, n_w1, n_w2,
+       round(pmi, 6) AS pmi, round(npmi, 6) AS npmi, rank
+FROM (SELECT *, row_number() OVER (ORDER BY npmi DESC, w1, w2) AS rank
+      FROM j)
+WHERE rank <= 20
+"""

@@ -50,8 +50,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": q_split_train_test,
     "split_leakage": q_split_leakage,
     "knn_recall_ivf": q_knn_recall_ivf,
-    # -- NEW in r6 (third batch): streaming PSI drift monitor --
+    # -- NEW in r6 (third batch): streaming PSI drift monitor and PMI
+    #    collocation mining --
     "streaming_drift_psi": q_streaming_drift_psi,
+    "collocations_top": q_collocations_top,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -104,7 +106,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    text_fingerprint + text_chunking, dedup.py by four other dedup
     #    fills) --
     "text_fingerprint": q_text_fingerprint,
-    "text_chunking": q_text_chunking,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -120,6 +121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    fills) --
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
+    "text_chunking": q_text_chunking,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -178,6 +180,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "split_leakage",
     "knn_recall_ivf",
     "streaming_drift_psi",
+    "collocations_top",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -228,6 +231,7 @@ ORACLES: dict[str, str] = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "knn_recall_ivf": SQL_KNN_RECALL_IVF,
     "streaming_drift_psi": SQL_STREAMING_DRIFT,
+    "collocations_top": SQL_COLLOCATIONS,
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,

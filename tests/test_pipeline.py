@@ -1735,3 +1735,34 @@ def test_bloom_build_empty_input(spark):
     probe = spark.createDataFrame([("x",), ("y",)], "v string")
     assert bloom_filter_rows(probe, "v", bf).count() == 0
     assert bloom_filter_rows(probe, "v", bf, keep_hits=False).count() == 2
+
+
+def test_collocations_match_hand_pmi(spark):
+    """PMI/NPMI for a known corpus equals the hand computation
+    (pair probs from the adjacent-pair distribution, unigram probs from
+    the token distribution); min_count filters; guard raises."""
+    import math
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.pipeline import lm
+
+    # "new york" always adjacent (3x); "the cat" twice; singletons
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "the cat saw the cat"),
+         (3, "new york is big")],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           lm.collocations(docs, min_count=2).collect()}
+    assert ("new", "york") in out and ("the", "cat") in out
+    assert ("york", "new") not in out  # seen once < min_count
+    tu = 4 + 5 + 4          # total tokens
+    tp = 3 + 4 + 3          # total adjacent pairs
+    r = out[("new", "york")]
+    assert (r.n_pair, r.n_w1, r.n_w2) == (3, 3, 3)
+    p_pair = 3 / tp
+    want_pmi = math.log(p_pair / ((3 / tu) * (3 / tu)))
+    assert abs(r.pmi - want_pmi) < 1e-12
+    assert abs(r.npmi - want_pmi / -math.log(p_pair)) < 1e-12
+    with _pytest.raises(ValueError):
+        lm.collocations(docs, min_count=0)
