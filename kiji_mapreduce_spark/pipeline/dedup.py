@@ -892,14 +892,38 @@ def simhash_fingerprints(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     hashed = exploded.select(
         id_col, token_hash64(F.col("_t"), hash_fn).alias("_h"))
-    # arithmetic bit extraction (shift+and) instead of conditional sums:
-    # equal results, ~3x faster cold (smaller codegen)
+    # arithmetic bit extraction (shift+and) instead of conditional sums
+    # (equal results, ~3x faster cold from the smaller codegen), with
+    # the 64 per-bit counts PACKED three to a long (21-bit fields): the
+    # aggregation row narrows from 65 sum buffers to 23, which is the
+    # width the hash-agg pays per group on both the partial and final
+    # pass. Fields can't bleed into each other while every per-bit
+    # count stays under 2^21 — enforced below via _n (a count of the
+    # same rows), which upper-bounds every bit count.
+    one = F.lit(1).cast("long")
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for b in range(64):
-        aggs.append(F.sum(
-            F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1).cast("long"))
-        ).alias(f"s{b}"))
+    for g in range(0, 64, 3):
+        packed = None
+        for i, b in enumerate(range(g, min(g + 3, 64))):
+            bit = F.shiftrightunsigned("_h", b).bitwiseAND(one)
+            term = F.shiftleft(bit, (2 - i) * 21)
+            packed = term if packed is None else packed + term
+        aggs.append(F.sum(packed).alias(f"p{g // 3}"))
     votes = hashed.groupBy(id_col).agg(*aggs)
+    # unpack: bit b lives in packed word b//3, field (2 - b%3)
+    field = F.lit((1 << 21) - 1).cast("long")
+    guard = F.when(
+        F.col("_n") >= (1 << 21),
+        F.raise_error(F.concat(
+            F.lit("simhash_fingerprints: document with "),
+            F.col("_n").cast("string"),
+            F.lit(" tokens overflows the 21-bit packed vote fields "
+                  "(max 2097151); split or truncate the document"))),
+    ).otherwise(F.col("_n")).alias("_n")
+    votes = votes.select(
+        id_col, guard,
+        *[F.shiftrightunsigned(f"p{b // 3}", (2 - b % 3) * 21)
+          .bitwiseAND(field).alias(f"s{b}") for b in range(64)])
     # pack via zip_with + fold, not 64 instantiated `when` subtrees: the
     # majority-vote conditional lives INSIDE one lambda, so the driver
     # analyzes it once instead of 64 times per execution (the 64-when
