@@ -1766,3 +1766,31 @@ def test_collocations_match_hand_pmi(spark):
     assert abs(r.npmi - want_pmi / -math.log(p_pair)) < 1e-12
     with _pytest.raises(ValueError):
         lm.collocations(docs, min_count=0)
+
+
+def test_split_by_cluster_eliminates_leakage(spark):
+    """The leakage-proof split recipe: key ``split_assign`` on the
+    duplicate-cluster representative (keep_id) instead of the doc id, so
+    every duplicate lands on the SAME side of the train/eval boundary —
+    split_leakage then reports zero, while the naive doc_id split leaks
+    on the same corpus."""
+    from kiji_mapreduce_spark import audit
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    # 40 distinct texts, each duplicated under 5 different doc_ids
+    rows = [(base * 5 + c, f"doc body number {base}")
+            for base in range(40) for c in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_groups(docs)
+    with_rep = docs.withColumn(
+        "digest", F.md5("text")).join(groups, on="digest")
+
+    naive = sample.split_assign(docs, key_col="doc_id")
+    naive_leaked = sum(r.n_leaked
+                       for r in audit.split_leakage(naive).collect())
+    assert naive_leaked > 0  # dup groups straddle the boundary
+
+    by_cluster = sample.split_assign(with_rep, key_col="keep_id")
+    got = audit.split_leakage(by_cluster).collect()
+    assert sum(r.n_leaked for r in got) == 0
+    assert sum(r.n_docs for r in got) > 0  # held-out splits non-empty
