@@ -176,12 +176,15 @@ def main(argv: list[str] | None = None) -> int:
     tv.add_argument("--output", required=True,
                     help="parquet out with the split column added")
     tv.add_argument("--splits", default="train=0.8,val=0.1,test=0.1",
-                    help="ordered name=frac list; fractions sum to 1")
+                    help="ordered name=frac list; fractions sum to 1; "
+                    "the FIRST split is the training side of the "
+                    "leakage report")
     tv.add_argument("--key-col", default="doc_id")
     tv.add_argument("--seed", type=int, default=42)
     tv.add_argument("--leakage-report", action="store_true",
-                    help="also print per-held-out-split exact-text "
-                    "leakage counts")
+                    help="also print, for every split after the first "
+                    "(the train side), how many of its docs duplicate "
+                    "a first-split doc byte-exactly")
     tv.add_argument("--text-col", default="text")
 
     di = sub.add_parser("dedup-index", help="build or incrementally "

@@ -136,30 +136,36 @@ def collocations(
     pairs BEFORE the joins (PMI is notoriously noisy at low counts, and
     the filter shrinks the pair table by the Zipf tail).
 
-    Scale shape: ONE token scan feeds both count tables (unigrams via
-    groupBy(token), pairs via the same codegen'd lead() window as
-    ``_bigrams``); totals fold in as 1-row broadcast scalars; the two
-    unigram joins are equi-joins between aggregated, Heaps-law-bounded
-    tables — corpus text never shuffles.
+    Scale shape: the corpus text is scanned TWICE (once into the
+    unigram aggregate, once through the lead() window into the pair
+    aggregate — the same codegen'd form as ``_bigrams``) and never
+    again: both count tables are Heaps-law-bounded and eagerly
+    materialized, so their reuses (two unigram joins + both totals,
+    derived by summing the aggregates) cost no further token scans;
+    totals fold in as 1-row broadcast scalars; min_count prunes the
+    pair table before the joins.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     ex = docs.select(F.col(id_col),
                      F.posexplode(tokens(F.col(text_col)))
                      .alias("pos", "_v"))
+    # materialize both aggregates once: uni feeds two join sides + the
+    # unigram total, the unfiltered pair table feeds the pair total +
+    # the min_count survivors — without the checkpoints each reuse
+    # re-executes the corpus token scan (the simhash/minhash diamond)
     uni = ex.groupBy(F.col("_v").alias("_w")).agg(
-        F.count(F.lit(1)).alias("_n_w"))
+        F.count(F.lit(1)).alias("_n_w")).localCheckpoint(eager=True)
     w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = (ex.select(F.col("_v").alias("w1"),
-                       F.lead("_v", 1).over(w).alias("w2"))
-             .filter(F.col("w2").isNotNull())
-             .groupBy("w1", "w2")
-             .agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= min_count))
+    pairs_all = (ex.select(F.col("_v").alias("w1"),
+                           F.lead("_v", 1).over(w).alias("w2"))
+                 .filter(F.col("w2").isNotNull())
+                 .groupBy("w1", "w2")
+                 .agg(F.count(F.lit(1)).alias("n_pair"))
+                 .localCheckpoint(eager=True))
+    pairs = pairs_all.filter(F.col("n_pair") >= min_count)
     tot_uni = uni.agg(F.sum("_n_w").cast("double").alias("_tu"))
-    tot_pair = ex.groupBy(id_col).agg(
-        (F.count(F.lit(1)) - 1).alias("_np")).agg(
-        F.sum(F.greatest("_np", F.lit(0))).cast("double").alias("_tp"))
+    tot_pair = pairs_all.agg(F.sum("n_pair").cast("double").alias("_tp"))
     j = (pairs
          .join(uni.withColumnRenamed("_w", "w1")
                .withColumnRenamed("_n_w", "n_w1"), on="w1")

@@ -186,6 +186,25 @@ def split_assign(
     to 1 (±1 bucket of rounding). Pure projection — no shuffle; at
     100 TB this folds into the scan.
     """
+    u = _key_unit(key_col, seed, hash_fn)
+    bounds = split_thresholds(splits)
+    cum, col = 0, None
+    for name, cum in bounds[:-1]:
+        col = F.when(u < cum, name) if col is None else col.when(u < cum, name)
+    col = col.otherwise(bounds[-1][0])
+    return df.withColumn(out_col, col)
+
+
+def split_thresholds(
+    splits: dict[str, float] | list[tuple[str, float]] | None = None,
+) -> list[tuple[str, int]]:
+    """The validated (name, cumulative-bucket) boundaries
+    ``split_assign`` uses — exposed so SQL oracles / external systems
+    can reproduce the exact CASE expression. Shares ``split_assign``'s
+    validation (it is the single source of the boundaries), including
+    the bucket-collapse check: a fraction that rounds to ZERO buckets
+    would make that split silently empty — the exact integrity failure
+    this op exists to prevent — so it raises instead."""
     items = list(splits.items()) if isinstance(splits, dict) \
         else list(splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)])
     if len(items) < 2:
@@ -194,27 +213,20 @@ def split_assign(
         raise ValueError("split fractions must be positive")
     if abs(sum(frac for _, frac in items) - 1.0) > 1.0 / _BUCKETS:
         raise ValueError("split fractions must sum to 1")
-    u = _key_unit(key_col, seed, hash_fn)
-    cum, col = 0, None
-    for name, frac in items[:-1]:
-        cum += int(round(frac * _BUCKETS))
-        col = F.when(u < cum, name) if col is None else col.when(u < cum, name)
-    col = col.otherwise(items[-1][0])
-    return df.withColumn(out_col, col)
-
-
-def split_thresholds(
-    splits: dict[str, float] | list[tuple[str, float]] | None = None,
-) -> list[tuple[str, int]]:
-    """The (name, cumulative-bucket) boundaries ``split_assign`` uses —
-    exposed so SQL oracles / external systems can reproduce the exact
-    CASE expression."""
-    items = list(splits.items()) if isinstance(splits, dict) \
-        else list(splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)])
     out, cum = [], 0
     for name, frac in items[:-1]:
-        cum += int(round(frac * _BUCKETS))
-        out.append((name, cum))
+        nxt = cum + int(round(frac * _BUCKETS))
+        if nxt == cum:
+            raise ValueError(
+                f"split {name!r} fraction {frac} rounds to zero of the "
+                f"{_BUCKETS} hash buckets — it would be silently empty")
+        out.append((name, nxt))
+        cum = nxt
+    if cum >= _BUCKETS:
+        raise ValueError(
+            f"split {items[-1][0]!r} is left zero of the {_BUCKETS} "
+            "hash buckets by the preceding fractions — it would be "
+            "silently empty")
     out.append((items[-1][0], _BUCKETS))
     return out
 

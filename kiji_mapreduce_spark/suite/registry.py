@@ -99,12 +99,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_byte_stats": q_text_byte_stats,
     "window_running_revenue": q_window_running_revenue,
     # -- r5-green fill: same modules as this round's code changes
-    #    (text.py langid rewrite, dedup.py simhash reorder, sketch.py
-    #    Bloom two-level OR). text_token_count / text_quality /
-    #    dedup_minhash_pairs ceded their slots to the three second-batch
-    #    r6 queries (text.py stays covered by text_langid +
-    #    text_fingerprint + text_chunking, dedup.py by four other dedup
-    #    fills) --
+    #    (text.py langid rewrite, dedup.py simhash vote packing +
+    #    reorder, sketch.py Bloom two-level OR). Five r5-green fills
+    #    ceded slots to the five later r6 queries: text_token_count /
+    #    text_quality / dedup_minhash_pairs (second batch),
+    #    text_chunking (streaming_drift_psi), dedup_exact
+    #    (collocations_top). In-window coverage that remains: text.py
+    #    via text_langid + text_fingerprint, dedup.py via
+    #    dedup_simhash_pairs + dedup_source_matrix +
+    #    dedup_corpus_survivors + dedup_incremental_pairs --
     "text_fingerprint": q_text_fingerprint,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,

@@ -697,10 +697,27 @@ def test_cli_split_with_leakage_report(spark, tmp_path, capsys):
     assert set(out["counts"]) == {"train", "val", "test"}
     held = {r["split"] for r in out["leakage"]}
     assert held == {"val", "test"}
-    assert sum(r["n_leaked"] for r in out["leakage"]) <= 1
 
     got = spark.read.parquet(f"{tmp_path}/assigned")
     assert got.count() == 101 and "split" in got.columns
+    # the report must equal the leakage recomputed from the written
+    # assignment (not merely be <= the planted-dup count — a wiring
+    # regression that always reports 0 has to fail here)
+    by_doc = {r.doc_id: (r.text, r.split) for r in got.collect()}
+    train_texts = {t for t, s in by_doc.values() if s == "train"}
+    want = {}
+    for t, s in by_doc.values():
+        if s != "train":
+            n_docs, n_leak = want.get(s, (0, 0))
+            want[s] = (n_docs + 1, n_leak + (t in train_texts))
+    assert {r["split"]: (r["n_docs"], r["n_leaked"])
+            for r in out["leakage"]} == want
+    # the planted dup pair (docs 0 and 100) leaks iff it straddles the
+    # train boundary; tie the report's total to that ground truth
+    planted = sum(1 for d in (0, 100)
+                  if by_doc[d][1] != "train"
+                  and by_doc[0 if d else 100][1] == "train")
+    assert sum(r["n_leaked"] for r in out["leakage"]) == planted
 
     rc = cli.main([
         "split", "--input", f"{tmp_path}/docs",

@@ -378,6 +378,19 @@ def test_split_assign_partition_and_determinism(spark):
         sample.split_assign(df, {"train": 0.6, "test": 0.2})
     with pytest.raises(ValueError):
         sample.split_assign(df, {"train": 1.2, "test": -0.2})
+    # fractions that pass the sum check but collapse a split to zero
+    # hash buckets (silently-empty eval set) must raise, on both the
+    # assignment and the exported thresholds
+    with pytest.raises(ValueError, match="zero"):
+        sample.split_assign(df, [("train", 0.99996), ("val", 0.00002),
+                                 ("test", 0.00002)])
+    with pytest.raises(ValueError, match="zero"):
+        sample.split_thresholds([("val", 0.00002), ("test", 0.00002),
+                                 ("train", 0.99996)])
+    assert sample.split_thresholds() == [
+        ("train", 8000), ("val", 9000), ("test", 10000)]
+    with pytest.raises(ValueError):
+        sample.split_thresholds({"train": 0.6, "test": 0.2})
 
 
 def test_split_leakage_counts(spark):
