@@ -333,3 +333,51 @@ GROUP BY split
 
 
 SQL_SPLIT_LEAKAGE = _split_leakage_sql()
+
+
+def q_negative_sample_vocab(spark, sf_dir):
+    """word2vec-style negative-sampling table (Mikolov et al. 2013):
+    20 vocabulary words drawn WITHOUT replacement with probability
+    proportional to count^0.75, via the same deterministic
+    Efraimidis-Spirakis clocks as ``weighted_sample_topk``. The 3/4
+    power is computed as sqrt(cnt)*sqrt(sqrt(cnt)) — sqrt is IEEE
+    correctly-rounded in every engine, unlike libm pow, so the weights
+    (and therefore the clock ranking) are bit-exact cross-engine. One
+    token-count aggregate; the k-min selection is the skew-safe salted
+    top-k over the Heaps-law-bounded vocab table."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(dedup.tokens(F.col("text"))).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    wc = (wc.withColumn("_all", F.lit("all"))
+          .withColumn("w34", F.sqrt(F.col("cnt"))
+                      * F.sqrt(F.sqrt(F.col("cnt")))))
+    out = sample.weighted_sample_topk(
+        wc, strata_col="_all", weight_col="w34", k=20,
+        key_col="word", seed=7)
+    return out.select("word", "cnt",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_NEGATIVE_SAMPLE = r"""
+WITH wc AS (
+  SELECT tok AS word, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1
+),
+c AS (
+  SELECT word, cnt,
+         -ln((('0x' || substr(md5('7|' || word), 1, 15))::BIGINT + 1)
+             / 1152921504606846976.0)
+           / (sqrt(cnt) * sqrt(sqrt(cnt))) AS clock
+  FROM wc
+),
+r AS (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY clock, word) AS rank
+  FROM c
+)
+SELECT word, cnt, rank FROM r WHERE rank <= 20
+"""

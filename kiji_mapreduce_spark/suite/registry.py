@@ -54,6 +54,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    collocation mining --
     "streaming_drift_psi": q_streaming_drift_psi,
     "collocations_top": q_collocations_top,
+    "negative_sample_vocab": q_negative_sample_vocab,
     # -- changed in r6 (bitmask single-pass language scoring; simhash
     #    filter-before-distinct) --
     "text_langid": q_text_langid,
@@ -100,15 +101,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_revenue": q_window_running_revenue,
     # -- r5-green fill: same modules as this round's code changes
     #    (text.py langid rewrite, dedup.py simhash vote packing +
-    #    reorder, sketch.py Bloom two-level OR). Five r5-green fills
-    #    ceded slots to the five later r6 queries: text_token_count /
+    #    reorder, sketch.py Bloom two-level OR). Six r5-green fills
+    #    ceded slots to the six later r6 queries: text_token_count /
     #    text_quality / dedup_minhash_pairs (second batch),
     #    text_chunking (streaming_drift_psi), dedup_exact
-    #    (collocations_top). In-window coverage that remains: text.py
-    #    via text_langid + text_fingerprint, dedup.py via
+    #    (collocations_top), text_fingerprint (negative_sample_vocab —
+    #    the fingerprint path stays window-exercised through
+    #    split_leakage's digest). In-window coverage that remains: text.py
+    #    via text_langid + split_leakage's fingerprints, dedup.py via
     #    dedup_simhash_pairs + dedup_source_matrix +
     #    dedup_corpus_survivors + dedup_incremental_pairs --
-    "text_fingerprint": q_text_fingerprint,
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -122,6 +124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    countmin_heavy_hitters fill), dedup_ngram_jaccard to the new
     #    drift_orders_price (dedup.py stays covered by four other dedup
     #    fills) --
+    "text_fingerprint": q_text_fingerprint,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_chunking": q_text_chunking,
@@ -184,6 +187,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "knn_recall_ivf",
     "streaming_drift_psi",
     "collocations_top",
+    "negative_sample_vocab",
     # changed in r6
     "text_langid",
     "dedup_simhash_pairs",
@@ -235,6 +239,7 @@ ORACLES: dict[str, str] = {
     "knn_recall_ivf": SQL_KNN_RECALL_IVF,
     "streaming_drift_psi": SQL_STREAMING_DRIFT,
     "collocations_top": SQL_COLLOCATIONS,
+    "negative_sample_vocab": SQL_NEGATIVE_SAMPLE,
     "entity_resolution_blocked": SQL_ENTITY_RESOLUTION,
     "streaming_sessionize": SQL_SESSIONIZE,
     "text_chunking": SQL_TEXT_CHUNKING,

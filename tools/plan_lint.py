@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
                 # recall eval embeds the IVF + brute searches, so it
                 # inherits their tiny-broadcast query-set joins
                 "knn_recall_ivf",
+                # the unigram/pair TOTALS are 1-row broadcast scalars
+                "collocations_top",
                 "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality",
                 # 5 broadcast anchors x corpus with a non-equi (label
                 # mismatch) predicate — same intended shape as knn
