@@ -117,8 +117,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
-    # -- tail: ALL r5-green (CORRECTNESS_r05 50/50) — the ledger test
-    #    enforces that nothing here ages past 2 rounds. kmv_distinct_users
+    # -- tail: ALL r5-green (CORRECTNESS_r05 50/50), and the r6 builder
+    #    additionally drove EVERY registry query — this tail included —
+    #    hash-green at sf0.01 via tools/check_correctness.py before
+    #    committing the r6 rotation. The ledger test enforces that
+    #    nothing here ages past 2 rounds. kmv_distinct_users
     #    was the fill slot ceded to the new knn_sq8_topk (its r6-changed
     #    module neighbor bloom_build stays covered by the
     #    countmin_heavy_hitters fill), dedup_ngram_jaccard to the new
