@@ -132,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
                     help='per-stratum sample rates "en=0.9,de=0.5"')
     cu.add_argument("--default-rate", type=float, default=1.0)
     cu.add_argument("--strata-col", default="lang")
+    cu.add_argument("--splits", default=None,
+                    help='ordered name=frac list (e.g. '
+                    '"train=0.9,val=0.05,test=0.05"): append a '
+                    'deterministic split column to the survivors')
     cu.add_argument("--quality-model", default=None,
                     help="classify-train model JSON: adds a learned "
                     "filter stage after the heuristic quality gate")
@@ -272,11 +276,19 @@ def main(argv: list[str] | None = None) -> int:
             for part in args.rates.split(","):
                 k, v = part.split("=")
                 rates[k] = float(v)
+        splits = None
+        if args.splits:
+            try:
+                splits = {k: float(v) for k, v in
+                          (part.split("=", 1)
+                           for part in args.splits.split(","))}
+            except ValueError:
+                p.error('--splits must look like "train=0.9,test=0.1"')
         cfg = curate.CurateConfig(
             min_quality=args.min_quality,
             near_threshold=args.near_threshold,
             sample_rates=rates, default_rate=args.default_rate,
-            strata_col=args.strata_col,
+            strata_col=args.strata_col, splits=splits,
             quality_model=(json.load(open(args.quality_model))
                            if args.quality_model else None),
             min_prob=args.min_prob)

@@ -42,6 +42,12 @@ class CurateConfig:
     #: the heuristic quality gate, keeping docs with prob >= min_prob
     quality_model: dict | None = None
     min_prob: float = 0.5
+    #: optional ordered {split: fraction} (e.g. train/val/test): after
+    #: every filter, assign each surviving doc a deterministic split by
+    #: key hash (``sample.split_assign``). Running this AFTER dedup is
+    #: the leakage-resistant order — duplicates were collapsed, so a
+    #: text can no longer straddle the train/eval boundary
+    splits: dict[str, float] | None = None
 
 
 def curate_corpus(
@@ -137,4 +143,8 @@ def curate_corpus(
         kept = sample_ops.stratified_sample(
             kept, cfg.strata_col, cfg.sample_rates, cfg.default_rate,
             key_col=id_col, seed=cfg.seed, hash_fn=cfg.hash_fn)
+    if cfg.splits is not None:
+        kept = sample_ops.split_assign(
+            kept, cfg.splits, key_col=id_col, seed=cfg.seed,
+            hash_fn=cfg.hash_fn)
     return kept

@@ -734,3 +734,34 @@ def test_cli_split_with_leakage_report(spark, tmp_path, capsys):
         cli.main(["split", "--input", f"{tmp_path}/docs",
                   "--output", f"{tmp_path}/bad",
                   "--splits", "train=0.9,test=0.3"])
+
+
+def test_cli_curate_with_splits(spark, tmp_path, capsys):
+    """--splits appends the deterministic split column to the curated
+    survivors; every surviving doc is assigned; malformed specs exit
+    with a usage error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, "clean readable text with many plain words here " * 3, "en")
+         for i in range(40)],
+        "doc_id long, text string, lang string")
+    docs.write.parquet(f"{tmp_path}/docs")
+    rc = cli.main([
+        "curate", "--input", f"{tmp_path}/docs",
+        "--output", f"{tmp_path}/curated",
+        "--min-quality", "0.0",
+        "--splits", "train=0.8,val=0.1,test=0.1"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(f"{tmp_path}/curated")
+    assert "split" in got.columns
+    assigned = {r.split for r in got.collect()}
+    assert assigned <= {"train", "val", "test"} and "train" in assigned
+    assert got.filter(F.col("split").isNull()).count() == 0
+    assert out["docs_out"] == got.count()
+    with _pytest.raises(SystemExit):
+        cli.main(["curate", "--input", f"{tmp_path}/docs",
+                  "--output", f"{tmp_path}/bad", "--splits", "nope"])
