@@ -554,3 +554,63 @@ def test_histogram_quantiles_within_bound(spark, vals):
         assert exact - 1e-9 <= r.quantile_est <= exact + binw + 1e-6, (
             r.prob, r.quantile_est, exact)
         assert r.n == len(vals)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.text(st.characters(min_codepoint=97,
+                                                max_codepoint=122),
+                                  min_size=1, max_size=6),
+                          st.floats(0.01, 1.0)),
+                min_size=2, max_size=5, unique_by=lambda t: t[0]))
+def test_split_assign_is_total_partition(spark, raw_splits):
+    """For ANY valid split spec: every row gets exactly one split, all
+    declared splits with >=1 bucket can appear and no others, and the
+    assignment is invariant under repartitioning (pure key function)."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    total = sum(f for _, f in raw_splits)
+    splits = [(name, f / total) for name, f in raw_splits]
+    # hypothesis may shrink fractions below one bucket; the op REJECTS
+    # those loudly — only exercise the accepted space here
+    try:
+        bounds = sample.split_thresholds(splits)
+    except ValueError:
+        return
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long")
+    out = sample.split_assign(df, splits)
+    rows = out.collect()
+    assert len(rows) == 300
+    names = {n for n, _ in bounds}
+    assert all(r.split in names for r in rows)
+    again = {r.doc_id: r.split
+             for r in sample.split_assign(df.repartition(5),
+                                          splits).collect()}
+    assert again == {r.doc_id: r.split for r in rows}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)),
+                min_size=1, max_size=40))
+def test_knn_recall_matches_set_model(spark, pairs):
+    """knn_recall == the pure-Python set computation for arbitrary
+    approx/exact pair tables; recall is 1.0 whenever approx == exact."""
+    from kiji_mapreduce_spark.pipeline import similarity
+
+    exact = spark.createDataFrame(
+        sorted(set(pairs)), "query_id long, neighbor_id long")
+    # approx: drop every 3rd pair, add a decoy neighbor per query
+    uniq = sorted(set(pairs))
+    approx_pairs = [p for i, p in enumerate(uniq) if i % 3] \
+        + [(q, 999) for q, _ in uniq]
+    approx = spark.createDataFrame(
+        approx_pairs, "query_id long, neighbor_id long")
+    got = {r.query_id: (r.n_exact, r.n_hits, r.recall)
+           for r in similarity.knn_recall(approx, exact).collect()}
+    ap = set(approx_pairs)
+    for q in {p[0] for p in uniq}:
+        ne = sum(1 for p in uniq if p[0] == q)
+        nh = sum(1 for p in uniq if p[0] == q and p in ap)
+        assert got[q] == (ne, nh, round(nh / ne, 4))
+    perfect = similarity.knn_recall(exact, exact).collect()
+    assert all(r.recall == 1.0 for r in perfect)
