@@ -36,6 +36,26 @@ from kiji_mapreduce_spark.kvstore import parse_bindings_xml
 from kiji_mapreduce_spark.session import make_session
 
 
+def _parse_splits(p, spec: str):
+    """'train=0.8,val=0.1,test=0.1' -> ordered [(name, frac)] list,
+    validated via split_thresholds BEFORE any Spark session exists (a
+    bad spec should be a usage error, not a mid-job traceback). The
+    list form preserves order and surfaces duplicate names to the
+    validator instead of silently collapsing them as a dict would."""
+    from kiji_mapreduce_spark.pipeline.sample import split_thresholds
+
+    try:
+        splits = [(name, float(frac)) for name, frac in
+                  (part.split("=", 1) for part in spec.split(","))]
+    except ValueError:
+        p.error('--splits must look like "train=0.8,val=0.1,test=0.1"')
+    try:
+        split_thresholds(splits)
+    except ValueError as e:
+        p.error(str(e))
+    return splits
+
+
 def _load_class(dotted: str):
     mod_name, _, cls_name = dotted.rpartition(".")
     if not mod_name:
@@ -276,14 +296,7 @@ def main(argv: list[str] | None = None) -> int:
             for part in args.rates.split(","):
                 k, v = part.split("=")
                 rates[k] = float(v)
-        splits = None
-        if args.splits:
-            try:
-                splits = {k: float(v) for k, v in
-                          (part.split("=", 1)
-                           for part in args.splits.split(","))}
-            except ValueError:
-                p.error('--splits must look like "train=0.9,test=0.1"')
+        splits = _parse_splits(p, args.splits) if args.splits else None
         cfg = curate.CurateConfig(
             min_quality=args.min_quality,
             near_threshold=args.near_threshold,
@@ -369,18 +382,11 @@ def main(argv: list[str] | None = None) -> int:
         from kiji_mapreduce_spark import audit
         from kiji_mapreduce_spark.pipeline.sample import split_assign
 
-        try:
-            pairs = [kv.split("=", 1) for kv in args.splits.split(",")]
-            splits = [(name, float(frac)) for name, frac in pairs]
-        except ValueError:
-            p.error("--splits must look like train=0.8,val=0.1,test=0.1")
+        splits = _parse_splits(p, args.splits)
         spark = make_session(app_name="kiji-split")
         docs = spark.read.parquet(args.input)
-        try:
-            assigned = split_assign(docs, splits, key_col=args.key_col,
-                                    seed=args.seed)
-        except ValueError as e:
-            p.error(str(e))
+        assigned = split_assign(docs, splits, key_col=args.key_col,
+                                seed=args.seed)
         assigned.write.mode("overwrite").parquet(args.output)
         written = spark.read.parquet(args.output)
         out = {"output": args.output,

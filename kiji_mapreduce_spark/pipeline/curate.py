@@ -42,12 +42,13 @@ class CurateConfig:
     #: the heuristic quality gate, keeping docs with prob >= min_prob
     quality_model: dict | None = None
     min_prob: float = 0.5
-    #: optional ordered {split: fraction} (e.g. train/val/test): after
+    #: optional ordered {split: fraction} mapping or [(split, fraction)]
+    #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
     #: key hash (``sample.split_assign``). Running this AFTER dedup is
     #: the leakage-resistant order — duplicates were collapsed, so a
     #: text can no longer straddle the train/eval boundary
-    splits: dict[str, float] | None = None
+    splits: dict[str, float] | list[tuple[str, float]] | None = None
 
 
 def curate_corpus(
@@ -59,8 +60,8 @@ def curate_corpus(
     materialize: bool = True,
 ) -> DataFrame:
     """Run the curation chain; returns surviving rows of ``docs`` with
-    ``n_tokens``/``quality_score`` (and ``overlap_frac`` when a
-    benchmark is given) appended.
+    ``n_tokens``/``quality_score`` appended (plus ``overlap_frac`` when
+    a benchmark is given, and ``split`` when ``config.splits`` is set).
 
     If ``benchmark`` rows share ids with ``docs`` (in-corpus eval
     split), they are excluded from the output — a document cannot

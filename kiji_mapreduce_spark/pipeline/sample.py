@@ -186,7 +186,15 @@ def split_assign(
     to 1 (±1 bucket of rounding). Pure projection — no shuffle; at
     100 TB this folds into the scan.
     """
-    u = _key_unit(key_col, seed, hash_fn)
+    # the sampling unit lives in its OWN hash domain ("split|seed|key",
+    # vs the samplers' "seed|key"): stratified_sample with the same
+    # seed keeps rows with u < rate·10000, so an unsalted split over
+    # its survivors would threshold the SAME u — every survivor lands
+    # in the first split and the held-out sets are silently empty
+    # (review finding, reproduced)
+    packed = F.concat_ws("|", F.lit("split"), F.lit(str(seed)),
+                         F.col(key_col).cast("string"))
+    u = F.pmod(token_hash64(packed, hash_fn), F.lit(_BUCKETS))
     bounds = split_thresholds(splits)
     cum, col = 0, None
     for name, cum in bounds[:-1]:

@@ -279,7 +279,7 @@ WITH s AS (
               WHEN u < 9000 THEN 'val'
               ELSE 'test' END AS split
   FROM (SELECT source, n_chars,
-               ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               ('0x' || substr(md5('split|42|' || doc_id::VARCHAR), 1, 15))::BIGINT
                  % 10000 AS u
         FROM documents)
 )
@@ -316,7 +316,7 @@ s AS (
               ELSE 'test' END AS split
   FROM fp JOIN (
     SELECT doc_id,
-           ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           ('0x' || substr(md5('split|42|' || doc_id::VARCHAR), 1, 15))::BIGINT
              % 10000 AS u
     FROM documents) u USING (doc_id)
 ),

@@ -1807,3 +1807,22 @@ def test_split_by_cluster_eliminates_leakage(spark):
     got = audit.split_leakage(by_cluster).collect()
     assert sum(r.n_leaked for r in got) == 0
     assert sum(r.n_docs for r in got) > 0  # held-out splits non-empty
+
+
+def test_split_assign_independent_of_sampling_hash(spark):
+    """The split unit hash lives in its own domain: after a
+    stratified_sample with the SAME seed (keep iff u < rate·10000), the
+    survivors must still spread across all splits — an unsalted split
+    would threshold the very same u and assign every survivor to the
+    first split, silently emptying the held-out sets (review finding)."""
+    df = spark.createDataFrame(
+        [(i, "x", f"text {i}") for i in range(2000)],
+        "doc_id long, lang string, text string")
+    kept = sample.stratified_sample(
+        df, strata_col="lang", rates={"x": 0.5}, seed=42)
+    out = sample.split_assign(kept, seed=42)
+    counts = {r.split: r.n for r in out.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}, counts
+    n = sum(counts.values())
+    assert counts["val"] > 0.03 * n and counts["test"] > 0.03 * n
