@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -91,16 +92,36 @@ def main() -> None:
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_LOCAL.json")
     regressed: dict[str, list[float]] = {}
-    if os.path.exists(local_path):
+    # the baseline is the last COMMITTED snapshot, not the working-tree
+    # file: this run overwrites BENCH_LOCAL.json below, so comparing
+    # against the working tree would ratchet — a regression prints once
+    # and a plain re-run clears it without the plan being fixed
+    # (ADVICE r6). Falls back to the working-tree file outside git.
+    try:
+        blob = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True, text=True, timeout=30)
+        prev_text = blob.stdout if blob.returncode == 0 else None
+    except OSError:
+        prev_text = None
+    if prev_text is None and os.path.exists(local_path):
         try:
             with open(local_path) as fh:
-                prev_payload = json.load(fh)
+                prev_text = fh.read()
+        except OSError:
+            prev_text = None
+    if prev_text:
+        try:
+            prev_payload = json.loads(prev_text)
             # only compare same-scale runs: an sf0.001 smoke run vs the
             # recorded sf0.1 baseline is not a regression signal
             prev = (prev_payload.get("queries", {})
                     if prev_payload.get("sf") == sf else {})
-        except (OSError, ValueError):
+        except ValueError:
             prev = {}
+    else:
+        prev = {}
         for name, t in timings.items():
             old = prev.get(name, -1.0)
             if t > 0 and old > 0 and t > 1.5 * old:

@@ -217,6 +217,13 @@ def split_thresholds(
         else list(splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)])
     if len(items) < 2:
         raise ValueError("need at least two splits")
+    if len({name for name, _ in items}) < len(items):
+        # 'train=0.5,train=0.5' would validate (sums to 1) yet assign
+        # every row to the first threshold — the later duplicate is a
+        # silently-empty split, the exact failure this op guards against
+        dupes = sorted({n for n, _ in items
+                        if sum(1 for m, _ in items if m == n) > 1})
+        raise ValueError(f"duplicate split name(s): {', '.join(dupes)}")
     if any(frac <= 0 for _, frac in items):
         raise ValueError("split fractions must be positive")
     if abs(sum(frac for _, frac in items) - 1.0) > 1.0 / _BUCKETS:

@@ -136,6 +136,12 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
     (higher-order lambdas block Catalyst subexpression elimination), so
     N languages cost N regex splits per row — the r5 perf regression."""
     langs = langs or sorted(_STOPWORDS)
+    if len(langs) > 63:
+        # the vote vector is one 64-bit mask per stopword; bit 63 is the
+        # sign and bit_get past it would error (or alias) at runtime —
+        # fail loudly at plan time instead of deep in an executor task
+        raise ValueError(
+            f"language_id supports at most 63 languages, got {len(langs)}")
     mask: dict[str, int] = {}
     for i, lg in enumerate(langs):
         for w in _STOPWORDS[lg]:

@@ -328,6 +328,11 @@ def test_language_id(spark):
     got = {r.doc_id: r.lang for r in df.select(
         "doc_id", text_ops.language_id(F.col("text")).alias("lang")).collect()}
     assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+    # the vote vector is one 64-bit mask per stopword; >63 languages
+    # would push bits past the sign — must fail at plan time (ADVICE r6)
+    with pytest.raises(ValueError, match="63"):
+        text_ops.language_id(F.col("text"),
+                             langs=[f"l{i}" for i in range(64)])
 
 
 def test_stratified_sample_deterministic(spark):
@@ -391,6 +396,13 @@ def test_split_assign_partition_and_determinism(spark):
         ("train", 8000), ("val", 9000), ("test", 10000)]
     with pytest.raises(ValueError):
         sample.split_thresholds({"train": 0.6, "test": 0.2})
+    # duplicate names sum to 1 and pass every fraction check, but the
+    # later duplicate's threshold is shadowed by the first — a
+    # silently-empty split (ADVICE r6)
+    with pytest.raises(ValueError, match="duplicate"):
+        sample.split_thresholds([("train", 0.5), ("train", 0.5)])
+    with pytest.raises(ValueError, match="duplicate"):
+        sample.split_assign(df, [("a", 0.4), ("b", 0.2), ("a", 0.4)])
 
 
 def test_split_leakage_counts(spark):
