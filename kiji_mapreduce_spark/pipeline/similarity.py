@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from kiji_mapreduce_spark.functions import salted_topk
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -72,11 +74,15 @@ def brute_force_topk(
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cos.alias("_cos"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id"))
+    # skew-safe two-phase top-k: a plain per-query window would hold the
+    # ENTIRE corpus's scores for one query in one task — at 100x corpus
+    # that task is the straggler. salted_topk's local-then-global ranking
+    # is exact (any global top-k row survives its salt's local top-k) and
+    # the (score desc, neighbor_id) order is unchanged, so ranks — and
+    # oracle hashes — are identical to the single-window plan.
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        salted_topk(scored, query_id_col, "_cos", k,
+                    tiebreak_cols=["neighbor_id"])
         .select(query_id_col, "neighbor_id", F.col("_cos").alias("cosine"), "rank")
     )
 
@@ -420,15 +426,18 @@ def pq_topk(
     approx_d2 = F.round(F.aggregate(
         F.zip_with("_codes", "_dt", lambda c, t: F.get(t, c - 1)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
-    w_approx = Window.partitionBy("query_id").orderBy(
-        F.col("_ad2"), F.col("neighbor_id"))
-    cands = (codes
-             .join(F.broadcast(q.select("query_id", "_dt")),
-                   F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("_ad2", approx_d2)
-             .withColumn("_ar", F.row_number().over(w_approx))
-             .filter(F.col("_ar") <= refine * k)
-             .select("query_id", "neighbor_id"))
+    # candidate ranking spans the FULL code corpus per query — the one
+    # window in this path that grows with corpus size, so it goes through
+    # the skew-safe two-phase salted_topk (exact: same order, same ties;
+    # the exact re-rank window below only ever sees refine*k rows/query)
+    cands = (salted_topk(
+        codes
+        .join(F.broadcast(q.select("query_id", "_dt")),
+              F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_ad2", approx_d2),
+        "query_id", "_ad2", refine * k, ascending=True,
+        tiebreak_cols=["neighbor_id"])
+        .select("query_id", "neighbor_id"))
 
     corpus_v = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cvec"))
@@ -483,15 +492,16 @@ def sq8_topk(
               .select(F.col("neighbor_id").alias("query_id"), "_qcodes"))
     approx = F.round(
         cosine(as_double(F.col("_qcodes")), as_double(F.col("_codes"))), 6)
-    w_approx = Window.partitionBy("query_id").orderBy(
-        F.col("_ac").desc(), F.col("neighbor_id"))
-    cands = (codes
-             .join(F.broadcast(qcodes),
-                   F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("_ac", approx)
-             .withColumn("_ar", F.row_number().over(w_approx))
-             .filter(F.col("_ar") <= refine * k)
-             .select("query_id", "neighbor_id"))
+    # same scale shape as pq_topk's candidate stage: the approx ranking
+    # spans the full code corpus per query, so it is two-phase salted —
+    # one task never holds a whole query's candidate scores
+    cands = (salted_topk(
+        codes
+        .join(F.broadcast(qcodes),
+              F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_ac", approx),
+        "query_id", "_ac", refine * k, tiebreak_cols=["neighbor_id"])
+        .select("query_id", "neighbor_id"))
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("_qvec"))
@@ -596,10 +606,10 @@ def hard_negative_topk(
                 .otherwise(F.lit(0.0)).alias("_cos")))
     if min_cosine is not None:
         scored = scored.filter(F.col("_cos") >= min_cosine)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    # skew-safe per-anchor top-k (full-corpus candidate set — same
+    # two-phase treatment as brute_force_topk; identical order + ties)
+    return (salted_topk(scored, "query_id", "_cos", k,
+                        tiebreak_cols=["neighbor_id"])
             .select("query_id", "query_label", "neighbor_id",
                     "neighbor_label", F.col("_cos").alias("cosine"), "rank"))
 
