@@ -786,3 +786,51 @@ SELECT epoch_ms(psi.w) AS window_start_ms,
        psi.s > 0.25 AS drifted
 FROM psi JOIN wn ON wn.w = psi.w
 """
+
+
+def image_near_dup_sql(max_hamming: int = 3, bands: int = 4,
+                       source: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Mirror of the suite's image-dedup query: the synthesized 8x9
+    grayscale bitmap (pixel i = md5-60bit(token[i mod n]) % 256), the
+    dHash bit grid (bit r*8+c set when pixel (r, c+1) > pixel (r, c)),
+    and the pigeonhole band join + hamming verify of
+    ``dedup.banded_hamming_pairs``. The Spark side round-trips the SAME
+    pixels through a real PNG encode/decode (lossless), so both engines
+    hash identical bitmaps. Bit 63 is the sign bit — its term adds the
+    BIGINT minimum — and band chunks mask AFTER the shift, so
+    arithmetic-vs-logical shift on negative codes cannot differ."""
+    width = 64 // bands
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 8 + c
+            mask = f"{1 << i}" if i < 63 else "(-9223372036854775807 - 1)"
+            terms.append(f"(CASE WHEN p[{r * 9 + c + 2}] > p[{r * 9 + c + 1}]"
+                         f" THEN ({mask})::BIGINT ELSE 0 END)")
+    fp_sum = "\n      + ".join(terms)
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, ph, {b} AS band, "
+        f"(ph >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+px AS (
+  SELECT {id_col},
+         list_transform(range(0, 72),
+           i -> {_md5h('t[(i % len(t)) + 1]')} % 256) AS p
+  FROM toks WHERE len(t) >= 1
+),
+fp AS (SELECT {id_col}, ({fp_sum})::BIGINT AS ph FROM px),
+entries AS (
+{band_rows}
+),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         bit_count(xor(a.ph, b.ph)) AS hamming
+  FROM entries a JOIN entries b USING (band, chunk)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""

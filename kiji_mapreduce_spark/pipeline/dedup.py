@@ -943,6 +943,54 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def banded_hamming_pairs(
+    codes: DataFrame, code_col: str = "code", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED 64-bit codes (simhash, image
+    pHash, any hamming-comparable fingerprint): the pigeonhole band
+    join — split the 64 bits into ``bands`` chunks; any pair within
+    ``max_hamming`` (< bands) differs in at most max_hamming bands, so
+    it shares at least one exact chunk and surfaces from an equi-join
+    on (band, chunk) — never a cross join. Returns (id_a, id_b,
+    hamming).
+
+    This is ``simhash_near_duplicates``'s join stage factored out for
+    code families whose fingerprint is NOT SQL-derivable from text
+    (e.g. ``multimodal.phash64`` over decoded image bitmaps). The codes
+    input feeds both sides of the self-join, so it is materialized once
+    (a decode-backed subtree would otherwise execute twice). Chunk
+    extraction masks AFTER the shift, so arithmetic-vs-logical shift
+    disagreement on negative codes (bit 63 set) cannot change the
+    chunk — the same expression is engine-portable.
+    """
+    width = 64 // bands
+    with_c = codes.select(id_col, F.col(code_col).alias("_code")) \
+        .localCheckpoint(eager=True)
+    entries = with_c.select(
+        id_col, "_code",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_code"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "_code", "bb.band", "bb.chunk")
+    a, b = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a._code"), F.col("b._code")).alias("hamming"))
+        # filter before distinct — the dedup shuffle carries only
+        # surviving pairs (same ordering as simhash_near_duplicates)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4, hash_fn: str = "xx",

@@ -475,6 +475,54 @@ FROM h
 """
 
 
+def q_image_near_duplicates(spark, sf_dir):
+    """Image perceptual-hash dedup, end-to-end through the REAL codec
+    path: each document synthesizes a deterministic 8x9 grayscale
+    bitmap (pixel i = md5-60bit(token[i mod n]) % 256 — duplicate texts
+    yield identical images, near-dup texts yield near-identical ones),
+    the bitmap round-trips a real PNG encode (``media_codecs``), and
+    ``multimodal.image_near_duplicates`` decodes, dHashes, and
+    band-joins the codes. The oracle recomputes the dHash from the same
+    md5 pixel arithmetic — the lossless PNG round-trip is exactly what
+    the hash-match proves."""
+    import numpy as np
+    import pandas as pd
+
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = dd.tokens(F.col("text"))
+    n = F.size(toks)
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.pmod(
+            dd.token_hash64(F.element_at(toks, F.pmod(i, n) + 1), "md5"),
+            F.lit(256)).cast("int"))
+    pixels = (docs.filter(F.size(dd.tokens(F.col("text"))) >= 1)
+              .select(F.col("doc_id").alias("media_id"), px.alias("_px")))
+
+    def _encode(batches):
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        for pdf in batches:
+            content = [
+                media_codecs.encode_png(
+                    np.array(p, dtype=np.uint8).reshape(8, 9))
+                for p in pdf["_px"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    imgs = pixels.mapInPandas(_encode, "media_id long, content binary")
+    out = multimodal.image_near_duplicates(
+        imgs, max_hamming=3, bands=4, use_real_decoder=True)
+    return out.select("id_a", "id_b", "hamming")
+
+
+SQL_IMAGE_NEAR_DUPLICATES = oracles.image_near_dup_sql(
+    max_hamming=3, bands=4)
+
+
 def q_collocations_top(spark, sf_dir):
     """PMI collocation mining (word2phrase): top-20 adjacent pairs by
     NPMI among those seen >= 5 times — one token scan feeds the unigram

@@ -39,6 +39,8 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- NEW in r7: image perceptual-hash near-dup dedup --
+    "image_near_duplicates": q_image_near_duplicates,
     # -- NEW in r6: oracle row for the classifier scoring join (the one
     #    learned-gate path that was pytest-only) and SQ8 quantized KNN --
     "classifier_score_topk": q_classifier_score_topk,
@@ -236,6 +238,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 ]
 
 ORACLES: dict[str, str] = {
+    "image_near_duplicates": SQL_IMAGE_NEAR_DUPLICATES,
     "classifier_score_topk": SQL_CLASSIFIER_SCORE,
     "split_train_test": SQL_SPLIT_TRAIN_TEST,
     "split_leakage": SQL_SPLIT_LEAKAGE,

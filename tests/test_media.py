@@ -141,3 +141,48 @@ def test_extract_audio_features(spark):
     assert rows[2].sample_rate == 8000 and rows[2].n_channels == 1
     assert rows[1].rms > 100 * rows[2].rms
     assert rows[1].peak <= 20000
+
+
+def test_phash64_dedup_fixture_images(spark):
+    """Identical images pair at hamming 0, a one-pixel corruption stays
+    within the banding guarantee (hamming <= max_hamming < bands), and a
+    structurally distinct image pairs with nothing."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    corrupt = base.copy()
+    # flip one pixel AT a nearest-neighbor sample point (row 4, col 5 is
+    # dHash grid cell (1, 1) for 32x48 -> 8x9) hard enough to invert its
+    # luminance ordering vs both horizontal neighbors (verified: flips
+    # exactly 2 of the 64 comparison bits)
+    corrupt[4, 5] = 0 if base[4, 5].mean() >= 128 else 255
+    distinct = _gradient(32, 48, 3)
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(base)), (2, mc.encode_png(base)),
+         (3, mc.encode_png(corrupt)), (4, mc.encode_png(distinct))],
+        "media_id long, content binary")
+    codes = {r.media_id: r.phash for r in multimodal.phash64(
+        media, use_real_decoder=True).collect()}
+    assert codes[1] == codes[2]
+    assert codes[3] != codes[4]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.image_near_duplicates(
+                 media, max_hamming=3, bands=4,
+                 use_real_decoder=True).collect()}
+    assert pairs[(1, 2)] == 0
+    # one corrupted pixel moves at most a couple of dHash comparisons
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash64_fake_path_deterministic(spark):
+    """Without a decodable format the fake path still yields stable
+    64-bit codes keyed on content bytes (plumbing for stubbed formats)."""
+    media = spark.createDataFrame(
+        [(1, b"blob-a"), (2, b"blob-a"), (3, b"blob-b")],
+        "media_id long, content binary")
+    codes = {r.media_id: r.phash
+             for r in multimodal.phash64(media).collect()}
+    again = {r.media_id: r.phash
+             for r in multimodal.phash64(media).collect()}
+    assert codes == again
+    assert codes[1] == codes[2] != codes[3]
