@@ -779,12 +779,31 @@ terms AS (
 psi AS (
   SELECT w, list_reduce(list(term ORDER BY idx), (x, y) -> x + y) AS s
   FROM terms GROUP BY w
+),
+-- binned KS from the same bins: max |cum window CDF - cum ref CDF|,
+-- UNSMOOTHED probabilities, each cumulative sum a sequential
+-- left-fold in idx order (list_reduce over the prefix slice) so the FP
+-- association matches Spark's i-ascending literal chain
+refraw AS (
+  SELECT list(coalesce(refc.c, 0) / (SELECT sum(c) FROM refc)
+              ORDER BY i) AS pr
+  FROM range(0, {bins}) t(i) LEFT JOIN refc ON refc.idx = i
+),
+ks AS (
+  SELECT f.w,
+         list_max(list_transform(range(1, {bins} + 1),
+           k -> abs(list_reduce(pw[1:k], (x, y) -> x + y)
+                    - list_reduce(rr.pr[1:k], (x, y) -> x + y)))) AS g
+  FROM (SELECT w, list(c / wn.n ORDER BY f.idx) AS pw
+        FROM filled f JOIN wn USING (w) GROUP BY w) f
+  CROSS JOIN refraw rr
 )
 SELECT epoch_ms(psi.w) AS window_start_ms,
        wn.n::BIGINT AS n_events,
        round(psi.s, 6) AS psi,
+       round(ks.g, 6) AS ks,
        psi.s > 0.25 AS drifted
-FROM psi JOIN wn ON wn.w = psi.w
+FROM psi JOIN wn ON wn.w = psi.w JOIN ks ON ks.w = psi.w
 """
 
 

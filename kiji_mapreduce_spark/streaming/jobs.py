@@ -426,7 +426,19 @@ def stream_drift(
         p_ref = F.lit(ref_hist[i] / ref_total + epsilon)
         p_win = F.col(f"_b{i}") / n + epsilon
         psi = psi + (p_win - p_ref) * F.log(p_win / p_ref)
+    # binned KS from the SAME bin sums (stateless projection — no new
+    # state): max cumulative-CDF gap, unsmoothed like the batch op
+    # (epsilon is a log guard, not a probability), so a stream consumer
+    # can apply batch ``distribution_drift``'s two-signal policy
+    ks = F.lit(0.0)
+    cum_win = F.lit(0.0)
+    cum_ref = 0.0
+    for i in range(bins):
+        cum_ref += ref_hist[i] / ref_total
+        cum_win = cum_win + F.col(f"_b{i}") / n
+        ks = F.greatest(ks, F.abs(cum_win - F.lit(cum_ref)))
     return agg.select(
         "window", "n_events",
         F.round(psi, 6).alias("psi"),
+        F.round(ks, 6).alias("ks"),
         (psi > 0.25).alias("drifted"))

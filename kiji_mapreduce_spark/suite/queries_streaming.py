@@ -245,7 +245,7 @@ def q_streaming_drift_psi(spark, sf_dir):
     out = spark.table(qname)
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
-        "n_events", "psi", "drifted")
+        "n_events", "psi", "ks", "drifted")
 
 
 def _streaming_drift_sql() -> str:

@@ -646,7 +646,7 @@ def test_stream_drift_matches_numpy_psi(spark, tmp_path):
     q = (drift.writeStream.outputMode("complete").format("memory")
          .queryName("drift_stream").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = {r.window.start.hour: (r.n_events, r.psi, r.drifted)
+    got = {r.window.start.hour: (r.n_events, r.psi, r.ks, r.drifted)
            for r in spark.table("drift_stream").collect()}
 
     eps = 1e-6
@@ -661,9 +661,17 @@ def test_stream_drift_matches_numpy_psi(spark, tmp_path):
             pw = hist[i] / len(vals) + eps
             pr = ref[i] / rt + eps
             psi += (pw - pr) * math.log(pw / pr)
-        n, got_psi, drifted = got[hour]
+        # binned KS: max cumulative-CDF gap, unsmoothed (two-signal
+        # parity with audit.distribution_drift)
+        ks = cw = cr = 0.0
+        for i in range(4):
+            cw += hist[i] / len(vals)
+            cr += ref[i] / rt
+            ks = max(ks, abs(cw - cr))
+        n, got_psi, got_ks, drifted = got[hour]
         assert n == len(vals)
         assert got_psi == round(psi, 6), (hour, got_psi, psi)
+        assert got_ks == round(ks, 6), (hour, got_ks, ks)
         assert drifted == (psi > 0.25)
 
     with _pytest.raises(ValueError):
