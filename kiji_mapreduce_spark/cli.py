@@ -211,6 +211,37 @@ def main(argv: list[str] | None = None) -> int:
                     "a first-split doc byte-exactly")
     tv.add_argument("--text-col", default="text")
 
+    dr = sub.add_parser("drift", help="distribution drift between two "
+                        "parquet snapshots on a numeric column: PSI + "
+                        "binned KS JSON (audit.distribution_drift)")
+    dr.add_argument("--before", required=True, help="reference parquet")
+    dr.add_argument("--after", required=True, help="candidate parquet")
+    dr.add_argument("--col", required=True, help="numeric column")
+    dr.add_argument("--bins", type=int, default=20)
+    dr.add_argument("--lo", type=float, default=None,
+                    help="histogram lower bound (default: observed min)")
+    dr.add_argument("--hi", type=float, default=None,
+                    help="histogram upper bound (default: observed max)")
+
+    at = sub.add_parser("ann-tune", help="grid-search one ANN index "
+                        "parameter (ivf nprobe / lsh n_planes / sq8 "
+                        "refine) against exact recall@k on a sampled "
+                        "query set; prints the recall/cost frontier")
+    at.add_argument("--input", required=True, help="embeddings parquet")
+    at.add_argument("--index", choices=["ivf", "lsh", "sq8"],
+                    default="ivf")
+    at.add_argument("--grid", default=None,
+                    help="comma list of knob values, e.g. 1,2,4 "
+                    "(default per index)")
+    at.add_argument("--queries", type=int, default=20,
+                    help="query sample size (the lowest ids — "
+                    "deterministic)")
+    at.add_argument("--k", type=int, default=5)
+    at.add_argument("--n-centroids", type=int, default=8)
+    at.add_argument("--id-col", default="vec_id")
+    at.add_argument("--vec-col", default="embedding")
+    at.add_argument("--seed", type=int, default=42)
+
     di = sub.add_parser("dedup-index", help="build or incrementally "
                         "query the persisted MinHash dedup index")
     di.add_argument("--mode", choices=["build", "ingest"], required=True)
@@ -401,6 +432,47 @@ def main(argv: list[str] | None = None) -> int:
                     written, train_split=splits[0][0],
                     text_col=args.text_col).collect()]
         print(json.dumps(out))
+        return 0
+
+    if args.command == "drift":
+        from kiji_mapreduce_spark import audit
+
+        spark = make_session(app_name="kiji-drift")
+        before = spark.read.parquet(args.before)
+        after = spark.read.parquet(args.after)
+        try:
+            row = audit.distribution_drift(
+                before, after, args.col, bins=args.bins,
+                lo=args.lo, hi=args.hi).first()
+        except ValueError as e:
+            p.error(str(e))
+        print(json.dumps({
+            "column": args.col, "bins": args.bins,
+            "n_before": row["n_before"], "n_after": row["n_after"],
+            "psi": row["psi"], "ks": row["ks"],
+            "drifted": bool(row["drifted"])}))
+        return 0
+
+    if args.command == "ann-tune":
+        from kiji_mapreduce_spark.pipeline import similarity
+
+        try:
+            grid = ([int(v) for v in args.grid.split(",")]
+                    if args.grid else None)
+        except ValueError:
+            p.error('--grid must be a comma list of ints, e.g. "1,2,4"')
+        spark = make_session(app_name="kiji-ann-tune")
+        emb = spark.read.parquet(args.input)
+        # deterministic sample: the lowest ids — re-runs tune the same set
+        qs = emb.orderBy(args.id_col).limit(args.queries)
+        try:
+            report = similarity.ann_tune(
+                emb, qs, k=args.k, index=args.index, grid=grid,
+                n_centroids=args.n_centroids, seed=args.seed,
+                id_col=args.id_col, vec_col=args.vec_col)
+        except ValueError as e:
+            p.error(str(e))
+        print(json.dumps({"index": args.index, "report": report}))
         return 0
 
     if args.command == "dedup-index":

@@ -554,6 +554,132 @@ def knn_recall(
                         F.round(F.col("n_hits") / F.col("n_exact"), 4)))
 
 
+def ann_tune(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    index: str = "ivf", grid: list[int] | None = None,
+    n_centroids: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[dict]:
+    """Grid-search one ANN index parameter against exact recall@k —
+    the FAISS-style "sweep nprobe until recall clears the gate" loop,
+    run in-engine on a SAMPLED query set so index settings are chosen
+    from cluster data without exporting anything.
+
+    ``index`` picks the knob: ``"ivf"`` sweeps nprobe (quantizer fitted
+    ONCE and shared across the grid, so settings differ only in probe
+    breadth — FAISS practice), ``"lsh"`` sweeps n_planes, ``"sq8"``
+    sweeps the re-rank ``refine`` factor. Per setting the report row
+    carries mean recall@k vs ``brute_force_topk`` (``knn_recall``) and
+    the average number of candidates scored per query — the
+    recall/cost frontier the operator actually tunes on.
+
+    Scale shape: the exact baseline and each approximate search are the
+    module's own bounded plans; everything driver-side is one row per
+    grid setting plus per-query recall rows (O(|grid| + |Q|)). The
+    exact baseline is checkpointed once and reused by every setting.
+    """
+    if index == "ivf":
+        grid = grid or [1, 2, 4]
+    elif index == "lsh":
+        grid = grid or [2, 4, 8]
+    elif index == "sq8":
+        grid = grid or [2, 4, 8]
+    else:
+        raise ValueError(f"unknown index {index!r} (ivf | lsh | sq8)")
+    if not grid or any(g < 1 for g in grid):
+        raise ValueError("grid values must be positive ints")
+
+    q_n = queries.count()
+    if q_n == 0:
+        raise ValueError("ann_tune: empty query sample")
+    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+    corpus_n = embeddings.count()
+
+    centers_df = None
+    ranked_probes = None
+    cell_sizes = None
+    if index == "ivf":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("_cvec"))
+        with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
+        km = (KMeans(k=n_centroids, seed=seed, maxIter=5,
+                     featuresCol="_features", predictionCol="_cell")
+              .fit(with_vec))
+        centers_df = embeddings.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(km.clusterCenters())],
+            "_cell int, _center array<double>")
+        # cell sizes once; per-query cell ranking once — every nprobe
+        # setting is a prefix of the same ranked probe list
+        cell_sizes = (km.transform(with_vec)
+                      .groupBy("_cell").agg(F.count(F.lit(1)).alias("_sz"))
+                      .localCheckpoint(eager=True))
+        d2 = F.aggregate(
+            F.zip_with(F.col("_qvec"), F.col("_center"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("_d2"), F.col("_cell"))
+        ranked_probes = (queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("_qvec"))
+            .crossJoin(F.broadcast(centers_df))
+            .withColumn("_d2", d2)
+            .withColumn("_pr", F.row_number().over(probe_w))
+            .select("query_id", "_cell", "_pr")
+            .localCheckpoint(eager=True))
+
+    report: list[dict] = []
+    for g in grid:
+        if index == "ivf":
+            approx = ivf_topk(embeddings, queries, k,
+                              n_centroids=n_centroids, nprobe=g,
+                              id_col=id_col, vec_col=vec_col,
+                              centroids=centers_df)
+            cand_row = (ranked_probes.filter(F.col("_pr") <= g)
+                        .join(cell_sizes, on="_cell")
+                        .groupBy("query_id").agg(F.sum("_sz").alias("_c"))
+                        .agg(F.avg("_c")).first())
+            avg_cand = float(cand_row[0] or 0.0)
+            setting = {"nprobe": g}
+        elif index == "lsh":
+            approx = lsh_topk(embeddings, queries, k,
+                              id_col=id_col, vec_col=vec_col,
+                              n_planes=g, seed=seed)
+            cb = random_hyperplane_buckets(
+                embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                  vec_col),
+                vec_col, n_planes=g, seed=seed) \
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("_sz"))
+            qb = random_hyperplane_buckets(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col, n_planes=g, seed=seed)
+            cand_row = (qb.join(cb, on="bucket", how="left")
+                        .agg(F.avg(F.coalesce("_sz", F.lit(0)))).first())
+            avg_cand = float(cand_row[0] or 0.0)
+            setting = {"n_planes": g}
+        else:  # sq8
+            approx = sq8_topk(embeddings, queries, k, refine=g,
+                              id_col=id_col, vec_col=vec_col)
+            avg_cand = float(min(g * k, max(corpus_n - 1, 0)))
+            setting = {"refine": g}
+        rec = knn_recall(approx, exact).agg(
+            F.avg("recall"), F.sum("n_hits"), F.sum("n_exact")).first()
+        report.append({
+            "index": index, "setting": setting, "k": k,
+            "n_queries": q_n,
+            "recall": round(float(rec[0] or 0.0), 4),
+            "n_hits": int(rec[1] or 0), "n_exact": int(rec[2] or 0),
+            "avg_candidates": round(avg_cand, 1),
+        })
+    return report
+
+
 def hard_negative_topk(
     embeddings: DataFrame, anchors: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -773,3 +773,61 @@ def test_cli_curate_with_splits(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["curate", "--input", f"{tmp_path}/docs",
                   "--output", f"{tmp_path}/bad", "--splits", "nope"])
+
+
+def test_cli_drift_report(spark, tmp_path, capsys):
+    """drift prints the PSI + binned KS JSON of audit.distribution_drift
+    for two parquet snapshots; a shifted distribution flags drifted."""
+    import json as _json
+
+    before = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(200)], "id long, v double")
+    after = spark.createDataFrame(
+        [(i, float(i % 10) + 6.0) for i in range(150)], "id long, v double")
+    before.write.parquet(f"{tmp_path}/before")
+    after.write.parquet(f"{tmp_path}/after")
+
+    rc = cli.main(["drift", "--before", f"{tmp_path}/before",
+                   "--after", f"{tmp_path}/after", "--col", "v",
+                   "--bins", "8"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_before"] == 200 and out["n_after"] == 150
+    assert out["drifted"] is True and out["psi"] > 0.25
+    assert 0.0 < out["ks"] <= 1.0
+    # identical snapshots: both signals at their floor, not drifted
+    rc = cli.main(["drift", "--before", f"{tmp_path}/before",
+                   "--after", f"{tmp_path}/before", "--col", "v",
+                   "--bins", "8"])
+    assert rc == 0
+    same = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert same["drifted"] is False
+    assert abs(same["psi"]) < 1e-6 and same["ks"] == 0.0
+
+
+def test_cli_ann_tune_recall_rises_with_nprobe(spark, tmp_path, capsys):
+    """ann-tune reports the recall/cost frontier: recall and candidate
+    counts are non-decreasing in nprobe, and probing every cell recovers
+    the exact result (recall 1.0)."""
+    import json as _json
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(f"{tmp_path}/emb")
+
+    rc = cli.main(["ann-tune", "--input", f"{tmp_path}/emb",
+                   "--index", "ivf", "--grid", "1,2,4",
+                   "--queries", "8", "--k", "3", "--n-centroids", "4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = out["report"]
+    assert [r["setting"]["nprobe"] for r in rep] == [1, 2, 4]
+    recalls = [r["recall"] for r in rep]
+    cands = [r["avg_candidates"] for r in rep]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert rep[-1]["recall"] == 1.0  # nprobe == n_centroids -> exact
+    assert all(r["n_queries"] == 8 and r["k"] == 3 for r in rep)
