@@ -1838,3 +1838,53 @@ def test_split_assign_independent_of_sampling_hash(spark):
     assert set(counts) == {"train", "val", "test"}, counts
     n = sum(counts.values())
     assert counts["val"] > 0.03 * n and counts["test"] > 0.03 * n
+
+
+def test_negative_sample_vocab_proportional_and_deterministic(spark):
+    """The word2vec negative-sampling draw (count^0.75 weights through
+    weighted_sample_topk) is (a) bit-reproducible against a Python
+    replica of the Efraimidis-Spirakis clocks, and (b) includes a heavy
+    word with frequency proportional to its count^0.75 share across
+    independent seeds (the ES first-draw law)."""
+    import hashlib
+    import math
+
+    counts = {"heavy": 16, **{f"w{i}": 1 for i in range(8)}}
+    df = spark.createDataFrame(
+        [(w, c, "all", math.sqrt(c) * math.sqrt(math.sqrt(c)))
+         for w, c in counts.items()],
+        "word string, cnt long, _all string, w34 double")
+
+    def clocks(seed):
+        out = {}
+        for w, c in counts.items():
+            h = int(hashlib.md5(f"{seed}|{w}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            out[w] = -math.log(u) / (math.sqrt(c) * math.sqrt(math.sqrt(c)))
+        return out
+
+    # (a) exact replica: the k=3 winners and their ranks match the
+    # Python clock computation, and a re-run is identical
+    got = {r.word: r.rank for r in sample.weighted_sample_topk(
+        df, "_all", "w34", k=3, key_col="word", seed=7).collect()}
+    expect = {w: i + 1 for i, (w, _) in enumerate(
+        sorted(clocks(7).items(), key=lambda kv: (kv[1], kv[0]))[:3])}
+    assert got == expect
+    again = {r.word: r.rank for r in sample.weighted_sample_topk(
+        df, "_all", "w34", k=3, key_col="word", seed=7).collect()}
+    assert again == got
+
+    # (b) proportionality: with weights 16^0.75 = 8 vs 8 x 1, the heavy
+    # word's k=1 inclusion probability is 8/16 = 1/2. 200 deterministic
+    # seeds -> expected 100 wins, bound at +/-4 sigma (~28); the check
+    # is exact-repeatable, the bound just documents the law being tested
+    wins = sum(
+        1 for s in range(200)
+        if min(clocks(s).items(), key=lambda kv: (kv[1], kv[0]))[0] == "heavy")
+    assert 72 <= wins <= 128
+    # and the Spark path agrees with the replica on a handful of them
+    for s in (0, 1, 2):
+        top = sample.weighted_sample_topk(
+            df, "_all", "w34", k=1, key_col="word", seed=s).first()
+        assert top.word == min(clocks(s).items(),
+                               key=lambda kv: (kv[1], kv[0]))[0]
