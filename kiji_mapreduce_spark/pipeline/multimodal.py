@@ -234,6 +234,79 @@ def image_near_duplicates(df: DataFrame, content_col: str = "content",
         codes, "phash", id_col, max_hamming=max_hamming, bands=bands)
 
 
+def audio_fingerprint64(df: DataFrame, content_col: str = "content",
+                        id_col: str = "media_id",
+                        use_real_decoder: bool = False) -> DataFrame:
+    """64-bit audio fingerprint (Haitsma-Kalker-style public method,
+    collapsed to one band): decode -> mono -> 65 equal frames -> one
+    bit per adjacent frame-energy comparison (energy[i+1] > energy[i]),
+    packed into a signed long. Gain-invariant by construction (a
+    constant volume change scales every frame energy equally, so no
+    comparison flips); small noise flips few bits — compare with
+    ``dedup.hamming64`` / pair with ``dedup.banded_hamming_pairs``
+    (``audio_near_duplicates``), same discipline as the image pHash.
+
+    Real decode covers PCM WAV natively (``media_codecs.decode_wav``);
+    anything else raises ``DecoderNotAvailable`` (ffmpeg territory).
+    The fake path derives deterministic pseudo-energies from the raw
+    bytes so plumbing tests run without decodable audio. Clips shorter
+    than 65 samples fingerprint their cycled frames (deterministic),
+    not an error. Returns (id_col, afp long).
+    """
+    schema = f"{id_col} long, afp long"
+
+    def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        def _one(raw: bytes) -> int:
+            if use_real_decoder:
+                if raw[:4] != b"RIFF":
+                    raise DecoderNotAvailable(
+                        "non-WAV audio requires ffmpeg/soundfile, not "
+                        "bundled; PCM WAV decodes natively")
+                samples, _rate, _w = media_codecs.decode_wav(raw)
+                mono = samples.astype(np.float64).mean(axis=1)
+                if mono.size < 65:
+                    mono = np.resize(mono, 65)
+                # 65 equal frames -> mean-square energy per frame
+                cut = (mono.size // 65) * 65
+                frames = mono[:cut].reshape(65, -1)
+                energy = (frames ** 2).mean(axis=1)
+            else:
+                energy = np.array(_fake_feature(raw, 65),
+                                  dtype=np.float64) ** 2
+            bits = energy[1:] > energy[:-1]
+            v = 0
+            for i, bit in enumerate(bits):
+                v |= int(bit) << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "afp": pd.array(
+                    [_one(bytes(c) if c is not None else b"")
+                     for c in pdf[content_col]], dtype="int64"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(_fp_batches, schema)
+
+
+def audio_near_duplicates(df: DataFrame, content_col: str = "content",
+                          id_col: str = "media_id", max_hamming: int = 3,
+                          bands: int = 4,
+                          use_real_decoder: bool = False) -> DataFrame:
+    """Audio near-dup pairs: ``audio_fingerprint64`` codes into the
+    pigeonhole band join. Returns (id_a, id_b, hamming)."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    codes = audio_fingerprint64(df, content_col, id_col, use_real_decoder)
+    return dedup.banded_hamming_pairs(
+        codes, "afp", id_col, max_hamming=max_hamming, bands=bands)
+
+
 def resize_images(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", width: int = 224,
                   height: int = 224,

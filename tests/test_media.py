@@ -186,3 +186,33 @@ def test_phash64_fake_path_deterministic(spark):
              for r in multimodal.phash64(media).collect()}
     assert codes == again
     assert codes[1] == codes[2] != codes[3]
+
+
+def test_audio_fingerprint_dedup(spark):
+    """Identical clips share a fingerprint, a gain change is invariant
+    (all frame energies scale equally), light noise stays within the
+    banding guarantee, and a different signal pairs with nothing."""
+    rng = np.random.RandomState(3)
+    t = np.arange(6500)
+    base = (np.sin(t / 7.0) * 12000
+            + np.sin(t / 31.0) * 6000).astype(np.int16)
+    gained = (base * 0.5).astype(np.int16)
+    noised = (base + rng.randint(-40, 41, size=base.size)).astype(np.int16)
+    other = (np.sign(np.sin(t / 3.0)) * 15000).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, mc.encode_wav(base, 16000)), (2, mc.encode_wav(base, 16000)),
+         (3, mc.encode_wav(gained, 16000)),
+         (4, mc.encode_wav(noised, 16000)),
+         (5, mc.encode_wav(other, 16000))],
+        "media_id long, content binary")
+    codes = {r.media_id: r.afp for r in multimodal.audio_fingerprint64(
+        media, use_real_decoder=True).collect()}
+    assert codes[1] == codes[2] == codes[3]  # identity + gain invariance
+    assert codes[5] != codes[1]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.audio_near_duplicates(
+                 media, max_hamming=3, bands=4,
+                 use_real_decoder=True).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 3
+    assert not any(5 in p for p in pairs)
