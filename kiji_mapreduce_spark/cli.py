@@ -223,6 +223,24 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--hi", type=float, default=None,
                     help="histogram upper bound (default: observed max)")
 
+    md = sub.add_parser("media-dedup", help="near-duplicate media pairs "
+                        "by 64-bit perceptual fingerprint (image dHash "
+                        "or audio frame-energy hash) + pigeonhole band "
+                        "join")
+    md.add_argument("--input", required=True,
+                    help="parquet with (id, binary content) columns")
+    md.add_argument("--kind", choices=["image", "audio"], default="image")
+    md.add_argument("--id-col", default="media_id")
+    md.add_argument("--content-col", default="content")
+    md.add_argument("--max-hamming", type=int, default=3)
+    md.add_argument("--bands", type=int, default=4)
+    md.add_argument("--output", required=True,
+                    help="pairs parquet out (id_a, id_b, hamming)")
+    md.add_argument("--fake-decoder", action="store_true",
+                    help="hash deterministic pseudo-pixels/energies "
+                    "instead of decoding (for formats without a "
+                    "bundled codec)")
+
     at = sub.add_parser("ann-tune", help="grid-search one ANN index "
                         "parameter (ivf nprobe / lsh n_planes / sq8 "
                         "refine) against exact recall@k on a sampled "
@@ -451,6 +469,23 @@ def main(argv: list[str] | None = None) -> int:
             "n_before": row["n_before"], "n_after": row["n_after"],
             "psi": row["psi"], "ks": row["ks"],
             "drifted": bool(row["drifted"])}))
+        return 0
+
+    if args.command == "media-dedup":
+        from kiji_mapreduce_spark.pipeline import multimodal
+
+        spark = make_session(app_name="kiji-media-dedup")
+        media = spark.read.parquet(args.input)
+        fn = (multimodal.image_near_duplicates if args.kind == "image"
+              else multimodal.audio_near_duplicates)
+        pairs = fn(media, content_col=args.content_col,
+                   id_col=args.id_col, max_hamming=args.max_hamming,
+                   bands=args.bands,
+                   use_real_decoder=not args.fake_decoder)
+        pairs.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "pairs": args.output, "kind": args.kind,
+            "n_pairs": spark.read.parquet(args.output).count()}))
         return 0
 
     if args.command == "ann-tune":

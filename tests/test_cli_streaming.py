@@ -831,3 +831,31 @@ def test_cli_ann_tune_recall_rises_with_nprobe(spark, tmp_path, capsys):
     assert cands == sorted(cands)
     assert rep[-1]["recall"] == 1.0  # nprobe == n_centroids -> exact
     assert all(r["n_queries"] == 8 and r["k"] == 3 for r in rep)
+
+
+def test_cli_media_dedup_image_pairs(spark, tmp_path, capsys):
+    """media-dedup hashes real PNG content and writes the banded
+    near-dup pairs; the duplicate pair lands at hamming 0."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(16, 18, 3)).astype(np.uint8)
+    b = (np.arange(16 * 18 * 3, dtype=np.uint32).reshape(16, 18, 3)
+         * 11 % 256).astype(np.uint8)
+    spark.createDataFrame(
+        [(1, mc.encode_png(a)), (2, mc.encode_png(a)),
+         (3, mc.encode_png(b))],
+        "media_id long, content binary").write.parquet(f"{tmp_path}/media")
+
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/media",
+                   "--kind", "image", "--output", f"{tmp_path}/pairs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pairs"] >= 1
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in spark.read.parquet(f"{tmp_path}/pairs").collect()}
+    assert pairs[(1, 2)] == 0

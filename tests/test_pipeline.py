@@ -1888,3 +1888,27 @@ def test_negative_sample_vocab_proportional_and_deterministic(spark):
             df, "_all", "w34", k=1, key_col="word", seed=s).first()
         assert top.word == min(clocks(s).items(),
                                key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def test_ann_tune_sq8_refine_frontier(spark):
+    """ann_tune's sq8 sweep: recall is non-decreasing in the refine
+    factor and candidate counts report refine*k (capped at the corpus)."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import similarity
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 5)
+    rep = similarity.ann_tune(emb, qs, k=3, index="sq8", grid=[1, 4, 13])
+    assert [r["setting"]["refine"] for r in rep] == [1, 4, 13]
+    recalls = [r["recall"] for r in rep]
+    assert recalls == sorted(recalls)
+    assert [r["avg_candidates"] for r in rep] == [3.0, 12.0, 39.0]
+    # refine covering the whole corpus makes the approx pass exact
+    assert rep[-1]["recall"] == 1.0
+    with pytest.raises(ValueError):
+        similarity.ann_tune(emb, qs, index="flat")
+    with pytest.raises(ValueError):
+        similarity.ann_tune(emb, qs, index="sq8", grid=[0])
