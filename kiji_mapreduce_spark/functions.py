@@ -74,6 +74,7 @@ def salted_topk(
     df: DataFrame, key_cols: list[str] | str, order_col: str, k: int,
     n_salts: int = 16, ascending: bool = False,
     tiebreak_cols: list[str] | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Top-k per key, skew-safe: two-phase window.
 
@@ -86,13 +87,22 @@ def salted_topk(
 
     Tie-break is (order_col, tiebreak_cols...) so results are
     deterministic.
+
+    ``salt_cols`` limits the salt hash to the named columns (they must
+    vary within a key, or the hot key still lands in one sub-partition).
+    Default hashes the whole row — correct for any schema, but
+    per-row-expensive when rows carry wide arrays (the ANN candidate
+    stages pass their unique neighbor id instead). Any row->salt
+    assignment yields the same final top-k, so this knob never moves
+    results.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     tiebreak = tiebreak_cols or []
     order = ([F.col(order_col).asc()] if ascending
              else [F.col(order_col).desc()])
     order += [F.col(c) for c in tiebreak]
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = F.pmod(F.hash(*[F.col(c) for c in (salt_cols or df.columns)]),
+                  F.lit(n_salts))
     local_w = Window.partitionBy(*keys, "_salt").orderBy(*order)
     final_w = Window.partitionBy(*keys).orderBy(*order)
     return (

@@ -82,7 +82,7 @@ def brute_force_topk(
     # oracle hashes — are identical to the single-window plan.
     return (
         salted_topk(scored, query_id_col, "_cos", k,
-                    tiebreak_cols=["neighbor_id"])
+                    tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
         .select(query_id_col, "neighbor_id", F.col("_cos").alias("cosine"), "rank")
     )
 
@@ -436,7 +436,7 @@ def pq_topk(
               F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_ad2", approx_d2),
         "query_id", "_ad2", refine * k, ascending=True,
-        tiebreak_cols=["neighbor_id"])
+        tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
         .select("query_id", "neighbor_id"))
 
     corpus_v = embeddings.select(
@@ -500,7 +500,7 @@ def sq8_topk(
         .join(F.broadcast(qcodes),
               F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_ac", approx),
-        "query_id", "_ac", refine * k, tiebreak_cols=["neighbor_id"])
+        "query_id", "_ac", refine * k, tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
         .select("query_id", "neighbor_id"))
 
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -735,7 +735,7 @@ def hard_negative_topk(
     # skew-safe per-anchor top-k (full-corpus candidate set — same
     # two-phase treatment as brute_force_topk; identical order + ties)
     return (salted_topk(scored, "query_id", "_cos", k,
-                        tiebreak_cols=["neighbor_id"])
+                        tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
             .select("query_id", "query_label", "neighbor_id",
                     "neighbor_label", F.col("_cos").alias("cosine"), "rank"))
 
