@@ -103,7 +103,9 @@ def main() -> None:
              "show", "HEAD:BENCH_LOCAL.json"],
             capture_output=True, text=True, timeout=30)
         prev_text = blob.stdout if blob.returncode == 0 else None
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # TimeoutExpired is a SubprocessError, NOT an OSError — a hung
+        # git must not kill the run after the whole suite has executed
         prev_text = None
     if prev_text is None and os.path.exists(local_path):
         try:
@@ -111,6 +113,7 @@ def main() -> None:
                 prev_text = fh.read()
         except OSError:
             prev_text = None
+    prev: dict[str, float] = {}
     if prev_text:
         try:
             prev_payload = json.loads(prev_text)
@@ -120,12 +123,10 @@ def main() -> None:
                     if prev_payload.get("sf") == sf else {})
         except ValueError:
             prev = {}
-    else:
-        prev = {}
-        for name, t in timings.items():
-            old = prev.get(name, -1.0)
-            if t > 0 and old > 0 and t > 1.5 * old:
-                regressed[name] = [old, t]
+    for name, t in timings.items():
+        old = prev.get(name, -1.0)
+        if t > 0 and old > 0 and t > 1.5 * old:
+            regressed[name] = [old, t]
     if regressed:
         print("REGRESSED >1.5x vs previous BENCH_LOCAL.json: "
               + ", ".join(f"{n} {o:.2f}s->{t:.2f}s"

@@ -240,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="hash deterministic pseudo-pixels/energies "
                     "instead of decoding (for formats without a "
                     "bundled codec)")
+    md.add_argument("--skip-undecodable", action="store_true",
+                    help="drop NULL/undecodable rows (NULL fingerprint) "
+                    "instead of failing the job on one bad blob")
 
     at = sub.add_parser("ann-tune", help="grid-search one ANN index "
                         "parameter (ivf nprobe / lsh n_planes / sq8 "
@@ -478,10 +481,16 @@ def main(argv: list[str] | None = None) -> int:
         media = spark.read.parquet(args.input)
         fn = (multimodal.image_near_duplicates if args.kind == "image"
               else multimodal.audio_near_duplicates)
-        pairs = fn(media, content_col=args.content_col,
-                   id_col=args.id_col, max_hamming=args.max_hamming,
-                   bands=args.bands,
-                   use_real_decoder=not args.fake_decoder)
+        try:
+            pairs = fn(media, content_col=args.content_col,
+                       id_col=args.id_col, max_hamming=args.max_hamming,
+                       bands=args.bands,
+                       use_real_decoder=not args.fake_decoder,
+                       skip_undecodable=args.skip_undecodable)
+        except ValueError as e:
+            # banded_hamming_pairs rejects max_hamming >= bands (the
+            # pigeonhole guarantee) — surface it as a usage error
+            p.error(str(e))
         pairs.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "pairs": args.output, "kind": args.kind,

@@ -955,15 +955,28 @@ def banded_hamming_pairs(
     on (band, chunk) — never a cross join. Returns (id_a, id_b,
     hamming).
 
-    This is ``simhash_near_duplicates``'s join stage factored out for
-    code families whose fingerprint is NOT SQL-derivable from text
-    (e.g. ``multimodal.phash64`` over decoded image bitmaps). The codes
-    input feeds both sides of the self-join, so it is materialized once
-    (a decode-backed subtree would otherwise execute twice). Chunk
-    extraction masks AFTER the shift, so arithmetic-vs-logical shift
-    disagreement on negative codes (bit 63 set) cannot change the
-    chunk — the same expression is engine-portable.
+    The same pigeonhole join stage as ``simhash_near_duplicates``,
+    offered standalone for code families whose fingerprint is NOT
+    SQL-derivable from text (e.g. ``multimodal.phash64`` over decoded
+    image bitmaps) — with the guarantee ENFORCED: ``max_hamming >=
+    bands`` raises, because a pair differing by one bit per band then
+    shares no chunk and silently vanishes. (``simhash_near_duplicates``
+    keeps its own copy of the stage precisely because it deliberately
+    also runs in best-effort recall mode with max_hamming >= bands.)
+    The codes input feeds both sides of the self-join, so it is
+    materialized once (a decode-backed subtree would otherwise execute
+    twice). Chunk extraction masks AFTER the shift, so
+    arithmetic-vs-logical shift disagreement on negative codes (bit 63
+    set) cannot change the chunk — the same expression is
+    engine-portable.
     """
+    if bands < 1 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs max_hamming < bands, otherwise qualifying "
+            "pairs can share no band chunk and silently disappear")
     width = 64 // bands
     with_c = codes.select(id_col, F.col(code_col).alias("_code")) \
         .localCheckpoint(eager=True)

@@ -160,7 +160,8 @@ def extract_features(df: DataFrame, content_col: str = "content",
 
 def phash64(df: DataFrame, content_col: str = "content",
             id_col: str = "media_id",
-            use_real_decoder: bool = False) -> DataFrame:
+            use_real_decoder: bool = False,
+            skip_undecodable: bool = False) -> DataFrame:
     """64-bit perceptual difference-hash (dHash — Krawetz's public
     "Kind of Like That" method): decode -> luminance -> nearest-neighbor
     resize to 9x8 -> one bit per adjacent-pixel comparison
@@ -177,6 +178,12 @@ def phash64(df: DataFrame, content_col: str = "content",
     (``media_codecs``) and anything PIL handles when installed; the
     fake path hashes deterministic pseudo-pixels derived from the raw
     bytes so plumbing tests run without decodable media.
+
+    ``skip_undecodable`` maps NULL/undecodable content to a NULL hash
+    instead of failing the task — a corpus-scale dedup job must not
+    abort on one bad blob (count the NULLs for the reject report, then
+    filter; ``image_near_duplicates`` drops them before banding).
+    Default stays raise-loudly for pipelines that expect clean media.
 
     Returns (id_col, phash long).
     """
@@ -206,11 +213,20 @@ def phash64(df: DataFrame, content_col: str = "content",
             return v - (1 << 64) if v >= (1 << 63) else v
 
         for pdf in batches:
+            vals: list[int | None] = []
+            for c in pdf[content_col]:
+                raw = bytes(c) if c is not None else b""
+                if skip_undecodable:
+                    try:
+                        vals.append(_one(raw))
+                    except Exception:
+                        vals.append(None)
+                else:
+                    vals.append(_one(raw))
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "phash": pd.array(
-                    [_one(bytes(c) if c is not None else b"")
-                     for c in pdf[content_col]], dtype="int64"),
+                # nullable Int64: skipped rows carry a NULL hash
+                "phash": pd.array(vals, dtype="Int64"),
             })
 
     return df.select(id_col, content_col).mapInPandas(_hash_batches, schema)
@@ -219,24 +235,31 @@ def phash64(df: DataFrame, content_col: str = "content",
 def image_near_duplicates(df: DataFrame, content_col: str = "content",
                           id_col: str = "media_id", max_hamming: int = 3,
                           bands: int = 4,
-                          use_real_decoder: bool = False) -> DataFrame:
+                          use_real_decoder: bool = False,
+                          skip_undecodable: bool = False) -> DataFrame:
     """Image near-dup pairs: ``phash64`` codes into the simhash-style
     pigeonhole band join (``dedup.banded_hamming_pairs``). With
     max_hamming < bands every qualifying pair shares an exact band
     chunk, so candidates come from an equi-join — no cross join, and
     the image bytes are decoded exactly once (the band join
-    materializes the code table before its self-join). Returns
+    materializes the code table before its self-join). With
+    ``skip_undecodable``, undecodable rows hash to NULL and are dropped
+    before banding instead of failing the job. Returns
     (id_a, id_b, hamming)."""
     from kiji_mapreduce_spark.pipeline import dedup
 
-    codes = phash64(df, content_col, id_col, use_real_decoder)
+    codes = phash64(df, content_col, id_col, use_real_decoder,
+                    skip_undecodable=skip_undecodable)
+    if skip_undecodable:
+        codes = codes.filter(F.col("phash").isNotNull())
     return dedup.banded_hamming_pairs(
         codes, "phash", id_col, max_hamming=max_hamming, bands=bands)
 
 
 def audio_fingerprint64(df: DataFrame, content_col: str = "content",
                         id_col: str = "media_id",
-                        use_real_decoder: bool = False) -> DataFrame:
+                        use_real_decoder: bool = False,
+                        skip_undecodable: bool = False) -> DataFrame:
     """64-bit audio fingerprint (Haitsma-Kalker-style public method,
     collapsed to one band): decode -> mono -> 65 equal frames -> one
     bit per adjacent frame-energy comparison (energy[i+1] > energy[i]),
@@ -251,7 +274,9 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
     The fake path derives deterministic pseudo-energies from the raw
     bytes so plumbing tests run without decodable audio. Clips shorter
     than 65 samples fingerprint their cycled frames (deterministic),
-    not an error. Returns (id_col, afp long).
+    not an error. ``skip_undecodable`` maps NULL/undecodable content to
+    a NULL fingerprint instead of failing the task (see ``phash64``).
+    Returns (id_col, afp long).
     """
     schema = f"{id_col} long, afp long"
 
@@ -284,11 +309,19 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
             return v - (1 << 64) if v >= (1 << 63) else v
 
         for pdf in batches:
+            vals: list[int | None] = []
+            for c in pdf[content_col]:
+                raw = bytes(c) if c is not None else b""
+                if skip_undecodable:
+                    try:
+                        vals.append(_one(raw))
+                    except Exception:
+                        vals.append(None)
+                else:
+                    vals.append(_one(raw))
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "afp": pd.array(
-                    [_one(bytes(c) if c is not None else b"")
-                     for c in pdf[content_col]], dtype="int64"),
+                "afp": pd.array(vals, dtype="Int64"),
             })
 
     return df.select(id_col, content_col).mapInPandas(_fp_batches, schema)
@@ -297,12 +330,17 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
 def audio_near_duplicates(df: DataFrame, content_col: str = "content",
                           id_col: str = "media_id", max_hamming: int = 3,
                           bands: int = 4,
-                          use_real_decoder: bool = False) -> DataFrame:
+                          use_real_decoder: bool = False,
+                          skip_undecodable: bool = False) -> DataFrame:
     """Audio near-dup pairs: ``audio_fingerprint64`` codes into the
-    pigeonhole band join. Returns (id_a, id_b, hamming)."""
+    pigeonhole band join; ``skip_undecodable`` drops undecodable rows
+    instead of failing. Returns (id_a, id_b, hamming)."""
     from kiji_mapreduce_spark.pipeline import dedup
 
-    codes = audio_fingerprint64(df, content_col, id_col, use_real_decoder)
+    codes = audio_fingerprint64(df, content_col, id_col, use_real_decoder,
+                                skip_undecodable=skip_undecodable)
+    if skip_undecodable:
+        codes = codes.filter(F.col("afp").isNotNull())
     return dedup.banded_hamming_pairs(
         codes, "afp", id_col, max_hamming=max_hamming, bands=bands)
 

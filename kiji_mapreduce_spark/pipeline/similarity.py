@@ -666,17 +666,24 @@ def ann_tune(
         else:  # sq8
             approx = sq8_topk(embeddings, queries, k, refine=g,
                               id_col=id_col, vec_col=vec_col)
-            avg_cand = float(min(g * k, max(corpus_n - 1, 0)))
+            # the approximate pass SCANS the whole code corpus per
+            # query (that is SQ8's design — codes are ~4x cheaper per
+            # row, not fewer rows), so candidates-scored is corpus-wide;
+            # refine*k is the exact re-rank breadth, reported separately
+            avg_cand = float(max(corpus_n - 1, 0))
             setting = {"refine": g}
         rec = knn_recall(approx, exact).agg(
             F.avg("recall"), F.sum("n_hits"), F.sum("n_exact")).first()
-        report.append({
+        row = {
             "index": index, "setting": setting, "k": k,
             "n_queries": q_n,
             "recall": round(float(rec[0] or 0.0), 4),
             "n_hits": int(rec[1] or 0), "n_exact": int(rec[2] or 0),
             "avg_candidates": round(avg_cand, 1),
-        })
+        }
+        if index == "sq8":
+            row["reranked"] = min(g * k, max(corpus_n - 1, 0))
+        report.append(row)
     return report
 
 

@@ -46,19 +46,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- changed in r7: the flat ANN candidate rankings now go through
     #    the skew-safe two-phase salted_topk (r6 verdict ask #2 — sq8
     #    and pq here; knn_cosine_topk and hard_negative_mining carry
-    #    the same change inside the rotated r5 block below), and the
-    #    streaming drift monitor adds binned KS (ask #4) --
+    #    the same change inside the rotated r5 block below;
+    #    knn_recall_ivf's exact baseline composes the rewired
+    #    brute_force_topk, so it is r7-changed too — r7 review
+    #    finding), and the streaming drift monitor adds binned KS
+    #    (ask #4) --
     "knn_sq8_topk": q_knn_sq8_topk,
     "knn_pq_topk": q_knn_pq_topk,
+    "knn_recall_ivf": q_knn_recall_ivf,
     "streaming_drift_psi": q_streaming_drift_psi,
-    # -- changed in r7 (validation guard: >63-language mask overflow now
-    #    raises at plan time — ADVICE r6; the guard executes on this
-    #    query's default-language path). split_train_test carries the
-    #    sibling duplicate-split-name guard but lost the 50th slot to
-    #    it: both guards are unreachable on the queries' own inputs,
-    #    pytest-covered, and split_train_test was locally hash-driven
-    #    at sf0.01 this round (see the tail comment) --
-    "text_langid": q_text_langid,
     # -- the r5-green block, rotated in per the 2-round freshness cap
     #    (ledger VERIFIED.json is as_of_round=6: everything below was
     #    last driver-green in r5 and would age out next round).
@@ -115,15 +111,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tail: ALL r6-green (CORRECTNESS_r06 50/50). The r7 builder
     #    additionally drove the full registry — tail included — hash-
     #    green at sf0.01 via tools/check_correctness.py before
-    #    committing this rotation, so the two r7 guard changes that
-    #    touch tail queries (split_train_test via split_thresholds'
-    #    duplicate-name check) are locally verified even though only
-    #    the window gets a driver row this round --
+    #    committing this rotation. Two tail queries carry r7
+    #    VALIDATION-GUARD-only changes and ceded their window slots to
+    #    materially-changed plans (knn_recall_ivf's rewired exact
+    #    baseline took text_langid's): text_langid (>63-language mask
+    #    guard, ADVICE r6) and split_train_test (duplicate-split-name
+    #    guard, ADVICE r6). Both guards are unreachable on the queries'
+    #    own inputs, pytest-covered, and both queries were locally
+    #    hash-driven at sf0.01 this round --
+    "text_langid": q_text_langid,
     "classifier_score_topk": q_classifier_score_topk,
     "drift_orders_price": q_drift_orders_price,
     "split_train_test": q_split_train_test,
     "split_leakage": q_split_leakage,
-    "knn_recall_ivf": q_knn_recall_ivf,
     "collocations_top": q_collocations_top,
     "negative_sample_vocab": q_negative_sample_vocab,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -176,8 +176,8 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "image_near_duplicates",
     "knn_sq8_topk",
     "knn_pq_topk",
+    "knn_recall_ivf",
     "streaming_drift_psi",
-    "text_langid",
     "text_fingerprint",
     "text_token_count",
     "text_quality",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark.pipeline import media_codecs as mc
 from kiji_mapreduce_spark.pipeline import multimodal
@@ -216,3 +217,33 @@ def test_audio_fingerprint_dedup(spark):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
     assert (1, 4) in pairs and pairs[(1, 4)] <= 3
     assert not any(5 in p for p in pairs)
+
+
+def test_phash64_skip_undecodable_and_band_guard(spark):
+    """skip_undecodable maps NULL/corrupt content to a NULL hash and
+    drops it before banding (one bad blob must not abort a corpus-scale
+    job); without it the real decoder raises; banded_hamming_pairs
+    rejects max_hamming >= bands (pigeonhole contract)."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    good = mc.encode_png(_gradient(8, 9, 1))
+    media = spark.createDataFrame(
+        [(1, good), (2, good), (3, b"not a png"), (4, None)],
+        "media_id long, content binary")
+    codes = {r.media_id: r.phash for r in multimodal.phash64(
+        media, use_real_decoder=True, skip_undecodable=True).collect()}
+    assert codes[1] == codes[2] is not None
+    assert codes[3] is None and codes[4] is None
+    pairs = multimodal.image_near_duplicates(
+        media, use_real_decoder=True, skip_undecodable=True).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    with pytest.raises(Exception):
+        multimodal.phash64(media, use_real_decoder=True).collect()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.banded_hamming_pairs(
+            spark.range(1).select(F.col("id"), F.lit(0).alias("code")),
+            code_col="code", id_col="id", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.banded_hamming_pairs(
+            spark.range(1).select(F.col("id"), F.lit(0).alias("code")),
+            code_col="code", id_col="id", max_hamming=2, bands=5)

@@ -1905,8 +1905,12 @@ def test_ann_tune_sq8_refine_frontier(spark):
     assert [r["setting"]["refine"] for r in rep] == [1, 4, 13]
     recalls = [r["recall"] for r in rep]
     assert recalls == sorted(recalls)
-    assert [r["avg_candidates"] for r in rep] == [3.0, 12.0, 39.0]
-    # refine covering the whole corpus makes the approx pass exact
+    # SQ8 scans all codes per query (cheaper rows, not fewer rows):
+    # candidates-scored is corpus-wide; the refine knob sets re-rank
+    # breadth, reported separately so cost rows compare honestly
+    assert [r["avg_candidates"] for r in rep] == [39.0, 39.0, 39.0]
+    assert [r["reranked"] for r in rep] == [3, 12, 39]
+    # re-ranking the whole corpus makes the approx pass exact
     assert rep[-1]["recall"] == 1.0
     with pytest.raises(ValueError):
         similarity.ann_tune(emb, qs, index="flat")
