@@ -429,14 +429,31 @@ def stream_drift(
     # binned KS from the SAME bin sums (stateless projection — no new
     # state): max cumulative-CDF gap, unsmoothed like the batch op
     # (epsilon is a log guard, not a probability), so a stream consumer
-    # can apply batch ``distribution_drift``'s two-signal policy
-    ks = F.lit(0.0)
-    cum_win = F.lit(0.0)
-    cum_ref = 0.0
-    for i in range(bins):
-        cum_ref += ref_hist[i] / ref_total
-        cum_win = cum_win + F.col(f"_b{i}") / n
-        ks = F.greatest(ks, F.abs(cum_win - F.lit(cum_ref)))
+    # can apply batch ``distribution_drift``'s two-signal policy.
+    # One aggregate() fold over a bins-length array, NOT a chained
+    # greatest(cum_0.., cum_1..) literal pyramid: the pyramid is an
+    # O(bins^2)-node tree that streaming re-codegens every micro-batch
+    # (measured +1.5s/query at 20 bins); the fold is O(bins) nodes and
+    # keeps the exact left-to-right add order, so values are
+    # bit-identical and the batch-SQL oracle still matches.
+    win_fracs = F.array(*[F.col(f"_b{i}") / n for i in range(bins)])
+    ref_fracs = F.array(*[F.lit(ref_hist[i] / ref_total)
+                          for i in range(bins)])
+    zipped = F.zip_with(
+        win_fracs, ref_fracs, lambda w, r: F.struct(w.alias("w"),
+                                                    r.alias("r")))
+    ks = F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("cw"), F.lit(0.0).alias("cr"),
+                 F.lit(0.0).alias("ks")),
+        lambda acc, x: F.struct(
+            (acc["cw"] + x["w"]).alias("cw"),
+            (acc["cr"] + x["r"]).alias("cr"),
+            F.greatest(
+                acc["ks"],
+                F.abs((acc["cw"] + x["w"]) - (acc["cr"] + x["r"]))
+            ).alias("ks")),
+        lambda acc: acc["ks"])
     return agg.select(
         "window", "n_events",
         F.round(psi, 6).alias("psi"),

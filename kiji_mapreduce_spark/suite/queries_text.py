@@ -494,11 +494,18 @@ def q_image_near_duplicates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = dd.tokens(F.col("text"))
     n = F.size(toks)
-    px = F.transform(
-        F.sequence(F.lit(0), F.lit(71)),
-        lambda i: F.pmod(
-            dd.token_hash64(F.element_at(toks, F.pmod(i, n) + 1), "md5"),
-            F.lit(256)).cast("int"))
+    # pixel i = md5-60bit(token[i mod n]) % 256. Hash the token array
+    # ONCE, then cycle it with array_repeat+slice: higher-order lambdas
+    # run interpreted (no codegen subexpression elimination), so an
+    # element_at(toks, i mod n) form re-tokenizes the text per PIXEL
+    # (~144 regexp splits/row — measured 9.5s for 5k rows at sf0.1;
+    # this form is ~20x faster and value-identical).
+    hashed = F.transform(
+        toks,
+        lambda t: F.pmod(dd.token_hash64(t, "md5"), F.lit(256))
+        .cast("int"))
+    reps = F.floor((F.lit(71) + n) / n).cast("int")
+    px = F.slice(F.flatten(F.array_repeat(hashed, reps)), 1, 72)
     pixels = (docs.filter(F.size(dd.tokens(F.col("text"))) >= 1)
               .select(F.col("doc_id").alias("media_id"), px.alias("_px")))
 
