@@ -224,18 +224,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="histogram upper bound (default: observed max)")
 
     md = sub.add_parser("media-dedup", help="near-duplicate media pairs "
-                        "by 64-bit perceptual fingerprint (image dHash "
-                        "or audio frame-energy hash) + pigeonhole band "
-                        "join")
+                        "by 64-bit perceptual fingerprint (image dHash, "
+                        "audio frame-energy hash, or per-frame video "
+                        "dHash) + pigeonhole band join")
     md.add_argument("--input", required=True,
                     help="parquet with (id, binary content) columns")
-    md.add_argument("--kind", choices=["image", "audio"], default="image")
+    md.add_argument("--kind", choices=["image", "audio", "video"],
+                    default="image")
     md.add_argument("--id-col", default="media_id")
     md.add_argument("--content-col", default="content")
     md.add_argument("--max-hamming", type=int, default=3)
     md.add_argument("--bands", type=int, default=4)
+    md.add_argument("--every-n", type=int, default=1,
+                    help="video: sample every n-th frame (from frame 0)")
+    md.add_argument("--min-frames", type=int, default=2,
+                    help="video: min matching sampled-frame positions "
+                    "for a pair")
     md.add_argument("--output", required=True,
-                    help="pairs parquet out (id_a, id_b, hamming)")
+                    help="pairs parquet out (id_a, id_b, hamming) — "
+                    "video pairs carry n_matching instead of hamming")
     md.add_argument("--fake-decoder", action="store_true",
                     help="hash deterministic pseudo-pixels/energies "
                     "instead of decoding (for formats without a "
@@ -479,14 +486,25 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = make_session(app_name="kiji-media-dedup")
         media = spark.read.parquet(args.input)
-        fn = (multimodal.image_near_duplicates if args.kind == "image"
-              else multimodal.audio_near_duplicates)
         try:
-            pairs = fn(media, content_col=args.content_col,
-                       id_col=args.id_col, max_hamming=args.max_hamming,
-                       bands=args.bands,
-                       use_real_decoder=not args.fake_decoder,
-                       skip_undecodable=args.skip_undecodable)
+            if args.kind == "video":
+                pairs = multimodal.video_near_duplicates(
+                    media, content_col=args.content_col,
+                    id_col=args.id_col, every_n=args.every_n,
+                    max_hamming=args.max_hamming, bands=args.bands,
+                    min_frames=args.min_frames,
+                    use_real_decoder=not args.fake_decoder,
+                    skip_undecodable=args.skip_undecodable)
+            else:
+                fn = (multimodal.image_near_duplicates
+                      if args.kind == "image"
+                      else multimodal.audio_near_duplicates)
+                pairs = fn(media, content_col=args.content_col,
+                           id_col=args.id_col,
+                           max_hamming=args.max_hamming,
+                           bands=args.bands,
+                           use_real_decoder=not args.fake_decoder,
+                           skip_undecodable=args.skip_undecodable)
         except ValueError as e:
             # banded_hamming_pairs rejects max_hamming >= bands (the
             # pigeonhole guarantee) — surface it as a usage error

@@ -807,6 +807,123 @@ FROM psi JOIN wn ON wn.w = psi.w JOIN ks ON ks.w = psi.w
 """
 
 
+def _dhash_sum(px: str = "p") -> str:
+    """The 64-term dHash bit sum over a 72-long (8x9 row-major) pixel
+    list ``px``: bit r*8+c set when pixel (r, c+1) > pixel (r, c). Bit
+    63 is the BIGINT sign bit — its mask is the BIGINT minimum written
+    subtraction-style so the cast binds before unary minus."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 8 + c
+            mask = f"{1 << i}" if i < 63 else "(-9223372036854775807 - 1)"
+            terms.append(
+                f"(CASE WHEN {px}[{r * 9 + c + 2}] > {px}[{r * 9 + c + 1}]"
+                f" THEN ({mask})::BIGINT ELSE 0 END)")
+    return "\n      + ".join(terms)
+
+
+def video_near_dup_sql(n_frames: int = 3, every_n: int = 2,
+                       max_hamming: int = 2, bands: int = 4,
+                       min_frames: int = 1,
+                       source: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Mirror of the suite's video-dedup query: per document a
+    ``n_frames``-frame synthetic clip (frame f pixel i =
+    md5-60bit(token[(f*72 + i) mod n]) % 256), frames sampled every
+    ``every_n`` starting at 0, each sampled frame dHashed, and the
+    frame-keyed pigeonhole band join of
+    ``dedup.banded_hamming_pairs(key_cols=("frame_no",))`` counted up
+    to video-pair matches. The Spark side round-trips the SAME pixels
+    through a real PNG encode into the Motion-PNG container and back
+    (both lossless), so both engines hash identical bitmaps — the
+    codec round-trip is exactly what the hash match proves."""
+    width = 64 // bands
+    sampled = ", ".join(f"({f})" for f in range(0, n_frames, every_n))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, frame_no, ph, {b} AS band, "
+        f"(ph >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+px AS (
+  SELECT {id_col}, f.frame_no,
+         list_transform(range(0, 72),
+           i -> {_md5h('t[(((f.frame_no * 72) + i) % len(t)) + 1]')} % 256
+         ) AS p
+  FROM toks, (VALUES {sampled}) AS f(frame_no)
+  WHERE len(t) >= 1
+),
+fp AS (SELECT {id_col}, frame_no, ({_dhash_sum('p')})::BIGINT AS ph
+       FROM px),
+entries AS (
+{band_rows}
+),
+frame_pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, a.frame_no AS frame_no
+  FROM entries a JOIN entries b USING (frame_no, band, chunk)
+  WHERE a.{id_col} < b.{id_col}
+    AND bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, COUNT(*) AS n_matching
+FROM frame_pairs GROUP BY 1, 2
+HAVING COUNT(*) >= {min_frames}
+"""
+
+
+def audio_near_dup_sql(max_hamming: int = 2, bands: int = 4,
+                       source: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Mirror of the suite's audio-dedup query: per document a 260-
+    sample synthetic PCM clip (sample i = md5-60bit(token[i mod n]) %
+    4096), 65 frames of 4 samples, frame energy = mean of squares, one
+    fingerprint bit per adjacent-energy comparison, then the pigeonhole
+    band join. Frame length 4 (a power of two) and samples < 2^12 keep
+    every energy integer-exact in a double, so the float comparison is
+    engine-portable; the Spark side round-trips the SAME samples
+    through a real WAV encode/decode (lossless PCM), which is what the
+    hash match proves."""
+    width = 64 // bands
+    terms = []
+    for i in range(64):
+        mask = f"{1 << i}" if i < 63 else "(-9223372036854775807 - 1)"
+        terms.append(f"(CASE WHEN e[{i + 2}] > e[{i + 1}]"
+                     f" THEN ({mask})::BIGINT ELSE 0 END)")
+    fp_sum = "\n      + ".join(terms)
+    sq = " + ".join(f"s[4*j + {k}] * s[4*j + {k}]" for k in range(1, 5))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, afp, {b} AS band, "
+        f"(afp >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
+samps AS (
+  SELECT {id_col},
+         list_transform(range(0, 260),
+           i -> {_md5h('t[(i % len(t)) + 1]')} % 4096) AS s
+  FROM toks WHERE len(t) >= 1
+),
+energy AS (
+  SELECT {id_col},
+         list_transform(range(0, 65), j -> ({sq}) / 4.0) AS e
+  FROM samps
+),
+fp AS (SELECT {id_col}, ({fp_sum})::BIGINT AS afp FROM energy),
+entries AS (
+{band_rows}
+),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         bit_count(xor(a.afp, b.afp)) AS hamming
+  FROM entries a JOIN entries b USING (band, chunk)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def image_near_dup_sql(max_hamming: int = 3, bands: int = 4,
                        source: str = "documents",
                        id_col: str = "doc_id") -> str:
@@ -820,14 +937,7 @@ def image_near_dup_sql(max_hamming: int = 3, bands: int = 4,
     BIGINT minimum — and band chunks mask AFTER the shift, so
     arithmetic-vs-logical shift on negative codes cannot differ."""
     width = 64 // bands
-    terms = []
-    for r in range(8):
-        for c in range(8):
-            i = r * 8 + c
-            mask = f"{1 << i}" if i < 63 else "(-9223372036854775807 - 1)"
-            terms.append(f"(CASE WHEN p[{r * 9 + c + 2}] > p[{r * 9 + c + 1}]"
-                         f" THEN ({mask})::BIGINT ELSE 0 END)")
-    fp_sum = "\n      + ".join(terms)
+    fp_sum = _dhash_sum("p")  # byte-identical to the pre-r7 inline terms
     band_rows = "\nUNION ALL\n".join(
         f"SELECT {id_col}, ph, {b} AS band, "
         f"(ph >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"

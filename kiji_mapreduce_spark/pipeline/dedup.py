@@ -946,6 +946,7 @@ def simhash_fingerprints(
 def banded_hamming_pairs(
     codes: DataFrame, code_col: str = "code", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs over PRECOMPUTED 64-bit codes (simhash, image
     pHash, any hamming-comparable fingerprint): the pigeonhole band
@@ -969,6 +970,12 @@ def banded_hamming_pairs(
     arithmetic-vs-logical shift disagreement on negative codes (bit 63
     set) cannot change the chunk — the same expression is
     engine-portable.
+
+    ``key_cols`` adds extra equi-join keys: a pair only surfaces when
+    both sides carry the SAME value in every key column (e.g. the video
+    near-dup path keys frame hashes on ``frame_no``, so frame 0 of one
+    clip never pairs with frame 2 of another). The keys come back in
+    the result between the ids and the hamming.
     """
     if bands < 1 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
@@ -978,10 +985,11 @@ def banded_hamming_pairs(
             "guarantee needs max_hamming < bands, otherwise qualifying "
             "pairs can share no band chunk and silently disappear")
     width = 64 // bands
-    with_c = codes.select(id_col, F.col(code_col).alias("_code")) \
+    keys = list(key_cols)
+    with_c = codes.select(id_col, *keys, F.col(code_col).alias("_code")) \
         .localCheckpoint(eager=True)
     entries = with_c.select(
-        id_col, "_code",
+        id_col, *keys, "_code",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -989,13 +997,14 @@ def banded_hamming_pairs(
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
             ) for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "_code", "bb.band", "bb.chunk")
+    ).select(id_col, *keys, "_code", "bb.band", "bb.chunk")
     a, b = entries.alias("a"), entries.alias("b")
     return (
-        a.join(b, on=["band", "chunk"])
+        a.join(b, on=["band", "chunk", *keys])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
+                *keys,
                 hamming64(F.col("a._code"), F.col("b._code")).alias("hamming"))
         # filter before distinct — the dedup shuffle carries only
         # surviving pairs (same ordering as simhash_near_duplicates)

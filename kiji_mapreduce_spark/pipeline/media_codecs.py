@@ -156,6 +156,54 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+_MPNG_MAGIC = b"MPNG"
+
+
+def encode_video(frames: list[np.ndarray],
+                 micros_per_frame: int = 40000) -> bytes:
+    """Motion-PNG container: each frame a real PNG (lossless), so the
+    whole stack stays stdlib-decodable. Layout: ``b"MPNG"`` | u8
+    version=1 | u16be frame count | u32be micros-per-frame | per frame
+    u32be length + PNG bytes. This is the engine's NATIVE interchange
+    container for tests and synthetic pipelines; real-world MP4/WebM
+    decode is ffmpeg territory (``multimodal`` raises
+    ``DecoderNotAvailable`` for them, same discipline as non-WAV
+    audio)."""
+    if len(frames) > 0xFFFF:
+        raise UnsupportedMedia(f"too many frames ({len(frames)} > 65535)")
+    parts = [_MPNG_MAGIC, struct.pack(">BHI", 1, len(frames),
+                                      micros_per_frame)]
+    for fr in frames:
+        png = encode_png(fr)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
+    """Motion-PNG bytes -> (frames as uint8 [h, w, channels] arrays,
+    micros_per_frame). Raises ``UnsupportedMedia`` on anything else."""
+    if content[:4] != _MPNG_MAGIC:
+        raise UnsupportedMedia("not a Motion-PNG container (bad magic)")
+    version, n_frames, micros = struct.unpack(">BHI", content[4:11])
+    if version != 1:
+        raise UnsupportedMedia(f"unsupported Motion-PNG version {version}")
+    frames: list[np.ndarray] = []
+    pos = 11
+    for _ in range(n_frames):
+        if pos + 4 > len(content):
+            raise UnsupportedMedia("Motion-PNG truncated (frame header)")
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        pos += 4
+        blob = content[pos:pos + length]
+        if len(blob) != length:
+            raise UnsupportedMedia("Motion-PNG truncated (frame body)")
+        pos += length
+        pixels, _w, _h, _c = decode_png(blob)
+        frames.append(pixels)
+    return frames, micros
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (samples int16/uint8 [n_frames, n_channels],
     sample_rate, sample_width_bytes)."""

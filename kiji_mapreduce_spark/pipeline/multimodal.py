@@ -158,6 +158,22 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(_extract, schema)
 
 
+def _dhash64(lum) -> int:
+    """64-bit dHash of a 2-D luminance array: nearest-neighbor resize to
+    9x8, one bit per adjacent-pixel comparison (lum[r][c+1] > lum[r][c],
+    8 rows x 8 comparisons), packed row-major into a signed long. Shared
+    by the still-image ``phash64`` and the per-frame video hasher so a
+    video frame and the same image hash identically."""
+    from kiji_mapreduce_spark.pipeline import media_codecs
+
+    grid = media_codecs.resize_nearest(lum, 9, 8)
+    bits = grid[:, 1:] > grid[:, :-1]
+    v = 0
+    for i, bit in enumerate(bits.ravel()):
+        v |= int(bit) << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def phash64(df: DataFrame, content_col: str = "content",
             id_col: str = "media_id",
             use_real_decoder: bool = False,
@@ -192,8 +208,6 @@ def phash64(df: DataFrame, content_col: str = "content",
     def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from kiji_mapreduce_spark.pipeline import media_codecs
-
         def _one(raw: bytes) -> int:
             if use_real_decoder:
                 pixels, _w, _h = _decode_image_real(raw)
@@ -205,12 +219,7 @@ def phash64(df: DataFrame, content_col: str = "content",
                 fake = _fake_feature(raw, 72)
                 lum = (np.array(fake, dtype=np.float64)
                        .reshape(8, 9) * 127.5 + 127.5)
-            grid = media_codecs.resize_nearest(lum, 9, 8)
-            bits = grid[:, 1:] > grid[:, :-1]
-            v = 0
-            for i, bit in enumerate(bits.ravel()):
-                v |= int(bit) << i
-            return v - (1 << 64) if v >= (1 << 63) else v
+            return _dhash64(lum)
 
         for pdf in batches:
             vals: list[int | None] = []
@@ -343,6 +352,117 @@ def audio_near_duplicates(df: DataFrame, content_col: str = "content",
         codes = codes.filter(F.col("afp").isNotNull())
     return dedup.banded_hamming_pairs(
         codes, "afp", id_col, max_hamming=max_hamming, bands=bands)
+
+
+def video_frame_phash64(df: DataFrame, content_col: str = "content",
+                        id_col: str = "media_id", every_n: int = 1,
+                        use_real_decoder: bool = False,
+                        skip_undecodable: bool = False) -> DataFrame:
+    """Per-frame perceptual hashes of a video column: sample every
+    ``every_n``-th frame (always starting at frame 0) and dHash each —
+    rows (id, frame_no, phash long). The video-dedup analogue of
+    ``phash64``: frame hashes are tiny, the clip bytes are read exactly
+    once, and downstream matching is equi-joins over longs.
+
+    Real decode covers the Motion-PNG container natively
+    (``media_codecs.decode_video`` — every frame a real PNG);
+    MP4/WebM raise ``DecoderNotAvailable`` (ffmpeg territory). The fake
+    path derives deterministic pseudo-frames from the raw bytes
+    (content length fixes the frame count, one 8x9 pseudo-bitmap per
+    frame) so plumbing tests run without decodable video.
+    ``skip_undecodable`` drops undecodable clips (no rows) instead of
+    failing the task — same reject discipline as ``phash64``.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = f"{id_col} long, frame_no int, phash long"
+
+    def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        def _frames(raw: bytes) -> list[tuple[int, int]]:
+            if use_real_decoder:
+                if raw[:4] != b"MPNG":
+                    raise DecoderNotAvailable(
+                        "non-Motion-PNG video requires ffmpeg, not "
+                        "bundled; the MPNG container decodes natively")
+                frames, _micros = media_codecs.decode_video(raw)
+                out = []
+                for fno in range(0, len(frames), every_n):
+                    px = frames[fno]
+                    lum = px.astype(np.float64).mean(axis=2)
+                    out.append((fno, _dhash64(lum)))
+                return out
+            # deterministic fake: content length fixes the frame count,
+            # each frame an 8x9 pseudo-bitmap keyed on (bytes, frame)
+            n_frames = max(1, len(raw) // 256)
+            out = []
+            for fno in range(0, n_frames, every_n):
+                fake = _fake_feature(raw + fno.to_bytes(4, "big"), 72)
+                lum = (np.array(fake, dtype=np.float64)
+                       .reshape(8, 9) * 127.5 + 127.5)
+                out.append((fno, _dhash64(lum)))
+            return out
+
+        for pdf in batches:
+            ids: list[int] = []
+            fnos: list[int] = []
+            vals: list[int] = []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(c) if c is not None else b""
+                try:
+                    pairs = _frames(raw)
+                except Exception:
+                    if skip_undecodable:
+                        continue
+                    raise
+                for fno, h in pairs:
+                    ids.append(mid)
+                    fnos.append(fno)
+                    vals.append(h)
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "frame_no": pd.array(fnos, dtype="int32"),
+                                "phash": pd.array(vals, dtype="int64")})
+
+    return df.select(id_col, content_col).mapInPandas(_hash_batches, schema)
+
+
+def video_near_duplicates(df: DataFrame, content_col: str = "content",
+                          id_col: str = "media_id", every_n: int = 1,
+                          max_hamming: int = 3, bands: int = 4,
+                          min_frames: int = 2,
+                          use_real_decoder: bool = False,
+                          skip_undecodable: bool = False) -> DataFrame:
+    """Video near-dup pairs: clips whose SAME-POSITION sampled frames
+    near-match (dHash hamming <= ``max_hamming``) in at least
+    ``min_frames`` positions — the standard pretraining video-dedup
+    move (sample keyframes, perceptually hash, match hash sets), here
+    position-aligned so the banded join stays an equi-join.
+
+    Scale shape: ``video_frame_phash64`` reads each clip's bytes once
+    and emits only (id, frame_no, 64-bit hash) rows; the pigeonhole
+    band join (``dedup.banded_hamming_pairs``) keys on ``frame_no`` so
+    candidates never cross frame positions; the final pair count is one
+    grouped aggregation over surviving (pair, frame) rows. Nothing
+    all-pairs, and the video bytes never shuffle. Returns
+    (id_a, id_b, n_matching).
+    """
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    if min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    codes = video_frame_phash64(df, content_col, id_col, every_n,
+                                use_real_decoder,
+                                skip_undecodable=skip_undecodable)
+    frame_pairs = dedup.banded_hamming_pairs(
+        codes, "phash", id_col, max_hamming=max_hamming, bands=bands,
+        key_cols=("frame_no",))
+    return (frame_pairs
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_matching"))
+            .filter(F.col("n_matching") >= min_frames))
 
 
 def resize_images(df: DataFrame, content_col: str = "content",

@@ -530,6 +530,112 @@ SQL_IMAGE_NEAR_DUPLICATES = oracles.image_near_dup_sql(
     max_hamming=3, bands=4)
 
 
+def _doc_pixel_stream(docs, n_pixels: int, modulus: int = 256):
+    """(media_id, _px array<int>) with value i = md5-60bit(token[i mod
+    n]) % modulus — the deterministic media synthesizer shared by the
+    video (pixels, % 256) and audio (PCM samples, % 4096) dedup
+    queries. Token hashes are computed ONCE per row and cycled with
+    array_repeat+slice (see ``q_image_near_duplicates`` for why
+    element_at-in-a-lambda is ~20x slower)."""
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    toks = dd.tokens(F.col("text"))
+    n = F.size(toks)
+    hashed = F.transform(
+        toks,
+        lambda t: F.pmod(dd.token_hash64(t, "md5"), F.lit(modulus))
+        .cast("int"))
+    reps = F.floor((F.lit(n_pixels - 1) + n) / n).cast("int")
+    px = F.slice(F.flatten(F.array_repeat(hashed, reps)), 1, n_pixels)
+    return (docs.filter(F.size(dd.tokens(F.col("text"))) >= 1)
+            .select(F.col("doc_id").alias("media_id"), px.alias("_px")))
+
+
+def q_video_near_duplicates(spark, sf_dir):
+    """Video near-dup dedup, end-to-end through the REAL container
+    path: each document synthesizes a deterministic 3-frame clip
+    (frame f pixel i = md5-60bit(token[(f*72 + i) mod n]) % 256 — the
+    image query's synthesizer extended along a frame axis), the frames
+    round-trip real PNG encodes inside the Motion-PNG container
+    (``media_codecs.encode_video``), and
+    ``multimodal.video_near_duplicates`` decodes, samples every 2nd
+    frame (0 and 2), dHashes each, and counts frame-aligned banded
+    matches per clip pair. The oracle recomputes the sampled frames'
+    dHashes from the same md5 pixel arithmetic — the lossless
+    PNG-in-container round-trip is exactly what the hash match
+    proves. Run locally vs the oracle at sf0.01 (hash-consistent)
+    pending its first in-window driver row."""
+    import numpy as np
+    import pandas as pd
+
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    pixels = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 3 * 72)
+
+    def _encode(batches):
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        for pdf in batches:
+            content = []
+            for p in pdf["_px"]:
+                arr = np.array(p, dtype=np.uint8).reshape(3, 8, 9)
+                content.append(media_codecs.encode_video(list(arr)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    clips = pixels.mapInPandas(_encode, "media_id long, content binary")
+    out = multimodal.video_near_duplicates(
+        clips, every_n=2, max_hamming=2, bands=4, min_frames=1,
+        use_real_decoder=True)
+    return out.select("id_a", "id_b", "n_matching")
+
+
+SQL_VIDEO_NEAR_DUPLICATES = oracles.video_near_dup_sql(
+    n_frames=3, every_n=2, max_hamming=2, bands=4, min_frames=1)
+
+
+def q_audio_near_duplicates(spark, sf_dir):
+    """Audio fingerprint dedup, end-to-end through the REAL WAV codec:
+    each document synthesizes a deterministic 260-sample PCM clip
+    (sample i = md5-60bit(token[i mod n]) % 4096), round-trips a real
+    WAV encode (``media_codecs.encode_wav``), and
+    ``multimodal.audio_near_duplicates`` decodes, fingerprints (65
+    frames of 4 samples, one bit per adjacent frame-energy
+    comparison), and band-joins the codes. Frame length 4 and samples
+    < 2^12 keep every frame energy integer-exact in a double, so the
+    oracle's recomputed energies compare bit-identically — the
+    lossless PCM round-trip is what the hash match proves. Run locally
+    vs the oracle at sf0.01 (hash-consistent) pending its first
+    in-window driver row."""
+    import numpy as np
+    import pandas as pd
+
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    pcm = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 260,
+                            modulus=4096)
+
+    def _encode(batches):
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        for pdf in batches:
+            content = [
+                media_codecs.encode_wav(
+                    np.array(s, dtype=np.int16), 8000)
+                for s in pdf["_px"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    clips = pcm.mapInPandas(_encode, "media_id long, content binary")
+    out = multimodal.audio_near_duplicates(
+        clips, max_hamming=2, bands=4, use_real_decoder=True)
+    return out.select("id_a", "id_b", "hamming")
+
+
+SQL_AUDIO_NEAR_DUPLICATES = oracles.audio_near_dup_sql(
+    max_hamming=2, bands=4)
+
+
 def q_collocations_top(spark, sf_dir):
     """PMI collocation mining (word2phrase): top-20 adjacent pairs by
     NPMI among those seen >= 5 times — one token scan feeds the unigram

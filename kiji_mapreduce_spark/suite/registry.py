@@ -165,6 +165,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    # -- NEW mid-r7, window full (1 new + 4 changed + the 45-query
+    #    r5-green rotation leaves zero slack, and displacing any
+    #    rotation member would breach the 2-round freshness cap), so
+    #    these two sit at the tail with documented local sf0.01 hash
+    #    drives and take window slots FIRST in r8 per the new/changed-
+    #    first policy: video near-dup (Motion-PNG container -> sampled
+    #    frame dHashes -> frame-keyed band join) and the audio
+    #    fingerprint dedup's first oracle row (the op itself landed in
+    #    r7 with pytest coverage only) --
+    "video_near_duplicates": q_video_near_duplicates,
+    "audio_near_duplicates": q_audio_near_duplicates,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
@@ -225,9 +236,24 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "streaming_interval_join",
 ]
 
+#: Queries added MID-ROUND when the window had zero slack (displacing
+#: any member would breach the 2-round freshness cap). Each maps to the
+#: round it was added and was locally hash-driven vs its DuckDB oracle
+#: at sf0.01 before landing. test_verification_ledger_freshness accepts
+#: a never-verified tail query ONLY while its pending round equals the
+#: current round — next round these MUST take window slots (the
+#: new/changed-first policy) or the test fails, so the exemption
+#: self-expires and cannot become a parking lot.
+NEW_PENDING_WINDOW: dict[str, int] = {
+    "video_near_duplicates": 7,
+    "audio_near_duplicates": 7,
+}
+
 
 ORACLES: dict[str, str] = {
     "image_near_duplicates": SQL_IMAGE_NEAR_DUPLICATES,
+    "video_near_duplicates": SQL_VIDEO_NEAR_DUPLICATES,
+    "audio_near_duplicates": SQL_AUDIO_NEAR_DUPLICATES,
     "classifier_score_topk": SQL_CLASSIFIER_SCORE,
     "split_train_test": SQL_SPLIT_TRAIN_TEST,
     "split_leakage": SQL_SPLIT_LEAKAGE,

@@ -859,3 +859,33 @@ def test_cli_media_dedup_image_pairs(spark, tmp_path, capsys):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in spark.read.parquet(f"{tmp_path}/pairs").collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_cli_media_dedup_video_pairs(spark, tmp_path, capsys):
+    """media-dedup --kind video decodes Motion-PNG clips, samples
+    frames, and writes frame-aligned pair counts (n_matching)."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    rng = np.random.RandomState(17)
+    fr = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+          for _ in range(4)]
+    other = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+             for _ in range(4)]
+    spark.createDataFrame(
+        [(1, mc.encode_video(fr)), (2, mc.encode_video(fr)),
+         (3, mc.encode_video(other))],
+        "media_id long, content binary").write.parquet(f"{tmp_path}/vids")
+
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/vids",
+                   "--kind", "video", "--every-n", "2",
+                   "--min-frames", "2", "--max-hamming", "2",
+                   "--output", f"{tmp_path}/vpairs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pairs"] == 1 and out["kind"] == "video"
+    rows = spark.read.parquet(f"{tmp_path}/vpairs").collect()
+    assert [(r.id_a, r.id_b, r.n_matching) for r in rows] == [(1, 2, 2)]

@@ -247,3 +247,114 @@ def test_phash64_skip_undecodable_and_band_guard(spark):
         dedup.banded_hamming_pairs(
             spark.range(1).select(F.col("id"), F.lit(0).alias("code")),
             code_col="code", id_col="id", max_hamming=2, bands=5)
+
+
+def test_video_container_roundtrip():
+    """Motion-PNG container: frames round-trip losslessly (every frame
+    a real PNG), frame timing survives, and non-container / truncated /
+    future-version bytes raise UnsupportedMedia."""
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+              for _ in range(3)]
+    blob = mc.encode_video(frames, micros_per_frame=33333)
+    out, micros = mc.decode_video(blob)
+    assert micros == 33333 and len(out) == 3
+    for got, want in zip(out, frames):
+        assert (got.squeeze() == want).all()
+    with pytest.raises(mc.UnsupportedMedia, match="magic"):
+        mc.decode_video(b"RIFFnope")
+    with pytest.raises(mc.UnsupportedMedia, match="truncated"):
+        mc.decode_video(blob[:-5])
+    with pytest.raises(mc.UnsupportedMedia, match="version"):
+        mc.decode_video(b"MPNG" + bytes([9]) + blob[5:])
+
+
+def test_video_near_duplicates_frame_aligned(spark):
+    """Identical clips match on every sampled frame; corrupting one
+    frame still matches on the rest (min_frames tolerance); a clip with
+    the SAME frames rotated one position pairs with nothing — the band
+    join keys on frame_no, so set-overlap without positional alignment
+    is not a match; and a distinct clip pairs with nothing."""
+    rng = np.random.RandomState(23)
+    fr = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+          for _ in range(4)]
+    corrupt = [f.copy() for f in fr]
+    # invert pixel (1,1) of frame 2 hard enough to flip its luminance
+    # ordering vs both horizontal neighbors (<= 2 dHash bits)
+    corrupt[2][1, 1] = 0 if fr[2][1, 1] >= 128 else 255
+    rotated = fr[1:] + fr[:1]
+    distinct = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+                for _ in range(4)]
+    media = spark.createDataFrame(
+        [(1, mc.encode_video(fr)), (2, mc.encode_video(fr)),
+         (3, mc.encode_video(corrupt)), (4, mc.encode_video(rotated)),
+         (5, mc.encode_video(distinct))],
+        "media_id long, content binary")
+    hashes = {(r.media_id, r.frame_no): r.phash
+              for r in multimodal.video_frame_phash64(
+                  media, use_real_decoder=True).collect()}
+    assert all(hashes[(1, f)] == hashes[(2, f)] for f in range(4))
+    assert hashes[(4, 0)] == hashes[(1, 1)]  # rotation, not re-hash
+    pairs = {(r.id_a, r.id_b): r.n_matching
+             for r in multimodal.video_near_duplicates(
+                 media, every_n=1, max_hamming=2, bands=4, min_frames=3,
+                 use_real_decoder=True).collect()}
+    assert pairs[(1, 2)] == 4
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 3
+    assert not any(4 in p or 5 in p for p in pairs)
+    # every_n sampling: only frames 0 and 2 are hashed
+    sampled = multimodal.video_frame_phash64(
+        media, every_n=2, use_real_decoder=True).collect()
+    assert {r.frame_no for r in sampled} == {0, 2}
+
+
+def test_video_fake_path_and_skip_undecodable(spark):
+    """The fake path yields stable per-frame codes keyed on (bytes,
+    frame) without decodable video; skip_undecodable drops undecodable
+    clips entirely instead of failing; the real decoder raises loudly
+    for non-Motion-PNG formats."""
+    media = spark.createDataFrame(
+        [(1, b"x" * 600), (2, b"x" * 600), (3, b"y" * 600)],
+        "media_id long, content binary")
+    codes = {(r.media_id, r.frame_no): r.phash
+             for r in multimodal.video_frame_phash64(media).collect()}
+    again = {(r.media_id, r.frame_no): r.phash
+             for r in multimodal.video_frame_phash64(media).collect()}
+    assert codes == again
+    assert {f for (m, f) in codes if m == 1} == {0, 1}  # 600 // 256
+    assert codes[(1, 0)] == codes[(2, 0)] != codes[(3, 0)]
+    good = mc.encode_video([_gradient(8, 9, 1).squeeze()])
+    mixed = spark.createDataFrame(
+        [(1, good), (2, good), (3, b"mp4?" * 100), (4, None)],
+        "media_id long, content binary")
+    rows = multimodal.video_frame_phash64(
+        mixed, use_real_decoder=True, skip_undecodable=True).collect()
+    assert {r.media_id for r in rows} == {1, 2}
+    pairs = multimodal.video_near_duplicates(
+        mixed, min_frames=1, use_real_decoder=True,
+        skip_undecodable=True).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    with pytest.raises(Exception, match="ffmpeg|Motion-PNG"):
+        multimodal.video_frame_phash64(
+            mixed, use_real_decoder=True).collect()
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.video_frame_phash64(mixed, every_n=0)
+    with pytest.raises(ValueError, match="min_frames"):
+        multimodal.video_near_duplicates(mixed, min_frames=0)
+
+
+def test_banded_hamming_pairs_key_cols(spark):
+    """key_cols adds equi-join keys: identical codes in DIFFERENT key
+    values never pair, and the keys come back in the result."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    rows = [(1, 0, 77), (2, 0, 77),   # same frame, same code -> pair
+            (3, 1, 77),               # same code, other frame -> no pair
+            (4, 1, -1)]               # far code (hamming 60) -> no pair
+    codes = spark.createDataFrame(
+        rows, "doc_id long, frame_no int, code long")
+    got = dedup.banded_hamming_pairs(
+        codes, "code", "doc_id", max_hamming=2, bands=4,
+        key_cols=("frame_no",)).collect()
+    assert [(r.id_a, r.id_b, r.frame_no, r.hamming) for r in got] == \
+        [(1, 2, 0, 0)]
