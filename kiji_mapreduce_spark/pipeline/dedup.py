@@ -977,27 +977,12 @@ def banded_hamming_pairs(
     clip never pairs with frame 2 of another). The keys come back in
     the result between the ids and the hamming.
     """
-    if bands < 1 or 64 % bands:
-        raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
-            "guarantee needs max_hamming < bands, otherwise qualifying "
-            "pairs can share no band chunk and silently disappear")
+    _check_band_params(max_hamming, bands)
     width = 64 // bands
     keys = list(key_cols)
     with_c = codes.select(id_col, *keys, F.col(code_col).alias("_code")) \
         .localCheckpoint(eager=True)
-    entries = with_c.select(
-        id_col, *keys, "_code",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("_code"), b * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
-            ) for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, *keys, "_code", "bb.band", "bb.chunk")
+    entries = _hamming_band_entries(with_c, id_col, keys, bands, width)
     a, b = entries.alias("a"), entries.alias("b")
     return (
         a.join(b, on=["band", "chunk", *keys])
@@ -1008,6 +993,80 @@ def banded_hamming_pairs(
                 hamming64(F.col("a._code"), F.col("b._code")).alias("hamming"))
         # filter before distinct — the dedup shuffle carries only
         # surviving pairs (same ordering as simhash_near_duplicates)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _check_band_params(max_hamming: int, bands: int) -> None:
+    if bands < 1 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs max_hamming < bands, otherwise qualifying "
+            "pairs can share no band chunk and silently disappear")
+
+
+def _hamming_band_entries(with_c: DataFrame, id_col: str,
+                          keys: list, bands: int, width: int) -> DataFrame:
+    """(id, *keys, _code, band, chunk) rows — one per band — from a
+    (id, *keys, _code) table. Chunks mask AFTER the shift (see
+    ``banded_hamming_pairs``)."""
+    return with_c.select(
+        id_col, *keys, "_code",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_code"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, *keys, "_code", "bb.band", "bb.chunk")
+
+
+def banded_hamming_pairs_incremental(
+    new_codes: DataFrame, index_codes: DataFrame | None,
+    code_col: str = "code", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``banded_hamming_pairs`` for a NEW batch of codes against a
+    persisted code index (plus within the batch itself): emits pairs
+    where at least one side is new — the steady-state ingest shape of
+    perceptual-hash media dedup, mirroring
+    ``minhash_dedup_incremental``'s text design. The index contributes
+    only (id, code) rows; old-vs-old pairs are filtered out BEFORE the
+    join output shuffles, so candidate volume scales with the batch,
+    not the corpus. ``index_codes=None`` degrades to the plain
+    within-batch band join."""
+    if index_codes is None:
+        return banded_hamming_pairs(new_codes, code_col, id_col,
+                                    max_hamming, bands, key_cols)
+    _check_band_params(max_hamming, bands)
+    width = 64 // bands
+    keys = list(key_cols)
+    batch = new_codes.select(id_col, *keys,
+                             F.col(code_col).alias("_code")) \
+        .localCheckpoint(eager=True)
+    entries = (
+        _hamming_band_entries(batch, id_col, keys, bands, width)
+        .withColumn("_new", F.lit(True))
+        .unionByName(
+            _hamming_band_entries(
+                index_codes.select(id_col, *keys,
+                                   F.col(code_col).alias("_code")),
+                id_col, keys, bands, width)
+            .withColumn("_new", F.lit(False))))
+    a, b = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(b, on=["band", "chunk", *keys])
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a._new") | F.col("b._new")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *keys,
+                hamming64(F.col("a._code"), F.col("b._code")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

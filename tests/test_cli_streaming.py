@@ -889,3 +889,54 @@ def test_cli_media_dedup_video_pairs(spark, tmp_path, capsys):
     assert out["n_pairs"] == 1 and out["kind"] == "video"
     rows = spark.read.parquet(f"{tmp_path}/vpairs").collect()
     assert [(r.id_a, r.id_b, r.n_matching) for r in rows] == [(1, 2, 2)]
+
+
+def test_stream_media_dedup_incremental_index(spark, tmp_path):
+    """Streaming perceptual-hash dedup against a persisted code index:
+    batch 1 seeds the index (and emits its within-batch dup), batch 2 —
+    a separate availableNow run restarting from the same checkpoint —
+    emits new-vs-index and new-vs-new pairs but never re-emits the
+    old-vs-old pair; undecodable blobs are dropped, not fatal; the
+    index accumulates every decodable code."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from kiji_mapreduce_spark.streaming import stream_media_dedup
+
+    rng = np.random.RandomState(31)
+    img_a = rng.randint(0, 256, size=(16, 18, 3)).astype(np.uint8)
+    img_c = rng.randint(0, 256, size=(16, 18, 3)).astype(np.uint8)
+    src = tmp_path / "media_src"
+    idx, pairs_dir, ckpt = (str(tmp_path / d)
+                            for d in ("idx", "pairs", "ckpt_md"))
+
+    def _run():
+        stream = (spark.readStream
+                  .schema("media_id long, content binary")
+                  .parquet(str(src)))
+        q = stream_media_dedup(
+            stream, index_dir=idx, pairs_dir=pairs_dir, checkpoint=ckpt,
+            kind="image", max_hamming=2, bands=4, use_real_decoder=True)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, mc.encode_png(img_a)), (2, mc.encode_png(img_a))],
+        "media_id long, content binary"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _run()
+    first = {(r.id_a, r.id_b) for r in
+             spark.read.parquet(pairs_dir).collect()}
+    assert first == {(1, 2)}
+
+    spark.createDataFrame(
+        [(3, mc.encode_png(img_a)), (4, mc.encode_png(img_c)),
+         (5, mc.encode_png(img_c)), (6, b"not media")],
+        "media_id long, content binary"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _run()
+    rows = spark.read.parquet(pairs_dir).collect()
+    assert sorted((r.id_a, r.id_b) for r in rows) == \
+        [(1, 2), (1, 3), (2, 3), (4, 5)]  # (1,2) exactly once
+    assert all(r.hamming == 0 for r in rows)
+    index_ids = {r.media_id for r in spark.read.parquet(idx).collect()}
+    assert index_ids == {1, 2, 3, 4, 5}  # 6 dropped as undecodable

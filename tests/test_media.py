@@ -358,3 +358,32 @@ def test_banded_hamming_pairs_key_cols(spark):
         key_cols=("frame_no",)).collect()
     assert [(r.id_a, r.id_b, r.frame_no, r.hamming) for r in got] == \
         [(1, 2, 0, 0)]
+
+
+def test_banded_hamming_pairs_incremental(spark):
+    """Batch-vs-index pairing: pairs need at least one NEW side (the
+    old-vs-old dup never re-surfaces), None index degrades to the plain
+    within-batch join, and key_cols keeps frame positions separate."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    index = spark.createDataFrame(
+        [(1, 0, 77), (2, 0, 77), (3, 1, 500)],
+        "doc_id long, frame_no int, code long")
+    batch = spark.createDataFrame(
+        [(10, 0, 77),    # matches index ids 1,2 at frame 0
+         (11, 1, 77),    # code 77 but frame 1 -> only vs in-frame codes
+         (12, 1, 501)],  # 1 bit off index id 3 at frame 1
+        "doc_id long, frame_no int, code long")
+    got = sorted(
+        (r.id_a, r.id_b, r.frame_no, r.hamming)
+        for r in dedup.banded_hamming_pairs_incremental(
+            batch, index, "code", "doc_id", max_hamming=2, bands=4,
+            key_cols=("frame_no",)).collect())
+    # no (1, 2): both old; no (1/2, 11): frame mismatch
+    assert got == [(1, 10, 0, 0), (2, 10, 0, 0), (3, 12, 1, 1)]
+    alone = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.banded_hamming_pairs_incremental(
+            batch, None, "code", "doc_id", max_hamming=2, bands=4,
+            key_cols=("frame_no",)).collect())
+    assert alone == []  # within batch: distinct frames / far codes
