@@ -243,6 +243,12 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--output", required=True,
                     help="pairs parquet out (id_a, id_b, hamming) — "
                     "video pairs carry n_matching instead of hamming")
+    md.add_argument("--index", default=None,
+                    help="persisted code index dir: pair the input "
+                    "batch against it (pairs need >= 1 new side), then "
+                    "append the batch's codes — the batch twin of "
+                    "streaming.stream_media_dedup; absent dir is "
+                    "created (first ingest)")
     md.add_argument("--fake-decoder", action="store_true",
                     help="hash deterministic pseudo-pixels/energies "
                     "instead of decoding (for formats without a "
@@ -486,6 +492,29 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = make_session(app_name="kiji-media-dedup")
         media = spark.read.parquet(args.input)
+        if args.index:
+            try:
+                index = spark.read.parquet(args.index)
+            except Exception:  # first ingest: no index yet
+                index = None
+            try:
+                pairs, codes = multimodal.media_dedup_incremental(
+                    media, index, args.kind, args.content_col,
+                    args.id_col, args.every_n, args.max_hamming,
+                    args.bands, args.min_frames,
+                    use_real_decoder=not args.fake_decoder,
+                    skip_undecodable=args.skip_undecodable,
+                    return_codes=True)
+            except ValueError as e:
+                p.error(str(e))
+            pairs.write.mode("overwrite").parquet(args.output)
+            codes.write.mode("append").parquet(args.index)
+            print(json.dumps({
+                "pairs": args.output, "kind": args.kind,
+                "n_pairs": spark.read.parquet(args.output).count(),
+                "index": args.index,
+                "index_rows": spark.read.parquet(args.index).count()}))
+            return 0
         try:
             if args.kind == "video":
                 pairs = multimodal.video_near_duplicates(

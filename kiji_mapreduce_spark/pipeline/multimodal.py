@@ -465,6 +465,68 @@ def video_near_duplicates(df: DataFrame, content_col: str = "content",
             .filter(F.col("n_matching") >= min_frames))
 
 
+def media_codes(df: DataFrame, kind: str = "image",
+                content_col: str = "content", id_col: str = "media_id",
+                every_n: int = 1, use_real_decoder: bool = False,
+                skip_undecodable: bool = False):
+    """Kind dispatch for the perceptual-code family: returns
+    ``(codes, code_col, key_cols)`` — image -> (id, phash), audio ->
+    (id, afp), video -> (id, frame_no, phash) keyed on frame_no.
+    NULL codes (skipped rows) are already filtered out. Shared by the
+    batch ``media_dedup_incremental``, the streaming
+    ``stream_media_dedup``, and the media-dedup CLI."""
+    if kind == "image":
+        codes, code_col, keys = phash64(
+            df, content_col, id_col, use_real_decoder,
+            skip_undecodable=skip_undecodable), "phash", ()
+    elif kind == "audio":
+        codes, code_col, keys = audio_fingerprint64(
+            df, content_col, id_col, use_real_decoder,
+            skip_undecodable=skip_undecodable), "afp", ()
+    elif kind == "video":
+        codes, code_col, keys = video_frame_phash64(
+            df, content_col, id_col, every_n, use_real_decoder,
+            skip_undecodable=skip_undecodable), "phash", ("frame_no",)
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    return codes.filter(F.col(code_col).isNotNull()), code_col, keys
+
+
+def media_dedup_incremental(
+    batch_df: DataFrame, index: DataFrame | None,
+    kind: str = "image", content_col: str = "content",
+    id_col: str = "media_id", every_n: int = 1,
+    max_hamming: int = 3, bands: int = 4, min_frames: int = 2,
+    use_real_decoder: bool = False, skip_undecodable: bool = False,
+    return_codes: bool = False,
+):
+    """Dedup a NEW media batch against a persisted code ``index`` (plus
+    within the batch) — ``dedup.minhash_dedup_incremental``'s
+    steady-state ingest shape applied to perceptual codes: the batch is
+    decoded ONCE (codes are eagerly checkpointed inside the band join),
+    pairs need at least one new side, and the caller appends the
+    returned codes to the index afterwards. ``index=None`` degrades to
+    the plain within-batch join (first ingest). Video pairs aggregate
+    frame-aligned matches and require ``min_frames``.
+
+    Returns pairs, or ``(pairs, codes)`` with ``return_codes=True`` so
+    index-appending callers don't re-decode the media."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    codes, code_col, keys = media_codes(
+        batch_df, kind, content_col, id_col, every_n,
+        use_real_decoder, skip_undecodable)
+    codes = codes.localCheckpoint(eager=True)
+    pairs = dedup.banded_hamming_pairs_incremental(
+        codes, index, code_col, id_col,
+        max_hamming=max_hamming, bands=bands, key_cols=keys)
+    if kind == "video":
+        pairs = (pairs.groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("n_matching"))
+                 .filter(F.col("n_matching") >= min_frames))
+    return (pairs, codes) if return_codes else pairs
+
+
 def resize_images(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", width: int = 224,
                   height: int = 224,

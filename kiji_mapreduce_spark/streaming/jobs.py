@@ -217,45 +217,24 @@ def stream_media_dedup(
     ``skip_undecodable`` defaults ON here — one bad blob must not kill
     a continuous ingest job. Returns the started StreamingQuery.
     """
-    from kiji_mapreduce_spark.pipeline import dedup, multimodal
+    from kiji_mapreduce_spark.pipeline import multimodal
 
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"unknown media kind {kind!r}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        keys: tuple[str, ...] = ()
-        if kind == "image":
-            code_col = "phash"
-            codes = multimodal.phash64(
-                batch_df, content_col, id_col, use_real_decoder,
-                skip_undecodable=skip_undecodable)
-        elif kind == "audio":
-            code_col = "afp"
-            codes = multimodal.audio_fingerprint64(
-                batch_df, content_col, id_col, use_real_decoder,
-                skip_undecodable=skip_undecodable)
-        else:
-            code_col = "phash"
-            keys = ("frame_no",)
-            codes = multimodal.video_frame_phash64(
-                batch_df, content_col, id_col, every_n, use_real_decoder,
-                skip_undecodable=skip_undecodable)
-        codes = codes.filter(F.col(code_col).isNotNull())
-        # one decode per batch: the checkpointed codes feed the band
-        # join AND the index append without re-reading media bytes
-        codes = codes.localCheckpoint(eager=True)
         try:
             index = spark.read.parquet(index_dir)
         except Exception:  # first batch: no index yet
             index = None
-        pairs = dedup.banded_hamming_pairs_incremental(
-            codes, index, code_col, id_col,
-            max_hamming=max_hamming, bands=bands, key_cols=keys)
-        if kind == "video":
-            pairs = (pairs.groupBy("id_a", "id_b")
-                     .agg(F.count(F.lit(1)).alias("n_matching"))
-                     .filter(F.col("n_matching") >= min_frames))
+        # one decode per batch: media_dedup_incremental checkpoints the
+        # codes, so the band join AND the index append below share them
+        # without re-reading media bytes
+        pairs, codes = multimodal.media_dedup_incremental(
+            batch_df, index, kind, content_col, id_col, every_n,
+            max_hamming, bands, min_frames, use_real_decoder,
+            skip_undecodable, return_codes=True)
         pairs.write.mode("append").parquet(pairs_dir)
         codes.write.mode("append").parquet(index_dir)
 

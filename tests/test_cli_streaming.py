@@ -940,3 +940,38 @@ def test_stream_media_dedup_incremental_index(spark, tmp_path):
     assert all(r.hamming == 0 for r in rows)
     index_ids = {r.media_id for r in spark.read.parquet(idx).collect()}
     assert index_ids == {1, 2, 3, 4, 5}  # 6 dropped as undecodable
+
+
+def test_cli_media_dedup_incremental_index(spark, tmp_path, capsys):
+    """media-dedup --index: first ingest seeds the index, second ingest
+    pairs only new-vs-{index,new} and grows the index."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(16, 18, 3)).astype(np.uint8)
+    idx = str(tmp_path / "codes_idx")
+    spark.createDataFrame(
+        [(1, mc.encode_png(img))], "media_id long, content binary"
+    ).write.parquet(f"{tmp_path}/b1")
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/b1",
+                   "--kind", "image", "--index", idx,
+                   "--output", f"{tmp_path}/p1"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pairs"] == 0 and out["index_rows"] == 1
+
+    spark.createDataFrame(
+        [(2, mc.encode_png(img))], "media_id long, content binary"
+    ).write.parquet(f"{tmp_path}/b2")
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/b2",
+                   "--kind", "image", "--index", idx,
+                   "--output", f"{tmp_path}/p2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pairs"] == 1 and out["index_rows"] == 2
+    rows = spark.read.parquet(f"{tmp_path}/p2").collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
