@@ -493,10 +493,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = make_session(app_name="kiji-media-dedup")
         media = spark.read.parquet(args.input)
         if args.index:
-            try:
-                index = spark.read.parquet(args.index)
-            except Exception:  # first ingest: no index yet
-                index = None
+            # missing dir -> first ingest; any OTHER failure re-raises
+            # (a corrupt/unreadable index must not silently degrade to
+            # within-batch-only dedup)
+            index = multimodal.read_code_index(spark, args.index)
             try:
                 pairs, codes = multimodal.media_dedup_incremental(
                     media, index, args.kind, args.content_col,

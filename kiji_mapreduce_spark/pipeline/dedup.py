@@ -947,6 +947,7 @@ def banded_hamming_pairs(
     codes: DataFrame, code_col: str = "code", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
     key_cols: tuple[str, ...] = (),
+    input_checkpointed: bool = False,
 ) -> DataFrame:
     """Near-dup pairs over PRECOMPUTED 64-bit codes (simhash, image
     pHash, any hamming-comparable fingerprint): the pigeonhole band
@@ -980,8 +981,13 @@ def banded_hamming_pairs(
     _check_band_params(max_hamming, bands)
     width = 64 // bands
     keys = list(key_cols)
-    with_c = codes.select(id_col, *keys, F.col(code_col).alias("_code")) \
-        .localCheckpoint(eager=True)
+    with_c = codes.select(id_col, *keys, F.col(code_col).alias("_code"))
+    # a decode-backed subtree would otherwise execute once per side of
+    # the self-join; callers that already eagerly checkpointed `codes`
+    # (media_dedup_incremental) pass input_checkpointed to skip the
+    # duplicate materialization (r7 review finding)
+    if not input_checkpointed:
+        with_c = with_c.localCheckpoint(eager=True)
     entries = _hamming_band_entries(with_c, id_col, keys, bands, width)
     a, b = entries.alias("a"), entries.alias("b")
     return (
@@ -1030,6 +1036,7 @@ def banded_hamming_pairs_incremental(
     code_col: str = "code", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
     key_cols: tuple[str, ...] = (),
+    input_checkpointed: bool = False,
 ) -> DataFrame:
     """``banded_hamming_pairs`` for a NEW batch of codes against a
     persisted code index (plus within the batch itself): emits pairs
@@ -1042,13 +1049,15 @@ def banded_hamming_pairs_incremental(
     within-batch band join."""
     if index_codes is None:
         return banded_hamming_pairs(new_codes, code_col, id_col,
-                                    max_hamming, bands, key_cols)
+                                    max_hamming, bands, key_cols,
+                                    input_checkpointed)
     _check_band_params(max_hamming, bands)
     width = 64 // bands
     keys = list(key_cols)
     batch = new_codes.select(id_col, *keys,
-                             F.col(code_col).alias("_code")) \
-        .localCheckpoint(eager=True)
+                             F.col(code_col).alias("_code"))
+    if not input_checkpointed:
+        batch = batch.localCheckpoint(eager=True)
     entries = (
         _hamming_band_entries(batch, id_col, keys, bands, width)
         .withColumn("_new", F.lit(True))

@@ -171,6 +171,9 @@ def encode_video(frames: list[np.ndarray],
     audio)."""
     if len(frames) > 0xFFFF:
         raise UnsupportedMedia(f"too many frames ({len(frames)} > 65535)")
+    if not 0 <= micros_per_frame <= 0xFFFFFFFF:
+        raise UnsupportedMedia(
+            f"micros_per_frame {micros_per_frame} outside u32 range")
     parts = [_MPNG_MAGIC, struct.pack(">BHI", 1, len(frames),
                                       micros_per_frame)]
     for fr in frames:
@@ -185,6 +188,8 @@ def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
     micros_per_frame). Raises ``UnsupportedMedia`` on anything else."""
     if content[:4] != _MPNG_MAGIC:
         raise UnsupportedMedia("not a Motion-PNG container (bad magic)")
+    if len(content) < 11:
+        raise UnsupportedMedia("Motion-PNG truncated (container header)")
     version, n_frames, micros = struct.unpack(">BHI", content[4:11])
     if version != 1:
         raise UnsupportedMedia(f"unsupported Motion-PNG version {version}")

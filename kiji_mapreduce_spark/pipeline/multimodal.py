@@ -255,14 +255,11 @@ def image_near_duplicates(df: DataFrame, content_col: str = "content",
     ``skip_undecodable``, undecodable rows hash to NULL and are dropped
     before banding instead of failing the job. Returns
     (id_a, id_b, hamming)."""
-    from kiji_mapreduce_spark.pipeline import dedup
-
-    codes = phash64(df, content_col, id_col, use_real_decoder,
-                    skip_undecodable=skip_undecodable)
-    if skip_undecodable:
-        codes = codes.filter(F.col("phash").isNotNull())
-    return dedup.banded_hamming_pairs(
-        codes, "phash", id_col, max_hamming=max_hamming, bands=bands)
+    return media_dedup_incremental(
+        df, None, "image", content_col, id_col,
+        max_hamming=max_hamming, bands=bands,
+        use_real_decoder=use_real_decoder,
+        skip_undecodable=skip_undecodable)
 
 
 def audio_fingerprint64(df: DataFrame, content_col: str = "content",
@@ -344,14 +341,11 @@ def audio_near_duplicates(df: DataFrame, content_col: str = "content",
     """Audio near-dup pairs: ``audio_fingerprint64`` codes into the
     pigeonhole band join; ``skip_undecodable`` drops undecodable rows
     instead of failing. Returns (id_a, id_b, hamming)."""
-    from kiji_mapreduce_spark.pipeline import dedup
-
-    codes = audio_fingerprint64(df, content_col, id_col, use_real_decoder,
-                                skip_undecodable=skip_undecodable)
-    if skip_undecodable:
-        codes = codes.filter(F.col("afp").isNotNull())
-    return dedup.banded_hamming_pairs(
-        codes, "afp", id_col, max_hamming=max_hamming, bands=bands)
+    return media_dedup_incremental(
+        df, None, "audio", content_col, id_col,
+        max_hamming=max_hamming, bands=bands,
+        use_real_decoder=use_real_decoder,
+        skip_undecodable=skip_undecodable)
 
 
 def video_frame_phash64(df: DataFrame, content_col: str = "content",
@@ -449,20 +443,11 @@ def video_near_duplicates(df: DataFrame, content_col: str = "content",
     all-pairs, and the video bytes never shuffle. Returns
     (id_a, id_b, n_matching).
     """
-    from kiji_mapreduce_spark.pipeline import dedup
-
-    if min_frames < 1:
-        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
-    codes = video_frame_phash64(df, content_col, id_col, every_n,
-                                use_real_decoder,
-                                skip_undecodable=skip_undecodable)
-    frame_pairs = dedup.banded_hamming_pairs(
-        codes, "phash", id_col, max_hamming=max_hamming, bands=bands,
-        key_cols=("frame_no",))
-    return (frame_pairs
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_matching"))
-            .filter(F.col("n_matching") >= min_frames))
+    return media_dedup_incremental(
+        df, None, "video", content_col, id_col, every_n,
+        max_hamming=max_hamming, bands=bands, min_frames=min_frames,
+        use_real_decoder=use_real_decoder,
+        skip_undecodable=skip_undecodable)
 
 
 def media_codes(df: DataFrame, kind: str = "image",
@@ -513,18 +498,44 @@ def media_dedup_incremental(
     index-appending callers don't re-decode the media."""
     from kiji_mapreduce_spark.pipeline import dedup
 
+    # validate the band parameters BEFORE the decode job runs — the
+    # eager checkpoint below would otherwise decode the whole batch
+    # only to die on a usage error (r7 review finding)
+    dedup._check_band_params(max_hamming, bands)
+    if kind == "video" and min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
     codes, code_col, keys = media_codes(
         batch_df, kind, content_col, id_col, every_n,
         use_real_decoder, skip_undecodable)
     codes = codes.localCheckpoint(eager=True)
     pairs = dedup.banded_hamming_pairs_incremental(
         codes, index, code_col, id_col,
-        max_hamming=max_hamming, bands=bands, key_cols=keys)
+        max_hamming=max_hamming, bands=bands, key_cols=keys,
+        input_checkpointed=True)
     if kind == "video":
         pairs = (pairs.groupBy("id_a", "id_b")
                  .agg(F.count(F.lit(1)).alias("n_matching"))
                  .filter(F.col("n_matching") >= min_frames))
     return (pairs, codes) if return_codes else pairs
+
+
+def read_code_index(spark, path: str):
+    """Read a persisted perceptual-code index, returning ``None`` ONLY
+    when the path does not exist yet (first ingest). Any other read
+    failure — corrupt footer, permission error, transient FS fault —
+    re-raises: treating it as 'no index' would silently dedup the batch
+    only against itself while still appending its codes, permanently
+    losing every batch-vs-corpus pair (the at-least-one-new-side filter
+    means they can never surface later). r7 review finding."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def resize_images(df: DataFrame, content_col: str = "content",

@@ -204,12 +204,15 @@ def stream_media_dedup(
     built like ``dedup.minhash_dedup_incremental``: each micro-batch is
     decoded once into 64-bit codes, band-joined against the index
     (pairs where at least one side is new — old-vs-old never
-    re-surfaces), the pairs appended to ``pairs_dir``, and the batch's
-    codes appended to ``index_dir``. State the stream carries is ZERO
-    (the index is a parquet table, not operator state), so the job
-    survives restarts and the index doubles as a queryable corpus
-    fingerprint catalog. Candidate volume scales with the batch, not
-    the corpus — the only shape that survives 100 TB/day ingest.
+    re-surfaces), the pairs written to ``pairs_dir`` and the batch's
+    codes to ``index_dir``, each into a ``batch_id=N`` partition so
+    foreachBatch's at-least-once replay after a crash OVERWRITES the
+    same partition instead of duplicating rows. State the stream
+    carries is ZERO (the index is a parquet table, not operator
+    state), so the job survives restarts and the index doubles as a
+    queryable corpus fingerprint catalog. Candidate volume scales with
+    the batch, not the corpus — the only shape that survives
+    100 TB/day ingest.
 
     ``kind``: image (dHash), audio (frame-energy fingerprint), or
     video (sampled per-frame dHash; pairs require ``min_frames``
@@ -223,11 +226,13 @@ def stream_media_dedup(
         raise ValueError(f"unknown media kind {kind!r}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
-            index = None
+        # missing dir -> first batch; any OTHER read failure re-raises
+        # (treating a corrupt/unreadable index as 'no index' would
+        # silently lose every batch-vs-corpus pair forever)
+        index = multimodal.read_code_index(spark, index_dir)
         # one decode per batch: media_dedup_incremental checkpoints the
         # codes, so the band join AND the index append below share them
         # without re-reading media bytes
@@ -235,8 +240,14 @@ def stream_media_dedup(
             batch_df, index, kind, content_col, id_col, every_n,
             max_hamming, bands, min_frames, use_real_decoder,
             skip_undecodable, return_codes=True)
-        pairs.write.mode("append").parquet(pairs_dir)
-        codes.write.mode("append").parquet(index_dir)
+        # batch_id-partitioned overwrites make foreachBatch's
+        # at-least-once replay idempotent: a crash between these writes
+        # and the checkpoint commit replays the batch into the SAME
+        # partition instead of appending duplicate pairs / index rows
+        pairs.write.mode("overwrite") \
+            .parquet(f"{pairs_dir}/batch_id={batch_id}")
+        codes.write.mode("overwrite") \
+            .parquet(f"{index_dir}/batch_id={batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)

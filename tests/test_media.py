@@ -265,6 +265,10 @@ def test_video_container_roundtrip():
         mc.decode_video(b"RIFFnope")
     with pytest.raises(mc.UnsupportedMedia, match="truncated"):
         mc.decode_video(blob[:-5])
+    with pytest.raises(mc.UnsupportedMedia, match="truncated"):
+        mc.decode_video(b"MPNG\x01\x00")  # header itself cut short
+    with pytest.raises(mc.UnsupportedMedia, match="u32"):
+        mc.encode_video(frames, micros_per_frame=1 << 33)
     with pytest.raises(mc.UnsupportedMedia, match="version"):
         mc.decode_video(b"MPNG" + bytes([9]) + blob[5:])
 
@@ -387,3 +391,17 @@ def test_banded_hamming_pairs_incremental(spark):
             batch, None, "code", "doc_id", max_hamming=2, bands=4,
             key_cols=("frame_no",)).collect())
     assert alone == []  # within batch: distinct frames / far codes
+
+
+def test_read_code_index_loud_on_corrupt(spark, tmp_path):
+    """read_code_index returns None ONLY for a missing path; a present
+    but unreadable index re-raises instead of silently degrading to
+    within-batch-only dedup."""
+    assert multimodal.read_code_index(
+        spark, str(tmp_path / "never_written")) is None
+    bad = tmp_path / "bad_idx"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        df = multimodal.read_code_index(spark, str(bad))
+        assert df is None  # unreachable: the read must raise
