@@ -405,3 +405,47 @@ def test_read_code_index_loud_on_corrupt(spark, tmp_path):
     with pytest.raises(Exception):
         df = multimodal.read_code_index(spark, str(bad))
         assert df is None  # unreachable: the read must raise
+
+
+def test_video_codec_roundtrip_property():
+    """Property: ANY uint8 frame stack round-trips the Motion-PNG
+    container losslessly, for every supported channel count and
+    non-square shape (hypothesis over shapes/values/frame counts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        n=st.integers(1, 4), seed=st.integers(0, 2**31 - 1),
+        micros=st.integers(0, 0xFFFFFFFF),
+    )
+    def _roundtrip(h, w, c, n, seed, micros):
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+                  for _ in range(n)]
+        out, got_micros = mc.decode_video(mc.encode_video(frames, micros))
+        assert got_micros == micros and len(out) == n
+        for got, want in zip(out, frames):
+            assert got.shape == (h, w, c)
+            assert np.array_equal(got, want)
+
+    _roundtrip()
+
+
+def test_image_and_video_frame_hash_identically(spark):
+    """The _dhash64 contract: a still image and the same bitmap as a
+    video frame produce the SAME 64-bit code, so image and video dedup
+    indexes are mutually comparable."""
+    rng = np.random.RandomState(99)
+    px = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    media_img = spark.createDataFrame(
+        [(1, mc.encode_png(px))], "media_id long, content binary")
+    media_vid = spark.createDataFrame(
+        [(1, mc.encode_video([px]))], "media_id long, content binary")
+    img_code = multimodal.phash64(
+        media_img, use_real_decoder=True).first().phash
+    vid_code = multimodal.video_frame_phash64(
+        media_vid, use_real_decoder=True).first().phash
+    assert img_code == vid_code
