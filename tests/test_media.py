@@ -449,3 +449,53 @@ def test_image_and_video_frame_hash_identically(spark):
     vid_code = multimodal.video_frame_phash64(
         media_vid, use_real_decoder=True).first().phash
     assert img_code == vid_code
+
+
+def test_pigeonhole_banding_property():
+    """The band-join guarantee, property-tested on the arithmetic the
+    Spark expression and the DuckDB oracle both use ((code >> b*w) &
+    mask — mask AFTER shift): any two codes within max_hamming <
+    bands share at least one exact band chunk, for random codes,
+    random flipped-bit subsets, and both signs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def chunks(code, bands):
+        width = 64 // bands
+        u = code & 0xFFFFFFFFFFFFFFFF  # logical shift semantics
+        return [(u >> (b * width)) & ((1 << width) - 1)
+                for b in range(bands)]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        code=st.integers(-(1 << 63), (1 << 63) - 1),
+        bands=st.sampled_from([2, 4, 8, 16]),
+        flips=st.lists(st.integers(0, 63), max_size=15, unique=True),
+    )
+    def _shares_chunk(code, bands, flips):
+        max_hamming = bands - 1
+        flips = flips[:max_hamming]
+        other = code
+        for b in flips:
+            other ^= 1 << b
+        if other >= 1 << 63:
+            other -= 1 << 64
+        a, b = chunks(code, bands), chunks(other, bands)
+        assert any(x == y for x, y in zip(a, b))
+
+    _shares_chunk()
+
+
+def test_video_near_duplicates_mixed_lengths(spark):
+    """Clips of different lengths still pair on their COMMON sampled
+    frame positions (a truncated re-upload is the classic case)."""
+    rng = np.random.RandomState(53)
+    fr = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+          for _ in range(4)]
+    media = spark.createDataFrame(
+        [(1, mc.encode_video(fr)), (2, mc.encode_video(fr[:2]))],
+        "media_id long, content binary")
+    pairs = multimodal.video_near_duplicates(
+        media, every_n=1, max_hamming=2, bands=4, min_frames=2,
+        use_real_decoder=True).collect()
+    assert [(r.id_a, r.id_b, r.n_matching) for r in pairs] == [(1, 2, 2)]
