@@ -258,11 +258,11 @@ def main(argv: list[str] | None = None) -> int:
                     "instead of failing the job on one bad blob")
 
     at = sub.add_parser("ann-tune", help="grid-search one ANN index "
-                        "parameter (ivf nprobe / lsh n_planes / sq8 "
-                        "refine) against exact recall@k on a sampled "
+                        "parameter (ivf nprobe / lsh n_planes / sq8 or "
+                        "pq refine) against exact recall@k on a sampled "
                         "query set; prints the recall/cost frontier")
     at.add_argument("--input", required=True, help="embeddings parquet")
-    at.add_argument("--index", choices=["ivf", "lsh", "sq8"],
+    at.add_argument("--index", choices=["ivf", "lsh", "sq8", "pq"],
                     default="ivf")
     at.add_argument("--grid", default=None,
                     help="comma list of knob values, e.g. 1,2,4 "

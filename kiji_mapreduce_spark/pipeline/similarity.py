@@ -567,8 +567,9 @@ def ann_tune(
 
     ``index`` picks the knob: ``"ivf"`` sweeps nprobe (quantizer fitted
     ONCE and shared across the grid, so settings differ only in probe
-    breadth — FAISS practice), ``"lsh"`` sweeps n_planes, ``"sq8"``
-    sweeps the re-rank ``refine`` factor. Per setting the report row
+    breadth — FAISS practice), ``"lsh"`` sweeps n_planes, ``"sq8"`` and
+    ``"pq"`` sweep the re-rank ``refine`` factor (PQ codebooks likewise
+    fitted once and shared). Per setting the report row
     carries mean recall@k vs ``brute_force_topk`` (``knn_recall``) and
     the average number of candidates scored per query — the
     recall/cost frontier the operator actually tunes on.
@@ -584,8 +585,10 @@ def ann_tune(
         grid = grid or [2, 4, 8]
     elif index == "sq8":
         grid = grid or [2, 4, 8]
+    elif index == "pq":
+        grid = grid or [2, 4, 8]
     else:
-        raise ValueError(f"unknown index {index!r} (ivf | lsh | sq8)")
+        raise ValueError(f"unknown index {index!r} (ivf | lsh | sq8 | pq)")
     if not grid or any(g < 1 for g in grid):
         raise ValueError("grid values must be positive ints")
 
@@ -599,6 +602,13 @@ def ann_tune(
     centers_df = None
     ranked_probes = None
     cell_sizes = None
+    pq_books = None
+    if index == "pq":
+        # fit the codebooks ONCE and share them across the grid (the
+        # IVF branch's shared-quantizer discipline): refine settings
+        # then differ only in re-rank breadth, not in quantization
+        pq_books = fit_pq_codebooks(embeddings, vec_col=vec_col,
+                                    seed=seed)
     if index == "ivf":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -663,6 +673,15 @@ def ann_tune(
                         .agg(F.avg(F.coalesce("_sz", F.lit(0)))).first())
             avg_cand = float(cand_row[0] or 0.0)
             setting = {"n_planes": g}
+        elif index == "pq":
+            approx = pq_topk(embeddings, queries, k, refine=g,
+                             codebooks=pq_books,
+                             id_col=id_col, vec_col=vec_col, seed=seed)
+            # like SQ8, the ADC pass scans the whole CODE corpus per
+            # query (codes are ~dim/n_subspaces cheaper per row, not
+            # fewer rows); refine*k is the exact re-rank breadth
+            avg_cand = float(max(corpus_n - 1, 0))
+            setting = {"refine": g}
         else:  # sq8
             approx = sq8_topk(embeddings, queries, k, refine=g,
                               id_col=id_col, vec_col=vec_col)
@@ -681,7 +700,7 @@ def ann_tune(
             "n_hits": int(rec[1] or 0), "n_exact": int(rec[2] or 0),
             "avg_candidates": round(avg_cand, 1),
         }
-        if index == "sq8":
+        if index in ("sq8", "pq"):
             row["reranked"] = min(g * k, max(corpus_n - 1, 0))
         report.append(row)
     return report

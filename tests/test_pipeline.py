@@ -1916,3 +1916,26 @@ def test_ann_tune_sq8_refine_frontier(spark):
         similarity.ann_tune(emb, qs, index="flat")
     with pytest.raises(ValueError):
         similarity.ann_tune(emb, qs, index="sq8", grid=[0])
+
+
+def test_ann_tune_pq_refine_frontier(spark):
+    """ann_tune's pq sweep: codebooks fitted once and shared across the
+    grid, recall non-decreasing in the refine factor, and re-ranking
+    the whole corpus recovers the exact result."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import similarity
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 5)
+    rep = similarity.ann_tune(emb, qs, k=3, index="pq", grid=[1, 4, 13])
+    assert [r["setting"]["refine"] for r in rep] == [1, 4, 13]
+    recalls = [r["recall"] for r in rep]
+    assert recalls == sorted(recalls)
+    # PQ's ADC pass scans all codes per query; refine sets re-rank
+    # breadth, reported separately like sq8
+    assert [r["avg_candidates"] for r in rep] == [39.0, 39.0, 39.0]
+    assert [r["reranked"] for r in rep] == [3, 12, 39]
+    assert rep[-1]["recall"] == 1.0
