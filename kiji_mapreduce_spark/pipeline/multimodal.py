@@ -620,11 +620,57 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
 
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", every_n: int = 10,
-                  frame_size: int = 256) -> DataFrame:
-    """Frame sampling plumbing: explode a video blob into frame rows
-    (media_id, frame_no, frame_bytes). The stub slices the raw bytes into
-    fixed windows standing in for decoded frames; the final window may be
-    short (flooring dropped the tail bytes entirely — r5 review)."""
+                  frame_size: int = 256,
+                  use_real_decoder: bool = False,
+                  skip_undecodable: bool = False) -> DataFrame:
+    """Explode a video blob into sampled frame rows (media_id,
+    frame_no, frame_bytes).
+
+    ``use_real_decoder=True`` parses the Motion-PNG container
+    (``media_codecs.decode_video``) and re-emits every ``every_n``-th
+    frame as standalone PNG bytes — real rows any image operator
+    (``phash64``, ``extract_features``, ``resize_images``) consumes
+    directly; MP4/WebM raise ``DecoderNotAvailable`` (ffmpeg
+    territory), or are dropped with ``skip_undecodable``. The default
+    fake path keeps the original plumbing stub: slice the raw bytes
+    into ``frame_size`` windows standing in for decoded frames (the
+    final window may be short — flooring dropped the tail bytes
+    entirely, r5 review)."""
+    if use_real_decoder:
+        if every_n < 1:
+            raise ValueError(f"every_n must be >= 1, got {every_n}")
+        schema = f"{id_col} long, frame_no int, frame_bytes binary"
+
+        def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from kiji_mapreduce_spark.pipeline import media_codecs
+
+            for pdf in batches:
+                ids: list[int] = []
+                fnos: list[int] = []
+                blobs: list[bytes] = []
+                for mid, c in zip(pdf[id_col], pdf[content_col]):
+                    raw = bytes(c) if c is not None else b""
+                    try:
+                        if raw[:4] != b"MPNG":
+                            raise DecoderNotAvailable(
+                                "non-Motion-PNG video requires ffmpeg, "
+                                "not bundled; MPNG decodes natively")
+                        frames, _micros = media_codecs.decode_video(raw)
+                    except Exception:
+                        if skip_undecodable:
+                            continue
+                        raise
+                    for fno in range(0, len(frames), every_n):
+                        ids.append(mid)
+                        fnos.append(fno)
+                        blobs.append(
+                            media_codecs.encode_png(frames[fno]))
+                yield pd.DataFrame({
+                    id_col: pd.array(ids, dtype="int64"),
+                    "frame_no": pd.array(fnos, dtype="int32"),
+                    "frame_bytes": blobs})
+
+        return df.select(id_col, content_col).mapInPandas(_explode, schema)
     n_frames = F.greatest(
         F.ceil(F.length(content_col) / F.lit(frame_size)).cast("int"),
         F.lit(1))

@@ -499,3 +499,33 @@ def test_video_near_duplicates_mixed_lengths(spark):
         media, every_n=1, max_hamming=2, bands=4, min_frames=2,
         use_real_decoder=True).collect()
     assert [(r.id_a, r.id_b, r.n_matching) for r in pairs] == [(1, 2, 2)]
+
+
+def test_sample_frames_real_decoder_feeds_image_ops(spark):
+    """sample_frames with the real decoder re-emits sampled frames as
+    standalone PNGs that image operators consume directly: the frame's
+    phash equals the whole-image phash of the same bitmap."""
+    rng = np.random.RandomState(61)
+    fr = [rng.randint(0, 256, size=(8, 9)).astype(np.uint8)
+          for _ in range(5)]
+    media = spark.createDataFrame(
+        [(1, mc.encode_video(fr)), (2, b"mp4?" * 100)],
+        "media_id long, content binary")
+    rows = multimodal.sample_frames(
+        media, every_n=2, use_real_decoder=True,
+        skip_undecodable=True).collect()
+    assert [(r.media_id, r.frame_no) for r in rows] == \
+        [(1, 0), (1, 2), (1, 4)]
+    frame_imgs = spark.createDataFrame(
+        [(r.frame_no, bytes(r.frame_bytes)) for r in rows],
+        "media_id long, content binary")
+    frame_codes = {r.media_id: r.phash for r in multimodal.phash64(
+        frame_imgs, use_real_decoder=True).collect()}
+    still = spark.createDataFrame(
+        [(0, mc.encode_png(fr[0]))], "media_id long, content binary")
+    still_code = multimodal.phash64(
+        still, use_real_decoder=True).first().phash
+    assert frame_codes[0] == still_code
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(
+            media, every_n=2, use_real_decoder=True).collect()
