@@ -111,7 +111,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tail: ALL r6-green (CORRECTNESS_r06 50/50). The r7 builder
     #    additionally drove the full registry — tail included — hash-
     #    green at sf0.01 via tools/check_correctness.py before
-    #    committing this rotation. Two tail queries carry r7
+    #    committing this rotation, and AGAIN at r7 end (all 98 queries,
+    #    three-chunk sf0.01 drive) after the continuation session's
+    #    media additions. Two tail queries carry r7
     #    VALIDATION-GUARD-only changes and ceded their window slots to
     #    materially-changed plans (knn_recall_ivf's rewired exact
     #    baseline took text_langid's): text_langid (>63-language mask
