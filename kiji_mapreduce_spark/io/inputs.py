@@ -19,6 +19,9 @@ to a Spark reader:
                       hand-rolled; records are <tag>...</tag> spans)
 - kiji (table)     -> ``spark.read.parquet(table_path)`` + DataRequest
 - csv              -> bonus (the reference parsed CSV inside importers)
+- warc             -> bonus beyond the reference: web-archive records
+                      (ISO 28500, the Common Crawl layout) parsed per
+                      file from ``binaryFile`` rows (``read_warc_records``)
 """
 
 from __future__ import annotations
@@ -77,6 +80,10 @@ class JobInput:
             return spark.read.options(**self.options).csv(self.paths)
         if fmt == "json":
             return spark.read.options(**self.options).json(self.paths)
+        if fmt == "warc":
+            return read_warc_records(
+                spark, self.paths,
+                lenient=self.options.get("lenient", "") == "true")
         raise ValueError(f"unknown input format {self.format!r}")
 
 
@@ -153,3 +160,119 @@ def _read_xml_records(spark: SparkSession, paths: list[str], row_tag: str,
     if header:
         out = out.select(F.concat(F.lit(header), F.col("xml")).alias("xml"))
     return out
+
+
+def _parse_warc(raw: bytes, path: str, lenient: bool):
+    """Yield (record_no, warc_type, target_uri, warc_date, record_id,
+    content_length, content) tuples from one WARC file's bytes.
+
+    Minimal, dependency-free reader for the public WARC format (ISO
+    28500 / the Common Crawl layout): each record is a
+    ``WARC/1.x`` version line, CRLF headers, an empty line, a
+    ``Content-Length``-framed body, and a CRLF CRLF trailer. ``.gz``
+    inputs are per-record (or whole-file) gzip member concatenations —
+    zlib inflates members sequentially until the stream is exhausted.
+    Malformed framing raises with the byte offset; ``lenient`` stops at
+    the first bad record instead (keeping everything parsed so far) —
+    crawl archives do truncate."""
+    import zlib
+
+    if raw[:2] == b"\x1f\x8b":
+        parts = []
+        pos = 0
+        while pos < len(raw):
+            d = zlib.decompressobj(wbits=47)  # auto-detect gzip member
+            parts.append(d.decompress(raw[pos:]))
+            consumed = len(raw) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        raw = b"".join(parts)
+
+    pos = 0
+    record_no = 0
+    while pos < len(raw):
+        # tolerate inter-record padding
+        while raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(raw):
+            break
+        header_end = raw.find(b"\r\n\r\n", pos)
+        if not raw.startswith(b"WARC/", pos) or header_end < 0:
+            if lenient:
+                return
+            raise ValueError(
+                f"{path}: malformed WARC record header at byte {pos}")
+        headers = {}
+        for line in raw[pos:header_end].split(b"\r\n")[1:]:
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower()] = value.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            if lenient:
+                return
+            raise ValueError(
+                f"{path}: WARC record at byte {pos} has no valid "
+                "Content-Length") from None
+        body_start = header_end + 4
+        body = raw[body_start:body_start + length]
+        if len(body) != length:
+            if lenient:
+                return
+            raise ValueError(
+                f"{path}: WARC record at byte {pos} truncated "
+                f"({len(body)} of {length} body bytes)")
+        yield (
+            record_no,
+            headers.get(b"warc-type", b"").decode("utf-8", "replace"),
+            headers.get(b"warc-target-uri", b"").decode("utf-8",
+                                                        "replace"),
+            headers.get(b"warc-date", b"").decode("utf-8", "replace"),
+            headers.get(b"warc-record-id", b"").decode("utf-8",
+                                                       "replace"),
+            length,
+            body,
+        )
+        record_no += 1
+        pos = body_start + length
+
+
+def read_warc_records(spark: SparkSession, paths: list[str],
+                      lenient: bool = False) -> DataFrame:
+    """WARC web-archive records as rows — the format crawl corpora
+    (Common Crawl) actually ship in: (path, record_no, warc_type,
+    target_uri, warc_date, record_id, content_length, content binary).
+
+    Scale shape: WARC files are NOT splittable without an external
+    index (records are length-framed, .gz variants are gzip-member
+    streams), so the unit of parallelism is the FILE — exactly how
+    crawl corpora are laid out (thousands of ~1 GB segments).
+    ``binaryFile`` never splits, one task parses one archive, and only
+    the framed records leave the parser; body payloads stay binary
+    (HTTP headers + content) for downstream extractors to decode.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+    schema = ("path string, record_no int, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+
+    def _records(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("path", "record_no", "warc_type", "target_uri",
+                     "warc_date", "record_id", "content_length",
+                     "content")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in _parse_warc(bytes(content), path, lenient):
+                    rows["path"].append(path)
+                    for key, val in zip(
+                            ("record_no", "warc_type", "target_uri",
+                             "warc_date", "record_id",
+                             "content_length", "content"), rec):
+                        rows[key].append(val)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_records, schema)
