@@ -193,6 +193,43 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, norm)
 
 
+def http_html_text(df: DataFrame, content_col: str = "content",
+                   text_col: str = "text") -> DataFrame:
+    """Crawl-ingest extraction: HTTP response bytes (a WARC response
+    record's payload — headers + body) -> (content_type, ``text_col``)
+    with markup stripped, completing the WARC -> text pipeline
+    (``io.inputs.read_warc_records`` rows feed straight into the
+    quality / langid / dedup operators).
+
+    Every step is a Catalyst expression — no UDF, fully codegen'd:
+    split headers from body at the first CRLF CRLF, pull Content-Type
+    from the header block, drop script/style/comment spans, replace
+    remaining tags with spaces, decode the common HTML entities, and
+    collapse whitespace. Non-UTF-8 pages degrade to replacement
+    characters (charset transcoding is a downstream concern — the
+    dedup/quality ops only need stable bytes). A deliberately simple
+    extractor: boilerplate removal beyond tag stripping (readability
+    scoring, main-content detection) belongs in a model-side pass.
+    """
+    s = F.decode(F.col(content_col), "UTF-8")
+    sep = F.instr(s, "\r\n\r\n")
+    headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
+        .otherwise(F.lit(""))
+    body = F.when(sep > 0, F.substr(s, sep + F.lit(4))).otherwise(s)
+    ctype = F.lower(F.trim(F.regexp_extract(
+        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
+    stripped = F.regexp_replace(
+        body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    stripped = F.regexp_replace(stripped, r"(?s)<!--.*?-->", " ")
+    stripped = F.regexp_replace(stripped, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.withColumn("content_type", ctype) \
+        .withColumn(text_col, text)
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB/most engines): ASCII classes, \b, bounded repetition only.
 PII_PATTERNS = {

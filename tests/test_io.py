@@ -449,3 +449,38 @@ def test_warc_input_records(spark, tmp_path):
     ok = read_warc_records(spark, [str(d / "a.warc")],
                            lenient=True).collect()
     assert len(ok) == 3
+
+
+def test_warc_to_text_pipeline(spark, tmp_path):
+    """The full crawl-ingest chain: WARC response records ->
+    http_html_text -> clean text rows ready for the quality/dedup ops.
+    Headers split off, Content-Type extracted, script/style/comment
+    spans dropped, tags stripped, entities decoded, whitespace
+    collapsed."""
+    from pyspark.sql import functions as F
+
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.text import http_html_text
+
+    html = (b"<html><head><style>p{color:red}</style>"
+            b"<script>var x = '<p>not text</p>';</script></head>"
+            b"<!-- hidden comment --><body><h1>Title</h1>"
+            b"<p>Hello &amp; welcome to  A&nbsp;&lt;B</p></body></html>")
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+            b"charset=UTF-8\r\nServer: x\r\n\r\n" + html)
+    bare = b"no headers, just text"
+    d = tmp_path / "warc2"
+    d.mkdir()
+    (d / "crawl.warc").write_bytes(
+        _warc_record("response", "http://example.com/p", body)
+        + _warc_record("response", "http://example.com/q", bare))
+    recs = read_warc_records(spark, [str(d)])
+    out = {r.target_uri: r for r in
+           http_html_text(recs).select(
+               "target_uri", "content_type", "text").collect()}
+    assert out["http://example.com/p"].content_type == "text/html"
+    assert out["http://example.com/p"].text == \
+        "Title Hello & welcome to A <B"
+    # payload without an HTTP header block passes through whole
+    assert out["http://example.com/q"].content_type == ""
+    assert out["http://example.com/q"].text == "no headers, just text"
