@@ -230,6 +230,49 @@ def http_html_text(df: DataFrame, content_col: str = "content",
         .withColumn(text_col, text)
 
 
+#: query parameters that never change page content — the tracking tails
+#: crawl pipelines strip before URL-keyed dedup
+_TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign",
+                    "utm_term", "utm_content", "fbclid", "gclid",
+                    "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def normalize_url(url):
+    """Canonical URL expression for crawl dedup: the same page reached
+    through different URL spellings collapses to one key before an
+    exact/URL-keyed dedup pass. Rules (the conservative, public
+    canonicalization set): drop the fragment, lowercase scheme and
+    authority, strip the scheme's default port (:80 http / :443 https),
+    drop tracking query parameters (utm_*/fbclid/gclid/...), sort the
+    remaining parameters, and drop an empty ``?``. Pure Catalyst
+    expressions over ``try_parse_url`` — no UDF, and malformed URLs
+    (a crawl corpus always contains some) pass through trimmed
+    instead of aborting the ANSI-mode job or nulling out.
+    """
+    u = F.trim(url)
+    # try_parse_url: ANSI mode's parse_url ABORTS the job on the first
+    # malformed URL — a crawl corpus always contains some
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth = F.when((proto == "http") & auth.endswith(":80"),
+                  F.substring(auth, 1, F.length(auth) - 3)) \
+        .when((proto == "https") & auth.endswith(":443"),
+              F.substring(auth, 1, F.length(auth) - 4)) \
+        .otherwise(auth)
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.lower(
+            F.substring_index(p, "=", 1)).isin(*_TRACKING_PARAMS))
+    q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        proto, F.lit("://"), auth, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+    return F.when(proto.isNotNull() & auth.isNotNull(), rebuilt) \
+        .otherwise(u)
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB/most engines): ASCII classes, \b, bounded repetition only.
 PII_PATTERNS = {

@@ -1939,3 +1939,31 @@ def test_ann_tune_pq_refine_frontier(spark):
     assert [r["avg_candidates"] for r in rep] == [39.0, 39.0, 39.0]
     assert [r["reranked"] for r in rep] == [3, 12, 39]
     assert rep[-1]["recall"] == 1.0
+
+
+def test_normalize_url_canonicalization(spark):
+    """URL canonicalization for crawl dedup: fragment dropped, scheme +
+    authority lowercased, default ports stripped, tracking params
+    removed, remaining params sorted; malformed URLs pass through
+    trimmed (try_parse_url — ANSI parse_url would abort the job);
+    percent-encoding untouched."""
+    from kiji_mapreduce_spark.pipeline.text import normalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/Pg?b=2&a=1#frag",
+         "http://example.com/Path/Pg?a=1&b=2"),
+        ("https://example.com:443/x?utm_source=tw&id=5",
+         "https://example.com/x?id=5"),
+        ("https://example.com/x?utm_source=tw", "https://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("  not a url  ", "not a url"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/a%20b?x=%26",
+         "https://example.com/a%20b?x=%26"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string")
+    got = {r.i: r.n for r in df.select(
+        "i", normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
