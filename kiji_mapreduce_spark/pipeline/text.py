@@ -273,6 +273,47 @@ def normalize_url(url):
         .otherwise(u)
 
 
+#: common multi-label public suffixes — a deliberately small heuristic
+#: subset of the Public Suffix List (the full PSL is a data file; swap
+#: it in for production exactness — the expression shape is identical)
+_SECOND_LEVEL_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "com.ar",
+    "co.in", "co.za", "com.tr", "com.sg", "co.kr", "com.tw",
+)
+
+
+def url_host(url) -> Column:
+    """Lowercased host of a URL (NULL when unparseable) — the
+    ``try_parse_url`` form that survives malformed crawl URLs."""
+    return F.lower(F.try_parse_url(F.trim(url), F.lit("HOST")))
+
+
+def registered_domain(host) -> Column:
+    """Registered (pay-level) domain of a host: the per-site key crawl
+    curation groups on — per-domain document caps, domain mixtures, and
+    domain-level quality stats all want ``news.example.co.uk`` and
+    ``blog.example.co.uk`` under one ``example.co.uk`` bucket. Compose
+    with ``sample.sample_stratum_topk`` for per-domain caps.
+
+    Heuristic public-suffix handling: the last two labels, or the last
+    three when the trailing pair is a known second-level public suffix
+    (``_SECOND_LEVEL_TLDS`` — swap in the full Public Suffix List for
+    production exactness). Hosts with one label (localhost, IPs are
+    untouched dotted quads) pass through. Pure Catalyst expressions.
+    """
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    suffixes = F.array(*[F.lit(s) for s in _SECOND_LEVEL_TLDS])
+    return (F.when(n >= 3, F.when(F.array_contains(suffixes, last2),
+                                  last3).otherwise(last2))
+            .when(n == 2, last2)
+            .otherwise(h))
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB/most engines): ASCII classes, \b, bounded repetition only.
 PII_PATTERNS = {

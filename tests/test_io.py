@@ -484,3 +484,40 @@ def test_warc_to_text_pipeline(spark, tmp_path):
     # payload without an HTTP header block passes through whole
     assert out["http://example.com/q"].content_type == ""
     assert out["http://example.com/q"].text == "no headers, just text"
+
+
+def test_warc_parser_roundtrip_property():
+    """Property: any synthesized archive of records (arbitrary binary
+    bodies, optional URIs, plain or per-record-gzipped) parses back to
+    exactly the records written, in order, with bodies intact."""
+    import gzip
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kiji_mapreduce_spark.io.inputs import _parse_warc
+
+    record = st.tuples(
+        st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+        st.one_of(st.none(), st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=30).map(lambda p: f"http://x.test/{p}")),
+        st.binary(max_size=300),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(records=st.lists(record, min_size=1, max_size=6),
+           gz=st.booleans())
+    def _roundtrip(records, gz):
+        blob = b"".join(
+            _warc_record(t, u, b) for t, u, b in records)
+        if gz:  # per-record gzip members — the .warc.gz layout
+            blob = b"".join(
+                gzip.compress(_warc_record(t, u, b))
+                for t, u, b in records)
+        got = list(_parse_warc(blob, "mem", lenient=False))
+        assert [(g[1], g[2], g[6]) for g in got] == \
+            [(t, u or "", b) for t, u, b in records]
+        assert [g[0] for g in got] == list(range(len(records)))
+
+    _roundtrip()

@@ -1967,3 +1967,28 @@ def test_normalize_url_canonicalization(spark):
         "i", normalize_url(F.col("url")).alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_registered_domain_grouping(spark):
+    """registered_domain collapses subdomains to the pay-level key
+    (heuristic PSL subset): plain TLDs keep two labels, second-level
+    public suffixes keep three, single labels pass through."""
+    from kiji_mapreduce_spark.pipeline.text import (registered_domain,
+                                                    url_host)
+
+    cases = [
+        ("https://news.example.com/a", "example.com"),
+        ("http://blog.example.co.uk/x", "example.co.uk"),
+        ("https://example.co.uk", "example.co.uk"),
+        ("https://a.b.c.example.com.au/", "example.com.au"),
+        ("http://example.org/", "example.org"),
+        ("http://localhost/x", "localhost"),
+        ("definitely not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string")
+    got = {r.i: r.d for r in df.select(
+        "i", registered_domain(url_host(F.col("url"))).alias("d")
+    ).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
