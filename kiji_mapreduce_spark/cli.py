@@ -211,6 +211,22 @@ def main(argv: list[str] | None = None) -> int:
                     "a first-split doc byte-exactly")
     tv.add_argument("--text-col", default="text")
 
+    ci = sub.add_parser("crawl-ingest", help="WARC web archives -> "
+                        "documents-shaped parquet: parse records, "
+                        "extract HTML text, canonicalize URLs, derive "
+                        "the registered domain — the bridge from crawl "
+                        "bytes to every text/dedup/curation operator")
+    ci.add_argument("--input", required=True,
+                    help="WARC file/dir (.warc or .warc.gz)")
+    ci.add_argument("--output", required=True,
+                    help="documents parquet out (doc_id, url, domain, "
+                    "content_type, warc_date, text)")
+    ci.add_argument("--lenient", action="store_true",
+                    help="keep the parsed prefix of truncated archives "
+                    "instead of failing")
+    ci.add_argument("--min-tokens", type=int, default=1,
+                    help="drop documents with fewer extracted tokens")
+
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
                         "binned KS JSON (audit.distribution_drift)")
@@ -466,6 +482,37 @@ def main(argv: list[str] | None = None) -> int:
                     written, train_split=splits[0][0],
                     text_col=args.text_col).collect()]
         print(json.dumps(out))
+        return 0
+
+    if args.command == "crawl-ingest":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.io.inputs import read_warc_records
+        from kiji_mapreduce_spark.pipeline.text import (
+            http_html_text, normalize_url, registered_domain,
+            token_count, url_host)
+
+        spark = make_session(app_name="kiji-crawl-ingest")
+        recs = read_warc_records(spark, [args.input],
+                                 lenient=args.lenient)
+        responses = recs.filter(F.col("warc_type") == "response")
+        docs = (http_html_text(responses)
+                .select(
+                    # deterministic id: a re-run over the same archives
+                    # yields the same ids, so downstream dedup indexes
+                    # and splits stay stable
+                    F.xxhash64("path", "record_no").alias("doc_id"),
+                    normalize_url(F.col("target_uri")).alias("url"),
+                    registered_domain(
+                        url_host(F.col("target_uri"))).alias("domain"),
+                    "content_type", "warc_date", "text")
+                .filter(token_count(F.col("text")) >= args.min_tokens))
+        docs.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        print(json.dumps({
+            "documents": args.output,
+            "n_docs": out.count(),
+            "n_domains": out.select("domain").distinct().count()}))
         return 0
 
     if args.command == "drift":

@@ -975,3 +975,42 @@ def test_cli_media_dedup_incremental_index(spark, tmp_path, capsys):
     assert out["n_pairs"] == 1 and out["index_rows"] == 2
     rows = spark.read.parquet(f"{tmp_path}/p2").collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
+    """crawl-ingest: WARC archive in, documents-shaped parquet out —
+    HTML stripped to text, URLs canonicalized, registered domain
+    derived, deterministic doc ids, short docs dropped."""
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body><p>Hello crawl world today</p></body></html>")
+    tiny = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>x</body></html>")
+    d = tmp_path / "archives"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        _warc_record("warcinfo", None, b"software: test")
+        + _warc_record("response",
+                       "HTTP://News.Example.co.uk:80/a?utm_source=t&b=1",
+                       html)
+        + _warc_record("response", "http://example.com/tiny", tiny))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs", "--min-tokens", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 1 and out["n_domains"] == 1
+    row = spark.read.parquet(f"{tmp_path}/docs").first()
+    assert row.url == "http://news.example.co.uk/a?b=1"
+    assert row.domain == "example.co.uk"
+    assert row.text == "Hello crawl world today"
+    assert row.content_type == "text/html"
+    # deterministic ids: a re-run produces the same doc_id
+    first_id = row.doc_id
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs2", "--min-tokens", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    assert spark.read.parquet(f"{tmp_path}/docs2").first().doc_id == first_id
