@@ -178,15 +178,35 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     import zlib
 
     if raw[:2] == b"\x1f\x8b":
+        # chunk-fed memoryview decompression: a per-record-member
+        # archive (the Common Crawl layout) has one gzip member per
+        # record, and both raw[pos:] slices AND decompressobj's
+        # unused_data tail-copy would memcpy the remainder once per
+        # member — O(members x file_size) on a 1 GB segment. Feeding
+        # bounded chunks caps the per-member overshoot (the only bytes
+        # unused_data copies) at one chunk.
+        mv = memoryview(raw)
+        step = 1 << 20
         parts = []
         pos = 0
         while pos < len(raw):
             d = zlib.decompressobj(wbits=47)  # auto-detect gzip member
-            parts.append(d.decompress(raw[pos:]))
-            consumed = len(raw) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            pos += consumed
+            try:
+                while not d.eof and pos < len(raw):
+                    chunk = mv[pos:pos + step]
+                    parts.append(d.decompress(chunk))
+                    pos += len(chunk)
+            except zlib.error as e:
+                # corrupt member / non-gzip tail: the lenient contract
+                # covers DAMAGED archives, not just damaged framing
+                if lenient:
+                    break
+                raise ValueError(
+                    f"{path}: corrupt gzip member near byte {pos}: {e}"
+                ) from e
+            if not d.eof:
+                break  # truncated final member: keep what decompressed
+            pos -= len(d.unused_data)  # overshoot into the next member
         raw = b"".join(parts)
 
     pos = 0
@@ -259,20 +279,21 @@ def read_warc_records(spark: SparkSession, paths: list[str],
               "target_uri string, warc_date string, record_id string, "
               "content_length long, content binary")
 
+    cols = ("path", "record_no", "warc_type", "target_uri",
+            "warc_date", "record_id", "content_length", "content")
+
     def _records(batches):
         for pdf in batches:
-            rows = {k: [] for k in
-                    ("path", "record_no", "warc_type", "target_uri",
-                     "warc_date", "record_id", "content_length",
-                     "content")}
+            # one yield PER ARCHIVE, not per Arrow batch: binaryFile
+            # packs whole files as rows, so a batch-wide accumulator
+            # would hold several decompressed multi-GB archives (plus
+            # their compressed blobs) in memory at once
             for path, content in zip(pdf["path"], pdf["content"]):
+                rows = {k: [] for k in cols}
                 for rec in _parse_warc(bytes(content), path, lenient):
                     rows["path"].append(path)
-                    for key, val in zip(
-                            ("record_no", "warc_type", "target_uri",
-                             "warc_date", "record_id",
-                             "content_length", "content"), rec):
+                    for key, val in zip(cols[1:], rec):
                         rows[key].append(val)
-            yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_records, schema)

@@ -205,13 +205,17 @@ def http_html_text(df: DataFrame, content_col: str = "content",
     split headers from body at the first CRLF CRLF, pull Content-Type
     from the header block, drop script/style/comment spans, replace
     remaining tags with spaces, decode the common HTML entities, and
-    collapse whitespace. Non-UTF-8 pages degrade to replacement
+    collapse whitespace. Non-UTF-8 pages and binary payloads degrade to replacement
     characters (charset transcoding is a downstream concern — the
     dedup/quality ops only need stable bytes). A deliberately simple
     extractor: boilerplate removal beyond tag stripping (readability
     scoring, main-content detection) belongs in a model-side pass.
     """
-    s = F.decode(F.col(content_col), "UTF-8")
+    # make_valid_utf8 over a binary->string cast, NOT F.decode: under
+    # Spark 4 ANSI defaults decode ABORTS the job on the first malformed
+    # byte sequence, and a real crawl always contains non-UTF-8 pages
+    # and binary payloads — invalid sequences degrade to U+FFFD instead
+    s = F.make_valid_utf8(F.col(content_col).cast("string"))
     sep = F.instr(s, "\r\n\r\n")
     headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
         .otherwise(F.lit(""))
@@ -222,8 +226,10 @@ def http_html_text(df: DataFrame, content_col: str = "content",
         body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
     stripped = F.regexp_replace(stripped, r"(?s)<!--.*?-->", " ")
     stripped = F.regexp_replace(stripped, r"(?s)<[^>]*>", " ")
-    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                    ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # &amp; decodes LAST: doing it first turns author-escaped entities
+    # ("&amp;lt;" — visible text "&lt;") into a second round of decoding
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
     text = F.trim(F.regexp_replace(stripped, r"\s+", " "))
     return df.withColumn("content_type", ctype) \
@@ -232,9 +238,12 @@ def http_html_text(df: DataFrame, content_col: str = "content",
 
 #: query parameters that never change page content — the tracking tails
 #: crawl pipelines strip before URL-keyed dedup
+#: NOTE: deliberately excludes "ref" — on major sites (code hosting
+#: branch selectors, content routers) ?ref= is content-bearing, and
+#: stripping it would collapse distinct pages into one dedup key
 _TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign",
                     "utm_term", "utm_content", "fbclid", "gclid",
-                    "msclkid", "ref", "mc_cid", "mc_eid")
+                    "msclkid", "mc_cid", "mc_eid")
 
 
 def normalize_url(url):
@@ -253,12 +262,22 @@ def normalize_url(url):
     # try_parse_url: ANSI mode's parse_url ABORTS the job on the first
     # malformed URL — a crawl corpus always contains some
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
-    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
-    auth = F.when((proto == "http") & auth.endswith(":80"),
-                  F.substring(auth, 1, F.length(auth) - 3)) \
-        .when((proto == "https") & auth.endswith(":443"),
-              F.substring(auth, 1, F.length(auth) - 4)) \
-        .otherwise(auth)
+    auth_raw = F.try_parse_url(u, F.lit("AUTHORITY"))
+    # lowercase only host[:port] — RFC 3986 makes userinfo
+    # case-sensitive, so an "User:Pass@" prefix is preserved verbatim
+    ui = F.try_parse_url(u, F.lit("USERINFO"))
+    hostport = F.when(
+        ui.isNotNull(),
+        F.lower(F.substr(auth_raw, F.length(ui) + F.lit(2)))) \
+        .otherwise(F.lower(auth_raw))
+    hostport = F.when((proto == "http") & hostport.endswith(":80"),
+                      F.substring(hostport, 1, F.length(hostport) - 3)) \
+        .when((proto == "https") & hostport.endswith(":443"),
+              F.substring(hostport, 1, F.length(hostport) - 4)) \
+        .otherwise(hostport)
+    auth = F.when(ui.isNotNull(),
+                  F.concat(ui, F.lit("@"), hostport)) \
+        .otherwise(hostport)
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     params = F.filter(
@@ -269,7 +288,7 @@ def normalize_url(url):
     rebuilt = F.concat(
         proto, F.lit("://"), auth, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
-    return F.when(proto.isNotNull() & auth.isNotNull(), rebuilt) \
+    return F.when(proto.isNotNull() & auth_raw.isNotNull(), rebuilt) \
         .otherwise(u)
 
 
@@ -299,8 +318,8 @@ def registered_domain(host) -> Column:
     Heuristic public-suffix handling: the last two labels, or the last
     three when the trailing pair is a known second-level public suffix
     (``_SECOND_LEVEL_TLDS`` — swap in the full Public Suffix List for
-    production exactness). Hosts with one label (localhost, IPs are
-    untouched dotted quads) pass through. Pure Catalyst expressions.
+    production exactness). Single-label hosts (localhost) and dotted-quad IP hosts pass
+    through whole — an IP has no registrable domain. Pure Catalyst expressions.
     """
     h = F.lower(host)
     labels = F.split(h, r"\.")
@@ -308,8 +327,12 @@ def registered_domain(host) -> Column:
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
     last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
     suffixes = F.array(*[F.lit(s) for s in _SECOND_LEVEL_TLDS])
-    return (F.when(n >= 3, F.when(F.array_contains(suffixes, last2),
-                                  last3).otherwise(last2))
+    # dotted-quad hosts have no registrable domain — last-two-labels
+    # would merge every 10.77.*.1 and 192.168.*.1 into one "0.1" bucket
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (F.when(is_ip, h)
+            .when(n >= 3, F.when(F.array_contains(suffixes, last2),
+                                 last3).otherwise(last2))
             .when(n == 2, last2)
             .otherwise(h))
 

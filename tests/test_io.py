@@ -521,3 +521,46 @@ def test_warc_parser_roundtrip_property():
         assert [g[0] for g in got] == list(range(len(records)))
 
     _roundtrip()
+
+
+def test_warc_gzip_corruption_and_non_utf8(spark, tmp_path):
+    """Review-fix contracts: a corrupt gzip member respects lenient
+    (parsed prefix kept) and raises with the path in strict mode; a
+    non-UTF-8 / binary payload flows through http_html_text as
+    replacement characters instead of aborting the ANSI job."""
+    import gzip
+
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.text import http_html_text
+
+    d = tmp_path / "gzwarc"
+    d.mkdir()
+    good = gzip.compress(_warc_record("response", "http://x/a", b"okay"))
+    (d / "bad.warc.gz").write_bytes(good + b"\x1f\x8bGARBAGE-MEMBER")
+    ok = read_warc_records(spark, [str(d)], lenient=True).collect()
+    assert [(r.target_uri, bytes(r.content)) for r in ok] == \
+        [("http://x/a", b"okay")]
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="corrupt gzip"):
+        read_warc_records(spark, [str(d)]).collect()
+
+    latin = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             b"<p>caf\xe9 r\xe9sum\xe9</p>")
+    (d / "latin.warc").write_bytes(
+        _warc_record("response", "http://x/l", latin))
+    rows = {r.target_uri: r.text for r in http_html_text(
+        read_warc_records(spark, [str(d / "latin.warc")])).collect()}
+    # latin-1 bytes degrade to U+FFFD and the job survives
+    assert rows["http://x/l"] == "caf\ufffd r\ufffdsum\ufffd"
+
+
+def test_html_escaped_entities_not_double_decoded(spark):
+    """&amp;lt; is author-visible '&lt;' — decoding &amp; last keeps it
+    from collapsing to '<' (review finding)."""
+    from pyspark.sql import functions as F
+
+    from kiji_mapreduce_spark.pipeline.text import http_html_text
+
+    df = spark.createDataFrame(
+        [(1, b"<p>a &amp;lt; b</p>")], "i long, content binary")
+    assert http_html_text(df).first().text == "a &lt; b"
