@@ -226,6 +226,11 @@ def main(argv: list[str] | None = None) -> int:
                     "instead of failing")
     ci.add_argument("--min-tokens", type=int, default=1,
                     help="drop documents with fewer extracted tokens")
+    ci.add_argument("--max-docs-per-domain", type=int, default=0,
+                    help="cap documents per registered domain via the "
+                    "deterministic per-stratum reservoir (0 = no cap) "
+                    "— the standard guard against one big site "
+                    "dominating a crawl mix")
 
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
@@ -507,6 +512,12 @@ def main(argv: list[str] | None = None) -> int:
                         url_host(F.col("target_uri"))).alias("domain"),
                     "content_type", "warc_date", "text")
                 .filter(token_count(F.col("text")) >= args.min_tokens))
+        if args.max_docs_per_domain > 0:
+            from kiji_mapreduce_spark.pipeline.sample import stratum_topk
+
+            docs = stratum_topk(
+                docs, "domain", args.max_docs_per_domain,
+                key_col="doc_id").drop("sample_rank")
         docs.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         print(json.dumps({

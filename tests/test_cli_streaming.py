@@ -1014,3 +1014,16 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     assert spark.read.parquet(f"{tmp_path}/docs2").first().doc_id == first_id
+    # per-domain cap: 3 same-domain pages capped deterministically at 2
+    (d / "seg2.warc").write_bytes(b"".join(
+        _warc_record("response", f"http://big.site/{i}",
+                     b"HTTP/1.1 200 OK\r\n\r\n<p>some words here ok</p>")
+        for i in range(3)))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs3", "--min-tokens", "2",
+                   "--max-docs-per-domain", "2"])
+    assert rc == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    capped = spark.read.parquet(f"{tmp_path}/docs3")
+    assert capped.filter("domain = 'big.site'").count() == 2
+    assert out3["n_docs"] == 3  # 2 capped + the 1 example.co.uk doc
