@@ -642,9 +642,16 @@ def q_collocations_top(spark, sf_dir):
     and pair count tables, totals fold in as broadcast scalars."""
     docs = _t(spark, sf_dir, "documents")
     out = lm.collocations(docs, min_count=5)
+    # TakeOrderedAndProject (orderBy+limit) instead of ranking the full
+    # pruned pair table in an unpartitioned window: at 100x corpus the
+    # distinct-adjacent-pair vocabulary is still hundreds of millions of
+    # rows, and a global row_number() funnels all of them through one
+    # task.  Ranking only the 20 survivors (same order + tie-break, so
+    # the oracle hash is unchanged) keeps the window input literally
+    # bounded — the classifier_score_topk idiom.
+    top = (out.orderBy(F.col("npmi").desc(), "w1", "w2").limit(20))
     w = Window.orderBy(F.col("npmi").desc(), "w1", "w2")
-    return (out.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("w1", "w2", "n_pair", "n_w1", "n_w2",
                     F.round("pmi", 6).alias("pmi"),
                     F.round("npmi", 6).alias("npmi"), "rank"))

@@ -39,94 +39,23 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- NEW in r7: image perceptual-hash near-dup dedup (dHash over
-    #    decoded bitmaps into the pigeonhole band join; r6 verdict
-    #    ask #3) --
-    "image_near_duplicates": q_image_near_duplicates,
-    # -- changed in r7: the flat ANN candidate rankings now go through
-    #    the skew-safe two-phase salted_topk (r6 verdict ask #2 — sq8
-    #    and pq here; knn_cosine_topk and hard_negative_mining carry
-    #    the same change inside the rotated r5 block below;
-    #    knn_recall_ivf's exact baseline composes the rewired
-    #    brute_force_topk, so it is r7-changed too — r7 review
-    #    finding), and the streaming drift monitor adds binned KS
-    #    (ask #4) --
-    "knn_sq8_topk": q_knn_sq8_topk,
-    "knn_pq_topk": q_knn_pq_topk,
-    "knn_recall_ivf": q_knn_recall_ivf,
-    "streaming_drift_psi": q_streaming_drift_psi,
-    # -- the r5-green block, rotated in per the 2-round freshness cap
-    #    (ledger VERIFIED.json is as_of_round=6: everything below was
-    #    last driver-green in r5 and would age out next round).
-    #    knn_cosine_topk and hard_negative_mining are ALSO r7-changed
-    #    (salted_topk rewiring) --
-    "text_fingerprint": q_text_fingerprint,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "text_chunking": q_text_chunking,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
-    "pagerank_nation_trade": q_pagerank_nation_trade,
-    "entity_resolution_blocked": q_entity_resolution,
-    "streaming_sessionize": q_streaming_sessionize,
-    "mixture_temperature": q_mixture_temperature,
-    "weighted_sample_topk": q_weighted_sample,
-    "hard_negative_mining": q_hard_negative_mining,
-    "pipeline_curate": q_pipeline_curate,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_spans": q_decontaminate_spans,
-    "streaming_windowed_counts": q_streaming_windowed_counts,
-    "sessionize_events": q_sessionize_events,
-    "kvstore_avro_file_join": q_kvstore_avro_file_join,
-    "versioned_latest_event_value": q_versioned_latest_event_value,
-    "versioned_slice_maxversions": q_versioned_slice_maxversions,
-    "map_family_regex_filter": q_map_family_regex_filter,
-    "entity_key_hash": q_entity_key_hash,
-    "asof_join_purchase_click": q_asof_join_purchase_click,
-    "range_join_price_bands": q_range_join_price_bands,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
-    "quantiles_order_price": q_quantiles_order_price,
-    "sql_surface_big_spenders": q_sql_surface_big_spenders,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wordcount_top50": q_wordcount_top50,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pivot_wide_event_values": q_pivot_wide_event_values,
-    "array_agg_priorities": q_array_agg_priorities,
-    "events_json_props": q_events_json_props,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "data_quality_audit": q_data_quality_audit,
-    "embedding_near_dups": q_embedding_near_dups,
-    "text_repetition": q_text_repetition,
-    "text_pii": q_text_pii,
-    "multimodal_features": q_multimodal_features,
-    "streaming_interval_join": q_streaming_interval_join,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: ALL r6-green (CORRECTNESS_r06 50/50). The r7 builder
-    #    additionally drove the full registry — tail included — hash-
-    #    green at sf0.01 via tools/check_correctness.py before
-    #    committing this rotation, and AGAIN at r7 end (all 98 queries,
-    #    three-chunk sf0.01 drive) after the continuation session's
-    #    media additions. Two tail queries carry r7
-    #    VALIDATION-GUARD-only changes and ceded their window slots to
-    #    materially-changed plans (knn_recall_ivf's rewired exact
-    #    baseline took text_langid's): text_langid (>63-language mask
-    #    guard, ADVICE r6) and split_train_test (duplicate-split-name
-    #    guard, ADVICE r6). Both guards are unreachable on the queries'
-    #    own inputs, pytest-covered, and both queries were locally
-    #    hash-driven at sf0.01 this round --
+    # -- changed in r8: collocations_top's top-20 selection moved from a
+    #    global row_number window to orderBy+limit (TakeOrdered) with the
+    #    rank computed over the 20 survivors (r7 verdict ask #2) --
+    "collocations_top": q_collocations_top,
+    # -- NEW_PENDING_WINDOW from r7, exemption expired: the video and
+    #    audio near-dup queries take window slots FIRST in r8 for their
+    #    first driver-oracle rows (r7 verdict ask #1) --
+    "video_near_duplicates": q_video_near_duplicates,
+    "audio_near_duplicates": q_audio_near_duplicates,
+    # -- the r6-green tail block, rotated in per the 2-round freshness
+    #    cap (ledger VERIFIED.json as_of_round=7: everything below was
+    #    last driver-green in r6 and would age out next round) --
     "text_langid": q_text_langid,
     "classifier_score_topk": q_classifier_score_topk,
     "drift_orders_price": q_drift_orders_price,
     "split_train_test": q_split_train_test,
     "split_leakage": q_split_leakage,
-    "collocations_top": q_collocations_top,
     "negative_sample_vocab": q_negative_sample_vocab,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_source_matrix": q_dedup_source_matrix,
@@ -167,17 +96,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    # -- NEW mid-r7, window full (1 new + 4 changed + the 45-query
-    #    r5-green rotation leaves zero slack, and displacing any
-    #    rotation member would breach the 2-round freshness cap), so
-    #    these two sit at the tail with documented local sf0.01 hash
-    #    drives and take window slots FIRST in r8 per the new/changed-
-    #    first policy: video near-dup (Motion-PNG container -> sampled
-    #    frame dHashes -> frame-keyed band join) and the audio
-    #    fingerprint dedup's first oracle row (the op itself landed in
-    #    r7 with pytest coverage only) --
-    "video_near_duplicates": q_video_near_duplicates,
-    "audio_near_duplicates": q_audio_near_duplicates,
+    # -- fresh-verified (r7) fill for the remaining slots --
+    "entity_key_hash": q_entity_key_hash,
+    "text_token_count": q_text_token_count,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r7-green (CORRECTNESS_r07 50/50 covered the r7 window;
+    #    the r8 builder additionally re-drove changed/tail queries at
+    #    sf0.01 via tools/check_correctness.py before committing this
+    #    rotation) --
+    "image_near_duplicates": q_image_near_duplicates,
+    "knn_sq8_topk": q_knn_sq8_topk,
+    "knn_pq_topk": q_knn_pq_topk,
+    "knn_recall_ivf": q_knn_recall_ivf,
+    "streaming_drift_psi": q_streaming_drift_psi,
+    "text_fingerprint": q_text_fingerprint,
+    "text_quality": q_text_quality,
+    "text_chunking": q_text_chunking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
+    "pagerank_nation_trade": q_pagerank_nation_trade,
+    "entity_resolution_blocked": q_entity_resolution,
+    "streaming_sessionize": q_streaming_sessionize,
+    "mixture_temperature": q_mixture_temperature,
+    "weighted_sample_topk": q_weighted_sample,
+    "hard_negative_mining": q_hard_negative_mining,
+    "pipeline_curate": q_pipeline_curate,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "sessionize_events": q_sessionize_events,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
+    "array_agg_priorities": q_array_agg_priorities,
+    "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
+    "embedding_near_dups": q_embedding_near_dups,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "multimodal_features": q_multimodal_features,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
@@ -186,56 +162,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: enforced by tests/test_suite_smoke.py::test_first_window_membership —
 #: hand-ordered dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    "image_near_duplicates",
-    "knn_sq8_topk",
-    "knn_pq_topk",
-    "knn_recall_ivf",
-    "streaming_drift_psi",
-    "text_fingerprint",
-    "text_token_count",
-    "text_quality",
-    "text_chunking",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "kmv_distinct_users",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_ngrams",
-    "pagerank_nation_trade",
-    "entity_resolution_blocked",
-    "streaming_sessionize",
-    "mixture_temperature",
-    "weighted_sample_topk",
-    "hard_negative_mining",
-    "pipeline_curate",
-    "decontaminate_overlap",
-    "decontaminate_spans",
-    "streaming_windowed_counts",
-    "sessionize_events",
-    "kvstore_avro_file_join",
-    "versioned_latest_event_value",
-    "versioned_slice_maxversions",
-    "map_family_regex_filter",
+    "collocations_top",
+    "video_near_duplicates",
+    "audio_near_duplicates",
+    "text_langid",
+    "classifier_score_topk",
+    "drift_orders_price",
+    "split_train_test",
+    "split_leakage",
+    "negative_sample_vocab",
+    "dedup_simhash_pairs",
+    "dedup_source_matrix",
+    "knn_ivf_topk",
+    "knn_lsh_topk",
+    "cell_rewrite_int_to_long",
+    "lm_bigram_quality",
+    "streaming_dedup_docs",
+    "bm25_search_topk",
+    "text_normalize",
+    "sample_stratified",
+    "sample_stratum_topk",
+    "events_anomaly_zscore",
+    "mixture_token_budget",
+    "pack_documents",
+    "kmeans_clusters",
+    "salted_topk_events",
+    "sample_cluster_balanced",
+    "gather_pricing_summary",
+    "filter_pushdown_revenue",
+    "kvstore_lookup_join",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "join_revenue_by_nation",
+    "producer_price_band",
+    "pivot_orders_by_customer",
+    "bulk_import_props",
+    "window_top3_orders_per_customer",
+    "set_ops_nations",
+    "rollup_revenue",
+    "mapreduce_event_stats",
+    "topk_shipping_priority",
+    "union_all_parties",
+    "cube_order_stats",
+    "distinct_segments",
+    "text_byte_stats",
+    "window_running_revenue",
+    "dedup_corpus_survivors",
+    "dedup_incremental_pairs",
+    "countmin_heavy_hitters",
     "entity_key_hash",
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    "knn_cosine_topk",
-    "embedding_label_cosine_stats",
-    "quantiles_order_price",
-    "sql_surface_big_spenders",
-    "grouping_sets_orders",
-    "wordcount_top50",
-    "tfidf_top_terms",
-    "pivot_wide_event_values",
-    "array_agg_priorities",
-    "events_json_props",
-    "timeseries_gapfill",
-    "snapshot_diff_orders",
-    "data_quality_audit",
-    "embedding_near_dups",
-    "text_repetition",
-    "text_pii",
-    "multimodal_features",
-    "streaming_interval_join",
+    "text_token_count",
 ]
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
@@ -246,10 +222,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #: current round — next round these MUST take window slots (the
 #: new/changed-first policy) or the test fails, so the exemption
 #: self-expires and cannot become a parking lot.
-NEW_PENDING_WINDOW: dict[str, int] = {
-    "video_near_duplicates": 7,
-    "audio_near_duplicates": 7,
-}
+NEW_PENDING_WINDOW: dict[str, int] = {}
 
 
 ORACLES: dict[str, str] = {

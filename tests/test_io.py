@@ -554,6 +554,68 @@ def test_warc_gzip_corruption_and_non_utf8(spark, tmp_path):
     assert rows["http://x/l"] == "caf\ufffd r\ufffdsum\ufffd"
 
 
+def test_warc_truncated_gzip_member_strict_raises():
+    """ADVICE r7 (medium): strict mode must raise on a TRUNCATED final
+    gzip member — both one cut mid-member (partial output) and one cut
+    so early it produced no output. Pre-r8 both parsed clean with
+    records silently missing, exactly the data loss --lenient exists to
+    opt into. Lenient keeps the parsed prefix."""
+    import gzip
+
+    import pytest
+
+    from kiji_mapreduce_spark.io.inputs import _parse_warc
+
+    m1 = gzip.compress(_warc_record("response", "http://x/a", b"one"))
+    m2 = gzip.compress(_warc_record("response", "http://x/b", b"two"))
+
+    # early cut: member 2 produced no output -> lenient keeps record 1;
+    # late cut (inside the 8-byte CRC/ISIZE trailer): all DATA already
+    # inflated -> lenient keeps both records; strict raises either way
+    # because the member never reached eof
+    for cut, kept_expected in (
+            (len(m1) + 5, [("http://x/a", b"one")]),
+            (len(m1) + len(m2) - 3,
+             [("http://x/a", b"one"), ("http://x/b", b"two")])):
+        blob = (m1 + m2)[:cut]
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            list(_parse_warc(blob, "mem", lenient=False))
+        kept = list(_parse_warc(blob, "mem", lenient=True))
+        assert [(g[2], g[6]) for g in kept] == kept_expected
+
+
+def test_warc_framing_is_incremental():
+    """r7 verdict ask #7: records are framed from the inflate loop, not
+    from a whole-archive join — after the first record is yielded, the
+    framer must not have consumed the rest of the chunk stream, so
+    per-task memory stays O(record + chunk) on a multi-GB archive."""
+    from kiji_mapreduce_spark.io.inputs import _frame_warc_records
+
+    records = [_warc_record("response", f"http://x/{i}",
+                            bytes([i % 251]) * 4096)
+               for i in range(50)]
+    blob = b"".join(records)
+    step = 512
+    pulled = 0
+
+    def chunks():
+        nonlocal pulled
+        for off in range(0, len(blob), step):
+            pulled += 1
+            yield blob[off:off + step]
+
+    total_chunks = -(-len(blob) // step)
+    gen = _frame_warc_records(chunks(), "mem", lenient=False)
+    first = next(gen)
+    assert first[2] == "http://x/0"
+    # one record spans ~ (4096 + headers) / 512 ~ 9 chunks; allow slack
+    # for the trailer/padding probe but require FAR less than the file
+    assert pulled <= 12, f"consumed {pulled} chunks for one record"
+    assert pulled < total_chunks // 3
+    rest = list(gen)
+    assert len(rest) == 49 and rest[-1][2] == "http://x/49"
+
+
 def test_html_escaped_entities_not_double_decoded(spark):
     """&amp;lt; is author-visible '&lt;' — decoding &amp; last keeps it
     from collapsing to '<' (review finding)."""

@@ -9,6 +9,9 @@ Checks (per query):
   (projection should prune; wide = >8 columns read from lineitem/orders)
 - row-at-a-time PythonUDF (non-Arrow) in the plan -> ERROR
   (only ArrowEvalPython / mapInPandas allowed)
+- WindowExec with an empty partition spec -> ERROR unless the query is
+  on UNPARTITIONED_WINDOW_ALLOWED (window input literally bounded: a
+  post-limit rank, a <=bins histogram, a k-row seed table)
 
 Usage: python tools/plan_lint.py [sf_dir]
 Exit 1 on any ERROR.
@@ -40,6 +43,63 @@ BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
 WIDE_SCAN_ALLOWED = {"producer_price_band", "window_top3_orders_per_customer",
                      "window_running_revenue", "quantiles_order_price",
                      "cube_order_stats"}
+# queries where a WindowExec with NO partition spec is fine because its
+# input subtree is literally bounded — a global rank over rows that a
+# limit / histogram-bin cap / k-row seed table already reduced to a
+# handful.  An unpartitioned window over unbounded input funnels the
+# whole table through one task at 100x scale, so anything NOT listed
+# here is an ERROR.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    # rank applied AFTER orderBy(...).limit(k) — TakeOrdered feeds the
+    # window <= k rows
+    "classifier_score_topk", "collocations_top",
+    # salted_topk's final phase: global rank over the <= n_salts * k
+    # per-salt survivors (the constant "_all" stratum folds away,
+    # leaving the bounded re-rank)
+    "negative_sample_vocab",
+    # 8-row deterministic-centroid seed rank after orderBy().limit(8)
+    # (recall eval embeds the ivf search twice: probe + exact baseline)
+    "knn_ivf_topk", "knn_recall_ivf",
+    # global-frame share-of-total over the per-stratum grouped
+    # aggregate — input bounded by distinct strata (languages/sources),
+    # not corpus size (pipeline/sample.py mixture_weights)
+    "mixture_temperature", "mixture_token_budget",
+    # cumulative share over a <= n_bins histogram table (audit.py)
+    "drift_orders_price",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count WindowExec nodes whose partition spec is empty.
+
+    A WindowExec prints as ``Window [exprs], [partSpec], [orderSpec]``
+    with EMPTY argument sequences omitted entirely, so both an
+    unpartitioned-but-ordered window and a partitioned-but-unordered
+    one print two top-level bracket groups.  The discriminator: order
+    specs always carry sort markers (``ASC NULLS`` / ``DESC NULLS``),
+    partition specs never do.  Groups are split depth-aware because
+    window expressions nest brackets (array indexing, lambdas).
+    """
+    count = 0
+    for m in re.finditer(r"(?m)(?:^|[\s:+-])Window (\[.*)$", plan):
+        rest = m.group(1)
+        depth = 0
+        groups = []
+        for i, ch in enumerate(rest):
+            if ch == "[":
+                if depth == 0:
+                    groups.append(i + 1)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups[-1] = rest[groups[-1]:i]
+        if len(groups) == 1:
+            count += 1  # neither partitioned nor ordered: global frame
+        elif len(groups) == 2 and re.search(
+                r"(?:ASC|DESC) NULLS", groups[1]):
+            count += 1  # second group is an ORDER spec -> no partition
+    return count
 
 
 def main() -> None:
@@ -67,6 +127,12 @@ def main() -> None:
                             f"build side is genuinely tiny)")
         if re.search(r"\bBatchEvalPython\b", plan):
             errors.append(f"{name}: row-at-a-time Python UDF in plan")
+        nw = _unpartitioned_windows(plan)
+        if nw and name not in UNPARTITIONED_WINDOW_ALLOWED:
+            errors.append(f"{name}: {nw} unpartitioned Window node(s) — "
+                          f"all rows move to one task; bound the input "
+                          f"(orderBy+limit then rank) or partition the "
+                          f"window")
         for m in re.finditer(r"FileScan parquet[^\n]*ReadSchema: struct<([^\n]*)", plan):
             ncols = m.group(1).count(",") + 1
             if ncols > 8 and name not in WIDE_SCAN_ALLOWED:
