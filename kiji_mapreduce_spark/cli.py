@@ -231,6 +231,12 @@ def main(argv: list[str] | None = None) -> int:
                     "deterministic per-stratum reservoir (0 = no cap) "
                     "— the standard guard against one big site "
                     "dominating a crawl mix")
+    ci.add_argument("--psl", default=None, metavar="FILE",
+                    help="Public Suffix List file for exact registered-"
+                    "domain extraction (publicsuffix.org format); "
+                    "default: the vendored snapshot subset; "
+                    "--psl=heuristic selects the expression-only "
+                    "fallback")
 
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
@@ -508,10 +514,24 @@ def main(argv: list[str] | None = None) -> int:
                     # and splits stay stable
                     F.xxhash64("path", "record_no").alias("doc_id"),
                     normalize_url(F.col("target_uri")).alias("url"),
-                    registered_domain(
-                        url_host(F.col("target_uri"))).alias("domain"),
+                    url_host(F.col("target_uri")).alias("_host"),
                     "content_type", "warc_date", "text")
                 .filter(token_count(F.col("text")) >= args.min_tokens))
+        if args.psl == "heuristic":
+            # expression-only fallback: no rule tables, approximate
+            # second-level handling
+            docs = docs.withColumn(
+                "domain", registered_domain(F.col("_host")))
+        else:
+            from kiji_mapreduce_spark.pipeline import psl as psl_mod
+
+            rules = (psl_mod.load_psl(args.psl) if args.psl
+                     else psl_mod.snapshot_rules())
+            docs = psl_mod.with_registered_domain(
+                docs, "_host", "domain", rules=rules, spark=spark)
+        docs = docs.drop("_host").select(
+            "doc_id", "url", "domain", "content_type", "warc_date",
+            "text")
         if args.max_docs_per_domain > 0:
             from kiji_mapreduce_spark.pipeline.sample import stratum_topk
 

@@ -317,11 +317,17 @@ def registered_domain(host) -> Column:
 
     Heuristic public-suffix handling: the last two labels, or the last
     three when the trailing pair is a known second-level public suffix
-    (``_SECOND_LEVEL_TLDS`` — swap in the full Public Suffix List for
-    production exactness). Single-label hosts (localhost) and dotted-quad IP hosts pass
+    (``_SECOND_LEVEL_TLDS``). For PSL-exact extraction use
+    ``pipeline.psl.with_registered_domain`` (broadcast rule-table
+    joins over the full Public Suffix List — ``kiji-mr crawl-ingest
+    --psl``); this expression stays as the dependency-free fallback.
+    Single-label hosts (localhost) and dotted-quad IP hosts pass
     through whole — an IP has no registrable domain. Pure Catalyst expressions.
     """
-    h = F.lower(host)
+    # strip ONE trailing dot: "example.com." is valid FQDN spelling and
+    # would otherwise contribute an empty label, returning "com." and
+    # merging unrelated sites into one bucket (ADVICE r7)
+    h = F.regexp_replace(F.lower(host), r"\.$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")

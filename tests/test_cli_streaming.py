@@ -1027,3 +1027,64 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     capped = spark.read.parquet(f"{tmp_path}/docs3")
     assert capped.filter("domain = 'big.site'").count() == 2
     assert out3["n_docs"] == 3  # 2 capped + the 1 example.co.uk doc
+
+
+def test_cli_crawl_ingest_psl_domain_buckets(spark, tmp_path, capsys):
+    """r7 verdict ask #6: per-domain caps bucket by the PSL-exact
+    registered domain — subdomains of one multi-label-ccTLD site merge
+    into one bucket, per-user platform sites (github.io, PSL private
+    section) stay separate, and --psl FILE / --psl=heuristic override
+    the default snapshot."""
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n<p>enough words to pass here</p>"
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(b"".join(
+        _warc_record("response", uri, body) for uri in [
+            "http://news.example.com.au/1",
+            "http://blog.example.com.au/2",
+            "http://shop.example.com.au/3",
+            "http://alice.github.io/a",
+            "http://bob.github.io/b",
+        ]))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs",
+                   "--max-docs-per-domain", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(f"{tmp_path}/docs")
+    # 3 example.com.au subdomain pages -> ONE bucket, capped at 2;
+    # alice/bob.github.io are separate sites -> uncapped
+    assert out["n_docs"] == 4 and out["n_domains"] == 3
+    per = {r.domain: r.n for r in docs.groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"example.com.au": 2, "alice.github.io": 1,
+                   "bob.github.io": 1}
+
+    # a custom --psl file changes the bucketing (zz becomes 2-level)
+    (d2 := tmp_path / "arch2").mkdir()
+    (d2 / "seg.warc").write_bytes(b"".join(
+        _warc_record("response", uri, body) for uri in [
+            "http://a.site.co.zz/1", "http://b.site.co.zz/2"]))
+    (pslf := tmp_path / "psl.dat").write_text("co.zz\n")
+    rc = cli.main(["crawl-ingest", "--input", str(d2),
+                   "--output", f"{tmp_path}/docs2",
+                   "--psl", str(pslf)])
+    assert rc == 0
+    capsys.readouterr()
+    assert [r.domain for r in spark.read.parquet(
+        f"{tmp_path}/docs2").select("domain").distinct().collect()] == \
+        ["site.co.zz"]
+
+    # --psl=heuristic: expression fallback (github.io not special)
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs3",
+                   "--psl", "heuristic"])
+    assert rc == 0
+    capsys.readouterr()
+    doms = {r.domain for r in spark.read.parquet(
+        f"{tmp_path}/docs3").select("domain").distinct().collect()}
+    assert doms == {"example.com.au", "github.io"}

@@ -1994,6 +1994,127 @@ def test_registered_domain_grouping(spark):
         assert got[i] == want, (cases[i][0], got[i], want)
 
 
+def test_registered_domain_psl_exact(spark):
+    """PSL-driven registered domains (r7 verdict ask #6): multi-label
+    ccTLD registries, wildcard rules, exception rules, trailing-dot
+    FQDN spelling (ADVICE r7), IPs, and hosts that ARE a public
+    suffix — all via the broadcast rule-table joins."""
+    from kiji_mapreduce_spark.pipeline import psl
+
+    rules = psl.snapshot_rules()
+    cases = [
+        ("news.example.com", "example.com"),
+        ("blog.example.co.uk", "example.co.uk"),
+        ("a.b.c.example.com.au", "example.com.au"),
+        ("deep.example.ac.jp", "example.ac.jp"),
+        # wildcard *.ck: any second label is a public suffix
+        ("foo.bar.ck", "foo.bar.ck"),
+        ("x.foo.bar.ck", "foo.bar.ck"),
+        # exception !www.ck beats the wildcard
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # geo-jp wildcard + its city exception
+        ("a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        # private-section platform suffix: per-user sites stay separate
+        ("alice.github.io", "alice.github.io"),
+        ("www.alice.github.io", "alice.github.io"),
+        # trailing dot is FQDN spelling, not an extra empty label
+        ("example.com.", "example.com"),
+        ("blog.example.co.uk.", "example.co.uk"),
+        # no registrable domain -> host passes through
+        ("co.uk", "co.uk"),
+        ("localhost", "localhost"),
+        ("192.168.0.1", "192.168.0.1"),
+        ("unknown-tld-host.zz", "unknown-tld-host.zz"),
+        ("a.unknown-tld-host.zz", "unknown-tld-host.zz"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, host string")
+    out = psl.with_registered_domain(df, "host", "d", rules=rules,
+                                     spark=spark)
+    got = {r.i: r.d for r in out.collect()}
+    for i, (host, want) in enumerate(cases):
+        assert got[i] == want, (host, got[i], want)
+        # the single-node reference agrees (property-test backstop)
+        assert psl.registered_domain_py(host, rules) == want, host
+
+
+def test_registered_domain_psl_matches_reference_property(spark):
+    """Property: with_registered_domain == registered_domain_py on
+    randomized hosts assembled from PSL-relevant and junk labels."""
+    import itertools
+    import random
+
+    from kiji_mapreduce_spark.pipeline import psl
+
+    rules = psl.snapshot_rules()
+    rng = random.Random(7)
+    labels = ["www", "a", "blog", "x9", "example", "city", "foo",
+              "co", "uk", "com", "au", "jp", "ck", "kawasaki", "sch",
+              "github", "io", "zz"]
+    hosts = []
+    for _ in range(200):
+        k = rng.randint(1, 5)
+        h = ".".join(rng.choice(labels) for _ in range(k))
+        if rng.random() < 0.1:
+            h += "."
+        hosts.append(h)
+    hosts.extend(".".join(t) for t in itertools.product(
+        ["a", "city"], ["kawasaki", "sch", "www"], ["jp", "uk", "ck"]))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, host string")
+    out = psl.with_registered_domain(df, "host", "d", rules=rules,
+                                     spark=spark)
+    got = {r.i: r.d for r in out.collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == psl.registered_domain_py(h, rules), h
+
+
+def test_registered_domain_heuristic_trailing_dot(spark):
+    """ADVICE r7: the heuristic expression strips one trailing dot
+    instead of returning a 'com.' bucket."""
+    from kiji_mapreduce_spark.pipeline.text import registered_domain
+
+    df = spark.createDataFrame(
+        [(0, "news.example.com."), (1, "blog.example.co.uk.")],
+        "i long, host string")
+    got = {r.i: r.d for r in df.select(
+        "i", registered_domain(F.col("host")).alias("d")).collect()}
+    assert got == {0: "example.com", 1: "example.co.uk"}
+
+
+def test_psl_parse_rejects_unsupported_wildcards():
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import psl
+
+    with pytest.raises(ValueError, match="non-leading wildcard"):
+        psl.parse_psl("foo.*.bar")
+    with pytest.raises(ValueError, match="multi-wildcard"):
+        psl.parse_psl("*.*.bar")
+    with pytest.raises(ValueError, match="wildcard exception"):
+        psl.parse_psl("!*.bar")
+
+
+def test_psl_load_file_roundtrip(tmp_path, spark):
+    """--psl file loading: a custom rules file overrides the snapshot
+    (a TLD the snapshot treats as implicit-* becomes second-level)."""
+    from kiji_mapreduce_spark.pipeline import psl
+
+    f = tmp_path / "custom.dat"
+    f.write_text("// custom\nco.zz\n*.whatever.zz\n!keep.whatever.zz\n")
+    rules = psl.load_psl(str(f))
+    df = spark.createDataFrame(
+        [(0, "a.b.co.zz"), (1, "x.y.whatever.zz"),
+         (2, "sub.keep.whatever.zz")], "i long, host string")
+    out = psl.with_registered_domain(df, "host", "d", rules=rules,
+                                     spark=spark)
+    got = {r.i: r.d for r in out.collect()}
+    assert got == {0: "b.co.zz", 1: "x.y.whatever.zz",
+                   2: "keep.whatever.zz"}
+
+
 def test_url_review_fix_contracts(spark):
     """Review-fix contracts: IP hosts have no registrable domain (pass
     through whole, never merged into a last-two-labels bucket);
