@@ -963,3 +963,131 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
+
+
+def registered_domain_sql(hosts: list[str], source: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Mirror of ``pipeline.psl.with_registered_domain`` over hosts
+    synthesized as ``hosts[id % len(hosts)]``: the vendored PSL
+    snapshot's per-j rule tables become inline VALUES CTEs, the same
+    left joins on the host's last-j labels run in DuckDB, and the
+    prevailing-rule selection is the same coalesce/greatest expression
+    — generated from the SAME parsed rules object, so the two engines
+    cannot drift."""
+    from kiji_mapreduce_spark.pipeline import psl as _psl
+
+    rules = _psl.snapshot_rules()
+    js = sorted(rules.tables)
+    n_hosts = len(hosts)
+    host_arr = "[" + ", ".join("'" + h.replace("'", "''") + "'"
+                               for h in hosts) + "]"
+
+    rule_ctes = []
+    joins = []
+    for j in js:
+        vals = ",\n    ".join(
+            f"('{k}', {str(v[0]).lower()}, {str(v[1]).lower()}, "
+            f"{str(v[2]).lower()})"
+            for k, v in sorted(rules.tables[j].items()))
+        rule_ctes.append(
+            f"psl{j} AS (SELECT * FROM (VALUES\n    {vals}\n"
+            f"  ) v(tail, ex, exc, wd))")
+        joins.append(
+            f"LEFT JOIN psl{j} r{j} ON t.tail{j} = r{j}.tail")
+    tail_cols = ",\n         ".join(
+        f"CASE WHEN n >= {j} THEN "
+        f"array_to_string(labs[n - {j} + 1 : n], '.') END AS tail{j}"
+        for j in js)
+    flag_cols = ",\n         ".join(
+        f"coalesce(r{j}.ex, false) AS ex{j}, "
+        f"coalesce(r{j}.exc, false) AS exc{j}, "
+        f"coalesce(r{j}.wd, false) AS wd{j}"
+        for j in js)
+    exc_len = "greatest(0, " + ", ".join(
+        f"CASE WHEN exc{j} THEN {j} ELSE 0 END" for j in js) + ")"
+    match_len = "greatest(1, " + ", ".join(
+        [f"CASE WHEN ex{j} THEN {j} ELSE 0 END" for j in js]
+        + [f"CASE WHEN wd{j} AND n >= {j + 1} THEN {j + 1} ELSE 0 END"
+           for j in js]) + ")"
+    rule_ctes_sql = ",\n".join(rule_ctes)
+    joins_sql = "\n  ".join(joins)
+    return f"""
+WITH {rule_ctes_sql},
+hosts AS (
+  SELECT {id_col},
+         {host_arr}[CAST({id_col} % {n_hosts} AS INT) + 1] AS host
+  FROM {source}
+),
+h AS (
+  SELECT {id_col}, host,
+         regexp_replace(lower(host), '\\.$', '') AS hh
+  FROM hosts
+),
+l AS (
+  SELECT *, string_split(hh, '.') AS labs,
+         len(string_split(hh, '.')) AS n
+  FROM h
+),
+t AS (
+  SELECT *,
+         {tail_cols}
+  FROM l
+),
+j AS (
+  SELECT t.*,
+         {flag_cols}
+  FROM t
+  {joins_sql}
+),
+p AS (
+  SELECT *,
+         CASE WHEN {exc_len} > 0 THEN {exc_len} - 1
+              ELSE {match_len} END AS ps_len
+  FROM j
+)
+SELECT {id_col}, host,
+       CASE WHEN hh IS NULL THEN NULL
+            WHEN regexp_matches(hh, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+              THEN hh
+            WHEN n > ps_len
+              THEN array_to_string(labs[n - ps_len : n], '.')
+            ELSE hh END AS domain
+FROM p
+"""
+
+
+def html_extract_sql(source: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    """Mirror of ``pipeline.text.http_html_text`` over HTTP+HTML bytes
+    synthesized from each document: the same strip chain — script and
+    style spans (two sequential non-backreference replaces, equivalent
+    on this input to Spark's alternation-with-backreference since RE2
+    has no backreferences), comments, remaining tags, the entity decode
+    chain with &amp; LAST, whitespace collapse. The body string is
+    constructed directly (the synthesized headers are constant and
+    contain the first CRLF CRLF, so Spark's header split lands exactly
+    at the construction boundary)."""
+    body = (f"'<html><head><title>T' || CAST({id_col} AS VARCHAR) || "
+            "'</title>"
+            "<script type=\"text/javascript\">var x = ''<p>junk</p>'';"
+            "</script><style>.a{color:red}</style></head>"
+            "<body><!-- note --><h1>Doc&nbsp;' || "
+            f"CAST({id_col} AS VARCHAR) || '</h1><p>' || "
+            f"substr(text, 1, 200) || "
+            "'</p><div>&amp;lt; stays</div></body></html>'")
+    x = "body"
+    for pat in (r"(?is)<script[^>]*>.*?</script\s*>",
+                r"(?is)<style[^>]*>.*?</style\s*>",
+                r"(?s)<!--.*?-->",
+                r"(?s)<[^>]*>"):
+        x = f"regexp_replace({x}, '{pat}', ' ', 'g')"
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    x = f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {body} AS body FROM {source}
+)
+SELECT {id_col}, 'text/html' AS content_type, {x} AS text FROM c
+"""

@@ -696,3 +696,83 @@ FROM (SELECT *, row_number() OVER (ORDER BY npmi DESC, w1, w2) AS rank
       FROM j)
 WHERE rank <= 20
 """
+
+
+#: deterministic host fixtures for the PSL oracle query — chosen to
+#: exercise every rule class: exact second-level registries, the *.ck /
+#: *.sch.uk / *.kawasaki.jp wildcards, the !www.ck / !city.kawasaki.jp
+#: exceptions, PSL private-section platform suffixes, FQDN trailing
+#: dots, hosts that ARE a public suffix, IPs, and implicit-* TLDs
+_PSL_HOSTS = [
+    "news.example.com",
+    "blog.example.co.uk",
+    "a.b.example.com.au",
+    "deep.example.ac.jp",
+    "foo.bar.ck",
+    "www.ck",
+    "sub.www.ck",
+    "a.b.kawasaki.jp",
+    "x.city.kawasaki.jp",
+    "alice.github.io",
+    "example.com.",
+    "co.uk",
+    "localhost",
+    "192.168.0.1",
+    "x.unknown.zz",
+    "www.example.sch.uk",
+]
+
+
+def q_crawl_registered_domain(spark, sf_dir):
+    """PSL-exact registered-domain extraction (r7 verdict ask #6),
+    oracle-checked: hosts synthesized as ``_PSL_HOSTS[doc_id % 16]``
+    flow through ``psl.with_registered_domain`` — the broadcast
+    rule-table joins over the vendored snapshot (exact + wildcard +
+    exception rules, trailing-dot strip, IP passthrough). The oracle
+    (``oracles.registered_domain_sql``) regenerates the same rule
+    tables from the same parsed snapshot as inline VALUES and runs the
+    same joins in DuckDB."""
+    from kiji_mapreduce_spark.pipeline import psl
+
+    docs = _t(spark, sf_dir, "documents")
+    n = len(_PSL_HOSTS)
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _PSL_HOSTS]),
+        (F.col("doc_id") % n).cast("int") + 1)
+    df = docs.select("doc_id", host.alias("host"))
+    out = psl.with_registered_domain(
+        df, "host", "domain", rules=psl.snapshot_rules(), spark=spark)
+    return out.select("doc_id", "host", "domain")
+
+
+SQL_CRAWL_REGISTERED_DOMAIN = oracles.registered_domain_sql(_PSL_HOSTS)
+
+
+def q_crawl_html_extract(spark, sf_dir):
+    """Crawl HTML text extraction, oracle-checked: HTTP response bytes
+    (constant headers + HTML synthesized from each document's text)
+    flow through ``text.http_html_text`` — header split, Content-Type
+    pull, script/style/comment strip, tag strip, entity decode with
+    &amp; LAST (the author-escaped ``&amp;lt;`` must surface as
+    ``&lt;``, not ``<``), whitespace collapse. Every step is a Catalyst
+    expression; the oracle mirrors the chain with RE2-safe sequential
+    script/style replaces (equivalent on this input — the synthesized
+    markup has no crossed tags)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    content = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"
+              "Content-Type: text/html; charset=utf-8\r\n\r\n"
+              "<html><head><title>T"), did,
+        F.lit("</title><script type=\"text/javascript\">"
+              "var x = '<p>junk</p>';</script>"
+              "<style>.a{color:red}</style></head>"
+              "<body><!-- note --><h1>Doc&nbsp;"), did,
+        F.lit("</h1><p>"), F.substring(F.col("text"), 1, 200),
+        F.lit("</p><div>&amp;lt; stays</div></body></html>"))
+    recs = docs.select("doc_id", content.cast("binary").alias("content"))
+    out = text_ops.http_html_text(recs)
+    return out.select("doc_id", "content_type", "text")
+
+
+SQL_CRAWL_HTML_EXTRACT = oracles.html_extract_sql()

@@ -96,9 +96,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_survivors": q_dedup_corpus_survivors,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    # -- fresh-verified (r7) fill for the remaining slots --
-    "entity_key_hash": q_entity_key_hash,
-    "text_token_count": q_text_token_count,
+    # -- NEW in r8: the crawl-ingest surface earns its first oracle
+    #    rows — PSL-exact registered domains (broadcast rule-table
+    #    joins over the vendored snapshot; r7 verdict ask #6) and the
+    #    zero-UDF HTTP/HTML text extraction chain --
+    "crawl_registered_domain": q_crawl_registered_domain,
+    "crawl_html_extract": q_crawl_html_extract,
     # ---- window boundary (driver verifies the 50 entries above;
     #      tests/test_suite_smoke.py::test_window_boundary_comment pins
     #      this comment to position 50) ----
@@ -154,6 +157,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii": q_text_pii,
     "multimodal_features": q_multimodal_features,
     "streaming_interval_join": q_streaming_interval_join,
+    "entity_key_hash": q_entity_key_hash,
+    "text_token_count": q_text_token_count,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
@@ -210,8 +215,8 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "dedup_corpus_survivors",
     "dedup_incremental_pairs",
     "countmin_heavy_hitters",
-    "entity_key_hash",
-    "text_token_count",
+    "crawl_registered_domain",
+    "crawl_html_extract",
 ]
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
@@ -226,6 +231,8 @@ NEW_PENDING_WINDOW: dict[str, int] = {}
 
 
 ORACLES: dict[str, str] = {
+    "crawl_registered_domain": SQL_CRAWL_REGISTERED_DOMAIN,
+    "crawl_html_extract": SQL_CRAWL_HTML_EXTRACT,
     "image_near_duplicates": SQL_IMAGE_NEAR_DUPLICATES,
     "video_near_duplicates": SQL_VIDEO_NEAR_DUPLICATES,
     "audio_near_duplicates": SQL_AUDIO_NEAR_DUPLICATES,
