@@ -93,7 +93,104 @@ def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
     return 0 if ok else 1
 
 
+#: pipeline subcommands whose runs are recorded in the job-history
+#: table when --history is set — the reference records EVERY job's
+#: id/name/start/end/counters (JobHistoryKijiTable.java:62-71,243-258),
+#: and these are exactly the expensive runs an operator of a 100 TB
+#: pipeline needs rows for (r7 verdict ask #5)
+_PIPELINE_HISTORY_COMMANDS = frozenset({
+    "curate", "classify-train", "classify-score", "sketch", "split",
+    "crawl-ingest", "drift", "media-dedup", "ann-tune", "dedup-index"})
+
+
+def _emit(args, stats: dict) -> int:
+    """Print a pipeline command's stats JSON and, when ``--history`` is
+    set, record the run as SUCCEEDED in the job-history table with the
+    numeric stats as counters and the command arguments as the job
+    configuration (the archetype commands' ``--history`` contract,
+    extended to the pipeline surface)."""
+    print(json.dumps(stats))
+    if getattr(args, "history", None):
+        import time
+        import uuid
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        conf = {k: v for k, v in vars(args).items()
+                if not k.startswith("_") and v is not None
+                and isinstance(v, (str, int, float, bool))}
+        JobHistory(path=args.history).record(spark, {
+            "job_id": f"job_{uuid.uuid4().hex[:12]}",
+            "job_name": args.command,
+            "job_start_time": getattr(args, "_start_ms", 0),
+            "job_end_time": int(time.time() * 1000),
+            "job_end_status": "SUCCEEDED",
+            "job_counters": _flatten_counters(stats),
+            "job_configuration": conf,
+        })
+    return 0
+
+
+def _flatten_counters(stats: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in stats.items():
+        key = f"{prefix}{k}".upper().replace("-", "_")
+        if isinstance(v, dict):
+            out.update(_flatten_counters(v, f"{key}_"))
+        elif isinstance(v, bool):
+            out[key] = int(v)
+        elif isinstance(v, (int, float)):
+            out[key] = v
+    return out
+
+
+def _record_pipeline_failure(argv, start_ms: int) -> None:
+    """Best-effort FAILED row for a pipeline command that raised after
+    its session came up — the reference's history table records failed
+    jobs too, and the expensive runs are the ones whose failures an
+    operator most needs a row for."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in _PIPELINE_HISTORY_COMMANDS:
+        return
+    if "--history" not in argv or argv.index("--history") + 1 >= len(argv):
+        return
+    try:
+        import time
+        import uuid
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        JobHistory(path=argv[argv.index("--history") + 1]).record(spark, {
+            "job_id": f"job_{uuid.uuid4().hex[:12]}",
+            "job_name": argv[0],
+            "job_start_time": start_ms,
+            "job_end_time": int(time.time() * 1000),
+            "job_end_status": "FAILED",
+            "job_counters": {},
+            "job_configuration": {"argv": " ".join(argv)},
+        })
+    except Exception:
+        pass  # never mask the original failure with a history error
+
+
 def main(argv: list[str] | None = None) -> int:
+    import time
+
+    start_ms = int(time.time() * 1000)
+    try:
+        return _main(argv, start_ms)
+    except SystemExit:
+        raise
+    except BaseException:
+        _record_pipeline_failure(argv, start_ms)
+        raise
+
+
+def _main(argv: list[str] | None, start_ms: int) -> int:
     p = argparse.ArgumentParser(prog="kiji-mr-spark")
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -237,6 +334,24 @@ def main(argv: list[str] | None = None) -> int:
                     "default: the vendored snapshot subset; "
                     "--psl=heuristic selects the expression-only "
                     "fallback")
+    ci.add_argument("--curate", action="store_true",
+                    help="run the curation chain (quality filter -> "
+                    "dedup -> optional splits) on the ingested "
+                    "documents before writing — .warc.gz to curated "
+                    "corpus in one command")
+    ci.add_argument("--min-quality", type=float, default=0.8,
+                    help="curation quality-score gate (with --curate)")
+    ci.add_argument("--near-threshold", type=float, default=None,
+                    help="MinHash near-dup Jaccard threshold for the "
+                    "curation dedup stage (default: exact dedup only)")
+    ci.add_argument("--splits", default=None,
+                    help='train/val/test assignment after curation, '
+                    'e.g. "train=0.9,val=0.05,test=0.05" (leakage-'
+                    'resistant order: splits AFTER dedup)')
+    ci.add_argument("--dedup-index", default=None, metavar="DIR",
+                    help="also write the MinHash signature index of "
+                    "the final corpus, ready for `kiji-mr dedup-index "
+                    "--mode ingest` on the next crawl batch")
 
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
@@ -321,7 +436,16 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--text-col", default="text")
     di.add_argument("--id-col", default="doc_id")
 
+    # --history on every pipeline subcommand (r7 verdict ask #5): the
+    # archetype commands' job-history contract, extended to the
+    # pipeline surface via _emit / _record_pipeline_failure
+    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di):
+        sp.add_argument("--history", default=None,
+                        help="job-history table path: record this "
+                        "run's id/name/start/end/status/counters")
+
     args = p.parse_args(argv)
+    args._start_ms = start_ms
 
     if args.command == "bulk-import":
         return _run_operator_job(args, BulkImportJobBuilder, "importer")
@@ -400,9 +524,8 @@ def main(argv: list[str] | None = None) -> int:
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
-        print(json.dumps({"curated": args.output, "docs_in": n_in,
-                          "docs_out": n_out}))
-        return 0
+        return _emit(args, {"curated": args.output, "docs_in": n_in,
+                            "docs_out": n_out})
 
     if args.command == "classify-train":
         from kiji_mapreduce_spark.pipeline import classifier
@@ -419,9 +542,8 @@ def main(argv: list[str] | None = None) -> int:
         model = {"dim": args.dim, "bias": b, "weights": list(w)}
         with open(args.model, "w") as f:
             json.dump(model, f)
-        print(json.dumps({"trained": args.model, "dim": args.dim,
-                          "nonzero_weights": int((w != 0).sum())}))
-        return 0
+        return _emit(args, {"trained": args.model, "dim": args.dim,
+                            "nonzero_weights": int((w != 0).sum())})
 
     if args.command == "classify-score":
         import numpy as np
@@ -447,8 +569,7 @@ def main(argv: list[str] | None = None) -> int:
             out["metrics"] = {k: m[k] for k in
                               ("n", "n_pos", "auc", "accuracy",
                                "precision", "recall")}
-        print(json.dumps(out))
-        return 0
+        return _emit(args, out)
 
     if args.command == "sketch":
         from kiji_mapreduce_spark.pipeline import sketch as sketch_ops
@@ -464,9 +585,9 @@ def main(argv: list[str] | None = None) -> int:
             out = sketch_ops.kmv_distinct(
                 df, args.group_col, args.value_col, k=args.k)
         out.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"sketch": args.output, "kind": args.kind,
-                          "rows": spark.read.parquet(args.output).count()}))
-        return 0
+        return _emit(args, {
+            "sketch": args.output, "kind": args.kind,
+            "rows": spark.read.parquet(args.output).count()})
 
     if args.command == "split":
         from pyspark.sql import functions as F
@@ -492,8 +613,7 @@ def main(argv: list[str] | None = None) -> int:
                 for r in audit.split_leakage(
                     written, train_split=splits[0][0],
                     text_col=args.text_col).collect()]
-        print(json.dumps(out))
-        return 0
+        return _emit(args, out)
 
     if args.command == "crawl-ingest":
         from pyspark.sql import functions as F
@@ -538,13 +658,41 @@ def main(argv: list[str] | None = None) -> int:
             docs = stratum_topk(
                 docs, "domain", args.max_docs_per_domain,
                 key_col="doc_id").drop("sample_rank")
+        if args.curate or args.splits:
+            # the bulk-import -> produce -> gather lifecycle (SURVEY
+            # §3.3) realized on crawl data: quality gate -> dedup ->
+            # split assignment, in the leakage-resistant order, on the
+            # SAME deterministic doc ids the ingest minted (r7 verdict
+            # ask #8)
+            from kiji_mapreduce_spark.pipeline import curate as cur_mod
+
+            cfg = cur_mod.CurateConfig(
+                min_quality=args.min_quality,
+                near_threshold=args.near_threshold,
+                strata_col="domain",
+                splits=(_parse_splits(p, args.splits)
+                        if args.splits else None))
+            docs = cur_mod.curate_corpus(docs, config=cfg)
         docs.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
-        print(json.dumps({
+        stats = {
             "documents": args.output,
             "n_docs": out.count(),
-            "n_domains": out.select("domain").distinct().count()}))
-        return 0
+            "n_domains": out.select("domain").distinct().count(),
+            "curated": bool(args.curate or args.splits)}
+        if args.splits:
+            stats["split_counts"] = {
+                r["split"]: r["n"] for r in out.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if args.dedup_index:
+            from kiji_mapreduce_spark.pipeline import dedup
+
+            dedup.minhash_index(out).write.mode("overwrite") \
+                .parquet(args.dedup_index)
+            stats["dedup_index"] = args.dedup_index
+            stats["index_rows"] = spark.read.parquet(
+                args.dedup_index).count()
+        return _emit(args, stats)
 
     if args.command == "drift":
         from kiji_mapreduce_spark import audit
@@ -558,12 +706,11 @@ def main(argv: list[str] | None = None) -> int:
                 lo=args.lo, hi=args.hi).first()
         except ValueError as e:
             p.error(str(e))
-        print(json.dumps({
+        return _emit(args, {
             "column": args.col, "bins": args.bins,
             "n_before": row["n_before"], "n_after": row["n_after"],
             "psi": row["psi"], "ks": row["ks"],
-            "drifted": bool(row["drifted"])}))
-        return 0
+            "drifted": bool(row["drifted"])})
 
     if args.command == "media-dedup":
         from kiji_mapreduce_spark.pipeline import multimodal
@@ -586,13 +733,27 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as e:
                 p.error(str(e))
             pairs.write.mode("overwrite").parquet(args.output)
-            codes.write.mode("append").parquet(args.index)
-            print(json.dumps({
+            # replay-idempotent index write (ADVICE r7): codes land in a
+            # deterministic batch partition derived from the input path
+            # and are OVERWRITTEN, mirroring stream_media_dedup's
+            # batch_id=N overwrites — a re-run of the same batch (or a
+            # job that died between the pairs and codes writes) can
+            # never double-count the batch's codes. The token is a
+            # 63-bit hash, same BIGINT partition type as the streaming
+            # twin's batch ids, so mixed stream+CLI indexes stay
+            # one partition schema.
+            import hashlib
+
+            batch_token = int.from_bytes(
+                hashlib.md5(args.input.encode()).digest()[:8],
+                "big") >> 1
+            codes.write.mode("overwrite").parquet(
+                f"{args.index}/batch_id={batch_token}")
+            return _emit(args, {
                 "pairs": args.output, "kind": args.kind,
                 "n_pairs": spark.read.parquet(args.output).count(),
                 "index": args.index,
-                "index_rows": spark.read.parquet(args.index).count()}))
-            return 0
+                "index_rows": spark.read.parquet(args.index).count()})
         try:
             if args.kind == "video":
                 pairs = multimodal.video_near_duplicates(
@@ -617,10 +778,9 @@ def main(argv: list[str] | None = None) -> int:
             # pigeonhole guarantee) — surface it as a usage error
             p.error(str(e))
         pairs.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({
+        return _emit(args, {
             "pairs": args.output, "kind": args.kind,
-            "n_pairs": spark.read.parquet(args.output).count()}))
-        return 0
+            "n_pairs": spark.read.parquet(args.output).count()})
 
     if args.command == "ann-tune":
         from kiji_mapreduce_spark.pipeline import similarity
@@ -641,8 +801,7 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col, vec_col=args.vec_col)
         except ValueError as e:
             p.error(str(e))
-        print(json.dumps({"index": args.index, "report": report}))
-        return 0
+        return _emit(args, {"index": args.index, "report": report})
 
     if args.command == "dedup-index":
         from kiji_mapreduce_spark.pipeline import dedup
@@ -653,10 +812,9 @@ def main(argv: list[str] | None = None) -> int:
             dedup.minhash_index(
                 docs, text_col=args.text_col, id_col=args.id_col
             ).write.mode("overwrite").parquet(args.index)
-            print(json.dumps({
+            return _emit(args, {
                 "index": args.index,
-                "rows": spark.read.parquet(args.index).count()}))
-            return 0
+                "rows": spark.read.parquet(args.index).count()})
         if not args.pairs:
             p.error("--pairs is required for ingest")
         if args.updated_index and (
@@ -680,8 +838,7 @@ def main(argv: list[str] | None = None) -> int:
             index.unionByName(batch_rows).write.mode(
                 "overwrite").parquet(args.updated_index)
             out["updated_index"] = args.updated_index
-        print(json.dumps(out))
-        return 0
+        return _emit(args, out)
 
     return 2
 

@@ -976,6 +976,18 @@ def test_cli_media_dedup_incremental_index(spark, tmp_path, capsys):
     rows = spark.read.parquet(f"{tmp_path}/p2").collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
 
+    # replay idempotence (ADVICE r7): re-running the SAME batch against
+    # the same index overwrites its deterministic batch partition
+    # instead of appending — index rows must NOT double-count
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/b2",
+                   "--kind", "image", "--index", idx,
+                   "--output", f"{tmp_path}/p2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_rows"] == 2  # still 2, not 3
+    assert {r.media_id for r in spark.read.parquet(idx).collect()} == \
+        {1, 2}
+
 
 def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     """crawl-ingest: WARC archive in, documents-shaped parquet out —
@@ -1027,6 +1039,144 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     capped = spark.read.parquet(f"{tmp_path}/docs3")
     assert capped.filter("domain = 'big.site'").count() == 2
     assert out3["n_docs"] == 3  # 2 capped + the 1 example.co.uk doc
+
+
+def test_cli_crawl_ingest_curate_end_to_end(spark, tmp_path, capsys):
+    """r7 verdict ask #8: one command from .warc.gz to a curated,
+    split, dedup-indexed corpus — quality gate drops the thin page,
+    exact dedup collapses the mirrored page, every survivor carries a
+    deterministic split, and the MinHash index of the final corpus
+    catches a near-dup in the NEXT batch via dedup-index ingest."""
+    import gzip
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox naps in the warm sun for a long while today")
+    other = ("a completely different page where the cat watches the "
+             "birds from the window and the dog sleeps on the rug")
+
+    def page(body: str) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + f"<html><body><p>{body}</p></body></html>".encode())
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(b"".join(
+        gzip.compress(_warc_record("response", uri, page(body)))
+        for uri, body in [
+            ("http://a.example.com/1", good),
+            ("http://mirror.example.org/1", good),   # exact dup
+            ("http://b.example.com/2", other),
+            ("http://thin.example.com/3", "too few words"),  # quality
+        ]))
+    idx = f"{tmp_path}/minhash_idx"
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/corpus", "--curate",
+                   "--splits", "train=0.5,val=0.25,test=0.25",
+                   "--dedup-index", idx])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    corpus = spark.read.parquet(f"{tmp_path}/corpus")
+    # 4 pages -> quality drops 'thin', dedup collapses the mirror -> 2
+    assert stats["n_docs"] == 2 and stats["curated"] is True
+    texts = sorted(r.text for r in corpus.collect())
+    assert texts == sorted([good, other])
+    assert set(corpus.columns) >= {"doc_id", "url", "domain", "split",
+                                   "quality_score", "n_tokens"}
+    assert all(r.split in ("train", "val", "test")
+               for r in corpus.collect())
+    assert sum(stats["split_counts"].values()) == 2
+    # index rows cover exactly the surviving corpus
+    assert stats["index_rows"] >= 1
+    ids = {r.doc_id for r in corpus.collect()}
+    assert {r.doc_id for r in spark.read.parquet(idx)
+            .select("doc_id").distinct().collect()} == ids
+
+    # deterministic ids: a re-run mints the same doc_ids
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/corpus2", "--curate"])
+    assert rc == 0
+    capsys.readouterr()
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{tmp_path}/corpus2").collect()} == ids
+
+    # next crawl batch: a page whose text near-duplicates the indexed
+    # corpus is caught by dedup-index ingest against the SAME index
+    (d2 := tmp_path / "arch2").mkdir()
+    near = good.replace("lazy", "sleepy")
+    (d2 / "seg.warc").write_bytes(
+        _warc_record("response", "http://c.example.net/1", page(near)))
+    rc = cli.main(["crawl-ingest", "--input", str(d2),
+                   "--output", f"{tmp_path}/batch2"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(["dedup-index", "--mode", "ingest",
+                   "--input", f"{tmp_path}/batch2", "--index", idx,
+                   "--pairs", f"{tmp_path}/pairs",
+                   "--threshold", "0.5"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_pairs"] >= 1
+
+
+def test_cli_pipeline_commands_record_job_history(spark, tmp_path,
+                                                  capsys):
+    """r7 verdict ask #5: pipeline subcommands run outside Job, but
+    --history must still land a job-history row — the reference records
+    EVERY job (JobHistoryKijiTable.java:243-258) and these are exactly
+    the expensive runs of a 100 TB pipeline. A crawl-ingest run gets a
+    SUCCEEDED row with its stats as counters; a failing run gets a
+    FAILED row."""
+    import json as _json
+
+    import pytest
+
+    from tests.test_io import _warc_record
+
+    hist = f"{tmp_path}/hist"
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(_warc_record(
+        "response", "http://site.example.com/a",
+        b"HTTP/1.1 200 OK\r\n\r\n<p>plenty of words in here</p>"))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs", "--history", hist])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(["job-history", "--path", hist])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["job_name"] == "crawl-ingest"
+    assert row["job_end_status"] == "SUCCEEDED"
+    assert row["job_end_time"] >= row["job_start_time"] > 0
+    counters = _json.loads(row["job_counters"])
+    assert counters["N_DOCS"] == 1 and counters["N_DOMAINS"] == 1
+    conf = _json.loads(row["job_configuration"])
+    assert conf["output"] == f"{tmp_path}/docs"
+
+    # a failing run (strict parse of a truncated .gz archive) records a
+    # FAILED row alongside the SUCCEEDED one
+    import gzip
+
+    blob = gzip.compress(_warc_record("response", "http://x/a", b"ok"))
+    (d2 := tmp_path / "bad").mkdir()
+    (d2 / "cut.warc.gz").write_bytes(blob[:-4])
+    with pytest.raises(Exception):
+        cli.main(["crawl-ingest", "--input", str(d2),
+                  "--output", f"{tmp_path}/docs_bad",
+                  "--history", hist])
+    capsys.readouterr()
+    rc = cli.main(["job-history", "--path", hist])
+    assert rc == 0
+    statuses = sorted(
+        _json.loads(ln)["job_end_status"] for ln in
+        capsys.readouterr().out.strip().splitlines())
+    assert statuses == ["FAILED", "SUCCEEDED"]
 
 
 def test_cli_crawl_ingest_psl_domain_buckets(spark, tmp_path, capsys):
