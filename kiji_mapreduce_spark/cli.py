@@ -153,7 +153,16 @@ def _record_pipeline_failure(argv, start_ms: int) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in _PIPELINE_HISTORY_COMMANDS:
         return
-    if "--history" not in argv or argv.index("--history") + 1 >= len(argv):
+    # accept both argparse spellings: "--history PATH" and
+    # "--history=PATH" (r8 review finding: the = form recorded
+    # SUCCEEDED rows via args.history but silently skipped FAILED ones)
+    hist_path = None
+    for i, tok in enumerate(argv):
+        if tok == "--history" and i + 1 < len(argv):
+            hist_path = argv[i + 1]
+        elif tok.startswith("--history="):
+            hist_path = tok.partition("=")[2]
+    if not hist_path:
         return
     try:
         import time
@@ -164,7 +173,7 @@ def _record_pipeline_failure(argv, start_ms: int) -> None:
         spark = SparkSession.getActiveSession()
         if spark is None:
             return
-        JobHistory(path=argv[argv.index("--history") + 1]).record(spark, {
+        JobHistory(path=hist_path).record(spark, {
             "job_id": f"job_{uuid.uuid4().hex[:12]}",
             "job_name": argv[0],
             "job_start_time": start_ms,
@@ -742,8 +751,20 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             # 63-bit hash, same BIGINT partition type as the streaming
             # twin's batch ids, so mixed stream+CLI indexes stay
             # one partition schema.
+            import glob
             import hashlib
 
+            # a pre-r8 index was flat-appended parquet; mixing a
+            # batch_id= partition dir into that layout makes
+            # spark.read.parquet silently DROP the flat rows (verified
+            # — r8 review finding), so refuse loudly instead
+            if glob.glob(os.path.join(args.index, "part-*")):
+                p.error(
+                    f"index at {args.index} uses the legacy flat "
+                    "layout; rewrite it once into the partitioned "
+                    "layout (read the old index, write it to a fresh "
+                    "--index path, re-run) — mixing layouts silently "
+                    "drops the flat rows on read")
             batch_token = int.from_bytes(
                 hashlib.md5(args.input.encode()).digest()[:8],
                 "big") >> 1

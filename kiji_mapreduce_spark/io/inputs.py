@@ -306,7 +306,13 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     if raw[:2] == b"\x1f\x8b":
         chunks = _inflate_members(raw, path, lenient)
     else:
-        chunks = iter((raw,))
+        # bounded memoryview slices, NOT one whole-archive chunk: the
+        # framer copies every chunk into its rolling buffer, so a
+        # single raw-sized chunk would double per-task memory exactly
+        # where the O(record + chunk) claim lives (r8 review finding)
+        mv = memoryview(raw)
+        chunks = (mv[i:i + (1 << 20)]
+                  for i in range(0, len(raw), 1 << 20))
     yield from _frame_warc_records(chunks, path, lenient)
 
 

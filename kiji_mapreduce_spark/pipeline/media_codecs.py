@@ -363,7 +363,23 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(content: bytes):
     """Baseline JPEG bytes -> (pixels uint8 [h, w, channels], width,
-    height, channels); channels is 3 (YCbCr -> RGB) or 1 (grayscale)."""
+    height, channels); channels is 3 (YCbCr -> RGB) or 1 (grayscale).
+
+    EVERY structurally malformed input surfaces as ``UnsupportedMedia``
+    (never a raw KeyError/ValueError/IndexError), so callers catching
+    the documented error surface see every undecodable blob the same
+    way and the PIL fall-through in ``_decode_image_real`` gets its
+    chance (r8 review finding)."""
+    try:
+        return _decode_jpeg_unchecked(content)
+    except UnsupportedMedia:
+        raise
+    except (KeyError, ValueError, IndexError, struct.error) as e:
+        raise UnsupportedMedia(
+            f"malformed JPEG structure: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_unchecked(content: bytes):
     if content[:2] != b"\xff\xd8":
         raise UnsupportedMedia("not a JPEG (no SOI)")
     pos = 2
@@ -374,6 +390,10 @@ def decode_jpeg(content: bytes):
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise UnsupportedMedia(f"JPEG marker expected at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (r8 review finding)
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
@@ -451,6 +471,11 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
         c["blocks"] = []  # list of (block_row, block_col, coeff64)
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
+    for c in comps:
+        if c["id"] not in sel:
+            raise UnsupportedMedia(
+                "non-interleaved JPEG scans — PIL decodes these when "
+                "installed")
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):

@@ -395,10 +395,6 @@ class PSLRules:
 
     tables: dict[int, dict[str, list[bool]]] = field(default_factory=dict)
 
-    @property
-    def j_max(self) -> int:
-        return max(self.tables, default=0)
-
 
 def parse_psl(lines) -> PSLRules:
     """Parse PSL-format rule lines (strings or one big string) into
@@ -485,14 +481,21 @@ def with_registered_domain(df: DataFrame, host_col: str,
     def _flag(j: int, which: str) -> Column:
         return F.coalesce(F.col(f"_psl_{which}_{j}"), F.lit(False))
 
+    def _greatest(*cols: Column) -> Column:
+        # F.greatest demands >= 2 args; with an EMPTY rule set (a
+        # comments-only --psl file is legal — every TLD is implicit-*)
+        # each candidate list collapses to its floor literal
+        # (r8 review finding)
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
     # longest matching exception rule (-> its label count), else 0
-    exc_len = F.greatest(
+    exc_len = _greatest(
         F.lit(0), *[F.coalesce(F.when(_flag(j, "exc"), F.lit(j)),
                                F.lit(0)) for j in js])
     # longest normal match: exact rule with j labels -> j; wildcard
     # rule (j concrete tail labels, j+1 total) needs one host label for
     # the star -> j+1; implicit "*" default -> 1
-    match_len = F.greatest(
+    match_len = _greatest(
         F.lit(1),
         *[F.coalesce(F.when(_flag(j, "ex"), F.lit(j)), F.lit(0))
           for j in js],

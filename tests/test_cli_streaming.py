@@ -1211,6 +1211,61 @@ def test_cli_pipeline_commands_record_job_history(spark, tmp_path,
     assert statuses == ["FAILED", "SUCCEEDED"]
 
 
+def test_cli_media_dedup_rejects_legacy_flat_index(spark, tmp_path,
+                                                   capsys):
+    """r8 review finding: mixing a batch_id= partition into a pre-r8
+    flat-appended index makes Spark silently DROP the flat rows on
+    read — the CLI must refuse loudly instead."""
+    import numpy as np
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    img = np.random.RandomState(3).randint(
+        0, 256, size=(16, 16, 3)).astype(np.uint8)
+    idx = f"{tmp_path}/legacy_idx"
+    # a legacy flat index: top-level part files, no batch_id dirs
+    spark.createDataFrame(
+        [(99, 12345)], "media_id long, phash long"
+    ).write.parquet(idx)
+    spark.createDataFrame(
+        [(1, mc.encode_png(img))], "media_id long, content binary"
+    ).write.parquet(f"{tmp_path}/batch")
+    with pytest.raises(SystemExit):
+        cli.main(["media-dedup", "--input", f"{tmp_path}/batch",
+                  "--kind", "image", "--index", idx,
+                  "--output", f"{tmp_path}/pairs"])
+    err = capsys.readouterr().err
+    assert "legacy flat layout" in err
+
+
+def test_cli_history_equals_form_records_failed_row(spark, tmp_path,
+                                                    capsys):
+    """r8 review finding: --history=PATH (argparse's = spelling) must
+    record FAILED rows too, not only the two-token form."""
+    import gzip
+    import json as _json
+
+    import pytest
+
+    from tests.test_io import _warc_record
+
+    blob = gzip.compress(_warc_record("response", "http://x/a", b"ok"))
+    (d := tmp_path / "bad").mkdir()
+    (d / "cut.warc.gz").write_bytes(blob[:-4])
+    hist = f"{tmp_path}/hist"
+    with pytest.raises(Exception):
+        cli.main(["crawl-ingest", "--input", str(d),
+                  "--output", f"{tmp_path}/docs",
+                  f"--history={hist}"])
+    capsys.readouterr()
+    rc = cli.main(["job-history", "--path", hist])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["job_end_status"] for r in rows] == ["FAILED"]
+
+
 def test_cli_crawl_ingest_psl_domain_buckets(spark, tmp_path, capsys):
     """r7 verdict ask #6: per-domain caps bucket by the PSL-exact
     registered domain — subdomains of one multi-label-ccTLD site merge

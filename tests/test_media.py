@@ -626,3 +626,39 @@ def test_jpeg_pil_parity_when_installed():
     # both implement the same T.81 math; small IDCT rounding slack
     assert int(np.max(np.abs(ours.astype(int)
                              - theirs.astype(int)))) <= 2
+
+
+def test_jpeg_structural_errors_surface_as_unsupported():
+    """r8 review finding: malformed JPEG structure must raise
+    UnsupportedMedia (the documented error surface that lets
+    _decode_image_real fall through to PIL), never a raw
+    KeyError/ValueError."""
+    good = bytearray(mc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # truncated inside SOF
+    sof = bytes(good).index(b"\xff\xc0")
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_jpeg(bytes(good[:sof + 6]))
+    # SOF references a quant table id that no DQT defined
+    bad_tq = bytearray(good)
+    # component spec starts 2(marker)+2(len)+6(prec,h,w,nc) into SOF;
+    # third byte of each 3-byte component entry is the quant selector
+    bad_tq[sof + 2 + 2 + 6 + 2] = 3
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_jpeg(bytes(bad_tq))
+    # arbitrary garbage after SOI
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_jpeg(b"\xff\xd8\xff\xc0\x00\x02")
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; a legally padded file must decode identically
+    (r8 review finding)."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    blob = mc.encode_jpeg(img)
+    dqt = blob.index(b"\xff\xdb")
+    padded = blob[:dqt] + b"\xff\xff\xff" + blob[dqt:]
+    a, _, _, _ = mc.decode_jpeg(blob)
+    b, _, _, _ = mc.decode_jpeg(padded)
+    assert np.array_equal(a, b)
