@@ -316,8 +316,78 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     yield from _frame_warc_records(chunks, path, lenient)
 
 
+def _decode_http_payload(body: bytes) -> bytes:
+    """Normalize an HTTP-response WARC payload to identity encoding:
+    de-chunk ``Transfer-Encoding: chunked`` framing and inflate
+    ``Content-Encoding: gzip/x-gzip/deflate`` bodies, dropping the
+    now-stale encoding + Content-Length headers. Crawls store responses
+    AS CAPTURED, so without this the downstream Catalyst text extractor
+    would strip tags out of gzip bytes and emit garbage.
+
+    Lenient by construction: non-HTTP payloads, identity responses, and
+    anything that fails to de-chunk/inflate pass through UNTOUCHED —
+    one weird page must never abort (or silently empty) a crawl ingest.
+    Runs inside the WARC parser's mapInPandas, where the bytes already
+    live in Python — zero extra passes or Arrow crossings, and
+    ``http_html_text`` stays pure-Catalyst.
+    """
+    import re
+    import zlib
+
+    if not body.startswith(b"HTTP/"):
+        return body
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return body
+    headers = body[:sep]
+    payload = body[sep + 4:]
+    chunked = re.search(
+        rb"(?im)^transfer-encoding:\s*chunked\s*$", headers)
+    enc = re.search(
+        rb"(?im)^content-encoding:\s*(gzip|x-gzip|deflate)\s*$", headers)
+    if not chunked and not enc:
+        return body
+    decoded = payload
+    if chunked:
+        out = bytearray()
+        pos = 0
+        while True:
+            eol = decoded.find(b"\r\n", pos)
+            if eol < 0:
+                return body  # malformed framing: pass through
+            size_tok = decoded[pos:eol].split(b";", 1)[0].strip()
+            try:
+                size = int(size_tok, 16)
+            except ValueError:
+                return body
+            if size == 0:
+                break  # terminal chunk (trailers ignored)
+            start = eol + 2
+            if start + size > len(decoded):
+                return body  # truncated chunk
+            out += decoded[start:start + size]
+            pos = start + size + 2  # skip chunk-data CRLF
+        decoded = bytes(out)
+    if enc:
+        try:
+            if enc.group(1).lower() in (b"gzip", b"x-gzip"):
+                decoded = zlib.decompress(decoded, wbits=47)
+            else:  # deflate: zlib-wrapped per RFC, raw in the wild
+                try:
+                    decoded = zlib.decompress(decoded, wbits=15)
+                except zlib.error:
+                    decoded = zlib.decompress(decoded, wbits=-15)
+        except zlib.error:
+            return body
+    kept = [ln for ln in headers.split(b"\r\n")
+            if not re.match(rb"(?i)^(transfer-encoding|content-encoding"
+                            rb"|content-length):", ln)]
+    return b"\r\n".join(kept) + b"\r\n\r\n" + decoded
+
+
 def read_warc_records(spark: SparkSession, paths: list[str],
-                      lenient: bool = False) -> DataFrame:
+                      lenient: bool = False,
+                      decode_http: bool = True) -> DataFrame:
     """WARC web-archive records as rows — the format crawl corpora
     (Common Crawl) actually ship in: (path, record_no, warc_type,
     target_uri, warc_date, record_id, content_length, content binary).
@@ -329,6 +399,13 @@ def read_warc_records(spark: SparkSession, paths: list[str],
     ``binaryFile`` never splits, one task parses one archive, and only
     the framed records leave the parser; body payloads stay binary
     (HTTP headers + content) for downstream extractors to decode.
+
+    ``decode_http`` (default on) normalizes HTTP response payloads to
+    identity encoding (see ``_decode_http_payload``): crawls capture
+    chunked/gzipped responses verbatim, and tag-stripping gzip bytes
+    yields garbage text. ``content_length`` stays the RECORD's original
+    framed length (the WARC-side fact); ``content`` holds the
+    normalized payload.
     """
     import pandas as pd
 
@@ -349,6 +426,8 @@ def read_warc_records(spark: SparkSession, paths: list[str],
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = {k: [] for k in cols}
                 for rec in _parse_warc(bytes(content), path, lenient):
+                    if decode_http:
+                        rec = rec[:-1] + (_decode_http_payload(rec[-1]),)
                     rows["path"].append(path)
                     for key, val in zip(cols[1:], rec):
                         rows[key].append(val)

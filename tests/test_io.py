@@ -626,3 +626,71 @@ def test_html_escaped_entities_not_double_decoded(spark):
     df = spark.createDataFrame(
         [(1, b"<p>a &amp;lt; b</p>")], "i long, content binary")
     assert http_html_text(df).first().text == "a &lt; b"
+
+
+def test_warc_http_payload_decoding(spark, tmp_path):
+    """Crawls capture HTTP responses AS SENT: chunked transfer framing
+    and gzip/deflate content encodings must be normalized at ingest or
+    the Catalyst extractor strips tags out of compressed bytes. Identity
+    responses, non-HTTP payloads, and malformed framings pass through
+    untouched (lenient by construction)."""
+    import gzip
+    import zlib
+
+    from kiji_mapreduce_spark.io.inputs import (_decode_http_payload,
+                                                read_warc_records)
+    from kiji_mapreduce_spark.pipeline.text import http_html_text
+
+    html = b"<html><body><p>compressed page text here</p></body></html>"
+
+    def resp(extra_headers: bytes, payload: bytes) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + extra_headers + b"\r\n" + payload)
+
+    gz = resp(b"Content-Encoding: gzip\r\n"
+              + f"Content-Length: {len(gzip.compress(html))}\r\n".encode(),
+              gzip.compress(html))
+    chunks = (b"10\r\n" + html[:16] + b"\r\n"
+              + f"{len(html) - 16:x}\r\n".encode() + html[16:] + b"\r\n"
+              + b"0\r\n\r\n")
+    chunked = resp(b"Transfer-Encoding: chunked\r\n", chunks)
+    gz_body = gzip.compress(html)
+    both = resp(b"Transfer-Encoding: chunked\r\n"
+                b"Content-Encoding: gzip\r\n",
+                f"{len(gz_body):x}\r\n".encode() + gz_body
+                + b"\r\n0\r\n\r\n")
+    raw_deflate = resp(b"Content-Encoding: deflate\r\n",
+                       zlib.compress(html)[2:-4])  # raw-deflate wild form
+    plain = resp(b"", html)
+
+    for blob in (gz, chunked, both, raw_deflate):
+        out = _decode_http_payload(blob)
+        assert out.endswith(html), blob[:60]
+        head = out.split(b"\r\n\r\n", 1)[0].lower()
+        assert b"transfer-encoding" not in head
+        assert b"content-encoding" not in head
+        assert b"content-type: text/html" in head
+    # untouched passthroughs
+    assert _decode_http_payload(plain) == plain
+    assert _decode_http_payload(b"not http at all") == \
+        b"not http at all"
+    malformed = resp(b"Transfer-Encoding: chunked\r\n", b"zz\r\nnope")
+    assert _decode_http_payload(malformed) == malformed
+    truncated = resp(b"Content-Encoding: gzip\r\n", gz_body[:5])
+    assert _decode_http_payload(truncated) == truncated
+
+    # end to end: a gzipped page extracts the same text as a plain one
+    d = tmp_path / "encwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/gz", gz)
+        + _warc_record("response", "http://x/plain", plain)
+        + _warc_record("response", "http://x/chunked", chunked))
+    rows = {r.target_uri: r.text for r in http_html_text(
+        read_warc_records(spark, [str(d)])).collect()}
+    assert rows["http://x/gz"] == rows["http://x/plain"] \
+        == rows["http://x/chunked"] == "compressed page text here"
+    # decode_http=False preserves the captured bytes verbatim
+    raw = {r.target_uri: bytes(r.content) for r in read_warc_records(
+        spark, [str(d)], decode_http=False).collect()}
+    assert raw["http://x/gz"] == gz
