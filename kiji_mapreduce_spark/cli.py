@@ -361,6 +361,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="also write the MinHash signature index of "
                     "the final corpus, ready for `kiji-mr dedup-index "
                     "--mode ingest` on the next crawl batch")
+    ci.add_argument("--stream", action="store_true",
+                    help="streaming twin: process currently-present "
+                    "archives exactly once against --checkpoint "
+                    "(availableNow trigger); re-runs pick up only NEW "
+                    "archives, output lands in batch_id= partitions "
+                    "(replay-idempotent). Incompatible with --curate/"
+                    "--splits/--dedup-index/--max-docs-per-domain "
+                    "(corpus-level passes — run them over the "
+                    "accumulated output)")
+    ci.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (with --stream)")
 
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
@@ -628,39 +639,50 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         from pyspark.sql import functions as F
 
         from kiji_mapreduce_spark.io.inputs import read_warc_records
-        from kiji_mapreduce_spark.pipeline.text import (
-            http_html_text, normalize_url, registered_domain,
-            token_count, url_host)
+        from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
 
+        if args.stream and (args.curate or args.splits
+                            or args.dedup_index
+                            or args.max_docs_per_domain > 0):
+            p.error("--stream is ingest-only: curation, splits, dedup "
+                    "indexing and per-domain caps are corpus-level "
+                    "passes — run them over the accumulated output")
         spark = make_session(app_name="kiji-crawl-ingest")
-        recs = read_warc_records(spark, [args.input],
-                                 lenient=args.lenient)
-        responses = recs.filter(F.col("warc_type") == "response")
-        docs = (http_html_text(responses)
-                .select(
-                    # deterministic id: a re-run over the same archives
-                    # yields the same ids, so downstream dedup indexes
-                    # and splits stay stable
-                    F.xxhash64("path", "record_no").alias("doc_id"),
-                    normalize_url(F.col("target_uri")).alias("url"),
-                    url_host(F.col("target_uri")).alias("_host"),
-                    "content_type", "warc_date", "text")
-                .filter(token_count(F.col("text")) >= args.min_tokens))
-        if args.psl == "heuristic":
-            # expression-only fallback: no rule tables, approximate
-            # second-level handling
-            docs = docs.withColumn(
-                "domain", registered_domain(F.col("_host")))
-        else:
+        heuristic = args.psl == "heuristic"
+        rules = None
+        if not heuristic and args.psl:
             from kiji_mapreduce_spark.pipeline import psl as psl_mod
 
-            rules = (psl_mod.load_psl(args.psl) if args.psl
-                     else psl_mod.snapshot_rules())
-            docs = psl_mod.with_registered_domain(
-                docs, "_host", "domain", rules=rules, spark=spark)
-        docs = docs.drop("_host").select(
-            "doc_id", "url", "domain", "content_type", "warc_date",
-            "text")
+            rules = psl_mod.load_psl(args.psl)
+        if args.stream:
+            # streaming twin: process the archives currently present
+            # exactly once (availableNow) against the checkpoint; a
+            # re-run with the same checkpoint picks up only NEW
+            # archives — the continuous-segment-arrival shape
+            from kiji_mapreduce_spark.streaming.jobs import \
+                stream_crawl_ingest
+
+            if not args.checkpoint:
+                p.error("--stream requires --checkpoint")
+            q = stream_crawl_ingest(
+                spark, args.input, args.output, args.checkpoint,
+                lenient=args.lenient, min_tokens=args.min_tokens,
+                psl_rules=rules, heuristic_domains=heuristic)
+            q.awaitTermination()
+            try:
+                out = spark.read.parquet(args.output)
+                n_docs = out.count()
+                n_domains = out.select("domain").distinct().count()
+            except Exception:
+                n_docs = n_domains = 0  # no new archives this run
+            return _emit(args, {
+                "documents": args.output, "n_docs": n_docs,
+                "n_domains": n_domains, "streaming": True})
+        recs = read_warc_records(spark, [args.input],
+                                 lenient=args.lenient)
+        docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,
+                               psl_rules=rules,
+                               heuristic_domains=heuristic)
         if args.max_docs_per_domain > 0:
             from kiji_mapreduce_spark.pipeline.sample import stratum_topk
 

@@ -407,9 +407,25 @@ def read_warc_records(spark: SparkSession, paths: list[str],
     framed length (the WARC-side fact); ``content`` holds the
     normalized payload.
     """
+    files = spark.read.format("binaryFile").load(paths)
+    return warc_records_from_files(files, lenient=lenient,
+                                   decode_http=decode_http)
+
+
+#: binaryFile source schema — needed explicitly for readStream (file
+#: stream sources don't infer), identical to the batch reader's
+BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def warc_records_from_files(files: DataFrame, lenient: bool = False,
+                            decode_http: bool = True) -> DataFrame:
+    """The parser half of ``read_warc_records``, over an existing
+    (path, content) DataFrame — shared by the batch reader and the
+    streaming crawl ingest (whose micro-batches arrive as binaryFile
+    rows from ``readStream``)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(paths)
     schema = ("path string, record_no int, warc_type string, "
               "target_uri string, warc_date string, record_id string, "
               "content_length long, content binary")

@@ -532,3 +532,61 @@ def stream_drift(
         F.round(psi, 6).alias("psi"),
         F.round(ks, 6).alias("ks"),
         (psi > 0.25).alias("drifted"))
+
+
+def stream_crawl_ingest(
+    spark,
+    input_glob: str,
+    output_dir: str,
+    checkpoint: str,
+    lenient: bool = True,
+    min_tokens: int = 1,
+    psl_rules=None,
+    heuristic_domains: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Continuous crawl ingest: watch ``input_glob`` for NEW WARC
+    archives (the shape 100 TB crawls actually land in — segments
+    arriving over hours) and append documents-shaped rows to
+    ``output_dir`` — the streaming twin of ``kiji-mr crawl-ingest``,
+    sharing its whole transformation via ``pipeline.crawl
+    .crawl_documents`` so batch and stream cannot drift.
+
+    Scale shape: the binaryFile stream source checkpoints WHICH files
+    were processed (each archive exactly once across restarts); each
+    micro-batch parses only its new archives and writes into a
+    ``batch_id=N`` partition with OVERWRITE, so foreachBatch's
+    at-least-once replay after a crash rewrites the same partition
+    instead of duplicating documents. Doc ids stay the deterministic
+    ``xxhash64(path, record_no)``, so a replay (or a later batch
+    re-shipping an archive under the same path) cannot fork ids.
+    Per-domain caps are a CORPUS-level decision and deliberately not
+    applied per batch — run ``sample.stratum_topk`` over the
+    accumulated output for that.
+
+    ``lenient`` defaults ON here — one truncated archive must not kill
+    a continuous ingest job (the batch CLI defaults strict).
+    Returns the started StreamingQuery.
+    """
+    from kiji_mapreduce_spark.io.inputs import (BINARY_FILE_SCHEMA,
+                                                warc_records_from_files)
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+
+    files = (spark.readStream.format("binaryFile")
+             .schema(BINARY_FILE_SCHEMA).load(input_glob))
+
+    def _process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        recs = warc_records_from_files(batch_df, lenient=lenient)
+        docs = crawl_documents(
+            recs, batch_df.sparkSession, min_tokens=min_tokens,
+            psl_rules=psl_rules, heuristic_domains=heuristic_domains)
+        docs.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}")
+
+    writer = files.writeStream.foreachBatch(_process) \
+        .option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1153,6 +1153,64 @@ def test_cli_crawl_ingest_curate_end_to_end(spark, tmp_path, capsys):
     assert out["n_pairs"] >= 1
 
 
+def test_stream_crawl_ingest_exactly_once(spark, tmp_path, capsys):
+    """Streaming crawl ingest: archives arriving over time are each
+    processed exactly once across runs sharing a checkpoint, batch
+    output lands in replay-idempotent batch_id= partitions, doc ids
+    stay the deterministic xxhash64(path, record_no) — identical to
+    the batch CLI's ids for the same archives (shared chain)."""
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n<p>some page words right here</p>"
+    d = tmp_path / "inbox"
+    d.mkdir()
+    (d / "seg1.warc").write_bytes(
+        _warc_record("response", "http://a.example.co.uk/1", body))
+    ckpt = f"{tmp_path}/ckpt"
+    out_dir = f"{tmp_path}/docs"
+    rc = cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                   "--output", out_dir, "--stream",
+                   "--checkpoint", ckpt])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 1 and stats["streaming"] is True
+    first = spark.read.parquet(out_dir).collect()
+    assert first[0].domain == "example.co.uk"
+
+    # second archive arrives; same checkpoint -> ONLY the new file is
+    # processed, first batch's rows are untouched
+    (d / "seg2.warc").write_bytes(
+        _warc_record("response", "http://b.example.com/2", body))
+    rc = cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                   "--output", out_dir, "--stream",
+                   "--checkpoint", ckpt])
+    assert rc == 0
+    capsys.readouterr()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 2  # exactly once: seg1 NOT re-ingested
+    assert {r.domain for r in rows} == {"example.co.uk", "example.com"}
+
+    # batch CLI over the same archives mints the SAME doc ids
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/batch_docs"])
+    assert rc == 0
+    capsys.readouterr()
+    assert {r.doc_id for r in rows} == \
+        {r.doc_id for r in spark.read.parquet(
+            f"{tmp_path}/batch_docs").collect()}
+
+    # guard: corpus-level passes are refused in stream mode
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                  "--output", out_dir, "--stream",
+                  "--checkpoint", ckpt, "--curate"])
+    capsys.readouterr()
+
+
 def test_cli_pipeline_commands_record_job_history(spark, tmp_path,
                                                   capsys):
     """r7 verdict ask #5: pipeline subcommands run outside Job, but
