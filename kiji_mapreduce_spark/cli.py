@@ -664,20 +664,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
             if not args.checkpoint:
                 p.error("--stream requires --checkpoint")
+            # always lenient: a strict failure inside foreachBatch
+            # happens AFTER the file-source offset log claims the
+            # batch, so every restart replays the same corrupt
+            # archive and the ingest wedges permanently — exactly
+            # what stream_crawl_ingest's lenient-by-default design
+            # exists to prevent (bad records are skipped, the
+            # segment's parsed prefix is kept)
+            batch_stats: list = []
             q = stream_crawl_ingest(
                 spark, args.input, args.output, args.checkpoint,
-                lenient=args.lenient, min_tokens=args.min_tokens,
-                psl_rules=rules, heuristic_domains=heuristic)
+                lenient=True, min_tokens=args.min_tokens,
+                psl_rules=rules, heuristic_domains=heuristic,
+                batch_stats=batch_stats)
             q.awaitTermination()
-            try:
-                out = spark.read.parquet(args.output)
-                n_docs = out.count()
-                n_domains = out.select("domain").distinct().count()
-            except Exception:
-                n_docs = n_domains = 0  # no new archives this run
+            # per-RUN counts from the batches this run wrote — not a
+            # scan of the whole accumulated corpus, whose size is
+            # O(every prior run) and whose count would mislabel old
+            # documents as this run's ingest
             return _emit(args, {
-                "documents": args.output, "n_docs": n_docs,
-                "n_domains": n_domains, "streaming": True})
+                "documents": args.output,
+                "n_docs": sum(b["n_docs"] for b in batch_stats),
+                "n_batches": len(batch_stats), "streaming": True})
         recs = read_warc_records(spark, [args.input],
                                  lenient=args.lenient)
         docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,

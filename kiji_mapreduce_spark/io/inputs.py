@@ -316,6 +316,41 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     yield from _frame_warc_records(chunks, path, lenient)
 
 
+#: ceiling on a single HTTP body's DECODED size — deflate ratios reach
+#: ~1000x, so without a cap one gzip-bomb "page" materializes gigabytes
+#: in a single call and OOMs the task that owns the whole archive,
+#: breaking the parser's O(record + chunk) per-task memory contract
+_MAX_INFLATE = 1 << 28
+
+
+def _inflate_http_body(data: bytes, wbits: int):
+    """Fully inflate an HTTP body, looping over concatenated gzip
+    members (servers that flush compressed output incrementally emit
+    several members per body — valid gzip that a single
+    ``zlib.decompress`` call silently truncates to the first member),
+    with a hard output ceiling of ``_MAX_INFLATE``. Returns None on
+    corrupt input, truncation, or a ceiling breach — the caller passes
+    the payload through untouched."""
+    import zlib
+
+    out = bytearray()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits)
+        try:
+            out += d.decompress(rest, _MAX_INFLATE + 1 - len(out))
+        except zlib.error:
+            return None
+        if len(out) > _MAX_INFLATE:
+            return None  # bomb: refuse to materialize more
+        if not d.eof:
+            return None  # truncated member
+        rest = d.unused_data
+        if wbits != 47 or not rest.startswith(b"\x1f\x8b"):
+            break  # deflate is one stream; non-member tail is junk
+    return bytes(out)
+
+
 def _decode_http_payload(body: bytes) -> bytes:
     """Normalize an HTTP-response WARC payload to identity encoding:
     de-chunk ``Transfer-Encoding: chunked`` framing and inflate
@@ -332,7 +367,6 @@ def _decode_http_payload(body: bytes) -> bytes:
     ``http_html_text`` stays pure-Catalyst.
     """
     import re
-    import zlib
 
     if not body.startswith(b"HTTP/"):
         return body
@@ -356,10 +390,12 @@ def _decode_http_payload(body: bytes) -> bytes:
             if eol < 0:
                 return body  # malformed framing: pass through
             size_tok = decoded[pos:eol].split(b";", 1)[0].strip()
-            try:
-                size = int(size_tok, 16)
-            except ValueError:
+            # strict hex only: int(tok, 16) also accepts b"-6", whose
+            # negative slice bounds would move pos BACKWARDS and spin
+            # this loop forever while `out` grows without bound
+            if not re.fullmatch(rb"[0-9A-Fa-f]{1,16}", size_tok):
                 return body
+            size = int(size_tok, 16)
             if size == 0:
                 break  # terminal chunk (trailers ignored)
             start = eol + 2
@@ -369,16 +405,15 @@ def _decode_http_payload(body: bytes) -> bytes:
             pos = start + size + 2  # skip chunk-data CRLF
         decoded = bytes(out)
     if enc:
-        try:
-            if enc.group(1).lower() in (b"gzip", b"x-gzip"):
-                decoded = zlib.decompress(decoded, wbits=47)
-            else:  # deflate: zlib-wrapped per RFC, raw in the wild
-                try:
-                    decoded = zlib.decompress(decoded, wbits=15)
-                except zlib.error:
-                    decoded = zlib.decompress(decoded, wbits=-15)
-        except zlib.error:
+        if enc.group(1).lower() in (b"gzip", b"x-gzip"):
+            inflated = _inflate_http_body(decoded, wbits=47)
+        else:  # deflate: zlib-wrapped per RFC, raw in the wild
+            inflated = _inflate_http_body(decoded, wbits=15)
+            if inflated is None:
+                inflated = _inflate_http_body(decoded, wbits=-15)
+        if inflated is None:
             return body
+        decoded = inflated
     kept = [ln for ln in headers.split(b"\r\n")
             if not re.match(rb"(?i)^(transfer-encoding|content-encoding"
                             rb"|content-length):", ln)]

@@ -544,6 +544,7 @@ def stream_crawl_ingest(
     psl_rules=None,
     heuristic_domains: bool = False,
     trigger_available_now: bool = True,
+    batch_stats: list | None = None,
 ):
     """Continuous crawl ingest: watch ``input_glob`` for NEW WARC
     archives (the shape 100 TB crawls actually land in — segments
@@ -565,7 +566,16 @@ def stream_crawl_ingest(
     accumulated output for that.
 
     ``lenient`` defaults ON here — one truncated archive must not kill
-    a continuous ingest job (the batch CLI defaults strict).
+    a continuous ingest job (the batch CLI defaults strict). Worse than
+    the one-off crash: the file-source offset log already claims the
+    batch, so a strict failure replays the SAME corrupt archive on
+    every restart and the ingest wedges permanently.
+
+    ``batch_stats``: optional list that receives one
+    ``{"batch_id", "n_docs"}`` dict per non-empty micro-batch —
+    foreachBatch runs on the driver, so a plain closure list works.
+    Counting reads back only the freshly written partition (O(this
+    batch), never O(accumulated corpus)).
     Returns the started StreamingQuery.
     """
     from kiji_mapreduce_spark.io.inputs import (BINARY_FILE_SCHEMA,
@@ -582,8 +592,13 @@ def stream_crawl_ingest(
         docs = crawl_documents(
             recs, batch_df.sparkSession, min_tokens=min_tokens,
             psl_rules=psl_rules, heuristic_domains=heuristic_domains)
-        docs.write.mode("overwrite").parquet(
-            f"{output_dir}/batch_id={batch_id}")
+        part = f"{output_dir}/batch_id={batch_id}"
+        docs.write.mode("overwrite").parquet(part)
+        if batch_stats is not None:
+            batch_stats.append({
+                "batch_id": batch_id,
+                "n_docs": batch_df.sparkSession.read.parquet(part)
+                .count()})
 
     writer = files.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)

@@ -1187,7 +1187,10 @@ def test_stream_crawl_ingest_exactly_once(spark, tmp_path, capsys):
                    "--output", out_dir, "--stream",
                    "--checkpoint", ckpt])
     assert rc == 0
-    capsys.readouterr()
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # n_docs is THIS RUN's ingest (seg2 only), not the accumulated
+    # corpus — and no full-corpus scan pays for the stat
+    assert stats["n_docs"] == 1 and stats["n_batches"] == 1
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 2  # exactly once: seg1 NOT re-ingested
     assert {r.domain for r in rows} == {"example.co.uk", "example.com"}
