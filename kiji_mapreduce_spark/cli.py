@@ -361,6 +361,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="also write the MinHash signature index of "
                     "the final corpus, ready for `kiji-mr dedup-index "
                     "--mode ingest` on the next crawl batch")
+    ci.add_argument("--media-output", default=None, metavar="DIR",
+                    help="also extract the crawl's image/audio/video "
+                    "responses (typed by Content-Type + magic-byte "
+                    "sniffing, bodies as raw bytes) into a media table "
+                    "`kiji-mr media-dedup` reads directly")
     ci.add_argument("--stream", action="store_true",
                     help="streaming twin: process currently-present "
                     "archives exactly once against --checkpoint "
@@ -643,10 +648,13 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
         if args.stream and (args.curate or args.splits
                             or args.dedup_index
+                            or args.media_output
                             or args.max_docs_per_domain > 0):
             p.error("--stream is ingest-only: curation, splits, dedup "
-                    "indexing and per-domain caps are corpus-level "
-                    "passes — run them over the accumulated output")
+                    "indexing, media extraction and per-domain caps "
+                    "are corpus-level or second-output passes — run "
+                    "them over the accumulated output (media: batch "
+                    "crawl-ingest --media-output on the same archives)")
         spark = make_session(app_name="kiji-crawl-ingest")
         heuristic = args.psl == "heuristic"
         rules = None
@@ -731,6 +739,21 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             stats["dedup_index"] = args.dedup_index
             stats["index_rows"] = spark.read.parquet(
                 args.dedup_index).count()
+        if args.media_output:
+            # second output = one more pass over the archives (the
+            # Common Crawl WET/WAT precedent: derived views are extra
+            # full reads); the Catalyst content-type pre-filter keeps
+            # non-media payloads from ever crossing into Python
+            from kiji_mapreduce_spark.pipeline.crawl import crawl_media
+
+            crawl_media(recs, spark, psl_rules=rules,
+                        heuristic_domains=heuristic) \
+                .write.mode("overwrite").parquet(args.media_output)
+            media = spark.read.parquet(args.media_output)
+            stats["media"] = args.media_output
+            stats["media_counts"] = {
+                r["kind"]: r["n"] for r in media.groupBy("kind")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
         return _emit(args, stats)
 
     if args.command == "drift":

@@ -42,20 +42,153 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
 
     responses = records.filter(F.col("warc_type") == "response")
     docs = (http_html_text(responses)
+            # media-typed responses belong to the OTHER half of the
+            # ingest (crawl_media): tag-stripping image/audio/video
+            # bytes yields garbage "text" documents. Untyped responses
+            # stay — a header-less text page is common, and declared
+            # type is the only Catalyst-cheap signal here.
+            .filter(~F.col("content_type")
+                    .rlike("^(image|audio|video)/")
+                    & (F.col("content_type")
+                       != "application/octet-stream"))
             .select(
                 F.xxhash64("path", "record_no").alias("doc_id"),
                 normalize_url(F.col("target_uri")).alias("url"),
                 url_host(F.col("target_uri")).alias("_host"),
                 "content_type", "warc_date", "text")
             .filter(token_count(F.col("text")) >= min_tokens))
-    if heuristic_domains:
-        docs = docs.withColumn(
-            "domain", registered_domain(F.col("_host")))
-    else:
-        from kiji_mapreduce_spark.pipeline import psl as psl_mod
-
-        rules = psl_rules if psl_rules is not None \
-            else psl_mod.snapshot_rules()
-        docs = psl_mod.with_registered_domain(
-            docs, "_host", "domain", rules=rules, spark=spark)
+    docs = _with_domain(docs, spark, psl_rules, heuristic_domains)
     return docs.select(*DOC_COLUMNS)
+
+
+def _with_domain(df: DataFrame, spark: SparkSession, psl_rules,
+                 heuristic_domains: bool) -> DataFrame:
+    """Attach ``domain`` from the ``_host`` column — PSL broadcast-join
+    extraction by default, the expression-only heuristic on request.
+    Shared by the document and media halves of the ingest so per-domain
+    caps and domain mixtures bucket both the same way."""
+    from kiji_mapreduce_spark.pipeline.text import registered_domain
+
+    if heuristic_domains:
+        return df.withColumn("domain", registered_domain(F.col("_host")))
+    from kiji_mapreduce_spark.pipeline import psl as psl_mod
+
+    rules = psl_rules if psl_rules is not None \
+        else psl_mod.snapshot_rules()
+    return psl_mod.with_registered_domain(
+        df, "_host", "domain", rules=rules, spark=spark)
+
+
+MEDIA_COLUMNS = ("media_id", "url", "domain", "content_type", "kind",
+                 "warc_date", "content")
+
+#: body-prefix magic -> perceptual-code kind, for responses whose
+#: Content-Type header is missing or wrong (real crawls mislabel media
+#: constantly); checked in order, WAVE confirmed past the RIFF header
+_MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
+                (b"\xff\xd8\xff", "image"),  # JPEG SOI
+                (b"MPNG", "video"))  # the engine's Motion-PNG container
+
+
+def _sniff_kind(body: bytes) -> str | None:
+    for magic, kind in _MAGIC_KINDS:
+        if body.startswith(magic):
+            return kind
+    if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
+        return "audio"
+    return None
+
+
+def crawl_media(records: DataFrame, spark: SparkSession,
+                psl_rules=None,
+                heuristic_domains: bool = False) -> DataFrame:
+    """WARC record rows -> media-shaped rows (``MEDIA_COLUMNS``): the
+    image/audio/video responses of a crawl, bodies extracted to raw
+    bytes, typed by Content-Type with magic-byte sniffing as backstop —
+    the other half of the ingest, feeding the perceptual dedup stack
+    (``multimodal.media_dedup_incremental`` / ``kiji-mr media-dedup``
+    read these rows directly: default ``media_id``/``content`` columns).
+
+    Scale shape: a pure-Catalyst pre-filter on the header block's
+    Content-Type (plus magic probes for untyped responses) runs BEFORE
+    the Arrow boundary, so HTML and other non-media payloads — the
+    overwhelming bulk of a crawl — never cross into Python; the byte-
+    exact header/body split happens in one ``mapInPandas`` over the
+    surviving media rows, whose bytes must reach Python anyway for
+    perceptual decoding. ``media_id`` is the same deterministic
+    ``xxhash64(path, record_no)`` the document ingest mints, so a doc
+    and a media row from one record share an id and re-ingests keep
+    dedup indexes stable.
+    """
+    import pandas as pd
+
+    # same header-block Content-Type expression as text.http_html_text
+    # (headers are ASCII, so the lossy string cast is exact there)
+    s = F.make_valid_utf8(F.col("content").cast("string"))
+    sep = F.instr(s, "\r\n\r\n")
+    headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
+        .otherwise(F.lit(""))
+    ctype = F.lower(F.trim(F.regexp_extract(
+        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
+
+    magic_probe = F.lit(False)
+    for magic, _kind in _MAGIC_KINDS:
+        magic_probe = magic_probe | F.contains(
+            F.col("content"), F.lit(magic))
+    magic_probe = magic_probe | (
+        F.contains(F.col("content"), F.lit(b"RIFF"))
+        & F.contains(F.col("content"), F.lit(b"WAVE")))
+
+    cand = (records
+            .filter(F.col("warc_type") == "response")
+            .withColumn("content_type", ctype)
+            .filter(F.col("content_type").rlike("^(image|audio|video)/")
+                    | (F.col("content_type").isin(
+                        "", "application/octet-stream") & magic_probe)))
+
+    schema = ("media_id long, url string, _host string, "
+              "content_type string, kind string, warc_date string, "
+              "content binary")
+
+    def _extract(batches):
+        in_cols = ("media_id", "url", "_host", "content_type",
+                   "warc_date", "content")
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "url", "_host",
+                                    "content_type", "kind",
+                                    "warc_date", "content")}
+            for mid, url, host, ct, date, content in zip(
+                    *(pdf[c] for c in in_cols)):
+                body = bytes(content)
+                if body.startswith(b"HTTP/"):
+                    cut = body.find(b"\r\n\r\n")
+                    if cut < 0:
+                        continue  # headers never terminated: skip
+                    body = body[cut + 4:]
+                ct = ct or ""
+                kind = next((k for p, k in (("image/", "image"),
+                                            ("audio/", "audio"),
+                                            ("video/", "video"))
+                             if ct.startswith(p)), None) \
+                    or _sniff_kind(body)
+                if kind is None:
+                    continue  # magic probe false-positive: not media
+                rows["media_id"].append(mid)
+                rows["url"].append(url)
+                rows["_host"].append(host)
+                rows["content_type"].append(ct)
+                rows["kind"].append(kind)
+                rows["warc_date"].append(date)
+                rows["content"].append(body)
+            yield pd.DataFrame(rows)
+
+    from kiji_mapreduce_spark.pipeline.text import normalize_url, url_host
+
+    media = (cand.select(
+        F.xxhash64("path", "record_no").alias("media_id"),
+        normalize_url(F.col("target_uri")).alias("url"),
+        url_host(F.col("target_uri")).alias("_host"),
+        "content_type", "warc_date", "content")
+        .mapInPandas(_extract, schema))
+    media = _with_domain(media, spark, psl_rules, heuristic_domains)
+    return media.select(*MEDIA_COLUMNS)

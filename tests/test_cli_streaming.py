@@ -1073,6 +1073,55 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     assert out3["n_docs"] == 3  # 2 capped + the 1 example.co.uk doc
 
 
+def test_cli_crawl_ingest_media_output(spark, tmp_path, capsys):
+    """--media-output extracts the crawl's media responses into a
+    second table that `kiji-mr media-dedup` consumes as-is: the same
+    image served at two URLs comes back as a near-dup pair, completing
+    archive -> media table -> perceptual dedup in two commands."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from tests.test_io import _warc_record
+
+    png = mc.encode_png(
+        (np.arange(16 * 16 * 3, dtype=np.uint8) % 251).reshape(16, 16, 3))
+    html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>regular page words here</p>")
+    img = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + png
+    d = tmp_path / "archives"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        _warc_record("response", "http://a.example.com/page", html)
+        + _warc_record("response", "http://a.example.com/logo.png", img)
+        + _warc_record("response", "http://b.example.org/copy.png", img))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs",
+                   "--media-output", f"{tmp_path}/media"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 1 and out["media_counts"] == {"image": 2}
+    media = spark.read.parquet(f"{tmp_path}/media")
+    assert {r.domain for r in media.collect()} == \
+        {"example.com", "example.org"}
+    rc = cli.main(["media-dedup", "--input", f"{tmp_path}/media",
+                   "--kind", "image", "--output", f"{tmp_path}/pairs"])
+    assert rc == 0
+    capsys.readouterr()
+    assert spark.read.parquet(f"{tmp_path}/pairs").count() == 1
+
+    # media extraction is a batch-mode second output
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["crawl-ingest", "--input", str(d),
+                  "--output", f"{tmp_path}/docs", "--stream",
+                  "--checkpoint", f"{tmp_path}/ck",
+                  "--media-output", f"{tmp_path}/media2"])
+    capsys.readouterr()
+
+
 def test_cli_crawl_ingest_curate_end_to_end(spark, tmp_path, capsys):
     """r7 verdict ask #8: one command from .warc.gz to a curated,
     split, dedup-indexed corpus — quality gate drops the thin page,
