@@ -100,7 +100,8 @@ def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
 #: pipeline needs rows for (r7 verdict ask #5)
 _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
-    "crawl-ingest", "drift", "media-dedup", "ann-tune", "dedup-index"})
+    "crawl-ingest", "drift", "media-dedup", "ann-tune", "dedup-index",
+    "compact"})
 
 
 def _emit(args, stats: dict) -> int:
@@ -235,8 +236,29 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     cp.add_argument("--layout", required=True, help="layout JSON file")
     cp.add_argument("--path", required=True)
 
-    mp = sub.add_parser("compact")
-    mp.add_argument("--table", required=True)
+    mp = sub.add_parser("compact", help="--table: merge an entity "
+                        "table's put-deltas; --input: rewrite a raw "
+                        "parquet dataset into ~target-size files with "
+                        "an atomic directory swap — the maintenance "
+                        "pass for a streaming sink's accumulated "
+                        "batch_id= partitions (or any small-batch "
+                        "appender)")
+    mp.add_argument("--table", default=None)
+    mp.add_argument("--input", default=None,
+                    help="parquet dataset dir (compacted IN PLACE via "
+                    "staged write + atomic swap; not safe concurrent "
+                    "with a writer to the same path)")
+    mp.add_argument("--target-mb", type=int, default=128,
+                    help="dataset mode: target output file size "
+                    "(default 128)")
+    mp.add_argument("--partition-by", default=None,
+                    help="dataset mode: comma-separated columns to "
+                    "keep/re-establish as a hive partition layout "
+                    "(default: flat files, discovered partition "
+                    "columns become data columns)")
+    mp.add_argument("--dry-run", action="store_true",
+                    help="dataset mode: report file counts/bytes "
+                    "without rewriting")
 
     op = sub.add_parser("optimize", help="bin-pack small files in "
                         "write-churned buckets (untouched buckets stay "
@@ -464,7 +486,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     # --history on every pipeline subcommand (r7 verdict ask #5): the
     # archetype commands' job-history contract, extended to the
     # pipeline surface via _emit / _record_pipeline_failure
-    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di):
+    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp):
         sp.add_argument("--history", default=None,
                         help="job-history table path: record this "
                         "run's id/name/start/end/status/counters")
@@ -508,12 +530,31 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         return 0
 
     if args.command == "compact":
-        from kiji_mapreduce_spark.table import EntityTable
-
+        if bool(args.table) == bool(args.input):
+            p.error("compact: exactly one of --table (entity-table "
+                    "delta merge) or --input (raw parquet dataset "
+                    "rewrite) is required")
         spark = make_session(app_name="kiji-compact")
-        EntityTable.open(spark, args.table).compact()
-        print(json.dumps({"compacted": args.table}))
-        return 0
+        if args.table:
+            from kiji_mapreduce_spark.table import EntityTable
+
+            EntityTable.open(spark, args.table).compact()
+            return _emit(args, {"compacted": args.table})
+        from pyspark.errors import AnalysisException
+
+        from kiji_mapreduce_spark.io.outputs import compact_parquet
+
+        try:
+            stats = compact_parquet(
+                spark, args.input,
+                target_bytes=args.target_mb << 20,
+                partition_by=(args.partition_by.split(",")
+                              if args.partition_by else None),
+                dry_run=args.dry_run)
+        except (ValueError, AnalysisException) as e:
+            p.error(str(e))
+        return _emit(args, {"dataset": args.input,
+                            "dry_run": args.dry_run, **stats})
 
     if args.command == "optimize":
         from kiji_mapreduce_spark.table import EntityTable

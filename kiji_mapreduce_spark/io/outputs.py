@@ -521,3 +521,72 @@ def _swap_partition_dirs_hadoop(staging_path: str, table_path: str,
         elif fs.exists(live_sub):
             fs.delete(live_sub, True)
     fs.delete(HPath(staging_path), True)
+
+
+def _fs_file_size(uri: str, spark=None) -> int:
+    """Scheme-agnostic single-file size (local via os, else Hadoop FS)."""
+    if _is_local_path(uri):
+        return os.path.getsize(_strip_file_scheme(uri))
+    fs, p, _ = _hadoop_fs(uri, spark)
+    return fs.getFileStatus(p).getLen()
+
+
+def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
+                    partition_by: list[str] | None = None,
+                    dry_run: bool = False) -> dict:
+    """Rewrite a parquet dataset into ~``target_bytes`` files and commit
+    atomically — the maintenance pass every high-frequency writer needs
+    at scale: a streaming sink's accumulated ``batch_id=`` partitions
+    (``stream_crawl_ingest``, ``stream_media_dedup``'s code index) or
+    any per-batch appender accretes thousands of tiny files, and at
+    100 TB the resulting footer reads, task-per-file scheduling, and
+    NameNode/listing pressure dominate query time long before the data
+    does.
+
+    Shape: one read of the dataset, one shuffle into
+    ``ceil(total_bytes / target_bytes)`` tasks, one staged write,
+    then the ``bulk_load`` directory swap (restore-on-failure, hidden
+    trash dir) so readers racing the compaction see the old files or
+    the new ones, never a mix. Hive-partition columns discovered from
+    directory layout (e.g. ``batch_id=N``) are preserved as DATA
+    columns; pass ``partition_by`` to keep (or re-establish) a hive
+    layout — each named column set hashes to one task so each
+    partition value lands in one file. A footer-only row-count check
+    guards the swap: a staged count that differs from the live count
+    aborts and leaves the dataset untouched. NOT safe to run
+    concurrently with a writer to the same path — run between ingest
+    runs (the streaming checkpoint lives on the INPUT side and is
+    unaffected).
+    """
+    import math
+    import uuid
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    if not files:
+        raise ValueError(f"compact_parquet: no parquet files under {path}")
+    total = sum(_fs_file_size(f, spark) for f in files)
+    n_out = max(1, math.ceil(total / max(target_bytes, 1)))
+    stats = {"files_before": len(files), "bytes_before": total,
+             "target_files": n_out}
+    if dry_run:
+        return stats
+    live_count = df.count()  # parquet footer counts: no data scan
+    staging = f"{path.rstrip('/')}.compacting-{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_out, *partition_by) if partition_by \
+        else df.repartition(n_out)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    staged = spark.read.parquet(staging)
+    staged_count = staged.count()
+    if staged_count != live_count:
+        fs_delete(staging, spark)
+        raise IOError(
+            f"compact_parquet: staged row count {staged_count} != live "
+            f"{live_count}; aborting with {path} untouched")
+    stats["files_after"] = len(staged.inputFiles())
+    stats["n_rows"] = live_count
+    bulk_load(staging, path, spark)
+    return stats

@@ -1263,6 +1263,57 @@ def test_stream_crawl_ingest_exactly_once(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_compact_small_files(spark, tmp_path, capsys):
+    """compact: a streaming sink's accumulated batch_id= partitions
+    (many tiny files) rewrite into few target-size files behind the
+    atomic bulk-load swap; every row and the discovered partition
+    column survive; --dry-run only reports; --partition-by keeps a
+    hive layout with one file per partition value."""
+    import json as _json
+
+    # simulate 6 micro-batch writes of 2 rows each, 2 files per batch
+    for b in range(6):
+        spark.range(b * 2, b * 2 + 2).selectExpr(
+            "id as doc_id", "id * 10 as v").repartition(2) \
+            .write.parquet(f"{tmp_path}/docs/batch_id={b}")
+    n_before = len(spark.read.parquet(f"{tmp_path}/docs").inputFiles())
+    assert n_before >= 12
+
+    rc = cli.main(["compact", "--input", f"{tmp_path}/docs",
+                   "--dry-run"])
+    assert rc == 0
+    dry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dry["files_before"] == n_before and dry["target_files"] == 1
+    assert len(spark.read.parquet(f"{tmp_path}/docs").inputFiles()) \
+        == n_before  # dry run touched nothing
+
+    rc = cli.main(["compact", "--input", f"{tmp_path}/docs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    after = spark.read.parquet(f"{tmp_path}/docs")
+    assert out["files_after"] == len(after.inputFiles()) == 1
+    assert out["n_rows"] == 12
+    assert {(r.doc_id, r.v, r.batch_id) for r in after.collect()} == \
+        {(i, i * 10, i // 2) for i in range(12)}
+
+    # --partition-by re-establishes a hive layout, one file per value
+    rc = cli.main(["compact", "--input", f"{tmp_path}/docs",
+                   "--partition-by", "batch_id"])
+    assert rc == 0
+    capsys.readouterr()
+    hive = spark.read.parquet(f"{tmp_path}/docs")
+    assert len(hive.inputFiles()) == 6
+    assert {(r.doc_id, r.v, r.batch_id) for r in hive.collect()} == \
+        {(i, i * 10, i // 2) for i in range(12)}
+
+    # a missing dataset is a loud usage error, not a traceback
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["compact", "--input", f"{tmp_path}/nope"])
+    capsys.readouterr()
+
+
 def test_cli_pipeline_commands_record_job_history(spark, tmp_path,
                                                   capsys):
     """r7 verdict ask #5: pipeline subcommands run outside Job, but
