@@ -750,3 +750,64 @@ def test_warc_http_payload_decoding_adversarial():
     blob = resp(b"Content-Encoding: deflate\r\n", tail)
     out = _decode_http_payload(blob)
     assert out == blob or out.endswith(b"page")
+
+
+def test_http_payload_decode_roundtrip_property():
+    """Property: for ANY body bytes, framing them with chunked
+    transfer coding (arbitrary chunk splits) and/or compressing with
+    gzip (1..3 concatenated members), x-gzip, zlib-deflate or
+    raw-deflate, then decoding, recovers the original body exactly —
+    and the encoding headers are gone. The inverse direction of the
+    adversarial tests: decode must be the true inverse of every
+    encoding a server can legally produce."""
+    import gzip
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kiji_mapreduce_spark.io.inputs import _decode_http_payload
+
+    @settings(max_examples=60, deadline=None)
+    @given(body=st.binary(max_size=400),
+           cuts=st.lists(st.integers(0, 400), max_size=4),
+           enc=st.sampled_from([None, "gzip", "x-gzip", "gzip2",
+                                "gzip3", "deflate", "raw-deflate"]),
+           chunked=st.booleans())
+    def _roundtrip(body, cuts, enc, chunked):
+        payload = body
+        headers = [b"HTTP/1.1 200 OK", b"Content-Type: text/html"]
+        if enc:
+            if enc.startswith("gzip") or enc == "x-gzip":
+                n = int(enc[4:]) if enc[4:].isdigit() else 1
+                # split into n member payloads at deterministic points
+                step = max(1, len(payload) // n) if payload else 1
+                parts = [payload[i * step:(i + 1) * step]
+                         for i in range(n - 1)]
+                parts.append(payload[(n - 1) * step:])
+                payload = b"".join(gzip.compress(p) for p in parts)
+                name = b"x-gzip" if enc == "x-gzip" else b"gzip"
+            elif enc == "deflate":
+                payload, name = zlib.compress(payload), b"deflate"
+            else:
+                payload, name = zlib.compress(payload)[2:-4], b"deflate"
+            headers.append(b"Content-Encoding: " + name)
+            headers.append(
+                b"Content-Length: " + str(len(payload)).encode())
+        if chunked:
+            bounds = sorted({min(c, len(payload)) for c in cuts}
+                            | {0, len(payload)})
+            pieces = [payload[a:b]
+                      for a, b in zip(bounds, bounds[1:]) if b > a]
+            payload = b"".join(
+                b"%x\r\n" % len(p) + p + b"\r\n" for p in pieces
+            ) + b"0\r\n\r\n"
+            headers.append(b"Transfer-Encoding: chunked")
+        blob = b"\r\n".join(headers) + b"\r\n\r\n" + payload
+        out = _decode_http_payload(blob)
+        head, _, got = out.partition(b"\r\n\r\n")
+        assert got == body
+        assert b"transfer-encoding" not in head.lower()
+        assert b"content-encoding" not in head.lower()
+
+    _roundtrip()
