@@ -689,13 +689,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
         if args.stream and (args.curate or args.splits
                             or args.dedup_index
-                            or args.media_output
                             or args.max_docs_per_domain > 0):
             p.error("--stream is ingest-only: curation, splits, dedup "
-                    "indexing, media extraction and per-domain caps "
-                    "are corpus-level or second-output passes — run "
-                    "them over the accumulated output (media: batch "
-                    "crawl-ingest --media-output on the same archives)")
+                    "indexing and per-domain caps are corpus-level "
+                    "passes — run them over the accumulated output "
+                    "(--media-output streams fine: it is per-record)")
         spark = make_session(app_name="kiji-crawl-ingest")
         heuristic = args.psl == "heuristic"
         rules = None
@@ -725,16 +723,20 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 spark, args.input, args.output, args.checkpoint,
                 lenient=True, min_tokens=args.min_tokens,
                 psl_rules=rules, heuristic_domains=heuristic,
-                batch_stats=batch_stats)
+                batch_stats=batch_stats,
+                media_output=args.media_output)
             q.awaitTermination()
             # per-RUN counts from the batches this run wrote — not a
             # scan of the whole accumulated corpus, whose size is
             # O(every prior run) and whose count would mislabel old
             # documents as this run's ingest
-            return _emit(args, {
+            stats = {
                 "documents": args.output,
                 "n_docs": sum(b["n_docs"] for b in batch_stats),
-                "n_batches": len(batch_stats), "streaming": True})
+                "n_batches": len(batch_stats), "streaming": True}
+            if args.media_output:
+                stats["media"] = args.media_output
+            return _emit(args, stats)
         recs = read_warc_records(spark, [args.input],
                                  lenient=args.lenient)
         docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,

@@ -545,6 +545,7 @@ def stream_crawl_ingest(
     heuristic_domains: bool = False,
     trigger_available_now: bool = True,
     batch_stats: list | None = None,
+    media_output: str | None = None,
 ):
     """Continuous crawl ingest: watch ``input_glob`` for NEW WARC
     archives (the shape 100 TB crawls actually land in — segments
@@ -576,11 +577,20 @@ def stream_crawl_ingest(
     foreachBatch runs on the driver, so a plain closure list works.
     Counting reads back only the freshly written partition (O(this
     batch), never O(accumulated corpus)).
+
+    ``media_output``: also extract each batch's image/audio/video
+    responses (``pipeline.crawl.crawl_media``) into batch_id=
+    partitions under this dir — media extraction is per-RECORD work,
+    so unlike the corpus-level passes it streams naturally; the same
+    replay-idempotence (partition overwrite + deterministic ids)
+    applies. Each batch's archives are parsed twice (docs + media
+    derivations), mirroring the batch CLI's extra pass per output.
     Returns the started StreamingQuery.
     """
     from kiji_mapreduce_spark.io.inputs import (BINARY_FILE_SCHEMA,
                                                 warc_records_from_files)
-    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+    from kiji_mapreduce_spark.pipeline.crawl import (crawl_documents,
+                                                     crawl_media)
 
     files = (spark.readStream.format("binaryFile")
              .schema(BINARY_FILE_SCHEMA).load(input_glob))
@@ -594,6 +604,12 @@ def stream_crawl_ingest(
             psl_rules=psl_rules, heuristic_domains=heuristic_domains)
         part = f"{output_dir}/batch_id={batch_id}"
         docs.write.mode("overwrite").parquet(part)
+        if media_output:
+            crawl_media(recs, batch_df.sparkSession,
+                        psl_rules=psl_rules,
+                        heuristic_domains=heuristic_domains) \
+                .write.mode("overwrite").parquet(
+                    f"{media_output}/batch_id={batch_id}")
         if batch_stats is not None:
             batch_stats.append({
                 "batch_id": batch_id,

@@ -1111,15 +1111,19 @@ def test_cli_crawl_ingest_media_output(spark, tmp_path, capsys):
     capsys.readouterr()
     assert spark.read.parquet(f"{tmp_path}/pairs").count() == 1
 
-    # media extraction is a batch-mode second output
-    import pytest
-
-    with pytest.raises(SystemExit):
-        cli.main(["crawl-ingest", "--input", str(d),
-                  "--output", f"{tmp_path}/docs", "--stream",
-                  "--checkpoint", f"{tmp_path}/ck",
-                  "--media-output", f"{tmp_path}/media2"])
-    capsys.readouterr()
+    # media extraction is per-record, so it streams: same archives via
+    # --stream land the same media rows (deterministic ids) in
+    # batch_id= partitions
+    rc = cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                   "--output", f"{tmp_path}/sdocs", "--stream",
+                   "--checkpoint", f"{tmp_path}/ck",
+                   "--media-output", f"{tmp_path}/smedia"])
+    assert rc == 0
+    sout = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sout["media"] == f"{tmp_path}/smedia"
+    smedia = spark.read.parquet(f"{tmp_path}/smedia")
+    assert {r.media_id for r in smedia.collect()} == \
+        {r.media_id for r in media.collect()}
 
 
 def test_cli_crawl_ingest_curate_end_to_end(spark, tmp_path, capsys):
