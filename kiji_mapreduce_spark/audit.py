@@ -192,3 +192,45 @@ def split_leakage(
                  .cast("long").alias("n_leaked"))
             .withColumn("leak_rate",
                         F.round(F.col("n_leaked") / F.col("n_docs"), 4)))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 domain_col: str | None = "domain") -> DataFrame:
+    """Corpus health report over a documents-shaped table in ONE scan
+    and ONE shuffle: per-language doc/token counts, per-domain counts,
+    a log2 document-length histogram, and the global totals — the
+    summary an operator reads before promoting an ingest or choosing
+    mixture weights.
+
+    Shape: per-doc features (language id, log2 token bucket) are one
+    codegen'd projection; the four distributions come from GROUPING
+    SETS ``((lang), (domain), (len_bucket), ())`` — one pass with the
+    map output expanded 4x, instead of four scans of a 100 TB corpus.
+    Output rows are bounded by language count (<=63) + distinct
+    domains + 32 buckets + 1; downstream top-k (``kiji-mr
+    corpus-stats``) runs on this already-aggregated table, never the
+    corpus. ``grouping_id`` bit = column AGGREGATED in that row:
+    lang rows gid=3, domain rows gid=5, len_bucket rows gid=6,
+    global gid=7.
+
+    ``domain_col=None`` (no domain column) drops that grouping set.
+    """
+    from kiji_mapreduce_spark.pipeline.text import (language_id,
+                                                    token_count)
+
+    toks = token_count(F.col(text_col))
+    dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
+    feat = df.select(
+        language_id(F.col(text_col)).alias("lang"),
+        dom.alias("domain"),
+        # log2 buckets: 0 tokens -> 0, 1 -> 1, 2-3 -> 2, ... capped 31
+        F.least(F.lit(31), F.ceil(F.log2(toks + 1)))
+        .cast("int").alias("len_bucket"),
+        toks.alias("toks"))
+    sets = [["lang"], ["len_bucket"], []]
+    if domain_col:
+        sets.insert(1, ["domain"])
+    return (feat.groupingSets(sets, "lang", "domain", "len_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").alias("n_tokens"),
+                 F.grouping_id().alias("gid")))

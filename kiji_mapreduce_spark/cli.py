@@ -101,7 +101,7 @@ def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
 _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
     "crawl-ingest", "drift", "media-dedup", "ann-tune", "dedup-index",
-    "compact"})
+    "compact", "corpus-stats"})
 
 
 def _emit(args, stats: dict) -> int:
@@ -483,10 +483,25 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     di.add_argument("--text-col", default="text")
     di.add_argument("--id-col", default="doc_id")
 
+    st = sub.add_parser("corpus-stats", help="one-scan corpus health "
+                        "report over a documents table: global doc/"
+                        "token totals, per-language and per-domain "
+                        "distributions, log2 length histogram "
+                        "(grouping sets — one shuffle, never four "
+                        "scans)")
+    st.add_argument("--input", required=True,
+                    help="documents-shaped parquet dir")
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--domain-col", default="domain",
+                    help='domain column for the per-domain '
+                    'distribution; "none" to skip')
+    st.add_argument("--top-domains", type=int, default=20,
+                    help="largest domains to list (default 20)")
+
     # --history on every pipeline subcommand (r7 verdict ask #5): the
     # archetype commands' job-history contract, extended to the
     # pipeline surface via _emit / _record_pipeline_failure
-    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp):
+    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp, st):
         sp.add_argument("--history", default=None,
                         help="job-history table path: record this "
                         "run's id/name/start/end/status/counters")
@@ -797,6 +812,49 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             stats["media_counts"] = {
                 r["kind"]: r["n"] for r in media.groupBy("kind")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        return _emit(args, stats)
+
+    if args.command == "corpus-stats":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark import audit
+
+        spark = make_session(app_name="kiji-corpus-stats")
+        df = spark.read.parquet(args.input)
+        domain_col = None if args.domain_col.lower() == "none" \
+            else args.domain_col
+        if domain_col and domain_col not in df.columns:
+            p.error(f"corpus-stats: no column {domain_col!r} in "
+                    f"{args.input} (pass --domain-col none to skip "
+                    "the per-domain distribution)")
+        if args.text_col not in df.columns:
+            p.error(f"corpus-stats: no column {args.text_col!r} in "
+                    f"{args.input}")
+        # the aggregate is bounded (languages + domains + 32 buckets),
+        # so checkpoint it once and let the four consumers below read
+        # the tiny table instead of re-scanning the corpus
+        agg = audit.corpus_stats(
+            df, text_col=args.text_col,
+            domain_col=domain_col).localCheckpoint(eager=True)
+        glob = agg.filter("gid = 7").first()
+        stats = {
+            "corpus": args.input,
+            "n_docs": int(glob.n_docs) if glob else 0,
+            "n_tokens": int(glob.n_tokens or 0) if glob else 0,
+            "languages": {
+                r.lang: {"n_docs": r.n_docs,
+                         "n_tokens": int(r.n_tokens or 0)}
+                for r in agg.filter("gid = 3").collect()},
+            "length_log2_histogram": {
+                int(r.len_bucket): r.n_docs
+                for r in agg.filter("gid = 6").collect()}}
+        if domain_col:
+            doms = agg.filter("gid = 5")
+            stats["n_domains"] = doms.count()
+            stats["top_domains"] = [
+                {"domain": r.domain, "n_docs": r.n_docs}
+                for r in doms.orderBy(F.desc("n_docs"), "domain")
+                .limit(args.top_domains).collect()]
         return _emit(args, stats)
 
     if args.command == "drift":

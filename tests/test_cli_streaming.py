@@ -1318,6 +1318,48 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_corpus_stats(spark, tmp_path, capsys):
+    """corpus-stats: one grouping-sets pass over a documents table
+    reports global totals, per-language and per-domain distributions,
+    and the log2 length histogram; missing columns are loud usage
+    errors and --domain-col none skips the domain half."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a.com"),
+         (2, "the cat and the dog and the bird", "a.com"),
+         (3, "der hund und die katze und der vogel sind da", "b.de"),
+         (4, "one two", "c.org")],
+        "doc_id long, text string, domain string")
+    docs.write.parquet(f"{tmp_path}/docs")
+
+    rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/docs",
+                   "--top-domains", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 4
+    assert out["n_tokens"] == 9 + 8 + 10 + 2
+    assert sum(v["n_docs"] for v in out["languages"].values()) == 4
+    assert out["n_domains"] == 3
+    assert out["top_domains"][0] == {"domain": "a.com", "n_docs": 2}
+    assert len(out["top_domains"]) == 2
+    # log2 buckets: 2 tokens -> ceil(log2(3))=2; 8 -> 4; 9 -> 4
+    assert out["length_log2_histogram"] == {"2": 1, "4": 3}
+
+    # no domain column: skipped on request, loud otherwise
+    docs.drop("domain").write.parquet(f"{tmp_path}/nodom")
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["corpus-stats", "--input", f"{tmp_path}/nodom"])
+    capsys.readouterr()
+    rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/nodom",
+                   "--domain-col", "none"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_docs"] == 4 and "top_domains" not in out2
+
+
 def test_streaming_multimodal_chain_warc_to_pairs(spark, tmp_path,
                                                   capsys):
     """The continuous multimodal pipeline end-to-end with ZERO batch
