@@ -218,10 +218,16 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     from kiji_mapreduce_spark.pipeline.text import (language_id,
                                                     token_count)
 
-    toks = token_count(F.col(text_col))
+    # NULL text counts as an empty document, loudly visible in bucket
+    # 0 and under "und": token_count(NULL) is NULL, and Spark's
+    # least() SKIPS nulls (unlike ANSI LEAST), so without the coalesce
+    # every null-text row lands in the CAP bucket as a maximum-length
+    # document — the opposite of what it is
+    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
     feat = df.select(
-        language_id(F.col(text_col)).alias("lang"),
+        F.coalesce(language_id(F.col(text_col)), F.lit("und"))
+        .alias("lang"),
         dom.alias("domain"),
         # log2 buckets: 0 tokens -> 0, 1 -> 1, 2-3 -> 2, ... capped 31
         F.least(F.lit(31), F.ceil(F.log2(toks + 1)))

@@ -253,9 +253,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(default 128)")
     mp.add_argument("--partition-by", default=None,
                     help="dataset mode: comma-separated columns to "
-                    "keep/re-establish as a hive partition layout "
-                    "(default: flat files, discovered partition "
-                    "columns become data columns)")
+                    "re-bucket as the hive partition layout (default: "
+                    "the dataset's own discovered partition layout is "
+                    "preserved, files merged within each partition)")
+    mp.add_argument("--flatten", action="store_true",
+                    help="dataset mode: rewrite a partitioned dataset "
+                    "as flat files (partition columns become data "
+                    "columns). TERMINAL for the layout: a later "
+                    "writer adding col= subdirectories next to flat "
+                    "files makes reads silently drop the flat rows — "
+                    "only flatten once partitioned writers to this "
+                    "path are finished")
     mp.add_argument("--dry-run", action="store_true",
                     help="dataset mode: report file counts/bytes "
                     "without rewriting")
@@ -565,6 +573,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 target_bytes=args.target_mb << 20,
                 partition_by=(args.partition_by.split(",")
                               if args.partition_by else None),
+                flatten=args.flatten,
                 dry_run=args.dry_run)
         except (ValueError, AnalysisException) as e:
             p.error(str(e))
@@ -876,10 +885,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             "drifted": bool(row["drifted"])})
 
     if args.command == "media-dedup":
+        from pyspark.sql import functions as F
+
         from kiji_mapreduce_spark.pipeline import multimodal
 
         spark = make_session(app_name="kiji-media-dedup")
         media = spark.read.parquet(args.input)
+        if "kind" in media.columns:
+            # a crawl_media table mixes image/audio/video rows; without
+            # this the image decoder would hit the first WAV body and
+            # abort (r8 review finding) — scope the run to the
+            # requested kind, as the crawl-ingest recipe advertises
+            media = media.filter(F.col("kind") == args.kind)
         if args.index:
             # missing dir -> first ingest; any OTHER failure re-raises
             # (a corrupt/unreadable index must not silently degrade to

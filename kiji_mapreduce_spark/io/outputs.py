@@ -523,16 +523,31 @@ def _swap_partition_dirs_hadoop(staging_path: str, table_path: str,
     fs.delete(HPath(staging_path), True)
 
 
-def _fs_file_size(uri: str, spark=None) -> int:
-    """Scheme-agnostic single-file size (local via os, else Hadoop FS)."""
-    if _is_local_path(uri):
-        return os.path.getsize(_strip_file_scheme(uri))
-    fs, p, _ = _hadoop_fs(uri, spark)
-    return fs.getFileStatus(p).getLen()
+def _fs_total_size(uris: list[str], spark=None) -> int:
+    """Total size of the given files. Local paths are os.stat calls;
+    non-local files are grouped by parent directory and sized with ONE
+    listStatus per directory — per-file getFileStatus round-trips
+    against a NameNode/object store would take minutes for exactly the
+    thousands-of-tiny-files datasets compaction exists to fix."""
+    total = 0
+    remote_by_dir: dict[str, set[str]] = {}
+    for uri in uris:
+        if _is_local_path(uri):
+            total += os.path.getsize(_strip_file_scheme(uri))
+        else:
+            d, _, name = uri.rpartition("/")
+            remote_by_dir.setdefault(d, set()).add(name)
+    for d, names in remote_by_dir.items():
+        fs, p, _ = _hadoop_fs(d, spark)
+        for st in fs.listStatus(p):
+            if st.getPath().getName() in names:
+                total += st.getLen()
+    return total
 
 
 def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
                     partition_by: list[str] | None = None,
+                    flatten: bool = False,
                     dry_run: bool = False) -> dict:
     """Rewrite a parquet dataset into ~``target_bytes`` files and commit
     atomically — the maintenance pass every high-frequency writer needs
@@ -547,28 +562,45 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     ``ceil(total_bytes / target_bytes)`` tasks, one staged write,
     then the ``bulk_load`` directory swap (restore-on-failure, hidden
     trash dir) so readers racing the compaction see the old files or
-    the new ones, never a mix. Hive-partition columns discovered from
-    directory layout (e.g. ``batch_id=N``) are preserved as DATA
-    columns; pass ``partition_by`` to keep (or re-establish) a hive
-    layout — each named column set hashes to one task so each
-    partition value lands in one file. A footer-only row-count check
-    guards the swap: a staged count that differs from the live count
-    aborts and leaves the dataset untouched. NOT safe to run
-    concurrently with a writer to the same path — run between ingest
-    runs (the streaming checkpoint lives on the INPUT side and is
-    unaffected).
+    the new ones, never a mix.
+
+    Layout safety: when the dataset IS hive-partitioned, the default
+    preserves that layout (``partition_by`` = the discovered partition
+    columns — files merge WITHIN each partition). Flattening a
+    partitioned dataset is ``flatten=True`` and must be TERMINAL for
+    that layout: a later writer adding a ``col=`` subdirectory next to
+    flat part files makes ``spark.read.parquet`` silently DROP the
+    flat rows (verified — the media-dedup index guard exists for the
+    same reason), so flatten only once the partitioned writers to this
+    path are done for good. Explicit ``partition_by`` re-buckets — each
+    named column set hashes to one task so each partition value lands
+    in one file. A footer-only row-count check guards the swap: a
+    staged count that differs from the live count aborts and leaves
+    the dataset untouched. NOT safe to run concurrently with a writer
+    to the same path — run between ingest runs (the streaming
+    checkpoint lives on the INPUT side and is unaffected).
     """
     import math
     import uuid
 
+    if flatten and partition_by:
+        raise ValueError(
+            "compact_parquet: flatten and partition_by are exclusive")
     df = spark.read.parquet(path)
     files = df.inputFiles()
     if not files:
         raise ValueError(f"compact_parquet: no parquet files under {path}")
-    total = sum(_fs_file_size(f, spark) for f in files)
+    if not flatten and partition_by is None:
+        # columns absent from the physical files came from directory
+        # names — the dataset's live hive layout, kept by default
+        phys = set(spark.read.parquet(files[0]).columns)
+        discovered = [c for c in df.columns if c not in phys]
+        partition_by = discovered or None
+    total = _fs_total_size(files, spark)
     n_out = max(1, math.ceil(total / max(target_bytes, 1)))
     stats = {"files_before": len(files), "bytes_before": total,
-             "target_files": n_out}
+             "target_files": n_out,
+             "partition_by": partition_by or []}
     if dry_run:
         return stats
     live_count = df.count()  # parquet footer counts: no data scan

@@ -42,15 +42,14 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
 
     responses = records.filter(F.col("warc_type") == "response")
     docs = (http_html_text(responses)
-            # media-typed responses belong to the OTHER half of the
-            # ingest (crawl_media): tag-stripping image/audio/video
-            # bytes yields garbage "text" documents. Untyped responses
-            # stay — a header-less text page is common, and declared
-            # type is the only Catalyst-cheap signal here.
-            .filter(~F.col("content_type")
-                    .rlike("^(image|audio|video)/")
-                    & (F.col("content_type")
-                       != "application/octet-stream"))
+            # the two halves of the ingest partition the responses:
+            # rows _media_response claims go to crawl_media (tag-
+            # stripping image/audio/video bytes yields garbage "text"
+            # documents), everything else — including octet-stream
+            # responses WITHOUT media magic, a common mislabel for
+            # plain text — stays a document
+            .filter(~_media_response(F.col("content_type"),
+                                     F.col("content")))
             .select(
                 F.xxhash64("path", "record_no").alias("doc_id"),
                 normalize_url(F.col("target_uri")).alias("url"),
@@ -89,6 +88,18 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
                 (b"\xff\xd8\xff", "image"),  # JPEG SOI
                 (b"MPNG", "video"))  # the engine's Motion-PNG container
 
+#: Catalyst-side contains() probes for the same magics — each sequence
+#: chosen to be implausible INSIDE text so the document half can use
+#: ~_media_response without dropping prose that merely mentions a
+#: format: full 8-byte PNG magic, binary JPEG SOI, Motion-PNG magic
+#: with its version byte, and the contiguous "WAVEfmt " chunk pair
+#: (bare "RIFF"/"WAVE" words appear in real pages about audio).
+#: contains() is position-blind; the Python side re-checks exact body
+#: PREFIXES (_sniff_kind), so a probe false-positive costs one row
+#: through Arrow, never a wrong kind.
+_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"MPNG\x01",
+                 b"WAVEfmt ")
+
 
 def _sniff_kind(body: bytes) -> str | None:
     for magic, kind in _MAGIC_KINDS:
@@ -97,6 +108,19 @@ def _sniff_kind(body: bytes) -> str | None:
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
     return None
+
+
+def _media_response(ctype, content):
+    """Boolean Column: does this response belong to the MEDIA half of
+    the ingest? Declared image/audio/video Content-Type, or an untyped
+    / octet-stream response whose bytes carry media magic. The document
+    half filters on the NEGATION, so the two halves partition the
+    responses — nothing is ingested twice or dropped by both."""
+    probe = F.lit(False)
+    for magic in _MAGIC_PROBES:
+        probe = probe | F.contains(content, F.lit(magic))
+    return ctype.rlike("^(image|audio|video)/") | (
+        ctype.isin("", "application/octet-stream") & probe)
 
 
 def crawl_media(records: DataFrame, spark: SparkSession,
@@ -122,29 +146,14 @@ def crawl_media(records: DataFrame, spark: SparkSession,
     """
     import pandas as pd
 
-    # same header-block Content-Type expression as text.http_html_text
-    # (headers are ASCII, so the lossy string cast is exact there)
-    s = F.make_valid_utf8(F.col("content").cast("string"))
-    sep = F.instr(s, "\r\n\r\n")
-    headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
-        .otherwise(F.lit(""))
-    ctype = F.lower(F.trim(F.regexp_extract(
-        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
-
-    magic_probe = F.lit(False)
-    for magic, _kind in _MAGIC_KINDS:
-        magic_probe = magic_probe | F.contains(
-            F.col("content"), F.lit(magic))
-    magic_probe = magic_probe | (
-        F.contains(F.col("content"), F.lit(b"RIFF"))
-        & F.contains(F.col("content"), F.lit(b"WAVE")))
+    from kiji_mapreduce_spark.pipeline.text import http_content_type
 
     cand = (records
             .filter(F.col("warc_type") == "response")
-            .withColumn("content_type", ctype)
-            .filter(F.col("content_type").rlike("^(image|audio|video)/")
-                    | (F.col("content_type").isin(
-                        "", "application/octet-stream") & magic_probe)))
+            .withColumn("content_type",
+                        http_content_type(F.col("content")))
+            .filter(_media_response(F.col("content_type"),
+                                    F.col("content"))))
 
     schema = ("media_id long, url string, _host string, "
               "content_type string, kind string, warc_date string, "

@@ -193,6 +193,29 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, norm)
 
 
+def _http_string_parts(content_col: Column) -> tuple[Column, Column]:
+    """(headers, body) halves of an HTTP payload as STRING expressions.
+    The cast is lossy (invalid UTF-8 degrades to U+FFFD), which is
+    exact for the ASCII header half; byte-exact BODY extraction stays
+    in ``crawl.crawl_media``'s Python split. Shared by the text and
+    media halves of the crawl ingest so their notion of headers and
+    Content-Type cannot drift."""
+    s = F.make_valid_utf8(content_col.cast("string"))
+    sep = F.instr(s, "\r\n\r\n")
+    headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
+        .otherwise(F.lit(""))
+    body = F.when(sep > 0, F.substr(s, sep + F.lit(4))).otherwise(s)
+    return headers, body
+
+
+def http_content_type(content_col: Column) -> Column:
+    """The header block's Content-Type (lowercased, parameters
+    stripped), or '' when absent — pure Catalyst."""
+    headers, _ = _http_string_parts(content_col)
+    return F.lower(F.trim(F.regexp_extract(
+        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
+
+
 def http_html_text(df: DataFrame, content_col: str = "content",
                    text_col: str = "text") -> DataFrame:
     """Crawl-ingest extraction: HTTP response bytes (a WARC response
@@ -215,13 +238,8 @@ def http_html_text(df: DataFrame, content_col: str = "content",
     # Spark 4 ANSI defaults decode ABORTS the job on the first malformed
     # byte sequence, and a real crawl always contains non-UTF-8 pages
     # and binary payloads — invalid sequences degrade to U+FFFD instead
-    s = F.make_valid_utf8(F.col(content_col).cast("string"))
-    sep = F.instr(s, "\r\n\r\n")
-    headers = F.when(sep > 0, F.substring(s, 1, sep - 1)) \
-        .otherwise(F.lit(""))
-    body = F.when(sep > 0, F.substr(s, sep + F.lit(4))).otherwise(s)
-    ctype = F.lower(F.trim(F.regexp_extract(
-        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
+    _, body = _http_string_parts(F.col(content_col))
+    ctype = http_content_type(F.col(content_col))
     stripped = F.regexp_replace(
         body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
     stripped = F.regexp_replace(stripped, r"(?s)<!--.*?-->", " ")

@@ -224,6 +224,11 @@ def stream_media_dedup(
 
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"unknown media kind {kind!r}")
+    if "kind" in stream_df.columns:
+        # a crawl_media table mixes image/audio/video rows; without
+        # this the kind's decoder would hit the first other-kind body
+        # and kill the stream (the batch CLI applies the same scope)
+        stream_df = stream_df.filter(F.col("kind") == kind)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

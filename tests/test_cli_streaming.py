@@ -1087,24 +1087,31 @@ def test_cli_crawl_ingest_media_output(spark, tmp_path, capsys):
 
     png = mc.encode_png(
         (np.arange(16 * 16 * 3, dtype=np.uint8) % 251).reshape(16, 16, 3))
+    wav = mc.encode_wav(
+        (np.sin(np.arange(256) / 7.0) * 900).astype(np.int16), 8000)
     html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
             b"<p>regular page words here</p>")
     img = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + png
+    aud = b"HTTP/1.1 200 OK\r\nContent-Type: audio/wav\r\n\r\n" + wav
     d = tmp_path / "archives"
     d.mkdir()
     (d / "seg.warc").write_bytes(
         _warc_record("response", "http://a.example.com/page", html)
         + _warc_record("response", "http://a.example.com/logo.png", img)
-        + _warc_record("response", "http://b.example.org/copy.png", img))
+        + _warc_record("response", "http://b.example.org/copy.png", img)
+        + _warc_record("response", "http://a.example.com/pod.wav", aud))
     rc = cli.main(["crawl-ingest", "--input", str(d),
                    "--output", f"{tmp_path}/docs",
                    "--media-output", f"{tmp_path}/media"])
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["n_docs"] == 1 and out["media_counts"] == {"image": 2}
+    assert out["n_docs"] == 1
+    assert out["media_counts"] == {"image": 2, "audio": 1}
     media = spark.read.parquet(f"{tmp_path}/media")
     assert {r.domain for r in media.collect()} == \
         {"example.com", "example.org"}
+    # the mixed-kind table works as-is: --kind scopes the decode (an
+    # unfiltered run would abort on the WAV body, r8 review finding)
     rc = cli.main(["media-dedup", "--input", f"{tmp_path}/media",
                    "--kind", "image", "--output", f"{tmp_path}/pairs"])
     assert rc == 0
@@ -1269,10 +1276,11 @@ def test_stream_crawl_ingest_exactly_once(spark, tmp_path, capsys):
 
 def test_cli_compact_small_files(spark, tmp_path, capsys):
     """compact: a streaming sink's accumulated batch_id= partitions
-    (many tiny files) rewrite into few target-size files behind the
-    atomic bulk-load swap; every row and the discovered partition
-    column survive; --dry-run only reports; --partition-by keeps a
-    hive layout with one file per partition value."""
+    (many tiny files) merge behind the atomic bulk-load swap. The
+    DEFAULT preserves the dataset's own hive layout (files merged
+    within each partition), so a stream writing new batch_id= dirs
+    afterwards still reads whole; --flatten is the explicit terminal
+    rewrite; --dry-run only reports; every row survives either way."""
     import json as _json
 
     # simulate 6 micro-batch writes of 2 rows each, 2 files per batch
@@ -1288,33 +1296,47 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
     assert rc == 0
     dry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dry["files_before"] == n_before and dry["target_files"] == 1
+    assert dry["partition_by"] == ["batch_id"]  # discovered layout
     assert len(spark.read.parquet(f"{tmp_path}/docs").inputFiles()) \
         == n_before  # dry run touched nothing
 
+    # default: merge files WITHIN the discovered batch_id= layout
     rc = cli.main(["compact", "--input", f"{tmp_path}/docs"])
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     after = spark.read.parquet(f"{tmp_path}/docs")
-    assert out["files_after"] == len(after.inputFiles()) == 1
+    assert out["files_after"] == len(after.inputFiles()) == 6
     assert out["n_rows"] == 12
+    assert all("batch_id=" in f for f in after.inputFiles())
     assert {(r.doc_id, r.v, r.batch_id) for r in after.collect()} == \
         {(i, i * 10, i // 2) for i in range(12)}
 
-    # --partition-by re-establishes a hive layout, one file per value
-    rc = cli.main(["compact", "--input", f"{tmp_path}/docs",
-                   "--partition-by", "batch_id"])
-    assert rc == 0
-    capsys.readouterr()
-    hive = spark.read.parquet(f"{tmp_path}/docs")
-    assert len(hive.inputFiles()) == 6
-    assert {(r.doc_id, r.v, r.batch_id) for r in hive.collect()} == \
-        {(i, i * 10, i // 2) for i in range(12)}
+    # layout safety: a stream writing the NEXT batch dir after the
+    # default compaction still reads whole (flat+hive mixes silently
+    # drop the flat rows — the reason flatten is opt-in)
+    spark.range(12, 14).selectExpr("id as doc_id", "id * 10 as v") \
+        .write.parquet(f"{tmp_path}/docs/batch_id=6")
+    assert spark.read.parquet(f"{tmp_path}/docs").count() == 14
 
-    # a missing dataset is a loud usage error, not a traceback
+    # --flatten: the terminal rewrite, partition column becomes data
+    rc = cli.main(["compact", "--input", f"{tmp_path}/docs",
+                   "--flatten"])
+    assert rc == 0
+    flat = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    flatdf = spark.read.parquet(f"{tmp_path}/docs")
+    assert flat["files_after"] == len(flatdf.inputFiles()) == 1
+    assert {(r.doc_id, r.v, r.batch_id) for r in flatdf.collect()} == \
+        {(i, i * 10, i // 2) for i in range(14)}
+
+    # loud usage errors: missing dataset, flatten+partition-by
     import pytest
 
     with pytest.raises(SystemExit):
         cli.main(["compact", "--input", f"{tmp_path}/nope"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["compact", "--input", f"{tmp_path}/docs",
+                  "--flatten", "--partition-by", "batch_id"])
     capsys.readouterr()
 
 
@@ -1329,7 +1351,8 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
         [(1, "the quick brown fox jumps over the lazy dog", "a.com"),
          (2, "the cat and the dog and the bird", "a.com"),
          (3, "der hund und die katze und der vogel sind da", "b.de"),
-         (4, "one two", "c.org")],
+         (4, "one two", "c.org"),
+         (5, None, "c.org")],  # null text = EMPTY doc, not max-length
         "doc_id long, text string, domain string")
     docs.write.parquet(f"{tmp_path}/docs")
 
@@ -1337,14 +1360,16 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
                    "--top-domains", "2"])
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["n_docs"] == 4
+    assert out["n_docs"] == 5
     assert out["n_tokens"] == 9 + 8 + 10 + 2
-    assert sum(v["n_docs"] for v in out["languages"].values()) == 4
+    assert sum(v["n_docs"] for v in out["languages"].values()) == 5
+    assert out["languages"]["und"]["n_docs"] >= 1  # the null-text doc
     assert out["n_domains"] == 3
-    assert out["top_domains"][0] == {"domain": "a.com", "n_docs": 2}
-    assert len(out["top_domains"]) == 2
-    # log2 buckets: 2 tokens -> ceil(log2(3))=2; 8 -> 4; 9 -> 4
-    assert out["length_log2_histogram"] == {"2": 1, "4": 3}
+    assert {d["domain"]: d["n_docs"] for d in out["top_domains"]} in \
+        ({"a.com": 2, "c.org": 2},)
+    # log2 buckets: null -> 0 (least() skips nulls — the coalesce
+    # keeps it out of the cap bucket); 2 tokens -> 2; 8/9/10 -> 4
+    assert out["length_log2_histogram"] == {"0": 1, "2": 1, "4": 3}
 
     # no domain column: skipped on request, loud otherwise
     docs.drop("domain").write.parquet(f"{tmp_path}/nodom")
@@ -1357,7 +1382,7 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
                    "--domain-col", "none"])
     assert rc == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out2["n_docs"] == 4 and "top_domains" not in out2
+    assert out2["n_docs"] == 5 and "top_domains" not in out2
 
 
 def test_streaming_multimodal_chain_warc_to_pairs(spark, tmp_path,

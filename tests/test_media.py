@@ -703,14 +703,29 @@ def test_crawl_media_extraction(spark, tmp_path):
         + _warc_record("response", "http://a.site.com/gz.png",
                        resp(b"Content-Type: image/png\r\n"
                             b"Content-Encoding: gzip\r\n",
-                            gzip.compress(png))))
+                            gzip.compress(png)))
+        + _warc_record("response", "http://a.site.com/readme.txt",
+                       resp(b"Content-Type: application/octet-stream"
+                            b"\r\n",
+                            b"plain text notes served as octet stream "
+                            b"with enough words to keep")))
     d = tmp_path / "mediawarc"
     d.mkdir()
     (d / "a.warc").write_bytes(recs)
 
-    media = crawl_media(read_warc_records(spark, [str(d)]), spark)
+    records = read_warc_records(spark, [str(d)])
+    media = crawl_media(records, spark)
     rows = {r.url: r for r in media.collect()}
-    assert len(rows) == 5  # the HTML row never crossed into Python
+    assert len(rows) == 5  # HTML + octet-stream TEXT never crossed
+
+    # the two halves PARTITION the responses: the octet-stream text
+    # page (no media magic) stays a document, nothing lands in both
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+
+    doc_urls = {r.url for r in crawl_documents(records, spark).collect()}
+    assert "http://a.site.com/readme.txt" in doc_urls
+    assert "http://a.site.com/page.html" in doc_urls
+    assert not doc_urls & set(rows)
     assert bytes(rows["http://a.site.com/logo.png"].content) == png
     assert bytes(rows["http://a.site.com/gz.png"].content) == png
     assert rows["http://a.site.com/logo.png"].kind == "image"
