@@ -2155,3 +2155,25 @@ def test_psl_empty_rules_implicit_star(spark):
     assert got == {0: "example.com", 1: "localhost"}
     assert psl.registered_domain_py("a.b.example.com", rules) == \
         "example.com"
+
+
+def test_corpus_stats_single_scan_plan(spark, tmp_path):
+    """corpus_stats' whole point is ONE pass: the physical plan must
+    contain exactly one parquet scan and one Expand (the grouping-sets
+    row duplication), not one aggregation job per distribution."""
+    from kiji_mapreduce_spark.audit import corpus_stats
+
+    spark.createDataFrame(
+        [(1, "some words here", "a.com"), (2, "more text", "b.de")],
+        "doc_id long, text string, domain string"
+    ).write.parquet(f"{tmp_path}/docs")
+    agg = corpus_stats(spark.read.parquet(f"{tmp_path}/docs"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") == 1
+    # and the distributions come back correct from that one pass
+    rows = agg.collect()
+    glob = [r for r in rows if r.gid == 7]
+    assert len(glob) == 1 and glob[0].n_docs == 2
+    assert {r.domain: r.n_docs for r in rows if r.gid == 5} == \
+        {"a.com": 1, "b.de": 1}
