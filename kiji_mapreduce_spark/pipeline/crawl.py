@@ -115,7 +115,11 @@ def _media_response(ctype, content):
     the ingest? Declared image/audio/video Content-Type, or an untyped
     / octet-stream response whose bytes carry media magic. The document
     half filters on the NEGATION, so the two halves partition the
-    responses — nothing is ingested twice or dropped by both."""
+    responses: nothing is ingested twice. The one asymmetric corner is
+    an untyped TEXT page that embeds a probe sequence mid-prose — the
+    probe claims it for media and the prefix sniff then drops it —
+    which is why ``_MAGIC_PROBES`` holds only sequences implausible
+    inside text."""
     probe = F.lit(False)
     for magic in _MAGIC_PROBES:
         probe = probe | F.contains(content, F.lit(magic))
