@@ -1340,6 +1340,52 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_compact_between_stream_media_dedup_runs(spark, tmp_path,
+                                                 capsys):
+    """The advertised maintenance loop: compacting the streaming
+    dedup's code index BETWEEN runs (default layout-preserving mode)
+    merges files within its batch_id= partitions, and the next stream
+    run still pairs new arrivals against the full compacted index."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from kiji_mapreduce_spark.streaming import stream_media_dedup
+
+    img = mc.encode_png(
+        np.random.RandomState(3).randint(0, 256, (12, 12, 3))
+        .astype(np.uint8))
+    src = tmp_path / "msrc"
+    idx, pairs_dir, ckpt = (str(tmp_path / d)
+                            for d in ("idx", "pairs", "ck"))
+
+    def _run():
+        stream = (spark.readStream
+                  .schema("media_id long, content binary")
+                  .parquet(str(src)))
+        q = stream_media_dedup(
+            stream, index_dir=idx, pairs_dir=pairs_dir,
+            checkpoint=ckpt, kind="image", use_real_decoder=True)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, img)], "media_id long, content binary") \
+        .repartition(3).write.mode("append").parquet(str(src))
+    _run()
+    n_files = len(spark.read.parquet(idx).inputFiles())
+
+    rc = cli.main(["compact", "--input", idx])
+    assert rc == 0
+    capsys.readouterr()
+    after = spark.read.parquet(idx)
+    assert len(after.inputFiles()) <= n_files
+    assert all("batch_id=" in f for f in after.inputFiles())
+
+    spark.createDataFrame([(2, img)], "media_id long, content binary") \
+        .write.mode("append").parquet(str(src))
+    _run()
+    pairs = spark.read.parquet(pairs_dir).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
 def test_cli_corpus_stats(spark, tmp_path, capsys):
     """corpus-stats: one grouping-sets pass over a documents table
     reports global totals, per-language and per-domain distributions,
