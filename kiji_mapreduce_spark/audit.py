@@ -226,8 +226,8 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
     feat = df.select(
-        F.coalesce(language_id(F.col(text_col)), F.lit("und"))
-        .alias("lang"),
+        # language_id already coalesces to "und" (NULL text included)
+        language_id(F.col(text_col)).alias("lang"),
         dom.alias("domain"),
         # log2 buckets: 0 tokens -> 0, 1 -> 1, 2-3 -> 2, ... capped 31
         F.least(F.lit(31), F.ceil(F.log2(toks + 1)))

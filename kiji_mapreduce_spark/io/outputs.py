@@ -538,10 +538,18 @@ def _fs_total_size(uris: list[str], spark=None) -> int:
             d, _, name = uri.rpartition("/")
             remote_by_dir.setdefault(d, set()).add(name)
     for d, names in remote_by_dir.items():
-        fs, p, _ = _hadoop_fs(d, spark)
+        fs, p, HPath = _hadoop_fs(d, spark)
+        seen = set()
         for st in fs.listStatus(p):
-            if st.getPath().getName() in names:
+            name = st.getPath().getName()
+            if name in names:
                 total += st.getLen()
+                seen.add(name)
+        # a file the listing missed (eventual consistency, racing
+        # writer) must raise like the per-file stat would, not
+        # silently contribute 0 bytes and shrink the rewrite
+        for name in names - seen:
+            total += fs.getFileStatus(HPath(f"{d}/{name}")).getLen()
     return total
 
 
@@ -572,9 +580,13 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     flat part files makes ``spark.read.parquet`` silently DROP the
     flat rows (verified — the media-dedup index guard exists for the
     same reason), so flatten only once the partitioned writers to this
-    path are done for good. Explicit ``partition_by`` re-buckets — each
-    named column set hashes to one task so each partition value lands
-    in one file. A footer-only row-count check guards the swap: a
+    path are done for good. Explicit ``partition_by`` re-buckets. In
+    either partitioned mode a partition value's rows converge on ONE
+    writer task (hash partitioning cannot split a value) with file
+    sizes capped via ``maxRecordsPerFile``; a pathologically large
+    single partition therefore writes through one slow task —
+    partitionBy's own trade. A footer-only row-count check guards the
+    swap: a
     staged count that differs from the live count aborts and leaves
     the dataset untouched. NOT safe to run concurrently with a writer
     to the same path — run between ingest runs (the streaming
@@ -591,23 +603,39 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     if not files:
         raise ValueError(f"compact_parquet: no parquet files under {path}")
     if not flatten and partition_by is None:
-        # columns absent from the physical files came from directory
-        # names — the dataset's live hive layout, kept by default
-        phys = set(spark.read.parquet(files[0]).columns)
-        discovered = [c for c in df.columns if c not in phys]
+        # a hive-partition column appears as "/col=" in every file's
+        # PATH — detect from paths, not by diffing one file's footer
+        # schema against the read schema (schema-evolved datasets can
+        # legitimately have data columns missing from any given file,
+        # and misclassifying one would silently rewrite it into
+        # directory names with partition-value type coercion)
+        discovered = [c for c in df.columns if f"/{c}=" in files[0]]
         partition_by = discovered or None
     total = _fs_total_size(files, spark)
     n_out = max(1, math.ceil(total / max(target_bytes, 1)))
+    live_count = df.count()  # parquet footer counts: no data scan
+    # in partitioned mode a partition VALUE's rows all land in one
+    # writer task (hash partitioning cannot split a value), so the
+    # target file size is enforced by maxRecordsPerFile instead of
+    # task count — estimated from the dataset's own avg row bytes. A
+    # huge single partition still means one (slow) writer task; that
+    # is partitionBy's own trade, documented above.
+    rows_per_file = max(1, int(live_count * target_bytes
+                               / max(total, 1)))
     stats = {"files_before": len(files), "bytes_before": total,
-             "target_files": n_out,
+             "n_rows": live_count,
              "partition_by": partition_by or []}
+    if partition_by:
+        stats["max_records_per_file"] = rows_per_file
+    else:
+        stats["target_files"] = n_out
     if dry_run:
         return stats
-    live_count = df.count()  # parquet footer counts: no data scan
     staging = f"{path.rstrip('/')}.compacting-{uuid.uuid4().hex[:8]}"
     writer = df.repartition(n_out, *partition_by) if partition_by \
         else df.repartition(n_out)
-    w = writer.write.mode("overwrite")
+    w = writer.write.mode("overwrite") \
+        .option("maxRecordsPerFile", rows_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
@@ -619,6 +647,5 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
             f"compact_parquet: staged row count {staged_count} != live "
             f"{live_count}; aborting with {path} untouched")
     stats["files_after"] = len(staged.inputFiles())
-    stats["n_rows"] = live_count
     bulk_load(staging, path, spark)
     return stats

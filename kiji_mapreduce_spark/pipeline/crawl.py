@@ -41,15 +41,31 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
         url_host)
 
     responses = records.filter(F.col("warc_type") == "response")
+    # replacement-density gate for the type-less rows: a GIF/zip/exe
+    # served as octet-stream (or with no Content-Type at all) carries
+    # no media magic, but its bytes cast to U+FFFD-dense "text" —
+    # without this gate it becomes a garbage document that pollutes
+    # dedup, language stats and the training mix. Real text, any
+    # language, sits far below the threshold; declared text/* types
+    # are trusted (a wrong charset should degrade, not vanish).
+    # density counts U+FFFD AND NUL: binaries dense in \x00 (UTF-16,
+    # sparse formats) survive the cast as valid-but-garbage NUL runs
+    text = F.col("text")
+    fffd_dense = (F.length(text) > 0) & (
+        (F.length(F.regexp_replace(text, "[^�\x00]", ""))
+         / F.length(text)) > F.lit(0.05))
     docs = (http_html_text(responses)
-            # the two halves of the ingest partition the responses:
-            # rows _media_response claims go to crawl_media (tag-
-            # stripping image/audio/video bytes yields garbage "text"
-            # documents), everything else — including octet-stream
-            # responses WITHOUT media magic, a common mislabel for
-            # plain text — stays a document
-            .filter(~_media_response(F.col("content_type"),
-                                     F.col("content")))
+            # the two halves of the ingest split the responses: rows
+            # that are SURELY media (declared type or binary magic) go
+            # to crawl_media — tag-stripping image bytes yields garbage
+            # "text" documents; octet-stream/untyped rows WITHOUT
+            # media signals, a common mislabel for plain text, stay
+            # documents if they read as text
+            .filter(~_surely_media(F.col("content_type"),
+                                   F.col("content")))
+            .filter(~(F.col("content_type")
+                      .isin("", "application/octet-stream")
+                      & fffd_dense))
             .select(
                 F.xxhash64("path", "record_no").alias("doc_id"),
                 normalize_url(F.col("target_uri")).alias("url"),
@@ -88,17 +104,18 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
                 (b"\xff\xd8\xff", "image"),  # JPEG SOI
                 (b"MPNG", "video"))  # the engine's Motion-PNG container
 
-#: Catalyst-side contains() probes for the same magics — each sequence
-#: chosen to be implausible INSIDE text so the document half can use
-#: ~_media_response without dropping prose that merely mentions a
-#: format: full 8-byte PNG magic, binary JPEG SOI, Motion-PNG magic
-#: with its version byte, and the contiguous "WAVEfmt " chunk pair
-#: (bare "RIFF"/"WAVE" words appear in real pages about audio).
-#: contains() is position-blind; the Python side re-checks exact body
-#: PREFIXES (_sniff_kind), so a probe false-positive costs one row
-#: through Arrow, never a wrong kind.
-_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"MPNG\x01",
-                 b"WAVEfmt ")
+#: Catalyst-side contains() probes for the same magics. The BINARY
+#: probes (non-printable bytes: full 8-byte PNG magic, JPEG SOI,
+#: Motion-PNG magic + version byte) cannot occur inside prose, so the
+#: document half may exclude on them; "WAVEfmt " is printable ASCII
+#: that DOES occur in real text (audio-format docs, hexdumps), so it
+#: only widens the media half's candidate net — never the document
+#: half's exclusion. contains() is position-blind; the Python side
+#: re-checks exact body PREFIXES (_sniff_kind), so a probe
+#: false-positive costs one row through Arrow, never a wrong kind.
+_BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+                        b"MPNG\x01")
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ",)
 
 
 def _sniff_kind(body: bytes) -> str | None:
@@ -110,21 +127,35 @@ def _sniff_kind(body: bytes) -> str | None:
     return None
 
 
-def _media_response(ctype, content):
-    """Boolean Column: does this response belong to the MEDIA half of
-    the ingest? Declared image/audio/video Content-Type, or an untyped
-    / octet-stream response whose bytes carry media magic. The document
-    half filters on the NEGATION, so the two halves partition the
-    responses: nothing is ingested twice. The one asymmetric corner is
-    an untyped TEXT page that embeds a probe sequence mid-prose — the
-    probe claims it for media and the prefix sniff then drops it —
-    which is why ``_MAGIC_PROBES`` holds only sequences implausible
-    inside text."""
+def _contains_any(content, magics) -> "F.Column":
     probe = F.lit(False)
-    for magic in _MAGIC_PROBES:
+    for magic in magics:
         probe = probe | F.contains(content, F.lit(magic))
+    return probe
+
+
+def _media_response(ctype, content):
+    """Boolean Column: the MEDIA half's candidate net — declared
+    image/audio/video Content-Type, or an untyped / octet-stream
+    response whose bytes carry any media magic (binary or textual
+    probes; the Python prefix sniff makes the final call)."""
     return ctype.rlike("^(image|audio|video)/") | (
-        ctype.isin("", "application/octet-stream") & probe)
+        ctype.isin("", "application/octet-stream")
+        & _contains_any(content,
+                        _BINARY_MAGIC_PROBES + _TEXTUAL_MAGIC_PROBES))
+
+
+def _surely_media(ctype, content):
+    """Boolean Column: the DOCUMENT half's exclusion — a strict subset
+    of ``_media_response`` restricted to signals that cannot occur in
+    prose (declared media types + binary magic probes). The asymmetry
+    is deliberate: a text page mentioning "WAVEfmt " must stay a
+    document even though the media net also sniffs (and then drops)
+    it; a real untyped WAV passes this filter as all-mojibake text and
+    dies at the replacement-density gate instead."""
+    return ctype.rlike("^(image|audio|video)/") | (
+        ctype.isin("", "application/octet-stream")
+        & _contains_any(content, _BINARY_MAGIC_PROBES))
 
 
 def crawl_media(records: DataFrame, spark: SparkSession,

@@ -1295,8 +1295,10 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
                    "--dry-run"])
     assert rc == 0
     dry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert dry["files_before"] == n_before and dry["target_files"] == 1
+    assert dry["files_before"] == n_before and dry["n_rows"] == 12
     assert dry["partition_by"] == ["batch_id"]  # discovered layout
+    # partitioned mode sizes files by records-per-file, not task count
+    assert dry["max_records_per_file"] >= 1 and "target_files" not in dry
     assert len(spark.read.parquet(f"{tmp_path}/docs").inputFiles()) \
         == n_before  # dry run touched nothing
 
@@ -1323,6 +1325,7 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
                    "--flatten"])
     assert rc == 0
     flat = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert flat["target_files"] == 1  # flat mode sizes by task count
     flatdf = spark.read.parquet(f"{tmp_path}/docs")
     assert flat["files_after"] == len(flatdf.inputFiles()) == 1
     assert {(r.doc_id, r.v, r.batch_id) for r in flatdf.collect()} == \

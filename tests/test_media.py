@@ -708,7 +708,17 @@ def test_crawl_media_extraction(spark, tmp_path):
                        resp(b"Content-Type: application/octet-stream"
                             b"\r\n",
                             b"plain text notes served as octet stream "
-                            b"with enough words to keep")))
+                            b"with enough words to keep"))
+        + _warc_record("response", "http://a.site.com/spec.txt",
+                       resp(b"Content-Type: application/octet-stream"
+                            b"\r\n",
+                            b"the chunk header bytes WAVEfmt mark the "
+                            b"format chunk in canonical WAVEfmt "
+                            b"layouts"))
+        + _warc_record("response", "http://a.site.com/blob.bin",
+                       resp(b"Content-Type: application/octet-stream"
+                            b"\r\n",
+                            bytes(range(128, 256)) * 20)))
     d = tmp_path / "mediawarc"
     d.mkdir()
     (d / "a.warc").write_bytes(recs)
@@ -718,13 +728,17 @@ def test_crawl_media_extraction(spark, tmp_path):
     rows = {r.url: r for r in media.collect()}
     assert len(rows) == 5  # HTML + octet-stream TEXT never crossed
 
-    # the two halves PARTITION the responses: the octet-stream text
-    # page (no media magic) stays a document, nothing lands in both
+    # the two halves split the responses: octet-stream TEXT (even text
+    # mentioning "WAVEfmt ") stays a document; an octet-stream binary
+    # with no media magic (blob.bin) is mojibake-gated out of docs
+    # instead of becoming a garbage document; nothing lands in both
     from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
 
     doc_urls = {r.url for r in crawl_documents(records, spark).collect()}
     assert "http://a.site.com/readme.txt" in doc_urls
+    assert "http://a.site.com/spec.txt" in doc_urls
     assert "http://a.site.com/page.html" in doc_urls
+    assert "http://a.site.com/blob.bin" not in doc_urls
     assert not doc_urls & set(rows)
     assert bytes(rows["http://a.site.com/logo.png"].content) == png
     assert bytes(rows["http://a.site.com/gz.png"].content) == png
