@@ -102,6 +102,7 @@ MEDIA_COLUMNS = ("media_id", "url", "domain", "content_type", "kind",
 #: constantly); checked in order, WAVE confirmed past the RIFF header
 _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
                 (b"\xff\xd8\xff", "image"),  # JPEG SOI
+                (b"GIF87a", "image"), (b"GIF89a", "image"),
                 (b"MPNG", "video"))  # the engine's Motion-PNG container
 
 #: Catalyst-side contains() probes for the same magics. The BINARY
@@ -115,7 +116,9 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
 #: false-positive costs one row through Arrow, never a wrong kind.
 _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
                         b"MPNG\x01")
-_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ",)
+#: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
+#: the formats) — media-net only, never the document-side exclusion
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"GIF87a", b"GIF89a")
 
 
 def _sniff_kind(body: bytes) -> str | None:

@@ -13,6 +13,11 @@ stdlib + numpy alone, so the engine's "real decode" path
 - **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
   format real image crawls overwhelmingly ship. Progressive /
   arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
+- **GIF** (GIF87a/89a public spec): LZW decode, global/local color
+  tables, interlace, transparency, disposal 0/1/2 frame composition —
+  static GIFs through the image path, ANIMATED GIFs as the one
+  real-world video container decodable without ffmpeg
+  (``decode_video`` dispatches on magic). Disposal 3 raises.
 - **WAV** via the stdlib ``wave`` module: PCM frames + rate/channels.
 
 Encoding (``encode_png``) writes filter-0 scanlines — enough to
@@ -187,8 +192,13 @@ def encode_video(frames: list[np.ndarray],
 
 
 def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
-    """Motion-PNG bytes -> (frames as uint8 [h, w, channels] arrays,
-    micros_per_frame). Raises ``UnsupportedMedia`` on anything else."""
+    """Video bytes -> (frames as uint8 [h, w, channels] arrays,
+    micros_per_frame). Dispatches on magic: the Motion-PNG container
+    or an animated (or static) GIF — the one real-world video-ish
+    container that is pure-spec decodable without ffmpeg. Raises
+    ``UnsupportedMedia`` on anything else."""
+    if content[:6] in _GIF_MAGICS:
+        return decode_gif_frames(content)
     if content[:4] != _MPNG_MAGIC:
         raise UnsupportedMedia("not a Motion-PNG container (bad magic)")
     if len(content) < 11:
@@ -732,4 +742,296 @@ def encode_jpeg(pixels: np.ndarray, subsample: str = "444",
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a / GIF89a, public spec "GRAPHICS INTERCHANGE FORMAT")
+#
+# The other image format real crawls lean on, and — animated — the one
+# VIDEO container that is pure-spec decodable without ffmpeg, which
+# gives the sampled-frame video dedup stack a real-world input. LZW
+# here is the GIF variant: variable code width starting at
+# min_code_size+1, CLEAR/END codes, width grows when the string table
+# reaches 2^width, capped at 12 bits.
+#
+# Supported: global/local color tables, interlace, transparency,
+# disposal methods 0/1 (draw over) and 2 (restore to background).
+# Disposal 3 (restore to previous) raises UnsupportedMedia — rare, and
+# approximating it would silently change pixels, which this module
+# never does.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    n_pixels: int) -> np.ndarray:
+    if not 2 <= min_code_size <= 11:
+        raise UnsupportedMedia(f"GIF: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitbuf = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise UnsupportedMedia("GIF: LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise UnsupportedMedia("GIF: first LZW code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise UnsupportedMedia("GIF: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise UnsupportedMedia("GIF: LZW data ended before the frame")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_subblocks(content: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(content):
+            raise UnsupportedMedia("GIF: sub-blocks truncated")
+        n = content[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(content[pos:pos + n])
+        if len(parts[-1]) != n:
+            raise UnsupportedMedia("GIF: sub-block truncated")
+        pos += n
+
+
+_GIF_DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(content: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[list[np.ndarray], int]:
+    """GIF bytes -> (composed RGB frames as uint8 [h, w, 3] arrays,
+    micros per frame from the first frame delay). Static GIFs return
+    one frame. Raises ``UnsupportedMedia`` on anything off-spec."""
+    if content[:6] not in _GIF_MAGICS:
+        raise UnsupportedMedia("not a GIF (bad signature)")
+    if len(content) < 13:
+        raise UnsupportedMedia("GIF: truncated header")
+    W, H = struct.unpack("<HH", content[6:10])
+    packed, bg_index, _aspect = content[10], content[11], content[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = content[pos:pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise UnsupportedMedia("GIF: global color table truncated")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if W == 0 or H == 0:
+        raise UnsupportedMedia("GIF: zero logical screen")
+    bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.tile(bg_rgb, (H, W, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    while True:
+        if pos >= len(content):
+            raise UnsupportedMedia("GIF: missing trailer")
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: GCE informs, others skipped
+            if pos + 2 > len(content):
+                raise UnsupportedMedia("GIF: extension truncated")
+            label = content[pos + 1]
+            data, pos = _gif_subblocks(content, pos + 2)
+            if label == 0xF9 and len(data) >= 4:
+                gpacked, delay = data[0], struct.unpack("<H", data[1:3])[0]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = data[3] if gpacked & 0x01 else None
+                delays.append(delay)
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", content[pos + 1:pos + 10])
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                raw = content[pos:pos + 3 * n]
+                if len(raw) != 3 * n:
+                    raise UnsupportedMedia("GIF: local color table truncated")
+                palette = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise UnsupportedMedia("GIF: frame with no color table")
+            if w == 0 or h == 0 or left + w > W or top + h > H:
+                raise UnsupportedMedia("GIF: frame outside logical screen")
+            min_code = content[pos]
+            data, pos = _gif_subblocks(content, pos + 1)
+            idx = _gif_lzw_decode(min_code, data, w * h)
+            if int(idx.max()) >= len(palette):
+                raise UnsupportedMedia("GIF: pixel index outside palette")
+            idx = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows stored in 4 passes
+                rows = np.empty(h, dtype=np.int64)
+                storage = 0
+                for first, step in _GIF_DEINTERLACE_PASSES:
+                    for r in range(first, h, step):
+                        rows[r] = storage  # display row r lives here
+                        storage += 1
+                idx = idx[rows]
+            rgb = palette[idx]
+            region = canvas[top:top + h, left:left + w]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore region to background
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3:
+                raise UnsupportedMedia(
+                    "GIF: disposal 'restore to previous' unsupported")
+            transparent = None
+            disposal = 0
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        else:
+            raise UnsupportedMedia(f"GIF: unknown block 0x{block:02x}")
+    if not frames:
+        raise UnsupportedMedia("GIF: no image data")
+    micros = (delays[0] if delays and delays[0] > 0 else 4) * 10_000
+    return frames, micros
+
+
+def decode_gif(content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """GIF bytes -> (first composed frame uint8 [h, w, 3], width,
+    height, 3) — the image-kind entry point; animation goes through
+    ``decode_gif_frames``."""
+    frames, _ = decode_gif_frames(content, max_frames=1)
+    first = frames[0]
+    return first, first.shape[1], first.shape[0], 3
+
+
+def encode_gif(frames: list[np.ndarray],
+               micros_per_frame: int = 40000) -> bytes:
+    """RGB (or grayscale) frames -> GIF89a bytes, lossless for <=256
+    distinct colors (palette-based, like the format itself — more
+    raises ``UnsupportedMedia``). The LZW stream uses the classic
+    'uncompressed GIF' construction: raw root codes at a fixed width
+    with a CLEAR before the string table could force a width bump —
+    spec-valid output, trivially verifiable, fine for fixtures and
+    interchange."""
+    if not frames:
+        raise UnsupportedMedia("GIF: no frames to encode")
+    norm = []
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.shape[2] == 1:
+            a = np.repeat(a, 3, axis=2)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise UnsupportedMedia(f"GIF: expected RGB frame, got {a.shape}")
+        if a.shape[:2] != np.asarray(frames[0]).shape[:2]:
+            raise UnsupportedMedia("GIF: frames must share one size")
+        norm.append(a)
+    h, w = norm[0].shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise UnsupportedMedia(f"GIF: size {w}x{h} outside u16 range")
+    as_u32 = [(f[:, :, 0].astype(np.uint32) << 16)
+              | (f[:, :, 1].astype(np.uint32) << 8)
+              | f[:, :, 2].astype(np.uint32) for f in norm]
+    palette_u32 = np.unique(np.concatenate([a.ravel() for a in as_u32]))
+    if len(palette_u32) > 256:
+        raise UnsupportedMedia(
+            f"GIF: {len(palette_u32)} distinct colors > 256 — quantize "
+            "first (the format is palette-based)")
+    bits = max(2, int(len(palette_u32) - 1).bit_length())
+    n_pal = 1 << bits
+    min_code = bits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[:len(palette_u32), 0] = (palette_u32 >> 16) & 0xFF
+    pal[:len(palette_u32), 1] = (palette_u32 >> 8) & 0xFF
+    pal[:len(palette_u32), 2] = palette_u32 & 0xFF
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg 0
+    out += pal.tobytes()
+    delay_cs = min(0xFFFF, max(0, micros_per_frame // 10_000))
+    clear, endc = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # after a CLEAR the table holds 2^min+2 entries; the first data
+    # code adds none and each later one adds one, so after 2^min-2
+    # data codes the table sits at 2^(min+1)-1 — one short of the
+    # decoder's width bump. CLEAR there keeps the width fixed forever.
+    chunk = (1 << min_code) - 2
+    for a in as_u32:
+        out += b"\x21\xf9\x04"  # GCE: disposal 0, no transparency
+        out += bytes([0]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = np.searchsorted(palette_u32, a.ravel())
+        codes = bytearray()
+        bitbuf = nbits = 0
+
+        def _emit(code: int) -> None:
+            nonlocal bitbuf, nbits
+            bitbuf |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                codes.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                nbits -= 8
+
+        _emit(clear)
+        since_clear = 0
+        for px in idx:
+            if since_clear == chunk:
+                _emit(clear)
+                since_clear = 0
+            _emit(int(px))
+            since_clear += 1
+        _emit(endc)
+        if nbits:
+            codes.append(bitbuf & 0xFF)
+        out += bytes([min_code])
+        for i in range(0, len(codes), 255):
+            blk = codes[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -83,14 +83,23 @@ def _decode_image_real(content: bytes):
         except media_codecs.UnsupportedMedia:
             # progressive/arithmetic/12-bit: fall through to PIL
             pass
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            # first composed frame; animation hashes frame-by-frame
+            # through the video path (decode_video dispatches on magic)
+            pixels, width, height, _ = media_codecs.decode_gif(content)
+            return pixels, width, height
+        except media_codecs.UnsupportedMedia:
+            pass  # disposal-3 / off-spec: fall through to PIL
     try:  # optional extra: PIL widens format coverage when present
         from PIL import Image
         import io as _io
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
-            "8-bit non-interlaced PNG and baseline JPEG decode natively "
-            "via media_codecs.decode_png/decode_jpeg") from None
+            "8-bit non-interlaced PNG, baseline JPEG and GIF decode "
+            "natively via media_codecs.decode_png/decode_jpeg/"
+            "decode_gif") from None
     import numpy as _np
 
     try:
@@ -392,10 +401,11 @@ def video_frame_phash64(df: DataFrame, content_col: str = "content",
 
         def _frames(raw: bytes) -> list[tuple[int, int]]:
             if use_real_decoder:
-                if raw[:4] != b"MPNG":
+                if raw[:4] != b"MPNG" and raw[:6] not in (b"GIF87a",
+                                                          b"GIF89a"):
                     raise DecoderNotAvailable(
-                        "non-Motion-PNG video requires ffmpeg, not "
-                        "bundled; the MPNG container decodes natively")
+                        "MP4/WebM video requires ffmpeg, not bundled; "
+                        "Motion-PNG and animated GIF decode natively")
                 frames, _micros = media_codecs.decode_video(raw)
                 out = []
                 for fno in range(0, len(frames), every_n):
@@ -665,10 +675,12 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                 for mid, c in zip(pdf[id_col], pdf[content_col]):
                     raw = bytes(c) if c is not None else b""
                     try:
-                        if raw[:4] != b"MPNG":
+                        if raw[:4] != b"MPNG" and \
+                                raw[:6] not in (b"GIF87a", b"GIF89a"):
                             raise DecoderNotAvailable(
-                                "non-Motion-PNG video requires ffmpeg, "
-                                "not bundled; MPNG decodes natively")
+                                "MP4/WebM video requires ffmpeg, not "
+                                "bundled; Motion-PNG and animated GIF "
+                                "decode natively")
                         frames, _micros = media_codecs.decode_video(raw)
                     except Exception:
                         if skip_undecodable:

@@ -718,7 +718,11 @@ def test_crawl_media_extraction(spark, tmp_path):
         + _warc_record("response", "http://a.site.com/blob.bin",
                        resp(b"Content-Type: application/octet-stream"
                             b"\r\n",
-                            bytes(range(128, 256)) * 20)))
+                            bytes(range(128, 256)) * 20))
+        + _warc_record("response", "http://a.site.com/anim",
+                       resp(b"",  # untyped GIF: sniffed via magic
+                            mc.encode_gif([_gradient(8, 8, 3) % 4
+                                           * 60]))))
     d = tmp_path / "mediawarc"
     d.mkdir()
     (d / "a.warc").write_bytes(recs)
@@ -726,7 +730,8 @@ def test_crawl_media_extraction(spark, tmp_path):
     records = read_warc_records(spark, [str(d)])
     media = crawl_media(records, spark)
     rows = {r.url: r for r in media.collect()}
-    assert len(rows) == 5  # HTML + octet-stream TEXT never crossed
+    assert len(rows) == 6  # HTML + octet-stream TEXT never crossed
+    assert rows["http://a.site.com/anim"].kind == "image"
 
     # the two halves split the responses: octet-stream TEXT (even text
     # mentioning "WAVEfmt ") stays a document; an octet-stream binary
@@ -755,3 +760,124 @@ def test_crawl_media_extraction(spark, tmp_path):
     dup = {rows["http://a.site.com/logo.png"].media_id,
            rows["http://b.other.org/copy.png"].media_id}
     assert any({p.id_a, p.id_b} >= dup for p in pairs)
+
+
+def test_gif_roundtrip_static_and_animated():
+    """GIF codec round-trips: palette-sized RGB content is lossless
+    (the format is palette-based), grayscale promotes to RGB, frame
+    delays survive, >256 colors refuse loudly."""
+    px = (_gradient(10, 7, 3) % 6 * 40).astype(np.uint8)
+    back, w, h, c = mc.decode_gif(mc.encode_gif([px]))
+    assert (back == px).all() and (w, h, c) == (7, 10, 3)
+
+    gray = (_gradient(5, 8, 1) % 4 * 60).astype(np.uint8)
+    back, _, _, _ = mc.decode_gif(mc.encode_gif([gray]))
+    assert (back == np.repeat(gray, 3, axis=2)).all()
+
+    frames = [px, px[::-1].copy(), np.roll(px, 3, axis=1)]
+    got, micros = mc.decode_gif_frames(
+        mc.encode_gif(frames, micros_per_frame=70000))
+    assert micros == 70000 and len(got) == 3
+    for a, b in zip(got, frames):
+        assert (a == b).all()
+
+    import pytest
+
+    i = np.arange(32 * 32)
+    rainbow = np.stack(
+        [(i // 256).astype(np.uint8), (i % 256).astype(np.uint8),
+         np.zeros_like(i, dtype=np.uint8)], axis=1).reshape(32, 32, 3)
+    with pytest.raises(mc.UnsupportedMedia, match="256"):
+        mc.encode_gif([rainbow])  # 1024 distinct colors
+
+
+def test_gif_decodes_external_fixture_and_interlace():
+    """Bytes from an INDEPENDENT encoder decode correctly (the
+    ubiquitous 1x1 transparent GIF), and the 4-pass interlaced row
+    order is undone (crafted by permuting rows into storage order and
+    setting the interlace flag on our own encoder's output)."""
+    import base64
+
+    one = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    f, w, h, c = mc.decode_gif(one)
+    assert (w, h, c) == (1, 1, 3) and f.ravel().tolist() == [0, 0, 0]
+
+    px = (_gradient(16, 5, 3) % 5 * 50).astype(np.uint8)
+    # storage order of a 16-row interlace: rows 0,8 | 4,12 | 2,6,10,14
+    # | 1,3,...,15
+    order = ([r for r in range(0, 16, 8)] + [r for r in range(4, 16, 8)]
+             + [r for r in range(2, 16, 4)] + [r for r in range(1, 16, 2)])
+    blob = bytearray(mc.encode_gif([px[order]]))
+    # image-descriptor packed byte = header(13) + GCT + GCE(8) + 9
+    n_pal = (len(blob) - 13) and 2 << (blob[10] & 0x07)
+    packed_at = 13 + 3 * n_pal + 8 + 9
+    assert blob[packed_at] == 0
+    blob[packed_at] |= 0x40  # declare interlace
+    back, _, _, _ = mc.decode_gif(bytes(blob))
+    assert (back == px).all()
+
+
+def test_gif_image_dedup_cross_format(spark):
+    """The same pixels as PNG and GIF carry the same dHash — the
+    perceptual dedup stack pairs across container formats."""
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    px = (_gradient(16, 16, 3) % 9 * 28).astype(np.uint8)
+    other = (_gradient(16, 16, 3) % 3 * 80).astype(np.uint8)[::-1]
+    df = spark.createDataFrame(
+        [(1, mc.encode_png(px)), (2, mc.encode_gif([px])),
+         (3, mc.encode_gif([other]))],
+        "media_id long, content binary")
+    pairs = multimodal.image_near_duplicates(
+        df, use_real_decoder=True).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_gif_video_dedup_cross_container(spark):
+    """An animated GIF and a Motion-PNG of the same frames are video
+    near-duplicates: decode_video dispatches on magic, frame hashes
+    align position-by-position across containers."""
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    frames = [(_gradient(12, 12, 3) % 5 * 48).astype(np.uint8)
+              for _ in range(3)]
+    frames[1] = frames[1][::-1].copy()
+    frames[2] = np.roll(frames[2], 4, axis=0)
+    # NOT a monotonic luminance transform of `frames` (dHash is
+    # invariant to those): independent noise at 6 palette levels
+    rng = np.random.RandomState(11)
+    distinct = [(rng.randint(0, 6, (12, 12, 3)) * 48).astype(np.uint8)
+                for _ in range(3)]
+    df = spark.createDataFrame(
+        [(1, mc.encode_video(frames)), (2, mc.encode_gif(frames)),
+         (3, mc.encode_gif(distinct))],
+        "media_id long, content binary")
+    pairs = multimodal.video_near_duplicates(
+        df, use_real_decoder=True, min_frames=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].n_matching == 3
+
+
+def test_gif_roundtrip_property():
+    """Property: any stack of same-size frames over a small palette
+    round-trips through the GIF codec losslessly (palette content is
+    exactly what the format represents)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 12), w=st.integers(1, 12),
+           n=st.integers(1, 3), levels=st.integers(2, 6),
+           seed=st.integers(0, 2**31 - 1))
+    def _rt(h, w, n, levels, seed):
+        rng = np.random.RandomState(seed)
+        frames = [(rng.randint(0, levels, (h, w, 3))
+                   * (255 // (levels - 1))).astype(np.uint8)
+                  for _ in range(n)]
+        got, _ = mc.decode_gif_frames(mc.encode_gif(frames))
+        assert len(got) == n
+        for a, b in zip(got, frames):
+            assert (a == b).all()
+
+    _rt()
