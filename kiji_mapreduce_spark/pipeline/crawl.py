@@ -102,7 +102,6 @@ MEDIA_COLUMNS = ("media_id", "url", "domain", "content_type", "kind",
 #: constantly); checked in order, WAVE confirmed past the RIFF header
 _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
                 (b"\xff\xd8\xff", "image"),  # JPEG SOI
-                (b"GIF87a", "image"), (b"GIF89a", "image"),
                 (b"MPNG", "video"))  # the engine's Motion-PNG container
 
 #: Catalyst-side contains() probes for the same magics. The BINARY
@@ -125,6 +124,13 @@ def _sniff_kind(body: bytes) -> str | None:
     for magic, kind in _MAGIC_KINDS:
         if body.startswith(magic):
             return kind
+    if body[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF is a real video container here (decode_video
+        # dispatches on magic); the frame count is a cheap block walk
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        return ("video" if media_codecs.gif_frame_count(body) >= 2
+                else "image")
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
     return None
@@ -220,6 +226,11 @@ def crawl_media(records: DataFrame, spark: SparkSession,
                     or _sniff_kind(body)
                 if kind is None:
                     continue  # magic probe false-positive: not media
+                if kind == "image" and body[:6] in (b"GIF87a",
+                                                    b"GIF89a"):
+                    # an ANIMATED gif (served image/gif, as the web
+                    # does) is a video for the perceptual dedup stack
+                    kind = _sniff_kind(body)
                 rows["media_id"].append(mid)
                 rows["url"].append(url)
                 rows["_host"].append(host)

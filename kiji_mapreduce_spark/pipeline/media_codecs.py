@@ -1035,3 +1035,37 @@ def encode_gif(frames: list[np.ndarray],
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_frame_count(content: bytes, stop_at: int = 2) -> int:
+    """Count a GIF's image descriptors by walking the block structure —
+    length-skipping only, no LZW decode — so callers can cheaply
+    classify animated (>=2 frames) vs static. Stops early at
+    ``stop_at``. Returns 0 for non-GIF or truncated structure (callers
+    classifying media treat that as 'not a GIF')."""
+    if content[:6] not in _GIF_MAGICS or len(content) < 13:
+        return 0
+    pos = 13
+    if content[10] & 0x80:
+        pos += 3 * (2 << (content[10] & 0x07))
+    frames = 0
+    try:
+        while pos < len(content) and frames < stop_at:
+            block = content[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                _, pos = _gif_subblocks(content, pos + 2)
+            elif block == 0x2C:
+                ipacked = content[pos + 9]
+                pos += 10
+                if ipacked & 0x80:
+                    pos += 3 * (2 << (ipacked & 0x07))
+                pos += 1  # LZW min code size
+                _, pos = _gif_subblocks(content, pos)
+                frames += 1
+            else:
+                return frames
+    except UnsupportedMedia:
+        return frames
+    return frames

@@ -719,10 +719,15 @@ def test_crawl_media_extraction(spark, tmp_path):
                        resp(b"Content-Type: application/octet-stream"
                             b"\r\n",
                             bytes(range(128, 256)) * 20))
-        + _warc_record("response", "http://a.site.com/anim",
+        + _warc_record("response", "http://a.site.com/still.gif",
                        resp(b"",  # untyped GIF: sniffed via magic
                             mc.encode_gif([_gradient(8, 8, 3) % 4
-                                           * 60]))))
+                                           * 60])))
+        + _warc_record("response", "http://a.site.com/anim.gif",
+                       resp(b"Content-Type: image/gif\r\n",
+                            mc.encode_gif([_gradient(8, 8, 3) % 4 * 60,
+                                           _gradient(8, 8, 3) % 3
+                                           * 80]))))
     d = tmp_path / "mediawarc"
     d.mkdir()
     (d / "a.warc").write_bytes(recs)
@@ -730,8 +735,11 @@ def test_crawl_media_extraction(spark, tmp_path):
     records = read_warc_records(spark, [str(d)])
     media = crawl_media(records, spark)
     rows = {r.url: r for r in media.collect()}
-    assert len(rows) == 6  # HTML + octet-stream TEXT never crossed
-    assert rows["http://a.site.com/anim"].kind == "image"
+    assert len(rows) == 7  # HTML + octet-stream TEXT never crossed
+    assert rows["http://a.site.com/still.gif"].kind == "image"
+    # animated gif (served image/gif, as the web does) -> video kind,
+    # so the sampled-frame dedup stack owns it
+    assert rows["http://a.site.com/anim.gif"].kind == "video"
 
     # the two halves split the responses: octet-stream TEXT (even text
     # mentioning "WAVEfmt ") stays a document; an octet-stream binary
