@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kiji_mapreduce_spark.pipeline import media_codecs
+
 DOC_COLUMNS = ("doc_id", "url", "domain", "content_type", "warc_date",
                "text")
 
@@ -117,18 +119,16 @@ _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
                         b"MPNG\x01")
 #: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
 #: the formats) — media-net only, never the document-side exclusion
-_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"GIF87a", b"GIF89a")
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ",) + media_codecs._GIF_MAGICS
 
 
 def _sniff_kind(body: bytes) -> str | None:
     for magic, kind in _MAGIC_KINDS:
         if body.startswith(magic):
             return kind
-    if body[:6] in (b"GIF87a", b"GIF89a"):
+    if body[:6] in media_codecs._GIF_MAGICS:
         # animated GIF is a real video container here (decode_video
         # dispatches on magic); the frame count is a cheap block walk
-        from kiji_mapreduce_spark.pipeline import media_codecs
-
         return ("video" if media_codecs.gif_frame_count(body) >= 2
                 else "image")
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
@@ -219,18 +219,20 @@ def crawl_media(records: DataFrame, spark: SparkSession,
                         continue  # headers never terminated: skip
                     body = body[cut + 4:]
                 ct = ct or ""
-                kind = next((k for p, k in (("image/", "image"),
-                                            ("audio/", "audio"),
-                                            ("video/", "video"))
-                             if ct.startswith(p)), None) \
-                    or _sniff_kind(body)
+                declared = next((k for p, k in (("image/", "image"),
+                                                ("audio/", "audio"),
+                                                ("video/", "video"))
+                                 if ct.startswith(p)), None)
+                if declared == "image" \
+                        and body[:6] in media_codecs._GIF_MAGICS:
+                    # an ANIMATED gif (served image/gif, as the web
+                    # does) is a video for the perceptual dedup stack;
+                    # the sniff makes that call — and runs at most
+                    # once per row either way
+                    declared = None
+                kind = declared or _sniff_kind(body)
                 if kind is None:
                     continue  # magic probe false-positive: not media
-                if kind == "image" and body[:6] in (b"GIF87a",
-                                                    b"GIF89a"):
-                    # an ANIMATED gif (served image/gif, as the web
-                    # does) is a video for the perceptual dedup stack
-                    kind = _sniff_kind(body)
                 rows["media_id"].append(mid)
                 rows["url"].append(url)
                 rows["_host"].append(host)

@@ -840,7 +840,19 @@ def decode_gif_frames(content: bytes,
                       ) -> tuple[list[np.ndarray], int]:
     """GIF bytes -> (composed RGB frames as uint8 [h, w, 3] arrays,
     micros per frame from the first frame delay). Static GIFs return
-    one frame. Raises ``UnsupportedMedia`` on anything off-spec."""
+    one frame. Raises ``UnsupportedMedia`` on anything off-spec —
+    including truncated structures, which would otherwise leak
+    struct.error/IndexError past the callers' PIL fall-through (the
+    same wrapper discipline as ``decode_jpeg``)."""
+    try:
+        return _decode_gif_frames_unchecked(content, max_frames)
+    except (struct.error, IndexError) as e:
+        raise UnsupportedMedia(f"GIF: truncated structure ({e})") from e
+
+
+def _decode_gif_frames_unchecked(content: bytes,
+                                 max_frames: int | None
+                                 ) -> tuple[list[np.ndarray], int]:
     if content[:6] not in _GIF_MAGICS:
         raise UnsupportedMedia("not a GIF (bad signature)")
     if len(content) < 13:
@@ -865,6 +877,7 @@ def decode_gif_frames(content: bytes,
     delays: list[int] = []
     transparent = None
     disposal = 0
+    pending_restore = False  # a prior frame asked for disposal 3
     while True:
         if pos >= len(content):
             raise UnsupportedMedia("GIF: missing trailer")
@@ -882,6 +895,13 @@ def decode_gif_frames(content: bytes,
                 transparent = data[3] if gpacked & 0x01 else None
                 delays.append(delay)
         elif block == 0x2C:  # image descriptor
+            if pending_restore:
+                # a PRIOR frame asked for disposal 3 and another frame
+                # is about to compose on top — honoring it would need
+                # the pre-frame canvas; approximating would silently
+                # change pixels, which this module never does
+                raise UnsupportedMedia(
+                    "GIF: disposal 'restore to previous' unsupported")
             left, top, w, h, ipacked = struct.unpack(
                 "<HHHHB", content[pos + 1:pos + 10])
             pos += 10
@@ -919,15 +939,17 @@ def decode_gif_frames(content: bytes,
             else:
                 region[:] = rgb
             frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                break
             if disposal == 2:  # restore region to background
                 canvas[top:top + h, left:left + w] = bg_rgb
             elif disposal == 3:
-                raise UnsupportedMedia(
-                    "GIF: disposal 'restore to previous' unsupported")
+                # raise lazily, at the NEXT composition: a disposal-3
+                # request on the last (or only returned) frame never
+                # affects any output pixel
+                pending_restore = True
             transparent = None
             disposal = 0
-            if max_frames is not None and len(frames) >= max_frames:
-                break
         else:
             raise UnsupportedMedia(f"GIF: unknown block 0x{block:02x}")
     if not frames:
@@ -1057,6 +1079,8 @@ def gif_frame_count(content: bytes, stop_at: int = 2) -> int:
             if block == 0x21:
                 _, pos = _gif_subblocks(content, pos + 2)
             elif block == 0x2C:
+                if pos + 10 > len(content):
+                    return frames  # truncated descriptor
                 ipacked = content[pos + 9]
                 pos += 10
                 if ipacked & 0x80:
@@ -1066,6 +1090,6 @@ def gif_frame_count(content: bytes, stop_at: int = 2) -> int:
                 frames += 1
             else:
                 return frames
-    except UnsupportedMedia:
-        return frames
+    except (UnsupportedMedia, IndexError):
+        return frames  # classification must never raise on junk bytes
     return frames

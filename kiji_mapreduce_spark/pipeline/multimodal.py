@@ -83,7 +83,7 @@ def _decode_image_real(content: bytes):
         except media_codecs.UnsupportedMedia:
             # progressive/arithmetic/12-bit: fall through to PIL
             pass
-    elif content[:6] in (b"GIF87a", b"GIF89a"):
+    elif content[:6] in media_codecs._GIF_MAGICS:
         try:
             # first composed frame; animation hashes frame-by-frame
             # through the video path (decode_video dispatches on magic)
@@ -401,8 +401,8 @@ def video_frame_phash64(df: DataFrame, content_col: str = "content",
 
         def _frames(raw: bytes) -> list[tuple[int, int]]:
             if use_real_decoder:
-                if raw[:4] != b"MPNG" and raw[:6] not in (b"GIF87a",
-                                                          b"GIF89a"):
+                if raw[:4] != b"MPNG" and \
+                        raw[:6] not in media_codecs._GIF_MAGICS:
                     raise DecoderNotAvailable(
                         "MP4/WebM video requires ffmpeg, not bundled; "
                         "Motion-PNG and animated GIF decode natively")
@@ -676,7 +676,7 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                     raw = bytes(c) if c is not None else b""
                     try:
                         if raw[:4] != b"MPNG" and \
-                                raw[:6] not in (b"GIF87a", b"GIF89a"):
+                                raw[:6] not in media_codecs._GIF_MAGICS:
                             raise DecoderNotAvailable(
                                 "MP4/WebM video requires ffmpeg, not "
                                 "bundled; Motion-PNG and animated GIF "

@@ -818,7 +818,7 @@ def test_gif_decodes_external_fixture_and_interlace():
              + [r for r in range(2, 16, 4)] + [r for r in range(1, 16, 2)])
     blob = bytearray(mc.encode_gif([px[order]]))
     # image-descriptor packed byte = header(13) + GCT + GCE(8) + 9
-    n_pal = (len(blob) - 13) and 2 << (blob[10] & 0x07)
+    n_pal = 2 << (blob[10] & 0x07)
     packed_at = 13 + 3 * n_pal + 8 + 9
     assert blob[packed_at] == 0
     blob[packed_at] |= 0x40  # declare interlace
@@ -889,3 +889,52 @@ def test_gif_roundtrip_property():
             assert (a == b).all()
 
     _rt()
+
+
+def test_gif_truncation_and_disposal_error_surface():
+    """Truncated GIF structures raise UnsupportedMedia (never a raw
+    struct.error/IndexError — the PIL fall-through and skip_undecodable
+    both key on the documented type), gif_frame_count NEVER raises on
+    junk (it classifies crawl bytes), and disposal-3 only rejects when
+    a later frame actually composes over the restored canvas."""
+    import struct
+
+    px = (_gradient(6, 6, 3) % 4 * 60).astype(np.uint8)
+    blob = mc.encode_gif([px, px[::-1].copy()])
+
+    # chop inside the image descriptor / at the min-code byte / mid
+    # sub-block: all must surface as UnsupportedMedia
+    for cut in (14, 20, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(mc.UnsupportedMedia):
+            mc.decode_gif_frames(blob[:cut] if cut != 14 else
+                                 b"GIF89a" + struct.pack("<HH", 1, 1)
+                                 + bytes(3) + b"\x2c")
+
+    # classification never raises, whatever the bytes
+    assert mc.gif_frame_count(
+        b"GIF89a" + struct.pack("<HH", 1, 1) + bytes(3) + b"\x2c") == 0
+    assert mc.gif_frame_count(blob[:len(blob) // 2]) <= 2
+    assert mc.gif_frame_count(b"\x00\x01junk") == 0
+
+    # disposal 3 on the LAST frame never affects an output pixel ->
+    # decodes; a frame composing AFTER a disposal-3 request -> raises
+    def with_disposal3(frames, which):
+        raw = bytearray(mc.encode_gif(frames))
+        hits = -1
+        for i in range(len(raw) - 2):
+            if raw[i:i + 3] == b"\x21\xf9\x04":
+                hits += 1
+                if hits == which:
+                    raw[i + 3] |= 3 << 2
+                    return bytes(raw)
+        raise AssertionError("GCE not found")
+
+    last = with_disposal3([px, px[::-1].copy()], 1)
+    frames, _ = mc.decode_gif_frames(last)
+    assert len(frames) == 2
+    first = with_disposal3([px, px[::-1].copy()], 0)
+    # max_frames=1 stops before the second composition -> fine
+    one, _ = mc.decode_gif_frames(first, max_frames=1)
+    assert (one[0] == px).all()
+    with pytest.raises(mc.UnsupportedMedia, match="restore to previous"):
+        mc.decode_gif_frames(first)
