@@ -194,26 +194,33 @@ def split_leakage(
                         F.round(F.col("n_leaked") / F.col("n_docs"), 4)))
 
 
+#: corpus_stats grouping_id per distribution (bit = column AGGREGATED,
+#: column order lang, domain, len_bucket, split): e.g. a lang row
+#: aggregates the other three -> 0b0111
+CORPUS_GID = {"lang": 0b0111, "domain": 0b1011, "len_bucket": 0b1101,
+              "split": 0b1110, "global": 0b1111}
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text",
-                 domain_col: str | None = "domain") -> DataFrame:
+                 domain_col: str | None = "domain",
+                 split_col: str | None = None) -> DataFrame:
     """Corpus health report over a documents-shaped table in ONE scan
     and ONE shuffle: per-language doc/token counts, per-domain counts,
-    a log2 document-length histogram, and the global totals — the
-    summary an operator reads before promoting an ingest or choosing
-    mixture weights.
+    a log2 document-length histogram, optional per-split totals, and
+    the global totals — the summary an operator reads before promoting
+    an ingest or choosing mixture weights.
 
     Shape: per-doc features (language id, log2 token bucket) are one
-    codegen'd projection; the four distributions come from GROUPING
-    SETS ``((lang), (domain), (len_bucket), ())`` — one pass with the
-    map output expanded 4x, instead of four scans of a 100 TB corpus.
-    Output rows are bounded by language count (<=63) + distinct
-    domains + 32 buckets + 1; downstream top-k (``kiji-mr
-    corpus-stats``) runs on this already-aggregated table, never the
-    corpus. ``grouping_id`` bit = column AGGREGATED in that row:
-    lang rows gid=3, domain rows gid=5, len_bucket rows gid=6,
-    global gid=7.
+    codegen'd projection; the distributions come from GROUPING SETS
+    ``((lang), (domain), (len_bucket), (split), ())`` — one pass with
+    the map output expanded once per set, instead of one scan of a
+    100 TB corpus per distribution. Output rows are bounded by
+    language count (<=63) + distinct domains + 32 buckets + splits
+    + 1; downstream top-k (``kiji-mr corpus-stats``) runs on this
+    already-aggregated table, never the corpus. Row identity is
+    ``gid`` per ``CORPUS_GID``.
 
-    ``domain_col=None`` (no domain column) drops that grouping set.
+    ``domain_col=None`` / ``split_col=None`` drop those grouping sets.
     """
     from kiji_mapreduce_spark.pipeline.text import (language_id,
                                                     token_count)
@@ -225,6 +232,7 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     # document — the opposite of what it is
     toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
+    spl = F.col(split_col) if split_col else F.lit(None).cast("string")
     feat = df.select(
         # language_id already coalesces to "und" (NULL text included)
         language_id(F.col(text_col)).alias("lang"),
@@ -232,11 +240,44 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
         # log2 buckets: 0 tokens -> 0, 1 -> 1, 2-3 -> 2, ... capped 31
         F.least(F.lit(31), F.ceil(F.log2(toks + 1)))
         .cast("int").alias("len_bucket"),
+        spl.alias("split"),
         toks.alias("toks"))
     sets = [["lang"], ["len_bucket"], []]
     if domain_col:
         sets.insert(1, ["domain"])
-    return (feat.groupingSets(sets, "lang", "domain", "len_bucket")
+    if split_col:
+        sets.insert(-1, ["split"])
+    return (feat.groupingSets(sets, "lang", "domain", "len_bucket",
+                              "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("toks").alias("n_tokens"),
+                 F.grouping_id().alias("gid")))
+
+
+def media_stats(df: DataFrame, content_col: str = "content",
+                kind_col: str | None = "kind",
+                domain_col: str | None = "domain") -> DataFrame:
+    """``corpus_stats``' twin for a media-shaped table
+    (``crawl.crawl_media`` output): per-kind and per-domain row/byte
+    totals plus a log2 payload-size histogram, all from one scan's
+    grouping sets ``((kind), (domain), (size_bucket), ())``. Bytes
+    come from ``octet_length`` — the payload is never parsed, so the
+    binary column's pages are the only thing read. gid per row: kind
+    0b011, domain 0b101, size_bucket 0b110, global 0b111."""
+    size = F.coalesce(F.octet_length(F.col(content_col)), F.lit(0))
+    kind = F.col(kind_col) if kind_col else F.lit(None).cast("string")
+    dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
+    feat = df.select(
+        kind.alias("kind"), dom.alias("domain"),
+        F.least(F.lit(63), F.ceil(F.log2(size + 1)))
+        .cast("int").alias("size_bucket"),
+        size.alias("bytes"))
+    sets = [["size_bucket"], []]
+    if domain_col:
+        sets.insert(0, ["domain"])
+    if kind_col:
+        sets.insert(0, ["kind"])
+    return (feat.groupingSets(sets, "kind", "domain", "size_bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("bytes").alias("n_bytes"),
                  F.grouping_id().alias("gid")))

@@ -492,19 +492,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     di.add_argument("--id-col", default="doc_id")
 
     st = sub.add_parser("corpus-stats", help="one-scan corpus health "
-                        "report over a documents table: global doc/"
-                        "token totals, per-language and per-domain "
-                        "distributions, log2 length histogram "
-                        "(grouping sets — one shuffle, never four "
-                        "scans)")
+                        "report: global doc/token totals, language / "
+                        "domain / split distributions and a log2 "
+                        "length histogram over a documents table "
+                        "(or, with --media, kind/domain/size over a "
+                        "media table) — grouping sets, one shuffle, "
+                        "never one scan per distribution")
     st.add_argument("--input", required=True,
-                    help="documents-shaped parquet dir")
+                    help="documents- (or media-) shaped parquet dir")
     st.add_argument("--text-col", default="text")
     st.add_argument("--domain-col", default="domain",
                     help='domain column for the per-domain '
                     'distribution; "none" to skip')
+    st.add_argument("--split-col", default="split",
+                    help="per-split doc/token totals when the column "
+                    "exists (post-curation tables); silently skipped "
+                    "when absent")
     st.add_argument("--top-domains", type=int, default=20,
                     help="largest domains to list (default 20)")
+    st.add_argument("--media", action="store_true",
+                    help="media-table mode: per-kind and per-domain "
+                    "row/byte totals + log2 payload-size histogram "
+                    "(audit.media_stats; payloads are never parsed)")
 
     # --history on every pipeline subcommand (r7 verdict ask #5): the
     # archetype commands' job-history contract, extended to the
@@ -832,6 +841,34 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         df = spark.read.parquet(args.input)
         domain_col = None if args.domain_col.lower() == "none" \
             else args.domain_col
+        if args.media:
+            if "kind" not in df.columns and domain_col not in df.columns:
+                p.error(f"corpus-stats --media: {args.input} has "
+                        "neither a kind nor a domain column — not a "
+                        "media-shaped table")
+            agg = audit.media_stats(
+                df, kind_col="kind" if "kind" in df.columns else None,
+                domain_col=(domain_col if domain_col in df.columns
+                            else None)).localCheckpoint(eager=True)
+            glob = agg.filter("gid = 7").first()
+            stats = {
+                "media": args.input,
+                "n_rows": int(glob.n_rows) if glob else 0,
+                "n_bytes": int(glob.n_bytes or 0) if glob else 0,
+                "kinds": {
+                    r.kind: {"n_rows": r.n_rows,
+                             "n_bytes": int(r.n_bytes or 0)}
+                    for r in agg.filter("gid = 3").collect()},
+                "size_log2_histogram": {
+                    int(r.size_bucket): r.n_rows
+                    for r in agg.filter("gid = 6").collect()}}
+            doms = agg.filter("gid = 5")
+            if doms.count():
+                stats["top_domains"] = [
+                    {"domain": r.domain, "n_bytes": int(r.n_bytes or 0)}
+                    for r in doms.orderBy(F.desc("n_bytes"), "domain")
+                    .limit(args.top_domains).collect()]
+            return _emit(args, stats)
         if domain_col and domain_col not in df.columns:
             p.error(f"corpus-stats: no column {domain_col!r} in "
                     f"{args.input} (pass --domain-col none to skip "
@@ -839,13 +876,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         if args.text_col not in df.columns:
             p.error(f"corpus-stats: no column {args.text_col!r} in "
                     f"{args.input}")
-        # the aggregate is bounded (languages + domains + 32 buckets),
-        # so checkpoint it once and let the four consumers below read
-        # the tiny table instead of re-scanning the corpus
+        # splits exist only on post-curation tables: skip silently
+        split_col = args.split_col \
+            if args.split_col in df.columns else None
+        # the aggregate is bounded (languages + domains + buckets +
+        # splits), so checkpoint it once and let the consumers below
+        # read the tiny table instead of re-scanning the corpus
         agg = audit.corpus_stats(
-            df, text_col=args.text_col,
-            domain_col=domain_col).localCheckpoint(eager=True)
-        glob = agg.filter("gid = 7").first()
+            df, text_col=args.text_col, domain_col=domain_col,
+            split_col=split_col).localCheckpoint(eager=True)
+        gid = audit.CORPUS_GID
+        glob = agg.filter(f"gid = {gid['global']}").first()
         stats = {
             "corpus": args.input,
             "n_docs": int(glob.n_docs) if glob else 0,
@@ -853,12 +894,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             "languages": {
                 r.lang: {"n_docs": r.n_docs,
                          "n_tokens": int(r.n_tokens or 0)}
-                for r in agg.filter("gid = 3").collect()},
+                for r in agg.filter(f"gid = {gid['lang']}").collect()},
             "length_log2_histogram": {
                 int(r.len_bucket): r.n_docs
-                for r in agg.filter("gid = 6").collect()}}
+                for r in agg.filter(
+                    f"gid = {gid['len_bucket']}").collect()}}
+        if split_col:
+            stats["splits"] = {
+                r.split: {"n_docs": r.n_docs,
+                          "n_tokens": int(r.n_tokens or 0)}
+                for r in agg.filter(f"gid = {gid['split']}").collect()}
         if domain_col:
-            doms = agg.filter("gid = 5")
+            doms = agg.filter(f"gid = {gid['domain']}")
             stats["n_domains"] = doms.count()
             stats["top_domains"] = [
                 {"domain": r.domain, "n_docs": r.n_docs}

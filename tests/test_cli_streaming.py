@@ -1432,6 +1432,32 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
     assert rc == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["n_docs"] == 5 and "top_domains" not in out2
+    assert "splits" not in out2  # no split column: skipped silently
+
+    # post-curation table: per-split doc/token totals from the same
+    # single pass
+    docs.withColumn("split", F.when(F.col("doc_id") <= 3, "train")
+                    .otherwise("val")) \
+        .write.parquet(f"{tmp_path}/split_docs")
+    rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/split_docs"])
+    assert rc == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["splits"]["train"] == {"n_docs": 3, "n_tokens": 27}
+    assert out3["splits"]["val"] == {"n_docs": 2, "n_tokens": 2}
+
+    # media-table mode: kind/domain/byte totals, payloads never parsed
+    spark.createDataFrame(
+        [(1, "image", "a.com", b"x" * 10), (2, "image", "b.de", b"y" * 6),
+         (3, "audio", "a.com", b"z" * 100)],
+        "media_id long, kind string, domain string, content binary") \
+        .write.parquet(f"{tmp_path}/media")
+    rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/media",
+                   "--media"])
+    assert rc == 0
+    out4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out4["n_rows"] == 3 and out4["n_bytes"] == 116
+    assert out4["kinds"]["image"] == {"n_rows": 2, "n_bytes": 16}
+    assert out4["top_domains"][0] == {"domain": "a.com", "n_bytes": 110}
 
 
 def test_streaming_multimodal_chain_warc_to_pairs(spark, tmp_path,

@@ -2172,8 +2172,11 @@ def test_corpus_stats_single_scan_plan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Expand") == 1
     # and the distributions come back correct from that one pass
+    from kiji_mapreduce_spark.audit import CORPUS_GID
+
     rows = agg.collect()
-    glob = [r for r in rows if r.gid == 7]
+    glob = [r for r in rows if r.gid == CORPUS_GID["global"]]
     assert len(glob) == 1 and glob[0].n_docs == 2
-    assert {r.domain: r.n_docs for r in rows if r.gid == 5} == \
+    assert {r.domain: r.n_docs for r in rows
+            if r.gid == CORPUS_GID["domain"]} == \
         {"a.com": 1, "b.de": 1}
