@@ -938,3 +938,20 @@ def test_gif_truncation_and_disposal_error_surface():
     assert (one[0] == px).all()
     with pytest.raises(mc.UnsupportedMedia, match="restore to previous"):
         mc.decode_gif_frames(first)
+
+
+def test_sample_frames_animated_gif(spark):
+    """sample_frames parses animated GIFs through decode_video's magic
+    dispatch: sampled frames come back as standalone PNGs carrying the
+    composed pixels (here: frame 2 composed over frame 1's canvas with
+    transparency honored via our own full-frame encoder — exact)."""
+    frames = [(_gradient(6, 7, 3) % 5 * 50).astype(np.uint8)
+              for _ in range(4)]
+    frames[2] = frames[2][:, ::-1].copy()
+    media = spark.createDataFrame(
+        [(9, mc.encode_gif(frames))], "media_id long, content binary")
+    rows = multimodal.sample_frames(
+        media, every_n=2, use_real_decoder=True).collect()
+    assert [(r.media_id, r.frame_no) for r in rows] == [(9, 0), (9, 2)]
+    got2, _, _, _ = mc.decode_png(bytes(rows[1].frame_bytes))
+    assert (got2 == frames[2]).all()
