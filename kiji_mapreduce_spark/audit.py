@@ -203,7 +203,8 @@ CORPUS_GID = {"lang": 0b0111, "domain": 0b1011, "len_bucket": 0b1101,
 
 def corpus_stats(df: DataFrame, text_col: str = "text",
                  domain_col: str | None = "domain",
-                 split_col: str | None = None) -> DataFrame:
+                 split_col: str | None = None,
+                 quality_col: str | None = None) -> DataFrame:
     """Corpus health report over a documents-shaped table in ONE scan
     and ONE shuffle: per-language doc/token counts, per-domain counts,
     a log2 document-length histogram, optional per-split totals, and
@@ -221,6 +222,10 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     ``gid`` per ``CORPUS_GID``.
 
     ``domain_col=None`` / ``split_col=None`` drop those grouping sets.
+    ``quality_col`` (e.g. curate's ``quality_score``) adds an
+    ``avg_quality`` aggregate to EVERY group — per-language/domain/
+    split/global mean quality from the same shuffle, no extra
+    structure.
     """
     from kiji_mapreduce_spark.pipeline.text import (language_id,
                                                     token_count)
@@ -233,6 +238,8 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")
     spl = F.col(split_col) if split_col else F.lit(None).cast("string")
+    qual = F.col(quality_col).cast("double") if quality_col \
+        else F.lit(None).cast("double")
     feat = df.select(
         # language_id already coalesces to "und" (NULL text included)
         language_id(F.col(text_col)).alias("lang"),
@@ -241,7 +248,8 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
         F.least(F.lit(31), F.ceil(F.log2(toks + 1)))
         .cast("int").alias("len_bucket"),
         spl.alias("split"),
-        toks.alias("toks"))
+        toks.alias("toks"),
+        qual.alias("q"))
     sets = [["lang"], ["len_bucket"], []]
     if domain_col:
         sets.insert(1, ["domain"])
@@ -251,6 +259,7 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
                               "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("toks").alias("n_tokens"),
+                 F.round(F.avg("q"), 4).alias("avg_quality"),
                  F.grouping_id().alias("gid")))
 
 

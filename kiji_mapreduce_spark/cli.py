@@ -876,21 +876,27 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         if args.text_col not in df.columns:
             p.error(f"corpus-stats: no column {args.text_col!r} in "
                     f"{args.input}")
-        # splits exist only on post-curation tables: skip silently
+        # splits/quality exist only on post-curation tables: skip
+        # silently when absent
         split_col = args.split_col \
             if args.split_col in df.columns else None
+        quality_col = "quality_score" \
+            if "quality_score" in df.columns else None
         # the aggregate is bounded (languages + domains + buckets +
         # splits), so checkpoint it once and let the consumers below
         # read the tiny table instead of re-scanning the corpus
         agg = audit.corpus_stats(
             df, text_col=args.text_col, domain_col=domain_col,
-            split_col=split_col).localCheckpoint(eager=True)
+            split_col=split_col,
+            quality_col=quality_col).localCheckpoint(eager=True)
         gid = audit.CORPUS_GID
         glob = agg.filter(f"gid = {gid['global']}").first()
         stats = {
             "corpus": args.input,
             "n_docs": int(glob.n_docs) if glob else 0,
             "n_tokens": int(glob.n_tokens or 0) if glob else 0,
+            **({"avg_quality": glob.avg_quality}
+               if quality_col and glob else {}),
             "languages": {
                 r.lang: {"n_docs": r.n_docs,
                          "n_tokens": int(r.n_tokens or 0)}
@@ -902,7 +908,9 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         if split_col:
             stats["splits"] = {
                 r.split: {"n_docs": r.n_docs,
-                          "n_tokens": int(r.n_tokens or 0)}
+                          "n_tokens": int(r.n_tokens or 0),
+                          **({"avg_quality": r.avg_quality}
+                             if quality_col else {})}
                 for r in agg.filter(f"gid = {gid['split']}").collect()}
         if domain_col:
             doms = agg.filter(f"gid = {gid['domain']}")

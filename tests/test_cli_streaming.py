@@ -1438,12 +1438,17 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
     # single pass
     docs.withColumn("split", F.when(F.col("doc_id") <= 3, "train")
                     .otherwise("val")) \
+        .withColumn("quality_score",
+                    F.col("doc_id").cast("double") / 10) \
         .write.parquet(f"{tmp_path}/split_docs")
     rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/split_docs"])
     assert rc == 0
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out3["splits"]["train"] == {"n_docs": 3, "n_tokens": 27}
-    assert out3["splits"]["val"] == {"n_docs": 2, "n_tokens": 2}
+    assert out3["splits"]["train"] == \
+        {"n_docs": 3, "n_tokens": 27, "avg_quality": 0.2}
+    assert out3["splits"]["val"] == \
+        {"n_docs": 2, "n_tokens": 2, "avg_quality": 0.45}
+    assert out3["avg_quality"] == 0.3  # same pass, global group
 
     # media-table mode: kind/domain/byte totals, payloads never parsed
     spark.createDataFrame(
