@@ -263,6 +263,12 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
                  F.grouping_id().alias("gid")))
 
 
+#: media_stats grouping_id per distribution (column order kind,
+#: domain, size_bucket; bit = column AGGREGATED)
+MEDIA_GID = {"kind": 0b011, "domain": 0b101, "size_bucket": 0b110,
+             "global": 0b111}
+
+
 def media_stats(df: DataFrame, content_col: str = "content",
                 kind_col: str | None = "kind",
                 domain_col: str | None = "domain") -> DataFrame:
@@ -271,8 +277,8 @@ def media_stats(df: DataFrame, content_col: str = "content",
     totals plus a log2 payload-size histogram, all from one scan's
     grouping sets ``((kind), (domain), (size_bucket), ())``. Bytes
     come from ``octet_length`` — the payload is never parsed, so the
-    binary column's pages are the only thing read. gid per row: kind
-    0b011, domain 0b101, size_bucket 0b110, global 0b111."""
+    binary column's pages are the only thing read. Row identity is
+    ``gid`` per ``MEDIA_GID``."""
     size = F.coalesce(F.octet_length(F.col(content_col)), F.lit(0))
     kind = F.col(kind_col) if kind_col else F.lit(None).cast("string")
     dom = F.col(domain_col) if domain_col else F.lit(None).cast("string")

@@ -504,10 +504,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     st.add_argument("--domain-col", default="domain",
                     help='domain column for the per-domain '
                     'distribution; "none" to skip')
-    st.add_argument("--split-col", default="split",
-                    help="per-split doc/token totals when the column "
-                    "exists (post-curation tables); silently skipped "
-                    "when absent")
+    st.add_argument("--split-col", default=None,
+                    help="per-split doc/token totals column (default: "
+                    "auto-use 'split' when present; an explicitly "
+                    "named missing column is a usage error)")
     st.add_argument("--top-domains", type=int, default=20,
                     help="largest domains to list (default 20)")
     st.add_argument("--media", action="store_true",
@@ -842,15 +842,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         domain_col = None if args.domain_col.lower() == "none" \
             else args.domain_col
         if args.media:
-            if "kind" not in df.columns and domain_col not in df.columns:
-                p.error(f"corpus-stats --media: {args.input} has "
-                        "neither a kind nor a domain column — not a "
-                        "media-shaped table")
+            if "content" not in df.columns:
+                p.error(f"corpus-stats --media: {args.input} has no "
+                        "content column — not a media-shaped table "
+                        "(crawl_media output carries the payload "
+                        "bytes as `content`)")
+            mdom = domain_col \
+                if domain_col and domain_col in df.columns else None
             agg = audit.media_stats(
                 df, kind_col="kind" if "kind" in df.columns else None,
-                domain_col=(domain_col if domain_col in df.columns
-                            else None)).localCheckpoint(eager=True)
-            glob = agg.filter("gid = 7").first()
+                domain_col=mdom).localCheckpoint(eager=True)
+            gid = audit.MEDIA_GID
+            glob = agg.filter(f"gid = {gid['global']}").first()
             stats = {
                 "media": args.input,
                 "n_rows": int(glob.n_rows) if glob else 0,
@@ -858,12 +861,15 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 "kinds": {
                     r.kind: {"n_rows": r.n_rows,
                              "n_bytes": int(r.n_bytes or 0)}
-                    for r in agg.filter("gid = 3").collect()},
+                    for r in agg.filter(
+                        f"gid = {gid['kind']}").collect()},
                 "size_log2_histogram": {
                     int(r.size_bucket): r.n_rows
-                    for r in agg.filter("gid = 6").collect()}}
-            doms = agg.filter("gid = 5")
-            if doms.count():
+                    for r in agg.filter(
+                        f"gid = {gid['size_bucket']}").collect()}}
+            if mdom:
+                doms = agg.filter(f"gid = {gid['domain']}")
+                stats["n_domains"] = doms.count()
                 stats["top_domains"] = [
                     {"domain": r.domain, "n_bytes": int(r.n_bytes or 0)}
                     for r in doms.orderBy(F.desc("n_bytes"), "domain")
@@ -876,10 +882,16 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         if args.text_col not in df.columns:
             p.error(f"corpus-stats: no column {args.text_col!r} in "
                     f"{args.input}")
-        # splits/quality exist only on post-curation tables: skip
-        # silently when absent
-        split_col = args.split_col \
-            if args.split_col in df.columns else None
+        # splits/quality exist only on post-curation tables: the
+        # DEFAULT auto-detects and skips silently; an explicitly named
+        # missing column is a typo, not an empty report
+        if args.split_col is not None:
+            if args.split_col not in df.columns:
+                p.error(f"corpus-stats: no column "
+                        f"{args.split_col!r} in {args.input}")
+            split_col = args.split_col
+        else:
+            split_col = "split" if "split" in df.columns else None
         quality_col = "quality_score" \
             if "quality_score" in df.columns else None
         # the aggregate is bounded (languages + domains + buckets +

@@ -1462,7 +1462,30 @@ def test_cli_corpus_stats(spark, tmp_path, capsys):
     out4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out4["n_rows"] == 3 and out4["n_bytes"] == 116
     assert out4["kinds"]["image"] == {"n_rows": 2, "n_bytes": 16}
+    assert out4["n_domains"] == 2
     assert out4["top_domains"][0] == {"domain": "a.com", "n_bytes": 110}
+
+    # loud usage errors (review findings): --media on a non-media
+    # table (no content column), an explicitly named missing split
+    # column; and a kind-less media table with --domain-col none
+    # still reports global totals + histogram
+    with pytest.raises(SystemExit):
+        cli.main(["corpus-stats", "--input", f"{tmp_path}/docs",
+                  "--media"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["corpus-stats", "--input", f"{tmp_path}/docs",
+                  "--split-col", "splt"])
+    capsys.readouterr()
+    spark.createDataFrame(
+        [(1, b"x" * 8)], "media_id long, content binary") \
+        .write.parquet(f"{tmp_path}/bare_media")
+    rc = cli.main(["corpus-stats", "--input", f"{tmp_path}/bare_media",
+                   "--media", "--domain-col", "none"])
+    assert rc == 0
+    out5 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out5["n_rows"] == 1 and out5["n_bytes"] == 8
+    assert "top_domains" not in out5
 
 
 def test_streaming_multimodal_chain_warc_to_pairs(spark, tmp_path,
