@@ -7,9 +7,10 @@ stdlib + numpy alone, so the engine's "real decode" path
 
 - **PNG** (public spec, RFC 2083): chunk parse, zlib-inflate the IDAT
   stream, reverse the five scanline filters. Supports 8-bit grayscale /
-  gray+alpha / RGB / RGBA, non-interlaced — the shapes ML pipelines
-  actually emit. Palette, 16-bit, and interlaced images raise
-  ``UnsupportedMedia`` (use PIL in production for those).
+  gray+alpha / RGB / RGBA plus palette images at bit depths 1/2/4/8
+  (the small-graphics PNGs the web serves), non-interlaced. 16-bit
+  and interlaced images raise ``UnsupportedMedia`` (use PIL in
+  production for those).
 - **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
   format real image crawls overwhelmingly ship. Progressive /
   arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
@@ -43,17 +44,23 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
 
 class UnsupportedMedia(ValueError):
-    """Decodable format family, unsupported variant (palette PNG, ...)."""
+    """Decodable format family, unsupported variant (16-bit PNG, ...)."""
 
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     """PNG bytes -> (pixels uint8 [h, w, channels], width, height,
-    channels)."""
+    channels). Truecolor/gray (8-bit) decode directly; palette images
+    (color type 3, bit depths 1/2/4/8 — the small-graphics PNGs the
+    web actually serves) decode via PLTE lookup to RGB. A tRNS chunk's
+    alpha is ignored (the returned RGB is exactly what the file
+    stores, like JPEG's alpha-less surface). 16-bit and interlaced
+    variants raise ``UnsupportedMedia`` (PIL fall-through)."""
     if content[:8] != _PNG_MAGIC:
         raise UnsupportedMedia("not a PNG (bad signature)")
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    palette = None
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos:pos + 4])
         ctype = content[pos + 4:pos + 8]
@@ -62,22 +69,54 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise UnsupportedMedia("PNG PLTE length not 3n")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise UnsupportedMedia("PNG missing IHDR")
+    if interlace:
+        raise UnsupportedMedia("interlaced PNG unsupported")
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8):
+            raise UnsupportedMedia(
+                f"unsupported palette PNG bit depth {bit_depth}")
+        if palette is None:
+            raise UnsupportedMedia("palette PNG missing PLTE")
+        stride = (width * bit_depth + 7) // 8
+        out = _png_unfilter(bytes(idat), height, stride, bpp=1)
+        if bit_depth == 8:
+            idx = out
+        else:
+            bits = np.unpackbits(out, axis=1)[:, :width * bit_depth]
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            idx = (bits.reshape(height, width, bit_depth)
+                   * weights).sum(axis=2)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise UnsupportedMedia("PNG pixel index outside palette")
+        return palette[idx].astype(np.uint8), width, height, 3
     if bit_depth != 8:
         raise UnsupportedMedia(f"unsupported PNG bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise UnsupportedMedia(
-            f"unsupported PNG color type {color_type} (palette?)")
-    if interlace:
-        raise UnsupportedMedia("interlaced PNG unsupported")
+            f"unsupported PNG color type {color_type}")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    out = _png_unfilter(bytes(idat), height, width * channels,
+                        bpp=channels)
+    return out.reshape(height, width, channels), width, height, channels
+
+
+def _png_unfilter(idat: bytes, height: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Inflate the IDAT stream and reverse the five scanline filters;
+    returns raw scanline bytes [height, stride]. ``bpp`` is the filter
+    unit: bytes per pixel for 8-bit images, 1 for sub-byte (palette)
+    depths, per the spec."""
+    raw = zlib.decompress(idat)
     if len(raw) != height * (stride + 1):
         raise UnsupportedMedia("PNG data length mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
@@ -90,18 +129,18 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
         if ftype == 0:  # None
             pass
         elif ftype == 1:  # Sub: add left neighbor (sequential in-row)
-            line = _unfilter_sub(line, channels)
+            line = _unfilter_sub(line, bpp)
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 3:  # Average
-            line = _unfilter_avg(line, prev, channels)
+            line = _unfilter_avg(line, prev, bpp)
         elif ftype == 4:  # Paeth
-            line = _unfilter_paeth(line, prev, channels)
+            line = _unfilter_paeth(line, prev, bpp)
         else:
             raise UnsupportedMedia(f"unknown PNG filter {ftype}")
         out[y] = line
         prev = line
-    return out.reshape(height, width, channels), width, height, channels
+    return out
 
 
 def _unfilter_sub(line: np.ndarray, bpp: int) -> np.ndarray:

@@ -71,8 +71,9 @@ def _decode_image_real(content: bytes):
             pixels, width, height, _ = media_codecs.decode_png(content)
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
-            # palette/16-bit/interlaced PNG: fall through to PIL, which
-            # decodes those variants when installed
+            # 16-bit/interlaced PNG: fall through to PIL, which
+            # decodes those variants when installed (palette PNGs
+            # decode natively)
             pass
     elif content[:2] == b"\xff\xd8":
         try:

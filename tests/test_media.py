@@ -955,3 +955,54 @@ def test_sample_frames_animated_gif(spark):
     assert [(r.media_id, r.frame_no) for r in rows] == [(9, 0), (9, 2)]
     got2, _, _, _ = mc.decode_png(bytes(rows[1].frame_bytes))
     assert (got2 == frames[2]).all()
+
+
+def test_png_palette_decode_all_depths():
+    """Palette PNGs (color type 3) decode natively at bit depths
+    1/2/4/8: hand-built from the spec (packed scanlines, PLTE lookup),
+    cross-checked against the GIF codec rendering the same pixels."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    palette = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250],
+                        [40, 40, 40]], dtype=np.uint8)
+    w, h = 9, 5
+    rng = np.random.RandomState(17)
+    for depth in (1, 2, 4, 8):
+        n_idx = min(len(palette), 1 << depth)
+        idx = rng.randint(0, n_idx, size=(h, w))
+        # pack rows at `depth` bits per pixel, MSB first
+        rows = []
+        for y in range(h):
+            bits = np.unpackbits(
+                idx[y].astype(np.uint8)[:, None], axis=1)[:, -depth:]
+            padded = np.concatenate(
+                [bits.ravel(),
+                 np.zeros((-w * depth) % 8, dtype=np.uint8)])
+            rows.append(b"\x00" + np.packbits(padded).tobytes())
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                             3, 0, 0, 0))
+                + chunk(b"PLTE", palette.tobytes())
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+        got, gw, gh, gc = mc.decode_png(blob)
+        assert (gw, gh, gc) == (w, h, 3)
+        assert (got == palette[idx]).all(), f"depth {depth}"
+        # same pixels through the GIF codec: identical RGB
+        gif_px, _, _, _ = mc.decode_gif(mc.encode_gif([palette[idx]]))
+        assert (gif_px == got).all()
+
+    # missing PLTE and 16-bit stay loud
+    import pytest
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(mc.UnsupportedMedia, match="PLTE"):
+        mc.decode_png(bad)
