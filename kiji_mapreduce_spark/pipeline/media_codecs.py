@@ -8,9 +8,9 @@ stdlib + numpy alone, so the engine's "real decode" path
 - **PNG** (public spec, RFC 2083): chunk parse, zlib-inflate the IDAT
   stream, reverse the five scanline filters. Supports 8-bit grayscale /
   gray+alpha / RGB / RGBA plus palette images at bit depths 1/2/4/8
-  (the small-graphics PNGs the web serves), non-interlaced. 16-bit
-  and interlaced images raise ``UnsupportedMedia`` (use PIL in
-  production for those).
+  (the small-graphics PNGs the web serves), straight or
+  Adam7-interlaced. 16-bit images raise ``UnsupportedMedia`` (use PIL
+  in production for those).
 - **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
   format real image crawls overwhelmingly ship. Progressive /
   arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
@@ -53,8 +53,9 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     (color type 3, bit depths 1/2/4/8 — the small-graphics PNGs the
     web actually serves) decode via PLTE lookup to RGB. A tRNS chunk's
     alpha is ignored (the returned RGB is exactly what the file
-    stores, like JPEG's alpha-less surface). 16-bit and interlaced
-    variants raise ``UnsupportedMedia`` (PIL fall-through)."""
+    stores, like JPEG's alpha-less surface). Adam7 interlace is
+    undone; 16-bit variants raise ``UnsupportedMedia``
+    (PIL fall-through)."""
     if content[:8] != _PNG_MAGIC:
         raise UnsupportedMedia("not a PNG (bad signature)")
     pos = 8
@@ -79,50 +80,102 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
             break
     if width is None:
         raise UnsupportedMedia("PNG missing IHDR")
-    if interlace:
-        raise UnsupportedMedia("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise UnsupportedMedia(f"unknown PNG interlace {interlace}")
+
+    def _samples(raw_rows: np.ndarray, w: int) -> np.ndarray:
+        """Unfiltered scanline bytes -> per-pixel values [h, w(, ch)]:
+        palette indices for color type 3 (sub-byte depths unpacked),
+        channel bytes otherwise."""
+        if color_type != 3 or bit_depth == 8:
+            return raw_rows
+        h = raw_rows.shape[0]
+        bits = np.unpackbits(raw_rows, axis=1)[:, :w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (bits.reshape(h, w, bit_depth) * weights) \
+            .sum(axis=2).astype(np.uint8)
+
     if color_type == 3:
         if bit_depth not in (1, 2, 4, 8):
             raise UnsupportedMedia(
                 f"unsupported palette PNG bit depth {bit_depth}")
         if palette is None:
             raise UnsupportedMedia("palette PNG missing PLTE")
-        stride = (width * bit_depth + 7) // 8
-        out = _png_unfilter(bytes(idat), height, stride, bpp=1)
-        if bit_depth == 8:
-            idx = out
-        else:
-            bits = np.unpackbits(out, axis=1)[:, :width * bit_depth]
-            weights = 1 << np.arange(bit_depth - 1, -1, -1)
-            idx = (bits.reshape(height, width, bit_depth)
-                   * weights).sum(axis=2)
-        if int(idx.max(initial=0)) >= len(palette):
+        channels = 1
+
+        def _stride(w: int) -> int:
+            return (w * bit_depth + 7) // 8
+
+        bpp = 1
+    else:
+        if bit_depth != 8:
+            raise UnsupportedMedia(
+                f"unsupported PNG bit depth {bit_depth}")
+        if color_type not in _CHANNELS:
+            raise UnsupportedMedia(
+                f"unsupported PNG color type {color_type}")
+        channels = _CHANNELS[color_type]
+
+        def _stride(w: int) -> int:
+            return w * channels
+
+        bpp = channels
+
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        out, end = _png_unfilter(raw, 0, height, _stride(width), bpp)
+        if end != len(raw):
+            raise UnsupportedMedia("PNG data length mismatch")
+        px = _samples(out, width)
+    else:
+        # Adam7: seven stored sub-images, scattered onto the grid
+        px = np.zeros(
+            (height, width) if color_type == 3
+            else (height, width * channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass stores nothing, not even filters
+            rows, offset = _png_unfilter(raw, offset, ph, _stride(pw),
+                                         bpp)
+            vals = _samples(rows, pw)
+            if color_type == 3:
+                px[y0::dy, x0::dx] = vals
+            else:
+                block = px.reshape(height, width, channels)
+                block[y0::dy, x0::dx] = vals.reshape(ph, pw, channels)
+        if offset != len(raw):
+            raise UnsupportedMedia("PNG data length mismatch")
+
+    if color_type == 3:
+        if int(px.max(initial=0)) >= len(palette):
             raise UnsupportedMedia("PNG pixel index outside palette")
-        return palette[idx].astype(np.uint8), width, height, 3
-    if bit_depth != 8:
-        raise UnsupportedMedia(f"unsupported PNG bit depth {bit_depth}")
-    if color_type not in _CHANNELS:
-        raise UnsupportedMedia(
-            f"unsupported PNG color type {color_type}")
-    channels = _CHANNELS[color_type]
-    out = _png_unfilter(bytes(idat), height, width * channels,
-                        bpp=channels)
-    return out.reshape(height, width, channels), width, height, channels
+        return palette[px].astype(np.uint8), width, height, 3
+    return (px.reshape(height, width, channels), width, height,
+            channels)
 
 
-def _png_unfilter(idat: bytes, height: int, stride: int,
-                  bpp: int) -> np.ndarray:
-    """Inflate the IDAT stream and reverse the five scanline filters;
-    returns raw scanline bytes [height, stride]. ``bpp`` is the filter
-    unit: bytes per pixel for 8-bit images, 1 for sub-byte (palette)
-    depths, per the spec."""
-    raw = zlib.decompress(idat)
-    if len(raw) != height * (stride + 1):
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per stored pass
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                 (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, offset: int, height: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Reverse the five scanline filters over ``height`` rows of the
+    inflated stream starting at ``offset``; returns (raw scanline
+    bytes [height, stride], offset after the block). ``bpp`` is the
+    filter unit: bytes per pixel for 8-bit images, 1 for sub-byte
+    (palette) depths, per the spec."""
+    if len(raw) - offset < height * (stride + 1):
         raise UnsupportedMedia("PNG data length mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        row_start = y * (stride + 1)
+        row_start = offset + y * (stride + 1)
         ftype = raw[row_start]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1).copy()
@@ -140,7 +193,7 @@ def _png_unfilter(idat: bytes, height: int, stride: int,
             raise UnsupportedMedia(f"unknown PNG filter {ftype}")
         out[y] = line
         prev = line
-    return out
+    return out, offset + height * (stride + 1)
 
 
 def _unfilter_sub(line: np.ndarray, bpp: int) -> np.ndarray:

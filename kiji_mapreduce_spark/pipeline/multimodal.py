@@ -71,9 +71,8 @@ def _decode_image_real(content: bytes):
             pixels, width, height, _ = media_codecs.decode_png(content)
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
-            # 16-bit/interlaced PNG: fall through to PIL, which
-            # decodes those variants when installed (palette PNGs
-            # decode natively)
+            # 16-bit PNG: fall through to PIL, which decodes it when
+            # installed (palette and interlaced PNGs decode natively)
             pass
     elif content[:2] == b"\xff\xd8":
         try:

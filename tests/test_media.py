@@ -1006,3 +1006,66 @@ def test_png_palette_decode_all_depths():
            + chunk(b"IEND", b""))
     with pytest.raises(mc.UnsupportedMedia, match="PLTE"):
         mc.decode_png(bad)
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNGs decode natively: seven independently
+    filtered sub-images scatter back onto the pixel grid. Built by
+    hand from the spec with filter 2 (Up) on later rows of every pass,
+    which only decodes right if the filter's `prev` row resets PER
+    PASS; covered for truecolor and for 4-bit palette content."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    # truecolor 8-bit, 10x9: every pass non-empty, ceil-edge widths
+    px = _gradient(9, 10, 3)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx].reshape(len(range(y0, 9, dy)), -1)
+        prev = np.zeros(sub.shape[1], dtype=np.int32)
+        for i, row in enumerate(sub.astype(np.int32)):
+            if i == 0:
+                raw += b"\x00" + row.astype(np.uint8).tobytes()
+            else:  # Up filter: stored = cur - prev (mod 256)
+                raw += b"\x02" + ((row - prev) & 0xFF) \
+                    .astype(np.uint8).tobytes()
+            prev = row
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 9, 8, 2,
+                                         0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    got, w, h, c = mc.decode_png(blob)
+    assert (w, h, c) == (10, 9, 3)
+    assert (got == px).all()
+
+    # 4-bit palette + interlace: packed sub-byte scanlines per pass
+    pal = np.array([[i * 16, 255 - i * 16, i] for i in range(16)],
+                   dtype=np.uint8)
+    idx = (np.arange(7 * 6) % 16).reshape(6, 7).astype(np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            bits = np.unpackbits(row[:, None], axis=1)[:, -4:].ravel()
+            padded = np.concatenate(
+                [bits, np.zeros((-len(bits)) % 8, dtype=np.uint8)])
+            raw += b"\x00" + np.packbits(padded).tobytes()
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 4, 3,
+                                         0, 0, 1))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    got, w, h, c = mc.decode_png(blob)
+    assert (w, h, c) == (7, 6, 3)
+    assert (got == pal[idx]).all()
