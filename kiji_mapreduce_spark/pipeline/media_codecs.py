@@ -6,11 +6,11 @@ stdlib + numpy alone, so the engine's "real decode" path
 (``multimodal._decode_image_real``) is not a stub:
 
 - **PNG** (public spec, RFC 2083): chunk parse, zlib-inflate the IDAT
-  stream, reverse the five scanline filters. Supports 8-bit grayscale /
-  gray+alpha / RGB / RGBA plus palette images at bit depths 1/2/4/8
-  (the small-graphics PNGs the web serves), straight or
-  Adam7-interlaced. 16-bit images raise ``UnsupportedMedia`` (use PIL
-  in production for those).
+  stream, reverse the five scanline filters. Supports grayscale
+  (1/2/4/8-bit) / gray+alpha / RGB / RGBA plus palette images at bit
+  depths 1/2/4/8 (the small-graphics PNGs the web serves), straight
+  or Adam7-interlaced. 16-bit images raise ``UnsupportedMedia`` (use
+  PIL in production for those).
 - **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
   format real image crawls overwhelmingly ship. Progressive /
   arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
@@ -83,18 +83,6 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     if interlace not in (0, 1):
         raise UnsupportedMedia(f"unknown PNG interlace {interlace}")
 
-    def _samples(raw_rows: np.ndarray, w: int) -> np.ndarray:
-        """Unfiltered scanline bytes -> per-pixel values [h, w(, ch)]:
-        palette indices for color type 3 (sub-byte depths unpacked),
-        channel bytes otherwise."""
-        if color_type != 3 or bit_depth == 8:
-            return raw_rows
-        h = raw_rows.shape[0]
-        bits = np.unpackbits(raw_rows, axis=1)[:, :w * bit_depth]
-        weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        return (bits.reshape(h, w, bit_depth) * weights) \
-            .sum(axis=2).astype(np.uint8)
-
     if color_type == 3:
         if bit_depth not in (1, 2, 4, 8):
             raise UnsupportedMedia(
@@ -102,24 +90,34 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
         if palette is None:
             raise UnsupportedMedia("palette PNG missing PLTE")
         channels = 1
-
-        def _stride(w: int) -> int:
-            return (w * bit_depth + 7) // 8
-
-        bpp = 1
     else:
-        if bit_depth != 8:
-            raise UnsupportedMedia(
-                f"unsupported PNG bit depth {bit_depth}")
         if color_type not in _CHANNELS:
             raise UnsupportedMedia(
                 f"unsupported PNG color type {color_type}")
+        if bit_depth != 8 and not (
+                color_type == 0 and bit_depth in (1, 2, 4)):
+            # sub-byte depths exist only for palette + grayscale;
+            # 16-bit stays PIL territory
+            raise UnsupportedMedia(
+                f"unsupported PNG bit depth {bit_depth}")
         channels = _CHANNELS[color_type]
+    sub_byte = bit_depth < 8  # palette or grayscale packed samples
+    bpp = 1 if sub_byte else channels
 
-        def _stride(w: int) -> int:
-            return w * channels
+    def _stride(w: int) -> int:
+        return (w * bit_depth + 7) // 8 if sub_byte else w * channels
 
-        bpp = channels
+    def _samples(raw_rows: np.ndarray, w: int) -> np.ndarray:
+        """Unfiltered scanline bytes -> per-pixel values: packed
+        sub-byte samples unpack to one value per pixel [h, w]; 8-bit
+        rows pass through as channel bytes [h, w*channels]."""
+        if not sub_byte:
+            return raw_rows
+        h = raw_rows.shape[0]
+        bits = np.unpackbits(raw_rows, axis=1)[:, :w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (bits.reshape(h, w, bit_depth) * weights) \
+            .sum(axis=2).astype(np.uint8)
 
     raw = zlib.decompress(bytes(idat))
     if not interlace:
@@ -130,7 +128,7 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     else:
         # Adam7: seven stored sub-images, scattered onto the grid
         px = np.zeros(
-            (height, width) if color_type == 3
+            (height, width) if sub_byte
             else (height, width * channels), dtype=np.uint8)
         offset = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
@@ -141,7 +139,7 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
             rows, offset = _png_unfilter(raw, offset, ph, _stride(pw),
                                          bpp)
             vals = _samples(rows, pw)
-            if color_type == 3:
+            if sub_byte:
                 px[y0::dy, x0::dx] = vals
             else:
                 block = px.reshape(height, width, channels)
@@ -152,7 +150,10 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     if color_type == 3:
         if int(px.max(initial=0)) >= len(palette):
             raise UnsupportedMedia("PNG pixel index outside palette")
-        return palette[px].astype(np.uint8), width, height, 3
+        return palette[px], width, height, 3
+    if sub_byte:  # grayscale 1/2/4-bit: spec sample scaling, exact
+        px = (px.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))) \
+            .astype(np.uint8)
     return (px.reshape(height, width, channels), width, height,
             channels)
 

@@ -72,7 +72,8 @@ def _decode_image_real(content: bytes):
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
             # 16-bit PNG: fall through to PIL, which decodes it when
-            # installed (palette and interlaced PNGs decode natively)
+            # installed (palette, sub-byte grayscale and interlaced
+            # PNGs decode natively)
             pass
     elif content[:2] == b"\xff\xd8":
         try:
@@ -97,9 +98,10 @@ def _decode_image_real(content: bytes):
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
-            "8-bit non-interlaced PNG, baseline JPEG and GIF decode "
-            "natively via media_codecs.decode_png/decode_jpeg/"
-            "decode_gif") from None
+            "PNG (gray/RGB/RGBA/palette, interlaced or not), baseline "
+            "JPEG and GIF decode natively via media_codecs"
+            ".decode_png/decode_jpeg/decode_gif — 16-bit PNG, "
+            "progressive JPEG and WebP need PIL") from None
     import numpy as _np
 
     try:

@@ -957,6 +957,25 @@ def test_sample_frames_animated_gif(spark):
     assert (got2 == frames[2]).all()
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _pack_row(values: np.ndarray, depth: int) -> bytes:
+    """Pack one row of sub-byte samples at `depth` bits each, MSB
+    first, zero-padded to a byte boundary (PNG/spec packing)."""
+    bits = np.unpackbits(
+        values.astype(np.uint8)[:, None], axis=1)[:, -depth:]
+    padded = np.concatenate(
+        [bits.ravel(),
+         np.zeros((-len(values) * depth) % 8, dtype=np.uint8)])
+    return np.packbits(padded).tobytes()
+
+
 def test_png_palette_decode_all_depths():
     """Palette PNGs (color type 3) decode natively at bit depths
     1/2/4/8: hand-built from the spec (packed scanlines, PLTE lookup),
@@ -964,10 +983,7 @@ def test_png_palette_decode_all_depths():
     import struct
     import zlib
 
-    def chunk(ctype, data):
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data)))
-
+    chunk = _png_chunk
     palette = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250],
                         [40, 40, 40]], dtype=np.uint8)
     w, h = 9, 5
@@ -975,15 +991,7 @@ def test_png_palette_decode_all_depths():
     for depth in (1, 2, 4, 8):
         n_idx = min(len(palette), 1 << depth)
         idx = rng.randint(0, n_idx, size=(h, w))
-        # pack rows at `depth` bits per pixel, MSB first
-        rows = []
-        for y in range(h):
-            bits = np.unpackbits(
-                idx[y].astype(np.uint8)[:, None], axis=1)[:, -depth:]
-            padded = np.concatenate(
-                [bits.ravel(),
-                 np.zeros((-w * depth) % 8, dtype=np.uint8)])
-            rows.append(b"\x00" + np.packbits(padded).tobytes())
+        rows = [b"\x00" + _pack_row(idx[y], depth) for y in range(h)]
         blob = (b"\x89PNG\r\n\x1a\n"
                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
                                              3, 0, 0, 0))
@@ -1017,10 +1025,7 @@ def test_png_adam7_interlace_decode():
     import struct
     import zlib
 
-    def chunk(ctype, data):
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data)))
-
+    chunk = _png_chunk
     passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
@@ -1056,10 +1061,7 @@ def test_png_adam7_interlace_decode():
         if sub.size == 0:
             continue
         for row in sub:
-            bits = np.unpackbits(row[:, None], axis=1)[:, -4:].ravel()
-            padded = np.concatenate(
-                [bits, np.zeros((-len(bits)) % 8, dtype=np.uint8)])
-            raw += b"\x00" + np.packbits(padded).tobytes()
+            raw += b"\x00" + _pack_row(row, 4)
     blob = (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 4, 3,
                                          0, 0, 1))
@@ -1069,3 +1071,28 @@ def test_png_adam7_interlace_decode():
     got, w, h, c = mc.decode_png(blob)
     assert (w, h, c) == (7, 6, 3)
     assert (got == pal[idx]).all()
+
+
+def test_png_subbyte_grayscale_decode():
+    """1/2/4-bit grayscale PNGs (B/W scans, old web graphics) decode
+    natively with the spec's exact sample scaling (255/(2^d-1) is an
+    integer for all three depths)."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(23)
+    w, h = 11, 4
+    for depth in (1, 2, 4):
+        levels = 1 << depth
+        vals = rng.randint(0, levels, size=(h, w))
+        raw = b"".join(b"\x00" + _pack_row(vals[y], depth)
+                       for y in range(h))
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", struct.pack(
+                    ">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+        got, gw, gh, gc = mc.decode_png(blob)
+        assert (gw, gh, gc) == (w, h, 1)
+        assert (got[:, :, 0] == vals * (255 // (levels - 1))).all(), \
+            f"depth {depth}"
