@@ -6,11 +6,10 @@ stdlib + numpy alone, so the engine's "real decode" path
 (``multimodal._decode_image_real``) is not a stub:
 
 - **PNG** (public spec, RFC 2083): chunk parse, zlib-inflate the IDAT
-  stream, reverse the five scanline filters. Supports grayscale
-  (1/2/4/8-bit) / gray+alpha / RGB / RGBA plus palette images at bit
-  depths 1/2/4/8 (the small-graphics PNGs the web serves), straight
-  or Adam7-interlaced. 16-bit images raise ``UnsupportedMedia`` (use
-  PIL in production for those).
+  stream, reverse the five scanline filters. EVERY valid PNG shape
+  decodes: grayscale (1/2/4/8/16-bit) / gray+alpha / RGB / RGBA
+  (8/16-bit, rendered at the high byte) / palette (1/2/4/8-bit),
+  straight or Adam7-interlaced.
 - **JPEG** (ITU-T T.81 baseline, see the JPEG section below): the
   format real image crawls overwhelmingly ship. Progressive /
   arithmetic variants raise ``UnsupportedMedia`` (PIL fall-through).
@@ -44,7 +43,8 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
 
 class UnsupportedMedia(ValueError):
-    """Decodable format family, unsupported variant (16-bit PNG, ...)."""
+    """Decodable format family, unsupported variant (disposal-3 GIF,
+    progressive JPEG, ...)."""
 
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -54,8 +54,7 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     web actually serves) decode via PLTE lookup to RGB. A tRNS chunk's
     alpha is ignored (the returned RGB is exactly what the file
     stores, like JPEG's alpha-less surface). Adam7 interlace is
-    undone; 16-bit variants raise ``UnsupportedMedia``
-    (PIL fall-through)."""
+    undone; 16-bit samples render at their high byte."""
     if content[:8] != _PNG_MAGIC:
         raise UnsupportedMedia("not a PNG (bad signature)")
     pos = 8
@@ -94,23 +93,29 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
         if color_type not in _CHANNELS:
             raise UnsupportedMedia(
                 f"unsupported PNG color type {color_type}")
-        if bit_depth != 8 and not (
+        if bit_depth not in (8, 16) and not (
                 color_type == 0 and bit_depth in (1, 2, 4)):
-            # sub-byte depths exist only for palette + grayscale;
-            # 16-bit stays PIL territory
+            # sub-byte depths exist only for palette + grayscale
             raise UnsupportedMedia(
                 f"unsupported PNG bit depth {bit_depth}")
         channels = _CHANNELS[color_type]
     sub_byte = bit_depth < 8  # palette or grayscale packed samples
-    bpp = 1 if sub_byte else channels
+    spb = 2 if bit_depth == 16 else 1  # stored bytes per sample
+    bpp = 1 if sub_byte else channels * spb
 
     def _stride(w: int) -> int:
-        return (w * bit_depth + 7) // 8 if sub_byte else w * channels
+        return (w * bit_depth + 7) // 8 if sub_byte \
+            else w * channels * spb
 
     def _samples(raw_rows: np.ndarray, w: int) -> np.ndarray:
         """Unfiltered scanline bytes -> per-pixel values: packed
-        sub-byte samples unpack to one value per pixel [h, w]; 8-bit
-        rows pass through as channel bytes [h, w*channels]."""
+        sub-byte samples unpack to one value per pixel [h, w]; 16-bit
+        samples keep their big-endian HIGH byte (the faithful uint8
+        rendering of this decoder's 8-bit surface — the same mapping
+        PIL's RGB convert applies); 8-bit rows pass through as channel
+        bytes [h, w*channels]."""
+        if bit_depth == 16:
+            return raw_rows[:, 0::2]
         if not sub_byte:
             return raw_rows
         h = raw_rows.shape[0]

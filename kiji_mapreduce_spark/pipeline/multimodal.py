@@ -71,9 +71,9 @@ def _decode_image_real(content: bytes):
             pixels, width, height, _ = media_codecs.decode_png(content)
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
-            # 16-bit PNG: fall through to PIL, which decodes it when
-            # installed (palette, sub-byte grayscale and interlaced
-            # PNGs decode natively)
+            # every valid PNG shape decodes natively; this fall
+            # through only fires for corrupt-but-signed bytes, which
+            # PIL will also reject into the documented error surface
             pass
     elif content[:2] == b"\xff\xd8":
         try:
@@ -98,10 +98,9 @@ def _decode_image_real(content: bytes):
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
-            "PNG (gray/RGB/RGBA/palette, interlaced or not), baseline "
-            "JPEG and GIF decode natively via media_codecs"
-            ".decode_png/decode_jpeg/decode_gif — 16-bit PNG, "
-            "progressive JPEG and WebP need PIL") from None
+            "PNG (all valid shapes), baseline JPEG and GIF decode "
+            "natively via media_codecs.decode_png/decode_jpeg/"
+            "decode_gif — progressive JPEG and WebP need PIL") from None
     import numpy as _np
 
     try:

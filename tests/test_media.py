@@ -80,9 +80,9 @@ def test_png_rejects_unsupported_variants():
     buf = bytearray(mc.encode_png(px))
     with pytest.raises(mc.UnsupportedMedia, match="signature"):
         mc.decode_png(b"JFIF" + bytes(buf))
-    # corrupt IHDR bit depth -> 16
+    # corrupt IHDR bit depth -> 7 (not a PNG depth; 16 decodes now)
     assert buf[8 + 4:8 + 8] == b"IHDR"
-    buf[8 + 8 + 8] = 16
+    buf[8 + 8 + 8] = 7
     with pytest.raises(mc.UnsupportedMedia, match="bit depth"):
         mc.decode_png(bytes(buf))
 
@@ -1096,3 +1096,37 @@ def test_png_subbyte_grayscale_decode():
         assert (gw, gh, gc) == (w, h, 1)
         assert (got[:, :, 0] == vals * (255 // (levels - 1))).all(), \
             f"depth {depth}"
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit PNGs decode to their big-endian high bytes — the
+    faithful uint8 rendering (what PIL's RGB convert applies) — with
+    the filter unit at the spec's 2 bytes per sample (exercised via a
+    Sub-filtered row)."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(5)
+    for ctype_png, ch in ((0, 1), (2, 3)):
+        w, h = 6, 3
+        hi = rng.randint(0, 256, size=(h, w * ch)).astype(np.uint8)
+        lo = rng.randint(0, 256, size=(h, w * ch)).astype(np.uint8)
+        raw16 = np.empty((h, w * ch * 2), dtype=np.uint8)
+        raw16[:, 0::2], raw16[:, 1::2] = hi, lo
+        bpp = ch * 2
+        rows = [b"\x00" + raw16[0].tobytes(),
+                b"\x02" + ((raw16[1].astype(np.int32)
+                            - raw16[0]) & 0xFF)
+                .astype(np.uint8).tobytes()]
+        sub = raw16[2].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), sub[:-bpp]])
+        rows.append(b"\x01" + ((sub - left) & 0xFF)
+                    .astype(np.uint8).tobytes())
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", struct.pack(
+                    ">IIBBBBB", w, h, 16, ctype_png, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + _png_chunk(b"IEND", b""))
+        got, gw, gh, gc = mc.decode_png(blob)
+        assert (gw, gh, gc) == (w, h, ch)
+        assert (got == hi.reshape(h, w, ch)).all(), f"type {ctype_png}"
