@@ -47,14 +47,31 @@ class UnsupportedMedia(ValueError):
     progressive JPEG, ...)."""
 
 
+#: ceiling on a single PNG's DECODED scanline bytes (1 GiB): a tiny
+#: crawl blob declaring absurd IHDR dimensions must not OOM the
+#: executor before the post-inflate length check runs
+_MAX_PNG_BYTES = 1 << 30
+
+
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     """PNG bytes -> (pixels uint8 [h, w, channels], width, height,
-    channels). Truecolor/gray (8-bit) decode directly; palette images
-    (color type 3, bit depths 1/2/4/8 — the small-graphics PNGs the
-    web actually serves) decode via PLTE lookup to RGB. A tRNS chunk's
-    alpha is ignored (the returned RGB is exactly what the file
-    stores, like JPEG's alpha-less surface). Adam7 interlace is
-    undone; 16-bit samples render at their high byte."""
+    channels). Every valid shape decodes: gray 1-16-bit, gray+alpha,
+    RGB(A) 8/16-bit (16-bit renders at the big-endian high byte — the
+    faithful uint8 mapping, same as PIL's RGB convert), palette
+    1/2/4/8-bit, straight or Adam7-interlaced. A tRNS chunk's alpha is
+    ignored (the returned RGB is exactly what the file stores, like
+    JPEG's alpha-less surface). EVERY structurally malformed input
+    surfaces as ``UnsupportedMedia`` — never a raw
+    zlib.error/struct.error (same wrapper discipline as
+    ``decode_jpeg``/``decode_gif_frames``)."""
+    try:
+        return _decode_png_unchecked(content)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise UnsupportedMedia(f"PNG: corrupt structure ({e})") from e
+
+
+def _decode_png_unchecked(
+        content: bytes) -> tuple[np.ndarray, int, int, int]:
     if content[:8] != _PNG_MAGIC:
         raise UnsupportedMedia("not a PNG (bad signature)")
     pos = 8
@@ -124,7 +141,26 @@ def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
         return (bits.reshape(h, w, bit_depth) * weights) \
             .sum(axis=2).astype(np.uint8)
 
-    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        expected = height * (_stride(width) + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (_stride(pw) + 1)
+    if expected > _MAX_PNG_BYTES:
+        raise UnsupportedMedia(
+            f"PNG dimensions {width}x{height} decode past the "
+            f"{_MAX_PNG_BYTES >> 20} MiB scanline ceiling")
+    # cap the inflate at the size the header promises: a bomb whose
+    # stream holds more data than the dimensions allow stops here
+    # instead of materializing gigabytes before the length check
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
+        raise UnsupportedMedia("PNG data length mismatch")
     if not interlace:
         out, end = _png_unfilter(raw, 0, height, _stride(width), bpp)
         if end != len(raw):

@@ -4,11 +4,11 @@ typed metadata structs.
 The Spark-side plumbing (schemas, partition sizing, Arrow batch shape,
 ``mapInPandas`` UDF signatures) is real and tested. Decode is real for
 the formats ``media_codecs`` implements from their public specs with
-zero dependencies — 8-bit PNG, baseline JPEG (incl. 4:2:0 and restart
-intervals), PCM WAV, and the Motion-PNG clip container; PIL, when
-installed, widens image coverage (progressive JPEG, WebP, palette
-PNG, ...), and everything else raises ``DecoderNotAvailable`` loudly
-(MP4/WebM video -> ffmpeg territory). Deterministic fakes remain for
+zero dependencies — PNG (every valid shape), baseline JPEG (incl.
+4:2:0 and restart intervals), GIF (static + animated), PCM WAV, and
+the Motion-PNG clip container; PIL, when installed, widens image
+coverage (progressive JPEG, WebP, ...), and everything else raises
+``DecoderNotAvailable`` loudly (MP4/WebM video -> ffmpeg territory). Deterministic fakes remain for
 tests that want pixel-exact oracles without a codec round-trip.
 
 Design notes for 100 TB of media:
@@ -53,7 +53,8 @@ MEDIA_SCHEMA = StructType([
 class DecoderNotAvailable(NotImplementedError):
     """Raised by the real decode path for formats needing libraries that
     are not bundled (progressive JPEG/WebP -> PIL; MP4/WebM -> ffmpeg).
-    Baseline JPEG and 8-bit PNG decode natively via ``media_codecs``."""
+    PNG (all valid shapes), baseline JPEG, GIF and PCM WAV decode
+    natively via ``media_codecs``."""
 
 
 def _decode_image_real(content: bytes):
@@ -71,9 +72,15 @@ def _decode_image_real(content: bytes):
             pixels, width, height, _ = media_codecs.decode_png(content)
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
-            # every valid PNG shape decodes natively; this fall
-            # through only fires for corrupt-but-signed bytes, which
-            # PIL will also reject into the documented error surface
+            # every valid PNG shape decodes natively, so only
+            # corrupt-but-signed bytes land here; give PIL (which is
+            # occasionally laxer about off-spec files) a try when
+            # present, but with no PIL re-raise the REAL diagnosis —
+            # "corrupt PNG", not "install PIL"
+            import importlib.util
+
+            if importlib.util.find_spec("PIL") is None:
+                raise
             pass
     elif content[:2] == b"\xff\xd8":
         try:

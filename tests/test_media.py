@@ -1130,3 +1130,38 @@ def test_png_16bit_decode_high_byte():
         got, gw, gh, gc = mc.decode_png(blob)
         assert (gw, gh, gc) == (w, h, ch)
         assert (got == hi.reshape(h, w, ch)).all(), f"type {ctype_png}"
+
+
+def test_png_corrupt_and_bomb_error_surface():
+    """Signed-but-corrupt PNGs surface as UnsupportedMedia, never raw
+    zlib.error/struct.error (callers' skip_undecodable and the PIL
+    fall-through key on the type), and a tiny blob declaring absurd
+    IHDR dimensions hits the scanline ceiling instead of inflating
+    gigabytes; an IDAT stream longer than the declared dimensions
+    allow is a mismatch, not a giant allocation."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(mc.UnsupportedMedia):  # truncated IHDR
+        mc.decode_png(sig + _png_chunk(b"IHDR", b"\x00\x01"))
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2,
+                                           0, 0, 0))
+    with pytest.raises(mc.UnsupportedMedia):  # garbage IDAT
+        mc.decode_png(sig + ihdr + _png_chunk(b"IDAT", b"not zlib")
+                      + _png_chunk(b"IEND", b""))
+    with pytest.raises(mc.UnsupportedMedia):  # empty IDAT
+        mc.decode_png(sig + ihdr + _png_chunk(b"IEND", b""))
+
+    huge = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 100_000,
+                                           100_000, 8, 6, 0, 0, 0))
+    with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
+        mc.decode_png(sig + huge
+                      + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+                      + _png_chunk(b"IEND", b""))
+
+    # stream inflating past the declared dimensions: mismatch, capped
+    over = zlib.compress(b"\x00" * (4 * (4 * 3 + 1) + 500))
+    with pytest.raises(mc.UnsupportedMedia, match="mismatch"):
+        mc.decode_png(sig + ihdr + _png_chunk(b"IDAT", over)
+                      + _png_chunk(b"IEND", b""))
