@@ -39,76 +39,10 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- changed in r8: collocations_top's top-20 selection moved from a
-    #    global row_number window to orderBy+limit (TakeOrdered) with the
-    #    rank computed over the 20 survivors (r7 verdict ask #2) --
-    "collocations_top": q_collocations_top,
-    # -- NEW_PENDING_WINDOW from r7, exemption expired: the video and
-    #    audio near-dup queries take window slots FIRST in r8 for their
-    #    first driver-oracle rows (r7 verdict ask #1) --
-    "video_near_duplicates": q_video_near_duplicates,
-    "audio_near_duplicates": q_audio_near_duplicates,
-    # -- the r6-green tail block, rotated in per the 2-round freshness
-    #    cap (ledger VERIFIED.json as_of_round=7: everything below was
-    #    last driver-green in r6 and would age out next round) --
-    "text_langid": q_text_langid,
-    "classifier_score_topk": q_classifier_score_topk,
-    "drift_orders_price": q_drift_orders_price,
-    "split_train_test": q_split_train_test,
-    "split_leakage": q_split_leakage,
-    "negative_sample_vocab": q_negative_sample_vocab,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_source_matrix": q_dedup_source_matrix,
-    "knn_ivf_topk": q_knn_ivf_topk,
-    "knn_lsh_topk": q_knn_lsh_topk,
-    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
-    "lm_bigram_quality": q_lm_bigram_quality,
-    "streaming_dedup_docs": q_streaming_dedup_docs,
-    "bm25_search_topk": q_bm25_search_topk,
-    "text_normalize": q_text_normalize,
-    "sample_stratified": q_sample_stratified,
-    "sample_stratum_topk": q_sample_stratum_topk,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
-    "mixture_token_budget": q_mixture_token_budget,
-    "pack_documents": q_pack_documents,
-    "kmeans_clusters": q_kmeans_clusters,
-    "salted_topk_events": q_salted_topk_events,
-    "sample_cluster_balanced": q_sample_cluster_balanced,
-    "gather_pricing_summary": q_gather_pricing_summary,
-    "filter_pushdown_revenue": q_filter_pushdown_revenue,
-    "kvstore_lookup_join": q_kvstore_lookup_join,
-    "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-    "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-    "join_revenue_by_nation": q_join_revenue_by_nation,
-    "producer_price_band": q_producer_price_band,
-    "pivot_orders_by_customer": q_pivot_orders_by_customer,
-    "bulk_import_props": q_bulk_import_props,
-    "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
-    "set_ops_nations": q_set_ops_nations,
-    "rollup_revenue": q_rollup_revenue,
-    "mapreduce_event_stats": q_mapreduce_event_stats,
-    "topk_shipping_priority": q_topk_shipping_priority,
-    "union_all_parties": q_union_all_parties,
-    "cube_order_stats": q_cube_order_stats,
-    "distinct_segments": q_distinct_segments,
-    "text_byte_stats": q_text_byte_stats,
-    "window_running_revenue": q_window_running_revenue,
-    "dedup_corpus_survivors": q_dedup_corpus_survivors,
-    "dedup_incremental_pairs": q_dedup_incremental_pairs,
-    "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    # -- NEW in r8: the crawl-ingest surface earns its first oracle
-    #    rows — PSL-exact registered domains (broadcast rule-table
-    #    joins over the vendored snapshot; r7 verdict ask #6) and the
-    #    zero-UDF HTTP/HTML text extraction chain --
-    "crawl_registered_domain": q_crawl_registered_domain,
-    "crawl_html_extract": q_crawl_html_extract,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: ALL r7-green (CORRECTNESS_r07 50/50 covered the r7 window;
-    #    the r8 builder additionally re-drove changed/tail queries at
-    #    sf0.01 via tools/check_correctness.py before committing this
-    #    rotation) --
+    # -- r10 rotation (r9 was a no-op round: the driver re-verified the
+    #    r8 window verbatim, so these 50 queries — last driver-green in
+    #    r7 — hit the 2-round freshness cap and take the whole window;
+    #    zero slack, nothing new or changed may displace them in r10 --
     "image_near_duplicates": q_image_near_duplicates,
     "knn_sq8_topk": q_knn_sq8_topk,
     "knn_pq_topk": q_knn_pq_topk,
@@ -159,64 +93,120 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": q_streaming_interval_join,
     "entity_key_hash": q_entity_key_hash,
     "text_token_count": q_text_token_count,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r9-green (CORRECTNESS_r09 50/50, zero err; these were
+    #    the r8+r9 window and rotate back in no later than r12) --
+    "collocations_top": q_collocations_top,
+    "video_near_duplicates": q_video_near_duplicates,
+    "audio_near_duplicates": q_audio_near_duplicates,
+    "text_langid": q_text_langid,
+    "classifier_score_topk": q_classifier_score_topk,
+    "drift_orders_price": q_drift_orders_price,
+    "split_train_test": q_split_train_test,
+    "split_leakage": q_split_leakage,
+    "negative_sample_vocab": q_negative_sample_vocab,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_source_matrix": q_dedup_source_matrix,
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "cell_rewrite_int_to_long": q_cell_rewrite_int_to_long,
+    "lm_bigram_quality": q_lm_bigram_quality,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
+    "bm25_search_topk": q_bm25_search_topk,
+    "text_normalize": q_text_normalize,
+    "sample_stratified": q_sample_stratified,
+    "sample_stratum_topk": q_sample_stratum_topk,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    "mixture_token_budget": q_mixture_token_budget,
+    "pack_documents": q_pack_documents,
+    "kmeans_clusters": q_kmeans_clusters,
+    "salted_topk_events": q_salted_topk_events,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
+    "gather_pricing_summary": q_gather_pricing_summary,
+    "filter_pushdown_revenue": q_filter_pushdown_revenue,
+    "kvstore_lookup_join": q_kvstore_lookup_join,
+    "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "producer_price_band": q_producer_price_band,
+    "pivot_orders_by_customer": q_pivot_orders_by_customer,
+    "bulk_import_props": q_bulk_import_props,
+    "window_top3_orders_per_customer": q_window_top3_orders_per_customer,
+    "set_ops_nations": q_set_ops_nations,
+    "rollup_revenue": q_rollup_revenue,
+    "mapreduce_event_stats": q_mapreduce_event_stats,
+    "topk_shipping_priority": q_topk_shipping_priority,
+    "union_all_parties": q_union_all_parties,
+    "cube_order_stats": q_cube_order_stats,
+    "distinct_segments": q_distinct_segments,
+    "text_byte_stats": q_text_byte_stats,
+    "window_running_revenue": q_window_running_revenue,
+    "dedup_corpus_survivors": q_dedup_corpus_survivors,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "crawl_registered_domain": q_crawl_registered_domain,
+    "crawl_html_extract": q_crawl_html_extract,
+    "text_token_count": q_text_token_count,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round: the new r7 query, everything r7-changed, and the full
-#: r5-green rotation block (2-round freshness cap). Mechanically
+#: this round (r10): exactly the 50 queries last driver-green in r7 —
+#: the r9 no-op round left them at the 2-round freshness cap. Mechanically
 #: enforced by tests/test_suite_smoke.py::test_first_window_membership —
 #: hand-ordered dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    "collocations_top",
-    "video_near_duplicates",
-    "audio_near_duplicates",
-    "text_langid",
-    "classifier_score_topk",
-    "drift_orders_price",
-    "split_train_test",
-    "split_leakage",
-    "negative_sample_vocab",
-    "dedup_simhash_pairs",
-    "dedup_source_matrix",
-    "knn_ivf_topk",
-    "knn_lsh_topk",
-    "cell_rewrite_int_to_long",
-    "lm_bigram_quality",
-    "streaming_dedup_docs",
-    "bm25_search_topk",
-    "text_normalize",
-    "sample_stratified",
-    "sample_stratum_topk",
-    "events_anomaly_zscore",
-    "mixture_token_budget",
-    "pack_documents",
-    "kmeans_clusters",
-    "salted_topk_events",
-    "sample_cluster_balanced",
-    "gather_pricing_summary",
-    "filter_pushdown_revenue",
-    "kvstore_lookup_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "join_revenue_by_nation",
-    "producer_price_band",
-    "pivot_orders_by_customer",
-    "bulk_import_props",
-    "window_top3_orders_per_customer",
-    "set_ops_nations",
-    "rollup_revenue",
-    "mapreduce_event_stats",
-    "topk_shipping_priority",
-    "union_all_parties",
-    "cube_order_stats",
-    "distinct_segments",
-    "text_byte_stats",
-    "window_running_revenue",
-    "dedup_corpus_survivors",
-    "dedup_incremental_pairs",
-    "countmin_heavy_hitters",
-    "crawl_registered_domain",
-    "crawl_html_extract",
+    "image_near_duplicates",
+    "knn_sq8_topk",
+    "knn_pq_topk",
+    "knn_recall_ivf",
+    "streaming_drift_psi",
+    "text_fingerprint",
+    "text_quality",
+    "text_chunking",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "kmv_distinct_users",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "pagerank_nation_trade",
+    "entity_resolution_blocked",
+    "streaming_sessionize",
+    "mixture_temperature",
+    "weighted_sample_topk",
+    "hard_negative_mining",
+    "pipeline_curate",
+    "decontaminate_overlap",
+    "decontaminate_spans",
+    "streaming_windowed_counts",
+    "sessionize_events",
+    "kvstore_avro_file_join",
+    "versioned_latest_event_value",
+    "versioned_slice_maxversions",
+    "map_family_regex_filter",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "knn_cosine_topk",
+    "embedding_label_cosine_stats",
+    "quantiles_order_price",
+    "sql_surface_big_spenders",
+    "grouping_sets_orders",
+    "wordcount_top50",
+    "tfidf_top_terms",
+    "pivot_wide_event_values",
+    "array_agg_priorities",
+    "events_json_props",
+    "timeseries_gapfill",
+    "snapshot_diff_orders",
+    "data_quality_audit",
+    "embedding_near_dups",
+    "text_repetition",
+    "text_pii",
+    "multimodal_features",
+    "streaming_interval_join",
+    "entity_key_hash",
+    "text_token_count",
 ]
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
