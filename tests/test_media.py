@@ -1165,3 +1165,70 @@ def test_png_corrupt_and_bomb_error_surface():
     with pytest.raises(mc.UnsupportedMedia, match="mismatch"):
         mc.decode_png(sig + ihdr + _png_chunk(b"IDAT", over)
                       + _png_chunk(b"IEND", b""))
+
+
+def test_jpeg_decompression_bomb_rejected():
+    """A crafted SOF declaring 65535x65535x3 must raise UnsupportedMedia
+    BEFORE the scan stage allocates its ~100 GiB of float64 planes (r8
+    ADVICE / r9 verdict #2): same 1 GiB ceiling class as PNG's
+    _MAX_PNG_BYTES and the HTTP inflate cap."""
+    blob = bytearray(mc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = blob.index(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) — rewrite h and w
+    blob[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
+        mc.decode_jpeg(bytes(blob))
+    # zero dimensions are rejected too, not decoded to empty pixels
+    blob[sof + 5:sof + 9] = b"\x00\x00\x00\x08"
+    with pytest.raises(mc.UnsupportedMedia, match="zero frame"):
+        mc.decode_jpeg(bytes(blob))
+
+
+def test_gif_decompression_bomb_rejected():
+    """A 13-byte GIF header declaring a 65535x65535 logical screen must
+    raise before the canvas/index allocations (~12.9 GiB canvas alone)."""
+    blob = bytearray(mc.encode_gif([np.zeros((4, 4, 3), dtype=np.uint8)]))
+    blob[6:10] = b"\xff\xff\xff\xff"  # W=65535, H=65535 little-endian
+    with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
+        mc.decode_gif_frames(bytes(blob))
+
+
+def test_gif_cumulative_frame_bomb_rejected(monkeypatch):
+    """Composed frames accumulate canvas-sized copies: thousands of tiny
+    frame descriptors on a modest canvas are the same bomb spread across
+    frames. Exercised with a lowered ceiling so the test stays small."""
+    frames = [np.zeros((8, 8, 3), dtype=np.uint8),
+              np.full((8, 8, 3), 60, dtype=np.uint8),
+              np.full((8, 8, 3), 120, dtype=np.uint8)]
+    blob = mc.encode_gif(frames)
+    # above the 8x8 screen gate (8*8*8=512) but below three composed
+    # frames (3 * 8*8*3 = 576)
+    monkeypatch.setattr(mc, "_MAX_DECODED_BYTES", 520)
+    with pytest.raises(mc.UnsupportedMedia, match="at frame 3"):
+        mc.decode_gif_frames(blob)
+    # under the cap the same blob still decodes
+    monkeypatch.setattr(mc, "_MAX_DECODED_BYTES", 1 << 30)
+    got, _ = mc.decode_gif_frames(blob)
+    assert len(got) == 3
+
+
+def test_bomb_blobs_route_through_skip_undecodable(spark):
+    """The ceiling raises UnsupportedMedia, so phash64 with
+    skip_undecodable=True drops bomb blobs like any other hostile bytes
+    instead of killing the executor that owns the archive."""
+    from kiji_mapreduce_spark.pipeline import multimodal as mm
+
+    jpeg = bytearray(mc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = jpeg.index(b"\xff\xc0")
+    jpeg[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+    gif = bytearray(mc.encode_gif([np.zeros((4, 4, 3), dtype=np.uint8)]))
+    gif[6:10] = b"\xff\xff\xff\xff"
+    px = _gradient(16, 16, 3)
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(px)), (2, bytes(jpeg)), (3, bytes(gif))],
+        "media_id long, content binary")
+    rows = mm.phash64(
+        media, use_real_decoder=True, skip_undecodable=True).collect()
+    by_id = {r["media_id"]: r["phash"] for r in rows}
+    assert by_id[1] is not None
+    assert by_id[2] is None and by_id[3] is None

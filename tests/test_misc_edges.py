@@ -84,3 +84,38 @@ def test_session_window_exact_gap_boundary(spark):
     for r in out.collect():
         per_user[r.user] = per_user.get(r.user, 0) + 1
     assert per_user == {1: 1, 2: 2}  # exact gap merges; gap+1ms splits
+
+
+def test_bench_line_fits_driver_tail_capture():
+    """The round driver records only the last 2000 chars of stdout; the
+    full 100-query payload outgrew that at r2 and every BENCH_r{2..9}
+    recorded "parsed": null (r9 ADVICE). bench_line must emit a complete,
+    parseable JSON line under budget with priority names kept first."""
+    import json
+
+    import bench
+    from kiji_mapreduce_spark import suite
+
+    # worst realistic case: every registry query name, long-ish medians
+    timings = {name: 123.456 for name in suite.QUERIES}
+    priority = set(list(suite.QUERIES)[:49])
+    line = bench.bench_line(timings, 999.999, 0.1, 3, 2, priority)
+    assert len(line) <= 2000 - 100  # headroom the driver tail needs
+    payload = json.loads(line)
+    assert payload["value"] == 999.999
+    assert payload["n_queries"] == len(suite.QUERIES)
+    assert payload["queries_full"] == "BENCH_LOCAL.json"
+    # every priority (baseline-common) query survives the budget cut
+    assert priority <= set(payload["queries"])
+    # and the budget actually bit: not everything fits
+    assert len(payload["queries"]) < len(timings)
+
+
+def test_bench_line_small_suite_includes_everything():
+    import json
+
+    import bench
+
+    timings = {f"q{i}": 1.0 for i in range(10)}
+    payload = json.loads(bench.bench_line(timings, 10.0, 0.01, 1, 0))
+    assert set(payload["queries"]) == set(timings)
