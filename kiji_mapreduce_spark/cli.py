@@ -104,6 +104,12 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "compact", "corpus-stats"})
 
 
+#: parsed-run context for _record_pipeline_failure, set by _main once
+#: argparse succeeds and cleared at each main() entry (the CLI is
+#: single-run per process; tests call main() repeatedly)
+_failure_ctx: dict = {}
+
+
 def _emit(args, stats: dict) -> int:
     """Print a pipeline command's stats JSON and, when ``--history`` is
     set, record the run as SUCCEEDED in the job-history table with the
@@ -152,17 +158,25 @@ def _record_pipeline_failure(argv, start_ms: int) -> None:
     jobs too, and the expensive runs are the ones whose failures an
     operator most needs a row for."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] not in _PIPELINE_HISTORY_COMMANDS:
-        return
-    # accept both argparse spellings: "--history PATH" and
-    # "--history=PATH" (r8 review finding: the = form recorded
-    # SUCCEEDED rows via args.history but silently skipped FAILED ones)
-    hist_path = None
-    for i, tok in enumerate(argv):
-        if tok == "--history" and i + 1 < len(argv):
-            hist_path = argv[i + 1]
-        elif tok.startswith("--history="):
-            hist_path = tok.partition("=")[2]
+    if _failure_ctx.get("command") is not None:
+        # parse completed: use argparse's own result (covers "--history
+        # PATH", "--history=PATH", AND prefix abbreviations like
+        # "--hist PATH" that a raw token scan misses — r9 verdict #5)
+        if _failure_ctx["command"] not in _PIPELINE_HISTORY_COMMANDS:
+            return
+        command = _failure_ctx["command"]
+        hist_path = _failure_ctx["history"]
+    else:
+        # pre-parse failure: best-effort raw scan, both exact spellings
+        if not argv or argv[0] not in _PIPELINE_HISTORY_COMMANDS:
+            return
+        command = argv[0]
+        hist_path = None
+        for i, tok in enumerate(argv):
+            if tok == "--history" and i + 1 < len(argv):
+                hist_path = argv[i + 1]
+            elif tok.startswith("--history="):
+                hist_path = tok.partition("=")[2]
     if not hist_path:
         return
     try:
@@ -176,7 +190,7 @@ def _record_pipeline_failure(argv, start_ms: int) -> None:
             return
         JobHistory(path=hist_path).record(spark, {
             "job_id": f"job_{uuid.uuid4().hex[:12]}",
-            "job_name": argv[0],
+            "job_name": command,
             "job_start_time": start_ms,
             "job_end_time": int(time.time() * 1000),
             "job_end_status": "FAILED",
@@ -191,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     import time
 
     start_ms = int(time.time() * 1000)
+    _failure_ctx.clear()
     try:
         return _main(argv, start_ms)
     except SystemExit:
@@ -525,6 +540,14 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
     args = p.parse_args(argv)
     args._start_ms = start_ms
+    # stash the PARSED history path/command for the failure hook: a raw
+    # argv re-scan misses argparse prefix abbreviations ("--hist PATH")
+    # and tokens consumed as option values, so some failing runs never
+    # got their FAILED row (r9 verdict #5). The argv scan remains only
+    # for failures BEFORE this point (never a post-session pipeline
+    # failure, so nothing is lost there).
+    _failure_ctx["command"] = args.command
+    _failure_ctx["history"] = getattr(args, "history", None)
 
     if args.command == "bulk-import":
         return _run_operator_job(args, BulkImportJobBuilder, "importer")
@@ -965,6 +988,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             # requested kind, as the crawl-ingest recipe advertises
             media = media.filter(F.col("kind") == args.kind)
         if args.index:
+            from kiji_mapreduce_spark.io.outputs import (
+                fs_exists, fs_listdir)
+
+            # a pre-r8 index was flat-appended parquet; mixing a
+            # batch_id= partition dir into that layout makes
+            # spark.read.parquet silently DROP the flat rows (verified
+            # — r8 review finding), so refuse loudly BEFORE any work —
+            # the old post-compute placement left args.output written
+            # while the index stayed stale. The probe must be
+            # scheme-agnostic (r9 verdict #3): glob.glob never matches
+            # hdfs://-style paths, so on a remote FS a legacy index
+            # silently passed the guard — the exact data loss it exists
+            # to prevent.
+            if fs_exists(args.index, spark) and any(
+                    name.startswith("part-")
+                    for name in fs_listdir(args.index, spark)):
+                p.error(
+                    f"index at {args.index} uses the legacy flat "
+                    "layout; rewrite it once into the partitioned "
+                    "layout (read the old index, write it to a fresh "
+                    "--index path, re-run) — mixing layouts silently "
+                    "drops the flat rows on read")
             # missing dir -> first ingest; any OTHER failure re-raises
             # (a corrupt/unreadable index must not silently degrade to
             # within-batch-only dedup)
@@ -989,20 +1034,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             # 63-bit hash, same BIGINT partition type as the streaming
             # twin's batch ids, so mixed stream+CLI indexes stay
             # one partition schema.
-            import glob
             import hashlib
 
-            # a pre-r8 index was flat-appended parquet; mixing a
-            # batch_id= partition dir into that layout makes
-            # spark.read.parquet silently DROP the flat rows (verified
-            # — r8 review finding), so refuse loudly instead
-            if glob.glob(os.path.join(args.index, "part-*")):
-                p.error(
-                    f"index at {args.index} uses the legacy flat "
-                    "layout; rewrite it once into the partitioned "
-                    "layout (read the old index, write it to a fresh "
-                    "--index path, re-run) — mixing layouts silently "
-                    "drops the flat rows on read")
             batch_token = int.from_bytes(
                 hashlib.md5(args.input.encode()).digest()[:8],
                 "big") >> 1

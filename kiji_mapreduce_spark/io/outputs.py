@@ -19,6 +19,7 @@ avro, avrokv, hfile`` with an ``@nsplits`` shard count. Spark mapping:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 from dataclasses import dataclass, field
@@ -553,6 +554,39 @@ def _fs_total_size(uris: list[str], spark=None) -> int:
     return total
 
 
+def _uri_parts(uri: str) -> tuple[str, list[str]]:
+    """(scheme, path components) with the ``file:/`` vs ``file:///``
+    spelling collapsed: ``DataFrame.inputFiles`` emits the triple-slash
+    form while Hadoop's ``Path.toString`` emits the single-slash form,
+    so raw string prefix tests between the two always miss."""
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):/+", uri)
+    if m:
+        # authority (host:port), when present, lands as the first
+        # component on both sides of a comparison, so it needs no
+        # special casing
+        return m.group(1), [c for c in uri[m.end():].split("/") if c]
+    return "", [c for c in uri.split("/") if c]
+
+
+def _dataset_relative(file_uri: str, root: str, spark=None) -> str:
+    """``file_uri``'s path relative to dataset ``root`` ("" when the
+    root isn't a prefix — then the caller sees no "/col=" markers at
+    all rather than phantom ones from parent directories)."""
+    try:
+        fs, p, _ = _hadoop_fs(root, spark)
+        qualified = fs.makeQualified(p).toString()
+    except Exception:
+        # no active session / unqualifiable path: fall back to the raw
+        # root string, which still strips the parent-directory case for
+        # local and already-absolute inputs
+        qualified = root
+    fscheme, fparts = _uri_parts(file_uri)
+    rscheme, rparts = _uri_parts(qualified)
+    if fscheme == rscheme and fparts[:len(rparts)] == rparts:
+        return "/".join(fparts[len(rparts):])
+    return ""
+
+
 def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
                     partition_by: list[str] | None = None,
                     flatten: bool = False,
@@ -604,12 +638,17 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
         raise ValueError(f"compact_parquet: no parquet files under {path}")
     if not flatten and partition_by is None:
         # a hive-partition column appears as "/col=" in every file's
-        # PATH — detect from paths, not by diffing one file's footer
-        # schema against the read schema (schema-evolved datasets can
-        # legitimately have data columns missing from any given file,
-        # and misclassifying one would silently rewrite it into
-        # directory names with partition-value type coercion)
-        discovered = [c for c in df.columns if f"/{c}=" in files[0]]
+        # path BELOW THE DATASET ROOT — detect from the root-relative
+        # path, not by diffing one file's footer schema against the
+        # read schema (schema-evolved datasets can legitimately have
+        # data columns missing from any given file, and misclassifying
+        # one would silently rewrite it into directory names with
+        # partition-value type coercion). Stripping the root matters:
+        # a parent directory like /data/date=2024/docs would otherwise
+        # misclassify a data column named "date" as a partition column
+        # and silently rewrite the layout (r9 verdict #4).
+        rel = _dataset_relative(files[0], path, spark)
+        discovered = [c for c in df.columns if f"/{c}=" in f"/{rel}"]
         partition_by = discovered or None
     total = _fs_total_size(files, spark)
     n_out = max(1, math.ceil(total / max(target_bytes, 1)))

@@ -1721,3 +1721,94 @@ def test_cli_crawl_ingest_psl_domain_buckets(spark, tmp_path, capsys):
     doms = {r.domain for r in spark.read.parquet(
         f"{tmp_path}/docs3").select("domain").distinct().collect()}
     assert doms == {"example.com.au", "github.io"}
+
+
+def test_cli_media_dedup_legacy_guard_is_scheme_agnostic(spark, tmp_path,
+                                                         capsys,
+                                                         monkeypatch):
+    """r9 verdict #3: the legacy-flat-index probe used glob.glob, which
+    never matches hdfs://-style paths — on a remote FS a legacy index
+    silently passed and later reads silently dropped its rows. The guard
+    now goes through the scheme-agnostic fs helpers and must fire for a
+    faked remote index BEFORE any decode/write work happens."""
+    import numpy as np
+    import pytest
+
+    from kiji_mapreduce_spark.io import outputs
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    remote_idx = "hdfs://namenode:8020/warehouse/media_idx"
+    probed = {}
+
+    def fake_exists(path, spark_arg=None):
+        probed["exists"] = path
+        return path == remote_idx
+
+    def fake_listdir(path, spark_arg=None):
+        probed["listdir"] = path
+        return ["part-00000-abc.snappy.parquet", "_SUCCESS"]
+
+    monkeypatch.setattr(outputs, "fs_exists", fake_exists)
+    monkeypatch.setattr(outputs, "fs_listdir", fake_listdir)
+
+    img = np.random.RandomState(5).randint(
+        0, 256, size=(16, 16, 3)).astype(np.uint8)
+    spark.createDataFrame(
+        [(1, mc.encode_png(img))], "media_id long, content binary"
+    ).write.parquet(f"{tmp_path}/batch")
+    with pytest.raises(SystemExit):
+        cli.main(["media-dedup", "--input", f"{tmp_path}/batch",
+                  "--kind", "image", "--index", remote_idx,
+                  "--output", f"{tmp_path}/pairs"])
+    assert "legacy flat layout" in capsys.readouterr().err
+    assert probed == {"exists": remote_idx, "listdir": remote_idx}
+    # the guard fired before the pairs output was produced
+    import os
+    assert not os.path.exists(f"{tmp_path}/pairs")
+
+
+def test_cli_history_abbreviation_records_failed_row(spark, tmp_path,
+                                                     capsys):
+    """r9 verdict #5: the failure hook re-scanned raw argv for the
+    literal "--history" token, so argparse prefix abbreviations
+    ("--hist PATH") recorded SUCCEEDED rows via args.history but
+    silently skipped FAILED ones. The hook now reads the PARSED value
+    stashed by _main."""
+    import gzip
+    import json as _json
+
+    import pytest
+
+    from tests.test_io import _warc_record
+
+    blob = gzip.compress(_warc_record("response", "http://x/a", b"ok"))
+    (d := tmp_path / "bad").mkdir()
+    (d / "cut.warc.gz").write_bytes(blob[:-4])
+    hist = f"{tmp_path}/hist"
+    with pytest.raises(Exception):
+        cli.main(["crawl-ingest", "--input", str(d),
+                  "--output", f"{tmp_path}/docs",
+                  "--hist", hist])
+    capsys.readouterr()
+    rc = cli.main(["job-history", "--path", hist])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["job_end_status"] for r in rows] == ["FAILED"]
+    assert rows[0]["job_name"] == "crawl-ingest"
+
+
+def test_stream_batch_stats_replay_does_not_double_count():
+    """r9 verdict #6: a foreachBatch retry re-enters with the same
+    batch_id; the stats row must be upserted like the parquet partition
+    it mirrors, not appended twice."""
+    from kiji_mapreduce_spark.streaming.jobs import _upsert_batch_stat
+
+    stats: list = []
+    _upsert_batch_stat(stats, {"batch_id": 0, "n_docs": 5})
+    _upsert_batch_stat(stats, {"batch_id": 1, "n_docs": 3})
+    # batch 1 replays after a failure — possibly with a different count
+    # (the overwrite wins, so the latest row is the truthful one)
+    _upsert_batch_stat(stats, {"batch_id": 1, "n_docs": 4})
+    assert stats == [{"batch_id": 0, "n_docs": 5},
+                     {"batch_id": 1, "n_docs": 4}]

@@ -811,3 +811,38 @@ def test_http_payload_decode_roundtrip_property():
         assert b"content-encoding" not in head.lower()
 
     _roundtrip()
+
+
+def test_compact_parquet_ignores_partition_markers_above_root(spark,
+                                                              tmp_path):
+    """r9 verdict #4: partition-column discovery matched "/col=" anywhere
+    in the first file's full path — a parent directory like
+    .../date=2024/docs misclassified a DATA column named "date" as a
+    partition column and silently rewrote the flat layout into
+    directories. Discovery must look only below the dataset root."""
+    from kiji_mapreduce_spark.io.outputs import compact_parquet
+
+    root = f"{tmp_path}/date=2024/docs"
+    spark.createDataFrame(
+        [(1, "2024"), (2, "2025")], "id long, date string"
+    ).repartition(2).write.parquet(root)
+
+    dry = compact_parquet(spark, root, dry_run=True)
+    assert dry["partition_by"] == []  # flat dataset stays flat
+
+    stats = compact_parquet(spark, root, target_bytes=1 << 30)
+    assert stats["partition_by"] == []
+    after = spark.read.parquet(root)
+    # layout preserved: no date= subdirectories under the root
+    assert all("/docs/part-" in f for f in after.inputFiles())
+    assert {(r.id, r.date) for r in after.collect()} == \
+        {(1, "2024"), (2, "2025")}
+
+    # and a genuinely hive-partitioned dataset under the same parent
+    # still discovers its real partition column
+    proot = f"{tmp_path}/date=2024/parts"
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "id long, bucket int"
+    ).write.partitionBy("bucket").parquet(proot)
+    dry = compact_parquet(spark, proot, dry_run=True)
+    assert dry["partition_by"] == ["bucket"]
