@@ -148,7 +148,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "crawl_registered_domain": q_crawl_registered_domain,
     "crawl_html_extract": q_crawl_html_extract,
-    "text_token_count": q_text_token_count,
 }
 
 #: Names that MUST sit inside the driver's first-50 verification window

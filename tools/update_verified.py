@@ -63,14 +63,67 @@ def build_ledger(repo: str = REPO) -> dict:
     }
 
 
-def registry_names(repo: str) -> set[str]:
-    """Query names in ``repo``'s registry, read from source (same entry
-    pattern test_window_boundary_comment pins)."""
+def registry_order(repo: str) -> list[str]:
+    """Query names in ``repo``'s registry IN DICT ORDER, read from
+    source (same entry pattern test_window_boundary_comment pins)."""
     path = os.path.join(repo, "kiji_mapreduce_spark/suite/registry.py")
     src = open(path).read()
     start = src.index("\nQUERIES: dict")
     body = src[start:src.index("\nFIRST_WINDOW_REQUIRED", start)]
-    return set(re.findall(r'^\s{4}"([a-z0-9_]+)":', body, re.M))
+    return re.findall(r'^\s{4}"([a-z0-9_]+)":', body, re.M)
+
+
+def registry_names(repo: str) -> set[str]:
+    return set(registry_order(repo))
+
+
+def registry_pending(repo: str) -> dict[str, int]:
+    """NEW_PENDING_WINDOW entries, read from source like the others."""
+    path = os.path.join(repo, "kiji_mapreduce_spark/suite/registry.py")
+    src = open(path).read()
+    start = src.index("NEW_PENDING_WINDOW: dict[str, int] = {")
+    body = src[start:src.index("}", start)]
+    return {name: int(rnd) for name, rnd in
+            re.findall(r'"([a-z0-9_]+)":\s*(\d+)', body)}
+
+
+WINDOW_SIZE = 50
+
+
+def required_window(ledger: dict, order: list[str],
+                    pending: dict[str, int] | None = None,
+                    window_size: int = WINDOW_SIZE) -> list[str]:
+    """The queries that MUST occupy next round's first-``window_size``
+    slots, stalest-first: never-verified queries (new this round,
+    minus a still-valid NEW_PENDING_WINDOW exemption), then everything
+    whose last green round is ``as_of_round - 1`` or older — one more
+    round outside the window would breach the 2-round freshness cap.
+
+    This is the mechanical form of the registry's ordering policy; the
+    r9 no-op round proved comment discipline alone strands the rotation
+    (the window re-verified r8's set verbatim while 50 tail queries
+    aged past the cap). tests/test_suite_smoke.py asserts the committed
+    QUERIES prefix contains this set, and main() prints it so a round's
+    first command shows the exact rotation to commit.
+    """
+    pending = pending or {}
+    as_of = ledger["as_of_round"]
+    next_round = as_of + 1
+    last_green = ledger["last_green"]
+    must = [
+        q for q in order
+        if (q not in last_green and pending.get(q) != next_round)
+        or (q in last_green and last_green[q] <= as_of - 1)]
+    if len(must) > window_size:
+        raise SystemExit(
+            f"{len(must)} queries need verification slots but the "
+            f"window holds {window_size}: the rotation fell more than "
+            "a round behind — split the backlog across rounds by "
+            "driving the overflow locally (tools/check_correctness.py) "
+            "and documenting it")
+    # stalest first inside the window (never-verified = round 0)
+    return sorted(must, key=lambda q: (last_green.get(q, 0),
+                                       order.index(q)))
 
 
 def main() -> int:
@@ -81,6 +134,18 @@ def main() -> int:
         f.write("\n")
     print(f"VERIFIED.json: {len(ledger['last_green'])} queries, "
           f"as_of_round={ledger['as_of_round']}")
+    order = registry_order(REPO)
+    required = required_window(ledger, order, registry_pending(REPO))
+    window = order[:WINDOW_SIZE]
+    missing = [q for q in required if q not in window]
+    print(f"next-round window must contain {len(required)} queries "
+          f"(stalest-first): {' '.join(required) or '(none)'}")
+    if missing:
+        print(f"NOT in the current first-{WINDOW_SIZE} prefix "
+              f"(rotate these in): {' '.join(missing)}")
+        return 1
+    print(f"current first-{WINDOW_SIZE} prefix already satisfies the "
+          "rotation")
     return 0
 
 
