@@ -4,10 +4,11 @@ typed metadata structs.
 The Spark-side plumbing (schemas, partition sizing, Arrow batch shape,
 ``mapInPandas`` UDF signatures) is real and tested. Decode is real for
 the formats ``media_codecs`` implements from their public specs with
-zero dependencies — PNG (every valid shape), baseline JPEG (incl.
-4:2:0 and restart intervals), GIF (static + animated), PCM WAV, and
-the Motion-PNG clip container; PIL, when installed, widens image
-coverage (progressive JPEG, WebP, ...), and everything else raises
+zero dependencies — PNG (every valid shape), JPEG (baseline AND
+progressive, incl. 4:2:0 and restart intervals), GIF (static +
+animated), PCM WAV, and the Motion-PNG clip container; PIL, when
+installed, widens image coverage (WebP, arithmetic JPEG, ...), and
+everything else raises
 ``DecoderNotAvailable`` loudly (MP4/WebM video -> ffmpeg territory). Deterministic fakes remain for
 tests that want pixel-exact oracles without a codec round-trip.
 
@@ -52,9 +53,9 @@ MEDIA_SCHEMA = StructType([
 
 class DecoderNotAvailable(NotImplementedError):
     """Raised by the real decode path for formats needing libraries that
-    are not bundled (progressive JPEG/WebP -> PIL; MP4/WebM -> ffmpeg).
-    PNG (all valid shapes), baseline JPEG, GIF and PCM WAV decode
-    natively via ``media_codecs``."""
+    are not bundled (WebP/arithmetic JPEG -> PIL; MP4/WebM -> ffmpeg).
+    PNG (all valid shapes), baseline + progressive JPEG, GIF and PCM
+    WAV decode natively via ``media_codecs``."""
 
 
 def _decode_image_real(content: bytes):
@@ -89,7 +90,7 @@ def _decode_image_real(content: bytes):
             pixels, width, height, _ = media_codecs.decode_jpeg(content)
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
-            # progressive/arithmetic/12-bit: fall through to PIL
+            # arithmetic/lossless/12-bit: fall through to PIL
             pass
     elif content[:6] in media_codecs._GIF_MAGICS:
         try:
@@ -105,9 +106,10 @@ def _decode_image_real(content: bytes):
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
-            "PNG (all valid shapes), baseline JPEG and GIF decode "
-            "natively via media_codecs.decode_png/decode_jpeg/"
-            "decode_gif — progressive JPEG and WebP need PIL") from None
+            "PNG (all valid shapes), baseline + progressive JPEG and "
+            "GIF decode natively via media_codecs.decode_png/"
+            "decode_jpeg/decode_gif — WebP and arithmetic JPEG need "
+            "PIL") from None
     import numpy as _np
 
     try:

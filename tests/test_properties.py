@@ -614,3 +614,30 @@ def test_knn_recall_matches_set_model(spark, pairs):
         assert got[q] == (ne, nh, round(nh / ne, 4))
     perfect = similarity.knn_recall(exact, exact).collect()
     assert all(r.recall == 1.0 for r in perfect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([1, 3]), st.sampled_from(["444", "420"]),
+    st.sampled_from([1, 2, 8]), st.integers(0, 2 ** 32 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, nc, sub, qs,
+                                                   seed):
+    """Progressive and baseline encodes share the forward path, so
+    decoding them must be pixel-identical for ANY image shape /
+    subsampling / quantization — the strongest check on the
+    spectral-selection + successive-approximation scan coding."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    px = rng.randint(0, 256, size=shape).astype(np.uint8)
+    base = mc.decode_jpeg(mc.encode_jpeg(px, subsample=sub,
+                                         quant_scale=qs))
+    prog = mc.decode_jpeg(mc.encode_jpeg_progressive(px, subsample=sub,
+                                                     quant_scale=qs))
+    assert base[1:] == prog[1:]
+    assert np.array_equal(base[0], prog[0])
