@@ -445,64 +445,140 @@ def _dct_basis() -> np.ndarray:
 _DCT_C = _dct_basis()
 
 
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Pre-scan one scan's entropy region: unstuff 0xFF00 -> 0xFF and
+    split at RSTn markers (C-speed ``bytes.find``, not a Python
+    per-byte loop). Returns (restart segments, next-marker position)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while True:
+        nxt = data.find(b"\xff", i)
+        if nxt == -1:
+            cur += data[i:]
+            i = n
+            break
+        cur += data[i:nxt]
+        if nxt + 1 >= n:
+            i = n
+            break
+        m = data[nxt + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = nxt + 2
+        else:
+            i = nxt  # a real marker terminates the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+#: bits of zero padding a reader may synthesize past its segment's end
+#: before the stream counts as truncated — the final symbols of a legal
+#: scan peek up to 16 bits beyond the last real bit, never more than a
+#: few tens (T.81 pads the flush byte with 1-bits, our peek tolerates
+#: either)
+_JPEG_PAD_LIMIT = 64
+
+
 class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; RST markers are consumed by ``restart()``."""
+    """MSB-first bit reader over pre-unstuffed entropy segments with a
+    16-bit peek window for table-driven Huffman decode. Feeding the
+    old per-bit loop one bit at a time made decode ~0.2 MP/s; the
+    peek/LUT pair runs each Huffman symbol in a handful of int ops."""
+
+    __slots__ = ("segs", "seg", "idx", "spos", "acc", "nbits", "pad",
+                 "pos")
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bits = 0
+        self.segs, self.pos = _split_entropy(data, pos)
+        self.idx = 0
+        self.seg = self.segs[0]
+        self.spos = 0
+        self.acc = 0
         self.nbits = 0
+        self.pad = 0
 
-    def _next_byte(self) -> int:
-        d = self.data
-        while True:
-            if self.pos >= len(d):
+    def _fill(self) -> None:
+        take = min(8, len(self.seg) - self.spos)
+        if take > 0:
+            self.acc = ((self.acc << (8 * take))
+                        | int.from_bytes(
+                            self.seg[self.spos:self.spos + take], "big"))
+            self.nbits += 8 * take
+            self.spos += take
+        else:
+            # marker reached: synthesize padding, bounded so a truly
+            # truncated stream still fails loudly
+            self.pad += 16
+            if self.pad > _JPEG_PAD_LIMIT:
                 raise UnsupportedMedia("JPEG entropy stream truncated")
-            b = d[self.pos]
-            self.pos += 1
-            if b != 0xFF:
-                return b
-            marker = d[self.pos] if self.pos < len(d) else 0xD9
-            if marker == 0x00:
-                self.pos += 1
-                return 0xFF
-            # a real marker (RST/EOI/next segment) mid-read: signal by
-            # returning padding; the MCU loop handles markers at
-            # restart boundaries
-            self.pos -= 1
-            return -1
+            self.acc <<= 16
+            self.nbits += 16
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            b = self._next_byte()
-            if b < 0:
-                return 0  # marker padding bits
-            self.bits = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
         return v
 
+    def read_bit(self) -> int:
+        return self.receive(1)
+
+    def decode(self, lut: tuple[list[int], list[int]]) -> int:
+        """One Huffman symbol via the 16-bit-prefix lookup tables."""
+        v = self.peek16()
+        sym = lut[0][v]
+        if sym < 0:
+            raise UnsupportedMedia("invalid JPEG Huffman code")
+        self.skip(lut[1][v])
+        return sym
+
     def restart(self) -> None:
-        """Byte-align and consume one RSTn marker."""
+        """Byte-align and move past one RSTn marker (= advance to the
+        next pre-split segment)."""
+        if self.idx + 1 >= len(self.segs):
+            raise UnsupportedMedia("JPEG restart marker missing")
+        self.idx += 1
+        self.seg = self.segs[self.idx]
+        self.spos = 0
+        self.acc = 0
         self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise UnsupportedMedia("JPEG restart marker missing")
+        self.pad = 0
+
+
+def _huff_lut(table: dict) -> tuple[list[int], list[int]]:
+    """(symbol, code length) lookup lists indexed by the next 16 bits;
+    -1 symbol marks an invalid prefix."""
+    sym = [-1] * 65536
+    ln = [0] * 65536
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        span = 1 << (16 - length)
+        sym[lo:lo + span] = [s] * span
+        ln[lo:lo + span] = [length] * span
+    return sym, ln
 
 
 def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    """Bit-serial fallback (kept for table-sanity unit use); the hot
+    paths pre-build ``_huff_lut`` tables and call ``reader.decode``."""
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
@@ -676,42 +752,146 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
             raise UnsupportedMedia(
                 "non-interleaved sequential JPEG scans — PIL decodes "
                 "these when installed")
+    luts: dict = {}
+    comp_meta = []
+    for c in comps:
+        for key in ((0, sel[c["id"]][0]), (1, sel[c["id"]][1])):
+            if key not in luts:
+                if key not in huff:
+                    raise UnsupportedMedia("JPEG scan references an "
+                                           "undefined Huffman table")
+                luts[key] = _huff_lut(huff[key])
+        dcsym, dclen = luts[(0, sel[c["id"]][0])]
+        acsym, aclen = luts[(1, sel[c["id"]][1])]
+        # [dcsym, dclen, acsym, aclen, v, h, bw, positions, values, pred]
+        comp_meta.append([dcsym, dclen, acsym, aclen, c["v"], c["h"],
+                          c["bw"], [], [], 0])
+
+    # The entropy loop below is deliberately INLINED — reader method
+    # calls cost ~1 us per Huffman symbol, which at crawl scale made
+    # decode ~0.5 MP/s; with the bit state in locals, one
+    # int.from_bytes refill per ~64 bits, and coefficient writes
+    # batched into one vectorized scatter per component, the same loop
+    # runs several times faster. Bit semantics are identical to
+    # _JpegBitReader (peek16/LUT, EXTEND, bounded zero padding at the
+    # segment end).
+    segs, _end = _split_entropy(data, pos)
+    n_segs = len(segs)
+    seg_idx = 0
+    seg = segs[0]
+    slen = len(seg)
+    spos = 0
+    acc = 0
+    nbits = 0
+    padded = 0
     mcu_count = 0
     for my in range(frame["mcuy"]):
         for mx in range(frame["mcux"]):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                reader.restart()
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                dc_t = huff[(0, sel[c["id"]][0])]
-                ac_t = huff[(1, sel[c["id"]][1])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeff = c["coef"][my * c["v"] + by,
-                                          mx * c["h"] + bx]
-                        s = _huff_decode(reader, dc_t)
-                        diff = _extend(reader.receive(s), s)
-                        c["pred"] += diff
-                        coeff[0] = c["pred"]
+                seg_idx += 1
+                if seg_idx >= n_segs:
+                    raise UnsupportedMedia("JPEG restart marker missing")
+                seg = segs[seg_idx]
+                slen = len(seg)
+                spos = 0
+                acc = 0
+                nbits = 0
+                padded = 0
+                for m in comp_meta:
+                    m[9] = 0
+            for m in comp_meta:
+                (dcsym, dclen, acsym, aclen, cv, ch, bw,
+                 positions, values, _pred) = m
+                for by in range(cv):
+                    for bx in range(ch):
+                        base = ((my * cv + by) * bw
+                                + (mx * ch + bx)) * 64
+                        # 32 buffered bits cover one symbol (<=16) plus
+                        # its magnitude bits (<=11)
+                        while nbits < 32:
+                            take = slen - spos
+                            if take > 0:
+                                if take > 8:
+                                    take = 8
+                                acc = ((acc << (take << 3))
+                                       | int.from_bytes(
+                                           seg[spos:spos + take], "big"))
+                                spos += take
+                                nbits += take << 3
+                            else:
+                                padded += 16
+                                if padded > _JPEG_PAD_LIMIT:
+                                    raise UnsupportedMedia(
+                                        "JPEG entropy stream truncated")
+                                acc <<= 16
+                                nbits += 16
+                        v16 = (acc >> (nbits - 16)) & 0xFFFF
+                        s = dcsym[v16]
+                        if s < 0:
+                            raise UnsupportedMedia(
+                                "invalid JPEG Huffman code")
+                        nbits -= dclen[v16]
+                        if s:
+                            nbits -= s
+                            r = (acc >> nbits) & ((1 << s) - 1)
+                            m[9] += (r if r >= (1 << (s - 1))
+                                     else r - (1 << s) + 1)
+                        positions.append(base)
+                        values.append(m[9])
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, ac_t)
-                            r, size = rs >> 4, rs & 0xF
+                            while nbits < 32:
+                                take = slen - spos
+                                if take > 0:
+                                    if take > 8:
+                                        take = 8
+                                    acc = ((acc << (take << 3))
+                                           | int.from_bytes(
+                                               seg[spos:spos + take],
+                                               "big"))
+                                    spos += take
+                                    nbits += take << 3
+                                else:
+                                    padded += 16
+                                    if padded > _JPEG_PAD_LIMIT:
+                                        raise UnsupportedMedia(
+                                            "JPEG entropy stream "
+                                            "truncated")
+                                    acc <<= 16
+                                    nbits += 16
+                            v16 = (acc >> (nbits - 16)) & 0xFFFF
+                            rs = acsym[v16]
+                            if rs < 0:
+                                raise UnsupportedMedia(
+                                    "invalid JPEG Huffman code")
+                            nbits -= aclen[v16]
+                            size = rs & 0xF
                             if size == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise UnsupportedMedia(
                                     "JPEG AC index overflow")
-                            coeff[k] = _extend(reader.receive(size),
-                                               size)
+                            nbits -= size
+                            r = (acc >> nbits) & ((1 << size) - 1)
+                            positions.append(base + k)
+                            values.append(
+                                r if r >= (1 << (size - 1))
+                                else r - (1 << size) + 1)
                             k += 1
+                        # keep acc bounded (one mask per block, not per
+                        # symbol)
+                        acc &= (1 << nbits) - 1
             mcu_count += 1
+    for c, m in zip(comps, comp_meta):
+        if m[7]:
+            flat = c["coef"].reshape(-1)
+            flat[np.asarray(m[7], dtype=np.int64)] = np.asarray(
+                m[8], dtype=np.int64)
     return _jpeg_reconstruct(frame, qt)
 
 
@@ -805,11 +985,17 @@ def _jpeg_progressive_scan(data, pos, frame, huff, sel, ss, se, ah, al,
 def _jpeg_prog_dc(reader, frame, comps, huff, sel, ah, al, ri):
     for c in comps:
         c["pred"] = 0
+        if ah == 0:
+            key = (0, sel[c["id"]][0])
+            if key not in huff:
+                raise UnsupportedMedia(
+                    "JPEG scan references an undefined Huffman table")
+            c["dc_lut"] = _huff_lut(huff[key])
 
     def block(c, by, bx):
         coeff = c["coef"][by, bx]
         if ah == 0:
-            s = _huff_decode(reader, huff[(0, sel[c["id"]][0])])
+            s = reader.decode(c["dc_lut"])
             c["pred"] += _extend(reader.receive(s), s)
             coeff[0] = c["pred"] << al
         elif reader.read_bit():
@@ -840,7 +1026,11 @@ def _jpeg_prog_dc(reader, frame, comps, huff, sel, ah, al, ri):
 
 
 def _jpeg_prog_ac(reader, c, huff, sel, ss, se, ah, al, ri):
-    ac_t = huff[(1, sel[c["id"]][1])]
+    key = (1, sel[c["id"]][1])
+    if key not in huff:
+        raise UnsupportedMedia(
+            "JPEG scan references an undefined Huffman table")
+    ac_t = _huff_lut(huff[key])
     eobrun = 0
     n = 0
     for by in range(c["bh_ni"]):
@@ -866,7 +1056,7 @@ def _jpeg_ac_first(reader, ac_t, coeff, ss, se, al, eobrun):
         return eobrun - 1
     k = ss
     while k <= se:
-        rs = _huff_decode(reader, ac_t)
+        rs = reader.decode(ac_t)
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r != 15:
@@ -894,7 +1084,7 @@ def _jpeg_ac_refine(reader, ac_t, coeff, ss, se, al, eobrun):
     k = ss
     if eobrun == 0:
         while k <= se:
-            rs = _huff_decode(reader, ac_t)
+            rs = reader.decode(ac_t)
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r != 15:
