@@ -568,10 +568,12 @@ def _uri_parts(uri: str) -> tuple[str, list[str]]:
     return "", [c for c in uri.split("/") if c]
 
 
-def _dataset_relative(file_uri: str, root: str, spark=None) -> str:
-    """``file_uri``'s path relative to dataset ``root`` ("" when the
-    root isn't a prefix — then the caller sees no "/col=" markers at
-    all rather than phantom ones from parent directories)."""
+def _dataset_relative(file_uri: str, root: str, spark=None) -> str | None:
+    """``file_uri``'s path relative to dataset ``root``; None when the
+    root is NOT a prefix (scheme/authority spelling mismatch) — callers
+    must treat that as "unknown", not "flat": silently flattening a
+    hive-partitioned dataset is the terminal layout change
+    compact_parquet's docstring warns about (r10 review)."""
     try:
         fs, p, _ = _hadoop_fs(root, spark)
         qualified = fs.makeQualified(p).toString()
@@ -584,7 +586,7 @@ def _dataset_relative(file_uri: str, root: str, spark=None) -> str:
     rscheme, rparts = _uri_parts(qualified)
     if fscheme == rscheme and fparts[:len(rparts)] == rparts:
         return "/".join(fparts[len(rparts):])
-    return ""
+    return None
 
 
 def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
@@ -648,7 +650,15 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
         # misclassify a data column named "date" as a partition column
         # and silently rewrite the layout (r9 verdict #4).
         rel = _dataset_relative(files[0], path, spark)
-        discovered = [c for c in df.columns if f"/{c}=" in f"/{rel}"]
+        if rel is not None:
+            discovered = [c for c in df.columns if f"/{c}=" in f"/{rel}"]
+        else:
+            # relativization failed (scheme/authority spelling the
+            # qualifier couldn't reconcile): fall back to the full-path
+            # heuristic. Over-detecting keeps the partitioned layout
+            # (safe); defaulting to flat would be the terminal rewrite
+            # the docstring warns about (r10 review).
+            discovered = [c for c in df.columns if f"/{c}=" in files[0]]
         partition_by = discovered or None
     total = _fs_total_size(files, spark)
     n_out = max(1, math.ceil(total / max(target_bytes, 1)))

@@ -679,8 +679,14 @@ def _decode_jpeg_unchecked(content: bytes):
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                # T.81 B.2.2: sampling factors are 1..4; zero would
+                # reach reconstruction as a division by zero, escaping
+                # the UnsupportedMedia error surface (r10 review)
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise UnsupportedMedia(
+                        f"JPEG sampling factor {ch}x{cv} outside 1..4")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
                      "progressive": marker == 0xC2, "scans": 0}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -746,7 +752,6 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
     coefficients, then reconstruction runs immediately."""
     comps = frame["comps"]
     _jpeg_init_coef(frame)
-    reader = _JpegBitReader(data, pos)
     for c in comps:
         if c["id"] not in sel:
             raise UnsupportedMedia(
@@ -831,12 +836,26 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
                         if s < 0:
                             raise UnsupportedMedia(
                                 "invalid JPEG Huffman code")
+                        if s > 11:
+                            # T.81 F.1.2.1.1: 8-bit DC categories stop
+                            # at 11; larger symbols are only reachable
+                            # from a hostile DHT
+                            raise UnsupportedMedia(
+                                "JPEG DC category > 11")
                         nbits -= dclen[v16]
                         if s:
                             nbits -= s
                             r = (acc >> nbits) & ((1 << s) - 1)
                             m[9] += (r if r >= (1 << (s - 1))
                                      else r - (1 << s) + 1)
+                            if not (-2147483648 <= m[9] <= 2147483647):
+                                # hostile stream walking the predictor
+                                # out of int32: contain via two's-
+                                # complement wrap (valid streams never
+                                # get here; numpy >= 2 would otherwise
+                                # raise OverflowError at the scatter)
+                                m[9] = ((m[9] + 2147483648) % 4294967296
+                                        - 2147483648)
                         positions.append(base)
                         values.append(m[9])
                         k = 1
@@ -996,8 +1015,14 @@ def _jpeg_prog_dc(reader, frame, comps, huff, sel, ah, al, ri):
         coeff = c["coef"][by, bx]
         if ah == 0:
             s = reader.decode(c["dc_lut"])
+            if s > 11:
+                raise UnsupportedMedia("JPEG DC category > 11")
             c["pred"] += _extend(reader.receive(s), s)
-            coeff[0] = c["pred"] << al
+            v = c["pred"] << al
+            if not (-2147483648 <= v <= 2147483647):
+                # hostile-stream containment, same as the baseline loop
+                v = (v + 2147483648) % 4294967296 - 2147483648
+            coeff[0] = v
         elif reader.read_bit():
             coeff[0] |= 1 << al
 

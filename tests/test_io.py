@@ -846,3 +846,31 @@ def test_compact_parquet_ignores_partition_markers_above_root(spark,
     ).write.partitionBy("bucket").parquet(proot)
     dry = compact_parquet(spark, proot, dry_run=True)
     assert dry["partition_by"] == ["bucket"]
+
+
+def test_dataset_relative_mismatch_is_unknown_not_flat(spark, tmp_path,
+                                                       monkeypatch):
+    """r10 review: when root relativization fails (scheme/authority
+    spelling mismatch), compact_parquet must NOT default to flattening
+    — that is the terminal layout change its docstring warns about. A
+    failed match returns None and discovery falls back to the
+    conservative full-path heuristic."""
+    from kiji_mapreduce_spark.io import outputs
+
+    # direct: mismatched schemes -> None, matched -> relative path
+    assert outputs._dataset_relative(
+        "s3a://bucket/a/b/part-0.parquet", "hdfs://nn/a", spark) is None
+    assert outputs._dataset_relative(
+        "file:///t/a/b=1/part-0.parquet", "file:/t/a", spark) == \
+        "b=1/part-0.parquet"
+
+    # end to end: force the mismatch and check the partitioned layout
+    # survives a compact
+    proot = f"{tmp_path}/parts"
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "id long, bucket int"
+    ).write.partitionBy("bucket").parquet(proot)
+    monkeypatch.setattr(outputs, "_dataset_relative",
+                        lambda *a, **k: None)
+    stats = outputs.compact_parquet(spark, proot, dry_run=True)
+    assert stats["partition_by"] == ["bucket"]

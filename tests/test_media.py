@@ -1315,3 +1315,36 @@ def test_bomb_blobs_route_through_skip_undecodable(spark):
     by_id = {r["media_id"]: r["phash"] for r in rows}
     assert by_id[1] is not None
     assert by_id[2] is None and by_id[3] is None
+
+
+def test_jpeg_zero_sampling_factor_is_unsupported():
+    """r10 review: a SOF component with sampling factor 0 previously
+    sailed through the scan (zero blocks) and died in reconstruction
+    with a raw ZeroDivisionError, escaping the UnsupportedMedia-only
+    error surface. Factors outside T.81's 1..4 now reject at parse."""
+    blob = bytearray(mc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = bytes(blob).index(b"\xff\xc0")
+    # component entries start at sof+2+2+6; byte 1 of each entry is hv
+    for hv in (0x10, 0x01, 0x50, 0x15):
+        bad = bytearray(blob)
+        bad[sof + 2 + 2 + 6 + 1] = hv
+        with pytest.raises(mc.UnsupportedMedia, match="sampling factor"):
+            mc.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_hostile_dc_category_is_unsupported():
+    """r10 review: a hostile DHT can define DC symbols > 11 (T.81's
+    8-bit ceiling); decoding one must raise UnsupportedMedia rather
+    than walk the predictor out of int32."""
+    # alternating extreme blocks force category-11 DC diffs
+    px = np.zeros((8, 32), dtype=np.uint8)
+    px[:, 8:16] = 255
+    px[:, 24:32] = 255
+    blob = bytearray(mc.encode_jpeg(px))
+    # first DHT (DC class): symbols follow marker+len+tc byte+16 counts
+    dht = bytes(blob).index(b"\xff\xc4")
+    syms_at = dht + 2 + 2 + 1 + 16
+    assert blob[syms_at + 11] == 11  # the category-11 symbol slot
+    blob[syms_at + 11] = 32
+    with pytest.raises(mc.UnsupportedMedia, match="DC category"):
+        mc.decode_jpeg(bytes(blob))
