@@ -1946,3 +1946,772 @@ def gif_frame_count(content: bytes, stop_at: int = 2) -> int:
     except (UnsupportedMedia, IndexError):
         return frames  # classification must never raise on junk bytes
     return frames
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L), public spec "WebP Lossless Bitstream Specification"
+#
+# The third pillar of real crawl imagery after JPEG and PNG. This
+# implements the FULL VP8L decode surface — RIFF/VP8X container walk,
+# LSB-first bit stream, simple and code-length-coded Huffman codes,
+# meta-Huffman groups, color cache, LZ77 with the 2D distance map, and
+# all four transforms (predictor, color, subtract-green,
+# color-indexing incl. sub-byte pixel bundling) — plus a spec-valid
+# fixture encoder (no PIL/libwebp in the container, same
+# encoder-for-tests approach as JPEG/GIF). Lossy WebP (VP8) raises
+# UnsupportedMedia: it is a full video intra-frame codec and PIL
+# territory.
+#
+# The 2D distance map is generated, not transcribed: the spec's table
+# is exactly the 120 offsets with dx in [-7, 8], dy in [0, 7]
+# (dy=0 -> dx>=1), ordered by squared distance, then larger dy first,
+# then positive dx first — the generation is pinned against the
+# published table's opening rows in tests.
+
+_VP8L_DIST_MAP: list[tuple[int, int]] = sorted(
+    [(dx, dy) for dy in range(8) for dx in range(-7, 9)
+     if dy > 0 or dx > 0],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+
+#: code-length-code transmission order (VP8L spec 6.2.2.2)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11,
+                  12, 13, 14, 15)
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (DEFLATE-style byte packing)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise UnsupportedMedia("WebP: VP8L stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """Code-length list -> decode table. DEFLATE canonical assignment;
+    a single-symbol code consumes zero bits (spec 6.2.1)."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise UnsupportedMedia("WebP: empty Huffman code")
+    if len(nz) == 1:
+        return {"single": nz[0][1]}
+    max_len = max(ln for ln, _ in nz)
+    if max_len > 15:
+        raise UnsupportedMedia("WebP: Huffman length > 15")
+    bl_count = [0] * (max_len + 1)
+    for ln, _ in nz:
+        bl_count[ln] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table: dict = {}
+    for s, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = s
+            next_code[ln] += 1
+    return table
+
+
+def _vp8l_sym(br: _Vp8lBits, table) -> int:
+    if "single" in table:
+        return table["single"]
+    code = 0
+    for length in range(1, 16):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMedia("WebP: invalid Huffman code")
+
+
+def _vp8l_read_huffman(br: _Vp8lBits, alphabet: int):
+    """One Huffman code: 'simple' (1-2 explicit symbols) or
+    code-length-coded (spec 6.2.2)."""
+    if br.read(1):  # simple
+        n = 1 + br.read(1)
+        s0 = br.read(8) if br.read(1) else br.read(1)
+        if s0 >= alphabet:
+            raise UnsupportedMedia("WebP: simple-code symbol overflow")
+        if n == 1:
+            return {"single": s0}
+        s1 = br.read(8)
+        if s1 >= alphabet:
+            raise UnsupportedMedia("WebP: simple-code symbol overflow")
+        # read order, not value order, fixes the code assignment
+        return {(1, 0): s0, (1, 1): s1}
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_canonical(cl_lengths)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8  # spec default
+    i = 0
+    while i < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = _vp8l_sym(br, cl_table)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet:
+                raise UnsupportedMedia("WebP: code-length repeat "
+                                       "overflow")
+            for _ in range(rep):
+                lengths[i] = prev
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+        if i > alphabet:
+            raise UnsupportedMedia("WebP: code-length repeat overflow")
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix(br: _Vp8lBits, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 6.2.3)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int,
+                       is_argb: bool) -> list[int]:
+    """One spatially-coded image -> row-major list of ARGB ints.
+    ``is_argb`` enables the meta-Huffman header (ARGB role only)."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise UnsupportedMedia("WebP: bad color-cache size")
+    meta = None
+    tile_bits = 0
+    meta_w = 0
+    n_groups = 1
+    if is_argb and br.read(1):
+        tile_bits = 2 + br.read(3)
+        meta_w = -(-w // (1 << tile_bits))
+        meta_h = -(-h // (1 << tile_bits))
+        meta_img = _vp8l_decode_image(br, meta_w, meta_h, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        n_groups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_huffman(br, 256 + 24 + cache_size),
+            _vp8l_read_huffman(br, 256),
+            _vp8l_read_huffman(br, 256),
+            _vp8l_read_huffman(br, 256),
+            _vp8l_read_huffman(br, 40),
+        ))
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    out = [0] * (w * h)
+    npx = w * h
+    pos = 0
+    g_code, r_code, b_code, a_code, d_code = groups[0]
+    while pos < npx:
+        if meta is not None:
+            x = pos % w
+            y = pos // w
+            (g_code, r_code, b_code, a_code, d_code) = groups[
+                meta[(y >> tile_bits) * meta_w + (x >> tile_bits)]]
+        s = _vp8l_sym(br, g_code)
+        if s < 256:
+            red = _vp8l_sym(br, r_code)
+            blue = _vp8l_sym(br, b_code)
+            alpha = _vp8l_sym(br, a_code)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        elif s < 280:
+            length = _vp8l_prefix(br, s - 256)
+            dist_prefix = _vp8l_prefix(br, _vp8l_sym(br, d_code))
+            if dist_prefix > 120:
+                dist = dist_prefix - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_prefix - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npx:
+                raise UnsupportedMedia("WebP: LZ77 reference out of "
+                                       "bounds")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                          >> shift] = px
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise UnsupportedMedia("WebP: color-cache index "
+                                       "overflow")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _vp8l_add(a: int, b: int) -> int:
+    """Per-channel mod-256 pixel addition."""
+    return (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00) | \
+           (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+
+def _vp8l_select(l: int, t: int, tl: int) -> int:
+    p = 0
+    q = 0
+    for sh in (24, 16, 8, 0):
+        cl = (l >> sh) & 0xFF
+        ct = (t >> sh) & 0xFF
+        ctl = (tl >> sh) & 0xFF
+        pred = cl + ct - ctl
+        p += abs(pred - cl)
+        q += abs(pred - ct)
+    return l if p < q else t
+
+
+def _vp8l_clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    ave = _vp8l_avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = (ave >> sh) & 0xFF
+        d = (tl >> sh) & 0xFF
+        v = c + int((c - d) / 2)  # C truncation toward zero
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(l, t, tl)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(l, t, tl)
+    raise UnsupportedMedia(f"WebP: predictor mode {mode}")
+
+
+def _vp8l_inv_predictor(px: list[int], w: int, h: int, bits: int,
+                        tw: int, tiles: list[int]) -> None:
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            i = row + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                mode = (tiles[(y >> bits) * tw + (x >> bits)] >> 8) \
+                    & 0xFF
+                tr = px[i - w + 1] if x < w - 1 else px[row]
+                pred = _vp8l_predict(mode, px[i - 1], px[i - w],
+                                     px[i - w - 1], tr)
+            px[i] = _vp8l_add(px[i], pred)
+
+
+def _vp8l_s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_inv_color_transform(px: list[int], w: int, h: int, bits: int,
+                              tw: int, tiles: list[int]) -> None:
+    for y in range(h):
+        trow = (y >> bits) * tw
+        for x in range(w):
+            i = y * w + x
+            cte = tiles[trow + (x >> bits)]
+            g2r = _vp8l_s8(cte & 0xFF)
+            g2b = _vp8l_s8((cte >> 8) & 0xFF)
+            r2b = _vp8l_s8((cte >> 16) & 0xFF)
+            v = px[i]
+            g = (v >> 8) & 0xFF
+            red = ((v >> 16) & 0xFF) + ((g2r * _vp8l_s8(g)) >> 5)
+            red &= 0xFF
+            blue = (v & 0xFF) + ((g2b * _vp8l_s8(g)) >> 5)
+            blue = (blue + ((r2b * _vp8l_s8(red)) >> 5)) & 0xFF
+            px[i] = (v & 0xFF00FF00) | (red << 16) | blue
+
+
+def _vp8l_inv_subtract_green(px: list[int]) -> None:
+    for i, v in enumerate(px):
+        g = (v >> 8) & 0xFF
+        red = ((v >> 16) + g) & 0xFF
+        blue = (v + g) & 0xFF
+        px[i] = (v & 0xFF00FF00) | (red << 16) | blue
+
+
+def _vp8l_inv_color_indexing(px: list[int], w_orig: int, h: int,
+                             wbits: int, palette: list[int]
+                             ) -> list[int]:
+    if wbits == 0:
+        n = len(palette)
+        return [palette[(v >> 8) & 0xFF] if ((v >> 8) & 0xFF) < n
+                else 0 for v in px]
+    ppb = 1 << wbits  # packed pixels per green byte
+    bpp = 8 >> wbits
+    mask = (1 << bpp) - 1
+    w_red = -(-w_orig // ppb)
+    n = len(palette)
+    out = [0] * (w_orig * h)
+    for y in range(h):
+        src_row = y * w_red
+        dst_row = y * w_orig
+        for x in range(w_orig):
+            green = (px[src_row + (x >> wbits)] >> 8) & 0xFF
+            idx = (green >> (bpp * (x % ppb))) & mask
+            out[dst_row + x] = palette[idx] if idx < n else 0
+    return out
+
+
+def decode_webp(content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """WebP bytes -> (pixels uint8 [h, w, channels], width, height,
+    channels); channels is 4 (RGBA) when any alpha < 255 else 3.
+    Lossless (VP8L) only; lossy VP8 raises UnsupportedMedia (PIL
+    fall-through territory, like arithmetic JPEG)."""
+    try:
+        return _decode_webp_unchecked(content)
+    except UnsupportedMedia:
+        raise
+    except (KeyError, ValueError, IndexError, struct.error) as e:
+        raise UnsupportedMedia(
+            f"malformed WebP structure: {type(e).__name__}: {e}") from e
+
+
+def _decode_webp_unchecked(content: bytes):
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise UnsupportedMedia("not a WebP (bad RIFF header)")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if tag == b"VP8L":
+            payload = content[pos + 8:pos + 8 + size]
+            break
+        if tag == b"VP8 ":
+            raise UnsupportedMedia(
+                "lossy WebP (VP8) — PIL decodes these when installed")
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    if payload is None:
+        raise UnsupportedMedia("WebP: no VP8L chunk")
+    if not payload or payload[0] != 0x2F:
+        raise UnsupportedMedia("WebP: bad VP8L signature")
+    br = _Vp8lBits(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint (informative)
+    if br.read(3) != 0:
+        raise UnsupportedMedia("WebP: VP8L version != 0")
+    # decompression-bomb gate: 4 header bytes drive every allocation
+    if w * h * 8 > _MAX_DECODED_BYTES:
+        raise UnsupportedMedia(
+            f"WebP: {w}x{h} decodes past the "
+            f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    xsize = w
+    while br.read(1):
+        t = br.read(2)
+        if t in seen:
+            raise UnsupportedMedia("WebP: repeated transform")
+        seen.add(t)
+        if t in (0, 1):  # predictor / color transform tiles
+            bits = 2 + br.read(3)
+            tw = -(-xsize // (1 << bits))
+            th = -(-h // (1 << bits))
+            tiles = _vp8l_decode_image(br, tw, th, False)
+            transforms.append((t, bits, tw, tiles))
+        elif t == 2:
+            transforms.append((2,))
+        else:  # color indexing
+            pal_size = br.read(8) + 1
+            deltas = _vp8l_decode_image(br, pal_size, 1, False)
+            palette = []
+            prev = 0
+            for d in deltas:
+                prev = _vp8l_add(prev, d)
+                palette.append(prev)
+            wbits = (3 if pal_size <= 2 else 2 if pal_size <= 4
+                     else 1 if pal_size <= 16 else 0)
+            transforms.append((3, xsize, wbits, palette))
+            xsize = -(-xsize // (1 << wbits))
+    px = _vp8l_decode_image(br, xsize, h, True)
+    for tr in reversed(transforms):
+        if tr[0] == 3:
+            _, w_orig, wbits, palette = tr
+            px = _vp8l_inv_color_indexing(px, w_orig, h, wbits, palette)
+            xsize = w_orig
+        elif tr[0] == 2:
+            _vp8l_inv_subtract_green(px)
+        elif tr[0] == 1:
+            _vp8l_inv_color_transform(px, xsize, h, tr[1], tr[2], tr[3])
+        else:
+            _vp8l_inv_predictor(px, xsize, h, tr[1], tr[2], tr[3])
+    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = (arr >> 16) & 0xFF
+    rgba[:, :, 1] = (arr >> 8) & 0xFF
+    rgba[:, :, 2] = arr & 0xFF
+    rgba[:, :, 3] = arr >> 24
+    if int(rgba[:, :, 3].min()) == 255:
+        return np.ascontiguousarray(rgba[:, :, :3]), w, h, 3
+    return rgba, w, h, 4
+
+
+class _Vp8lBitWriter:
+    """LSB-first bit writer; ``write_code`` emits Huffman code bits
+    MSB-first, mirroring the decoder's bit-by-bit walk."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _vp8l_encoder_code(alphabet: int) -> dict[int, tuple[int, int]]:
+    """A COMPLETE fixed-shape canonical code over the whole alphabet
+    (Kraft equality, so the decoder's canonical build accepts it):
+    the largest power of two <= alphabet gets the shorter length."""
+    low = 1
+    while (low << 1) <= alphabet:
+        low <<= 1
+    if low == alphabet:  # exact power of two: one flat length
+        nbits = low.bit_length() - 1
+        lengths = [nbits] * alphabet
+    else:
+        # x symbols at len n, rest at n+1: x/2^n + (A-x)/2^(n+1) = 1
+        nbits = low.bit_length()
+        x = (1 << (nbits + 1)) - alphabet - ((1 << nbits) - alphabet)
+        x = 2 * (1 << nbits) - alphabet  # solve: 2x + (A - x) = 2^(n+1)
+        lengths = [nbits] * x + [nbits + 1] * (alphabet - x)
+    # canonical assignment identical to the decoder's
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        bl_count[ln] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    codes = {}
+    for s, ln in enumerate(lengths):
+        codes[s] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return codes
+
+
+def _vp8l_write_code_table(wtr: _Vp8lBitWriter,
+                           codes: dict[int, tuple[int, int]],
+                           alphabet: int) -> None:
+    """Transmit the fixed-shape code via the code-length code: the two
+    (or one) distinct lengths get 1-bit (or 0-bit) CL codes."""
+    lengths = [codes[s][1] for s in range(alphabet)]
+    used = sorted(set(lengths))
+    wtr.write(0, 1)  # not a simple code
+    cl_lengths = [0] * 19
+    if len(used) == 1:
+        cl_lengths[used[0]] = 1  # single-symbol CL code: 0 bits each
+    else:
+        cl_lengths[used[0]] = 1
+        cl_lengths[used[1]] = 1
+    num_cl = max(_VP8L_CL_ORDER.index(u) for u in used) + 1
+    wtr.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        wtr.write(cl_lengths[_VP8L_CL_ORDER[i]], 3)
+    wtr.write(0, 1)  # no max_symbol cap
+    if len(used) == 1:
+        return  # every CL symbol is implicit (0-bit code)
+    lo = used[0]
+    for ln in lengths:
+        wtr.write(0 if ln == lo else 1, 1)
+
+
+def _vp8l_prefix_encode(value: int) -> tuple[int, int, int]:
+    """value -> (prefix code, extra bits value, extra bit count);
+    inverse of _vp8l_prefix."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    nbits = v.bit_length() - 1
+    code = 2 * nbits + ((v >> (nbits - 1)) & 1) - 2 + 2
+    # reconstruct: code = (nbits-1)*2 + high bit offset + 2
+    extra_bits = nbits - 1
+    offset = (2 + ((code & 1))) << extra_bits
+    return code, value - offset - 1, extra_bits
+
+
+def _vp8l_write_spatial(wtr: _Vp8lBitWriter, px: list[int], w: int,
+                        h: int, is_argb: bool,
+                        use_lz77: bool = False) -> None:
+    """One spatially-coded image: cache/meta headers off, fixed-shape
+    codes, literals plus (optionally) left/above LZ77 runs through 2D
+    distance-map codes."""
+    wtr.write(0, 1)  # no color cache
+    if is_argb:
+        wtr.write(0, 1)  # no meta-Huffman
+    g_codes = _vp8l_encoder_code(256 + 24)
+    ch_codes = _vp8l_encoder_code(256)
+    d_codes = _vp8l_encoder_code(40)
+    for codes, alphabet in ((g_codes, 280), (ch_codes, 256),
+                            (ch_codes, 256), (ch_codes, 256),
+                            (d_codes, 40)):
+        _vp8l_write_code_table(wtr, codes, alphabet)
+    d_above = _VP8L_DIST_MAP.index((0, 1)) + 1
+    d_left = _VP8L_DIST_MAP.index((1, 0)) + 1
+    npx = len(px)
+    i = 0
+    while i < npx:
+        run = 0
+        dist_val = 0
+        if use_lz77:
+            jl = i
+            while jl < npx and jl >= 1 and px[jl] == px[jl - 1] \
+                    and jl - i < 4096:
+                jl += 1
+            ja = i
+            while ja < npx and ja >= w and px[ja] == px[ja - w] \
+                    and ja - i < 4096:
+                ja += 1
+            if jl - i >= ja - i and jl > i:
+                run, dist_val = jl - i, d_left
+            elif ja > i:
+                run, dist_val = ja - i, d_above
+        if run > 0:
+            lcode, lextra, lebits = _vp8l_prefix_encode(run)
+            code, ln = g_codes[256 + lcode]
+            wtr.write_code(code, ln)
+            if lebits:
+                wtr.write(lextra, lebits)
+            dcode, dextra, debits = _vp8l_prefix_encode(dist_val)
+            code, ln = d_codes[dcode]
+            wtr.write_code(code, ln)
+            if debits:
+                wtr.write(dextra, debits)
+            i += run
+        else:
+            v = px[i]
+            code, ln = g_codes[(v >> 8) & 0xFF]
+            wtr.write_code(code, ln)
+            code, ln = ch_codes[(v >> 16) & 0xFF]
+            wtr.write_code(code, ln)
+            code, ln = ch_codes[v & 0xFF]
+            wtr.write_code(code, ln)
+            code, ln = ch_codes[v >> 24]
+            wtr.write_code(code, ln)
+            i += 1
+
+
+def _vp8l_sub(a: int, b: int) -> int:
+    """Per-channel mod-256 pixel subtraction (forward transforms)."""
+    return ((((a | 0x01000100) - (b & 0x00FF00FF)) & 0x00FF00FF)
+            | ((((a >> 8) | 0x01000100)
+                - ((b >> 8) & 0x00FF00FF)) & 0x00FF00FF) << 8)
+
+
+def encode_webp_lossless(pixels: np.ndarray, use_lz77: bool = True,
+                         transform: str | None = None,
+                         predictor_mode: int = 2,
+                         tile_bits: int = 4) -> bytes:
+    """uint8 pixels [h, w, 3]/[h, w, 4]/[h, w] -> lossless VP8L WebP.
+    Fixture-grade encoder: fixed-shape complete Huffman codes, no
+    color cache; ``use_lz77`` turns left/above runs into backward
+    references through the 2D distance map. ``transform`` optionally
+    emits one forward transform so the decoder's inverse paths get
+    round-trip coverage: "subtract-green", "predictor" (uniform
+    ``predictor_mode`` tiles), or "palette" (color indexing with
+    sub-byte bundling when few colors). Round-trips bit-exactly."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, np.newaxis]
+    h, w, nc = pixels.shape
+    if nc == 1:
+        pixels = np.repeat(pixels, 3, axis=2)
+        nc = 3
+    if nc not in (3, 4):
+        raise UnsupportedMedia("encode_webp_lossless wants 1/3/4 "
+                               "channels")
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise UnsupportedMedia("WebP dimensions are 14-bit")
+    r = pixels[:, :, 0].astype(np.uint32)
+    g = pixels[:, :, 1].astype(np.uint32)
+    b = pixels[:, :, 2].astype(np.uint32)
+    a = (pixels[:, :, 3].astype(np.uint32) if nc == 4
+         else np.full((h, w), 255, np.uint32))
+    px = [int(v) for v in
+          ((a << 24) | (r << 16) | (g << 8) | b).reshape(-1)]
+
+    wtr = _Vp8lBitWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1 if nc == 4 else 0, 1)  # alpha hint
+    wtr.write(0, 3)  # version
+    xsize = w
+    if transform == "subtract-green":
+        wtr.write(1, 1)
+        wtr.write(2, 2)
+        for i, v in enumerate(px):
+            gg = (v >> 8) & 0xFF
+            red = ((v >> 16) - gg) & 0xFF
+            blue = (v - gg) & 0xFF
+            px[i] = (v & 0xFF00FF00) | (red << 16) | blue
+    elif transform == "predictor":
+        if not 0 <= predictor_mode <= 13:
+            raise UnsupportedMedia("predictor mode 0..13")
+        bits = tile_bits
+        if not 2 <= bits <= 9:
+            raise UnsupportedMedia("tile_bits 2..9")
+        tw = -(-w // (1 << bits))
+        th = -(-h // (1 << bits))
+        wtr.write(1, 1)
+        wtr.write(0, 2)
+        wtr.write(bits - 2, 3)
+        tiles = [0xFF000000 | (predictor_mode << 8)] * (tw * th)
+        _vp8l_write_spatial(wtr, tiles, tw, th, False)
+        # forward: residual = pixel - predict(original neighbors),
+        # with the same edge rules the inverse applies
+        res = list(px)
+        for y in range(h):
+            row = y * w
+            for x in range(w):
+                i = row + x
+                if y == 0:
+                    pred = 0xFF000000 if x == 0 else px[i - 1]
+                elif x == 0:
+                    pred = px[i - w]
+                else:
+                    tr_px = px[i - w + 1] if x < w - 1 else px[row]
+                    pred = _vp8l_predict(predictor_mode, px[i - 1],
+                                         px[i - w], px[i - w - 1],
+                                         tr_px)
+                res[i] = _vp8l_sub(px[i], pred)
+        px = res
+    elif transform == "palette":
+        colors: dict[int, int] = {}
+        for v in px:
+            if v not in colors:
+                colors[v] = len(colors)
+                if len(colors) > 256:
+                    raise UnsupportedMedia(
+                        "palette transform needs <= 256 colors")
+        palette = list(colors)
+        pal_size = len(palette)
+        wtr.write(1, 1)
+        wtr.write(3, 2)
+        wtr.write(pal_size - 1, 8)
+        deltas = []
+        prev = 0
+        for v in palette:
+            deltas.append(_vp8l_sub(v, prev))
+            prev = v
+        _vp8l_write_spatial(wtr, deltas, pal_size, 1, False)
+        wbits = (3 if pal_size <= 2 else 2 if pal_size <= 4
+                 else 1 if pal_size <= 16 else 0)
+        ppb = 1 << wbits
+        bpp = 8 >> wbits
+        xr = -(-w // ppb)
+        packed = [0] * (xr * h)
+        for y in range(h):
+            for x in range(w):
+                idx = colors[px[y * w + x]]
+                packed[y * xr + (x >> wbits)] |= idx << (bpp * (x % ppb))
+        px = [0xFF000000 | (v << 8) for v in packed]
+        xsize = xr
+    elif transform is not None:
+        raise UnsupportedMedia(f"unknown transform {transform!r}")
+    wtr.write(0, 1)  # end of transforms
+    _vp8l_write_spatial(wtr, px, xsize, h, True, use_lz77=use_lz77)
+    payload = b"\x2f" + wtr.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -6,9 +6,9 @@ The Spark-side plumbing (schemas, partition sizing, Arrow batch shape,
 the formats ``media_codecs`` implements from their public specs with
 zero dependencies — PNG (every valid shape), JPEG (baseline AND
 progressive, incl. 4:2:0 and restart intervals), GIF (static +
-animated), PCM WAV, and the Motion-PNG clip container; PIL, when
-installed, widens image coverage (WebP, arithmetic JPEG, ...), and
-everything else raises
+animated), lossless WebP (VP8L, all transforms), PCM WAV, and the
+Motion-PNG clip container; PIL, when installed, widens image coverage
+(lossy VP8 WebP, arithmetic JPEG, ...), and everything else raises
 ``DecoderNotAvailable`` loudly (MP4/WebM video -> ffmpeg territory). Deterministic fakes remain for
 tests that want pixel-exact oracles without a codec round-trip.
 
@@ -53,9 +53,10 @@ MEDIA_SCHEMA = StructType([
 
 class DecoderNotAvailable(NotImplementedError):
     """Raised by the real decode path for formats needing libraries that
-    are not bundled (WebP/arithmetic JPEG -> PIL; MP4/WebM -> ffmpeg).
-    PNG (all valid shapes), baseline + progressive JPEG, GIF and PCM
-    WAV decode natively via ``media_codecs``."""
+    are not bundled (lossy-VP8 WebP/arithmetic JPEG -> PIL; MP4/WebM
+    -> ffmpeg). PNG (all valid shapes), baseline + progressive JPEG,
+    GIF, lossless WebP and PCM WAV decode natively via
+    ``media_codecs``."""
 
 
 def _decode_image_real(content: bytes):
@@ -92,6 +93,14 @@ def _decode_image_real(content: bytes):
         except media_codecs.UnsupportedMedia:
             # arithmetic/lossless/12-bit: fall through to PIL
             pass
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            # lossless WebP (VP8L) decodes natively (r10): full
+            # transform set, meta-Huffman, color cache, 2D LZ77
+            pixels, width, height, _ = media_codecs.decode_webp(content)
+            return pixels, width, height
+        except media_codecs.UnsupportedMedia:
+            pass  # lossy VP8 / off-spec: fall through to PIL
     elif content[:6] in media_codecs._GIF_MAGICS:
         try:
             # first composed frame; animation hashes frame-by-frame
@@ -106,10 +115,9 @@ def _decode_image_real(content: bytes):
     except ImportError:
         raise DecoderNotAvailable(
             "decoding this image requires PIL, which is not installed; "
-            "PNG (all valid shapes), baseline + progressive JPEG and "
-            "GIF decode natively via media_codecs.decode_png/"
-            "decode_jpeg/decode_gif — WebP and arithmetic JPEG need "
-            "PIL") from None
+            "PNG (all valid shapes), baseline + progressive JPEG, GIF "
+            "and lossless WebP decode natively via media_codecs — "
+            "lossy-VP8 WebP and arithmetic JPEG need PIL") from None
     import numpy as _np
 
     try:

@@ -1348,3 +1348,175 @@ def test_jpeg_hostile_dc_category_is_unsupported():
     blob[syms_at + 11] = 32
     with pytest.raises(mc.UnsupportedMedia, match="DC category"):
         mc.decode_jpeg(bytes(blob))
+
+
+# -- WebP lossless (VP8L) --
+
+
+def test_webp_distance_map_matches_published_table():
+    """The 2D distance map is GENERATED from the spec's window/order
+    rule (dx in [-7, 8], dy in [0, 7], by squared distance, larger dy
+    first, positive dx first); pin the generation against the
+    published table's opening rows and the exact 120-entry count."""
+    m = mc._VP8L_DIST_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    assert m[:22] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+        (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+        (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
+        (-3, 2)]
+    # window bounds
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in m)
+
+
+def test_webp_lossless_roundtrip_exact():
+    """VP8L is lossless: decode(encode(px)) must be bit-exact, across
+    RGB/RGBA/gray shapes and with and without LZ77 references."""
+    rng = np.random.RandomState(5)
+    for shape in [(8, 8, 3), (17, 23, 3), (16, 16, 4), (9, 40), (1, 1, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for lz in (True, False):
+            out, w, h, c = mc.decode_webp(
+                mc.encode_webp_lossless(px, use_lz77=lz))
+            exp = px if px.ndim == 3 else np.repeat(
+                px[:, :, None], 3, axis=2)
+            assert (h, w) == exp.shape[:2] and c == exp.shape[2]
+            assert np.array_equal(out, exp), (shape, lz)
+    # smooth content exercises long left/above runs (2D distance codes)
+    grad = np.repeat(np.arange(64, dtype=np.uint8)[None, :], 48, 0)
+    img = np.stack([grad, np.flipud(grad), grad // 2], -1)
+    out, _, _, _ = mc.decode_webp(mc.encode_webp_lossless(img))
+    assert np.array_equal(out, img)
+
+
+def test_webp_all_transforms_roundtrip():
+    """Every decoder transform inverse is exercised through the
+    encoder's forward implementations: subtract-green, all 14
+    predictor modes (uniform tiles), and color indexing with 1/2/4-bit
+    pixel bundling and the unbundled 8-bit path."""
+    rng = np.random.RandomState(6)
+    noise = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    for kw in ([{"transform": "subtract-green"}]
+               + [{"transform": "predictor", "predictor_mode": m,
+                   "tile_bits": 2} for m in range(14)]):
+        out, _, _, _ = mc.decode_webp(mc.encode_webp_lossless(noise, **kw))
+        assert np.array_equal(out, noise), kw
+    for n_colors, shape in ((2, (15, 31)), (4, (9, 9, 3)),
+                            (11, (12, 19, 3)), (200, (16, 16, 3))):
+        vals = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_colors, size=shape[:2])
+        px = vals[idx]
+        if len(shape) == 2:
+            px = px[:, :, 0]
+        out, _, _, c = mc.decode_webp(
+            mc.encode_webp_lossless(px, transform="palette"))
+        exp = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, 2)
+        assert np.array_equal(out, exp), (n_colors, shape)
+
+
+def test_webp_color_transform_inverse():
+    """The color transform has no encoder shorthand; hand-build a
+    stream (forward transform computed per spec: residual red/blue
+    de-correlated from green via signed (t*c)>>5 deltas) and check the
+    decoder restores the original pixels."""
+    rng = np.random.RandomState(7)
+    h, w = 9, 13
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    g2r, g2b, r2b = 23, 199, 130  # arbitrary int8 multipliers
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+
+    residual = []
+    for y in range(h):
+        for x in range(w):
+            r0, g0, b0 = (int(px[y, x, 0]), int(px[y, x, 1]),
+                          int(px[y, x, 2]))
+            rr = (r0 - delta(g2r, g0)) & 0xFF
+            bb = (b0 - delta(g2b, g0) - delta(r2b, r0)) & 0xFF
+            residual.append((0xFF << 24) | (rr << 16) | (g0 << 8) | bb)
+
+    wtr = mc._Vp8lBitWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)
+    wtr.write(0, 3)
+    wtr.write(1, 1)  # a transform follows
+    wtr.write(1, 2)  # color transform
+    bits = 4
+    wtr.write(bits - 2, 3)
+    cte = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+    mc._vp8l_write_spatial(wtr, [cte], 1, 1, False)  # one 16px tile
+    wtr.write(0, 1)  # end of transforms
+    mc._vp8l_write_spatial(wtr, residual, w, h, True)
+    payload = b"\x2f" + wtr.finish()
+    chunk = b"VP8L" + __import__("struct").pack("<I", len(payload)) \
+        + payload + (b"\x00" if len(payload) & 1 else b"")
+    blob = b"RIFF" + __import__("struct").pack(
+        "<I", 4 + len(chunk)) + b"WEBP" + chunk
+    out, _, _, c = mc.decode_webp(blob)
+    assert c == 3 and np.array_equal(out, px)
+
+
+def test_webp_error_surface():
+    """Lossy VP8, truncation, bad signature, and the dimension bomb
+    gate all surface as UnsupportedMedia."""
+    import struct as _s
+
+    px = _gradient(8, 8, 3)
+    good = mc.encode_webp_lossless(px)
+    with pytest.raises(mc.UnsupportedMedia, match="RIFF"):
+        mc.decode_webp(b"not webp at all....")
+    lossy = bytearray(good)
+    lossy[12:16] = b"VP8 "
+    with pytest.raises(mc.UnsupportedMedia, match="lossy"):
+        mc.decode_webp(bytes(lossy))
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_webp(good[:30])
+    # bomb: 16384x16384 from 4 header bytes
+    sig = good.index(b"\x2f")
+    wtr = mc._Vp8lBitWriter()
+    wtr.write(16383, 14)
+    wtr.write(16383, 14)
+    wtr.write(0, 4)
+    bomb = bytearray(good)
+    bomb[sig + 1:sig + 5] = wtr.finish()[:4]
+    with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
+        mc.decode_webp(bytes(bomb))
+
+
+def test_webp_vp8x_container_walk():
+    """A VP8L chunk behind a VP8X extended header still decodes (the
+    chunk walk skips unknown/extended chunks, honoring even padding)."""
+    import struct as _s
+
+    px = _gradient(8, 9, 3)
+    base = mc.encode_webp_lossless(px)
+    vp8l_chunk = base[12:]
+    vp8x = b"VP8X" + _s.pack("<I", 10) + b"\x00" * 10
+    exif = b"EXIF" + _s.pack("<I", 3) + b"abc\x00"  # odd size, padded
+    body = vp8x + exif + vp8l_chunk
+    blob = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+    out, w, h, c = mc.decode_webp(blob)
+    assert (h, w, c) == (8, 9, 3) and np.array_equal(out, px)
+
+
+def test_webp_image_near_duplicates_cross_format(spark):
+    """A lossless WebP twin of a PNG image pairs at hamming 0 through
+    the real-decoder dedup path (lossless -> identical pixels ->
+    identical dHash); a distinct image pairs with nothing."""
+    grad = _gradient(32, 48, 3)
+    other = 255 - _gradient(32, 48, 3)[:, ::-1]
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(grad)),
+         (2, mc.encode_webp_lossless(grad)),
+         (3, mc.encode_webp_lossless(other, transform="predictor"))],
+        "media_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.image_near_duplicates(
+                 media, max_hamming=3, bands=4,
+                 use_real_decoder=True).collect()}
+    assert pairs == {(1, 2): 0}

@@ -641,3 +641,41 @@ def test_jpeg_progressive_equals_baseline_property(h, w, nc, sub, qs,
                                                      quant_scale=qs))
     assert base[1:] == prog[1:]
     assert np.array_equal(base[0], prog[0])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 33), st.integers(1, 33),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from([None, "subtract-green", "predictor", "palette"]),
+    st.integers(0, 13), st.integers(0, 2 ** 32 - 1),
+)
+def test_webp_lossless_roundtrip_property(h, w, nc, transform, mode,
+                                          seed):
+    """VP8L is lossless by spec: encode->decode must be bit-exact for
+    any shape, channel count, and transform choice."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    if transform == "palette":
+        vals = rng.randint(0, 256, size=(rng.randint(1, 17),) +
+                           ((3,) if nc == 1 else (nc,))).astype(np.uint8)
+        px = vals[rng.randint(0, len(vals), size=(h, w))]
+        if nc == 1:
+            px = px[:, :, 0]
+    else:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+    kw = {"transform": transform}
+    if transform == "predictor":
+        kw["predictor_mode"] = mode
+        kw["tile_bits"] = 2 + (seed % 3)
+    out, ww, hh, c = mc.decode_webp(mc.encode_webp_lossless(px, **kw))
+    exp = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+    if c == 3 and exp.shape[2] == 4:
+        assert int(exp[:, :, 3].min()) == 255
+        exp = exp[:, :, :3]
+    assert (hh, ww, c) == exp.shape
+    assert np.array_equal(out, exp)
