@@ -118,8 +118,11 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
 _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
                         b"MPNG\x01")
 #: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
-#: the formats) — media-net only, never the document-side exclusion
-_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ",) + media_codecs._GIF_MAGICS
+#: the formats; "WEBPVP8" is the WebP RIFF form tag fused to its first
+#: chunk tag — printable, so same treatment) — media-net only, never
+#: the document-side exclusion
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"WEBPVP8") \
+    + media_codecs._GIF_MAGICS
 
 
 def _sniff_kind(body: bytes) -> str | None:
@@ -133,6 +136,8 @@ def _sniff_kind(body: bytes) -> str | None:
                 else "image")
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
+    if body[:4] == b"RIFF" and body[8:12] == b"WEBP":
+        return "image"
     return None
 
 

@@ -1520,3 +1520,30 @@ def test_webp_image_near_duplicates_cross_format(spark):
                  media, max_hamming=3, bands=4,
                  use_real_decoder=True).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_crawl_media_sniffs_webp(spark, tmp_path):
+    """An untyped (octet-stream) WebP response in a crawl is sniffed as
+    kind=image by the RIFF/WEBP prefix and flows through crawl_media;
+    a prose page MENTIONING 'WEBPVP8' stays a document candidate (the
+    textual probe only widens the media net, and the Python prefix
+    sniff drops the false positive)."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    webp = mc.encode_webp_lossless(_gradient(8, 8, 3))
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: " \
+        b"application/octet-stream\r\n\r\n" + webp
+    prose = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+             b"application/octet-stream\r\n\r\n"
+             b"the WEBPVP8 tag marks lossy webp bitstreams in the "
+             b"wild " * 4)
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/img", body)
+        + _warc_record("response", "http://x/doc", prose))
+    recs = read_warc_records(spark, str(d))
+    media = crawl.crawl_media(recs, spark).collect()
+    assert [(r.kind, r.url) for r in media] == [("image", "http://x/img")]
+    assert bytes(media[0].content) == webp
