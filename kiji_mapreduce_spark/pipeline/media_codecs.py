@@ -1979,15 +1979,19 @@ _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11,
 
 
 class _Vp8lBits:
-    """LSB-first bit reader (DEFLATE-style byte packing)."""
+    """LSB-first bit reader (DEFLATE-style byte packing). ``peek`` may
+    synthesize a bounded tail of zero bits — the final Huffman symbols
+    of a legal stream peek past the writer's padded last byte — while
+    ``read`` (header fields) stays strict."""
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    __slots__ = ("data", "pos", "acc", "nbits", "pad")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad = 0
 
     def read(self, n: int) -> int:
         while self.nbits < n:
@@ -2001,15 +2005,36 @@ class _Vp8lBits:
         self.nbits -= n
         return v
 
+    def peek(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos < len(self.data):
+                self.acc |= self.data[self.pos] << self.nbits
+                self.pos += 1
+            else:
+                self.pad += 8
+                if self.pad > 64:
+                    raise UnsupportedMedia(
+                        "WebP: VP8L stream truncated")
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.acc >>= n
+        self.nbits -= n
+
 
 def _vp8l_canonical(lengths: list[int]):
-    """Code-length list -> decode table. DEFLATE canonical assignment;
-    a single-symbol code consumes zero bits (spec 6.2.1)."""
+    """Code-length list -> decode table: ("single", sym) for the
+    zero-bit one-symbol code (spec 6.2.1), else a bit-REVERSED lookup
+    table over the next max_len stream bits — codes are read MSB-of-
+    code-first from an LSB-first stream, so the low bits of a peek are
+    the code's bits in reverse order. Table-driven decode replaced a
+    per-bit dict walk that made literal-heavy images ~0.09 MP/s."""
     nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
     if not nz:
         raise UnsupportedMedia("WebP: empty Huffman code")
     if len(nz) == 1:
-        return {"single": nz[0][1]}
+        return ("single", nz[0][1])
     max_len = max(ln for ln, _ in nz)
     if max_len > 15:
         raise UnsupportedMedia("WebP: Huffman length > 15")
@@ -2021,24 +2046,36 @@ def _vp8l_canonical(lengths: list[int]):
     for ln in range(1, max_len + 1):
         code = (code + bl_count[ln - 1]) << 1
         next_code[ln] = code
-    table: dict = {}
+    size = 1 << max_len
+    lut_sym = [-1] * size
+    lut_len = [0] * size
     for s, ln in enumerate(lengths):
         if ln:
-            table[(ln, next_code[ln])] = s
+            code = next_code[ln]
             next_code[ln] += 1
-    return table
+            if code >> ln:
+                raise UnsupportedMedia("WebP: over-subscribed Huffman "
+                                       "code")
+            rev = 0
+            for i in range(ln):
+                rev = (rev << 1) | ((code >> i) & 1)
+            step = 1 << ln
+            n_fill = (size - rev + step - 1) // step
+            lut_sym[rev::step] = [s] * n_fill
+            lut_len[rev::step] = [ln] * n_fill
+    return (max_len, lut_sym, lut_len)
 
 
 def _vp8l_sym(br: _Vp8lBits, table) -> int:
-    if "single" in table:
-        return table["single"]
-    code = 0
-    for length in range(1, 16):
-        code = (code << 1) | br.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise UnsupportedMedia("WebP: invalid Huffman code")
+    if table[0] == "single":
+        return table[1]
+    bits, lut_sym, lut_len = table
+    v = br.peek(bits)
+    s = lut_sym[v]
+    if s < 0:
+        raise UnsupportedMedia("WebP: invalid Huffman code")
+    br.skip(lut_len[v])
+    return s
 
 
 def _vp8l_read_huffman(br: _Vp8lBits, alphabet: int):
@@ -2050,12 +2087,13 @@ def _vp8l_read_huffman(br: _Vp8lBits, alphabet: int):
         if s0 >= alphabet:
             raise UnsupportedMedia("WebP: simple-code symbol overflow")
         if n == 1:
-            return {"single": s0}
+            return ("single", s0)
         s1 = br.read(8)
         if s1 >= alphabet:
             raise UnsupportedMedia("WebP: simple-code symbol overflow")
         # read order, not value order, fixes the code assignment
-        return {(1, 0): s0, (1, 1): s1}
+        # (1-bit codes: stream bit 0 -> first symbol)
+        return (1, [s0, s1], [1, 1])
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):

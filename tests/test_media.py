@@ -1547,3 +1547,53 @@ def test_crawl_media_sniffs_webp(spark, tmp_path):
     media = crawl.crawl_media(recs, spark).collect()
     assert [(r.kind, r.url) for r in media] == [("image", "http://x/img")]
     assert bytes(media[0].content) == webp
+
+
+def test_webp_simple_huffman_codes_decode():
+    """Hand-built stream exercising the 'simple' Huffman code forms
+    our fixture encoder never emits: a zero-bit single-symbol code
+    (constant red/blue/alpha) and a 1-bit two-symbol code (green),
+    including the first-symbol-is-1-bit spelling."""
+    import struct as _s
+
+    w, h = 11, 5
+    g0, g1 = 1, 200  # two greens; g0 <= 1 so it can use the 1-bit form
+    wtr = mc._Vp8lBitWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)
+    wtr.write(0, 3)
+    wtr.write(0, 1)  # no transforms
+    wtr.write(0, 1)  # no cache
+    wtr.write(0, 1)  # no meta
+
+    def simple1(sym):
+        wtr.write(1, 1)  # simple
+        wtr.write(0, 1)  # one symbol
+        wtr.write(1, 1)  # 8-bit spelling
+        wtr.write(sym, 8)
+
+    # green: two symbols, first via the 1-bit spelling
+    wtr.write(1, 1)
+    wtr.write(1, 1)  # two symbols
+    wtr.write(0, 1)  # first symbol is 1 bit
+    wtr.write(g0, 1)
+    wtr.write(g1, 8)
+    simple1(30)   # red
+    simple1(40)   # blue
+    simple1(255)  # alpha
+    simple1(0)    # distance (never used)
+    pattern = [(x + y) % 2 for y in range(h) for x in range(w)]
+    for bit in pattern:
+        wtr.write(bit, 1)  # green code: 0 -> g0, 1 -> g1
+    payload = b"\x2f" + wtr.finish()
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload \
+        + (b"\x00" if len(payload) & 1 else b"")
+    blob = b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    out, ww, hh, c = mc.decode_webp(blob)
+    assert (hh, ww, c) == (h, w, 3)
+    exp_green = np.array(pattern).reshape(h, w)
+    assert np.array_equal(out[:, :, 1],
+                          np.where(exp_green == 0, g0, g1))
+    assert int(out[:, :, 0].min()) == int(out[:, :, 0].max()) == 30
+    assert int(out[:, :, 2].min()) == int(out[:, :, 2].max()) == 40
