@@ -137,7 +137,10 @@ def _sniff_kind(body: bytes) -> str | None:
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
     if body[:4] == b"RIFF" and body[8:12] == b"WEBP":
-        return "image"
+        # animated WebP is a video container (decode_video dispatches
+        # on magic), same classification as animated GIF
+        return ("video" if media_codecs.webp_frame_count(body) >= 2
+                else "image")
     return None
 
 

@@ -336,12 +336,14 @@ def encode_video(frames: list[np.ndarray],
 
 def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
     """Video bytes -> (frames as uint8 [h, w, channels] arrays,
-    micros_per_frame). Dispatches on magic: the Motion-PNG container
-    or an animated (or static) GIF — the one real-world video-ish
-    container that is pure-spec decodable without ffmpeg. Raises
-    ``UnsupportedMedia`` on anything else."""
+    micros_per_frame). Dispatches on magic: the Motion-PNG container,
+    an animated (or static) GIF, or an animated lossless WebP — the
+    real-world video-ish containers that are pure-spec decodable
+    without ffmpeg. Raises ``UnsupportedMedia`` on anything else."""
     if content[:6] in _GIF_MAGICS:
         return decode_gif_frames(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return decode_webp_frames(content)
     if content[:4] != _MPNG_MAGIC:
         raise UnsupportedMedia("not a Motion-PNG container (bad magic)")
     if len(content) < 11:
@@ -2391,18 +2393,36 @@ def _decode_webp_unchecked(content: bytes):
         raise UnsupportedMedia("not a WebP (bad RIFF header)")
     pos = 12
     payload = None
+    has_anim = False
     while pos + 8 <= len(content):
         tag = content[pos:pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
         if tag == b"VP8L":
             payload = content[pos + 8:pos + 8 + size]
             break
+        if tag == b"ANMF":
+            has_anim = True
+            break
         if tag == b"VP8 ":
             raise UnsupportedMedia(
                 "lossy WebP (VP8) — PIL decodes these when installed")
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if payload is None:
+        if has_anim:
+            # animated file: the still-image surface shows the first
+            # composed frame, mirroring decode_gif on animated GIFs
+            frames, _micros = decode_webp_frames(content, max_frames=1)
+            f = frames[0]
+            return f, f.shape[1], f.shape[0], f.shape[2]
         raise UnsupportedMedia("WebP: no VP8L chunk")
+    rgba, w, h = _decode_vp8l_payload(payload)
+    if int(rgba[:, :, 3].min()) == 255:
+        return np.ascontiguousarray(rgba[:, :, :3]), w, h, 3
+    return rgba, w, h, 4
+
+
+def _decode_vp8l_payload(payload: bytes):
+    """VP8L chunk payload -> (RGBA uint8 [h, w, 4], w, h)."""
     if not payload or payload[0] != 0x2F:
         raise UnsupportedMedia("WebP: bad VP8L signature")
     br = _Vp8lBits(payload, 1)
@@ -2462,9 +2482,198 @@ def _decode_webp_unchecked(content: bytes):
     rgba[:, :, 1] = (arr >> 8) & 0xFF
     rgba[:, :, 2] = arr & 0xFF
     rgba[:, :, 3] = arr >> 24
-    if int(rgba[:, :, 3].min()) == 255:
-        return np.ascontiguousarray(rgba[:, :, :3]), w, h, 3
-    return rgba, w, h, 4
+    return rgba, w, h
+
+
+def _u24le(data: bytes, pos: int) -> int:
+    return data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+
+
+def webp_frame_count(content: bytes, stop_at: int = 2) -> int:
+    """Count ANMF frames by walking the RIFF chunks — no decode — so
+    callers can cheaply classify animated vs static. A static VP8L/VP8
+    file counts 1; junk counts 0 (never raises)."""
+    try:
+        if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+            return 0
+        n = 0
+        pos = 12
+        while pos + 8 <= len(content) and n < stop_at:
+            tag = content[pos:pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            if tag == b"ANMF":
+                n += 1
+            elif tag in (b"VP8L", b"VP8 ") and n == 0:
+                return 1
+            pos += 8 + size + (size & 1)
+        return n
+    except (IndexError, struct.error):
+        return 0
+
+
+def decode_webp_frames(content: bytes,
+                       max_frames: int | None = None
+                       ) -> tuple[list[np.ndarray], int]:
+    """Animated (or static) WebP -> (composed RGB frames as uint8
+    [h, w, 3] arrays, micros per frame from the first frame's
+    duration). Honors the container spec's compositing: frames render
+    at their (2x, 2y) offsets, alpha-blend or replace per the B flag,
+    and D=1 disposes the frame rect to the ANIM background. Lossy
+    (VP8) frames raise UnsupportedMedia."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise UnsupportedMedia("not a WebP (bad RIFF header)")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg_rgba = (255, 255, 255, 255)
+    frames: list[np.ndarray] = []
+    micros = 40_000
+    canvas = None
+    decoded_total = 0
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise UnsupportedMedia("WebP: chunk truncated")
+        if tag == b"VP8L" and canvas is None and not frames:
+            # static file: one frame
+            rgba, w, h = _decode_vp8l_payload(body)
+            return [_webp_compose_bg(rgba, bg_rgba)], micros
+        if tag == b"VP8 ":
+            raise UnsupportedMedia(
+                "lossy WebP (VP8) — PIL decodes these when installed")
+        if tag == b"VP8X":
+            if size < 10:
+                raise UnsupportedMedia("WebP: VP8X truncated")
+            canvas_w = _u24le(body, 4) + 1
+            canvas_h = _u24le(body, 7) + 1
+            if canvas_w * canvas_h * 8 > _MAX_DECODED_BYTES:
+                raise UnsupportedMedia(
+                    f"WebP: {canvas_w}x{canvas_h} canvas exceeds the "
+                    f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+        elif tag == b"ANIM":
+            if size < 6:
+                raise UnsupportedMedia("WebP: ANIM truncated")
+            # background stored BGRA
+            bg_rgba = (body[2], body[1], body[0], body[3])
+        elif tag == b"ANMF":
+            if canvas_w is None:
+                raise UnsupportedMedia("WebP: ANMF before VP8X canvas")
+            if size < 16:
+                raise UnsupportedMedia("WebP: ANMF truncated")
+            fx = _u24le(body, 0) * 2
+            fy = _u24le(body, 3) * 2
+            fw = _u24le(body, 6) + 1
+            fh = _u24le(body, 9) + 1
+            duration = _u24le(body, 12)
+            flags = body[15]
+            blend_replace = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise UnsupportedMedia("WebP: frame outside canvas")
+            sub = body[16:]
+            fpos = 0
+            rgba = None
+            while fpos + 8 <= len(sub):
+                stag = sub[fpos:fpos + 4]
+                (ssize,) = struct.unpack("<I", sub[fpos + 4:fpos + 8])
+                if stag == b"VP8L":
+                    rgba, w, h = _decode_vp8l_payload(
+                        sub[fpos + 8:fpos + 8 + ssize])
+                    if (w, h) != (fw, fh):
+                        raise UnsupportedMedia(
+                            "WebP: frame size mismatch")
+                    break
+                if stag == b"VP8 ":
+                    raise UnsupportedMedia(
+                        "lossy WebP (VP8) frame — PIL territory")
+                fpos += 8 + ssize + (ssize & 1)
+            if rgba is None:
+                raise UnsupportedMedia("WebP: ANMF without image data")
+            if canvas is None:
+                canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+                canvas[:, :] = bg_rgba
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            if blend_replace:
+                region[:] = rgba
+            else:
+                # container-spec src-over with straight alpha:
+                # A = As + Ad*(1-As); RGB = (Cs*As + Cd*Ad*(1-As)) / A
+                a_s = rgba[:, :, 3:4].astype(np.uint64)
+                a_d = region[:, :, 3:4].astype(np.uint64)
+                a_out = a_s + (a_d * (255 - a_s) + 127) // 255
+                num = (rgba[:, :, :3].astype(np.uint64) * a_s * 255
+                       + region[:, :, :3].astype(np.uint64)
+                       * a_d * (255 - a_s))
+                den = np.maximum(a_out, 1) * 255
+                rgb = (num + den // 2) // den
+                region[:, :, :3] = np.where(
+                    a_out > 0, rgb, 0).astype(np.uint8)
+                region[:, :, 3:4] = a_out.astype(np.uint8)
+            if not frames:
+                micros = (duration if duration > 0 else 40) * 1000
+            decoded_total += canvas.nbytes
+            if decoded_total > _MAX_DECODED_BYTES:
+                raise UnsupportedMedia(
+                    f"WebP: composed frames exceed the "
+                    f"{_MAX_DECODED_BYTES >> 20} MiB ceiling "
+                    f"at frame {len(frames) + 1}")
+            frames.append(_webp_compose_bg(canvas.copy(), bg_rgba))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames, micros
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = bg_rgba
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise UnsupportedMedia("WebP: no image data")
+    return frames, micros
+
+
+def _webp_compose_bg(rgba: np.ndarray,
+                     bg: tuple[int, int, int, int]) -> np.ndarray:
+    """RGBA -> RGB over an opaque background (frame outputs are RGB,
+    like the GIF/Motion-PNG video surfaces)."""
+    a = rgba[:, :, 3:4].astype(np.uint32)
+    if int(a.min()) == 255:
+        return np.ascontiguousarray(rgba[:, :, :3])
+    bg_arr = np.array(bg[:3], np.uint32)[None, None, :]
+    return ((rgba[:, :, :3].astype(np.uint32) * a
+             + bg_arr * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def encode_webp_anim(frames: list[np.ndarray],
+                     micros_per_frame: int = 40_000) -> bytes:
+    """Full-canvas RGB(A) frames -> animated WebP (VP8X + ANIM + one
+    lossless ANMF per frame, replace-blend, no disposal). Fixture
+    encoder for the video dedup surface, the animated-GIF precedent."""
+    if not frames:
+        raise UnsupportedMedia("encode_webp_anim wants >= 1 frame")
+    h, w = frames[0].shape[:2]
+    if not (1 <= w <= (1 << 24) and 1 <= h <= (1 << 24)):
+        raise UnsupportedMedia("WebP canvas dimensions are 24-bit")
+    ms = max(1, micros_per_frame // 1000)
+
+    def u24(v: int) -> bytes:
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    body = bytearray()
+    body += b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) \
+        + b"\x00\x00\x00" + u24(w - 1) + u24(h - 1)
+    body += b"ANIM" + struct.pack("<I", 6) \
+        + b"\xff\xff\xff\xff" + struct.pack("<H", 0)
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise UnsupportedMedia("animated WebP frames must share "
+                                   "the canvas size")
+        still = encode_webp_lossless(f)
+        vp8l_chunk = still[12:]  # the VP8L chunk incl. header/padding
+        payload = (u24(0) + u24(0) + u24(w - 1) + u24(h - 1)
+                   + u24(ms) + bytes([0x02]) + vp8l_chunk)
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" \
+        + bytes(body)
 
 
 class _Vp8lBitWriter:

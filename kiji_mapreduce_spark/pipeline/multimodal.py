@@ -419,11 +419,14 @@ def video_frame_phash64(df: DataFrame, content_col: str = "content",
 
         def _frames(raw: bytes) -> list[tuple[int, int]]:
             if use_real_decoder:
-                if raw[:4] != b"MPNG" and \
-                        raw[:6] not in media_codecs._GIF_MAGICS:
+                if raw[:4] != b"MPNG" \
+                        and raw[:6] not in media_codecs._GIF_MAGICS \
+                        and not (raw[:4] == b"RIFF"
+                                 and raw[8:12] == b"WEBP"):
                     raise DecoderNotAvailable(
                         "MP4/WebM video requires ffmpeg, not bundled; "
-                        "Motion-PNG and animated GIF decode natively")
+                        "Motion-PNG, animated GIF and animated "
+                        "lossless WebP decode natively")
                 frames, _micros = media_codecs.decode_video(raw)
                 out = []
                 for fno in range(0, len(frames), every_n):
@@ -693,12 +696,16 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                 for mid, c in zip(pdf[id_col], pdf[content_col]):
                     raw = bytes(c) if c is not None else b""
                     try:
-                        if raw[:4] != b"MPNG" and \
-                                raw[:6] not in media_codecs._GIF_MAGICS:
+                        if raw[:4] != b"MPNG" \
+                                and raw[:6] not in \
+                                media_codecs._GIF_MAGICS \
+                                and not (raw[:4] == b"RIFF"
+                                         and raw[8:12] == b"WEBP"):
                             raise DecoderNotAvailable(
                                 "MP4/WebM video requires ffmpeg, not "
-                                "bundled; Motion-PNG and animated GIF "
-                                "decode natively")
+                                "bundled; Motion-PNG, animated GIF "
+                                "and animated lossless WebP decode "
+                                "natively")
                         frames, _micros = media_codecs.decode_video(raw)
                     except Exception:
                         if skip_undecodable:

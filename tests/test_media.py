@@ -1597,3 +1597,107 @@ def test_webp_simple_huffman_codes_decode():
                           np.where(exp_green == 0, g0, g1))
     assert int(out[:, :, 0].min()) == int(out[:, :, 0].max()) == 30
     assert int(out[:, :, 2].min()) == int(out[:, :, 2].max()) == 40
+
+
+def test_webp_animated_roundtrip_and_video_dispatch():
+    """Animated WebP (VP8X + ANIM + lossless ANMF frames) round-trips
+    frame-exactly; decode_video dispatches on the RIFF magic; the
+    frame count walk classifies animated vs static without decoding."""
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+              for _ in range(3)]
+    blob = mc.encode_webp_anim(frames, 70_000)
+    got, micros = mc.decode_webp_frames(blob)
+    assert micros == 70_000 and len(got) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    got2, _ = mc.decode_video(blob)
+    assert all(np.array_equal(a, b) for a, b in zip(got2, frames))
+    assert mc.webp_frame_count(blob) == 2  # stop_at cap
+    assert mc.webp_frame_count(
+        mc.encode_webp_lossless(frames[0])) == 1
+    assert mc.webp_frame_count(b"junk") == 0
+    # the still-image surface shows the first composed frame
+    first, w, h, c = mc.decode_webp(blob)
+    assert (h, w, c) == (10, 14, 3)
+    assert np.array_equal(first, frames[0])
+    # max_frames honors early exit (kind sniffing / previews)
+    one, _ = mc.decode_webp_frames(blob, max_frames=1)
+    assert len(one) == 1
+
+
+def test_webp_anim_blend_and_dispose():
+    """Hand-built two-frame animation: a sub-rect second frame with
+    alpha blending over the first, then disposal to background —
+    the compositing rules the fixture encoder doesn't use."""
+    import struct as _s
+
+    def u24(v):
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    base = np.full((8, 8, 3), 40, np.uint8)
+    # second frame: 4x4 patch at (2,2) with alpha 128 over the canvas
+    patch = np.zeros((4, 4, 4), np.uint8)
+    patch[:, :, 0] = 200
+    patch[:, :, 3] = 128
+    f1 = mc.encode_webp_lossless(base)[12:]
+    f2 = mc.encode_webp_lossless(patch)[12:]
+    body = bytearray()
+    body += b"VP8X" + _s.pack("<I", 10) + bytes([0x02]) \
+        + b"\x00\x00\x00" + u24(7) + u24(7)
+    body += b"ANIM" + _s.pack("<I", 6) + b"\x00\x00\x00\xff" \
+        + _s.pack("<H", 0)
+    p1 = u24(0) + u24(0) + u24(7) + u24(7) + u24(50) + bytes([0x02]) + f1
+    body += b"ANMF" + _s.pack("<I", len(p1)) + p1 \
+        + (b"\x00" if len(p1) & 1 else b"")
+    # frame 2 at (2,2): blend (B=0), dispose to background (D=1)
+    p2 = u24(1) + u24(1) + u24(3) + u24(3) + u24(50) + bytes([0x01]) + f2
+    body += b"ANMF" + _s.pack("<I", len(p2)) + p2 \
+        + (b"\x00" if len(p2) & 1 else b"")
+    blob = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+    frames, _ = mc.decode_webp_frames(blob)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], base)
+    # blended patch: r = (200*128 + 40*127 + 127)//255 = 120
+    assert frames[1][2, 2, 0] == (200 * 128 + 40 * 127 + 127) // 255
+    assert frames[1][0, 0, 0] == 40  # outside the patch: untouched
+    # green/blue: (0*128 + 40*127 + 127)//255
+    assert frames[1][2, 2, 1] == (40 * 127 + 127) // 255
+
+
+def test_webp_video_near_duplicates_cross_container(spark):
+    """An animated-WebP re-encode of a Motion-PNG clip pairs at
+    hamming 0 through the frame-aligned video dedup path; a distinct
+    clip pairs with nothing."""
+    frames = [_gradient(16, 16, 3), 255 - _gradient(16, 16, 3),
+              _gradient(16, 16, 3)[:, ::-1]]
+    distinct = [255 - f[::-1] for f in frames]
+    media = spark.createDataFrame(
+        [(1, mc.encode_video(frames)), (2, mc.encode_webp_anim(frames)),
+         (3, mc.encode_webp_anim(distinct))],
+        "media_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.n_matching
+             for r in multimodal.video_near_duplicates(
+                 media, max_hamming=3, bands=4, min_frames=1,
+                 use_real_decoder=True).collect()}
+    assert pairs == {(1, 2): 3}
+
+
+def test_crawl_sniffs_animated_webp_as_video(spark, tmp_path):
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    anim = mc.encode_webp_anim(
+        [_gradient(8, 8, 3), 255 - _gradient(8, 8, 3)])
+    still = mc.encode_webp_lossless(_gradient(8, 8, 3))
+    hdr = b"HTTP/1.1 200 OK\r\nContent-Type: " \
+        b"application/octet-stream\r\n\r\n"
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/anim", hdr + anim)
+        + _warc_record("response", "http://x/still", hdr + still))
+    media = crawl.crawl_media(
+        read_warc_records(spark, str(d)), spark).collect()
+    kinds = {r.url: r.kind for r in media}
+    assert kinds == {"http://x/anim": "video",
+                     "http://x/still": "image"}
