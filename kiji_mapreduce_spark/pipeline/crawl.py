@@ -136,7 +136,7 @@ def _sniff_kind(body: bytes) -> str | None:
                 else "image")
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
-    if body[:4] == b"RIFF" and body[8:12] == b"WEBP":
+    if media_codecs.is_webp(body):
         # animated WebP is a video container (decode_video dispatches
         # on magic), same classification as animated GIF
         return ("video" if media_codecs.webp_frame_count(body) >= 2
@@ -232,11 +232,12 @@ def crawl_media(records: DataFrame, spark: SparkSession,
                                                 ("video/", "video"))
                                  if ct.startswith(p)), None)
                 if declared == "image" \
-                        and body[:6] in media_codecs._GIF_MAGICS:
-                    # an ANIMATED gif (served image/gif, as the web
-                    # does) is a video for the perceptual dedup stack;
-                    # the sniff makes that call — and runs at most
-                    # once per row either way
+                        and (body[:6] in media_codecs._GIF_MAGICS
+                             or media_codecs.is_webp(body)):
+                    # an ANIMATED gif or webp (served image/gif /
+                    # image/webp, as the web does) is a video for the
+                    # perceptual dedup stack; the sniff makes that
+                    # call — and runs at most once per row either way
                     declared = None
                 kind = declared or _sniff_kind(body)
                 if kind is None:

@@ -35,6 +35,7 @@ import io
 import struct
 import wave
 import zlib
+from array import array
 
 import numpy as np
 
@@ -60,6 +61,15 @@ _MAX_PNG_BYTES = 1 << 30
 #: skip_undecodable / the PIL fall-through route them like every other
 #: hostile blob instead of the executor that owns the archive dying
 _MAX_DECODED_BYTES = 1 << 30
+
+#: VP8L decodes symbol-by-symbol in Python (the Huffman stream is
+#: inherently serial), so its gate models CPU as much as memory: the
+#: byte ceiling alone would admit a ~134 MPix header whose pure-Python
+#: decode pins a worker for the better part of an hour. 16.7 MPix
+#: covers every plausible real web image (4K UHD is 8.3 MPix) and
+#: bounds the adversarial worst case to roughly a minute / ~150 MiB
+#: (4 B/px array store + the uint32/RGBA numpy planes)
+_MAX_VP8L_PIXELS = 1 << 24
 
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -342,7 +352,7 @@ def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
     without ffmpeg. Raises ``UnsupportedMedia`` on anything else."""
     if content[:6] in _GIF_MAGICS:
         return decode_gif_frames(content)
-    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+    if is_webp(content):
         return decode_webp_frames(content)
     if content[:4] != _MPNG_MAGIC:
         raise UnsupportedMedia("not a Motion-PNG container (bad magic)")
@@ -2146,8 +2156,10 @@ def _vp8l_prefix(br: _Vp8lBits, code: int) -> int:
 
 
 def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int,
-                       is_argb: bool) -> list[int]:
-    """One spatially-coded image -> row-major list of ARGB ints.
+                       is_argb: bool) -> array:
+    """One spatially-coded image -> row-major ``array('I')`` of ARGB
+    ints (4 B/px — a plain list of fresh PyLongs costs ~56 B/px, which
+    is what the decompression gate's memory model assumes).
     ``is_argb`` enables the meta-Huffman header (ARGB role only)."""
     cache_bits = 0
     if br.read(1):
@@ -2177,8 +2189,8 @@ def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int,
         ))
     cache = [0] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
-    out = [0] * (w * h)
     npx = w * h
+    out = array("I", bytes(4 * npx))
     pos = 0
     g_code, r_code, b_code, a_code, d_code = groups[0]
     while pos < npx:
@@ -2210,13 +2222,22 @@ def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int,
             if dist > pos or pos + length > npx:
                 raise UnsupportedMedia("WebP: LZ77 reference out of "
                                        "bounds")
-            for _ in range(length):
-                px = out[pos - dist]
-                out[pos] = px
-                pos += 1
-                if cache_size:
+            if cache_size:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
                     cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
                           >> shift] = px
+            else:
+                # sliced copy; when the run overlaps its source the
+                # writable prefix doubles each pass (O(log) slices)
+                src = pos - dist
+                end = pos + length
+                while pos < end:
+                    n_copy = min(pos - src, end - pos)
+                    out[pos:pos + n_copy] = out[src:src + n_copy]
+                    pos += n_copy
         else:
             idx = s - 280
             if idx >= cache_size:
@@ -2301,8 +2322,13 @@ def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
     raise UnsupportedMedia(f"WebP: predictor mode {mode}")
 
 
-def _vp8l_inv_predictor(px: list[int], w: int, h: int, bits: int,
-                        tw: int, tiles: list[int]) -> None:
+def _vp8l_inv_predictor(arr: np.ndarray, w: int, h: int, bits: int,
+                        tw: int, tiles: array) -> np.ndarray:
+    """Sequential by construction — every pixel's prediction reads its
+    already-reconstructed left/top neighbors — so this is the one
+    inverse that stays a per-pixel loop; it runs over Python lists
+    (the fastest scalar store) and converts back once at each end."""
+    px = arr.tolist()
     for y in range(h):
         row = y * w
         for x in range(w):
@@ -2318,60 +2344,81 @@ def _vp8l_inv_predictor(px: list[int], w: int, h: int, bits: int,
                 pred = _vp8l_predict(mode, px[i - 1], px[i - w],
                                      px[i - w - 1], tr)
             px[i] = _vp8l_add(px[i], pred)
+    return np.array(px, dtype=np.uint32)
 
 
-def _vp8l_s8(v: int) -> int:
-    return v - 256 if v >= 128 else v
+def _vp8l_s8_np(v: np.ndarray) -> np.ndarray:
+    """Vectorized sign-extension of a uint8-valued array."""
+    return ((v.astype(np.int32) & 0xFF) ^ 128) - 128
 
 
-def _vp8l_inv_color_transform(px: list[int], w: int, h: int, bits: int,
-                              tw: int, tiles: list[int]) -> None:
-    for y in range(h):
-        trow = (y >> bits) * tw
-        for x in range(w):
-            i = y * w + x
-            cte = tiles[trow + (x >> bits)]
-            g2r = _vp8l_s8(cte & 0xFF)
-            g2b = _vp8l_s8((cte >> 8) & 0xFF)
-            r2b = _vp8l_s8((cte >> 16) & 0xFF)
-            v = px[i]
-            g = (v >> 8) & 0xFF
-            red = ((v >> 16) & 0xFF) + ((g2r * _vp8l_s8(g)) >> 5)
-            red &= 0xFF
-            blue = (v & 0xFF) + ((g2b * _vp8l_s8(g)) >> 5)
-            blue = (blue + ((r2b * _vp8l_s8(red)) >> 5)) & 0xFF
-            px[i] = (v & 0xFF00FF00) | (red << 16) | blue
+def _vp8l_inv_color_transform(arr: np.ndarray, w: int, h: int,
+                              bits: int, tw: int,
+                              tiles: array) -> np.ndarray:
+    a2 = arr.reshape(h, w)
+    t2 = np.frombuffer(tiles, dtype=np.uint32).reshape(-1, tw)
+    cte = t2[np.arange(h) >> bits][:, np.arange(w) >> bits]
+    g2r = _vp8l_s8_np(cte & 0xFF)
+    g2b = _vp8l_s8_np((cte >> 8) & 0xFF)
+    r2b = _vp8l_s8_np((cte >> 16) & 0xFF)
+    gs = _vp8l_s8_np((a2 >> 8) & 0xFF)
+    # numpy's >> on int32 is arithmetic, matching the spec's C shifts
+    red = (((a2 >> 16) & 0xFF).astype(np.int32)
+           + ((g2r * gs) >> 5)) & 0xFF
+    blue = ((a2 & 0xFF).astype(np.int32) + ((g2b * gs) >> 5)
+            + ((r2b * _vp8l_s8_np(red)) >> 5)) & 0xFF
+    return ((a2 & np.uint32(0xFF00FF00))
+            | (red.astype(np.uint32) << 16)
+            | blue.astype(np.uint32)).ravel()
 
 
-def _vp8l_inv_subtract_green(px: list[int]) -> None:
-    for i, v in enumerate(px):
-        g = (v >> 8) & 0xFF
-        red = ((v >> 16) + g) & 0xFF
-        blue = (v + g) & 0xFF
-        px[i] = (v & 0xFF00FF00) | (red << 16) | blue
+def _vp8l_inv_subtract_green(arr: np.ndarray) -> np.ndarray:
+    g = (arr >> 8) & np.uint32(0xFF)
+    red = ((arr >> 16) + g) & np.uint32(0xFF)
+    blue = (arr + g) & np.uint32(0xFF)
+    return (arr & np.uint32(0xFF00FF00)) | (red << 16) | blue
 
 
-def _vp8l_inv_color_indexing(px: list[int], w_orig: int, h: int,
+def _vp8l_inv_color_indexing(arr: np.ndarray, w_orig: int, h: int,
                              wbits: int, palette: list[int]
-                             ) -> list[int]:
+                             ) -> np.ndarray:
+    pal = np.asarray(palette, dtype=np.uint32)
+    n = pal.size
+    greens = (arr >> 8) & np.uint32(0xFF)
     if wbits == 0:
-        n = len(palette)
-        return [palette[(v >> 8) & 0xFF] if ((v >> 8) & 0xFF) < n
-                else 0 for v in px]
-    ppb = 1 << wbits  # packed pixels per green byte
-    bpp = 8 >> wbits
-    mask = (1 << bpp) - 1
-    w_red = -(-w_orig // ppb)
-    n = len(palette)
-    out = [0] * (w_orig * h)
-    for y in range(h):
-        src_row = y * w_red
-        dst_row = y * w_orig
-        for x in range(w_orig):
-            green = (px[src_row + (x >> wbits)] >> 8) & 0xFF
-            idx = (green >> (bpp * (x % ppb))) & mask
-            out[dst_row + x] = palette[idx] if idx < n else 0
-    return out
+        idx = greens.astype(np.int64)
+    else:
+        ppb = 1 << wbits  # packed pixels per green byte
+        bpp = 8 >> wbits
+        mask = (1 << bpp) - 1
+        w_red = -(-w_orig // ppb)
+        x = np.arange(w_orig)
+        shifts = (bpp * (x % ppb)).astype(np.uint32)
+        g2 = greens.reshape(h, w_red)
+        idx = ((g2[:, x >> wbits] >> shifts[None, :])
+               & mask).ravel().astype(np.int64)
+    return np.where(idx < n, pal[np.minimum(idx, n - 1)],
+                    np.uint32(0)).astype(np.uint32)
+
+
+def is_webp(content: bytes) -> bool:
+    """RIFF/WEBP container magic (still and animated files alike) —
+    the single predicate every dispatch site shares."""
+    return content[:4] == b"RIFF" and content[8:12] == b"WEBP"
+
+
+def _webp_chunks(data: bytes, pos: int = 12):
+    """Yield ``(tag, declared_size, body)`` over an even-padded RIFF
+    chunk sequence — the one chunk-walk implementation for the whole
+    WebP surface (decode, frame count, animation). A final chunk
+    shorter than its declared size yields its available prefix;
+    strict callers compare ``len(body)`` to ``declared_size``."""
+    n = len(data)
+    while pos + 8 <= n:
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        yield tag, size, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
 
 
 def decode_webp(content: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -2389,16 +2436,13 @@ def decode_webp(content: bytes) -> tuple[np.ndarray, int, int, int]:
 
 
 def _decode_webp_unchecked(content: bytes):
-    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+    if not is_webp(content):
         raise UnsupportedMedia("not a WebP (bad RIFF header)")
-    pos = 12
     payload = None
     has_anim = False
-    while pos + 8 <= len(content):
-        tag = content[pos:pos + 4]
-        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+    for tag, _size, body in _webp_chunks(content):
         if tag == b"VP8L":
-            payload = content[pos + 8:pos + 8 + size]
+            payload = body
             break
         if tag == b"ANMF":
             has_anim = True
@@ -2406,7 +2450,6 @@ def _decode_webp_unchecked(content: bytes):
         if tag == b"VP8 ":
             raise UnsupportedMedia(
                 "lossy WebP (VP8) — PIL decodes these when installed")
-        pos += 8 + size + (size & 1)  # chunks are even-padded
     if payload is None:
         if has_anim:
             # animated file: the still-image surface shows the first
@@ -2432,10 +2475,12 @@ def _decode_vp8l_payload(payload: bytes):
     if br.read(3) != 0:
         raise UnsupportedMedia("WebP: VP8L version != 0")
     # decompression-bomb gate: 4 header bytes drive every allocation
-    if w * h * 8 > _MAX_DECODED_BYTES:
+    # AND every symbol-serial Python decode step, so the ceiling here
+    # is pixels (CPU), not just bytes — see _MAX_VP8L_PIXELS
+    if w * h > _MAX_VP8L_PIXELS:
         raise UnsupportedMedia(
             f"WebP: {w}x{h} decodes past the "
-            f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+            f"{_MAX_VP8L_PIXELS >> 20} MPix VP8L ceiling")
     transforms: list[tuple] = []
     seen: set[int] = set()
     xsize = w
@@ -2465,18 +2510,22 @@ def _decode_vp8l_payload(payload: bytes):
             transforms.append((3, xsize, wbits, palette))
             xsize = -(-xsize // (1 << wbits))
     px = _vp8l_decode_image(br, xsize, h, True)
+    arr = np.frombuffer(px, dtype=np.uint32)
     for tr in reversed(transforms):
         if tr[0] == 3:
             _, w_orig, wbits, palette = tr
-            px = _vp8l_inv_color_indexing(px, w_orig, h, wbits, palette)
+            arr = _vp8l_inv_color_indexing(arr, w_orig, h, wbits,
+                                           palette)
             xsize = w_orig
         elif tr[0] == 2:
-            _vp8l_inv_subtract_green(px)
+            arr = _vp8l_inv_subtract_green(arr)
         elif tr[0] == 1:
-            _vp8l_inv_color_transform(px, xsize, h, tr[1], tr[2], tr[3])
+            arr = _vp8l_inv_color_transform(arr, xsize, h, tr[1],
+                                            tr[2], tr[3])
         else:
-            _vp8l_inv_predictor(px, xsize, h, tr[1], tr[2], tr[3])
-    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+            arr = _vp8l_inv_predictor(arr, xsize, h, tr[1], tr[2],
+                                      tr[3])
+    arr = arr.reshape(h, w)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
     rgba[:, :, 0] = (arr >> 16) & 0xFF
     rgba[:, :, 1] = (arr >> 8) & 0xFF
@@ -2494,18 +2543,16 @@ def webp_frame_count(content: bytes, stop_at: int = 2) -> int:
     callers can cheaply classify animated vs static. A static VP8L/VP8
     file counts 1; junk counts 0 (never raises)."""
     try:
-        if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        if not is_webp(content):
             return 0
         n = 0
-        pos = 12
-        while pos + 8 <= len(content) and n < stop_at:
-            tag = content[pos:pos + 4]
-            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        for tag, _size, _body in _webp_chunks(content):
+            if n >= stop_at:
+                break
             if tag == b"ANMF":
                 n += 1
             elif tag in (b"VP8L", b"VP8 ") and n == 0:
                 return 1
-            pos += 8 + size + (size & 1)
         return n
     except (IndexError, struct.error):
         return 0
@@ -2520,19 +2567,15 @@ def decode_webp_frames(content: bytes,
     at their (2x, 2y) offsets, alpha-blend or replace per the B flag,
     and D=1 disposes the frame rect to the ANIM background. Lossy
     (VP8) frames raise UnsupportedMedia."""
-    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+    if not is_webp(content):
         raise UnsupportedMedia("not a WebP (bad RIFF header)")
-    pos = 12
     canvas_w = canvas_h = None
     bg_rgba = (255, 255, 255, 255)
     frames: list[np.ndarray] = []
     micros = 40_000
     canvas = None
     decoded_total = 0
-    while pos + 8 <= len(content):
-        tag = content[pos:pos + 4]
-        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
-        body = content[pos + 8:pos + 8 + size]
+    for tag, size, body in _webp_chunks(content):
         if len(body) != size:
             raise UnsupportedMedia("WebP: chunk truncated")
         if tag == b"VP8L" and canvas is None and not frames:
@@ -2571,15 +2614,10 @@ def decode_webp_frames(content: bytes,
             dispose_bg = bool(flags & 0x01)
             if fx + fw > canvas_w or fy + fh > canvas_h:
                 raise UnsupportedMedia("WebP: frame outside canvas")
-            sub = body[16:]
-            fpos = 0
             rgba = None
-            while fpos + 8 <= len(sub):
-                stag = sub[fpos:fpos + 4]
-                (ssize,) = struct.unpack("<I", sub[fpos + 4:fpos + 8])
+            for stag, _ssize, sbody in _webp_chunks(body[16:], 0):
                 if stag == b"VP8L":
-                    rgba, w, h = _decode_vp8l_payload(
-                        sub[fpos + 8:fpos + 8 + ssize])
+                    rgba, w, h = _decode_vp8l_payload(sbody)
                     if (w, h) != (fw, fh):
                         raise UnsupportedMedia(
                             "WebP: frame size mismatch")
@@ -2587,7 +2625,6 @@ def decode_webp_frames(content: bytes,
                 if stag == b"VP8 ":
                     raise UnsupportedMedia(
                         "lossy WebP (VP8) frame — PIL territory")
-                fpos += 8 + ssize + (ssize & 1)
             if rgba is None:
                 raise UnsupportedMedia("WebP: ANMF without image data")
             if canvas is None:
@@ -2623,7 +2660,6 @@ def decode_webp_frames(content: bytes,
                 return frames, micros
             if dispose_bg:
                 canvas[fy:fy + fh, fx:fx + fw] = bg_rgba
-        pos += 8 + size + (size & 1)
     if not frames:
         raise UnsupportedMedia("WebP: no image data")
     return frames, micros

@@ -93,7 +93,7 @@ def _decode_image_real(content: bytes):
         except media_codecs.UnsupportedMedia:
             # arithmetic/lossless/12-bit: fall through to PIL
             pass
-    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+    elif media_codecs.is_webp(content):
         try:
             # lossless WebP (VP8L) decodes natively (r10): full
             # transform set, meta-Huffman, color cache, 2D LZ77
@@ -421,8 +421,7 @@ def video_frame_phash64(df: DataFrame, content_col: str = "content",
             if use_real_decoder:
                 if raw[:4] != b"MPNG" \
                         and raw[:6] not in media_codecs._GIF_MAGICS \
-                        and not (raw[:4] == b"RIFF"
-                                 and raw[8:12] == b"WEBP"):
+                        and not media_codecs.is_webp(raw):
                     raise DecoderNotAvailable(
                         "MP4/WebM video requires ffmpeg, not bundled; "
                         "Motion-PNG, animated GIF and animated "
@@ -699,8 +698,7 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                         if raw[:4] != b"MPNG" \
                                 and raw[:6] not in \
                                 media_codecs._GIF_MAGICS \
-                                and not (raw[:4] == b"RIFF"
-                                         and raw[8:12] == b"WEBP"):
+                                and not media_codecs.is_webp(raw):
                             raise DecoderNotAvailable(
                                 "MP4/WebM video requires ffmpeg, not "
                                 "bundled; Motion-PNG, animated GIF "

@@ -1625,6 +1625,50 @@ def test_webp_animated_roundtrip_and_video_dispatch():
     assert len(one) == 1
 
 
+def test_webp_pixel_cost_ceiling():
+    """The VP8L gate is a PIXEL ceiling, not just a byte ceiling: the
+    decode is symbol-serial Python, so a header that passes the 1 GiB
+    byte model (8192x4096 = 268 MB of uint32) must still be rejected
+    — a gate-passing hostile image used to cost the owning executor
+    on the order of an hour of CPU and ~7 GiB of PyLong churn."""
+    px = _gradient(8, 8, 3)
+    good = mc.encode_webp_lossless(px)
+    sig = good.index(b"\x2f")
+    wtr = mc._Vp8lBitWriter()
+    wtr.write(8191, 14)  # 8192 wide
+    wtr.write(4095, 14)  # x4096 tall = 33.5 MPix, fine by byte math
+    wtr.write(0, 4)
+    bomb = bytearray(good)
+    bomb[sig + 1:sig + 5] = wtr.finish()[:4]
+    with pytest.raises(mc.UnsupportedMedia, match="MPix"):
+        mc.decode_webp(bytes(bomb))
+
+
+def test_crawl_animated_webp_declared_image_is_video(spark, tmp_path):
+    """An animated WebP served with Content-Type: image/webp (how the
+    web serves virtually all of them) is re-sniffed like animated GIF
+    and lands in the video dedup surface; a STILL WebP under the same
+    declared type stays kind=image."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+              for _ in range(2)]
+    anim = mc.encode_webp_anim(frames)
+    still = mc.encode_webp_lossless(frames[0])
+    hdr = b"HTTP/1.1 200 OK\r\nContent-Type: image/webp\r\n\r\n"
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/anim", hdr + anim)
+        + _warc_record("response", "http://x/still", hdr + still))
+    recs = read_warc_records(spark, str(d))
+    media = crawl.crawl_media(recs, spark).collect()
+    assert sorted((r.url, r.kind) for r in media) == [
+        ("http://x/anim", "video"), ("http://x/still", "image")]
+
+
 def test_webp_anim_blend_and_dispose():
     """Hand-built two-frame animation: a sub-rect second frame with
     alpha blending over the first, then disposal to background —
