@@ -119,9 +119,9 @@ _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
                         b"MPNG\x01")
 #: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
 #: the formats; "WEBPVP8" is the WebP RIFF form tag fused to its first
-#: chunk tag — printable, so same treatment) — media-net only, never
-#: the document-side exclusion
-_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"WEBPVP8") \
+#: chunk tag, and "fLaC" the FLAC stream magic — printable, so same
+#: treatment) — media-net only, never the document-side exclusion
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"WEBPVP8", b"fLaC") \
     + media_codecs._GIF_MAGICS
 
 
@@ -136,6 +136,8 @@ def _sniff_kind(body: bytes) -> str | None:
                 else "image")
     if body[:4] == b"RIFF" and body[8:12] == b"WAVE":
         return "audio"
+    if body[:4] == b"fLaC":
+        return "audio"  # native FLAC decode (media_codecs.decode_flac)
     if media_codecs.is_webp(body):
         # animated WebP is a video container (decode_video dispatches
         # on magic), same classification as animated GIF

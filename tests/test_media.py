@@ -1669,6 +1669,215 @@ def test_crawl_animated_webp_declared_image_is_video(spark, tmp_path):
         ("http://x/anim", "video"), ("http://x/still", "image")]
 
 
+def test_flac_roundtrip_all_modes():
+    """Spec-valid FLAC from the fixture encoder round-trips exactly:
+    fixed-predictor + rice and verbatim subframes, constant-block
+    auto-detection, all four stereo decorrelations, and enough frames
+    to exercise multi-byte UTF-8-coded frame numbers."""
+    rng = np.random.RandomState(11)
+    x = (rng.randint(-2000, 2000, 9000)
+         + np.arange(9000) // 3).astype(np.int16)
+    for mode in ("fixed", "verbatim"):
+        got, rate, w = mc.decode_flac(
+            mc.encode_flac(x, 44100, mode=mode, blocksize=4096))
+        assert (rate, w) == (44100, 2)
+        assert np.array_equal(got[:, 0], x), mode
+    st = np.stack([x[:5000],
+                   (x[:5000] // 2 + 100).astype(np.int16)], axis=1)
+    for stereo in ("independent", "left-side", "right-side",
+                   "mid-side"):
+        got, _, _ = mc.decode_flac(
+            mc.encode_flac(st, 22050, stereo=stereo))
+        assert np.array_equal(got, st), stereo
+    const = np.full(300, -7, dtype=np.int16)
+    got, _, _ = mc.decode_flac(mc.encode_flac(const, 8000))
+    assert np.array_equal(got[:, 0], const)
+    # 160 frames of 256 -> frame indexes past 127 (2-byte coding)
+    long = (np.arange(40960) % 251 - 125).astype(np.int16)
+    got, _, _ = mc.decode_flac(
+        mc.encode_flac(long, 16000, blocksize=256))
+    assert np.array_equal(got[:, 0], long)
+
+
+def _flac_file(streaminfo_bits, frame_payloads):
+    """Assemble magic + STREAMINFO + pre-built frames (adding each
+    frame's CRC-16 footer)."""
+    out = bytearray(b"fLaC")
+    info = streaminfo_bits.finish() + b"\x00" * 16
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    for frame in frame_payloads:
+        out += frame + mc._crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _flac_streaminfo(rate, ch, bps, total):
+    si = mc._MsbBitWriter()
+    si.write(16, 16)
+    si.write(65535, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    return si
+
+
+def _flac_frame_header(bs, chan_code, bps_code, idx=0):
+    wtr = mc._MsbBitWriter()
+    wtr.write(0x3FFE, 14)
+    wtr.write(0, 2)
+    wtr.write(7, 4)       # blocksize: 16-bit field below
+    wtr.write(0, 4)       # rate from STREAMINFO
+    wtr.write(chan_code, 4)
+    wtr.write(bps_code, 3)
+    wtr.write(0, 1)
+    mc._flac_write_utf8(wtr, idx)
+    wtr.write(bs - 1, 16)
+    hdr = wtr.finish()
+    out = mc._MsbBitWriter()
+    out.out += hdr
+    out.write(mc._crc8(hdr), 8)
+    return out
+
+
+def test_flac_lpc_partitioned_rice_decodes():
+    """Hand-built stream exercising decoder-only paths the fixture
+    encoder never emits: an LPC subframe (order 2, shift 1), a 5-bit
+    rice parameter method, partition order 1, and an
+    escape-to-raw-binary second partition."""
+    bs, warm, coefs, shift = 8, [100, 110], [3, -1], 1
+    res = [5, -3, -20, 31, 0, 7]
+    wtr = _flac_frame_header(bs, 0, 4)
+    wtr.write(0, 1)          # subframe pad
+    wtr.write(32 | (2 - 1), 6)  # LPC order 2
+    wtr.write(0, 1)          # no wasted bits
+    for s in warm:
+        wtr.write(s, 16)
+    wtr.write(5 - 1, 4)      # coefficient precision 5
+    wtr.write(shift, 5)
+    for c in coefs:
+        wtr.write(c, 5)
+    wtr.write(1, 2)          # residual method 1: 5-bit params
+    wtr.write(1, 4)          # partition order 1 -> 2 partitions
+    wtr.write(3, 5)          # partition 1: rice param 3
+    for r in res[:2]:
+        z = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        wtr.write(0, z >> 3)
+        wtr.write(1, 1)
+        wtr.write(z & 7, 3)
+    wtr.write(31, 5)         # partition 2: escape
+    wtr.write(6, 5)          # 6-bit raw residuals
+    for r in res[2:]:
+        wtr.write(r, 6)
+    wtr.pad_to_byte()
+    blob = _flac_file(_flac_streaminfo(8000, 1, 16, bs),
+                      [bytes(wtr.out)])
+    got, rate, w = mc.decode_flac(blob)
+    exp = list(warm)
+    for r in res:
+        exp.append(((coefs[0] * exp[-1] + coefs[1] * exp[-2])
+                    >> shift) + r)
+    assert (rate, w) == (8000, 2)
+    assert got[:, 0].tolist() == exp
+
+
+def test_flac_wasted_bits_and_8bit_contract():
+    """A verbatim subframe with one wasted bit shifts back up on
+    decode; an 8-bit stream returns unsigned samples (the decode_wav
+    WAV convention)."""
+    vals = [2, 4, -6, 8]
+    wtr = _flac_frame_header(4, 0, 4)
+    wtr.write(0, 1)
+    wtr.write(1, 6)   # verbatim
+    wtr.write(1, 1)   # wasted-bits flag
+    wtr.write(1, 1)   # unary 0 -> 1 wasted bit
+    for v in vals:
+        wtr.write(v >> 1, 15)
+    wtr.pad_to_byte()
+    got, _, w = mc.decode_flac(
+        _flac_file(_flac_streaminfo(8000, 1, 16, 4), [bytes(wtr.out)]))
+    assert w == 2 and got[:, 0].tolist() == vals
+    wtr = _flac_frame_header(3, 0, 1)  # bps code 1 = 8-bit
+    wtr.write(0, 1)
+    wtr.write(0, 6)   # constant
+    wtr.write(0, 1)
+    wtr.write(-5, 8)
+    wtr.pad_to_byte()
+    got, _, w = mc.decode_flac(
+        _flac_file(_flac_streaminfo(8000, 1, 8, 3), [bytes(wtr.out)]))
+    assert w == 1 and got.dtype == np.uint8
+    assert got[:, 0].tolist() == [123, 123, 123]
+
+
+def test_flac_error_surface():
+    """Bad magic, header corruption (CRC-8), truncation, and the
+    declared-length bomb gate all surface as UnsupportedMedia."""
+    x = np.arange(500, dtype=np.int16)
+    good = mc.encode_flac(x, 8000)
+    with pytest.raises(mc.UnsupportedMedia, match="magic"):
+        mc.decode_flac(b"not flac")
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_flac(good[:60])
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0x04  # inside the first frame header
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_flac(bytes(corrupt))
+    bomb = _flac_file(
+        _flac_streaminfo(8000, 2, 16, (1 << 36) - 1), [])
+    with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
+        mc.decode_flac(bomb)
+    with pytest.raises(mc.UnsupportedMedia, match="WAV or FLAC"):
+        mc.decode_audio(b"\xff\xfbID3 mp3 junk")
+
+
+def test_flac_audio_dedup_cross_format(spark):
+    """The SAME clip encoded as WAV and as FLAC lands on the SAME
+    energy fingerprint — lossless decode feeding a decode-invariant
+    feature — so cross-format re-encodes dedup naturally."""
+    t = np.arange(6500)
+    base = (np.sin(t / 7.0) * 12000
+            + np.sin(t / 31.0) * 6000).astype(np.int16)
+    other = (np.sign(np.sin(t / 3.0)) * 15000).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, mc.encode_wav(base, 16000)),
+         (2, mc.encode_flac(base, 16000)),
+         (3, mc.encode_flac(other, 16000, mode="verbatim"))],
+        "media_id long, content binary")
+    codes = {r.media_id: r.afp for r in multimodal.audio_fingerprint64(
+        media, use_real_decoder=True).collect()}
+    assert codes[1] == codes[2]
+    assert codes[3] != codes[1]
+    pairs = [(r.id_a, r.id_b) for r in multimodal.audio_near_duplicates(
+        media, max_hamming=3, bands=4, use_real_decoder=True).collect()]
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_crawl_media_sniffs_flac(spark, tmp_path):
+    """An untyped FLAC response is sniffed kind=audio by the fLaC
+    magic; prose mentioning 'fLaC' stays a document candidate."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    flac = mc.encode_flac(
+        (np.arange(400) % 97 - 48).astype(np.int16), 8000)
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: " \
+        b"application/octet-stream\r\n\r\n" + flac
+    prose = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+             b"application/octet-stream\r\n\r\n"
+             b"the fLaC marker opens every flac stream " * 6)
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/clip", body)
+        + _warc_record("response", "http://x/doc", prose))
+    recs = read_warc_records(spark, str(d))
+    media = crawl.crawl_media(recs, spark).collect()
+    assert [(r.kind, r.url) for r in media] == [("audio",
+                                                 "http://x/clip")]
+    assert bytes(media[0].content) == flac
+
+
 def test_webp_anim_blend_and_dispose():
     """Hand-built two-frame animation: a sub-rect second frame with
     alpha blending over the first, then disposal to background —
