@@ -100,8 +100,8 @@ def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
 #: pipeline needs rows for (r7 verdict ask #5)
 _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
-    "crawl-ingest", "drift", "media-dedup", "ann-tune", "dedup-index",
-    "compact", "corpus-stats"})
+    "crawl-ingest", "drift", "media-dedup", "media-probe", "ann-tune",
+    "dedup-index", "compact", "corpus-stats"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -468,6 +468,21 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     md.add_argument("--skip-undecodable", action="store_true",
                     help="drop NULL/undecodable rows (NULL fingerprint) "
                     "instead of failing the job on one bad blob")
+
+    mb = sub.add_parser("media-probe", help="container-level technical "
+                        "metadata (container, kind, codec, duration, "
+                        "dims, rate) from headers alone — covers "
+                        "MP4/WebM/Ogg/MP3 whose codec payloads need "
+                        "ffmpeg; the cheap classification pass that "
+                        "curates media before any decode")
+    mb.add_argument("--input", required=True,
+                    help="parquet with (id, binary content) columns")
+    mb.add_argument("--id-col", default="media_id")
+    mb.add_argument("--content-col", default="content")
+    mb.add_argument("--output", required=True,
+                    help="probe parquet out (id, container, kind, "
+                    "codec, duration_ms, width, height, sample_rate, "
+                    "channels)")
 
     at = sub.add_parser("ann-tune", help="grid-search one ANN index "
                         "parameter (ivf nprobe / lsh n_planes / sq8 or "
@@ -1073,6 +1088,26 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         return _emit(args, {
             "pairs": args.output, "kind": args.kind,
             "n_pairs": spark.read.parquet(args.output).count()})
+
+    if args.command == "media-probe":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.pipeline import multimodal
+
+        spark = make_session(app_name="kiji-media-probe")
+        media = spark.read.parquet(args.input)
+        probed = multimodal.media_probe(
+            media, content_col=args.content_col, id_col=args.id_col)
+        probed.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        by_container = {
+            r["container"] or "unknown": r["n"]
+            for r in out.groupBy("container")
+            .agg(F.count("*").alias("n")).collect()}
+        return _emit(args, {
+            "probe": args.output,
+            "n_rows": out.count(),
+            "by_container": by_container})
 
     if args.command == "ann-tune":
         from kiji_mapreduce_spark.pipeline import similarity

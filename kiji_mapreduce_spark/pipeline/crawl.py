@@ -116,12 +116,15 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
 #: re-checks exact body PREFIXES (_sniff_kind), so a probe
 #: false-positive costs one row through Arrow, never a wrong kind.
 _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
-                        b"MPNG\x01")
+                        b"MPNG\x01", b"\x1aE\xdf\xa3")  # + EBML/WebM
 #: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
 #: the formats; "WEBPVP8" is the WebP RIFF form tag fused to its first
 #: chunk tag, and "fLaC" the FLAC stream magic — printable, so same
 #: treatment) — media-net only, never the document-side exclusion
-_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"WEBPVP8", b"fLaC") \
+#: ("ftyp" names the MP4 box in prose, "OggS" the page magic; ID3v2
+#: is probed with its version byte so plain "ID3" prose misses)
+_TEXTUAL_MAGIC_PROBES = (b"WAVEfmt ", b"WEBPVP8", b"fLaC", b"ftyp",
+                         b"OggS", b"ID3\x03\x00", b"ID3\x04\x00") \
     + media_codecs._GIF_MAGICS
 
 
@@ -143,6 +146,15 @@ def _sniff_kind(body: bytes) -> str | None:
         # on magic), same classification as animated GIF
         return ("video" if media_codecs.webp_frame_count(body) >= 2
                 else "image")
+    if (body[4:8] == b"ftyp" or body[:4] == b"\x1aE\xdf\xa3"
+            or body[:4] == b"OggS" or body[:3] == b"ID3"):
+        # MP4 / Matroska-WebM / Ogg / MP3: codec payloads are ffmpeg
+        # territory, but the container probe classifies them (and
+        # media_probe extracts duration/codec/dims) so an untyped
+        # response still lands in the media table with the right kind
+        probe = media_codecs.probe_media(body)
+        if probe is not None:
+            return probe["kind"]
     return None
 
 

@@ -929,6 +929,441 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
 
 
 # ---------------------------------------------------------------------------
+# Container probes — technical metadata from headers alone, no frame
+# decode. At crawl scale the first media pass is classification and
+# curation (group by codec, filter by duration/resolution, budget by
+# kind), and that must work for EVERY container the web ships —
+# including MP4/WebM/Ogg/MP3 whose codec payloads are ffmpeg
+# territory. Each probe walks only declared header structures
+# (ISO 14496-12 boxes, Matroska EBML elements, MP3 frame headers,
+# Ogg pages) with bounded loops, so a probe over hostile bytes costs
+# microseconds and never allocates frame buffers. All formats with a
+# bundled codec (PNG/JPEG/GIF/WebP/WAV/FLAC/Motion-PNG) probe through
+# the same cheap header reads for a uniform surface.
+# ---------------------------------------------------------------------------
+
+#: hard cap on linear header walks (MP3 frames, Ogg pages, RIFF/EBML
+#: children): bounds probe CPU on hostile concatenations
+_MAX_PROBE_STEPS = 200_000
+
+
+def _probe_mp4(content: bytes) -> dict | None:
+    """ISO base-media (MP4/MOV/3GP…) box walk: ftyp brand, mvhd
+    duration, per-trak handler + stsd codec / dims / rate."""
+    # prose can carry "ftyp" at offset 4 ("the ftyp box…"), so demand
+    # a structurally sane leading box before claiming the container
+    (size0,) = struct.unpack(">I", content[0:4])
+    if not 8 <= size0 <= len(content):
+        return None
+    out = {"container": "mp4", "kind": None, "codec": None,
+           "duration_ms": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None}
+    cur_handler = None  # the enclosing trak's hdlr type
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        steps = 0
+        while pos + 8 <= hi and steps < _MAX_PROBE_STEPS:
+            steps += 1
+            (size,) = struct.unpack(">I", content[pos:pos + 4])
+            btype = content[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", content[pos + 8:pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    def walk(lo, hi, path=()):
+        nonlocal cur_handler
+        for btype, body, end in boxes(lo, hi):
+            p = path + (btype,)
+            if btype == b"ftyp" and out["codec"] is None:
+                out["codec"] = content[body:body + 4].decode(
+                    "ascii", "replace").strip()
+            elif btype == b"mvhd":
+                ver = content[body]
+                if ver == 1:
+                    scale, dur = struct.unpack(
+                        ">IQ", content[body + 20:body + 32])
+                else:
+                    scale, dur = struct.unpack(
+                        ">II", content[body + 12:body + 20])
+                if scale:
+                    out["duration_ms"] = dur * 1000.0 / scale
+            elif btype == b"hdlr":
+                cur_handler = content[body + 8:body + 12]
+                if cur_handler == b"vide":
+                    out["kind"] = "video"
+                elif cur_handler == b"soun" \
+                        and out["kind"] != "video":
+                    out["kind"] = "audio"
+            elif btype == b"stsd":
+                n = struct.unpack(">I", content[body + 4:body + 8])[0]
+                e = body + 8  # first sample entry
+                if n and e + 36 <= end:
+                    fourcc = content[e + 4:e + 8].decode(
+                        "ascii", "replace").strip()
+                    # visual vs sound entry layouts disambiguated by
+                    # the enclosing trak's hdlr (precedes stsd)
+                    if cur_handler == b"vide":
+                        out["codec"] = fourcc  # video codec wins
+                        w, h = struct.unpack(
+                            ">HH", content[e + 32:e + 36])
+                        if out["width"] is None and w and h:
+                            out["width"], out["height"] = w, h
+                    elif cur_handler == b"soun":
+                        if out["kind"] != "video" \
+                                or out["codec"] is None:
+                            out["codec"] = fourcc
+                        ch, _ss = struct.unpack(
+                            ">HH", content[e + 24:e + 28])
+                        rate = struct.unpack(
+                            ">I", content[e + 32:e + 36])[0] >> 16
+                        if out["sample_rate"] is None:
+                            out["sample_rate"] = rate or None
+                            out["channels"] = ch or None
+            if btype in (b"moov", b"trak", b"mdia", b"minf",
+                         b"stbl") and len(p) < 8:
+                walk(body, end, p)
+
+    walk(0, len(content))
+    if out["kind"] is None:
+        out["kind"] = "video"  # ftyp present, tracks unparsed
+    return out
+
+
+def _ebml_vint(content: bytes, pos: int, keep_marker: bool
+               ) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` -> (value, next_pos)."""
+    b0 = content[pos]
+    if b0 == 0:
+        raise UnsupportedMedia("EBML: invalid vint")
+    length = 9 - b0.bit_length()
+    v = b0 if keep_marker else b0 & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | content[pos + i]
+    return v, pos + length
+
+
+def _probe_ebml(content: bytes) -> dict | None:
+    """Matroska/WebM EBML walk: DocType, Info duration, first
+    video/audio TrackEntry codec + dims/rate."""
+    out = {"container": "mkv", "kind": None, "codec": None,
+           "duration_ms": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None}
+    scale = 1_000_000  # ns per timestamp unit (Matroska default)
+    duration_units = None
+    track_type = 0
+
+    def walk(lo: int, hi: int, depth: int):
+        nonlocal scale, duration_units, track_type
+        pos = lo
+        steps = 0
+        while pos < hi and steps < _MAX_PROBE_STEPS:
+            steps += 1
+            try:
+                eid, p2 = _ebml_vint(content, pos, True)
+                size, body = _ebml_vint(content, p2, False)
+            except (IndexError, UnsupportedMedia):
+                return
+            end = min(body + size, hi)
+            data = content[body:end]
+            if eid == 0x4282:  # DocType
+                dt = data.decode("ascii", "replace").rstrip("\x00")
+                out["container"] = "webm" if dt == "webm" else "mkv"
+            elif eid == 0x2AD7B1 and data:  # TimestampScale
+                scale = int.from_bytes(data, "big")
+            elif eid == 0x4489 and data:  # Duration (float)
+                duration_units = struct.unpack(
+                    ">f" if len(data) == 4 else ">d", data)[0]
+            elif eid == 0x83 and data:  # TrackType
+                track_type = data[0]
+                if track_type == 1:
+                    out["kind"] = "video"
+                elif track_type == 2 and out["kind"] != "video":
+                    out["kind"] = "audio"
+            elif eid == 0x86 and data:  # CodecID
+                if out["codec"] is None or track_type == 1:
+                    out["codec"] = data.decode(
+                        "ascii", "replace").rstrip("\x00")
+            elif eid == 0xB0 and data:  # PixelWidth
+                out["width"] = int.from_bytes(data, "big")
+            elif eid == 0xBA and data:  # PixelHeight
+                out["height"] = int.from_bytes(data, "big")
+            elif eid == 0xB5 and data:  # SamplingFrequency
+                out["sample_rate"] = int(struct.unpack(
+                    ">f" if len(data) == 4 else ">d", data)[0])
+            elif eid == 0x9F and data:  # Channels
+                out["channels"] = int.from_bytes(data, "big")
+            elif eid in (0x1A45DFA3, 0x18538067, 0x1549A966,
+                         0x1654AE6B, 0xAE, 0xE0, 0xE1) and depth < 8:
+                # EBML header / Segment / Info / Tracks / TrackEntry /
+                # Video / Audio: containers worth descending into
+                walk(body, end, depth + 1)
+            pos = end
+
+    walk(0, len(content), 0)
+    if duration_units is not None:
+        out["duration_ms"] = duration_units * scale / 1e6
+    return out
+
+
+#: MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables
+_MP3_BITRATES = {
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+             224, 256, 320, 0),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+             128, 144, 160, 0),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+
+
+def _probe_mp3(content: bytes) -> dict | None:
+    """MP3 frame-header walk (ID3v2 skipped): rate/channels from the
+    first valid frame, duration by summing frame counts (Layer III:
+    1152 samples/frame MPEG-1, 576 MPEG-2/2.5)."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        sz = 0
+        for b in content[6:10]:
+            sz = (sz << 7) | (b & 0x7F)  # syncsafe
+        pos = 10 + sz
+    out = {"container": "mp3", "kind": "audio", "codec": "mp3",
+           "duration_ms": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None}
+    n_frames = 0
+    samples = 0
+    rate0 = None
+    steps = 0
+    while pos + 4 <= len(content) and steps < _MAX_PROBE_STEPS:
+        steps += 1
+        h = struct.unpack(">I", content[pos:pos + 4])[0]
+        if h >> 21 != 0x7FF:
+            if n_frames:
+                break  # trailing tag/junk after valid frames
+            pos += 1
+            continue
+        ver_bits = (h >> 19) & 3
+        layer_bits = (h >> 17) & 3
+        if ver_bits == 1 or layer_bits != 1:  # Layer III only
+            if n_frames:
+                break
+            pos += 1
+            continue
+        version = {0: 25, 2: 2, 3: 1}[ver_bits]
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        rate = _MP3_RATES[version][sr_idx]
+        kbps = _MP3_BITRATES[(1 if version == 1 else 2, 3)][br_idx]
+        padding = (h >> 9) & 1
+        spf = 1152 if version == 1 else 576
+        frame_len = spf * kbps * 1000 // 8 // rate + padding
+        if frame_len <= 4:
+            break
+        if rate0 is None:
+            rate0 = rate
+            out["sample_rate"] = rate
+            out["channels"] = 1 if (h >> 6) & 3 == 3 else 2
+        n_frames += 1
+        samples += spf
+        pos += frame_len
+    if n_frames == 0:
+        return None  # bare sync false positive: not an MP3
+    if rate0:
+        out["duration_ms"] = samples * 1000.0 / rate0
+    return out
+
+
+def _probe_ogg(content: bytes) -> dict | None:
+    """Ogg page walk: codec from the first stream's ID packet
+    (Vorbis / Opus / Theora / FLAC-in-Ogg), duration from the last
+    page's granule position."""
+    out = {"container": "ogg", "kind": None, "codec": None,
+           "duration_ms": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None}
+    pos = 0
+    granule_rate = None
+    last_granule = None
+    steps = 0
+    while pos + 27 <= len(content) and steps < _MAX_PROBE_STEPS:
+        steps += 1
+        if content[pos:pos + 4] != b"OggS":
+            break
+        granule = struct.unpack("<q", content[pos + 6:pos + 14])[0]
+        nsegs = content[pos + 26]
+        seg_table = content[pos + 27:pos + 27 + nsegs]
+        body = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        pkt = content[body:body + body_len]
+        if out["codec"] is None:
+            if pkt[:7] == b"\x01vorbis":
+                out["kind"] = "audio"
+                out["codec"] = "vorbis"
+                out["channels"] = pkt[11]
+                out["sample_rate"] = struct.unpack(
+                    "<I", pkt[12:16])[0]
+                granule_rate = out["sample_rate"]
+            elif pkt[:8] == b"OpusHead":
+                out["kind"] = "audio"
+                out["codec"] = "opus"
+                out["channels"] = pkt[9]
+                out["sample_rate"] = struct.unpack(
+                    "<I", pkt[12:16])[0]
+                granule_rate = 48000  # Opus granules are 48 kHz
+            elif pkt[:7] == b"\x80theora":
+                out["kind"] = "video"
+                out["codec"] = "theora"
+                if len(pkt) >= 14:
+                    out["width"] = int.from_bytes(
+                        pkt[10:12], "big") << 4
+                    out["height"] = int.from_bytes(
+                        pkt[12:14], "big") << 4
+            elif pkt[:5] == b"\x7fFLAC":
+                out["kind"] = "audio"
+                out["codec"] = "flac"
+        if granule >= 0:
+            last_granule = granule
+        pos = body + body_len
+    if out["codec"] is None and last_granule is None:
+        return None
+    if granule_rate and last_granule:
+        out["duration_ms"] = last_granule * 1000.0 / granule_rate
+    return out
+
+
+def probe_media(content: bytes) -> dict | None:
+    """Bytes -> container/codec metadata dict (container, kind, codec,
+    duration_ms, width, height, sample_rate, channels) or None when no
+    known container matches. Never raises on hostile bytes — a probe
+    that cannot parse returns what it saw or None."""
+    try:
+        if not content:
+            return None
+        if content[:8] == _PNG_MAGIC:
+            w, h = struct.unpack(">II", content[16:24])
+            return {"container": "png", "kind": "image",
+                    "codec": "png", "duration_ms": None,
+                    "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if content[:3] == b"\xff\xd8\xff":
+            w = h = None
+            pos = 2
+            while pos + 9 < len(content):
+                if content[pos] != 0xFF:
+                    break
+                marker = content[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack(
+                    ">H", content[pos + 2:pos + 4])
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(
+                        ">HH", content[pos + 5:pos + 9])
+                    break
+                pos += 2 + seglen
+            return {"container": "jpeg", "kind": "image",
+                    "codec": "jpeg", "duration_ms": None,
+                    "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if content[:6] in _GIF_MAGICS:
+            w, h = struct.unpack("<HH", content[6:10])
+            frames = gif_frame_count(content)
+            return {"container": "gif",
+                    "kind": "video" if frames >= 2 else "image",
+                    "codec": "gif", "duration_ms": None,
+                    "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if is_webp(content):
+            w = h = None
+            for tag, _size, body in _webp_chunks(content):
+                if tag == b"VP8X" and len(body) >= 10:
+                    w = _u24le(body, 4) + 1
+                    h = _u24le(body, 7) + 1
+                    break
+                if tag == b"VP8L" and len(body) >= 5 \
+                        and body[0] == 0x2F:
+                    bits = int.from_bytes(body[1:5], "little")
+                    w = (bits & 0x3FFF) + 1
+                    h = ((bits >> 14) & 0x3FFF) + 1
+                    break
+                if tag == b"VP8 " and len(body) >= 10:
+                    w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                    h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                    break
+            frames = webp_frame_count(content)
+            return {"container": "webp",
+                    "kind": "video" if frames >= 2 else "image",
+                    "codec": "vp8l" if content[12:16] == b"VP8L"
+                    else "webp", "duration_ms": None,
+                    "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            samples, rate, width = decode_wav(content)
+            return {"container": "wav", "kind": "audio",
+                    "codec": f"pcm_{width * 8}",
+                    "duration_ms": samples.shape[0] * 1000.0 / rate
+                    if rate else None,
+                    "width": None, "height": None,
+                    "sample_rate": rate,
+                    "channels": samples.shape[1]}
+        if content[:4] == _FLAC_MAGIC:
+            blk = content[8:8 + 34]
+            mb = _FlacBits(blk)
+            mb.read(16)
+            mb.read(16)
+            mb.read(24)
+            mb.read(24)
+            rate = mb.read(20)
+            channels = mb.read(3) + 1
+            mb.read(5)
+            total = mb.read(36)
+            return {"container": "flac", "kind": "audio",
+                    "codec": "flac",
+                    "duration_ms": total * 1000.0 / rate
+                    if rate else None,
+                    "width": None, "height": None,
+                    "sample_rate": rate, "channels": channels}
+        if content[:4] == _MPNG_MAGIC and len(content) >= 11:
+            _v, n_frames, micros = struct.unpack(
+                ">BHI", content[4:11])
+            return {"container": "mpng", "kind": "video",
+                    "codec": "png",
+                    "duration_ms": n_frames * micros / 1000.0,
+                    "width": None, "height": None,
+                    "sample_rate": None, "channels": None}
+        if content[4:8] == b"ftyp":
+            return _probe_mp4(content)
+        if content[:4] == b"\x1aE\xdf\xa3":
+            return _probe_ebml(content)
+        if content[:4] == b"OggS":
+            return _probe_ogg(content)
+        if content[:3] == b"ID3" or (
+                len(content) > 4
+                and content[0] == 0xFF
+                and content[1] & 0xE0 == 0xE0):
+            return _probe_mp3(content)
+        return None
+    except (IndexError, ValueError, struct.error, UnsupportedMedia,
+            KeyError, zlib.error, EOFError, wave.Error):
+        return None
+
+
+# ---------------------------------------------------------------------------
 # JPEG — baseline sequential DCT (ITU-T T.81, public specification).
 #
 # Real pretraining image corpora are overwhelmingly JPEG; without a

@@ -662,6 +662,41 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(_extract, schema)
 
 
+def media_probe(df: DataFrame, content_col: str = "content",
+                id_col: str = "media_id") -> DataFrame:
+    """Container-level technical metadata for EVERY format the web
+    ships — including MP4/WebM/Ogg/MP3 whose codec payloads need
+    ffmpeg: (container, kind, codec, duration_ms, width, height,
+    sample_rate, channels), NULLs where the container doesn't carry
+    the field and a NULL container for unrecognized bytes (probing
+    never raises — hostile bytes are data here, not errors). Header
+    walks only, no frame decode: at crawl scale this is the pass that
+    curates media (group by codec, filter by duration/resolution)
+    before any expensive decode is attempted. Reference archetype:
+    gatherer over a binary column (kiji-mapreduce/src/main/java/org/
+    kiji/mapreduce/gather/KijiGatherer.java:83-156)."""
+    schema = (f"{id_col} long, container string, kind string, "
+              "codec string, duration_ms double, width int, "
+              "height int, sample_rate int, channels int")
+    fields = ("container", "kind", "codec", "duration_ms", "width",
+              "height", "sample_rate", "channels")
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kiji_mapreduce_spark.pipeline import media_codecs
+
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in fields}
+            for c in pdf[content_col]:
+                raw = bytes(c) if c is not None else b""
+                p = media_codecs.probe_media(raw) or {}
+                for k in fields:
+                    rows[k].append(p.get(k))
+            out = pd.DataFrame({id_col: pdf[id_col], **rows})
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(_probe, schema)
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", every_n: int = 10,
                   frame_size: int = 256,

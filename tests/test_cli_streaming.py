@@ -861,6 +861,38 @@ def test_cli_media_dedup_image_pairs(spark, tmp_path, capsys):
     assert pairs[(1, 2)] == 0
 
 
+def test_cli_media_probe(spark, tmp_path, capsys):
+    """media-probe writes the container metadata table for a mixed
+    corpus — ffmpeg-territory containers included — and reports the
+    per-container census."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from tests.test_media import mp3_fixture, mp4_fixture
+
+    png = mc.encode_png(
+        np.zeros((4, 6, 3), np.uint8))
+    spark.createDataFrame(
+        [(1, mp4_fixture()), (2, mp3_fixture()), (3, png),
+         (4, b"junk that is no container")],
+        "media_id long, content binary").write.parquet(
+        f"{tmp_path}/media")
+    rc = cli.main(["media-probe", "--input", f"{tmp_path}/media",
+                   "--output", f"{tmp_path}/probe"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 4
+    assert out["by_container"] == {"mp4": 1, "mp3": 1, "png": 1,
+                                   "unknown": 1}
+    rows = {r.media_id: r for r in
+            spark.read.parquet(f"{tmp_path}/probe").collect()}
+    assert rows[1].codec == "avc1" and rows[1].duration_ms == 2500.0
+    assert rows[2].kind == "audio" and rows[2].sample_rate == 44100
+    assert rows[3].width == 6 and rows[4].container is None
+
+
 def test_cli_media_dedup_video_pairs(spark, tmp_path, capsys):
     """media-dedup --kind video decodes Motion-PNG clips, samples
     frames, and writes frame-aligned pair counts (n_matching)."""

@@ -1878,6 +1878,177 @@ def test_crawl_media_sniffs_flac(spark, tmp_path):
     assert bytes(media[0].content) == flac
 
 
+def _mp4_box(t: bytes, payload: bytes) -> bytes:
+    import struct as _s
+    return _s.pack(">I", 8 + len(payload)) + t + payload
+
+
+def mp4_fixture(video: bool = True, audio: bool = True) -> bytes:
+    """Minimal spec-shaped ISO-BMFF: ftyp + moov(mvhd, trak(s))."""
+    import struct as _s
+    mvhd = _mp4_box(b"mvhd", bytes(12)
+                    + _s.pack(">II", 1000, 2500) + bytes(80))
+    traks = b""
+    if video:
+        vse = (_s.pack(">I", 86) + b"avc1" + bytes(24)
+               + _s.pack(">HH", 640, 360) + bytes(50))
+        stsd = _mp4_box(b"stsd", _s.pack(">II", 0, 1) + vse)
+        traks += _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(
+            b"hdlr", bytes(8) + b"vide" + bytes(12))
+            + _mp4_box(b"minf", _mp4_box(b"stbl", stsd))))
+    if audio:
+        ase = (_s.pack(">I", 36) + b"mp4a" + bytes(16)
+               + _s.pack(">HH", 2, 16) + bytes(4)
+               + _s.pack(">I", 44100 << 16))
+        stsd = _mp4_box(b"stsd", _s.pack(">II", 0, 1) + ase)
+        traks += _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(
+            b"hdlr", bytes(8) + b"soun" + bytes(12))
+            + _mp4_box(b"minf", _mp4_box(b"stbl", stsd))))
+    return _mp4_box(b"ftyp", b"isom" + bytes(8)) \
+        + _mp4_box(b"moov", mvhd + traks)
+
+
+def _ebml_elem(eid: bytes, payload: bytes) -> bytes:
+    n = len(payload)
+    for ln in range(1, 5):
+        if n < (1 << (7 * ln)) - 1:
+            size = ((1 << (8 - ln)) << (8 * (ln - 1)) | n
+                    ).to_bytes(ln, "big")
+            return eid + size + payload
+    raise ValueError("payload too large for fixture")
+
+
+def webm_fixture() -> bytes:
+    """Minimal WebM: EBML header (DocType) + Segment(Info, Tracks)."""
+    import struct as _s
+    e = _ebml_elem
+    hdr = e(b"\x1a\x45\xdf\xa3", e(b"\x42\x82", b"webm"))
+    info = e(b"\x15\x49\xa9\x66",
+             e(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+             + e(b"\x44\x89", _s.pack(">f", 7500.0)))
+    video = e(b"\xe0", e(b"\xb0", (1280).to_bytes(2, "big"))
+              + e(b"\xba", (720).to_bytes(2, "big")))
+    trk = e(b"\xae", e(b"\x83", b"\x01") + e(b"\x86", b"V_VP9")
+            + video)
+    return hdr + e(b"\x18\x53\x80\x67",
+                   info + e(b"\x16\x54\xae\x6b", trk))
+
+
+def mp3_fixture(n_frames: int = 10) -> bytes:
+    """ID3v2 header + CBR MPEG-1 Layer III frames (128 kbps, 44.1
+    kHz, stereo)."""
+    import struct as _s
+    flen = 1152 * 128 * 1000 // 8 // 44100
+    frame = _s.pack(">I", 0xFFFB9000) + bytes(flen - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    return id3 + frame * n_frames
+
+
+def ogg_opus_fixture() -> bytes:
+    """Two Ogg pages: OpusHead ID packet + a data page whose granule
+    (48 kHz) implies a 2 s duration."""
+    import struct as _s
+
+    def page(granule, payload, seq):
+        return (b"OggS\x00\x00" + _s.pack("<q", granule) + bytes(4)
+                + _s.pack("<I", seq) + bytes(4)
+                + bytes([1, len(payload)]) + payload)
+
+    opus_id = (b"OpusHead\x01\x02\x00\x00"
+               + _s.pack("<I", 48000) + bytes(3))
+    return page(-1, opus_id, 0) + page(96000, b"\x00" * 10, 1)
+
+
+def test_probe_media_containers():
+    """Header-only probes across every container: the ffmpeg-territory
+    four (MP4/WebM/MP3/Ogg) yield kind/codec/duration/dims with no
+    frame decode, the natively-decodable formats probe through the
+    same surface, junk returns None (probing never raises)."""
+    p = mc.probe_media(mp4_fixture())
+    assert (p["container"], p["kind"], p["codec"]) == \
+        ("mp4", "video", "avc1")
+    assert p["duration_ms"] == 2500.0
+    assert (p["width"], p["height"]) == (640, 360)
+    assert (p["sample_rate"], p["channels"]) == (44100, 2)
+    p = mc.probe_media(mp4_fixture(video=False))
+    assert (p["kind"], p["codec"], p["sample_rate"]) == \
+        ("audio", "mp4a", 44100)
+    p = mc.probe_media(webm_fixture())
+    assert (p["container"], p["codec"], p["duration_ms"],
+            p["width"], p["height"]) == \
+        ("webm", "V_VP9", 7500.0, 1280, 720)
+    p = mc.probe_media(mp3_fixture())
+    assert (p["container"], p["kind"], p["sample_rate"],
+            p["channels"]) == ("mp3", "audio", 44100, 2)
+    assert abs(p["duration_ms"] - 10 * 1152 * 1000 / 44100) < 1e-6
+    p = mc.probe_media(ogg_opus_fixture())
+    assert (p["codec"], p["channels"], p["duration_ms"]) == \
+        ("opus", 2, 2000.0)
+    p = mc.probe_media(mc.encode_webp_lossless(_gradient(7, 11, 3)))
+    assert (p["container"], p["codec"], p["width"], p["height"]) == \
+        ("webp", "vp8l", 11, 7)
+    p = mc.probe_media(mc.encode_flac(
+        np.zeros(4000, np.int16), 8000))
+    assert (p["container"], p["duration_ms"]) == ("flac", 500.0)
+    assert mc.probe_media(b"prose about ftyp and OggS boxes") is None
+    assert mc.probe_media(b"") is None
+    # hostile: truncated headers must not raise
+    for blob in (mp4_fixture()[:20], webm_fixture()[:9],
+                 mp3_fixture()[:12], ogg_opus_fixture()[:30]):
+        mc.probe_media(blob)
+
+
+def test_media_probe_dataframe(spark):
+    """multimodal.media_probe maps a mixed-container corpus to the
+    typed metadata table; unrecognized bytes land with NULL container
+    instead of failing the job."""
+    rows = [(1, mp4_fixture()), (2, webm_fixture()),
+            (3, mp3_fixture()), (4, ogg_opus_fixture()),
+            (5, mc.encode_png(_gradient(4, 6, 3))),
+            (6, b"\x00\x01junk"), (7, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in
+           multimodal.media_probe(df).collect()}
+    assert got[1].container == "mp4" and got[1].width == 640
+    assert got[2].container == "webm" and got[2].duration_ms == 7500.0
+    assert got[3].container == "mp3" and got[3].kind == "audio"
+    assert got[4].codec == "opus" and got[4].sample_rate == 48000
+    assert got[5].container == "png" and got[5].kind == "image"
+    assert got[6].container is None and got[7].container is None
+
+
+def test_crawl_media_sniffs_ffmpeg_containers(spark, tmp_path):
+    """Untyped MP4 / WebM / Ogg / MP3 responses are classified by the
+    container probe and land in the media table with the right kind
+    (their codec payloads stay undecodable-by-design); prose naming
+    'ftyp' and 'OggS' stays a document candidate."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    hdr = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+           b"application/octet-stream\r\n\r\n")
+    prose = hdr + (b"the ftyp box opens mp4; OggS frames ogg pages "
+                   b"and ID3 tags label mp3 " * 4)
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/v.mp4", hdr + mp4_fixture())
+        + _warc_record("response", "http://x/v.webm",
+                       hdr + webm_fixture())
+        + _warc_record("response", "http://x/a.mp3",
+                       hdr + mp3_fixture())
+        + _warc_record("response", "http://x/a.ogg",
+                       hdr + ogg_opus_fixture())
+        + _warc_record("response", "http://x/doc", prose))
+    recs = read_warc_records(spark, str(d))
+    media = {r.url: r.kind
+             for r in crawl.crawl_media(recs, spark).collect()}
+    assert media == {"http://x/v.mp4": "video",
+                     "http://x/v.webm": "video",
+                     "http://x/a.mp3": "audio",
+                     "http://x/a.ogg": "audio"}
+
+
 def test_webp_anim_blend_and_dispose():
     """Hand-built two-frame animation: a sub-rect second frame with
     alpha blending over the first, then disposal to background —
