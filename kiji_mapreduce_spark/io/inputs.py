@@ -22,6 +22,12 @@ to a Spark reader:
 - warc             -> bonus beyond the reference: web-archive records
                       (ISO 28500, the Common Crawl layout) parsed per
                       file from ``binaryFile`` rows (``read_warc_records``)
+- tar / zip        -> bonus: dataset-shard archive members as rows
+                      (``read_archive_members``; tar streams members
+                      O(member) incl. .tar.{gz,bz2,xz})
+- webdataset       -> bonus: WebDataset-convention tar shards grouped
+                      into sample rows (key + map<extension, bytes>)
+                      — the layout multimodal training corpora ship in
 """
 
 from __future__ import annotations
@@ -82,6 +88,14 @@ class JobInput:
             return spark.read.options(**self.options).json(self.paths)
         if fmt == "warc":
             return read_warc_records(
+                spark, self.paths,
+                lenient=self.options.get("lenient", "") == "true")
+        if fmt in ("tar", "zip"):
+            return read_archive_members(
+                spark, self.paths, archive_format=fmt,
+                lenient=self.options.get("lenient", "") == "true")
+        if fmt == "webdataset":
+            return read_webdataset(
                 spark, self.paths,
                 lenient=self.options.get("lenient", "") == "true")
         raise ValueError(f"unknown input format {self.format!r}")
@@ -485,3 +499,170 @@ def warc_records_from_files(files: DataFrame, lenient: bool = False,
                 yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_records, schema)
+
+
+#: per-archive decompressed-member ceiling (4 GiB): a small .tar.gz
+#: or .zip declaring absurd expansion must fail loudly (strict) or
+#: stop with what parsed (lenient) before the owning executor OOMs —
+#: the archive-layer twin of the media codecs' decoded-bytes gates
+_MAX_ARCHIVE_MEMBER_BYTES = 4 << 30
+
+
+def _iter_tar_members(blob: bytes, path: str, lenient: bool):
+    """Yield (member_path, size, content) for regular-file members of
+    a tar (plain or gz/bz2/xz — ``r|*`` streams members one at a
+    time, O(member) memory, which is why tar is the shape multimodal
+    training shards ship in)."""
+    import io as _io
+    import tarfile
+
+    budget = _MAX_ARCHIVE_MEMBER_BYTES
+    try:
+        with tarfile.open(fileobj=_io.BytesIO(blob), mode="r|*") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                if member.size > budget:
+                    raise ValueError(
+                        f"{path}: archive members exceed the "
+                        f"{_MAX_ARCHIVE_MEMBER_BYTES >> 30} GiB "
+                        f"per-archive ceiling at {member.name!r}")
+                budget -= member.size
+                fobj = tf.extractfile(member)
+                if fobj is None:
+                    continue
+                yield member.name, member.size, fobj.read()
+    except (tarfile.TarError, EOFError, OSError) as e:
+        # truncated shard / corrupt compression: the lenient contract
+        # keeps everything already yielded (crawl/WARC precedent).
+        # Caveat: a cut landing exactly on a 512-byte header boundary
+        # is indistinguishable from a tar written without its
+        # end-of-archive marker, which tarfile (and GNU tar) tolerate
+        # — only mid-data truncation is detectable
+        if not lenient:
+            raise ValueError(f"{path}: corrupt tar archive: {e}") from e
+
+
+def _iter_zip_members(blob: bytes, path: str, lenient: bool):
+    """Yield (member_path, size, content) for file members of a zip
+    (central-directory read; sizes are declared up front, so the bomb
+    gate fires before any inflate)."""
+    import io as _io
+    import zipfile
+
+    budget = _MAX_ARCHIVE_MEMBER_BYTES
+    try:
+        with zipfile.ZipFile(_io.BytesIO(blob)) as zf:
+            for zinfo in zf.infolist():
+                if zinfo.is_dir():
+                    continue
+                if zinfo.file_size > budget:
+                    raise ValueError(
+                        f"{path}: archive members exceed the "
+                        f"{_MAX_ARCHIVE_MEMBER_BYTES >> 30} GiB "
+                        f"per-archive ceiling at {zinfo.filename!r}")
+                budget -= zinfo.file_size
+                yield zinfo.filename, zinfo.file_size, zf.read(zinfo)
+    except (zipfile.BadZipFile, EOFError, OSError,
+            NotImplementedError) as e:  # unsupported compression type
+        if not lenient:
+            raise ValueError(f"{path}: corrupt zip archive: {e}") from e
+
+
+def read_archive_members(spark: SparkSession, paths,
+                         archive_format: str = "tar",
+                         lenient: bool = False) -> DataFrame:
+    """tar/zip archive members as rows: (path, member_no, member_path,
+    size, content binary) — the ingest surface for dataset shards
+    (image/audio corpora ship as tar or zip far more often than as
+    per-file objects).
+
+    Scale shape: archives are not splittable (tar is a stream, zip
+    needs its trailing central directory), so the FILE is the unit of
+    parallelism — exactly how sharded corpora are laid out (thousands
+    of ~1 GB shards). ``binaryFile`` never splits; one task walks one
+    archive; tar members stream one at a time (O(member) memory).
+    ``lenient`` keeps the members parsed before a truncation/corruption
+    instead of failing the job (the WARC precedent)."""
+    files = spark.read.format("binaryFile").load(paths)
+    return archive_members_from_files(files, archive_format,
+                                      lenient=lenient)
+
+
+def archive_members_from_files(files: DataFrame, archive_format: str,
+                               lenient: bool = False) -> DataFrame:
+    """The parser half of ``read_archive_members`` over an existing
+    (path, content) DataFrame — streaming-reusable like
+    ``warc_records_from_files``."""
+    import pandas as pd
+
+    if archive_format not in ("tar", "zip"):
+        raise ValueError(f"unknown archive format {archive_format!r}")
+    it = (_iter_tar_members if archive_format == "tar"
+          else _iter_zip_members)
+    schema = ("path string, member_no int, member_path string, "
+              "size long, content binary")
+
+    def _members(batches):
+        for pdf in batches:
+            # one yield per archive (the WARC pattern): a batch-wide
+            # accumulator would hold several decompressed shards at
+            # once
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = {"path": [], "member_no": [],
+                        "member_path": [], "size": [], "content": []}
+                for no, (name, size, data) in enumerate(
+                        it(bytes(content), path, lenient)):
+                    rows["path"].append(path)
+                    rows["member_no"].append(no)
+                    rows["member_path"].append(name)
+                    rows["size"].append(size)
+                    rows["content"].append(data)
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_members,
+                                                       schema)
+
+
+def read_webdataset(spark: SparkSession, paths,
+                    lenient: bool = False) -> DataFrame:
+    """WebDataset-convention tar shards as SAMPLE rows: (path, key,
+    sample map<extension, content>) — members sharing a basename up
+    to the first dot form one training sample ("000017.jpg" +
+    "000017.cls" + "000017.json" -> key "000017", map keys "jpg",
+    "cls", "json").
+
+    Grouping is CONTIGUOUS, as the convention requires (shard writers
+    emit a sample's files adjacently) — no shuffle, no whole-archive
+    accumulation beyond the current sample. A key recurring
+    non-contiguously (off-convention shard) yields separate rows
+    rather than silently merging across the archive."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+    schema = "path string, key string, sample map<string, binary>"
+
+    def _samples(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = {"path": [], "key": [], "sample": []}
+                cur_key = None
+                cur: dict[str, bytes] = {}
+                for name, _size, data in _iter_tar_members(
+                        bytes(content), path, lenient):
+                    key, _, ext = name.partition(".")
+                    if key != cur_key and cur_key is not None:
+                        rows["path"].append(path)
+                        rows["key"].append(cur_key)
+                        rows["sample"].append(cur)
+                        cur = {}
+                    cur_key = key
+                    cur[ext] = data
+                if cur_key is not None:
+                    rows["path"].append(path)
+                    rows["key"].append(cur_key)
+                    rows["sample"].append(cur)
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_samples,
+                                                       schema)

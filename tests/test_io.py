@@ -874,3 +874,138 @@ def test_dataset_relative_mismatch_is_unknown_not_flat(spark, tmp_path,
                         lambda *a, **k: None)
     stats = outputs.compact_parquet(spark, proot, dry_run=True)
     assert stats["partition_by"] == ["bucket"]
+
+
+def _make_tar(path, members, mode="w"):
+    import io as _io
+    import tarfile
+
+    with tarfile.open(path, mode) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, _io.BytesIO(data))
+
+
+def test_tar_input_members(spark, tmp_path):
+    """tar and tar.gz shards read one row per regular-file member,
+    member order preserved per archive; the job_input spec spelling
+    (format=tar) resolves to the same reader."""
+    from kiji_mapreduce_spark.io.inputs import (job_input,
+                                                read_archive_members)
+
+    (d := tmp_path / "shards").mkdir()
+    _make_tar(d / "a.tar", [("x/one.bin", b"\x00\x01"),
+                            ("two.txt", b"hello")])
+    _make_tar(d / "b.tar.gz", [("three.txt", b"zzz")], mode="w:gz")
+    rows = read_archive_members(spark, str(d)).collect()
+    by_name = {r.member_path: r for r in rows}
+    assert set(by_name) == {"x/one.bin", "two.txt", "three.txt"}
+    assert bytes(by_name["x/one.bin"].content) == b"\x00\x01"
+    assert by_name["two.txt"].size == 5
+    assert by_name["three.txt"].path.endswith("b.tar.gz")
+    # member_no orders within each archive
+    a_rows = sorted((r.member_no, r.member_path) for r in rows
+                    if r.path.endswith("a.tar"))
+    assert a_rows == [(0, "x/one.bin"), (1, "two.txt")]
+    spec = job_input(f"format=tar file={d}")
+    assert spec.load(spark).count() == 3
+
+
+def test_zip_input_members(spark, tmp_path):
+    """zip members read one row each (dirs skipped); corrupt zip
+    raises strict, keeps-parsed lenient."""
+    import zipfile
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import read_archive_members
+
+    (d := tmp_path / "z").mkdir()
+    with zipfile.ZipFile(d / "a.zip", "w") as zf:
+        zf.writestr("dir/", "")
+        zf.writestr("img.png", b"\x89PNG fake")
+        zf.writestr("meta.json", b"{}")
+    rows = read_archive_members(spark, str(d),
+                                archive_format="zip").collect()
+    assert {r.member_path for r in rows} == {"img.png", "meta.json"}
+    (bad := tmp_path / "bad").mkdir()
+    (bad / "c.zip").write_bytes(b"PK\x03\x04 not a real zip")
+    with _pytest.raises(Exception):
+        read_archive_members(spark, str(bad),
+                             archive_format="zip").collect()
+    assert read_archive_members(spark, str(bad), archive_format="zip",
+                                lenient=True).count() == 0
+
+
+def test_tar_lenient_truncation(spark, tmp_path):
+    """A shard cut mid-member fails the job strict (silent data loss
+    otherwise) and keeps the complete members lenient — the WARC
+    contract."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import read_archive_members
+
+    (d := tmp_path / "t").mkdir()
+    _make_tar(d / "a.tar", [("one.bin", b"A" * 600),
+                            ("two.bin", b"B" * 600)])
+    whole = (d / "a.tar").read_bytes()
+    # cut inside member 2's DATA (tarfile flags data truncation; a cut
+    # exactly at a header boundary is indistinguishable from a
+    # marker-less tar, which tarfile deliberately tolerates)
+    (d / "a.tar").write_bytes(whole[:1536 + 512 + 100])
+    with _pytest.raises(Exception):
+        read_archive_members(spark, str(d)).collect()
+    kept = read_archive_members(spark, str(d), lenient=True).collect()
+    assert [r.member_path for r in kept] == ["one.bin"]
+
+
+def test_archive_member_bomb_gate(spark, tmp_path, monkeypatch):
+    """Declared member sizes past the per-archive ceiling fail before
+    any read — the archive-layer twin of the codec decode gates."""
+    import zipfile
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io import inputs
+
+    (d := tmp_path / "b").mkdir()
+    with zipfile.ZipFile(d / "a.zip", "w") as zf:
+        zf.writestr("big.bin", b"x" * 2000)
+    blob = (d / "a.zip").read_bytes()
+    monkeypatch.setattr(inputs, "_MAX_ARCHIVE_MEMBER_BYTES", 1000)
+    with _pytest.raises(ValueError, match="ceiling"):
+        list(inputs._iter_zip_members(blob, "a.zip", lenient=False))
+    _make_tar(d / "a.tar", [("big.bin", b"x" * 2000)])
+    with _pytest.raises(ValueError, match="ceiling"):
+        list(inputs._iter_tar_members(
+            (d / "a.tar").read_bytes(), "a.tar", lenient=False))
+
+
+def test_webdataset_samples(spark, tmp_path):
+    """WebDataset-convention tar: members sharing a basename-to-first-
+    dot group into one sample row with a map<extension, bytes> column;
+    contiguous grouping, per-shard."""
+    from kiji_mapreduce_spark.io.inputs import read_webdataset
+
+    (d := tmp_path / "wds").mkdir()
+    _make_tar(d / "shard-000.tar", [
+        ("000017.jpg", b"JPGDATA17"),
+        ("000017.cls", b"3"),
+        ("000017.json", b'{"a":1}'),
+        ("000042.jpg", b"JPGDATA42"),
+        ("000042.cls", b"7"),
+    ], mode="w")
+    _make_tar(d / "shard-001.tar.gz", [
+        ("000099.seg.png", b"SEGPNG"),  # extension = all after 1st dot
+        ("000099.jpg", b"JPG99"),
+    ], mode="w:gz")
+    rows = {r.key: r for r in read_webdataset(spark, str(d)).collect()}
+    assert set(rows) == {"000017", "000042", "000099"}
+    s17 = rows["000017"].sample
+    assert bytes(s17["jpg"]) == b"JPGDATA17"
+    assert set(s17) == {"jpg", "cls", "json"}
+    assert bytes(rows["000042"].sample["cls"]) == b"7"
+    s99 = rows["000099"].sample
+    assert set(s99) == {"seg.png", "jpg"}
+    assert rows["000099"].path.endswith("shard-001.tar.gz")
