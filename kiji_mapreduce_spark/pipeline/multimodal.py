@@ -697,6 +697,117 @@ def media_probe(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(_probe, schema)
 
 
+def pack_webdataset(df: DataFrame, key_col: str = "key",
+                    sample_col: str = "sample",
+                    shard_bytes: int = 1 << 30,
+                    n_shards: int | None = None) -> DataFrame:
+    """Sample rows (key, map<extension, binary>) -> WebDataset tar
+    SHARD rows (shard_id, n_samples, n_bytes, content binary): the
+    write side of ``io.inputs.read_webdataset`` — a curated multimodal
+    corpus packed back into the layout training loaders stream.
+
+    Scale shape: shard count = ceil(total_bytes / shard_bytes) from
+    one aggregate, then samples hash-assign to shards
+    (``pmod(xxhash64(key), n)``) — size-balanced in expectation with
+    NO global sort or running-total window (a running sum would be an
+    unpartitioned window, the classic scale killer). One
+    ``applyInPandas`` group builds one shard in memory (~shard_bytes,
+    the same order as a shuffle partition); members are sorted by key
+    and written with zeroed mtimes, so shard bytes are deterministic
+    under replay."""
+    from pyspark.sql import functions as F
+
+    sized = df.withColumn(
+        "_bytes",
+        F.aggregate(F.map_values(F.col(sample_col)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + F.length(v) + 1024))
+    if n_shards is None:
+        total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
+        n_shards = max(1, -(-int(total) // shard_bytes))
+    assigned = sized.withColumn(
+        "shard_id",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("int"))
+    schema = ("shard_id int, n_samples long, n_bytes long, "
+              "content binary")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io as _io
+        import tarfile
+
+        buf = _io.BytesIO()
+        order = pdf.sort_values(key_col)
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for key, sample in zip(order[key_col], order[sample_col]):
+                for ext in sorted(sample):
+                    data = bytes(sample[ext])
+                    ti = tarfile.TarInfo(f"{key}.{ext}")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, _io.BytesIO(data))
+                n += 1
+        blob = buf.getvalue()
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "n_samples": [n], "n_bytes": [len(blob)],
+            "content": [blob]})
+
+    return assigned.groupBy("shard_id").applyInPandas(_build, schema)
+
+
+def write_webdataset(df: DataFrame, out_dir: str,
+                     key_col: str = "key", sample_col: str = "sample",
+                     shard_bytes: int = 1 << 30,
+                     n_shards: int | None = None) -> list[dict]:
+    """``pack_webdataset`` + executor-side shard write: each task
+    writes its ``shard-NNNNNN.tar`` straight to ``out_dir`` (no
+    driver round-trip — a driver collect of 1 GiB shards is the
+    anti-pattern). Returns the shard manifest (small rows only).
+
+    Python workers hold no Hadoop filesystem client, so ``out_dir``
+    must be a locally-mounted path (plain, ``file://``, NFS/FUSE
+    mounts — which is how WebDataset corpora are written in practice);
+    object-store schemes raise loudly rather than silently writing
+    nowhere."""
+    import os
+
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise NotImplementedError(
+            f"write_webdataset needs a locally-mounted out_dir, got "
+            f"{out_dir!r} — mount the object store (s3fs/goofys) or "
+            f"write shards from pack_webdataset rows yourself")
+    local = out_dir[7:] if out_dir.startswith("file://") else out_dir
+    os.makedirs(local, exist_ok=True)
+    shards = pack_webdataset(df, key_col=key_col,
+                             sample_col=sample_col,
+                             shard_bytes=shard_bytes,
+                             n_shards=n_shards)
+    schema = "shard_id int, path string, n_samples long, n_bytes long"
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"shard_id": [], "path": [], "n_samples": [],
+                    "n_bytes": []}
+            for sid, n, nb, blob in zip(
+                    pdf["shard_id"], pdf["n_samples"],
+                    pdf["n_bytes"], pdf["content"]):
+                path = os.path.join(local, f"shard-{int(sid):06d}.tar")
+                tmp = f"{path}.inprogress"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(blob))
+                os.replace(tmp, path)  # atomic publish per shard
+                rows["shard_id"].append(int(sid))
+                rows["path"].append(path)
+                rows["n_samples"].append(int(n))
+                rows["n_bytes"].append(int(nb))
+            yield pd.DataFrame(rows)
+
+    return [r.asDict() for r in
+            shards.mapInPandas(_write, schema).collect()]
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "media_id", every_n: int = 10,
                   frame_size: int = 256,

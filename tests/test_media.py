@@ -2125,3 +2125,35 @@ def test_crawl_sniffs_animated_webp_as_video(spark, tmp_path):
     kinds = {r.url: r.kind for r in media}
     assert kinds == {"http://x/anim": "video",
                      "http://x/still": "image"}
+
+
+def test_pack_webdataset_roundtrip(spark, tmp_path):
+    """Samples -> tar shards -> samples survives byte-exactly; shard
+    count follows the size budget; shard bytes are deterministic
+    (zeroed mtimes + sorted members) so replays re-produce identical
+    shards; object-store out_dir raises loudly."""
+    from kiji_mapreduce_spark.io.inputs import read_webdataset
+
+    rows = [(f"{i:06d}", {"jpg": bytes([i]) * (50 + i),
+                          "cls": str(i % 5).encode()})
+            for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "key string, sample map<string,binary>")
+    out = tmp_path / "wds"
+    manifest = multimodal.write_webdataset(
+        df, str(out), shard_bytes=20_000)
+    assert sum(m["n_samples"] for m in manifest) == 30
+    assert len(manifest) >= 2  # size budget forced multiple shards
+    back = {r.key: {k: bytes(v) for k, v in r.sample.items()}
+            for r in read_webdataset(spark, str(out)).collect()}
+    assert back == {k: s for k, s in rows}
+    # determinism: re-pack and compare shard bytes
+    s1 = {r.shard_id: bytes(r.content)
+          for r in multimodal.pack_webdataset(
+              df, shard_bytes=20_000).collect()}
+    s2 = {r.shard_id: bytes(r.content)
+          for r in multimodal.pack_webdataset(
+              df, shard_bytes=20_000).collect()}
+    assert s1 == s2
+    with pytest.raises(NotImplementedError, match="mounted"):
+        multimodal.write_webdataset(df, "s3a://bucket/wds")
