@@ -100,8 +100,9 @@ def _run_operator_job(args, builder_cls, operator_flag: str) -> int:
 #: pipeline needs rows for (r7 verdict ask #5)
 _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
-    "crawl-ingest", "drift", "media-dedup", "media-probe", "ann-tune",
-    "dedup-index", "compact", "corpus-stats"})
+    "crawl-ingest", "shard-ingest", "drift", "media-dedup",
+    "media-probe", "ann-tune", "dedup-index", "compact",
+    "corpus-stats"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -469,6 +470,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="drop NULL/undecodable rows (NULL fingerprint) "
                     "instead of failing the job on one bad blob")
 
+    si = sub.add_parser("shard-ingest", help="dataset shards (tar/zip/"
+                        "WebDataset) -> parquet member or sample rows; "
+                        "--stream watches for newly-arriving shards "
+                        "with exactly-once file processing")
+    si.add_argument("--input", required=True,
+                    help="shard dir or glob (binaryFile source)")
+    si.add_argument("--format", choices=["tar", "zip", "webdataset"],
+                    default="tar", dest="shard_format")
+    si.add_argument("--output", required=True)
+    si.add_argument("--lenient", action="store_true",
+                    help="keep the members parsed before a truncation/"
+                    "corruption instead of failing the job (batch "
+                    "defaults strict, the crawl-ingest contract; "
+                    "--stream is always lenient — a strict failure "
+                    "would wedge the claimed offset-log batch)")
+    si.add_argument("--stream", action="store_true",
+                    help="continuous ingest: process NEW shards into "
+                    "batch_id= partitions (availableNow trigger)")
+    si.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (required with "
+                    "--stream)")
+
     mb = sub.add_parser("media-probe", help="container-level technical "
                         "metadata (container, kind, codec, duration, "
                         "dims, rate) from headers alone — covers "
@@ -751,6 +774,44 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     written, train_split=splits[0][0],
                     text_col=args.text_col).collect()]
         return _emit(args, out)
+
+    if args.command == "shard-ingest":
+        from kiji_mapreduce_spark.io.inputs import (
+            read_archive_members, read_webdataset)
+
+        spark = make_session(app_name="kiji-shard-ingest")
+        if args.stream:
+            from kiji_mapreduce_spark.streaming.jobs import \
+                stream_shard_ingest
+
+            if not args.checkpoint:
+                p.error("--stream requires --checkpoint")
+            batch_stats: list = []
+            # always lenient in-stream (the crawl-ingest rationale: a
+            # strict failure wedges the claimed batch forever)
+            q = stream_shard_ingest(
+                spark, args.input, args.output, args.checkpoint,
+                archive_format=("tar" if args.shard_format
+                                == "webdataset"
+                                else args.shard_format),
+                webdataset=args.shard_format == "webdataset",
+                lenient=True, batch_stats=batch_stats)
+            q.awaitTermination()
+            return _emit(args, {
+                "rows": args.output,
+                "n_rows": sum(b["n_rows"] for b in batch_stats),
+                "n_batches": len(batch_stats), "streaming": True})
+        if args.shard_format == "webdataset":
+            rows = read_webdataset(spark, args.input,
+                                   lenient=args.lenient)
+        else:
+            rows = read_archive_members(
+                spark, args.input, archive_format=args.shard_format,
+                lenient=args.lenient)
+        rows.write.mode("overwrite").parquet(args.output)
+        return _emit(args, {
+            "rows": args.output, "format": args.shard_format,
+            "n_rows": spark.read.parquet(args.output).count()})
 
     if args.command == "crawl-ingest":
         from pyspark.sql import functions as F

@@ -637,9 +637,17 @@ def read_webdataset(spark: SparkSession, paths,
     accumulation beyond the current sample. A key recurring
     non-contiguously (off-convention shard) yields separate rows
     rather than silently merging across the archive."""
+    files = spark.read.format("binaryFile").load(paths)
+    return webdataset_samples_from_files(files, lenient=lenient)
+
+
+def webdataset_samples_from_files(files: DataFrame,
+                                  lenient: bool = False) -> DataFrame:
+    """The parser half of ``read_webdataset`` over an existing
+    (path, content) DataFrame — streaming-reusable like
+    ``warc_records_from_files``."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(paths)
     schema = "path string, key string, sample map<string, binary>"
 
     def _samples(batches):

@@ -1844,3 +1844,57 @@ def test_stream_batch_stats_replay_does_not_double_count():
     _upsert_batch_stat(stats, {"batch_id": 1, "n_docs": 4})
     assert stats == [{"batch_id": 0, "n_docs": 5},
                      {"batch_id": 1, "n_docs": 4}]
+
+
+def test_cli_shard_ingest_batch_and_webdataset(spark, tmp_path, capsys):
+    """shard-ingest converts tar shards to member rows, and WebDataset
+    shards to grouped sample rows, in one command each."""
+    import json as _json
+
+    from tests.test_io import _make_tar
+
+    (d := tmp_path / "shards").mkdir()
+    _make_tar(d / "s0.tar", [("000001.jpg", b"J1"), ("000001.cls", b"4"),
+                             ("000002.jpg", b"J2")])
+    rc = cli.main(["shard-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/members"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 3 and out["format"] == "tar"
+    rc = cli.main(["shard-ingest", "--input", str(d),
+                   "--format", "webdataset",
+                   "--output", f"{tmp_path}/samples"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 2
+    rows = {r.key: r.sample for r in
+            spark.read.parquet(f"{tmp_path}/samples").collect()}
+    assert bytes(rows["000001"]["cls"]) == b"4"
+    assert set(rows["000002"]) == {"jpg"}
+
+
+def test_stream_shard_ingest_exactly_once(spark, tmp_path, capsys):
+    """Streaming shard ingest: shards arriving over time are each
+    processed exactly once across runs sharing a checkpoint; batch
+    output lands in replay-idempotent batch_id= partitions."""
+    import json as _json
+
+    from tests.test_io import _make_tar
+
+    (d := tmp_path / "inbox").mkdir()
+    _make_tar(d / "s0.tar", [("a.bin", b"AA")])
+    args = ["shard-ingest", "--input", f"{d}/*.tar",
+            "--output", f"{tmp_path}/members", "--stream",
+            "--checkpoint", f"{tmp_path}/ckpt"]
+    rc = cli.main(args)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 1 and out["streaming"] is True
+    _make_tar(d / "s1.tar", [("b.bin", b"BB"), ("c.bin", b"CC")])
+    rc = cli.main(args)
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 2  # this run's shards only, s0 not re-read
+    rows = spark.read.parquet(f"{tmp_path}/members").collect()
+    assert {r.member_path for r in rows} == {"a.bin", "b.bin", "c.bin"}
+    assert {r.batch_id for r in rows} == {0, 1}
