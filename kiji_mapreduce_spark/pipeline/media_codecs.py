@@ -383,19 +383,31 @@ def decode_video(content: bytes) -> tuple[list[np.ndarray], int]:
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (samples int16/uint8 [n_frames, n_channels],
-    sample_rate, sample_width_bytes)."""
-    with wave.open(io.BytesIO(content), "rb") as w:
-        n_channels = w.getnchannels()
-        rate = w.getframerate()
-        sampwidth = w.getsampwidth()
-        frames = w.readframes(w.getnframes())
+    sample_rate, sample_width_bytes). Malformed RIFF structure raises
+    ``UnsupportedMedia`` like every other codec — crawl bytes are
+    data, and ``skip_undecodable``/PIL fall-throughs key on the
+    type."""
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            sampwidth = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, ValueError,
+            IndexError) as e:
+        raise UnsupportedMedia(
+            f"malformed WAV structure: {type(e).__name__}: {e}") from e
     if sampwidth == 2:
+        frames = frames[:len(frames) - (len(frames) % 2)]
         arr = np.frombuffer(frames, dtype="<i2")
     elif sampwidth == 1:
         arr = np.frombuffer(frames, dtype=np.uint8)
     else:
         raise UnsupportedMedia(f"unsupported WAV sample width {sampwidth}")
-    return arr.reshape(-1, n_channels), rate, sampwidth
+    if n_channels < 1:
+        raise UnsupportedMedia("WAV: zero channels")
+    n = arr.size - (arr.size % n_channels)  # drop a truncated frame
+    return arr[:n].reshape(-1, n_channels), rate, sampwidth
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -1313,14 +1325,34 @@ def probe_media(content: bytes) -> dict | None:
                     "width": w, "height": h,
                     "sample_rate": None, "channels": None}
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-            samples, rate, width = decode_wav(content)
+            # header walk only — probing a 1 GB WAV must not decode
+            # its frames (the whole point of the probe surface)
+            rate = channels = bits = None
+            data_size = None
+            pos = 12
+            steps = 0
+            while pos + 8 <= len(content) \
+                    and steps < _MAX_PROBE_STEPS:
+                steps += 1
+                tag = content[pos:pos + 4]
+                (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+                if tag == b"fmt " and size >= 16:
+                    _f, channels, rate = struct.unpack(
+                        "<HHI", content[pos + 8:pos + 16])
+                    (bits,) = struct.unpack(
+                        "<H", content[pos + 22:pos + 24])
+                elif tag == b"data":
+                    data_size = min(size, len(content) - pos - 8)
+                pos += 8 + size + (size & 1)
+            frame_bytes = ((channels or 0) * ((bits or 0) // 8))
             return {"container": "wav", "kind": "audio",
-                    "codec": f"pcm_{width * 8}",
-                    "duration_ms": samples.shape[0] * 1000.0 / rate
-                    if rate else None,
+                    "codec": f"pcm_{bits}" if bits else "pcm",
+                    "duration_ms": (data_size // frame_bytes)
+                    * 1000.0 / rate
+                    if rate and frame_bytes and data_size is not None
+                    else None,
                     "width": None, "height": None,
-                    "sample_rate": rate,
-                    "channels": samples.shape[1]}
+                    "sample_rate": rate, "channels": channels}
         if content[:4] == _FLAC_MAGIC:
             blk = content[8:8 + 34]
             mb = _FlacBits(blk)

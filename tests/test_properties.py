@@ -679,3 +679,64 @@ def test_webp_lossless_roundtrip_property(h, w, nc, transform, mode,
         exp = exp[:, :, :3]
     assert (hh, ww, c) == exp.shape
     assert np.array_equal(out, exp)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_codec_error_surface_is_total(data):
+    """THE hostile-bytes guarantee, stated once for every decode
+    entrypoint: arbitrary bytes either decode or raise
+    UnsupportedMedia — never any other exception type — and
+    probe_media never raises at all. At 100 TB of real crawl, every
+    executor WILL see hostile bytes; one raw struct.error aborts the
+    task that owns the archive."""
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
+               mc.decode_webp, mc.decode_wav, mc.decode_flac,
+               mc.decode_audio, mc.decode_video,
+               mc.decode_gif_frames, mc.decode_webp_frames):
+        try:
+            fn(data)
+        except mc.UnsupportedMedia:
+            pass
+    p = mc.probe_media(data)
+    assert p is None or isinstance(p, dict)
+    assert isinstance(mc.gif_frame_count(data), int)
+    assert isinstance(mc.webp_frame_count(data), int)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_codec_error_surface_on_corrupted_fixtures(data):
+    """Same guarantee under the nastier distribution: VALID encodes
+    with truncation or a byte flipped — the shape real corruption
+    takes (cut transfers, bit rot) — across every codec family."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    clips = np.arange(300, dtype=np.int16)
+    blobs = [
+        mc.encode_png(px), mc.encode_jpeg(px), mc.encode_gif([px]),
+        mc.encode_webp_lossless(px), mc.encode_wav(clips, 8000),
+        mc.encode_flac(clips, 8000),
+        mc.encode_webp_anim([px, px]),
+    ]
+    blob = bytearray(data.draw(st.sampled_from(blobs)))
+    mode = data.draw(st.sampled_from(["truncate", "flip"]))
+    if mode == "truncate":
+        blob = blob[:data.draw(st.integers(0, len(blob) - 1))]
+    else:
+        i = data.draw(st.integers(0, len(blob) - 1))
+        blob[i] ^= 1 << data.draw(st.integers(0, 7))
+    corrupt = bytes(blob)
+    for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
+               mc.decode_webp, mc.decode_audio, mc.decode_video):
+        try:
+            fn(corrupt)
+        except mc.UnsupportedMedia:
+            pass
+    assert mc.probe_media(corrupt) is None \
+        or isinstance(mc.probe_media(corrupt), dict)
