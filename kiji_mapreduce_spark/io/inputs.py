@@ -563,10 +563,13 @@ def _iter_zip_members(blob: bytes, path: str, lenient: bool):
                         f"per-archive ceiling at {zinfo.filename!r}")
                 budget -= zinfo.file_size
                 yield zinfo.filename, zinfo.file_size, zf.read(zinfo)
-    except (zipfile.BadZipFile, EOFError, OSError,
-            NotImplementedError) as e:  # unsupported compression type
+    except (zipfile.BadZipFile, EOFError, OSError, NotImplementedError,
+            RuntimeError) as e:
+        # BadZipFile/EOF/OS: corruption; NotImplementedError:
+        # unsupported compression method; RuntimeError: encrypted
+        # members (zipfile's spelling) — all the same contract
         if not lenient:
-            raise ValueError(f"{path}: corrupt zip archive: {e}") from e
+            raise ValueError(f"{path}: unreadable zip archive: {e}") from e
 
 
 def read_archive_members(spark: SparkSession, paths,

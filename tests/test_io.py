@@ -1009,3 +1009,31 @@ def test_webdataset_samples(spark, tmp_path):
     s99 = rows["000099"].sample
     assert set(s99) == {"seg.png", "jpg"}
     assert rows["000099"].path.endswith("shard-001.tar.gz")
+
+
+def test_zip_encrypted_member_contract(tmp_path):
+    """An encrypted zip member surfaces through the strict/lenient
+    contract (zipfile spells it RuntimeError) instead of leaking a
+    raw exception into the task."""
+    import struct
+    import zipfile
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io import inputs
+
+    p = tmp_path / "enc.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("a.txt", b"secret")
+    blob = bytearray(p.read_bytes())
+    # set the encryption bit in both local and central headers
+    for magic in (b"PK\x03\x04", b"PK\x01\x02"):
+        i = blob.find(magic)
+        off = i + (6 if magic == b"PK\x03\x04" else 8)
+        flags = struct.unpack_from("<H", blob, off)[0] | 0x1
+        struct.pack_into("<H", blob, off, flags)
+    with _pytest.raises(ValueError, match="unreadable zip"):
+        list(inputs._iter_zip_members(bytes(blob), "enc.zip",
+                                      lenient=False))
+    assert list(inputs._iter_zip_members(bytes(blob), "enc.zip",
+                                         lenient=True)) == []
