@@ -775,16 +775,67 @@ def _decode_flac_unchecked(content: bytes):
     return arr.astype(np.int32), si_rate, 4
 
 
+def _ogg_packets(content: bytes):
+    """Reassemble Ogg packets across pages (RFC 3533 lacing: a
+    255-valued lacing entry continues the packet, including across a
+    page boundary via the continuation flag)."""
+    pos = 0
+    partial = bytearray()
+    steps = 0
+    while pos + 27 <= len(content) and steps < _MAX_PROBE_STEPS:
+        steps += 1
+        if content[pos:pos + 4] != b"OggS":
+            raise UnsupportedMedia("Ogg: lost page sync")
+        nsegs = content[pos + 26]
+        lacing = content[pos + 27:pos + 27 + nsegs]
+        if len(lacing) != nsegs:
+            raise UnsupportedMedia("Ogg: page truncated")
+        body = pos + 27 + nsegs
+        for lace in lacing:
+            seg = content[body:body + lace]
+            if len(seg) != lace:
+                raise UnsupportedMedia("Ogg: segment truncated")
+            partial += seg
+            body += lace
+            if lace < 255:
+                yield bytes(partial)
+                partial = bytearray()
+        pos = body
+    if partial:
+        yield bytes(partial)  # packet cut at end-of-stream
+
+
+def decode_ogg_flac(content: bytes) -> tuple[np.ndarray, int, int]:
+    """FLAC-in-Ogg (RFC 5334 mapping) -> the ``decode_wav`` contract.
+    The mapping is designed so that stripping the first packet's
+    9-byte Ogg-FLAC prefix and concatenating every packet yields a
+    native FLAC stream — which the native decoder then handles."""
+    packets = _ogg_packets(content)
+    first = next(packets, b"")
+    if first[:5] != b"\x7fFLAC":
+        raise UnsupportedMedia(
+            "Ogg stream is not FLAC-mapped (Vorbis/Opus/Theora are "
+            "ffmpeg territory)")
+    native = bytearray(first[9:])  # 0x7F FLAC maj min nheaders(2)
+    if native[:4] != _FLAC_MAGIC:
+        raise UnsupportedMedia("Ogg-FLAC: bad embedded stream magic")
+    for pkt in packets:
+        native += pkt
+    return decode_flac(bytes(native))
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int, int]:
     """Audio bytes -> (samples [n_frames, n_channels], rate, width).
-    Dispatches on magic: PCM WAV or native FLAC — the pure-spec
-    decodable audio containers. Raises ``UnsupportedMedia`` on
-    anything else (MP3/AAC/Ogg are ffmpeg territory)."""
+    Dispatches on magic: PCM WAV, native FLAC, or FLAC-in-Ogg — the
+    pure-spec decodable audio containers. Raises ``UnsupportedMedia``
+    on anything else (MP3/AAC/Vorbis/Opus are ffmpeg territory)."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[:4] == _FLAC_MAGIC:
         return decode_flac(content)
-    raise UnsupportedMedia("not a WAV or FLAC stream")
+    if content[:4] == b"OggS":
+        return decode_ogg_flac(content)
+    raise UnsupportedMedia("not a WAV, FLAC, or Ogg-FLAC stream")
 
 
 class _MsbBitWriter:

@@ -334,10 +334,11 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
 
         def _one(raw: bytes) -> int:
             if use_real_decoder:
-                if raw[:4] != b"RIFF" and raw[:4] != b"fLaC":
+                if raw[:4] not in (b"RIFF", b"fLaC", b"OggS"):
                     raise DecoderNotAvailable(
-                        "MP3/AAC/Ogg audio requires ffmpeg/soundfile, "
-                        "not bundled; PCM WAV and FLAC decode natively")
+                        "MP3/AAC audio requires ffmpeg/soundfile, "
+                        "not bundled; PCM WAV, FLAC and Ogg-FLAC "
+                        "decode natively")
                 samples, _rate, _w = media_codecs.decode_audio(raw)
                 mono = samples.astype(np.float64).mean(axis=1)
                 if mono.size < 65:
@@ -641,10 +642,11 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
                                     "n_channels", "rms", "peak")}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(c) if c is not None else b""
-                if raw[:4] != b"RIFF" and raw[:4] != b"fLaC":
+                if raw[:4] not in (b"RIFF", b"fLaC", b"OggS"):
                     raise DecoderNotAvailable(
-                        "MP3/AAC/Ogg audio requires ffmpeg/soundfile, "
-                        "not bundled; PCM WAV and FLAC decode natively")
+                        "MP3/AAC audio requires ffmpeg/soundfile, "
+                        "not bundled; PCM WAV, FLAC and Ogg-FLAC "
+                        "decode natively")
                 samples, rate, _w = media_codecs.decode_audio(raw)
                 x = samples.astype(np.float64)
                 rows["media_id"].append(mid)
