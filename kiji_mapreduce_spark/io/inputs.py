@@ -532,9 +532,12 @@ def _iter_tar_members(blob: bytes, path: str, lenient: bool):
                 if fobj is None:
                     continue
                 yield member.name, member.size, fobj.read()
-    except (tarfile.TarError, EOFError, OSError) as e:
-        # truncated shard / corrupt compression: the lenient contract
-        # keeps everything already yielded (crawl/WARC precedent).
+    except (tarfile.TarError, EOFError, OSError, ValueError) as e:
+        # truncated shard / corrupt compression / the bomb gate above
+        # (ValueError): the lenient contract keeps everything already
+        # yielded (crawl/WARC precedent) — the always-lenient shard
+        # stream depends on the gate honoring it too, else one hostile
+        # shard wedges the claimed offset-log batch forever.
         # Caveat: a cut landing exactly on a 512-byte header boundary
         # is indistinguishable from a tar written without its
         # end-of-archive marker, which tarfile (and GNU tar) tolerate
@@ -564,10 +567,11 @@ def _iter_zip_members(blob: bytes, path: str, lenient: bool):
                 budget -= zinfo.file_size
                 yield zinfo.filename, zinfo.file_size, zf.read(zinfo)
     except (zipfile.BadZipFile, EOFError, OSError, NotImplementedError,
-            RuntimeError) as e:
+            RuntimeError, ValueError) as e:
         # BadZipFile/EOF/OS: corruption; NotImplementedError:
         # unsupported compression method; RuntimeError: encrypted
-        # members (zipfile's spelling) — all the same contract
+        # members (zipfile's spelling); ValueError: the bomb gate
+        # above — all the same strict/lenient contract
         if not lenient:
             raise ValueError(f"{path}: unreadable zip archive: {e}") from e
 
@@ -661,7 +665,16 @@ def webdataset_samples_from_files(files: DataFrame,
                 cur: dict[str, bytes] = {}
                 for name, _size, data in _iter_tar_members(
                         bytes(content), path, lenient):
-                    key, _, ext = name.partition(".")
+                    # the WebDataset convention splits at the first
+                    # dot of the BASENAME — a dotted directory
+                    # ("images.v2/0001.jpg") must not collapse the
+                    # whole archive into one mega-sample
+                    slash = name.rfind("/") + 1
+                    dot = name.find(".", slash)
+                    if dot == -1:
+                        key, ext = name, ""  # extension-less member
+                    else:
+                        key, ext = name[:dot], name[dot + 1:]
                     if key != cur_key and cur_key is not None:
                         rows["path"].append(path)
                         rows["key"].append(cur_key)

@@ -640,6 +640,22 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int
     return out
 
 
+def _flac_streaminfo_fields(blk: bytes) -> tuple[int, int, int, int]:
+    """STREAMINFO block body -> (rate, channels, bps, total_samples)
+    — the one parse of the 18-byte bit layout, shared by the decoder
+    and the header-only probe."""
+    mb = _FlacBits(blk)
+    mb.read(16)  # min blocksize
+    mb.read(16)  # max blocksize
+    mb.read(24)  # min framesize
+    mb.read(24)  # max framesize
+    rate = mb.read(20)
+    channels = mb.read(3) + 1
+    bps = mb.read(5) + 1
+    total = mb.read(36)
+    return rate, channels, bps, total
+
+
 def decode_flac(content: bytes) -> tuple[np.ndarray, int, int]:
     """FLAC bytes -> (samples [n_frames, n_channels], sample_rate,
     sample_width_bytes) — the ``decode_wav`` contract: uint8 for
@@ -671,16 +687,7 @@ def _decode_flac_unchecked(content: bytes):
             blk = content[pos + 4:pos + 4 + length]
             if len(blk) < 18:
                 raise UnsupportedMedia("FLAC: STREAMINFO truncated")
-            mb = _FlacBits(blk)
-            mb.read(16)  # min blocksize
-            mb.read(16)  # max blocksize
-            mb.read(24)  # min framesize
-            mb.read(24)  # max framesize
-            rate = mb.read(20)
-            channels = mb.read(3) + 1
-            bps = mb.read(5) + 1
-            total = mb.read(36)
-            info = (rate, channels, bps, total)
+            info = _flac_streaminfo_fields(blk)
         pos += 4 + length
         if hdr & 0x80:
             break
@@ -803,6 +810,20 @@ def _ogg_packets(content: bytes):
         pos = body
     if partial:
         yield bytes(partial)  # packet cut at end-of-stream
+
+
+def is_ogg_flac(content: bytes) -> bool:
+    """True when an Ogg stream's first packet is FLAC-mapped — the
+    cheap peek the decode gates use to separate natively-decodable
+    Ogg-FLAC from Vorbis/Opus (ffmpeg territory, a DIFFERENT error
+    class than corrupt bytes)."""
+    try:
+        if content[:4] != b"OggS" or len(content) < 28:
+            return False
+        body = 27 + content[26]
+        return content[body:body + 5] == b"\x7fFLAC"
+    except IndexError:
+        return False
 
 
 def decode_ogg_flac(content: bytes) -> tuple[np.ndarray, int, int]:
@@ -1098,7 +1119,13 @@ def _probe_mp4(content: bytes) -> dict | None:
 
     walk(0, len(content))
     if out["kind"] is None:
-        out["kind"] = "video"  # ftyp present, tracks unparsed
+        # no hdlr reached (moov-at-end file cut by the crawl, or
+        # fragment): the ftyp brand still separates audio-only
+        # containers (.m4a podcasts) from the video default
+        brand = content[8:12]
+        out["kind"] = ("audio" if brand in (b"M4A ", b"M4B ",
+                                            b"F4A ", b"F4B ")
+                       else "video")
     return out
 
 
@@ -1143,7 +1170,9 @@ def _probe_ebml(content: bytes) -> dict | None:
                 out["container"] = "webm" if dt == "webm" else "mkv"
             elif eid == 0x2AD7B1 and data:  # TimestampScale
                 scale = int.from_bytes(data, "big")
-            elif eid == 0x4489 and data:  # Duration (float)
+            elif eid == 0x4489 and len(data) in (4, 8):
+                # Duration (float; off-spec lengths skipped — one
+                # sloppy muxer element must not void the whole probe)
                 duration_units = struct.unpack(
                     ">f" if len(data) == 4 else ">d", data)[0]
             elif eid == 0x83 and data:  # TrackType
@@ -1160,8 +1189,8 @@ def _probe_ebml(content: bytes) -> dict | None:
                 out["width"] = int.from_bytes(data, "big")
             elif eid == 0xBA and data:  # PixelHeight
                 out["height"] = int.from_bytes(data, "big")
-            elif eid == 0xB5 and data:  # SamplingFrequency
-                out["sample_rate"] = int(struct.unpack(
+            elif eid == 0xB5 and len(data) in (4, 8):
+                out["sample_rate"] = int(struct.unpack(  # float field
                     ">f" if len(data) == 4 else ">d", data)[0])
             elif eid == 0x9F and data:  # Channels
                 out["channels"] = int.from_bytes(data, "big")
@@ -1205,14 +1234,22 @@ def _probe_mp3(content: bytes) -> dict | None:
     n_frames = 0
     samples = 0
     rate0 = None
-    steps = 0
-    while pos + 4 <= len(content) and steps < _MAX_PROBE_STEPS:
-        steps += 1
+    resync = 0
+    capped = False
+    # frames get their own generous budget (2M frames ~ 14.5 h of
+    # MPEG-1 audio) separate from the byte-at-a-time resync budget:
+    # charging frames against _MAX_PROBE_STEPS silently capped
+    # duration at ~87 min with no truncation signal
+    while pos + 4 <= len(content) and resync < _MAX_PROBE_STEPS:
+        if n_frames >= 2_000_000:
+            capped = True
+            break
         h = struct.unpack(">I", content[pos:pos + 4])[0]
         if h >> 21 != 0x7FF:
             if n_frames:
                 break  # trailing tag/junk after valid frames
             pos += 1
+            resync += 1
             continue
         ver_bits = (h >> 19) & 3
         layer_bits = (h >> 17) & 3
@@ -1220,6 +1257,7 @@ def _probe_mp3(content: bytes) -> dict | None:
             if n_frames:
                 break
             pos += 1
+            resync += 1
             continue
         version = {0: 25, 2: 2, 3: 1}[ver_bits]
         br_idx = (h >> 12) & 0xF
@@ -1228,6 +1266,7 @@ def _probe_mp3(content: bytes) -> dict | None:
             if n_frames:
                 break
             pos += 1
+            resync += 1
             continue
         rate = _MP3_RATES[version][sr_idx]
         kbps = _MP3_BITRATES[(1 if version == 1 else 2, 3)][br_idx]
@@ -1245,8 +1284,10 @@ def _probe_mp3(content: bytes) -> dict | None:
         pos += frame_len
     if n_frames == 0:
         return None  # bare sync false positive: not an MP3
-    if rate0:
+    if rate0 and not capped:
         out["duration_ms"] = samples * 1000.0 / rate0
+    # capped: duration stays None (unknown) — underreporting a long
+    # file's duration would silently mis-bucket curation filters
     return out
 
 
@@ -1405,16 +1446,8 @@ def probe_media(content: bytes) -> dict | None:
                     "width": None, "height": None,
                     "sample_rate": rate, "channels": channels}
         if content[:4] == _FLAC_MAGIC:
-            blk = content[8:8 + 34]
-            mb = _FlacBits(blk)
-            mb.read(16)
-            mb.read(16)
-            mb.read(24)
-            mb.read(24)
-            rate = mb.read(20)
-            channels = mb.read(3) + 1
-            mb.read(5)
-            total = mb.read(36)
+            rate, channels, _bps, total = _flac_streaminfo_fields(
+                content[8:8 + 34])
             return {"container": "flac", "kind": "audio",
                     "codec": "flac",
                     "duration_ms": total * 1000.0 / rate

@@ -316,8 +316,10 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
     ``dedup.hamming64`` / pair with ``dedup.banded_hamming_pairs``
     (``audio_near_duplicates``), same discipline as the image pHash.
 
-    Real decode covers PCM WAV natively (``media_codecs.decode_wav``);
-    anything else raises ``DecoderNotAvailable`` (ffmpeg territory).
+    Real decode covers PCM WAV, FLAC, and FLAC-in-Ogg natively
+    (``media_codecs.decode_audio``); anything else — MP3/AAC and
+    Ogg Vorbis/Opus — raises ``DecoderNotAvailable`` (ffmpeg
+    territory).
     The fake path derives deterministic pseudo-energies from the raw
     bytes so plumbing tests run without decodable audio. Clips shorter
     than 65 samples fingerprint their cycled frames (deterministic),
@@ -334,11 +336,15 @@ def audio_fingerprint64(df: DataFrame, content_col: str = "content",
 
         def _one(raw: bytes) -> int:
             if use_real_decoder:
-                if raw[:4] not in (b"RIFF", b"fLaC", b"OggS"):
+                if raw[:4] not in (b"RIFF", b"fLaC") \
+                        and not media_codecs.is_ogg_flac(raw):
+                    # Ogg Vorbis/Opus land here too: a VALID
+                    # ffmpeg-territory file is a missing-decoder
+                    # diagnosis, not the corrupt-bytes class
                     raise DecoderNotAvailable(
-                        "MP3/AAC audio requires ffmpeg/soundfile, "
-                        "not bundled; PCM WAV, FLAC and Ogg-FLAC "
-                        "decode natively")
+                        "MP3/AAC/Ogg-Vorbis/Opus audio requires "
+                        "ffmpeg/soundfile, not bundled; PCM WAV, "
+                        "FLAC and Ogg-FLAC decode natively")
                 samples, _rate, _w = media_codecs.decode_audio(raw)
                 mono = samples.astype(np.float64).mean(axis=1)
                 if mono.size < 65:
@@ -625,10 +631,11 @@ def resize_images(df: DataFrame, content_col: str = "content",
 
 def extract_audio_features(df: DataFrame, content_col: str = "content",
                            id_col: str = "media_id") -> DataFrame:
-    """Real audio decode via the stdlib WAV codec: per-clip
-    (sample_rate, n_frames, n_channels, rms, peak) — the metadata +
-    loudness profile a speech-data curation pass filters on. Non-WAV
-    content raises ``DecoderNotAvailable`` (ffmpeg territory)."""
+    """Real audio decode (WAV, FLAC, FLAC-in-Ogg via
+    ``media_codecs.decode_audio``): per-clip (sample_rate, n_frames,
+    n_channels, rms, peak) — the metadata + loudness profile a
+    speech-data curation pass filters on. MP3/AAC/Vorbis/Opus raise
+    ``DecoderNotAvailable`` (ffmpeg territory)."""
     schema = (f"{id_col} long, sample_rate int, n_frames long, "
               "n_channels int, rms double, peak double")
 
@@ -642,11 +649,12 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
                                     "n_channels", "rms", "peak")}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(c) if c is not None else b""
-                if raw[:4] not in (b"RIFF", b"fLaC", b"OggS"):
+                if raw[:4] not in (b"RIFF", b"fLaC") \
+                        and not media_codecs.is_ogg_flac(raw):
                     raise DecoderNotAvailable(
-                        "MP3/AAC audio requires ffmpeg/soundfile, "
-                        "not bundled; PCM WAV, FLAC and Ogg-FLAC "
-                        "decode natively")
+                        "MP3/AAC/Ogg-Vorbis/Opus audio requires "
+                        "ffmpeg/soundfile, not bundled; PCM WAV, "
+                        "FLAC and Ogg-FLAC decode natively")
                 samples, rate, _w = media_codecs.decode_audio(raw)
                 x = samples.astype(np.float64)
                 rows["media_id"].append(mid)
@@ -789,6 +797,9 @@ def write_webdataset(df: DataFrame, out_dir: str,
     schema = "shard_id int, path string, n_samples long, n_bytes long"
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import uuid
+
         for pdf in batches:
             rows = {"shard_id": [], "path": [], "n_samples": [],
                     "n_bytes": []}
@@ -796,7 +807,13 @@ def write_webdataset(df: DataFrame, out_dir: str,
                     pdf["shard_id"], pdf["n_samples"],
                     pdf["n_bytes"], pdf["content"]):
                 path = os.path.join(local, f"shard-{int(sid):06d}.tar")
-                tmp = f"{path}.inprogress"
+                # per-attempt unique temp name: a speculative or
+                # zombie task attempt racing this one must not
+                # interleave writes into the same file before the
+                # atomic rename — both attempts produce identical
+                # bytes (deterministic shards), so last-rename-wins
+                # is safe only when each rename source is whole
+                tmp = f"{path}.inprogress-{os.getpid()}-{uuid.uuid4().hex}"
                 with open(tmp, "wb") as f:
                     f.write(bytes(blob))
                 os.replace(tmp, path)  # atomic publish per shard

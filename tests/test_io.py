@@ -1037,3 +1037,46 @@ def test_zip_encrypted_member_contract(tmp_path):
                                       lenient=False))
     assert list(inputs._iter_zip_members(bytes(blob), "enc.zip",
                                          lenient=True)) == []
+
+
+def test_archive_bomb_gate_respects_lenient(tmp_path, monkeypatch):
+    """The declared-size ceiling honors the lenient contract: the
+    always-lenient shard STREAM must skip a hostile shard (keeping
+    prior members), not wedge the claimed offset-log batch forever."""
+    import zipfile
+
+    from kiji_mapreduce_spark.io import inputs
+
+    (d := tmp_path / "b").mkdir()
+    _make_tar(d / "a.tar", [("ok.bin", b"y" * 100),
+                            ("big.bin", b"x" * 2000)])
+    with zipfile.ZipFile(d / "a.zip", "w") as zf:
+        zf.writestr("ok.bin", b"y" * 100)
+        zf.writestr("big.bin", b"x" * 2000)
+    monkeypatch.setattr(inputs, "_MAX_ARCHIVE_MEMBER_BYTES", 1000)
+    tar_kept = list(inputs._iter_tar_members(
+        (d / "a.tar").read_bytes(), "a.tar", lenient=True))
+    zip_kept = list(inputs._iter_zip_members(
+        (d / "a.zip").read_bytes(), "a.zip", lenient=True))
+    assert [m[0] for m in tar_kept] == ["ok.bin"]
+    assert [m[0] for m in zip_kept] == ["ok.bin"]
+
+
+def test_webdataset_dotted_directory_keys(spark, tmp_path):
+    """The sample key splits at the first dot of the BASENAME: a
+    dotted directory component must not collapse the archive into one
+    mega-sample (the convention's base_plus_ext semantics)."""
+    from kiji_mapreduce_spark.io.inputs import read_webdataset
+
+    (d := tmp_path / "wds").mkdir()
+    _make_tar(d / "s.tar", [
+        ("images.v2/0001.jpg", b"J1"),
+        ("images.v2/0001.json", b"M1"),
+        ("images.v2/0002.jpg", b"J2"),
+        ("noext", b"N"),
+    ])
+    rows = {r.key: dict(r.sample) for r in
+            read_webdataset(spark, str(d)).collect()}
+    assert set(rows) == {"images.v2/0001", "images.v2/0002", "noext"}
+    assert bytes(rows["images.v2/0001"]["json"]) == b"M1"
+    assert set(rows["noext"]) == {""}

@@ -1832,7 +1832,7 @@ def test_flac_error_surface():
         _flac_streaminfo(8000, 2, 16, (1 << 36) - 1), [])
     with pytest.raises(mc.UnsupportedMedia, match="ceiling"):
         mc.decode_flac(bomb)
-    with pytest.raises(mc.UnsupportedMedia, match="WAV or FLAC"):
+    with pytest.raises(mc.UnsupportedMedia, match="WAV, FLAC"):
         mc.decode_audio(b"\xff\xfbID3 mp3 junk")
 
 
@@ -2220,3 +2220,54 @@ def test_ogg_flac_decodes_natively():
         assert np.array_equal(got2, got)
     with pytest.raises(mc.UnsupportedMedia, match="ffmpeg"):
         mc.decode_audio(ogg_opus_fixture())
+
+
+def test_probe_review_regressions():
+    """r10 review regressions: a truncated moov-at-end .m4a keeps
+    kind=audio by brand; an off-length EBML float skips the field
+    instead of voiding the probe; Ogg Vorbis/Opus raise
+    DecoderNotAvailable (missing decoder), not the corrupt-bytes
+    class, from the audio feature gates."""
+    import struct as _s
+
+    # ftyp M4A followed by mdat only (moov cut off by the crawl)
+    m4a_cut = _mp4_box(b"ftyp", b"M4A " + bytes(8)) \
+        + _mp4_box(b"mdat", b"\x00" * 32)
+    p = mc.probe_media(m4a_cut)
+    assert p["container"] == "mp4" and p["kind"] == "audio"
+    # same truncation with a generic brand stays the video default
+    iso_cut = _mp4_box(b"ftyp", b"isom" + bytes(8)) \
+        + _mp4_box(b"mdat", b"\x00" * 32)
+    assert mc.probe_media(iso_cut)["kind"] == "video"
+    # WebM with a 2-byte (off-spec) Duration element: field skipped,
+    # container/codec/dims still reported
+    e = _ebml_elem
+    hdr = e(b"\x1a\x45\xdf\xa3", e(b"\x42\x82", b"webm"))
+    info = e(b"\x15\x49\xa9\x66", e(b"\x44\x89", b"\x01\x02"))
+    video = e(b"\xe0", e(b"\xb0", (64).to_bytes(2, "big"))
+              + e(b"\xba", (48).to_bytes(2, "big")))
+    trk = e(b"\xae", e(b"\x83", b"\x01") + e(b"\x86", b"V_VP8")
+            + video)
+    blob = hdr + e(b"\x18\x53\x80\x67",
+                   info + e(b"\x16\x54\xae\x6b", trk))
+    p = mc.probe_media(blob)
+    assert p["codec"] == "V_VP8" and p["width"] == 64
+    assert p["duration_ms"] is None
+
+
+def test_audio_gate_classifies_ogg_vorbis_as_missing_decoder(spark):
+    """An ordinary Ogg Vorbis clip through the real-decoder audio
+    fingerprint is a MISSING-DECODER diagnosis (DecoderNotAvailable),
+    not the hostile-bytes class — operators triage the two
+    differently."""
+    media = spark.createDataFrame(
+        [(1, ogg_opus_fixture())], "media_id long, content binary")
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.audio_fingerprint64(
+            media, use_real_decoder=True).collect()
+    # and skip_undecodable still routes it to NULL like every other
+    # undecodable blob
+    rows = multimodal.audio_fingerprint64(
+        media, use_real_decoder=True,
+        skip_undecodable=True).collect()
+    assert rows[0].afp is None
