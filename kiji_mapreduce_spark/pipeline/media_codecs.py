@@ -395,6 +395,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
             frames = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error, ValueError,
             IndexError) as e:
+        # the stdlib module only speaks PCM; G.711 companded WAVs
+        # (format tags 6/7 — the telephony/speech-corpus encodings)
+        # decode through the published log-PCM expansion instead
+        g711 = _decode_wav_g711(content)
+        if g711 is not None:
+            return g711
         raise UnsupportedMedia(
             f"malformed WAV structure: {type(e).__name__}: {e}") from e
     if sampwidth == 2:
@@ -402,12 +408,70 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
         arr = np.frombuffer(frames, dtype="<i2")
     elif sampwidth == 1:
         arr = np.frombuffer(frames, dtype=np.uint8)
+    elif sampwidth == 3:
+        raw = np.frombuffer(
+            frames[:len(frames) - (len(frames) % 3)], np.uint8)
+        arr = (raw[0::3].astype(np.int32)
+               | (raw[1::3].astype(np.int32) << 8)
+               | (raw[2::3].astype(np.int32) << 16))
+        arr = arr - ((arr & 0x800000) << 1)  # sign-extend 24 -> 32
+    elif sampwidth == 4:
+        frames = frames[:len(frames) - (len(frames) % 4)]
+        arr = np.frombuffer(frames, dtype="<i4")
     else:
         raise UnsupportedMedia(f"unsupported WAV sample width {sampwidth}")
     if n_channels < 1:
         raise UnsupportedMedia("WAV: zero channels")
     n = arr.size - (arr.size % n_channels)  # drop a truncated frame
     return arr[:n].reshape(-1, n_channels), rate, sampwidth
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu_law, a_law) 256-entry int16 expansion tables (ITU-T G.711
+    / the CCITT reference expansion — same values audioop used)."""
+    mu = np.empty(256, np.int16)
+    al = np.empty(256, np.int16)
+    for code in range(256):
+        b = ~code & 0xFF
+        mag = (((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 0x07)
+        mu[code] = -(mag - 0x84) if b & 0x80 else (mag - 0x84)
+        b = code ^ 0x55
+        exp = (b >> 4) & 0x07
+        mant = b & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 \
+            else ((mant << 4) + 0x108) << (exp - 1)
+        al[code] = -mag if b & 0x80 else mag
+    return mu, al
+
+
+def _decode_wav_g711(content: bytes):
+    """G.711 µ-law (format 7) / A-law (format 6) WAV -> the
+    ``decode_wav`` contract with int16 linear samples (width 2), or
+    None when the file is not a G.711 WAV."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    fmt_tag = channels = rate = None
+    data = None
+    pos = 12
+    steps = 0
+    while pos + 8 <= len(content) and steps < _MAX_PROBE_STEPS:
+        steps += 1
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if tag == b"fmt " and size >= 16:
+            fmt_tag, channels, rate = struct.unpack(
+                "<HHI", content[pos + 8:pos + 16])
+        elif tag == b"data":
+            data = content[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_tag not in (6, 7) or not channels or not rate \
+            or data is None:
+        return None
+    mu, al = _g711_tables()
+    table = mu if fmt_tag == 7 else al
+    arr = table[np.frombuffer(data, np.uint8)]
+    n = arr.size - (arr.size % channels)
+    return arr[:n].reshape(-1, channels), rate, 2
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -1419,7 +1483,7 @@ def probe_media(content: bytes) -> dict | None:
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             # header walk only — probing a 1 GB WAV must not decode
             # its frames (the whole point of the probe surface)
-            rate = channels = bits = None
+            rate = channels = bits = fmt_tag = None
             data_size = None
             pos = 12
             steps = 0
@@ -1429,7 +1493,7 @@ def probe_media(content: bytes) -> dict | None:
                 tag = content[pos:pos + 4]
                 (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
                 if tag == b"fmt " and size >= 16:
-                    _f, channels, rate = struct.unpack(
+                    fmt_tag, channels, rate = struct.unpack(
                         "<HHI", content[pos + 8:pos + 16])
                     (bits,) = struct.unpack(
                         "<H", content[pos + 22:pos + 24])
@@ -1437,8 +1501,11 @@ def probe_media(content: bytes) -> dict | None:
                     data_size = min(size, len(content) - pos - 8)
                 pos += 8 + size + (size & 1)
             frame_bytes = ((channels or 0) * ((bits or 0) // 8))
+            codec = {1: f"pcm_{bits}" if bits else "pcm",
+                     3: "pcm_float", 6: "alaw", 7: "ulaw"}.get(
+                fmt_tag, f"wav_fmt_{fmt_tag}")
             return {"container": "wav", "kind": "audio",
-                    "codec": f"pcm_{bits}" if bits else "pcm",
+                    "codec": codec,
                     "duration_ms": (data_size // frame_bytes)
                     * 1000.0 / rate
                     if rate and frame_bytes and data_size is not None

@@ -2271,3 +2271,46 @@ def test_audio_gate_classifies_ogg_vorbis_as_missing_decoder(spark):
         media, use_real_decoder=True,
         skip_undecodable=True).collect()
     assert rows[0].afp is None
+
+
+def test_wav_g711_and_deep_pcm_decode():
+    """µ-law/A-law WAVs (telephony corpora; format tags 7/6) expand
+    through the published G.711 tables — spot-checked against the
+    spec's known values — and 24/32-bit PCM decodes sign-correctly."""
+    import struct as _s
+
+    def wav(tag, ch, rate, bits, data):
+        ba = rate * ch * (bits // 8)
+        fmt = _s.pack("<HHIIHH", tag, ch, rate, ba,
+                      ch * (bits // 8), bits)
+        return (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+
+    # G.711 spec anchors: mu-law 0xFF -> +0, 0x7F -> -0, 0x00 ->
+    # -32124 (max negative), 0x80 -> +32124; A-law 0x55 -> +8 (no
+    # true zero), 0xD5 -> -8, 0xAA -> -32256 (max negative)
+    got, rate, w = mc.decode_wav(
+        wav(7, 1, 8000, 8, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert (rate, w) == (8000, 2)
+    assert got[:, 0].tolist() == [0, 0, -32124, 32124]
+    got, _, _ = mc.decode_wav(wav(6, 1, 8000, 8,
+                                  bytes([0x55, 0xD5, 0xAA])))
+    assert got[:, 0].tolist() == [8, -8, -32256]
+    # stereo mu-law keeps channel interleave
+    got, _, _ = mc.decode_wav(wav(7, 2, 8000, 8,
+                                  bytes([0xFF, 0x00, 0xFF, 0x00])))
+    assert got.shape == (2, 2) and got[0].tolist() == [0, -32124]
+    # 24-bit PCM: +1, -1, min, max round through sign extension
+    vals = [1, -1, -(1 << 23), (1 << 23) - 1]
+    data = b"".join(v.to_bytes(3, "little", signed=True)
+                    for v in vals)
+    got, _, w = mc.decode_wav(wav(1, 1, 48000, 24, data))
+    assert w == 3 and got[:, 0].tolist() == vals
+    # 32-bit PCM
+    data = b"".join(_s.pack("<i", v) for v in (7, -(1 << 31)))
+    got, _, w = mc.decode_wav(wav(1, 1, 48000, 32, data))
+    assert w == 4 and got[:, 0].tolist() == [7, -(1 << 31)]
+    # audio features path accepts a mu-law clip end to end
+    assert mc.decode_audio(
+        wav(7, 1, 8000, 8, bytes(64)))[0].shape == (64, 1)
