@@ -207,6 +207,15 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "entity_key_hash",
     "text_token_count",
 ]
+# r10 round-end note: a full-registry sf0.01 hash drive (100/100
+# consistent) ran on the final tree. Tail-query shared paths touched
+# this round were INPUT-GATED additions only, each re-driven at
+# sf0.01 after the change: decode_audio gained fLaC/OggS dispatch
+# branches (audio_near_duplicates — its WAV branch byte-identical on
+# valid input), decode_video's WebP branch internals were vectorized
+# (video_near_duplicates — GIF/MPNG fixtures untouched, and no
+# registry fixture carries RIFF/WEBP magic), and crawl's media
+# candidate net widened (crawl_* document-half predicates re-driven).
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
