@@ -1185,3 +1185,99 @@ def semantic_dedup(
         F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
         (F.coalesce("keep_id", F.col(id_col)) == F.col(id_col))
         .alias("keep"))
+
+
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_doc_frac: float = 0.01,
+                      min_docs: int = 2,
+                      min_line_chars: int = 4) -> DataFrame:
+    """The corpus's boilerplate LINES: every line whose document
+    frequency exceeds ``max(min_docs, max_doc_frac * n_docs)`` —
+    navigation bars, cookie banners, footers — as (line_hash, line,
+    n_docs) rows. Document frequency, not raw occurrences: a line
+    repeated inside ONE document is repetition (``text_repetition``'s
+    business), not boilerplate.
+
+    Scale shape: explode to (line_hash, doc) pairs, distinct, count —
+    two shuffles on the 64-bit hash, partial aggregation on both, no
+    skew (hot lines are exactly what partial agg collapses map-side).
+    Lines shorter than ``min_line_chars`` are ignored: "", "-", and
+    bullet glyphs are structure, not signal.
+    """
+    n_docs = df.select(F.count_distinct(F.col(id_col))).collect()[0][0]
+    threshold = max(min_docs, int(max_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    lines = lines.filter(F.length(F.trim(F.col("line")))
+                         >= min_line_chars)
+    return (lines
+            .select(F.xxhash64(F.col("line")).alias("line_hash"),
+                    F.col("line"), F.col(id_col))
+            .distinct()
+            .groupBy("line_hash", "line")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > threshold))
+
+
+def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_doc_frac: float = 0.01,
+                           min_docs: int = 2,
+                           min_line_chars: int = 4) -> DataFrame:
+    """CCNet-style corpus-level line dedup: strip every line that
+    ``boilerplate_lines`` flags and reassemble each document with its
+    remaining lines in original order (same columns, rewritten
+    ``text_col``, plus ``n_lines_dropped``). The other dedup operators
+    remove whole near-duplicate DOCUMENTS; this removes the per-SITE
+    template text that survives them — the single highest-volume
+    contaminant in web corpora after exact dups.
+
+    Scale shape: the boilerplate set is tiny relative to the corpus
+    (that is what a frequency threshold means), so the strip join
+    broadcasts it; the reassembly groups on ``id_col`` — the same key
+    the corpus is already bucketed by downstream — with
+    ``array_sort`` on (line_no, line) structs keeping order without a
+    window. Short lines (below ``min_line_chars``) can never be
+    flagged, so structure like blank separators survives verbatim.
+    Assumes ``id_col`` uniquely keys documents (run
+    ``drop_exact_duplicates`` first on dirty inputs — the standard
+    pipeline order anyway: whole-document dedup, then template
+    stripping).
+    """
+    from pyspark.sql import functions as F2
+
+    boiler = boilerplate_lines(
+        df, text_col=text_col, id_col=id_col,
+        max_doc_frac=max_doc_frac, min_docs=min_docs,
+        min_line_chars=min_line_chars).select("line_hash")
+    lines = df.select(
+        F.col(id_col).alias("_bl_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("line_no", "line"))
+    kept = (lines
+            .withColumn("line_hash", F.xxhash64(F.col("line")))
+            .join(F2.broadcast(boiler), on="line_hash",
+                  how="left_anti"))
+    rebuilt = (kept
+               .groupBy("_bl_id")
+               .agg(
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(F.struct(
+                               F.col("line_no"), F.col("line")))),
+                           lambda s: s.line),
+                       "\n").alias("_bl_text"),
+                   F.count("*").alias("_bl_kept")))
+    out = (df
+           .join(rebuilt, on=df[id_col] == rebuilt["_bl_id"],
+                 how="left")
+           .withColumn(
+               "n_lines_dropped",
+               F.size(F.split(F.col(text_col), "\n"))
+               - F.coalesce(F.col("_bl_kept"), F.lit(0)).cast("int"))
+           .withColumn(text_col, F.coalesce(F.col("_bl_text"),
+                                            F.lit("")))
+           .drop("_bl_id", "_bl_text", "_bl_kept"))
+    return out

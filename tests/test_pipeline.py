@@ -2180,3 +2180,34 @@ def test_corpus_stats_single_scan_plan(spark, tmp_path):
     assert {r.domain: r.n_docs for r in rows
             if r.gid == CORPUS_GID["domain"]} == \
         {"a.com": 1, "b.de": 1}
+
+
+def test_boilerplate_line_dedup(spark):
+    """Lines recurring across enough documents (site templates) are
+    stripped; per-document repetition is NOT flagged; order and
+    non-boilerplate content survive; short structural lines are
+    exempt."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    header = "Cookie consent: accept all"
+    footer = "(c) 2024 Example Site - All rights reserved"
+    docs = [(i, f"{header}\nunique body {i} with words\n"
+                f"more unique {i * 7}\n\n{footer}")
+            for i in range(10)]
+    docs.append((99, "repeat me\nrepeat me\nrepeat me\nonly here"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    boiler = {r.line for r in dedup.boilerplate_lines(
+        df, max_doc_frac=0.5).collect()}
+    assert boiler == {header, footer}  # doc-frequency, not raw count
+
+    out = {r.doc_id: r for r in dedup.drop_boilerplate_lines(
+        df, max_doc_frac=0.5).collect()}
+    assert out[3].text == "unique body 3 with words\nmore unique 21\n"
+    assert out[3].n_lines_dropped == 2
+    # within-doc repetition kept (not boilerplate)
+    assert out[99].text == "repeat me\nrepeat me\nrepeat me\nonly here"
+    assert out[99].n_lines_dropped == 0
+    # all original columns survive
+    assert set(out[3].asDict()) == {"doc_id", "text",
+                                    "n_lines_dropped"}
