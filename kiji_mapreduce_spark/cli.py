@@ -312,6 +312,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="classify-train model JSON: adds a learned "
                     "filter stage after the heuristic quality gate")
     cu.add_argument("--min-prob", type=float, default=0.5)
+    cu.add_argument("--strip-boilerplate", type=float, default=None,
+                    metavar="FRAC",
+                    help="strip lines appearing in more than FRAC of "
+                    "documents (site templates: nav/cookie/footer) "
+                    "BEFORE quality scoring")
 
     ct = sub.add_parser("classify-train", help="train the hashed-"
                         "features logistic-regression quality filter")
@@ -680,7 +685,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             strata_col=args.strata_col, splits=splits,
             quality_model=(json.load(open(args.quality_model))
                            if args.quality_model else None),
-            min_prob=args.min_prob)
+            min_prob=args.min_prob,
+            strip_boilerplate=args.strip_boilerplate)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()

@@ -42,6 +42,12 @@ class CurateConfig:
     #: the heuristic quality gate, keeping docs with prob >= min_prob
     quality_model: dict | None = None
     min_prob: float = 0.5
+    #: strip corpus-level boilerplate lines (CCNet-style template
+    #: removal) BEFORE quality scoring: template text inflates
+    #: stopword/length signals, so stripping first keeps the quality
+    #: gate honest. None = off; a float is the max document-frequency
+    #: fraction a line may appear in before it is boilerplate
+    strip_boilerplate: float | None = None
     #: optional ordered {split: fraction} mapping or [(split, fraction)]
     #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
@@ -74,6 +80,11 @@ def curate_corpus(
     instead of re-running the scoring scan per branch.
     """
     cfg = config or CurateConfig()
+    if cfg.strip_boilerplate is not None:
+        docs = dedup.drop_boilerplate_lines(
+            docs, text_col=text_col, id_col=id_col,
+            max_doc_frac=cfg.strip_boilerplate
+        ).drop("n_lines_dropped")
     scored = text_ops.quality_features(docs, text_col)
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",

@@ -1898,3 +1898,30 @@ def test_stream_shard_ingest_exactly_once(spark, tmp_path, capsys):
     rows = spark.read.parquet(f"{tmp_path}/members").collect()
     assert {r.member_path for r in rows} == {"a.bin", "b.bin", "c.bin"}
     assert {r.batch_id for r in rows} == {0, 1}
+
+
+def test_cli_curate_strip_boilerplate(spark, tmp_path, capsys):
+    """curate --strip-boilerplate removes site-template lines before
+    quality scoring, so a short unique body under a big template
+    survives the quality gate it would otherwise fail."""
+    import json as _json
+
+    header = "Accept all cookies to continue | Site navigation menu"
+    docs = [(i, f"{header}\n{header}\n"
+                "the quick brown fox jumps over the lazy dog "
+                f"number {i} in a perfectly ordinary sentence",
+             "en") for i in range(8)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string") \
+        .write.parquet(f"{tmp_path}/docs")
+    rc = cli.main(["curate", "--input", f"{tmp_path}/docs",
+                   "--output", f"{tmp_path}/out",
+                   "--min-quality", "0.0",
+                   "--strip-boilerplate", "0.5"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs_out"] == 8
+    texts = [r.text for r in
+             spark.read.parquet(f"{tmp_path}/out").collect()]
+    assert all(header not in t for t in texts)
+    assert all("quick brown fox" in t for t in texts)
