@@ -146,6 +146,15 @@ def _sniff_kind(body: bytes) -> str | None:
         # on magic), same classification as animated GIF
         return ("video" if media_codecs.webp_frame_count(body) >= 2
                 else "image")
+    if body[:2] == b"BM":
+        # BMP has no strong magic ("BM" + LE size), so the probe's
+        # header-size sanity check makes the call; there is no
+        # contains() candidate probe for it (2 printable bytes would
+        # flood the net) — untyped BMPs surface only via declared
+        # image/* Content-Type, documented gap
+        probe = media_codecs.probe_media(body)
+        if probe is not None and probe["container"] == "bmp":
+            return "image"
     if (body[4:8] == b"ftyp" or body[:4] == b"\x1aE\xdf\xa3"
             or body[:4] == b"OggS" or body[:3] == b"ID3"):
         # MP4 / Matroska-WebM / Ogg / MP3: codec payloads are ffmpeg

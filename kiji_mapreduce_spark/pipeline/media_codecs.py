@@ -324,6 +324,186 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 _MPNG_MAGIC = b"MPNG"
 
 
+def decode_bmp(content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Windows BMP -> (pixels uint8 [h, w, channels], width, height,
+    channels). Covers the shapes the format actually ships: 1/4/8-bit
+    palette, 16-bit (555/565 via masks), 24/32-bit BGR(A), RLE8/RLE4
+    compression, bottom-up and top-down rows, BITMAPINFOHEADER and the
+    V4/V5 extensions. Channels is 4 only when a 32-bit image carries
+    a non-opaque alpha byte (many writers leave 0 meaning 'unused')."""
+    try:
+        return _decode_bmp_unchecked(content)
+    except UnsupportedMedia:
+        raise
+    except (KeyError, ValueError, IndexError, struct.error) as e:
+        raise UnsupportedMedia(
+            f"malformed BMP structure: {type(e).__name__}: {e}") from e
+
+
+def _decode_bmp_unchecked(content: bytes):
+    if content[:2] != b"BM" or len(content) < 54:
+        raise UnsupportedMedia("not a BMP (bad magic)")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size,) = struct.unpack("<I", content[14:18])
+    if hdr_size < 40:
+        raise UnsupportedMedia("BMP: pre-BITMAPINFOHEADER (OS/2) "
+                               "headers unsupported")
+    w, h_raw = struct.unpack("<ii", content[18:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    (clr_used,) = struct.unpack("<I", content[46:50])
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or planes != 1:
+        raise UnsupportedMedia("BMP: bad dimensions")
+    if w * h * 8 > _MAX_DECODED_BYTES:
+        raise UnsupportedMedia(
+            f"BMP: {w}x{h} decodes past the "
+            f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+    # BITFIELDS (3) with the standard masks is plain memory layout
+    if compression not in (0, 1, 2, 3):
+        raise UnsupportedMedia(f"BMP: compression {compression}")
+    palette = None
+    if bpp <= 8:
+        n = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        raw = content[pal_off:pal_off + 4 * n]
+        if len(raw) < 4 * n:
+            raise UnsupportedMedia("BMP: palette truncated")
+        pal = np.frombuffer(raw, np.uint8).reshape(-1, 4)
+        palette = pal[:, [2, 1, 0]]  # BGRX -> RGB
+    if compression in (1, 2):  # RLE8 / RLE4
+        idx = _bmp_rle(content[data_off:], w, h,
+                       4 if compression == 2 else 8)
+        if palette is None:
+            raise UnsupportedMedia("BMP: RLE without palette")
+        rgb = palette[np.minimum(idx, len(palette) - 1)]
+        if not top_down:
+            rgb = rgb[::-1]
+        return np.ascontiguousarray(rgb), w, h, 3
+    stride = (w * bpp + 31) // 32 * 4
+    need = stride * h
+    data = content[data_off:data_off + need]
+    if len(data) < need:
+        raise UnsupportedMedia("BMP: pixel data truncated")
+    rows = np.frombuffer(data, np.uint8).reshape(h, stride)
+    if bpp == 24:
+        px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+        out, ch = px, 3
+    elif bpp == 32:
+        px = rows[:, :w * 4].reshape(h, w, 4)
+        alpha = px[:, :, 3]
+        if int(alpha.min()) < 255 and int(alpha.max()) > 0:
+            out = px[:, :, [2, 1, 0, 3]]
+            ch = 4
+        else:  # alpha byte unused (all 0 or all 255): opaque RGB
+            out = px[:, :, [2, 1, 0]]
+            ch = 3
+    elif bpp == 16:
+        masks = (0x7C00, 0x03E0, 0x001F)  # default 555
+        if compression == 3 and hdr_size >= 40 \
+                and len(content) >= 14 + 40 + 12:
+            masks = struct.unpack("<III", content[54:66])
+        v = rows[:, :w * 2].reshape(h, w, 2)
+        v16 = v[:, :, 0].astype(np.uint32) \
+            | (v[:, :, 1].astype(np.uint32) << 8)
+        out = np.empty((h, w, 3), np.uint8)
+        for c, mask in enumerate(masks):
+            if mask == 0:
+                raise UnsupportedMedia("BMP: zero channel mask")
+            shift = (mask & -mask).bit_length() - 1
+            width_bits = int(mask >> shift).bit_length()
+            chan = (v16 & mask) >> shift
+            out[:, :, c] = (chan * 255 //
+                            ((1 << width_bits) - 1)).astype(np.uint8)
+        ch = 3
+    elif bpp in (1, 4, 8):
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            else:
+                nib = (bits[:, 0::4] << 3) | (bits[:, 1::4] << 2) \
+                    | (bits[:, 2::4] << 1) | bits[:, 3::4]
+                idx = nib[:, :w]
+        out = palette[np.minimum(idx.astype(np.int64),
+                                 len(palette) - 1)]
+        ch = 3
+    else:
+        raise UnsupportedMedia(f"BMP: {bpp}-bit pixels")
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out), w, h, ch
+
+
+def _bmp_rle(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
+    """RLE8/RLE4 decode -> palette-index array [h, w] in FILE row
+    order (bottom-up unless the caller flips)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            if bits == 8:
+                run = np.full(count, val, np.uint8)
+            else:
+                pair = np.array([val >> 4, val & 0x0F], np.uint8)
+                run = np.tile(pair, (count + 1) // 2)[:count]
+            end = min(x + count, w)
+            if y < h:
+                out[y, x:end] = run[:end - x]
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta jump
+            if pos + 2 > n:
+                break
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` pixels
+            if bits == 8:
+                nbytes = (val + 1) // 2 * 2  # word-aligned
+                px = np.frombuffer(
+                    data[pos:pos + val], np.uint8)
+            else:
+                nbytes = ((val + 1) // 2 + 1) // 2 * 2
+                raw = np.frombuffer(
+                    data[pos:pos + (val + 1) // 2], np.uint8)
+                px = np.empty(raw.size * 2, np.uint8)
+                px[0::2] = raw >> 4
+                px[1::2] = raw & 0x0F
+                px = px[:val]
+            if px.size < val:
+                raise UnsupportedMedia("BMP: RLE truncated")
+            end = min(x + val, w)
+            if y < h:
+                out[y, x:end] = px[:end - x]
+            x += val
+            pos += nbytes
+    return out  # file row order; caller flips bottom-up images
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 [h, w, 3] -> 24-bit bottom-up BMP (fixture encoder)."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
 def encode_video(frames: list[np.ndarray],
                  micros_per_frame: int = 40000) -> bytes:
     """Motion-PNG container: each frame a real PNG (lossless), so the
@@ -1480,6 +1660,15 @@ def probe_media(content: bytes) -> dict | None:
                     else "webp", "duration_ms": None,
                     "width": w, "height": h,
                     "sample_rate": None, "channels": None}
+        if content[:2] == b"BM" and len(content) >= 54:
+            (hdr_size,) = struct.unpack("<I", content[14:18])
+            if hdr_size in (12, 40, 52, 56, 64, 108, 124):
+                w, h = struct.unpack("<ii", content[18:26])
+                return {"container": "bmp", "kind": "image",
+                        "codec": "bmp", "duration_ms": None,
+                        "width": abs(w) or None,
+                        "height": abs(h) or None,
+                        "sample_rate": None, "channels": None}
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             # header walk only — probing a 1 GB WAV must not decode
             # its frames (the whole point of the probe surface)

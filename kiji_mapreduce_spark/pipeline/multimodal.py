@@ -109,6 +109,14 @@ def _decode_image_real(content: bytes):
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
             pass  # disposal-3 / off-spec: fall through to PIL
+    elif content[:2] == b"BM":
+        try:
+            # Windows BMP decodes natively (r10): palette/16/24/32-bit,
+            # RLE4/RLE8, bottom-up and top-down
+            pixels, width, height, _ = media_codecs.decode_bmp(content)
+            return pixels, width, height
+        except media_codecs.UnsupportedMedia:
+            pass  # OS/2 headers / off-spec: fall through to PIL
     try:  # optional extra: PIL widens format coverage when present
         from PIL import Image
         import io as _io

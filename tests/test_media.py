@@ -2314,3 +2314,86 @@ def test_wav_g711_and_deep_pcm_decode():
     # audio features path accepts a mu-law clip end to end
     assert mc.decode_audio(
         wav(7, 1, 8000, 8, bytes(64)))[0].shape == (64, 1)
+
+
+def test_bmp_decode_all_shapes():
+    """BMP: 24-bit roundtrip via the fixture encoder, 32-bit with
+    used and unused alpha, 8/4/1-bit palette, 16-bit 555 and
+    BITFIELDS 565, RLE8 runs/absolute/EOL, top-down rows."""
+    import struct as _s
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (7, 11, 3)).astype(np.uint8)
+    out, w, h, c = mc.decode_bmp(mc.encode_bmp(px))
+    assert (w, h, c) == (11, 7, 3) and np.array_equal(out, px)
+
+    def bmp(bpp, w, h, data, compression=0, palette=b"",
+            masks=b"", clr_used=0):
+        info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       len(data), 0, 0, clr_used, 0)
+        off = 54 + len(masks) + len(palette)
+        hdr = b"BM" + _s.pack("<IHHI", off + len(data), 0, 0, off)
+        return hdr + info + masks + palette + data
+
+    # 32-bit, alpha carried (mixed values)
+    row = bytes([10, 20, 30, 128, 40, 50, 60, 255])
+    out, w, h, c = mc.decode_bmp(bmp(32, 2, 1, row))
+    assert c == 4 and out[0, 0].tolist() == [30, 20, 10, 128]
+    # 32-bit, alpha byte all zero -> opaque RGB
+    row0 = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    out, _, _, c = mc.decode_bmp(bmp(32, 2, 1, row0))
+    assert c == 3 and out[0, 1].tolist() == [60, 50, 40]
+    # 8-bit palette, bottom-up 2 rows
+    pal = bytes([0, 0, 255, 0] + [0, 255, 0, 0] + [255, 0, 0, 0]
+                + [0] * 4)
+    data = bytes([0, 1, 0, 0]) + bytes([2, 2, 0, 0])  # stride 4
+    out, _, _, _ = mc.decode_bmp(bmp(8, 2, 2, data, palette=pal,
+                                     clr_used=4))
+    assert out[0, 0].tolist() == [0, 0, 255]   # top row = file row 2
+    assert out[1, 1].tolist() == [0, 255, 0]
+    # 1-bit palette
+    pal2 = bytes([0, 0, 0, 0, 255, 255, 255, 0])
+    out, _, _, _ = mc.decode_bmp(
+        bmp(1, 3, 1, bytes([0b10100000, 0, 0, 0]), palette=pal2))
+    assert out[0].tolist() == [[255] * 3, [0] * 3, [255] * 3]
+    # 16-bit default 555: 0x7C00 = pure red
+    out, _, _, _ = mc.decode_bmp(
+        bmp(16, 1, 1, _s.pack("<H", 0x7C00) + b"\x00\x00"))
+    assert out[0, 0].tolist() == [255, 0, 0]
+    # 16-bit BITFIELDS 565: 0x07E0 = pure green
+    out, _, _, _ = mc.decode_bmp(
+        bmp(16, 1, 1, _s.pack("<H", 0x07E0) + b"\x00\x00",
+            compression=3,
+            masks=_s.pack("<III", 0xF800, 0x07E0, 0x001F)))
+    assert out[0, 0].tolist() == [0, 255, 0]
+    # top-down (negative height): first file row IS the top row
+    row2 = bytes([1, 1, 1, 0, 0, 0, 0, 0]) \
+        + bytes([9, 9, 9, 0, 0, 0, 0, 0])
+    out, _, _, _ = mc.decode_bmp(bmp(24, 2, 2, row2) .replace(
+        _s.pack("<ii", 2, 2), _s.pack("<ii", 2, -2), 1))
+    assert out[0, 0].tolist() == [1, 1, 1]
+    # RLE8: run of 3 color-1, EOL, absolute run of 3 (word-padded),
+    # EOB — (0,2) would be the delta escape, absolute needs >= 3
+    rle = bytes([3, 1, 0, 0, 0, 3, 2, 0, 1, 0, 0, 1])
+    out, _, _, _ = mc.decode_bmp(
+        bmp(8, 3, 2, rle, compression=1, palette=pal, clr_used=4))
+    assert out[1].tolist() == [[0, 255, 0]] * 3      # bottom row
+    assert out[0].tolist() == [[0, 0, 255], [255, 0, 0], [0, 255, 0]]
+
+
+def test_bmp_probe_and_image_dedup(spark):
+    """BMP probes through the uniform surface and pairs with its PNG
+    twin in image dedup (same pixels, different container)."""
+    px = _gradient(16, 18, 3)
+    blob = mc.encode_bmp(px)
+    p = mc.probe_media(blob)
+    assert (p["container"], p["kind"], p["width"], p["height"]) == \
+        ("bmp", "image", 18, 16)
+    assert mc.probe_media(b"BMX not a real bmp padded out to len!!"
+                          * 2) is None
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(px)), (2, blob)],
+        "media_id long, content binary")
+    pairs = [(r.id_a, r.id_b) for r in multimodal.image_near_duplicates(
+        media, max_hamming=3, bands=4, use_real_decoder=True).collect()]
+    assert (1, 2) in pairs

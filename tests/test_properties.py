@@ -694,7 +694,7 @@ def test_codec_error_surface_is_total(data):
 
     for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
                mc.decode_webp, mc.decode_wav, mc.decode_flac,
-               mc.decode_audio, mc.decode_video,
+               mc.decode_audio, mc.decode_video, mc.decode_bmp,
                mc.decode_gif_frames, mc.decode_webp_frames):
         try:
             fn(data)
@@ -721,7 +721,7 @@ def test_codec_error_surface_on_corrupted_fixtures(data):
     blobs = [
         mc.encode_png(px), mc.encode_jpeg(px), mc.encode_gif([px]),
         mc.encode_webp_lossless(px), mc.encode_wav(clips, 8000),
-        mc.encode_flac(clips, 8000),
+        mc.encode_flac(clips, 8000), mc.encode_bmp(px),
         mc.encode_webp_anim([px, px]),
     ]
     blob = bytearray(data.draw(st.sampled_from(blobs)))
@@ -733,7 +733,8 @@ def test_codec_error_surface_on_corrupted_fixtures(data):
         blob[i] ^= 1 << data.draw(st.integers(0, 7))
     corrupt = bytes(blob)
     for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
-               mc.decode_webp, mc.decode_audio, mc.decode_video):
+               mc.decode_webp, mc.decode_audio, mc.decode_video,
+               mc.decode_bmp):
         try:
             fn(corrupt)
         except mc.UnsupportedMedia:
