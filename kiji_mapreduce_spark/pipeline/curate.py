@@ -10,7 +10,9 @@ Every stage is one of the already-audited operators (quality_features,
 drop_exact_duplicates, minhash dedup + connected components,
 ngram_overlap, stratified_sample), so the chain inherits their scale
 shapes: nothing here adds a shuffle beyond what the stages themselves
-do, and the whole thing stays lazy except the near-dedup CC loop.
+do, and the whole thing stays lazy except the near-dedup CC loop and
+(when ``strip_boilerplate`` is on) the boilerplate stage's one scalar
+document count over its eagerly-pinned input.
 """
 
 from __future__ import annotations

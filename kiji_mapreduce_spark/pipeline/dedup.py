@@ -1225,7 +1225,8 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_doc_frac: float = 0.01,
                            min_docs: int = 2,
-                           min_line_chars: int = 4) -> DataFrame:
+                           min_line_chars: int = 4,
+                           materialize: bool = True) -> DataFrame:
     """CCNet-style corpus-level line dedup: strip every line that
     ``boilerplate_lines`` flags and reassemble each document with its
     remaining lines in original order (same columns, rewritten
@@ -1244,10 +1245,18 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
     Assumes ``id_col`` uniquely keys documents (run
     ``drop_exact_duplicates`` first on dirty inputs — the standard
     pipeline order anyway: whole-document dedup, then template
-    stripping).
-    """
-    from pyspark.sql import functions as F2
+    stripping). NULL text stays NULL (a missing document must not
+    collapse into the empty-text dedup group downstream).
 
+    Four consumers read ``df`` (the doc count, the frequency
+    aggregation, the strip explode, the reattachment join), so by
+    default it is pinned once with an eager localCheckpoint — the
+    ``minhash_dedup``/``curate`` discipline — rather than re-running
+    the upstream scan per branch; the one driver round-trip is the
+    scalar document count the threshold needs.
+    """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     boiler = boilerplate_lines(
         df, text_col=text_col, id_col=id_col,
         max_doc_frac=max_doc_frac, min_docs=min_docs,
@@ -1258,7 +1267,7 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
         .alias("line_no", "line"))
     kept = (lines
             .withColumn("line_hash", F.xxhash64(F.col("line")))
-            .join(F2.broadcast(boiler), on="line_hash",
+            .join(F.broadcast(boiler), on="line_hash",
                   how="left_anti"))
     rebuilt = (kept
                .groupBy("_bl_id")
@@ -1275,9 +1284,14 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                  how="left")
            .withColumn(
                "n_lines_dropped",
-               F.size(F.split(F.col(text_col), "\n"))
-               - F.coalesce(F.col("_bl_kept"), F.lit(0)).cast("int"))
-           .withColumn(text_col, F.coalesce(F.col("_bl_text"),
-                                            F.lit("")))
+               F.coalesce(
+                   F.size(F.split(F.col(text_col), "\n"))
+                   - F.coalesce(F.col("_bl_kept"),
+                                F.lit(0)).cast("int"),
+                   F.lit(0)))
+           .withColumn(
+               text_col,
+               F.when(F.col(text_col).isNull(), F.lit(None))
+               .otherwise(F.coalesce(F.col("_bl_text"), F.lit(""))))
            .drop("_bl_id", "_bl_text", "_bl_kept"))
     return out

@@ -391,13 +391,39 @@ def _decode_bmp_unchecked(content: bytes):
         px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
         out, ch = px, 3
     elif bpp == 32:
-        px = rows[:, :w * 4].reshape(h, w, 4)
-        alpha = px[:, :, 3]
-        if int(alpha.min()) < 255 and int(alpha.max()) > 0:
-            out = px[:, :, [2, 1, 0, 3]]
+        rmask, gmask, bmask = 0x00FF0000, 0x0000FF00, 0x000000FF
+        amask = 0xFF000000
+        if compression == 3 and len(content) >= 66:
+            # BITFIELDS: masks at absolute 54 whether appended after
+            # a 40-byte header or embedded in a V4/V5 header (same
+            # offset either way); alpha mask only when the header
+            # carries one. Some writers emit RGBA byte order — the
+            # 16-bit branch already honored masks, 32-bit must too
+            rmask, gmask, bmask = struct.unpack("<III", content[54:66])
+            amask = (struct.unpack("<I", content[66:70])[0]
+                     if hdr_size >= 56 and len(content) >= 70 else 0)
+        v = rows[:, :w * 4].reshape(h, w, 4)
+        v32 = (v[:, :, 0].astype(np.uint32)
+               | (v[:, :, 1].astype(np.uint32) << 8)
+               | (v[:, :, 2].astype(np.uint32) << 16)
+               | (v[:, :, 3].astype(np.uint32) << 24))
+
+        def _chan(mask):
+            if mask == 0:
+                raise UnsupportedMedia("BMP: zero channel mask")
+            shift = (mask & -mask).bit_length() - 1
+            nbits = int(mask >> shift).bit_length()
+            c = (v32 & mask) >> shift
+            return (c * 255 // ((1 << nbits) - 1)).astype(np.uint8)
+
+        rgb = np.stack([_chan(rmask), _chan(gmask), _chan(bmask)],
+                       axis=2)
+        alpha = _chan(amask) if amask else np.zeros((h, w), np.uint8)
+        if amask and int(alpha.min()) < 255 and int(alpha.max()) > 0:
+            out = np.concatenate([rgb, alpha[:, :, None]], axis=2)
             ch = 4
-        else:  # alpha byte unused (all 0 or all 255): opaque RGB
-            out = px[:, :, [2, 1, 0]]
+        else:  # alpha absent or unused (all 0 / all 255): opaque
+            out = rgb
             ch = 3
     elif bpp == 16:
         masks = (0x7C00, 0x03E0, 0x001F)  # default 555
@@ -577,8 +603,13 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
             IndexError) as e:
         # the stdlib module only speaks PCM; G.711 companded WAVs
         # (format tags 6/7 — the telephony/speech-corpus encodings)
-        # decode through the published log-PCM expansion instead
-        g711 = _decode_wav_g711(content)
+        # decode through the published log-PCM expansion instead.
+        # The fallback parses hostile bytes too, so its own failures
+        # collapse into the same UnsupportedMedia contract
+        try:
+            g711 = _decode_wav_g711(content)
+        except (struct.error, ValueError, IndexError):
+            g711 = None
         if g711 is not None:
             return g711
         raise UnsupportedMedia(
@@ -638,7 +669,8 @@ def _decode_wav_g711(content: bytes):
         steps += 1
         tag = content[pos:pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
-        if tag == b"fmt " and size >= 16:
+        if tag == b"fmt " and size >= 16 \
+                and pos + 16 <= len(content):  # declared vs actual
             fmt_tag, channels, rate = struct.unpack(
                 "<HHI", content[pos + 8:pos + 16])
         elif tag == b"data":
@@ -1660,10 +1692,13 @@ def probe_media(content: bytes) -> dict | None:
                     else "webp", "duration_ms": None,
                     "width": w, "height": h,
                     "sample_rate": None, "channels": None}
-        if content[:2] == b"BM" and len(content) >= 54:
+        if content[:2] == b"BM" and len(content) >= 26:
             (hdr_size,) = struct.unpack("<I", content[14:18])
             if hdr_size in (12, 40, 52, 56, 64, 108, 124):
-                w, h = struct.unpack("<ii", content[18:26])
+                if hdr_size == 12:  # OS/2 core header: WORD dims
+                    w, h = struct.unpack("<HH", content[18:22])
+                else:
+                    w, h = struct.unpack("<ii", content[18:26])
                 return {"container": "bmp", "kind": "image",
                         "codec": "bmp", "duration_ms": None,
                         "width": abs(w) or None,
@@ -1690,8 +1725,12 @@ def probe_media(content: bytes) -> dict | None:
                     data_size = min(size, len(content) - pos - 8)
                 pos += 8 + size + (size & 1)
             frame_bytes = ((channels or 0) * ((bits or 0) // 8))
-            codec = {1: f"pcm_{bits}" if bits else "pcm",
-                     3: "pcm_float", 6: "alaw", 7: "ulaw"}.get(
+            pcm_name = f"pcm_{bits}" if bits else "pcm"
+            # 0xFFFE = WAVE_FORMAT_EXTENSIBLE, the standard wrapper
+            # for >16-bit/multichannel PCM; fmt-less files stay the
+            # plain "pcm" guess rather than an opaque tag string
+            codec = {None: "pcm", 1: pcm_name, 3: "pcm_float",
+                     6: "alaw", 7: "ulaw", 0xFFFE: pcm_name}.get(
                 fmt_tag, f"wav_fmt_{fmt_tag}")
             return {"container": "wav", "kind": "audio",
                     "codec": codec,

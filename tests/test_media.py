@@ -2397,3 +2397,39 @@ def test_bmp_probe_and_image_dedup(spark):
     pairs = [(r.id_a, r.id_b) for r in multimodal.image_near_duplicates(
         media, max_hamming=3, bands=4, use_real_decoder=True).collect()]
     assert (1, 2) in pairs
+
+
+def test_bmp_and_wav_probe_review_regressions():
+    """r10 review regressions: OS/2 core-header BMPs probe WORD dims;
+    EXTENSIBLE / fmt-less WAVs keep pcm codec names; a truncated-
+    after-fmt-header WAV raises UnsupportedMedia, not struct.error;
+    32-bit BITFIELDS BMPs honor RGBA-order masks."""
+    import struct as _s
+
+    core = (b"BM" + _s.pack("<IHHI", 26 + 6, 0, 0, 26)
+            + _s.pack("<IHHHH", 12, 100, 50, 1, 24) + bytes(6))
+    p = mc.probe_media(core)
+    assert (p["container"], p["width"], p["height"]) == \
+        ("bmp", 100, 50)
+
+    def wav_hdr(tag, bits):
+        fmt = _s.pack("<HHIIHH", tag, 1, 8000, 8000 * bits // 8,
+                      bits // 8, bits)
+        return (b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+                + b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", 0))
+    assert mc.probe_media(wav_hdr(0xFFFE, 24))["codec"] == "pcm_24"
+    fmtless = b"RIFF" + _s.pack("<I", 4) + b"WAVE"
+    assert mc.probe_media(fmtless)["codec"] == "pcm"
+    truncated = b"RIFF" + _s.pack("<I", 36) + b"WAVE" \
+        + b"fmt " + _s.pack("<I", 16)
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_wav(truncated)
+    # 32-bit BITFIELDS with RGBA byte order (red mask = low byte)
+    masks = _s.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0)
+    off = 54 + 12
+    blob = (b"BM" + _s.pack("<IHHI", off + 4, 0, 0, off) + info
+            + masks + bytes([200, 100, 50, 0]))
+    out, _, _, c = mc.decode_bmp(blob)
+    assert c == 3 and out[0, 0].tolist() == [200, 100, 50]

@@ -2211,3 +2211,21 @@ def test_boilerplate_line_dedup(spark):
     # all original columns survive
     assert set(out[3].asDict()) == {"doc_id", "text",
                                     "n_lines_dropped"}
+
+
+def test_boilerplate_preserves_null_text(spark):
+    """NULL text stays NULL through drop_boilerplate_lines — a missing
+    document must not collapse into the empty-text dedup group."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared line here today\nbody one"),
+         (2, "shared line here today\nbody two"),
+         (3, "shared line here today\nbody three"),
+         (4, None), (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.drop_boilerplate_lines(
+        df, max_doc_frac=0.5).collect()}
+    assert out[4].text is None and out[4].n_lines_dropped == 0
+    assert out[5].text == "" and out[5].n_lines_dropped == 0
+    assert out[1].text == "body one"
