@@ -116,7 +116,12 @@ _MAGIC_KINDS = ((b"\x89PNG\r\n\x1a\n", "image"),
 #: re-checks exact body PREFIXES (_sniff_kind), so a probe
 #: false-positive costs one row through Arrow, never a wrong kind.
 _BINARY_MAGIC_PROBES = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
-                        b"MPNG\x01", b"\x1aE\xdf\xa3")  # + EBML/WebM
+                        b"MPNG\x01", b"\x1aE\xdf\xa3",  # + EBML/WebM
+                        # ICO's 4 low bytes are generic in arbitrary
+                        # binaries (extra Arrow rows, prefix-sniffed
+                        # away) but can never occur in real text, so
+                        # the document-side exclusion stays safe
+                        b"\x00\x00\x01\x00")
 #: printable sequences ("GIF89a" and "WAVEfmt " appear in prose about
 #: the formats; "WEBPVP8" is the WebP RIFF form tag fused to its first
 #: chunk tag, and "fLaC" the FLAC stream magic — printable, so same
@@ -146,6 +151,12 @@ def _sniff_kind(body: bytes) -> str | None:
         # on magic), same classification as animated GIF
         return ("video" if media_codecs.webp_frame_count(body) >= 2
                 else "image")
+    if body[:4] == b"\x00\x00\x01\x00":
+        # ICO favicon: the probe's directory sanity makes the call
+        # (the 4-byte magic alone is plausible in arbitrary binary)
+        probe = media_codecs.probe_media(body)
+        if probe is not None and probe["container"] == "ico":
+            return "image"
     if body[:2] == b"BM":
         # BMP has no strong magic ("BM" + LE size), so the probe's
         # header-size sanity check makes the call; there is no

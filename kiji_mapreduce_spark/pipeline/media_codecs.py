@@ -517,6 +517,119 @@ def _bmp_rle(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
     return out  # file row order; caller flips bottom-up images
 
 
+def decode_ico(content: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Windows ICO (favicon) -> the best entry's pixels: PNG-compressed
+    entries (the Vista+ 256px form) ride ``decode_png``; classic DIB
+    entries ride the BMP machinery with the icon quirks handled —
+    doubled header height (XOR pixels + AND mask), the 1-bit AND mask
+    applied as transparency when the pixels carry no alpha of their
+    own. Picks the largest entry (ties: deepest bitcount) — the crawl
+    wants ONE representative image per favicon, not the size ladder."""
+    try:
+        return _decode_ico_unchecked(content)
+    except UnsupportedMedia:
+        raise
+    except (KeyError, ValueError, IndexError, struct.error) as e:
+        raise UnsupportedMedia(
+            f"malformed ICO structure: {type(e).__name__}: {e}") from e
+
+
+def _ico_entries(content: bytes):
+    """Yield (w, h, bitcount, size, offset) per directory entry."""
+    if content[:4] != b"\x00\x00\x01\x00" or len(content) < 6:
+        raise UnsupportedMedia("not an ICO (bad magic)")
+    (count,) = struct.unpack("<H", content[4:6])
+    if not 1 <= count <= 1024:
+        raise UnsupportedMedia("ICO: implausible image count")
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(content):
+            raise UnsupportedMedia("ICO: directory truncated")
+        w, h = content[e], content[e + 1]
+        bitcount, size, off = struct.unpack(
+            "<HII", content[e + 6:e + 16])
+        yield (w or 256, h or 256, bitcount, size, off)
+
+
+def _decode_ico_unchecked(content: bytes):
+    best = max(_ico_entries(content),
+               key=lambda t: (t[0] * t[1], t[2]))
+    w, h, _bits, size, off = best
+    blob = content[off:off + size]
+    if len(blob) != size:
+        raise UnsupportedMedia("ICO: image data truncated")
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png_unchecked(blob)
+    # classic DIB: BITMAPINFOHEADER with biHeight doubled (XOR+AND);
+    # synthesize the 14-byte file header the BMP decoder expects,
+    # with the height patched back to the XOR image's real height
+    (hdr_size,) = struct.unpack("<I", blob[0:4])
+    if hdr_size < 40 or len(blob) < hdr_size:
+        raise UnsupportedMedia("ICO: bad embedded DIB header")
+    bw, bh2 = struct.unpack("<ii", blob[4:12])
+    bpp = struct.unpack("<H", blob[14:16])[0]
+    (clr_used,) = struct.unpack("<I", blob[32:36])
+    real_h = abs(bh2) // 2
+    if real_h == 0 or bw <= 0:
+        raise UnsupportedMedia("ICO: bad embedded DIB dimensions")
+    pal_n = (clr_used or (1 << bpp)) if bpp <= 8 else 0
+    data_off = 14 + hdr_size + 4 * pal_n
+    patched = bytearray(blob[:hdr_size])
+    struct.pack_into("<i", patched, 8, real_h)
+    bmp = b"BM" + struct.pack("<IHHI", 14 + len(blob), 0, 0,
+                              data_off) + bytes(patched) \
+        + blob[hdr_size:]
+    px, dw, dh, ch = _decode_bmp_unchecked(bmp)
+    # AND mask (1-bit, 32-bit-padded rows, bottom-up, after the XOR
+    # data): transparency for entries whose pixels carry no alpha
+    xor_stride = (dw * bpp + 31) // 32 * 4
+    mask_off = hdr_size + 4 * pal_n + xor_stride * real_h
+    mask_stride = (dw + 31) // 32 * 4
+    mask_end = mask_off + mask_stride * real_h
+    if ch == 3 and len(blob) >= mask_end:
+        rows = np.frombuffer(
+            blob[mask_off:mask_end],
+            np.uint8).reshape(real_h, mask_stride)
+        bits = np.unpackbits(rows, axis=1)[:, :dw][::-1]  # bottom-up
+        if bits.any():
+            rgba = np.concatenate(
+                [px, np.where(bits, 0, 255)[:, :, None]
+                 .astype(np.uint8)], axis=2)
+            return rgba, dw, dh, 4
+    return px, dw, dh, ch
+
+
+def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
+    """uint8 [h, w, 3] frames -> ICO (fixture encoder): classic
+    24-bit DIB entries (doubled-height header, zero AND mask) or
+    PNG-compressed entries (``png=True``)."""
+    blobs = []
+    for pixels in images:
+        h, w = pixels.shape[:2]
+        if png:
+            blobs.append((w, h, 32, encode_png(pixels)))
+            continue
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+        mask_stride = (w + 31) // 32 * 4
+        info = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+                           0, 0, 0, 0, 0)
+        blobs.append((w, h, 24,
+                      info + rows.tobytes()
+                      + bytes(mask_stride * h)))
+    out = bytearray(b"\x00\x00\x01\x00"
+                    + struct.pack("<H", len(blobs)))
+    off = 6 + 16 * len(blobs)
+    for w, h, bits, data in blobs:
+        out += struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1,
+                           bits, len(data), off)
+        off += len(data)
+    for _w, _h, _b, data in blobs:
+        out += data
+    return bytes(out)
+
+
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """uint8 [h, w, 3] -> 24-bit bottom-up BMP (fixture encoder)."""
     h, w = pixels.shape[:2]
@@ -1690,6 +1803,17 @@ def probe_media(content: bytes) -> dict | None:
                     "kind": "video" if frames >= 2 else "image",
                     "codec": "vp8l" if content[12:16] == b"VP8L"
                     else "webp", "duration_ms": None,
+                    "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if content[:4] == b"\x00\x00\x01\x00" and len(content) >= 22:
+            try:
+                w, h, _b, _s2, _o = max(
+                    _ico_entries(content),
+                    key=lambda t: (t[0] * t[1], t[2]))
+            except UnsupportedMedia:
+                return None
+            return {"container": "ico", "kind": "image",
+                    "codec": "ico", "duration_ms": None,
                     "width": w, "height": h,
                     "sample_rate": None, "channels": None}
         if content[:2] == b"BM" and len(content) >= 26:

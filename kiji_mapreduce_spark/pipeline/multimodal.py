@@ -117,6 +117,13 @@ def _decode_image_real(content: bytes):
             return pixels, width, height
         except media_codecs.UnsupportedMedia:
             pass  # OS/2 headers / off-spec: fall through to PIL
+    elif content[:4] == b"\x00\x00\x01\x00":
+        try:
+            # ICO favicons: largest entry via the PNG or BMP machinery
+            pixels, width, height, _ = media_codecs.decode_ico(content)
+            return pixels, width, height
+        except media_codecs.UnsupportedMedia:
+            pass  # off-spec: fall through to PIL
     try:  # optional extra: PIL widens format coverage when present
         from PIL import Image
         import io as _io

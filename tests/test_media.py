@@ -2433,3 +2433,65 @@ def test_bmp_and_wav_probe_review_regressions():
             + masks + bytes([200, 100, 50, 0]))
     out, _, _, c = mc.decode_bmp(blob)
     assert c == 3 and out[0, 0].tolist() == [200, 100, 50]
+
+
+def test_ico_decode_and_probe():
+    """ICO favicons: the largest entry decodes through the BMP or PNG
+    machinery; the AND mask becomes transparency for alpha-less DIB
+    entries; the probe reports the best entry's dims; the image dedup
+    path pairs a favicon with its PNG twin."""
+    import struct as _s
+
+    px16 = _gradient(16, 16, 3)
+    px32 = _gradient(32, 32, 3)
+    # multi-size classic ICO: largest (32px) wins
+    ico = mc.encode_ico([px16, px32])
+    out, w, h, c = mc.decode_ico(ico)
+    assert (w, h, c) == (32, 32, 3)
+    assert np.array_equal(out, px32)
+    p = mc.probe_media(ico)
+    assert (p["container"], p["width"], p["height"]) == ("ico", 32, 32)
+    # PNG-compressed entry (Vista+ form)
+    out, w, h, c = mc.decode_ico(mc.encode_ico([px16], png=True))
+    assert (w, h) == (16, 16) and np.array_equal(out, px16)
+    # AND mask -> transparency: hand-set one mask bit
+    one = mc.encode_ico([px16])
+    blob = bytearray(one)
+    entry_off = _s.unpack("<I", blob[6 + 12:6 + 16])[0]
+    mask_off = entry_off + 40 + ((16 * 3 + 3) // 4 * 4) * 16
+    blob[mask_off] = 0x80  # top-left bit of the BOTTOM mask row
+    out, _, _, c = mc.decode_ico(bytes(blob))
+    assert c == 4
+    assert out[15, 0, 3] == 0 and out[0, 0, 3] == 255
+    # junk stays loud
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_ico(b"\x00\x00\x01\x00\xff\xff garbage")
+    assert mc.probe_media(b"\x00\x00\x01\x00\xff\xff" + bytes(40)) \
+        is None
+
+
+def test_ico_image_dedup_and_crawl_sniff(spark, tmp_path):
+    """A favicon pairs with its PNG twin in image dedup, and an
+    untyped ICO response is sniffed kind=image via the probe."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline import crawl
+    from tests.test_io import _warc_record
+
+    rng = np.random.RandomState(21)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, mc.encode_png(px)), (2, mc.encode_ico([px]))],
+        "media_id long, content binary")
+    pairs = [(r.id_a, r.id_b) for r in multimodal.image_near_duplicates(
+        media, max_hamming=3, bands=4, use_real_decoder=True).collect()]
+    assert (1, 2) in pairs
+    hdr = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+           b"application/octet-stream\r\n\r\n")
+    (d := tmp_path / "arch").mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://x/favicon.ico",
+                     hdr + mc.encode_ico([px])))
+    media_rows = crawl.crawl_media(
+        read_warc_records(spark, str(d)), spark).collect()
+    assert [(r.kind, r.url) for r in media_rows] == \
+        [("image", "http://x/favicon.ico")]

@@ -695,6 +695,7 @@ def test_codec_error_surface_is_total(data):
     for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
                mc.decode_webp, mc.decode_wav, mc.decode_flac,
                mc.decode_audio, mc.decode_video, mc.decode_bmp,
+               mc.decode_ico,
                mc.decode_gif_frames, mc.decode_webp_frames):
         try:
             fn(data)
@@ -722,6 +723,7 @@ def test_codec_error_surface_on_corrupted_fixtures(data):
         mc.encode_png(px), mc.encode_jpeg(px), mc.encode_gif([px]),
         mc.encode_webp_lossless(px), mc.encode_wav(clips, 8000),
         mc.encode_flac(clips, 8000), mc.encode_bmp(px),
+        mc.encode_ico([px]),
         mc.encode_webp_anim([px, px]),
     ]
     blob = bytearray(data.draw(st.sampled_from(blobs)))
@@ -734,7 +736,7 @@ def test_codec_error_surface_on_corrupted_fixtures(data):
     corrupt = bytes(blob)
     for fn in (mc.decode_png, mc.decode_jpeg, mc.decode_gif,
                mc.decode_webp, mc.decode_audio, mc.decode_video,
-               mc.decode_bmp):
+               mc.decode_bmp, mc.decode_ico):
         try:
             fn(corrupt)
         except mc.UnsupportedMedia:
