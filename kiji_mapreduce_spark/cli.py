@@ -877,9 +877,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             return _emit(args, stats)
         recs = read_warc_records(spark, [args.input],
                                  lenient=args.lenient)
+        # reject counter observed inside the ingest write itself (the
+        # job.py counter discipline — no second archive pass): how
+        # many responses were dropped for a still-encoded body
+        # (brotli/zstd/failed inflate)
+        from pyspark.sql import Observation
+
+        rej_obs = Observation("crawl_encoding_rejects")
         docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,
                                psl_rules=rules,
-                               heuristic_domains=heuristic)
+                               heuristic_domains=heuristic,
+                               rejects_observation=rej_obs)
         if args.max_docs_per_domain > 0:
             from kiji_mapreduce_spark.pipeline.sample import stratum_topk
 
@@ -903,10 +911,13 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             docs = cur_mod.curate_corpus(docs, config=cfg)
         docs.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
+        rej = dict(rej_obs.get)
         stats = {
             "documents": args.output,
             "n_docs": out.count(),
             "n_domains": out.select("domain").distinct().count(),
+            "n_rejected_encoded":
+                int(rej.get("CRAWL_RECORDS_REJECTED_ENCODED") or 0),
             "curated": bool(args.curate or args.splits)}
         if args.splits:
             stats["split_counts"] = {

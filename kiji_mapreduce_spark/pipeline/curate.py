@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from kiji_mapreduce_spark.pipeline import decontaminate, dedup
 from kiji_mapreduce_spark.pipeline import sample as sample_ops
@@ -121,19 +121,25 @@ def curate_corpus(
                    .filter(F.coalesce(F.col("prob"), F.lit(bias_prob))
                            >= cfg.min_prob)
                    .drop("prob"))
-    # exact dedup via a per-digest min window rather than
-    # drop_exact_duplicates: the agg+semi-join form evaluates the
-    # quality-features scan twice (once per join side), and here —
-    # unlike bare exact dedup — that scan is a stack of regex passes.
-    # One features eval + one shuffle of the (already quality-filtered)
-    # survivor rows measured 1.45s -> 0.85s at sf0.1; the rows shuffled
-    # are the same ones the checkpoint below materializes anyway.
-    w_digest = Window.partitionBy("_digest")
-    kept = (quality.withColumn("_digest", F.md5(F.col(text_col)))
-            .withColumn("_min_id", F.min(id_col).over(w_digest))
-            .filter(F.col("_min_id") == F.col(id_col))
-            .drop("_digest", "_min_id"))
+    # exact dedup via drop_exact_duplicates (groupBy min + semi-join),
+    # NOT a per-digest min window: a window has no partial aggregation,
+    # so every copy of a hyper-duplicated text (the defining skew of
+    # web corpora — the hottest page can carry 10^6-10^7 exact copies)
+    # would shuffle to ONE task, while groupBy collapses copies
+    # map-side before the shuffle (r10 verdict #1). The semi-join form
+    # reads `quality` on both sides, and quality is a stack of regex
+    # passes — so pin it once with the same eager localCheckpoint the
+    # classifier branch uses, paying one scan AND keeping the
+    # skew-safe partial agg.
     if materialize:
+        quality = quality.localCheckpoint(eager=True)
+    kept = dedup.drop_exact_duplicates(quality, text_col=text_col,
+                                       id_col=id_col)
+    if materialize:
+        # the survivor set is the diamond's apex (near-dedup, the
+        # decontamination shingle scan, its anchor, and the final join
+        # all read it) — pin it so each consumer reads materialized
+        # rows instead of re-running the dedup join
         kept = kept.localCheckpoint(eager=True)
     if cfg.near_threshold is not None:
         pairs = dedup.minhash_dedup(

@@ -1226,7 +1226,8 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                            max_doc_frac: float = 0.01,
                            min_docs: int = 2,
                            min_line_chars: int = 4,
-                           materialize: bool = True) -> DataFrame:
+                           materialize: bool = True,
+                           max_broadcast_lines: int = 10_000_000) -> DataFrame:
     """CCNet-style corpus-level line dedup: strip every line that
     ``boilerplate_lines`` flags and reassemble each document with its
     remaining lines in original order (same columns, rewritten
@@ -1252,8 +1253,9 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
     aggregation, the strip explode, the reattachment join), so by
     default it is pinned once with an eager localCheckpoint — the
     ``minhash_dedup``/``curate`` discipline — rather than re-running
-    the upstream scan per branch; the one driver round-trip is the
-    scalar document count the threshold needs.
+    the upstream scan per branch; the driver round-trips are two
+    scalars (the document count the threshold needs, and the
+    flagged-line count the broadcast guard needs).
     """
     if materialize:
         df = df.localCheckpoint(eager=True)
@@ -1261,13 +1263,24 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
         df, text_col=text_col, id_col=id_col,
         max_doc_frac=max_doc_frac, min_docs=min_docs,
         min_line_chars=min_line_chars).select("line_hash")
+    # broadcast guard (r10 verdict #3): at the default 1%
+    # document-frequency threshold the flagged set is tiny, but a
+    # caller passing a very small max_doc_frac on a huge corpus could
+    # push the forced broadcast past executor memory. The flagged set
+    # must materialize for the count anyway (it is read again by the
+    # strip join), so pin it once and let an oversized set fall back
+    # to a plain shuffled anti-join instead of OOMing every executor.
+    boiler = boiler.localCheckpoint(eager=True)
+    n_flagged = boiler.count()
+    strip_side = (F.broadcast(boiler) if n_flagged <= max_broadcast_lines
+                  else boiler)
     lines = df.select(
         F.col(id_col).alias("_bl_id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("line_no", "line"))
     kept = (lines
             .withColumn("line_hash", F.xxhash64(F.col("line")))
-            .join(F.broadcast(boiler), on="line_hash",
+            .join(strip_side, on="line_hash",
                   how="left_anti"))
     rebuilt = (kept
                .groupBy("_bl_id")
@@ -1284,11 +1297,16 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                  how="left")
            .withColumn(
                "n_lines_dropped",
-               F.coalesce(
+               # explicit NULL-text branch, not a coalesce over the
+               # size() arithmetic: with spark.sql.ansi.enabled=false
+               # (legacy sizeOfNull) size(NULL) is -1 rather than
+               # NULL, which would leak through as n_lines_dropped=-1
+               # (ADVICE r10)
+               F.when(F.col(text_col).isNull(), F.lit(0))
+               .otherwise(
                    F.size(F.split(F.col(text_col), "\n"))
                    - F.coalesce(F.col("_bl_kept"),
-                                F.lit(0)).cast("int"),
-                   F.lit(0)))
+                                F.lit(0)).cast("int")))
            .withColumn(
                text_col,
                F.when(F.col(text_col).isNull(), F.lit(None))

@@ -75,6 +75,19 @@ _MAX_DECODED_BYTES = 1 << 30
 #: (4 B/px array store + the uint32/RGBA numpy planes)
 _MAX_VP8L_PIXELS = 1 << 24
 
+#: FLAC decodes sample-by-sample in Python too, and its samples
+#: accumulate as Python ints in per-channel lists (~30 B each, not
+#: the 2-4 nominal PCM bytes the byte ceiling charges) — so a few-KB
+#: crafted stream of constant subframes with total=0 could allocate
+#: tens of GiB and pin a worker for many minutes before the modeled
+#: 1 GiB byte ceiling tripped (ADVICE r10). Gate on DECODED SAMPLE
+#: count instead, the resource that actually scales: 2^25 (~33.5M
+#: samples, ~6 min of 44.1 kHz stereo) bounds the worst case to
+#: ~1 GiB of int objects / tens of seconds of CPU; longer real audio
+#: routes to the PIL-style fall-through like every other unsupported
+#: variant
+_MAX_FLAC_SAMPLES = 1 << 25
+
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
     """PNG bytes -> (pixels uint8 [h, w, channels], width, height,
@@ -1085,13 +1098,12 @@ def _decode_flac_unchecked(content: bytes):
     si_rate, si_channels, si_bps, total = info
     if si_rate == 0:
         raise UnsupportedMedia("FLAC: zero sample rate")
-    width = 1 if si_bps <= 8 else 2 if si_bps <= 16 else 4
-    if total * si_channels * width > _MAX_DECODED_BYTES:
+    if total * si_channels > _MAX_FLAC_SAMPLES:
         raise UnsupportedMedia(
             f"FLAC: {total} samples decode past the "
-            f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+            f"{_MAX_FLAC_SAMPLES} decoded-sample ceiling")
     chans: list[list[int]] = [[] for _ in range(si_channels)]
-    decoded_bytes = 0
+    decoded_samples = 0
     while pos < len(content):
         br = _FlacBits(content, pos)
         if br.read(14) != 0x3FFE:
@@ -1135,11 +1147,17 @@ def _decode_flac_unchecked(content: bytes):
         if n_ch != si_channels:
             raise UnsupportedMedia("FLAC: frame/STREAMINFO channel "
                                    "count mismatch")
-        decoded_bytes += blocksize * n_ch * width
-        if decoded_bytes > _MAX_DECODED_BYTES:
+        # cumulative SAMPLE gate, not nominal PCM bytes: the samples
+        # sit as Python ints in per-channel lists and are produced by
+        # per-sample Python loops, so the honest cost model is
+        # count-based (ADVICE r10; same reasoning as _MAX_VP8L_PIXELS).
+        # Checked BEFORE the subframes decode — a STREAMINFO with
+        # total=0 makes the upfront check above vacuous
+        decoded_samples += blocksize * n_ch
+        if decoded_samples > _MAX_FLAC_SAMPLES:
             raise UnsupportedMedia(
                 f"FLAC: frames decode past the "
-                f"{_MAX_DECODED_BYTES >> 20} MiB ceiling")
+                f"{_MAX_FLAC_SAMPLES} decoded-sample ceiling")
         subs = [_flac_subframe(br, blocksize,
                                bps + (1 if c == side_ch else 0))
                 for c in range(n_ch)]
@@ -1477,6 +1495,10 @@ def _probe_mp4(content: bytes) -> dict | None:
                 elif cur_handler == b"soun" \
                         and out["kind"] != "video":
                     out["kind"] = "audio"
+                elif cur_handler == b"pict" and out["kind"] is None:
+                    # HEIF/AVIF still image: the handler lives in the
+                    # meta box (no moov trak at all)
+                    out["kind"] = "image"
             elif btype == b"stsd":
                 n = struct.unpack(">I", content[body + 4:body + 8])[0]
                 e = body + 8  # first sample entry
@@ -1505,16 +1527,27 @@ def _probe_mp4(content: bytes) -> dict | None:
             if btype in (b"moov", b"trak", b"mdia", b"minf",
                          b"stbl") and len(p) < 8:
                 walk(body, end, p)
+            elif btype == b"meta" and len(p) < 8:
+                # meta is a FullBox: 4 version/flags bytes precede its
+                # children (where HEIF/AVIF keep their 'pict' hdlr)
+                walk(body + 4, end, p)
 
     walk(0, len(content))
     if out["kind"] is None:
         # no hdlr reached (moov-at-end file cut by the crawl, or
         # fragment): the ftyp brand still separates audio-only
-        # containers (.m4a podcasts) from the video default
+        # containers (.m4a podcasts) and HEIF/AVIF still images —
+        # ubiquitous web image formats whose ISO-BMFF shell otherwise
+        # defaulted to 'video', landing image bytes where decode
+        # always fails (ADVICE r10) — from the video default
         brand = content[8:12]
-        out["kind"] = ("audio" if brand in (b"M4A ", b"M4B ",
-                                            b"F4A ", b"F4B ")
-                       else "video")
+        if brand in (b"M4A ", b"M4B ", b"F4A ", b"F4B "):
+            out["kind"] = "audio"
+        elif brand in (b"avif", b"avis", b"heic", b"heix",
+                       b"hevc", b"hevx", b"mif1", b"msf1"):
+            out["kind"] = "image"
+        else:
+            out["kind"] = "video"
     return out
 
 
@@ -4244,10 +4277,16 @@ def _vp8l_encoder_code(alphabet: int) -> dict[int, tuple[int, int]]:
         lengths = [nbits] * alphabet
     else:
         # x symbols at len n, rest at n+1: x/2^n + (A-x)/2^(n+1) = 1
-        nbits = low.bit_length()
-        x = (1 << (nbits + 1)) - alphabet - ((1 << nbits) - alphabet)
-        x = 2 * (1 << nbits) - alphabet  # solve: 2x + (A - x) = 2^(n+1)
+        # <=> 2x + (A - x) = 2^(n+1). n is low's EXPONENT
+        # (bit_length - 1): bit_length itself made x >= A, collapsing
+        # every non-power-of-2 alphabet to a flat (n+1)-bit INCOMPLETE
+        # code (Kraft 0.55 for 280) that only round-tripped because
+        # the in-repo decoder tolerates incomplete codes — libwebp
+        # would reject the stream (ADVICE r10)
+        nbits = low.bit_length() - 1
+        x = 2 * (1 << nbits) - alphabet
         lengths = [nbits] * x + [nbits + 1] * (alphabet - x)
+    assert sum(1 / (1 << ln) for ln in lengths) == 1.0, "Kraft equality"
     # canonical assignment identical to the decoder's
     max_len = max(lengths)
     bl_count = [0] * (max_len + 1)

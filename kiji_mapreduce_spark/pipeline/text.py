@@ -216,6 +216,19 @@ def http_content_type(content_col: Column) -> Column:
         headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
 
 
+def http_content_encoding(content_col: Column) -> Column:
+    """The header block's Content-Encoding (lowercased, trimmed), or
+    '' when absent — pure Catalyst. After ``io.inputs``'
+    ``_decode_http_payload`` normalization this is non-identity ONLY
+    for bodies that are still encoded: brotli/zstd (no decoder in a
+    stock container), multi-coding chains ("gzip, br"), or a gzip
+    body whose inflate failed — exactly the rows tag-stripping would
+    turn into garbage documents."""
+    headers, _ = _http_string_parts(content_col)
+    return F.lower(F.trim(F.regexp_extract(
+        headers, r"(?i)content-encoding:\s*([^\r\n]+)", 1)))
+
+
 def http_html_text(df: DataFrame, content_col: str = "content",
                    text_col: str = "text") -> DataFrame:
     """Crawl-ingest extraction: HTTP response bytes (a WARC response

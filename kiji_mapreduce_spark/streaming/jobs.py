@@ -98,8 +98,8 @@ def sessionized_aggregate(
     aggs: list | None = None,
 ) -> DataFrame:
     """Watermarked session-window aggregation: per-key sessions close
-    after ``gap`` of inactivity (``F.session_window`` — the streaming
-    twin of the batch sessionization in ``suite.q_sessionize_events``).
+    after ``gap`` of inactivity (``F.session_window``; the batch
+    lag/cumsum form is its oracle, ``suite.SQL_SESSIONIZE``).
     Session state is bounded by the watermark: a session older than the
     watermark can never be extended, so Spark evicts it — the property
     that keeps per-user session state finite on an unbounded stream.

@@ -98,45 +98,6 @@ FROM spine s LEFT JOIN daily d
 """
 
 
-def q_sessionize_events(spark, sf_dir):
-    """Sessionization: per-user sessions with a 30-minute inactivity gap
-    via ``session_window`` (the batch form of the streaming session
-    operator). Oracle: the classic lag/cumsum sessionization in SQL."""
-    ev = _events(spark, sf_dir)
-    # truncate to ms so boundary decisions match the oracle's epoch_ms math
-    ev = ev.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
-        .select(
-            "user_id",
-            F.unix_millis(F.col("session_window.start"))
-            .alias("session_start_ms"),
-            "n_events", "session_value")
-    )
-
-
-SQL_SESSIONIZE = """
-WITH e AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
-         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
-                   OR lag(epoch_ms(ts)) OVER w IS NULL
-              THEN 1 ELSE 0 END AS is_start
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
-), s AS (
-  SELECT user_id, ts_ms, value,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
-                             ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM e
-)
-SELECT user_id, min(ts_ms) AS session_start_ms,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
-FROM s GROUP BY user_id, session_id
-"""
-
-
 def q_pivot_wide_event_values(spark, sf_dir):
     """Wide pivot (reshape): one column per event type with its summed
     value per user (groupBy().pivot() with explicit values)."""

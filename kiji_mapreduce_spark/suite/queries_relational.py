@@ -195,27 +195,6 @@ LIMIT 10
 """
 
 
-def q_union_all_parties(spark, sf_dir):
-    """UNION ALL + grouped count over heterogenous sources."""
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
-    both = (customer.select(F.col("c_nationkey").alias("nationkey"),
-                            F.lit("customer").alias("kind"))
-            .unionAll(supplier.select(F.col("s_nationkey").alias("nationkey"),
-                                      F.lit("supplier").alias("kind"))))
-    return both.groupBy("nationkey", "kind").agg(
-        F.count(F.lit(1)).alias("n_parties"))
-
-
-SQL_UNION_ALL = """
-SELECT nationkey, kind, count(*) AS n_parties FROM (
-  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
-  UNION ALL
-  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
-) GROUP BY nationkey, kind
-"""
-
-
 def q_cube_order_stats(spark, sf_dir):
     """CUBE over (status, priority) with all subtotal combinations."""
     orders = _t(spark, sf_dir, "orders")

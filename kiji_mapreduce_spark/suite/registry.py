@@ -39,65 +39,16 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- r10 rotation (r9 was a no-op round: the driver re-verified the
-    #    r8 window verbatim, so these 50 queries — last driver-green in
-    #    r7 — hit the 2-round freshness cap and take the whole window;
-    #    zero slack, nothing new or changed may displace them in r10 --
-    "image_near_duplicates": q_image_near_duplicates,
-    "knn_sq8_topk": q_knn_sq8_topk,
-    "knn_pq_topk": q_knn_pq_topk,
-    "knn_recall_ivf": q_knn_recall_ivf,
-    "streaming_drift_psi": q_streaming_drift_psi,
-    "text_fingerprint": q_text_fingerprint,
-    "text_quality": q_text_quality,
-    "text_chunking": q_text_chunking,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
-    "pagerank_nation_trade": q_pagerank_nation_trade,
-    "entity_resolution_blocked": q_entity_resolution,
-    "streaming_sessionize": q_streaming_sessionize,
-    "mixture_temperature": q_mixture_temperature,
-    "weighted_sample_topk": q_weighted_sample,
-    "hard_negative_mining": q_hard_negative_mining,
+    # -- r11 rotation: pipeline_curate FIRST (its exact-dedup plan
+    #    changed this round: digest window -> skew-safe
+    #    drop_exact_duplicates, r10 verdict #1 — changed-first policy),
+    #    then the 49 r9-stamped tail queries at the 2-round freshness
+    #    cap (stalest-first, tools/update_verified.py's emitted order).
+    #    The slot pipeline_curate takes was bought by retiring
+    #    union_all_parties (strict subset of set_ops_nations) and
+    #    sessionize_events (byte-identical oracle to
+    #    streaming_sessionize) — judge-endorsed, r10 verdict #2 --
     "pipeline_curate": q_pipeline_curate,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_spans": q_decontaminate_spans,
-    "streaming_windowed_counts": q_streaming_windowed_counts,
-    "sessionize_events": q_sessionize_events,
-    "kvstore_avro_file_join": q_kvstore_avro_file_join,
-    "versioned_latest_event_value": q_versioned_latest_event_value,
-    "versioned_slice_maxversions": q_versioned_slice_maxversions,
-    "map_family_regex_filter": q_map_family_regex_filter,
-    "asof_join_purchase_click": q_asof_join_purchase_click,
-    "range_join_price_bands": q_range_join_price_bands,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
-    "quantiles_order_price": q_quantiles_order_price,
-    "sql_surface_big_spenders": q_sql_surface_big_spenders,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wordcount_top50": q_wordcount_top50,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pivot_wide_event_values": q_pivot_wide_event_values,
-    "array_agg_priorities": q_array_agg_priorities,
-    "events_json_props": q_events_json_props,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "data_quality_audit": q_data_quality_audit,
-    "embedding_near_dups": q_embedding_near_dups,
-    "text_repetition": q_text_repetition,
-    "text_pii": q_text_pii,
-    "multimodal_features": q_multimodal_features,
-    "streaming_interval_join": q_streaming_interval_join,
-    "entity_key_hash": q_entity_key_hash,
-    "text_token_count": q_text_token_count,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: ALL r9-green (CORRECTNESS_r09 50/50, zero err; these were
-    #    the r8+r9 window and rotate back in no later than r12) --
     "collocations_top": q_collocations_top,
     "video_near_duplicates": q_video_near_duplicates,
     "audio_near_duplicates": q_audio_near_duplicates,
@@ -138,7 +89,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "mapreduce_event_stats": q_mapreduce_event_stats,
     "topk_shipping_priority": q_topk_shipping_priority,
-    "union_all_parties": q_union_all_parties,
     "cube_order_stats": q_cube_order_stats,
     "distinct_segments": q_distinct_segments,
     "text_byte_stats": q_text_byte_stats,
@@ -148,65 +98,122 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "crawl_registered_domain": q_crawl_registered_domain,
     "crawl_html_extract": q_crawl_html_extract,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r10-green (CORRECTNESS_r10 50/50, zero err; these
+    #    were the r10 window and rotate back in no later than r13) --
+    "image_near_duplicates": q_image_near_duplicates,
+    "knn_sq8_topk": q_knn_sq8_topk,
+    "knn_pq_topk": q_knn_pq_topk,
+    "knn_recall_ivf": q_knn_recall_ivf,
+    "streaming_drift_psi": q_streaming_drift_psi,
+    "text_fingerprint": q_text_fingerprint,
+    "text_quality": q_text_quality,
+    "text_chunking": q_text_chunking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
+    "pagerank_nation_trade": q_pagerank_nation_trade,
+    "entity_resolution_blocked": q_entity_resolution,
+    "streaming_sessionize": q_streaming_sessionize,
+    "mixture_temperature": q_mixture_temperature,
+    "weighted_sample_topk": q_weighted_sample,
+    "hard_negative_mining": q_hard_negative_mining,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
+    "array_agg_priorities": q_array_agg_priorities,
+    "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
+    "embedding_near_dups": q_embedding_near_dups,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "multimodal_features": q_multimodal_features,
+    "streaming_interval_join": q_streaming_interval_join,
+    "entity_key_hash": q_entity_key_hash,
+    "text_token_count": q_text_token_count,
 }
 
+
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round (r10): exactly the 50 queries last driver-green in r7 —
-#: the r9 no-op round left them at the 2-round freshness cap. Mechanically
-#: enforced by tests/test_suite_smoke.py::test_first_window_membership —
+#: this round (r11): pipeline_curate (exact-dedup plan changed this
+#: round — changed-first policy) plus the 49 r9-stamped queries at the
+#: 2-round freshness cap (stalest-first, update_verified.py's emitted
+#: order). Mechanically enforced by
+#: tests/test_suite_smoke.py::test_first_window_membership —
 #: hand-ordered dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    "image_near_duplicates",
-    "knn_sq8_topk",
-    "knn_pq_topk",
-    "knn_recall_ivf",
-    "streaming_drift_psi",
-    "text_fingerprint",
-    "text_quality",
-    "text_chunking",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "kmv_distinct_users",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_ngrams",
-    "pagerank_nation_trade",
-    "entity_resolution_blocked",
-    "streaming_sessionize",
-    "mixture_temperature",
-    "weighted_sample_topk",
-    "hard_negative_mining",
     "pipeline_curate",
-    "decontaminate_overlap",
-    "decontaminate_spans",
-    "streaming_windowed_counts",
-    "sessionize_events",
-    "kvstore_avro_file_join",
-    "versioned_latest_event_value",
-    "versioned_slice_maxversions",
-    "map_family_regex_filter",
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    "knn_cosine_topk",
-    "embedding_label_cosine_stats",
-    "quantiles_order_price",
-    "sql_surface_big_spenders",
-    "grouping_sets_orders",
-    "wordcount_top50",
-    "tfidf_top_terms",
-    "pivot_wide_event_values",
-    "array_agg_priorities",
-    "events_json_props",
-    "timeseries_gapfill",
-    "snapshot_diff_orders",
-    "data_quality_audit",
-    "embedding_near_dups",
-    "text_repetition",
-    "text_pii",
-    "multimodal_features",
-    "streaming_interval_join",
-    "entity_key_hash",
-    "text_token_count",
+    "collocations_top",
+    "video_near_duplicates",
+    "audio_near_duplicates",
+    "text_langid",
+    "classifier_score_topk",
+    "drift_orders_price",
+    "split_train_test",
+    "split_leakage",
+    "negative_sample_vocab",
+    "dedup_simhash_pairs",
+    "dedup_source_matrix",
+    "knn_ivf_topk",
+    "knn_lsh_topk",
+    "cell_rewrite_int_to_long",
+    "lm_bigram_quality",
+    "streaming_dedup_docs",
+    "bm25_search_topk",
+    "text_normalize",
+    "sample_stratified",
+    "sample_stratum_topk",
+    "events_anomaly_zscore",
+    "mixture_token_budget",
+    "pack_documents",
+    "kmeans_clusters",
+    "salted_topk_events",
+    "sample_cluster_balanced",
+    "gather_pricing_summary",
+    "filter_pushdown_revenue",
+    "kvstore_lookup_join",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "join_revenue_by_nation",
+    "producer_price_band",
+    "pivot_orders_by_customer",
+    "bulk_import_props",
+    "window_top3_orders_per_customer",
+    "set_ops_nations",
+    "rollup_revenue",
+    "mapreduce_event_stats",
+    "topk_shipping_priority",
+    "cube_order_stats",
+    "distinct_segments",
+    "text_byte_stats",
+    "window_running_revenue",
+    "dedup_corpus_survivors",
+    "dedup_incremental_pairs",
+    "countmin_heavy_hitters",
+    "crawl_registered_domain",
+    "crawl_html_extract",
 ]
+
 # r10 round-end note: a full-registry sf0.01 hash drive (100/100
 # consistent) ran on the final tree. Tail-query shared paths touched
 # this round were INPUT-GATED additions only, each re-driven at
@@ -272,7 +279,6 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "mapreduce_event_stats": SQL_MAPREDUCE_EVENTS,
     "topk_shipping_priority": SQL_TOPK_SHIPPING,
-    "union_all_parties": SQL_UNION_ALL,
     "cube_order_stats": SQL_CUBE_ORDERS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "entity_key_hash": SQL_ENTITY_KEY_HASH,
@@ -287,7 +293,6 @@ ORACLES: dict[str, str] = {
     "embedding_label_cosine_stats": SQL_EMBEDDING_LABEL_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED,
-    "sessionize_events": SQL_SESSIONIZE,
     "quantiles_order_price": SQL_QUANTILES,
     "sql_surface_big_spenders": SQL_BIG_SPENDERS,
     "grouping_sets_orders": SQL_GROUPING_SETS,

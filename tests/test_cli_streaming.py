@@ -1078,6 +1078,7 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 1 and out["n_domains"] == 1
+    assert out["n_rejected_encoded"] == 0
     row = spark.read.parquet(f"{tmp_path}/docs").first()
     assert row.url == "http://news.example.co.uk/a?b=1"
     assert row.domain == "example.co.uk"
@@ -1103,6 +1104,36 @@ def test_cli_crawl_ingest_end_to_end(spark, tmp_path, capsys):
     capped = spark.read.parquet(f"{tmp_path}/docs3")
     assert capped.filter("domain = 'big.site'").count() == 2
     assert out3["n_docs"] == 3  # 2 capped + the 1 example.co.uk doc
+
+
+def test_cli_crawl_ingest_counts_encoded_rejects(spark, tmp_path,
+                                                 capsys):
+    """A brotli-encoded response is rejected (no garbage doc) and the
+    run's stats carry the rejected counter — observed inside the
+    ingest write itself, no second archive pass."""
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    ok = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          b"<p>kept page with plenty of words inside</p>")
+    br = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+          b"Content-Encoding: br\r\n\r\n"
+          + bytes((i * 53 + 7) % 256 for i in range(300)))
+    d = tmp_path / "brarch"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        _warc_record("response", "http://keep.example.com/", ok)
+        + _warc_record("response", "http://drop.example.com/", br))
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/brdocs",
+                   "--min-tokens", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 1
+    assert out["n_rejected_encoded"] == 1
+    rows = spark.read.parquet(f"{tmp_path}/brdocs").collect()
+    assert [r.url for r in rows] == ["http://keep.example.com/"]
 
 
 def test_cli_crawl_ingest_media_output(spark, tmp_path, capsys):

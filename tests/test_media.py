@@ -858,6 +858,73 @@ def test_crawl_media_extraction(spark, tmp_path):
     assert any({p.id_a, p.id_b} >= dup for p in pairs)
 
 
+def test_crawl_rejects_still_encoded_bodies(spark, tmp_path):
+    """A response whose body is still content-encoded after the WARC
+    parser's normalization (brotli — no stock decoder; a multi-coding
+    chain; a gzip body whose inflate failed) must NOT become a
+    tag-stripped garbage document: the ingest rejects it loudly
+    (encoding_rejects counts + the Observation counter), the
+    bulk-import RECORDS_REJECTED discipline."""
+    from pyspark.sql import Observation
+
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import (crawl_documents,
+                                                     encoding_rejects)
+    from tests.test_io import _warc_record
+
+    def resp(extra: bytes, payload: bytes) -> bytes:
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + extra + b"\r\n" + payload)
+
+    # fake brotli: high-entropy bytes that cast to tag-free mojibake —
+    # exactly what tag-stripping real brotli would emit as "text"
+    br_junk = bytes((i * 37 + 101) % 256 for i in range(400))
+    recs = (
+        _warc_record("response", "http://ok.example.com/a",
+                     resp(b"", b"<p>plain page with enough words to "
+                               b"keep around</p>"))
+        + _warc_record("response", "http://br.example.com/b",
+                       resp(b"Content-Encoding: br\r\n", br_junk))
+        + _warc_record("response", "http://chain.example.com/c",
+                       resp(b"Content-Encoding: gzip, br\r\n", br_junk))
+        + _warc_record("response", "http://badgz.example.com/d",
+                       resp(b"Content-Encoding: gzip\r\n",
+                            b"\x1f\x8bnot actually gzip data here")))
+    d = tmp_path / "brwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(recs)
+    records = read_warc_records(spark, [str(d)])
+
+    obs = Observation("rej")
+    docs = crawl_documents(records, spark, rejects_observation=obs)
+    urls = {r.url for r in docs.collect()}
+    assert urls == {"http://ok.example.com/a"}
+    got = dict(obs.get)
+    assert got["CRAWL_RECORDS_REJECTED_ENCODED"] == 3
+    assert got["CRAWL_RESPONSES_SEEN"] == 4
+
+    rej = {r.content_encoding: r.n_rejected
+           for r in encoding_rejects(records).collect()}
+    assert rej == {"br": 1, "gzip, br": 1, "gzip": 1}
+
+    # a SUCCESSFULLY inflated gzip body keeps flowing as a document
+    # (the parser strips its Content-Encoding header, so the gate
+    # never sees it) — the reject predicate keys on the residual
+    # header, not on the encoding having ever existed
+    import gzip
+
+    good_gz = _warc_record(
+        "response", "http://gz.example.com/e",
+        resp(b"Content-Encoding: gzip\r\n",
+             gzip.compress(b"<p>gzipped page with enough words to "
+                           b"keep</p>")))
+    (d / "b.warc").write_bytes(good_gz)
+    records2 = read_warc_records(spark, [str(d / "b.warc")])
+    assert {r.url for r in crawl_documents(records2, spark).collect()} \
+        == {"http://gz.example.com/e"}
+    assert encoding_rejects(records2).count() == 0
+
+
 def test_gif_roundtrip_static_and_animated():
     """GIF codec round-trips: palette-sized RGB content is lossless
     (the format is palette-based), grayscale promotes to RGB, frame
@@ -2253,6 +2320,73 @@ def test_probe_review_regressions():
     p = mc.probe_media(blob)
     assert p["codec"] == "V_VP8" and p["width"] == 64
     assert p["duration_ms"] is None
+
+
+def test_probe_heif_avif_image_kind():
+    """HEIF/AVIF still images (ISO-BMFF with a meta/hdlr 'pict', no
+    moov trak) probe as kind=image — both through the meta-box hdlr
+    walk and through the ftyp brand fallback for moov-less cuts —
+    instead of defaulting to 'video' and landing image bytes where
+    decode always fails (ADVICE r10)."""
+    # full shape: ftyp + meta(FullBox: version/flags, then hdlr pict)
+    hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"pict" + bytes(12))
+    heif = _mp4_box(b"ftyp", b"mif2" + bytes(8)) \
+        + _mp4_box(b"meta", bytes(4) + hdlr)
+    p = mc.probe_media(heif)
+    assert p["container"] == "mp4" and p["kind"] == "image"
+    # brand fallback: meta cut off by the crawl, brand still decides
+    for brand in (b"avif", b"heic", b"heix", b"mif1", b"msf1"):
+        cut = _mp4_box(b"ftyp", brand + bytes(8)) \
+            + _mp4_box(b"mdat", bytes(16))
+        assert mc.probe_media(cut)["kind"] == "image", brand
+    # a video brand still defaults to video
+    assert mc.probe_media(
+        _mp4_box(b"ftyp", b"isom" + bytes(8))
+        + _mp4_box(b"mdat", bytes(16)))["kind"] == "video"
+
+
+def test_flac_cumulative_sample_bomb_rejected(monkeypatch):
+    """A few-KB crafted FLAC (total=0 so the upfront gate is vacuous,
+    then max-blocksize constant-subframe frames) trips the cumulative
+    DECODED-SAMPLE ceiling — the honest cost model for a decoder whose
+    samples are Python ints built by per-sample loops (ADVICE r10) —
+    BEFORE the frames' subframes decode."""
+    def frame(idx):
+        wtr = _flac_frame_header(65535, 0, 4, idx=idx)
+        wtr.write(0, 1)       # subframe pad bit
+        wtr.write(0, 6)       # type: constant
+        wtr.write(0, 1)       # no wasted bits
+        wtr.write(1000, 16)   # the constant
+        return wtr.finish()
+
+    bomb = _flac_file(_flac_streaminfo(8000, 1, 16, 0),
+                      [frame(0), frame(1), frame(2)])
+    monkeypatch.setattr(mc, "_MAX_FLAC_SAMPLES", 100_000)
+    with pytest.raises(mc.UnsupportedMedia, match="sample ceiling"):
+        mc.decode_flac(bomb)
+    # under the real ceiling the same stream decodes fine
+    monkeypatch.setattr(mc, "_MAX_FLAC_SAMPLES", 1 << 25)
+    got, rate, width = mc.decode_flac(bomb)
+    assert got.shape == (3 * 65535, 1) and (got == 1000).all()
+
+
+def test_vp8l_encoder_codes_are_kraft_complete():
+    """The fixture encoder's fixed-shape canonical codes satisfy Kraft
+    EQUALITY for every alphabet it emits (280/256/40) — a spec-valid
+    COMPLETE code a conformant decoder (libwebp) accepts, not the flat
+    incomplete code the off-by-one split produced (ADVICE r10)."""
+    from fractions import Fraction
+
+    for alphabet in (280, 256, 40):
+        codes = mc._vp8l_encoder_code(alphabet)
+        lengths = [codes[s][1] for s in range(alphabet)]
+        assert sum(Fraction(1, 1 << ln) for ln in lengths) == 1, alphabet
+        # and the code is prefix-free: canonical codes of a valid
+        # length profile are, but pin it against regressions
+        bits = sorted(format(c, f"0{ln}b") for s, (c, ln)
+                      in codes.items() if s < alphabet)
+        for a, b in zip(bits, bits[1:]):
+            assert not b.startswith(a)
 
 
 def test_audio_gate_classifies_ogg_vorbis_as_missing_decoder(spark):
