@@ -102,7 +102,7 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
-    "corpus-stats"})
+    "corpus-stats", "webdataset-pack"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -496,6 +496,33 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     si.add_argument("--checkpoint", default=None,
                     help="stream checkpoint dir (required with "
                     "--stream)")
+    si.add_argument("--manifest", default=None,
+                    help="also write a per-source-shard manifest "
+                    "(path, n_rows, n_bytes) parquet here — the "
+                    "row-count/byte bookkeeping training loaders "
+                    "want next to a shard corpus (batch only)")
+
+    wp = sub.add_parser(
+        "webdataset-pack", help="sample rows (key, map<extension, "
+        "binary>) parquet -> WebDataset shard-NNNNNN.tar files, the "
+        "write side of shard-ingest --format webdataset; shard bytes "
+        "are deterministic under replay")
+    wp.add_argument("--input", required=True,
+                    help="parquet of (key string, sample map<string, "
+                    "binary>) rows — read_webdataset's output shape")
+    wp.add_argument("--output", required=True,
+                    help="locally-mounted dir for the shard .tar "
+                    "files (object-store schemes raise loudly)")
+    wp.add_argument("--shard-bytes", type=int, default=1 << 30,
+                    help="target shard size (default 1 GiB)")
+    wp.add_argument("--n-shards", type=int, default=None,
+                    help="fixed shard count (default: sized from the "
+                    "corpus total)")
+    wp.add_argument("--key-col", default="key")
+    wp.add_argument("--sample-col", default="sample")
+    wp.add_argument("--manifest", default=None,
+                    help="also write the per-shard manifest (shard_id,"
+                    " path, n_samples, n_bytes) parquet here")
 
     mb = sub.add_parser("media-probe", help="container-level technical "
                         "metadata (container, kind, codec, duration, "
@@ -792,6 +819,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
             if not args.checkpoint:
                 p.error("--stream requires --checkpoint")
+            if args.manifest:
+                p.error("--manifest is batch-only: a stream's "
+                        "manifest would be rewritten whole per batch "
+                        "— derive it from the accumulated output")
             batch_stats: list = []
             # always lenient in-stream (the crawl-ingest rationale: a
             # strict failure wedges the claimed batch forever)
@@ -815,9 +846,54 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 spark, args.input, archive_format=args.shard_format,
                 lenient=args.lenient)
         rows.write.mode("overwrite").parquet(args.output)
-        return _emit(args, {
+        stats = {
             "rows": args.output, "format": args.shard_format,
-            "n_rows": spark.read.parquet(args.output).count()})
+            "n_rows": spark.read.parquet(args.output).count()}
+        if args.manifest:
+            # per-SOURCE-shard bookkeeping (path, n_rows, n_bytes)
+            # from the already-written output — one cheap aggregation,
+            # the training-loader manifest convention
+            from pyspark.sql import functions as F
+
+            out = spark.read.parquet(args.output)
+            if args.shard_format == "webdataset":
+                nbytes = F.aggregate(
+                    F.map_values(F.col("sample")),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + F.length(v))
+            else:
+                nbytes = F.col("size")
+            (out.groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(nbytes).alias("n_bytes"))
+                .write.mode("overwrite").parquet(args.manifest))
+            stats["manifest"] = args.manifest
+            stats["n_shards"] = spark.read.parquet(
+                args.manifest).count()
+        return _emit(args, stats)
+
+    if args.command == "webdataset-pack":
+        from kiji_mapreduce_spark.pipeline.multimodal import \
+            write_webdataset
+
+        spark = make_session(app_name="kiji-webdataset-pack")
+        samples = spark.read.parquet(args.input)
+        manifest = write_webdataset(
+            samples, args.output, key_col=args.key_col,
+            sample_col=args.sample_col, shard_bytes=args.shard_bytes,
+            n_shards=args.n_shards)
+        stats = {
+            "output": args.output,
+            "n_shards": len(manifest),
+            "n_samples": sum(m["n_samples"] for m in manifest),
+            "n_bytes": sum(m["n_bytes"] for m in manifest)}
+        if args.manifest:
+            spark.createDataFrame(
+                manifest, "shard_id int, path string, "
+                "n_samples long, n_bytes long") \
+                .write.mode("overwrite").parquet(args.manifest)
+            stats["manifest"] = args.manifest
+        return _emit(args, stats)
 
     if args.command == "crawl-ingest":
         from pyspark.sql import functions as F

@@ -1779,9 +1779,20 @@ def _probe_ogg(content: bytes) -> dict | None:
 
 def probe_media(content: bytes) -> dict | None:
     """Bytes -> container/codec metadata dict (container, kind, codec,
-    duration_ms, width, height, sample_rate, channels) or None when no
-    known container matches. Never raises on hostile bytes — a probe
-    that cannot parse returns what it saw or None."""
+    duration_ms, width, height, sample_rate, channels, n_frames) or
+    None when no known container matches. Never raises on hostile
+    bytes — a probe that cannot parse returns what it saw or None.
+    ``n_frames``: frame count for the animated containers (GIF,
+    animated WebP, Motion-PNG) and the directory-entry count (the
+    size ladder) for ICO; None where the container has no cheap
+    header-side count."""
+    out = _probe_media_unchecked(content)
+    if out is not None:
+        out.setdefault("n_frames", None)
+    return out
+
+
+def _probe_media_unchecked(content: bytes) -> dict | None:
     try:
         if not content:
             return None
@@ -1815,12 +1826,15 @@ def probe_media(content: bytes) -> dict | None:
                     "sample_rate": None, "channels": None}
         if content[:6] in _GIF_MAGICS:
             w, h = struct.unpack("<HH", content[6:10])
-            frames = gif_frame_count(content)
+            # unbounded count (default stop_at=2 only classifies
+            # animated-vs-static): length-skipping walk, no decode
+            frames = gif_frame_count(content, stop_at=1 << 30)
             return {"container": "gif",
                     "kind": "video" if frames >= 2 else "image",
                     "codec": "gif", "duration_ms": None,
                     "width": w, "height": h,
-                    "sample_rate": None, "channels": None}
+                    "sample_rate": None, "channels": None,
+                    "n_frames": frames}
         if is_webp(content):
             w = h = None
             for tag, _size, body in _webp_chunks(content):
@@ -1838,24 +1852,28 @@ def probe_media(content: bytes) -> dict | None:
                     w = int.from_bytes(body[6:8], "little") & 0x3FFF
                     h = int.from_bytes(body[8:10], "little") & 0x3FFF
                     break
-            frames = webp_frame_count(content)
+            # unbounded count (default stop_at=2 only classifies
+            # animated-vs-static): still one header-only chunk walk
+            frames = webp_frame_count(content, stop_at=1 << 30)
             return {"container": "webp",
                     "kind": "video" if frames >= 2 else "image",
                     "codec": "vp8l" if content[12:16] == b"VP8L"
                     else "webp", "duration_ms": None,
                     "width": w, "height": h,
-                    "sample_rate": None, "channels": None}
+                    "sample_rate": None, "channels": None,
+                    "n_frames": frames}
         if content[:4] == b"\x00\x00\x01\x00" and len(content) >= 22:
             try:
+                entries = list(_ico_entries(content))
                 w, h, _b, _s2, _o = max(
-                    _ico_entries(content),
-                    key=lambda t: (t[0] * t[1], t[2]))
+                    entries, key=lambda t: (t[0] * t[1], t[2]))
             except UnsupportedMedia:
                 return None
             return {"container": "ico", "kind": "image",
                     "codec": "ico", "duration_ms": None,
                     "width": w, "height": h,
-                    "sample_rate": None, "channels": None}
+                    "sample_rate": None, "channels": None,
+                    "n_frames": len(entries)}
         if content[:2] == b"BM" and len(content) >= 26:
             (hdr_size,) = struct.unpack("<I", content[14:18])
             if hdr_size in (12, 40, 52, 56, 64, 108, 124):
@@ -1920,7 +1938,8 @@ def probe_media(content: bytes) -> dict | None:
                     "codec": "png",
                     "duration_ms": n_frames * micros / 1000.0,
                     "width": None, "height": None,
-                    "sample_rate": None, "channels": None}
+                    "sample_rate": None, "channels": None,
+                    "n_frames": n_frames}
         if content[4:8] == b"ftyp":
             return _probe_mp4(content)
         if content[:4] == b"\x1aE\xdf\xa3":

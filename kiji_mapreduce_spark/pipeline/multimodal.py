@@ -692,7 +692,9 @@ def media_probe(df: DataFrame, content_col: str = "content",
     """Container-level technical metadata for EVERY format the web
     ships — including MP4/WebM/Ogg/MP3 whose codec payloads need
     ffmpeg: (container, kind, codec, duration_ms, width, height,
-    sample_rate, channels), NULLs where the container doesn't carry
+    sample_rate, channels, n_frames — frame count for animated
+    containers, directory-entry count for ICO), NULLs where the
+    container doesn't carry
     the field and a NULL container for unrecognized bytes (probing
     never raises — hostile bytes are data here, not errors). Header
     walks only, no frame decode: at crawl scale this is the pass that
@@ -702,9 +704,10 @@ def media_probe(df: DataFrame, content_col: str = "content",
     kiji/mapreduce/gather/KijiGatherer.java:83-156)."""
     schema = (f"{id_col} long, container string, kind string, "
               "codec string, duration_ms double, width int, "
-              "height int, sample_rate int, channels int")
+              "height int, sample_rate int, channels int, "
+              "n_frames int")
     fields = ("container", "kind", "codec", "duration_ms", "width",
-              "height", "sample_rate", "channels")
+              "height", "sample_rate", "channels", "n_frames")
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kiji_mapreduce_spark.pipeline import media_codecs

@@ -1904,6 +1904,75 @@ def test_cli_shard_ingest_batch_and_webdataset(spark, tmp_path, capsys):
     assert set(rows["000002"]) == {"jpg"}
 
 
+def test_cli_shard_manifest_and_webdataset_pack(spark, tmp_path,
+                                                capsys):
+    """The loader-bookkeeping surfaces: shard-ingest --manifest writes
+    per-source-shard (path, n_rows, n_bytes); webdataset-pack writes
+    shard tars + its manifest; the pair round-trips."""
+    import json as _json
+
+    from tests.test_io import _make_tar
+
+    (d := tmp_path / "shards2").mkdir()
+    _make_tar(d / "s0.tar", [("000001.jpg", b"J1"), ("000001.cls", b"4"),
+                             ("000002.jpg", b"J2xx")])
+    _make_tar(d / "s1.tar", [("000003.jpg", b"J333")])
+    rc = cli.main(["shard-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/members2",
+                   "--manifest", f"{tmp_path}/members2.manifest"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_shards"] == 2 and out["manifest"]
+    man = {r.path.rsplit("/", 1)[-1]: (r.n_rows, r.n_bytes)
+           for r in spark.read.parquet(
+               f"{tmp_path}/members2.manifest").collect()}
+    assert man["s0.tar"] == (3, 2 + 1 + 4)
+    assert man["s1.tar"] == (1, 4)
+
+    # webdataset halves: per-sample byte totals, not member sizes
+    rc = cli.main(["shard-ingest", "--input", str(d),
+                   "--format", "webdataset",
+                   "--output", f"{tmp_path}/samples2",
+                   "--manifest", f"{tmp_path}/samples2.manifest"])
+    assert rc == 0
+    capsys.readouterr()
+    man = {r.path.rsplit("/", 1)[-1]: (r.n_rows, r.n_bytes)
+           for r in spark.read.parquet(
+               f"{tmp_path}/samples2.manifest").collect()}
+    assert man["s0.tar"] == (2, 7) and man["s1.tar"] == (1, 4)
+
+    # pack the ingested samples back into shards, with a manifest
+    rc = cli.main(["webdataset-pack", "--input", f"{tmp_path}/samples2",
+                   "--output", f"{tmp_path}/packed",
+                   "--n-shards", "1",
+                   "--manifest", f"{tmp_path}/packed.manifest"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_shards"] == 1 and out["n_samples"] == 3
+    mrow = spark.read.parquet(f"{tmp_path}/packed.manifest").first()
+    assert mrow.n_samples == 3 and mrow.path.endswith(
+        "shard-000000.tar")
+    # and the packed shard re-ingests to the same samples
+    rc = cli.main(["shard-ingest", "--input", f"{tmp_path}/packed",
+                   "--format", "webdataset",
+                   "--output", f"{tmp_path}/reingested"])
+    assert rc == 0
+    capsys.readouterr()
+    back = {r.key: {k: bytes(v) for k, v in r.sample.items()}
+            for r in spark.read.parquet(
+                f"{tmp_path}/reingested").collect()}
+    assert back["000001"] == {"jpg": b"J1", "cls": b"4"}
+    assert back["000003"] == {"jpg": b"J333"}
+
+    # --manifest is batch-only
+    with pytest.raises(SystemExit):
+        cli.main(["shard-ingest", "--input", str(d), "--stream",
+                  "--checkpoint", f"{tmp_path}/ck",
+                  "--output", f"{tmp_path}/x",
+                  "--manifest", f"{tmp_path}/y"])
+    capsys.readouterr()
+
+
 def test_stream_shard_ingest_exactly_once(spark, tmp_path, capsys):
     """Streaming shard ingest: shards arriving over time are each
     processed exactly once across runs sharing a checkpoint; batch

@@ -2059,6 +2059,11 @@ def test_probe_media_containers():
     p = mc.probe_media(mc.encode_webp_lossless(_gradient(7, 11, 3)))
     assert (p["container"], p["codec"], p["width"], p["height"]) == \
         ("webp", "vp8l", 11, 7)
+    assert p["n_frames"] == 1
+    px = _gradient(5, 5, 3)
+    p = mc.probe_media(mc.encode_webp_anim([px, px, px]))
+    assert (p["container"], p["kind"], p["n_frames"]) == \
+        ("webp", "video", 3)
     p = mc.probe_media(mc.encode_flac(
         np.zeros(4000, np.int16), 8000))
     assert (p["container"], p["duration_ms"]) == ("flac", 500.0)
@@ -2086,6 +2091,7 @@ def test_media_probe_dataframe(spark):
     assert got[3].container == "mp3" and got[3].kind == "audio"
     assert got[4].codec == "opus" and got[4].sample_rate == 48000
     assert got[5].container == "png" and got[5].kind == "image"
+    assert got[5].n_frames is None  # no cheap header-side count
     assert got[6].container is None and got[7].container is None
 
 
@@ -2585,6 +2591,7 @@ def test_ico_decode_and_probe():
     assert np.array_equal(out, px32)
     p = mc.probe_media(ico)
     assert (p["container"], p["width"], p["height"]) == ("ico", 32, 32)
+    assert p["n_frames"] == 2  # directory entries = the size ladder
     # PNG-compressed entry (Vista+ form)
     out, w, h, c = mc.decode_ico(mc.encode_ico([px16], png=True))
     assert (w, h) == (16, 16) and np.array_equal(out, px16)
