@@ -404,3 +404,67 @@ def q_dedup_repeated_ngrams(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.repeated_ngram_coverage(docs, n=3, min_docs=2,
                                          hash_fn="md5")
+
+
+def q_dedup_boilerplate_strip(spark, sf_dir):
+    """CCNet-style boilerplate-line stripping, oracle-checked end to
+    end: synthesize deterministic multi-line documents from the
+    corpus (a shared nav line, a short structural line the
+    min_line_chars exemption must keep, a 1-in-7 category line over
+    the document-frequency threshold, a 1-in-29 group line under it,
+    a mostly-unique text prefix, a unique permalink), run the REAL
+    ``drop_boilerplate_lines`` operator, and return the rebuilt text
+    + drop counts. The DuckDB oracle recomputes frequency, threshold
+    (floor + strict >, mirroring the operator's int() truncation),
+    the short-line exemption and the order-preserving rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV MENU home products contact cookie notice"),
+            F.lit("--"),
+            F.concat(F.lit("cat "), (F.col("doc_id") % 7)
+                     .cast("string")),
+            F.concat(F.lit("grp "), (F.col("doc_id") % 29)
+                     .cast("string")),
+            F.substring(F.col("text"), 1, 40),
+            F.concat(F.lit("permalink "), F.col("doc_id")
+                     .cast("string")),
+        ).alias("text"))
+    out = dedup.drop_boilerplate_lines(synth, max_doc_frac=0.05)
+    return out.select("doc_id",
+                      F.col("text").alias("stripped_text"),
+                      "n_lines_dropped")
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH synth AS (
+  SELECT doc_id,
+         ['NAV MENU home products contact cookie notice',
+          '--',
+          'cat ' || (doc_id % 7),
+          'grp ' || (doc_id % 29),
+          substr(text, 1, 40),
+          'permalink ' || doc_id] AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         generate_subscripts(ls, 1) AS line_no
+  FROM synth
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS nd
+  FROM lines WHERE length(trim(line)) >= 4
+  GROUP BY line
+), boiler AS (
+  SELECT line FROM freq
+  WHERE nd > greatest(2, CAST(floor(
+        0.05 * (SELECT count(DISTINCT doc_id) FROM synth)) AS BIGINT))
+)
+SELECT l.doc_id,
+       string_agg(l.line, chr(10) ORDER BY l.line_no)
+           AS stripped_text,
+       CAST(6 - count(*) AS INTEGER) AS n_lines_dropped
+FROM lines l ANTI JOIN boiler b USING (line)
+GROUP BY l.doc_id
+"""

@@ -151,6 +151,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": q_streaming_interval_join,
     "entity_key_hash": q_entity_key_hash,
     "text_token_count": q_text_token_count,
+    # r11-NEW at the tail via NEW_PENDING_WINDOW (the window is
+    # exactly the 50 must-verify queries this round): locally
+    # hash-driven vs its DuckDB oracle at sf0.01 (driver-identical
+    # check via tools/check_correctness.py); takes a window slot in
+    # r12 (48 stale + this = 49)
+    "dedup_boilerplate_strip": q_dedup_boilerplate_strip,
 }
 
 
@@ -232,10 +238,13 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #: current round — next round these MUST take window slots (the
 #: new/changed-first policy) or the test fails, so the exemption
 #: self-expires and cannot become a parking lot.
-NEW_PENDING_WINDOW: dict[str, int] = {}
+NEW_PENDING_WINDOW: dict[str, int] = {
+    "dedup_boilerplate_strip": 11,
+}
 
 
 ORACLES: dict[str, str] = {
+    "dedup_boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "crawl_registered_domain": SQL_CRAWL_REGISTERED_DOMAIN,
     "crawl_html_extract": SQL_CRAWL_HTML_EXTRACT,
     "image_near_duplicates": SQL_IMAGE_NEAR_DUPLICATES,
