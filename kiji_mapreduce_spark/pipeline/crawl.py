@@ -47,8 +47,8 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     streaming callers count per batch instead.
     """
     from kiji_mapreduce_spark.pipeline.text import (
-        http_content_encoding, http_html_text, normalize_url,
-        registered_domain, token_count, url_host)
+        http_html_text, normalize_url, registered_domain, token_count,
+        url_host)
 
     responses = records.filter(F.col("warc_type") == "response")
     # loud-skip for still-encoded bodies (r10 verdict "missing" #1):
@@ -114,7 +114,12 @@ def _still_encoded(content_col) -> "F.Column":
     from kiji_mapreduce_spark.pipeline.text import http_content_encoding
 
     enc = http_content_encoding(content_col)
-    return ~enc.isin("", "identity")
+    # beyond 'identity': misconfigured servers are common in real
+    # crawls and send Content-Encoding values that are NOT content
+    # codings at all ('utf-8', 'none', 'binary' — charset/transfer
+    # confusions) over plain identity bodies; rejecting those would
+    # silently drop valid documents (r11 review finding)
+    return ~enc.isin("", "identity", "none", "utf-8", "binary")
 
 
 def encoding_rejects(records: DataFrame) -> DataFrame:

@@ -81,12 +81,14 @@ _MAX_VP8L_PIXELS = 1 << 24
 #: crafted stream of constant subframes with total=0 could allocate
 #: tens of GiB and pin a worker for many minutes before the modeled
 #: 1 GiB byte ceiling tripped (ADVICE r10). Gate on DECODED SAMPLE
-#: count instead, the resource that actually scales: 2^25 (~33.5M
-#: samples, ~6 min of 44.1 kHz stereo) bounds the worst case to
-#: ~1 GiB of int objects / tens of seconds of CPU; longer real audio
-#: routes to the PIL-style fall-through like every other unsupported
-#: variant
-_MAX_FLAC_SAMPLES = 1 << 25
+#: count instead, the resource that actually scales: 2^26 (~67M
+#: samples, ~12.7 min of 44.1 kHz stereo — above virtually every web
+#: music track; long-form audio ships as MP3/AAC, which are
+#: probe-only here anyway) bounds the adversarial worst case to
+#: ~2 GiB of int objects and a couple of minutes of CPU; longer real
+#: FLAC routes to the fall-through like every other unsupported
+#: variant instead of pinning a worker indefinitely
+_MAX_FLAC_SAMPLES = 1 << 26
 
 
 def decode_png(content: bytes) -> tuple[np.ndarray, int, int, int]:
@@ -544,9 +546,11 @@ def decode_ico(content: bytes) -> tuple[np.ndarray, int, int, int]:
         raise
     except (KeyError, ValueError, IndexError, struct.error,
             zlib.error) as e:
-        # zlib.error included: a PNG-compressed entry with corrupt
-        # IDAT surfaces it, and it is NOT a ValueError subclass
-        # (r11 structured fuzz finding)
+        # zlib.error is defensive only since PNG entries route through
+        # the checked decode_png (whose wrapper owns zlib.error — the
+        # r11 structured-fuzz finding was the UNchecked routing); it
+        # is NOT a ValueError subclass, so keep it covered here in
+        # case a future path decompresses directly
         raise UnsupportedMedia(
             f"malformed ICO structure: {type(e).__name__}: {e}") from e
 

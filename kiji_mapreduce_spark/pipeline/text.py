@@ -223,10 +223,15 @@ def http_content_encoding(content_col: Column) -> Column:
     for bodies that are still encoded: brotli/zstd (no decoder in a
     stock container), multi-coding chains ("gzip, br"), or a gzip
     body whose inflate failed — exactly the rows tag-stripping would
-    turn into garbage documents."""
+    turn into garbage documents.
+
+    Anchored to line START like the decoder's strip regex: an
+    unanchored search also matches inside 'X-Content-Encoding: gzip'
+    (a real proxy/CDN header the decoder leaves alone), which would
+    reject perfectly decodable documents (r11 review finding)."""
     headers, _ = _http_string_parts(content_col)
     return F.lower(F.trim(F.regexp_extract(
-        headers, r"(?i)content-encoding:\s*([^\r\n]+)", 1)))
+        headers, r"(?im)^content-encoding:\s*([^\r\n]+)", 1)))
 
 
 def http_html_text(df: DataFrame, content_col: str = "content",

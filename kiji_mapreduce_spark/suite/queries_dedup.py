@@ -428,7 +428,13 @@ def q_dedup_boilerplate_strip(spark, sf_dir):
                      .cast("string")),
             F.concat(F.lit("grp "), (F.col("doc_id") % 29)
                      .cast("string")),
-            F.substring(F.col("text"), 1, 40),
+            # newline-strip BEFORE slicing: the corpus carries none
+            # today, but the oracle models the prefix as ONE
+            # unsplittable list element while the operator splits on
+            # \n — a future newline-bearing corpus would silently
+            # diverge the two (r11 review finding)
+            F.substring(F.regexp_replace(F.col("text"), "[\\n\\r]",
+                                         " "), 1, 40),
             F.concat(F.lit("permalink "), F.col("doc_id")
                      .cast("string")),
         ).alias("text"))
@@ -438,14 +444,14 @@ def q_dedup_boilerplate_strip(spark, sf_dir):
                       "n_lines_dropped")
 
 
-SQL_BOILERPLATE_STRIP = """
+SQL_BOILERPLATE_STRIP = r"""
 WITH synth AS (
   SELECT doc_id,
          ['NAV MENU home products contact cookie notice',
           '--',
           'cat ' || (doc_id % 7),
           'grp ' || (doc_id % 29),
-          substr(text, 1, 40),
+          substr(regexp_replace(text, '[\n\r]', ' ', 'g'), 1, 40),
           'permalink ' || doc_id] AS ls
   FROM documents
 ), lines AS (

@@ -910,18 +910,36 @@ def test_crawl_rejects_still_encoded_bodies(spark, tmp_path):
     # a SUCCESSFULLY inflated gzip body keeps flowing as a document
     # (the parser strips its Content-Encoding header, so the gate
     # never sees it) — the reject predicate keys on the residual
-    # header, not on the encoding having ever existed
+    # header, not on the encoding having ever existed. Also kept:
+    # an X-Content-Encoding proxy header (the gate regex is anchored
+    # to line start) and the bogus-but-identity misconfigurations
+    # real servers emit ('utf-8', 'none', 'binary')
     import gzip
 
-    good_gz = _warc_record(
-        "response", "http://gz.example.com/e",
-        resp(b"Content-Encoding: gzip\r\n",
-             gzip.compress(b"<p>gzipped page with enough words to "
-                           b"keep</p>")))
-    (d / "b.warc").write_bytes(good_gz)
+    keepers = (
+        _warc_record(
+            "response", "http://gz.example.com/e",
+            resp(b"Content-Encoding: gzip\r\n",
+                 gzip.compress(b"<p>gzipped page with enough words "
+                               b"to keep</p>")))
+        + _warc_record(
+            "response", "http://proxy.example.com/f",
+            resp(b"X-Content-Encoding: gzip\r\n",
+                 b"<p>plain body behind a proxy diagnostic "
+                 b"header</p>"))
+        + _warc_record(
+            "response", "http://bogus.example.com/g",
+            resp(b"Content-Encoding: UTF-8\r\n",
+                 b"<p>identity body mislabeled with a charset</p>"))
+        + _warc_record(
+            "response", "http://bogus.example.com/h",
+            resp(b"Content-Encoding: none\r\n",
+                 b"<p>identity body mislabeled as none</p>")))
+    (d / "b.warc").write_bytes(keepers)
     records2 = read_warc_records(spark, [str(d / "b.warc")])
     assert {r.url for r in crawl_documents(records2, spark).collect()} \
-        == {"http://gz.example.com/e"}
+        == {"http://gz.example.com/e", "http://proxy.example.com/f",
+            "http://bogus.example.com/g", "http://bogus.example.com/h"}
     assert encoding_rejects(records2).count() == 0
 
 
@@ -2371,7 +2389,7 @@ def test_flac_cumulative_sample_bomb_rejected(monkeypatch):
     with pytest.raises(mc.UnsupportedMedia, match="sample ceiling"):
         mc.decode_flac(bomb)
     # under the real ceiling the same stream decodes fine
-    monkeypatch.setattr(mc, "_MAX_FLAC_SAMPLES", 1 << 25)
+    monkeypatch.setattr(mc, "_MAX_FLAC_SAMPLES", 1 << 26)
     got, rate, width = mc.decode_flac(bomb)
     assert got.shape == (3 * 65535, 1) and (got == 1000).all()
 
