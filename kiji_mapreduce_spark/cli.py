@@ -317,6 +317,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="strip lines appearing in more than FRAC of "
                     "documents (site templates: nav/cookie/footer) "
                     "BEFORE quality scoring")
+    cu.add_argument("--gopher", action="store_true",
+                    help="apply the published Gopher document rules "
+                    "(word-count/word-shape bounds, symbol/bullet/"
+                    "ellipsis ratios, required English words) before "
+                    "quality scoring")
 
     ct = sub.add_parser("classify-train", help="train the hashed-"
                         "features logistic-regression quality filter")
@@ -713,7 +718,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             quality_model=(json.load(open(args.quality_model))
                            if args.quality_model else None),
             min_prob=args.min_prob,
-            strip_boilerplate=args.strip_boilerplate)
+            strip_boilerplate=args.strip_boilerplate,
+            gopher_rules=args.gopher)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()

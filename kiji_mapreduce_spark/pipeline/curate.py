@@ -50,6 +50,12 @@ class CurateConfig:
     #: gate honest. None = off; a float is the max document-frequency
     #: fraction a line may appear in before it is boilerplate
     strip_boilerplate: float | None = None
+    #: apply the published Gopher document rules
+    #: (``text.gopher_quality_filter``) BEFORE heuristic quality
+    #: scoring — the standard pretraining pre-gate (word-count and
+    #: word-shape bounds, symbol/bullet/ellipsis ratios, required
+    #: English words). False = off
+    gopher_rules: bool = False
     #: optional ordered {split: fraction} mapping or [(split, fraction)]
     #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
@@ -87,6 +93,11 @@ def curate_corpus(
             docs, text_col=text_col, id_col=id_col,
             max_doc_frac=cfg.strip_boilerplate
         ).drop("n_lines_dropped")
+    if cfg.gopher_rules:
+        # after boilerplate stripping (template lines inflate the
+        # bullet/symbol ratios), before scoring: the rules are a
+        # cheap pure-Catalyst narrowing of what the scorer reads
+        docs = text_ops.gopher_quality_filter(docs, text_col=text_col)
     scored = text_ops.quality_features(docs, text_col)
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",

@@ -123,6 +123,90 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the Gopher rules' English must-have words (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", appendix A — the published
+#: quality-filter recipe most pretraining pipelines start from)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                     "that", "have", "with")
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_avg_word_len: float = 3.0,
+                         max_avg_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """Append the Gopher document-quality rule verdicts (Rae et al.
+    2021, appendix A1.1.2 — the standard rule set real pretraining
+    pipelines apply before model-based filtering): word-count bounds,
+    mean-word-length bounds, #/ellipsis symbol-to-word ratio,
+    bullet-started and ellipsis-ended line fractions, the
+    alphabetic-word fraction, and presence of >= ``min_stop_hits`` of
+    the 8 required English words (matched with word boundaries on the
+    lowercased text, so punctuation-attached forms still count).
+
+    Adds one boolean per rule (``gq_*``) plus the conjunction
+    ``gopher_pass``. Pure Catalyst — per-row splits and folds, zero
+    shuffle, zero UDF; NULL/empty text fails the word-count rule and
+    nothing else blows up (ANSI-safe size/div guards)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.coalesce(t, F.lit("")), r"\s+"),
+                     lambda w: w != "")
+    n_words = F.coalesce(F.size(words), F.lit(0))
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    avg_wl = F.when(n_words > 0, word_chars / n_words).otherwise(0.0)
+    n_symbols = (F.regexp_count(t, F.lit("#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\.|…")))
+    sym_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
+    lines = F.filter(F.split(F.coalesce(t, F.lit("")), "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    bullet_frac = F.when(n_lines > 0, F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•‣▪]")
+    )) / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(n_lines > 0, F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+    )) / n_lines).otherwise(0.0)
+    alpha_frac = F.when(n_words > 0, F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))) / n_words).otherwise(0.0)
+    low = F.lower(F.coalesce(t, F.lit("")))
+    stop_hits = sum(
+        (F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+         for w in _GOPHER_STOPWORDS), start=F.lit(0))
+    rules = {
+        "gq_word_count": (n_words >= min_words)
+        & (n_words <= max_words),
+        "gq_avg_word_len": (avg_wl >= min_avg_word_len)
+        & (avg_wl <= max_avg_word_len),
+        "gq_symbol_ratio": sym_ratio <= max_symbol_word_ratio,
+        "gq_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "gq_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "gq_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "gq_stop_words": stop_hits >= min_stop_hits,
+    }
+    out = df
+    passed = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = passed & F.col(name)
+    return out.withColumn("gopher_pass", passed)
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          **thresholds) -> DataFrame:
+    """Keep only documents passing every Gopher rule; same columns as
+    the input (the rule verdicts are dropped after filtering)."""
+    scored = gopher_quality_rules(df, text_col=text_col, **thresholds)
+    return scored.filter(F.col("gopher_pass")).drop(
+        "gopher_pass", *[c for c in scored.columns
+                         if c.startswith("gq_")])
+
+
 def language_id(text: Column, langs: list[str] | None = None) -> Column:
     """Stopword-vote language ID: count stopword hits per language, pick
     the argmax (ties broken by language code order); 'und' when no hits.

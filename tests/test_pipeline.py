@@ -2272,3 +2272,70 @@ def test_boilerplate_preserves_null_text(spark):
     assert out[4].text is None and out[4].n_lines_dropped == 0
     assert out[5].text == "" and out[5].n_lines_dropped == 0
     assert out[1].text == "body one"
+
+
+def test_gopher_quality_rules(spark):
+    """The Gopher rule set: each rule fires on its designed offender
+    and the clean document passes everything; NULL text fails only
+    word count."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    good_words = ("the quick brown fox jumps over lazy dogs and then "
+                  "walks back to town with all of that energy because "
+                  "it must have been quite the morning for everyone "
+                  "involved in this very ordinary but wordy sentence "
+                  "that keeps going until the rule threshold is met "
+                  "comfortably for once") * 2
+    docs = [
+        (0, good_words),                                   # passes
+        (1, "too short to count"),                          # word count
+        (2, " ".join(["a"] * 80)),                          # avg len low
+        (3, " ".join(["###"] * 30 + ["the of and to be that "
+                                     "have with word"] * 10)),  # symbols
+        (4, "\n".join(["- bullet item the of and"] * 20)),  # bullets
+        (5, "\n".join(["the of and to be lines..."] * 20)),  # ellipses
+        (6, " ".join(["12345"] * 60) + " the of and"),      # alpha frac
+        (7, " ".join(["zebra"] * 80)),                      # stop words
+        (8, None),                                          # NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_ops.gopher_quality_rules(df, min_words=40).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].gq_word_count and not got[1].gopher_pass
+    assert not got[2].gq_avg_word_len
+    assert not got[3].gq_symbol_ratio
+    assert not got[4].gq_bullet_lines
+    assert not got[5].gq_ellipsis_lines
+    assert not got[6].gq_alpha_words
+    assert not got[7].gq_stop_words and not got[7].gopher_pass
+    assert not got[8].gq_word_count and not got[8].gopher_pass
+
+    kept = text_ops.gopher_quality_filter(df, min_words=40)
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "text"]  # verdicts dropped
+
+
+def test_curate_gopher_gate(spark):
+    """CurateConfig.gopher_rules narrows the corpus before scoring:
+    a rule-violating doc is gone from the survivors, and the output
+    schema is unchanged (verdict columns never leak downstream)."""
+    from kiji_mapreduce_spark.pipeline import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back to town with all of that energy because it "
+            "must have been quite the morning for everyone involved "
+            "in this very ordinary but wordy sentence that keeps "
+            "going until the threshold is met") * 3
+    bad = " ".join(["12345"] * 120)  # fails the alphabetic-word rule
+    df = spark.createDataFrame(
+        [(1, good, "en", "web"), (2, bad, "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    cfg = curate.CurateConfig(min_quality=0.0, gopher_rules=True)
+    out = curate.curate_corpus(df, config=cfg)
+    assert [r.doc_id for r in out.collect()] == [1]
+    assert not [c for c in out.columns if c.startswith("gq_")]
+    # off by default: both survive the zero quality floor
+    off = curate.curate_corpus(df, config=curate.CurateConfig(
+        min_quality=0.0))
+    assert sorted(r.doc_id for r in off.collect()) == [1, 2]
