@@ -307,12 +307,31 @@ class Encoder:
 # container file (spec "Object Container Files")
 
 
+#: error classes corrupt container bytes can surface that are NOT
+#: already ValueError subclasses (UnicodeDecodeError and
+#: json.JSONDecodeError are): a flipped bit in a deflate block raises
+#: zlib.error, a header whose meta map lacks avro.schema raises
+#: KeyError. Hostile bytes must decode or raise the documented
+#: (ValueError, EOFError) surface — a raw zlib.error aborts the Spark
+#: task that owns the file with an opaque error (r11 fuzz finding;
+#: the media codecs' wrapper discipline applied to Avro).
+_CORRUPT_WRAP = (KeyError, zlib.error)
+
+
 def read_container(buf: bytes):
     """Decode a whole container file -> (schema, list-of-values).
 
     Top-level records decode to dicts; other top-level types decode to
-    their Python mapping.
+    their Python mapping. Corrupt bytes raise ValueError/EOFError only.
     """
+    try:
+        return _read_container_unchecked(buf)
+    except _CORRUPT_WRAP as e:
+        raise ValueError(
+            f"corrupt Avro container: {type(e).__name__}: {e}") from e
+
+
+def _read_container_unchecked(buf: bytes):
     dec = Decoder(buf)
     if dec.read(4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -340,12 +359,17 @@ def read_container(buf: bytes):
 def read_container_schema(buf: bytes):
     """Parse just the header of a container file -> schema. Needs only
     the first few KB (schema JSON + codec), so callers can pass a bounded
-    prefix of a huge file."""
-    dec = Decoder(buf)
-    if dec.read(4) != MAGIC:
-        raise ValueError("not an Avro object container file (bad magic)")
-    meta = dec.read_value({"type": "map", "values": "bytes"})
-    return normalize_schema(meta["avro.schema"].decode("utf-8"))
+    prefix of a huge file. Corrupt bytes raise ValueError/EOFError only."""
+    try:
+        dec = Decoder(buf)
+        if dec.read(4) != MAGIC:
+            raise ValueError(
+                "not an Avro object container file (bad magic)")
+        meta = dec.read_value({"type": "map", "values": "bytes"})
+        return normalize_schema(meta["avro.schema"].decode("utf-8"))
+    except _CORRUPT_WRAP as e:
+        raise ValueError(
+            f"corrupt Avro container: {type(e).__name__}: {e}") from e
 
 
 def read_file_header(f):
@@ -371,6 +395,10 @@ def read_file_header(f):
             if not more:
                 raise
             buf += more
+        except _CORRUPT_WRAP as e:
+            raise ValueError(
+                f"corrupt Avro container: {type(e).__name__}: {e}"
+            ) from e
 
 
 def read_container_split(path, start, end, header=None):
@@ -388,7 +416,16 @@ def read_container_split(path, start, end, header=None):
     exactly how the splittable jar path behaves. Like the Java reader,
     a sync-pattern collision inside block data (probability 2^-128 per
     position) would mis-align the scan; this is accepted by the format.
+    Corrupt bytes raise ValueError/EOFError only.
     """
+    try:
+        return _read_container_split_unchecked(path, start, end, header)
+    except _CORRUPT_WRAP as e:
+        raise ValueError(
+            f"corrupt Avro container: {type(e).__name__}: {e}") from e
+
+
+def _read_container_split_unchecked(path, start, end, header=None):
     with open(path, "rb") as f:
         if header is None:
             header = read_file_header(f)

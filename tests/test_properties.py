@@ -1031,3 +1031,42 @@ def test_codec_error_surface_ico_dispatch(data):
         pass
     p = mc.probe_media(bytes(corrupt))
     assert p is None or isinstance(p, dict)
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_avro_codec_error_surface(data):
+    """The pure-Python Avro container codec under hostile bytes:
+    corrupted/truncated/arbitrary input either decodes or raises the
+    documented corrupt-data classes (ValueError, EOFError) — never a
+    raw zlib.error/KeyError/UnicodeDecodeError/json error that would
+    abort a Spark ingest task opaquely (the media codecs' fuzz
+    discipline applied to the Avro read path)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.io import avro_codec as ac
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "int"}}]}
+    values = [{"a": i, "b": None if i % 3 else "x" * i,
+               "c": list(range(i % 5))} for i in range(12)]
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    blob = bytearray(ac.write_container(schema, values, codec=codec))
+
+    mode = data.draw(st.sampled_from(["truncate", "flip", "junk"]))
+    if mode == "truncate":
+        blob = blob[:data.draw(st.integers(0, len(blob) - 1))]
+    elif mode == "flip":
+        i = data.draw(st.integers(0, len(blob) - 1))
+        blob[i] ^= 1 << data.draw(st.integers(0, 7))
+    else:
+        blob = bytearray(
+            data.draw(st.binary(min_size=0, max_size=200)))
+    corrupt = bytes(blob)
+    for fn in (ac.read_container, ac.read_container_schema):
+        try:
+            fn(corrupt)
+        except (ValueError, EOFError):
+            pass
