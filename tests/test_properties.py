@@ -1070,3 +1070,111 @@ def test_avro_codec_error_surface(data):
             fn(corrupt)
         except (ValueError, EOFError):
             pass
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_shard_iterator_error_surface(data):
+    """tar/zip/WebDataset shard parsing under hostile bytes: lenient
+    mode NEVER raises (the always-lenient shard stream depends on it —
+    a leak wedges the claimed offset-log batch forever), strict mode
+    raises ValueError only."""
+    import gzip
+    import io as _io
+    import tarfile
+    import zipfile
+
+    from kiji_mapreduce_spark.io.inputs import (_iter_tar_members,
+                                                _iter_zip_members)
+
+    def make_tar(members, gz):
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, payload in members:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload)
+                tf.addfile(ti, _io.BytesIO(payload))
+        raw = buf.getvalue()
+        return gzip.compress(raw) if gz else raw
+
+    def make_zip(members):
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w",
+                             compression=zipfile.ZIP_DEFLATED) as zf:
+            for name, payload in members:
+                zf.writestr(name, payload)
+        return buf.getvalue()
+
+    members = [(f"{i:06d}.bin",
+                bytes(data.draw(st.binary(min_size=0, max_size=40))))
+               for i in range(data.draw(st.integers(1, 4)))]
+    kind = data.draw(st.sampled_from(["tar", "tar.gz", "zip"]))
+    blob = (make_zip(members) if kind == "zip"
+            else make_tar(members, gz=kind == "tar.gz"))
+    it = _iter_zip_members if kind == "zip" else _iter_tar_members
+
+    corrupt = bytearray(blob)
+    mode = data.draw(st.sampled_from(["truncate", "flip", "junk"]))
+    if mode == "truncate":
+        corrupt = corrupt[:data.draw(st.integers(0, len(corrupt) - 1))]
+    elif mode == "flip":
+        i = data.draw(st.integers(0, len(corrupt) - 1))
+        corrupt[i] ^= 1 << data.draw(st.integers(0, 7))
+    else:
+        corrupt = bytearray(
+            data.draw(st.binary(min_size=0, max_size=120)))
+    corrupt = bytes(corrupt)
+
+    list(it(corrupt, "shard", True))  # lenient: must never raise
+    try:
+        list(it(corrupt, "shard", False))
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_warc_and_http_decode_error_surface(data):
+    """WARC framing + HTTP payload normalization under hostile bytes:
+    the payload decoder NEVER raises (lenient by construction — it
+    returns the body untouched), the framer is lenient-safe and
+    strict-raises ValueError only."""
+    import gzip
+
+    from kiji_mapreduce_spark.io.inputs import (_decode_http_payload,
+                                                _frame_warc_records)
+    from tests.test_io import _warc_record
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n"
+            + gzip.compress(b"<p>page</p>"))
+    blob = (_warc_record("warcinfo", None, b"software: t")
+            + _warc_record("response", "http://e.com/a", body)
+            + _warc_record("response", "http://e.com/b",
+                           b"HTTP/1.1 200 OK\r\nTransfer-Encoding: "
+                           b"chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n"))
+    corrupt = bytearray(blob)
+    mode = data.draw(st.sampled_from(["truncate", "flip", "junk"]))
+    if mode == "truncate":
+        corrupt = corrupt[:data.draw(st.integers(0, len(corrupt) - 1))]
+    elif mode == "flip":
+        i = data.draw(st.integers(0, len(corrupt) - 1))
+        corrupt[i] ^= 1 << data.draw(st.integers(0, 7))
+    else:
+        corrupt = bytearray(
+            data.draw(st.binary(min_size=0, max_size=200)))
+    corrupt = bytes(corrupt)
+
+    list(_frame_warc_records([corrupt], "a.warc", True))
+    try:
+        list(_frame_warc_records([corrupt], "a.warc", False))
+    except ValueError:
+        pass
+    # the payload decoder is total: any bytes in, bytes out
+    out = _decode_http_payload(corrupt)
+    assert isinstance(out, bytes)
+    # and over a structured-but-corrupted HTTP body specifically
+    hb = bytearray(body)
+    j = data.draw(st.integers(0, len(hb) - 1))
+    hb[j] ^= 1 << data.draw(st.integers(0, 7))
+    assert isinstance(_decode_http_payload(bytes(hb)), bytes)
