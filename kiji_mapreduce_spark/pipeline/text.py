@@ -572,6 +572,90 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     return out.select(id_col, *fracs)
 
 
+def line_repetition_features(df: DataFrame, text_col: str = "text"
+                             ) -> DataFrame:
+    """Gopher's within-document line/paragraph repetition signals:
+    ``dup_line_frac`` / ``dup_para_frac`` (fraction of line/paragraph
+    occurrences beyond each distinct value's first — the datatrove/
+    Dolma reading of Rae et al. A1.1.2) and their character-mass twins
+    ``dup_line_char_frac`` / ``dup_para_char_frac``. Complements
+    ``repetition_features`` (word n-gram signals, one shuffle): these
+    four are pure per-row array expressions — ZERO shuffle, the text
+    never leaves its partition."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for split_pat, unit in (("\n", "line"), (r"\n\s*\n", "para")):
+        arr = F.filter(F.split(t, split_pat),
+                       lambda x: F.trim(x) != "")
+        distinct = F.array_distinct(arr)
+        n = F.size(arr)
+        chars = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+        d_chars = F.aggregate(distinct, F.lit(0).cast("long"),
+                              lambda a, x: a + F.length(x))
+        out = out.withColumn(
+            f"dup_{unit}_frac",
+            F.round(F.when(n > 0, (n - F.size(distinct)) / n)
+                    .otherwise(0.0), 4)
+        ).withColumn(
+            f"dup_{unit}_char_frac",
+            F.round(F.when(chars > 0, (chars - d_chars) / chars)
+                    .otherwise(0.0), 4))
+    return out
+
+
+#: Gopher's published repetition thresholds (Rae et al. 2021 A1.1.2):
+#: a document is removed when any signal EXCEEDS its bound
+_GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top2_frac": 0.20, "top3_frac": 0.18, "top4_frac": 0.16,
+    "dup5_frac": 0.15, "dup6_frac": 0.14, "dup7_frac": 0.13,
+    "dup8_frac": 0.12, "dup9_frac": 0.11, "dup10_frac": 0.10,
+}
+
+
+def gopher_repetition_filter(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             include_ngrams: bool = True) -> DataFrame:
+    """Drop documents breaching ANY of Gopher's 13 published
+    repetition bounds: the four line/paragraph signals (zero-shuffle,
+    ``line_repetition_features``) and — when ``include_ngrams`` —
+    the nine word-n-gram signals (top 2-4-gram character mass,
+    duplicated 5-10-gram mass; one id-keyed shuffle via
+    ``repetition_features``). Returns surviving input rows, signal
+    columns dropped. Pairs with ``gopher_quality_filter`` for the
+    full published pre-gate."""
+    scored = line_repetition_features(df, text_col=text_col)
+    cond = F.lit(True)
+    for name in ("dup_line_frac", "dup_para_frac",
+                 "dup_line_char_frac", "dup_para_char_frac"):
+        cond = cond & (F.col(name) <= _GOPHER_REP_THRESHOLDS[name])
+    kept = scored.filter(cond).drop(
+        "dup_line_frac", "dup_para_frac",
+        "dup_line_char_frac", "dup_para_char_frac")
+    if not include_ngrams:
+        return kept
+    ngram = repetition_features(kept, text_col=text_col, id_col=id_col,
+                                top_ns=(2, 3, 4),
+                                dup_ns=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+    bad = F.lit(False)
+    for n in (2, 3, 4):
+        # published semantics (Gopher via datatrove/Dolma): the top
+        # n-gram rule fires only when that gram actually REPEATS —
+        # a singleton's own character mass must not flag short clean
+        # docs. top_mass is count-ordered, so "any n-gram repeats"
+        # (dup mass > 0) implies the top gram does
+        bad = bad | ((F.col(f"dup{n}_frac") > 0)
+                     & (F.col(f"top{n}_frac")
+                        > _GOPHER_REP_THRESHOLDS[f"top{n}_frac"]))
+    for n in (5, 6, 7, 8, 9, 10):
+        bad = bad | (F.col(f"dup{n}_frac")
+                     > _GOPHER_REP_THRESHOLDS[f"dup{n}_frac"])
+    losers = ngram.filter(bad).select(id_col)
+    return kept.join(losers, on=id_col, how="left_anti")
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min polynomial
     hash over all ``window``-token shingles — robust to small edits at the

@@ -2339,3 +2339,53 @@ def test_curate_gopher_gate(spark):
     off = curate.curate_corpus(df, config=curate.CurateConfig(
         min_quality=0.0))
     assert sorted(r.doc_id for r in off.collect()) == [1, 2]
+
+
+def test_line_repetition_features(spark):
+    """Line/paragraph duplicate fractions: occurrences beyond each
+    distinct value's first, by count and by character mass; NULL and
+    repetition-free docs score zero."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    dup_lines = "same line\nother\nsame line\nsame line\nunique end"
+    dup_paras = "para one here\n\npara one here\n\ndifferent para"
+    clean = "alpha\nbeta\ngamma"
+    df = spark.createDataFrame(
+        [(1, dup_lines), (2, dup_paras), (3, clean), (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_ops.line_repetition_features(df).collect()}
+    # doc 1: 5 lines, 3x "same line" -> 2 excess of 5
+    assert got[1].dup_line_frac == 0.4
+    chars = len("same line") * 3 + len("other") + len("unique end")
+    assert got[1].dup_line_char_frac == round(
+        2 * len("same line") / chars, 4)
+    # doc 2: paragraphs split on blank lines; 1 excess of 3
+    assert got[2].dup_para_frac == round(1 / 3, 4)
+    assert got[3].dup_line_frac == 0.0
+    assert got[3].dup_para_char_frac == 0.0
+    assert got[4].dup_line_frac == 0.0
+
+
+def test_gopher_repetition_filter(spark):
+    """Documents breaching any published repetition bound drop: a
+    line-duplicated doc (zero-shuffle signal), an n-gram-looping doc
+    (shuffled signal), and a clean doc survives with original
+    columns."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    liney = "\n".join(["copy this line"] * 10 + ["one more"])
+    loopy = " ".join(["spam ham eggs bacon toast"] * 20)
+    clean = ("the quick brown fox jumps over the lazy dog while "
+             "several other animals watch from a safe distance and "
+             "comment on technique with great enthusiasm")
+    df = spark.createDataFrame(
+        [(1, liney), (2, loopy), (3, clean)],
+        "doc_id long, text string")
+    out = text_ops.gopher_repetition_filter(df)
+    assert [r.doc_id for r in out.collect()] == [3]
+    assert out.columns == ["doc_id", "text"]
+    # line signals alone keep the n-gram looper
+    no_ngram = text_ops.gopher_repetition_filter(
+        df, include_ngrams=False)
+    assert sorted(r.doc_id for r in no_ngram.collect()) == [2, 3]
