@@ -220,15 +220,17 @@ FIRST_WINDOW_REQUIRED: list[str] = [
     "crawl_html_extract",
 ]
 
-# r10 round-end note: a full-registry sf0.01 hash drive (100/100
-# consistent) ran on the final tree. Tail-query shared paths touched
-# this round were INPUT-GATED additions only, each re-driven at
-# sf0.01 after the change: decode_audio gained fLaC/OggS dispatch
-# branches (audio_near_duplicates — its WAV branch byte-identical on
-# valid input), decode_video's WebP branch internals were vectorized
-# (video_near_duplicates — GIF/MPNG fixtures untouched, and no
-# registry fixture carries RIFF/WEBP magic), and crawl's media
-# candidate net widened (crawl_* document-half predicates re-driven).
+# r11 round-end note: registry 100 -> 99 (union_all_parties and
+# sessionize_events retired, judge-endorsed; dedup_boilerplate_strip
+# added via NEW_PENDING_WINDOW with a local sf0.01 hash drive). Tail
+# queries whose shared paths were touched this round and re-driven at
+# sf0.01 after the change: none of the tail's plans changed —
+# curate.py's exact-dedup swap affects only pipeline_curate (in the
+# window); the crawl encoding-reject gate filters records no registry
+# fixture contains (documents-table crawls carry no Content-Encoding
+# headers; crawl_* re-driven anyway in the round-end full drive); the
+# probe n_frames field is additive and no oracle reads it. A full-
+# registry sf0.01 drive ran on the final tree (see PROGRESS/PERF).
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
