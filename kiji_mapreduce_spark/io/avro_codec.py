@@ -311,11 +311,13 @@ class Encoder:
 #: already ValueError subclasses (UnicodeDecodeError and
 #: json.JSONDecodeError are): a flipped bit in a deflate block raises
 #: zlib.error, a header whose meta map lacks avro.schema raises
-#: KeyError. Hostile bytes must decode or raise the documented
-#: (ValueError, EOFError) surface — a raw zlib.error aborts the Spark
-#: task that owns the file with an opaque error (r11 fuzz finding;
-#: the media codecs' wrapper discipline applied to Avro).
-_CORRUPT_WRAP = (KeyError, zlib.error)
+#: KeyError, and a corrupted union/enum index raises IndexError from
+#: the branch lookup. Hostile bytes must decode or raise the
+#: documented (ValueError, EOFError) surface — a raw zlib.error
+#: aborts the Spark task that owns the file with an opaque error
+#: (r11 fuzz findings; the media codecs' wrapper discipline applied
+#: to Avro).
+_CORRUPT_WRAP = (KeyError, IndexError, zlib.error)
 
 
 def read_container(buf: bytes):
