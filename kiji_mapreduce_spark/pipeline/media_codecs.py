@@ -75,19 +75,17 @@ _MAX_DECODED_BYTES = 1 << 30
 #: (4 B/px array store + the uint32/RGBA numpy planes)
 _MAX_VP8L_PIXELS = 1 << 24
 
-#: FLAC decodes sample-by-sample in Python too, and its samples
-#: accumulate as Python ints in per-channel lists (~30 B each, not
-#: the 2-4 nominal PCM bytes the byte ceiling charges) — so a few-KB
-#: crafted stream of constant subframes with total=0 could allocate
-#: tens of GiB and pin a worker for many minutes before the modeled
-#: 1 GiB byte ceiling tripped (ADVICE r10). Gate on DECODED SAMPLE
-#: count instead, the resource that actually scales: 2^26 (~67M
-#: samples, ~12.7 min of 44.1 kHz stereo — above virtually every web
-#: music track; long-form audio ships as MP3/AAC, which are
-#: probe-only here anyway) bounds the adversarial worst case to
-#: ~2 GiB of int objects and a couple of minutes of CPU; longer real
-#: FLAC routes to the fall-through like every other unsupported
-#: variant instead of pinning a worker indefinitely
+#: FLAC decodes sample-by-sample in Python too, so its gate models
+#: CPU and memory by DECODED SAMPLE count, not the 2-4 nominal PCM
+#: bytes the old byte ceiling charged — under which a few-KB crafted
+#: stream of constant subframes with total=0 could pin a worker for
+#: many minutes (ADVICE r10). 2^26 (~67M samples, ~12.7 min of
+#: 44.1 kHz stereo — above virtually every web music track;
+#: long-form audio ships as MP3/AAC, probe-only here anyway) bounds
+#: the adversarial worst case to ~512 MiB of packed array('q') longs
+#: (8 B/sample storage, the VP8L array discipline) and a couple of
+#: minutes of CPU; longer real FLAC routes to the fall-through like
+#: every other unsupported variant instead of pinning a worker
 _MAX_FLAC_SAMPLES = 1 << 26
 
 
@@ -1113,7 +1111,13 @@ def _decode_flac_unchecked(content: bytes):
         raise UnsupportedMedia(
             f"FLAC: {total} samples decode past the "
             f"{_MAX_FLAC_SAMPLES} decoded-sample ceiling")
-    chans: list[list[int]] = [[] for _ in range(si_channels)]
+    # packed 8 B/sample storage (the VP8L array('I') discipline), not
+    # Python-int lists (~30 B each): with the 2^26 sample ceiling the
+    # worst case is ~512 MiB of packed longs instead of ~2 GiB of int
+    # objects — the allocation a 4 GiB-heap executor absorbs and the
+    # object soup it would not (r11 review finding). Per-frame subframe
+    # lists stay lists (bounded by the 65536 max blocksize).
+    chans: list[array] = [array("q") for _ in range(si_channels)]
     decoded_samples = 0
     while pos < len(content):
         br = _FlacBits(content, pos)
@@ -1192,7 +1196,8 @@ def _decode_flac_unchecked(content: bytes):
         raise UnsupportedMedia("FLAC: no audio frames")
     if total and len(chans[0]) > total:
         chans = [c[:total] for c in chans]  # trailing partial block
-    arr = np.array(chans, dtype=np.int64).T
+    # frombuffer per channel: zero-copy view of the packed arrays
+    arr = np.stack([np.frombuffer(c, dtype=np.int64) for c in chans]).T
     if si_bps <= 8:
         return (arr + 128).astype(np.uint8), si_rate, 1
     if si_bps <= 16:

@@ -160,11 +160,23 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
     word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     avg_wl = F.when(n_words > 0, word_chars / n_words).otherwise(0.0)
-    n_symbols = (F.regexp_count(t, F.lit("#"))
-                 + F.regexp_count(t, F.lit(r"\.\.\.|…")))
-    sym_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(0.0)
-    lines = F.filter(F.split(F.coalesce(t, F.lit("")), "\n"),
-                     lambda ln: F.trim(ln) != "")
+    # the published rule bounds EACH symbol's ratio separately — a
+    # combined count would reject docs the paper keeps (7 headings
+    # '#' + 6 '...' in 100 words is fine per-symbol, 0.13 combined;
+    # r11 review finding)
+    hash_ratio = F.when(
+        n_words > 0,
+        F.regexp_count(t, F.lit("#")) / n_words).otherwise(0.0)
+    ell_ratio = F.when(
+        n_words > 0,
+        F.regexp_count(t, F.lit(r"\.\.\.|…")) / n_words).otherwise(0.0)
+    # split on \r?\n with a whitespace-aware blank test: a CRLF doc's
+    # separator lines split to '\r', which space-only trim() keeps as
+    # "content" — diluting the bullet/ellipsis fractions toward their
+    # bounds on exactly the documents they exist to catch (r11 review
+    # finding)
+    lines = F.filter(F.split(F.coalesce(t, F.lit("")), r"\r?\n"),
+                     lambda ln: ~ln.rlike(r"^\s*$"))
     n_lines = F.coalesce(F.size(lines), F.lit(0))
     bullet_frac = F.when(n_lines > 0, F.size(F.filter(
         lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•‣▪]")
@@ -172,8 +184,10 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
     ellipsis_frac = F.when(n_lines > 0, F.size(F.filter(
         lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
     )) / n_lines).otherwise(0.0)
+    # \p{L}: the rule means "alphabetic", not "ASCII Latin" — a doc
+    # quoting Cyrillic/Greek/CJK terms must not fail it (r11 review)
     alpha_frac = F.when(n_words > 0, F.size(F.filter(
-        words, lambda w: w.rlike("[A-Za-z]"))) / n_words).otherwise(0.0)
+        words, lambda w: w.rlike(r"\p{L}"))) / n_words).otherwise(0.0)
     low = F.lower(F.coalesce(t, F.lit("")))
     stop_hits = sum(
         (F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
@@ -183,7 +197,8 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
         & (n_words <= max_words),
         "gq_avg_word_len": (avg_wl >= min_avg_word_len)
         & (avg_wl <= max_avg_word_len),
-        "gq_symbol_ratio": sym_ratio <= max_symbol_word_ratio,
+        "gq_symbol_ratio": (hash_ratio <= max_symbol_word_ratio)
+        & (ell_ratio <= max_symbol_word_ratio),
         "gq_bullet_lines": bullet_frac <= max_bullet_line_frac,
         "gq_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
         "gq_alpha_words": alpha_frac >= min_alpha_word_frac,
@@ -197,14 +212,21 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text",
     return out.withColumn("gopher_pass", passed)
 
 
+#: the exact verdict columns gopher_quality_rules appends — the filter
+#: drops THIS list, not a gq_* prefix sweep that would silently eat a
+#: caller's own columns (r11 review finding)
+_GOPHER_RULE_COLS = (
+    "gq_word_count", "gq_avg_word_len", "gq_symbol_ratio",
+    "gq_bullet_lines", "gq_ellipsis_lines", "gq_alpha_words",
+    "gq_stop_words", "gopher_pass")
+
+
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           **thresholds) -> DataFrame:
     """Keep only documents passing every Gopher rule; same columns as
     the input (the rule verdicts are dropped after filtering)."""
     scored = gopher_quality_rules(df, text_col=text_col, **thresholds)
-    return scored.filter(F.col("gopher_pass")).drop(
-        "gopher_pass", *[c for c in scored.columns
-                         if c.startswith("gq_")])
+    return scored.filter(F.col("gopher_pass")).drop(*_GOPHER_RULE_COLS)
 
 
 def language_id(text: Column, langs: list[str] | None = None) -> Column:
@@ -294,10 +316,14 @@ def _http_string_parts(content_col: Column) -> tuple[Column, Column]:
 
 def http_content_type(content_col: Column) -> Column:
     """The header block's Content-Type (lowercased, parameters
-    stripped), or '' when absent — pure Catalyst."""
+    stripped), or '' when absent — pure Catalyst. Anchored to line
+    start like ``http_content_encoding``: an unanchored search would
+    also fire inside 'X-Content-Type: ...' proxy headers and return
+    the wrong type (r11 review finding, same class as the
+    content-encoding anchor)."""
     headers, _ = _http_string_parts(content_col)
     return F.lower(F.trim(F.regexp_extract(
-        headers, r"(?i)content-type:\s*([^\r\n;]+)", 1)))
+        headers, r"(?im)^content-type:\s*([^\r\n;]+)", 1)))
 
 
 def http_content_encoding(content_col: Column) -> Column:
@@ -584,9 +610,13 @@ def line_repetition_features(df: DataFrame, text_col: str = "text"
     never leaves its partition."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     out = df
-    for split_pat, unit in (("\n", "line"), (r"\n\s*\n", "para")):
+    # \r?\n + whitespace-aware blank test: a CRLF doc's separators
+    # split to '\r' under a bare-\n split, and space-only trim() keeps
+    # them — 9 identical '\r' "lines" read as duplicates and a clean
+    # CRLF document breaches the 0.30 bound (r11 review finding)
+    for split_pat, unit in ((r"\r?\n", "line"), (r"\r?\n\s*\r?\n", "para")):
         arr = F.filter(F.split(t, split_pat),
-                       lambda x: F.trim(x) != "")
+                       lambda x: ~x.rlike(r"^\s*$"))
         distinct = F.array_distinct(arr)
         n = F.size(arr)
         chars = F.aggregate(arr, F.lit(0).cast("long"),
@@ -617,7 +647,8 @@ _GOPHER_REP_THRESHOLDS = {
 
 def gopher_repetition_filter(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
-                             include_ngrams: bool = True) -> DataFrame:
+                             include_ngrams: bool = True,
+                             materialize: bool = True) -> DataFrame:
     """Drop documents breaching ANY of Gopher's 13 published
     repetition bounds: the four line/paragraph signals (zero-shuffle,
     ``line_repetition_features``) and — when ``include_ngrams`` —
@@ -636,6 +667,12 @@ def gopher_repetition_filter(df: DataFrame, text_col: str = "text",
         "dup_line_char_frac", "dup_para_char_frac")
     if not include_ngrams:
         return kept
+    if materialize:
+        # `kept` is a diamond: the n-gram scoring job and the final
+        # anti-join both read it — pin it once (the curate.py
+        # discipline) instead of re-running the upstream scan + line
+        # features per branch
+        kept = kept.localCheckpoint(eager=True)
     ngram = repetition_features(kept, text_col=text_col, id_col=id_col,
                                 top_ns=(2, 3, 4),
                                 dup_ns=(2, 3, 4, 5, 6, 7, 8, 9, 10))

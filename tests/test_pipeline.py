@@ -2389,3 +2389,35 @@ def test_gopher_repetition_filter(spark):
     no_ngram = text_ops.gopher_repetition_filter(
         df, include_ngrams=False)
     assert sorted(r.doc_id for r in no_ngram.collect()) == [2, 3]
+
+
+def test_gopher_rules_crlf_and_per_symbol(spark):
+    """r11 review regressions: CRLF separator lines are blanks (not
+    duplicate 'content' diluting/triggering line rules), the symbol
+    rule bounds each symbol separately, and a doc quoting non-Latin
+    script keeps its alphabetic-word rule."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    filler = ("the of and to be that have with more words here "
+              "to stay over the count bound easily for sure ") * 2
+    crlf_clean = "\r\n\r\n".join(
+        f"unique line {i} {filler}" for i in range(10))
+    crlf_bullets = "\r\n\r\n".join(
+        [f"- bullet the of and to item {i}" for i in range(20)])
+    per_symbol = " ".join(["word"] * 93) + " the of and to be " + \
+        "# " * 7  # 7/105 hash, 0 ellipsis: per-symbol fine
+    cyrillic = ("слово правда мир " * 8 + filler)
+    df = spark.createDataFrame(
+        [(1, crlf_clean), (2, crlf_bullets), (3, per_symbol),
+         (4, cyrillic)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_ops.gopher_quality_rules(df, min_words=40).collect()}
+    assert got[1].gopher_pass  # CRLF blanks are not lines
+    assert not got[2].gq_bullet_lines  # CRLF blanks don't dilute
+    assert got[3].gq_symbol_ratio  # per-symbol, not combined
+    assert got[4].gq_alpha_words  # \p{L}, not [A-Za-z]
+
+    rep = {r.doc_id: r for r in
+           text_ops.line_repetition_features(df).collect()}
+    assert rep[1].dup_line_frac == 0.0  # '\r' blanks never count
