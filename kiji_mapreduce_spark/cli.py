@@ -322,6 +322,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(word-count/word-shape bounds, symbol/bullet/"
                     "ellipsis ratios, required English words) before "
                     "quality scoring")
+    cu.add_argument("--gopher-repetition", action="store_true",
+                    help="also drop documents breaching Gopher's 13 "
+                    "repetition bounds (duplicate line/paragraph "
+                    "fractions; top/duplicated word-n-gram character "
+                    "mass)")
 
     ct = sub.add_parser("classify-train", help="train the hashed-"
                         "features logistic-regression quality filter")
@@ -719,7 +724,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                            if args.quality_model else None),
             min_prob=args.min_prob,
             strip_boilerplate=args.strip_boilerplate,
-            gopher_rules=args.gopher)
+            gopher_rules=args.gopher,
+            gopher_repetition=args.gopher_repetition)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()

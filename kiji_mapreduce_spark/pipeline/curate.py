@@ -56,6 +56,11 @@ class CurateConfig:
     #: word-shape bounds, symbol/bullet/ellipsis ratios, required
     #: English words). False = off
     gopher_rules: bool = False
+    #: also apply Gopher's 13 repetition bounds
+    #: (``text.gopher_repetition_filter``: duplicate line/paragraph
+    #: fractions per-row, top/duplicated n-gram mass via one id-keyed
+    #: shuffle). False = off
+    gopher_repetition: bool = False
     #: optional ordered {split: fraction} mapping or [(split, fraction)]
     #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
@@ -98,6 +103,10 @@ def curate_corpus(
         # bullet/symbol ratios), before scoring: the rules are a
         # cheap pure-Catalyst narrowing of what the scorer reads
         docs = text_ops.gopher_quality_filter(docs, text_col=text_col)
+    if cfg.gopher_repetition:
+        docs = text_ops.gopher_repetition_filter(
+            docs, text_col=text_col, id_col=id_col,
+            materialize=materialize)
     scored = text_ops.quality_features(docs, text_col)
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",

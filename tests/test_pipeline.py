@@ -2421,3 +2421,37 @@ def test_gopher_rules_crlf_and_per_symbol(spark):
     rep = {r.doc_id: r for r in
            text_ops.line_repetition_features(df).collect()}
     assert rep[1].dup_line_frac == 0.0  # '\r' blanks never count
+
+
+def test_curate_gopher_repetition_gate(spark):
+    """CurateConfig.gopher_repetition drops a line-duplicated doc from
+    the survivors; off by default."""
+    from kiji_mapreduce_spark.pipeline import curate
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "walks back to town with plenty of that energy because "
+             "it must have been quite the morning for everyone here")
+    liney = "\n".join(["copy this exact line the of and"] * 12)
+    df = spark.createDataFrame(
+        [(1, clean, "en", "web"), (2, liney, "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    out = curate.curate_corpus(df, config=curate.CurateConfig(
+        min_quality=0.0, gopher_repetition=True))
+    assert [r.doc_id for r in out.collect()] == [1]
+    off = curate.curate_corpus(df, config=curate.CurateConfig(
+        min_quality=0.0))
+    assert sorted(r.doc_id for r in off.collect()) == [1, 2]
+
+
+def test_webdataset_pack_empty_corpus(spark, tmp_path):
+    """Packing an EMPTY sample table: zero shards, empty manifest,
+    no crash — the edge a curation chain that filtered everything
+    hits in practice."""
+    from kiji_mapreduce_spark.pipeline import multimodal
+
+    empty = spark.createDataFrame(
+        [], "key string, sample map<string, binary>")
+    manifest = multimodal.write_webdataset(
+        empty, str(tmp_path / "shards"))
+    assert manifest == []
+    assert multimodal.pack_webdataset(empty).count() == 0
