@@ -1724,8 +1724,10 @@ def _probe_mp3(content: bytes) -> dict | None:
         return None  # bare sync false positive: not an MP3
     if rate0 and not capped:
         out["duration_ms"] = samples * 1000.0 / rate0
-    # capped: duration stays None (unknown) — underreporting a long
-    # file's duration would silently mis-bucket curation filters
+        out["n_frames"] = n_frames
+    # capped: duration AND n_frames stay None (unknown) —
+    # underreporting a long file would silently mis-bucket curation
+    # filters
     return out
 
 

@@ -2071,6 +2071,7 @@ def test_probe_media_containers():
     assert (p["container"], p["kind"], p["sample_rate"],
             p["channels"]) == ("mp3", "audio", 44100, 2)
     assert abs(p["duration_ms"] - 10 * 1152 * 1000 / 44100) < 1e-6
+    assert p["n_frames"] == 10
     p = mc.probe_media(ogg_opus_fixture())
     assert (p["codec"], p["channels"], p["duration_ms"]) == \
         ("opus", 2, 2000.0)
