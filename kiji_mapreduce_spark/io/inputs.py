@@ -532,12 +532,17 @@ def _iter_tar_members(blob: bytes, path: str, lenient: bool):
                 if fobj is None:
                     continue
                 yield member.name, member.size, fobj.read()
-    except (tarfile.TarError, EOFError, OSError, ValueError) as e:
+    except (tarfile.TarError, EOFError, OSError, ValueError,
+            TypeError) as e:
         # truncated shard / corrupt compression / the bomb gate above
         # (ValueError): the lenient contract keeps everything already
         # yielded (crawl/WARC precedent) — the always-lenient shard
         # stream depends on the gate honoring it too, else one hostile
         # shard wedges the claimed offset-log batch forever.
+        # TypeError: CPython's tarfile stream reader does
+        # ``ord(self.__read(1))`` while parsing the gzip header and
+        # ``__read`` returns b"" at EOF, so a blob cut inside the
+        # first 3 header bytes surfaces as TypeError, not TarError
         # Caveat: a cut landing exactly on a 512-byte header boundary
         # is indistinguishable from a tar written without its
         # end-of-archive marker, which tarfile (and GNU tar) tolerate

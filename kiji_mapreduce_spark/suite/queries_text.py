@@ -636,6 +636,78 @@ SQL_AUDIO_NEAR_DUPLICATES = oracles.audio_near_dup_sql(
     max_hamming=2, bands=4)
 
 
+def q_shard_ingest_members(spark, sf_dir):
+    """Shard ingest, end-to-end through the REAL tar stream reader:
+    documents pack into 8 tar shards (member = the doc's UTF-8 bytes,
+    named by doc_id, sorted within shard; odd shards gzip the tar so
+    BOTH ``r|*`` paths — plain and gz — are on the hash), then
+    ``archive_members_from_files`` walks them back and the result is
+    each member's (shard, position, name, byte size, md5). The oracle
+    recomputes all five straight from the documents table, so any
+    member the stream reader drops, reorders, truncates, or corrupts
+    is a hash mismatch — the surface whose lenient contract produced
+    the r11 tar.gz TypeError leak, now driver-checked every rotation.
+
+    Scale shape: the pack side groups by shard_no only to build test
+    fixtures (production packing is ``pack_webdataset``, which bounds
+    shard size); the read side is the real ingest path — file = unit
+    of parallelism, members stream one at a time, O(member) memory."""
+    import pandas as pd
+
+    from kiji_mapreduce_spark.io import inputs
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.pmod("doc_id", F.lit(8)).cast("int")
+                    .alias("shard_no"),
+                    "doc_id", F.encode("text", "UTF-8").alias("payload")))
+
+    def _pack(pdf):
+        import gzip
+        import io as _io
+        import tarfile
+
+        pdf = pdf.sort_values("doc_id")
+        shard_no = int(pdf["shard_no"].iloc[0])
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ti = tarfile.TarInfo(f"doc-{int(did):012d}.txt")
+                ti.size = len(payload)
+                tf.addfile(ti, _io.BytesIO(bytes(payload)))
+        raw = buf.getvalue()
+        if shard_no % 2:
+            return pd.DataFrame(
+                {"path": [f"shard-{shard_no:03d}.tar.gz"],
+                 "content": [gzip.compress(raw, mtime=0)]})
+        return pd.DataFrame({"path": [f"shard-{shard_no:03d}.tar"],
+                             "content": [raw]})
+
+    shards = docs.groupBy("shard_no").applyInPandas(
+        _pack, "path string, content binary")
+    members = inputs.archive_members_from_files(shards, "tar",
+                                                lenient=False)
+    return members.select(
+        F.regexp_extract("path", r"shard-(\d+)", 1).cast("int")
+        .alias("shard_no"),
+        "member_no",
+        "member_path",
+        F.col("size").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
+
+
+SQL_SHARD_INGEST_MEMBERS = """
+SELECT (doc_id % 8)::INTEGER AS shard_no,
+       (row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        - 1)::INTEGER AS member_no,
+       'doc-' || lpad(doc_id::VARCHAR, 12, '0') || '.txt' AS member_path,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 def q_collocations_top(spark, sf_dir):
     """PMI collocation mining (word2phrase): top-20 adjacent pairs by
     NPMI among those seen >= 5 times — one token scan feeds the unigram

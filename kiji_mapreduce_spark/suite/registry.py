@@ -39,15 +39,71 @@ from kiji_mapreduce_spark.suite.queries_text import _BM25_QUERIES
 # any query 2+ rounds stale (or never verified) sits outside this window
 # (r5 verdict ask #1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- r11 rotation: pipeline_curate FIRST (its exact-dedup plan
-    #    changed this round: digest window -> skew-safe
-    #    drop_exact_duplicates, r10 verdict #1 — changed-first policy),
-    #    then the 49 r9-stamped tail queries at the 2-round freshness
-    #    cap (stalest-first, tools/update_verified.py's emitted order).
-    #    The slot pipeline_curate takes was bought by retiring
-    #    union_all_parties (strict subset of set_ops_nations) and
-    #    sessionize_events (byte-identical oracle to
-    #    streaming_sessionize) — judge-endorsed, r10 verdict #2 --
+    # -- r12 rotation: shard_ingest_members FIRST (r12-NEW — the r11
+    #    judge's slack-slot ask: put the driver's hash on the tar
+    #    stream-reader surface that produced the r11 TypeError leak;
+    #    locally hash-driven vs its DuckDB oracle at sf0.01 before
+    #    landing), then dedup_boilerplate_strip (its NEW_PENDING_WINDOW
+    #    exemption expired this round) and the 48 r10-stamped tail
+    #    queries at the 2-round freshness cap (stalest-first,
+    #    tools/update_verified.py's emitted order). Spending the slack
+    #    slot returns the registry to 100 = zero slack in r13: buying
+    #    a slot there means retiring a query (the r11 precedent) --
+    "shard_ingest_members": q_shard_ingest_members,
+    "dedup_boilerplate_strip": q_dedup_boilerplate_strip,
+    "image_near_duplicates": q_image_near_duplicates,
+    "knn_sq8_topk": q_knn_sq8_topk,
+    "knn_pq_topk": q_knn_pq_topk,
+    "knn_recall_ivf": q_knn_recall_ivf,
+    "streaming_drift_psi": q_streaming_drift_psi,
+    "text_fingerprint": q_text_fingerprint,
+    "text_quality": q_text_quality,
+    "text_chunking": q_text_chunking,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
+    "pagerank_nation_trade": q_pagerank_nation_trade,
+    "entity_resolution_blocked": q_entity_resolution,
+    "streaming_sessionize": q_streaming_sessionize,
+    "mixture_temperature": q_mixture_temperature,
+    "weighted_sample_topk": q_weighted_sample,
+    "hard_negative_mining": q_hard_negative_mining,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_spans": q_decontaminate_spans,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "kvstore_avro_file_join": q_kvstore_avro_file_join,
+    "versioned_latest_event_value": q_versioned_latest_event_value,
+    "versioned_slice_maxversions": q_versioned_slice_maxversions,
+    "map_family_regex_filter": q_map_family_regex_filter,
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
+    "quantiles_order_price": q_quantiles_order_price,
+    "sql_surface_big_spenders": q_sql_surface_big_spenders,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wordcount_top50": q_wordcount_top50,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pivot_wide_event_values": q_pivot_wide_event_values,
+    "array_agg_priorities": q_array_agg_priorities,
+    "events_json_props": q_events_json_props,
+    "timeseries_gapfill": q_timeseries_gapfill,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "data_quality_audit": q_data_quality_audit,
+    "embedding_near_dups": q_embedding_near_dups,
+    "text_repetition": q_text_repetition,
+    "text_pii": q_text_pii,
+    "multimodal_features": q_multimodal_features,
+    "streaming_interval_join": q_streaming_interval_join,
+    "entity_key_hash": q_entity_key_hash,
+    "text_token_count": q_text_token_count,
+    # ---- window boundary (driver verifies the 50 entries above;
+    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
+    #      this comment to position 50) ----
+    # -- tail: ALL r11-green (CORRECTNESS_r11 50/50, zero err; these
+    #    were the r11 window and rotate back in no later than r14) --
     "pipeline_curate": q_pipeline_curate,
     "collocations_top": q_collocations_top,
     "video_near_duplicates": q_video_near_duplicates,
@@ -98,139 +154,76 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "crawl_registered_domain": q_crawl_registered_domain,
     "crawl_html_extract": q_crawl_html_extract,
-    # ---- window boundary (driver verifies the 50 entries above;
-    #      tests/test_suite_smoke.py::test_window_boundary_comment pins
-    #      this comment to position 50) ----
-    # -- tail: ALL r10-green (CORRECTNESS_r10 50/50, zero err; these
-    #    were the r10 window and rotate back in no later than r13) --
-    "image_near_duplicates": q_image_near_duplicates,
-    "knn_sq8_topk": q_knn_sq8_topk,
-    "knn_pq_topk": q_knn_pq_topk,
-    "knn_recall_ivf": q_knn_recall_ivf,
-    "streaming_drift_psi": q_streaming_drift_psi,
-    "text_fingerprint": q_text_fingerprint,
-    "text_quality": q_text_quality,
-    "text_chunking": q_text_chunking,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "kmv_distinct_users": q_kmv_distinct_users,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
-    "pagerank_nation_trade": q_pagerank_nation_trade,
-    "entity_resolution_blocked": q_entity_resolution,
-    "streaming_sessionize": q_streaming_sessionize,
-    "mixture_temperature": q_mixture_temperature,
-    "weighted_sample_topk": q_weighted_sample,
-    "hard_negative_mining": q_hard_negative_mining,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_spans": q_decontaminate_spans,
-    "streaming_windowed_counts": q_streaming_windowed_counts,
-    "kvstore_avro_file_join": q_kvstore_avro_file_join,
-    "versioned_latest_event_value": q_versioned_latest_event_value,
-    "versioned_slice_maxversions": q_versioned_slice_maxversions,
-    "map_family_regex_filter": q_map_family_regex_filter,
-    "asof_join_purchase_click": q_asof_join_purchase_click,
-    "range_join_price_bands": q_range_join_price_bands,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "embedding_label_cosine_stats": q_embedding_label_cosine_stats,
-    "quantiles_order_price": q_quantiles_order_price,
-    "sql_surface_big_spenders": q_sql_surface_big_spenders,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wordcount_top50": q_wordcount_top50,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "pivot_wide_event_values": q_pivot_wide_event_values,
-    "array_agg_priorities": q_array_agg_priorities,
-    "events_json_props": q_events_json_props,
-    "timeseries_gapfill": q_timeseries_gapfill,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "data_quality_audit": q_data_quality_audit,
-    "embedding_near_dups": q_embedding_near_dups,
-    "text_repetition": q_text_repetition,
-    "text_pii": q_text_pii,
-    "multimodal_features": q_multimodal_features,
-    "streaming_interval_join": q_streaming_interval_join,
-    "entity_key_hash": q_entity_key_hash,
-    "text_token_count": q_text_token_count,
-    # r11-NEW at the tail via NEW_PENDING_WINDOW (the window is
-    # exactly the 50 must-verify queries this round): locally
-    # hash-driven vs its DuckDB oracle at sf0.01 (driver-identical
-    # check via tools/check_correctness.py); takes a window slot in
-    # r12 (48 stale + this = 49)
-    "dedup_boilerplate_strip": q_dedup_boilerplate_strip,
 }
 
 
 #: Names that MUST sit inside the driver's first-50 verification window
-#: this round (r11): pipeline_curate (exact-dedup plan changed this
-#: round — changed-first policy) plus the 49 r9-stamped queries at the
-#: 2-round freshness cap (stalest-first, update_verified.py's emitted
-#: order). Mechanically enforced by
+#: this round (r12): shard_ingest_members (r12-NEW — new-first policy)
+#: plus dedup_boilerplate_strip (expired NEW_PENDING) and the 48
+#: r10-stamped queries at the 2-round freshness cap (stalest-first,
+#: update_verified.py's emitted order). Mechanically enforced by
 #: tests/test_suite_smoke.py::test_first_window_membership —
 #: hand-ordered dict entries alone proved too fragile (ADVICE r3).
 FIRST_WINDOW_REQUIRED: list[str] = [
-    "pipeline_curate",
-    "collocations_top",
-    "video_near_duplicates",
-    "audio_near_duplicates",
-    "text_langid",
-    "classifier_score_topk",
-    "drift_orders_price",
-    "split_train_test",
-    "split_leakage",
-    "negative_sample_vocab",
-    "dedup_simhash_pairs",
-    "dedup_source_matrix",
-    "knn_ivf_topk",
-    "knn_lsh_topk",
-    "cell_rewrite_int_to_long",
-    "lm_bigram_quality",
-    "streaming_dedup_docs",
-    "bm25_search_topk",
-    "text_normalize",
-    "sample_stratified",
-    "sample_stratum_topk",
-    "events_anomaly_zscore",
-    "mixture_token_budget",
-    "pack_documents",
-    "kmeans_clusters",
-    "salted_topk_events",
-    "sample_cluster_balanced",
-    "gather_pricing_summary",
-    "filter_pushdown_revenue",
-    "kvstore_lookup_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "join_revenue_by_nation",
-    "producer_price_band",
-    "pivot_orders_by_customer",
-    "bulk_import_props",
-    "window_top3_orders_per_customer",
-    "set_ops_nations",
-    "rollup_revenue",
-    "mapreduce_event_stats",
-    "topk_shipping_priority",
-    "cube_order_stats",
-    "distinct_segments",
-    "text_byte_stats",
-    "window_running_revenue",
-    "dedup_corpus_survivors",
-    "dedup_incremental_pairs",
-    "countmin_heavy_hitters",
-    "crawl_registered_domain",
-    "crawl_html_extract",
+    "shard_ingest_members",
+    "dedup_boilerplate_strip",
+    "image_near_duplicates",
+    "knn_sq8_topk",
+    "knn_pq_topk",
+    "knn_recall_ivf",
+    "streaming_drift_psi",
+    "text_fingerprint",
+    "text_quality",
+    "text_chunking",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "kmv_distinct_users",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "pagerank_nation_trade",
+    "entity_resolution_blocked",
+    "streaming_sessionize",
+    "mixture_temperature",
+    "weighted_sample_topk",
+    "hard_negative_mining",
+    "decontaminate_overlap",
+    "decontaminate_spans",
+    "streaming_windowed_counts",
+    "kvstore_avro_file_join",
+    "versioned_latest_event_value",
+    "versioned_slice_maxversions",
+    "map_family_regex_filter",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "knn_cosine_topk",
+    "embedding_label_cosine_stats",
+    "quantiles_order_price",
+    "sql_surface_big_spenders",
+    "grouping_sets_orders",
+    "wordcount_top50",
+    "tfidf_top_terms",
+    "pivot_wide_event_values",
+    "array_agg_priorities",
+    "events_json_props",
+    "timeseries_gapfill",
+    "snapshot_diff_orders",
+    "data_quality_audit",
+    "embedding_near_dups",
+    "text_repetition",
+    "text_pii",
+    "multimodal_features",
+    "streaming_interval_join",
+    "entity_key_hash",
+    "text_token_count",
 ]
 
-# r11 round-end note: registry 100 -> 99 (union_all_parties and
-# sessionize_events retired, judge-endorsed; dedup_boilerplate_strip
-# added via NEW_PENDING_WINDOW with a local sf0.01 hash drive). Tail
-# queries whose shared paths were touched this round and re-driven at
-# sf0.01 after the change: none of the tail's plans changed —
-# curate.py's exact-dedup swap affects only pipeline_curate (in the
-# window); the crawl encoding-reject gate filters records no registry
-# fixture contains (documents-table crawls carry no Content-Encoding
-# headers; crawl_* re-driven anyway in the round-end full drive); the
-# probe n_frames field is additive and no oracle reads it. A full-
-# registry sf0.01 drive ran on the final tree (see PROGRESS/PERF).
+# r12 round-end note: registry 99 -> 100 (shard_ingest_members added
+# into the window's slack slot — the r11 judge's ranked use for it).
+# Tail queries whose shared paths were touched this round: the tar
+# stream reader's except tuple gained TypeError (io/inputs.py) — a
+# strictly-wider catch that changes no successfully-parsed output, so
+# no tail plan or value changes; re-driven in the round-end full
+# sf0.01 drive regardless (see PROGRESS/PERF).
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
@@ -240,12 +233,11 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #: current round — next round these MUST take window slots (the
 #: new/changed-first policy) or the test fails, so the exemption
 #: self-expires and cannot become a parking lot.
-NEW_PENDING_WINDOW: dict[str, int] = {
-    "dedup_boilerplate_strip": 11,
-}
+NEW_PENDING_WINDOW: dict[str, int] = {}
 
 
 ORACLES: dict[str, str] = {
+    "shard_ingest_members": SQL_SHARD_INGEST_MEMBERS,
     "dedup_boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "crawl_registered_domain": SQL_CRAWL_REGISTERED_DOMAIN,
     "crawl_html_extract": SQL_CRAWL_HTML_EXTRACT,

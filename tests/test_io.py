@@ -960,6 +960,26 @@ def test_tar_lenient_truncation(spark, tmp_path):
     assert [r.member_path for r in kept] == ["one.bin"]
 
 
+def test_tar_gz_header_truncation():
+    """A .tar.gz cut INSIDE its gzip header (first 3 bytes): CPython's
+    tarfile stream reader does ``ord(self.__read(1))`` and ``__read``
+    returns b"" at EOF, so this surfaces as TypeError, not TarError —
+    lenient must swallow it (the shard stream's never-raises contract),
+    strict must re-spell it ValueError."""
+    import gzip
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import _iter_tar_members
+
+    whole = gzip.compress(b"not a tar, but a full gzip header")
+    for cut in range(0, 10):
+        blob = whole[:cut]
+        assert list(_iter_tar_members(blob, "s.tar.gz", True)) == []
+        with _pytest.raises(ValueError):
+            list(_iter_tar_members(blob, "s.tar.gz", False))
+
+
 def test_archive_member_bomb_gate(spark, tmp_path, monkeypatch):
     """Declared member sizes past the per-archive ceiling fail before
     any read — the archive-layer twin of the codec decode gates."""
