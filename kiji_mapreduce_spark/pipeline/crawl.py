@@ -113,13 +113,37 @@ def _still_encoded(content_col) -> "F.Column":
     treated as text. Pure Catalyst."""
     from kiji_mapreduce_spark.pipeline.text import http_content_encoding
 
+    from kiji_mapreduce_spark.pipeline.text import _http_string_parts
+
     enc = http_content_encoding(content_col)
     # beyond 'identity': misconfigured servers are common in real
     # crawls and send Content-Encoding values that are NOT content
     # codings at all ('utf-8', 'none', 'binary' — charset/transfer
     # confusions) over plain identity bodies; rejecting those would
     # silently drop valid documents (r11 review finding)
-    return ~enc.isin("", "identity", "none", "utf-8", "binary")
+    nonidentity = ~enc.isin("", "identity", "none", "utf-8", "binary")
+    # a body labeled with a coding the parser KNOWS how to inflate
+    # (gzip/deflate) but that reaches here undecoded is either a
+    # truncated/bombed archive or — the common misconfig — a plain
+    # body mislabeled by a server that never compressed it. The two
+    # are cheaply separable: compressed bytes cast to string are
+    # U+FFFD/NUL-dense, plain text is not — so sniff before rejecting
+    # and keep the mislabeled-identity rows (ADVICE r11). br/zstd and
+    # multi-coding chains stay rejected unsniffed: the parser never
+    # attempts them, so an undecoded body proves nothing either way
+    # (and their bodies are dense anyway).
+    _, body = _http_string_parts(content_col)
+    dense = (F.length(body) > 0) & (
+        (F.length(F.regexp_replace(body, "[^�\x00]", ""))
+         / F.length(body)) > F.lit(0.05))
+    # the gzip magic survives the lossy string cast deterministically:
+    # \x1f is valid UTF-8 and \x8b is an invalid byte that casts to
+    # exactly one U+FFFD (per-byte replacement, verified) — so a body
+    # that truly starts a gzip stream is detectable even when short
+    # or corrupt enough to dodge the density test
+    gzip_magic = body.startswith(F.lit("\x1f�"))
+    inflatable = enc.isin("gzip", "x-gzip", "deflate")
+    return nonidentity & (~inflatable | dense | gzip_magic)
 
 
 def encoding_rejects(records: DataFrame) -> DataFrame:

@@ -1454,6 +1454,21 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
 _MAX_PROBE_STEPS = 200_000
 
 
+def _plausible_box(content: bytes, at: int, hi: int) -> bool:
+    """True when ``at`` plausibly starts an ISO-BMFF child box inside
+    [at, hi): a sane 32-bit size (in-bounds, or the 0/1 escapes) and a
+    printable-ASCII fourcc. Used to tell a QuickTime plain ``meta``
+    box from the ISO FullBox layout — never to validate, only to pick
+    the walk offset, so a false negative just skips optional hdlr
+    metadata."""
+    if at + 8 > hi:
+        return False
+    (size,) = struct.unpack(">I", content[at:at + 4])
+    if size not in (0, 1) and not 8 <= size <= hi - at:
+        return False
+    return all(0x20 <= c <= 0x7E for c in content[at + 4:at + 8])
+
+
 def _probe_mp4(content: bytes) -> dict | None:
     """ISO base-media (MP4/MOV/3GP…) box walk: ftyp brand, mvhd
     duration, per-trak handler + stsd codec / dims / rate."""
@@ -1544,9 +1559,19 @@ def _probe_mp4(content: bytes) -> dict | None:
                          b"stbl") and len(p) < 8:
                 walk(body, end, p)
             elif btype == b"meta" and len(p) < 8:
-                # meta is a FullBox: 4 version/flags bytes precede its
-                # children (where HEIF/AVIF keep their 'pict' hdlr)
-                walk(body + 4, end, p)
+                # meta is a FullBox in ISO-BMFF (4 version/flags bytes
+                # precede its children, where HEIF/AVIF keep their
+                # 'pict' hdlr) but a PLAIN box in QuickTime-brand
+                # files; an unconditional +4 misaligns the child scan
+                # there and forfeits .mov hdlr info (ADVICE r11).
+                # Disambiguate by peeking where the first child would
+                # start: ISO meta opens 00 00 00 00 (version+flags),
+                # never a plausible box, so the offsets can't both
+                # look plausible
+                off = 0 if (_plausible_box(content, body, end)
+                            and not _plausible_box(
+                                content, body + 4, end)) else 4
+                walk(body + off, end, p)
 
     walk(0, len(content))
     if out["kind"] is None:
@@ -4323,7 +4348,13 @@ def _vp8l_encoder_code(alphabet: int) -> dict[int, tuple[int, int]]:
         nbits = low.bit_length() - 1
         x = 2 * (1 << nbits) - alphabet
         lengths = [nbits] * x + [nbits + 1] * (alphabet - x)
-    assert sum(1 / (1 << ln) for ln in lengths) == 1.0, "Kraft equality"
+    if sum(1 / (1 << ln) for ln in lengths) != 1.0:
+        # provably unreachable by construction, but a bare assert is
+        # stripped under -O and would surface as AssertionError, not
+        # the encoder's documented error class (ADVICE r11)
+        raise ValueError(
+            f"VP8L encoder code over alphabet {alphabet} is not "
+            "Kraft-complete — the canonical decoder would reject it")
     # canonical assignment identical to the decoder's
     max_len = max(lengths)
     bl_count = [0] * (max_len + 1)

@@ -934,12 +934,22 @@ def test_crawl_rejects_still_encoded_bodies(spark, tmp_path):
         + _warc_record(
             "response", "http://bogus.example.com/h",
             resp(b"Content-Encoding: none\r\n",
-                 b"<p>identity body mislabeled as none</p>")))
+                 b"<p>identity body mislabeled as none</p>"))
+        # the OTHER common misconfig (ADVICE r11): a server that says
+        # gzip but never compressed — the body is plain text with no
+        # gzip magic and near-zero U+FFFD density, so the sniff keeps
+        # it instead of silently dropping a perfectly good document
+        + _warc_record(
+            "response", "http://liar.example.com/i",
+            resp(b"Content-Encoding: gzip\r\n",
+                 b"<p>identity body a misconfigured server labeled "
+                 b"gzip without compressing</p>")))
     (d / "b.warc").write_bytes(keepers)
     records2 = read_warc_records(spark, [str(d / "b.warc")])
     assert {r.url for r in crawl_documents(records2, spark).collect()} \
         == {"http://gz.example.com/e", "http://proxy.example.com/f",
-            "http://bogus.example.com/g", "http://bogus.example.com/h"}
+            "http://bogus.example.com/g", "http://bogus.example.com/h",
+            "http://liar.example.com/i"}
     assert encoding_rejects(records2).count() == 0
 
 
@@ -2368,6 +2378,34 @@ def test_probe_heif_avif_image_kind():
     assert mc.probe_media(
         _mp4_box(b"ftyp", b"isom" + bytes(8))
         + _mp4_box(b"mdat", bytes(16)))["kind"] == "video"
+
+
+def test_probe_quicktime_plain_meta_box():
+    """QuickTime-brand files carry a PLAIN meta box (no version/flags
+    prefix); the ISO FullBox +4 skip misaligned the child scan there,
+    so a QT moov/udta/meta subtree parsed as garbage sizes and its
+    hdlr was forfeited (ADVICE r11). The walk now peeks where the
+    first child would start and picks the offset — ISO meta keeps the
+    +4 (test_probe_heif_avif_image_kind pins that side)."""
+    import struct as _s
+
+    # QT shape: ftyp(qt) + meta(PLAIN: children immediately) with the
+    # hdlr first, as QuickTime writes it
+    hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"pict" + bytes(12))
+    qt = _mp4_box(b"ftyp", b"qt  " + bytes(8)) + _mp4_box(b"meta", hdlr)
+    p = mc.probe_media(qt)
+    assert p["container"] == "mp4" and p["kind"] == "image"
+    # ambiguity guard: an ISO meta whose FIRST CHILD size bytes could
+    # masquerade as a fourcc still takes the +4 (version/flags 0s are
+    # never a plausible box), and a truncated meta body walks nothing
+    # without raising
+    trunc = _mp4_box(b"ftyp", b"qt  " + bytes(8)) + _mp4_box(b"meta",
+                                                             b"\x00\x00")
+    assert mc.probe_media(trunc) is not None
+    # FullBox with nonzero version byte (still ISO): +4 preserved
+    iso = _mp4_box(b"ftyp", b"mif2" + bytes(8)) \
+        + _mp4_box(b"meta", b"\x01" + bytes(3) + hdlr)
+    assert mc.probe_media(iso)["kind"] == "image"
 
 
 def test_flac_cumulative_sample_bomb_rejected(monkeypatch):

@@ -1178,3 +1178,144 @@ def test_warc_and_http_decode_error_surface(data):
     j = data.draw(st.integers(0, len(hb) - 1))
     hb[j] ^= 1 << data.draw(st.integers(0, 7))
     assert isinstance(_decode_http_payload(bytes(hb)), bytes)
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_shard_header_edge_error_surface(data):
+    """The seam the r11 tar.gz TypeError leak lived in, pinned for the
+    whole compression-magic family: tarfile ``r|*`` sniffs gzip/bz2/xz
+    by parsing the CONTAINER header before the first tar block (gzip's
+    is hand-read byte-at-a-time in CPython — ``ord(b'')`` on EOF), and
+    zipfile parses the end-of-central-directory record at the blob's
+    TAIL. Fuzz exactly those edges — truncations and bit flips inside
+    the first 16 bytes of each compressed tar, and inside the last 22
+    bytes (EOCD) of a zip: lenient never raises, strict raises
+    ValueError only."""
+    import bz2
+    import gzip
+    import io as _io
+    import lzma
+    import tarfile
+    import zipfile
+
+    from kiji_mapreduce_spark.io.inputs import (_iter_tar_members,
+                                                _iter_zip_members)
+
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        ti = tarfile.TarInfo("m.bin")
+        payload = b"payload bytes"
+        ti.size = len(payload)
+        tf.addfile(ti, _io.BytesIO(payload))
+    raw = buf.getvalue()
+
+    comp = data.draw(st.sampled_from(["gz", "bz2", "xz", "zip"]))
+    if comp == "zip":
+        zbuf = _io.BytesIO()
+        with zipfile.ZipFile(zbuf, "w") as zf:
+            zf.writestr("m.bin", b"payload bytes")
+        blob = bytearray(zbuf.getvalue())
+        # the EOCD record is the LAST 22 bytes (no archive comment)
+        lo = len(blob) - 22
+        it = _iter_zip_members
+    else:
+        blob = bytearray({"gz": gzip.compress,
+                          "bz2": bz2.compress,
+                          "xz": lzma.compress}[comp](raw))
+        lo = 0
+        it = _iter_tar_members
+
+    hi = min(lo + (22 if comp == "zip" else 16), len(blob))
+    if data.draw(st.booleans()):
+        # cut INSIDE the header window
+        blob = blob[:data.draw(st.integers(lo, hi - 1))]
+    else:
+        i = data.draw(st.integers(lo, hi - 1))
+        blob[i] ^= 1 << data.draw(st.integers(0, 7))
+    corrupt = bytes(blob)
+
+    members = list(it(corrupt, "edge-shard", True))  # must never raise
+    for _name, size, content in members:
+        assert size == len(content)
+    try:
+        list(it(corrupt, "edge-shard", False))
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_probe_walker_hostile_sizes(data):
+    """probe_media's container walkers under HOSTILE declared sizes —
+    the structured twin of the arbitrary-bytes probe fuzz: ISO-BMFF
+    boxes whose 32/64-bit size fields lie (zero, 1-with-bogus-largesize,
+    past-EOF, inside-own-header), EBML elements with hostile vint
+    sizes, and deep nesting at the walkers' depth gates. The probe
+    must return a dict or None — never raise, never walk unbounded
+    (the _MAX_PROBE_STEPS/depth gates, pinned the way the codec
+    decode gates are)."""
+    import struct as _s
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    flavor = data.draw(st.sampled_from(["mp4", "ebml"]))
+    if flavor == "mp4":
+        def box(t, payload, lie=None):
+            if lie is None:
+                return _s.pack(">I", 8 + len(payload)) + t + payload
+            if lie == "largesize":
+                big = data.draw(st.integers(0, 1 << 63))
+                return (_s.pack(">I", 1) + t + _s.pack(">Q", big)
+                        + payload)
+            return _s.pack(">I", lie) + t + payload
+
+        hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+        inner = box(b"mdia", hdlr)
+        kind = data.draw(st.sampled_from(
+            ["zero", "tiny", "past_eof", "largesize", "deep"]))
+        if kind == "zero":
+            hostile = box(b"moov", inner, lie=0)
+        elif kind == "tiny":
+            hostile = box(b"moov", inner,
+                          lie=data.draw(st.integers(2, 7)))
+        elif kind == "past_eof":
+            hostile = box(b"moov", inner,
+                          lie=data.draw(st.integers(64, 1 << 31)))
+        elif kind == "largesize":
+            hostile = box(b"moov", inner, lie="largesize")
+        else:
+            hostile = inner
+            for _ in range(data.draw(st.integers(8, 24))):
+                hostile = box(data.draw(st.sampled_from(
+                    [b"moov", b"trak", b"mdia", b"meta"])), hostile)
+        blob = box(b"ftyp", b"isom" + bytes(8)) + hostile
+    else:
+        def ebml(eid_bytes, payload, lie_size=None):
+            n = lie_size if lie_size is not None else len(payload)
+            if n < 0x7F:
+                size = bytes([0x80 | n])
+            else:
+                size = bytes([0x40 | (n >> 8), n & 0xFF])
+            return eid_bytes + size + payload
+
+        segment_id = b"\x18\x53\x80\x67"
+        info = ebml(b"\x15\x49\xa9\x66", ebml(b"\x44\x89",
+                                              _s.pack(">d", 1000.0)))
+        kind = data.draw(st.sampled_from(["past_eof", "zero", "deep"]))
+        if kind == "past_eof":
+            hostile = ebml(segment_id, info,
+                           lie_size=data.draw(st.integers(100, 16000)))
+        elif kind == "zero":
+            hostile = ebml(segment_id, info, lie_size=0)
+        else:
+            hostile = info
+            for _ in range(data.draw(st.integers(8, 24))):
+                hostile = ebml(segment_id, hostile)
+        blob = (b"\x1a\x45\xdf\xa3"
+                + bytes([0x80 | 4]) + b"\x42\x82\x81m" + hostile)
+
+    # optionally shave the tail so a lying size also crosses EOF
+    if data.draw(st.booleans()) and len(blob) > 4:
+        blob = blob[:data.draw(st.integers(4, len(blob) - 1))]
+    p = mc.probe_media(blob)
+    assert p is None or isinstance(p, dict)
