@@ -1000,13 +1000,30 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         docs.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         rej = dict(rej_obs.get)
+        n_rejected = int(rej.get("CRAWL_RECORDS_REJECTED_ENCODED") or 0)
         stats = {
             "documents": args.output,
             "n_docs": out.count(),
             "n_domains": out.select("domain").distinct().count(),
-            "n_rejected_encoded":
-                int(rej.get("CRAWL_RECORDS_REJECTED_ENCODED") or 0),
+            "n_rejected_encoded": n_rejected,
             "curated": bool(args.curate or args.splits)}
+        if n_rejected:
+            # rejected-by-encoding breakdown next to the corpus stats
+            # (r11 verdict ask #5) — surfacing the counter family the
+            # way the reference's job history does
+            # (JobHistoryCounters.java:35): the operator sees HOW MUCH
+            # br vs zstd vs corrupt-gzip the gate is dropping, i.e.
+            # the documented coverage loss of having no brotli decoder
+            # in the container. Computed only when the free aggregate
+            # counter is nonzero (one extra archive pass otherwise
+            # spent on nothing); lands in --history as
+            # ENCODING_REJECTS_<CODING> counters via the flattener
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                encoding_rejects
+
+            stats["encoding_rejects"] = {
+                r["content_encoding"]: r["n_rejected"]
+                for r in encoding_rejects(recs).collect()}
         if args.splits:
             stats["split_counts"] = {
                 r["split"]: r["n"] for r in out.groupBy("split")

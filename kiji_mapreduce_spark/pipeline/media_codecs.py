@@ -1471,7 +1471,15 @@ def _plausible_box(content: bytes, at: int, hi: int) -> bool:
 
 def _probe_mp4(content: bytes) -> dict | None:
     """ISO base-media (MP4/MOV/3GP…) box walk: ftyp brand, mvhd
-    duration, per-trak handler + stsd codec / dims / rate."""
+    duration, per-trak handler + stsd codec / dims / rate. Fragmented
+    files (DASH/CMAF — styp or moof/sidx-leading media segments, and
+    init segments whose mvhd duration is 0 or all-ones "unknown") get
+    their duration from mehd (movie-extends total, mvhd timescale) or
+    the sum of sidx subsegment durations (sidx carries its own
+    timescale), both header-only under the same step caps. tfdt is
+    deliberately NOT used: it is a decode-START timestamp in the
+    track's mdhd timescale — without the NEXT segment's tfdt there is
+    no duration in it, and a partial sum would under-report."""
     # prose can carry "ftyp" at offset 4 ("the ftyp box…"), so demand
     # a structurally sane leading box before claiming the container
     (size0,) = struct.unpack(">I", content[0:4])
@@ -1481,6 +1489,9 @@ def _probe_mp4(content: bytes) -> dict | None:
            "duration_ms": None, "width": None, "height": None,
            "sample_rate": None, "channels": None}
     cur_handler = None  # the enclosing trak's hdlr type
+    mvhd_scale = None  # mvhd timescale (mehd durations use it)
+    mehd_units = None  # mvex/mehd fragment_duration
+    sidx_ms = 0.0  # summed sidx subsegment durations
 
     def boxes(lo: int, hi: int):
         pos = lo
@@ -1503,10 +1514,10 @@ def _probe_mp4(content: bytes) -> dict | None:
             pos += size
 
     def walk(lo, hi, path=()):
-        nonlocal cur_handler
+        nonlocal cur_handler, mvhd_scale, mehd_units, sidx_ms
         for btype, body, end in boxes(lo, hi):
             p = path + (btype,)
-            if btype == b"ftyp" and out["codec"] is None:
+            if btype in (b"ftyp", b"styp") and out["codec"] is None:
                 out["codec"] = content[body:body + 4].decode(
                     "ascii", "replace").strip()
             elif btype == b"mvhd":
@@ -1514,11 +1525,44 @@ def _probe_mp4(content: bytes) -> dict | None:
                 if ver == 1:
                     scale, dur = struct.unpack(
                         ">IQ", content[body + 20:body + 32])
+                    unknown = dur == (1 << 64) - 1
                 else:
                     scale, dur = struct.unpack(
                         ">II", content[body + 12:body + 20])
-                if scale:
+                    unknown = dur == (1 << 32) - 1
+                mvhd_scale = scale or None
+                # all-ones = "unknown" per ISO 14496-12 §8.2.2 (the
+                # fragmented-file convention); 0 is what init
+                # segments write — both defer to mehd/sidx below
+                if scale and not unknown:
                     out["duration_ms"] = dur * 1000.0 / scale
+            elif btype == b"mehd":
+                # movie-extends total fragment duration, in the mvhd
+                # timescale (resolved after the walk: mvex follows
+                # mvhd inside moov, but stay order-agnostic)
+                ver = content[body]
+                mehd_units = struct.unpack(
+                    ">Q" if ver == 1 else ">I",
+                    content[body + 4:body + (12 if ver == 1 else 8)])[0]
+            elif btype == b"sidx":
+                # segment index: its own timescale + per-reference
+                # subsegment durations — sum them (one sidx per
+                # segment; concatenated segments accumulate)
+                ver = content[body]
+                (tscale,) = struct.unpack(
+                    ">I", content[body + 8:body + 12])
+                refs = body + 12 + (16 if ver == 1 else 8)
+                (n_refs,) = struct.unpack(
+                    ">H", content[refs + 2:refs + 4])
+                refs += 4
+                n_refs = min(n_refs, (end - refs) // 12,
+                             _MAX_PROBE_STEPS)
+                if tscale and n_refs > 0:
+                    units = sum(struct.unpack(
+                        ">I", content[refs + 12 * i + 4:
+                                      refs + 12 * i + 8])[0]
+                        for i in range(n_refs))
+                    sidx_ms += units * 1000.0 / tscale
             elif btype == b"hdlr":
                 cur_handler = content[body + 8:body + 12]
                 if cur_handler == b"vide":
@@ -1556,7 +1600,7 @@ def _probe_mp4(content: bytes) -> dict | None:
                             out["sample_rate"] = rate or None
                             out["channels"] = ch or None
             if btype in (b"moov", b"trak", b"mdia", b"minf",
-                         b"stbl") and len(p) < 8:
+                         b"stbl", b"mvex") and len(p) < 8:
                 walk(body, end, p)
             elif btype == b"meta" and len(p) < 8:
                 # meta is a FullBox in ISO-BMFF (4 version/flags bytes
@@ -1574,6 +1618,12 @@ def _probe_mp4(content: bytes) -> dict | None:
                 walk(body + off, end, p)
 
     walk(0, len(content))
+    if out["duration_ms"] is None or out["duration_ms"] == 0.0:
+        # fragmented: mehd (authoritative total) over summed sidx
+        if mehd_units is not None and mvhd_scale:
+            out["duration_ms"] = mehd_units * 1000.0 / mvhd_scale
+        elif sidx_ms > 0:
+            out["duration_ms"] = sidx_ms
     if out["kind"] is None:
         # no hdlr reached (moov-at-end file cut by the crawl, or
         # fragment): the ftyp brand still separates audio-only
@@ -1976,7 +2026,10 @@ def _probe_media_unchecked(content: bytes) -> dict | None:
                     "width": None, "height": None,
                     "sample_rate": None, "channels": None,
                     "n_frames": n_frames}
-        if content[4:8] == b"ftyp":
+        if content[4:8] in (b"ftyp", b"styp", b"moof", b"sidx"):
+            # styp/moof/sidx-leading: DASH/CMAF media segments, which
+            # crawls ship ftyp-less; _probe_mp4's structural size
+            # check still rejects prose that merely contains a fourcc
             return _probe_mp4(content)
         if content[:4] == b"\x1aE\xdf\xa3":
             return _probe_ebml(content)

@@ -1132,8 +1132,24 @@ def test_cli_crawl_ingest_counts_encoded_rejects(spark, tmp_path,
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 1
     assert out["n_rejected_encoded"] == 1
+    # per-encoding breakdown next to the corpus stats (r11 verdict
+    # ask #5): the operator sees WHAT the gate dropped
+    assert out["encoding_rejects"] == {"br": 1}
     rows = spark.read.parquet(f"{tmp_path}/brdocs").collect()
     assert [r.url for r in rows] == ["http://keep.example.com/"]
+
+    # zero rejects -> no breakdown key (and no extra archive pass)
+    d2 = tmp_path / "cleanarch"
+    d2.mkdir()
+    (d2 / "seg.warc").write_bytes(
+        _warc_record("response", "http://keep.example.com/", ok))
+    rc = cli.main(["crawl-ingest", "--input", str(d2),
+                   "--output", f"{tmp_path}/cleandocs",
+                   "--min-tokens", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rejected_encoded"] == 0
+    assert "encoding_rejects" not in out
 
 
 def test_cli_crawl_ingest_media_output(spark, tmp_path, capsys):

@@ -2380,6 +2380,55 @@ def test_probe_heif_avif_image_kind():
         + _mp4_box(b"mdat", bytes(16)))["kind"] == "video"
 
 
+def test_probe_fragmented_mp4_duration():
+    """Fragmented MP4 (DASH/CMAF) duration, header-only (r11 verdict
+    optional ask): init segments carry mvhd duration 0 (or all-ones
+    'unknown') and the real total in mvex/mehd; ftyp-less media
+    segments lead with styp/sidx/moof and carry per-subsegment
+    durations in sidx. Both resolve; tfdt alone adds nothing (it is a
+    start timestamp) and stays unused."""
+    import struct as _s
+
+    def fullbox(t, ver, payload):
+        return _mp4_box(t, bytes([ver]) + bytes(3) + payload)
+
+    # init segment: mvhd(scale=1000, dur=0) + mvex/mehd(total=5000)
+    mvhd = fullbox(b"mvhd", 0, bytes(8) + _s.pack(">II", 1000, 0)
+                   + bytes(80))
+    mehd = fullbox(b"mehd", 0, _s.pack(">I", 5000))
+    init = _mp4_box(b"ftyp", b"isom" + bytes(8)) \
+        + _mp4_box(b"moov", mvhd + _mp4_box(b"mvex", mehd))
+    p = mc.probe_media(init)
+    assert p["container"] == "mp4" and p["duration_ms"] == 5000.0
+
+    # 64-bit mvhd with the all-ones unknown sentinel defers to mehd
+    mvhd1 = fullbox(b"mvhd", 1, bytes(16)
+                    + _s.pack(">IQ", 1000, (1 << 64) - 1) + bytes(80))
+    init1 = _mp4_box(b"ftyp", b"isom" + bytes(8)) \
+        + _mp4_box(b"moov", mvhd1 + _mp4_box(b"mvex",
+                                             fullbox(b"mehd", 1,
+                                                     _s.pack(">Q", 7500))))
+    assert mc.probe_media(init1)["duration_ms"] == 7500.0
+
+    # media segment: styp + sidx (timescale 90000, two refs of 90000
+    # and 45000 units = 1500 ms) + moof/mdat stubs; no ftyp anywhere
+    refs = (_s.pack(">II", 0, 90000) + _s.pack(">I", 0)
+            + _s.pack(">II", 0, 45000) + _s.pack(">I", 0))
+    sidx = fullbox(b"sidx", 0, _s.pack(">II", 1, 90000)
+                   + _s.pack(">II", 0, 0)
+                   + _s.pack(">HH", 0, 2) + refs)
+    seg = _mp4_box(b"styp", b"msdh" + bytes(8)) + sidx \
+        + _mp4_box(b"moof", _mp4_box(b"mfhd", bytes(8))) \
+        + _mp4_box(b"mdat", bytes(16))
+    p = mc.probe_media(seg)
+    assert p["container"] == "mp4"
+    assert p["duration_ms"] == 90000 * 1000.0 / 90000 \
+        + 45000 * 1000.0 / 90000
+    # sidx-leading (no styp) also probes
+    assert mc.probe_media(sidx + _mp4_box(b"mdat", bytes(16)))[
+        "duration_ms"] == 1500.0
+
+
 def test_probe_quicktime_plain_meta_box():
     """QuickTime-brand files carry a PLAIN meta box (no version/flags
     prefix); the ISO FullBox +4 skip misaligned the child scan there,
