@@ -336,6 +336,12 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
 #: breaking the parser's O(record + chunk) per-task memory contract
 _MAX_INFLATE = 1 << 28
 
+#: compressed-size gate for zstd HTTP bodies: the pure-Python decoder
+#: is a lenient fallback (~4 MB/s worst case), so a body this large is
+#: left encoded for the crawl gate to reject-and-count rather than
+#: stalling an executor task; real pages sit far below it
+_MAX_ZSTD_BODY = 8 << 20
+
 
 def _inflate_http_body(data: bytes, wbits: int):
     """Fully inflate an HTTP body, looping over concatenated gzip
@@ -392,7 +398,8 @@ def _decode_http_payload(body: bytes) -> bytes:
     chunked = re.search(
         rb"(?im)^transfer-encoding:\s*chunked\s*$", headers)
     enc = re.search(
-        rb"(?im)^content-encoding:\s*(gzip|x-gzip|deflate)\s*$", headers)
+        rb"(?im)^content-encoding:\s*(gzip|x-gzip|deflate|zstd)\s*$",
+        headers)
     if not chunked and not enc:
         return body
     decoded = payload
@@ -419,8 +426,24 @@ def _decode_http_payload(body: bytes) -> bytes:
             pos = start + size + 2  # skip chunk-data CRLF
         decoded = bytes(out)
     if enc:
-        if enc.group(1).lower() in (b"gzip", b"x-gzip"):
+        coding = enc.group(1).lower()
+        if coding in (b"gzip", b"x-gzip"):
             inflated = _inflate_http_body(decoded, wbits=47)
+        elif coding == b"zstd":
+            # pure-Python frame decoder (RFC 8878, io.zstd_codec) —
+            # worst-case ~4 MB/s of output, so bound the COMPRESSED
+            # input too: an oversized zstd body passes through and the
+            # still-encoded gate rejects-and-counts it instead of one
+            # record stalling its task for minutes
+            if len(decoded) > _MAX_ZSTD_BODY:
+                return body
+            from kiji_mapreduce_spark.io import zstd_codec
+
+            try:
+                inflated = zstd_codec.decompress(
+                    decoded, max_output=_MAX_INFLATE)
+            except ValueError:
+                inflated = None
         else:  # deflate: zlib-wrapped per RFC, raw in the wild
             inflated = _inflate_http_body(decoded, wbits=15)
             if inflated is None:
@@ -512,12 +535,24 @@ def _iter_tar_members(blob: bytes, path: str, lenient: bool):
     """Yield (member_path, size, content) for regular-file members of
     a tar (plain or gz/bz2/xz — ``r|*`` streams members one at a
     time, O(member) memory, which is why tar is the shape multimodal
-    training shards ship in)."""
+    training shards ship in).
+
+    ``.tar.zst`` (the WebDataset/HF-datasets favorite) is handled by
+    inflating the zstd frame first via the pure-Python ``zstd_codec``
+    (tarfile's ``r|*`` sniffs only gz/bz2/xz): O(archive) memory for
+    that one compression, bounded by the same per-archive ceiling the
+    member budget enforces."""
     import io as _io
     import tarfile
 
     budget = _MAX_ARCHIVE_MEMBER_BYTES
     try:
+        if len(blob) >= 4 and blob[:4] == b"\x28\xb5\x2f\xfd":
+            from kiji_mapreduce_spark.io import zstd_codec
+
+            blob = zstd_codec.decompress(
+                blob, max_output=_MAX_ARCHIVE_MEMBER_BYTES,
+                max_input=_MAX_ARCHIVE_MEMBER_BYTES)
         with tarfile.open(fileobj=_io.BytesIO(blob), mode="r|*") as tf:
             for member in tf:
                 if not member.isfile():

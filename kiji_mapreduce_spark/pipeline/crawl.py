@@ -52,12 +52,13 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
 
     responses = records.filter(F.col("warc_type") == "response")
     # loud-skip for still-encoded bodies (r10 verdict "missing" #1):
-    # the WARC parser normalizes chunked + gzip/deflate, but brotli —
+    # the WARC parser normalizes chunked + gzip/deflate/zstd (zstd
+    # via the pure-Python io.zstd_codec, r12), but brotli —
     # ubiquitous on the modern web — has no stock decoder, so a
     # `content-encoding: br` body reaches here as raw brotli bytes
     # and tag-stripping it emits a garbage document whose survival
     # then depends on downstream quality gates. Any response still
-    # carrying a non-identity Content-Encoding (br, zstd, a
+    # carrying a non-identity Content-Encoding (br, a
     # multi-coding chain, or a gzip body whose inflate failed) is
     # REJECTED here, countable via `encoding_rejects` — the
     # bulk-import reject-counter discipline
@@ -109,11 +110,10 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
 def _still_encoded(content_col) -> "F.Column":
     """True when an HTTP response body still carries a non-identity
     Content-Encoding after the parser's normalization pass — the
-    bytes are compressed (brotli/zstd/failed inflate) and must not be
-    treated as text. Pure Catalyst."""
-    from kiji_mapreduce_spark.pipeline.text import http_content_encoding
-
-    from kiji_mapreduce_spark.pipeline.text import _http_string_parts
+    bytes are compressed (brotli / a failed or oversized inflate) and
+    must not be treated as text. Pure Catalyst."""
+    from kiji_mapreduce_spark.pipeline.text import (_http_string_parts,
+                                                    http_content_encoding)
 
     enc = http_content_encoding(content_col)
     # beyond 'identity': misconfigured servers are common in real
@@ -123,27 +123,31 @@ def _still_encoded(content_col) -> "F.Column":
     # silently drop valid documents (r11 review finding)
     nonidentity = ~enc.isin("", "identity", "none", "utf-8", "binary")
     # a body labeled with a coding the parser KNOWS how to inflate
-    # (gzip/deflate) but that reaches here undecoded is either a
-    # truncated/bombed archive or — the common misconfig — a plain
-    # body mislabeled by a server that never compressed it. The two
-    # are cheaply separable: compressed bytes cast to string are
-    # U+FFFD/NUL-dense, plain text is not — so sniff before rejecting
-    # and keep the mislabeled-identity rows (ADVICE r11). br/zstd and
-    # multi-coding chains stay rejected unsniffed: the parser never
-    # attempts them, so an undecoded body proves nothing either way
-    # (and their bodies are dense anyway).
+    # (gzip/deflate/zstd — zstd via the pure-Python RFC 8878 decoder
+    # in io.zstd_codec) but that reaches here undecoded is either a
+    # truncated/bombed/oversized archive or — the common misconfig —
+    # a plain body mislabeled by a server that never compressed it.
+    # The two are cheaply separable: compressed bytes cast to string
+    # are U+FFFD/NUL-dense, plain text is not — so sniff before
+    # rejecting and keep the mislabeled-identity rows (ADVICE r11).
+    # brotli and multi-coding chains stay rejected unsniffed: the
+    # parser never attempts them, so an undecoded body proves nothing
+    # either way (and their bodies are dense anyway).
     _, body = _http_string_parts(content_col)
     dense = (F.length(body) > 0) & (
         (F.length(F.regexp_replace(body, "[^�\x00]", ""))
          / F.length(body)) > F.lit(0.05))
-    # the gzip magic survives the lossy string cast deterministically:
-    # \x1f is valid UTF-8 and \x8b is an invalid byte that casts to
-    # exactly one U+FFFD (per-byte replacement, verified) — so a body
-    # that truly starts a gzip stream is detectable even when short
-    # or corrupt enough to dodge the density test
-    gzip_magic = body.startswith(F.lit("\x1f�"))
-    inflatable = enc.isin("gzip", "x-gzip", "deflate")
-    return nonidentity & (~inflatable | dense | gzip_magic)
+    # compression magics survive the lossy string cast
+    # deterministically: valid bytes pass through and each invalid
+    # byte casts to exactly one U+FFFD (per-byte replacement,
+    # verified) — gzip \x1f\x8b -> "\x1f<FFFD>", zstd \x28\xb5\x2f ->
+    # "(<FFFD>/" — so a body that truly starts a compressed stream is
+    # detectable even when short or corrupt enough to dodge the
+    # density test
+    comp_magic = body.startswith(F.lit("\x1f�")) | \
+        body.startswith(F.lit("(�/"))
+    inflatable = enc.isin("gzip", "x-gzip", "deflate", "zstd")
+    return nonidentity & (~inflatable | dense | comp_magic)
 
 
 def encoding_rejects(records: DataFrame) -> DataFrame:

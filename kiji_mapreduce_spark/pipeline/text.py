@@ -330,10 +330,11 @@ def http_content_encoding(content_col: Column) -> Column:
     """The header block's Content-Encoding (lowercased, trimmed), or
     '' when absent — pure Catalyst. After ``io.inputs``'
     ``_decode_http_payload`` normalization this is non-identity ONLY
-    for bodies that are still encoded: brotli/zstd (no decoder in a
-    stock container), multi-coding chains ("gzip, br"), or a gzip
-    body whose inflate failed — exactly the rows tag-stripping would
-    turn into garbage documents.
+    for bodies that are still encoded: brotli (no decoder derivable
+    in a stock container — its static dictionary is data, not spec),
+    multi-coding chains ("gzip, br"), or a gzip/zstd body whose
+    inflate failed or exceeded the size gates — exactly the rows
+    tag-stripping would turn into garbage documents.
 
     Anchored to line START like the decoder's strip regex: an
     unanchored search also matches inside 'X-Content-Encoding: gzip'

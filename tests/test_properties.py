@@ -1108,9 +1108,17 @@ def test_shard_iterator_error_surface(data):
     members = [(f"{i:06d}.bin",
                 bytes(data.draw(st.binary(min_size=0, max_size=40))))
                for i in range(data.draw(st.integers(1, 4)))]
-    kind = data.draw(st.sampled_from(["tar", "tar.gz", "zip"]))
-    blob = (make_zip(members) if kind == "zip"
-            else make_tar(members, gz=kind == "tar.gz"))
+    kind = data.draw(st.sampled_from(["tar", "tar.gz", "zip",
+                                      "tar.zst"]))
+    if kind == "tar.zst":
+        # no zstd encoder in-repo: mutate the committed reference
+        # .tar.zst fixture instead of a fresh pack
+        from tests.test_zstd import TAR_ZST
+
+        blob = TAR_ZST
+    else:
+        blob = (make_zip(members) if kind == "zip"
+                else make_tar(members, gz=kind == "tar.gz"))
     it = _iter_zip_members if kind == "zip" else _iter_tar_members
 
     corrupt = bytearray(blob)
@@ -1319,3 +1327,34 @@ def test_probe_walker_hostile_sizes(data):
         blob = blob[:data.draw(st.integers(4, len(blob) - 1))]
     p = mc.probe_media(blob)
     assert p is None or isinstance(p, dict)
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_zstd_error_surface(data):
+    """The pure-Python zstd decoder under hostile bytes: reference-
+    encoded frames truncated / bit-flipped anywhere, and arbitrary
+    junk, either decode or raise ValueError — never any other class
+    (the avro_codec / media_codecs corrupt-data contract; one leaked
+    struct.error or negative-shift TypeError aborts the crawl or
+    shard task that owns the record)."""
+    import base64
+
+    from kiji_mapreduce_spark.io import zstd_codec
+    from tests.test_zstd import FIXTURES, TAR_ZST
+
+    name = data.draw(st.sampled_from(sorted(FIXTURES) + ["tar"]))
+    blob = bytearray(TAR_ZST if name == "tar"
+                     else base64.b64decode(FIXTURES[name][1]))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "junk"]))
+    if mode == "truncate":
+        blob = blob[:data.draw(st.integers(0, len(blob) - 1))]
+    elif mode == "flip":
+        for _ in range(data.draw(st.integers(1, 6))):
+            i = data.draw(st.integers(0, len(blob) - 1))
+            blob[i] ^= 1 << data.draw(st.integers(0, 7))
+    else:
+        blob = bytearray(data.draw(st.binary(min_size=0, max_size=120)))
+    try:
+        zstd_codec.decompress(bytes(blob), max_output=1 << 22)
+    except ValueError:
+        pass

@@ -1,0 +1,227 @@
+"""Tests for the pure-Python zstd frame decoder (io.zstd_codec).
+
+Fixture strategy: the committed frames below were generated once with
+the REFERENCE implementation (`zstd` CLI, v1.5.7) over inputs this file
+re-derives deterministically, so correctness is always judged against
+reference-encoder output even when no zstd binary is present. When the
+CLI IS available, a randomized round-trip cross-check runs too (the
+codec-parity pattern PIL plays for the image codecs).
+"""
+
+import base64
+import hashlib
+import io
+import shutil
+import struct
+import subprocess
+import tarfile
+
+import pytest
+
+from kiji_mapreduce_spark.io import zstd_codec
+
+_HAVE_CLI = shutil.which("zstd") is not None
+
+#: reference frames: name -> (expected plaintext builder, b64 frame)
+FIXTURES = {
+    "text_l3": (
+        lambda: ("the quick brown fox jumps over the lazy dog. "
+                 * 120).encode(),
+        "KLUv/QRYxQEAxAJ0aGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgdGhlIG"
+        "xhenkgZG9nLgIA5ARVBwxhlgHqUhqE"),
+    "text_l19": (
+        lambda: ("the quick brown fox jumps over the lazy dog. "
+                 * 120).encode(),
+        "KLUv/QRotQEA1AJ0aGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgdGhlIG"
+        "xhenkgZG9nLiABAEUn2Ksy6lIahA=="),
+    "periodic_l1": (
+        lambda: bytes(range(256)) * 40,
+        "KLUv/QRIVQgABBAAAQIDBAUGBwgJCgsMDQ4PEBESExQVFhcYGRobHB0eHyAhIi"
+        "MkJSYnKCkqKywtLi8wMTIzNDU2Nzg5Ojs8PT4/QEFCQ0RFRkdISUpLTE1OT1BR"
+        "UlNUVVZXWFlaW1xdXl9gYWJjZGVmZ2hpamtsbW5vcHFyc3R1dnd4eXp7fH1+f4"
+        "CBgoOEhYaHiImKi4yNjo+QkZKTlJWWl5iZmpucnZ6foKGio6SlpqeoqaqrrK2u"
+        "r7CxsrO0tba3uLm6u7y9vr/AwcLDxMXGx8jJysvMzc7P0NHS09TV1tfY2drb3N"
+        "3e3+Dh4uPk5ebn6Onq6+zt7u/w8fLz9PX29/j5+vv8/f7/AQAA/WaAX1Pi23B5"),
+    "lowent_l9_nocheck": (
+        lambda: bytes(i % 7 for i in range(20000)),
+        "KLUv/QBgfQAAOAABAgMEBQYBABaO9mIE"),
+    "empty_l3": (lambda: b"", "KLUv/SQAAQAAmenYUQ=="),
+    "one_l1": (lambda: b"Z", "KLUv/QRICQAAWgtXNV8="),
+}
+
+#: tar.zst shard (reference-encoded): members re-declared in the test
+TAR_ZST = base64.b64decode(
+    "KLUv/QRYDQYAcgggHbAydQCzU+kgAf0H/Qf9B/Yjt7RNuPvX////T5UBtJksBnu5"
+    "WqYtyVHss8KVKoU6mUqkkSgE+oCeDmejyWAulgplIolAHo4GY6FIIA6GAmEgCAD4"
+    "3SoODcerprr1puhoS/E/13Y28Lzxcue5d17fygfZlje7//8kaf+f7++G/T8YIHCD"
+    "qKA8jYseOKgTcAD0Us0Y1XDtAY5l+at9r9ICEMaYipvZH0Ca51WETAqIt6UGoBOv"
+    "ifCNJI5dBqd8BM4NC1Q=")
+
+
+def test_reference_fixtures_decode():
+    for name, (builder, b64) in FIXTURES.items():
+        frame = base64.b64decode(b64)
+        out = zstd_codec.decompress(frame, verify_checksum=True)
+        assert out == builder(), name
+
+
+def test_large_reference_fixture_mixed_entropy():
+    """A bigger frame exercising FSE-compressed sequence tables and
+    multi-stream Huffman literals (sha256 output is incompressible
+    enough to force varied block shapes)."""
+    if not _HAVE_CLI:
+        pytest.skip("zstd CLI not present")
+    data = b"".join(hashlib.sha256(bytes([i % 256])).digest()
+                    for i in range(300))
+    frame = subprocess.run(["zstd", "-5", "-c"], input=data,
+                           capture_output=True, check=True).stdout
+    assert zstd_codec.decompress(frame, verify_checksum=True) == data
+
+
+def test_multi_frame_and_skippable():
+    a = base64.b64decode(FIXTURES["one_l1"][1])
+    b = base64.b64decode(FIXTURES["empty_l3"][1])
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"extra"
+    out = zstd_codec.decompress(a + skip + b + a, verify_checksum=True)
+    assert out == b"ZZ"
+
+
+def test_bomb_gate_fires_mid_decode():
+    frame = base64.b64decode(FIXTURES["periodic_l1"][1])  # 10240 bytes
+    with pytest.raises(ValueError, match="ceiling"):
+        zstd_codec.decompress(frame, max_output=1000)
+    with pytest.raises(ValueError, match="ceiling"):
+        zstd_codec.decompress(frame, max_input=10)
+
+
+def test_dictionary_frames_rejected():
+    # frame header with Dictionary_ID_flag set: loud refusal, never a
+    # silent wrong decode
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x01, 0x00, 0x07])
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_codec.decompress(frame + b"\x00" * 8)
+
+
+def test_corrupt_inputs_raise_valueerror_only():
+    frame = bytearray(base64.b64decode(FIXTURES["text_l3"][1]))
+    for cut in range(len(frame)):
+        try:
+            zstd_codec.decompress(bytes(frame[:cut]))
+        except ValueError:
+            pass
+    for i in range(len(frame)):
+        mut = bytearray(frame)
+        mut[i] ^= 0x41
+        try:
+            zstd_codec.decompress(bytes(mut), max_output=1 << 20)
+        except ValueError:
+            pass
+
+
+@pytest.mark.skipif(not _HAVE_CLI, reason="zstd CLI not present")
+def test_cli_round_trips():
+    """Cross-check against the reference encoder over varied shapes
+    and levels — checksums verified, so the XXH64 implementation is on
+    the hook too."""
+    import random
+
+    random.seed(20260815)
+    for trial in range(40):
+        size = random.randint(0, 40000)
+        kind = trial % 4
+        if kind == 0:
+            data = bytes(random.randrange(256)
+                         for _ in range(min(size, 2000)))
+        elif kind == 1:
+            w = bytes(random.randrange(256)
+                      for _ in range(random.randint(1, 40)))
+            data = (w * (size // max(len(w), 1) + 1))[:size]
+        elif kind == 2:
+            data = b" ".join(
+                random.choice([b"the", b"cat", b"sat", b"<p>", b"01"])
+                for _ in range(size // 4))
+        else:
+            data = bytes(random.randrange(5) for _ in range(size))
+        lvl = random.choice(["-1", "-3", "-9", "-19"])
+        frame = subprocess.run(["zstd", lvl, "-c"], input=data,
+                               capture_output=True, check=True).stdout
+        assert zstd_codec.decompress(
+            frame, verify_checksum=True) == data, trial
+
+
+def test_http_zstd_body_decodes():
+    """The HTTP payload normalizer inflates Content-Encoding: zstd via
+    the pure-Python decoder and strips the stale headers — the gzip
+    contract extended to the web's next compression."""
+    from kiji_mapreduce_spark.io.inputs import _decode_http_payload
+
+    page = FIXTURES["text_l3"][0]()
+    frame = base64.b64decode(FIXTURES["text_l3"][1])
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: zstd\r\n\r\n" + frame)
+    out = _decode_http_payload(body)
+    assert out.endswith(b"\r\n\r\n" + page)
+    assert b"content-encoding" not in out.lower().split(b"\r\n\r\n")[0]
+    # corrupt frame: lenient passthrough, untouched
+    bad = body[:-10] + b"corruption"
+    assert _decode_http_payload(bad) == bad
+    # oversized compressed body: left encoded (the crawl gate's job)
+    from kiji_mapreduce_spark.io import inputs as inputs_mod
+    big = (b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n"
+           + frame + b"\x00" * (inputs_mod._MAX_ZSTD_BODY + 1))
+    assert _decode_http_payload(big) == big
+
+
+def test_tar_zst_shard_members():
+    """.tar.zst shards walk through the same member iterator as
+    gz/bz2/xz — the WebDataset/HF-datasets shard compression."""
+    from kiji_mapreduce_spark.io.inputs import _iter_tar_members
+
+    members = list(_iter_tar_members(TAR_ZST, "s.tar.zst", False))
+    assert [(n, s) for n, s, _ in members] == [
+        ("0001.txt", 9), ("0002.txt", 13), ("0003.bin", 64)]
+    assert members[0][2] == b"alpha doc"
+    assert members[1][2] == b"beta document"
+    assert members[2][2] == bytes(range(64))
+    # truncated inside the zstd frame: lenient empty, strict ValueError
+    cut = TAR_ZST[:40]
+    assert list(_iter_tar_members(cut, "s.tar.zst", True)) == []
+    with pytest.raises(ValueError):
+        list(_iter_tar_members(cut, "s.tar.zst", False))
+
+
+def test_crawl_gate_zstd_semantics(spark, tmp_path):
+    """End-to-end through the crawl ingest: a zstd page becomes a
+    document (not a reject), a mislabeled-identity 'zstd' body is kept
+    by the sniff, and a corrupt zstd body is rejected and counted."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import (crawl_documents,
+                                                     encoding_rejects)
+    from tests.test_io import _warc_record
+
+    frame = base64.b64decode(FIXTURES["text_l3"][1])
+
+    def resp(extra, payload):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                + extra + b"\r\n" + payload)
+
+    recs = (
+        _warc_record("response", "http://zst.example.com/ok",
+                     resp(b"Content-Encoding: zstd\r\n", frame))
+        + _warc_record("response", "http://zst.example.com/liar",
+                       resp(b"Content-Encoding: zstd\r\n",
+                            b"plain text a misconfigured server "
+                            b"labeled zstd"))
+        + _warc_record("response", "http://zst.example.com/corrupt",
+                       resp(b"Content-Encoding: zstd\r\n",
+                            frame[:20] + bytes(300))))
+    d = tmp_path / "zstwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(recs)
+    records = read_warc_records(spark, [str(d)])
+    urls = {r.url for r in crawl_documents(records, spark).collect()}
+    assert urls == {"http://zst.example.com/ok",
+                    "http://zst.example.com/liar"}
+    rej = {r.content_encoding: r.n_rejected
+           for r in encoding_rejects(records).collect()}
+    assert rej == {"zstd": 1}
