@@ -531,6 +531,20 @@ def warc_records_from_files(files: DataFrame, lenient: bool = False,
 _MAX_ARCHIVE_MEMBER_BYTES = 4 << 30
 
 
+#: compressed-size gate for .tar.zst shards: the pure-Python decoder
+#: runs ~5 MB/s on text-like payloads, so a shard this large would
+#: stall its task for tens of minutes — reject loudly (strict) / skip
+#: (lenient) and let the operator recompress; gz/bz2/xz shards stream
+#: at C speed with no such gate
+_MAX_ZSTD_ARCHIVE_BYTES = 256 << 20
+
+#: .tar.zst decompressed ceiling: the member budget plus headroom for
+#: tar structure (512 B header + padding per member), so members
+#: summing to just under the budget don't fail where the identical
+#: .tar.gz passes (review finding r12)
+_MAX_ZSTD_ARCHIVE_OUT = _MAX_ARCHIVE_MEMBER_BYTES + (64 << 20)
+
+
 def _iter_tar_members(blob: bytes, path: str, lenient: bool):
     """Yield (member_path, size, content) for regular-file members of
     a tar (plain or gz/bz2/xz — ``r|*`` streams members one at a
@@ -538,52 +552,85 @@ def _iter_tar_members(blob: bytes, path: str, lenient: bool):
     training shards ship in).
 
     ``.tar.zst`` (the WebDataset/HF-datasets favorite) is handled by
-    inflating the zstd frame first via the pure-Python ``zstd_codec``
-    (tarfile's ``r|*`` sniffs only gz/bz2/xz): O(archive) memory for
-    that one compression, bounded by the same per-archive ceiling the
-    member budget enforces."""
+    inflating the zstd frames first via the pure-Python ``zstd_codec``
+    (tarfile's ``r|*`` sniffs only gz/bz2/xz): O(archive) memory and
+    ~5 MB/s for that one compression, so its compressed size is gated
+    at ``_MAX_ZSTD_ARCHIVE_BYTES``.
+
+    The corrupt-data except tuple wraps ONLY tarfile/zstd internals
+    (open, member step, extract) — a TypeError from our own code must
+    surface, not silently empty every shard corpus-wide (review
+    finding r12). TypeError is in the tuple because CPython's tarfile
+    stream reader does ``ord(self.__read(1))`` while parsing the gzip
+    header and ``__read`` returns b"" at EOF, so a blob cut inside the
+    first 3 header bytes surfaces as TypeError, not TarError.
+
+    Caveat: a cut landing exactly on a 512-byte header boundary is
+    indistinguishable from a tar written without its end-of-archive
+    marker, which tarfile (and GNU tar) tolerate — only mid-data
+    truncation is detectable."""
     import io as _io
     import tarfile
 
+    corrupt = (tarfile.TarError, EOFError, OSError, ValueError,
+               TypeError)
     budget = _MAX_ARCHIVE_MEMBER_BYTES
     try:
-        if len(blob) >= 4 and blob[:4] == b"\x28\xb5\x2f\xfd":
-            from kiji_mapreduce_spark.io import zstd_codec
+        from kiji_mapreduce_spark.io import zstd_codec
 
+        if zstd_codec.is_zstd(blob):
+            if len(blob) > _MAX_ZSTD_ARCHIVE_BYTES:
+                raise ValueError(
+                    f"{path}: .tar.zst shard over the "
+                    f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB "
+                    "pure-Python decode gate — recompress as .tar.gz "
+                    "or split the shard")
             blob = zstd_codec.decompress(
-                blob, max_output=_MAX_ARCHIVE_MEMBER_BYTES,
-                max_input=_MAX_ARCHIVE_MEMBER_BYTES)
-        with tarfile.open(fileobj=_io.BytesIO(blob), mode="r|*") as tf:
-            for member in tf:
-                if not member.isfile():
-                    continue
-                if member.size > budget:
-                    raise ValueError(
-                        f"{path}: archive members exceed the "
-                        f"{_MAX_ARCHIVE_MEMBER_BYTES >> 30} GiB "
-                        f"per-archive ceiling at {member.name!r}")
-                budget -= member.size
-                fobj = tf.extractfile(member)
-                if fobj is None:
-                    continue
-                yield member.name, member.size, fobj.read()
-    except (tarfile.TarError, EOFError, OSError, ValueError,
-            TypeError) as e:
-        # truncated shard / corrupt compression / the bomb gate above
-        # (ValueError): the lenient contract keeps everything already
-        # yielded (crawl/WARC precedent) — the always-lenient shard
-        # stream depends on the gate honoring it too, else one hostile
-        # shard wedges the claimed offset-log batch forever.
-        # TypeError: CPython's tarfile stream reader does
-        # ``ord(self.__read(1))`` while parsing the gzip header and
-        # ``__read`` returns b"" at EOF, so a blob cut inside the
-        # first 3 header bytes surfaces as TypeError, not TarError
-        # Caveat: a cut landing exactly on a 512-byte header boundary
-        # is indistinguishable from a tar written without its
-        # end-of-archive marker, which tarfile (and GNU tar) tolerate
-        # — only mid-data truncation is detectable
+                blob, max_output=_MAX_ZSTD_ARCHIVE_OUT,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+        tf = tarfile.open(fileobj=_io.BytesIO(blob), mode="r|*")
+    except corrupt as e:
+        # truncated shard / corrupt compression / the zstd gates: the
+        # lenient contract keeps everything already yielded (crawl/
+        # WARC precedent) — the always-lenient shard stream depends on
+        # it, else one hostile shard wedges the claimed offset-log
+        # batch forever
         if not lenient:
             raise ValueError(f"{path}: corrupt tar archive: {e}") from e
+        return
+    with tf:
+        it = iter(tf)
+        while True:
+            try:
+                member = next(it)
+            except StopIteration:
+                return
+            except corrupt as e:
+                if not lenient:
+                    raise ValueError(
+                        f"{path}: corrupt tar archive: {e}") from e
+                return
+            if not member.isfile():
+                continue
+            if member.size > budget:
+                msg = (f"{path}: archive members exceed the "
+                       f"{_MAX_ARCHIVE_MEMBER_BYTES >> 30} GiB "
+                       f"per-archive ceiling at {member.name!r}")
+                if not lenient:
+                    raise ValueError(msg)
+                return
+            budget -= member.size
+            try:
+                fobj = tf.extractfile(member)
+                data = None if fobj is None else fobj.read()
+            except corrupt as e:
+                if not lenient:
+                    raise ValueError(
+                        f"{path}: corrupt tar archive: {e}") from e
+                return
+            if data is None:
+                continue
+            yield member.name, member.size, data
 
 
 def _iter_zip_members(blob: bytes, path: str, lenient: bool):

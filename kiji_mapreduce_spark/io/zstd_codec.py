@@ -438,9 +438,13 @@ def _seq_table(block: bytes, pos: int, mode: int, default,
 
 
 def _decode_block(block: bytes, out: bytearray, ctx: dict,
-                  max_output: int) -> None:
+                  max_output: int, frame_start: int) -> None:
     """One Compressed_Block: literals section + sequences section,
-    executed against (and appended to) ``out``."""
+    executed against (and appended to) ``out``. ``frame_start`` bounds
+    match offsets: a frame's window never reaches into the PREVIOUS
+    frame's output (RFC 8878 frames are independent) — without the
+    bound, a corrupt multi-frame stream could copy cross-frame bytes
+    and "decode" where the reference rejects (review finding r12)."""
     literals, pos = _decode_literals(block, 0, ctx)
     if pos >= len(block):
         raise ValueError("zstd: missing sequences section")
@@ -549,7 +553,7 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict,
             raise ValueError("zstd: output over the caller's ceiling")
         out += literals[lit_pos:lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) - frame_start:
             raise ValueError("zstd: match offset before frame start")
         if ml:
             start = len(out) - offset
@@ -637,6 +641,9 @@ def decompress(data: bytes, max_output: int = 1 << 28,
     pos = 0
     out = bytearray()
     saw_frame = False
+    skipped_any = False  # a skippable-only stream decodes to b"" —
+    # the reference decoder accepts it, so the probe and the decoder
+    # cannot disagree (review finding r12)
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("zstd: truncated frame magic")
@@ -649,6 +656,7 @@ def decompress(data: bytes, max_output: int = 1 << 28,
             pos += 4 + sz
             if pos > len(data):
                 raise ValueError("zstd: skippable frame overruns input")
+            skipped_any = True
             continue
         if magic != _FRAME_MAGIC:
             raise ValueError("zstd: bad frame magic")
@@ -710,7 +718,8 @@ def decompress(data: bytes, max_output: int = 1 << 28,
                             "zstd: output over the caller's ceiling")
                     out += blk
                 else:
-                    _decode_block(blk, out, ctx, max_output)
+                    _decode_block(blk, out, ctx, max_output,
+                                  frame_start)
             if last:
                 break
         if fcs is not None and len(out) - frame_start != fcs:
@@ -724,7 +733,7 @@ def decompress(data: bytes, max_output: int = 1 << 28,
                 if got != want:
                     raise ValueError("zstd: content checksum mismatch")
             pos += 4
-    if not saw_frame:
+    if not saw_frame and not skipped_any:
         raise ValueError("zstd: no zstd frame in input")
     return bytes(out)
 

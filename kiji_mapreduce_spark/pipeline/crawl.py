@@ -81,10 +81,7 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     # are trusted (a wrong charset should degrade, not vanish).
     # density counts U+FFFD AND NUL: binaries dense in \x00 (UTF-16,
     # sparse formats) survive the cast as valid-but-garbage NUL runs
-    text = F.col("text")
-    fffd_dense = (F.length(text) > 0) & (
-        (F.length(F.regexp_replace(text, "[^�\x00]", ""))
-         / F.length(text)) > F.lit(0.05))
+    fffd_dense = _dense_in_replacements(F.col("text"))
     docs = (http_html_text(responses)
             # the two halves of the ingest split the responses: rows
             # that are SURELY media (declared type or binary magic) go
@@ -105,6 +102,18 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
             .filter(token_count(F.col("text")) >= min_tokens))
     docs = _with_domain(docs, spark, psl_rules, heuristic_domains)
     return docs.select(*DOC_COLUMNS)
+
+
+def _dense_in_replacements(col) -> "F.Column":
+    """True when over 5% of ``col``'s characters are U+FFFD or NUL —
+    the signature of binary/compressed bytes that survived the lossy
+    string cast. Real text, any language, sits far below the
+    threshold. ONE definition shared by the still-encoded sniff and
+    the octet-stream garbage gate so the two cannot drift (review
+    finding r12)."""
+    return (F.length(col) > 0) & (
+        (F.length(F.regexp_replace(col, "[^�\x00]", ""))
+         / F.length(col)) > F.lit(0.05))
 
 
 def _still_encoded(content_col) -> "F.Column":
@@ -134,9 +143,7 @@ def _still_encoded(content_col) -> "F.Column":
     # parser never attempts them, so an undecoded body proves nothing
     # either way (and their bodies are dense anyway).
     _, body = _http_string_parts(content_col)
-    dense = (F.length(body) > 0) & (
-        (F.length(F.regexp_replace(body, "[^�\x00]", ""))
-         / F.length(body)) > F.lit(0.05))
+    dense = _dense_in_replacements(body)
     # compression magics survive the lossy string cast
     # deterministically: valid bytes pass through and each invalid
     # byte casts to exactly one U+FFFD (per-byte replacement,

@@ -1539,30 +1539,42 @@ def _probe_mp4(content: bytes) -> dict | None:
             elif btype == b"mehd":
                 # movie-extends total fragment duration, in the mvhd
                 # timescale (resolved after the walk: mvex follows
-                # mvhd inside moov, but stay order-agnostic)
+                # mvhd inside moov, but stay order-agnostic). Reads
+                # clamp to the box's own extent: an undersized mehd
+                # must be SKIPPED, not read into the next box's bytes
+                # (review finding r12)
                 ver = content[body]
-                mehd_units = struct.unpack(
-                    ">Q" if ver == 1 else ">I",
-                    content[body + 4:body + (12 if ver == 1 else 8)])[0]
+                need = 12 if ver == 1 else 8
+                if body + need <= end:
+                    mehd_units = struct.unpack(
+                        ">Q" if ver == 1 else ">I",
+                        content[body + 4:body + need])[0]
             elif btype == b"sidx":
                 # segment index: its own timescale + per-reference
-                # subsegment durations — sum them (one sidx per
-                # segment; concatenated segments accumulate)
+                # subsegment durations. Only MEDIA references
+                # (reference_type 0) are summed: in a hierarchical
+                # index a parent's sidx-type references already cover
+                # the ranges the child sidx boxes re-report, so
+                # summing every box double-counts (review finding
+                # r12); leaf-only summation is exact for both flat
+                # and daisy-chained layouts
                 ver = content[body]
-                (tscale,) = struct.unpack(
-                    ">I", content[body + 8:body + 12])
-                refs = body + 12 + (16 if ver == 1 else 8)
-                (n_refs,) = struct.unpack(
-                    ">H", content[refs + 2:refs + 4])
-                refs += 4
-                n_refs = min(n_refs, (end - refs) // 12,
-                             _MAX_PROBE_STEPS)
-                if tscale and n_refs > 0:
-                    units = sum(struct.unpack(
-                        ">I", content[refs + 12 * i + 4:
-                                      refs + 12 * i + 8])[0]
-                        for i in range(n_refs))
-                    sidx_ms += units * 1000.0 / tscale
+                refs = body + 12 + (16 if ver == 1 else 8) + 4
+                if body + 12 <= end and refs <= end:
+                    (tscale,) = struct.unpack(
+                        ">I", content[body + 8:body + 12])
+                    (n_refs,) = struct.unpack(
+                        ">H", content[refs - 2:refs])
+                    n_refs = min(n_refs, (end - refs) // 12,
+                                 _MAX_PROBE_STEPS)
+                    if tscale:
+                        units = sum(
+                            struct.unpack(
+                                ">I", content[refs + 12 * i + 4:
+                                              refs + 12 * i + 8])[0]
+                            for i in range(n_refs)
+                            if not content[refs + 12 * i] & 0x80)
+                        sidx_ms += units * 1000.0 / tscale
             elif btype == b"hdlr":
                 cur_handler = content[body + 8:body + 12]
                 if cur_handler == b"vide":

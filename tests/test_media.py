@@ -2429,6 +2429,48 @@ def test_probe_fragmented_mp4_duration():
         "duration_ms"] == 1500.0
 
 
+def test_probe_sidx_hierarchical_and_undersized_mehd():
+    """Review-pinned r12 probe edges: a hierarchical segment index
+    (parent sidx whose references are TYPE 1 = child sidx boxes) must
+    not double-count — only media (type 0) references sum; and an
+    undersized mehd box is skipped, never read into the next box's
+    bytes."""
+    import struct as _s
+
+    def fullbox(t, ver, payload):
+        return _mp4_box(t, bytes([ver]) + bytes(3) + payload)
+
+    def sidx(refs):
+        body = _s.pack(">II", 1, 90000) + _s.pack(">II", 0, 0) \
+            + _s.pack(">HH", 0, len(refs))
+        for rtype, dur in refs:
+            body += _s.pack(">I", (rtype << 31)) + _s.pack(">I", dur) \
+                + _s.pack(">I", 0)
+        return fullbox(b"sidx", 0, body)
+
+    # parent indexes two children (type 1, durations covering both);
+    # children re-report the same 30s+30s as media references
+    parent = sidx([(1, 2700000), (1, 2700000)])  # 30s + 30s
+    child1 = sidx([(0, 2700000)])
+    child2 = sidx([(0, 2700000)])
+    seg = _mp4_box(b"styp", b"msdh" + bytes(8)) \
+        + parent + child1 + child2 + _mp4_box(b"mdat", bytes(8))
+    p = mc.probe_media(seg)
+    assert p["duration_ms"] == 60000.0  # not 120000
+
+    # undersized mehd (version 1 needs 12 body bytes, has 0): skipped,
+    # duration stays the mvhd's declared 0 rather than garbage read
+    # from the next box's size/type bytes
+    bad_mehd = fullbox(b"mehd", 1, b"")
+    init = _mp4_box(b"ftyp", b"isom" + bytes(8)) \
+        + _mp4_box(b"moov",
+                   fullbox(b"mvhd", 0, bytes(8)
+                           + _s.pack(">II", 1000, 0) + bytes(80))
+                   + _mp4_box(b"mvex", bad_mehd + _mp4_box(
+                       b"mdat", bytes(16))))
+    assert mc.probe_media(init)["duration_ms"] == 0.0
+
+
 def test_probe_quicktime_plain_meta_box():
     """QuickTime-brand files carry a PLAIN meta box (no version/flags
     prefix); the ISO FullBox +4 skip misaligned the child scan there,

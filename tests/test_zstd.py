@@ -149,6 +149,63 @@ def test_cli_round_trips():
             frame, verify_checksum=True) == data, trial
 
 
+def _frame_ll0_rep2():
+    """Hand-built minimal frame: zero literals, one sequence with
+    ll=0 whose offset resolves through Repeated_Offset2 (initial 4) —
+    standalone it is corrupt (offset 4 into empty output)."""
+    lit = b"\x00"  # raw literals, regen 0
+    # nbseq=1; modes: LL/OF/ML all RLE; RLE symbols 0,0,0; bitstream =
+    # sentinel only (all tables are zero-bit)
+    body = lit + b"\x01\x54\x00\x00\x00\x01"
+    bh = (len(body) << 3) | (2 << 1) | 1
+    return (struct.pack("<I", 0xFD2FB528) + b"\x00\x70"
+            + struct.pack("<I", bh)[:3] + body)
+
+
+def test_match_offsets_cannot_cross_frames():
+    """RFC 8878 frames are independent: a match may not reach into the
+    previous frame's output. Review-confirmed r12 bug: the offset was
+    checked against the GLOBAL buffer, so frame1 + corrupt frame2
+    'decoded' 3 cross-frame bytes where the reference decoder rejects
+    the stream as corruption."""
+    bad = _frame_ll0_rep2()
+    with pytest.raises(ValueError, match="frame start"):
+        zstd_codec.decompress(bad)
+    good_first = base64.b64decode(FIXTURES["text_l3"][1])
+    with pytest.raises(ValueError, match="frame start"):
+        zstd_codec.decompress(good_first + bad)
+
+
+def test_skippable_only_stream_is_empty():
+    """A stream of only skippable frames decodes to b'' (the reference
+    accepts it), so is_zstd and decompress cannot disagree — and a
+    .tar.zst led by a skippable metadata frame still routes into the
+    zstd branch of the tar iterator."""
+    from kiji_mapreduce_spark.io.inputs import _iter_tar_members
+
+    skip = struct.pack("<II", 0x184D2A50, 3) + b"abc"
+    assert zstd_codec.decompress(skip) == b""
+    assert zstd_codec.is_zstd(skip)
+    members = list(_iter_tar_members(skip + TAR_ZST, "s.tar.zst",
+                                     False))
+    assert [n for n, _, _ in members] == ["0001.txt", "0002.txt",
+                                          "0003.bin"]
+
+
+def test_tar_zst_compressed_size_gate(monkeypatch):
+    """A .tar.zst over the pure-Python decode gate is refused loudly
+    (strict) / skipped (lenient) instead of stalling its task for
+    tens of minutes."""
+    from kiji_mapreduce_spark.io import inputs
+
+    monkeypatch.setattr(inputs, "_MAX_ZSTD_ARCHIVE_BYTES",
+                        len(TAR_ZST) - 1)
+    with pytest.raises(ValueError, match="decode gate"):
+        list(inputs._iter_tar_members(TAR_ZST, "s.tar.zst", False))
+    assert list(inputs._iter_tar_members(TAR_ZST, "s.tar.zst",
+                                         True)) == []
+
+
 def test_http_zstd_body_decodes():
     """The HTTP payload normalizer inflates Content-Encoding: zstd via
     the pure-Python decoder and strips the stale headers — the gzip
