@@ -36,6 +36,19 @@ from kiji_mapreduce_spark.kvstore import parse_bindings_xml
 from kiji_mapreduce_spark.session import make_session
 
 
+def _parse_ratio_bounds(p, spec):
+    """"LO,HI" -> (float, float) or None; parser-error on nonsense."""
+    if not spec:
+        return None
+    try:
+        lo, hi = (float(x) for x in spec.split(","))
+    except ValueError:
+        p.error(f"--compress-ratio wants LO,HI floats, got {spec!r}")
+    if not lo <= hi:
+        p.error(f"--compress-ratio: LO must be <= HI, got {spec!r}")
+    return (lo, hi)
+
+
 def _parse_splits(p, spec: str):
     """'train=0.8,val=0.1,test=0.1' -> ordered [(name, frac)] list,
     validated via split_thresholds BEFORE any Spark session exists (a
@@ -327,6 +340,12 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "repetition bounds (duplicate line/paragraph "
                     "fractions; top/duplicated word-n-gram character "
                     "mass)")
+    cu.add_argument("--compress-ratio", default=None, metavar="LO,HI",
+                    help="keep only documents whose zlib compression "
+                    "ratio lies in [LO,HI] (templated/spammy pages "
+                    "compress far below prose, near-random junk sits "
+                    "near 1.0); the chain's one pandas-UDF stage, "
+                    "strictly opt-in")
 
     ct = sub.add_parser("classify-train", help="train the hashed-"
                         "features logistic-regression quality filter")
@@ -404,6 +423,20 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "default: the vendored snapshot subset; "
                     "--psl=heuristic selects the expression-only "
                     "fallback")
+    ci.add_argument("--block-domains", default=None, metavar="FILE",
+                    help="domain blocklist (one registered domain per "
+                    "line, # comments — the UT1 category-list format): "
+                    "matching documents are dropped via a broadcast "
+                    "anti-join")
+    ci.add_argument("--block-urls", default=None, metavar="FILE",
+                    help="URL-pattern blocklist (one case-insensitive "
+                    "regex fragment per line): matching documents are "
+                    "dropped; all patterns fold into one scan-side "
+                    "alternation")
+    ci.add_argument("--keep-noindex", action="store_true",
+                    help="ALSO ingest pages whose publisher opted out "
+                    "via X-Robots-Tag/meta-robots noindex (the default "
+                    "honors the opt-out and counts the skips)")
     ci.add_argument("--curate", action="store_true",
                     help="run the curation chain (quality filter -> "
                     "dedup -> optional splits) on the ingested "
@@ -705,6 +738,9 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     if args.command == "curate":
         from kiji_mapreduce_spark.pipeline import curate
 
+        # validate BEFORE any Spark work: a bad spec is a usage error,
+        # not a mid-job traceback (the --splits discipline)
+        ratio_bounds = _parse_ratio_bounds(p, args.compress_ratio)
         spark = make_session(app_name="kiji-curate")
         docs = spark.read.parquet(args.input)
         bench = (spark.read.parquet(args.benchmark)
@@ -725,7 +761,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             min_prob=args.min_prob,
             strip_boilerplate=args.strip_boilerplate,
             gopher_rules=args.gopher,
-            gopher_repetition=args.gopher_repetition)
+            gopher_repetition=args.gopher_repetition,
+            compress_ratio_bounds=ratio_bounds)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
@@ -921,6 +958,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "passes — run them over the accumulated output "
                     "(--media-output streams fine: it is per-record)")
         spark = make_session(app_name="kiji-crawl-ingest")
+
+        def _read_list(path):
+            if not path:
+                return None
+            with open(path) as f:
+                lines = [ln.strip() for ln in f]
+            return [ln for ln in lines
+                    if ln and not ln.startswith("#")]
+
+        block_domains = _read_list(args.block_domains)
+        block_urls = _read_list(args.block_urls)
         heuristic = args.psl == "heuristic"
         rules = None
         if not heuristic and args.psl:
@@ -950,7 +998,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 lenient=True, min_tokens=args.min_tokens,
                 psl_rules=rules, heuristic_domains=heuristic,
                 batch_stats=batch_stats,
-                media_output=args.media_output)
+                media_output=args.media_output,
+                respect_noindex=not args.keep_noindex,
+                blocked_domains=block_domains,
+                url_patterns=block_urls)
             q.awaitTermination()
             # per-RUN counts from the batches this run wrote — not a
             # scan of the whole accumulated corpus, whose size is
@@ -975,7 +1026,15 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,
                                psl_rules=rules,
                                heuristic_domains=heuristic,
-                               rejects_observation=rej_obs)
+                               rejects_observation=rej_obs,
+                               respect_noindex=not args.keep_noindex)
+        if block_domains or block_urls:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                filter_blocked
+
+            docs = filter_blocked(docs, spark,
+                                  blocked_domains=block_domains,
+                                  url_patterns=block_urls)
         if args.max_docs_per_domain > 0:
             from kiji_mapreduce_spark.pipeline.sample import stratum_topk
 
@@ -1006,6 +1065,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             "n_docs": out.count(),
             "n_domains": out.select("domain").distinct().count(),
             "n_rejected_encoded": n_rejected,
+            "n_noindex": int(rej.get("CRAWL_RECORDS_NOINDEX") or 0),
             "curated": bool(args.curate or args.splits)}
         if n_rejected:
             # rejected-by-encoding breakdown next to the corpus stats

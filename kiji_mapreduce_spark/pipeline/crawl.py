@@ -29,7 +29,8 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
                     min_tokens: int = 1,
                     psl_rules=None,
                     heuristic_domains: bool = False,
-                    rejects_observation=None) -> DataFrame:
+                    rejects_observation=None,
+                    respect_noindex: bool = True) -> DataFrame:
     """WARC record rows (``read_warc_records`` /
     ``warc_records_from_files`` output) -> documents-shaped rows
     (``DOC_COLUMNS``).
@@ -65,13 +66,24 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     # (.../bulkimport/impl/BulkImportMapper.java:68-83,
     # BULKIMPORTER_RECORDS_REJECTED)
     still = _still_encoded(F.col("content"))
+    # robots opt-out (respect_noindex, default ON): pages whose
+    # publisher said noindex — X-Robots-Tag header or robots meta tag
+    # — are excluded the way search indexes exclude them; counted
+    # alongside the encoding rejects so the loss is visible
+    from kiji_mapreduce_spark.pipeline.text import robots_noindex
+
+    noindex = (robots_noindex(F.col("content"))
+               if respect_noindex else F.lit(False))
     if rejects_observation is not None:
         responses = responses.observe(
             rejects_observation,
             F.coalesce(F.sum(still.cast("long")), F.lit(0))
             .alias("CRAWL_RECORDS_REJECTED_ENCODED"),
+            F.coalesce(F.sum(noindex.cast("long")), F.lit(0))
+            .alias("CRAWL_RECORDS_NOINDEX"),
             F.count(F.lit(1)).alias("CRAWL_RESPONSES_SEEN"))
-    responses = responses.filter(still == F.lit(False))
+    responses = responses.filter(still == F.lit(False)) \
+        .filter(noindex == F.lit(False))
     # replacement-density gate for the type-less rows: a GIF/zip/exe
     # served as octet-stream (or with no Content-Type at all) carries
     # no media magic, but its bytes cast to U+FFFD-dense "text" —
@@ -155,6 +167,44 @@ def _still_encoded(content_col) -> "F.Column":
         body.startswith(F.lit("(�/"))
     inflatable = enc.isin("gzip", "x-gzip", "deflate", "zstd")
     return nonidentity & (~inflatable | dense | comp_magic)
+
+
+def filter_blocked(docs: DataFrame, spark: SparkSession,
+                   blocked_domains=None, url_patterns=None,
+                   domain_col: str = "domain",
+                   url_col: str = "url") -> DataFrame:
+    """Drop documents whose registered domain is on a blocklist or
+    whose URL matches a blocked pattern — the UT1/category-blocklist
+    stage every production crawl-curation pipeline runs (adult, spam,
+    malware categories ship as domain lists of 10^4-10^6 entries).
+
+    Scale shape: the domain list rides a BROADCAST anti-join (a
+    million 20-byte domains is ~20 MB — cheap against every executor;
+    for blocklists beyond broadcast range, build a
+    ``sketch.bloom_filter`` over the list and pre-filter with it —
+    bloom false positives DROP extra docs, the safe direction for a
+    blocklist). URL patterns fold into ONE ``rlike`` alternation so
+    the scan pays a single regex pass however many patterns arrive.
+
+    ``blocked_domains``: iterable of registered domains (matched
+    exactly, lowercased — feed registered domains, not hosts, so
+    subdomains collapse the same way ``_with_domain`` collapses them).
+    ``url_patterns``: iterable of Java-regex fragments, case-
+    insensitive, unanchored (substring semantics like UT1 expressions
+    files)."""
+    out = docs
+    domains = [d.strip().lower() for d in (blocked_domains or ())
+               if d and d.strip() and not d.lstrip().startswith("#")]
+    if domains:
+        bl = spark.createDataFrame([(d,) for d in sorted(set(domains))],
+                                   f"{domain_col} string")
+        out = out.join(F.broadcast(bl), on=domain_col, how="left_anti")
+    patterns = [p for p in (url_patterns or ()) if p]
+    if patterns:
+        alternation = "(?i)" + "|".join(f"(?:{p})" for p in patterns)
+        out = out.filter(~F.coalesce(
+            F.col(url_col).rlike(alternation), F.lit(False)))
+    return out
 
 
 def encoding_rejects(records: DataFrame) -> DataFrame:

@@ -61,6 +61,12 @@ class CurateConfig:
     #: fractions per-row, top/duplicated n-gram mass via one id-keyed
     #: shuffle). False = off
     gopher_repetition: bool = False
+    #: optional (lo, hi) bounds on the zlib compression ratio
+    #: (``text.compressibility``): documents compressing below ``lo``
+    #: are templated/spammy, above ``hi`` near-random junk — the
+    #: redundancy gate the large pretraining pipelines run. None = off
+    #: (the one pandas-UDF stage in the chain, so strictly opt-in)
+    compress_ratio_bounds: tuple[float, float] | None = None
     #: optional ordered {split: fraction} mapping or [(split, fraction)]
     #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
@@ -107,6 +113,17 @@ def curate_corpus(
         docs = text_ops.gopher_repetition_filter(
             docs, text_col=text_col, id_col=id_col,
             materialize=materialize)
+    if cfg.compress_ratio_bounds is not None:
+        # NULL/empty text has no ratio and passes through — this gate
+        # judges redundancy, not existence (the quality gate below
+        # owns empty docs), and silently eating NULL rows here would
+        # change what gate-off vs gate-on means (the r10 NULL-text
+        # lesson)
+        lo, hi = cfg.compress_ratio_bounds
+        docs = (text_ops.compressibility(docs, text_col=text_col)
+                .filter(F.col("compress_ratio").between(lo, hi)
+                        | F.col("compress_ratio").isNull())
+                .drop("compress_ratio"))
     scored = text_ops.quality_features(docs, text_col)
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",

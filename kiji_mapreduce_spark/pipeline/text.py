@@ -383,6 +383,65 @@ def http_html_text(df: DataFrame, content_col: str = "content",
         .withColumn(text_col, text)
 
 
+def robots_noindex(content_col: Column) -> Column:
+    """True when the response tells robots not to index it: an
+    ``X-Robots-Tag: ... noindex ...`` response header (RFC 9309's
+    HTTP-level twin) or a ``<meta name="robots" content="...noindex
+    ...">`` tag in the raw HTML (either attribute order). Training
+    pipelines honor this the way search engines do — the publisher
+    explicitly opted the page out of machine consumption, and the
+    standard crawl-curation stacks drop these rows at ingest.
+
+    Pure Catalyst over the RAW payload string (the meta tag must be
+    probed before ``http_html_text`` strips tags); the header regex is
+    line-anchored like every other header probe (the r11
+    X-Content-Encoding lesson does not recur: X-Robots-Tag IS the
+    header's real name, so the anchor guards against e.g. a
+    ``Fake-X-Robots-Tag`` prefix instead)."""
+    headers, body = _http_string_parts(content_col)
+    hdr = F.lower(F.regexp_extract(
+        headers, r"(?im)^x-robots-tag:\s*([^\r\n]+)", 1))
+    hdr_no = hdr.contains("noindex") | hdr.contains("none")
+    meta = (r'(?is)<meta\s[^>]*name\s*=\s*["\']?robots\b[^>]*'
+            r'content\s*=\s*["\']?[^>"\']*\bnoindex')
+    meta_rev = (r'(?is)<meta\s[^>]*content\s*=\s*["\']?[^>"\']*'
+                r'\bnoindex[^>"\']*["\']?[^>]*name\s*=\s*["\']?robots\b')
+    return hdr_no | body.rlike(meta) | body.rlike(meta_rev)
+
+
+def compressibility(df: DataFrame, text_col: str = "text",
+                    ratio_col: str = "compress_ratio") -> DataFrame:
+    """Append zlib-compressed-size / UTF-8-size per document — the
+    classic redundancy signal the big pretraining pipelines gate on:
+    templated/spammy pages compress far below real prose (ratio well
+    under ~0.3 at zlib level 6), random/binary junk sits near 1.0, and
+    both tails are worth dropping. NULL/empty text -> NULL ratio.
+
+    This is genuinely Python-side work (there is no Catalyst deflate),
+    so it runs as an Arrow-batched pandas UDF — the sanctioned slow
+    path — over one column; everything around it stays codegen'd.
+    zlib level 6 is pinned: the ratio is only comparable corpus-wide
+    if every row pays the same effort."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    return df.withColumn(ratio_col, _ratio(F.col(text_col)))
+
+
 #: query parameters that never change page content — the tracking tails
 #: crawl pipelines strip before URL-keyed dedup
 #: NOTE: deliberately excludes "ref" — on major sites (code hosting

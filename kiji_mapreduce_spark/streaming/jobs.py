@@ -564,6 +564,9 @@ def stream_crawl_ingest(
     trigger_available_now: bool = True,
     batch_stats: list | None = None,
     media_output: str | None = None,
+    respect_noindex: bool = True,
+    blocked_domains=None,
+    url_patterns=None,
 ):
     """Continuous crawl ingest: watch ``input_glob`` for NEW WARC
     archives (the shape 100 TB crawls actually land in — segments
@@ -608,7 +611,8 @@ def stream_crawl_ingest(
     from kiji_mapreduce_spark.io.inputs import (BINARY_FILE_SCHEMA,
                                                 warc_records_from_files)
     from kiji_mapreduce_spark.pipeline.crawl import (crawl_documents,
-                                                     crawl_media)
+                                                     crawl_media,
+                                                     filter_blocked)
 
     files = (spark.readStream.format("binaryFile")
              .schema(BINARY_FILE_SCHEMA).load(input_glob))
@@ -619,7 +623,16 @@ def stream_crawl_ingest(
         recs = warc_records_from_files(batch_df, lenient=lenient)
         docs = crawl_documents(
             recs, batch_df.sparkSession, min_tokens=min_tokens,
-            psl_rules=psl_rules, heuristic_domains=heuristic_domains)
+            psl_rules=psl_rules, heuristic_domains=heuristic_domains,
+            respect_noindex=respect_noindex)
+        if blocked_domains or url_patterns:
+            # blocklists are per-RECORD work, so they stream naturally
+            # (unlike the corpus-level curation passes the CLI refuses
+            # to combine with --stream)
+            docs = filter_blocked(
+                docs, batch_df.sparkSession,
+                blocked_domains=blocked_domains,
+                url_patterns=url_patterns)
         part = f"{output_dir}/batch_id={batch_id}"
         docs.write.mode("overwrite").parquet(part)
         if media_output:

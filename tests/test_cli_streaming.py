@@ -2041,3 +2041,96 @@ def test_cli_curate_strip_boilerplate(spark, tmp_path, capsys):
              spark.read.parquet(f"{tmp_path}/out").collect()]
     assert all(header not in t for t in texts)
     assert all("quick brown fox" in t for t in texts)
+
+def test_cli_crawl_ingest_blocklists_and_noindex(spark, tmp_path,
+                                                 capsys):
+    """--block-domains / --block-urls drop matching documents (UT1
+    list format: one entry per line, # comments), noindex pages are
+    skipped and counted by default, and --keep-noindex ingests them."""
+    import json as _json
+
+    from tests.test_io import _warc_record
+
+    def resp(extra, body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + extra + b"\r\n" + body)
+
+    recs = (
+        _warc_record("response", "http://keep.example.com/a",
+                     resp(b"", b"<p>a perfectly fine page to keep</p>"))
+        + _warc_record("response", "http://tracker.ads-network.com/b",
+                       resp(b"", b"<p>blocked by its domain here</p>"))
+        + _warc_record("response", "http://keep.example.com/casino-x",
+                       resp(b"", b"<p>blocked by its url pattern</p>"))
+        + _warc_record("response", "http://priv.example.com/c",
+                       resp(b"X-Robots-Tag: noindex\r\n",
+                            b"<p>publisher opted out of machines</p>")))
+    d = tmp_path / "blwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(recs)
+    (bl := tmp_path / "domains.txt").write_text(
+        "# ad networks\nads-network.com\n\n")
+    (ul := tmp_path / "urls.txt").write_text("# gambling\ncasino\n")
+
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/bldocs",
+                   "--block-domains", str(bl), "--block-urls", str(ul),
+                   "--min-tokens", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 1
+    assert out["n_noindex"] == 1
+    rows = spark.read.parquet(f"{tmp_path}/bldocs").collect()
+    assert [r.url for r in rows] == ["http://keep.example.com/a"]
+
+    # --keep-noindex ingests the opted-out page (blocklists still apply)
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/bldocs2",
+                   "--block-domains", str(bl), "--block-urls", str(ul),
+                   "--keep-noindex", "--min-tokens", "2"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 2 and out["n_noindex"] == 0
+
+    # stream twin honors the same knobs
+    rc = cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                   "--output", f"{tmp_path}/blstream",
+                   "--checkpoint", f"{tmp_path}/blckpt", "--stream",
+                   "--block-domains", str(bl), "--block-urls", str(ul),
+                   "--min-tokens", "2"])
+    assert rc == 0
+    srows = spark.read.parquet(f"{tmp_path}/blstream").collect()
+    assert [r.url for r in srows] == ["http://keep.example.com/a"]
+
+
+def test_cli_curate_compress_ratio_flag(spark, tmp_path, capsys):
+    """--compress-ratio LO,HI gates on the zlib redundancy signal;
+    malformed specs are usage errors before any Spark work."""
+    import hashlib
+    import json as _json
+
+    import pytest as _pytest
+
+    spam = "buy now click here " * 200
+    prose = " ".join(
+        hashlib.sha256(bytes([i % 256, i // 256])).hexdigest()[:9]
+        for i in range(400))
+    spark.createDataFrame(
+        [(1, spam, "en"), (2, prose, "en")],
+        "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/cdocs")
+    rc = cli.main(["curate", "--input", f"{tmp_path}/cdocs",
+                   "--output", f"{tmp_path}/cout",
+                   "--min-quality", "0.0",
+                   "--compress-ratio", "0.2,0.95"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs_in"] == 2 and out["docs_out"] == 1
+    assert [r.doc_id for r in
+            spark.read.parquet(f"{tmp_path}/cout").collect()] == [2]
+    with _pytest.raises(SystemExit):
+        cli.main(["curate", "--input", "x", "--output", "y",
+                  "--compress-ratio", "high,low"])
+    with _pytest.raises(SystemExit):
+        cli.main(["curate", "--input", "x", "--output", "y",
+                  "--compress-ratio", "0.9,0.2"])

@@ -2455,3 +2455,123 @@ def test_webdataset_pack_empty_corpus(spark, tmp_path):
         empty, str(tmp_path / "shards"))
     assert manifest == []
     assert multimodal.pack_webdataset(empty).count() == 0
+
+def test_robots_noindex_detection(spark):
+    """X-Robots-Tag header and meta-robots tag (either attribute
+    order) flag noindex; lookalike headers and index-allowed pages do
+    not."""
+    from kiji_mapreduce_spark.pipeline.text import robots_noindex
+
+    def resp(extra_hdr, body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + extra_hdr + b"\r\n" + body)
+
+    rows = [
+        ("hdr", resp(b"X-Robots-Tag: noindex, nofollow\r\n",
+                     b"<p>secret page</p>")),
+        ("hdr_none", resp(b"X-Robots-Tag: none\r\n", b"<p>x</p>")),
+        ("meta", resp(b"", b"<html><head><meta name=\"robots\" "
+                      b"content=\"noindex\"></head><p>x</p>")),
+        ("meta_rev", resp(b"", b"<meta content='noindex,follow' "
+                          b"name='robots'><p>x</p>")),
+        ("meta_unquoted", resp(b"", b"<meta name=robots "
+                               b"content=noindex><p>x</p>")),
+        ("ok", resp(b"", b"<p>indexable page</p>")),
+        ("ok_follow", resp(b"X-Robots-Tag: noarchive\r\n",
+                           b"<meta name=\"robots\" "
+                           b"content=\"index,follow\"><p>x</p>")),
+        ("fake_hdr", resp(b"Fake-X-Robots-Tag: noindex\r\n",
+                          b"<p>x</p>")),
+        ("other_meta", resp(b"", b"<meta name=\"googlebot\" "
+                            b"content=\"noindex\"><p>x</p>")),
+        ("prose", resp(b"", b"<p>the word noindex in prose and even "
+                       b"robots too</p>")),
+    ]
+    df = spark.createDataFrame(rows, "k string, content binary")
+    got = {r.k: r.ni for r in df.select(
+        "k", robots_noindex(F.col("content")).alias("ni")).collect()}
+    assert got == {"hdr": True, "hdr_none": True, "meta": True,
+                   "meta_rev": True, "meta_unquoted": True,
+                   "ok": False, "ok_follow": False, "fake_hdr": False,
+                   "other_meta": False, "prose": False}
+
+
+def test_crawl_respects_noindex(spark, tmp_path):
+    """crawl_documents drops noindex pages by default (counted), and
+    keeps them under respect_noindex=False."""
+    from pyspark.sql import Observation
+
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+    from tests.test_io import _warc_record
+
+    ok = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          b"<p>public page with plenty of words here</p>")
+    private = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"X-Robots-Tag: noindex\r\n\r\n"
+               b"<p>publisher opted this page out of indexing</p>")
+    d = tmp_path / "niwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://pub.example.com/", ok)
+        + _warc_record("response", "http://priv.example.com/", private))
+    records = read_warc_records(spark, [str(d)])
+    obs = Observation("ni")
+    docs = crawl_documents(records, spark, rejects_observation=obs)
+    assert {r.url for r in docs.collect()} == {"http://pub.example.com/"}
+    assert dict(obs.get)["CRAWL_RECORDS_NOINDEX"] == 1
+    kept = crawl_documents(records, spark, respect_noindex=False)
+    assert kept.count() == 2
+
+
+def test_filter_blocked(spark):
+    """Domain blocklist (broadcast anti-join) + URL patterns (one
+    folded alternation); comments and blanks in the list are ignored;
+    NULL urls survive the pattern filter."""
+    from kiji_mapreduce_spark.pipeline.crawl import filter_blocked
+
+    docs = spark.createDataFrame(
+        [(1, "ads.example.com", "http://ads.example.com/x"),
+         (2, "news.example.org", "http://news.example.org/a"),
+         (3, "blog.example.net", "http://blog.example.net/casino-wins"),
+         (4, "shop.example.io", "http://shop.example.io/ok"),
+         (5, "nohost.example", None)],
+        "doc_id long, domain string, url string")
+    out = filter_blocked(
+        docs, spark,
+        blocked_domains=["# ad networks", "ADS.example.com", "",
+                         "  gone.example  "],
+        url_patterns=[r"casino", r"\bviagra\b"])
+    assert {r.doc_id for r in out.collect()} == {2, 4, 5}
+    # no lists = identity
+    assert filter_blocked(docs, spark).count() == 5
+
+
+def test_compressibility_signal(spark):
+    """Templated text compresses far below prose; NULL/empty yield
+    NULL ratios (and the curate gate passes them through to the
+    quality gate rather than eating them)."""
+    from kiji_mapreduce_spark.pipeline import curate as cur_mod
+    from kiji_mapreduce_spark.pipeline.text import compressibility
+
+    import hashlib
+
+    spam = "buy now click here " * 200
+    # genuinely varied text: distinct pseudo-words, nothing repeats
+    prose = " ".join(
+        hashlib.sha256(bytes([i % 256, i // 256])).hexdigest()[:9]
+        for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, None), (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.compress_ratio
+           for r in compressibility(docs).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1 < got[2]
+
+    cfg = cur_mod.CurateConfig(min_quality=0.0,
+                               compress_ratio_bounds=(0.2, 0.95))
+    out = cur_mod.curate_corpus(docs, config=cfg, materialize=False)
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 not in ids      # templated spam gated out
+    assert 2 in ids          # prose survives
