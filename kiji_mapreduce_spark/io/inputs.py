@@ -398,8 +398,8 @@ def _decode_http_payload(body: bytes) -> bytes:
     chunked = re.search(
         rb"(?im)^transfer-encoding:\s*chunked\s*$", headers)
     enc = re.search(
-        rb"(?im)^content-encoding:\s*(gzip|x-gzip|deflate|zstd)\s*$",
-        headers)
+        rb"(?im)^content-encoding:\s*(gzip|x-gzip|deflate|zstd|br)"
+        rb"\s*$", headers)
     if not chunked and not enc:
         return body
     decoded = payload
@@ -429,6 +429,21 @@ def _decode_http_payload(body: bytes) -> bytes:
         coding = enc.group(1).lower()
         if coding in (b"gzip", b"x-gzip"):
             inflated = _inflate_http_body(decoded, wbits=47)
+        elif coding == b"br":
+            # system-libbrotlidec path (io.brotli_codec): the format's
+            # static dictionary is data, not derivable spec, so there
+            # is no from-scratch fallback — without the library the
+            # body passes through and the crawl's still-encoded gate
+            # rejects-and-counts it exactly as before
+            from kiji_mapreduce_spark.io import brotli_codec
+
+            inflated = None
+            if brotli_codec.available():
+                try:
+                    inflated = brotli_codec.decompress(
+                        decoded, max_output=_MAX_INFLATE)
+                except ValueError:
+                    inflated = None
         elif coding == b"zstd":
             # pure-Python frame decoder (RFC 8878, io.zstd_codec) —
             # worst-case ~4 MB/s of output, so bound the COMPRESSED
