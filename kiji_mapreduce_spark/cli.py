@@ -424,10 +424,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "--psl=heuristic selects the expression-only "
                     "fallback")
     ci.add_argument("--block-domains", default=None, metavar="FILE",
-                    help="domain blocklist (one registered domain per "
+                    help="domain blocklist (one host or domain per "
                     "line, # comments — the UT1 category-list format): "
-                    "matching documents are dropped via a broadcast "
-                    "anti-join")
+                    "an entry blocks its exact host and every "
+                    "subdomain, via broadcast suffix anti-join")
     ci.add_argument("--block-urls", default=None, metavar="FILE",
                     help="URL-pattern blocklist (one case-insensitive "
                     "regex fragment per line): matching documents are "
@@ -957,18 +957,30 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "indexing and per-domain caps are corpus-level "
                     "passes — run them over the accumulated output "
                     "(--media-output streams fine: it is per-record)")
-        spark = make_session(app_name="kiji-crawl-ingest")
-
-        def _read_list(path):
+        def _read_list(flag, path):
+            # before any Spark work: a bad list path or pattern is a
+            # usage error, not a mid-startup traceback (r12 review
+            # finding; the --compress-ratio discipline)
             if not path:
                 return None
-            with open(path) as f:
-                lines = [ln.strip() for ln in f]
-            return [ln for ln in lines
-                    if ln and not ln.startswith("#")]
+            try:
+                with open(path) as f:
+                    return [ln.strip() for ln in f if ln.strip()]
+            except OSError as e:
+                p.error(f"{flag}: {e}")
 
-        block_domains = _read_list(args.block_domains)
-        block_urls = _read_list(args.block_urls)
+        block_domains = _read_list("--block-domains",
+                                   args.block_domains)
+        block_urls = _read_list("--block-urls", args.block_urls)
+        if block_urls:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                _clean_patterns
+
+            try:
+                _clean_patterns(block_urls)
+            except ValueError as e:
+                p.error(f"--block-urls: {e}")
+        spark = make_session(app_name="kiji-crawl-ingest")
         heuristic = args.psl == "heuristic"
         rules = None
         if not heuristic and args.psl:

@@ -114,7 +114,10 @@ def decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
                 if len(out) + produced > max_output:
                     raise ValueError(
                         "brotli: output over the caller's ceiling")
-                out += bytes(chunk[:produced])
+                # string_at copies the bytes directly; slicing a
+                # c_ubyte array builds a million-int Python list per
+                # chunk (r12 review finding)
+                out += ctypes.string_at(chunk, produced)
             if res == _RESULT_SUCCESS:
                 if avail_in.value:
                     raise ValueError(

@@ -75,11 +75,16 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     noindex = (robots_noindex(F.col("content"))
                if respect_noindex else F.lit(False))
     if rejects_observation is not None:
+        # each dropped row lands in exactly ONE counter (noindex only
+        # counts rows the encoding gate kept), so rejected + noindex +
+        # surviving docs reconciles against responses seen (r12 review
+        # finding)
         responses = responses.observe(
             rejects_observation,
             F.coalesce(F.sum(still.cast("long")), F.lit(0))
             .alias("CRAWL_RECORDS_REJECTED_ENCODED"),
-            F.coalesce(F.sum(noindex.cast("long")), F.lit(0))
+            F.coalesce(F.sum((noindex & ~still).cast("long")),
+                       F.lit(0))
             .alias("CRAWL_RECORDS_NOINDEX"),
             F.count(F.lit(1)).alias("CRAWL_RESPONSES_SEEN"))
     responses = responses.filter(still == F.lit(False)) \
@@ -179,37 +184,93 @@ def _still_encoded(content_col) -> "F.Column":
     return nonidentity & (~inflatable | dense | comp_magic)
 
 
+def blocklist_table(spark: SparkSession, entries) -> DataFrame:
+    """Comment/blank-stripped, lowercased, deduped blocklist entries as
+    a single-column DataFrame (``entry``) ready for
+    ``filter_blocked`` — build it ONCE for a streaming ingest so each
+    micro-batch reuses one broadcast instead of re-serializing the
+    full list per batch (r12 review finding)."""
+    clean = sorted({e.strip().lower() for e in (entries or ())
+                    if e and e.strip()
+                    and not e.lstrip().startswith("#")})
+    return spark.createDataFrame([(e,) for e in clean], "entry string")
+
+
+def _clean_patterns(url_patterns) -> list[str]:
+    """Comment/blank-strip URL patterns (same list hygiene as the
+    domain side — r12 review finding) and validate each fragment
+    compiles BEFORE it reaches an executor, where a bad regex would
+    only explode mid-job. Python's `re` accepts the conservative
+    fragment subset UT1-style lists use; Java-only syntax would pass
+    here and still fail lazily, but the common errors (unbalanced
+    groups, bad repeats) are caught up front."""
+    import re as _re
+
+    patterns = [p.strip() for p in (url_patterns or ())
+                if p and p.strip() and not p.lstrip().startswith("#")]
+    for p in patterns:
+        try:
+            _re.compile(p)
+        except _re.error as e:
+            raise ValueError(f"invalid URL blocklist pattern {p!r}: "
+                             f"{e}") from e
+    return patterns
+
+
 def filter_blocked(docs: DataFrame, spark: SparkSession,
                    blocked_domains=None, url_patterns=None,
                    domain_col: str = "domain",
-                   url_col: str = "url") -> DataFrame:
-    """Drop documents whose registered domain is on a blocklist or
-    whose URL matches a blocked pattern — the UT1/category-blocklist
-    stage every production crawl-curation pipeline runs (adult, spam,
-    malware categories ship as domain lists of 10^4-10^6 entries).
+                   url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose host/domain is on a blocklist or whose URL
+    matches a blocked pattern — the UT1/category-blocklist stage every
+    production crawl-curation pipeline runs (adult, spam, malware
+    categories ship as domain lists of 10^4-10^6 entries).
 
-    Scale shape: the domain list rides a BROADCAST anti-join (a
-    million 20-byte domains is ~20 MB — cheap against every executor;
-    for blocklists beyond broadcast range, build a
-    ``sketch.bloom_filter`` over the list and pre-filter with it —
-    bloom false positives DROP extra docs, the safe direction for a
-    blocklist). URL patterns fold into ONE ``rlike`` alternation so
-    the scan pays a single regex pass however many patterns arrive.
+    Matching follows UT1 semantics: an entry blocks its exact host AND
+    every subdomain — so ``ads.example.com`` blocks
+    ``tracker.ads.example.com`` but not ``example.com``, and a
+    registered-domain entry blocks the whole site. Implemented by
+    exploding each doc's bounded host-suffix chain (host labels ≥ 2,
+    typically ≤ 6 suffixes) plus its registered domain, equi-joining
+    the BROADCAST list, and anti-joining the hit ids back — the PSL
+    rule-join shape, never a per-entry scan. A plain equi-join on the
+    registered domain would silently never match host-level entries
+    (r12 review finding). For blocklists beyond broadcast range,
+    pre-filter with ``sketch.bloom_filter`` — bloom false positives
+    DROP extra docs, the safe direction for a blocklist.
 
-    ``blocked_domains``: iterable of registered domains (matched
-    exactly, lowercased — feed registered domains, not hosts, so
-    subdomains collapse the same way ``_with_domain`` collapses them).
-    ``url_patterns``: iterable of Java-regex fragments, case-
-    insensitive, unanchored (substring semantics like UT1 expressions
-    files)."""
+    URL patterns fold into ONE case-insensitive ``rlike`` alternation
+    (one regex pass however many patterns arrive), comment-stripped
+    and compile-validated up front."""
+    from kiji_mapreduce_spark.pipeline.text import url_host
+
     out = docs
-    domains = [d.strip().lower() for d in (blocked_domains or ())
-               if d and d.strip() and not d.lstrip().startswith("#")]
-    if domains:
-        bl = spark.createDataFrame([(d,) for d in sorted(set(domains))],
-                                   f"{domain_col} string")
-        out = out.join(F.broadcast(bl), on=domain_col, how="left_anti")
-    patterns = [p for p in (url_patterns or ()) if p]
+    bl = (blocked_domains if isinstance(blocked_domains, DataFrame)
+          else blocklist_table(spark, blocked_domains)
+          if blocked_domains else None)
+    if bl is not None:
+        host = F.lower(F.coalesce(url_host(F.col(url_col)),
+                                  F.col(domain_col)))
+        parts = F.split(host, r"\.")
+        n = F.size(parts)
+        # suffix chain only for >= 2 labels (sequence() would DESCEND
+        # for single-label hosts and slice() rejects start 0)
+        chain = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."))
+        ).otherwise(F.array(host))
+        suffixes = F.array_distinct(F.array_compact(F.array_union(
+            F.coalesce(chain, F.array()),
+            F.array(F.lower(F.col(domain_col))))))
+        hits = (out.select(id_col,
+                           F.explode(suffixes).alias("_suffix"))
+                .join(F.broadcast(bl.withColumnRenamed(
+                    bl.columns[0], "_suffix")), on="_suffix",
+                    how="leftsemi")
+                .select(id_col).distinct())
+        out = out.join(hits, on=id_col, how="left_anti")
+    patterns = _clean_patterns(url_patterns)
     if patterns:
         alternation = "(?i)" + "|".join(f"(?:{p})" for p in patterns)
         out = out.filter(~F.coalesce(
@@ -367,7 +428,8 @@ def _surely_media(ctype, content):
 
 def crawl_media(records: DataFrame, spark: SparkSession,
                 psl_rules=None,
-                heuristic_domains: bool = False) -> DataFrame:
+                heuristic_domains: bool = False,
+                respect_noindex: bool = True) -> DataFrame:
     """WARC record rows -> media-shaped rows (``MEDIA_COLUMNS``): the
     image/audio/video responses of a crawl, bodies extracted to raw
     bytes, typed by Content-Type with magic-byte sniffing as backstop —
@@ -396,6 +458,15 @@ def crawl_media(records: DataFrame, spark: SparkSession,
                         http_content_type(F.col("content")))
             .filter(_media_response(F.col("content_type"),
                                     F.col("content"))))
+    if respect_noindex:
+        # the publisher opt-out applies to the media half too —
+        # noimageindex is the image-specific directive (r12 review
+        # finding: honoring it for documents but not media was an
+        # inconsistent policy for the same opt-out)
+        from kiji_mapreduce_spark.pipeline.text import robots_noindex
+
+        cand = cand.filter(~robots_noindex(
+            F.col("content"), extra_directives=("noimageindex",)))
 
     schema = ("media_id long, url string, _host string, "
               "content_type string, kind string, warc_date string, "

@@ -383,7 +383,8 @@ def http_html_text(df: DataFrame, content_col: str = "content",
         .withColumn(text_col, text)
 
 
-def robots_noindex(content_col: Column) -> Column:
+def robots_noindex(content_col: Column,
+                   extra_directives: tuple = ()) -> Column:
     """True when the response tells robots not to index it: an
     ``X-Robots-Tag: ... noindex ...`` response header (RFC 9309's
     HTTP-level twin) or a ``<meta name="robots" content="...noindex
@@ -393,19 +394,25 @@ def robots_noindex(content_col: Column) -> Column:
     standard crawl-curation stacks drop these rows at ingest.
 
     Pure Catalyst over the RAW payload string (the meta tag must be
-    probed before ``http_html_text`` strips tags); the header regex is
+    probed before ``http_html_text`` strips tags); the header probe is
     line-anchored like every other header probe (the r11
     X-Content-Encoding lesson does not recur: X-Robots-Tag IS the
     header's real name, so the anchor guards against e.g. a
-    ``Fake-X-Robots-Tag`` prefix instead)."""
+    ``Fake-X-Robots-Tag`` prefix instead) and matches EVERY
+    X-Robots-Tag line, not just the first — repeated headers are legal
+    and common (one per directive or per user agent; r12 review
+    finding). ``none`` counts as noindex in both forms, per its
+    documented meaning. ``extra_directives`` widens the set — the
+    media half of the ingest passes ``("noimageindex",)``."""
+    directives = "|".join(("noindex", "none") + tuple(extra_directives))
     headers, body = _http_string_parts(content_col)
-    hdr = F.lower(F.regexp_extract(
-        headers, r"(?im)^x-robots-tag:\s*([^\r\n]+)", 1))
-    hdr_no = hdr.contains("noindex") | hdr.contains("none")
+    hdr_no = headers.rlike(
+        rf"(?im)^x-robots-tag:[^\r\n]*\b(?:{directives})\b")
     meta = (r'(?is)<meta\s[^>]*name\s*=\s*["\']?robots\b[^>]*'
-            r'content\s*=\s*["\']?[^>"\']*\bnoindex')
+            rf'content\s*=\s*["\']?[^>"\']*\b(?:{directives})\b')
     meta_rev = (r'(?is)<meta\s[^>]*content\s*=\s*["\']?[^>"\']*'
-                r'\bnoindex[^>"\']*["\']?[^>]*name\s*=\s*["\']?robots\b')
+                rf'\b(?:{directives})\b[^>"\']*["\']?[^>]*'
+                r'name\s*=\s*["\']?robots\b')
     return hdr_no | body.rlike(meta) | body.rlike(meta_rev)
 
 

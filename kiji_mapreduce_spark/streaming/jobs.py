@@ -610,12 +610,18 @@ def stream_crawl_ingest(
     """
     from kiji_mapreduce_spark.io.inputs import (BINARY_FILE_SCHEMA,
                                                 warc_records_from_files)
-    from kiji_mapreduce_spark.pipeline.crawl import (crawl_documents,
+    from kiji_mapreduce_spark.pipeline.crawl import (blocklist_table,
+                                                     crawl_documents,
                                                      crawl_media,
                                                      filter_blocked)
 
     files = (spark.readStream.format("binaryFile")
              .schema(BINARY_FILE_SCHEMA).load(input_glob))
+    # the blocklist table is static for the stream's lifetime: build
+    # (and broadcast) it ONCE here, not per micro-batch (r12 review
+    # finding — re-serializing a UT1-scale list every batch)
+    bl_table = (blocklist_table(spark, blocked_domains)
+                if blocked_domains else None)
 
     def _process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -625,13 +631,13 @@ def stream_crawl_ingest(
             recs, batch_df.sparkSession, min_tokens=min_tokens,
             psl_rules=psl_rules, heuristic_domains=heuristic_domains,
             respect_noindex=respect_noindex)
-        if blocked_domains or url_patterns:
+        if bl_table is not None or url_patterns:
             # blocklists are per-RECORD work, so they stream naturally
             # (unlike the corpus-level curation passes the CLI refuses
             # to combine with --stream)
             docs = filter_blocked(
                 docs, batch_df.sparkSession,
-                blocked_domains=blocked_domains,
+                blocked_domains=bl_table,
                 url_patterns=url_patterns)
         part = f"{output_dir}/batch_id={batch_id}"
         docs.write.mode("overwrite").parquet(part)

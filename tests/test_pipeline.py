@@ -2486,6 +2486,14 @@ def test_robots_noindex_detection(spark):
                             b"content=\"noindex\"><p>x</p>")),
         ("prose", resp(b"", b"<p>the word noindex in prose and even "
                        b"robots too</p>")),
+        # repeated headers are legal: only the SECOND carries noindex
+        ("hdr_repeat", resp(b"X-Robots-Tag: noarchive\r\n"
+                            b"X-Robots-Tag: noindex\r\n",
+                            b"<p>x</p>")),
+        # meta 'none' == noindex,nofollow (the header twin already
+        # treated it so)
+        ("meta_none", resp(b"", b"<meta name=\"robots\" "
+                           b"content=\"none\"><p>x</p>")),
     ]
     df = spark.createDataFrame(rows, "k string, content binary")
     got = {r.k: r.ni for r in df.select(
@@ -2493,7 +2501,8 @@ def test_robots_noindex_detection(spark):
     assert got == {"hdr": True, "hdr_none": True, "meta": True,
                    "meta_rev": True, "meta_unquoted": True,
                    "ok": False, "ok_follow": False, "fake_hdr": False,
-                   "other_meta": False, "prose": False}
+                   "other_meta": False, "prose": False,
+                   "hdr_repeat": True, "meta_none": True}
 
 
 def test_crawl_respects_noindex(spark, tmp_path):
@@ -2523,6 +2532,33 @@ def test_crawl_respects_noindex(spark, tmp_path):
     kept = crawl_documents(records, spark, respect_noindex=False)
     assert kept.count() == 2
 
+    # the media half honors the same opt-out, plus the image-specific
+    # noimageindex directive (r12 review finding: documents honored
+    # the publisher opt-out but the same archive's media did not)
+    from kiji_mapreduce_spark.pipeline import media_codecs
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_media
+
+    png = media_codecs.encode_png(
+        __import__("numpy").zeros((4, 4), dtype="uint8"))
+
+    def img(extra):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                + extra + b"\r\n" + png)
+
+    (d / "b.warc").write_bytes(
+        _warc_record("response", "http://img.example.com/keep.png",
+                     img(b""))
+        + _warc_record("response", "http://img.example.com/no.png",
+                       img(b"X-Robots-Tag: noimageindex\r\n"))
+        + _warc_record("response", "http://img.example.com/ni.png",
+                       img(b"X-Robots-Tag: noindex\r\n")))
+    media_recs = read_warc_records(spark, [str(d / "b.warc")])
+    media = crawl_media(media_recs, spark)
+    assert {r.url for r in media.collect()} == {
+        "http://img.example.com/keep.png"}
+    assert crawl_media(media_recs, spark,
+                       respect_noindex=False).count() == 3
+
 
 def test_filter_blocked(spark):
     """Domain blocklist (broadcast anti-join) + URL patterns (one
@@ -2541,10 +2577,29 @@ def test_filter_blocked(spark):
         docs, spark,
         blocked_domains=["# ad networks", "ADS.example.com", "",
                          "  gone.example  "],
-        url_patterns=[r"casino", r"\bviagra\b"])
+        url_patterns=["# gambling", r"casino", r"\bviagra\b"])
     assert {r.doc_id for r in out.collect()} == {2, 4, 5}
     # no lists = identity
     assert filter_blocked(docs, spark).count() == 5
+
+    # UT1 semantics: an entry blocks its exact host AND subdomains,
+    # but never the parent (r12 review finding: a host-level entry
+    # silently never matched the registered-domain equi-join)
+    docs2 = spark.createDataFrame(
+        [(1, "example.com", "http://ads.example.com/x"),
+         (2, "example.com", "http://tracker.ads.example.com/y"),
+         (3, "example.com", "http://www.example.com/z"),
+         (4, "ads.example.net", None)],  # NULL url: domain matches
+        "doc_id long, domain string, url string")
+    out2 = filter_blocked(docs2, spark,
+                          blocked_domains=["ads.example.com",
+                                           "ads.example.net"])
+    assert {r.doc_id for r in out2.collect()} == {3}
+    # invalid pattern = loud error before any executor sees it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid URL"):
+        filter_blocked(docs, spark, url_patterns=["(unbalanced"])
 
 
 def test_compressibility_signal(spark):
