@@ -219,11 +219,19 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 
 # r12 round-end note: registry 99 -> 100 (shard_ingest_members added
 # into the window's slack slot — the r11 judge's ranked use for it).
-# Tail queries whose shared paths were touched this round: the tar
-# stream reader's except tuple gained TypeError (io/inputs.py) — a
-# strictly-wider catch that changes no successfully-parsed output, so
-# no tail plan or value changes; re-driven in the round-end full
-# sf0.01 drive regardless (see PROGRESS/PERF).
+# Tail/window queries whose shared paths were touched this round:
+# (a) the tar stream reader's except tuple gained TypeError and was
+# restructured to scope the corrupt-wrap to tarfile internals —
+# strictly-wider/equivalent catch, no parsed-output change; (b) the
+# crawl ingest gained zstd/brotli body decode, the mislabeled-identity
+# sniff, and the default-on robots-noindex gate — ALL input-gated:
+# the documents-table crawl fixtures carry no Content-Encoding
+# headers, no robots directives, and no blocklists are configured in
+# any registry query, so crawl_registered_domain / crawl_html_extract
+# plans filter on expressions that are constant-False over their
+# inputs. Verified, not assumed: the round-end FULL-registry sf0.01
+# drive (chunked 3x34) ran on the final tree — 100/100 consistent
+# (see PROGRESS/PERF).
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
