@@ -232,6 +232,19 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 # inputs. Verified, not assumed: the round-end FULL-registry sf0.01
 # drive (chunked 3x34) ran on the final tree — 100/100 consistent
 # (see PROGRESS/PERF).
+#
+# r13 slack note: at 100 queries the window is fully determined (the
+# 50 r11-green tail queries rotate in, zero slack). If r13 needs a
+# slot, the strongest retirement candidates for the judge to rule on:
+# (a) knn_cosine_topk — its brute-force path IS knn_recall_ivf's
+#     ground truth (same similarity.brute_force_topk call, oracle
+#     embeds SQL_KNN_COSINE verbatim), so the code path stays
+#     oracle-exercised; only the neighbor-list output shape is lost;
+# (b) text_byte_stats — a 3-expression scalar surface whose siblings
+#     (text_token_count, sql_surface_big_spenders, entity_key_hash)
+#     keep the scalar-function family covered.
+# Do NOT retire unilaterally mid-round without noting it for the
+# judge (the r11 retirements were judge-endorsed first).
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
