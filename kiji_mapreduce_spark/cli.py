@@ -340,6 +340,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "repetition bounds (duplicate line/paragraph "
                     "fractions; top/duplicated word-n-gram character "
                     "mass)")
+    cu.add_argument("--survivor-by-quality", action="store_true",
+                    help="keep each near-dup cluster's HIGHEST-"
+                    "quality_score member instead of its minimum id "
+                    "(with --near-threshold)")
     cu.add_argument("--compress-ratio", default=None, metavar="LO,HI",
                     help="keep only documents whose zlib compression "
                     "ratio lies in [LO,HI] (templated/spammy pages "
@@ -762,6 +766,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             strip_boilerplate=args.strip_boilerplate,
             gopher_rules=args.gopher,
             gopher_repetition=args.gopher_repetition,
+            survivor_by_quality=args.survivor_by_quality,
             compress_ratio_bounds=ratio_bounds)
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)

@@ -61,6 +61,12 @@ class CurateConfig:
     #: fractions per-row, top/duplicated n-gram mass via one id-keyed
     #: shuffle). False = off
     gopher_repetition: bool = False
+    #: near-dedup survivor policy: False = the group's minimum id
+    #: (cheapest — no score join); True = the group's HIGHEST
+    #: quality_score member (``dedup.best_survivors``) — the retained
+    #: copy of a duplicate cluster should be its cleanest, and the
+    #: score is already computed by the quality stage above
+    survivor_by_quality: bool = False
     #: optional (lo, hi) bounds on the zlib compression ratio
     #: (``text.compressibility``): documents compressing below ``lo``
     #: are templated/spammy, above ``hi`` near-random junk — the
@@ -182,9 +188,16 @@ def curate_corpus(
         pairs = dedup.minhash_dedup(
             kept, text_col, id_col, threshold=cfg.near_threshold,
             hash_fn=cfg.hash_fn)
-        groups = dedup.connected_keep_ids(pairs)
-        losers = groups.filter(F.col("doc_id") != F.col("keep_id")) \
-            .select(F.col("doc_id").alias(id_col))
+        if cfg.survivor_by_quality:
+            mapping = dedup.best_survivors(kept, pairs,
+                                           "quality_score", id_col)
+            losers = mapping.filter(
+                F.col(id_col) != F.col("survivor_id")).select(id_col)
+        else:
+            groups = dedup.connected_keep_ids(pairs)
+            losers = groups.filter(
+                F.col("doc_id") != F.col("keep_id")) \
+                .select(F.col("doc_id").alias(id_col))
         kept = kept.join(losers, on=id_col, how="left_anti")
     if benchmark is not None:
         kept = kept.join(benchmark.select(id_col), on=id_col,

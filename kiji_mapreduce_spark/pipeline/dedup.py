@@ -831,6 +831,36 @@ def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
     return labels
 
 
+def best_survivors(docs: DataFrame, pairs: DataFrame, score_col: str,
+                   id_col: str = "doc_id",
+                   max_iters: int = 10) -> DataFrame:
+    """Map every id appearing in near-dup ``pairs`` to its group's
+    HIGHEST-``score_col`` member — the production refinement over
+    min-id survivors: the retained copy of a duplicate cluster should
+    be its cleanest (highest quality score, longest, least boilerplate
+    — whatever the caller scored), not whichever happened to hash
+    lowest. Ties break to the highest id (deterministic; a negated-id
+    tiebreak would overflow ANSI arithmetic on BIGINT MIN ids).
+
+    Returns (``id_col``, survivor_id). Every paired id must exist in
+    ``docs`` with a non-null score — the caller derives ``pairs`` from
+    the same frame, as ``curate_corpus`` does.
+
+    Scale shape: the grouping reuses ``connected_keep_ids`` (pointer-
+    jumped label propagation); the winner pick is one partial-agg
+    ``max_by`` groupBy over the PAIRED ids only (a small fraction of
+    any real corpus), then a broadcast-friendly label join back."""
+    labels = connected_keep_ids(pairs, max_iters=max_iters)
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(score_col).alias("_score")), on="doc_id")
+    winners = (scored.groupBy("keep_id")
+               .agg(F.max_by("doc_id", F.struct("_score", "doc_id"))
+                    .alias("survivor_id")))
+    return (labels.join(winners, on="keep_id")
+            .select(F.col("doc_id").alias(id_col), "survivor_id"))
+
+
 def dedup_corpus(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,

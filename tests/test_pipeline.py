@@ -2630,3 +2630,43 @@ def test_compressibility_signal(spark):
     ids = {r.doc_id for r in out.collect()}
     assert 1 not in ids      # templated spam gated out
     assert 2 in ids          # prose survives
+
+def test_best_survivors_quality_policy(spark):
+    """Near-dup clusters keep their HIGHEST-scoring member under
+    survivor_by_quality (min-id otherwise): direct best_survivors
+    semantics incl. the deterministic tie-break, then the curate
+    wiring end-to-end."""
+    from kiji_mapreduce_spark.pipeline import curate as cur_mod
+    from kiji_mapreduce_spark.pipeline.dedup import best_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        "doc_id long, score double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    m = {r.doc_id: r.survivor_id
+         for r in best_survivors(docs, pairs, "score").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> highest id wins (3)
+    assert m == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10}
+
+    # end-to-end: two near-identical docs where the higher-quality
+    # copy has the HIGHER id — min-id policy keeps 1, quality policy
+    # keeps 2
+    base = " ".join(f"distinct{i} common word" for i in range(40))
+    noisy = base + " @@@@ ####"
+    corpus = spark.createDataFrame(
+        [(1, noisy, "en"), (2, base, "en"),
+         (3, "an unrelated document about entirely different "
+             "matters with its own words", "en")],
+        "doc_id long, text string, lang string")
+    keep_min = cur_mod.curate_corpus(
+        corpus, config=cur_mod.CurateConfig(
+            min_quality=0.0, near_threshold=0.5),
+        materialize=False)
+    assert {r.doc_id for r in keep_min.collect()} == {1, 3}
+    keep_best = cur_mod.curate_corpus(
+        corpus, config=cur_mod.CurateConfig(
+            min_quality=0.0, near_threshold=0.5,
+            survivor_by_quality=True),
+        materialize=False)
+    assert {r.doc_id for r in keep_best.collect()} == {2, 3}
