@@ -1045,10 +1045,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                                heuristic_domains=heuristic,
                                rejects_observation=rej_obs,
                                respect_noindex=not args.keep_noindex)
-        if block_domains or block_urls:
-            from kiji_mapreduce_spark.pipeline.crawl import \
-                filter_blocked
+        from kiji_mapreduce_spark.pipeline.crawl import filter_blocked
 
+        if block_domains or block_urls:
+            # pin the parse before the blocklist's suffix semi-join
+            # reads docs on BOTH sides (the diamond discipline): one
+            # WARC parse instead of two, and the eager action collects
+            # the observation exactly once — leaving the observed
+            # CollectMetrics inside both branches crashed
+            # Observation.get when AQE emptied one side (measured:
+            # all-media archive + blocklists)
+            docs = docs.localCheckpoint(eager=True)
             docs = filter_blocked(docs, spark,
                                   blocked_domains=block_domains,
                                   url_patterns=block_urls)
@@ -1120,9 +1127,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             # non-media payloads from ever crossing into Python
             from kiji_mapreduce_spark.pipeline.crawl import crawl_media
 
-            crawl_media(recs, spark, psl_rules=rules,
-                        heuristic_domains=heuristic) \
-                .write.mode("overwrite").parquet(args.media_output)
+            media_rows = crawl_media(
+                recs, spark, psl_rules=rules,
+                heuristic_domains=heuristic,
+                respect_noindex=not args.keep_noindex)
+            if block_domains or block_urls:
+                # the blocklists police the SAME publishers for both
+                # halves of the ingest (the noindex-consistency rule)
+                media_rows = filter_blocked(
+                    media_rows, spark, blocked_domains=block_domains,
+                    url_patterns=block_urls, id_col="media_id")
+            media_rows.write.mode("overwrite").parquet(
+                args.media_output)
             media = spark.read.parquet(args.media_output)
             stats["media"] = args.media_output
             stats["media_counts"] = {

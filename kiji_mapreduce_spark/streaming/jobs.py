@@ -634,7 +634,10 @@ def stream_crawl_ingest(
         if bl_table is not None or url_patterns:
             # blocklists are per-RECORD work, so they stream naturally
             # (unlike the corpus-level curation passes the CLI refuses
-            # to combine with --stream)
+            # to combine with --stream). Pin before the suffix
+            # semi-join reads docs on both sides — one WARC parse per
+            # batch, not two (the batch CLI's diamond discipline)
+            docs = docs.localCheckpoint(eager=True)
             docs = filter_blocked(
                 docs, batch_df.sparkSession,
                 blocked_domains=bl_table,
@@ -642,11 +645,17 @@ def stream_crawl_ingest(
         part = f"{output_dir}/batch_id={batch_id}"
         docs.write.mode("overwrite").parquet(part)
         if media_output:
-            crawl_media(recs, batch_df.sparkSession,
-                        psl_rules=psl_rules,
-                        heuristic_domains=heuristic_domains) \
-                .write.mode("overwrite").parquet(
-                    f"{media_output}/batch_id={batch_id}")
+            media_rows = crawl_media(
+                recs, batch_df.sparkSession, psl_rules=psl_rules,
+                heuristic_domains=heuristic_domains,
+                respect_noindex=respect_noindex)
+            if bl_table is not None or url_patterns:
+                media_rows = filter_blocked(
+                    media_rows, batch_df.sparkSession,
+                    blocked_domains=bl_table,
+                    url_patterns=url_patterns, id_col="media_id")
+            media_rows.write.mode("overwrite").parquet(
+                f"{media_output}/batch_id={batch_id}")
         if batch_stats is not None:
             # foreachBatch is at-least-once: a batch replayed after a
             # failure re-enters here with the SAME batch_id. The parquet

@@ -2102,6 +2102,34 @@ def test_cli_crawl_ingest_blocklists_and_noindex(spark, tmp_path,
     srows = spark.read.parquet(f"{tmp_path}/blstream").collect()
     assert [r.url for r in srows] == ["http://keep.example.com/a"]
 
+    # the media half is policed by the SAME blocklists + opt-out
+    from kiji_mapreduce_spark.pipeline import media_codecs
+
+    png = media_codecs.encode_png(
+        __import__("numpy").zeros((4, 4), dtype="uint8"))
+
+    def img(extra):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                + extra + b"\r\n" + png)
+
+    (d2 := tmp_path / "blmedia").mkdir()
+    (d2 / "m.warc").write_bytes(
+        _warc_record("response", "http://keep.example.com/i.png",
+                     img(b""))
+        + _warc_record("response",
+                       "http://tracker.ads-network.com/i.png", img(b""))
+        + _warc_record("response", "http://keep.example.com/ni.png",
+                       img(b"X-Robots-Tag: noimageindex\r\n")))
+    rc = cli.main(["crawl-ingest", "--input", str(d2),
+                   "--output", f"{tmp_path}/bmdocs",
+                   "--media-output", f"{tmp_path}/bmmedia",
+                   "--block-domains", str(bl), "--block-urls", str(ul),
+                   "--min-tokens", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    media = spark.read.parquet(f"{tmp_path}/bmmedia").collect()
+    assert [r.url for r in media] == ["http://keep.example.com/i.png"]
+
 
 def test_cli_curate_compress_ratio_flag(spark, tmp_path, capsys):
     """--compress-ratio LO,HI gates on the zlib redundancy signal;
