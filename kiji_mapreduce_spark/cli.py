@@ -451,6 +451,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     ci.add_argument("--near-threshold", type=float, default=None,
                     help="MinHash near-dup Jaccard threshold for the "
                     "curation dedup stage (default: exact dedup only)")
+    ci.add_argument("--survivor-by-quality", action="store_true",
+                    help="with --near-threshold: keep each near-dup "
+                    "cluster's HIGHEST-quality_score member instead "
+                    "of its minimum id")
     ci.add_argument("--splits", default=None,
                     help='train/val/test assignment after curation, '
                     'e.g. "train=0.9,val=0.05,test=0.05" (leakage-'
@@ -1045,19 +1049,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                                heuristic_domains=heuristic,
                                rejects_observation=rej_obs,
                                respect_noindex=not args.keep_noindex)
-        from kiji_mapreduce_spark.pipeline.crawl import filter_blocked
+        from kiji_mapreduce_spark.pipeline.crawl import (
+            blocklist_table, filter_blocked)
 
-        if block_domains or block_urls:
-            # pin the parse before the blocklist's suffix semi-join
-            # reads docs on BOTH sides (the diamond discipline): one
-            # WARC parse instead of two, and the eager action collects
-            # the observation exactly once — leaving the observed
-            # CollectMetrics inside both branches crashed
-            # Observation.get when AQE emptied one side (measured:
-            # all-media archive + blocklists)
-            docs = docs.localCheckpoint(eager=True)
+        # the blocklist table is built+broadcast ONCE per run — the
+        # docs and media halves share it (the streaming twin's
+        # discipline)
+        bl_table = (blocklist_table(spark, block_domains)
+                    if block_domains else None)
+        if bl_table is not None or block_urls:
+            if bl_table is not None:
+                # pin the parse before the domain blocklist's suffix
+                # semi-join reads docs on BOTH sides (the diamond
+                # discipline): one WARC parse instead of two, and the
+                # eager action collects the observation exactly once —
+                # leaving the observed CollectMetrics inside both
+                # branches crashed Observation.get when AQE emptied a
+                # side (measured: all-media archive + blocklists).
+                # The URL-pattern-only path is a plain one-pass filter:
+                # no diamond, no pin
+                docs = docs.localCheckpoint(eager=True)
             docs = filter_blocked(docs, spark,
-                                  blocked_domains=block_domains,
+                                  blocked_domains=bl_table,
                                   url_patterns=block_urls)
         if args.max_docs_per_domain > 0:
             from kiji_mapreduce_spark.pipeline.sample import stratum_topk
@@ -1076,6 +1089,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             cfg = cur_mod.CurateConfig(
                 min_quality=args.min_quality,
                 near_threshold=args.near_threshold,
+                survivor_by_quality=args.survivor_by_quality,
                 strata_col="domain",
                 splits=(_parse_splits(p, args.splits)
                         if args.splits else None))
@@ -1131,11 +1145,16 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 recs, spark, psl_rules=rules,
                 heuristic_domains=heuristic,
                 respect_noindex=not args.keep_noindex)
-            if block_domains or block_urls:
+            if bl_table is not None or block_urls:
                 # the blocklists police the SAME publishers for both
-                # halves of the ingest (the noindex-consistency rule)
+                # halves of the ingest (the noindex-consistency rule);
+                # same shared table, same diamond pin — unpinned, the
+                # archive parse + Python media extraction would run
+                # twice
+                if bl_table is not None:
+                    media_rows = media_rows.localCheckpoint(eager=True)
                 media_rows = filter_blocked(
-                    media_rows, spark, blocked_domains=block_domains,
+                    media_rows, spark, blocked_domains=bl_table,
                     url_patterns=block_urls, id_col="media_id")
             media_rows.write.mode("overwrite").parquet(
                 args.media_output)

@@ -634,10 +634,12 @@ def stream_crawl_ingest(
         if bl_table is not None or url_patterns:
             # blocklists are per-RECORD work, so they stream naturally
             # (unlike the corpus-level curation passes the CLI refuses
-            # to combine with --stream). Pin before the suffix
-            # semi-join reads docs on both sides — one WARC parse per
-            # batch, not two (the batch CLI's diamond discipline)
-            docs = docs.localCheckpoint(eager=True)
+            # to combine with --stream). The DOMAIN join reads docs on
+            # both sides, so pin first — one WARC parse per batch, not
+            # two; the URL-pattern-only path is a single-pass filter
+            # with no diamond and skips the pin
+            if bl_table is not None:
+                docs = docs.localCheckpoint(eager=True)
             docs = filter_blocked(
                 docs, batch_df.sparkSession,
                 blocked_domains=bl_table,
@@ -650,6 +652,10 @@ def stream_crawl_ingest(
                 heuristic_domains=heuristic_domains,
                 respect_noindex=respect_noindex)
             if bl_table is not None or url_patterns:
+                # same diamond pin as the docs half: unpinned, the
+                # archive parse + media extraction would run twice
+                if bl_table is not None:
+                    media_rows = media_rows.localCheckpoint(eager=True)
                 media_rows = filter_blocked(
                     media_rows, batch_df.sparkSession,
                     blocked_domains=bl_table,

@@ -2130,6 +2130,18 @@ def test_cli_crawl_ingest_blocklists_and_noindex(spark, tmp_path,
     media = spark.read.parquet(f"{tmp_path}/bmmedia").collect()
     assert [r.url for r in media] == ["http://keep.example.com/i.png"]
 
+    # and the STREAMING media branch applies the same policy
+    rc = cli.main(["crawl-ingest", "--input", f"{d2}/*.warc",
+                   "--output", f"{tmp_path}/smdocs",
+                   "--media-output", f"{tmp_path}/smmedia",
+                   "--checkpoint", f"{tmp_path}/smckpt", "--stream",
+                   "--block-domains", str(bl), "--block-urls", str(ul),
+                   "--min-tokens", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    smedia = spark.read.parquet(f"{tmp_path}/smmedia").collect()
+    assert [r.url for r in smedia] == ["http://keep.example.com/i.png"]
+
 
 def test_cli_curate_compress_ratio_flag(spark, tmp_path, capsys):
     """--compress-ratio LO,HI gates on the zlib redundancy signal;
