@@ -330,6 +330,16 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="strip lines appearing in more than FRAC of "
                     "documents (site templates: nav/cookie/footer) "
                     "BEFORE quality scoring")
+    cu.add_argument("--c4", action="store_true",
+                    help="apply the published C4 cleaning rules "
+                    "(terminal-punctuation/short/javascript line "
+                    "removal, then the lorem-ipsum/curly-brace/"
+                    "sentence-count page rules) before quality "
+                    "scoring; rewrites the text column")
+    cu.add_argument("--c4-bad-words", default=None, metavar="FILE",
+                    help="newline-separated word blocklist for C4's "
+                    "bad-word page rule (the paper's external public "
+                    "list, caller-supplied)")
     cu.add_argument("--gopher", action="store_true",
                     help="apply the published Gopher document rules "
                     "(word-count/word-shape bounds, symbol/bullet/"
@@ -768,6 +778,12 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                            if args.quality_model else None),
             min_prob=args.min_prob,
             strip_boilerplate=args.strip_boilerplate,
+            c4_rules=args.c4,
+            c4_bad_words=(
+                [w.strip() for w in open(args.c4_bad_words,
+                                         encoding="utf-8")
+                 if w.strip()]
+                if args.c4_bad_words else None),
             gopher_rules=args.gopher,
             gopher_repetition=args.gopher_repetition,
             survivor_by_quality=args.survivor_by_quality,

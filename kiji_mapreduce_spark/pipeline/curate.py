@@ -50,6 +50,17 @@ class CurateConfig:
     #: gate honest. None = off; a float is the max document-frequency
     #: fraction a line may appear in before it is boilerplate
     strip_boilerplate: float | None = None
+    #: apply the published C4 cleaning rules (``text.c4_filter``:
+    #: line-level terminal-punctuation/short-line/javascript removal,
+    #: then the lorem-ipsum/curly-brace/sentence-count page rules over
+    #: the cleaned text — Raffel et al. 2020 §2.2). Rewrites
+    #: ``text_col`` for every later stage, exactly like the published
+    #: pipeline. False = off
+    c4_rules: bool = False
+    #: optional bad-word list for C4's blocklist page rule (the paper
+    #: uses an external public list this engine does not ship); only
+    #: read when ``c4_rules`` is on
+    c4_bad_words: list[str] | None = None
     #: apply the published Gopher document rules
     #: (``text.gopher_quality_filter``) BEFORE heuristic quality
     #: scoring — the standard pretraining pre-gate (word-count and
@@ -110,6 +121,12 @@ def curate_corpus(
             docs, text_col=text_col, id_col=id_col,
             max_doc_frac=cfg.strip_boilerplate
         ).drop("n_lines_dropped")
+    if cfg.c4_rules:
+        # C4 rewrites the text (line removal), so it runs before any
+        # stage that scores it; after boilerplate stripping, whose
+        # frequency threshold wants the original lines
+        docs = text_ops.c4_filter(docs, text_col=text_col,
+                                  bad_words=cfg.c4_bad_words)
     if cfg.gopher_rules:
         # after boilerplate stripping (template lines inflate the
         # bullet/symbol ratios), before scoring: the rules are a

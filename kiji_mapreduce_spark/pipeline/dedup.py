@@ -1343,3 +1343,94 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                .otherwise(F.coalesce(F.col("_bl_text"), F.lit(""))))
            .drop("_bl_id", "_bl_text", "_bl_kept"))
     return out
+
+
+def c4_span_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  span_sentences: int = 3,
+                  hash_fn: str = "xx",
+                  materialize: bool = True) -> DataFrame:
+    """C4's corpus-level dedup (Raffel et al. 2020 §2.2): "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set". Every sliding ``span_sentences``-long
+    sentence window is hashed (lowercased, whitespace-collapsed);
+    for each hash the globally FIRST occurrence — minimum (id,
+    position), deterministic under any partitioning — keeps its text
+    and every other occurrence has its sentences removed. Documents
+    come back with ``text_col`` rebuilt from the surviving sentences
+    (joined with a single space — the span comparison already
+    normalized whitespace) plus ``c4_sentences_dropped``.
+
+    Scale shape: sentences and spans are built as per-row ARRAY
+    expressions (zero shuffle) and only (id, pos, span_hash) longs
+    explode. Three hash-keyed shuffles total, all partial-agg
+    friendly: winner-per-hash (min over the span-hash group — a
+    viral boilerplate span collapses map-side, no skew), removal
+    positions per doc (unique-key groupBy), and the id-keyed
+    reattachment join. The exploded span table feeds both the winner
+    aggregation and the loser anti-side — a diamond, pinned once
+    under ``materialize`` (the ``drop_boilerplate_lines``
+    discipline). Within-document repeats are deduped by the same
+    rule (first position wins). Removing a losing span removes ALL
+    its sentences even where it overlaps a winning span in the same
+    document — the greedy semantics of the original implementation.
+    NULL text stays NULL. Complements ``drop_boilerplate_lines``
+    (line-granular, frequency-thresholded) with the published
+    span-granular remove-all-but-one rule.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # sentence split that keeps the terminal punctuation attached:
+    # break AFTER .!? runs followed by whitespace (Java lookbehind)
+    sents = F.filter(F.split(t, r"(?<=[.!?])\s+"),
+                     lambda s: s.rlike(r"\S"))
+    n = F.size(sents)
+    k = span_sentences
+    span_at = lambda i: F.lower(F.trim(F.regexp_replace(
+        F.concat_ws(" ", F.slice(sents, i + 1, k)), r"\s+", " ")))
+    span_idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+    # hash the spans inside the per-row projection; only (id, pos,
+    # hash) longs ever leave it
+    spans = (df.select(F.col(id_col).alias("_sp_id"),
+                       F.posexplode(F.transform(
+                           span_idx, lambda i: token_hash64(span_at(i),
+                                                            hash_fn)))
+                       .alias("pos", "span_hash")))
+    if materialize:
+        spans = spans.localCheckpoint(eager=True)
+    winners = (spans.groupBy("span_hash")
+               .agg(F.min(F.struct(F.col("_sp_id"), F.col("pos")))
+                    .alias("_w"),
+                    F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > 1)
+               .select("span_hash", F.col("_w._sp_id").alias("_w_id"),
+                       F.col("_w.pos").alias("_w_pos")))
+    losers = (spans.join(winners, on="span_hash", how="inner")
+              .filter((F.col("_sp_id") != F.col("_w_id"))
+                      | (F.col("pos") != F.col("_w_pos"))))
+    removal = (losers
+               .select(F.col("_sp_id"),
+                       F.explode(F.sequence(
+                           F.col("pos"), F.col("pos") + k - 1))
+                       .alias("_sent_pos"))
+               .groupBy("_sp_id")
+               .agg(F.collect_set("_sent_pos").alias("_rm")))
+    out = df.join(removal, on=df[id_col] == removal["_sp_id"],
+                  how="left")
+    kept = F.filter(sents,
+                    lambda s, i: ~F.coalesce(
+                        F.array_contains(F.col("_rm"), i), F.lit(False)))
+    return (out
+            .withColumn("c4_sentences_dropped",
+                        # explicit NULL branch: with ANSI off,
+                        # size(NULL) is -1, so a coalesce over it
+                        # would leak -1 (the n_lines_dropped lesson)
+                        F.when(F.col(text_col).isNull()
+                               | F.col("_rm").isNull(), F.lit(0))
+                        .otherwise(F.size(F.col("_rm"))))
+            .withColumn(text_col,
+                        F.when(F.col(text_col).isNull(),
+                               F.lit(None).cast("string"))
+                        .otherwise(F.array_join(kept, " ")))
+            .drop("_sp_id", "_rm"))

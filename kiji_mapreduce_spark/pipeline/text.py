@@ -760,6 +760,142 @@ def gopher_repetition_filter(df: DataFrame, text_col: str = "text",
     return kept.join(losers, on=id_col, how="left_anti")
 
 
+# -- C4 cleaning rules (Raffel et al. 2020, JMLR 21(140) §2.2) --------------
+#
+# The OTHER canonical published pre-training filter beside Gopher: the
+# heuristics that built the C4 corpus. Line-level removal first, then
+# page-level rules over the cleaned text (the paper's order). The two
+# corpus-level C4 steps live elsewhere: the three-sentence-span dedup is
+# ``dedup.c4_span_dedup`` (it needs a corpus-wide shuffle) and the
+# langdetect gate is ``language_id`` (already a per-row expression).
+
+#: C4 keeps only lines ending in a terminal punctuation mark — "a
+#: period, exclamation mark, question mark, or end quotation mark"
+#: (§2.2). The straight and curly double/single closers cover real web
+#: text; trailing whitespace is ignored.
+_C4_TERMINAL_PUNCT = "[.!?\"”’']\\s*$"
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   min_line_words: int = 5,
+                   require_terminal_punct: bool = True,
+                   drop_javascript_lines: bool = True) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in a terminal punctuation mark, contain at least
+    ``min_line_words`` words, and do not mention "javascript" (the
+    please-enable-JS banner rule). Rewrites ``text_col`` with the
+    surviving lines joined by ``\\n`` (CRLF normalizes to LF) and
+    appends ``c4_lines_kept`` / ``c4_lines_dropped``.
+
+    Pure Catalyst — one split + filter + array_join per row, zero
+    shuffle, zero UDF. NULL text stays NULL with zero counts (the
+    explicit-branch discipline: with ANSI off, size(NULL) is -1 and
+    would leak into the counts otherwise)."""
+    t = F.col(text_col)
+    arr = F.split(t, r"\r?\n")
+
+    def _keep(ln):
+        ok = F.lit(True)
+        if require_terminal_punct:
+            ok = ok & ln.rlike(_C4_TERMINAL_PUNCT)
+        if min_line_words > 0:
+            words = F.filter(F.split(ln, r"\s+"), lambda w: w != "")
+            ok = ok & (F.size(words) >= min_line_words)
+        if drop_javascript_lines:
+            ok = ok & ~F.lower(ln).contains("javascript")
+        return ok
+
+    kept = F.filter(arr, _keep)
+    null_text = t.isNull()
+    return (df
+            .withColumn("c4_lines_kept",
+                        F.when(null_text, F.lit(0))
+                        .otherwise(F.size(kept)))
+            .withColumn("c4_lines_dropped",
+                        F.when(null_text, F.lit(0))
+                        .otherwise(F.size(arr) - F.size(kept)))
+            .withColumn(text_col,
+                        F.when(null_text, F.lit(None).cast("string"))
+                        .otherwise(F.array_join(kept, "\n"))))
+
+
+def c4_quality_rules(df: DataFrame, text_col: str = "text",
+                     min_sentences: int = 3,
+                     bad_words: list[str] | None = None) -> DataFrame:
+    """C4's page-level rule verdicts (Raffel et al. 2020 §2.2): at
+    least ``min_sentences`` sentences (counted as runs of terminal
+    ``.!?`` — an unpunctuated page counts zero), no "lorem ipsum"
+    placeholder text, no curly brace (the code-page proxy), and no
+    word from ``bad_words`` (the paper uses the public "List of Dirty,
+    Naughty, Obscene or Otherwise Bad Words" — an external resource
+    this engine does not ship, so the rule is opt-in: ``None`` or
+    empty passes everything and the caller supplies the list, exactly
+    like the crawl blocklists). Appends one boolean per rule
+    (``c4_*``) plus the conjunction ``c4_pass``.
+
+    Pure Catalyst per-row expressions, zero shuffle. The bad-word
+    match folds the whole list into ONE case-insensitive
+    word-boundary rlike alternation (the blocklist URL-pattern shape),
+    compile-validated driver-side, however many words arrive. NULL
+    text fails the sentence rule and nothing else blows up."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    rules = {
+        "c4_min_sentences":
+            F.regexp_count(t, F.lit(r"[.!?]+")) >= min_sentences,
+        "c4_no_lorem": ~low.contains("lorem ipsum"),
+        "c4_no_braces": ~t.contains("{"),
+    }
+    if bad_words:
+        import re
+        pat = (r"\b(?:"
+               + "|".join(re.escape(w.lower()) for w in sorted(bad_words))
+               + r")\b")
+        re.compile(pat)  # fail loudly at plan time, not per-task
+        rules["c4_no_bad_words"] = ~low.rlike(pat)
+    else:
+        rules["c4_no_bad_words"] = F.lit(True)
+    out = df
+    passed = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = passed & F.col(name)
+    return out.withColumn("c4_pass", passed)
+
+
+#: the exact columns the C4 surface appends — filters drop THIS list,
+#: never a prefix sweep that could eat caller columns (the Gopher
+#: precedent)
+_C4_RULE_COLS = ("c4_min_sentences", "c4_no_lorem", "c4_no_braces",
+                 "c4_no_bad_words", "c4_pass")
+_C4_LINE_COLS = ("c4_lines_kept", "c4_lines_dropped")
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              min_line_words: int = 5, min_sentences: int = 3,
+              bad_words: list[str] | None = None,
+              line_filter: bool = True) -> DataFrame:
+    """The published C4 heuristic chain as one call: line-level
+    cleaning (optionally — ``line_filter=False`` scores the raw text),
+    then the page-level rules over the CLEANED text (the paper's
+    order: a page is judged on what survives its line filter), keeping
+    only ``c4_pass`` pages. Same columns as the input with ``text_col``
+    rewritten; verdict and line-count columns are dropped.
+
+    Corpus-level C4 steps are separate by design (they shuffle):
+    ``dedup.c4_span_dedup`` for the three-sentence-span dedup,
+    ``language_id`` for the langdetect gate."""
+    out = df
+    if line_filter:
+        out = c4_line_filter(out, text_col=text_col,
+                             min_line_words=min_line_words)
+    out = c4_quality_rules(out, text_col=text_col,
+                           min_sentences=min_sentences,
+                           bad_words=bad_words)
+    drop = _C4_RULE_COLS + (_C4_LINE_COLS if line_filter else ())
+    return out.filter(F.col("c4_pass")).drop(*drop)
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): min polynomial
     hash over all ``window``-token shingles — robust to small edits at the
