@@ -115,7 +115,7 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
-    "corpus-stats", "webdataset-pack"})
+    "corpus-stats", "webdataset-pack", "dsir"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -371,6 +371,24 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     ct.add_argument("--dim", type=int, default=1024)
     ct.add_argument("--iters", type=int, default=20)
     ct.add_argument("--lr", type=float, default=2.0)
+
+    ds = sub.add_parser("dsir", help="DSIR importance resampling: "
+                        "select raw documents that look like a target "
+                        "corpus (hashed n-gram importance weights, "
+                        "deterministic weighted sampling)")
+    ds.add_argument("--raw", required=True,
+                    help="raw corpus parquet (the big side)")
+    ds.add_argument("--target", required=True,
+                    help="target-domain sample parquet")
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--k", type=int, required=True,
+                    help="number of documents to select")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--dim", type=int, default=10_000,
+                    help="hashed n-gram buckets (paper default 10k)")
+    ds.add_argument("--smoothing", type=float, default=1.0)
+    ds.add_argument("--seed", type=int, default=42)
 
     cs = sub.add_parser("classify-score", help="score documents with a "
                         "trained quality-filter model")
@@ -793,6 +811,21 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         return _emit(args, {"curated": args.output, "docs_in": n_in,
                             "docs_out": n_out})
+
+    if args.command == "dsir":
+        from kiji_mapreduce_spark.pipeline import dsir
+
+        spark = make_session(app_name="kiji-dsir")
+        raw = spark.read.parquet(args.raw)
+        target = spark.read.parquet(args.target)
+        picked = dsir.dsir_resample(
+            raw, target, k=args.k, text_col=args.text_col,
+            id_col=args.id_col, dim=args.dim,
+            smoothing=args.smoothing, seed=args.seed)
+        picked.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        return _emit(args, {"selected": args.output, "k": args.k,
+                            "docs_out": n_out, "dim": args.dim})
 
     if args.command == "classify-train":
         from kiji_mapreduce_spark.pipeline import classifier

@@ -1,0 +1,163 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+NeurIPS, public): pick raw-corpus documents that look like a TARGET
+corpus by importance-weighting hashed n-gram bag-of-words models.
+
+The published recipe, re-expressed in Spark's execution model:
+
+1. Featurize both corpora as hashed n-gram counts (unigrams + bigrams
+   into ``dim`` buckets — feature hashing, the ``classifier`` module's
+   no-vocab-table trick).
+2. Fit two smoothed categorical bucket distributions: ``p`` on the
+   target sample, ``q`` on the raw corpus. Each fit is ONE dim-bounded
+   partial aggregation; the resulting dim-row tables collect to the
+   driver (dim doubles — the ``classifier.train_logreg`` weight-vector
+   precedent, bounded regardless of corpus size).
+3. Per raw document, the log importance weight is
+   ``sum_b counts_b * (log p_b - log q_b)`` — the exploded gram table
+   broadcast-joins the dim-row log-ratio table and aggregates per doc:
+   ONE id-keyed (unique-key, unskewable) shuffle.
+4. Resample without replacement with probability proportional to the
+   importance weight w = exp(log_w). The paper uses Gumbel top-k; the
+   Efraimidis–Spirakis exponential clocks already in
+   ``sample.weighted_sample_topk`` draw the SAME distribution
+   (both are w-proportional sampling without replacement), with this
+   engine's deterministic md5 uniforms — the same corpus + seed
+   selects the same rows on any cluster, partitioning, or engine.
+   Because E-S order is invariant under scaling every weight by a
+   constant, weights enter as ``exp(log_w - max(log_w))`` — exact and
+   overflow-safe however extreme the log weights.
+
+Scale shape at 100 TB: the target sample is small by definition (a
+quality corpus like Wikipedia), the raw corpus is the 100 TB side —
+it is read ONCE to featurize; everything after operates on the
+exploded gram table (id-keyed aggregates) and dim-row broadcasts.
+No driver state beyond 2 x dim doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from kiji_mapreduce_spark.pipeline.dedup import token_hash64, tokens
+from kiji_mapreduce_spark.pipeline.sample import weighted_sample_topk
+
+
+def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", dim: int = 10_000,
+                        ns: tuple[int, ...] = (1, 2),
+                        hash_fn: str = "xx") -> DataFrame:
+    """Hashed n-gram bag counts: (id, bucket, cnt), one row per
+    distinct bucket per doc. The paper's features are unigrams +
+    bigrams hashed into 10k buckets; ``ns`` picks the gram orders.
+    Grams build as per-row array expressions (the ``dedup.shingles``
+    shape, repetition KEPT — these are counts, not set shingles), so
+    only (id, bucket) pairs explode. Empty/NULL docs produce no rows."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = tokens(F.col(text_col))
+
+    def _ngrams(n: int):
+        # single-parameter lambda: PySpark's transform() dispatches on
+        # lambda ARITY (two params means "give me the index too"), so
+        # n must be captured by closure, never as a default arg
+        idx = F.when(F.size(toks) >= n,
+                     F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+                     F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    gram_arrays = [toks if n == 1 else _ngrams(n) for n in ns]
+    grams = gram_arrays[0]
+    for extra in gram_arrays[1:]:
+        grams = F.concat(grams, extra)
+    exploded = df.select(F.col(id_col),
+                         F.explode(grams).alias("_gram"))
+    return (exploded
+            .groupBy(id_col,
+                     F.pmod(token_hash64(F.col("_gram"), hash_fn),
+                            F.lit(dim)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def bucket_log_probs(counts: DataFrame, dim: int,
+                     smoothing: float = 1.0) -> list[float]:
+    """Laplace-smoothed log bucket probabilities from a
+    ``hashed_ngram_counts`` table, as a dim-long driver-side list.
+    ONE dim-bounded partial aggregation; the collect is dim rows
+    (the classifier weight-vector precedent). Log probabilities are
+    rounded to 12 decimal places so the fitted model is reproducible
+    across partitionings and engines."""
+    rows = (counts.groupBy("bucket").agg(F.sum("cnt").alias("n"))
+            .collect())
+    totals = [0.0] * dim
+    for r in rows:
+        totals[int(r["bucket"])] = float(r["n"])
+    denom = sum(totals) + smoothing * dim
+    return [round(math.log((t + smoothing) / denom), 12)
+            for t in totals]
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     dim: int = 10_000, ns: tuple[int, ...] = (1, 2),
+                     smoothing: float = 1.0,
+                     hash_fn: str = "xx") -> DataFrame:
+    """Per-raw-document DSIR log importance weights: (id, log_w) with
+    ``log_w = sum_b counts_b * (log p_b - log q_b)`` for target model
+    p and raw model q. The raw corpus text is read once (the
+    featurize pass feeds both the q fit and the scoring); the
+    log-ratio table is dim rows, joined broadcast."""
+    spark = raw.sparkSession
+    raw_counts = hashed_ngram_counts(raw, text_col, id_col, dim, ns,
+                                     hash_fn)
+    # the exploded gram table is a diamond (q fit + scoring) — pin it
+    # once rather than re-tokenizing the 100 TB side per consumer
+    raw_counts = raw_counts.localCheckpoint(eager=True)
+    tgt_counts = hashed_ngram_counts(target, text_col, id_col, dim, ns,
+                                     hash_fn)
+    log_p = bucket_log_probs(tgt_counts, dim, smoothing)
+    log_q = bucket_log_probs(raw_counts, dim, smoothing)
+    ratio = spark.createDataFrame(
+        [(b, log_p[b] - log_q[b]) for b in range(dim)],
+        "bucket int, log_ratio double")
+    return (raw_counts
+            .join(F.broadcast(ratio), on="bucket", how="inner")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 9)
+                 .alias("log_w")))
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  dim: int = 10_000, ns: tuple[int, ...] = (1, 2),
+                  smoothing: float = 1.0, seed: int = 42,
+                  hash_fn: str = "xx") -> DataFrame:
+    """Select ``k`` raw documents by DSIR importance resampling:
+    weight-proportional sampling WITHOUT replacement where weight =
+    exp(log importance weight). Returns the selected raw rows with
+    their ``log_w`` and selection ``rank``.
+
+    The clocks run on ``exp(log_w - max(log_w))`` — Efraimidis–
+    Spirakis order is invariant under a constant weight scale, so the
+    max-shift changes nothing about WHICH rows win while keeping the
+    exponential finite for arbitrarily extreme log weights (the max
+    is one scalar aggregate). Deterministic: same corpora + seed +
+    dim select the same rows on any partitioning or engine."""
+    logw = dsir_log_weights(raw, target, text_col, id_col, dim, ns,
+                            smoothing, hash_fn)
+    # two consumers (the max scalar, the clock run) — pin the small
+    # (id, log_w) table once
+    logw = logw.localCheckpoint(eager=True)
+    mx = logw.agg(F.max("log_w")).collect()[0][0]
+    if mx is None:
+        return raw.join(logw, on=id_col).withColumn(
+            "rank", F.lit(0).cast("int"))
+    scored = raw.join(logw, on=id_col, how="inner").withColumn(
+        "_w", F.exp(F.col("log_w") - F.lit(float(mx))))
+    picked = weighted_sample_topk(
+        scored.withColumn("_stratum", F.lit(1)),
+        strata_col="_stratum", weight_col="_w", k=k,
+        key_col=id_col, seed=seed)
+    return picked.drop("_stratum", "_w")
