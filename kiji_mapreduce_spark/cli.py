@@ -115,7 +115,7 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
-    "corpus-stats", "webdataset-pack", "dsir"})
+    "corpus-stats", "webdataset-pack", "dsir", "link-graph"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -508,6 +508,28 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     ci.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir (with --stream)")
 
+    lg = sub.add_parser("link-graph", help="WARC web archives -> "
+                        "registered-domain link-graph parquet "
+                        "(src_domain, dst_domain, n_links), with "
+                        "optional PageRank domain-authority ranking")
+    lg.add_argument("--input", required=True,
+                    help="WARC file/dir (.warc or .warc.gz)")
+    lg.add_argument("--output", required=True,
+                    help="edge parquet out")
+    lg.add_argument("--lenient", action="store_true",
+                    help="keep the parsed prefix of truncated archives")
+    lg.add_argument("--psl", default=None, metavar="FILE",
+                    help="Public Suffix List file (publicsuffix.org "
+                    "format); default: the vendored snapshot; "
+                    "--psl=heuristic for the expression-only fallback")
+    lg.add_argument("--intra-domain", action="store_true",
+                    help="keep intra-domain self-edges too")
+    lg.add_argument("--pagerank", default=None, metavar="DIR",
+                    help="also run link-weighted PageRank over the "
+                    "edges and write (domain, rank) parquet here")
+    lg.add_argument("--iters", type=int, default=5,
+                    help="PageRank iterations (with --pagerank)")
+
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
                         "binned KS JSON (audit.distribution_drift)")
@@ -811,6 +833,41 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         return _emit(args, {"curated": args.output, "docs_in": n_in,
                             "docs_out": n_out})
+
+    if args.command == "link-graph":
+        from kiji_mapreduce_spark.io.inputs import read_warc_records
+        from kiji_mapreduce_spark.pipeline.crawl import link_graph
+
+        spark = make_session(app_name="kiji-link-graph")
+        heuristic = args.psl == "heuristic"
+        rules = None
+        if not heuristic and args.psl:
+            from kiji_mapreduce_spark.pipeline import psl as psl_mod
+            rules = psl_mod.load_psl(args.psl)
+        records = read_warc_records(spark, [args.input],
+                                    lenient=args.lenient)
+        edges = link_graph(records, spark, psl_rules=rules,
+                           heuristic_domains=heuristic,
+                           include_intra_domain=args.intra_domain)
+        if args.pagerank:
+            # the edge table feeds two consumers (the write and the
+            # rank job) — pin it once
+            edges = edges.localCheckpoint(eager=True)
+        edges.write.mode("overwrite").parquet(args.output)
+        stats = {"edges": args.output,
+                 "n_edges": spark.read.parquet(args.output).count()}
+        if args.pagerank:
+            from kiji_mapreduce_spark.pipeline import graph
+
+            ranks = graph.pagerank(
+                edges, src="src_domain", dst="dst_domain",
+                weight="n_links", iters=args.iters
+            ).withColumnRenamed("node", "domain")
+            ranks.write.mode("overwrite").parquet(args.pagerank)
+            stats["pagerank"] = args.pagerank
+            stats["n_domains"] = spark.read.parquet(
+                args.pagerank).count()
+        return _emit(args, stats)
 
     if args.command == "dsir":
         from kiji_mapreduce_spark.pipeline import dsir

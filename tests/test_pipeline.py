@@ -2670,3 +2670,85 @@ def test_best_survivors_quality_policy(spark):
             survivor_by_quality=True),
         materialize=False)
     assert {r.doc_id for r in keep_best.collect()} == {2, 3}
+
+
+def test_crawl_link_graph(spark, tmp_path):
+    """Domain-level link-graph extraction: absolute and
+    protocol-relative hrefs cross domains, relative links collapse to
+    intra-domain self-edges (dropped by default), non-web schemes and
+    unquoted hrefs are ignored, duplicate links count."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import link_graph
+    from tests.test_io import _warc_record
+
+    page_a = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              b'<p>words</p>'
+              b'<a href="https://other.example.org/x">one</a>'
+              b'<a class="x" href="https://other.example.org/y">two</a>'
+              b'<a href="//cdn.example.net/lib.js">cdn</a>'
+              b'<a href="/about.html">about</a>'
+              b'<a href="mailto:x@example.com">mail</a>'
+              b'<a href="javascript:void(0)">js</a>')
+    page_b = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              b'<a href="http://site.example.com/back">back</a>')
+    d = tmp_path / "lgwarc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://site.example.com/", page_a)
+        + _warc_record("response", "http://other.example.org/", page_b))
+    records = read_warc_records(spark, [str(d)])
+
+    # hosts collapse to their PSL registered domain: site.example.com
+    # and cdn.example.net become example.com / example.net
+    edges = {(r.src_domain, r.dst_domain): r.n_links
+             for r in link_graph(records, spark).collect()}
+    assert edges == {
+        ("example.com", "example.org"): 2,
+        ("example.com", "example.net"): 1,
+        ("example.org", "example.com"): 1,
+    }
+
+    with_intra = {(r.src_domain, r.dst_domain): r.n_links
+                  for r in link_graph(records, spark,
+                                      include_intra_domain=True)
+                  .collect()}
+    # the root-relative /about.html stays on its own domain
+    assert with_intra[("example.com", "example.com")] == 1
+
+
+def test_cli_link_graph(spark, tmp_path, capsys):
+    """kiji-mr link-graph: WARC in, edge parquet out, optional
+    PageRank domain ranking alongside."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from tests.test_io import _warc_record
+
+    def page(links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body.encode())
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://a.example.com/",
+                     page(["https://b.example.org/x",
+                           "https://b.example.org/y",
+                           "https://c.example.net/z"]))
+        + _warc_record("response", "http://b.example.org/",
+                       page(["https://c.example.net/w"])))
+    rc = cli.main([
+        "link-graph", "--input", str(d),
+        "--output", f"{tmp_path}/edges",
+        "--pagerank", f"{tmp_path}/ranks"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_edges"] == 3 and stats["n_domains"] == 3
+    edges = {(r.src_domain, r.dst_domain): r.n_links
+             for r in spark.read.parquet(f"{tmp_path}/edges").collect()}
+    assert edges[("example.com", "example.org")] == 2
+    ranks = {r.domain: r.rank
+             for r in spark.read.parquet(f"{tmp_path}/ranks").collect()}
+    # example.net is linked from both others -> highest authority
+    assert max(ranks, key=ranks.get) == "example.net"
