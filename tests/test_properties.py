@@ -1367,3 +1367,87 @@ def test_zstd_error_surface(data):
         zstd_codec.decompress(bytes(blob), max_output=1 << 22)
     except ValueError:
         pass
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab .!?{\n\r", min_size=0,
+                        max_size=60),
+                min_size=1, max_size=8))
+def test_c4_line_filter_matches_python_model(spark, texts):
+    """c4_line_filter == the rules re-read from the paper in plain
+    Python: per-line verdicts, rebuilt text, conservation of the
+    kept+dropped line count."""
+    import re as _re
+
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_ops.c4_line_filter(df, min_line_words=2).collect()}
+
+    for i, t in rows:
+        lines = _re.split(r"\r?\n", t)
+        keep = [ln for ln in lines
+                if _re.search(r'[.!?"”’\']\s*$', ln)
+                and len(ln.split()) >= 2
+                and "javascript" not in ln.lower()]
+        assert got[i].text == "\n".join(keep)
+        assert got[i].c4_lines_kept == len(keep)
+        assert got[i].c4_lines_kept + got[i].c4_lines_dropped \
+            == len(lines)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab c.", min_size=0, max_size=50),
+                min_size=1, max_size=6))
+def test_c4_span_dedup_invariants(spark, texts):
+    """c4_span_dedup on arbitrary corpora: deterministic, never
+    grows a document, total kept sentences = total sentences minus
+    reported drops, and a corpus with no repeated span is untouched
+    modulo whitespace normalization of the sentence join."""
+    import re as _re
+
+    from kiji_mapreduce_spark.pipeline import dedup as dedup_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup_ops.c4_span_dedup(df, hash_fn="md5").collect()}
+    again = {r.doc_id: r for r in
+             dedup_ops.c4_span_dedup(df, hash_fn="md5").collect()}
+    for i, t in rows:
+        sents = [s for s in _re.split(r"(?<=[.!?])\s+", t)
+                 if s.strip()]
+        kept_sents = [s for s in _re.split(r"(?<=[.!?])\s+",
+                                           got[i].text)
+                      if s.strip()]
+        assert got[i].text == again[i].text  # deterministic
+        assert got[i].c4_sentences_dropped == again[
+            i].c4_sentences_dropped
+        assert len(got[i].text) <= max(len(t), 1)
+        assert len(kept_sents) == len(sents) - got[
+            i].c4_sentences_dropped
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_link_graph_never_raises_on_hostile_bodies(spark, payload):
+    """link_graph over arbitrary response bytes: the extraction is a
+    total function — hostile/binary/truncated bodies yield zero or
+    more edges, never an error, and every edge names two non-empty
+    domains."""
+    from kiji_mapreduce_spark.pipeline.crawl import link_graph
+
+    rows = [("p", 0, "response", "http://h.example.com/", "", "", 0,
+             b"HTTP/1.1 200 OK\r\n\r\n" + payload),
+            ("p", 1, "response", "http://h.example.com/2", "", "", 0,
+             payload)]  # no HTTP header block at all
+    records = spark.createDataFrame(
+        rows, "path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    edges = link_graph(records, spark,
+                       include_intra_domain=True).collect()
+    for e in edges:
+        assert e.src_domain and e.dst_domain and e.n_links >= 1
