@@ -465,6 +465,12 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "regex fragment per line): matching documents are "
                     "dropped; all patterns fold into one scan-side "
                     "alternation")
+    ci.add_argument("--transcode", action="store_true",
+                    help="rewrite bodies declared in a legacy charset "
+                    "(latin-1, windows-125x, gbk, shift_jis, ...) into "
+                    "UTF-8 before extraction — one Arrow-batched "
+                    "Python pass; default off keeps the document half "
+                    "JVM-only (run charset_report to size the gain)")
     ci.add_argument("--keep-noindex", action="store_true",
                     help="ALSO ingest pages whose publisher opted out "
                     "via X-Robots-Tag/meta-robots noindex (the default "
@@ -1143,6 +1149,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             return _emit(args, stats)
         recs = read_warc_records(spark, [args.input],
                                  lenient=args.lenient)
+        if args.transcode:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                transcode_responses
+
+            recs = transcode_responses(recs)
         # reject counter observed inside the ingest write itself (the
         # job.py counter discipline — no second archive pass): how
         # many responses were dropped for a still-encoded body

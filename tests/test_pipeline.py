@@ -2752,3 +2752,94 @@ def test_cli_link_graph(spark, tmp_path, capsys):
              for r in spark.read.parquet(f"{tmp_path}/ranks").collect()}
     # example.net is linked from both others -> highest authority
     assert max(ranks, key=ranks.get) == "example.net"
+
+
+def test_charset_transcode_and_report(spark, tmp_path):
+    """transcode_responses rewrites legacy-charset bodies to UTF-8
+    (header param or meta tag), leaves identity/unknown/non-response
+    rows byte-identical, and the document half then extracts the real
+    text instead of replacement characters; charset_report counts the
+    declarations JVM-side."""
+    from kiji_mapreduce_spark.pipeline.crawl import (
+        charset_report, crawl_documents, transcode_responses)
+
+    latin_body = ("<html><body><p>le café et le résumé "
+                  "du réseau français</p></body></html>"
+                  ).encode("iso-8859-1")
+    latin = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+             + latin_body)
+    gbk_body = ("<html><head><meta charset=gbk></head><body><p>"
+                "中文网页测试文本"
+                "</p></body></html>").encode("gbk")
+    gbk = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+           + gbk_body)
+    utf8 = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+            b"<p>plain utf-8 page body stays untouched</p>")
+    weird = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=x-weird\r\n\r\n"
+             b"<p>unknown charset left as declared</p>")
+
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    rows = [
+        ("p", 0, "response", "http://fr.example.com/", "", "", 0, latin),
+        ("p", 1, "response", "http://cn.example.com/", "", "", 0, gbk),
+        ("p", 2, "response", "http://en.example.com/", "", "", 0, utf8),
+        ("p", 3, "response", "http://xx.example.com/", "", "", 0, weird),
+        ("p", 4, "warcinfo", "", "", "", 0, latin),  # not a response
+    ]
+    records = spark.createDataFrame(rows, schema)
+
+    out = {r.record_no: bytes(r.content)
+           for r in transcode_responses(records).collect()}
+    assert "le café et le résumé".encode(
+        "utf-8") in out[0]
+    assert out[0].startswith(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+        b"charset=ISO-8859-1\r\n\r\n")  # headers are provenance
+    assert "中文网页".encode("utf-8") in out[1]
+    assert out[2] == utf8 and out[3] == weird
+    assert out[4] == latin  # warcinfo untouched
+
+    docs = {r.url: r.text for r in
+            crawl_documents(transcode_responses(records),
+                            spark).collect()}
+    assert "café" in docs["http://fr.example.com/"]
+    assert "中文网页" in docs["http://cn.example.com/"]
+    raw_docs = {r.url: r.text
+                for r in crawl_documents(records, spark).collect()}
+    assert "café" not in raw_docs["http://fr.example.com/"]
+
+    report = {r.charset: r.n_records
+              for r in charset_report(records).collect()}
+    assert report == {"iso-8859-1": 1, "gbk": 1, "utf-8": 1,
+                      "x-weird": 1}
+
+
+def test_cli_crawl_ingest_transcode(spark, tmp_path, capsys):
+    """crawl-ingest --transcode end to end: a latin-1 page lands in
+    the corpus with its real accents; without the flag it degrades."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from tests.test_io import _warc_record
+
+    latin = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+             + "<p>le café et le résumé du réseau".encode("iso-8859-1"))
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://fr.example.com/", latin))
+
+    rc = cli.main([
+        "crawl-ingest", "--input", str(d),
+        "--output", f"{tmp_path}/docs", "--transcode"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 1
+    [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
+    assert "café" in row.text and "résumé" in row.text
