@@ -465,6 +465,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "regex fragment per line): matching documents are "
                     "dropped; all patterns fold into one scan-side "
                     "alternation")
+    ci.add_argument("--wet", action="store_true",
+                    help="ingest WET extracted-text archives "
+                    "(conversion records, Common Crawl .wet.gz) "
+                    "instead of raw response WARCs — skips HTTP/HTML "
+                    "extraction; batch only")
     ci.add_argument("--transcode", action="store_true",
                     help="rewrite bodies declared in a legacy charset "
                     "(latin-1, windows-125x, gbk, shift_jis, ...) into "
@@ -1071,6 +1076,9 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         from kiji_mapreduce_spark.io.inputs import read_warc_records
         from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
 
+        if args.stream and args.wet:
+            p.error("--wet is batch-only (the streaming twin ingests "
+                    "raw response WARCs)")
         if args.stream and (args.curate or args.splits
                             or args.dedup_index
                             or args.max_docs_per_domain > 0):
@@ -1161,11 +1169,21 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         from pyspark.sql import Observation
 
         rej_obs = Observation("crawl_encoding_rejects")
-        docs = crawl_documents(recs, spark, min_tokens=args.min_tokens,
-                               psl_rules=rules,
-                               heuristic_domains=heuristic,
-                               rejects_observation=rej_obs,
-                               respect_noindex=not args.keep_noindex)
+        if args.wet:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                wet_documents
+
+            rej_obs = None
+            docs = wet_documents(recs, spark,
+                                 min_tokens=args.min_tokens,
+                                 psl_rules=rules,
+                                 heuristic_domains=heuristic)
+        else:
+            docs = crawl_documents(
+                recs, spark, min_tokens=args.min_tokens,
+                psl_rules=rules, heuristic_domains=heuristic,
+                rejects_observation=rej_obs,
+                respect_noindex=not args.keep_noindex)
         from kiji_mapreduce_spark.pipeline.crawl import (
             blocklist_table, filter_blocked)
 
@@ -1213,7 +1231,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             docs = cur_mod.curate_corpus(docs, config=cfg)
         docs.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
-        rej = dict(rej_obs.get)
+        rej = dict(rej_obs.get) if rej_obs is not None else {}
         n_rejected = int(rej.get("CRAWL_RECORDS_REJECTED_ENCODED") or 0)
         stats = {
             "documents": args.output,

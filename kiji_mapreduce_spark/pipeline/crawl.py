@@ -709,3 +709,39 @@ def transcode_responses(records: DataFrame,
             yield pdf
 
     return records.mapInPandas(_transcode, records.schema)
+
+
+def wet_documents(records: DataFrame, spark: SparkSession,
+                  min_tokens: int = 1,
+                  psl_rules=None,
+                  heuristic_domains: bool = False) -> DataFrame:
+    """WET extracted-text records -> documents-shaped rows
+    (``DOC_COLUMNS``), the pre-extracted sibling of
+    ``crawl_documents``: Common Crawl ships every crawl in three
+    forms, and the ``.wet.gz`` one (WARC ``conversion`` records whose
+    body IS the page's extracted UTF-8 text, ISO 28500 §6.8) skips
+    HTTP parsing, encoding gates, and tag stripping entirely — the
+    cheapest on-ramp when upstream extraction is acceptable.
+
+    Pure Catalyst: the body string-casts straight to ``text`` (WET
+    bodies are UTF-8 by spec; hostile bytes degrade to U+FFFD under
+    the same lossy cast as everywhere else), URL canonicalization and
+    the PSL domain join are shared with the response path, so a corpus
+    ingested from WET buckets identically to one from raw WARC.
+    ``content_type`` is ``text/plain`` (what a conversion record
+    holds), distinguishing WET-sourced rows in a mixed corpus."""
+    from kiji_mapreduce_spark.pipeline.text import (
+        normalize_url, token_count, url_host)
+
+    conv = records.filter(F.col("warc_type") == "conversion")
+    docs = (conv.select(
+        F.xxhash64("path", "record_no").alias("doc_id"),
+        normalize_url(F.col("target_uri")).alias("url"),
+        url_host(F.col("target_uri")).alias("_host"),
+        F.lit("text/plain").alias("content_type"),
+        "warc_date",
+        F.make_valid_utf8(F.col("content").cast("string"))
+        .alias("text"))
+        .filter(token_count(F.col("text")) >= min_tokens))
+    docs = _with_domain(docs, spark, psl_rules, heuristic_domains)
+    return docs.select(*DOC_COLUMNS)

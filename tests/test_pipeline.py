@@ -2843,3 +2843,42 @@ def test_cli_crawl_ingest_transcode(spark, tmp_path, capsys):
     assert stats["n_docs"] == 1
     [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
     assert "café" in row.text and "résumé" in row.text
+
+
+def test_wet_documents_and_cli(spark, tmp_path, capsys):
+    """WET conversion records ingest as pre-extracted documents:
+    text passes through untouched, domains attach via the same PSL
+    join, response records in the same archive are ignored, and the
+    CLI --wet path works end to end."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import wet_documents
+    from tests.test_io import _warc_record
+
+    wet_text = ("The extracted text of the page exactly as the "
+                "upstream WET conversion produced it.")
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("conversion", "http://site.example.com/page",
+                     wet_text.encode())
+        + _warc_record("response", "http://other.example.org/",
+                       b"HTTP/1.1 200 OK\r\n\r\n<p>raw response</p>"))
+    records = read_warc_records(spark, [str(d)])
+
+    rows = wet_documents(records, spark).collect()
+    assert len(rows) == 1
+    assert rows[0].text == wet_text
+    assert rows[0].domain == "example.com"
+    assert rows[0].content_type == "text/plain"
+
+    rc = cli.main([
+        "crawl-ingest", "--input", str(d),
+        "--output", f"{tmp_path}/docs", "--wet"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 1 and stats["n_rejected_encoded"] == 0
+    [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
+    assert row.text == wet_text
