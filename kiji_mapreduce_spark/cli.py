@@ -533,6 +533,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="Public Suffix List file (publicsuffix.org "
                     "format); default: the vendored snapshot; "
                     "--psl=heuristic for the expression-only fallback")
+    lg.add_argument("--wat", action="store_true",
+                    help="read WAT metadata archives (Common Crawl "
+                    ".wat.gz) instead of raw response WARCs — the "
+                    "links come from the pre-extracted JSON envelope, "
+                    "no HTML parsing")
     lg.add_argument("--intra-domain", action="store_true",
                     help="keep intra-domain self-edges too")
     lg.add_argument("--pagerank", default=None, metavar="DIR",
@@ -857,9 +862,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             rules = psl_mod.load_psl(args.psl)
         records = read_warc_records(spark, [args.input],
                                     lenient=args.lenient)
-        edges = link_graph(records, spark, psl_rules=rules,
-                           heuristic_domains=heuristic,
-                           include_intra_domain=args.intra_domain)
+        if args.wat:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                wat_link_graph
+
+            edges = wat_link_graph(
+                records, spark, psl_rules=rules,
+                heuristic_domains=heuristic,
+                include_intra_domain=args.intra_domain)
+        else:
+            edges = link_graph(records, spark, psl_rules=rules,
+                               heuristic_domains=heuristic,
+                               include_intra_domain=args.intra_domain)
         if args.pagerank:
             # the edge table feeds two consumers (the write and the
             # rank job) — pin it once

@@ -552,20 +552,34 @@ def link_graph(records: DataFrame, spark: SparkSession,
     the (src, dst) pair builds the edge counts — a viral dst domain
     collapses map-side, no skew.
     """
-    from kiji_mapreduce_spark.pipeline.text import (
-        _http_string_parts, url_host)
+    from kiji_mapreduce_spark.pipeline.text import _http_string_parts
 
     responses = records.filter(F.col("warc_type") == "response")
     _, body = _http_string_parts(F.col("content"))
     hrefs = F.regexp_extract_all(
         body, F.lit(r'''(?i)<a[^>]*?href\s*=\s*["']([^"']+)["']'''), 1)
+    return _domain_edges(responses, hrefs, spark, psl_rules,
+                         heuristic_domains, include_intra_domain)
+
+
+def _domain_edges(rows: DataFrame, hrefs, spark, psl_rules,
+                  heuristic_domains: bool,
+                  include_intra_domain: bool) -> DataFrame:
+    """Shared back half of the link-graph builders: given records
+    with a ``target_uri`` and an href ARRAY expression, resolve each
+    target to a host (absolute/protocol-relative cross hosts,
+    relative stays home, non-web schemes drop), attach registered
+    domains to both sides via the broadcast PSL join, and aggregate
+    (src_domain, dst_domain, n_links) with ONE partial-agg shuffle."""
+    from kiji_mapreduce_spark.pipeline.text import url_host
+
     # keep http(s), protocol-relative, and schemeless (relative)
     # targets; every other scheme is a non-link
     web = F.filter(
         hrefs,
         lambda h: h.rlike(r"^(?i)(https?:|//)")
         | ~h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"))
-    links = (responses
+    links = (rows
              .select(url_host(F.col("target_uri")).alias("_src_host"),
                      F.explode(web).alias("_href"))
              .select(
@@ -593,6 +607,48 @@ def link_graph(records: DataFrame, spark: SparkSession,
     if not include_intra_domain:
         edges = edges.filter(F.col("src_domain") != F.col("dst_domain"))
     return edges
+
+
+#: where a WAT record keeps its page's outlinks (the Common Crawl
+#: WAT envelope, published layout): anchor links live under
+#: HTML-Metadata as [{"path": "A@/href", "url": ...}, ...]
+_WAT_LINKS_PATH = ("$['Envelope']['Payload-Metadata']"
+                   "['HTTP-Response-Metadata']['HTML-Metadata']"
+                   "['Links']")
+
+
+def wat_link_graph(records: DataFrame, spark: SparkSession,
+                   psl_rules=None,
+                   heuristic_domains: bool = False,
+                   include_intra_domain: bool = False,
+                   anchor_only: bool = True) -> DataFrame:
+    """The ``link_graph`` twin over WAT metadata archives (Common
+    Crawl's ``.wat.gz``): each ``metadata`` record's JSON envelope
+    already carries the page's extracted outlinks, so the domain
+    graph comes out WITHOUT parsing any HTML — at Common Crawl scale
+    the WAT bucket is the cheap path to the same edges. Same output
+    schema and resolution semantics as ``link_graph``.
+
+    JVM-only extraction: one ``get_json_object`` pulls the Links
+    array from the envelope, ``from_json`` types it, and by default
+    only anchor links (``path`` starting ``A@``) count — script/img/
+    link-rel targets are not hyperlinks (``anchor_only=False`` keeps
+    everything with a url). WAT bodies may include an HTTP-ish header
+    block before the JSON; the payload is located at the first ``{``."""
+    meta = records.filter(F.col("warc_type") == "metadata")
+    s = F.make_valid_utf8(F.col("content").cast("string"))
+    payload = F.substr(s, F.instr(s, "{"))
+    arr = F.from_json(
+        F.get_json_object(payload, _WAT_LINKS_PATH),
+        "array<struct<path:string,url:string>>")
+    arr = F.coalesce(arr, F.array().cast(
+        "array<struct<path:string,url:string>>"))
+    if anchor_only:
+        arr = F.filter(arr, lambda l: l.path.startswith("A@"))
+    hrefs = F.filter(F.transform(arr, lambda l: l.url),
+                     lambda u: u.isNotNull() & (u != ""))
+    return _domain_edges(meta, hrefs, spark, psl_rules,
+                         heuristic_domains, include_intra_domain)
 
 
 #: charsets whose bytes already read correctly through the engine's

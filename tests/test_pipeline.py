@@ -2882,3 +2882,49 @@ def test_wet_documents_and_cli(spark, tmp_path, capsys):
     assert stats["n_docs"] == 1 and stats["n_rejected_encoded"] == 0
     [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
     assert row.text == wet_text
+
+
+def test_wat_link_graph(spark):
+    """WAT metadata records yield the same domain edges as HTML
+    parsing would: anchors count, relative links collapse intra-
+    domain, non-web schemes drop, and non-anchor targets only count
+    under anchor_only=False."""
+    import json as _json
+
+    from kiji_mapreduce_spark.pipeline.crawl import wat_link_graph
+
+    env = {"Envelope": {"Payload-Metadata": {
+        "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+            {"path": "A@/href", "url": "https://other.example.org/x"},
+            {"path": "A@/href", "url": "https://other.example.org/y"},
+            {"path": "A@/href", "url": "/local-page.html"},
+            {"path": "A@/href", "url": "mailto:x@example.com"},
+            {"path": "IMG@/src", "url": "https://cdn.example.net/i.png"},
+        ]}}}}}
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    rows = [
+        ("p", 0, "metadata", "http://site.example.com/", "", "", 0,
+         _json.dumps(env).encode()),
+        ("p", 1, "response", "http://site.example.com/", "", "", 0,
+         b"HTTP/1.1 200 OK\r\n\r\nnot metadata"),
+        ("p", 2, "metadata", "http://bare.example.com/", "", "", 0,
+         b"no json here at all"),
+    ]
+    records = spark.createDataFrame(rows, schema)
+
+    edges = {(r.src_domain, r.dst_domain): r.n_links
+             for r in wat_link_graph(records, spark).collect()}
+    assert edges == {("example.com", "example.org"): 2}
+
+    with_imgs = {(r.src_domain, r.dst_domain): r.n_links
+                 for r in wat_link_graph(records, spark,
+                                         anchor_only=False).collect()}
+    assert with_imgs[("example.com", "example.net")] == 1
+
+    intra = {(r.src_domain, r.dst_domain): r.n_links
+             for r in wat_link_graph(records, spark,
+                                     include_intra_domain=True)
+             .collect()}
+    assert intra[("example.com", "example.com")] == 1  # /local-page
