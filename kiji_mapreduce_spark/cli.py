@@ -354,6 +354,14 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="keep each near-dup cluster's HIGHEST-"
                     "quality_score member instead of its minimum id "
                     "(with --near-threshold)")
+    cu.add_argument("--max-ppl", type=float, default=None,
+                    help="drop documents whose bigram-LM perplexity "
+                    "exceeds this bound (the CCNet LM filter); scored "
+                    "against --ppl-reference when given, else "
+                    "self-scored")
+    cu.add_argument("--ppl-reference", default=None, metavar="DIR",
+                    help="reference corpus parquet the LM gate trains "
+                    "on (with --max-ppl)")
     cu.add_argument("--compress-ratio", default=None, metavar="LO,HI",
                     help="keep only documents whose zlib compression "
                     "ratio lies in [LO,HI] (templated/spammy pages "
@@ -843,7 +851,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             gopher_rules=args.gopher,
             gopher_repetition=args.gopher_repetition,
             survivor_by_quality=args.survivor_by_quality,
-            compress_ratio_bounds=ratio_bounds)
+            compress_ratio_bounds=ratio_bounds,
+            max_ppl=args.max_ppl,
+            ppl_reference=(spark.read.parquet(args.ppl_reference)
+                           if args.ppl_reference else None))
         out = curate.curate_corpus(docs, benchmark=bench, config=cfg)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()

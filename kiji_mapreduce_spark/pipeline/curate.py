@@ -84,6 +84,17 @@ class CurateConfig:
     #: redundancy gate the large pretraining pipelines run. None = off
     #: (the one pandas-UDF stage in the chain, so strictly opt-in)
     compress_ratio_bounds: tuple[float, float] | None = None
+    #: optional perplexity ceiling from the add-alpha bigram LM
+    #: (``lm.bigram_lm_scores``): documents whose ppl exceeds the
+    #: bound are dropped — the CCNet LM-filter stage. Scored against
+    #: ``ppl_reference`` when given, else self-scored (outlier mode).
+    #: Too-short docs (no bigrams, NULL ppl) pass through — the gate
+    #: judges likelihood, not existence (the compress-ratio
+    #: discipline). None = off
+    max_ppl: float | None = None
+    #: optional reference corpus (DataFrame with the same text/id
+    #: columns) the LM gate trains on; only read when ``max_ppl`` set
+    ppl_reference: "DataFrame | None" = None
     #: optional ordered {split: fraction} mapping or [(split, fraction)]
     #: list (e.g. train/val/test): after
     #: every filter, assign each surviving doc a deterministic split by
@@ -147,6 +158,22 @@ def curate_corpus(
                 .filter(F.col("compress_ratio").between(lo, hi)
                         | F.col("compress_ratio").isNull())
                 .drop("compress_ratio"))
+    if cfg.max_ppl is not None:
+        # CCNet's LM stage, after the cheap per-row gates narrowed the
+        # corpus: drop documents the reference bigram model finds
+        # unlikely (gibberish, wrong register). An id semi-join on the
+        # scored table — bounded at one row per doc — never a second
+        # text scan; NULL-ppl (sub-2-token) docs pass (the gate judges
+        # likelihood, not existence)
+        from kiji_mapreduce_spark.pipeline import lm as lm_ops
+
+        ok = (lm_ops.bigram_lm_scores(
+            docs, reference=cfg.ppl_reference, text_col=text_col,
+            id_col=id_col)
+            .filter((F.col("ppl") <= cfg.max_ppl)
+                    | F.col("ppl").isNull())
+            .select(id_col))
+        docs = docs.join(ok, on=id_col, how="left_semi")
     scored = text_ops.quality_features(docs, text_col)
     quality = (scored.filter(F.col("quality_score") >= cfg.min_quality)
                .drop("n_chars_txt", "avg_token_len", "punct_ratio",

@@ -2928,3 +2928,34 @@ def test_wat_link_graph(spark):
                                      include_intra_domain=True)
              .collect()}
     assert intra[("example.com", "example.com")] == 1  # /local-page
+
+
+def test_curate_perplexity_gate(spark):
+    """CurateConfig.max_ppl drops the document the self-scored bigram
+    LM finds unlikely (unique vocabulary -> unseen bigrams -> high
+    ppl), keeps the in-distribution docs, and off-by-default keeps
+    everything."""
+    from kiji_mapreduce_spark.pipeline import curate, lm
+
+    common = ("the quick brown fox jumps over the lazy dog near the "
+              "quiet river bank every single morning")
+    rows = [(i, common, "en", "web") for i in range(10)]
+    rows.append((99, "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx "
+                     "ww vv uu tt ss rr qq pp", "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    ppl = {r.doc_id: r.ppl
+           for r in lm.bigram_lm_scores(df).collect()}
+    bound = (ppl[0] + ppl[99]) / 2
+    assert ppl[99] > ppl[0]
+
+    cfg = curate.CurateConfig(min_quality=0.0, near_threshold=None,
+                              max_ppl=bound)
+    out = curate.curate_corpus(df, config=cfg)
+    ids = {r.doc_id for r in out.collect()}
+    assert 99 not in ids and 0 in ids
+
+    off = curate.curate_corpus(df, config=curate.CurateConfig(
+        min_quality=0.0, near_threshold=None))
+    assert 99 in {r.doc_id for r in off.collect()}
