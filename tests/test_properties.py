@@ -1451,3 +1451,47 @@ def test_link_graph_never_raises_on_hostile_bodies(spark, payload):
                        include_intra_domain=True).collect()
     for e in edges:
         assert e.src_domain and e.dst_domain and e.n_links >= 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_new_ingest_surfaces_are_total(spark, payload):
+    """The r12 ingest additions are total functions over arbitrary
+    bytes: transcode_responses preserves schema/rows and leaves
+    non-response rows byte-identical, wet_documents and
+    wat_link_graph never raise, and a transcoded identity-charset
+    response is byte-identical to its input."""
+    from kiji_mapreduce_spark.pipeline.crawl import (
+        transcode_responses, wat_link_graph, wet_documents)
+
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    rows = [
+        ("p", 0, "response", "http://h.example.com/", "", "", 0,
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+         b"charset=iso-8859-1\r\n\r\n" + payload),
+        ("p", 1, "response", "http://h.example.com/2", "", "", 0,
+         payload),
+        ("p", 2, "conversion", "http://h.example.com/3", "", "", 0,
+         payload),
+        ("p", 3, "metadata", "http://h.example.com/4", "", "", 0,
+         payload),
+        ("p", 4, "warcinfo", "", "", "", 0, payload),
+    ]
+    records = spark.createDataFrame(rows, schema)
+
+    out = {r.record_no: (bytes(r.content) if r.content is not None
+                         else None)
+           for r in transcode_responses(records).collect()}
+    assert len(out) == 5
+    # non-response rows byte-identical; the latin-1 response decodes
+    # with errors='replace', so it never fails
+    assert out[2] == payload and out[3] == payload and out[4] == payload
+
+    wet = wet_documents(records, spark).collect()
+    assert all(r.text is not None for r in wet)
+    edges = wat_link_graph(records, spark,
+                           include_intra_domain=True).collect()
+    for e in edges:
+        assert e.src_domain and e.n_links >= 1
