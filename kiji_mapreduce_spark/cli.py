@@ -478,6 +478,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(conversion records, Common Crawl .wet.gz) "
                     "instead of raw response WARCs — skips HTTP/HTML "
                     "extraction; batch only")
+    ci.add_argument("--charset-report", action="store_true",
+                    help="include the declared-charset distribution "
+                    "in the run stats (one JVM-side pass; sizes what "
+                    "--transcode would touch)")
     ci.add_argument("--transcode", action="store_true",
                     help="rewrite bodies declared in a legacy charset "
                     "(latin-1, windows-125x, gbk, shift_jis, ...) into "
@@ -1282,6 +1286,13 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             stats["encoding_rejects"] = {
                 r["content_encoding"]: r["n_rejected"]
                 for r in encoding_rejects(recs).collect()}
+        if args.charset_report:
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                charset_report
+
+            stats["charsets"] = {
+                (r["charset"] or ""): r["n_records"]
+                for r in charset_report(recs).collect()}
         if args.splits:
             stats["split_counts"] = {
                 r["split"]: r["n"] for r in out.groupBy("split")

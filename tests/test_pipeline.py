@@ -2837,10 +2837,12 @@ def test_cli_crawl_ingest_transcode(spark, tmp_path, capsys):
 
     rc = cli.main([
         "crawl-ingest", "--input", str(d),
-        "--output", f"{tmp_path}/docs", "--transcode"])
+        "--output", f"{tmp_path}/docs", "--transcode",
+        "--charset-report"])
     assert rc == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_docs"] == 1
+    assert stats["charsets"] == {"iso-8859-1": 1}
     [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
     assert "café" in row.text and "résumé" in row.text
 
