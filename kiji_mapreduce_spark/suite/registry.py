@@ -233,6 +233,15 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 # drive (chunked 3x34) ran on the final tree — 100/100 consistent
 # (see PROGRESS/PERF).
 #
+# r12 continuation (same round, second session): curate_corpus gained
+# two more STRICTLY-OPT-IN stages — C4 rules (c4_rules=False default)
+# and the bigram-perplexity gate (max_ppl=None default) — so
+# pipeline_curate's plan is unchanged with defaults (same input-gating
+# argument as above; re-verified by the round-end full-registry
+# drive). All other additions (dsir.py, link_graph/wat_link_graph,
+# transcode_responses, wet_documents, c4_* operators) are NEW
+# functions no registry query calls.
+#
 # r13 slack note: at 100 queries the window is fully determined (the
 # 50 r11-green tail queries rotate in, zero slack). If r13 needs a
 # slot, the strongest retirement candidates for the judge to rule on:
