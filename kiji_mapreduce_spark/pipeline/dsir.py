@@ -143,8 +143,13 @@ def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
     Spirakis order is invariant under a constant weight scale, so the
     max-shift changes nothing about WHICH rows win while keeping the
     exponential finite for arbitrarily extreme log weights (the max
-    is one scalar aggregate). Deterministic: same corpora + seed +
-    dim select the same rows on any partitioning or engine."""
+    is one scalar aggregate). Weights are floored at 1e-300 so a doc
+    more than ~745 nats below the best stays PICKABLE (the sampler
+    excludes zero weights; without the floor, k close to n could
+    return fewer than k rows) — among floored docs relative order is
+    lost, which only matters ~e^-745 of the time. Deterministic: same
+    corpora + seed + dim select the same rows on any partitioning or
+    engine."""
     logw = dsir_log_weights(raw, target, text_col, id_col, dim, ns,
                             smoothing, hash_fn)
     # two consumers (the max scalar, the clock run) — pin the small
@@ -155,7 +160,8 @@ def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
         return raw.join(logw, on=id_col).withColumn(
             "rank", F.lit(0).cast("int"))
     scored = raw.join(logw, on=id_col, how="inner").withColumn(
-        "_w", F.exp(F.col("log_w") - F.lit(float(mx))))
+        "_w", F.greatest(F.exp(F.col("log_w") - F.lit(float(mx))),
+                         F.lit(1e-300)))
     picked = weighted_sample_topk(
         scored.withColumn("_stratum", F.lit(1)),
         strata_col="_stratum", weight_col="_w", k=k,

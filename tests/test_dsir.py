@@ -129,3 +129,18 @@ def test_cli_dsir(spark, tmp_path, capsys):
     picked = spark.read.parquet(f"{tmp_path}/picked")
     assert sorted(r.doc_id for r in picked.collect()) == [0, 1, 2]
     assert "log_w" in picked.columns
+
+
+def test_dsir_resample_k_near_n_underflow_floor(spark):
+    """A doc hundreds of nats below the best stays pickable: with k
+    == n every row comes back even though exp(log_w - max)
+    underflows to zero for the junk doc."""
+    target_text = " ".join(["history science article prose"] * 60)
+    raw = spark.createDataFrame(
+        [(0, target_text),
+         (1, " ".join(f"junkword{i}" for i in range(400)))],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(0, target_text)], "doc_id long, text string")
+    picked = dsir.dsir_resample(raw, tgt, k=2, dim=100, hash_fn="md5")
+    assert sorted(r.doc_id for r in picked.collect()) == [0, 1]
