@@ -2961,3 +2961,42 @@ def test_curate_perplexity_gate(spark):
     off = curate.curate_corpus(df, config=curate.CurateConfig(
         min_quality=0.0, near_threshold=None))
     assert 99 in {r.doc_id for r in off.collect()}
+
+
+def test_cli_curate_c4_and_ppl_flags(spark, tmp_path, capsys):
+    """Flag parity: kiji-mr curate --c4 --c4-bad-words and --max-ppl
+    reach the config — the blocked word dies on the C4 rule, the
+    gibberish doc on the perplexity gate, the clean docs survive."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+
+    line = ("This perfectly ordinary sentence carries the corpus "
+            "forward with meaning.")
+    clean = "\n".join([line] * 3)
+    rows = [(i, clean.replace("meaning", f"meaning {i}"), "en", "web")
+            for i in range(8)]
+    rows.append((90, clean.replace("ordinary", "blockedword"), "en",
+                 "web"))
+    # every bigram unique -> all-unseen under the self-trained model
+    rows.append((91, " ".join(
+        f"q{j}a w{j}b e{j}c r{j}d t{j}e." for j in range(12)),
+        "en", "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    docs.write.parquet(f"{tmp_path}/docs")
+    (tmp_path / "bad.txt").write_text("blockedword\n")
+
+    rc = cli.main([
+        "curate", "--input", f"{tmp_path}/docs",
+        "--output", f"{tmp_path}/clean", "--min-quality", "0.0",
+        "--c4", "--c4-bad-words", f"{tmp_path}/bad.txt",
+        "--max-ppl", "4"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids = {r.doc_id
+           for r in spark.read.parquet(f"{tmp_path}/clean").collect()}
+    assert 90 not in ids          # C4 bad-word page rule
+    assert 91 not in ids          # perplexity gate
+    assert ids == set(range(8))
+    assert stats["docs_out"] == len(ids)
