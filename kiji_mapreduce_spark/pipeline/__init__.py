@@ -4,10 +4,10 @@ columns. All expression-first; Python only where semantics demand it.
 """
 
 from kiji_mapreduce_spark.pipeline import (
-    classifier, curate, decontaminate, dedup, graph, lm, multimodal,
-    sample, search, similarity, sketch, text, vocab,
+    classifier, curate, decontaminate, dedup, dsir, graph, lm,
+    multimodal, sample, search, similarity, sketch, text, vocab,
 )
 
-__all__ = ["classifier", "curate", "decontaminate", "dedup", "graph",
-           "lm", "multimodal", "sample", "search", "similarity",
-           "sketch", "text", "vocab"]
+__all__ = ["classifier", "curate", "decontaminate", "dedup", "dsir",
+           "graph", "lm", "multimodal", "sample", "search",
+           "similarity", "sketch", "text", "vocab"]
