@@ -478,6 +478,11 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(conversion records, Common Crawl .wet.gz) "
                     "instead of raw response WARCs — skips HTTP/HTML "
                     "extraction; batch only")
+    ci.add_argument("--main-content", action="store_true",
+                    help="extract only main-content blocks (the "
+                    "published densitometric boilerplate classifier: "
+                    "link-dense navigation/footers drop structurally) "
+                    "instead of all text")
     ci.add_argument("--charset-report", action="store_true",
                     help="include the declared-charset distribution "
                     "in the run stats (one JVM-side pass; sizes what "
@@ -1212,7 +1217,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 recs, spark, min_tokens=args.min_tokens,
                 psl_rules=rules, heuristic_domains=heuristic,
                 rejects_observation=rej_obs,
-                respect_noindex=not args.keep_noindex)
+                respect_noindex=not args.keep_noindex,
+                main_content=args.main_content)
         from kiji_mapreduce_spark.pipeline.crawl import (
             blocklist_table, filter_blocked)
 

@@ -30,7 +30,8 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
                     psl_rules=None,
                     heuristic_domains: bool = False,
                     rejects_observation=None,
-                    respect_noindex: bool = True) -> DataFrame:
+                    respect_noindex: bool = True,
+                    main_content: bool = False) -> DataFrame:
     """WARC record rows (``read_warc_records`` /
     ``warc_records_from_files`` output) -> documents-shaped rows
     (``DOC_COLUMNS``).
@@ -48,8 +49,8 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     streaming callers count per batch instead.
     """
     from kiji_mapreduce_spark.pipeline.text import (
-        http_html_text, normalize_url, registered_domain, token_count,
-        url_host)
+        html_main_text, http_html_text, normalize_url,
+        registered_domain, token_count, url_host)
 
     responses = records.filter(F.col("warc_type") == "response")
     # loud-skip for still-encoded bodies (r10 verdict "missing" #1):
@@ -99,7 +100,12 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
     # density counts U+FFFD AND NUL: binaries dense in \x00 (UTF-16,
     # sparse formats) survive the cast as valid-but-garbage NUL runs
     fffd_dense = _dense_in_replacements(F.col("text"))
-    docs = (http_html_text(responses)
+    # main_content swaps the extractor for the densitometric
+    # boilerplate-dropping one (text.html_main_text) — opt-in; the
+    # default keeps ALL text (recall-first, the block counts are the
+    # extractor's own business)
+    extract = html_main_text if main_content else http_html_text
+    docs = (extract(responses)
             # the two halves of the ingest split the responses: rows
             # that are SURELY media (declared type or binary magic) go
             # to crawl_media — tag-stripping image bytes yields garbage

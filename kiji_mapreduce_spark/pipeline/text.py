@@ -969,3 +969,104 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     valid = grams.filter(
         (F.col("pos") >= window - 1) | (F.col("_max_pos") == F.col("pos")))
     return valid.groupBy(id_col).agg(F.min("gram").alias("fingerprint"))
+
+
+#: block-level HTML tags — the segmentation boundary for the
+#: densitometric main-content classifier (inline tags like <a>/<b>
+#: stay inside their block: the anchors ARE the link-density signal)
+_BLOCK_TAG_RE = (r"(?i)</?(?:p|div|h[1-6]|table|thead|tbody|tr|td|th"
+                 r"|ul|ol|li|dl|dt|dd|blockquote|pre|article|section"
+                 r"|header|footer|nav|aside|form|fieldset|hr|br)\b[^>]*>")
+
+#: the six published thresholds of the NumWordsRules classifier
+#: (Kohlschuetter, Fankhauser & Nejdl, WSDM 2010 — "Boilerplate
+#: Detection using Shallow Text Features", densitometric tree)
+_BP_CURR_LD, _BP_PREV_LD = 0.333333, 0.555556
+_BP_CURR_W, _BP_NEXT_W, _BP_PREV_W = 16, 15, 4
+_BP_CURR_W_HI, _BP_NEXT_W_HI = 40, 17
+
+
+def _html_plain(c: Column) -> Column:
+    """Tag strip + entity decode + whitespace collapse — the same
+    chain (and &amp;-last ordering) as ``http_html_text``, applied to
+    an arbitrary fragment."""
+    s = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_main_text(df: DataFrame, content_col: str = "content",
+                   text_col: str = "text") -> DataFrame:
+    """Main-content extraction: HTTP response bytes -> (content_type,
+    ``text_col``) keeping only the blocks the published densitometric
+    classifier calls CONTENT — navigation bars, related-article rails,
+    footers and cookie banners (the boilerplate that survives plain
+    tag-stripping and then pollutes dedup/quality/training) are
+    dropped structurally, before any corpus-level pass.
+
+    The algorithm is Boilerpipe's NumWordsRules tree (Kohlschuetter et
+    al., WSDM 2010, shallow text features): the page splits into
+    blocks at block-level tags; each block scores its word count and
+    link density (anchor-text character mass / block character mass);
+    a block is content iff its link density is <= 1/3 and the
+    word-count tree over (previous, current, next) blocks says so —
+    the exact published thresholds, which need no training and were
+    shown near-optimal for news/article pages.
+
+    Everything is a per-row array expression — zero shuffle, zero
+    UDF, one pass over the body (lambda-array transforms run
+    interpreted rather than codegen'd, the documented cost of the
+    opt-in path). Appends ``n_blocks_kept`` / ``n_blocks_dropped``
+    beside the rewritten text; ``http_html_text`` remains the default
+    extractor (it keeps ALL text — the right default for recall)."""
+    _, body = _http_string_parts(F.col(content_col))
+    ctype = http_content_type(F.col(content_col))
+    stripped = F.regexp_replace(
+        body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    stripped = F.regexp_replace(stripped, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(stripped, _BLOCK_TAG_RE)
+    feats = F.transform(blocks, lambda b: F.struct(
+        _html_plain(b).alias("txt"),
+        _html_plain(F.array_join(
+            F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"),
+                                 1), " ")).alias("atxt")))
+    feats = F.filter(feats, lambda s: s.txt != "")
+    feats = F.transform(feats, lambda s: F.struct(
+        s.txt.alias("txt"),
+        F.size(F.filter(F.split(s.txt, r"\s+"),
+                        lambda w: w != "")).alias("w"),
+        (F.length(s.atxt)
+         / F.greatest(F.length(s.txt), F.lit(1))).alias("ld")))
+    n = F.size(feats)
+
+    def _is_content(s, i):
+        # element_at is 1-based: element i is the PREVIOUS block of
+        # 0-based index i, element i+2 the NEXT; edge blocks see an
+        # empty neighbor (0 words, 0 density), the paper's convention
+        prev_w = F.when(i > 0, F.element_at(feats, i).w).otherwise(0)
+        prev_ld = F.when(i > 0, F.element_at(feats, i).ld) \
+            .otherwise(0.0)
+        next_w = F.when(i < n - 1,
+                        F.element_at(feats, i + 2).w).otherwise(0)
+        tree = F.when(
+            prev_ld <= _BP_PREV_LD,
+            (s.w > _BP_CURR_W) | (next_w > _BP_NEXT_W)
+            | (prev_w > _BP_PREV_W)
+        ).otherwise((s.w > _BP_CURR_W_HI) | (next_w > _BP_NEXT_W_HI))
+        return (s.ld <= _BP_CURR_LD) & tree
+
+    kept = F.filter(feats, _is_content)
+    null_in = F.col(content_col).isNull()
+    return (df
+            .withColumn("content_type", ctype)
+            .withColumn("n_blocks_kept",
+                        F.when(null_in, F.lit(0)).otherwise(F.size(kept)))
+            .withColumn("n_blocks_dropped",
+                        F.when(null_in, F.lit(0))
+                        .otherwise(n - F.size(kept)))
+            .withColumn(text_col,
+                        F.when(null_in, F.lit(None).cast("string"))
+                        .otherwise(F.array_join(
+                            F.transform(kept, lambda s: s.txt), "\n"))))

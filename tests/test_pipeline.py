@@ -3000,3 +3000,81 @@ def test_cli_curate_c4_and_ppl_flags(spark, tmp_path, capsys):
     assert 91 not in ids          # perplexity gate
     assert ids == set(range(8))
     assert stats["docs_out"] == len(ids)
+
+
+def test_html_main_text_densitometric(spark):
+    """The published NumWordsRules tree: link-dense navigation and
+    short isolated footers drop, long prose blocks survive with their
+    inline markup stripped; NULL content stays NULL."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    # > 40 words: a block right after link-dense navigation takes the
+    # tree's high-threshold branch (prev link density > 0.5556)
+    para1 = ("The first paragraph of the article runs long enough to "
+             "clear the higher word count threshold comfortably and "
+             "talks about something that matters to the reader at "
+             "length, because the published tree demands more than "
+             "forty words from a block that directly follows heavy "
+             "navigation before it will call that block content.")
+    para2 = ("A second substantial paragraph follows the first one "
+             "and also carries well over sixteen words of actual "
+             "prose so the tree keeps it as content too.")
+    nav = ('<a href="/">Home</a> <a href="/news">News</a> '
+           '<a href="/sport">Sport</a>')
+    footer = '<a href="/about">About</a> <a href="/contact">Contact</a>'
+    html = (f"<html><body><div>{nav}</div>"
+            f"<p>{para1}</p><p>Short teaser here.</p><p>{para2}</p>"
+            f"<div>{footer}</div></body></html>")
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode())
+    df = spark.createDataFrame([(0, page), (1, None)],
+                               "doc_id long, content binary")
+    got = {r.doc_id: r for r in text_ops.html_main_text(df).collect()}
+    text = got[0].text
+    assert para1 in text and para2 in text
+    assert "Home" not in text and "Contact" not in text  # link-dense
+    assert got[0].n_blocks_dropped >= 2
+    assert got[0].content_type == "text/html"
+    assert got[1].text is None and got[1].n_blocks_kept == 0
+
+    # the short teaser between two long content blocks survives (its
+    # neighbors carry the words — the (prev, curr, next) tree)
+    assert "Short teaser here." in text
+
+
+def test_cli_crawl_ingest_main_content(spark, tmp_path, capsys):
+    """crawl-ingest --main-content drops the link-dense navigation
+    from the ingested document; the default keeps it."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from tests.test_io import _warc_record
+
+    para = ("The long article paragraph goes on for well over forty "
+            "words about its subject so that the densitometric tree "
+            "keeps it even straight after heavy navigation, which is "
+            "what the published thresholds require from the block in "
+            "that position on the page.")
+    html = ('<div><a href="/">Home</a> <a href="/n">News</a> '
+            '<a href="/s">Sport</a></div>'
+            f"<p>{para}</p>")
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode())
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://a.example.com/", page))
+
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/main", "--main-content"])
+    assert rc == 0
+    capsys.readouterr()
+    [row] = spark.read.parquet(f"{tmp_path}/main").collect()
+    assert para in row.text and "Home" not in row.text
+
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/all"])
+    assert rc == 0
+    capsys.readouterr()
+    [row] = spark.read.parquet(f"{tmp_path}/all").collect()
+    assert "Home" in row.text  # default extractor keeps everything
