@@ -1176,7 +1176,9 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 media_output=args.media_output,
                 respect_noindex=not args.keep_noindex,
                 blocked_domains=block_domains,
-                url_patterns=block_urls)
+                url_patterns=block_urls,
+                main_content=args.main_content,
+                transcode=args.transcode)
             q.awaitTermination()
             # per-RUN counts from the batches this run wrote — not a
             # scan of the whole accumulated corpus, whose size is

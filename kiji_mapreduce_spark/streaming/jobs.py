@@ -567,6 +567,8 @@ def stream_crawl_ingest(
     respect_noindex: bool = True,
     blocked_domains=None,
     url_patterns=None,
+    main_content: bool = False,
+    transcode: bool = False,
 ):
     """Continuous crawl ingest: watch ``input_glob`` for NEW WARC
     archives (the shape 100 TB crawls actually land in — segments
@@ -627,10 +629,19 @@ def stream_crawl_ingest(
         if batch_df.isEmpty():
             return
         recs = warc_records_from_files(batch_df, lenient=lenient)
+        if transcode:
+            # per-RECORD work, so it streams naturally (the blocklist
+            # rationale); the identity-charset fast path short-circuits
+            # inside the one Arrow pass
+            from kiji_mapreduce_spark.pipeline.crawl import \
+                transcode_responses
+
+            recs = transcode_responses(recs)
         docs = crawl_documents(
             recs, batch_df.sparkSession, min_tokens=min_tokens,
             psl_rules=psl_rules, heuristic_domains=heuristic_domains,
-            respect_noindex=respect_noindex)
+            respect_noindex=respect_noindex,
+            main_content=main_content)
         if bl_table is not None or url_patterns:
             # blocklists are per-RECORD work, so they stream naturally
             # (unlike the corpus-level curation passes the CLI refuses

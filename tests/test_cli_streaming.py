@@ -2174,3 +2174,37 @@ def test_cli_curate_compress_ratio_flag(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["curate", "--input", "x", "--output", "y",
                   "--compress-ratio", "0.9,0.2"])
+
+
+def test_stream_crawl_ingest_main_content_and_transcode(
+        spark, tmp_path, capsys):
+    """The stream honors the new per-record options: --transcode
+    recovers a latin-1 page's accents and --main-content drops the
+    link-dense navigation, inside the streaming twin."""
+    from tests.test_io import _warc_record
+
+    para = ("Le long paragraphe de l'article continue bien au-delà "
+            "de quarante mots au sujet du café et du résumé, parce "
+            "que l'arbre densitométrique publié exige plus de "
+            "quarante mots d'un bloc qui suit directement une "
+            "navigation chargée avant de l'appeler du contenu réel.")
+    html = ('<div><a href="/">Accueil</a> <a href="/n">Infos</a> '
+            '<a href="/s">Sport</a></div>'
+            f"<p>{para}</p>")
+    page = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+            + html.encode("iso-8859-1"))
+    d = tmp_path / "inbox"
+    d.mkdir()
+    (d / "seg1.warc").write_bytes(
+        _warc_record("response", "http://fr.example.com/", page))
+
+    rc = cli.main(["crawl-ingest", "--input", f"{d}/*.warc",
+                   "--output", f"{tmp_path}/docs", "--stream",
+                   "--checkpoint", f"{tmp_path}/ckpt",
+                   "--main-content", "--transcode"])
+    assert rc == 0
+    capsys.readouterr()
+    [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
+    assert "café" in row.text and "résumé" in row.text  # transcoded
+    assert "Accueil" not in row.text                    # nav dropped
