@@ -478,6 +478,12 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(conversion records, Common Crawl .wet.gz) "
                     "instead of raw response WARCs — skips HTTP/HTML "
                     "extraction; batch only")
+    ci.add_argument("--respect-robots", action="store_true",
+                    help="parse the robots.txt responses in the SAME "
+                    "archives and drop documents they disallow "
+                    "(RFC 9309 longest-match, agent *) — retroactive "
+                    "REP compliance; batch only (robots scope is the "
+                    "whole crawl, not one micro-batch)")
     ci.add_argument("--main-content", action="store_true",
                     help="extract only main-content blocks (the "
                     "published densitometric boilerplate classifier: "
@@ -1110,6 +1116,10 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         from kiji_mapreduce_spark.io.inputs import read_warc_records
         from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
 
+        if args.stream and args.respect_robots:
+            p.error("--respect-robots is batch-only: a robots.txt "
+                    "rule table is a whole-crawl artifact, not a "
+                    "per-micro-batch one")
         if args.stream and args.wet:
             p.error("--wet is batch-only (the streaming twin ingests "
                     "raw response WARCs)")
@@ -1221,6 +1231,14 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 rejects_observation=rej_obs,
                 respect_noindex=not args.keep_noindex,
                 main_content=args.main_content)
+        if args.respect_robots and not args.wet:
+            from kiji_mapreduce_spark.pipeline.crawl import (
+                filter_robots_disallowed, robots_rules)
+
+            # one more pass over the archives for the rule table (the
+            # --media-output precedent: each extra output pays its own
+            # parse); the table itself is tiny and host-keyed
+            docs = filter_robots_disallowed(docs, robots_rules(recs))
         from kiji_mapreduce_spark.pipeline.crawl import (
             blocklist_table, filter_blocked)
 

@@ -807,3 +807,130 @@ def wet_documents(records: DataFrame, spark: SparkSession,
         .filter(token_count(F.col("text")) >= min_tokens))
     docs = _with_domain(docs, spark, psl_rules, heuristic_domains)
     return docs.select(*DOC_COLUMNS)
+
+
+def robots_rules(records: DataFrame, agent: str = "*") -> DataFrame:
+    """Parse every ``robots.txt`` response in a crawl into a
+    (``host``, ``allow``, ``path``) rule table for ``agent`` —
+    RFC 9309 group semantics: consecutive ``User-agent`` lines form a
+    group header; a group applies when a header names ``agent``
+    (exact, case-insensitive) or ``*``, and per §2.2.1 the groups
+    naming the agent SPECIFICALLY outrank the ``*`` groups (specific
+    rules replace, never merge with, the wildcard ones); empty
+    ``Disallow:`` (allow-all) contributes nothing; comments and
+    unknown fields are ignored (a non-UA field line closes the
+    header, per the RFC's grammar). Keyed by HOST, not registered
+    domain — a robots file governs exactly its own authority.
+
+    The stanza state machine runs as ONE per-row ``aggregate`` fold
+    over the line array (accumulator: was-the-previous-line-a-UA-line,
+    is-the-current-group-matched, collected rules) — pure Catalyst,
+    zero shuffle until the final distinct. Path patterns are kept as
+    written; matching (``filter_robots_disallowed``) treats them as
+    literal prefixes — the overwhelming real-world form — and ignores
+    ``*``/``$`` wildcard rules rather than misapplying them.
+    """
+    from kiji_mapreduce_spark.pipeline.text import (_http_string_parts,
+                                                    url_host)
+
+    bots = (records
+            .filter((F.col("warc_type") == "response")
+                    & F.col("target_uri").rlike(r"(?i)/robots\.txt$")))
+    _, body = _http_string_parts(F.col("content"))
+    lines = F.split(body, r"\r?\n")
+    parsed = F.transform(lines, lambda ln: F.struct(
+        F.lower(F.trim(F.regexp_extract(
+            ln, r"^\s*([A-Za-z-]+)\s*:", 1))).alias("field"),
+        # value ends at a comment or EOL, whitespace-trimmed
+        F.trim(F.regexp_extract(
+            ln, r"^\s*[A-Za-z-]+\s*:\s*([^#]*)", 1)).alias("value")))
+    me = F.lit(agent.lower())
+    empty = F.array().cast("array<struct<allow:boolean,path:string>>")
+    init = F.struct(
+        F.lit(False).alias("was_ua"),
+        F.lit(False).alias("act_spec"), F.lit(False).alias("act_star"),
+        empty.alias("spec"), empty.alias("star"))
+
+    def _step(acc, ln):
+        is_ua = ln.field == "user-agent"
+        # RFC 9309 §2.2.1 precedence: the group naming the agent
+        # specifically OUTRANKS the * group (it does not merge with
+        # it), so the fold tracks both rule sets and the finisher
+        # picks specific-if-any-exist. Consecutive UA lines OR into
+        # one header; a UA line after rules starts a fresh group.
+        spec_match = F.lower(ln.value) == me
+        star_match = ln.value == F.lit("*")
+        act_spec = F.when(
+            is_ua, F.when(acc.was_ua, acc.act_spec | spec_match)
+            .otherwise(spec_match)).otherwise(acc.act_spec)
+        act_star = F.when(
+            is_ua, F.when(acc.was_ua, acc.act_star | star_match)
+            .otherwise(star_match)).otherwise(acc.act_star)
+        is_rule = ln.field.isin("allow", "disallow") \
+            & (ln.value != "")
+        new_rule = F.array(F.struct(
+            (ln.field == F.lit("allow")).alias("allow"),
+            ln.value.alias("path")))
+        spec = F.when(is_rule & acc.act_spec,
+                      F.concat(acc.spec, new_rule)).otherwise(acc.spec)
+        star = F.when(is_rule & acc.act_star,
+                      F.concat(acc.star, new_rule)).otherwise(acc.star)
+        return F.struct(is_ua.alias("was_ua"),
+                        act_spec.alias("act_spec"),
+                        act_star.alias("act_star"),
+                        spec.alias("spec"), star.alias("star"))
+
+    folded = F.aggregate(
+        parsed, init, _step,
+        lambda acc: F.when(F.size(acc.spec) > 0, acc.spec)
+        .otherwise(acc.star))
+    return (bots
+            .select(url_host(F.col("target_uri")).alias("host"),
+                    F.explode(folded).alias("_r"))
+            .select("host", F.col("_r.allow").alias("allow"),
+                    F.col("_r.path").alias("path"))
+            .distinct())
+
+
+def filter_robots_disallowed(docs: DataFrame, rules: DataFrame,
+                             url_col: str = "url",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Drop documents a crawl's own robots.txt files disallow —
+    retroactive REP compliance, the companion of the noindex gate
+    (noindex is the PAGE's opt-out; robots.txt is the SITE's).
+
+    RFC 9309 longest-match: among the host's rules whose path is a
+    literal prefix of the document's URL path, the LONGEST wins, and
+    on a length tie Allow beats Disallow; no matching rule means
+    allowed. Wildcard rules (``*``/``$``) are skipped, not
+    misapplied. Scale shape: docs join the rule table on host (a
+    per-host table is small — broadcast when it fits), per-doc winner
+    via one partial-agg ``max_by`` on (path length, allow), then a
+    semi-join keeps survivors; docs on hosts with no robots rows
+    never enter the join (left join keeps them)."""
+    from kiji_mapreduce_spark.pipeline.text import url_host
+
+    lit_rules = rules.filter(~F.col("path").rlike(r"[*$]"))
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)$",
+            1), F.lit("")),
+        F.lit("/"))
+    keyed = docs.select(F.col(id_col).alias("_rb_id"),
+                        url_host(F.col(url_col)).alias("_rb_host"),
+                        path.alias("_rb_path"))
+    joined = (keyed
+              .join(lit_rules,
+                    on=(keyed["_rb_host"] == lit_rules["host"])
+                    & keyed["_rb_path"].startswith(lit_rules["path"]),
+                    how="inner"))
+    verdict = (joined
+               .groupBy("_rb_id")
+               .agg(F.max_by(
+                   F.col("allow"),
+                   F.struct(F.length("path").alias("l"),
+                            F.col("allow").cast("int").alias("a")))
+                   .alias("_rb_allowed")))
+    blocked = verdict.filter(~F.col("_rb_allowed")) \
+        .select(F.col("_rb_id").alias(id_col))
+    return docs.join(blocked, on=id_col, how="left_anti")

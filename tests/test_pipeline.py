@@ -3078,3 +3078,85 @@ def test_cli_crawl_ingest_main_content(spark, tmp_path, capsys):
     capsys.readouterr()
     [row] = spark.read.parquet(f"{tmp_path}/all").collect()
     assert "Home" in row.text  # default extractor keeps everything
+
+
+def test_robots_rules_and_filter(spark):
+    """RFC 9309 semantics over a crawled robots.txt: consecutive
+    user-agent headers OR into one group, named-agent groups apply
+    only to that agent, longest-match decides with Allow winning
+    ties, wildcard rules are skipped, hosts without robots pass."""
+    from kiji_mapreduce_spark.pipeline.crawl import (
+        filter_robots_disallowed, robots_rules)
+
+    robots = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              b"# site policy\r\n"
+              b"User-agent: *\r\n"
+              b"Disallow: /private\r\n"
+              b"Allow: /private/ok\r\n"
+              b"Disallow: /tmp*junk\r\n"   # wildcard: skipped
+              b"Disallow:\r\n"             # empty: allow-all, no rule
+              b"\r\n"
+              b"User-agent: otherbot\r\n"
+              b"User-agent: thirdbot\r\n"
+              b"Disallow: /\r\n")
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    records = spark.createDataFrame(
+        [("p", 0, "response", "http://site.example.com/robots.txt",
+          "", "", 0, robots)], schema)
+
+    star = robots_rules(records)
+    got = {(r.allow, r.path) for r in star.collect()}
+    assert got == {(False, "/private"), (True, "/private/ok"),
+                   (False, "/tmp*junk")}
+
+    other = robots_rules(records, agent="OtherBot")
+    assert {(r.allow, r.path) for r in other.collect()} >= {
+        (False, "/")}
+
+    docs = spark.createDataFrame(
+        [(1, "http://site.example.com/private/secret.html", "x"),
+         (2, "http://site.example.com/private/ok/page.html", "x"),
+         (3, "http://site.example.com/public/page.html", "x"),
+         (4, "http://norobots.example.org/private/page.html", "x")],
+        "doc_id long, url string, text string")
+    kept = filter_robots_disallowed(docs, star)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+
+    # under the named agent's rules everything on the host drops
+    kept_other = filter_robots_disallowed(docs, other)
+    assert sorted(r.doc_id for r in kept_other.collect()) == [4]
+
+
+def test_cli_crawl_ingest_respect_robots(spark, tmp_path, capsys):
+    """crawl-ingest --respect-robots drops pages the archive's own
+    robots.txt disallows; default ingests them."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from tests.test_io import _warc_record
+
+    robots = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              b"User-agent: *\r\nDisallow: /private\r\n")
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>words on the page body here</p>")
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://s.example.com/robots.txt",
+                     robots)
+        + _warc_record("response", "http://s.example.com/private/x",
+                       page)
+        + _warc_record("response", "http://s.example.com/public/y",
+                       page))
+
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs", "--respect-robots"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    urls = {r.url
+            for r in spark.read.parquet(f"{tmp_path}/docs").collect()}
+    assert "http://s.example.com/private/x" not in urls
+    assert "http://s.example.com/public/y" in urls
+    assert stats["n_docs"] == len(urls)

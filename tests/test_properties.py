@@ -1478,13 +1478,15 @@ def test_new_ingest_surfaces_are_total(spark, payload):
         ("p", 3, "metadata", "http://h.example.com/4", "", "", 0,
          payload),
         ("p", 4, "warcinfo", "", "", "", 0, payload),
+        ("p", 5, "response", "http://h.example.com/robots.txt", "",
+         "", 0, payload),
     ]
     records = spark.createDataFrame(rows, schema)
 
     out = {r.record_no: (bytes(r.content) if r.content is not None
                          else None)
            for r in transcode_responses(records).collect()}
-    assert len(out) == 5
+    assert len(out) == 6  # row count preserved
     # non-response rows byte-identical; the latin-1 response decodes
     # with errors='replace', so it never fails
     assert out[2] == payload and out[3] == payload and out[4] == payload
@@ -1495,3 +1497,7 @@ def test_new_ingest_surfaces_are_total(spark, payload):
                            include_intra_domain=True).collect()
     for e in edges:
         assert e.src_domain and e.n_links >= 1
+    from kiji_mapreduce_spark.pipeline.crawl import robots_rules
+
+    for r in robots_rules(records).collect():
+        assert r.host == "h.example.com" and r.path != ""
