@@ -792,3 +792,44 @@ def webdataset_samples_from_files(files: DataFrame,
 
     return files.select("path", "content").mapInPandas(_samples,
                                                        schema)
+
+
+def read_cdx(spark: "SparkSession", paths: list[str]) -> "DataFrame":
+    """CDXJ crawl-index records (the pywb/Common Crawl ``cdx-*.gz``
+    layout — one line per capture: ``<SURT key> <14-digit timestamp>
+    <JSON>``) as typed rows: (surt_key, ts, url, mime, status,
+    digest, length, offset, filename, languages). The index is HOW a
+    100 TB crawl is subset before any WARC byte moves — filter here
+    (status/mime/url/language), then fetch only the named
+    (filename, offset, length) ranges.
+
+    Pure Catalyst: the text source splits lines (gzip transparent,
+    splittable per file), two substring pulls take the key and
+    timestamp, ``from_json`` types the tail. Lines that do not parse
+    (checkpoints, blank, corrupt) yield NULL fields rather than
+    failing — index files in the wild carry headers and partial
+    writes. Numeric fields arrive as JSON strings in real CC indexes;
+    they cast to long here."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(paths).withColumnRenamed("value", "_ln")
+    key = F.regexp_extract(F.col("_ln"), r"^(\S+) \d{14} \{", 1)
+    ts = F.regexp_extract(F.col("_ln"), r"^\S+ (\d{14}) \{", 1)
+    js = F.regexp_extract(F.col("_ln"), r"^\S+ \d{14} (\{.*\})$", 1)
+    meta = F.from_json(F.nullif(js, F.lit("")),
+                       "url string, mime string, status string, "
+                       "digest string, length string, offset string, "
+                       "filename string, languages string")
+    return (lines
+            .select(F.nullif(key, F.lit("")).alias("surt_key"),
+                    F.nullif(ts, F.lit("")).alias("ts"),
+                    meta.alias("_m"))
+            .select("surt_key", "ts",
+                    F.col("_m.url").alias("url"),
+                    F.col("_m.mime").alias("mime"),
+                    F.col("_m.status").cast("int").alias("status"),
+                    F.col("_m.digest").alias("digest"),
+                    F.col("_m.length").cast("long").alias("length"),
+                    F.col("_m.offset").cast("long").alias("offset"),
+                    F.col("_m.filename").alias("filename"),
+                    F.col("_m.languages").alias("languages")))

@@ -1100,3 +1100,43 @@ def test_webdataset_dotted_directory_keys(spark, tmp_path):
     assert set(rows) == {"images.v2/0001", "images.v2/0002", "noext"}
     assert bytes(rows["images.v2/0001"]["json"]) == b"M1"
     assert set(rows["noext"]) == {""}
+
+
+def test_cdx_index_records(spark, tmp_path):
+    """CDXJ crawl-index lines parse to typed rows, numeric strings
+    cast, malformed/header lines yield NULL fields instead of
+    failing, gzip files read transparently."""
+    import gzip as _gzip
+
+    from kiji_mapreduce_spark.io.inputs import read_cdx
+
+    good = ('com,example)/page 20240101123456 '
+            '{"url": "http://example.com/page", "mime": "text/html", '
+            '"status": "200", "digest": "AAAA", "length": "1234", '
+            '"offset": "5678", "filename": "seg/x.warc.gz", '
+            '"languages": "eng"}')
+    other = ('org,site)/a 20240202000000 '
+             '{"url": "https://site.org/a", "mime": "image/png", '
+             '"status": "404", "length": "10", "offset": "0", '
+             '"filename": "seg/y.warc.gz"}')
+    junk = "not a cdx line"
+    d = tmp_path / "cdx"
+    d.mkdir()
+    (d / "part1.cdx").write_text(good + "\n" + junk + "\n")
+    with _gzip.open(d / "part2.cdx.gz", "wt") as f:
+        f.write(other + "\n")
+
+    rows = {r.surt_key: r for r in read_cdx(spark, [str(d)]).collect()}
+    assert len(rows) == 3  # junk row present with NULL fields
+    g = rows["com,example)/page"]
+    assert (g.ts, g.url, g.status, g.length, g.offset, g.filename,
+            g.languages) == ("20240101123456", "http://example.com/page",
+                             200, 1234, 5678, "seg/x.warc.gz", "eng")
+    o = rows["org,site)/a"]
+    assert o.status == 404 and o.mime == "image/png"
+    assert rows[None].url is None  # the junk line
+
+    # the selection workflow: index filter BEFORE any WARC byte moves
+    sel = (read_cdx(spark, [str(d)])
+           .filter("status = 200 AND mime = 'text/html'"))
+    assert [r.filename for r in sel.collect()] == ["seg/x.warc.gz"]
