@@ -1501,3 +1501,24 @@ def test_new_ingest_surfaces_are_total(spark, payload):
 
     for r in robots_rules(records).collect():
         assert r.host == "h.example.com" and r.path != ""
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_html_main_text_total_on_hostile_bytes(spark, payload):
+    """html_main_text is total over arbitrary bytes: hostile/binary
+    bodies yield a (possibly empty) string, block counts reconcile,
+    and NULL content stays NULL with zero counts."""
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, b"HTTP/1.1 200 OK\r\n\r\n" + payload), (1, payload),
+         (2, None)],
+        "doc_id long, content binary")
+    got = {r.doc_id: r for r in text_ops.html_main_text(df).collect()}
+    for i in (0, 1):
+        assert got[i].text is not None
+        assert got[i].n_blocks_kept >= 0
+        assert got[i].n_blocks_dropped >= 0
+    assert got[2].text is None
+    assert got[2].n_blocks_kept == 0 and got[2].n_blocks_dropped == 0
