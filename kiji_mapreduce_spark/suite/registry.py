@@ -242,6 +242,12 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 # transcode_responses, wet_documents, c4_* operators) are NEW
 # functions no registry query calls.
 #
+# r13 oracle candidates from the continuation surfaces, if a slot
+# opens: c4_filter (pure per-row rules — trivially SQL-expressible
+# over the documents table) and dsir_log_weights (md5 hash mode +
+# driver-fitted literal log-ratio table, the classifier_score_topk
+# shape). Both already have hand-model pytest oracles.
+#
 # r13 slack note: at 100 queries the window is fully determined (the
 # 50 r11-green tail queries rotate in, zero slack). If r13 needs a
 # slot, the strongest retirement candidates for the judge to rule on:
