@@ -149,3 +149,67 @@ def test_curate_c4_gate(spark):
     off = curate.curate_corpus(df, config=curate.CurateConfig(
         min_quality=0.0))
     assert sorted(r.doc_id for r in off.collect()) == [1, 2]
+
+
+def test_c4_rules_match_duckdb_oracle(spark):
+    """Cross-engine evidence for the future oracle seat (the
+    registry-note claim): the full C4 chain — line filter rebuild,
+    then page rules over the cleaned text — reproduced in DuckDB SQL
+    over 200 deterministically varied docs; kept ids AND rebuilt
+    texts match exactly."""
+    import hashlib
+
+    import duckdb
+
+    from kiji_mapreduce_spark.pipeline import text as text_ops
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    docs = []
+    for i in range(200):
+        h = int(hashlib.md5(str(i).encode()).hexdigest(), 16)
+        lines = []
+        for j in range(3 + h % 4):
+            n = 3 + (h >> (4 * j)) % 8
+            ws = [words[(h >> k) % 10] for k in range(n)]
+            ln = " ".join(ws)
+            mode = (h >> (3 * j)) % 5
+            if mode == 0:
+                ln += "."
+            elif mode == 1:
+                ln += "?"
+            elif mode == 2:
+                ln += " javascript required."
+            elif mode == 3:
+                ln += " lorem ipsum text."
+            # mode 4: no terminal punctuation
+            if (h >> j) % 11 == 0:
+                ln += " {"
+            lines.append(ln)
+        docs.append((i, "\n".join(lines)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in text_ops.c4_filter(df, min_sentences=2).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    sql = r"""
+    WITH rebuilt AS (
+      SELECT doc_id, array_to_string(list_filter(
+        string_split_regex(text, '\r?\n'),
+        ln -> regexp_matches(ln, '[.!?"”’'']\s*$')
+              AND length(list_filter(string_split_regex(ln, '\s+'),
+                                     w -> w != '')) >= 5
+              AND NOT contains(lower(ln), 'javascript')), chr(10))
+        AS text
+      FROM docs)
+    SELECT doc_id, text FROM rebuilt
+    WHERE length(regexp_extract_all(text, '[.!?]+')) >= 2
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')
+    """
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert len(got) > 10  # the fixture actually exercises the rules
