@@ -144,3 +144,73 @@ def test_dsir_resample_k_near_n_underflow_floor(spark):
         [(0, target_text)], "doc_id long, text string")
     picked = dsir.dsir_resample(raw, tgt, k=2, dim=100, hash_fn="md5")
     assert sorted(r.doc_id for r in picked.collect()) == [0, 1]
+
+
+def test_dsir_log_weights_match_duckdb_oracle(spark):
+    """Cross-engine evidence for the future oracle seat: the whole
+    DSIR weight job — md5 bucket hashing, Laplace-smoothed target and
+    raw bucket models, per-doc count-weighted log-ratio sum —
+    reproduced in DuckDB SQL; weights match to the committed 9 dp
+    rounding."""
+    import duckdb
+
+    dim, alpha = 64, 1.0
+    raw_rows = [(i, " ".join(
+        ["alpha beta gamma delta", "epsilon zeta eta theta",
+         "iota kappa lambda mu"][i % 3] for _ in range(2 + i % 3)))
+        for i in range(30)]
+    tgt_rows = [(100 + i, "alpha beta gamma delta epsilon zeta")
+                for i in range(5)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {r.doc_id: r.log_w for r in
+           dsir.dsir_log_weights(raw, tgt, dim=dim, hash_fn="md5",
+                                 smoothing=alpha).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE tgt(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", raw_rows)
+    con.executemany("INSERT INTO tgt VALUES (?, ?)", tgt_rows)
+    grams = """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),
+               '\\s+'), t -> t != '') AS tk FROM {src}),
+      uni AS (
+        SELECT doc_id, unnest(tk) AS g FROM toks),
+      bi AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+        FROM toks, unnest(range(1, length(tk))) AS r(i)),
+      allg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {dim} AS bucket,
+             count(*) AS cnt
+      FROM allg GROUP BY 1, 2
+    """
+    con.execute("CREATE VIEW raw_counts AS "
+                + grams.format(src="raw", dim=dim))
+    con.execute("CREATE VIEW tgt_counts AS "
+                + grams.format(src="tgt", dim=dim))
+    model = """
+      CREATE VIEW {name} AS
+      WITH b AS (SELECT unnest(range(0, {dim})) AS bucket),
+      tot AS (SELECT bucket, sum(cnt)::DOUBLE AS n
+              FROM {src} GROUP BY 1),
+      d AS (SELECT sum(cnt)::DOUBLE + {alpha} * {dim} AS denom
+            FROM {src})
+      SELECT b.bucket,
+             round(ln((coalesce(tot.n, 0) + {alpha}) / d.denom), 12)
+               AS logp
+      FROM b LEFT JOIN tot USING (bucket), d
+    """
+    con.execute(model.format(name="log_p", src="tgt_counts",
+                             dim=dim, alpha=alpha))
+    con.execute(model.format(name="log_q", src="raw_counts",
+                             dim=dim, alpha=alpha))
+    want = dict(con.execute("""
+      SELECT rc.doc_id,
+             round(sum(rc.cnt * (p.logp - q.logp)), 9)
+      FROM raw_counts rc
+      JOIN log_p p USING (bucket) JOIN log_q q USING (bucket)
+      GROUP BY 1""").fetchall())
+    assert got == want
