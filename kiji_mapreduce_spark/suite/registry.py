@@ -246,7 +246,10 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 # opens: c4_filter (pure per-row rules — trivially SQL-expressible
 # over the documents table) and dsir_log_weights (md5 hash mode +
 # driver-fitted literal log-ratio table, the classifier_score_topk
-# shape). Both already have hand-model pytest oracles.
+# shape). Both ALREADY hash-match full DuckDB oracles in pytest
+# (test_c4_rules_match_duckdb_oracle,
+# test_dsir_log_weights_match_duckdb_oracle) — seating either is a
+# transplant of existing SQL, not new oracle work.
 #
 # r13 slack note: at 100 queries the window is fully determined (the
 # 50 r11-green tail queries rotate in, zero slack). If r13 needs a
