@@ -98,6 +98,8 @@ class JobInput:
             return read_webdataset(
                 spark, self.paths,
                 lenient=self.options.get("lenient", "") == "true")
+        if fmt == "cdx":
+            return read_cdx(spark, self.paths)
         raise ValueError(f"unknown input format {self.format!r}")
 
 

@@ -1140,3 +1140,9 @@ def test_cdx_index_records(spark, tmp_path):
     sel = (read_cdx(spark, [str(d)])
            .filter("status = 200 AND mime = 'text/html'"))
     assert [r.filename for r in sel.collect()] == ["seg/x.warc.gz"]
+
+    # the declarative job-input spec reaches the same reader
+    from kiji_mapreduce_spark.io.inputs import JobInput
+
+    via_spec = JobInput(format="cdx", paths=[str(d)]).load(spark)
+    assert via_spec.count() == 3
