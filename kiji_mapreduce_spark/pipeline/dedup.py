@@ -1434,3 +1434,48 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
                                F.lit(None).cast("string"))
                         .otherwise(F.array_join(kept, " ")))
             .drop("_sp_id", "_rm"))
+
+
+def lsh_plan(num_hashes: int, threshold: float,
+             integration_steps: int = 1000) -> dict:
+    """Pick the MinHash LSH banding for a target Jaccard threshold —
+    the standard S-curve arithmetic (Leskovec/Rajaraman/Ullman, MMDS
+    ch. 3, public): with ``b`` bands of ``r`` rows, a pair of
+    similarity ``s`` becomes a candidate with probability
+    ``1 - (1 - s^r)^b``, and the curve's midpoint sits near
+    ``(1/b)^(1/r)``. Among the divisor splits of ``num_hashes``,
+    choose the one minimizing expected error mass: the integral of
+    the collision probability BELOW the threshold (false-positive
+    mass) plus the integral of the miss probability ABOVE it
+    (false-negative mass) — evaluated by plain driver-side
+    quadrature, no Spark work at all.
+
+    Returns {"bands", "rows", "midpoint", "fp_mass", "fn_mass"} ready
+    to feed ``minhash_lsh_candidates(num_hashes=..., bands=...)`` /
+    ``minhash_index``. The tuning companion of ``similarity.ann_tune``
+    for the dedup side: callers stop hand-guessing band counts."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        step = 1.0 / integration_steps
+        fp = fn = 0.0
+        for k in range(integration_steps):
+            s = (k + 0.5) * step
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        score = fp + fn
+        if best is None or score < best[0]:
+            best = (score, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {"bands": b, "rows": r,
+            "midpoint": round((1.0 / b) ** (1.0 / r), 4),
+            "fp_mass": round(fp, 4), "fn_mass": round(fn, 4)}

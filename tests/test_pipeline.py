@@ -3160,3 +3160,42 @@ def test_cli_crawl_ingest_respect_robots(spark, tmp_path, capsys):
     assert "http://s.example.com/private/x" not in urls
     assert "http://s.example.com/public/y" in urls
     assert stats["n_docs"] == len(urls)
+
+
+def test_lsh_plan_scurve():
+    """The banding planner: midpoint tracks the threshold, extreme
+    thresholds push toward the extreme splits, the chosen split beats
+    the naive ones on total error mass, and invalid inputs are loud."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.pipeline import dedup as dedup_ops
+
+    plan = dedup_ops.lsh_plan(32, 0.5)
+    assert plan["bands"] * plan["rows"] == 32
+    assert abs(plan["midpoint"] - 0.5) < 0.2
+
+    # high threshold -> more rows per band (harder to collide);
+    # low threshold -> more bands (easier)
+    strict = dedup_ops.lsh_plan(32, 0.9)
+    loose = dedup_ops.lsh_plan(32, 0.2)
+    assert strict["rows"] > loose["rows"]
+
+    # error mass of the winner <= the all-in-one-band split's
+    def mass(b, r, t):
+        fp = fn = 0.0
+        for k in range(1000):
+            s = (k + 0.5) / 1000
+            p = 1.0 - (1.0 - s ** r) ** b
+            fp += (p if s < t else 0) / 1000
+            fn += ((1 - p) if s >= t else 0) / 1000
+        return fp + fn
+
+    assert (plan["fp_mass"] + plan["fn_mass"]
+            <= mass(1, 32, 0.5) + 1e-9)
+    assert (plan["fp_mass"] + plan["fn_mass"]
+            <= mass(32, 1, 0.5) + 1e-9)
+
+    with _pytest.raises(ValueError):
+        dedup_ops.lsh_plan(32, 1.5)
+    with _pytest.raises(ValueError):
+        dedup_ops.lsh_plan(1, 0.5)
