@@ -321,6 +321,34 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     record are ever resident."""
     if raw[:2] == b"\x1f\x8b":
         chunks = _inflate_members(raw, path, lenient)
+    elif raw[:4] == b"\x28\xb5\x2f\xfd":
+        # .warc.zst (newer archive tooling ships these): inflate the
+        # frame sequence via the pure-Python RFC 8878 decoder under
+        # the same compressed/decompressed gates as .tar.zst shards.
+        # O(archive) memory for this one compression; archives built
+        # with an external dictionary (a skippable-frame convention
+        # some tools use) fail the decoder loudly — strict raises,
+        # lenient keeps nothing (decompression is all-or-nothing, so
+        # there is no parsed prefix to keep)
+        from kiji_mapreduce_spark.io import zstd_codec
+
+        try:
+            if len(raw) > _MAX_ZSTD_ARCHIVE_BYTES:
+                raise ValueError(
+                    f"{path}: .warc.zst over the "
+                    f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
+                    "decode gate — recompress as .warc.gz or split")
+            raw = zstd_codec.decompress(
+                raw, max_output=_MAX_ZSTD_ARCHIVE_OUT,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+        except ValueError as e:
+            if not lenient:
+                raise ValueError(
+                    f"{path}: corrupt zstd WARC: {e}") from e
+            return
+        mv = memoryview(raw)
+        chunks = (mv[i:i + (1 << 20)]
+                  for i in range(0, len(raw), 1 << 20))
     else:
         # bounded memoryview slices, NOT one whole-archive chunk: the
         # framer copies every chunk into its rolling buffer, so a

@@ -320,3 +320,52 @@ def test_crawl_gate_zstd_semantics(spark, tmp_path):
     rej = {r.content_encoding: r.n_rejected
            for r in encoding_rejects(records).collect()}
     assert rej == {"zstd": 1}
+
+
+def _store_frame(data: bytes) -> bytes:
+    """Hand-built store-mode zstd frame (single-segment, raw blocks)
+    — lets the test synthesize .warc.zst without an encoder."""
+    out = bytearray(b"\x28\xb5\x2f\xfd")
+    if len(data) < 256:
+        out.append(0x20)  # single-segment, 1-byte FCS
+        out.append(len(data))
+    else:
+        out.append(0x60)  # single-segment, 2-byte FCS (size - 256)
+        out += (len(data) - 256).to_bytes(2, "little")
+    out += ((len(data) << 3) | 1).to_bytes(3, "little")  # raw, last
+    out += data
+    return bytes(out)
+
+
+def test_warc_zst_records(spark, tmp_path):
+    """.warc.zst archives parse through the same WARC framer as .gz:
+    records come back identically, a truncated frame is lenient-empty
+    / strict-loud, and the crawl chain ingests the documents."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+    from tests.test_io import _warc_record
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>zstandard compressed archive page words</p>")
+    warc = (_warc_record("response", "http://z.example.com/1", page)
+            + _warc_record("response", "http://z.example.com/2", page))
+    d = tmp_path / "zwarc"
+    d.mkdir()
+    (d / "a.warc.zst").write_bytes(_store_frame(warc))
+
+    records = read_warc_records(spark, [str(d)])
+    rows = records.collect()
+    assert len(rows) == 2
+    assert {r.target_uri for r in rows} == {"http://z.example.com/1",
+                                            "http://z.example.com/2"}
+    docs = crawl_documents(records, spark)
+    assert docs.count() == 2
+
+    # cut inside the zstd frame: lenient keeps nothing (all-or-
+    # nothing decompression), strict raises
+    (d / "a.warc.zst").write_bytes(_store_frame(warc)[:30])
+    assert read_warc_records(spark, [str(d)], lenient=True).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_warc_records(spark, [str(d)]).collect()
