@@ -115,7 +115,8 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "curate", "classify-train", "classify-score", "sketch", "split",
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
-    "corpus-stats", "webdataset-pack", "dsir", "link-graph"})
+    "corpus-stats", "webdataset-pack", "dsir", "link-graph",
+    "span-dedup"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -379,6 +380,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     ct.add_argument("--dim", type=int, default=1024)
     ct.add_argument("--iters", type=int, default=20)
     ct.add_argument("--lr", type=float, default=2.0)
+
+    sd = sub.add_parser("span-dedup", help="C4 corpus-level "
+                        "three-sentence-span dedup: all but the "
+                        "globally first occurrence of any repeated "
+                        "span lose those sentences")
+    sd.add_argument("--input", required=True, help="documents parquet")
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--sentences", type=int, default=3,
+                    help="span length in sentences (the paper uses 3)")
 
     ds = sub.add_parser("dsir", help="DSIR importance resampling: "
                         "select raw documents that look like a target "
@@ -919,6 +931,24 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             stats["n_domains"] = spark.read.parquet(
                 args.pagerank).count()
         return _emit(args, stats)
+
+    if args.command == "span-dedup":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.pipeline import dedup as dedup_mod
+
+        spark = make_session(app_name="kiji-span-dedup")
+        docs = spark.read.parquet(args.input)
+        out = dedup_mod.c4_span_dedup(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            span_sentences=args.sentences)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        n_dropped = res.agg(
+            F.sum("c4_sentences_dropped")).collect()[0][0] or 0
+        return _emit(args, {"deduped": args.output,
+                            "n_docs": res.count(),
+                            "n_sentences_dropped": int(n_dropped)})
 
     if args.command == "dsir":
         from kiji_mapreduce_spark.pipeline import dsir

@@ -1522,3 +1522,37 @@ def test_html_main_text_total_on_hostile_bytes(spark, payload):
         assert got[i].n_blocks_dropped >= 0
     assert got[2].text is None
     assert got[2].n_blocks_kept == 0 and got[2].n_blocks_dropped == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1,
+                max_size=6))
+def test_read_cdx_total_on_arbitrary_lines(spark, tmp_path_factory,
+                                           lines):
+    """read_cdx over arbitrary text lines: row-per-line, never
+    raises, malformed lines yield NULL fields, and any line matching
+    the CDXJ shape round-trips its key and timestamp."""
+    import re as _re
+
+    from kiji_mapreduce_spark.io.inputs import read_cdx
+
+    d = tmp_path_factory.mktemp("cdxfuzz")
+    content = "\n".join(ln.replace("\n", " ").replace("\r", " ")
+                        for ln in lines)
+    (d / "f.cdx").write_text(content, encoding="utf-8")
+    rows = read_cdx(spark, [str(d)]).collect()
+    # text-source line semantics: a trailing newline terminates the
+    # last record rather than opening an empty one; an empty file has
+    # no records
+    written = content.split("\n")
+    if content.endswith("\n"):
+        written = written[:-1]
+    if content == "":
+        written = []
+    assert len(rows) == len(written)
+    pat = _re.compile(r"^(\S+) (\d{14}) (\{.*\})$")
+    want_keys = sorted(m.group(1) for ln in written
+                       if (m := pat.match(ln)))
+    got_keys = sorted(r.surt_key for r in rows
+                      if r.surt_key is not None)
+    assert got_keys == want_keys

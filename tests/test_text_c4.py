@@ -213,3 +213,28 @@ def test_c4_rules_match_duckdb_oracle(spark):
     want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert got == want
     assert len(got) > 10  # the fixture actually exercises the rules
+
+
+def test_cli_span_dedup(spark, tmp_path, capsys):
+    """kiji-mr span-dedup end to end: the repeated span's later
+    occurrence loses its sentences, stats JSON reports the drops."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+
+    shared = "One common first. Two common second. Three common third."
+    docs = spark.createDataFrame(
+        [(0, shared + " Unique tail of the first document."),
+         (1, shared + " Another tail entirely.")],
+        "doc_id long, text string")
+    docs.write.parquet(f"{tmp_path}/docs")
+
+    rc = cli.main(["span-dedup", "--input", f"{tmp_path}/docs",
+                   "--output", f"{tmp_path}/deduped"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 2 and stats["n_sentences_dropped"] == 3
+    got = {r.doc_id: r.text for r in
+           spark.read.parquet(f"{tmp_path}/deduped").collect()}
+    assert got[1] == "Another tail entirely."
+    assert shared.split(". ")[0] in got[0]
