@@ -848,3 +848,153 @@ def q_crawl_html_extract(spark, sf_dir):
 
 
 SQL_CRAWL_HTML_EXTRACT = oracles.html_extract_sql()
+
+
+def q_c4_filter(spark, sf_dir):
+    """The C4 cleaning chain (Raffel et al. 2020 §2.2) over the
+    documents table, driver-oracle-checked end to end. The corpus text
+    is single-line word soup, so the query first derives a
+    deterministic line structure — every run of 6 tokens becomes a
+    '.'-terminated line (one global regexp_replace both engines apply
+    identically), a terminal '.' closes the remainder line, and
+    doc_id-keyed pathological suffixes append a lorem-ipsum page
+    marker, a code-brace line, or a please-enable-javascript banner —
+    then runs the REAL ``text.c4_filter``: line filter rebuild (>= 5
+    words, terminal punctuation, no "javascript"), page rules over the
+    CLEANED text (>= 3 sentences, no lorem ipsum, no brace). The
+    derivation + chain are reproduced verbatim in SQL_C4_FILTER, the
+    committed DuckDB oracle from tests/test_text_c4.py (r12's
+    transplant-ready candidate, seated r13).
+
+    Scale shape: pure Catalyst per-row expressions, ZERO shuffles,
+    zero UDFs — at 100 TB this is a map-only pass fused into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lined = F.concat(
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){5}\S+) ", "$1.\n"),
+        F.lit("."),
+        F.when(did % 11 == 0,
+               F.lit("\nthis entire page is lorem ipsum filler content."))
+         .when(did % 13 == 0,
+               F.lit("\ncode sample with a { brace inside it."))
+         .when(did % 7 == 0,
+               F.lit("\nplease enable javascript to view this page."))
+         .otherwise(F.lit("")))
+    out = text_ops.c4_filter(docs.withColumn("text", lined))
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_C4_FILTER = r"""
+WITH derived AS (
+  SELECT doc_id, lang, source, n_chars,
+         regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1.' || chr(10), 'g')
+         || '.'
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'this entire page is lorem ipsum filler content.'
+                 WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'code sample with a { brace inside it.'
+                 WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'please enable javascript to view this page.'
+                 ELSE '' END AS text
+  FROM documents
+),
+rebuilt AS (
+  SELECT doc_id, lang, source, n_chars,
+         array_to_string(list_filter(
+           string_split_regex(text, '\r?\n'),
+           ln -> regexp_matches(ln, '[.!?"”’'']\s*$')
+                 AND len(list_filter(string_split_regex(ln, '\s+'),
+                                     w -> w != '')) >= 5
+                 AND NOT contains(lower(ln), 'javascript')), chr(10))
+           AS text
+  FROM derived
+)
+SELECT doc_id, text, lang, source, n_chars FROM rebuilt
+WHERE len(regexp_extract_all(text, '[.!?]+')) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+"""
+
+
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) over the
+    documents table, driver-oracle-checked end to end: raw corpus =
+    all documents, target sample = the ``doc_id % 10 = 3`` slice (a
+    deterministic "quality corpus" stand-in that scales with sf), md5
+    bucket hashing (dim=64) so any SQL engine reproduces the
+    arithmetic, Laplace smoothing 1.0. The oracle reruns the WHOLE
+    job — unigram+bigram featurize, both smoothed bucket models, the
+    count-weighted log-ratio sum — in DuckDB (the committed
+    cross-check from tests/test_dsir.py, r12's transplant-ready
+    candidate, seated r13).
+
+    Scale shape: the raw corpus is featurized ONCE (localCheckpoint
+    pins the diamond); both model fits are dim-bounded partial
+    aggregations collecting 64 doubles; scoring is one broadcast join
+    + one id-keyed (unique-key) aggregation."""
+    from kiji_mapreduce_spark.pipeline import dsir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 3)
+    return dsir.dsir_log_weights(docs, target, dim=64, hash_fn="md5",
+                                 smoothing=1.0)
+
+
+SQL_DSIR_LOG_WEIGHTS = r"""
+WITH raw_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+),
+tgt_toks AS (SELECT * FROM raw_toks WHERE doc_id % 10 = 3),
+raw_grams AS (
+  SELECT doc_id, unnest(tk) AS g FROM raw_toks
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM raw_toks, unnest(range(1, len(tk))) AS r(i)
+),
+tgt_grams AS (
+  SELECT doc_id, unnest(tk) AS g FROM tgt_toks
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM tgt_toks, unnest(range(1, len(tk))) AS r(i)
+),
+raw_counts AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS cnt
+  FROM raw_grams GROUP BY 1, 2
+),
+tgt_counts AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS cnt
+  FROM tgt_grams GROUP BY 1, 2
+),
+buckets AS (SELECT unnest(range(0, 64)) AS bucket),
+log_p AS (
+  SELECT b.bucket,
+         round(ln((coalesce(t.n, 0) + 1.0) / d.denom), 12) AS lp
+  FROM buckets b
+  LEFT JOIN (SELECT bucket, sum(cnt)::DOUBLE AS n
+             FROM tgt_counts GROUP BY 1) t USING (bucket),
+       (SELECT coalesce(sum(cnt), 0)::DOUBLE + 64.0 AS denom
+        FROM tgt_counts) d
+),
+log_q AS (
+  SELECT b.bucket,
+         round(ln((coalesce(t.n, 0) + 1.0) / d.denom), 12) AS lp
+  FROM buckets b
+  LEFT JOIN (SELECT bucket, sum(cnt)::DOUBLE AS n
+             FROM raw_counts GROUP BY 1) t USING (bucket),
+       (SELECT coalesce(sum(cnt), 0)::DOUBLE + 64.0 AS denom
+        FROM raw_counts) d
+)
+SELECT rc.doc_id,
+       round(sum(rc.cnt * (p.lp - q.lp)), 9) AS log_w
+FROM raw_counts rc
+JOIN log_p p USING (bucket)
+JOIN log_q q USING (bucket)
+GROUP BY 1
+"""
