@@ -1153,6 +1153,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         if args.stream and args.wet:
             p.error("--wet is batch-only (the streaming twin ingests "
                     "raw response WARCs)")
+        if args.wet and args.respect_robots:
+            p.error("--respect-robots needs raw response WARCs (the "
+                    "robots.txt bodies): WET conversion records carry "
+                    "none, so the flag would silently apply no REP "
+                    "filtering")
+        if args.wet and (args.main_content or args.keep_noindex
+                         or args.transcode):
+            p.error("--main-content/--keep-noindex/--transcode are "
+                    "HTML-response-path flags: WET records are "
+                    "pre-extracted text with no markup, headers or "
+                    "robots meta, so they would silently do nothing")
         if args.stream and (args.curate or args.splits
                             or args.dedup_index
                             or args.max_docs_per_domain > 0):
@@ -1261,7 +1272,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 rejects_observation=rej_obs,
                 respect_noindex=not args.keep_noindex,
                 main_content=args.main_content)
-        if args.respect_robots and not args.wet:
+        if args.respect_robots:  # --wet combination rejected above
             from kiji_mapreduce_spark.pipeline.crawl import (
                 filter_robots_disallowed, robots_rules)
 

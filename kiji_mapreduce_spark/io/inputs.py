@@ -616,9 +616,14 @@ def _iter_tar_members(blob: bytes, path: str, lenient: bool):
     truncation is detectable."""
     import io as _io
     import tarfile
+    import zlib
 
+    # zlib.error: a .tar.gz whose gzip HEADER parses but whose deflate
+    # body is corrupt surfaces the raw decompressor error from inside
+    # GzipFile.read(), not a tarfile/OSError wrapper (fuzz-found in
+    # the zip twin, same mechanism here)
     corrupt = (tarfile.TarError, EOFError, OSError, ValueError,
-               TypeError)
+               TypeError, zlib.error)
     budget = _MAX_ARCHIVE_MEMBER_BYTES
     try:
         from kiji_mapreduce_spark.io import zstd_codec
@@ -684,6 +689,7 @@ def _iter_zip_members(blob: bytes, path: str, lenient: bool):
     gate fires before any inflate)."""
     import io as _io
     import zipfile
+    import zlib
 
     budget = _MAX_ARCHIVE_MEMBER_BYTES
     try:
@@ -699,11 +705,14 @@ def _iter_zip_members(blob: bytes, path: str, lenient: bool):
                 budget -= zinfo.file_size
                 yield zinfo.filename, zinfo.file_size, zf.read(zinfo)
     except (zipfile.BadZipFile, EOFError, OSError, NotImplementedError,
-            RuntimeError, ValueError) as e:
+            RuntimeError, ValueError, zlib.error) as e:
         # BadZipFile/EOF/OS: corruption; NotImplementedError:
         # unsupported compression method; RuntimeError: encrypted
         # members (zipfile's spelling); ValueError: the bomb gate
-        # above — all the same strict/lenient contract
+        # above; zlib.error: a member whose local header parses but
+        # whose deflate stream is corrupt — zipfile lets the raw
+        # decompressor error through (fuzz-found, the r11 TypeError
+        # lesson replayed) — all the same strict/lenient contract
         if not lenient:
             raise ValueError(f"{path}: unreadable zip archive: {e}") from e
 

@@ -729,6 +729,18 @@ def transcode_responses(records: DataFrame,
         rb"(?mi)^content-type:[^\r\n]*?charset=\"?([A-Za-z0-9_.:\-]+)")
     meta_re = _re.compile(
         rb"(?i)<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)")
+    # the byte-side mirror of _still_encoded's header probe: a body
+    # that still carries a real Content-Encoding is COMPRESSED, and a
+    # declared single-byte charset would happily "decode" the
+    # compressed bytes into valid-UTF-8 mojibake — erasing the U+FFFD
+    # density and magic-prefix signals the downstream reject gate
+    # relies on, so garbage would slip past it and the reject counter
+    # would undercount (ADVICE r12). Such rows stay byte-identical
+    # here; the identity-ish value set matches _still_encoded's
+    # (misconfigured servers send charset/transfer confusions over
+    # plain identity bodies).
+    enc_re = _re.compile(rb"(?mi)^content-encoding:\s*([A-Za-z0-9_.\-]+)")
+    _identityish = ("identity", "none", "utf-8", "binary")
 
     def _transcode(batches):
         for pdf in batches:
@@ -743,6 +755,11 @@ def transcode_responses(records: DataFrame,
                 sep = raw.find(b"\r\n\r\n")
                 headers, body = ((raw[:sep], raw[sep + 4:])
                                  if sep >= 0 else (b"", raw))
+                em = enc_re.search(headers)
+                if em and em.group(1).decode("ascii", "replace").lower() \
+                        not in _identityish:
+                    out.append(blob)  # still compressed: leave, reject
+                    continue
                 m = (header_re.search(headers)
                      or meta_re.search(body[:max_meta_sniff]))
                 cs = m.group(1).decode("ascii", "replace").lower() \
@@ -820,22 +837,28 @@ def robots_rules(records: DataFrame, agent: str = "*") -> DataFrame:
     ``Disallow:`` (allow-all) contributes nothing; comments and
     unknown fields are ignored (a non-UA field line closes the
     header, per the RFC's grammar). Keyed by HOST, not registered
-    domain — a robots file governs exactly its own authority.
+    domain — a robots file governs exactly its own authority, and per
+    the RFC that authority is ROOT-only: a captured non-root file like
+    ``http://host/blog/robots.txt`` has none, so only URIs whose path
+    is exactly ``/robots.txt`` contribute rules (ADVICE r12).
 
     The stanza state machine runs as ONE per-row ``aggregate`` fold
     over the line array (accumulator: was-the-previous-line-a-UA-line,
     is-the-current-group-matched, collected rules) — pure Catalyst,
     zero shuffle until the final distinct. Path patterns are kept as
-    written; matching (``filter_robots_disallowed``) treats them as
-    literal prefixes — the overwhelming real-world form — and ignores
-    ``*``/``$`` wildcard rules rather than misapplying them.
+    written; ``filter_robots_disallowed`` applies both literal-prefix
+    rules (the overwhelming real-world form, matched as prefixes) and
+    ``*``/``$`` wildcard rules (translated to anchored regexes per
+    RFC 9309 §2.2.3).
     """
     from kiji_mapreduce_spark.pipeline.text import (_http_string_parts,
                                                     url_host)
 
     bots = (records
             .filter((F.col("warc_type") == "response")
-                    & F.col("target_uri").rlike(r"(?i)/robots\.txt$")))
+                    & F.col("target_uri").rlike(
+                        r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/robots\.txt"
+                        r"(?:[?#].*)?$")))
     _, body = _http_string_parts(F.col("content"))
     lines = F.split(body, r"\r?\n")
     parsed = F.transform(lines, lambda ln: F.struct(
@@ -899,18 +922,40 @@ def filter_robots_disallowed(docs: DataFrame, rules: DataFrame,
     retroactive REP compliance, the companion of the noindex gate
     (noindex is the PAGE's opt-out; robots.txt is the SITE's).
 
-    RFC 9309 longest-match: among the host's rules whose path is a
-    literal prefix of the document's URL path, the LONGEST wins, and
-    on a length tie Allow beats Disallow; no matching rule means
-    allowed. Wildcard rules (``*``/``$``) are skipped, not
-    misapplied. Scale shape: docs join the rule table on host (a
-    per-host table is small — broadcast when it fits), per-doc winner
-    via one partial-agg ``max_by`` on (path length, allow), then a
-    semi-join keeps survivors; docs on hosts with no robots rows
-    never enter the join (left join keeps them)."""
+    RFC 9309 longest-match: among the host's rules matching the
+    document's URL path, the rule with the LONGEST path pattern wins
+    (§2.2.2 "most octets", wildcards counted as written), and on a
+    length tie Allow beats Disallow; no matching rule means allowed.
+    ``*`` matches any octet sequence and a trailing ``$`` anchors the
+    end (§2.2.3); both are applied by translating the pattern to an
+    anchored regex with every other character literal-escaped —
+    literal-prefix rules (the overwhelming real-world form) keep the
+    cheap ``startswith`` path and never pay regex compilation
+    (ADVICE r12 closed the earlier skip-wildcards gap: a skipped
+    ``Disallow: /*?sessionid=`` under-blocked). Scale shape: docs join
+    the rule table on host (a per-host table is small — broadcast when
+    it fits), per-doc winner via one partial-agg ``max_by`` on (path
+    length, allow), then a semi-join keeps survivors; docs on hosts
+    with no robots rows never enter the join (left join keeps them)."""
     from kiji_mapreduce_spark.pipeline.text import url_host
 
-    lit_rules = rules.filter(~F.col("path").rlike(r"[*$]"))
+    is_wild = F.col("path").rlike(r"[*$]")
+    # RFC 9309 §2.2.3 pattern -> anchored regex, all in Catalyst:
+    # strip one trailing '$' (end anchor) off the ORIGINAL pattern,
+    # regex-escape every special character in what remains, then turn
+    # each (now-escaped) '\*' back into '.*'. regexp_like's implicit
+    # search anchors the head via the leading '^'.
+    ends_dollar = F.col("path").endswith("$")
+    core = F.when(ends_dollar,
+                  F.expr("substring(path, 1, length(path) - 1)")) \
+        .otherwise(F.col("path"))
+    escaped = F.regexp_replace(
+        core, r"([.^$+?(){}\[\]|\\*])", r"\\$1")
+    rule_rx = F.concat(
+        F.lit("^"), F.replace(escaped, F.lit(r"\*"), F.lit(".*")),
+        F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")))
+    matched_rules = rules.withColumn("_rb_wild", is_wild) \
+        .withColumn("_rb_rx", F.when(is_wild, rule_rx))
     path = F.coalesce(
         F.nullif(F.regexp_extract(
             F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)$",
@@ -919,10 +964,14 @@ def filter_robots_disallowed(docs: DataFrame, rules: DataFrame,
     keyed = docs.select(F.col(id_col).alias("_rb_id"),
                         url_host(F.col(url_col)).alias("_rb_host"),
                         path.alias("_rb_path"))
+    match = F.when(matched_rules["_rb_wild"],
+                   F.regexp_like(keyed["_rb_path"],
+                                 matched_rules["_rb_rx"])) \
+        .otherwise(keyed["_rb_path"].startswith(matched_rules["path"]))
     joined = (keyed
-              .join(lit_rules,
-                    on=(keyed["_rb_host"] == lit_rules["host"])
-                    & keyed["_rb_path"].startswith(lit_rules["path"]),
+              .join(matched_rules,
+                    on=(keyed["_rb_host"] == matched_rules["host"])
+                    & match,
                     how="inner"))
     verdict = (joined
                .groupBy("_rb_id")

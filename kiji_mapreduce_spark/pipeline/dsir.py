@@ -147,21 +147,32 @@ def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
     more than ~745 nats below the best stays PICKABLE (the sampler
     excludes zero weights; without the floor, k close to n could
     return fewer than k rows) — among floored docs relative order is
-    lost, which only matters ~e^-745 of the time. Deterministic: same
-    corpora + seed + dim select the same rows on any partitioning or
-    engine."""
+    lost, which only matters ~e^-745 of the time. Empty/whitespace-only
+    docs produce no n-gram rows and hence no log weight; they stay in
+    the candidate pool via a LEFT join with their weight floored at
+    the minimum observed log weight (least-target-like, but pickable —
+    without this the resample could return fewer than k rows even when
+    the raw corpus holds >= k documents; ADVICE r12). Deterministic:
+    same corpora + seed + dim select the same rows on any
+    partitioning or engine."""
     logw = dsir_log_weights(raw, target, text_col, id_col, dim, ns,
                             smoothing, hash_fn)
-    # two consumers (the max scalar, the clock run) — pin the small
-    # (id, log_w) table once
+    # two consumers (the min/max scalars, the clock run) — pin the
+    # small (id, log_w) table once
     logw = logw.localCheckpoint(eager=True)
-    mx = logw.agg(F.max("log_w")).collect()[0][0]
-    if mx is None:
-        return raw.join(logw, on=id_col).withColumn(
-            "rank", F.lit(0).cast("int"))
-    scored = raw.join(logw, on=id_col, how="inner").withColumn(
-        "_w", F.greatest(F.exp(F.col("log_w") - F.lit(float(mx))),
-                         F.lit(1e-300)))
+    stats = logw.agg(F.min("log_w").alias("mn"),
+                     F.max("log_w").alias("mx")).collect()[0]
+    # no doc produced any gram (every text empty/NULL): weights are
+    # uniform and the resample degrades to a deterministic uniform
+    # draw of k, rather than silently returning zero rows
+    mn = float(stats["mn"]) if stats["mn"] is not None else 0.0
+    mx = float(stats["mx"]) if stats["mx"] is not None else 0.0
+    scored = (raw.join(logw, on=id_col, how="left")
+              .withColumn("log_w",
+                          F.coalesce(F.col("log_w"), F.lit(mn)))
+              .withColumn("_w", F.greatest(
+                  F.exp(F.col("log_w") - F.lit(mx)),
+                  F.lit(1e-300))))
     picked = weighted_sample_topk(
         scored.withColumn("_stratum", F.lit(1)),
         strata_col="_stratum", weight_col="_w", k=k,

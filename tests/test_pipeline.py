@@ -3084,7 +3084,8 @@ def test_robots_rules_and_filter(spark):
     """RFC 9309 semantics over a crawled robots.txt: consecutive
     user-agent headers OR into one group, named-agent groups apply
     only to that agent, longest-match decides with Allow winning
-    ties, wildcard rules are skipped, hosts without robots pass."""
+    ties, hosts without robots pass (wildcard matching is pinned
+    separately in test_robots_wildcard_rules)."""
     from kiji_mapreduce_spark.pipeline.crawl import (
         filter_robots_disallowed, robots_rules)
 
@@ -3199,3 +3200,161 @@ def test_lsh_plan_scurve():
         dedup_ops.lsh_plan(32, 1.5)
     with _pytest.raises(ValueError):
         dedup_ops.lsh_plan(1, 0.5)
+
+
+def test_robots_wildcard_rules(spark):
+    """RFC 9309 §2.2.3 wildcard matching (ADVICE r12 closed the
+    skip-wildcards gap): '*' spans any octets, a trailing '$' anchors
+    the end, an embedded '$' and regex metacharacters stay literal,
+    and longest-match counts the pattern as written (so '/fish*'
+    outranks '/fish')."""
+    from pyspark.sql import functions as F
+
+    from kiji_mapreduce_spark.pipeline.crawl import (
+        filter_robots_disallowed, robots_rules)
+
+    robots = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              b"User-agent: *\r\n"
+              b"Disallow: /*?sessionid=\r\n"
+              b"Disallow: /*.php$\r\n"
+              b"Allow: /docs/page.html$\r\n"
+              b"Disallow: /docs/\r\n"
+              b"Disallow: /a$b\r\n"
+              b"Disallow: /paren(1)\r\n"
+              b"Allow: /fish\r\n"
+              b"Disallow: /fish*\r\n")
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    records = spark.createDataFrame(
+        [("p", 0, "response", "http://w.example.com/robots.txt",
+          "", "", 0, robots)], schema)
+    rules = robots_rules(records)
+
+    host = "http://w.example.com"
+    cases = {
+        1: (f"{host}/page?sessionid=abc", False),   # embedded *
+        2: (f"{host}/x/y?sessionid=2", False),      # * spans segments
+        3: (f"{host}/page?session=abc", True),
+        # the '?' in the pattern is a LITERAL octet, not a wildcard:
+        # '&sessionid=' does not match '?sessionid='
+        14: (f"{host}/a/b?x=1&sessionid=2", True),
+        4: (f"{host}/index.php", False),            # $-anchored
+        5: (f"{host}/index.php?x=1", True),         # $ means END
+        6: (f"{host}/index.phpx", True),
+        7: (f"{host}/docs/page.html", True),        # exact Allow $
+        8: (f"{host}/docs/page.html2", False),      # past the anchor
+        9: (f"{host}/docs/other.html", False),
+        10: (f"{host}/a$b-literal", False),         # embedded $ literal
+        11: (f"{host}/ab", True),
+        12: (f"{host}/paren(1)/x", False),          # metachars literal
+        13: (f"{host}/fishheads", False),           # /fish* len 6 wins
+    }
+    docs = spark.createDataFrame(
+        [(i, url, "x") for i, (url, _) in cases.items()],
+        "doc_id long, url string, text string")
+    kept = {r.doc_id for r in
+            filter_robots_disallowed(docs, rules).collect()}
+    want = {i for i, (_, keep) in cases.items() if keep}
+    assert kept == want
+
+
+def test_robots_rules_root_only(spark):
+    """A captured NON-root robots.txt (http://host/blog/robots.txt)
+    has no authority under RFC 9309 and contributes no rules; the
+    root file — with or without a query/fragment tail — does
+    (ADVICE r12)."""
+    from kiji_mapreduce_spark.pipeline.crawl import robots_rules
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            b"User-agent: *\r\nDisallow: /x\r\n")
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    records = spark.createDataFrame(
+        [("p", 0, "response", "http://h.example.com/blog/robots.txt",
+          "", "", 0, body),
+         ("p", 1, "response", "http://h2.example.com/robots.txt.bak",
+          "", "", 0, body),
+         ("p", 2, "response", "https://h3.example.com/robots.txt?cb=1",
+          "", "", 0, body),
+         ("p", 3, "response", "http://h4.example.com/robots.txt",
+          "", "", 0, body)], schema)
+    got = {r.host for r in robots_rules(records).collect()}
+    assert got == {"h3.example.com", "h4.example.com"}
+
+
+def test_transcode_skips_content_encoded_bodies(spark):
+    """--transcode must NOT charset-decode a body that still carries a
+    real Content-Encoding: a single-byte charset decodes ANY byte
+    sequence, so the compressed payload would become valid-UTF-8
+    mojibake and dodge the downstream still-encoded reject gate
+    (ADVICE r12). Identity-ish encoding labels still transcode."""
+    import gzip
+
+    from kiji_mapreduce_spark.pipeline.crawl import transcode_responses
+
+    latin = "café déjà".encode("latin-1")
+    gz = gzip.compress(latin, mtime=0)
+    enc = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/html; charset=iso-8859-1\r\n"
+           b"Content-Encoding: gzip\r\n\r\n" + gz)
+    ident = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=iso-8859-1\r\n"
+             b"Content-Encoding: identity\r\n\r\n" + latin)
+    plain = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=iso-8859-1\r\n\r\n"
+             + latin)
+    schema = ("path string, record_no long, warc_type string, "
+              "target_uri string, warc_date string, record_id string, "
+              "content_length long, content binary")
+    records = spark.createDataFrame(
+        [("p", 0, "response", "http://e.example.com/a", "", "", 0, enc),
+         ("p", 1, "response", "http://e.example.com/b", "", "", 0,
+          ident),
+         ("p", 2, "response", "http://e.example.com/c", "", "", 0,
+          plain)], schema)
+    got = {r.record_no: bytes(r.content)
+           for r in transcode_responses(records).collect()}
+    assert got[0] == enc  # byte-identical: still compressed
+    want_utf8 = "café déjà".encode()
+    assert got[1].endswith(want_utf8)
+    assert got[2].endswith(want_utf8)
+
+
+def test_cli_wet_rejects_response_path_flags(tmp_path):
+    """--wet combined with --respect-robots (or the other
+    HTML-response-path flags) is a usage error, not a silent no-op:
+    WET conversion records carry no robots bodies, markup, or headers
+    (ADVICE r12)."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark import cli
+
+    base = ["crawl-ingest", "--input", str(tmp_path),
+            "--output", f"{tmp_path}/out", "--wet"]
+    for extra in (["--respect-robots"], ["--main-content"],
+                  ["--keep-noindex"], ["--transcode"]):
+        with _pytest.raises(SystemExit):
+            cli.main(base + extra)
+
+
+def test_dsir_resample_keeps_gramless_docs(spark):
+    """Docs with empty/whitespace-only text produce no n-gram rows but
+    must stay in the candidate pool (floored at the minimum observed
+    log weight): k == n returns ALL docs, not n minus the empty ones
+    (ADVICE r12)."""
+    from kiji_mapreduce_spark.pipeline import dsir
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"),
+         (3, ""), (4, "   "), (5, None)],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string")
+    picked = dsir.dsir_resample(raw, tgt, k=5, dim=64, hash_fn="md5",
+                                seed=3)
+    rows = {r.doc_id: r.log_w for r in picked.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    # the gramless docs carry the floor, not NULL
+    assert rows[3] is not None and rows[3] == min(rows.values())

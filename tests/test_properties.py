@@ -1140,6 +1140,51 @@ def test_shard_iterator_error_surface(data):
         pass
 
 
+def test_shard_iterator_corrupt_deflate_pinned():
+    """Pinned r13 fuzz find: a zip (or .tar.gz) whose HEADERS parse but
+    whose deflate body is corrupt surfaces raw ``zlib.error`` from the
+    decompressor — CPython's zipfile does not wrap it in BadZipFile —
+    so it must be in the corrupt-wrap tuples or lenient mode leaks.
+    The 5 bytes ``00 ff ff 00 00`` are a deflate stored-block header
+    whose NLEN is not LEN's complement: deterministically 'invalid
+    stored block lengths', never a CRC-stage error."""
+    import gzip
+    import io as _io
+    import tarfile
+    import zipfile
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import (_iter_tar_members,
+                                                _iter_zip_members)
+
+    bad_deflate = b"\x00\xff\xff\x00\x00"
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w",
+                         compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("member.bin", bytes(512))
+    blob = bytearray(buf.getvalue())
+    start = 30 + len("member.bin")  # local header + name
+    blob[start:start + 5] = bad_deflate
+    corrupt_zip = bytes(blob)
+    assert list(_iter_zip_members(corrupt_zip, "shard", True)) == []
+    with _pytest.raises(ValueError):
+        list(_iter_zip_members(corrupt_zip, "shard", False))
+
+    tbuf = _io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        ti = tarfile.TarInfo("member.bin")
+        ti.size = 512
+        tf.addfile(ti, _io.BytesIO(bytes(512)))
+    gz = bytearray(gzip.compress(tbuf.getvalue(), mtime=0))
+    gz[10:15] = bad_deflate  # 10-byte gzip header, then deflate
+    corrupt_tgz = bytes(gz)
+    assert list(_iter_tar_members(corrupt_tgz, "shard", True)) == []
+    with _pytest.raises(ValueError):
+        list(_iter_tar_members(corrupt_tgz, "shard", False))
+
+
 @given(st.data())
 @settings(max_examples=80, deadline=None)
 def test_warc_and_http_decode_error_surface(data):
