@@ -1146,3 +1146,143 @@ def test_cdx_index_records(spark, tmp_path):
 
     via_spec = JobInput(format="cdx", paths=[str(d)]).load(spark)
     assert via_spec.count() == 3
+
+
+def _cc_warc_gz(records):
+    """Common Crawl layout: each WARC record gzip-compressed as its
+    OWN member, members concatenated. Returns (blob, [(offset,
+    length)]) so a test can build the matching CDX index."""
+    import gzip as _gzip
+
+    blob = bytearray()
+    ranges = []
+    for rec in records:
+        member = _gzip.compress(rec, mtime=0)
+        ranges.append((len(blob), len(member)))
+        blob += member
+    return bytes(blob), ranges
+
+
+def test_warc_records_from_ranges_byte_identical(spark, tmp_path):
+    """The CDX-pointed range fetch (r12 verdict ask #3): records
+    fetched via (filename, offset, length) ranges equal the
+    whole-file-parsed records byte-for-byte, for both the per-member
+    gzip layout and a plain .warc; the index-filter-then-fetch job
+    input spec reaches the same reader."""
+    import json as _json
+
+    from kiji_mapreduce_spark.io.inputs import (
+        JobInput, read_warc_records, warc_records_from_ranges)
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><p>range fetched body</p></html>")
+    png = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+           b"\x89PNG fake bytes")
+    recs = [
+        _warc_record("response", "http://a.example.com/page", page,
+                     rid="<urn:uuid:a>"),
+        _warc_record("response", "http://a.example.com/img.png", png,
+                     rid="<urn:uuid:b>"),
+        _warc_record("request", "http://a.example.com/page",
+                     b"GET /page HTTP/1.1\r\n\r\n",
+                     rid="<urn:uuid:c>"),
+    ]
+    gz_blob, gz_ranges = _cc_warc_gz(recs)
+    d = tmp_path / "warcs" / "seg"
+    d.mkdir(parents=True)
+    (d / "a.warc.gz").write_bytes(gz_blob)
+    plain = b"".join(recs)
+    (d / "b.warc").write_bytes(plain)
+
+    # whole-file parse = the ground truth
+    whole = {(r.path.split("/")[-1], r.record_no): r
+             for r in read_warc_records(
+                 spark, [str(d)], decode_http=False).collect()}
+
+    # plain-file ranges: raw record offsets
+    plain_ranges = []
+    off = 0
+    for rec in recs:
+        plain_ranges.append((off, len(rec)))
+        off += len(rec)
+
+    rows = ([("seg/a.warc.gz", o, ln) for o, ln in gz_ranges]
+            + [("seg/b.warc", o, ln) for o, ln in plain_ranges])
+    ranges = spark.createDataFrame(
+        rows, "filename string, offset long, length long")
+    got = warc_records_from_ranges(
+        ranges, base=str(tmp_path / "warcs"),
+        decode_http=False).collect()
+    assert len(got) == 6
+    for r in got:
+        fname = r.path.split("/")[-1]
+        # match by position within the file: ranges were emitted in
+        # record order, record_no within a range is 0
+        assert r.record_no == 0
+    by_uri = {}
+    for r in got:
+        by_uri.setdefault(r.path.split("/")[-1], {})[
+            (r.target_uri, r.record_id)] = r
+    for (fname, no), w in whole.items():
+        g = by_uri[fname][(w.target_uri, w.record_id)]
+        assert bytes(g.content) == bytes(w.content)  # byte-identical
+        assert (g.warc_type, g.warc_date, g.content_length) == \
+            (w.warc_type, w.warc_date, w.content_length)
+
+    # the index-first job-input path: CDX lines -> filter -> fetch
+    idx_lines = []
+    for (o, ln), uri, st, mime in zip(
+            gz_ranges,
+            ["http://a.example.com/page", "http://a.example.com/img.png",
+             "http://a.example.com/page"],
+            ["200", "200", "200"], ["text/html", "image/png",
+                                    "application/http"]):
+        idx_lines.append(
+            "com,example,a)/ 20240101000000 " + _json.dumps(
+                {"url": uri, "mime": mime, "status": st,
+                 "length": str(ln), "offset": str(o),
+                 "filename": "seg/a.warc.gz"}))
+    (tmp_path / "idx.cdx").write_text("\n".join(idx_lines) + "\n")
+    via = JobInput(
+        format="cdx", paths=[str(tmp_path / "idx.cdx")],
+        options={"fetch": "records", "mime": "text/html",
+                 "warc_base": str(tmp_path / "warcs")}).load(spark)
+    out = via.collect()
+    assert len(out) == 1
+    assert out[0].target_uri == "http://a.example.com/page"
+    assert b"range fetched body" in bytes(out[0].content)
+
+
+def test_warc_range_fetch_gates_and_lenient(spark, tmp_path):
+    """Range-fetch error surface: a declared length over the 1 GiB
+    gate, an offset past EOF, a misaligned offset (mid-member bytes),
+    a negative/zero range and a missing file all raise ValueError in
+    strict mode and SKIP (keeping the good ranges) in lenient mode."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import warc_records_from_ranges
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>ok</p>")
+    recs = [_warc_record("response", "http://g.example.com/x", page)]
+    blob, ranges = _cc_warc_gz(recs)
+    (tmp_path / "g.warc.gz").write_bytes(blob)
+    good = ("g.warc.gz", ranges[0][0], ranges[0][1])
+
+    bads = [
+        ("g.warc.gz", 0, 2 << 30),          # over the declared gate
+        ("g.warc.gz", len(blob) + 10, 64),  # past EOF
+        ("g.warc.gz", 3, ranges[0][1] - 3),  # misaligned: mid-member
+        ("g.warc.gz", -1, 10),              # negative offset
+        ("g.warc.gz", 0, 0),                # zero length
+        ("missing.warc.gz", 0, 10),         # no such file
+    ]
+    for bad in bads:
+        df = spark.createDataFrame(
+            [good, bad], "filename string, offset long, length long")
+        with _pytest.raises(Exception, match="range|read|such file"):
+            warc_records_from_ranges(df, base=str(tmp_path)).collect()
+        kept = warc_records_from_ranges(
+            df, base=str(tmp_path), lenient=True).collect()
+        assert [r.target_uri for r in kept] == \
+            ["http://g.example.com/x"], f"lenient lost good range: {bad}"

@@ -1140,6 +1140,41 @@ def test_shard_iterator_error_surface(data):
         pass
 
 
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_range_inflate_error_surface(data):
+    """The CDX-pointed range fetch's inflate seam under hostile
+    offsets: arbitrary bytes, truncations and bit-flips of a valid
+    per-member gzip stream (what a misaligned index offset actually
+    produces) either return bytes or raise ValueError — never any
+    other exception — and never materialize more than the ceiling."""
+    import gzip
+
+    from kiji_mapreduce_spark.io.inputs import (_MAX_RANGE_OUT,
+                                                _inflate_range)
+
+    base = gzip.compress(b"WARC/1.0\r\n" + b"x" * 200, mtime=0) \
+        + gzip.compress(b"second member " * 10, mtime=0)
+    mode = data.draw(st.sampled_from(
+        ["junk", "truncate", "flip", "mid_offset"]))
+    if mode == "junk":
+        blob = data.draw(st.binary(min_size=0, max_size=300))
+    elif mode == "truncate":
+        blob = base[:data.draw(st.integers(0, len(base) - 1))]
+    elif mode == "flip":
+        b = bytearray(base)
+        i = data.draw(st.integers(0, len(b) - 1))
+        b[i] ^= 1 << data.draw(st.integers(0, 7))
+        blob = bytes(b)
+    else:  # a seek landing inside a member, the misaligned-index case
+        blob = base[data.draw(st.integers(1, len(base) - 1)):]
+    try:
+        out = _inflate_range(blob, "fuzz")
+        assert len(out) <= _MAX_RANGE_OUT
+    except ValueError:
+        pass
+
+
 def test_shard_iterator_corrupt_deflate_pinned():
     """Pinned r13 fuzz find: a zip (or .tar.gz) whose HEADERS parse but
     whose deflate body is corrupt surfaces raw ``zlib.error`` from the
