@@ -883,10 +883,14 @@ def read_cdx(spark: "SparkSession", paths: list[str]) -> "DataFrame":
             .select("surt_key", "ts",
                     F.col("_m.url").alias("url"),
                     F.col("_m.mime").alias("mime"),
-                    F.col("_m.status").cast("int").alias("status"),
+                    # try_cast, not cast: under ANSI a hostile index
+                    # line ("12e4", "0x10") would otherwise abort the
+                    # whole read instead of yielding NULL — the
+                    # documented lenient contract (r13 fuzz find)
+                    F.col("_m.status").try_cast("int").alias("status"),
                     F.col("_m.digest").alias("digest"),
-                    F.col("_m.length").cast("long").alias("length"),
-                    F.col("_m.offset").cast("long").alias("offset"),
+                    F.col("_m.length").try_cast("long").alias("length"),
+                    F.col("_m.offset").try_cast("long").alias("offset"),
                     F.col("_m.filename").alias("filename"),
                     F.col("_m.languages").alias("languages")))
 

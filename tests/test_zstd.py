@@ -369,3 +369,90 @@ def test_warc_zst_records(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_warc_records(spark, [str(d)]).collect()
+
+
+def _frame(body: bytes, fhd: int = 0x00, window: int = 0x00,
+           fcs: bytes = b"") -> bytes:
+    """Assemble a zstd frame from parts: magic, frame-header
+    descriptor, window descriptor (when not single-segment), optional
+    frame-content-size bytes, then raw block bytes."""
+    head = struct.pack("<I", 0xFD2FB528) + bytes([fhd])
+    if not fhd & 0x20:
+        head += bytes([window])
+    return head + fcs + body
+
+
+def _block(btype: int, payload: bytes, last: int = 1,
+           bsize: int | None = None) -> bytes:
+    if bsize is None:
+        bsize = len(payload)
+    bh = last | (btype << 1) | (bsize << 3)
+    return bh.to_bytes(3, "little") + payload
+
+
+def test_adversarial_fse_accuracy_log():
+    """r12 verdict #5: FSE accuracy-log edges pinned. A sequences
+    section whose LL table declares accuracy_log 15 (> the spec max 9
+    for literal lengths) must ValueError at the table read, before any
+    table allocation; the same nibble at the Huffman-weight FSE seam
+    (max 6) must too."""
+    # compressed block: raw literal 'A' (header 0x08), n_seq=1,
+    # modes byte LL=FSE_Compressed, then the hostile ncount whose
+    # first 4 bits are 15 -> accuracy_log = 20
+    blk = bytes([0x08, ord("A"), 0x01, 0x80, 0x0F])
+    frame = _frame(_block(2, blk))
+    with pytest.raises(ValueError, match="accuracy log"):
+        zstd_codec.decompress(frame)
+
+    # Huffman weights via FSE: header byte < 128 is the compressed
+    # size; give it the same hostile ncount (max_log there is 6)
+    lit_hdr = (2 | (0 << 2) | (1 << 4) | (2 << 14)).to_bytes(3, "little")
+    blk2 = lit_hdr + bytes([0x02, 0x0F]) + bytes([0x00])
+    frame2 = _frame(_block(2, blk2))
+    with pytest.raises(ValueError, match="accuracy log|truncated"):
+        zstd_codec.decompress(frame2)
+
+
+def test_adversarial_huffman_weights():
+    """Huffman weight-overflow edges: a single weight of 15 forces
+    table_log 15 (> the 11-bit ceiling); weights {3,1} leave a
+    non-power-of-two remainder (not completable); an all-zero weight
+    list is an empty tree. Each is ValueError, never a wrong table."""
+    def lit_compressed(section: bytes, regen: int = 4) -> bytes:
+        h = 2 | (0 << 2) | (regen << 4) | (len(section) << 14)
+        return h.to_bytes(3, "little") + section
+
+    cases = [
+        (bytes([128, 0xF0]), "longer than 11 bits"),
+        (bytes([129, 0x31]), "not completable"),
+        (bytes([129, 0x00]), "empty Huffman tree"),
+    ]
+    for desc, msg in cases:
+        blk = lit_compressed(desc + b"\x01")
+        with pytest.raises(ValueError, match=msg):
+            zstd_codec.decompress(_frame(_block(2, blk)))
+
+
+def test_adversarial_window_and_size_bombs():
+    """Window/size bombs cannot allocate: the window descriptor is
+    informational (a 0xFF descriptor — ~3.75 TB declared window — on
+    a 5-byte raw-block frame still decodes), a declared 8-byte
+    frame-content-size of 2^40 allocates nothing up front, and the
+    output ceiling fires on the FIRST block that crosses it."""
+    ok = _frame(_block(0, b"hello"), window=0xFF)
+    assert zstd_codec.decompress(ok) == b"hello"
+
+    # fcs_size=8 (fhd>>6 == 3), declared 1 TiB; first RLE block then
+    # trips the caller's ceiling before materializing anything close
+    fcs = (1 << 40).to_bytes(8, "little")
+    rle_max = _block(1, b"x", last=0, bsize=1 << 17)
+    bomb = _frame(rle_max + _block(0, b""), fhd=0xC0, fcs=fcs)
+    with pytest.raises(ValueError, match="ceiling"):
+        zstd_codec.decompress(bomb, max_output=1 << 16)
+
+    # a raw-literals header declaring over Block_Maximum_Size
+    h5 = (0 | (3 << 2)).to_bytes(1, "little") \
+        + (0xFFFF).to_bytes(2, "little")
+    blk = bytes([h5[0] | 0xF0]) + b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        zstd_codec.decompress(_frame(_block(2, blk)))
