@@ -998,3 +998,146 @@ JOIN log_p p USING (bucket)
 JOIN log_q q USING (bucket)
 GROUP BY 1
 """
+
+
+#: the 12 deterministic URL paths the robots-filter oracle walks —
+#: chosen to exercise every decision class: no-match, literal
+#: disallow, longer-allow override, length tie (allow wins), wildcard
+#: with and without the $ anchor, wildcard-vs-short-allow precedence,
+#: host-varying rules, and an exact-prefix block
+_ROBOTS_PATHS = [
+    "/",                       # no rule matches
+    "/private/secret.html",    # Disallow /private
+    "/private/ok/page.html",   # Allow /private/ok outranks it
+    "/tie/page",               # Allow /tie == Disallow /tie: tie->allow
+    "/cache/file.tmp",         # Disallow /*.tmp$ ($-anchored)
+    "/cache/file.tmp.bak",     # past the $ anchor: kept
+    "/a/path/mid",             # Disallow /a*mid outranks Allow /a
+    "/ab",                     # Allow /a only: kept
+    "/odd/page",               # Disallow /odd on ODD hosts only
+    "/odd",
+    "/a.tmpx",                 # Allow /a; neither wildcard matches
+    "/private",                # exact-prefix block
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """REP-compliance filter, oracle-checked end to end (r13-built r14
+    seat candidate, the C4/DSIR precedent: committed DuckDB
+    cross-check first — tests/test_robots_oracle.py — seat when a
+    window slot opens): per-host robots.txt response bytes are
+    synthesized deterministically (hosts ``h{doc_id%8}.example.com``;
+    host 7 publishes NO robots file; odd hosts add a ``Disallow:
+    /odd`` rule; a ``specialbot`` group that must NOT apply under the
+    default ``*`` agent), parsed by the REAL ``robots_rules``
+    aggregate fold, and applied by the REAL
+    ``filter_robots_disallowed`` longest-match join — literal-prefix
+    AND RFC 9309 ``*``/``$`` wildcard rules — over 12 URL path
+    classes per ``_ROBOTS_PATHS``. The oracle regenerates the
+    expected rule table as VALUES and replays the longest-match /
+    tie-goes-to-allow / wildcard-regex decision in SQL, so a wrong
+    parse, wrong precedence, or wrong wildcard translation all
+    hash-mismatch.
+
+    Scale shape: the rule table is host-keyed and tiny (broadcast
+    side); only (doc_id, host, path) rows enter the join; the fold is
+    per-row zero-shuffle."""
+    from kiji_mapreduce_spark.pipeline import crawl
+
+    docs0 = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 8
+    host = F.concat(F.lit("h"), h.cast("string"),
+                    F.lit(".example.com"))
+    # (doc_id // 8) decorrelates the path index from the host index
+    # (doc_id % 8 and % 12 share a factor of 4, which would leave 3/4
+    # of the (host, path) grid unexercised)
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+        (F.floor(F.col("doc_id") / 8) % 12).cast("int") + 1)
+    docs = docs0.select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
+
+    body = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              "# synthetic robots fixture\n"
+              "User-agent: specialbot\nDisallow: /\n\n"
+              "User-agent: *\n"
+              "Disallow: /private\n"
+              "Allow: /private/ok\n"
+              "Disallow: /tie\n"
+              "Allow: /tie\n"
+              "Disallow: /*.tmp$\n"
+              "Disallow: /a*mid\n"
+              "Allow: /a\n"
+              "Disallow:\n"),
+        F.when(h % 2 == 1, F.lit("Disallow: /odd\n"))
+        .otherwise(F.lit("")))
+    records = (docs0.filter((F.col("doc_id") >= 0)
+                            & (F.col("doc_id") <= 6))
+               .select(F.lit("robots-fixture").alias("path"),
+                       F.col("doc_id").cast("int").alias("record_no"),
+                       F.lit("response").alias("warc_type"),
+                       F.concat(F.lit("http://"), host,
+                                F.lit("/robots.txt"))
+                       .alias("target_uri"),
+                       F.lit("").alias("warc_date"),
+                       F.lit("").alias("record_id"),
+                       F.lit(0).cast("long").alias("content_length"),
+                       body.cast("binary").alias("content")))
+    rules = crawl.robots_rules(records)
+    out = crawl.filter_robots_disallowed(docs, rules)
+    return out.select("doc_id", "url")
+
+
+def _robots_oracle_sql() -> str:
+    """The DuckDB half: expected rule table as VALUES, wildcard
+    translation and longest-match replayed in SQL."""
+    paths = ", ".join(f"'{p}'" for p in _ROBOTS_PATHS)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS h,
+         ([{paths}])[((doc_id // 8) % 12) + 1] AS p
+  FROM documents
+),
+base_rules(allow, rpath) AS (VALUES
+  (FALSE, '/private'), (TRUE, '/private/ok'),
+  (FALSE, '/tie'), (TRUE, '/tie'),
+  (FALSE, '/*.tmp$'), (FALSE, '/a*mid'), (TRUE, '/a')
+),
+hosts AS (SELECT unnest(range(0, 7)) AS h),
+rules AS (
+  SELECT h.h, r.allow, r.rpath FROM hosts h CROSS JOIN base_rules r
+  UNION ALL
+  SELECT h.h, FALSE, '/odd' FROM hosts h WHERE h.h % 2 = 1
+),
+rx AS (
+  SELECT h, allow, rpath,
+         rpath LIKE '%*%' OR rpath LIKE '%$%' AS wild,
+         '^' || replace(regexp_replace(
+             CASE WHEN rpath LIKE '%$'
+                  THEN substr(rpath, 1, length(rpath) - 1)
+                  ELSE rpath END,
+             '([.^$+?(){{}}\[\]|\\*])', '\\\0', 'g'),
+           '\*', '.*')
+         || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS pat
+  FROM rules
+),
+matched AS (
+  SELECT d.doc_id, d.h, d.p, r.allow, r.rpath,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY length(r.rpath) DESC, r.allow DESC) AS rn
+  FROM d JOIN rx r ON r.h = d.h
+   AND (CASE WHEN r.wild THEN regexp_matches(d.p, r.pat)
+             ELSE starts_with(d.p, r.rpath) END)
+)
+SELECT d.doc_id,
+       'http://h' || d.h || '.example.com' || d.p AS url
+FROM d
+LEFT JOIN (SELECT doc_id, allow FROM matched WHERE rn = 1) w
+  USING (doc_id)
+WHERE w.allow IS NULL OR w.allow
+"""
+
+
+SQL_ROBOTS_FILTER = _robots_oracle_sql()
