@@ -490,6 +490,25 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "(conversion records, Common Crawl .wet.gz) "
                     "instead of raw response WARCs — skips HTTP/HTML "
                     "extraction; batch only")
+    ci.add_argument("--cdx-index", default=None, metavar="PATHS",
+                    help="read via the crawl index instead of whole "
+                    "archives: parse CDXJ lines at PATHS "
+                    "(comma-separated), filter them "
+                    "(--cdx-status/--cdx-mime), then fetch ONLY the "
+                    "named (filename, offset, length) ranges — "
+                    "--input becomes the WARC base directory the "
+                    "index's relative filenames resolve against. The "
+                    "index-first path that touches ~1%% of the bytes "
+                    "at crawl scale; batch only. With "
+                    "--respect-robots, include the robots.txt "
+                    "captures in the index selection or no rules "
+                    "will be found")
+    ci.add_argument("--cdx-status", type=int, default=None,
+                    help="with --cdx-index: keep only captures with "
+                    "this HTTP status (e.g. 200)")
+    ci.add_argument("--cdx-mime", default=None,
+                    help="with --cdx-index: keep only captures with "
+                    "this index mime (e.g. text/html)")
     ci.add_argument("--respect-robots", action="store_true",
                     help="parse the robots.txt responses in the SAME "
                     "archives and drop documents they disallow "
@@ -1164,6 +1183,17 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "HTML-response-path flags: WET records are "
                     "pre-extracted text with no markup, headers or "
                     "robots meta, so they would silently do nothing")
+        if args.cdx_index and args.stream:
+            p.error("--cdx-index is batch-only: an index selection is "
+                    "a whole-crawl artifact, not a per-micro-batch "
+                    "one")
+        if args.cdx_index and args.wet:
+            p.error("--cdx-index points at response records in raw "
+                    "WARCs; combine it with the default ingest, not "
+                    "--wet")
+        if (args.cdx_status is not None or args.cdx_mime) \
+                and not args.cdx_index:
+            p.error("--cdx-status/--cdx-mime need --cdx-index")
         if args.stream and (args.curate or args.splits
                             or args.dedup_index
                             or args.max_docs_per_domain > 0):
@@ -1242,8 +1272,20 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             if args.media_output:
                 stats["media"] = args.media_output
             return _emit(args, stats)
-        recs = read_warc_records(spark, [args.input],
-                                 lenient=args.lenient)
+        if args.cdx_index:
+            from kiji_mapreduce_spark.io.inputs import (
+                read_cdx, warc_records_from_ranges)
+
+            idx = read_cdx(spark, args.cdx_index.split(","))
+            if args.cdx_status is not None:
+                idx = idx.filter(F.col("status") == args.cdx_status)
+            if args.cdx_mime:
+                idx = idx.filter(F.col("mime") == args.cdx_mime)
+            recs = warc_records_from_ranges(idx, base=args.input,
+                                            lenient=args.lenient)
+        else:
+            recs = read_warc_records(spark, [args.input],
+                                     lenient=args.lenient)
         if args.transcode:
             from kiji_mapreduce_spark.pipeline.crawl import \
                 transcode_responses

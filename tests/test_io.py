@@ -1325,3 +1325,71 @@ def test_cdx_adversarial_json_tails(spark, tmp_path):
     assert "ok.warc.gz" not in fnames  # unterminated line is all-NULL
     urls = {r.url for r in rows if r.url is not None}
     assert 'quote " inside' in urls
+
+
+def test_cli_crawl_ingest_cdx_index(spark, tmp_path, capsys):
+    """crawl-ingest --cdx-index end to end: CDXJ lines select two of
+    three captures (status+mime filters), only those ranges are
+    fetched from the archive under --input, and the resulting
+    documents match a whole-archive ingest of the same pages; flag
+    combinations that cannot work are usage errors."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark import cli
+
+    pages = {
+        "http://c.example.com/keep1":
+            b"<p>first kept page body with words</p>",
+        "http://c.example.com/keep2":
+            b"<p>second kept page body with words</p>",
+        "http://c.example.com/skip":
+            b"<p>filtered out page body</p>",
+    }
+    recs, metas = [], []
+    for uri, html in pages.items():
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html)
+        recs.append(_warc_record("response", uri, body))
+        metas.append(uri)
+    blob, ranges = _cc_warc_gz(recs)
+    warcs = tmp_path / "warcs"
+    (warcs / "seg").mkdir(parents=True)
+    (warcs / "seg" / "c.warc.gz").write_bytes(blob)
+
+    idx_lines = []
+    for (off, ln), uri in zip(ranges, metas):
+        mime = "text/plain" if uri.endswith("skip") else "text/html"
+        idx_lines.append(
+            "com,example,c)/ 20240101000000 " + _json.dumps(
+                {"url": uri, "mime": mime, "status": "200",
+                 "length": str(ln), "offset": str(off),
+                 "filename": "seg/c.warc.gz"}))
+    (tmp_path / "i.cdx").write_text("\n".join(idx_lines) + "\n")
+
+    rc = cli.main([
+        "crawl-ingest", "--input", str(warcs),
+        "--cdx-index", str(tmp_path / "i.cdx"),
+        "--cdx-status", "200", "--cdx-mime", "text/html",
+        "--output", f"{tmp_path}/docs"])
+    assert rc == 0
+    stats = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 2
+    got = {r.url: r.text
+           for r in spark.read.parquet(f"{tmp_path}/docs").collect()}
+    assert set(got) == {"http://c.example.com/keep1",
+                        "http://c.example.com/keep2"}
+    assert "first kept page body" in got["http://c.example.com/keep1"]
+
+    for bad in (["--stream", "--checkpoint", f"{tmp_path}/ck"],
+                ["--wet"]):
+        with _pytest.raises(SystemExit):
+            cli.main(["crawl-ingest", "--input", str(warcs),
+                      "--cdx-index", str(tmp_path / "i.cdx"),
+                      "--output", f"{tmp_path}/d2"] + bad)
+    with _pytest.raises(SystemExit):
+        cli.main(["crawl-ingest", "--input", str(warcs),
+                  "--cdx-mime", "text/html",
+                  "--output", f"{tmp_path}/d3"])
