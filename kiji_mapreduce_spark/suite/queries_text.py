@@ -1141,3 +1141,140 @@ WHERE w.allow IS NULL OR w.allow
 
 
 SQL_ROBOTS_FILTER = _robots_oracle_sql()
+
+
+def q_main_content(spark, sf_dir):
+    """Densitometric main-content extraction (Kohlschuetter et al.
+    WSDM 2010 NumWordsRules), oracle-checked end to end (r13-built
+    seat candidate, the C4/DSIR precedent — committed DuckDB
+    cross-check in tests/test_main_content_oracle.py, seat when a
+    window slot opens): HTTP+HTML pages are synthesized from each
+    document's text with a link-dense nav bar, two content paragraphs
+    whose word counts VARY with doc_id (crossing the published 16- and
+    40-word thresholds across the corpus, so both tree branches
+    decide differently per doc), a link-only related rail, a short
+    tail and a footer — then the REAL ``text.html_main_text`` block
+    classifier runs and the oracle replays the whole chain (block
+    split, tag strip, link density, the neighbor word-count tree) in
+    DuckDB via lag/lead over the exploded block table.
+
+    Scale shape: per-row array expressions only — zero shuffle, zero
+    UDF (the documented interpreted-lambda cost of the opt-in path)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    long_text = F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    p1 = F.substring(F.col("text"), 1, 200)
+    p2 = F.substring(long_text, F.lit(1),
+                     ((F.col("doc_id") % 7) * 45 + 30).cast("int"))
+    content = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"
+              "Content-Type: text/html; charset=utf-8\r\n\r\n"
+              "<html><head><title>T"), did,
+        F.lit("</title><script type=\"text/javascript\">"
+              "var x = '<p>junk</p>';</script>"
+              "<style>.m{color:blue}</style></head><body>"
+              "<div><a href=\"/\">home</a> <a href=\"/n\">news</a> "
+              "<a href=\"/s\">sports</a> <a href=\"/w\">weather</a>"
+              "</div><p>"), p1,
+        F.lit("</p><div><a href=\"/r1\">related article one with a "
+              "longish anchor</a></div><p>"), p2,
+        F.lit("</p><p>short tail here.</p>"
+              "<div>footer (c) example site <a href=\"/privacy\">"
+              "privacy</a> <a href=\"/terms\">terms</a></div>"
+              "</body></html>"))
+    recs = docs.select("doc_id",
+                       content.cast("binary").alias("content"))
+    out = text_ops.html_main_text(recs)
+    return out.select("doc_id", "content_type", "n_blocks_kept",
+                      "n_blocks_dropped", "text")
+
+
+#: the oracle's RE2-safe mirror of the Spark chain: sequential
+#: script/style strips (the crawl_html_extract precedent — no crossed
+#: tags in the synthesized markup), the same block-tag split, per-block
+#: plain text + anchor mass, then the published tree over lag/lead
+SQL_MAIN_CONTENT = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>T' || doc_id ||
+         '</title><script type="text/javascript">' ||
+         'var x = ''<p>junk</p>'';</script>' ||
+         '<style>.m{color:blue}</style></head><body>' ||
+         '<div><a href="/">home</a> <a href="/n">news</a> ' ||
+         '<a href="/s">sports</a> <a href="/w">weather</a>' ||
+         '</div><p>' || substr(text, 1, 200) ||
+         '</p><div><a href="/r1">related article one with a ' ||
+         'longish anchor</a></div><p>' ||
+         substr(text || ' ' || text, 1, (doc_id % 7) * 45 + 30) ||
+         '</p><p>short tail here.</p>' ||
+         '<div>footer (c) example site <a href="/privacy">' ||
+         'privacy</a> <a href="/terms">terms</a></div>' ||
+         '</body></html>' AS body
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           body,
+           '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS body
+  FROM page
+),
+split AS (
+  SELECT doc_id,
+         string_split_regex(body,
+           '(?i)</?(?:p|div|h[1-6]|table|thead|tbody|tr|td|th' ||
+           '|ul|ol|li|dl|dt|dd|blockquote|pre|article|section' ||
+           '|header|footer|nav|aside|form|fieldset|hr|br)\b[^>]*>')
+           AS bl
+  FROM stripped
+),
+blocks AS (
+  SELECT doc_id, i AS pos, bl[i] AS b
+  FROM split, unnest(range(1, len(bl) + 1)) AS r(i)
+),
+feats0 AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(
+           regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+           '\s+', ' ', 'g')) AS txt,
+         trim(regexp_replace(regexp_replace(
+           coalesce(array_to_string(
+             regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+             ' '), ''),
+           '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS atxt
+  FROM blocks
+),
+feats AS (
+  SELECT doc_id, pos, txt,
+         len(list_filter(string_split_regex(txt, '\s+'),
+                         w -> w != '')) AS w,
+         length(atxt)::DOUBLE / greatest(length(txt), 1) AS ld
+  FROM feats0 WHERE txt != ''
+),
+scored AS (
+  SELECT doc_id, pos, txt, w, ld,
+         coalesce(lag(w) OVER win, 0) AS prev_w,
+         coalesce(lag(ld) OVER win, 0.0) AS prev_ld,
+         coalesce(lead(w) OVER win, 0) AS next_w
+  FROM feats
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+verdict AS (
+  SELECT doc_id, pos, txt,
+         ld <= 0.333333 AND
+         (CASE WHEN prev_ld <= 0.555556
+               THEN w > 16 OR next_w > 15 OR prev_w > 4
+               ELSE w > 40 OR next_w > 17 END) AS keep
+  FROM scored
+)
+SELECT doc_id,
+       'text/html' AS content_type,
+       count(*) FILTER (WHERE keep)::INTEGER AS n_blocks_kept,
+       (count(*) - count(*) FILTER (WHERE keep))::INTEGER
+         AS n_blocks_dropped,
+       coalesce(string_agg(txt, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text
+FROM verdict
+GROUP BY doc_id
+"""

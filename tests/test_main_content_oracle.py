@@ -1,0 +1,41 @@
+"""Cross-engine evidence for the main-content r14/r15 oracle seat
+(the C4/DSIR precedent: commit the DuckDB cross-check first, seat
+when a window slot opens): synthesized pages through the REAL
+``text.html_main_text`` densitometric block classifier vs an
+independent SQL replay — block split, tag strip, link density, the
+published WSDM-2010 neighbor word-count tree via lag/lead."""
+
+import duckdb
+
+from kiji_mapreduce_spark.suite.queries_text import (SQL_MAIN_CONTENT,
+                                                     q_main_content)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_main_content_matches_duckdb_oracle(spark):
+    got = sorted(
+        (r.doc_id, r.content_type, r.n_blocks_kept,
+         r.n_blocks_dropped, r.text)
+        for r in q_main_content(spark, SF_DIR).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    want = sorted((int(r[0]), r[1], int(r[2]), int(r[3]), r[4])
+                  for r in con.execute(SQL_MAIN_CONTENT).fetchall())
+    assert len(got) == len(want)
+    assert got == want
+
+    # the fixture actually exercises the tree: the kept-block count
+    # varies across docs (the doc_id-varying paragraph crosses the
+    # 16- and 40-word thresholds), and link-dense nav/footer/related
+    # blocks never survive
+    kept_counts = {k for (_, _, k, _, _) in got}
+    assert len(kept_counts) >= 2, kept_counts
+    for _, _, _, _, text in got:
+        assert "home news sports" not in text
+        assert "privacy terms" not in text
+        assert "related article one" not in text
+    # every page dropped at least the nav, related rail and footer
+    assert all(d >= 3 for (_, _, _, d, _) in got)
