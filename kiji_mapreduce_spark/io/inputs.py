@@ -936,6 +936,23 @@ def _inflate_range(blob: bytes, where: str):
     return bytes(out)
 
 
+def _open_range_source(resolved: str):
+    """Open one archive for seek+read range fetches. Local paths use
+    plain ``open``; any URI scheme (``file://``, ``s3://``,
+    ``hdfs://``, ``gs://``, ...) goes through ``pyarrow.fs``, whose
+    input files are seekable range readers — the seam that makes the
+    index-first pattern work against the object stores 100 TB crawls
+    actually live on (pyarrow translates seek+read into ranged GETs).
+    pyarrow errors map onto the caller's (OSError, ValueError)
+    contract: ArrowIOError is an OSError, ArrowInvalid a ValueError."""
+    if "://" in resolved:
+        from pyarrow import fs as _pafs
+
+        filesystem, fs_path = _pafs.FileSystem.from_uri(resolved)
+        return filesystem.open_input_file(fs_path)
+    return open(resolved, "rb")
+
+
 def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                              lenient: bool = False,
                              decode_http: bool = True) -> DataFrame:
@@ -994,12 +1011,14 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
         handle_path = None
 
         def _open(resolved):
+            # one handle at a time: ranges arrive grouped by file,
+            # sorted by offset
             nonlocal handle, handle_path
             if handle_path != resolved:
                 if handle is not None:
                     handle.close()
                 handle_path = resolved
-                handle = open(resolved, "rb")
+                handle = _open_range_source(resolved)
             return handle
 
         try:
@@ -1008,9 +1027,7 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                         pdf["filename"], pdf["offset"], pdf["length"]):
                     off, length = int(off), int(length)
                     resolved = str(fname)
-                    if resolved.startswith("file://"):
-                        resolved = resolved[len("file://"):]
-                    if base:
+                    if base and "://" not in resolved:
                         resolved = os.path.join(base, resolved)
                     where = f"{resolved}@{off}"
                     try:
