@@ -600,6 +600,25 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     lg.add_argument("--iters", type=int, default=5,
                     help="PageRank iterations (with --pagerank)")
 
+    cx = sub.add_parser("cdx-index", help="build a CDXJ crawl index "
+                        "FROM WARC archives: one line per record with "
+                        "the byte range that fetches it back "
+                        "(per-gzip-member offsets for .warc.gz) — the "
+                        "generation half of the index-first pattern "
+                        "(crawl-ingest --cdx-index consumes it)")
+    cx.add_argument("--input", required=True,
+                    help="WARC file/dir (.warc or .warc.gz); the "
+                    "input path is stripped from the index's "
+                    "filenames so they resolve against any replica")
+    cx.add_argument("--output", required=True,
+                    help="CDXJ text lines out (one part per task)")
+    cx.add_argument("--lenient", action="store_true",
+                    help="stop a corrupt archive at the last good "
+                    "record instead of failing the job")
+    cx.add_argument("--gzip", action="store_true",
+                    help="gzip-compress the index parts (cdx-*.gz, "
+                    "the Common Crawl layout)")
+
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
                         "binned KS JSON (audit.distribution_drift)")
@@ -906,6 +925,21 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         return _emit(args, {"curated": args.output, "docs_in": n_in,
                             "docs_out": n_out})
+
+    if args.command == "cdx-index":
+        from kiji_mapreduce_spark.io.inputs import (cdx_lines,
+                                                    warc_member_index)
+
+        spark = make_session(app_name="kiji-cdx-index")
+        files = spark.read.format("binaryFile").load([args.input])
+        idx = warc_member_index(files, lenient=args.lenient)
+        lines = cdx_lines(idx, base=args.input)
+        writer = lines.write.mode("overwrite")
+        if args.gzip:
+            writer = writer.option("compression", "gzip")
+        writer.text(args.output)
+        n = spark.read.text(args.output).count()
+        return _emit(args, {"index": args.output, "n_lines": n})
 
     if args.command == "link-graph":
         from kiji_mapreduce_spark.io.inputs import read_warc_records

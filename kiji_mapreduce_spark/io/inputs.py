@@ -1102,3 +1102,185 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                 handle.close()
 
     return prepared.mapInPandas(_fetch, schema)
+
+
+def _walk_gz_members(raw: bytes, where: str):
+    """Yield (offset, compressed_length, decompressed bytes) per gzip
+    member of a per-record-member archive (the Common Crawl layout) —
+    the compressed offsets are exactly what a CDX index records.
+    Chunk-fed like ``_inflate_members`` (the unused-data copy is at
+    most one chunk per member); each member's decompressed size is
+    capped at ``_MAX_RANGE_OUT``. ValueError on corruption/truncation."""
+    import zlib
+
+    mv = memoryview(raw)
+    step = 1 << 20
+    pos = 0
+    while pos < len(raw):
+        start = pos
+        d = zlib.decompressobj(wbits=47)
+        out = bytearray()
+        try:
+            while not d.eof and pos < len(raw):
+                chunk = mv[pos:pos + step]
+                out += d.decompress(chunk)
+                if len(out) > _MAX_RANGE_OUT:
+                    raise ValueError(
+                        f"{where}: member at {start} inflates past "
+                        f"the {_MAX_RANGE_OUT >> 30} GiB ceiling")
+                pos += len(chunk)
+        except zlib.error as e:
+            raise ValueError(
+                f"{where}: corrupt gzip member near byte {pos}: {e}"
+            ) from e
+        if not d.eof:
+            raise ValueError(f"{where}: truncated final gzip member")
+        pos -= len(d.unused_data)
+        yield start, pos - start, bytes(out)
+
+
+def _walk_plain_records(raw: bytes, where: str):
+    """Yield (offset, byte_length, record bytes) per record of an
+    UNCOMPRESSED .warc — the offset-tracking twin of the framer's
+    carve loop (spans exclude the optional trailing CRLF CRLF, which
+    the framer treats as inter-record padding either way)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        while raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        he = raw.find(b"\r\n\r\n", pos)
+        if he < 0 or not raw.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"{where}: malformed WARC record header at byte {pos}")
+        length = None
+        for line in bytes(raw[pos:he]).split(b"\r\n")[1:]:
+            name, _, value = line.partition(b":")
+            if name.strip().lower() == b"content-length":
+                try:
+                    length = int(value.strip())
+                except ValueError:
+                    pass
+        if length is None or length < 0:
+            raise ValueError(
+                f"{where}: WARC record at byte {pos} has no valid "
+                "Content-Length")
+        end = he + 4 + length
+        if end > n:
+            raise ValueError(
+                f"{where}: WARC record at byte {pos} truncated")
+        yield pos, end - pos, bytes(raw[pos:end])
+        pos = end
+
+
+def warc_member_index(files: DataFrame,
+                      lenient: bool = False) -> DataFrame:
+    """Build the raw material of a CDX index from WARC archives: one
+    row per record with the (``offset``, ``length``) BYTE RANGE that
+    fetches it back — per-gzip-member offsets for ``.warc.gz`` (each
+    member is its own range) and record byte spans for plain
+    ``.warc`` — plus the record headers and the HTTP status / mime /
+    content digest the standard CDXJ fields carry. ``cdx_lines``
+    renders these rows as CDXJ text; ``warc_records_from_ranges``
+    consumes the ranges. Together they close the index-first loop for
+    archives that ship WITHOUT an index: index once, then every
+    selective job touches only the bytes it needs.
+
+    Scale shape: file = unit of parallelism (same as the parser);
+    only index rows leave the task — record payloads are digested and
+    dropped. Lenient stops a corrupt file at the last good record
+    (the parser's contract); strict raises ValueError."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    schema = ("path string, offset long, length long, record_no int, "
+              "warc_type string, target_uri string, warc_date string, "
+              "record_id string, content_length long, status int, "
+              "mime string, digest string")
+    cols = schema.replace(" string", "").replace(" long", "") \
+        .replace(" int", "").split(", ")
+    status_re = _re.compile(rb"^HTTP/\d\.\d (\d{3})")
+    ctype_re = _re.compile(
+        rb"(?im)^content-type:\s*([^\r\n;]+)")
+
+    def _index(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                walker = (_walk_gz_members if raw[:2] == b"\x1f\x8b"
+                          else _walk_plain_records)
+                rows = {k: [] for k in cols}
+                try:
+                    for off, ln, data in walker(raw, path):
+                        for rec in _frame_warc_records([data], path,
+                                                       lenient):
+                            (rec_no, wtype, uri, date, rid,
+                             clen, body) = rec
+                            status, mime = None, None
+                            if body.startswith(b"HTTP/"):
+                                m = status_re.match(body)
+                                status = int(m.group(1)) if m else None
+                                head = body[:body.find(b"\r\n\r\n")
+                                            if b"\r\n\r\n" in body
+                                            else len(body)]
+                                cm = ctype_re.search(head)
+                                if cm:
+                                    mime = cm.group(1).strip() \
+                                        .lower().decode("ascii",
+                                                        "replace")
+                            vals = (path, off, ln, rec_no, wtype, uri,
+                                    date, rid, clen, status, mime,
+                                    hashlib.md5(body).hexdigest())
+                            for k, v in zip(cols, vals):
+                                rows[k].append(v)
+                except ValueError:
+                    if not lenient:
+                        raise
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_index, schema)
+
+
+def cdx_lines(index: DataFrame, base: str = "") -> DataFrame:
+    """Render ``warc_member_index`` rows as CDXJ text lines (the
+    pywb/Common Crawl shape ``read_cdx`` parses back): ``<SURT key>
+    <14-digit ts> <JSON>``. Pure Catalyst. The SURT key is the
+    simplified host-reversed form (``com,example)/path`` — no query
+    normalization, documented divergence from pywb's full canon);
+    ``base`` is stripped off the archive path so the index carries
+    relative filenames resolvable against any replica of the tree."""
+    uri = F.col("target_uri")
+    host = F.lower(F.try_parse_url(F.trim(uri), F.lit("HOST")))
+    upath = F.coalesce(
+        F.nullif(F.try_parse_url(F.trim(uri), F.lit("PATH")),
+                 F.lit("")),
+        F.lit("/"))
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), upath)
+    ts = F.substring(
+        F.regexp_replace(F.col("warc_date"), r"[^0-9]", ""), 1, 14)
+    # binaryFile reports local paths as file:/... URIs — normalize
+    # before the base strip so a plain-path base matches
+    fname = F.regexp_replace(F.col("path"), r"^file:/+", "/")
+    if base:
+        prefix = base if base.endswith("/") else base + "/"
+        fname = F.when(fname.startswith(prefix),
+                       F.substr(fname, F.lit(len(prefix) + 1))) \
+            .otherwise(fname)
+    js = F.to_json(F.struct(
+        F.col("target_uri").alias("url"),
+        F.col("mime"),
+        F.col("status").cast("string").alias("status"),
+        F.col("digest"),
+        F.col("length").cast("string").alias("length"),
+        F.col("offset").cast("string").alias("offset"),
+        fname.alias("filename")))
+    keep = host.isNotNull() & (F.length(ts) == 14)
+    return (index.filter(keep)
+            .select(F.concat(surt, F.lit(" "), ts, F.lit(" "), js)
+                    .alias("value")))

@@ -1416,3 +1416,110 @@ def test_warc_range_fetch_uri_scheme_via_pyarrow(spark, tmp_path):
     assert len(got) == 1
     assert got[0].target_uri == "http://u.example.com/x"
     assert bytes(got[0].content) == page
+
+
+def test_warc_member_index_and_cdx_roundtrip(spark, tmp_path, capsys):
+    """The generation half of the index-first loop: warc_member_index
+    tracks per-gzip-member (and plain-record) byte ranges + HTTP
+    status/mime/digest; cdx_lines renders CDXJ that read_cdx parses
+    back; warc_records_from_ranges fetches byte-identical records
+    through the whole loop; the cdx-index CLI + crawl-ingest
+    --cdx-index compose end to end."""
+    import gzip as _gzip
+    import hashlib
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from kiji_mapreduce_spark.io.inputs import (
+        cdx_lines, read_cdx, read_warc_records, warc_member_index,
+        warc_records_from_ranges)
+
+    def resp(uri_tail, words):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                b"<html><p>" + (words.encode() + b" ") * 12
+                + b"</p></html>")
+        return _warc_record("response",
+                            f"http://idx.example.com/{uri_tail}", body)
+
+    recs = [resp("a", "alpha page words"), resp("b", "bravo page words"),
+            resp("c", "charlie page words")]
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    gz_blob, gz_ranges = _cc_warc_gz(recs)
+    (warcs / "x.warc.gz").write_bytes(gz_blob)
+    (warcs / "y.warc").write_bytes(b"".join(recs))
+
+    files = spark.read.format("binaryFile").load(str(warcs))
+    idx = warc_member_index(files).collect()
+    assert len(idx) == 6
+    by_file = {}
+    for r in idx:
+        by_file.setdefault(r.path.split("/")[-1], []).append(r)
+    got_gz = sorted((r.offset, r.length)
+                    for r in by_file["x.warc.gz"])
+    assert got_gz == sorted(gz_ranges)
+    for r in idx:
+        assert r.status == 200 and r.mime == "text/html"
+        assert r.warc_type == "response"
+        assert len(r.digest) == 32
+    # digest is over the record payload
+    whole = {(r.path.split("/")[-1], r.target_uri): r
+             for r in read_warc_records(
+                 spark, [str(warcs)], decode_http=False).collect()}
+    for r in idx:
+        w = whole[(r.path.split("/")[-1], r.target_uri)]
+        assert r.digest == hashlib.md5(bytes(w.content)).hexdigest()
+
+    # CDXJ render -> parse -> fetch: byte-identical records
+    idx_df = warc_member_index(files)
+    cdx_lines(idx_df, base=str(warcs)).write.mode("overwrite") \
+        .text(f"{tmp_path}/cdx")
+    parsed = read_cdx(spark, [f"{tmp_path}/cdx"])
+    rows = parsed.collect()
+    assert all(r.surt_key == "com,example,idx)/" + r.url[-1]
+               for r in rows)
+    assert all(r.ts == "20240101000000" for r in rows)
+    fetched = {(r.path.split("/")[-1], r.target_uri): r
+               for r in warc_records_from_ranges(
+                   parsed, base=str(warcs),
+                   decode_http=False).collect()}
+    assert len(fetched) == 6
+    for k, w in whole.items():
+        assert bytes(fetched[k].content) == bytes(w.content)
+
+    # CLI loop: cdx-index then crawl-ingest --cdx-index
+    rc = cli.main(["cdx-index", "--input", str(warcs),
+                   "--output", f"{tmp_path}/cdx2", "--gzip"])
+    assert rc == 0
+    stats = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_lines"] == 6
+    rc = cli.main(["crawl-ingest", "--input", str(warcs),
+                   "--cdx-index", f"{tmp_path}/cdx2",
+                   "--cdx-mime", "text/html",
+                   "--output", f"{tmp_path}/docs"])
+    assert rc == 0
+    urls = {r.url
+            for r in spark.read.parquet(f"{tmp_path}/docs").collect()}
+    assert urls == {f"http://idx.example.com/{t}" for t in "abc"}
+
+
+def test_warc_member_index_lenient_truncation(spark, tmp_path):
+    """A truncated archive indexes its parsed prefix under lenient
+    and raises under strict — the parser's contract."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import warc_member_index
+
+    recs = [_warc_record("response", "http://t.example.com/1",
+                         b"HTTP/1.1 200 OK\r\n\r\nbody one"),
+            _warc_record("response", "http://t.example.com/2",
+                         b"HTTP/1.1 200 OK\r\n\r\nbody two")]
+    blob, ranges = _cc_warc_gz(recs)
+    cut = blob[:ranges[1][0] + 10]  # inside the second member
+    (tmp_path / "t.warc.gz").write_bytes(cut)
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    kept = warc_member_index(files, lenient=True).collect()
+    assert [r.target_uri for r in kept] == ["http://t.example.com/1"]
+    with _pytest.raises(Exception, match="truncated|corrupt"):
+        warc_member_index(files, lenient=False).collect()
