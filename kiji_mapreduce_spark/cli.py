@@ -1348,14 +1348,22 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                 rejects_observation=rej_obs,
                 respect_noindex=not args.keep_noindex,
                 main_content=args.main_content)
+        n_robots_hosts = None
         if args.respect_robots:  # --wet combination rejected above
             from kiji_mapreduce_spark.pipeline.crawl import (
                 filter_robots_disallowed, robots_rules)
 
             # one more pass over the archives for the rule table (the
             # --media-output precedent: each extra output pays its own
-            # parse); the table itself is tiny and host-keyed
-            docs = filter_robots_disallowed(docs, robots_rules(recs))
+            # parse); the table itself is tiny and host-keyed. Pin it:
+            # the host count below and the filter join are two
+            # consumers, and the count doubles as OBSERVABILITY — with
+            # --cdx-index a selection that excluded the robots.txt
+            # captures silently finds zero rules, and the stat is how
+            # a user sees that (the --wet silent-no-op lesson)
+            rules = robots_rules(recs).localCheckpoint(eager=True)
+            n_robots_hosts = rules.select("host").distinct().count()
+            docs = filter_robots_disallowed(docs, rules)
         from kiji_mapreduce_spark.pipeline.crawl import (
             blocklist_table, filter_blocked)
 
@@ -1412,6 +1420,8 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             "n_rejected_encoded": n_rejected,
             "n_noindex": int(rej.get("CRAWL_RECORDS_NOINDEX") or 0),
             "curated": bool(args.curate or args.splits)}
+        if n_robots_hosts is not None:
+            stats["n_robots_rule_hosts"] = n_robots_hosts
         if n_rejected:
             # rejected-by-encoding breakdown next to the corpus stats
             # (r11 verdict ask #5) — surfacing the counter family the

@@ -3156,6 +3156,10 @@ def test_cli_crawl_ingest_respect_robots(spark, tmp_path, capsys):
                    "--output", f"{tmp_path}/docs", "--respect-robots"])
     assert rc == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # observability for selective ingests: a run that found no robots
+    # files (e.g. a --cdx-index selection that excluded them) shows 0
+    # here instead of silently applying nothing
+    assert stats["n_robots_rule_hosts"] == 1
     urls = {r.url
             for r in spark.read.parquet(f"{tmp_path}/docs").collect()}
     assert "http://s.example.com/private/x" not in urls

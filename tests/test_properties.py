@@ -1225,6 +1225,49 @@ def test_range_inflate_error_surface(data):
         pass
 
 
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_warc_member_walk_error_surface(data):
+    """The CDX-index walkers under hostile bytes: junk, truncations
+    and bit-flips of per-member-gzip and plain WARC archives either
+    walk to completion or raise ValueError — never another exception
+    (the shard-iterator discipline, applied to the r13 index
+    generation seam)."""
+    import gzip
+
+    from kiji_mapreduce_spark.io.inputs import (_walk_gz_members,
+                                                _walk_plain_records)
+
+    def rec(n):
+        body = b"HTTP/1.1 200 OK\r\n\r\n" + b"x" * 40
+        return (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://f.example.com/{n}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() \
+            + body + b"\r\n\r\n"
+
+    plain = b"".join(rec(i) for i in range(3))
+    gz = b"".join(gzip.compress(rec(i), mtime=0) for i in range(3))
+    kind = data.draw(st.sampled_from(["gz", "plain"]))
+    blob = gz if kind == "gz" else plain
+    mode = data.draw(st.sampled_from(["junk", "truncate", "flip"]))
+    if mode == "junk":
+        blob = bytes(data.draw(st.binary(min_size=0, max_size=200)))
+    elif mode == "truncate":
+        blob = blob[:data.draw(st.integers(0, len(blob) - 1))]
+    else:
+        b = bytearray(blob)
+        i = data.draw(st.integers(0, len(b) - 1))
+        b[i] ^= 1 << data.draw(st.integers(0, 7))
+        blob = bytes(b)
+    walker = _walk_gz_members if kind == "gz" else _walk_plain_records
+    try:
+        for _off, _ln, _data in walker(blob, "fuzz"):
+            assert _ln > 0 and _off >= 0
+    except ValueError:
+        pass
+
+
 def test_shard_iterator_corrupt_deflate_pinned():
     """Pinned r13 fuzz find: a zip (or .tar.gz) whose HEADERS parse but
     whose deflate body is corrupt surfaces raw ``zlib.error`` from the
