@@ -600,6 +600,30 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     lg.add_argument("--iters", type=int, default=5,
                     help="PageRank iterations (with --pagerank)")
 
+    bp = sub.add_parser("bpe-train", help="learn a BPE subword "
+                        "vocabulary from a documents table (Sennrich "
+                        "et al. 2016): one corpus scan builds the "
+                        "capped word-frequency table, the merge loop "
+                        "runs driver-side over it; writes the ordered "
+                        "(rank, left, right) merge table")
+    bp.add_argument("--input", required=True,
+                    help="documents parquet (needs a text column)")
+    bp.add_argument("--output", required=True,
+                    help="merge-table parquet out")
+    bp.add_argument("--vocab-size", type=int, default=512,
+                    help="number of merges to learn")
+    bp.add_argument("--max-words", type=int, default=100_000,
+                    help="word-frequency table cap (bounds driver "
+                    "memory; top-N by count, ties by word)")
+    bp.add_argument("--min-pair-count", type=int, default=2,
+                    help="stop when no pair reaches this count")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--token-counts", default=None, metavar="DIR",
+                    help="also write per-document token counts under "
+                    "the learned vocabulary (doc_id, n_bpe_tokens) — "
+                    "the real-tokenizer sizing for mixture budgets "
+                    "and packing")
+
     cx = sub.add_parser("cdx-index", help="build a CDXJ crawl index "
                         "FROM WARC archives: one line per record with "
                         "the byte range that fetches it back "
@@ -925,6 +949,33 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         return _emit(args, {"curated": args.output, "docs_in": n_in,
                             "docs_out": n_out})
+
+    if args.command == "bpe-train":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.pipeline import bpe
+
+        spark = make_session(app_name="kiji-bpe-train")
+        docs = spark.read.parquet(args.input)
+        if args.text_col not in docs.columns:
+            p.error(f"bpe-train: no column {args.text_col!r} in "
+                    f"{args.input}")
+        merges = bpe.bpe_train(
+            docs, vocab_size=args.vocab_size, text_col=args.text_col,
+            max_words=args.max_words,
+            min_pair_count=args.min_pair_count)
+        bpe.merges_table(spark, merges).write.mode("overwrite") \
+            .parquet(args.output)
+        stats = {"merges": args.output, "n_merges": len(merges)}
+        if args.token_counts:
+            counts = bpe.bpe_token_counts(docs, merges,
+                                          text_col=args.text_col)
+            counts.write.mode("overwrite").parquet(args.token_counts)
+            agg = spark.read.parquet(args.token_counts) \
+                .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+            stats["token_counts"] = args.token_counts
+            stats["n_tokens_total"] = int(agg or 0)
+        return _emit(args, stats)
 
     if args.command == "cdx-index":
         from kiji_mapreduce_spark.io.inputs import (cdx_lines,

@@ -1,0 +1,162 @@
+"""Byte-pair-encoding tokenizer induction at corpus scale (Sennrich,
+Haddow & Birch 2016, ACL — public) plus the matching encoder: the
+operator a training-data pipeline uses to LEARN a subword vocabulary
+from the corpus it just curated, and to size documents in tokens of
+that vocabulary (mixture budgets, packing, per-source token accounting
+all want counts in the REAL tokenizer, not a whitespace proxy).
+
+Spark-first shape, sized for 100 TB:
+
+- The classic BPE formulation trains on the WORD-FREQUENCY table, not
+  the corpus: merge choices depend only on (word, count) pairs. So the
+  corpus is read ONCE into a frequency table (one partial-agg shuffle —
+  identical words collapse map-side), capped at ``max_words`` rows by
+  frequency (ties broken by word for determinism): at web scale the
+  top 100k-1M word forms carry almost all the token mass, and the cap
+  is what bounds driver memory, exactly the classifier/DSIR
+  bounded-collect discipline.
+- Merge learning then runs DRIVER-side over that bounded table (pure
+  Python over <= max_words rows; the standard implementation) — no
+  per-merge Spark round trips, no 100s-of-shuffles iteration. The
+  driver state is the frequency table plus the merge list.
+- Encoding distributes: the merge ranks broadcast with the closure of
+  one Arrow-batched pandas UDF; per-distinct-word memoisation inside
+  each batch keeps the greedy merge loop off the hot path (natural
+  text repeats words heavily). Tokenization is genuinely Python-side
+  work (the codec zoo argument, same as charset transcode) — the
+  deliberate, bounded exception to the JVM-only default.
+
+Determinism: frequency ties break lexicographically, pair-count ties
+break lexicographically on the pair — the same corpus yields the same
+merge list on any partitioning or engine, pinned by the pure-Python
+reference re-implementation in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: end-of-word marker (Sennrich et al. §3.2: distinguishes "est" in
+#: "west</w>" from "est" mid-word); chosen outside the token alphabet
+END = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     max_words: int = 100_000) -> DataFrame:
+    """(word, n) for the ``max_words`` most frequent lowercased
+    whitespace words — ONE corpus scan + partial aggregation; ties
+    break by word so the cut is deterministic."""
+    tok = F.explode(F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    freq = (df.select(tok.alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    return (freq.orderBy(F.col("n").desc(), "word").limit(max_words))
+
+
+def learn_merges(word_counts: list[tuple[str, int]],
+                 vocab_size: int,
+                 min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """The published BPE loop over a (word, count) table: start from
+    characters (+ ``END``), repeatedly merge the most frequent
+    adjacent symbol pair until ``vocab_size`` merges have been
+    learned or no pair reaches ``min_pair_count``. Pure driver-side
+    Python over the bounded table."""
+    words = [(tuple(w) + (END,), int(n)) for w, n in word_counts if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(vocab_size):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # max count, lexicographic pair tie-break: deterministic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        out = []
+        for syms, n in words:
+            i, ns = 0, []
+            while i < len(syms):
+                if (i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == best):
+                    ns.append(joined)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out.append((tuple(ns), n))
+        words = out
+    return merges
+
+
+def bpe_train(df: DataFrame, vocab_size: int = 512,
+              text_col: str = "text", max_words: int = 100_000,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from a corpus: one frequency-table scan,
+    then ``learn_merges`` on the driver. Returns the ordered merge
+    list (rank = position)."""
+    rows = word_frequencies(df, text_col, max_words).collect()
+    return learn_merges([(r["word"], r["n"]) for r in rows],
+                        vocab_size, min_pair_count)
+
+
+def merges_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The merge list as a (rank, left, right) DataFrame — the
+    persistable artifact (`kiji-mr bpe-train` writes it; encoders
+    read it back)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application (the standard BPE
+    encoder): repeatedly merge the adjacent pair with the best
+    (lowest) learned rank until none applies."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bpe_tokens) per document under a learned merge list —
+    the real-tokenizer sizing for mixture budgets and packing. ONE
+    Arrow-batched pandas UDF; per-distinct-word memoisation makes the
+    greedy loop run once per word FORM per batch, not per occurrence."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def per_doc(t):
+            if t is None:
+                return 0
+            total = 0
+            for w in t.lower().split():
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_word(w, ranks))
+                    cache[w] = n
+                total += n
+            return total
+
+        return texts.map(per_doc)
+
+    return df.select(id_col, _count(F.col(text_col))
+                     .alias("n_bpe_tokens"))
