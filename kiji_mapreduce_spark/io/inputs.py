@@ -959,7 +959,8 @@ def _open_range_source(resolved: str):
 
 def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                              lenient: bool = False,
-                             decode_http: bool = True) -> DataFrame:
+                             decode_http: bool = True,
+                             stripe_bytes: int = 1 << 30) -> DataFrame:
     """Fetch and parse ONLY the WARC byte ranges a crawl index names —
     the read half of the index-first 100 TB pattern (``read_cdx`` is
     the filter half): given rows carrying (``filename``, ``offset``,
@@ -977,11 +978,13 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
     KijiDataRequest (``.../input/KijiTableMapReduceJobInput.java:
     53-56``) applied to archive bytes.
 
-    Scale shape: only INDEX rows shuffle (one repartition on
-    filename), never archive bytes; each file's ranges land in one
-    task sorted by offset, so the physical access pattern is one
-    forward seek sweep per archive with one open handle — object
-    stores and spinning disks both reward this. Declared lengths are
+    Scale shape: only INDEX rows shuffle (one repartition), never
+    archive bytes. The partition key is (filename, offset //
+    ``stripe_bytes``): a file's ranges group into contiguous 1 GiB
+    stripes, so a SINGLE huge archive with many selected ranges still
+    spreads across tasks while each task keeps one forward seek sweep
+    over one contiguous region with one open handle — object stores
+    and spinning disks both reward this. Declared lengths are
     gated at ``_MAX_RANGE_BYTES`` BEFORE any read and the inflate at
     ``_MAX_RANGE_OUT``; a misaligned/corrupt/oversized range raises
     (strict) or skips that range and keeps going (lenient — the crawl
@@ -1007,7 +1010,9 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                 .select(F.col("filename").cast("string"),
                         F.col("offset").cast("long"),
                         F.col("length").cast("long"))
-                .repartition("filename")
+                .repartition(
+                    F.col("filename"),
+                    F.floor(F.col("offset") / F.lit(int(stripe_bytes))))
                 .sortWithinPartitions("filename", "offset"))
 
     def _fetch(batches):

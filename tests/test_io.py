@@ -1395,6 +1395,30 @@ def test_cli_crawl_ingest_cdx_index(spark, tmp_path, capsys):
                   "--output", f"{tmp_path}/d3"])
 
 
+def test_warc_range_fetch_striping(spark, tmp_path):
+    """A tiny stripe size forces one file's ranges across MANY
+    shuffle partitions (the single-huge-archive parallelism case);
+    results are identical to the single-stripe fetch."""
+    from kiji_mapreduce_spark.io.inputs import warc_records_from_ranges
+
+    recs = [_warc_record("response", f"http://st.example.com/{i}",
+                         b"HTTP/1.1 200 OK\r\n\r\n" + b"w" * 50)
+            for i in range(12)]
+    blob, ranges = _cc_warc_gz(recs)
+    (tmp_path / "s.warc.gz").write_bytes(blob)
+    df = spark.createDataFrame(
+        [("s.warc.gz", o, ln) for o, ln in ranges],
+        "filename string, offset long, length long")
+    wide = warc_records_from_ranges(df, base=str(tmp_path),
+                                    decode_http=False,
+                                    stripe_bytes=64)
+    one = warc_records_from_ranges(df, base=str(tmp_path),
+                                   decode_http=False)
+    key = lambda r: (r.offset, r.target_uri, bytes(r.content))
+    assert sorted(map(key, wide.collect())) == \
+        sorted(map(key, one.collect()))
+
+
 def test_warc_range_fetch_uri_scheme_via_pyarrow(spark, tmp_path):
     """Range filenames carrying a URI scheme bypass --base and open
     through pyarrow.fs (file:// exercises the exact branch s3://hdfs
