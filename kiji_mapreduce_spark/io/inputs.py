@@ -1220,6 +1220,14 @@ def warc_member_index(files: DataFrame,
                           else _walk_plain_records)
                 rows = {k: [] for k in cols}
                 try:
+                    if raw[:4] == b"\x28\xb5\x2f\xfd":
+                        # whole-archive zstd has no per-record members
+                        # to point ranges at — a silent "malformed
+                        # WARC" would misdiagnose the fix
+                        raise ValueError(
+                            f"{path}: .warc.zst has no per-record "
+                            "compression members to index — "
+                            "recompress as per-member .warc.gz")
                     for off, ln, data in walker(raw, path):
                         for rec in _frame_warc_records([data], path,
                                                        lenient):

@@ -1547,3 +1547,45 @@ def test_warc_member_index_lenient_truncation(spark, tmp_path):
     assert [r.target_uri for r in kept] == ["http://t.example.com/1"]
     with _pytest.raises(Exception, match="truncated|corrupt"):
         warc_member_index(files, lenient=False).collect()
+
+
+def test_warc_member_index_rejects_warc_zst(spark, tmp_path):
+    """Whole-archive .warc.zst has no per-record members to point
+    ranges at: strict mode says so explicitly instead of 'malformed
+    WARC'; lenient skips the file."""
+    import pytest as _pytest
+
+    from tests.test_zstd import FIXTURES
+    import base64 as _b64
+
+    from kiji_mapreduce_spark.io.inputs import warc_member_index
+
+    (tmp_path / "z.warc.zst").write_bytes(
+        _b64.b64decode(FIXTURES["text_l3"][1]))
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    assert warc_member_index(files, lenient=True).collect() == []
+    with _pytest.raises(Exception, match="per-record|recompress"):
+        warc_member_index(files, lenient=False).collect()
+
+
+def test_warc_range_fetch_unknown_scheme(spark, tmp_path):
+    """A range filename with a scheme pyarrow cannot resolve is a
+    per-range error: strict raises, lenient skips it and keeps the
+    good ranges."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import warc_records_from_ranges
+
+    page = b"HTTP/1.1 200 OK\r\n\r\n<p>ok</p>"
+    recs = [_warc_record("response", "http://k.example.com/x", page)]
+    blob, ranges = _cc_warc_gz(recs)
+    (tmp_path / "k.warc.gz").write_bytes(blob)
+    df = spark.createDataFrame(
+        [("k.warc.gz", ranges[0][0], ranges[0][1]),
+         ("noSuchScheme://bucket/k.warc.gz", 0, 64)],
+        "filename string, offset long, length long")
+    kept = warc_records_from_ranges(
+        df, base=str(tmp_path), lenient=True).collect()
+    assert [r.target_uri for r in kept] == ["http://k.example.com/x"]
+    with _pytest.raises(Exception):
+        warc_records_from_ranges(df, base=str(tmp_path)).collect()
