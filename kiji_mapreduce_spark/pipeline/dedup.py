@@ -1155,7 +1155,7 @@ def simhash_near_duplicates(
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.95, k: int = 8,
     iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    max_cluster: int | None = None,
+    max_cluster: int | None = None, round_digits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster the embedding space with k-means, find near-dup
@@ -1198,6 +1198,12 @@ def semantic_dedup(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cos = (m / norms) @ (m / norms).T
+        if round_digits is not None:
+            # pin the threshold compare to a decimal grid so another
+            # engine's summation order cannot flip a borderline pair
+            # (the kmeans round-before-compare discipline; the oracle
+            # query sets 6)
+            cos = np.round(cos, round_digits)
         iu = np.triu_indices(len(m), k=1)
         hit = cos[iu] >= threshold
         return pd.DataFrame({"id_a": ids[iu[0][hit]],

@@ -370,3 +370,65 @@ LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) over
+    the embeddings table, cross-engine-checked end to end (r13-built
+    seat candidate, the C4/DSIR precedent — committed DuckDB
+    cross-check in tests/test_semantic_dedup_oracle.py, seat when a
+    window slot opens): the deterministic k-means assignment (k=4,
+    2 Lloyd rounds — the SAME clustering SQL_KMEANS_CLUSTERS pins),
+    within-cluster cosine pairs at >= 0.4 (the synthetic embeddings
+    are near-orthogonal — max pairwise cosine ~0.5 — so the
+    registry threshold sits where the fixture has real pair/group
+    structure; rounded to 6dp before the
+    compare so no engine's summation order flips a borderline pair),
+    connected components collapsed to each group's minimum id. The
+    oracle replays the pair graph with a recursive-CTE transitive
+    closure.
+
+    Scale shape: candidate space shrinks from all-pairs O(N^2) to
+    sum-of-cluster O(|c|^2); per-cluster scoring is one numpy matmul
+    in applyInPandas; component collapse is the log-diameter
+    pointer-jumping loop shared with every dedup family."""
+    from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, k=4, iters=2,
+                          round_digits=6)
+
+
+# the kmeans CTE chain under WITH RECURSIVE (the closure CTE needs
+# it); the chain text is shared verbatim with SQL_KMEANS_CLUSTERS
+SQL_SEMANTIC_DEDUP = ("WITH RECURSIVE " + _KMEANS_CTES[len("WITH "):]
+                      + """,
+av AS (
+  SELECT a2.vec_id, a2.cid AS cluster, e.v
+  FROM a2 JOIN e USING (vec_id) WHERE a2.rn = 1
+),
+near_pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM av x JOIN av y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM near_pairs
+  UNION
+  SELECT id_b, id_a FROM near_pairs
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+),
+keep_map AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src
+)
+SELECT av.vec_id, av.cluster,
+       coalesce(k.keep_id, av.vec_id) AS keep_id,
+       coalesce(k.keep_id, av.vec_id) = av.vec_id AS keep
+FROM av LEFT JOIN keep_map k USING (vec_id)
+""")

@@ -247,7 +247,10 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #       the full RFC 9309 chain incl. the r13 wildcard matching;
 #   (b) main_content — q_main_content + SQL_MAIN_CONTENT
 #       (tests/test_main_content_oracle.py; exact at both sfs) — the
-#       WSDM-2010 densitometric tree replayed via lag/lead.
+#       WSDM-2010 densitometric tree replayed via lag/lead;
+#   (c) semantic_dedup — q_semantic_dedup + SQL_SEMANTIC_DEDUP
+#       (tests/test_semantic_dedup_oracle.py; exact at both sfs) —
+#       the full SemDeDup chain with a recursive-CTE closure.
 # Seating either needs a judge-endorsed retirement. Strongest
 # candidates, for the judge to rule on (NOT retired unilaterally):
 #   (1) versioned_latest_event_value — it is versioned_slice_maxversions
