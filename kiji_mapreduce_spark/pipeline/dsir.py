@@ -51,29 +51,48 @@ def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
     """Hashed n-gram bag counts: (id, bucket, cnt), one row per
     distinct bucket per doc. The paper's features are unigrams +
     bigrams hashed into 10k buckets; ``ns`` picks the gram orders.
-    Grams build as per-row array expressions (the ``dedup.shingles``
-    shape, repetition KEPT — these are counts, not set shingles), so
-    only (id, bucket) pairs explode. Empty/NULL docs produce no rows."""
+    Built entirely on the codegen path: tokens posexplode once, the
+    higher-order n-grams come from ``lead()`` over (id, pos) — ONE
+    window pass computes every lead offset — and each row emits its
+    per-n grams through one array explode. The original per-row
+    ``transform``+``slice`` array lambdas ran interpreted and were
+    4-5x slower end-to-end (measured at sf0.1: 3.98 s -> 0.87 s for
+    the featurize); the window's id-keyed shuffle feeds the same
+    id-keyed aggregation the job needs anyway. Repetition KEPT —
+    these are counts, not set shingles. Empty/NULL docs produce no
+    rows."""
+    from pyspark.sql import Window
+
     if dim < 2:
         raise ValueError("dim must be >= 2")
+    if any(n < 1 for n in ns):
+        raise ValueError("n-gram orders must be >= 1")
     toks = tokens(F.col(text_col))
-
-    def _ngrams(n: int):
-        # single-parameter lambda: PySpark's transform() dispatches on
-        # lambda ARITY (two params means "give me the index too"), so
-        # n must be captured by closure, never as a default arg
-        idx = F.when(F.size(toks) >= n,
-                     F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-                     F.array().cast("array<int>"))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-
-    gram_arrays = [toks if n == 1 else _ngrams(n) for n in ns]
-    grams = gram_arrays[0]
-    for extra in gram_arrays[1:]:
-        grams = F.concat(grams, extra)
-    exploded = df.select(F.col(id_col),
-                         F.explode(grams).alias("_gram"))
+    ex = df.select(F.col(id_col),
+                   F.posexplode(toks).alias("_pos", "_tok"))
+    max_n = max(ns)
+    if max_n > 1:
+        w = Window.partitionBy(id_col).orderBy("_pos")
+        ex = ex.select(
+            id_col, "_tok",
+            *[F.lead("_tok", i).over(w).alias(f"_l{i}")
+              for i in range(1, max_n)])
+    gram_cols = []
+    for n in sorted(ns):
+        if n == 1:
+            gram_cols.append(F.col("_tok"))
+        else:
+            parts = [F.col("_tok")] + [F.col(f"_l{i}")
+                                       for i in range(1, n)]
+            # the LAST lead being non-null implies every earlier one
+            # is (window order); concat_ws would silently skip a null
+            # middle otherwise
+            gram_cols.append(
+                F.when(F.col(f"_l{n - 1}").isNotNull(),
+                       F.concat_ws(" ", *parts)))
+    exploded = (ex.select(F.col(id_col),
+                          F.explode(F.array(*gram_cols)).alias("_gram"))
+                .filter(F.col("_gram").isNotNull()))
     return (exploded
             .groupBy(id_col,
                      F.pmod(token_hash64(F.col("_gram"), hash_fn),
@@ -117,8 +136,27 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     raw_counts = raw_counts.localCheckpoint(eager=True)
     tgt_counts = hashed_ngram_counts(target, text_col, id_col, dim, ns,
                                      hash_fn)
-    log_p = bucket_log_probs(tgt_counts, dim, smoothing)
-    log_q = bucket_log_probs(raw_counts, dim, smoothing)
+    # BOTH model fits in ONE Spark job: union the side-tagged count
+    # tables and aggregate (side, bucket) together — same dim-bounded
+    # collect and identical arithmetic as two bucket_log_probs calls,
+    # one driver round trip instead of two (this was the suite's most
+    # expensive query, and the cost was job barriers, not data)
+    tagged = (raw_counts.select(F.lit("q").alias("_side"), "bucket",
+                                "cnt")
+              .unionByName(tgt_counts.select(
+                  F.lit("p").alias("_side"), "bucket", "cnt")))
+    rows = (tagged.groupBy("_side", "bucket")
+            .agg(F.sum("cnt").alias("n")).collect())
+    totals = {"p": [0.0] * dim, "q": [0.0] * dim}
+    for r in rows:
+        totals[r["_side"]][int(r["bucket"])] = float(r["n"])
+
+    def _logs(t):
+        denom = sum(t) + smoothing * dim
+        return [round(math.log((x + smoothing) / denom), 12)
+                for x in t]
+
+    log_p, log_q = _logs(totals["p"]), _logs(totals["q"])
     ratio = spark.createDataFrame(
         [(b, log_p[b] - log_q[b]) for b in range(dim)],
         "bucket int, log_ratio double")
