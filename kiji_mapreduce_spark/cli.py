@@ -983,14 +983,24 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
 
         spark = make_session(app_name="kiji-cdx-index")
         files = spark.read.format("binaryFile").load([args.input])
-        idx = warc_member_index(files, lenient=args.lenient)
+        # pin the INDEX (tiny rows — that is the point of an index),
+        # not the archives: the record count and the line write are
+        # two consumers, and the count is the no-silent-caps stat —
+        # records whose date/URI cannot form a CDX line are DROPPED by
+        # cdx_lines, and n_skipped is how a user sees that instead of
+        # an index that quietly misses captures (r13 review finding)
+        idx = warc_member_index(files, lenient=args.lenient) \
+            .localCheckpoint(eager=True)
+        n_records = idx.count()
         lines = cdx_lines(idx, base=args.input)
         writer = lines.write.mode("overwrite")
         if args.gzip:
             writer = writer.option("compression", "gzip")
         writer.text(args.output)
         n = spark.read.text(args.output).count()
-        return _emit(args, {"index": args.output, "n_lines": n})
+        return _emit(args, {"index": args.output, "n_records": n_records,
+                            "n_lines": n,
+                            "n_skipped_unindexable": n_records - n})
 
     if args.command == "link-graph":
         from kiji_mapreduce_spark.io.inputs import read_warc_records

@@ -1021,13 +1021,19 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
 
         def _open(resolved):
             # one handle at a time: ranges arrive grouped by file,
-            # sorted by offset
+            # sorted by offset. handle_path is recorded only AFTER a
+            # successful open: setting it first left a None handle
+            # cached after a failed open, and the NEXT range for the
+            # same missing file then crashed on None.seek() instead of
+            # skipping under the lenient contract (r13 review finding)
             nonlocal handle, handle_path
-            if handle_path != resolved:
+            if handle_path != resolved or handle is None:
                 if handle is not None:
                     handle.close()
-                handle_path = resolved
+                    handle = None
+                handle_path = None
                 handle = _open_range_source(resolved)
+                handle_path = resolved
             return handle
 
         # yields batch under a BYTE budget, not per range and not per
@@ -1208,7 +1214,11 @@ def warc_member_index(files: DataFrame,
               "mime string, digest string")
     cols = schema.replace(" string", "").replace(" long", "") \
         .replace(" int", "").split(", ")
-    status_re = _re.compile(rb"^HTTP/\d\.\d (\d{3})")
+    # dotless versions included: archives written by modern crawlers
+    # record "HTTP/2 200" / "HTTP/3 200" status lines (r13 review
+    # finding — a NULL status here silently failed every
+    # --cdx-status filter downstream)
+    status_re = _re.compile(rb"^HTTP/\d(?:\.\d)? (\d{3})")
     ctype_re = _re.compile(
         rb"(?im)^content-type:\s*([^\r\n;]+)")
 
@@ -1219,6 +1229,7 @@ def warc_member_index(files: DataFrame,
                 walker = (_walk_gz_members if raw[:2] == b"\x1f\x8b"
                           else _walk_plain_records)
                 rows = {k: [] for k in cols}
+                is_gz = raw[:2] == b"\x1f\x8b"
                 try:
                     if raw[:4] == b"\x28\xb5\x2f\xfd":
                         # whole-archive zstd has no per-record members
@@ -1229,8 +1240,24 @@ def warc_member_index(files: DataFrame,
                             "compression members to index — "
                             "recompress as per-member .warc.gz")
                     for off, ln, data in walker(raw, path):
-                        for rec in _frame_warc_records([data], path,
-                                                       lenient):
+                        member = list(_frame_warc_records([data], path,
+                                                          lenient))
+                        if is_gz and len(member) > 1:
+                            # a whole-file (or multi-record) gzip
+                            # member is NOT the per-record-member
+                            # layout: every index line would point at
+                            # the same range and a fetch would yield
+                            # N copies of every record (r13 review
+                            # finding) — refuse rather than emit a
+                            # silently-duplicating index
+                            raise ValueError(
+                                f"{path}: gzip member at byte {off} "
+                                f"frames {len(member)} records — not "
+                                "the per-record-member layout, so "
+                                "ranges would fetch duplicates; "
+                                "index the uncompressed .warc or "
+                                "recompress one record per member")
+                        for rec in member:
                             (rec_no, wtype, uri, date, rid,
                              clen, body) = rec
                             status, mime = None, None
@@ -1277,9 +1304,17 @@ def cdx_lines(index: DataFrame, base: str = "") -> DataFrame:
         F.lit(")"), upath)
     ts = F.substring(
         F.regexp_replace(F.col("warc_date"), r"[^0-9]", ""), 1, 14)
+    import os as _os
+
     # binaryFile reports local paths as file:/... URIs — normalize
-    # before the base strip so a plain-path base matches
+    # before the base strip so a plain-path base matches; a RELATIVE
+    # base (cdx-index --input data/warcs) resolves to its absolute
+    # form for the same reason (r13 review finding: the mismatch left
+    # machine-absolute filenames in the index, breaking the
+    # "resolvable against any replica" contract without a warning)
     fname = F.regexp_replace(F.col("path"), r"^file:/+", "/")
+    if base and "://" not in base:
+        base = _os.path.abspath(base)
     if base:
         prefix = base if base.endswith("/") else base + "/"
         fname = F.when(fname.startswith(prefix),

@@ -61,15 +61,25 @@ def learn_merges(word_counts: list[tuple[str, int]],
     characters (+ ``END``), repeatedly merge the most frequent
     adjacent symbol pair until ``vocab_size`` merges have been
     learned or no pair reaches ``min_pair_count``. Pure driver-side
-    Python over the bounded table."""
-    words = [(tuple(w) + (END,), int(n)) for w, n in word_counts if w]
+    Python over the bounded table.
+
+    Pair statistics maintain INCREMENTALLY: each round rewrites only
+    the words that actually contain the chosen pair and adjusts the
+    global counts by their before/after delta — the textbook
+    full-recount was O(vocab_size x total_symbols) and dominated
+    bpe-train wall-clock at the CLI defaults (r13 review finding);
+    results are identical (the naive reference implementation pins
+    equality in tests/test_bpe.py)."""
+    words = [[list(w) + [END], int(n)] for w, n in word_counts if w]
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] = pairs.get(p, 0) + n
+            where.setdefault(p, set()).add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(vocab_size):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, n in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
         if not pairs:
             break
         # max count, lexicographic pair tie-break: deterministic
@@ -78,9 +88,22 @@ def learn_merges(word_counts: list[tuple[str, int]],
             break
         merges.append(best)
         joined = best[0] + best[1]
-        out = []
-        for syms, n in words:
-            i, ns = 0, []
+        # where-sets are lazy supersets (entries linger after rewrites)
+        # — the adjacency re-check below skips stale members; counts
+        # stay exact because every rewrite applies its full delta
+        for wi in sorted(where.get(best, ())):
+            syms, n = words[wi]
+            hit = any((syms[i], syms[i + 1]) == best
+                      for i in range(len(syms) - 1))
+            if not hit:
+                continue
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] -= n
+                if pairs[p] <= 0:
+                    del pairs[p]
+            ns: list[str] = []
+            i = 0
             while i < len(syms):
                 if (i < len(syms) - 1
                         and (syms[i], syms[i + 1]) == best):
@@ -89,8 +112,11 @@ def learn_merges(word_counts: list[tuple[str, int]],
                 else:
                     ns.append(syms[i])
                     i += 1
-            out.append((tuple(ns), n))
-        words = out
+            words[wi][0] = ns
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+                where.setdefault(p, set()).add(wi)
     return merges
 
 

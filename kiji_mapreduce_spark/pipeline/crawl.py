@@ -25,6 +25,20 @@ DOC_COLUMNS = ("doc_id", "url", "domain", "content_type", "warc_date",
                "text")
 
 
+def _record_key(records: DataFrame):
+    """Stable per-record id for any record source. The whole-file
+    parser numbers records within each archive, so (path, record_no)
+    is unique there; CDX range-fetched records restart record_no at 0
+    per RANGE and carry the range ``offset`` instead — without it in
+    the hash every single-record range from one archive would mint the
+    SAME doc_id, and one robots verdict / dedup survivor / split
+    assignment would silently speak for the whole archive (r13 review
+    finding)."""
+    if "offset" in records.columns:
+        return F.xxhash64("path", "offset", "record_no")
+    return F.xxhash64("path", "record_no")
+
+
 def crawl_documents(records: DataFrame, spark: SparkSession,
                     min_tokens: int = 1,
                     psl_rules=None,
@@ -118,7 +132,7 @@ def crawl_documents(records: DataFrame, spark: SparkSession,
                       .isin("", "application/octet-stream")
                       & fffd_dense))
             .select(
-                F.xxhash64("path", "record_no").alias("doc_id"),
+                _record_key(records).alias("doc_id"),
                 normalize_url(F.col("target_uri")).alias("url"),
                 url_host(F.col("target_uri")).alias("_host"),
                 "content_type", "warc_date", "text")
@@ -521,7 +535,7 @@ def crawl_media(records: DataFrame, spark: SparkSession,
     from kiji_mapreduce_spark.pipeline.text import normalize_url, url_host
 
     media = (cand.select(
-        F.xxhash64("path", "record_no").alias("media_id"),
+        _record_key(records).alias("media_id"),
         normalize_url(F.col("target_uri")).alias("url"),
         url_host(F.col("target_uri")).alias("_host"),
         "content_type", "warc_date", "content")
@@ -814,7 +828,7 @@ def wet_documents(records: DataFrame, spark: SparkSession,
 
     conv = records.filter(F.col("warc_type") == "conversion")
     docs = (conv.select(
-        F.xxhash64("path", "record_no").alias("doc_id"),
+        _record_key(records).alias("doc_id"),
         normalize_url(F.col("target_uri")).alias("url"),
         url_host(F.col("target_uri")).alias("_host"),
         F.lit("text/plain").alias("content_type"),

@@ -68,11 +68,20 @@ def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
     if any(n < 1 for n in ns):
         raise ValueError("n-gram orders must be >= 1")
     toks = tokens(F.col(text_col))
-    ex = df.select(F.col(id_col),
-                   F.posexplode(toks).alias("_pos", "_tok"))
+    # the window partitions on a per-ROW key, not id_col: with
+    # duplicate ids (a caller not guaranteeing uniqueness) id-keyed
+    # lead() would pair tokens ACROSS rows in tie-order that varies
+    # with partitioning — grams must stay row-local the way the old
+    # per-row array construction kept them (r13 review finding). The
+    # key is opaque (monotonically_increasing_id varies with
+    # partitioning) but only delimits rows; the output re-aggregates
+    # on id_col, so results stay partitioning-independent.
+    ex = (df.withColumn("_rid", F.monotonically_increasing_id())
+          .select(F.col(id_col), "_rid",
+                  F.posexplode(toks).alias("_pos", "_tok")))
     max_n = max(ns)
     if max_n > 1:
-        w = Window.partitionBy(id_col).orderBy("_pos")
+        w = Window.partitionBy("_rid").orderBy("_pos")
         ex = ex.select(
             id_col, "_tok",
             *[F.lead("_tok", i).over(w).alias(f"_l{i}")

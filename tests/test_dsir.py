@@ -214,3 +214,29 @@ def test_dsir_log_weights_match_duckdb_oracle(spark):
       JOIN log_p p USING (bucket) JOIN log_q q USING (bucket)
       GROUP BY 1""").fetchall())
     assert got == want
+
+
+def test_hashed_ngram_counts_duplicate_ids_stay_row_local(spark):
+    """r13 review finding: with duplicate doc_ids the lead()-window
+    featurize must keep bigrams ROW-local (the old per-row array form
+    never crossed rows) — counts for a duplicated id equal the sum of
+    the two rows' own grams, with no cross-row bigram."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        "doc_id long, text string")
+    rows = dsir.hashed_ngram_counts(
+        df.repartition(5), dim=64, hash_fn="md5").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.bucket] = r.cnt
+    # doc 1 = grams of both rows summed: alpha, beta, gamma, delta,
+    # 'alpha beta', 'gamma delta' — NOT 'beta gamma'
+    expect1: dict[int, int] = {}
+    for g in ["alpha", "beta", "alpha beta", "gamma", "delta",
+              "gamma delta"]:
+        b = _bucket(g, 64)
+        expect1[b] = expect1.get(b, 0) + 1
+    assert got[1] == expect1
+    cross = _bucket("beta gamma", 64)
+    # the forbidden cross-row bigram's bucket carries no EXTRA count
+    assert got[1].get(cross, 0) == expect1.get(cross, 0)

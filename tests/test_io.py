@@ -1287,6 +1287,16 @@ def test_warc_range_fetch_gates_and_lenient(spark, tmp_path):
         assert [r.target_uri for r in kept] == \
             ["http://g.example.com/x"], f"lenient lost good range: {bad}"
 
+    # r13 review finding: TWO ranges on the same MISSING file — the
+    # second must also skip, not crash on a stale None handle cached
+    # by the first failed open
+    df = spark.createDataFrame(
+        [good, ("missing.warc.gz", 0, 10), ("missing.warc.gz", 20, 10)],
+        "filename string, offset long, length long")
+    kept = warc_records_from_ranges(
+        df, base=str(tmp_path), lenient=True).collect()
+    assert [r.target_uri for r in kept] == ["http://g.example.com/x"]
+
 
 def test_cdx_adversarial_json_tails(spark, tmp_path):
     """read_cdx under hostile JSON tails (r12 verdict #5): valid
@@ -1589,3 +1599,62 @@ def test_warc_range_fetch_unknown_scheme(spark, tmp_path):
     assert [r.target_uri for r in kept] == ["http://k.example.com/x"]
     with _pytest.raises(Exception):
         warc_records_from_ranges(df, base=str(tmp_path)).collect()
+
+
+def test_range_fetched_docs_get_unique_doc_ids(spark, tmp_path):
+    """r13 review finding: range-fetched records restart record_no at
+    0 per range, so doc ids must also hash the range offset — without
+    it every single-record range from one archive minted the SAME
+    doc_id (and one robots verdict / dedup survivor spoke for the
+    whole archive). Whole-file ingest ids stay unchanged."""
+    from kiji_mapreduce_spark.io.inputs import (read_warc_records,
+                                                warc_records_from_ranges)
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>distinct page body words here</p>")
+    recs = [_warc_record("response", f"http://u.example.com/{i}", page)
+            for i in range(6)]
+    blob, ranges = _cc_warc_gz(recs)
+    (tmp_path / "u.warc.gz").write_bytes(blob)
+
+    rdf = spark.createDataFrame(
+        [("u.warc.gz", o, ln) for o, ln in ranges],
+        "filename string, offset long, length long")
+    fetched = warc_records_from_ranges(rdf, base=str(tmp_path))
+    docs = crawl_documents(fetched, spark).collect()
+    assert len(docs) == 6
+    assert len({r.doc_id for r in docs}) == 6  # all UNIQUE
+
+    # whole-file path minting unchanged (dedup indexes / splits keyed
+    # on these ids stay stable across engine versions)
+    whole = read_warc_records(spark, [str(tmp_path)])
+    wdocs = crawl_documents(whole, spark).collect()
+    assert len({r.doc_id for r in wdocs}) == 6
+
+
+def test_warc_member_index_rejects_multirecord_member(spark, tmp_path):
+    """A whole-file gzip member holding several records is NOT the
+    per-record-member layout — an index over it would fetch N copies
+    of every record. Strict refuses with the recompress hint; lenient
+    keeps the records indexed before the bad member."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import warc_member_index
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nwords"
+    ok = _gzip.compress(
+        _warc_record("response", "http://m.example.com/ok", body),
+        mtime=0)
+    multi = _gzip.compress(
+        _warc_record("response", "http://m.example.com/1", body)
+        + _warc_record("response", "http://m.example.com/2", body),
+        mtime=0)
+    (tmp_path / "m.warc.gz").write_bytes(ok + multi)
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    with _pytest.raises(Exception, match="per-record-member"):
+        warc_member_index(files, lenient=False).collect()
+    kept = warc_member_index(files, lenient=True).collect()
+    assert [r.target_uri for r in kept] == ["http://m.example.com/ok"]
