@@ -5,9 +5,11 @@ crawl-ingest`` CLI (batch) and ``streaming.jobs.stream_crawl_ingest``
 (continuous segment arrival) — so the two cannot drift: HTML text
 extraction (pure Catalyst), URL canonicalization, PSL registered
 domains (broadcast rule-table joins), deterministic
-``xxhash64(path, record_no)`` doc ids (re-ingesting the same archive
-mints the same ids, keeping downstream dedup indexes and splits
-stable), and the min-token gate.
+``xxhash64(path[, offset], record_no)`` doc ids (re-ingesting the
+same archive mints the same ids, keeping downstream dedup indexes
+and splits stable; the ``offset`` joins the hash for CDX
+range-fetched records, whose record_no restarts per range — see
+``_record_key``), and the min-token gate.
 
 Reference anchor: the bulk-import half of the SURVEY §3.3 lifecycle
 (``.../bulkimport/KijiBulkImporter.java:50-118``) realized on crawl
