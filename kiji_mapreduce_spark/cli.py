@@ -643,6 +643,35 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="gzip-compress the index parts (cdx-*.gz, "
                     "the Common Crawl layout)")
 
+    se = sub.add_parser("semantic-dedup", help="SemDeDup semantic "
+                        "deduplication over an embedding table: "
+                        "k-means blocking, within-cluster cosine "
+                        "pairs, connected components keep the "
+                        "group-minimum id — writes the per-vector "
+                        "(id, cluster, keep_id, keep) verdict table")
+    se.add_argument("--input", required=True,
+                    help="embeddings parquet (id + array<float> "
+                    "vector columns)")
+    se.add_argument("--output", required=True,
+                    help="verdict parquet out")
+    se.add_argument("--threshold", type=float, default=0.95,
+                    help="within-cluster cosine at/above which two "
+                    "vectors are duplicates")
+    se.add_argument("--k", type=int, default=8,
+                    help="k-means blocking clusters (bounds the "
+                    "per-cluster pair work)")
+    se.add_argument("--iters", type=int, default=2,
+                    help="Lloyd rounds")
+    se.add_argument("--id-col", default="vec_id")
+    se.add_argument("--vec-col", default="embedding")
+    se.add_argument("--max-cluster", type=int, default=None,
+                    help="refuse clusters bigger than this instead of "
+                    "OOMing an executor (raise k, or use the LSH "
+                    "path for that corpus)")
+    se.add_argument("--survivors", default=None, metavar="DIR",
+                    help="also write the deduplicated input rows "
+                    "(keep == true) here")
+
     dr = sub.add_parser("drift", help="distribution drift between two "
                         "parquet snapshots on a numeric column: PSI + "
                         "binned KS JSON (audit.distribution_drift)")
@@ -1668,6 +1697,37 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             "n_before": row["n_before"], "n_after": row["n_after"],
             "psi": row["psi"], "ks": row["ks"],
             "drifted": bool(row["drifted"])})
+
+    if args.command == "semantic-dedup":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
+
+        spark = make_session(app_name="kiji-semantic-dedup")
+        emb = spark.read.parquet(args.input)
+        for col in (args.id_col, args.vec_col):
+            if col not in emb.columns:
+                p.error(f"semantic-dedup: no column {col!r} in "
+                        f"{args.input}")
+        verdict = semantic_dedup(
+            emb, threshold=args.threshold, k=args.k, iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+            max_cluster=args.max_cluster)
+        # the verdict feeds the write, the stats and (optionally) the
+        # survivor join — pin the small table once
+        verdict = verdict.localCheckpoint(eager=True)
+        verdict.write.mode("overwrite").parquet(args.output)
+        n_total = verdict.count()
+        n_kept = verdict.filter(F.col("keep")).count()
+        stats = {"verdicts": args.output, "n_vectors": n_total,
+                 "n_kept": n_kept, "n_dropped": n_total - n_kept}
+        if args.survivors:
+            kept_ids = verdict.filter(F.col("keep")) \
+                .select(args.id_col)
+            emb.join(kept_ids, on=args.id_col, how="left_semi") \
+                .write.mode("overwrite").parquet(args.survivors)
+            stats["survivors"] = args.survivors
+        return _emit(args, stats)
 
     if args.command == "media-dedup":
         from pyspark.sql import functions as F

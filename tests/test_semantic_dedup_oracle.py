@@ -35,3 +35,43 @@ def test_semantic_dedup_matches_duckdb_oracle(spark):
     kept_ids = {v for v, _, _, keep in got if keep}
     for v, k in losers:
         assert k in kept_ids and k < v
+
+
+def test_cli_semantic_dedup(spark, tmp_path, capsys):
+    """kiji-mr semantic-dedup end to end: verdict parquet + optional
+    survivor table, stats JSON, loud missing-column error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark import cli
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    other = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, other)],
+        "vec_id long, embedding array<float>")
+    emb.write.parquet(f"{tmp_path}/emb")
+
+    rc = cli.main(["semantic-dedup", "--input", f"{tmp_path}/emb",
+                   "--output", f"{tmp_path}/verdict",
+                   "--threshold", "0.95", "--k", "2",
+                   "--survivors", f"{tmp_path}/kept"])
+    assert rc == 0
+    stats = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_vectors"] == 4
+    assert stats["n_dropped"] == 1  # vec 2 collapses into vec 1
+    verdict = {r.vec_id: (r.keep_id, r.keep) for r in
+               spark.read.parquet(f"{tmp_path}/verdict").collect()}
+    assert verdict[2] == (1, False)
+    assert verdict[1] == (1, True)
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{tmp_path}/kept").collect()}
+    assert kept == {1, 3, 4}
+
+    with _pytest.raises(SystemExit):
+        cli.main(["semantic-dedup", "--input", f"{tmp_path}/emb",
+                  "--output", f"{tmp_path}/v2", "--id-col", "nope"])
