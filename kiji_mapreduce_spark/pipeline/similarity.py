@@ -6,7 +6,24 @@ bottleneck, so the bucketed variant turns O(N*Q) into O(N*Q/buckets) with
 recall traded via band count).
 
 All dot products / norms are computed JVM-side with ``zip_with`` +
-``aggregate`` (whole-stage codegen) — no Python in the hot path.
+``aggregate`` — no Python in the hot path. Two negative results worth
+keeping (both measured at sf0.1, r13):
+
+- These higher-order folds are NOT whole-stage-codegen'd, but for
+  double arithmetic the HigherOrderFunction evaluator JITs well and is
+  the right form: an unrolled fixed-dim alternative (64 ``F.get``
+  products summed into one giant expression) measured **8.4x slower**
+  on the 4M-pair self-join (median 11.28 s vs 1.34 s, warmed,
+  bit-identical sums). The interpreted-lambda hazard that justified
+  the DSIR featurize rewrite is about per-element ALLOCATION
+  (string/array construction), not folds over numerics.
+- Hoisting ``sq8_topk``'s per-vector cast+norms out of the pair
+  expression (the ``embedding_near_duplicates`` trick) LOST 0.4 s:
+  its pair stage is a broadcast nested-loop join, so hoisting swaps
+  five cheap int-array folds per pair for a pre-materialized
+  64-double array on every streamed row — row width costs more than
+  the folds. Hoist per-vector work only when candidates join back to
+  a narrow vector table by equi-join (near-dups, brute force).
 """
 
 from __future__ import annotations
