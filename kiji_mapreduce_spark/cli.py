@@ -1451,9 +1451,14 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             # --cdx-index a selection that excluded the robots.txt
             # captures silently finds zero rules, and the stat is how
             # a user sees that (the --wet silent-no-op lesson)
-            rules = robots_rules(recs).localCheckpoint(eager=True)
-            n_robots_hosts = rules.select("host").distinct().count()
-            docs = filter_robots_disallowed(docs, rules)
+            # named rob_rules, NOT rules: that name holds the PSL rule
+            # set and is consumed again by crawl_media below — reusing
+            # it sent the robots (host, allow, path) table into
+            # _with_domain as psl_rules, crashing --respect-robots
+            # --media-output runs (r13 review finding)
+            rob_rules = robots_rules(recs).localCheckpoint(eager=True)
+            n_robots_hosts = rob_rules.select("host").distinct().count()
+            docs = filter_robots_disallowed(docs, rob_rules)
         from kiji_mapreduce_spark.pipeline.crawl import (
             blocklist_table, filter_blocked)
 

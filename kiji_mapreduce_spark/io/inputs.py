@@ -997,6 +997,14 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
 
     import pandas as pd
 
+    # resolve a relative plain-path base DRIVER-side: executor Python
+    # workers resolve os.path.join against THEIR cwd, which on a real
+    # cluster is not the shell's — under --lenient every open then
+    # fails and the job exits 0 with an empty corpus (the silent-no-op
+    # class). Same rule as cdx_lines' base strip: URIs pass through.
+    if base and "://" not in base:
+        base = os.path.abspath(base)
+
     schema = ("path string, offset long, record_no int, "
               "warc_type string, target_uri string, warc_date string, "
               "record_id string, content_length long, content binary")
@@ -1018,6 +1026,15 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
     def _fetch(batches):
         handle = None
         handle_path = None
+        # last path whose OPEN failed: under lenient, later ranges for
+        # the same file skip immediately instead of re-paying a failed
+        # open (an S3 round trip + FileSystem.from_uri) per range — an
+        # index naming 50k captures in one deleted archive otherwise
+        # turns one error into 50k network calls (r13 review finding).
+        # Ranges arrive sorted by (filename, offset), so one slot is
+        # enough; seek/read failures stay per-range (same file may
+        # still hold good ranges past a bad offset).
+        failed_path = None
 
         def _open(resolved):
             # one handle at a time: ranges arrive grouped by file,
@@ -1062,6 +1079,8 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                     if base and "://" not in resolved:
                         resolved = os.path.join(base, resolved)
                     where = f"{resolved}@{off}"
+                    if lenient and resolved == failed_path:
+                        continue  # this file's open already failed
                     try:
                         if off < 0 or length <= 0:
                             raise ValueError(
@@ -1072,7 +1091,11 @@ def warc_records_from_ranges(ranges: DataFrame, base: str = "",
                                 f"{where}: declared range length "
                                 f"{length} over the "
                                 f"{_MAX_RANGE_BYTES >> 30} GiB gate")
-                        f = _open(resolved)
+                        try:
+                            f = _open(resolved)
+                        except (OSError, ValueError):
+                            failed_path = resolved
+                            raise
                         f.seek(off)
                         blob = f.read(length)
                         if len(blob) < length:

@@ -109,22 +109,35 @@ def hashed_ngram_counts(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _log_probs_from_totals(totals: list[float], dim: int,
+                           smoothing: float) -> list[float]:
+    """Laplace-smoothed log bucket probabilities from driver-side
+    bucket totals — THE single copy of the model arithmetic: both
+    ``bucket_log_probs`` (the standalone two-job form) and
+    ``dsir_log_weights``' fused one-job fit call this, so the
+    smoothing/rounding can never drift between them (r13 review
+    finding). Rounded to 12 decimal places so the fitted model is
+    reproducible across partitionings and engines."""
+    denom = sum(totals) + smoothing * dim
+    return [round(math.log((t + smoothing) / denom), 12)
+            for t in totals]
+
+
 def bucket_log_probs(counts: DataFrame, dim: int,
                      smoothing: float = 1.0) -> list[float]:
     """Laplace-smoothed log bucket probabilities from a
     ``hashed_ngram_counts`` table, as a dim-long driver-side list.
     ONE dim-bounded partial aggregation; the collect is dim rows
-    (the classifier weight-vector precedent). Log probabilities are
-    rounded to 12 decimal places so the fitted model is reproducible
-    across partitionings and engines."""
+    (the classifier weight-vector precedent). ``dsir_log_weights``
+    fits its two models in one fused job instead of calling this
+    twice, but the arithmetic is shared — this is the standalone
+    form for fitting/inspecting a single corpus model."""
     rows = (counts.groupBy("bucket").agg(F.sum("cnt").alias("n"))
             .collect())
     totals = [0.0] * dim
     for r in rows:
         totals[int(r["bucket"])] = float(r["n"])
-    denom = sum(totals) + smoothing * dim
-    return [round(math.log((t + smoothing) / denom), 12)
-            for t in totals]
+    return _log_probs_from_totals(totals, dim, smoothing)
 
 
 def dsir_log_weights(raw: DataFrame, target: DataFrame,
@@ -160,12 +173,8 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     for r in rows:
         totals[r["_side"]][int(r["bucket"])] = float(r["n"])
 
-    def _logs(t):
-        denom = sum(t) + smoothing * dim
-        return [round(math.log((x + smoothing) / denom), 12)
-                for x in t]
-
-    log_p, log_q = _logs(totals["p"]), _logs(totals["q"])
+    log_p = _log_probs_from_totals(totals["p"], dim, smoothing)
+    log_q = _log_probs_from_totals(totals["q"], dim, smoothing)
     ratio = spark.createDataFrame(
         [(b, log_p[b] - log_q[b]) for b in range(dim)],
         "bucket int, log_ratio double")

@@ -65,6 +65,27 @@ def test_dsir_log_weights_match_hand_computation(spark):
         assert got[doc_id] == want
 
 
+def test_bucket_log_probs_matches_fused_fit(spark):
+    """The standalone ``bucket_log_probs`` and ``dsir_log_weights``'
+    fused one-job fit share one arithmetic (r13 review finding: two
+    inlined copies could drift): fitting the same corpus standalone
+    reproduces the hand fit exactly, including the 12-dp rounding."""
+    dim, smoothing = 50, 1.0
+    docs = [(1, "alpha beta gamma"), (2, "delta delta echo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    counts = dsir.hashed_ngram_counts(df, dim=dim, hash_fn="md5")
+    got = dsir.bucket_log_probs(counts, dim=dim, smoothing=smoothing)
+
+    totals = [0.0] * dim
+    for _, t in docs:
+        for g in _grams(t):
+            totals[_bucket(g, dim)] += 1
+    denom = sum(totals) + smoothing * dim
+    want = [round(math.log((t + smoothing) / denom), 12)
+            for t in totals]
+    assert got == want
+
+
 def _count(text: str, dim: int) -> dict[int, int]:
     out: dict[int, int] = {}
     for g in _grams(text):

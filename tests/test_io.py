@@ -1297,6 +1297,48 @@ def test_warc_range_fetch_gates_and_lenient(spark, tmp_path):
         df, base=str(tmp_path), lenient=True).collect()
     assert [r.target_uri for r in kept] == ["http://g.example.com/x"]
 
+    # the failed-open memo must be PER-PATH: a missing file sorting
+    # BEFORE a good file in the same partition skips its own ranges
+    # only — the good file's open still happens
+    df = spark.createDataFrame(
+        [("a-missing.warc.gz", 0, 10), ("a-missing.warc.gz", 20, 10),
+         good],
+        "filename string, offset long, length long").coalesce(1)
+    kept = warc_records_from_ranges(
+        df, base=str(tmp_path), lenient=True).collect()
+    assert [r.target_uri for r in kept] == ["http://g.example.com/x"]
+
+
+def test_warc_range_fetch_relative_base_resolves_driver_side(
+        spark, tmp_path, monkeypatch):
+    """A RELATIVE plain-path base resolves against the DRIVER's cwd at
+    call time, not the executor Python worker's cwd at fetch time
+    (r13 review finding: worker cwds differ from the shell's on a real
+    cluster, and under --lenient every open then failed silently —
+    n_docs=0 with exit 0). Pinned by chdir-ing away between building
+    the plan and collecting it: the captured base must already be
+    absolute."""
+    import os
+
+    from kiji_mapreduce_spark.io.inputs import warc_records_from_ranges
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>relative base</p>")
+    recs = [_warc_record("response", "http://rb.example.com/x", page)]
+    blob, ranges = _cc_warc_gz(recs)
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(blob)
+
+    monkeypatch.chdir(tmp_path)
+    df = spark.createDataFrame(
+        [("r.warc.gz", ranges[0][0], ranges[0][1])],
+        "filename string, offset long, length long")
+    fetched = warc_records_from_ranges(df, base="warcs", lenient=True)
+    monkeypatch.chdir(os.path.dirname(str(tmp_path)))
+    got = fetched.collect()
+    assert [r.target_uri for r in got] == ["http://rb.example.com/x"]
+
 
 def test_cdx_adversarial_json_tails(spark, tmp_path):
     """read_cdx under hostile JSON tails (r12 verdict #5): valid

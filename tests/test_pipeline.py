@@ -3167,6 +3167,61 @@ def test_cli_crawl_ingest_respect_robots(spark, tmp_path, capsys):
     assert stats["n_docs"] == len(urls)
 
 
+def test_cli_crawl_ingest_robots_with_media_and_psl(
+        spark, tmp_path, capsys):
+    """--respect-robots combined with --media-output and --psl: the
+    robots rule table must NOT leak into the media half's PSL domain
+    join (r13 review finding: the robots DataFrame was assigned to the
+    variable holding the loaded PSL rules, so crawl_media crashed on
+    rules.tables — or silently used robots rules as the PSL — in any
+    --respect-robots --media-output run)."""
+    import json as _json
+
+    import numpy as np
+
+    from kiji_mapreduce_spark import cli
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+    from tests.test_io import _warc_record
+
+    robots = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              b"User-agent: *\r\nDisallow: /private\r\n")
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>words on the page body here</p>")
+    png = mc.encode_png(
+        (np.arange(8 * 8 * 3, dtype=np.uint8) % 251).reshape(8, 8, 3))
+    img = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + png
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("response", "http://s.example.com/robots.txt",
+                     robots)
+        + _warc_record("response", "http://s.example.com/private/x",
+                       page)
+        + _warc_record("response", "http://s.example.com/public/y",
+                       page)
+        + _warc_record("response", "http://s.example.com/logo.png",
+                       img))
+    psl_file = tmp_path / "psl.dat"
+    psl_file.write_text("com\n")
+
+    rc = cli.main(["crawl-ingest", "--input", str(d),
+                   "--output", f"{tmp_path}/docs",
+                   "--media-output", f"{tmp_path}/media",
+                   "--psl", str(psl_file), "--respect-robots"])
+    assert rc == 0
+    stats = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_robots_rule_hosts"] == 1
+    urls = {r.url
+            for r in spark.read.parquet(f"{tmp_path}/docs").collect()}
+    assert "http://s.example.com/private/x" not in urls
+    assert "http://s.example.com/public/y" in urls
+    media = spark.read.parquet(f"{tmp_path}/media").collect()
+    # the media row's domain comes from the USER's PSL rules, not the
+    # robots table
+    assert [r.domain for r in media] == ["example.com"]
+
+
 def test_lsh_plan_scurve():
     """The banding planner: midpoint tracks the threshold, extreme
     thresholds push toward the extreme splits, the chosen split beats
