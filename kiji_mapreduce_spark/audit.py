@@ -99,14 +99,13 @@ def distribution_drift(
         hi = float(r[1]) if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0
-    width = (hi - lo) / bins
 
     def _hist(df: DataFrame, name: str) -> DataFrame:
-        v = F.least(F.lit(hi), F.greatest(
-            F.lit(lo), F.col(col).cast("double")))
-        idx = F.least(F.lit(bins - 1),
-                      F.greatest(F.lit(0),
-                                 F.floor((v - lo) / width).cast("int")))
+        # shared bin arithmetic (see functions.bin_index): streaming
+        # PSI parity depends on this being the same expression
+        from kiji_mapreduce_spark.functions import bin_index
+
+        idx = bin_index(col, lo, hi, bins)
         return (df.groupBy(idx.alias("_bin"))
                 .agg(F.count(F.lit(1)).alias(name)))
 

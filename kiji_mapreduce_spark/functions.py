@@ -49,7 +49,14 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0 if not strict else 2).alias("_tag"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
-    )
+    ).filter(F.col("_ts").isNotNull())
+    # a NULL-ts right row has no event time and can match nothing —
+    # unfiltered it sorts NULLS FIRST (before every real timestamp)
+    # and fabricates an as-of match for left rows with no real prior
+    # right row (r13 review finding; DuckDB ASOF and pandas merge_asof
+    # exclude/reject NULL ts too). NULL-ts LEFT rows need no guard:
+    # they sort before every right row, find no match, and emit NULL
+    # value columns — the same verdict those engines give.
     l = left.select(
         "*",
         F.col(left_ts).alias("_ts"),
@@ -101,8 +108,17 @@ def salted_topk(
     order = ([F.col(order_col).asc()] if ascending
              else [F.col(order_col).desc()])
     order += [F.col(c) for c in tiebreak]
-    salt = F.pmod(F.hash(*[F.col(c) for c in (salt_cols or df.columns)]),
-                  F.lit(n_salts))
+    if salt_cols is None:
+        # default salt = every NON-MAP column: F.hash raises
+        # HASH_MAP_TYPE on MapType input (Spark forbids hashing maps —
+        # iteration order is undefined), and this repo's own readers
+        # produce map columns (webdataset samples, map families). An
+        # all-map frame degrades to one sub-partition per key (still
+        # correct — phase 2 ranks the same survivors — just not
+        # skew-split; pass salt_cols to restore that).
+        salt_cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+    salt = (F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+            if salt_cols else F.lit(0))
     local_w = Window.partitionBy(*keys, "_salt").orderBy(*order)
     final_w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -213,15 +229,51 @@ def snapshot_diff(
     row_repr = F.to_json(
         F.struct(*[F.col(c) for c in compare_cols]),
         {"ignoreNullFields": "false"})
-    bh = before.select(*key_cols, F.xxhash64(row_repr).alias("_bhash"))
-    ah = after.select(*key_cols, F.xxhash64(row_repr).alias("_ahash"))
-    j = bh.join(ah, on=key_cols, how="full_outer")
+    # NULL-SAFE key equality: a plain USING join can never match NULL
+    # keys, so an unchanged row with a NULL key component came back as
+    # a spurious deleted+inserted pair (r13 review finding). eqNullSafe
+    # keeps the same hash-join plan; the output key is the coalesce of
+    # the two sides (identical where both matched). Each side's keys
+    # are RENAMED before the join — before/after are routinely the
+    # same lineage (a table vs its own later snapshot), and dataset
+    # column references would be ambiguous on a self-join.
+    bh = before.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in key_cols],
+        F.xxhash64(row_repr).alias("_bhash"))
+    ah = after.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in key_cols],
+        F.xxhash64(row_repr).alias("_ahash"))
+    cond = None
+    for kc in key_cols:
+        c = F.col(f"_bk_{kc}").eqNullSafe(F.col(f"_ak_{kc}"))
+        cond = c if cond is None else (cond & c)
+    j = bh.join(ah, cond, "full_outer")
     change = (F.when(F.col("_bhash").isNull(), F.lit("inserted"))
               .when(F.col("_ahash").isNull(), F.lit("deleted"))
               .when(F.col("_bhash") != F.col("_ahash"), F.lit("updated")))
     return (j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
-            .select(*key_cols, "change"))
+            .select(*[F.coalesce(F.col(f"_bk_{kc}"), F.col(f"_ak_{kc}"))
+                      .alias(kc) for kc in key_cols], "change"))
+
+
+def bin_index(value_col: str, lo: float, hi: float, bins: int) -> Column:
+    """Clamped fixed-width histogram bin index for ``value_col`` over
+    ``[lo, hi]`` — THE shared bin arithmetic: ``histogram_quantiles``,
+    ``audit.distribution_drift`` and ``streaming.jobs.stream_drift``
+    all call this one builder, so the documented stream-vs-batch PSI
+    parity ("same bin clamping") can never drift between hand copies
+    (r13 review finding: three identical inlined instances).
+
+    Clamps in DOUBLE space BEFORE the int cast: an outlier far outside
+    a caller-supplied [lo, hi] otherwise overflows the cast (ANSI mode
+    aborts the job; non-ANSI wraps it into bin 0 — reproduced)."""
+    width = (hi - lo) / bins
+    v = F.least(F.lit(float(hi)), F.greatest(
+        F.lit(float(lo)), F.col(value_col).cast("double")))
+    return F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))
 
 
 def histogram_quantiles(
@@ -242,11 +294,23 @@ def histogram_quantiles(
 
     Returns (group?,) + one row per prob: (prob, quantile_est, n).
     """
+    import math
+
     if not probs or any(not (0.0 < p <= 1.0) for p in probs):
         raise ValueError("probs must be in (0, 1]")
     if bins < 1:
         raise ValueError("bins must be >= 1")
-    vals = df.filter(F.col(value_col).isNotNull())
+    for name, bound in (("lo", lo), ("hi", hi)):
+        if bound is not None and not math.isfinite(bound):
+            raise ValueError(f"histogram_quantiles: {name} must be "
+                             f"finite, got {bound}")
+    # NaN is not NULL: one NaN value would win F.max (Spark sorts NaN
+    # greatest), survive the hi<=lo guard (NaN comparisons are false),
+    # and poison width/every quantile_est into silent NaN (r13 review
+    # finding). NaNs carry no order information — exclude them from
+    # both the range derivation and the counts, like NULLs.
+    cast_v = F.col(value_col).cast("double")
+    vals = df.filter(F.col(value_col).isNotNull() & ~F.isnan(cast_v))
     if lo is None or hi is None:
         r = vals.agg(F.min(F.col(value_col).cast("double")),
                      F.max(F.col(value_col).cast("double"))).first()
@@ -256,18 +320,18 @@ def histogram_quantiles(
                 "explicit lo/hi) to derive the bin range from")
         lo = float(r[0]) if lo is None else lo
         hi = float(r[1]) if hi is None else hi
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        # a +-inf VALUE is real order information the fixed-width
+        # histogram cannot bin — refuse loudly rather than emit
+        # inf/NaN estimates; callers with infinities pass explicit
+        # finite lo/hi (infinite outliers then clamp to the edge bins)
+        raise ValueError(
+            f"histogram_quantiles: derived range [{lo}, {hi}] is not "
+            "finite; pass explicit lo/hi to bin data with infinities")
     if hi <= lo:
         hi = lo + 1.0  # degenerate constant column: one bin holds all
     width = (hi - lo) / bins
-    # clamp in DOUBLE space BEFORE the int cast: an outlier far outside
-    # a user-supplied [lo, hi] otherwise overflows the cast (ANSI mode
-    # aborts the job; non-ANSI wraps it into bin 0 — review finding,
-    # reproduced)
-    v = F.least(F.lit(hi), F.greatest(
-        F.lit(lo), F.col(value_col).cast("double")))
-    bin_idx = F.least(
-        F.lit(bins - 1),
-        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))
+    bin_idx = bin_index(value_col, lo, hi, bins)
     keys = [group_col] if group_col else []
     hist = (vals.groupBy(*keys, bin_idx.alias("_bin"))
             .agg(F.count(F.lit(1)).alias("_cnt")))

@@ -26,6 +26,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from kiji_mapreduce_spark.operators.base import Operator, OperatorContext
 
 
+def _start_foreach_batch(df, fn, checkpoint: str,
+                         trigger_available_now: bool):
+    """The one shared writer block for every foreachBatch job in this
+    module (r13 review finding: five hand-copied instances that a
+    future trigger/queryName change would have to hit identically)."""
+    writer = df.writeStream.foreachBatch(fn) \
+        .option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_operator(
     stream_df: DataFrame,
     operator: Operator,
@@ -40,11 +52,8 @@ def stream_operator(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sink(operator.compile(batch_df, context), batch_id)
 
-    writer = stream_df.writeStream.foreachBatch(_process) \
-        .option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, _process, checkpoint,
+                                trigger_available_now)
 
 
 def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
@@ -139,10 +148,17 @@ def stream_into_table(
     delta log (``EntityTable.put_delta``): O(batch) per trigger with no
     base read, the only shape that survives a high-frequency trigger on
     a 100 TB table — readers see fragments via merge-on-read, and a
-    periodic ``flush_deltas``/``optimize`` folds them in.
+    periodic ``flush_deltas``/``optimize`` folds them in. The batch id
+    is passed through, so foreachBatch's at-least-once replay
+    OVERWRITES the replayed batch's own ``_batch`` partition instead of
+    appending duplicate fragments — ``table_change_stream`` consumers
+    see each put once (r13 review finding; the same batch_id-partition
+    discipline as every other streaming writer in this file).
     ``mode='merge'`` merges each batch immediately (bucket-scoped base
     rewrite per trigger): stronger read-optimized freshness, for
-    low-frequency triggers on modest tables.
+    low-frequency triggers on modest tables. Merge replay is
+    convergent (same-ts puts overwrite) but not append-duplicating by
+    construction — there is no log to duplicate.
     """
     if mode not in ("delta", "merge"):
         raise ValueError(f"stream_into_table mode {mode!r}: "
@@ -152,15 +168,12 @@ def stream_into_table(
         if batch_df.isEmpty():
             return
         if mode == "delta":
-            table.put_delta(batch_df)
+            table.put_delta(batch_df, batch_id=batch_id)
         else:
             table.merge_put(batch_df)
 
-    writer = put_stream.writeStream.foreachBatch(_merge) \
-        .option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(put_stream, _merge, checkpoint,
+                                trigger_available_now)
 
 
 def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
@@ -176,11 +189,20 @@ def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
     formulation that survives an unbounded 100 TB/day stream. A
     duplicate arriving later than ``watermark`` after its first copy
     can re-emit; pick the horizon accordingly.
+
+    NULL-text rows (extraction failures) pass through UN-deduped: their
+    digest is NULL, and keying the dedup state on it treated every
+    null-text row as a duplicate of the first one — unrelated records
+    silently discarded (r13 review finding). Failures are not
+    duplicates of each other; whether to keep them is a downstream
+    policy decision, so the stream must not eat them here.
     """
-    return (_ensure_event_time(stream_df, ts_col)
+    base = (_ensure_event_time(stream_df, ts_col)
             .withColumn(digest_col, F.md5(F.col(text_col)))
-            .withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark([digest_col]))
+            .withWatermark(ts_col, watermark))
+    deduped = (base.filter(F.col(digest_col).isNotNull())
+               .dropDuplicatesWithinWatermark([digest_col]))
+    return deduped.unionByName(base.filter(F.col(digest_col).isNull()))
 
 
 def stream_media_dedup(
@@ -254,11 +276,8 @@ def stream_media_dedup(
         codes.write.mode("overwrite") \
             .parquet(f"{index_dir}/batch_id={batch_id}")
 
-    writer = stream_df.writeStream.foreachBatch(_process) \
-        .option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, _process, checkpoint,
+                                trigger_available_now)
 
 
 _LATEST_STATE_SCHEMA = "ts long, value double"
@@ -266,15 +285,29 @@ _LATEST_OUT_SCHEMA = "key long, ts long, value double"
 
 
 def _latest_fn(key, pdf_iter, state: GroupState):
-    """Keep the max-(ts, value) pair per key across micro-batches."""
+    """Keep the max-(ts, value) pair per key across micro-batches.
+
+    NULL ts/value arrive as pandas NaN and are SKIPPED: a row without
+    an event time is not ordered, and a NaN value winning on ts would
+    stick forever (NaN comparisons are all False, so no later same-ts
+    value could displace it — r13 review finding). A key whose rows are
+    ALL null emits nothing and stores no state, instead of leaking the
+    (-2^62, -inf) init sentinel as a real observation."""
     if state.exists:
         ts, value = state.get
+        seen = True
     else:
         ts, value = -(1 << 62), float("-inf")
+        seen = False
     for pdf in pdf_iter:
         for row_ts, row_v in zip(pdf["ts"], pdf["value"]):
-            if (row_ts, row_v) > (ts, value):
+            if pd.isna(row_ts) or pd.isna(row_v):
+                continue
+            if (int(row_ts), float(row_v)) > (ts, value):
                 ts, value = int(row_ts), float(row_v)
+                seen = True
+    if not seen:
+        return
     state.update((ts, value))
     yield pd.DataFrame({"key": [key[0]], "ts": [ts], "value": [value]})
 
@@ -407,12 +440,14 @@ def table_change_stream(table, include_bucket: bool = False) -> DataFrame:
         StructField("ts", LongType()),
         StructField("value_str", StringType()),
         StructField("_seq", LongType()),
+        StructField("_batch", LongType()),
         StructField("_bucket", IntegerType()),
     ])
     reader = (table.spark.readStream
               .schema(schema)
               .option("maxFilesPerTrigger", 64)
-              .parquet(table._delta_path()))
+              .parquet(table._delta_path())
+              .drop("_batch"))  # write-side replay bookkeeping
     return reader if include_bucket else reader.drop("_bucket")
 
 
@@ -485,13 +520,13 @@ def stream_drift(
         raise ValueError("stream_drift: empty reference histogram")
     if hi <= lo:
         raise ValueError("stream_drift needs hi > lo")
-    width = (hi - lo) / bins
-    v = F.least(F.lit(float(hi)),
-                F.greatest(F.lit(float(lo)),
-                           F.col(value_col).cast("double")))
-    idx = F.least(F.lit(bins - 1),
-                  F.greatest(F.lit(0),
-                             F.floor((v - lo) / width).cast("int")))
+    # shared bin arithmetic (functions.bin_index): the documented
+    # stream-vs-batch PSI parity ("same bin clamping") holds because
+    # this, audit.distribution_drift, and histogram_quantiles all call
+    # the one expression builder
+    from kiji_mapreduce_spark.functions import bin_index
+
+    idx = bin_index(value_col, float(lo), float(hi), bins)
     hist = [F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"_b{i}")
             for i in range(bins)]
     agg = windowed_aggregate(
@@ -685,11 +720,8 @@ def stream_crawl_ingest(
                 "n_docs": batch_df.sparkSession.read.parquet(part)
                 .count()})
 
-    writer = files.writeStream.foreachBatch(_process) \
-        .option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(files, _process, checkpoint,
+                                trigger_available_now)
 
 
 def stream_shard_ingest(
@@ -723,6 +755,23 @@ def stream_shard_ingest(
         BINARY_FILE_SCHEMA, archive_members_from_files,
         webdataset_samples_from_files)
 
+    # fail-fast BEFORE the query starts (the stream_into_table mode
+    # check's discipline): an unknown format raising inside
+    # foreachBatch fires only after the offset log claims the batch,
+    # so every restart replays straight into the same error — the
+    # permanent-wedge failure the docstring warns about (r13 review
+    # finding). webdataset=True ignores archive_format entirely; a
+    # conflicting non-default value is a caller confusion, not a
+    # choice to honor silently.
+    if webdataset:
+        if archive_format != "tar":
+            raise ValueError(
+                "stream_shard_ingest: webdataset=True reads tar "
+                f"shards; conflicting archive_format={archive_format!r}")
+    elif archive_format not in ("tar", "zip"):
+        raise ValueError(
+            f"unknown archive format {archive_format!r}")
+
     files = (spark.readStream.format("binaryFile")
              .schema(BINARY_FILE_SCHEMA).load(input_glob))
 
@@ -743,8 +792,5 @@ def stream_shard_ingest(
                 "n_rows": batch_df.sparkSession.read.parquet(part)
                 .count()})
 
-    writer = files.writeStream.foreachBatch(_process) \
-        .option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(files, _process, checkpoint,
+                                trigger_available_now)

@@ -411,17 +411,23 @@ class EntityTable:
         if not fs_exists(delta, self.spark):
             return False
         for n in fs_listdir(delta, self.spark):
-            if n.startswith("_bucket="):
-                sub = os.path.join(delta, n)
-                if any(f.endswith(".parquet")
-                       for f in fs_listdir(sub, self.spark)):
-                    return True
+            if not n.startswith("_batch="):
+                continue
+            for m in fs_listdir(os.path.join(delta, n), self.spark):
+                if m.startswith("_bucket="):
+                    sub = os.path.join(delta, n, m)
+                    if any(f.endswith(".parquet")
+                           for f in fs_listdir(sub, self.spark)):
+                        return True
         return False
 
     def _read_delta(self) -> DataFrame:
-        return self.spark.read.parquet(self._delta_path())
+        # _batch is write-side replay bookkeeping (see put_delta);
+        # fragment ordering travels as the _seq data column
+        return self.spark.read.parquet(self._delta_path()).drop("_batch")
 
-    def put_delta(self, puts: DataFrame) -> None:
+    def put_delta(self, puts: DataFrame,
+                  batch_id: int | None = None) -> None:
         """Buffered put: append the fragments to the table's delta log
         and return — no base read, no base rewrite, O(batch) regardless
         of table or bucket size.
@@ -435,17 +441,35 @@ class EntityTable:
         small-batch ingest (e.g. streaming micro-batches) cheap and
         shifts the rewrite cost to a background flush cadence.
 
-        Fragments are bucket-partitioned like the base, so reads prune
-        both sides identically. Single-writer discipline assumed (same
-        as the base write path).
+        Fragments land under a ``_batch=<seq>/_bucket=<b>`` partition
+        (the batch seq doubles as ``_seq``, the fragment's commit
+        order). ``batch_id`` is the streaming replay contract: a
+        foreachBatch caller passes its micro-batch id, and a replay of
+        the same batch after a crash OVERWRITES its own ``_batch``
+        partition (dynamic partition overwrite) instead of appending
+        duplicate fragments — the batch_id-partition discipline every
+        streaming writer in ``streaming/jobs.py`` follows (r13 review
+        finding: the delta path was the one at-least-once writer
+        without it, duplicating the change feed on replay). Without
+        ``batch_id`` each call appends under a fresh ``time_ns`` seq.
+
+        Reads prune ``_bucket`` exactly as the base does. Single-writer
+        discipline assumed (same as the base write path).
         """
         import time as _time
 
+        seq = _time.time_ns() if batch_id is None else int(batch_id)
         frag = (puts
-                .withColumn("_seq", F.lit(_time.time_ns()).cast("long"))
+                .withColumn("_seq", F.lit(seq).cast("long"))
+                .withColumn("_batch", F.lit(seq).cast("long"))
                 .withColumn("_bucket", self._bucket_expr()))
-        (frag.write.mode("append").partitionBy("_bucket")
-         .parquet(self._delta_path()))
+        writer = frag.write.partitionBy("_batch", "_bucket")
+        if batch_id is None:
+            writer.mode("append").parquet(self._delta_path())
+        else:
+            (writer.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(self._delta_path()))
 
     def flush_deltas(self) -> list[int]:
         """Fold every delta fragment into its base bucket (bucket-scoped

@@ -2208,3 +2208,109 @@ def test_stream_crawl_ingest_main_content_and_transcode(
     [row] = spark.read.parquet(f"{tmp_path}/docs").collect()
     assert "café" in row.text and "résumé" in row.text  # transcoded
     assert "Accueil" not in row.text                    # nav dropped
+
+
+def test_running_latest_null_rows_and_sentinel(spark, tmp_path):
+    """NULL ts/value rows are skipped (a NaN value winning on ts would
+    stick forever — NaN comparisons all false), and a key whose rows
+    are ALL null emits nothing instead of leaking the (-2^62, -inf)
+    state-init sentinel as an observation (r13 review finding)."""
+    src = _write_stream_input(tmp_path, [
+        {"user_id": 1, "ts_ms": 10, "value": 1.5},
+        {"user_id": 1, "ts_ms": 30, "value": None},   # skipped
+        {"user_id": 1, "ts_ms": 20, "value": 7.0},
+        {"user_id": 2, "ts_ms": None, "value": 9.0},  # skipped
+        {"user_id": 3, "ts_ms": None, "value": None},  # all-null key
+    ])
+    stream = (spark.readStream
+              .schema("user_id long, ts_ms long, value double").json(src))
+    out = []
+    q = (running_latest(stream).writeStream.outputMode("update")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_nl")).start())
+    q.awaitTermination(60)
+    got = {r.key: (r.ts, r.value) for r in out}
+    # key 1: the NULL-value row at ts=30 must not displace ts=20's 7.0;
+    # keys 2 and 3 emit nothing (no valid observation yet)
+    assert got == {1: (20, 7.0)}
+
+
+def test_stream_dedup_exact_null_text_passthrough(spark, tmp_path):
+    """NULL-text rows (extraction failures) pass through UN-deduped:
+    keying dedup state on the NULL digest silently discarded every
+    null-text row after the first (r13 review finding)."""
+    from kiji_mapreduce_spark.streaming import stream_dedup_exact
+
+    src = _write_stream_input(tmp_path, [
+        {"ts": "2024-01-01T00:05:00Z", "text": "same words"},
+        {"ts": "2024-01-01T00:06:00Z", "text": "same words"},
+        {"ts": "2024-01-01T00:07:00Z", "text": None},
+        {"ts": "2024-01-01T00:08:00Z", "text": None},
+    ])
+    stream = spark.readStream.schema("ts timestamp, text string").json(src)
+    out = []
+    q = (stream_dedup_exact(stream, watermark="1 hour")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_np")).start())
+    q.awaitTermination(60)
+    texts = sorted((r.text or "<null>") for r in out)
+    assert texts == ["<null>", "<null>", "same words"]
+
+
+def test_stream_shard_ingest_bad_format_fails_fast(spark, tmp_path):
+    """An unknown archive format (or a webdataset/format conflict)
+    raises BEFORE the query starts — raising inside foreachBatch would
+    wedge the checkpoint into replaying the same error forever (r13
+    review finding)."""
+    import pytest
+
+    from kiji_mapreduce_spark.streaming.jobs import stream_shard_ingest
+
+    (tmp_path / "shards").mkdir()
+    with pytest.raises(ValueError, match="unknown archive format"):
+        stream_shard_ingest(
+            spark, str(tmp_path / "shards"), str(tmp_path / "out"),
+            str(tmp_path / "ck1"), archive_format="rar")
+    with pytest.raises(ValueError, match="webdataset"):
+        stream_shard_ingest(
+            spark, str(tmp_path / "shards"), str(tmp_path / "out2"),
+            str(tmp_path / "ck2"), archive_format="zip", webdataset=True)
+
+
+def test_put_delta_batch_id_replay_idempotent(spark, tmp_path):
+    """put_delta(batch_id=N) replayed after a crash OVERWRITES its own
+    _batch partition instead of appending duplicate fragments — the
+    change feed sees each put once and the log stays clean (r13 review
+    finding: the delta path was the one at-least-once streaming writer
+    without the batch_id-partition discipline)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "rp", "families": [
+            {"name": "m", "columns": [{"name": "v", "schema": "long"}]}]}))
+    t = EntityTable.create(spark, f"{tmp_path}/rp_table", layout)
+    puts = spark.createDataFrame(
+        [(("a",), "m", "v", 1, "10"), (("b",), "m", "v", 1, "20")],
+        "entity_id struct<key string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.put_delta(puts, batch_id=7)
+    t.put_delta(puts, batch_id=7)  # foreachBatch at-least-once replay
+    frags = spark.read.parquet(t._delta_path())
+    assert frags.count() == 2          # not 4: the replay overwrote
+    assert frags.select("_seq").distinct().collect()[0][0] == 7
+    got = {r.entity_id.key: r.m.v[0].value for r in t.read().collect()}
+    assert got == {"a": 10, "b": 20}
+    # a DIFFERENT batch appends alongside
+    puts2 = spark.createDataFrame(
+        [(("c",), "m", "v", 1, "30")],
+        "entity_id struct<key string>, family string, qualifier string,"
+        " ts long, value_str string")
+    t.put_delta(puts2, batch_id=8)
+    assert spark.read.parquet(t._delta_path()).count() == 3
+    assert t.read().count() == 3

@@ -291,3 +291,87 @@ def test_salted_topk_k_exceeds_group_size(spark):
     out = salted_topk(df, "g", "v", k=10)
     got = {(r.g, r.v, r.rank) for r in out.collect()}
     assert got == {("a", 2, 1), ("a", 1, 2), ("b", 5, 1)}
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    """A right row with a NULL timestamp has no event time and must not
+    fabricate an as-of match (r13 review finding: NULLS FIRST ordering
+    made it 'earlier than everything'); a NULL-ts LEFT row matches
+    nothing and emits NULL values — both mirror DuckDB ASOF / pandas
+    merge_asof."""
+    left = spark.createDataFrame(
+        [(1, 5, "p"), (1, None, "q")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, t long, v double")
+    out = {r.name: r.v for r in asof_join(
+        left, right, on="k", left_ts="t", value_cols=["v"]).collect()}
+    assert out == {"p": None, "q": None}
+    # and a real right row still matches alongside a NULL-ts one
+    right2 = spark.createDataFrame(
+        [(1, None, 99.0), (1, 3, 42.0)], "k long, t long, v double")
+    out2 = {r.name: r.v for r in asof_join(
+        left, right2, on="k", left_ts="t", value_cols=["v"]).collect()}
+    assert out2 == {"p": 42.0, "q": None}
+
+
+def test_histogram_quantiles_nan_and_inf_guards(spark):
+    """One NaN value must not poison the derived range into silent
+    NaN estimates (NaN wins F.max and survives the hi<=lo guard —
+    r13 review finding); an infinite derived range raises instead of
+    emitting inf/NaN rows; explicit non-finite bounds are rejected."""
+    import pytest
+
+    from kiji_mapreduce_spark.functions import histogram_quantiles
+
+    nan_df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),)], "x double")
+    rows = histogram_quantiles(nan_df, "x", probs=[0.5, 1.0],
+                               bins=4).collect()
+    by_p = {r.prob: r.quantile_est for r in rows}
+    assert by_p[1.0] == 3.0        # NaN excluded from the range
+    assert rows[0].n == 3          # ...and from the counts
+    assert all(r.quantile_est == r.quantile_est for r in rows)  # no NaN
+
+    inf_df = spark.createDataFrame([(1.0,), (float("inf"),)], "x double")
+    with pytest.raises(ValueError, match="not finite"):
+        histogram_quantiles(inf_df, "x", probs=[0.5])
+    # explicit finite bounds clamp the infinity into the top bin
+    ok = histogram_quantiles(inf_df, "x", probs=[1.0], bins=4,
+                             lo=0.0, hi=2.0).collect()
+    assert ok[0].n == 2
+    with pytest.raises(ValueError, match="finite"):
+        histogram_quantiles(inf_df, "x", probs=[0.5], lo=0.0,
+                            hi=float("inf"))
+
+
+def test_salted_topk_map_column_schema(spark):
+    """The default whole-row salt must skip MapType columns (F.hash
+    raises HASH_MAP_TYPE on maps — r13 review finding; webdataset
+    sample rows and map families are map-typed in this engine)."""
+    from kiji_mapreduce_spark.functions import salted_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, {"k": "x"}), ("a", 2, {"k": "y"}), ("b", 5, {"k": "z"})],
+        "g string, v int, m map<string,string>")
+    out = salted_topk(df, "g", "v", k=1)
+    assert {(r.g, r.v) for r in out.collect()} == {("a", 2), ("b", 5)}
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """A row whose key is NULL must compare across snapshots instead of
+    double-reporting as deleted+inserted (r13 review finding: the USING
+    join can never match NULL keys)."""
+    from kiji_mapreduce_spark.functions import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(None, 1), (1, 10), (2, 20)], "k int, x int")
+    after_same = spark.createDataFrame(
+        [(None, 1), (1, 10), (2, 21)], "k int, x int")
+    got = {(r.k, r.change) for r in snapshot_diff(
+        before, after_same, key_cols=["k"]).collect()}
+    assert got == {(2, "updated")}  # the NULL-key row is unchanged
+    after_changed = spark.createDataFrame(
+        [(None, 2), (1, 10), (2, 20)], "k int, x int")
+    got2 = {(r.k, r.change) for r in snapshot_diff(
+        before, after_changed, key_cols=["k"]).collect()}
+    assert got2 == {(None, "updated")}

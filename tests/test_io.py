@@ -11,6 +11,11 @@ from kiji_mapreduce_spark.io.outputs import (
     JobOutput, bulk_load, job_output, stage_sorted,
 )
 
+#: Fuzz budget multiplier: CI runs at 1 (the committed budgets);
+#: a soak campaign sets KIJI_FUZZ_MULT=20/60 to widen every
+#: hypothesis search in this file without touching the tests.
+_FUZZ_MULT = int(os.environ.get("KIJI_FUZZ_MULT", "1"))
+
 
 def test_input_spec_parsing():
     ji = job_input("format=text file=/a,/b foo=bar")
@@ -505,7 +510,7 @@ def test_warc_parser_roundtrip_property():
         st.binary(max_size=300),
     )
 
-    @settings(max_examples=30, deadline=None)
+    @settings(max_examples=30 * _FUZZ_MULT, deadline=None)
     @given(records=st.lists(record, min_size=1, max_size=6),
            gz=st.booleans())
     def _roundtrip(records, gz):
@@ -768,7 +773,7 @@ def test_http_payload_decode_roundtrip_property():
 
     from kiji_mapreduce_spark.io.inputs import _decode_http_payload
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_MULT, deadline=None)
     @given(body=st.binary(max_size=400),
            cuts=st.lists(st.integers(0, 400), max_size=4),
            enc=st.sampled_from([None, "gzip", "x-gzip", "gzip2",

@@ -4,12 +4,19 @@ paths built on them."""
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark.pipeline import media_codecs as mc
 from kiji_mapreduce_spark.pipeline import multimodal
+
+#: Fuzz budget multiplier: CI runs at 1 (the committed budgets);
+#: a soak campaign sets KIJI_FUZZ_MULT=20/60 to widen every
+#: hypothesis search in this file without touching the tests.
+_FUZZ_MULT = int(os.environ.get("KIJI_FUZZ_MULT", "1"))
+
 
 
 def _gradient(h, w, c):
@@ -419,7 +426,7 @@ def test_video_codec_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25 * _FUZZ_MULT, deadline=None)
     @given(
         h=st.integers(1, 12), w=st.integers(1, 12),
         c=st.sampled_from([1, 2, 3, 4]),
@@ -471,7 +478,7 @@ def test_pigeonhole_banding_property():
         return [(u >> (b * width)) & ((1 << width) - 1)
                 for b in range(bands)]
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     @given(
         code=st.integers(-(1 << 63), (1 << 63) - 1),
         bands=st.sampled_from([2, 4, 8, 16]),
@@ -1057,7 +1064,7 @@ def test_gif_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25 * _FUZZ_MULT, deadline=None)
     @given(h=st.integers(1, 12), w=st.integers(1, 12),
            n=st.integers(1, 3), levels=st.integers(2, 6),
            seed=st.integers(0, 2**31 - 1))

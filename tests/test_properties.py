@@ -5,11 +5,19 @@ Each property builds ONE DataFrame per example (batched cases) to keep
 Spark round-trips bounded.
 """
 
+import os
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark import cells
 from kiji_mapreduce_spark.functions import asof_join, salted_topk
+
+#: Fuzz budget multiplier: CI runs at 1 (the committed budgets);
+#: a soak campaign sets KIJI_FUZZ_MULT=20/60 to widen every
+#: hypothesis search in this file without touching the tests.
+_FUZZ_MULT = int(os.environ.get("KIJI_FUZZ_MULT", "1"))
+
 
 # (ts, value) versions; ts bounded so groups stay small
 _version = st.tuples(st.integers(0, 50), st.integers(-5, 5))
@@ -26,7 +34,7 @@ def _model_cells(versions):
     return sorted(versions, key=lambda c: -c[0])
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(_cellcase, min_size=1, max_size=30))
 def test_cells_sort_latest_retain_model(spark, cases):
     rows = [(i, [(ts, str(v)) for ts, v in case]) for i, case in enumerate(cases)]
@@ -46,7 +54,7 @@ def test_cells_sort_latest_retain_model(spark, cases):
         assert [(c.ts, c.value) for c in r.top3] == model_str[:3]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(
     st.lists(st.tuples(st.integers(0, 3), st.integers(0, 30)),
              min_size=1, max_size=25),  # left: (key, ts)
@@ -70,7 +78,7 @@ def test_asof_join_matches_model(spark, left_rows, right_rows):
         assert out[i] == expect, (i, k, t, matches)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3 * _FUZZ_MULT, deadline=None)
 @given(st.lists(
     st.tuples(st.sampled_from(["u1", "u2", "u3"]),   # entity key
               st.sampled_from(["email", "visits"]),  # qualifier
@@ -111,7 +119,7 @@ def test_merge_put_matches_model(spark, tmp_path_factory, puts_rows):
         assert all((c.ts, c.value) in legal for c in cells_out)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
                 min_size=1, max_size=60))
 def test_salted_topk_matches_plain_topk(spark, rows):
@@ -131,7 +139,7 @@ def test_salted_topk_matches_plain_topk(spark, rows):
             assert got[(k, rank)] == (-negv, i), (k, rank)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
                 min_size=1, max_size=25))
 def test_stratified_sample_is_deterministic_subset(spark, texts):
@@ -155,7 +163,7 @@ def test_stratified_sample_is_deterministic_subset(spark, texts):
     assert sample.stratified_sample(df, "lang", {}, default_rate=0.0).count() == 0
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="abc xy", min_size=1, max_size=40),
                 min_size=1, max_size=20))
 def test_pack_documents_matches_python_model(spark, texts):
@@ -188,7 +196,7 @@ def test_pack_documents_matches_python_model(spark, texts):
             run += n_tok
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="pq r", min_size=0, max_size=25),
                 min_size=2, max_size=15))
 def test_decontaminate_fraction_bounds(spark, texts):
@@ -239,7 +247,7 @@ def _union_find_keep(edges):
     return {x: find(x) for x in parent}
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=4 * _FUZZ_MULT, deadline=None)
 @given(st.lists(
     st.tuples(st.integers(0, 40), st.integers(0, 40)),
     min_size=1, max_size=60).filter(
@@ -376,7 +384,7 @@ def test_salted_topk_under_real_skew(spark):
     assert sum(per_task.values()) == n_hot
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
                 min_size=2, max_size=12))
 def test_repeated_ngram_coverage_matches_python_model(spark, texts):
@@ -425,7 +433,7 @@ def test_repeated_ngram_coverage_matches_python_model(spark, texts):
         assert r.dup_frac == want_frac
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6),
                           st.integers(1, 4)),
                 min_size=1, max_size=20))
@@ -450,7 +458,7 @@ def test_pagerank_invariants(spark, edges):
     assert sum(r1.values()) <= 1.0 + 1e-6
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 15), st.integers(1, 20)),
                 min_size=1, max_size=25))
 def test_countmin_estimate_dominates_exact(spark, items):
@@ -489,7 +497,7 @@ def test_countmin_estimate_dominates_exact(spark, items):
     assert got == {k: v for k, v in full.items() if v != 0}
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.sets(st.integers(0, 10_000), min_size=1, max_size=300))
 def test_kmv_estimate_brackets_distinct(spark, values):
     """KMV property: below k the estimate IS the exact distinct count;
@@ -510,7 +518,7 @@ def test_kmv_estimate_brackets_distinct(spark, values):
         assert 0.3 * n <= r1.estimate <= 3.0 * n  # ~5 sigma at k=32
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(
     st.tuples(st.text(alphabet="abcd", min_size=1, max_size=5),
               st.integers(1, 9)),
@@ -531,7 +539,7 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, words):
     assert got == want, (word_counts, got, want)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
                           allow_nan=False, allow_infinity=False),
                 min_size=2, max_size=120))
@@ -556,7 +564,7 @@ def test_histogram_quantiles_within_bound(spark, vals):
         assert r.n == len(vals)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.tuples(st.text(st.characters(min_codepoint=97,
                                                 max_codepoint=122),
                                   min_size=1, max_size=6),
@@ -589,7 +597,7 @@ def test_split_assign_is_total_partition(spark, raw_splits):
     assert again == {r.doc_id: r.split for r in rows}
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)),
                 min_size=1, max_size=40))
 def test_knn_recall_matches_set_model(spark, pairs):
@@ -616,7 +624,7 @@ def test_knn_recall_matches_set_model(spark, pairs):
     assert all(r.recall == 1.0 for r in perfect)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _FUZZ_MULT, deadline=None)
 @given(
     st.integers(1, 40), st.integers(1, 40),
     st.sampled_from([1, 3]), st.sampled_from(["444", "420"]),
@@ -643,7 +651,7 @@ def test_jpeg_progressive_equals_baseline_property(h, w, nc, sub, qs,
     assert np.array_equal(base[0], prog[0])
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _FUZZ_MULT, deadline=None)
 @given(
     st.integers(1, 33), st.integers(1, 33),
     st.sampled_from([1, 3, 4]),
@@ -682,7 +690,7 @@ def test_webp_lossless_roundtrip_property(h, w, nc, transform, mode,
 
 
 @given(st.binary(max_size=300))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_is_total(data):
     """THE hostile-bytes guarantee, stated once for every decode
     entrypoint: arbitrary bytes either decode or raise
@@ -708,7 +716,7 @@ def test_codec_error_surface_is_total(data):
 
 
 @given(st.data())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_on_corrupted_fixtures(data):
     """Same guarantee under the nastier distribution: VALID encodes
     with truncation or a byte flipped — the shape real corruption
@@ -802,7 +810,7 @@ def _webp_meta_huffman(w, h, tile_bits, groups_map, px):
 
 
 @given(st.data())
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_vp8l_meta_huffman(data):
     """Meta-Huffman streams decode exactly; their corruptions obey the
     UnsupportedMedia-only contract."""
@@ -882,7 +890,7 @@ def _flac_partitioned_rice(bs, part_order, residuals, method, params):
 
 
 @given(st.data())
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_flac_rice_partitions(data):
     """Partitioned-rice frames (orders 0-3, both parameter widths,
     raw escapes) decode exactly; corruptions obey the contract."""
@@ -920,7 +928,7 @@ def test_codec_error_surface_flac_rice_partitions(data):
 
 
 @given(st.data())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_bmp_rle_opcodes(data):
     """Arbitrary RLE opcode streams — including the delta escape the
     in-repo tests never emitted — either decode or raise
@@ -984,7 +992,7 @@ def test_codec_error_surface_bmp_rle_opcodes(data):
 
 
 @given(st.data())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_ico_dispatch(data):
     """ICO directory corruption — entry counts, offsets, sizes, the
     per-entry PNG-vs-DIB dispatch — never escapes the contract; the
@@ -1034,7 +1042,7 @@ def test_codec_error_surface_ico_dispatch(data):
 
 
 @given(st.data())
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ_MULT, deadline=None)
 def test_avro_codec_error_surface(data):
     """The pure-Python Avro container codec under hostile bytes:
     corrupted/truncated/arbitrary input either decodes or raises the
@@ -1073,7 +1081,7 @@ def test_avro_codec_error_surface(data):
 
 
 @given(st.data())
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ_MULT, deadline=None)
 def test_shard_iterator_error_surface(data):
     """tar/zip/WebDataset shard parsing under hostile bytes: lenient
     mode NEVER raises (the always-lenient shard stream depends on it —
@@ -1141,7 +1149,7 @@ def test_shard_iterator_error_surface(data):
 
 
 @given(st.data())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150 * _FUZZ_MULT, deadline=None)
 def test_zstd_frame_space_error_surface(data):
     """Structured zstd frame fuzz (r12 verdict #5): frames ASSEMBLED
     from valid magic + drawn header descriptors + drawn block
@@ -1191,7 +1199,7 @@ def test_zstd_frame_space_error_surface(data):
 
 
 @given(st.data())
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_MULT, deadline=None)
 def test_range_inflate_error_surface(data):
     """The CDX-pointed range fetch's inflate seam under hostile
     offsets: arbitrary bytes, truncations and bit-flips of a valid
@@ -1226,7 +1234,7 @@ def test_range_inflate_error_surface(data):
 
 
 @given(st.data())
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100 * _FUZZ_MULT, deadline=None)
 def test_warc_member_walk_error_surface(data):
     """The CDX-index walkers under hostile bytes: junk, truncations
     and bit-flips of per-member-gzip and plain WARC archives either
@@ -1314,7 +1322,7 @@ def test_shard_iterator_corrupt_deflate_pinned():
 
 
 @given(st.data())
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ_MULT, deadline=None)
 def test_warc_and_http_decode_error_surface(data):
     """WARC framing + HTTP payload normalization under hostile bytes:
     the payload decoder NEVER raises (lenient by construction — it
@@ -1370,7 +1378,7 @@ def test_warc_and_http_decode_error_surface(data):
     assert isinstance(_decode_http_payload(bytes(hb)), bytes)
 
 @given(st.data())
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_MULT, deadline=None)
 def test_shard_header_edge_error_surface(data):
     """The seam the r11 tar.gz TypeError leak lived in, pinned for the
     whole compression-magic family: tarfile ``r|*`` sniffs gzip/bz2/xz
@@ -1434,7 +1442,7 @@ def test_shard_header_edge_error_surface(data):
 
 
 @given(st.data())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150 * _FUZZ_MULT, deadline=None)
 def test_probe_walker_hostile_sizes(data):
     """probe_media's container walkers under HOSTILE declared sizes —
     the structured twin of the arbitrary-bytes probe fuzz: ISO-BMFF
@@ -1511,7 +1519,7 @@ def test_probe_walker_hostile_sizes(data):
     assert p is None or isinstance(p, dict)
 
 @given(st.data())
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_MULT, deadline=None)
 def test_zstd_error_surface(data):
     """The pure-Python zstd decoder under hostile bytes: reference-
     encoded frames truncated / bit-flipped anywhere, and arbitrary
@@ -1542,7 +1550,7 @@ def test_zstd_error_surface(data):
         pass
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="ab .!?{\n\r", min_size=0,
                         max_size=60),
                 min_size=1, max_size=8))
@@ -1571,7 +1579,7 @@ def test_c4_line_filter_matches_python_model(spark, texts):
             == len(lines)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(alphabet="ab c.", min_size=0, max_size=50),
                 min_size=1, max_size=6))
 def test_c4_span_dedup_invariants(spark, texts):
@@ -1603,7 +1611,7 @@ def test_c4_span_dedup_invariants(spark, texts):
             i].c4_sentences_dropped
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.binary(min_size=0, max_size=200))
 def test_link_graph_never_raises_on_hostile_bodies(spark, payload):
     """link_graph over arbitrary response bytes: the extraction is a
@@ -1626,7 +1634,7 @@ def test_link_graph_never_raises_on_hostile_bodies(spark, payload):
         assert e.src_domain and e.dst_domain and e.n_links >= 1
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.binary(min_size=0, max_size=300))
 def test_new_ingest_surfaces_are_total(spark, payload):
     """The r12 ingest additions are total functions over arbitrary
@@ -1676,7 +1684,7 @@ def test_new_ingest_surfaces_are_total(spark, payload):
         assert r.host == "h.example.com" and r.path != ""
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.binary(min_size=0, max_size=300))
 def test_html_main_text_total_on_hostile_bytes(spark, payload):
     """html_main_text is total over arbitrary bytes: hostile/binary
@@ -1697,7 +1705,7 @@ def test_html_main_text_total_on_hostile_bytes(spark, payload):
     assert got[2].n_blocks_kept == 0 and got[2].n_blocks_dropped == 0
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
 @given(st.lists(st.text(min_size=0, max_size=120), min_size=1,
                 max_size=6))
 def test_read_cdx_total_on_arbitrary_lines(spark, tmp_path_factory,
