@@ -53,7 +53,11 @@ class JobOutput:
                     F.col(c).cast("string") for c in df.columns]).alias("value"))
             else:
                 out = df.select(F.col(df.columns[0]).cast("string").alias("value"))
-            (out.coalesce(n) if n else out).write.mode(self.mode).text(self.path)
+            # honor parsed writer options (e.g. compression=gzip) like
+            # the csv/parquet branches — they were silently dropped
+            # here (r13 review finding)
+            ((out.coalesce(n) if n else out).write.mode(self.mode)
+             .options(**self.options).text(self.path))
             return
         if fmt == "csv":
             w = (df.coalesce(n) if n else df).write.mode(self.mode).options(**self.options)
@@ -81,6 +85,15 @@ class JobOutput:
             # with the default overwrite used to crash on the existing
             # dir — r5 review finding); nsplits coalesces like the other
             # formats.
+            self._reject_unsupported("seq")
+            if len(df.columns) != 2:
+                # the avrokv discipline: the K/V contract must fail
+                # loudly — a 3rd column was silently DROPPED and a
+                # 1-column frame crashed with IndexError inside
+                # executor tasks (r13 review finding)
+                raise ValueError(
+                    "seq output needs exactly 2 columns (key, value); "
+                    f"got {df.columns}")
             if not self._prepare_rdd_dest(df.sparkSession):
                 return
             rdd = df.rdd.map(lambda r: (str(r[0]), str(r[1])))
@@ -89,18 +102,29 @@ class JobOutput:
             rdd.saveAsSequenceFile(self.path)
             return
         if fmt == "map":
+            self._reject_unsupported("map")
             if not self._prepare_rdd_dest(df.sparkSession):
                 return
             write_mapfile(df, self.path, nsplits=n)
             return
         if fmt in ("kiji", "table", "parquet"):
-            if fmt == "kiji" and os.path.exists(
-                    os.path.join(self.path, "_kiji_layout.json")):
+            # scheme-agnostic probe: os.path.exists on an hdfs:// or
+            # file:// table path was always False, so a kiji write at a
+            # LIVE scheme-prefixed entity table skipped the upsert path
+            # and destructively parquet-overwrote the table directory,
+            # layout file included (r13 review finding)
+            if fmt == "kiji" and fs_exists(
+                    os.path.join(self.path, "_kiji_layout.json"),
+                    df.sparkSession):
                 # target is an entity table: upsert rows through the
-                # table's atomic write path instead of raw parquet
+                # table's atomic write path instead of raw parquet.
+                # Local file: URIs strip to plain paths — EntityTable
+                # reads its layout sidecar with the local file API.
                 from kiji_mapreduce_spark.table import EntityTable
 
-                EntityTable.open(df.sparkSession, self.path).upsert_rows(df)
+                tpath = (_strip_file_scheme(self.path)
+                         if _is_local_path(self.path) else self.path)
+                EntityTable.open(df.sparkSession, tpath).upsert_rows(df)
                 return
             w = (df.repartition(n) if n else df).write.mode(self.mode) \
                 .options(**self.options)
@@ -109,9 +133,34 @@ class JobOutput:
             w.parquet(self.path)
             return
         if fmt == "hfile":
-            stage_sorted(df, self.path, key_cols=self.key_cols, nsplits=self.nsplits)
+            # stage_sorted IS total-order overwrite staging: a
+            # requested append/ignore mode cannot be honored and was
+            # silently discarded (r13 review finding); partition_by
+            # maps onto the stager's hive-partition support
+            if self.mode not in ("overwrite", "error", "errorifexists"):
+                raise ValueError(
+                    f"hfile staging is overwrite-only; got mode="
+                    f"{self.mode!r}")
+            self._reject_unsupported("hfile", allow_partition_by=True)
+            stage_sorted(df, self.path, key_cols=self.key_cols,
+                         nsplits=self.nsplits,
+                         partition_cols=self.partition_by or None)
             return
         raise ValueError(f"unknown output format {self.format!r}")
+
+    def _reject_unsupported(self, fmt: str,
+                            allow_partition_by: bool = False) -> None:
+        """Loud failure for spec fields a sink cannot honor — silently
+        ignoring a parsed option (seq dropping compression=, hfile
+        dropping partition_by=) ships a spec the user believes applied
+        (r13 review finding)."""
+        if self.options:
+            raise ValueError(
+                f"{fmt} output does not support options "
+                f"{sorted(self.options)}")
+        if self.partition_by and not allow_partition_by:
+            raise ValueError(
+                f"{fmt} output does not support partition_by")
 
     def _prepare_rdd_dest(self, spark) -> bool:
         """Apply write-mode semantics for RDD-API sinks (seq/map), which
@@ -159,6 +208,10 @@ def job_output(spec: str) -> JobOutput:
     if "nsplits" in parts:
         nsplits = int(parts["nsplits"])
     partition_by = [c for c in parts.get("partition_by", "").split(",") if c]
+    # key_cols= reaches JobOutput.key_cols (the hfile sort key) — it
+    # parsed into the ignored options dict before, silently staging on
+    # the default entity_id (r13 review finding)
+    key_cols = [c for c in parts.get("key_cols", "").split(",") if c]
     return JobOutput(
         format=fmt, path=parts.get("file", parts.get("table", "")),
         nsplits=nsplits,
@@ -168,8 +221,9 @@ def job_output(spec: str) -> JobOutput:
         mode=parts.get("mode", "overwrite"),
         options={k: v for k, v in parts.items()
                  if k not in ("format", "file", "table", "nsplits",
-                              "partition_by", "mode")},
+                              "partition_by", "mode", "key_cols")},
         partition_by=partition_by,
+        **({"key_cols": key_cols} if key_cols else {}),
     )
 
 
@@ -303,7 +357,17 @@ def _is_local_path(path: str) -> bool:
 
 
 def _strip_file_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+    # every local-URI spelling: file:/x (Hadoop Path.toString — the
+    # form this module itself documents), file:///x (RFC empty
+    # authority), file://x. The '://'-only strip left file:/tmp/out
+    # unstripped, so os.path.exists said False and mode semantics /
+    # fs_read_text broke on that spelling (r13 review finding).
+    if not path.startswith("file:"):
+        return path
+    rest = path[len("file:"):]
+    while rest.startswith("//"):
+        rest = rest[1:]
+    return rest or "/"
 
 
 def _swap_dir_local(staging_path: str, live_path: str) -> None:
@@ -325,7 +389,14 @@ def _swap_dir_local(staging_path: str, live_path: str) -> None:
     try:
         shutil.move(staging_path, live_path)
     except BaseException:
-        shutil.move(old, live_path)  # restore the previous table state
+        # restore the previous table state. A cross-filesystem move
+        # degrades to copytree and can die midway leaving live_path
+        # PARTIALLY populated — moving the backup onto an existing dir
+        # would nest it INSIDE (live/old/...) instead of restoring it
+        # (r13 review finding), so clear the wreckage first.
+        if os.path.exists(live_path):
+            shutil.rmtree(live_path, ignore_errors=True)
+        shutil.move(old, live_path)
         raise
     shutil.rmtree(trash, ignore_errors=True)
 
@@ -410,19 +481,10 @@ def _swap_dir_hadoop(staging_path: str, live_path: str, spark=None) -> None:
     Spark-cluster analogue of HFileLoader's region-server file moves."""
     import uuid
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError(
-            "bulk_load on a non-local filesystem needs an active SparkSession "
-            "(the Hadoop FileSystem client lives in the JVM)")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    live_p, stage_p = HPath(live_path), HPath(staging_path)
-    fs = live_p.getFileSystem(hconf)
+    # one shared FileSystem resolution (_hadoop_fs) — this and
+    # _swap_partition_dirs_hadoop hand-copied it (r13 review finding)
+    fs, live_p, HPath = _hadoop_fs(live_path, spark)
+    stage_p = HPath(staging_path)
     parent = live_p.getParent()
     fs.mkdirs(parent)
     if not fs.exists(live_p):
@@ -490,19 +552,7 @@ def _swap_partition_dirs_hadoop(staging_path: str, table_path: str,
     the same discipline as ``_swap_dir_hadoop`` but per partition."""
     import uuid
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError(
-            "swap_partition_dirs on a non-local filesystem needs an active "
-            "SparkSession (the Hadoop FileSystem client lives in the JVM)")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    table_p = HPath(table_path)
-    fs = table_p.getFileSystem(hconf)
+    fs, table_p, HPath = _hadoop_fs(table_path, spark)
     for sub in subdirs:
         stage_sub = HPath(staging_path, sub)
         live_sub = HPath(table_path, sub)

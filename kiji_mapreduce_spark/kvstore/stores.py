@@ -111,9 +111,18 @@ class InMemoryMapKeyValueStore(KeyValueStore):
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         rows = [(k, v) for k, v in self.data.items()]
+        if not rows:
+            # schema cannot be inferred from zero rows: an empty map
+            # binding crashed instead of behaving like
+            # EmptyKeyValueStore (r13 review finding)
+            return spark.createDataFrame(
+                [], f"{self.key_col} string, {self.value_col} string")
         return spark.createDataFrame(rows, [self.key_col, self.value_col])
 
-    def reader(self, spark=None) -> dict:
+    def reader(self, spark=None, max_rows: int | None = None) -> dict:
+        # max_rows accepted for base-class polymorphism (a literal dict
+        # is already bounded; r13 review finding: the narrowed
+        # signature broke callers holding a generic KeyValueStore)
         return dict(self.data)
 
 
@@ -209,12 +218,14 @@ class TableKeyValueStore(KeyValueStore):
     key_cols: list[str] = field(default_factory=lambda: ["entity_id"])
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
+        # shared [min_ts, max_ts) arithmetic with ColumnRequest
+        # slicing (request.ts_range_filter) — a lookup and a data
+        # request must answer the same bounds identically
+        from kiji_mapreduce_spark.request import ts_range_filter
+
         family, _, qualifier = self.column.partition(":")
         cells = F.col(f"{family}.{qualifier}") if qualifier else F.col(family)
-        if self.min_ts is not None or self.max_ts is not None:
-            lo = self.min_ts if self.min_ts is not None else -(1 << 62)
-            hi = self.max_ts if self.max_ts is not None else (1 << 62)
-            cells = F.filter(cells, lambda c: (c["ts"] >= F.lit(lo)) & (c["ts"] < F.lit(hi)))
+        cells = ts_range_filter(cells, self.min_ts, self.max_ts)
         value = F.try_element_at(cells, F.lit(1))["value"]
         return self.table.select(*self.key_cols, value.alias("value"))
 
@@ -243,7 +254,7 @@ class EmptyKeyValueStore(KeyValueStore):
     def dataframe(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], "key string, value string")
 
-    def reader(self, spark=None) -> dict:
+    def reader(self, spark=None, max_rows: int | None = None) -> dict:
         return {}
 
 

@@ -15,6 +15,21 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def ts_range_filter(cells: Column, min_ts: int | None,
+                    max_ts: int | None) -> Column:
+    """``[min_ts, max_ts)`` cell filter with the ±2^62 open-bound
+    sentinels — THE timestamp-window arithmetic: ``ColumnRequest``
+    slicing and ``kvstore.TableKeyValueStore`` both call this one
+    builder, so a lookup and a data request can never answer the same
+    bounds differently (r13 review finding: two hand copies)."""
+    if min_ts is None and max_ts is None:
+        return cells
+    lo = min_ts if min_ts is not None else -(1 << 62)
+    hi = max_ts if max_ts is not None else (1 << 62)
+    return F.filter(
+        cells, lambda c: (c["ts"] >= F.lit(lo)) & (c["ts"] < F.lit(hi)))
+
+
 @dataclass
 class ColumnRequest:
     """One requested column (``family:qualifier``) or whole family.
@@ -37,11 +52,7 @@ class ColumnRequest:
     reader_schema: str | None = None
 
     def _slice_cells(self, cells: Column) -> Column:
-        expr = cells
-        if self.min_ts is not None or self.max_ts is not None:
-            lo = self.min_ts if self.min_ts is not None else -(1 << 62)
-            hi = self.max_ts if self.max_ts is not None else (1 << 62)
-            expr = F.filter(expr, lambda c: (c["ts"] >= F.lit(lo)) & (c["ts"] < F.lit(hi)))
+        expr = ts_range_filter(cells, self.min_ts, self.max_ts)
         # cells are stored newest-first, so version limiting is a prefix slice
         if self.max_versions > 0:
             expr = F.slice(expr, 1, self.max_versions)
@@ -77,6 +88,18 @@ class ColumnRequest:
         # whole family: map families get regex qualifier filtering
         fam = F.col(self.family)
         if self.qualifier_regex is not None:
+            if isinstance(family_type, T.StructType):
+                # a clear contract error beats the opaque
+                # DATATYPE_MISMATCH AnalysisException map_filter throws
+                # on a struct column (r13 review finding); the
+                # reference's RegexQualifierColumnFilter is likewise
+                # map-family-only (qualifiers of a group family are
+                # schema, not data)
+                raise ValueError(
+                    f"qualifier_regex on {self.family!r}: regex "
+                    "qualifier filters apply to MAP families; "
+                    f"{self.family!r} is a group family — request its "
+                    "columns by name")
             fam = F.map_filter(fam, lambda k, _: k.rlike(self.qualifier_regex))
             fam = F.transform_values(fam, lambda _, v: self._slice_cells(v))
             return [fam.alias(self.family)]

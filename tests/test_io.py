@@ -1705,3 +1705,91 @@ def test_warc_member_index_rejects_multirecord_member(spark, tmp_path):
         warc_member_index(files, lenient=False).collect()
     kept = warc_member_index(files, lenient=True).collect()
     assert [r.target_uri for r in kept] == ["http://m.example.com/ok"]
+
+
+def test_job_output_seq_kv_contract_and_unsupported_options(spark, tmp_path):
+    """seq output fails loudly on a non-2-column frame (a 3rd column was
+    silently dropped, a 1-column frame crashed executor-side) and on
+    options/partition_by it cannot honor (r13 review finding)."""
+    three = spark.createDataFrame([("k", "v", "extra")], "a string, b string, c string")
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        JobOutput(format="seq", path=f"{tmp_path}/s1").save(three)
+    one = spark.createDataFrame([("k",)], "a string")
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        JobOutput(format="seq", path=f"{tmp_path}/s2").save(one)
+    two = spark.createDataFrame([("k", "v")], "a string, b string")
+    with pytest.raises(ValueError, match="does not support options"):
+        JobOutput(format="seq", path=f"{tmp_path}/s3",
+                  options={"compression": "gzip"}).save(two)
+    with pytest.raises(ValueError, match="partition_by"):
+        JobOutput(format="map", path=f"{tmp_path}/s4",
+                  partition_by=["a"]).save(two)
+    with pytest.raises(ValueError, match="overwrite-only"):
+        JobOutput(format="hfile", path=f"{tmp_path}/s5",
+                  mode="append", key_cols=["a"]).save(two)
+
+
+def test_job_output_text_honors_compression(spark, tmp_path):
+    """compression= parsed from the spec reaches the text writer instead
+    of being silently dropped (r13 review finding)."""
+    df = spark.createDataFrame([("hello",)], "v string")
+    jo = job_output(f"format=text file={tmp_path}/tz compression=gzip")
+    jo.save(df)
+    files = os.listdir(f"{tmp_path}/tz")
+    assert any(f.endswith(".txt.gz") for f in files), files
+
+
+def test_job_output_parses_key_cols(spark, tmp_path):
+    """key_cols= lands on JobOutput.key_cols (it fell into the ignored
+    options dict, silently staging hfiles on entity_id — r13 review
+    finding)."""
+    jo = job_output(f"format=hfile file={tmp_path}/h key_cols=b,a")
+    assert jo.key_cols == ["b", "a"]
+    assert "key_cols" not in jo.options
+    df = spark.createDataFrame([(2, 1), (1, 2)], "a int, b int")
+    jo.save(df)
+    assert spark.read.parquet(f"{tmp_path}/h").count() == 2
+
+
+def test_kiji_output_probe_is_scheme_agnostic(spark, tmp_path):
+    """A format=kiji write at a file://-prefixed LIVE entity table routes
+    through upsert instead of destructively parquet-overwriting the
+    table dir (r13 review finding: os.path.exists said False for any
+    scheme-prefixed path)."""
+    import json as _json
+
+    from kiji_mapreduce_spark.layout import TableLayout
+    from kiji_mapreduce_spark.table import EntityTable
+
+    layout = TableLayout.from_json(_json.dumps({
+        "name": "ko", "families": [
+            {"name": "m", "columns": [{"name": "v", "schema": "long"}]}]}))
+    path = f"{tmp_path}/ko_table"
+    t = EntityTable.create(spark, path, layout)
+    rows = spark.createDataFrame([(("a",), 7)],
+                                 "entity_id struct<key string>, v long")
+    JobOutput(format="kiji", path=f"file://{path}").save(
+        rows.select("entity_id", F.struct(
+            F.array(F.struct(F.lit(1).cast("long").alias("ts"),
+                             F.col("v").alias("value"))).alias("v"))
+            .alias("m")))
+    # the layout sidecar survived and the row landed through upsert
+    assert os.path.exists(os.path.join(path, "_kiji_layout.json"))
+    got = {r.entity_id.key: r.m.v[0].value
+           for r in EntityTable.open(spark, path).read().collect()}
+    assert got == {"a": 7}
+
+
+def test_strip_file_scheme_single_slash(tmp_path):
+    """file:/x (Hadoop Path.toString), file:///x and file://x all strip
+    to local paths (r13 review finding: the single-slash form broke
+    fs_exists and write-mode semantics)."""
+    from kiji_mapreduce_spark.io.outputs import _strip_file_scheme, fs_exists
+
+    assert _strip_file_scheme("file:/a/b") == "/a/b"
+    assert _strip_file_scheme("file:///a/b") == "/a/b"
+    assert _strip_file_scheme("/a/b") == "/a/b"
+    assert _strip_file_scheme("s3a://bucket/x") == "s3a://bucket/x"
+    (tmp_path / "probe").write_text("x")
+    assert fs_exists(f"file:/{str(tmp_path).lstrip('/')}/probe")
+    assert fs_exists(f"file://{tmp_path}/probe")

@@ -159,3 +159,21 @@ def test_bindings_cache_size_accepted_and_ignored(spark, tmp_path):
     stores = parse_bindings_xml(xml)
     got = stores["s"].reader(spark)
     assert list(got) == ["a"] and "1" in str(got["a"])
+
+
+def test_inmemory_map_store_empty_and_reader_signature(spark):
+    """An EMPTY literal-map binding behaves like EmptyKeyValueStore
+    instead of crashing schema inference, and reader() accepts the base
+    class's max_rows argument (r13 review findings)."""
+    from kiji_mapreduce_spark.kvstore.stores import (
+        EmptyKeyValueStore, InMemoryMapKeyValueStore)
+
+    store = InMemoryMapKeyValueStore(data={})
+    assert store.dataframe(spark).count() == 0
+    assert store.reader(spark, max_rows=10) == {}
+    assert EmptyKeyValueStore().reader(spark, max_rows=10) == {}
+    # lookup through the empty store: every probe misses, none crash
+    df = spark.createDataFrame([("k1",)], "key string")
+    out = store.lookup(df)
+    assert out.count() == 1
+    assert out.collect()[0].value is None

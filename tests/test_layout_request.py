@@ -187,3 +187,19 @@ def test_whole_family_request_slices_versions(spark):
                                       min_ts=2, max_ts=3)])
     row2 = req2.apply(df).first()
     assert [c.ts for c in row2.info.email] == [2]
+
+
+def test_qualifier_regex_on_group_family_raises(spark):
+    """qualifier_regex on a group (struct) family is a contract error
+    with a clear message, not an opaque map_filter AnalysisException
+    (r13 review finding); the reference's RegexQualifierColumnFilter is
+    likewise map-family-only."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from kiji_mapreduce_spark.request import ColumnRequest
+
+    struct_t = T.StructType([T.StructField("name", T.StringType())])
+    req = ColumnRequest(family="info", qualifier_regex="^na.*")
+    with pytest.raises(ValueError, match="MAP families"):
+        req.exprs(family_type=struct_t)
