@@ -734,8 +734,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
             rate = w.getframerate()
             sampwidth = w.getsampwidth()
             frames = w.readframes(w.getnframes())
+    # RuntimeError joins the corrupt-wrap tuple SCOPED to this stdlib
+    # call only (the tarfile/zstd TypeError discipline): CPython's
+    # chunk seek inside wave.py raises a BARE RuntimeError when a
+    # corrupt chunk-size field pushes a skip out of range
+    # (Lib/wave.py:155, `if pos < 0 or pos > self.chunksize`) —
+    # r13 soak-fuzz find, one bit flipped in the fmt-size field of a
+    # valid in-repo encode. A RuntimeError from engine code below
+    # still surfaces.
     except (wave.Error, EOFError, struct.error, ValueError,
-            IndexError) as e:
+            IndexError, RuntimeError) as e:
         # the stdlib module only speaks PCM; G.711 companded WAVs
         # (format tags 6/7 — the telephony/speech-corpus encodings)
         # decode through the published log-PCM expansion instead.

@@ -715,6 +715,27 @@ def test_codec_error_surface_is_total(data):
     assert isinstance(mc.webp_frame_count(data), int)
 
 
+def test_wav_corrupt_chunk_size_error_surface():
+    """r13 soak-fuzz find, pinned deterministically: one bit flipped in
+    a valid WAV's fmt-chunk SIZE field (byte 16: 0x10 -> 0x11) drives
+    CPython's chunk seek out of range inside wave.py, which raises a
+    BARE RuntimeError (Lib/wave.py:155) — it escaped the decode
+    contract. Now it collapses into UnsupportedMedia like every other
+    malformed-structure failure, and the header-only probe still
+    answers."""
+    import numpy as np
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import media_codecs as mc
+
+    blob = bytearray(mc.encode_wav(np.arange(300, dtype=np.int16), 8000))
+    blob[16] ^= 1
+    with pytest.raises(mc.UnsupportedMedia, match="malformed WAV"):
+        mc.decode_audio(bytes(blob))
+    probe = mc.probe_media(bytes(blob))
+    assert probe is None or isinstance(probe, dict)
+
+
 @given(st.data())
 @settings(max_examples=60 * _FUZZ_MULT, deadline=None)
 def test_codec_error_surface_on_corrupted_fixtures(data):
