@@ -65,10 +65,14 @@ def exact_groups(df: DataFrame, text_col: str = "text",
     """Group identical texts by digest: (digest, representative id, count).
 
     The representative is the minimum id (deterministic). Only the digest
-    and id shuffle.
+    and id shuffle. NULL-text rows have no digest and form no group —
+    unknown content is not "identical" to other unknown content (r13
+    review finding: the NULL digests grouped together and dedup then
+    deleted all but one of them).
     """
     return (
         df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .filter(F.col("digest").isNotNull())
         .groupBy("digest")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -85,8 +89,15 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     w_digest = F.md5(F.col(text_col))
     keep = exact_groups(df, text_col, id_col).select(
         "digest", F.col("keep_id").alias(id_col))
-    return df.withColumn("digest", w_digest).join(
-        keep, on=["digest", id_col], how="left_semi").drop("digest")
+    with_d = df.withColumn("digest", w_digest)
+    kept = with_d.filter(F.col("digest").isNotNull()).join(
+        keep, on=["digest", id_col], how="left_semi")
+    # NULL text has no digest and is nobody's duplicate: pass those rows
+    # through untouched — the semi-join's NULL-never-equals semantics
+    # silently deleted every one of them, representative included (r13
+    # review finding)
+    return kept.unionByName(
+        with_d.filter(F.col("digest").isNull())).drop("digest")
 
 
 def duplicate_source_matrix(df: DataFrame, text_col: str = "text",
@@ -279,6 +290,7 @@ def minhash_lsh_candidates(
     (~ (1/bands)^(1/rows)). Returns (id_a, id_b) with id_a < id_b, distinct.
     At scale the band-bucket groupBy shuffles only (band, bucket-hash, id).
     """
+    _check_minhash_bands(num_hashes, bands)
     rows = num_hashes // bands
     with_sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
@@ -475,9 +487,23 @@ def corpus_index(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _check_minhash_bands(num_hashes: int, bands: int) -> None:
+    """num_hashes must split evenly into bands: a remainder would
+    silently drop the signature's tail columns from every bucket and
+    shift the effective similarity threshold (r13 review finding) —
+    the Hamming path's _check_band_params discipline."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by bands={bands}"
+            " — the banding would ignore the last "
+            f"{num_hashes % bands if bands >= 1 else num_hashes} "
+            "signature column(s)")
+
+
 def _band_entries(sig_df: DataFrame, id_col: str, num_hashes: int,
                   bands: int, hash_fn: str) -> DataFrame:
     """(id, band, bucket) rows from an index's signature columns."""
+    _check_minhash_bands(num_hashes, bands)
     rows = num_hashes // bands
 
     def _bucket(b):
@@ -593,6 +619,14 @@ def minhash_dedup_incremental(
     new_idx = (minhash_index(new_df, text_col, id_col, num_hashes,
                              shingle_n, hash_fn)
                .localCheckpoint(eager=True))
+    # an id present in BOTH the batch and the persisted index (a
+    # re-ingest after a partial failure) must count once, as its NEW
+    # row: keeping the stale index row fans every candidate touching
+    # that id into two verify rows — duplicated, and contradictory when
+    # the text changed (r13 review finding). The anti-join keys on the
+    # (small, checkpointed) batch id set.
+    index = index.join(new_idx.select(id_col).distinct(),
+                       on=id_col, how="left_anti")
     is_new = F.lit(True).alias("_new")
     entries = _prune_hot_buckets(
         _band_entries(new_idx, id_col, num_hashes, bands, hash_fn)
@@ -655,10 +689,23 @@ def embedding_lsh_candidates(
 
     @F.pandas_udf("array<bigint>")
     def _band_buckets(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy()).astype(np.float64)
-        signs = (m @ mat.T) >= 0
-        b = (signs.reshape(len(m), bands, planes_per_band) * weights).sum(axis=2)
-        return pd.Series(list(b))
+        # NULL or wrong-length embeddings cannot be hashed: emit a NULL
+        # bucket array (posexplode then drops the row) instead of
+        # letting np.vstack raise over the whole Arrow batch and kill
+        # the job for one bad vector (r13 review finding)
+        vals = v.to_numpy()
+        ok = np.array([x is not None and len(x) == dim for x in vals])
+        out = np.empty(len(vals), dtype=object)
+        if ok.any():
+            m = np.vstack(vals[ok]).astype(np.float64)
+            signs = (m @ mat.T) >= 0
+            b = (signs.reshape(ok.sum(), bands, planes_per_band)
+                 * weights).sum(axis=2)
+            # elementwise: a bulk out[ok] = would re-stack the rows
+            # into a 2-d array and fail the object-dtype assignment
+            for j, row in zip(np.nonzero(ok)[0], b):
+                out[j] = row
+        return pd.Series(out)
 
     entries = embeddings.select(
         F.col(id_col),
@@ -680,7 +727,7 @@ def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bands: int = 8, planes_per_band: int = 8, seed: int = 42,
-    exact: bool = False,
+    exact: bool = False, max_bucket: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold.
 
@@ -689,6 +736,13 @@ def embedding_near_duplicates(
     generation shuffles (id, band, bucket) only, vectors are joined back
     just for the surviving candidate pairs. ``exact=True`` compares all
     pairs (quadratic — small corpora only). Returns (id_a, id_b, cosine).
+
+    ``max_bucket`` reaches the candidate stage's hot-bucket guard
+    (zero/near-constant embeddings land identical sign patterns in
+    every band, and the in-bucket self-join is quadratic); it was not
+    plumbed through before, leaving the guard unreachable from this
+    API (r13 review finding). ``None`` keeps exact candidate-set
+    semantics (the oracle-checked default).
     """
     from kiji_mapreduce_spark.pipeline.similarity import (
         as_double, dot, l2_norm)
@@ -714,7 +768,8 @@ def embedding_near_duplicates(
                          F.col("b._n").alias("_n_b")))
     else:
         cands = embedding_lsh_candidates(
-            embeddings, id_col, vec_col, bands, planes_per_band, seed)
+            embeddings, id_col, vec_col, bands, planes_per_band, seed,
+            max_bucket=max_bucket)
         pairs = (
             cands
             .join(e.select(F.col(id_col).alias("id_a"),
@@ -883,8 +938,14 @@ def dedup_corpus(
     idx = corpus_index(df, text_col, id_col, num_hashes, shingle_n,
                        hash_fn)
     w_digest = Window.partitionBy("digest")
+    # NULL digests (NULL text) all land in ONE window partition — the
+    # min-id filter would keep a single survivor for 100 unrelated
+    # unknown-content docs (r13 review finding); they are each their
+    # own survivor instead (and their empty shingle sets keep them out
+    # of the near-dup stages below)
     surv = (idx.withColumn("_min_id", F.min(id_col).over(w_digest))
-            .filter(F.col("_min_id") == F.col(id_col)).drop("_min_id")
+            .filter((F.col("_min_id") == F.col(id_col))
+                    | F.col("digest").isNull()).drop("_min_id")
             .localCheckpoint(eager=True))
     sig = surv.filter(F.size("_sh") > 0)  # empty docs can't be near-dups
     entries = _prune_hot_buckets(
@@ -1178,7 +1239,20 @@ def semantic_dedup(
 
     from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign
 
-    assigned = kmeans_assign(embeddings, vec_col=vec_col, id_col=id_col,
+    # vectors that cannot be compared (NULL, or a length differing
+    # from the corpus dim) are their own survivors — the NULL-text
+    # dedup discipline. Unguarded they reached np.array/vstack inside
+    # the pair UDF, which raises over the whole Arrow batch and kills
+    # the job for one bad row (r13 review finding).
+    dim_row = (embeddings.filter(F.col(vec_col).isNotNull())
+               .select(F.size(vec_col).alias("d")).first())
+    dim = dim_row["d"] if dim_row else 0
+    valid = embeddings.filter(F.col(vec_col).isNotNull()
+                              & (F.size(vec_col) == dim))
+    invalid = embeddings.filter(F.col(vec_col).isNull()
+                                | (F.size(vec_col) != dim))
+
+    assigned = kmeans_assign(valid, vec_col=vec_col, id_col=id_col,
                              k=k, iters=iters, keep_vec=True)
     with_vec = assigned.select(
         id_col, "cluster", F.col(vec_col).alias("_v"))
@@ -1216,11 +1290,18 @@ def semantic_dedup(
     out = (assigned.select(id_col, "cluster")
            .join(keep.withColumnRenamed("doc_id", id_col),
                  on=id_col, how="left"))
-    return out.select(
+    verdicts = out.select(
         id_col, "cluster",
         F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
         (F.coalesce("keep_id", F.col(id_col)) == F.col(id_col))
         .alias("keep"))
+    # uncomparable vectors: their own survivors, NULL cluster
+    cluster_t = dict(verdicts.dtypes)["cluster"]
+    return verdicts.unionByName(invalid.select(
+        F.col(id_col),
+        F.lit(None).cast(cluster_t).alias("cluster"),
+        F.col(id_col).alias("keep_id"),
+        F.lit(True).alias("keep")))
 
 
 def boilerplate_lines(df: DataFrame, text_col: str = "text",
@@ -1233,7 +1314,10 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
     navigation bars, cookie banners, footers — as (line_hash, line,
     n_docs) rows. Document frequency, not raw occurrences: a line
     repeated inside ONE document is repetition (``text_repetition``'s
-    business), not boilerplate.
+    business), not boilerplate. ``min_docs`` is EXCLUSIVE (a line in
+    exactly ``min_docs`` documents is not flagged — the threshold is
+    "more than", mirroring the oracle's strict >); note
+    ``repeated_ngram_coverage``'s same-named knob is inclusive.
 
     Scale shape: explode to (line_hash, doc) pairs, distinct, count —
     two shuffles on the 64-bit hash, partial aggregation on both, no
@@ -1243,9 +1327,14 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
     """
     n_docs = df.select(F.count_distinct(F.col(id_col))).collect()[0][0]
     threshold = max(min_docs, int(max_doc_frac * n_docs))
+    # \r?\n, not \n: CRLF documents otherwise hash lines with a
+    # trailing \r, so the same banner in CRLF and LF encodings counts
+    # as two different lines and can each sit under the frequency
+    # threshold (r13 review finding — the same CRLF class the r11
+    # fixes removed from line_repetition_features and c4_line_filter)
     lines = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("line"))
     lines = lines.filter(F.length(F.trim(F.col("line")))
                          >= min_line_chars)
     return (lines
@@ -1312,8 +1401,9 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                   else boiler)
     lines = df.select(
         F.col(id_col).alias("_bl_id"),
-        F.posexplode(F.split(F.col(text_col), "\n"))
-        .alias("line_no", "line"))
+        F.posexplode(F.split(F.col(text_col), "\r?\n"))
+        .alias("line_no", "line"))  # CRLF-safe split; rebuild joins
+    # with \n, so CRLF documents come back LF-normalized
     kept = (lines
             .withColumn("line_hash", F.xxhash64(F.col("line")))
             .join(strip_side, on="line_hash",
@@ -1340,7 +1430,7 @@ def drop_boilerplate_lines(df: DataFrame, text_col: str = "text",
                # (ADVICE r10)
                F.when(F.col(text_col).isNull(), F.lit(0))
                .otherwise(
-                   F.size(F.split(F.col(text_col), "\n"))
+                   F.size(F.split(F.col(text_col), "\r?\n"))
                    - F.coalesce(F.col("_bl_kept"),
                                 F.lit(0)).cast("int")))
            .withColumn(

@@ -1015,58 +1015,92 @@ def html_main_text(df: DataFrame, content_col: str = "content",
     the exact published thresholds, which need no training and were
     shown near-optimal for news/article pages.
 
-    Everything is a per-row array expression — zero shuffle, zero
-    UDF, one pass over the body (lambda-array transforms run
-    interpreted rather than codegen'd, the documented cost of the
-    opt-in path). Appends ``n_blocks_kept`` / ``n_blocks_dropped``
-    beside the rewritten text; ``http_html_text`` remains the default
-    extractor (it keeps ALL text — the right default for recall)."""
+    Shape (r13 rewrite): blocks posexplode to ROWS, per-block features
+    are plain row columns (whole-stage codegen — the regex work runs
+    once per block), neighbors come from ONE lag/lead window pass over
+    (row, block_no) — the exact shape the DuckDB oracle replays — and
+    the kept blocks re-assemble per row with an order-preserving
+    array_sort. The previous all-array-expression form re-evaluated
+    the ENTIRE per-page feature array for every per-block element_at
+    inside the filter lambda (interpreted, no CSE across the lambda
+    boundary) — O(blocks^2) regex work per page, the same inlining
+    hazard fingerprints() documents at 20x (r13 review finding).
+    Costs one row-key shuffle for the window + the rebuild
+    aggregation; output is identical (oracle-pinned at two SFs).
+    Appends ``n_blocks_kept`` / ``n_blocks_dropped`` beside the
+    rewritten text; ``http_html_text`` remains the default extractor
+    (it keeps ALL text — the right default for recall)."""
+    from pyspark.sql import Window
+
     _, body = _http_string_parts(F.col(content_col))
     ctype = http_content_type(F.col(content_col))
     stripped = F.regexp_replace(
         body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
     stripped = F.regexp_replace(stripped, r"(?s)<!--.*?-->", " ")
     blocks = F.split(stripped, _BLOCK_TAG_RE)
-    feats = F.transform(blocks, lambda b: F.struct(
-        _html_plain(b).alias("txt"),
-        _html_plain(F.array_join(
-            F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"),
-                                 1), " ")).alias("atxt")))
-    feats = F.filter(feats, lambda s: s.txt != "")
-    feats = F.transform(feats, lambda s: F.struct(
-        s.txt.alias("txt"),
-        F.size(F.filter(F.split(s.txt, r"\s+"),
-                        lambda w: w != "")).alias("w"),
-        (F.length(s.atxt)
-         / F.greatest(F.length(s.txt), F.lit(1))).alias("ld")))
-    n = F.size(feats)
 
-    def _is_content(s, i):
-        # element_at is 1-based: element i is the PREVIOUS block of
-        # 0-based index i, element i+2 the NEXT; edge blocks see an
-        # empty neighbor (0 words, 0 density), the paper's convention
-        prev_w = F.when(i > 0, F.element_at(feats, i).w).otherwise(0)
-        prev_ld = F.when(i > 0, F.element_at(feats, i).ld) \
-            .otherwise(0.0)
-        next_w = F.when(i < n - 1,
-                        F.element_at(feats, i + 2).w).otherwise(0)
-        tree = F.when(
-            prev_ld <= _BP_PREV_LD,
-            (s.w > _BP_CURR_W) | (next_w > _BP_NEXT_W)
-            | (prev_w > _BP_PREV_W)
-        ).otherwise((s.w > _BP_CURR_W_HI) | (next_w > _BP_NEXT_W_HI))
-        return (s.ld <= _BP_CURR_LD) & tree
-
-    kept = F.filter(feats, _is_content)
+    # row key: opaque and partitioning-dependent, but used only to
+    # delimit rows (the hashed_ngram_counts precedent) — the rebuilt
+    # rows join back on it within the same plan
+    keyed = df.withColumn("_mc_rid", F.monotonically_increasing_id())
+    ex = keyed.select(
+        "_mc_rid",
+        F.posexplode(blocks).alias("_bno", "_blk"))
+    txt = _html_plain(F.col("_blk"))
+    atxt = _html_plain(F.array_join(
+        F.regexp_extract_all(F.col("_blk"),
+                             F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1),
+        " "))
+    feat = (ex.select(
+        "_mc_rid", "_bno", txt.alias("_txt"), atxt.alias("_atxt"))
+        .filter(F.col("_txt") != "")
+        .select(
+            "_mc_rid", "_bno", "_txt",
+            F.size(F.filter(F.split(F.col("_txt"), r"\s+"),
+                            lambda w: w != "")).alias("_w"),
+            (F.length(F.col("_atxt"))
+             / F.greatest(F.length(F.col("_txt")), F.lit(1)))
+            .alias("_ld")))
+    w = Window.partitionBy("_mc_rid").orderBy("_bno")
+    # edge blocks see an empty neighbor (0 words, 0 density), the
+    # paper's convention
+    prev_w = F.coalesce(F.lag("_w").over(w), F.lit(0))
+    prev_ld = F.coalesce(F.lag("_ld").over(w), F.lit(0.0))
+    next_w = F.coalesce(F.lead("_w").over(w), F.lit(0))
+    tree = F.when(
+        prev_ld <= _BP_PREV_LD,
+        (F.col("_w") > _BP_CURR_W) | (next_w > _BP_NEXT_W)
+        | (prev_w > _BP_PREV_W)
+    ).otherwise((F.col("_w") > _BP_CURR_W_HI) | (next_w > _BP_NEXT_W_HI))
+    scored = feat.select(
+        "_mc_rid", "_bno", "_txt",
+        ((F.col("_ld") <= _BP_CURR_LD) & tree).alias("_keep"))
+    rebuilt = (scored
+               .groupBy("_mc_rid")
+               .agg(
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(F.when(
+                               F.col("_keep"),
+                               F.struct("_bno", "_txt")))),
+                           lambda s: s._txt), "\n").alias("_mc_text"),
+                   F.sum(F.col("_keep").cast("int")).alias("_mc_kept"),
+                   F.count(F.lit(1)).alias("_mc_n")))
     null_in = F.col(content_col).isNull()
-    return (df
-            .withColumn("content_type", ctype)
-            .withColumn("n_blocks_kept",
-                        F.when(null_in, F.lit(0)).otherwise(F.size(kept)))
-            .withColumn("n_blocks_dropped",
-                        F.when(null_in, F.lit(0))
-                        .otherwise(n - F.size(kept)))
-            .withColumn(text_col,
-                        F.when(null_in, F.lit(None).cast("string"))
-                        .otherwise(F.array_join(
-                            F.transform(kept, lambda s: s.txt), "\n"))))
+    out = (keyed
+           .join(rebuilt, on="_mc_rid", how="left")
+           .withColumn("content_type", ctype)
+           .withColumn("n_blocks_kept",
+                       F.when(null_in, F.lit(0)).otherwise(
+                           F.coalesce(F.col("_mc_kept"), F.lit(0))
+                           .cast("int")))
+           .withColumn("n_blocks_dropped",
+                       F.when(null_in, F.lit(0)).otherwise(
+                           (F.coalesce(F.col("_mc_n"), F.lit(0))
+                            - F.coalesce(F.col("_mc_kept"), F.lit(0)))
+                           .cast("int")))
+           .withColumn(text_col,
+                       F.when(null_in, F.lit(None).cast("string"))
+                       .otherwise(F.coalesce(F.col("_mc_text"),
+                                             F.lit("")))))
+    return out.drop("_mc_rid", "_mc_text", "_mc_kept", "_mc_n")

@@ -3417,3 +3417,105 @@ def test_dsir_resample_keeps_gramless_docs(spark):
     assert sorted(rows) == [1, 2, 3, 4, 5]
     # the gramless docs carry the floor, not NULL
     assert rows[3] is not None and rows[3] == min(rows.values())
+
+
+def test_dedup_null_text_rows_are_their_own_survivors(spark):
+    """NULL-text rows (r13 review findings): drop_exact_duplicates used
+    to DELETE every one of them (the semi-join never matches NULL
+    digests), and dedup_corpus collapsed them all into one survivor
+    (NULL digests share a window partition). Unknown content is
+    nobody's duplicate — each row survives."""
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"),
+         (3, None), (4, None), (5, "unique text")],
+        "doc_id long, text string")
+    kept = dd.drop_exact_duplicates(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+    surv = dd.dedup_corpus(df, num_hashes=8, bands=4, threshold=0.99)
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 3, 4, 5]
+    # exact_groups reports no NULL group
+    groups = dd.exact_groups(df).collect()
+    assert all(g.digest is not None for g in groups)
+
+
+def test_minhash_bands_divisibility_guard(spark):
+    """num_hashes not divisible by bands raises instead of silently
+    ignoring the signature tail and shifting the banding threshold
+    (r13 review finding)."""
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="not divisible"):
+        dd.minhash_lsh_candidates(df, num_hashes=32, bands=6).collect()
+    with pytest.raises(ValueError, match="not divisible"):
+        dd.minhash_dedup(df, num_hashes=32, bands=6)
+
+
+def test_minhash_incremental_reingested_id_counts_once(spark):
+    """An id in BOTH the new batch and the persisted index (re-ingest
+    after a partial failure) must score against its NEW text only —
+    the stale index row used to fan candidates into duplicate (and,
+    when the text changed, contradictory) verify rows (r13 review
+    finding)."""
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    first = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally different content about spark engines")],
+        "doc_id long, text string")
+    index = dd.minhash_index(first, num_hashes=8, n=2)
+    # re-ingest id 2 with CHANGED text that now matches id 1
+    batch = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    pairs = dd.minhash_dedup_incremental(
+        batch, index, num_hashes=8, bands=4, shingle_n=2,
+        threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert len(pairs) == 1  # one verdict, scored on the new text
+    assert pairs[0].jaccard >= 0.9
+
+
+def test_embedding_lsh_null_and_ragged_vectors_skipped(spark):
+    """A NULL or wrong-length embedding must not kill the Arrow batch:
+    it simply produces no candidates (r13 review finding), and
+    semantic_dedup keeps such rows as their own survivors."""
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, None), (4, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    pairs = dd.embedding_near_duplicates(
+        emb, threshold=0.95, bands=2, planes_per_band=2).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    verdict = {r.vec_id: (r.keep_id, r.keep, r.cluster) for r in
+               dd.semantic_dedup(emb, threshold=0.95, k=1).collect()}
+    assert verdict[3][:2] == (3, True) and verdict[3][2] is None
+    assert verdict[4][:2] == (4, True) and verdict[4][2] is None
+    assert verdict[2][:2] == (1, False)
+
+
+def test_boilerplate_crlf_lines_match_lf(spark):
+    """CRLF documents hash lines WITHOUT the trailing \\r, so the same
+    banner in mixed encodings crosses the frequency threshold together
+    and strips from both (r13 review finding); rebuilt text is
+    LF-normalized."""
+    from kiji_mapreduce_spark.pipeline import dedup as dd
+
+    nav = "NAV BANNER shared across the corpus"
+    rows = []
+    for i in range(10):
+        sep = "\r\n" if i % 2 else "\n"
+        rows.append((i, sep.join([nav, f"unique body text {i} words"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.drop_boilerplate_lines(df, max_doc_frac=0.5, min_docs=2)
+    got = {r.doc_id: (r.text, r.n_lines_dropped) for r in out.collect()}
+    for i in range(10):
+        assert got[i] == (f"unique body text {i} words", 1), got[i]
