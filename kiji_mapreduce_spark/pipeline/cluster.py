@@ -50,6 +50,15 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         emb = emb.localCheckpoint(eager=True)
 
     seeds = (emb.orderBy(id_col).limit(k).collect())
+    if not seeds:
+        # an empty input (everything filtered upstream) returns an
+        # empty assignment frame instead of crashing on
+        # array_min(array()) field extraction (r13 review finding,
+        # confirmed; the pagerank n==0 discipline)
+        id_type = dict(df.dtypes)[id_col]
+        schema = (f"{id_col} {id_type}, cluster {id_type}, dist double"
+                  + (f", {vec_col} array<double>" if keep_vec else ""))
+        return df.sparkSession.createDataFrame([], schema)
     centroids = [(r[id_col], [round(x, round_digits) for x in r["_v"]])
                  for r in seeds]
 

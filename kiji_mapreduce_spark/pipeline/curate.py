@@ -127,6 +127,13 @@ def curate_corpus(
     instead of re-running the scoring scan per branch.
     """
     cfg = config or CurateConfig()
+    if cfg.splits is not None:
+        # validate the split spec BEFORE any Spark work: split_assign
+        # runs LAST, after the eager quality/dedup checkpoints — a
+        # fractions-sum error there throws away the whole chain's
+        # compute (r13 review finding); split_thresholds is the
+        # driver-side single source of that validation
+        sample_ops.split_thresholds(cfg.splits)
     if cfg.strip_boilerplate is not None:
         docs = dedup.drop_boilerplate_lines(
             docs, text_col=text_col, id_col=id_col,
@@ -169,7 +176,7 @@ def curate_corpus(
 
         ok = (lm_ops.bigram_lm_scores(
             docs, reference=cfg.ppl_reference, text_col=text_col,
-            id_col=id_col)
+            id_col=id_col, hash_fn=cfg.hash_fn)
             .filter((F.col("ppl") <= cfg.max_ppl)
                     | F.col("ppl").isNull())
             .select(id_col))
@@ -193,9 +200,13 @@ def curate_corpus(
             # (the exact double-scan the dedup stage's comment documents
             # eliminating — review finding)
             quality = quality.localCheckpoint(eager=True)
+        # cfg.hash_fn must reach the feature hashing: a model trained
+        # on md5-hashed features scored against xx-hashed indexes is
+        # silently permuted — near-random probabilities through the
+        # min_prob gate (r13 review finding)
         feats = classifier.hashed_features(
             quality, text_col=text_col, id_col=id_col,
-            dim=cfg.quality_model["dim"])
+            dim=cfg.quality_model["dim"], hash_fn=cfg.hash_fn)
         probs = classifier.score_logreg(
             feats, np.asarray(cfg.quality_model["weights"]),
             cfg.quality_model["bias"], id_col=id_col)

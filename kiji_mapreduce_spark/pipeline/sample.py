@@ -32,10 +32,23 @@ _BUCKETS = 10000
 def _key_unit(key_col: str, seed: int, hash_fn: str) -> "F.Column":
     """Hash of (seed | key) folded to [0, 10000) — the sampling unit.
     Keys should be string/int typed; the string rendering crosses
-    engines exactly for those (not for bool/float)."""
-    packed = F.concat_ws("|", F.lit(str(seed)),
-                         F.col(key_col).cast("string"))
-    return F.pmod(token_hash64(packed, hash_fn), F.lit(_BUCKETS))
+    engines exactly for those (not for bool/float).
+
+    A NULL key yields a NULL unit, so threshold filters DROP the row
+    and rank windows sort it last — matching the SQL oracles'
+    NULL-propagating ``||``. The previous concat_ws form skipped the
+    NULL and hashed just the seed, collapsing every NULL-key row into
+    ONE correlated sampling unit: at rate 0.5 a corpus's NULL-id rows
+    were kept 50/50 or dropped 50/50 together (r13 review finding,
+    confirmed empirically; weighted_sample_topk had the same fix in
+    r5 but it never reached this helper's four consumers)."""
+    packed = F.concat(F.lit(str(seed) + "|"),
+                      F.col(key_col).cast("string"))
+    # xxhash64 SKIPS null inputs (hash-of-nothing constant), so the
+    # NULL must be made explicit rather than trusted to propagate
+    return F.when(F.col(key_col).isNotNull(),
+                  F.pmod(token_hash64(packed, hash_fn),
+                         F.lit(_BUCKETS)))
 
 
 def stratified_sample(
@@ -52,14 +65,17 @@ def stratified_sample(
     Deterministic in the key alone — membership survives re-partitioning,
     engine changes (``hash_fn="md5"``), and incremental re-runs, which is
     what makes the sample auditable. Per-stratum thresholds are exact
-    integer bucket counts (rate * 10000), so a rate of 0.35 keeps
-    exactly the keys hashing below 3500.
+    integer bucket counts (round(rate * 10000), the split_thresholds
+    rounding — int() truncation turned 0.57 into threshold 5699 via
+    float representation error, r13 review finding, confirmed), so a
+    rate of 0.35 keeps exactly the keys hashing below 3500. NULL-key
+    rows have no sampling unit and are dropped (see ``_key_unit``).
     """
     u = _key_unit(key_col, seed, hash_fn)
-    thresh = F.lit(int(default_rate * _BUCKETS))
+    thresh = F.lit(int(round(default_rate * _BUCKETS)))
     for value, rate in sorted(rates.items()):
         thresh = F.when(F.col(strata_col) == value,
-                        F.lit(int(rate * _BUCKETS))).otherwise(thresh)
+                        F.lit(int(round(rate * _BUCKETS)))).otherwise(thresh)
     return df.filter(u < thresh)
 
 
@@ -109,7 +125,11 @@ def stratum_topk(
     tiebreak — a deterministic reservoir sample. Adds ``sample_rank``
     (1..k). One shuffle on the stratum column."""
     u = _key_unit(key_col, seed, hash_fn)
-    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    # NULLS LAST: a NULL key has no hash; Spark's ASC default (nulls
+    # first) would hand NULL-key rows the TOP ranks, and DuckDB's ASC
+    # default is nulls-last — both reasons point the same way
+    w = Window.partitionBy(strata_col).orderBy(
+        u.asc_nulls_last(), F.col(key_col).asc_nulls_last())
     return (df.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
 
@@ -141,6 +161,13 @@ def pack_documents(
     hash shards packed in parallel (packs never span shards, which
     costs at most one partially-filled pack per shard).
     """
+    if budget < 1:
+        raise ValueError(f"pack budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        # floor(x/0)/pmod(x,0) are silent NULLs with ANSI off — every
+        # pack assignment would be NULL (r13 review finding; the
+        # chunk_documents guard discipline)
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     u = _key_unit(key_col, seed, hash_fn)
     shard = F.pmod(token_hash64(
         F.concat_ws("|", F.lit(f"shard{seed}"),
@@ -192,14 +219,19 @@ def split_assign(
     # its survivors would threshold the SAME u — every survivor lands
     # in the first split and the held-out sets are silently empty
     # (review finding, reproduced)
-    packed = F.concat_ws("|", F.lit("split"), F.lit(str(seed)),
-                         F.col(key_col).cast("string"))
+    packed = F.concat(F.lit(f"split|{seed}|"),
+                      F.col(key_col).cast("string"))
     u = F.pmod(token_hash64(packed, hash_fn), F.lit(_BUCKETS))
     bounds = split_thresholds(splits)
     cum, col = 0, None
     for name, cum in bounds[:-1]:
         col = F.when(u < cum, name) if col is None else col.when(u < cum, name)
     col = col.otherwise(bounds[-1][0])
+    # a NULL key has no hash and belongs to NO split: the CASE's
+    # otherwise() would silently dump every NULL-key row into the LAST
+    # split (and the NULL-skipping concat_ws before it put them all in
+    # ONE correlated bucket — r13 review finding, the _key_unit fix)
+    col = F.when(F.col(key_col).isNotNull(), col)
     return df.withColumn(out_col, col)
 
 
@@ -317,6 +349,26 @@ def mixture_weights(
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+    if target is not None:
+        # validate the explicit mapping against the OBSERVED groups: a
+        # typo'd name silently weighted the real group 0 (rate-based
+        # sampling then deletes the whole source), and a fully
+        # unmatched target made every sample_weight NULL via 0/0 (r13
+        # review finding — the temperature knob was validated, this
+        # one was not)
+        observed = {r[0] for r in per.select(group_col).collect()}
+        missing = sorted(set(target) - observed)
+        if missing:
+            raise ValueError(
+                f"mixture target names group(s) not in the corpus: "
+                f"{', '.join(map(str, missing))} (observed: "
+                f"{', '.join(map(str, sorted(observed)))})")
+        unweighted = sorted(observed - set(target))
+        if unweighted:
+            raise ValueError(
+                "mixture target gives no share to observed group(s) "
+                f"{', '.join(map(str, unweighted))} — make the drop "
+                "explicit with a 0.0 entry")
     w_all = Window.partitionBy()
     share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
     if temperature is not None:

@@ -140,8 +140,17 @@ def countmin_estimates(
 
     NULL probe values are EXCLUDED from the output (a NULL has no
     defined cells), not returned as estimate 0 — filter them upstream
-    if one-row-per-probe alignment matters.
+    if one-row-per-probe alignment matters. DUPLICATE probe rows
+    collapse to one output row for the same reason (the groupBy keys
+    on the probe columns): the output aligns to DISTINCT probes, never
+    positionally (r13 review finding — the docstring implied only
+    NULLs broke alignment).
     """
+    for reserved in ("cm_row", "cm_bucket", "cm_count"):
+        if reserved in probes.columns:
+            raise ValueError(
+                f"countmin_estimates: probe column {reserved!r} "
+                "collides with the sketch fan-out columns — rename it")
     probed = cm_expand(probes, value_col, depth, width, hash_fn)
     keys = [c for c in probes.columns]
     joined = probed.join(F.broadcast(cms), on=["cm_row", "cm_bucket"],

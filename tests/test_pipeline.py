@@ -3519,3 +3519,138 @@ def test_boilerplate_crlf_lines_match_lf(spark):
     got = {r.doc_id: (r.text, r.n_lines_dropped) for r in out.collect()}
     for i in range(10):
         assert got[i] == (f"unique body text {i} words", 1), got[i]
+
+
+def test_sampling_null_keys_drop_not_collapse(spark):
+    """NULL keys have no sampling unit (r13 review finding, confirmed
+    empirically): they used to collapse into ONE correlated unit —
+    kept or dropped 50/50 together — because concat_ws skips NULLs.
+    Now threshold samplers drop them (matching the SQL oracles'
+    NULL-propagating ||), rank samplers sort them last, and
+    split_assign gives them a NULL split instead of silently dumping
+    them all into the last split."""
+    from kiji_mapreduce_spark.pipeline import sample as sp
+
+    rows = [(i, "en") for i in range(40)] + [(None, "en")] * 10
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sp.stratified_sample(df, "lang", {"en": 0.5}).collect()
+    assert all(r.doc_id is not None for r in kept)
+    assert 10 <= len(kept) <= 30  # the non-null half samples normally
+
+    topk = sp.stratum_topk(df, "lang", k=40).collect()
+    assert all(r.doc_id is not None for r in topk)
+
+    split = {r.doc_id: r.split for r in
+             sp.split_assign(df, {"train": 0.8, "val": 0.1,
+                                  "test": 0.1}).collect()
+             if r.doc_id is None or True}
+    assert split[None] is None
+    assert all(v is not None for k, v in split.items() if k is not None)
+
+
+def test_stratified_threshold_rounds_not_truncates(spark):
+    """rate=0.57: float representation makes 0.57*10000 == 5699.999...,
+    so int() truncation dropped bucket 5699 (r13 review finding,
+    confirmed); round() matches split_thresholds and any SQL oracle
+    computing 5700."""
+    from kiji_mapreduce_spark.pipeline import sample as sp
+    from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+
+    df = spark.createDataFrame([(i, "x") for i in range(200000)],
+                               "doc_id long, lang string")
+    kept = sp.stratified_sample(df, "lang", {"x": 0.57}, seed=42)
+    # every key whose unit is exactly 5699 must be kept
+    u = F.pmod(token_hash64(
+        F.concat(F.lit("42|"), F.col("doc_id").cast("string"))),
+        F.lit(10000))
+    boundary = df.withColumn("_u", u).filter(F.col("_u") == 5699)
+    n_boundary = boundary.count()
+    assert n_boundary > 0
+    assert kept.withColumn("_u", u).filter(
+        F.col("_u") == 5699).count() == n_boundary
+
+
+def test_mixture_weights_target_validated(spark):
+    """A typo'd target group name raises instead of silently zeroing
+    the real group's weight; an observed group missing from the target
+    must be dropped explicitly (r13 review finding)."""
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame(
+        [(1, "common_crawl", "words here"), (2, "wiki", "more words")],
+        "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="not in the corpus"):
+        sp.mixture_weights(df, target={"comon_crawl": 0.6, "wiki": 0.4})
+    with pytest.raises(ValueError, match="no share"):
+        sp.mixture_weights(df, target={"wiki": 1.0})
+    ok = {r.source: r.sample_weight for r in sp.mixture_weights(
+        df, target={"common_crawl": 0.0, "wiki": 1.0}).collect()}
+    assert ok["common_crawl"] == 0.0
+
+
+def test_pack_documents_budget_guard(spark):
+    from kiji_mapreduce_spark.pipeline import sample as sp
+
+    df = spark.createDataFrame([(1, "s", "a b c")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="budget"):
+        sp.pack_documents(df, budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        sp.pack_documents(df, budget=10, n_shards=0)
+
+
+def test_kmeans_assign_empty_input(spark):
+    """An empty frame returns an empty assignment, not an
+    AnalysisException from array_min(array()) (r13 review finding,
+    confirmed)."""
+    from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = kmeans_assign(empty, k=2, iters=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster", "dist"}
+    out2 = kmeans_assign(empty, k=2, iters=2, keep_vec=True)
+    assert "embedding" in out2.columns and out2.count() == 0
+
+
+def test_curate_splits_fail_fast_and_hash_fn_forwarding(spark):
+    """An invalid split spec raises at entry, before any Spark jobs
+    (r13 review finding); cfg.hash_fn reaches the learned-filter
+    feature hashing and the perplexity gate."""
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import classifier
+    from kiji_mapreduce_spark.pipeline.curate import (CurateConfig,
+                                                      curate_corpus)
+
+    docs = spark.createDataFrame(
+        [(i, f"clean sentence number {i} with several reasonable "
+             "words here", "s") for i in range(8)],
+        "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        curate_corpus(docs, config=CurateConfig(
+            splits={"train": 0.8, "val": 0.1}))
+
+    # md5-trained model + md5 cfg: the forwarded hash_fn makes scoring
+    # consistent (it silently used xx before and permuted the features)
+    feats = classifier.hashed_features(docs, dim=64, hash_fn="md5")
+    labels = docs.select("doc_id", F.lit(1.0).alias("label"))
+    w, b = classifier.train_logreg(feats, labels, dim=64, iters=3)
+    out = curate_corpus(docs, config=CurateConfig(
+        hash_fn="md5", min_quality=0.0, min_prob=0.0,
+        quality_model={"dim": 64, "weights": list(w), "bias": b}))
+    assert out.count() == 8
+
+
+def test_countmin_probe_column_collision_guard(spark):
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import sketch
+
+    cms = spark.createDataFrame([(0, 1, 5)],
+                                "cm_row int, cm_bucket int, cm_count long")
+    probes = spark.createDataFrame([(1, 2)], "v long, cm_row int")
+    with pytest.raises(ValueError, match="collides"):
+        sketch.countmin_estimates(cms, probes, "v")
