@@ -116,7 +116,7 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
     "corpus-stats", "webdataset-pack", "dsir", "link-graph",
-    "span-dedup"})
+    "span-dedup", "substr-dedup"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -391,6 +391,19 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     sd.add_argument("--id-col", default="doc_id")
     sd.add_argument("--sentences", type=int, default=3,
                     help="span length in sentences (the paper uses 3)")
+
+    es = sub.add_parser("substr-dedup", help="ExactSubstr dedup "
+                        "(Lee et al. 2022): all but the globally "
+                        "first occurrence of any repeated "
+                        "min-tokens-long token window lose the "
+                        "covered tokens (maximal-span union)")
+    es.add_argument("--input", required=True, help="documents parquet")
+    es.add_argument("--output", required=True)
+    es.add_argument("--text-col", default="text")
+    es.add_argument("--id-col", default="doc_id")
+    es.add_argument("--min-tokens", type=int, default=50,
+                    help="window length in tokens (the paper uses "
+                    "50 BPE tokens)")
 
     ds = sub.add_parser("dsir", help="DSIR importance resampling: "
                         "select raw documents that look like a target "
@@ -1092,6 +1105,24 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         return _emit(args, {"deduped": args.output,
                             "n_docs": res.count(),
                             "n_sentences_dropped": int(n_dropped)})
+
+    if args.command == "substr-dedup":
+        from pyspark.sql import functions as F
+
+        from kiji_mapreduce_spark.pipeline import dedup as dedup_mod
+
+        spark = make_session(app_name="kiji-substr-dedup")
+        docs = spark.read.parquet(args.input)
+        out = dedup_mod.exact_substring_dedup(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            min_tokens=args.min_tokens)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        n_dropped = res.agg(
+            F.sum("tokens_dropped")).collect()[0][0] or 0
+        return _emit(args, {"deduped": args.output,
+                            "n_docs": res.count(),
+                            "n_tokens_dropped": int(n_dropped)})
 
     if args.command == "dsir":
         from kiji_mapreduce_spark.pipeline import dsir

@@ -1532,6 +1532,102 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
             .drop("_sp_id", "_rm"))
 
 
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_tokens: int = 50,
+                          hash_fn: str = "xx",
+                          materialize: bool = True) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" §4.1): any ``min_tokens``-long
+    token window whose exact text occurs more than once in the corpus
+    is duplicated; every occurrence EXCEPT the globally first — the
+    minimum (id, position), deterministic under any partitioning —
+    has its covered token positions removed. Overlapping duplicated
+    windows union their positions, so what gets cut is the MAXIMAL
+    duplicated span, exactly the suffix-array tool's behavior; the
+    keep-one-copy policy is the paper's stated semantics ("remove
+    [it] from all but one of the examples"), where their released
+    tool's default cuts every copy. Documents come back with
+    ``text_col`` rebuilt from the surviving tokens (single-space
+    joined — token windows already collapse whitespace) plus
+    ``tokens_dropped``.
+
+    The paper thresholds at 50 BPE tokens; this implementation
+    windows over whitespace tokens (the corpus-side tokenizer every
+    other dedup op here uses — ``bpe.bpe_train`` exists when a caller
+    wants real-BPE window lengths, at the cost of a vocabulary pass).
+    Case-SENSITIVE, unlike the MinHash family's ``tokens()``: exact
+    substring match means exact bytes, so only whitespace runs are
+    normalized.
+
+    Scale shape — the suffix array the paper builds is a single-node
+    artifact; the distributed equivalent is rolling windows + one
+    frequency shuffle: windows are built as per-row ARRAY expressions
+    (zero shuffle) and only (id, pos, window_hash) longs explode.
+    Three hash-keyed shuffles, all partial-agg friendly: winner per
+    window hash (min-struct + count — a viral span collapses
+    map-side), removal positions per doc (unique-key groupBy), and
+    the id-keyed reattachment join. The exploded window table feeds
+    both the winner aggregation and the loser anti-side — a diamond,
+    pinned once under ``materialize`` (the ``c4_span_dedup``
+    discipline). NULL text stays NULL. Sentence-granular C4 removal
+    is ``c4_span_dedup``; coverage MEASUREMENT without rewriting is
+    ``repeated_ngram_coverage``.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(t, r"\s+"), lambda s: s != "")
+    n = F.size(toks)
+    k = min_tokens
+    win_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    win_idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+    wins = (df.select(F.col(id_col).alias("_es_id"),
+                      F.posexplode(F.transform(
+                          win_idx, lambda i: token_hash64(win_at(i),
+                                                          hash_fn)))
+                      .alias("pos", "win_hash")))
+    if materialize:
+        wins = wins.localCheckpoint(eager=True)
+    winners = (wins.groupBy("win_hash")
+               .agg(F.min(F.struct(F.col("_es_id"), F.col("pos")))
+                    .alias("_w"),
+                    F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > 1)
+               .select("win_hash", F.col("_w._es_id").alias("_w_id"),
+                       F.col("_w.pos").alias("_w_pos")))
+    losers = (wins.join(winners, on="win_hash", how="inner")
+              .filter((F.col("_es_id") != F.col("_w_id"))
+                      | (F.col("pos") != F.col("_w_pos"))))
+    removal = (losers
+               .select(F.col("_es_id"),
+                       F.explode(F.sequence(
+                           F.col("pos"), F.col("pos") + k - 1))
+                       .alias("_tok_pos"))
+               .groupBy("_es_id")
+               .agg(F.collect_set("_tok_pos").alias("_rm")))
+    out = df.join(removal, on=df[id_col] == removal["_es_id"],
+                  how="left")
+    kept = F.filter(toks,
+                    lambda s, i: ~F.coalesce(
+                        F.array_contains(F.col("_rm"), i), F.lit(False)))
+    return (out
+            .withColumn("tokens_dropped",
+                        # explicit NULL branch: with ANSI off,
+                        # size(NULL) is -1 (the n_lines_dropped
+                        # lesson)
+                        F.when(F.col(text_col).isNull()
+                               | F.col("_rm").isNull(), F.lit(0))
+                        .otherwise(F.size(F.col("_rm"))))
+            .withColumn(text_col,
+                        F.when(F.col(text_col).isNull(),
+                               F.lit(None).cast("string"))
+                        .otherwise(F.array_join(kept, " ")))
+            .drop("_es_id", "_rm"))
+
+
 def lsh_plan(num_hashes: int, threshold: float,
              integration_steps: int = 1000) -> dict:
     """Pick the MinHash LSH banding for a target Jaccard threshold —

@@ -474,3 +474,63 @@ SELECT l.doc_id,
 FROM lines l ANTI JOIN boiler b USING (line)
 GROUP BY l.doc_id
 """
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr token-span dedup (Lee et al. 2022), oracle-checked
+    end to end on the raw documents table: at min_tokens=8 the corpus
+    (~60-token docs over a small vocabulary) naturally carries >1k
+    duplicated windows, so the fixture rewrites real text. The DuckDB
+    oracle replays the whole chain grouped by window TEXT (the
+    operator's 64-bit window hash is an equi-grouping of the same
+    key), picks the identical min-(doc_id, pos) winner, unions the
+    losers' covered positions and rebuilds each document from its
+    surviving tokens in order."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact_substring_dedup(docs, min_tokens=8)
+    return out.select("doc_id",
+                      F.col("text").alias("stripped_text"),
+                      "tokens_dropped")
+
+
+SQL_EXACT_SUBSTRING = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(
+             regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'),
+             ' '), x -> x <> '') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(t[i:i+7], ' ') AS win
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 6, 1))) AS g(i)
+), marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY win
+                            ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY win) AS cnt
+  FROM w
+), rm AS (
+  SELECT DISTINCT doc_id, pos + j AS tok_pos
+  FROM marked, LATERAL unnest(range(0, 8)) AS g(j)
+  WHERE cnt > 1 AND rn > 1
+), rmc AS (
+  SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id
+), tokrows AS (
+  SELECT doc_id, unnest(t) AS tok,
+         generate_subscripts(t, 1) - 1 AS idx
+  FROM toks
+), kept AS (
+  SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.idx) AS new_text
+  FROM tokrows tr
+  ANTI JOIN rm ON tr.doc_id = rm.doc_id AND tr.idx = rm.tok_pos
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(k.new_text, '') END AS stripped_text,
+       CAST(coalesce(r.n_rm, 0) AS INTEGER) AS tokens_dropped
+FROM toks d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN rmc r ON d.doc_id = r.doc_id
+"""

@@ -250,7 +250,11 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #       WSDM-2010 densitometric tree replayed via lag/lead;
 #   (c) semantic_dedup — q_semantic_dedup + SQL_SEMANTIC_DEDUP
 #       (tests/test_semantic_dedup_oracle.py; exact at both sfs) —
-#       the full SemDeDup chain with a recursive-CTE closure.
+#       the full SemDeDup chain with a recursive-CTE closure;
+#   (d) dedup_exact_substring — q_dedup_exact_substring +
+#       SQL_EXACT_SUBSTRING (tests/test_exact_substring_oracle.py;
+#       exact at both sfs) — the ExactSubstr (Lee et al. 2022)
+#       token-window chain replayed grouped by window text.
 # Seating either needs a judge-endorsed retirement. Strongest
 # candidates, for the judge to rule on (NOT retired unilaterally):
 #   (1) versioned_latest_event_value — it is versioned_slice_maxversions
