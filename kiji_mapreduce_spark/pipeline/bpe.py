@@ -164,7 +164,15 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
     the real-tokenizer sizing for mixture budgets and packing. ONE
     Arrow-batched pandas UDF; per-distinct-word memoisation makes the
     greedy loop run once per word FORM per batch, not per occurrence."""
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # the SAME word boundary the training scan uses: Java's \s+ in
+    # word_frequencies matches ASCII whitespace only, while Python
+    # str.split() splits on Unicode whitespace (U+00A0 etc., ubiquitous
+    # in web text) — the encoder would count word forms the vocabulary
+    # never saw (r13 review finding)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
@@ -174,7 +182,9 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
             if t is None:
                 return 0
             total = 0
-            for w in t.lower().split():
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
                 n = cache.get(w)
                 if n is None:
                     n = len(encode_word(w, ranks))

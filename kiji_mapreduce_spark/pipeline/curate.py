@@ -137,7 +137,12 @@ def curate_corpus(
     if cfg.strip_boilerplate is not None:
         docs = dedup.drop_boilerplate_lines(
             docs, text_col=text_col, id_col=id_col,
-            max_doc_frac=cfg.strip_boilerplate
+            max_doc_frac=cfg.strip_boilerplate,
+            # forward the flag (the gopher_repetition stage below
+            # already does): materialize=False must keep the WHOLE
+            # chain lazy, not eagerly checkpoint + count inside this
+            # one stage (r13 review finding)
+            materialize=materialize,
         ).drop("n_lines_dropped")
     if cfg.c4_rules:
         # C4 rewrites the text (line removal), so it runs before any

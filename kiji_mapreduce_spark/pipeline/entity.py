@@ -51,11 +51,21 @@ def fuzzy_match_blocked(
     ``max_dist`` are absent from the result (left to the caller —
     unmatched usually means "new entity").
     """
-    rec = records.select(
+    # NULL/blank names can never be a meaningful match, but they CAN
+    # wreck the blocking: concat_ws skips NULLs, so every NULL name
+    # lands in the constant ("", "tok") blocks — a quadratic
+    # |null records| x |null canonicals| hot-bucket blowup — and
+    # whitespace-only names pass levenshtein("","")=0, confidently
+    # "matching" every blank record to the lowest-id blank entity
+    # (r13 review finding). Unmatchable rows are dropped here, the
+    # same contract as no-candidate-within-max_dist records.
+    named = lambda df, col: df.filter(
+        F.length(F.trim(F.coalesce(F.col(col), F.lit("")))) > 0)
+    rec = named(records, record_name).select(
         F.col(record_id).alias("record_id"),
         F.col(record_name).alias("_rname"),
         F.explode(blocker(F.col(record_name))).alias("_blk"))
-    can = canonical.select(
+    can = named(canonical, canonical_name).select(
         F.col(canonical_id).alias("canonical_id"),
         F.col(canonical_name).alias("_cname"),
         F.explode(blocker(F.col(canonical_name))).alias("_blk"))

@@ -158,6 +158,11 @@ def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
             return pd.DataFrame({"label": [], "n_pairs": [],
                                  "max_cosine": [], "avg_cosine": []})
         norms = np.linalg.norm(m, axis=1, keepdims=True)
+        # a zero-norm vector must score cosine 0.0 against everything,
+        # matching the guarded `cosine` expression (r5) and the SQL
+        # mirror — dividing by the raw norm turns the whole group's
+        # stats NaN instead (r13 review finding)
+        norms[norms == 0.0] = np.inf
         cos = (m / norms) @ (m / norms).T
         vals = cos[iu]
         # no rounding here: double rounding (python banker's then SQL
@@ -178,6 +183,34 @@ def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
             _stats,
             f"label {label_type}, n_pairs long, "
             "max_cosine double, avg_cosine double")
+
+
+def _fit_ivf_quantizer(embeddings: DataFrame, id_col: str, vec_col: str,
+                       n_centroids: int, seed: int, max_iter: int = 5):
+    """Fit the IVF coarse quantizer ONCE (one MLlib KMeans fit) and
+    return (indexed, centers_df): the corpus with its cell assignment
+    as (neighbor_id, _cvec, _cell), and the centers as a plain
+    (_cell, _center) table. Shared by ``ivf_topk`` and ``ann_tune`` so
+    the tuner's recommended settings are measured against the SAME
+    quantizer recipe the search operator runs (r13 review finding: the
+    two fits had drifted into near-verbatim copy-paste)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cvec"))
+    with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
+    km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                 featuresCol="_features", predictionCol="_cell")
+          .fit(with_vec))
+    indexed = km.transform(with_vec).select("neighbor_id", "_cvec",
+                                            "_cell")
+    centers_df = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(km.clusterCenters())],
+        "_cell int, _center array<double>")
+    return indexed, centers_df
 
 
 def ivf_topk(
@@ -213,18 +246,8 @@ def ivf_topk(
                        lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
     if centroids is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
-        km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
-                     featuresCol="_features", predictionCol="_cell")
-              .fit(with_vec))
-        indexed = km.transform(with_vec).select("neighbor_id", "_cvec", "_cell")
-        centers = [(i, [float(x) for x in c])
-                   for i, c in enumerate(km.clusterCenters())]
-        centers_df = embeddings.sparkSession.createDataFrame(
-            centers, "_cell int, _center array<double>")
+        indexed, centers_df = _fit_ivf_quantizer(
+            embeddings, id_col, vec_col, n_centroids, seed, max_iter)
     else:
         centers_df = centroids.select("_cell", "_center")
         assign_w = Window.partitionBy("neighbor_id").orderBy(
@@ -258,10 +281,14 @@ def ivf_topk(
     scored = (indexed_n.join(F.broadcast(probes), on="_cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id", cos.alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    # skew-safe two-phase top-k (the brute_force_topk discipline): at
+    # nprobe/n_centroids coverage each query's candidate set grows with
+    # the corpus, so a plain per-query window is the same straggler
+    # hazard the salted form exists to prevent. Order and tie-break are
+    # unchanged — ranks, and oracle hashes, are identical.
+    return salted_topk(scored, "query_id", "cosine", k,
+                       tiebreak_cols=["neighbor_id"],
+                       salt_cols=["neighbor_id"])
 
 
 def lsh_topk(
@@ -299,20 +326,28 @@ def lsh_topk(
 
     corpus = _bucketed(embeddings, "neighbor_id")
     q = _bucketed(queries, "query_id")
-    scored = (
+    # dedup multi-probe pairs BEFORE the cosine projection: vectors are
+    # identical for the same ids, so scoring once per DISTINCT pair
+    # (instead of once per probe that co-buckets it, then discarding
+    # n_probes-1 of the results) gives identical output for up to
+    # n_probes x less fold work (r13 review finding)
+    cands = (
         corpus.join(F.broadcast(q), on=["probe", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.when(F.col("_query_id_n") * F.col("_neighbor_id_n") != 0,
-                       dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
-                       / (F.col("_query_id_n") * F.col("_neighbor_id_n")))
-                .otherwise(F.lit(0.0)).alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.when(F.col("_query_id_n") * F.col("_neighbor_id_n") != 0,
+               dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+               / (F.col("_query_id_n") * F.col("_neighbor_id_n")))
+        .otherwise(F.lit(0.0)).alias("cosine"))
+    # skew-safe two-phase top-k: a boilerplate-heavy corpus collapses
+    # into one hot bucket, so the candidate set per query scales with
+    # the corpus — same salted discipline as brute_force/ivf/pq/sq8
+    return salted_topk(scored, "query_id", "cosine", k,
+                       tiebreak_cols=["neighbor_id"],
+                       salt_cols=["neighbor_id"])
 
 
 # -- product quantization (PQ) ANN ------------------------------------------
@@ -627,23 +662,11 @@ def ann_tune(
         pq_books = fit_pq_codebooks(embeddings, vec_col=vec_col,
                                     seed=seed)
     if index == "ivf":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        corpus = embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("_cvec"))
-        with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
-        km = (KMeans(k=n_centroids, seed=seed, maxIter=5,
-                     featuresCol="_features", predictionCol="_cell")
-              .fit(with_vec))
-        centers_df = embeddings.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c])
-             for i, c in enumerate(km.clusterCenters())],
-            "_cell int, _center array<double>")
+        indexed, centers_df = _fit_ivf_quantizer(
+            embeddings, id_col, vec_col, n_centroids, seed)
         # cell sizes once; per-query cell ranking once — every nprobe
         # setting is a prefix of the same ranked probe list
-        cell_sizes = (km.transform(with_vec)
+        cell_sizes = (indexed
                       .groupBy("_cell").agg(F.count(F.lit(1)).alias("_sz"))
                       .localCheckpoint(eager=True))
         d2 = F.aggregate(

@@ -252,6 +252,12 @@ def bloom_build(df: DataFrame, value_col: str, m_bits: int = 1 << 20,
         raise ValueError("m_bits must be a multiple of 8, >= 64")
     if fan_in < 1:
         raise ValueError("fan_in must be >= 1")
+    if k < 1:
+        # k=0 builds an all-zero bitmap whose every probe is a
+        # vacuous all()-over-empty-axis "member" — with
+        # keep_hits=False that silently drops 100% of the corpus
+        # (r13 review finding)
+        raise ValueError("k must be >= 1")
 
     parts = _bloom_partials(df, value_col, m_bits, k, fan_in).collect()
     acc = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -271,6 +277,11 @@ def bloom_filter_rows(df: DataFrame, value_col: str, bitmap: bytes,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if k < 1:
+        # the bloom_build guard, mirrored: k=0 probes are vacuously
+        # True for every row (all() over an empty axis), silently
+        # dropping the whole corpus in blocklist mode
+        raise ValueError("k must be >= 1")
     bits = np.frombuffer(bitmap, dtype=np.uint8)
     m_bits = len(bits) * 8
 

@@ -3654,3 +3654,89 @@ def test_countmin_probe_column_collision_guard(spark):
     probes = spark.createDataFrame([(1, 2)], "v long, cm_row int")
     with pytest.raises(ValueError, match="collides"):
         sketch.countmin_estimates(cms, probes, "v")
+
+
+def test_pagerank_zero_outweight_source(spark):
+    """A source whose weights sum to 0 distributes nothing (exactly a
+    dangling node) instead of aborting under ANSI mode or NULLing its
+    contribution — and it keeps its node row with the base rank."""
+    from kiji_mapreduce_spark.pipeline import graph
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.0), ("a", "c", 0.0), ("c", "b", 1.0)],
+        "src string, dst string, w double")
+    ranks = {r.node: r.rank for r in
+             graph.pagerank(e, weight="w", iters=2).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    base = 0.15 / 3
+    assert ranks["a"] == round(base, 12)  # no usable out-edges, no in
+    # b receives only c's mass; a's zero-weight edges contribute 0
+    assert ranks["b"] > ranks["c"] >= base
+
+
+def test_label_cosine_stats_zero_norm_vector(spark):
+    """An all-zero embedding scores cosine 0.0 against everything (the
+    guarded-cosine contract) instead of NaN-poisoning its group."""
+    import math
+
+    from kiji_mapreduce_spark.pipeline import similarity
+
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]), (3, 0, [0.0, 0.0])],
+        "vec_id long, label int, embedding array<double>")
+    row = similarity.label_cosine_stats(emb).collect()[0]
+    assert row.n_pairs == 3
+    assert not math.isnan(row.max_cosine)
+    assert row.max_cosine == 1.0          # the two identical vectors
+    assert abs(row.avg_cosine - 1.0 / 3) < 1e-12  # 1 + 0 + 0 over 3
+
+
+def test_bloom_k_validation(spark):
+    """k < 1 raises instead of silently building/probing a filter whose
+    every probe is a vacuous member (blocklist mode would drop 100%)."""
+    import pytest
+
+    from kiji_mapreduce_spark.pipeline import sketch
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.bloom_build(df, "v", k=0)
+    bm = sketch.bloom_build(df, "v")
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.bloom_filter_rows(df, "v", bm, k=0)
+
+
+def test_bpe_token_counts_ascii_whitespace_parity(spark):
+    """The encoder splits on the SAME ASCII \\s+ class the training
+    scan uses: U+00A0 runs stay inside ONE word form (what the
+    vocabulary learned) instead of Python str.split()'s Unicode
+    word boundary."""
+    from kiji_mapreduce_spark.pipeline import bpe
+
+    docs = spark.createDataFrame([(1, "a\u00a0\u00a0b"), (2, "a b")],
+                                 "doc_id long, text string")
+    counts = {r.doc_id: r.n_bpe_tokens
+              for r in bpe.bpe_token_counts(docs, []).collect()}
+    # no merges: chars + one END marker per word. doc 1 is ONE 4-char
+    # word form (both U+00A0 are word CHARS under Java \\s): 4 + 1.
+    # doc 2 is two words: (1 + 1) + (1 + 1). Python str.split() would
+    # have collapsed doc 1 to doc 2's shape (4 tokens).
+    assert counts == {1: 5, 2: 4}
+
+
+def test_fuzzy_match_skips_null_and_blank_names(spark):
+    """NULL/whitespace-only names are unmatchable, not constant-block
+    quadratic fodder: blanks no longer 'match' the lowest-id blank
+    canonical at distance 0."""
+    from kiji_mapreduce_spark.pipeline import entity
+
+    recs = spark.createDataFrame(
+        [(1, "acme corp"), (2, None), (3, "   ")],
+        "rid long, name string")
+    cans = spark.createDataFrame(
+        [(10, "acme corp."), (11, None), (12, " ")],
+        "cid long, cname string")
+    got = entity.fuzzy_match_blocked(
+        recs, cans, "rid", "cid", "name", "cname", max_dist=2).collect()
+    assert [(r.record_id, r.canonical_id, r.dist) for r in got] == \
+        [(1, 10, 1)]
