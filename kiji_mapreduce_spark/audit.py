@@ -32,13 +32,25 @@ def column_profile(df: DataFrame, table_name: str,
             F.max(F.col(c).cast("double")).alias(f"mx__{c}"),
         ]
     row = df.agg(*aggs)
-    items = [f"'n_rows', '{table_name}', n_rows"]
+
+    # parquet allows spaces/hyphens in column names and table names
+    # are caller strings: identifier references must be backtick-quoted
+    # and string literals escaped, or the stack() expression fails to
+    # parse — or worse, a quote in the name breaks out of the literal
+    # (r13 review finding)
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _s(lit: str) -> str:
+        return "'" + lit.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    items = [f"'n_rows', {_s(table_name)}, n_rows"]
     for c in cols:
-        subj = f"{table_name}.{c}"
-        items += [f"'n_nulls', '{subj}', nn__{c}",
-                  f"'n_distinct', '{subj}', nd__{c}",
-                  f"'min', '{subj}', mn__{c}",
-                  f"'max', '{subj}', mx__{c}"]
+        subj = _s(f"{table_name}.{c}")
+        items += [f"'n_nulls', {subj}, {_q('nn__' + c)}",
+                  f"'n_distinct', {subj}, {_q('nd__' + c)}",
+                  f"'min', {subj}, {_q('mn__' + c)}",
+                  f"'max', {subj}, {_q('mx__' + c)}"]
     return row.selectExpr(
         f"stack({len(items)}, {', '.join(items)}) "
         "as (check_name, subject, value)")
@@ -48,8 +60,12 @@ def fk_orphans(child: DataFrame, parent: DataFrame,
                fk: str, pk: str, subject: str) -> DataFrame:
     """Referential-integrity check: count child rows whose foreign key
     has no matching parent row (left anti join — broadcast when the
-    parent is a dim, shuffle otherwise; Catalyst decides)."""
-    orphans = child.join(parent, child[fk] == parent[pk], "left_anti")
+    parent is a dim, shuffle otherwise; Catalyst decides). NULL foreign
+    keys are NOT orphans — SQL FK constraints pass NULLs, and the
+    NULL-valued equi-condition kept every such row in the anti side
+    (r13 review finding), making the check unusable on nullable FKs."""
+    kids = child.filter(F.col(fk).isNotNull())
+    orphans = kids.join(parent, kids[fk] == parent[pk], "left_anti")
     return orphans.agg(
         F.lit("fk_orphans").alias("check_name"),
         F.lit(subject).alias("subject"),
@@ -176,8 +192,15 @@ def split_leakage(
     engine-reproducible for the oracle.
     """
     from kiji_mapreduce_spark.pipeline.dedup import token_hash64
+    # NULL text must digest to NULL (joins nothing => never "leaked"):
+    # xxhash64(NULL) is the CONSTANT 42, which made every NULL-text
+    # held-out doc a "duplicate" of any NULL-text train doc — and
+    # disagreed with the md5 mode, which already yields NULL
+    # (r13 review finding; unknown content is nobody's duplicate,
+    # the dedup.exact_groups discipline)
     digest = (F.col(digest_col) if digest_col is not None
-              else token_hash64(F.col(text_col), hash_fn))
+              else F.when(F.col(text_col).isNotNull(),
+                          token_hash64(F.col(text_col), hash_fn)))
     hashed = df.select(
         F.col(split_col).alias("_split"), digest.alias("_h"))
     train_h = (hashed.filter(F.col("_split") == train_split)

@@ -859,7 +859,12 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     # --history on every pipeline subcommand (r7 verdict ask #5): the
     # archetype commands' job-history contract, extended to the
     # pipeline surface via _emit / _record_pipeline_failure
-    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp, st):
+    # every member of _PIPELINE_HISTORY_COMMANDS gets the flag — the
+    # r13 review found seven parsers (span-dedup, substr-dedup, dsir,
+    # link-graph, shard-ingest, webdataset-pack, media-probe) listed
+    # in the frozenset but rejecting --history with exit 2
+    for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp, st,
+               sd, es, ds, lg, si, wp, mb):
         sp.add_argument("--history", default=None,
                         help="job-history table path: record this "
                         "run's id/name/start/end/status/counters")

@@ -136,7 +136,15 @@ class Decoder:
                 return self.read_bytes().decode("utf-8")
             raise ValueError(f"unknown Avro type {schema!r}")
         if isinstance(schema, list):  # union: long index + value
-            branch = schema[self.read_long()]
+            idx = self.read_long()
+            if idx < 0:
+                # a negative Python index silently WRAPS to the last
+                # branch — corrupt data must raise the documented
+                # error, not decode as the wrong type (r13 review
+                # finding); out-of-range positives already raise via
+                # the IndexError wrap
+                raise IndexError(f"union index {idx} out of range")
+            branch = schema[idx]
             return self.read_value(normalize_schema(branch))
         t = schema["type"]
         if t == "record":
@@ -170,7 +178,10 @@ class Decoder:
                     k = self.read_bytes().decode("utf-8")
                     out[k] = self.read_value(values)
         if t == "enum":
-            return schema["symbols"][self.read_long()]
+            sym = self.read_long()
+            if sym < 0:  # same negative-wrap hazard as union indexes
+                raise IndexError(f"enum index {sym} out of range")
+            return schema["symbols"][sym]
         if t == "fixed":
             return self.read(schema["size"])
         if t in _PRIMITIVES:  # {"type": "int", "logicalType": ...}
@@ -238,15 +249,27 @@ class Encoder:
                 return
             raise ValueError(f"unknown Avro type {schema!r}")
         if isinstance(schema, list):  # union — [null, T] only (writer side)
+            non_null = [(i, b) for i, b in enumerate(schema)
+                        if normalize_schema(b) != "null"]
+            if len(non_null) > 1:
+                # enforce the documented writer contract instead of
+                # silently encoding every value as the FIRST non-null
+                # branch — which mangles types (int written via the
+                # string branch) or crashes mid-file (r13 review
+                # finding); the reader side already rejects loudly
+                raise ValueError(
+                    "writer supports [null, T] unions only, got "
+                    f"{len(non_null)} non-null branches")
             if v is None:
                 idx = next(
                     i for i, b in enumerate(schema)
                     if normalize_schema(b) == "null")
                 self.write_long(idx)
                 return
-            idx, branch = next(
-                (i, b) for i, b in enumerate(schema)
-                if normalize_schema(b) != "null")
+            if not non_null:
+                raise ValueError(
+                    f"union {schema!r} has no branch for value {v!r}")
+            idx, branch = non_null[0]
             self.write_long(idx)
             self.write_value(normalize_schema(branch), v)
             return

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,6 +311,21 @@ def _write_avro_fallback(df: DataFrame, path: str, mode: str = "overwrite",
                          f"got {codec!r}")
     if codec == "uncompressed":
         codec = "null"
+    # local-filesystem writer: a scheme path (s3://, hdfs://) would
+    # os.makedirs a literal local "s3:/bucket" directory and "succeed"
+    # without writing to the store — the silent-no-op class
+    # (r13 review finding; write_webdataset raises for the same
+    # reason). A relative path must pin to the DRIVER's cwd before the
+    # closure captures it, or executors join part names against their
+    # own scratch cwd.
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path, re.IGNORECASE):
+        if path.lower().startswith("file://"):
+            path = path[len("file://"):]
+        else:
+            raise NotImplementedError(
+                f"fallback Avro writer (spark-avro jar absent) writes "
+                f"to local/shared filesystems only, got {path!r}")
+    path = os.path.abspath(path)
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)

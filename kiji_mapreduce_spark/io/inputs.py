@@ -53,11 +53,17 @@ class JobInput:
         if fmt == "text":
             return spark.read.text(self.paths)
         if fmt in ("small-text-files", "wholefile"):
-            # one row per entire file; binaryFile never splits a file
+            # one row per entire file; binaryFile never splits a file.
+            # make_valid_utf8 over a binary->string cast, NOT F.decode:
+            # under Spark 4 ANSI defaults decode ABORTS the whole read
+            # on the first non-UTF-8 file — one Latin-1 straggler in a
+            # corpus must degrade to U+FFFD, not kill the job (r13
+            # review finding; the crawl/text readers already do this)
             df = spark.read.format("binaryFile").load(self.paths)
             return df.select(
                 F.col("path"),
-                F.decode(F.col("content"), "UTF-8").alias("text"),
+                F.make_valid_utf8(
+                    F.col("content").cast("string")).alias("text"),
             )
         if fmt == "seq":
             rdd = spark.sparkContext.sequenceFile(",".join(self.paths))
@@ -242,6 +248,12 @@ def _inflate_members(raw: bytes, path: str, lenient: bool):
         pos -= len(d.unused_data)  # overshoot into the next member
 
 
+#: header-block ceiling for the incremental WARC framer: real WARC
+#: headers are a few hundred bytes; a WARC/-prefixed stream with no
+#: CRLF CRLF must not buffer the whole archive hunting for one
+_MAX_WARC_HEADER = 1 << 20
+
+
 def _frame_warc_records(chunks, path: str, lenient: bool):
     """Frame WARC records incrementally from an iterator of byte
     chunks: per-record memory is O(record + chunk), never O(archive).
@@ -282,11 +294,28 @@ def _frame_warc_records(chunks, path: str, lenient: bool):
             consumed += pos
         if not _fill(1):
             return  # clean end of archive
-        # header: everything up to the first CRLF CRLF
+        # cheap reject BEFORE buffering: a stream that is not WARC at
+        # this offset must not grow buf to O(archive) hunting for a
+        # CRLF CRLF that never comes (r13 review finding)
+        _fill(5)
+        if not buf.startswith(b"WARC/"[:min(5, len(buf))]):
+            if lenient:
+                return
+            raise ValueError(
+                f"{path}: malformed WARC record header at byte "
+                f"{consumed}")
+        # header: everything up to the first CRLF CRLF. The find
+        # resumes where the last attempt left off (no O(n^2) rescans)
+        # and the header is capped — a WARC/-prefixed garbage stream
+        # must not hold the whole archive resident either.
         header_end = -1
+        search_from = 0
         while True:
-            header_end = buf.find(b"\r\n\r\n")
+            header_end = buf.find(b"\r\n\r\n", search_from)
             if header_end >= 0 or exhausted:
+                break
+            search_from = max(0, len(buf) - 3)
+            if len(buf) > _MAX_WARC_HEADER:
                 break
             _fill(len(buf) + 1)
         if not buf.startswith(b"WARC/") or header_end < 0:
@@ -307,6 +336,18 @@ def _frame_warc_records(chunks, path: str, lenient: bool):
             raise ValueError(
                 f"{path}: WARC record at byte {consumed} has no valid "
                 "Content-Length") from None
+        if length < 0:
+            # a crafted negative length (== -(header+trailer)) makes
+            # the post-record trim delete ZERO bytes and the framer
+            # re-parse the same record forever (r13 review finding:
+            # reproduced infinite record stream); any other negative
+            # silently desyncs framing. _walk_plain_records has the
+            # same guard.
+            if lenient:
+                return
+            raise ValueError(
+                f"{path}: WARC record at byte {consumed} has negative "
+                f"Content-Length {length}")
         body_start = header_end + 4
         if not _fill(body_start + length):
             if lenient:
@@ -844,7 +885,14 @@ def webdataset_samples_from_files(files: DataFrame,
                     rows["path"].append(path)
                     rows["key"].append(cur_key)
                     rows["sample"].append(cur)
-                yield pd.DataFrame(rows)
+                if rows["path"]:
+                    # never yield an EMPTY frame: pandas types the
+                    # empty 'sample' column float64, which Arrow cannot
+                    # convert to map<string,binary> — one corrupt/empty
+                    # shard crashed the whole read, including under
+                    # lenient=True (r13 review finding; the avro
+                    # fallback skips empty yields for the same reason)
+                    yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(_samples,
                                                        schema)

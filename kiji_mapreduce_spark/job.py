@@ -123,14 +123,23 @@ class Job:
             status = "FAILED"
             raise
         finally:
-            self.history.record(self.plan.sparkSession, {
-                "job_id": self.job_id, "job_name": self.name,
-                "job_start_time": start,
-                "job_end_time": int(time.time() * 1000),
-                "job_end_status": status,
-                "job_counters": self.counters,
-                "job_configuration": self.conf,
-            })
+            try:
+                self.history.record(self.plan.sparkSession, {
+                    "job_id": self.job_id, "job_name": self.name,
+                    "job_start_time": start,
+                    "job_end_time": int(time.time() * 1000),
+                    "job_end_status": status,
+                    "job_counters": self.counters,
+                    "job_configuration": self.conf,
+                })
+            except Exception:
+                # never mask the job's own outcome with a history-table
+                # error (the cli._record_pipeline_failure discipline):
+                # an unwritable history path raising INSIDE finally
+                # replaced the real failure — or turned a SUCCEEDED run
+                # into a crash (r13 review finding)
+                if status == "SUCCEEDED":
+                    raise
 
     def submit(self) -> "Job":
         def _target():

@@ -460,9 +460,11 @@ def decontaminate_spans_sql(n: int = 3, modulus: int = 23,
                             id_col: str = "doc_id") -> str:
     """Mirror of decontaminate.contaminated_spans(hash_fn="md5") with
     benchmark = rows where id % modulus == 0: positional grams, hit =
-    gram in benchmark union, consecutive hit positions merged via
-    gaps-and-islands. Positions are 0-based; edge grams of short docs
-    clamp span_end to the last token."""
+    gram in benchmark union, hits merged via gaps-and-islands over
+    EXTENT overlap (new island when the start gap >= n — the r13
+    overlap-merge semantics, replayed with the same lag + running
+    sum). Positions are 0-based; edge grams of short docs clamp
+    span_end to the last token."""
     return f"""
 WITH toks AS (
   SELECT {id_col}, {_toks()} AS t, ({id_col} % {modulus} = 0) AS is_bench
@@ -484,10 +486,18 @@ hits AS (
   SELECT {id_col}, s.p AS p, mx FROM ex
   WHERE NOT is_bench AND s.h IN (SELECT h FROM bench)
 ),
+lagged AS (
+  SELECT {id_col}, p, mx,
+         lag(p) OVER (PARTITION BY {id_col} ORDER BY p) AS prev
+  FROM hits
+),
 isl AS (
   SELECT {id_col}, p, mx,
-         p - row_number() OVER (PARTITION BY {id_col} ORDER BY p) AS grp
-  FROM hits
+         sum(CASE WHEN prev IS NULL OR p - prev >= {n}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM lagged
 )
 SELECT {id_col}, min(p) AS span_start,
        least(max(p) + {n - 1}, max(mx)) AS span_end,
@@ -513,8 +523,9 @@ def pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 5,
 WITH e0 AS ({edges_sql}),
 outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
 e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS norm
-      FROM e0 JOIN outw ON outw.src = e0.src),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      FROM e0 JOIN outw ON outw.src = e0.src
+      WHERE outw.ow <> 0),
+nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 r0 AS (SELECT node, round(1.0 / nn.n, {round_dp}) AS rank
        FROM nodes CROSS JOIN nn)"""]

@@ -87,12 +87,18 @@ def contaminated_spans(
     than dropping it whole).
 
     A token position is *hit* when the n-gram starting there is in the
-    benchmark's gram union; consecutive hit positions merge into one
-    span (gaps-and-islands: group key = pos - row_number over pos).
-    Returns (id, span_start, span_end, n_grams_in_span) with 0-based
-    inclusive token positions; ``span_end`` covers the last hit gram's
-    full extent, clamped to the document's last token for edge grams of
-    short documents. Documents with no hits emit no rows.
+    benchmark's gram union; hit positions whose n-token extents OVERLAP
+    (start gap < n) merge into one span — not just consecutive
+    positions: hits at p and p+2 under n=3 cover intersecting token
+    ranges, and emitting them as two rows double-deleted the shared
+    tokens in cut-each-span-independently consumers (r13 review
+    finding). Returns (id, span_start, span_end, n_grams_in_span) with
+    0-based inclusive token positions; ``span_end`` covers the last hit
+    gram's full extent, clamped to the document's last token for edge
+    grams of short documents. Documents with no hits emit no rows.
+    Spans whose extents merely touch (start gap exactly n) stay
+    separate rows — their token ranges are disjoint, so independent
+    cuts are safe.
 
     Scale shape: identical to ``ngram_overlap`` (the benchmark union is
     a broadcast semi-join probe; only hashed longs shuffle) plus one
@@ -107,7 +113,15 @@ def contaminated_spans(
         bench = F.broadcast(bench)
     hits = cand.join(bench, on="_h", how="left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
-    grp = F.col("pos") - F.row_number().over(w)
+    # gaps-and-islands over EXTENT overlap: new island when this hit
+    # starts at least n tokens after the previous one (lag + running
+    # sum; the plain pos - row_number key only merges gap-1 runs)
+    prev = F.lag("pos").over(w)
+    new_island = F.when(prev.isNull()
+                        | (F.col("pos") - prev >= n), F.lit(1)) \
+        .otherwise(F.lit(0))
+    grp = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     spans = (hits.withColumn("_grp", grp)
              .groupBy(id_col, "_grp")
              .agg(F.min("pos").alias("span_start"),

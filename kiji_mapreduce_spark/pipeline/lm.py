@@ -30,15 +30,27 @@ from pyspark.sql import DataFrame, Window, functions as F
 from kiji_mapreduce_spark.pipeline.dedup import token_hash64, tokens
 
 
+def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, _v): the posexploded token table — the ONE corpus
+    tokenize both the bigram build and the vocabulary count derive
+    from."""
+    return df.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "_v"))
+
+
 def _bigrams(df: DataFrame, text_col: str, id_col: str,
              hash_fn: str) -> DataFrame:
     """(id, _hv, _hvw) one row per bigram: the hash of the conditioning
     token and of the joined "v w" bigram. Window/lead form — codegen'd,
     like ``dedup.shingle_hashes`` (interpreted array lambdas measured
     ~4x slower at sf0.1)."""
-    ex = df.select(F.col(id_col),
-                   F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "_v"))
+    return _bigrams_from_tokens(_token_rows(df, text_col, id_col),
+                                id_col, hash_fn)
+
+
+def _bigrams_from_tokens(ex: DataFrame, id_col: str,
+                         hash_fn: str) -> DataFrame:
     w = Window.partitionBy(id_col).orderBy("pos")
     nxt = F.lead("_v", 1).over(w)
     return (ex.select(
@@ -80,7 +92,13 @@ def bigram_lm_scores(
     """
     self_scoring = reference is None
     ref = docs if self_scoring else reference
-    ref_bi = _bigrams(ref, text_col, id_col, hash_fn)
+    # ONE tokenize pass over the reference: the pinned token table
+    # feeds BOTH the bigram build and the vocabulary count — the
+    # vocab aggregate was a second complete corpus text scan
+    # (r13 review finding)
+    ref_ex = _token_rows(ref, text_col, id_col).localCheckpoint(
+        eager=True)
+    ref_bi = _bigrams_from_tokens(ref_ex, id_col, hash_fn)
     if self_scoring:
         ref_bi = ref_bi.localCheckpoint(eager=True)
     model = ref_bi.groupBy("_hvw").agg(
@@ -91,8 +109,7 @@ def bigram_lm_scores(
         F.first("_hv").alias("_mhv"))
     context = model.groupBy("_mhv").agg(F.sum("_cbw").alias("_cv"))
     vocab = F.broadcast(
-        ref.select(F.explode(tokens(F.col(text_col))).alias("_t"))
-        .agg(F.countDistinct("_t").cast("double").alias("_vsz")))
+        ref_ex.agg(F.countDistinct("_v").cast("double").alias("_vsz")))
     cand = ref_bi if self_scoring else _bigrams(docs, text_col, id_col,
                                                 hash_fn)
     logp = F.log(
@@ -176,7 +193,13 @@ def collocations(
     p_pair = F.col("n_pair") / F.col("_tp")
     pmi = F.log(p_pair / ((F.col("n_w1") / F.col("_tu"))
                           * (F.col("n_w2") / F.col("_tu"))))
+    # p_pair == 1 (a degenerate corpus whose every adjacent pair is
+    # this one bigram) makes -ln(p_pair) zero: under the engine's ANSI
+    # default the division ABORTS the job. Bouma's limit for perfect
+    # association is 1.0 (r13 review finding).
+    npmi = F.when(p_pair < 1.0, pmi / -F.log(p_pair)).otherwise(
+        F.lit(1.0))
     return j.select(
         "w1", "w2", "n_pair", "n_w1", "n_w2",
         pmi.alias("pmi"),
-        (pmi / -F.log(p_pair)).alias("npmi"))
+        npmi.alias("npmi"))

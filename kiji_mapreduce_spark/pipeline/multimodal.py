@@ -807,6 +807,11 @@ def write_webdataset(df: DataFrame, out_dir: str,
             f"{out_dir!r} — mount the object store (s3fs/goofys) or "
             f"write shards from pack_webdataset rows yourself")
     local = out_dir[7:] if out_dir.startswith("file://") else out_dir
+    # pin a relative path to the DRIVER's cwd before the closure
+    # captures it: executor tasks os.path.join against THEIR OWN cwd
+    # otherwise (r13 review finding — the warc_records_from_ranges
+    # base lesson)
+    local = os.path.abspath(local)
     os.makedirs(local, exist_ok=True)
     shards = pack_webdataset(df, key_col=key_col,
                              sample_col=sample_col,

@@ -123,14 +123,18 @@ def stratum_topk(
 ) -> DataFrame:
     """Exactly k rows per stratum: the k smallest key hashes, key as
     tiebreak — a deterministic reservoir sample. Adds ``sample_rank``
-    (1..k). One shuffle on the stratum column."""
+    (1..k). One shuffle on the stratum column.
+
+    NULL-key rows are dropped — they have no sampling unit (the
+    ``stratified_sample``/``split_assign`` contract). Nulls-last
+    ordering alone left them eligible for underfull strata, where
+    their complete order tie made WHICH ones survived
+    partition-order-dependent (r13 review finding)."""
     u = _key_unit(key_col, seed, hash_fn)
-    # NULLS LAST: a NULL key has no hash; Spark's ASC default (nulls
-    # first) would hand NULL-key rows the TOP ranks, and DuckDB's ASC
-    # default is nulls-last — both reasons point the same way
     w = Window.partitionBy(strata_col).orderBy(
-        u.asc_nulls_last(), F.col(key_col).asc_nulls_last())
-    return (df.withColumn("sample_rank", F.row_number().over(w))
+        u.asc(), F.col(key_col).asc())
+    return (df.filter(F.col(key_col).isNotNull())
+            .withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
 
 
@@ -173,8 +177,14 @@ def pack_documents(
         F.concat_ws("|", F.lit(f"shard{seed}"),
                     F.col(key_col).cast("string")), hash_fn),
         F.lit(n_shards))
-    toks = token_count(F.col(text_col))
-    base = df.select(
+    # NULL-text docs contribute 0 tokens (token_count(NULL) is NULL,
+    # which reported n_tokens NULL instead of a packable zero-length
+    # doc); NULL-key rows are dropped — they have no sampling unit,
+    # so their pack_id/pack_offset were partition-order-dependent
+    # (r13 review finding, the stratified_sample/split_assign
+    # contract)
+    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col), F.col(group_col), shard.alias("_shard"),
         toks.alias("n_tokens"), u.alias("_u"))
     w = (Window.partitionBy(group_col, "_shard")
@@ -350,6 +360,11 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"))
     if target is not None:
+        # pin the (tiny, group-count-sized) aggregate before the
+        # validation collect: without it the full corpus token-count
+        # scan re-executes when the caller acts on the result
+        # (r13 review finding)
+        per = per.localCheckpoint(eager=True)
         # validate the explicit mapping against the OBSERVED groups: a
         # typo'd name silently weighted the real group 0 (rate-based
         # sampling then deletes the whole source), and a fully

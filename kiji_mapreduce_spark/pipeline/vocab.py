@@ -28,10 +28,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kiji_mapreduce_spark.pipeline.bpe import END, encode_word
 from kiji_mapreduce_spark.pipeline.dedup import tokens
-
-#: end-of-word marker, its own symbol (the merge walk may absorb it)
-END = "</w>"
 
 
 def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -206,20 +204,10 @@ def bpe_vocab(
                  F.sum("cnt").alias("total_cnt")))
 
 
-def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Greedy lowest-rank-first BPE segmentation (the standard apply
-    rule), returning the subword symbols for one word."""
-    syms = list(word) + [END]
-    while len(syms) >= 2:
-        best_rank, best_i = None, None
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_i is None:
-            break
-        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return syms
+# greedy lowest-rank-first BPE segmentation: ONE implementation, shared
+# with the bpe-train CLI encoder — two drifting copies is how the r13
+# ASCII-whitespace parity fix would have silently missed one of them
+_segment = encode_word
 
 
 def _segment_len(word: str, ranks: dict[tuple[str, str], int]) -> int:

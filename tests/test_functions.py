@@ -160,9 +160,9 @@ def test_audit_profile_and_orphans(spark):
     assert got[("n_distinct", "child.fk")] == 2.0
     assert got[("min", "child.fk")] == 100.0
     assert got[("max", "child.fk")] == 200.0
-    # the null-fk row does not join to parent and is not an orphan "hit"
-    # of a real key -> left_anti counts it too (fk null never matches)
-    assert got[("fk_orphans", "child.fk->parent.pk")] == 2.0
+    # SQL FK semantics (r13): the NULL-fk row passes the check — only
+    # fk=200 is an orphan
+    assert got[("fk_orphans", "child.fk->parent.pk")] == 1.0
 
 
 def test_snapshot_diff_detects_null_column_swap(spark):

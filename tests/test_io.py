@@ -1793,3 +1793,172 @@ def test_strip_file_scheme_single_slash(tmp_path):
     (tmp_path / "probe").write_text("x")
     assert fs_exists(f"file:/{str(tmp_path).lstrip('/')}/probe")
     assert fs_exists(f"file://{tmp_path}/probe")
+
+
+def test_warc_negative_content_length(spark):
+    """A crafted negative Content-Length must not desync the framer —
+    the -(header+4) value made the post-record trim delete ZERO bytes
+    and the generator yield the same record forever."""
+    import itertools
+
+    import pytest
+
+    from kiji_mapreduce_spark.io.inputs import _frame_warc_records
+
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n")
+    # length == -(header_end + 4) reproduces the infinite loop
+    for length in (-1, -(len(hdr) + len(b"Content-Length: -00\r\n") + 2)):
+        blob = hdr + b"Content-Length: %d\r\n\r\n" % length
+        with pytest.raises(ValueError, match="negative Content-Length"):
+            list(_frame_warc_records([blob], "mem", lenient=False))
+        # lenient: stops cleanly, and NEVER yields unbounded records
+        out = list(itertools.islice(
+            _frame_warc_records([blob], "mem", lenient=True), 10))
+        assert out == []
+
+
+def test_warc_header_hunt_is_bounded():
+    """A WARC/-prefixed stream with no CRLF CRLF terminator must fail
+    at the header cap instead of buffering the whole archive."""
+    import pytest
+
+    from kiji_mapreduce_spark.io.inputs import _frame_warc_records
+
+    def chunks():
+        yield b"WARC/1.0\r\n"
+        while True:  # endless header-ish bytes, never a blank line
+            yield b"X-Junk: aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa\r\n" * 1024
+
+    with pytest.raises(ValueError, match="malformed WARC record header"):
+        next(_frame_warc_records(chunks(), "mem", lenient=False))
+
+
+def test_warc_non_warc_stream_rejected_without_buffering():
+    """Garbage that is not WARC at record start is rejected from the
+    first bytes — the framer must not consume the stream hunting for a
+    header terminator."""
+    import pytest
+
+    from kiji_mapreduce_spark.io.inputs import _frame_warc_records
+
+    pulled = 0
+
+    def chunks():
+        nonlocal pulled
+        while True:
+            pulled += 1
+            yield b"\x00garbage" * 131072  # 1 MiB chunks, no CRLFCRLF
+
+    with pytest.raises(ValueError, match="malformed"):
+        next(_frame_warc_records(chunks(), "mem", lenient=False))
+    assert pulled <= 2, f"buffered {pulled} chunks before rejecting"
+
+
+def test_webdataset_empty_shard_lenient(spark, tmp_path):
+    """A corrupt (or merely member-less) shard yields no rows instead
+    of crashing Arrow with an untyped empty 'sample' column — the exact
+    case lenient=True promises to survive."""
+    import tarfile
+
+    from kiji_mapreduce_spark.io.inputs import read_webdataset
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "bad.tar").write_bytes(b"\x1f\x8b\x00TRUNCATED")
+    with tarfile.open(d / "good.tar", "w") as tf:
+        import io as _io
+
+        data = b"payload"
+        ti = tarfile.TarInfo("s1.txt")
+        ti.size = len(data)
+        tf.addfile(ti, _io.BytesIO(data))
+    rows = read_webdataset(spark, [str(d)], lenient=True).collect()
+    assert [(r.key, dict(r.sample)) for r in rows] == \
+        [("s1", {"txt": b"payload"})]
+
+
+def test_small_text_files_non_utf8_degrades(spark, tmp_path):
+    """One Latin-1 file in the corpus degrades to U+FFFD instead of
+    aborting the whole read under the ANSI decode."""
+    from kiji_mapreduce_spark.io.inputs import JobInput
+
+    (tmp_path / "ok.txt").write_text("hello", encoding="utf-8")
+    (tmp_path / "latin.txt").write_bytes(b"caf\xe9")
+    out = {r.path.rsplit("/", 1)[-1]: r.text
+           for r in JobInput("small-text-files",
+                             [str(tmp_path)]).load(spark).collect()}
+    assert out["ok.txt"] == "hello"
+    assert out["latin.txt"] == "caf�"
+
+
+def test_avro_fallback_write_rejects_object_store(spark, tmp_path,
+                                                  monkeypatch):
+    """Without the jar, a scheme path raises loudly instead of
+    os.makedirs-ing a literal local 's3:/bucket' and 'succeeding'."""
+    import pytest
+
+    from kiji_mapreduce_spark.io import avro_io
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(NotImplementedError, match="local"):
+        avro_io._write_avro_fallback(df, "s3://bucket/out")
+    # file:// still works (strips to a local path)
+    avro_io._write_avro_fallback(df, f"file://{tmp_path}/out")
+    import os
+
+    assert os.path.exists(f"{tmp_path}/out/_SUCCESS")
+
+
+def test_avro_writer_rejects_multibranch_union():
+    """The documented [null, T]-only writer contract is enforced: a
+    general union raises instead of silently encoding every value as
+    the first non-null branch."""
+    import json
+
+    import pytest
+
+    from kiji_mapreduce_spark.io import avro_codec
+
+    schema = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "x",
+                    "type": ["null", "string", "int"]}]})
+    with pytest.raises(ValueError, match="non-null branches"):
+        avro_codec.write_container(schema, [{"x": 42}])
+
+
+def test_avro_decoder_rejects_negative_union_and_enum_index():
+    """A corrupt NEGATIVE union/enum index raises the corrupt-data
+    error instead of silently wrapping to the last branch/symbol."""
+    import json
+
+    import pytest
+
+    from kiji_mapreduce_spark.io import avro_codec
+
+    schema = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "x", "type": ["null", "long"]}]})
+    good = avro_codec.write_container(schema, [{"x": 7}], codec="null")
+    # the encoded union index 1 (zigzag 0x02) -> -1 (zigzag 0x01):
+    # flip the first body byte after the header block prefix
+    idx = good.rfind(b"\x02\x0e")  # union idx 1, long 7
+    assert idx != -1
+    bad = good[:idx] + b"\x01" + good[idx + 1:]
+    with pytest.raises(ValueError):
+        list(avro_codec.read_container(bad))
+
+
+def test_collocations_degenerate_corpus_npmi(spark):
+    """p_pair == 1 (every adjacent pair is the same bigram) returns
+    the Bouma perfect-association limit 1.0 instead of aborting with
+    DIVIDE_BY_ZERO under ANSI."""
+    from kiji_mapreduce_spark.pipeline import lm
+
+    docs = spark.createDataFrame([(i, "a b") for i in range(4)],
+                                 "doc_id long, text string")
+    rows = lm.collocations(docs, min_count=2).collect()
+    assert len(rows) == 1
+    assert rows[0].w1 == "a" and rows[0].w2 == "b"
+    assert rows[0].npmi == 1.0

@@ -3740,3 +3740,131 @@ def test_fuzzy_match_skips_null_and_blank_names(spark):
         recs, cans, "rid", "cid", "name", "cname", max_dist=2).collect()
     assert [(r.record_id, r.canonical_id, r.dist) for r in got] == \
         [(1, 10, 1)]
+
+
+def test_cli_history_accepted_by_every_history_command():
+    """Every member of _PIPELINE_HISTORY_COMMANDS parses --history:
+    seven commands were listed in the frozenset but rejected the flag
+    with exit 2 (r13 review finding)."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from kiji_mapreduce_spark import cli
+
+    for cmd in sorted(cli._PIPELINE_HISTORY_COMMANDS):
+        err = io.StringIO()
+        with pytest.raises(SystemExit), \
+                contextlib.redirect_stderr(err):
+            # missing required args exit 2 — but --history itself must
+            # never be the reported problem
+            cli.main([cmd, "--history", "/tmp/h"])
+        assert "unrecognized arguments: --history" \
+            not in err.getvalue(), cmd
+
+
+def test_split_leakage_null_text_not_leaked(spark):
+    """NULL-text docs digest to NULL (join nothing): xxhash64(NULL) is
+    the constant 42, which made every NULL-text held-out doc a
+    'duplicate' of any NULL-text train doc."""
+    from kiji_mapreduce_spark import audit
+
+    df = spark.createDataFrame(
+        [(1, "train", None), (2, "test", None), (3, "test", "same"),
+         (4, "train", "same")],
+        "doc_id long, split string, text string")
+    rows = {r.split: (r.n_docs, r.n_leaked)
+            for r in audit.split_leakage(df).collect()}
+    assert rows["test"] == (2, 1)  # only the real dup leaks
+
+
+def test_fk_orphans_null_fk_not_orphan(spark):
+    """SQL FK semantics: NULL foreign keys pass the check."""
+    from kiji_mapreduce_spark import audit
+
+    child = spark.createDataFrame([(1, 10), (2, None), (3, 99)],
+                                  "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    row = audit.fk_orphans(child, parent, "fk", "pk", "c.fk").collect()[0]
+    assert row.value == 1.0  # only fk=99; the NULL row passes
+
+
+def test_column_profile_exotic_names(spark):
+    """Column names with spaces and quoted table names survive the
+    stack() construction."""
+    from kiji_mapreduce_spark import audit
+
+    df = spark.createDataFrame([(1, 2.0)], "`user id` long, `x-y` double")
+    out = audit.column_profile(df, "o'brien", ["user id", "x-y"])
+    rows = {(r.check_name, r.subject): r.value for r in out.collect()}
+    assert rows[("n_rows", "o'brien")] == 1.0
+    assert rows[("n_nulls", "o'brien.user id")] == 0.0
+    assert rows[("max", "o'brien.x-y")] == 2.0
+
+
+def test_stratum_topk_drops_null_keys(spark):
+    """NULL-key rows have no sampling unit: they are dropped instead of
+    nondeterministically padding underfull strata."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("a", None), ("b", 3)],
+        "s string, doc_id long")
+    got = sorted((r.s, r.doc_id) for r in
+                 sample.stratum_topk(df, "s", k=3).collect())
+    assert got == [("a", 1), ("a", 2), ("b", 3)]
+
+
+def test_pack_documents_null_text_and_key(spark):
+    """NULL text packs as a zero-token doc; NULL-key rows are dropped
+    (no sampling unit -> no deterministic position)."""
+    from kiji_mapreduce_spark.pipeline import sample
+
+    df = spark.createDataFrame(
+        [(1, "s", "w1 w2"), (2, "s", None), (None, "s", "w3")],
+        "doc_id long, source string, text string")
+    rows = {r.doc_id: r for r in
+            sample.pack_documents(df, budget=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_tokens == 0
+
+
+def test_job_history_error_does_not_mask_failure(spark, tmp_path):
+    """A history-table write error inside the finally block must not
+    replace the job's own failure."""
+    import pytest
+
+    from kiji_mapreduce_spark.job import Job, JobHistory
+
+    class _Boom(JobHistory):
+        def record(self, spark_, row):
+            raise RuntimeError("history table unwritable")
+
+    class _BadOut:
+        fires_dataset_action = True
+
+        def save(self, plan):
+            raise ValueError("the real job failure")
+
+    df = spark.createDataFrame([(1,)], "x int")
+    job = Job(name="j", plan=df, output=_BadOut(),
+              history=_Boom(path=str(tmp_path)))
+    with pytest.raises(ValueError, match="the real job failure"):
+        job.run()
+
+
+def test_contaminated_spans_merge_overlapping_extents(spark):
+    """Hits whose n-token extents overlap (start gap < n) merge into
+    ONE span; extents that merely touch stay separate."""
+    from kiji_mapreduce_spark.pipeline import decontaminate
+
+    # benchmark doc supplies 3-grams "a b c" and "c d e": candidate
+    # hits at pos 0 and pos 2 overlap at token 2
+    bench = spark.createDataFrame([(100, "a b c d e")],
+                                  "doc_id long, text string")
+    cand = spark.createDataFrame([(1, "a b c d e x y z")],
+                                 "doc_id long, text string")
+    rows = decontaminate.contaminated_spans(cand, bench, n=3).collect()
+    assert [(r.span_start, r.span_end, r.n_grams_in_span)
+            for r in rows] == [(0, 4, 3)]
