@@ -677,7 +677,17 @@ def decompress(data: bytes, max_output: int = 1 << 28,
             pos += 1  # window descriptor: informational (offsets are
             # validated against actual decoded history below)
         if did_size:
-            raise ValueError("zstd: dictionary frames unsupported")
+            # an EXPLICIT Dictionary_ID of 0 means "no dictionary"
+            # (RFC 8878 §3.1.1.1.3): such frames are self-contained
+            # and the reference decoder accepts them (r13 review
+            # finding, verified differentially) — only a real
+            # dictionary reference is out of scope here
+            if pos + did_size > len(data):
+                raise ValueError("zstd: truncated dictionary ID")
+            did = int.from_bytes(data[pos:pos + did_size], "little")
+            pos += did_size
+            if did:
+                raise ValueError("zstd: dictionary frames unsupported")
         fcs = None
         if fcs_size:
             if pos + fcs_size > len(data):
@@ -708,6 +718,14 @@ def decompress(data: bytes, max_output: int = 1 << 28,
                 out += bytes([data[pos]]) * bsize
                 pos += 1
             else:
+                if bsize > _BLOCK_MAX:
+                    # Block_Maximum_Size applies to Raw and Compressed
+                    # blocks too (the RLE branch already checks): the
+                    # reference decoder rejects oversize blocks, and
+                    # decoding them here made the two disagree on
+                    # validity (r13 review finding — the frame_start
+                    # decodes-where-reference-rejects class)
+                    raise ValueError("zstd: block over maximum size")
                 if pos + bsize > len(data):
                     raise ValueError("zstd: block overruns input")
                 blk = data[pos:pos + bsize]

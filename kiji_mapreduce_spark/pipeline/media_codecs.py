@@ -27,10 +27,13 @@ stdlib + numpy alone, so the engine's "real decode" path
 Encoding (``encode_png``) writes filter-0 scanlines — enough to
 round-trip tests and to emit real resized images.
 
-NumPy does the pixel math (unfiltering is O(pixels); the per-scanline
-loop is in Python but each scanline op is vectorized), which is the
-right shape for mapInPandas batches: decode runs executor-side on
-Arrow-delivered bytes, never on the driver.
+NumPy does the pixel math. Unfiltering is O(pixels): None/Up/Sub rows
+are fully vectorized (Sub is an exact strided cumsum); Average/Paeth
+are sequential BY CONSTRUCTION (each byte depends on the previous
+unfiltered byte) and run as plain-int Python loops, so decode time is
+bounded by the ``_MAX_PNG_PIXELS`` CPU gate, not just the byte
+ceiling. The shape fits mapInPandas batches: decode runs
+executor-side on Arrow-delivered bytes, never on the driver.
 """
 
 from __future__ import annotations
@@ -56,6 +59,12 @@ class UnsupportedMedia(ValueError):
 #: crawl blob declaring absurd IHDR dimensions must not OOM the
 #: executor before the post-inflate length check runs
 _MAX_PNG_BYTES = 1 << 30
+#: pixel-count ceiling (CPU gate): unfiltering Average/Paeth rows is
+#: sequential Python work (~2.6 MB/s measured after the list rewrite),
+#: so pixels, not bytes, bound the decode time — 16 MPix RGBA is
+#: ~64 MB of scanlines, ~25 s worst-case all-Paeth (the
+#: _MAX_VP8L_PIXELS reasoning)
+_MAX_PNG_PIXELS = 1 << 24
 
 #: the same 1 GiB ceiling for the other codecs' dominant DECODED
 #: allocations (JPEG per-component float64 planes, GIF index buffer /
@@ -132,6 +141,23 @@ def _decode_png_unchecked(
             break
     if width is None:
         raise UnsupportedMedia("PNG missing IHDR")
+    if width == 0 or height == 0:
+        # every sibling codec (JPEG/GIF/BMP) rejects zero dimensions;
+        # a (h, 0, ch) array otherwise escapes into resize/fingerprint
+        # consumers as NaNs and clipped empty-axis indexing
+        # (r13 review finding)
+        raise UnsupportedMedia(f"PNG: zero dimension {width}x{height}")
+    if width * height > _MAX_PNG_PIXELS:
+        # CPU gate, not just memory: Average/Paeth unfiltering is a
+        # sequential per-byte walk (exact vectorization is impossible
+        # — each byte depends on the previous unfiltered byte), so the
+        # decode cost is O(pixels) PYTHON work. Same ceiling class as
+        # _MAX_VP8L_PIXELS; the scanline byte ceiling below stays as
+        # the memory gate (r13 review finding: an all-Paeth PNG just
+        # under the 1 GiB byte gate pinned a worker for minutes)
+        raise UnsupportedMedia(
+            f"PNG dimensions {width}x{height} past the "
+            f"{_MAX_PNG_PIXELS >> 20} MPix ceiling")
     if interlace not in (0, 1):
         raise UnsupportedMedia(f"unknown PNG interlace {interlace}")
 
@@ -275,34 +301,63 @@ def _png_unfilter(raw: bytes, offset: int, height: int, stride: int,
 
 
 def _unfilter_sub(line: np.ndarray, bpp: int) -> np.ndarray:
-    for i in range(bpp, len(line)):
-        line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
-    return line
+    """Filter 1 is EXACTLY vectorizable: out[i] = raw[i] + out[i-bpp]
+    means each (i mod bpp) lane is a running sum — one strided cumsum,
+    with the uint8 cast supplying the mod-256 (r13 review finding: the
+    per-byte loop ran at ~1 MB/s)."""
+    if len(line) % bpp:  # sub-byte rows have bpp=1; 8/16-bit rows are
+        # exact multiples — this branch is unreachable, kept as a
+        # loud guard against a future stride change
+        raise UnsupportedMedia("PNG: row length not a bpp multiple")
+    return (np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64)
+            .astype(np.uint8).reshape(-1))
 
 
 def _unfilter_avg(line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
-    for i in range(len(line)):
-        left = int(line[i - bpp]) if i >= bpp else 0
-        line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
-    return line
+    # sequential by construction (the left term is already divided),
+    # but plain-int list arithmetic runs ~3x the numpy-scalar loop
+    raw = line.tolist()
+    pr = prev.tolist()
+    n = len(raw)
+    for i in range(min(bpp, n)):
+        raw[i] = (raw[i] + pr[i] // 2) & 0xFF
+    for i in range(bpp, n):
+        raw[i] = (raw[i] + (raw[i - bpp] + pr[i]) // 2) & 0xFF
+    return np.array(raw, dtype=np.uint8)
 
 
 def _unfilter_paeth(line: np.ndarray, prev: np.ndarray,
                     bpp: int) -> np.ndarray:
-    for i in range(len(line)):
-        left = int(line[i - bpp]) if i >= bpp else 0
-        up = int(prev[i])
-        ul = int(prev[i - bpp]) if i >= bpp else 0
+    # sequential by construction (nonlinear predictor over the
+    # previous unfiltered byte); list-int form, ~3x the numpy loop
+    raw = line.tolist()
+    pr = prev.tolist()
+    n = len(raw)
+    for i in range(min(bpp, n)):
+        # left = ul = 0 -> p = up, so the predictor is always up
+        raw[i] = (raw[i] + pr[i]) & 0xFF
+    for i in range(bpp, n):
+        left = raw[i - bpp]
+        up = pr[i]
+        ul = pr[i - bpp]
         p = left + up - ul
-        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+        pa = p - left
+        if pa < 0:
+            pa = -pa
+        pb = p - up
+        if pb < 0:
+            pb = -pb
+        pc = p - ul
+        if pc < 0:
+            pc = -pc
         if pa <= pb and pa <= pc:
             pred = left
         elif pb <= pc:
             pred = up
         else:
             pred = ul
-        line[i] = (int(line[i]) + pred) & 0xFF
-    return line
+        raw[i] = (raw[i] + pred) & 0xFF
+    return np.array(raw, dtype=np.uint8)
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -595,7 +650,14 @@ def _decode_ico_unchecked(content: bytes):
     if real_h == 0 or bw <= 0:
         raise UnsupportedMedia("ICO: bad embedded DIB dimensions")
     pal_n = (clr_used or (1 << bpp)) if bpp <= 8 else 0
-    data_off = 14 + hdr_size + 4 * pal_n
+    (compression,) = struct.unpack("<I", blob[16:20])
+    # a BI_BITFIELDS DIB with the plain 40-byte header stores 12 mask
+    # bytes AFTER the header — omitting them from the offsets read
+    # pixel rows 12 bytes early (silently shifted pixels, wrong
+    # perceptual hashes; r13 review finding). Larger headers
+    # (V2/V3/V4/V5) embed the masks inside hdr_size.
+    mask_bytes = 12 if (hdr_size == 40 and compression == 3) else 0
+    data_off = 14 + hdr_size + mask_bytes + 4 * pal_n
     patched = bytearray(blob[:hdr_size])
     struct.pack_into("<i", patched, 8, real_h)
     bmp = b"BM" + struct.pack("<IHHI", 14 + len(blob), 0, 0,
@@ -605,7 +667,8 @@ def _decode_ico_unchecked(content: bytes):
     # AND mask (1-bit, 32-bit-padded rows, bottom-up, after the XOR
     # data): transparency for entries whose pixels carry no alpha
     xor_stride = (dw * bpp + 31) // 32 * 4
-    mask_off = hdr_size + 4 * pal_n + xor_stride * real_h
+    mask_off = (hdr_size + mask_bytes + 4 * pal_n
+                + xor_stride * real_h)
     mask_stride = (dw + 31) // 32 * 4
     mask_end = mask_off + mask_stride * real_h
     if ch == 3 and len(blob) >= mask_end:
@@ -978,6 +1041,13 @@ def _flac_utf8_number(br: _FlacBits) -> int:
 _FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
                      4: [4, -6, 4, -1]}
 
+#: per-sample magnitude ceiling for the predictor loops: real FLAC
+#: samples fit in 32 bits (+7 wasted-bits headroom); anything past
+#: this is a corrupt/hostile predictor diverging, and bounding it here
+#: keeps the Python ints word-sized (coefs <= 2^15, order <= 32 =>
+#: pred <= ~2^60)
+_FLAC_SAMPLE_LIMIT = 1 << 40
+
 
 def _flac_residual(br: _FlacBits, blocksize: int, order: int
                    ) -> list[int]:
@@ -989,6 +1059,13 @@ def _flac_residual(br: _FlacBits, blocksize: int, order: int
     escape = (1 << pbits) - 1
     part_order = br.read(4)
     n_parts = 1 << part_order
+    if blocksize % n_parts:
+        # RFC 9639: the blocksize MUST be evenly divisible by 2^order;
+        # truncating division otherwise returns silently SHORT frames
+        # (wrong durations/fingerprints) where libFLAC errors
+        # (r13 review finding)
+        raise UnsupportedMedia(
+            "FLAC: blocksize not divisible by partition count")
     out: list[int] = []
     for p in range(n_parts):
         n = (blocksize >> part_order) - (order if p == 0 else 0)
@@ -1035,7 +1112,10 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int
         coefs = _FLAC_FIXED_COEFS[order]
         for r in res:
             pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(pred + r)
+            s = pred + r
+            if s > _FLAC_SAMPLE_LIMIT or s < -_FLAC_SAMPLE_LIMIT:
+                raise UnsupportedMedia("FLAC: predictor diverged")
+            out.append(s)
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 31) + 1
         if order > blocksize:
@@ -1051,7 +1131,16 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int
         res = _flac_residual(br, blocksize, order)
         for r in res:
             pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append((pred >> shift) + r)
+            s = (pred >> shift) + r
+            # divergence gate: valid samples fit in 32 bits; a crafted
+            # predictor (shift 0, max coefficients) otherwise grows
+            # samples ~2^29x per step into multi-GB bignums BEFORE the
+            # decoded-sample count gate can fire (r13 review finding,
+            # reproduced) — and also bounds pred to ~2^60, so the
+            # numpy conversion can never see an unconvertible bignum
+            if s > _FLAC_SAMPLE_LIMIT or s < -_FLAC_SAMPLE_LIMIT:
+                raise UnsupportedMedia("FLAC: predictor diverged")
+            out.append(s)
     else:
         raise UnsupportedMedia(f"FLAC: reserved subframe type {stype}")
     if wasted:
@@ -1084,7 +1173,12 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_flac_unchecked(content)
     except UnsupportedMedia:
         raise
-    except (KeyError, ValueError, IndexError, struct.error) as e:
+    except (KeyError, ValueError, IndexError, struct.error,
+            OverflowError) as e:
+        # OverflowError: a crafted LPC predictor can explode samples
+        # into bignums that numpy's int conversion rejects — part of
+        # the hostile-bytes surface, not an engine bug (r13 review
+        # finding, reproduced)
         raise UnsupportedMedia(
             f"malformed FLAC structure: {type(e).__name__}: {e}") from e
 

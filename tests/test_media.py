@@ -2791,3 +2791,107 @@ def test_ico_image_dedup_and_crawl_sniff(spark, tmp_path):
         read_warc_records(spark, str(d)), spark).collect()
     assert [(r.kind, r.url) for r in media_rows] == \
         [("image", "http://x/favicon.ico")]
+
+
+def test_flac_diverging_predictor_is_unsupported():
+    """A crafted LPC predictor (shift 0, huge coefficients) must raise
+    UnsupportedMedia via the divergence gate — never a raw
+    OverflowError, and never multi-GB bignum growth first."""
+    bs = 64
+    wtr = _flac_frame_header(bs, 0, 4)
+    wtr.write(0, 1)
+    wtr.write(32 | (2 - 1), 6)   # LPC order 2
+    wtr.write(0, 1)              # no wasted bits
+    for s in (30000, 30000):     # warmup near the 16-bit ceiling
+        wtr.write(s, 16)
+    wtr.write(15 - 1, 4)         # coefficient precision 15
+    wtr.write(0, 5)              # shift 0: samples explode
+    for c in (16383, 16383):     # max positive coefficients
+        wtr.write(c, 15)
+    wtr.write(0, 2)              # residual method 0: 4-bit params
+    wtr.write(0, 4)              # partition order 0
+    wtr.write(0, 4)              # rice param 0
+    for _ in range(bs - 2):
+        wtr.write(1, 1)          # unary 0 quotient, sign bit
+    wtr.pad_to_byte()
+    blob = _flac_file(_flac_streaminfo(8000, 1, 16, bs),
+                      [bytes(wtr.out)])
+    with pytest.raises(mc.UnsupportedMedia, match="diverged"):
+        mc.decode_flac(blob)
+
+
+def test_flac_partition_must_divide_blocksize():
+    """RFC 9639: blocksize not divisible by 2^partition_order is an
+    error, not a silently short frame."""
+    bs = 6
+    wtr = _flac_frame_header(bs, 0, 4)
+    wtr.write(0, 1)
+    wtr.write(8, 6)              # fixed predictor, order 0
+    wtr.write(0, 1)
+    wtr.write(0, 2)              # residual method 0
+    wtr.write(2, 4)              # partition order 2: 6 % 4 != 0
+    wtr.write(0, 4)
+    for _ in range(bs):
+        wtr.write(1, 1)
+    wtr.pad_to_byte()
+    blob = _flac_file(_flac_streaminfo(8000, 1, 16, bs),
+                      [bytes(wtr.out)])
+    with pytest.raises(mc.UnsupportedMedia, match="divisible"):
+        mc.decode_flac(blob)
+
+
+def test_png_zero_dimension_and_pixel_ceiling():
+    """Zero-dimension PNGs are rejected like every sibling codec, and
+    the MPix CPU gate fires before any inflate work."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def _chunk(ctype, data):
+        return (_struct.pack(">I", len(data)) + ctype + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data)))
+
+    def _png(w, h):
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(b""))
+                + _chunk(b"IEND", b""))
+
+    with pytest.raises(mc.UnsupportedMedia, match="zero dimension"):
+        mc.decode_png(_png(0, 5))
+    with pytest.raises(mc.UnsupportedMedia, match="MPix"):
+        mc.decode_png(_png(1 << 13, 1 << 12))  # 32 MPix
+
+
+def test_png_unfilter_rewrite_roundtrip():
+    """The strided-cumsum Sub and list-int Average/Paeth unfilters
+    reproduce the reference per-byte semantics on random rows."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    for bpp in (1, 3, 4, 8):
+        n = bpp * 37
+        prev = rng.integers(0, 256, n).astype(_np.uint8)
+        raw = rng.integers(0, 256, n).astype(_np.uint8)
+
+        def _ref(filt):
+            line = raw.copy()
+            out = [0] * n
+            for i in range(n):
+                left = out[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if filt == 1:
+                    pred = left
+                elif filt == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa <= pb and pa <= pc
+                            else up if pb <= pc else ul)
+                out[i] = (int(line[i]) + pred) & 0xFF
+            return out
+
+        assert mc._unfilter_sub(raw.copy(), bpp).tolist() == _ref(1)
+        assert mc._unfilter_avg(raw.copy(), prev, bpp).tolist() == _ref(3)
+        assert mc._unfilter_paeth(raw.copy(), prev, bpp).tolist() == _ref(4)

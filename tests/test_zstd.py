@@ -456,3 +456,36 @@ def test_adversarial_window_and_size_bombs():
     blk = bytes([h5[0] | 0xF0]) + b"\xff\xff\xff\xff"
     with pytest.raises(ValueError):
         zstd_codec.decompress(_frame(_block(2, blk)))
+
+
+def test_explicit_zero_dictionary_id_decodes():
+    """RFC 8878 §3.1.1.1.3: an explicit Dictionary_ID field with value
+    0 means 'no dictionary' — such frames are self-contained and the
+    reference decoder accepts them (verified differentially in review),
+    so this decoder must too."""
+    name, b64 = FIXTURES["text_l3"]
+    frame = bytearray(base64.b64decode(b64))
+    want = zstd_codec.decompress(bytes(frame))
+    fhd = frame[4]
+    assert fhd & 0x03 == 0  # fixture has no DID field
+    frame[4] = fhd | 0x01   # 1-byte Dictionary_ID
+    insert_at = 5 + (0 if fhd & 0x20 else 1)  # after window descriptor
+    patched = bytes(frame[:insert_at]) + b"\x00" + bytes(frame[insert_at:])
+    assert zstd_codec.decompress(patched) == want
+    # a REAL dictionary reference still refuses loudly
+    patched7 = bytes(frame[:insert_at]) + b"\x07" + bytes(frame[insert_at:])
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_codec.decompress(patched7)
+
+
+def test_raw_and_compressed_blocks_over_maximum_rejected():
+    """Block_Maximum_Size (128 KiB) applies to Raw and Compressed
+    blocks, not just RLE — the reference decoder rejects oversize
+    blocks, so decoding them would diverge on validity."""
+    magic = struct.pack("<I", 0xFD2FB528)
+    for btype in (0, 2):
+        bh = ((1 << 20) << 3) | (btype << 1) | 1  # 1 MiB, last block
+        frame = (magic + bytes([0x00, 0x00])      # fhd, window desc
+                 + bh.to_bytes(3, "little") + b"\x00" * 16)
+        with pytest.raises(ValueError, match="over maximum"):
+            zstd_codec.decompress(frame)
