@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -68,7 +69,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # regex-extract, never float(basename): a dir named 'full' or
+    # 'sf0.1_new' must not crash the harness before it can emit its
+    # one JSON line (r13 review finding)
+    m = re.search(r"sf(\d+(?:\.\d+)?)",
+                  os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
 
     from kiji_mapreduce_spark.session import make_session
     from kiji_mapreduce_spark import suite

@@ -222,13 +222,20 @@ class RowKeySpec:
     def key_expr(self, prefix: str = "entity_id"):
         """String packing of the components (the sortable logical key).
 
-        Injective: a NULL component encodes as ``\\x01`` (concat_ws
-        would silently DROP it, conflating ('a', NULL, 'x') with
-        ('a', 'x', NULL) and merging two entities' puts — r5 review
-        finding), and literal ``\\x00`` bytes inside string components
-        are escaped as ``\\x00\\x02`` so the separator stays
-        unambiguous. Clean scalar components (the overwhelmingly common
-        case, and everything the oracle SQL mirrors) render as the bare
+        Injective via a prefix-free escape: inside values ``\\x01`` is
+        the escape byte (``\\x01`` -> ``\\x01\\x03``, ``\\x00`` ->
+        ``\\x01\\x02``), so the ``\\x00`` separator can never appear in
+        an escaped payload; a NULL component encodes as the bare
+        ``\\x01`` (concat_ws would silently DROP it, conflating
+        ('a', NULL, 'x') with ('a', 'x', NULL) — r5 review finding),
+        which no escaped value can equal (a value's every ``\\x01``
+        carries a following ``\\x02``/``\\x03``). The r13 review broke
+        the previous ``\\x00\\x02`` scheme with two concrete collisions
+        — pack(['a', None]) == pack(['a', '\\x01']) and
+        pack(['p\\x00', '\\x02z']) == pack(['p', '\\x02\\x00z']) — both
+        distinct under this coding, and the escape is order-preserving.
+        Clean scalar components (the overwhelmingly common case, and
+        everything the oracle SQL mirrors) still render as the bare
         Spark cast, unchanged."""
         return self.pack([F.col(f"{prefix}.{n}").cast("string")
                           for n, _ in self.components])
@@ -238,10 +245,13 @@ class RowKeySpec:
         """Escape + join already-cast string components — shared by
         ``key_expr`` and the point-lookup bucket router in
         ``EntityTable._bucket_of`` so both always produce identical
-        packed keys."""
-        cols = [F.coalesce(F.replace(c, F.lit("\x00"), F.lit("\x00\x02")),
-                           F.lit("\x01"))
-                for c in string_cols]
+        packed keys. Escape-char first, then the separator byte: the
+        reverse order would double-escape."""
+        cols = [F.coalesce(
+            F.replace(F.replace(c, F.lit("\x01"), F.lit("\x01\x03")),
+                      F.lit("\x00"), F.lit("\x01\x02")),
+            F.lit("\x01"))
+            for c in string_cols]
         return F.concat_ws("\x00", *cols)
 
     def hash_expr(self, prefix: str = "entity_id"):

@@ -39,8 +39,15 @@ def _dotseq(a: str, b: str, dim: int) -> str:
 
 
 def _cos(a: str, b: str, dim: int) -> str:
-    return (f"({_dotseq(a, b, dim)} / "
-            f"(sqrt({_dotseq(a, a, dim)}) * sqrt({_dotseq(b, b, dim)})))")
+    # zero-norm guard mirroring the Spark side's guarded `cosine`
+    # (0.0, never NULL — DuckDB x/0.0 is NULL): without it every knn
+    # oracle diverges on an all-zero embedding (r13 review finding,
+    # latent in the shipped testdata which has none)
+    return (f"(CASE WHEN {_dotseq(a, a, dim)} = 0 "
+            f"OR {_dotseq(b, b, dim)} = 0 THEN 0.0 "
+            f"ELSE {_dotseq(a, b, dim)} / "
+            f"(sqrt({_dotseq(a, a, dim)}) * sqrt({_dotseq(b, b, dim)})) "
+            f"END)")
 
 
 def fingerprint_sql(window: int = 8, source: str = "documents",
@@ -244,7 +251,13 @@ def corpus_survivors_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
     return f"""
 WITH RECURSIVE
 exact_keep AS (
-  SELECT min({id_col}) AS {id_col} FROM documents GROUP BY md5(text)
+  -- NULL text is nobody's duplicate: every NULL-text doc survives
+  -- individually (the Spark side's r13 dedup_corpus fix; grouping
+  -- them under md5(NULL) kept only one)
+  SELECT min({id_col}) AS {id_col} FROM documents
+  WHERE text IS NOT NULL GROUP BY md5(text)
+  UNION ALL
+  SELECT {id_col} FROM documents WHERE text IS NULL
 ),
 exact AS (
   SELECT d.* FROM documents d JOIN exact_keep USING ({id_col})
@@ -372,7 +385,13 @@ def bm25_sql(queries: list[tuple[str, str]], k: int = 10, k1: float = 1.2,
     """Mirror of search.bm25_topk: Okapi BM25 with the Lucene
     always-positive idf, ranked by (score rounded to 6 dp desc, doc id)
     — the rounding is what makes the rank order engine-independent."""
-    vals = ", ".join(f"('{q}', '{t}')" for q, t in queries)
+    # escape quotes (the registered_domain_sql discipline): an
+    # apostrophe in a query text is natural and would otherwise break
+    # out of the literal (r13 review finding, latent today)
+    vals = ", ".join(
+        "('{}', '{}')".format(q.replace("'", "''"),
+                              t.replace("'", "''"))
+        for q, t in queries)
     return f"""
 WITH q(query_id, query_text) AS (VALUES {vals}),
 toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),

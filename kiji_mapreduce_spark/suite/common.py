@@ -37,7 +37,11 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         zip_path = os.path.join(
             tempfile.gettempdir(), f"kiji_mapreduce_spark_{app_id}.zip")
         if not os.path.exists(zip_path):
-            with zipfile.ZipFile(zip_path, "w") as zf:
+            # write-then-rename: a crash mid-write otherwise leaves a
+            # truncated zip that the NEXT call's exists() check happily
+            # ships to every executor (r13 review finding)
+            tmp = zip_path + f".tmp{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w") as zf:
                 for root, _dirs, files in os.walk(pkg_dir):
                     for fname in files:
                         if not fname.endswith(".py"):
@@ -47,6 +51,7 @@ def _ensure_session_conf(spark: SparkSession) -> None:
                             "kiji_mapreduce_spark",
                             os.path.relpath(full, pkg_dir))
                         zf.write(full, rel)
+            os.replace(tmp, zip_path)
         sc.addPyFile(zip_path)
         _SHIPPED_SESSIONS.add(app_id)
     except Exception:

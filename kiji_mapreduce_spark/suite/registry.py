@@ -399,6 +399,7 @@ ORACLES: dict[str, str] = {
            GROUP BY 1, 2""",
         damping=0.85, iters=5, node_alias="nation",
         rank_alias="pagerank"),
-    # rows-only (genuinely non-SQL-expressible): multimodal_features
-    # (the sha256-float fake-decode runs in a Pandas UDF)
+    # every registry query has an oracle entry — the rows-only set is
+    # EMPTY (multimodal_features gained SQL_MULTIMODAL_FEATURES in r4;
+    # a stale comment here claimed otherwise until r13)
 }

@@ -771,3 +771,24 @@ def test_bulk_stage_rows_after_deletes_fails_loudly(spark, tmp_path):
         "info struct<email: array<struct<ts:long, value:string>>>")
     with pytest.raises(ValueError, match="tombstones"):
         t.bulk_stage(rows, stage)
+
+
+def test_key_packing_prefix_free_collisions(spark):
+    """The two concrete r13 collisions: a NULL vs a literal \\x01
+    component, and an escaped separator vs a separator + \\x02-leading
+    component — all four tuples must pack distinctly under the
+    prefix-free escape, and clean scalars stay bare."""
+    from kiji_mapreduce_spark.layout import RowKeySpec
+
+    rk2 = RowKeySpec(components=[("a", "string"), ("b", "string")])
+    df = spark.createDataFrame(
+        [(("a", None),), (("a", "\x01"),),
+         (("p\x00", "\x02z"),), (("p", "\x02\x00z"),)],
+        "entity_id struct<a:string, b:string>")
+    keys = [r.k for r in df.select(rk2.key_expr().alias("k")).collect()]
+    assert len(set(keys)) == 4
+    # clean scalar parity: the oracle mirrors bare casts
+    clean = spark.createDataFrame([(("42", "x"),)],
+                                  "entity_id struct<a:string, b:string>")
+    assert clean.select(rk2.key_expr().alias("k")).collect()[0].k \
+        == "42\x00x"

@@ -27,10 +27,29 @@ def _norm_cell(v):
     return v
 
 
+def _sort_key_cell(x):
+    # type-aware alignment key: floats sort NUMERICALLY after rounding
+    # to the comparison tolerance, so two engines whose values differ
+    # only within tolerance still pair the same rows (sorting on
+    # str(x) could order 5.0 / 5.000000001 differently per side and
+    # misalign the whole comparison — r13 review finding); the type
+    # tag keeps mixed-type columns comparable
+    if x is None:
+        return (0, "")
+    if isinstance(x, bool):
+        return (1, str(x))
+    if isinstance(x, (int, float)):
+        # str(x) tiebreak keeps the sort total for rows that tie at
+        # 6 dp but differ beyond tolerance
+        return (2, float(round(x, 6)), str(x))
+    return (3, str(x), "")
+
+
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(cols), sorted(
+        out, key=lambda t: tuple(_sort_key_cell(x) for x in t))
 
 
 def _values_equal(a, b):
@@ -105,6 +124,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name previously matched nothing and the harness
+        # printed the all-consistent success line — a false green from
+        # the verification gate (r13 review finding)
+        print(f"ERROR: unknown query name(s): {', '.join(sorted(unknown))}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
