@@ -74,6 +74,42 @@ FROM hs
 """
 
 
+def _gram_list(n: int) -> str:
+    """Window-form n-gram string list over token array ``t`` — THE
+    single definition of the gram semantics (full n-grams only; docs
+    shorter than n keep their one edge gram), shared by the MinHash /
+    Jaccard / decontamination oracles (r13 review finding: four
+    hand-synced copies of this CASE had to be fixed in lockstep)."""
+    return (f"CASE WHEN len(t) >= {n} "
+            f"THEN list_transform(range(1, len(t) - {n} + 2), "
+            f"i -> array_to_string(t[i : i + {n - 1}], ' ')) "
+            f"ELSE [array_to_string(t, ' ')] END")
+
+
+def _pos_gram_list(n: int) -> str:
+    """Positional variant of ``_gram_list``: (p, h) structs carrying
+    the 0-based start position and the md5 gram hash."""
+    gram_h = _md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")
+    edge_h = _md5h("array_to_string(t, ' ')")
+    return (f"CASE WHEN len(t) >= {n} "
+            f"THEN list_transform(range(1, len(t) - {n} + 2), "
+            f"i -> struct_pack(p := i - 1, h := {gram_h})) "
+            f"ELSE [struct_pack(p := 0, h := {edge_h})] END")
+
+
+def _band_chunk_rows(id_col: str, code_col: str, bands: int,
+                     extra: str = "") -> str:
+    """UNION ALL of the per-band chunk projections over ``fp`` — the
+    SQL half of the banded hamming join, shared by the simhash / image
+    / video / audio oracles (``extra`` carries e.g. frame_no)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {extra}{code_col}, {b} AS band, "
+        f"({code_col} >> {b * width}) & {mask} AS chunk FROM fp"
+        for b in range(bands))
+
+
 def _shingle_cte(n: int, source: str, id_col: str) -> str:
     """CTEs shared by the MinHash oracles: per-doc shingle-hash lists
     (window-form semantics: full n-grams only, except docs shorter than n
@@ -81,11 +117,7 @@ def _shingle_cte(n: int, source: str, id_col: str) -> str:
     return f"""
 toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 grams AS (
-  SELECT {id_col},
-    CASE WHEN len(t) >= {n}
-         THEN list_transform(range(1, len(t) - {n} + 2),
-              i -> array_to_string(t[i : i + {n - 1}], ' '))
-         ELSE [array_to_string(t, ' ')] END AS g
+  SELECT {id_col}, {_gram_list(n)} AS g
   FROM toks WHERE len(t) >= 1
 ),
 hs AS (SELECT {id_col}, list_transform(g, x -> {_md5h('x')}) AS h
@@ -106,11 +138,7 @@ WITH toks AS (
   FROM {source}
 ),
 grams AS (
-  SELECT {id_col}, is_bench,
-    CASE WHEN len(t) >= {n}
-         THEN list_transform(range(1, len(t) - {n} + 2),
-              i -> array_to_string(t[i : i + {n - 1}], ' '))
-         ELSE [array_to_string(t, ' ')] END AS g
+  SELECT {id_col}, is_bench, {_gram_list(n)} AS g
   FROM toks WHERE len(t) >= 1
 ),
 ex AS (
@@ -203,17 +231,13 @@ def simhash_pairs_sql(max_hamming: int = 10, bands: int = 4,
     """Mirror of dedup.simhash_near_duplicates(hash_fn="md5"): 64 bit
     votes per doc (md5 mode: bits 60-63 vote zero on both engines),
     band-chunk equi-join, hamming verify."""
-    width = 64 // bands
     sums = ",\n    ".join(
         f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
     # bit set when ones >= zeros <=> 2*ones >= n (bits 60+ never set: n>=1)
     fp_terms = " + ".join(
         f"(CASE WHEN 2 * s{b} >= n THEN {1 << b} ELSE 0 END)"
         for b in range(60))
-    band_rows = "\nUNION ALL\n".join(
-        f"SELECT {id_col}, sh, {b} AS band, "
-        f"(sh >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
-        for b in range(bands))
+    band_rows = _band_chunk_rows(id_col, "sh", bands)
     return f"""
 WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 ex AS (SELECT {id_col}, unnest(t) AS tok FROM toks),
@@ -490,13 +514,7 @@ WITH toks AS (
   FROM {source}
 ),
 grams AS (
-  SELECT {id_col}, is_bench, len(t) - 1 AS mx,
-    CASE WHEN len(t) >= {n}
-         THEN list_transform(range(1, len(t) - {n} + 2),
-              i -> struct_pack(p := i - 1,
-                   h := {_md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")}))
-         ELSE [struct_pack(p := 0,
-               h := {_md5h("array_to_string(t, ' ')")})] END AS g
+  SELECT {id_col}, is_bench, len(t) - 1 AS mx, {_pos_gram_list(n)} AS g
   FROM toks WHERE len(t) >= 1
 ),
 ex AS (SELECT {id_col}, is_bench, mx, unnest(g) AS s FROM grams),
@@ -574,16 +592,10 @@ def repeated_ngram_coverage_sql(n: int = 3, min_docs: int = 2,
     span ends clamped to the last token. Every document (including
     zero-token and NULL-text ones) reports a row; dup_frac rounds to
     4 dp."""
-    gram_h = _md5h("array_to_string(t[i : i + " + str(n - 1) + "], ' ')")
-    edge_h = _md5h("array_to_string(t, ' ')")
     return f"""
 WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 grams AS (
-  SELECT {id_col}, len(t) - 1 AS mx,
-    CASE WHEN len(t) >= {n}
-         THEN list_transform(range(1, len(t) - {n} + 2),
-              i -> struct_pack(p := i - 1, h := {gram_h}))
-         ELSE [struct_pack(p := 0, h := {edge_h})] END AS g
+  SELECT {id_col}, len(t) - 1 AS mx, {_pos_gram_list(n)} AS g
   FROM toks WHERE len(t) >= 1
 ),
 ex AS (SELECT {id_col}, mx, unnest(g) AS s FROM grams),
@@ -868,12 +880,9 @@ def video_near_dup_sql(n_frames: int = 3, every_n: int = 2,
     through a real PNG encode into the Motion-PNG container and back
     (both lossless), so both engines hash identical bitmaps — the
     codec round-trip is exactly what the hash match proves."""
-    width = 64 // bands
     sampled = ", ".join(f"({f})" for f in range(0, n_frames, every_n))
-    band_rows = "\nUNION ALL\n".join(
-        f"SELECT {id_col}, frame_no, ph, {b} AS band, "
-        f"(ph >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
-        for b in range(bands))
+    band_rows = _band_chunk_rows(id_col, "ph", bands,
+                                 extra="frame_no, ")
     return f"""
 WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 px AS (
@@ -914,7 +923,6 @@ def audio_near_dup_sql(max_hamming: int = 2, bands: int = 4,
     engine-portable; the Spark side round-trips the SAME samples
     through a real WAV encode/decode (lossless PCM), which is what the
     hash match proves."""
-    width = 64 // bands
     terms = []
     for i in range(64):
         mask = f"{1 << i}" if i < 63 else "(-9223372036854775807 - 1)"
@@ -922,10 +930,7 @@ def audio_near_dup_sql(max_hamming: int = 2, bands: int = 4,
                      f" THEN ({mask})::BIGINT ELSE 0 END)")
     fp_sum = "\n      + ".join(terms)
     sq = " + ".join(f"s[4*j + {k}] * s[4*j + {k}]" for k in range(1, 5))
-    band_rows = "\nUNION ALL\n".join(
-        f"SELECT {id_col}, afp, {b} AS band, "
-        f"(afp >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
-        for b in range(bands))
+    band_rows = _band_chunk_rows(id_col, "afp", bands)
     return f"""
 WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 samps AS (
@@ -968,10 +973,7 @@ def image_near_dup_sql(max_hamming: int = 3, bands: int = 4,
     arithmetic-vs-logical shift on negative codes cannot differ."""
     width = 64 // bands
     fp_sum = _dhash_sum("p")  # byte-identical to the pre-r7 inline terms
-    band_rows = "\nUNION ALL\n".join(
-        f"SELECT {id_col}, ph, {b} AS band, "
-        f"(ph >> {b * width}) & {(1 << width) - 1} AS chunk FROM fp"
-        for b in range(bands))
+    band_rows = _band_chunk_rows(id_col, "ph", bands)
     return f"""
 WITH toks AS (SELECT {id_col}, {_toks()} AS t FROM {source}),
 px AS (
