@@ -559,10 +559,11 @@ def pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 5,
     parts = [f"""
 WITH e0 AS ({edges_sql}),
 outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
-e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS norm
-      FROM e0 JOIN outw ON outw.src = e0.src
-      WHERE outw.ow <> 0),
-nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+e AS (SELECT e0.src, e0.dst,
+             CASE WHEN outw.ow <> 0 THEN e0.w / outw.ow
+                  ELSE 0.0 END AS norm
+      FROM e0 JOIN outw ON outw.src = e0.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 r0 AS (SELECT node, round(1.0 / nn.n, {round_dp}) AS rank
        FROM nodes CROSS JOIN nn)"""]

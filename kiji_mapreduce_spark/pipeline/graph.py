@@ -63,22 +63,22 @@ def pagerank(
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     # guarded division (the `cosine` zero-norm discipline): a source
     # whose weights sum to 0 has no outgoing mass to distribute — its
-    # edges contribute nothing, exactly like a dangling node, instead
-    # of aborting the job under ANSI mode (DIVIDE_BY_ZERO) or silently
-    # NULLing the round's contribution with ANSI off (r13 review
-    # finding). The WHEN keeps the divide from ever seeing a zero even
-    # before the filter prunes the rows.
+    # edges carry norm 0.0 (contributing rank*0, exactly a dangling
+    # node) instead of aborting the job under ANSI mode
+    # (DIVIDE_BY_ZERO) or silently NULLing the round's contribution
+    # with ANSI off (r13 review finding). Keeping the rows — rather
+    # than filtering them — preserves every endpoint in the node set
+    # below at zero extra plan cost (dropping them forced a third
+    # execution of the upstream edge derivation: 1.79s -> 2.90s on
+    # the suite's 3-join edge table).
     norm = (e.join(outw, on="_src")
             .select("_src", "_dst",
                     F.when(F.col("_ow") != 0,
-                           F.col("_w") / F.col("_ow")).alias("_norm"))
-            .filter(F.col("_norm").isNotNull())
+                           F.col("_w") / F.col("_ow"))
+                    .otherwise(F.lit(0.0)).alias("_norm"))
             .localCheckpoint(eager=True))
-    # node set from the RAW edge table, not the normalized one: a
-    # zero-outweight source keeps its row (and its (1-d)/N base rank)
-    # even though its edges were pruned above
-    nodes = (e.select(F.col("_src").alias("node"))
-             .union(e.select(F.col("_dst").alias("node")))
+    nodes = (norm.select(F.col("_src").alias("node"))
+             .union(norm.select(F.col("_dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()  # scalar: the node count, not data, hits the driver
     if n == 0:

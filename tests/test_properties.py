@@ -1758,3 +1758,67 @@ def test_read_cdx_total_on_arbitrary_lines(spark, tmp_path_factory,
     got_keys = sorted(r.surt_key for r in rows
                       if r.surt_key is not None)
     assert got_keys == want_keys
+
+
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.none(),
+                        st.text(alphabet="a\x00\x01\x02", max_size=4)),
+              st.one_of(st.none(),
+                        st.text(alphabet="b\x00\x01\x02", max_size=4))),
+    min_size=1, max_size=25, unique=True))
+def test_row_key_pack_injective_property(spark, tuples):
+    """Distinct component tuples always pack to distinct keys — the
+    prefix-free escape holds over the full control-byte alphabet,
+    including the two concrete r13 collision shapes."""
+    from kiji_mapreduce_spark.layout import RowKeySpec
+
+    rk = RowKeySpec(components=[("a", "string"), ("b", "string")])
+    df = spark.createDataFrame(
+        [((a, b),) for a, b in tuples],
+        "entity_id struct<a:string, b:string>")
+    keys = [r.k for r in df.select(rk.key_expr().alias("k")).collect()]
+    assert len(set(keys)) == len(tuples)
+
+
+def _model_exact_substring(rows, k):
+    """Pure-Python ExactSubstr model: first-(id, pos) occurrence of a
+    repeated k-token window wins; losers' covered positions union."""
+    toks = {i: (t or "").split() for i, t in rows}
+    first: dict[tuple, tuple] = {}
+    count: dict[tuple, int] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            w = tuple(ts[p:p + k])
+            count[w] = count.get(w, 0) + 1
+            first.setdefault(w, (i, p))
+    out = {}
+    for i, t in rows:
+        ts = toks[i]
+        rm = set()
+        for p in range(len(ts) - k + 1):
+            w = tuple(ts[p:p + k])
+            if count[w] > 1 and first[w] != (i, p):
+                rm.update(range(p, p + k))
+        kept = [t_ for j, t_ in enumerate(ts) if j not in rm]
+        out[i] = (None if t is None else " ".join(kept), len(rm))
+    return out
+
+
+@settings(max_examples=5 * _FUZZ_MULT, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.text(alphabet="ab ", max_size=24)),
+                min_size=1, max_size=12))
+def test_exact_substring_dedup_matches_model(spark, texts):
+    """exact_substring_dedup == the pure-Python first-wins/maximal-span
+    model on tiny two-letter corpora (where repeats are dense)."""
+    from kiji_mapreduce_spark.pipeline import dedup
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.tokens_dropped)
+           for r in dedup.exact_substring_dedup(df, min_tokens=2,
+                                                materialize=False)
+           .collect()}
+    assert got == _model_exact_substring(rows, 2)
