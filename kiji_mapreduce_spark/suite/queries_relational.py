@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from kiji_mapreduce_spark import cells
 from kiji_mapreduce_spark.suite.common import _events, _t
 
 
@@ -269,8 +268,11 @@ def q_asof_join_purchase_click(spark, sf_dir):
 SQL_ASOF_JOIN = """
 WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
            FROM events WHERE event_type = 'purchase'),
-     c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
-           FROM events WHERE event_type = 'click')
+     -- tie-break mirror: asof_join resolves equal timestamps to the
+     -- greatest value-struct, so equal-(user, ts) clicks pre-aggregate
+     -- to max(value) — a bare ASOF picks an arbitrary one (r13 review)
+     c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
 SELECT p.event_id, p.user_id, p.ts_ms, c.value AS click_value
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
 """

@@ -170,7 +170,9 @@ def q_pack_documents(spark, sf_dir):
 SQL_PACK_DOCUMENTS = r"""
 WITH base AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         -- NULL text packs as a zero-token doc (the r13
+         -- pack_documents contract; bare len() is NULL for NULL text)
+         coalesce(len(regexp_extract_all(text, '\S+')), 0) AS n_tokens,
          ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::BIGINT
            % 10000 AS u,
          ('0x' || substr(md5('shard42|' || doc_id::VARCHAR), 1, 15))::BIGINT

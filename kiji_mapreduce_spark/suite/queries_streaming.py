@@ -156,8 +156,14 @@ def q_streaming_dedup_docs(spark, sf_dir):
 
 
 SQL_STREAMING_DEDUP = """
+-- NULL text passes through UN-deduped (the r13 stream_dedup_exact
+-- contract: unknown content is nobody's duplicate) — a bare DISTINCT
+-- would collapse all NULL-text rows into one
 SELECT DISTINCT md5(text) AS digest, length(text) AS n_chars_txt
-FROM documents
+FROM documents WHERE text IS NOT NULL
+UNION ALL
+SELECT NULL AS digest, NULL AS n_chars_txt
+FROM documents WHERE text IS NULL
 """
 
 
@@ -240,12 +246,14 @@ def q_streaming_drift_psi(spark, sf_dir):
 
     from kiji_mapreduce_spark.streaming import stream_drift
 
+    from kiji_mapreduce_spark.functions import bin_index
+
     bins, lo, hi = 20, 0.0, 500.0
-    width = (hi - lo) / bins
     static = _t(spark, sf_dir, "events")
-    v = F.least(F.lit(hi), F.greatest(F.lit(lo), F.col("value").cast("double")))
-    idx = F.least(F.lit(bins - 1),
-                  F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")))
+    # the ONE bin arithmetic (functions.bin_index) — hand-inlining the
+    # clamp+floor here recreated exactly the duplicated-bin hazard
+    # bin_index exists to eliminate (r13 review finding)
+    idx = bin_index("value", lo, hi, bins)
     counts = {r["idx"]: r["c"] for r in
               (static.filter((F.col("event_type") == "click")
                              & F.col("value").isNotNull())

@@ -4,7 +4,7 @@ wordcount/TF-IDF/BM25/bigram-LM, multimodal features."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Window, functions as F
 
 from kiji_mapreduce_spark.operators import Gatherer
 from kiji_mapreduce_spark import oracles
@@ -367,7 +367,10 @@ def q_tfidf_top_terms(spark, sf_dir):
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
                            lambda t: t != "")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is unique per (doc_id, term) BY CONSTRUCTION, so a plain count
+    # equals countDistinct without the two-phase distinct-aggregate
+    # expansion (r13 review finding)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), on="term").crossJoin(n_docs).select(
         "doc_id", "term",
         (F.col("tf") * F.log(F.col("_n_docs") / F.col("df")))
@@ -1214,10 +1217,11 @@ WITH page AS (
 ),
 stripped AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
            body,
            '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS body
+           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS body
   FROM page
 ),
 split AS (
@@ -1234,15 +1238,16 @@ blocks AS (
   FROM split, unnest(range(1, len(bl) + 1)) AS r(i)
 ),
 feats0 AS (
+  -- tag strip THEN entity decode (&amp; last) THEN whitespace
+  -- collapse — the _html_plain chain; the decode was missing, so any
+  -- entity-bearing corpus text diverged (r13 review finding)
   SELECT doc_id, pos,
-         trim(regexp_replace(
-           regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+         trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            '\s+', ' ', 'g')) AS txt,
-         trim(regexp_replace(regexp_replace(
-           coalesce(array_to_string(
+         trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(coalesce(array_to_string(
              regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
-             ' '), ''),
-           '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS atxt
+             ' '), ''), '(?s)<[^>]*>', ' ', 'g'), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS atxt
   FROM blocks
 ),
 feats AS (

@@ -195,7 +195,7 @@ def q_sample_cluster_balanced(spark, sf_dir):
     semantic clusters are downsampled toward a uniform cluster mixture.
     Pure composition of two audited operators; membership is a
     deterministic function of the id alone."""
-    from kiji_mapreduce_spark.pipeline import cluster, sample
+    from kiji_mapreduce_spark.pipeline import cluster
 
     emb = _t(spark, sf_dir, "embeddings")
     assign = cluster.kmeans_assign(emb, k=4, iters=2).select(

@@ -39,3 +39,34 @@ def test_main_content_matches_duckdb_oracle(spark):
         assert "related article one" not in text
     # every page dropped at least the nav, related rail and footer
     assert all(d >= 3 for (_, _, _, d, _) in got)
+
+
+def test_main_content_oracle_entity_and_comment_parity(spark, tmp_path):
+    """Entity-bearing and comment-bearing corpus text: the oracle
+    replays _html_plain's entity decode (&amp; last) and the comment
+    strip, so word counts — hence keep verdicts and rebuilt text —
+    match on text the shipped fixture never exercises."""
+    rows = [(i,
+             "alpha&nbsp;beta &amp; gamma &lt;tag&gt; &quot;q&quot; "
+             "&#39;s <!-- hidden comment words --> "
+             + ("filler word " * (6 + 5 * i)))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        (r.doc_id, r.content_type, r.n_blocks_kept,
+         r.n_blocks_dropped, r.text)
+        for r in q_main_content(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    want = sorted((int(r[0]), r[1], int(r[2]), int(r[3]), r[4])
+                  for r in con.execute(SQL_MAIN_CONTENT).fetchall())
+    assert got == want
+    # decoded entities appear in the surviving text; the comment and
+    # raw entity spellings never do
+    joined = " ".join(t for *_, t in got)
+    assert "alpha beta & gamma" in joined
+    assert "&amp;" not in joined and "&nbsp;" not in joined
+    assert "hidden comment words" not in joined
