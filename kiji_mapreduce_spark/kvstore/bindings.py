@@ -52,11 +52,26 @@ def parse_bindings_xml(text: str) -> dict[str, _stores.KeyValueStore]:
             raise ValueError("<store> requires a name attribute")
         if cls_name not in _CLASSES:
             raise ValueError(f"unknown store class {cls_name!r}")
+        if _CLASSES[cls_name] is _stores.TableKeyValueStore:
+            # a table-backed store needs a live DataFrame and a
+            # key-column LIST — neither is expressible as XML string
+            # properties, and binding them anyway crashed far from the
+            # parse (a str 'table' has no .select; a str 'key_cols'
+            # unpacks per CHARACTER — r13 review finding). The
+            # reference binds table stores by URI, which this engine
+            # resolves at job wiring time, not in the bindings file.
+            raise ValueError(
+                f"store {name!r}: {cls_name} cannot be configured from "
+                "bindings XML — construct TableKeyValueStore in code "
+                "and pass it via the job's store map")
         kwargs = {}
         conf = store_el.find("configuration")
         if conf is not None:
             for prop in conf.findall("property"):
                 pname = prop.findtext("name")
+                if pname is None:
+                    raise ValueError(
+                        f"store {name!r}: <property> missing <name>")
                 pval = prop.findtext("value") or ""
                 if pname in _LIST_PROPS:
                     kwargs[pname] = [p for p in pval.split(",") if p]

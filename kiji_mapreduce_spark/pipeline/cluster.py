@@ -39,10 +39,23 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
     Cluster labels are the seed vectors' ids. Ties in the argmin break
     toward the smaller label. Empty clusters drop out of later rounds
     (both engines compute centroids only from populated clusters).
+
+    NULL, NULL-element, and ragged (wrong-dimension) vectors are
+    DROPPED — they have no distance (the ``embedding_lsh_candidates``
+    skip discipline; callers that must keep them, like
+    ``semantic_dedup``, reattach them as their own survivors). A NULL
+    among the k smallest ids previously crashed the seed collect, and
+    one elsewhere silently assigned to the smallest label with NULL
+    dist (r13 review finding, reproduced).
     """
     emb = df.select(
         id_col,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    emb = emb.filter(F.col("_v").isNotNull()
+                     & ~F.exists(F.col("_v"), lambda x: x.isNull()))
+    dim_row = emb.orderBy(id_col).select(F.size("_v").alias("d")).first()
+    if dim_row is not None:
+        emb = emb.filter(F.size("_v") == dim_row["d"])
     if iters > 1:
         # each Lloyd round re-reads the vectors (update collect + next
         # assignment); pin them once instead of re-scanning the source

@@ -27,11 +27,16 @@ from kiji_mapreduce_spark.operators.base import Operator, OperatorContext
 
 
 def _start_foreach_batch(df, fn, checkpoint: str,
-                         trigger_available_now: bool):
+                         trigger_available_now: bool,
+                         output_mode: str | None = None):
     """The one shared writer block for every foreachBatch job in this
     module (r13 review finding: five hand-copied instances that a
-    future trigger/queryName change would have to hit identically)."""
-    writer = df.writeStream.foreachBatch(fn) \
+    future trigger/queryName change would have to hit identically;
+    ``output_mode`` folds in the one variant that had stayed inline)."""
+    writer = df.writeStream
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    writer = writer.foreachBatch(fn) \
         .option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
@@ -315,15 +320,23 @@ def _latest_fn(key, pdf_iter, state: GroupState):
 def running_latest(stream_df: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts_ms", value_col: str = "value") -> DataFrame:
     """Custom stateful operator: per-key running most-recent value
-    (ties broken by value, matching cells.latest ordering)."""
+    (ties broken by value, matching cells.latest ordering).
+
+    The key keeps its NATIVE type: a hardcoded long cast killed the
+    stream on string keys under Spark 4's ANSI default
+    (CAST_INVALID_INPUT on the first micro-batch), or with ANSI off
+    silently merged every key into one NULL state group — the exact
+    bug class the kmeans cluster-label cast fix recorded
+    (r13 review finding)."""
+    key_type = dict(stream_df.dtypes)[key_col]
     normalized = stream_df.select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.col(ts_col).cast("long").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
     return normalized.groupBy("key").applyInPandasWithState(
         _latest_fn,
-        outputStructType=_LATEST_OUT_SCHEMA,
+        outputStructType=f"key {key_type}, ts long, value double",
         stateStructType=_LATEST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -402,12 +415,9 @@ def stream_rollup_into_table(
             return
         table.upsert_rows(to_rows(batch_df) if to_rows else batch_df)
 
-    writer = (agg.writeStream.outputMode("update")
-              .foreachBatch(_upsert)
-              .option("checkpointLocation", checkpoint))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(agg, _upsert, checkpoint,
+                                trigger_available_now,
+                                output_mode="update")
 
 
 def table_change_stream(table, include_bucket: bool = False) -> DataFrame:

@@ -2314,3 +2314,26 @@ def test_put_delta_batch_id_replay_idempotent(spark, tmp_path):
     t.put_delta(puts2, batch_id=8)
     assert spark.read.parquet(t._delta_path()).count() == 3
     assert t.read().count() == 3
+
+
+def test_running_latest_string_keys(spark, tmp_path):
+    """String keys keep their native type: the old hardcoded long cast
+    killed the stream under ANSI (CAST_INVALID_INPUT) or merged every
+    key into one NULL state group with ANSI off (r13 review finding)."""
+    src = _write_stream_input(tmp_path, [
+        {"user_id": "u-a", "ts_ms": 10, "value": 1.5},
+        {"user_id": "u-a", "ts_ms": 30, "value": 2.5},
+        {"user_id": "u-b", "ts_ms": 20, "value": 9.0},
+    ])
+    stream = (spark.readStream
+              .schema("user_id string, ts_ms long, value double")
+              .json(src))
+    latest = running_latest(stream)
+    out = []
+    q = (latest.writeStream.outputMode("update")
+         .foreachBatch(lambda df, _: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sk")).start())
+    q.awaitTermination(60)
+    got = {r.key: (r.ts, r.value) for r in out}
+    assert got == {"u-a": (30, 2.5), "u-b": (20, 9.0)}

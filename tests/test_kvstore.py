@@ -177,3 +177,24 @@ def test_inmemory_map_store_empty_and_reader_signature(spark):
     out = store.lookup(df)
     assert out.count() == 1
     assert out.collect()[0].value is None
+
+
+def test_bindings_reject_table_store_and_nameless_property():
+    """Table-backed stores cannot be built from XML string properties
+    (they crashed far from the parse), and a <property> without <name>
+    errors at parse time instead of an opaque TypeError."""
+    import pytest
+
+    from kiji_mapreduce_spark.kvstore.bindings import parse_bindings_xml
+
+    with pytest.raises(ValueError, match="bindings XML"):
+        parse_bindings_xml(
+            '<stores><store class="KijiTableKeyValueStore" name="s">'
+            "<configuration><property><name>table</name>"
+            "<value>users</value></property></configuration>"
+            "</store></stores>")
+    with pytest.raises(ValueError, match="missing <name>"):
+        parse_bindings_xml(
+            '<stores><store class="TextFileKeyValueStore" name="t">'
+            "<configuration><property><value>/a</value></property>"
+            "</configuration></store></stores>")

@@ -3868,3 +3868,19 @@ def test_contaminated_spans_merge_overlapping_extents(spark):
     rows = decontaminate.contaminated_spans(cand, bench, n=3).collect()
     assert [(r.span_start, r.span_end, r.n_grams_in_span)
             for r in rows] == [(0, 4, 3)]
+
+
+def test_kmeans_assign_skips_null_and_ragged_vectors(spark):
+    """NULL / NULL-element / wrong-dimension vectors are dropped (they
+    have no distance): one in the seed window previously crashed the
+    collect, one elsewhere silently joined the smallest cluster."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [10.0, 10.0]),
+         (4, [1.0, None]), (5, [1.0, 1.0, 1.0]), (6, [9.0, 9.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in
+           cluster.kmeans_assign(emb, k=2, iters=2).collect()}
+    assert set(got) == {2, 3, 6}
+    assert got[6] == got[3] != got[2]

@@ -80,3 +80,23 @@ def test_collocations_top_uses_take_ordered(spark, sf_dir):
     df = suite.QUERIES["collocations_top"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_parser_unbalanced_bracket_is_skipped_not_crash():
+    """A window line whose brackets never rebalance (e.g. a '[' inside
+    a string literal) is skipped instead of feeding an int start index
+    to re.search (r13 review finding)."""
+    bad = ("+- Window [contains(x#1, [) AS y#2], [x#1 ASC NULLS FIRST")
+    assert _unpartitioned_windows(bad) == 0
+
+
+def test_top_field_count_ignores_nested_type_commas():
+    """decimal(p,s)/map<k,v>/nested-struct commas are type punctuation,
+    not field separators; and the check needs the UNTRUNCATED schema
+    (maxMetadataStringLength raised in main) to see wide scans at all."""
+    from tools.plan_lint import _n_top_fields
+
+    assert _n_top_fields("a:bigint,b:string") == 2
+    assert _n_top_fields("a:decimal(12,2),b:map<string,bigint>") == 2
+    assert _n_top_fields(
+        "a:struct<x:int,y:array<struct<p:int,q:int>>>,b:int,c:int") == 3

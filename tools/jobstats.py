@@ -26,7 +26,11 @@ def job_stats(df, name_filter: str | None = None):
         F.get_json_object("job_counters", f"$.{c}").cast("long")
         for c in ("GATHERER_ROWS_PROCESSED", "PRODUCER_ROWS_PROCESSED",
                   "BULKIMPORTER_ROWS_PROCESSED", "PIVOTER_ROWS_PROCESSED",
-                  "MAPREDUCE_ROWS_PROCESSED", "TABLEREDUCER_ROWS_PROCESSED")
+                  "MAPREDUCE_ROWS_PROCESSED", "TABLEREDUCER_ROWS_PROCESSED",
+                  # the base prefix: a direct Operator subclass records
+                  # OPERATOR_ROWS_PROCESSED, which reported NULL
+                  # total_rows here (r13 review finding)
+                  "OPERATOR_ROWS_PROCESSED")
     ])
     wall_s = (F.col("job_end_time") - F.col("job_start_time")) / 1000.0
     return (

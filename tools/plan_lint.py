@@ -94,12 +94,33 @@ def _unpartitioned_windows(plan: str) -> int:
                 depth -= 1
                 if depth == 0:
                     groups[-1] = rest[groups[-1]:i]
+        # an unbalanced bracket inside a string literal leaves the
+        # start INDEX unreplaced — skip unparseable lines instead of
+        # feeding an int to re.search (r13 review finding)
+        groups = [g for g in groups if isinstance(g, str)]
         if len(groups) == 1:
             count += 1  # neither partitioned nor ordered: global frame
         elif len(groups) == 2 and re.search(
                 r"(?:ASC|DESC) NULLS", groups[1]):
             count += 1  # second group is an ORDER spec -> no partition
     return count
+
+
+def _n_top_fields(schema_body: str) -> int:
+    """Top-level field count of a ``struct<...>`` body: commas inside
+    nested generics/parens (map<k,v>, decimal(p,s), inner structs) are
+    TYPE punctuation, not field separators — counting them flagged
+    narrow scans as wide (r13 review finding)."""
+    depth = 0
+    n = 1
+    for ch in schema_body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
 
 
 def main() -> None:
@@ -109,7 +130,16 @@ def main() -> None:
     from kiji_mapreduce_spark import suite
 
     spark = make_session(master="local[8]", shuffle_partitions=16,
-                         extra_conf={"spark.ui.enabled": "false"})
+                         extra_conf={
+                             "spark.ui.enabled": "false",
+                             # default 100-char metadata truncation cut
+                             # ReadSchema mid-list, silently disabling
+                             # the wide-scan check for every table
+                             # wider than ~6 columns (r13 review
+                             # finding, verified live)
+                             "spark.sql.maxMetadataStringLength":
+                                 "10000",
+                         })
     errors, warnings = [], []
     for name, fn in suite.QUERIES.items():
         if name == "streaming_windowed_counts":
@@ -134,7 +164,7 @@ def main() -> None:
                           f"(orderBy+limit then rank) or partition the "
                           f"window")
         for m in re.finditer(r"FileScan parquet[^\n]*ReadSchema: struct<([^\n]*)", plan):
-            ncols = m.group(1).count(",") + 1
+            ncols = _n_top_fields(m.group(1))
             if ncols > 8 and name not in WIDE_SCAN_ALLOWED:
                 warnings.append(f"{name}: scan reads {ncols} columns — "
                                 f"is projection pruning working?")
