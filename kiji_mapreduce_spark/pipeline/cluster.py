@@ -53,9 +53,6 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
     emb = emb.filter(F.col("_v").isNotNull()
                      & ~F.exists(F.col("_v"), lambda x: x.isNull()))
-    dim_row = emb.orderBy(id_col).select(F.size("_v").alias("d")).first()
-    if dim_row is not None:
-        emb = emb.filter(F.size("_v") == dim_row["d"])
     if iters > 1:
         # each Lloyd round re-reads the vectors (update collect + next
         # assignment); pin them once instead of re-scanning the source
@@ -63,6 +60,14 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         emb = emb.localCheckpoint(eager=True)
 
     seeds = (emb.orderBy(id_col).limit(k).collect())
+    # the dimension is DEFINED by the first (smallest-id) null-free
+    # vector; ragged rows — including later seed candidates — drop.
+    # Probed from the seed collect itself: a separate first() job cost
+    # a full extra sort of the corpus (r13 bench flag, 0.98s -> 1.58s)
+    if seeds:
+        dim = len(seeds[0]["_v"])
+        seeds = [r for r in seeds if len(r["_v"]) == dim]
+        emb = emb.filter(F.size("_v") == dim)
     if not seeds:
         # an empty input (everything filtered upstream) returns an
         # empty assignment frame instead of crashing on
