@@ -1560,35 +1560,68 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     substring match means exact bytes, so only whitespace runs are
     normalized.
 
+    Windows are keyed on a PAIR of independent 64-bit hashes (the
+    ``hash_fn`` stream plus a salted xxhash64), not window text:
+    birthday bound ~W²/2¹²⁵ for W distinct windows, < 10⁻¹³ even at
+    10¹² windows (100 TB of ~1 kB docs), where a single 64-bit key
+    crosses expected-collision territory near W ≈ 2³² and would
+    silently delete unique text. The DuckDB cross-check
+    (tests/test_exact_substring_oracle.py) groups by window TEXT, so
+    any collision at test scale would surface as a hash mismatch.
+
     Scale shape — the suffix array the paper builds is a single-node
-    artifact; the distributed equivalent is rolling windows + one
-    frequency shuffle: windows are built as per-row ARRAY expressions
-    (zero shuffle) and only (id, pos, window_hash) longs explode.
-    Three hash-keyed shuffles, all partial-agg friendly: winner per
-    window hash (min-struct + count — a viral span collapses
-    map-side), removal positions per doc (unique-key groupBy), and
-    the id-keyed reattachment join. The exploded window table feeds
-    both the winner aggregation and the loser anti-side — a diamond,
-    pinned once under ``materialize`` (the ``c4_span_dedup``
-    discipline). NULL text stays NULL. Sentence-granular C4 removal
-    is ``c4_span_dedup``; coverage MEASUREMENT without rewriting is
-    ``repeated_ngram_coverage``.
+    artifact; the distributed equivalent is rolling windows + a
+    frequency shuffle: tokens posexplode and a sliding-frame window
+    function builds each k-token window text in O(k), so window
+    construction is O(tokens × k) total with one doc-keyed shuffle
+    (NOT an array-lambda slice, which re-tokenizes the document per
+    position — quadratic on long docs; see the inline note).
+    Every stage is linear and partial-agg friendly: winner per window
+    key (min-struct + count — a viral span collapses map-side),
+    loser [pos, pos+k) spans interval-MERGED per doc (one doc-keyed
+    sort-window, so a heavily duplicated doc shuffles its merged
+    span boundaries, not k position rows per loser window), and the
+    rebuild posexplodes ONLY affected docs' tokens, left_anti joins
+    the exploded removal positions on (doc, pos), and re-aggregates
+    with a sorted collect_list — no per-token array scans, so a
+    100k-token book with heavy duplication stays O(tokens), not
+    O(tokens × removed). The exploded window table feeds both the
+    winner aggregation and the loser anti-side — a diamond, pinned
+    once under ``materialize`` (the ``c4_span_dedup`` discipline),
+    as is the merged span table (feeds counts, positions, and the
+    affected-doc semi-join). NULL text stays NULL. Sentence-granular
+    C4 removal is ``c4_span_dedup``; coverage MEASUREMENT without
+    rewriting is ``repeated_ngram_coverage``.
     """
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(t, r"\s+"), lambda s: s != "")
-    n = F.size(toks)
     k = min_tokens
-    win_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    win_idx = F.when(
-        n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>"))
-    wins = (df.select(F.col(id_col).alias("_es_id"),
-                      F.posexplode(F.transform(
-                          win_idx, lambda i: token_hash64(win_at(i),
-                                                          hash_fn)))
-                      .alias("pos", "win_hash")))
+    win_key = lambda w: F.struct(
+        token_hash64(w, hash_fn).alias("h1"),
+        F.xxhash64(F.lit("exact-substring-salt"), w).alias("h2"))
+    # Window construction goes through posexplode + a sliding-frame
+    # window function, NOT a transform() over slice() of the token
+    # array: interpreted HOF lambdas re-evaluate every subexpression
+    # they capture per element (no CSE inside lambdas), so the
+    # array-expression form re-splits the whole document once per
+    # window position — O(tokens²) per doc, ~1e10 ops on a 100k-token
+    # book (the dsir-featurize lesson, PERF.md r13). The sliding
+    # collect_list is O(tokens × k) with one doc-keyed shuffle.
+    tok_rows = df.select(F.col(id_col).alias("_es_id"),
+                         F.posexplode(toks).alias("pos", "_tok"))
+    w_ord = Window.partitionBy("_es_id").orderBy("pos")
+    win_txt = F.concat_ws(" ", F.collect_list("_tok").over(
+        w_ord.rowsBetween(Window.currentRow, k - 1)))
+    # pos is dense 0..n-1, so lead(k-1) existing <=> a full window
+    wins = (tok_rows
+            .withColumn("_wt", win_txt)
+            .withColumn("_full",
+                        F.lead("pos", k - 1).over(w_ord).isNotNull())
+            .filter(F.col("_full"))
+            .select("_es_id", "pos",
+                    win_key(F.col("_wt")).alias("win_hash")))
     if materialize:
         wins = wins.localCheckpoint(eager=True)
     winners = (wins.groupBy("win_hash")
@@ -1601,31 +1634,69 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     losers = (wins.join(winners, on="win_hash", how="inner")
               .filter((F.col("_es_id") != F.col("_w_id"))
                       | (F.col("pos") != F.col("_w_pos"))))
-    removal = (losers
-               .select(F.col("_es_id"),
-                       F.explode(F.sequence(
-                           F.col("pos"), F.col("pos") + k - 1))
-                       .alias("_tok_pos"))
+    # Merge overlapping/adjacent loser spans [pos, pos+k) per doc:
+    # classic running-max interval union. Both window expressions
+    # share one (partition, sort) spec — a single doc-keyed shuffle.
+    w_doc = Window.partitionBy("_es_id").orderBy("_start")
+    spans = losers.select("_es_id", F.col("pos").alias("_start"),
+                          (F.col("pos") + k).alias("_end"))
+    prev_end = F.max("_end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (spans
+              .withColumn("_new", F.when(
+                  F.col("_start") > F.coalesce(prev_end, F.lit(-1)),
+                  1).otherwise(0))
+              .withColumn("_grp", F.sum("_new").over(
+                  w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy("_es_id", "_grp")
+              .agg(F.min("_start").alias("_start"),
+                   F.max("_end").alias("_end")))
+    if materialize:
+        merged = merged.localCheckpoint(eager=True)
+    rm_agg = (merged.groupBy("_es_id")
+              .agg(F.sum(F.col("_end") - F.col("_start"))
+                   .alias("_dropped")))
+    # Rebuild ONLY affected docs: posexplode their tokens, anti-join
+    # the (disjoint, post-merge) removal positions, re-agg in order.
+    rm_pos = merged.select(
+        "_es_id",
+        F.explode(F.sequence(F.col("_start"), F.col("_end") - 1))
+        .alias("_tok_pos"))
+    rebuild_rows = (df.select(F.col(id_col).alias("_es_id"),
+                              F.posexplode(toks).alias("_tok_pos",
+                                                       "_tok"))
+                    .join(rm_agg.select("_es_id"), "_es_id",
+                          "left_semi"))
+    rebuilt = (rebuild_rows.join(rm_pos, ["_es_id", "_tok_pos"],
+                                 "left_anti")
                .groupBy("_es_id")
-               .agg(F.collect_set("_tok_pos").alias("_rm")))
-    out = df.join(removal, on=df[id_col] == removal["_es_id"],
-                  how="left")
-    kept = F.filter(toks,
-                    lambda s, i: ~F.coalesce(
-                        F.array_contains(F.col("_rm"), i), F.lit(False)))
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_tok_pos", "_tok"))),
+                       lambda s: s["_tok"]), " ").alias("_new_text")))
+    info = rm_agg.join(rebuilt, "_es_id", "left")
+    out = df.join(info, on=df[id_col] == info["_es_id"], how="left")
     return (out
             .withColumn("tokens_dropped",
                         # explicit NULL branch: with ANSI off,
-                        # size(NULL) is -1 (the n_lines_dropped
-                        # lesson)
+                        # arithmetic over NULL propagates (the
+                        # n_lines_dropped lesson)
                         F.when(F.col(text_col).isNull()
-                               | F.col("_rm").isNull(), F.lit(0))
-                        .otherwise(F.size(F.col("_rm"))))
+                               | F.col("_dropped").isNull(), F.lit(0))
+                        .otherwise(F.col("_dropped").cast("int")))
             .withColumn(text_col,
                         F.when(F.col(text_col).isNull(),
                                F.lit(None).cast("string"))
-                        .otherwise(F.array_join(kept, " ")))
-            .drop("_es_id", "_rm"))
+                        .when(F.col("_dropped").isNull(),
+                              # untouched docs: same whitespace
+                              # normalization, zero shuffle
+                              F.array_join(toks, " "))
+                        # a fully-deduplicated doc has no surviving
+                        # token rows at all: empty text, not NULL
+                        .otherwise(F.coalesce(F.col("_new_text"),
+                                              F.lit(""))))
+            .drop("_es_id", "_dropped", "_new_text"))
 
 
 def lsh_plan(num_hashes: int, threshold: float,

@@ -101,3 +101,35 @@ def test_cli_substr_dedup(spark, tmp_path, capsys):
            spark.read.parquet(f"{tmp_path}/deduped").collect()}
     assert got[0] == shared + " unique tail here"
     assert got[1] == "other head"
+
+
+def test_exact_substring_long_doc_linear(spark):
+    """r13 verdict 'What's wrong #1' regression pin: a 100k-token
+    document that is one 50-token phrase repeated 2000 times must
+    dedup in seconds, not minutes. The old interpreted
+    F.filter+array_contains rebuild paid O(tokens x removed) ~= 1e10
+    comparisons on this fixture; the posexplode + left_anti + sorted
+    re-agg rebuild is linear. Doc 1 holds the phrase's sole winning
+    copy, so doc 2's loser windows interval-merge into ONE [0, 100000)
+    span: every token drops, text comes back empty (not NULL)."""
+    import time
+
+    phrase = " ".join(f"p{i}" for i in range(50))
+    big = " ".join([phrase] * 2000)           # 100_000 tokens
+    # Doc 2's window at pos i is the phrase rotated by i mod 50; the
+    # rotation-0 window loses to doc 1, rotations 1..49 first occur
+    # at pos 1..49 (winners), and every pos >= 50 repeats an earlier
+    # window (loser). Removal = union of LOSER spans [0,50) and
+    # [50,100000) -> one merged [0,100000) interval: all tokens drop.
+    docs = spark.createDataFrame(
+        [(1, phrase + " unique trailing marker words"),
+         (2, big)],
+        "doc_id long, text string")
+    t0 = time.monotonic()
+    out = {r.doc_id: (r.text, r.tokens_dropped)
+           for r in dedup.exact_substring_dedup(
+               docs, min_tokens=50).collect()}
+    elapsed = time.monotonic() - t0
+    assert out[1] == (phrase + " unique trailing marker words", 0)
+    assert out[2] == ("", 100_000)
+    assert elapsed < 120, f"long-doc dedup took {elapsed:.1f}s"
