@@ -18,6 +18,7 @@ import json
 import threading
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -80,6 +81,9 @@ class Job:
         self.conf = conf or {}
         self.job_id = f"job_{uuid.uuid4().hex[:12]}"
         self.counters: dict[str, Any] = {}
+        #: set when the job body finished but the history-table
+        #: write failed (the outcome itself is not masked)
+        self.history_error: Exception | None = None
         self._thread: threading.Thread | None = None
         self._error: BaseException | None = None
 
@@ -132,14 +136,24 @@ class Job:
                     "job_counters": self.counters,
                     "job_configuration": self.conf,
                 })
-            except Exception:
+            except Exception as e:
                 # never mask the job's own outcome with a history-table
                 # error (the cli._record_pipeline_failure discipline):
                 # an unwritable history path raising INSIDE finally
-                # replaced the real failure — or turned a SUCCEEDED run
-                # into a crash (r13 review finding)
+                # replaced the real failure (r13 review finding). And a
+                # SUCCEEDED run's side effects are all committed by the
+                # time the history row is written, so raising here
+                # converted a finished job into a crash — surface the
+                # bookkeeping failure as ``history_error`` + a warning
+                # instead (ADVICE r13; the reference likewise logs and
+                # proceeds when the history table is unusable,
+                # JobHistoryKijiTable-style).
+                self.history_error = e
                 if status == "SUCCEEDED":
-                    raise
+                    warnings.warn(
+                        f"job {self.job_id} ({self.name}) succeeded "
+                        f"but the history-table write failed: {e!r}",
+                        RuntimeWarning, stacklevel=2)
 
     def submit(self) -> "Job":
         def _target():

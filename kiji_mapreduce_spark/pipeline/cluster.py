@@ -32,9 +32,27 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", k: int = 4, iters: int = 2,
                   round_digits: int = 6,
                   keep_vec: bool = False) -> DataFrame:
+    """``kmeans_assign_with_dim`` without the dimension — see there."""
+    return kmeans_assign_with_dim(df, vec_col=vec_col, id_col=id_col,
+                                  k=k, iters=iters,
+                                  round_digits=round_digits,
+                                  keep_vec=keep_vec)[0]
+
+
+def kmeans_assign_with_dim(
+        df: DataFrame, vec_col: str = "embedding",
+        id_col: str = "vec_id", k: int = 4, iters: int = 2,
+        round_digits: int = 6,
+        keep_vec: bool = False) -> tuple[DataFrame, int]:
     """Deterministic k-means: seed centroids from the ``k`` smallest-id
     vectors, run ``iters`` Lloyd rounds, return
-    (id, cluster, dist) with dist rounded to 4 decimals.
+    ((id, cluster, dist), corpus_dim) with dist rounded to 4 decimals.
+
+    The second element is the corpus dimension the seed collect
+    defined (0 when the input is empty) — callers that split their own
+    valid/invalid rows by dimension (``dedup.semantic_dedup``) read it
+    from here instead of paying a separate probe job (r13 verdict,
+    the kmeans seed-collect pattern).
 
     Cluster labels are the seed vectors' ids. Ties in the argmin break
     toward the smaller label. Empty clusters drop out of later rounds
@@ -61,12 +79,22 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
 
     seeds = (emb.orderBy(id_col).limit(k).collect())
     # the dimension is DEFINED by the first (smallest-id) null-free
-    # vector; ragged rows — including later seed candidates — drop.
-    # Probed from the seed collect itself: a separate first() job cost
-    # a full extra sort of the corpus (r13 bench flag, 0.98s -> 1.58s)
+    # vector; ragged rows drop. Probed from the seed collect itself: a
+    # separate first() job cost a full extra sort of the corpus (r13
+    # bench flag, 0.98s -> 1.58s)
     if seeds:
         dim = len(seeds[0]["_v"])
-        seeds = [r for r in seeds if len(r["_v"]) == dim]
+        same = [r for r in seeds if len(r["_v"]) == dim]
+        if len(same) < len(seeds):
+            # ragged vectors sat among the k smallest ids: BACKFILL
+            # seeds from the next same-dimension rows instead of
+            # silently shrinking the effective k (ADVICE r13). The
+            # second collect is paid only on ragged corpora — the
+            # common all-same-dim path stays one seed job.
+            seeds = (emb.filter(F.size("_v") == dim)
+                     .orderBy(id_col).limit(k).collect())
+        else:
+            seeds = same
         emb = emb.filter(F.size("_v") == dim)
     if not seeds:
         # an empty input (everything filtered upstream) returns an
@@ -76,7 +104,7 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         id_type = dict(df.dtypes)[id_col]
         schema = (f"{id_col} {id_type}, cluster {id_type}, dist double"
                   + (f", {vec_col} array<double>" if keep_vec else ""))
-        return df.sparkSession.createDataFrame([], schema)
+        return df.sparkSession.createDataFrame([], schema), 0
     centroids = [(r[id_col], [round(x, round_digits) for x in r["_v"]])
                  for r in seeds]
 
@@ -131,4 +159,4 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         # shuffle-joining them back was the job's largest data movement
         # (review finding)
         cols.append(F.col("_v").alias(vec_col))
-    return assigned.select(*cols)
+    return assigned.select(*cols), dim

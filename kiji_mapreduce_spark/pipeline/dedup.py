@@ -1237,23 +1237,26 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign
+    from kiji_mapreduce_spark.pipeline.cluster import kmeans_assign_with_dim
 
-    # vectors that cannot be compared (NULL, or a length differing
-    # from the corpus dim) are their own survivors — the NULL-text
-    # dedup discipline. Unguarded they reached np.array/vstack inside
-    # the pair UDF, which raises over the whole Arrow batch and kills
-    # the job for one bad row (r13 review finding).
-    dim_row = (embeddings.filter(F.col(vec_col).isNotNull())
-               .select(F.size(vec_col).alias("d")).first())
-    dim = dim_row["d"] if dim_row else 0
-    valid = embeddings.filter(F.col(vec_col).isNotNull()
-                              & (F.size(vec_col) == dim))
-    invalid = embeddings.filter(F.col(vec_col).isNull()
-                                | (F.size(vec_col) != dim))
-
-    assigned = kmeans_assign(valid, vec_col=vec_col, id_col=id_col,
-                             k=k, iters=iters, keep_vec=True)
+    # vectors that cannot be compared (NULL, NULL-element, or a length
+    # differing from the corpus dim) are their own survivors — the
+    # NULL-text dedup discipline. Unguarded they reached
+    # np.array/vstack inside the pair UDF, which raises over the whole
+    # Arrow batch and kills the job for one bad row (r13 review
+    # finding). kmeans_assign applies exactly this filter internally
+    # and its seed collect defines the corpus dim, so read the dim
+    # back from there instead of paying a standalone first() probe job
+    # (r13 verdict What's-wrong #2) — which also closes a row-loss
+    # hole: a NULL-ELEMENT vector used to pass the old valid filter,
+    # get dropped inside kmeans, and vanish from the output entirely.
+    assigned, dim = kmeans_assign_with_dim(
+        embeddings, vec_col=vec_col, id_col=id_col,
+        k=k, iters=iters, keep_vec=True)
+    invalid = embeddings.filter(
+        F.col(vec_col).isNull()
+        | F.exists(F.col(vec_col), lambda x: x.isNull())
+        | (F.size(vec_col) != dim))
     with_vec = assigned.select(
         id_col, "cluster", F.col(vec_col).alias("_v"))
 

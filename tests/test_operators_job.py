@@ -291,3 +291,25 @@ def test_jobstats_aggregation(spark):
     # name filter narrows to one job
     assert [r.job_name for r in job_stats(hist, "importer").collect()] \
         == ["importer"]
+
+
+def test_history_write_failure_does_not_mask_success(spark, tmp_path):
+    """ADVICE r14: a job whose body succeeded but whose history-table
+    write failed must NOT crash — every side effect is already
+    committed. The bookkeeping failure surfaces as a RuntimeWarning
+    plus ``job.history_error``."""
+    import warnings as _warnings
+
+    from kiji_mapreduce_spark.job import Job, JobHistory
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("a file where the history dir must go")
+    hist = JobHistory(path=str(blocker / "history"))
+    job = Job("hist-fail", spark.range(3).toDF("id"), output=None,
+              history=hist)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert job.run() is True
+    assert job.history_error is not None
+    assert any("history-table write failed" in str(w.message)
+               for w in caught)

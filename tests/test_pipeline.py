@@ -1588,6 +1588,28 @@ def test_semantic_dedup_keeps_one_per_group(spark):
                        max_cluster=3).collect()
 
 
+def test_semantic_dedup_null_element_vectors_survive(spark):
+    """A NULL-element vector cannot be compared: it must come back as
+    its own survivor (NULL cluster), not vanish. The old valid filter
+    let it through to kmeans (size matches, vector non-NULL), which
+    dropped it internally -- the id was lost from the output
+    (r14 fix, found while folding the dim probe into the seed
+    collect)."""
+    from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [10.0, 0.001]), (3, [1.0, None]),
+         (4, None), (5, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, threshold=0.999, k=1, iters=1).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].keep and not out[2].keep and out[2].keep_id == 1
+    for bad in (3, 4, 5):
+        assert out[bad].keep and out[bad].keep_id == bad
+        assert out[bad].cluster is None
+
+
 def test_binary_metrics_auc_matches_numpy(spark):
     """Rank-sum AUC with midrank ties equals the numpy pairwise
     definition (P(score_pos > score_neg) + 0.5*P(equal)); confusion
@@ -3884,3 +3906,20 @@ def test_kmeans_assign_skips_null_and_ragged_vectors(spark):
            cluster.kmeans_assign(emb, k=2, iters=2).collect()}
     assert set(got) == {2, 3, 6}
     assert got[6] == got[3] != got[2]
+
+
+def test_kmeans_assign_backfills_ragged_seed_candidates(spark):
+    """A ragged vector inside the k-smallest-id seed window must not
+    shrink the effective k: seeds backfill from the next
+    same-dimension rows (ADVICE r13). Without backfill, id 2's 3-dim
+    vector left one seed and everything joined a single cluster."""
+    from kiji_mapreduce_spark.pipeline import cluster
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0, 1.0]),
+         (3, [10.0, 10.0]), (4, [9.0, 9.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in
+           cluster.kmeans_assign(emb, k=2, iters=2).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[3] == got[4] != got[1]
