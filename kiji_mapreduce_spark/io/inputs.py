@@ -379,8 +379,10 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
     record are ever resident."""
     if raw[:2] == b"\x1f\x8b":
         chunks = _inflate_members(raw, path, lenient)
-    elif raw[:4] == b"\x28\xb5\x2f\xfd":
-        # .warc.zst (newer archive tooling ships these): inflate the
+    elif _zstd_magic(raw):
+        # .warc.zst (newer archive tooling ships these; _zstd_magic
+        # also admits a leading skippable frame — the decoder passes
+        # over those): inflate the
         # frame sequence via the pure-Python RFC 8878 decoder under
         # the same compressed/decompressed gates as .tar.zst shards.
         # O(archive) memory for this one compression; archives built
@@ -958,16 +960,43 @@ _MAX_RANGE_OUT = 2 << 30
 _FLUSH_BYTES = 32 << 20
 
 
+def _zstd_magic(raw: bytes) -> bool:
+    """True when ``raw`` opens with a zstd frame — data OR skippable
+    (RFC 8878 §3.1.2: tools may prepend metadata frames, and the
+    seekable format is skippable-framed), so format routing cannot be
+    dodged by a leading seek table."""
+    if len(raw) < 4:
+        return False
+    magic = int.from_bytes(raw[:4], "little")
+    return magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F
+
+
 def _inflate_range(blob: bytes, where: str):
     """Inflate a CDX-pointed byte range. Common Crawl WARCs compress
     each record as its OWN gzip member, so a correctly-pointed range IS
-    a complete gzip stream (concatenated members tolerated); a range
-    into a plain ``.warc`` passes through as-is. Returns bytes, or
-    raises ValueError on a misaligned offset (mid-stream garbage), a
-    truncated member, or a decompression bomb over
-    ``_MAX_RANGE_OUT``."""
+    a complete gzip stream (concatenated members tolerated); ranges
+    into per-record-frame ``.warc.zst`` archives are complete zstd
+    frames and go through the RFC 8878 decoder under the same output
+    ceiling; a range into a plain ``.warc`` passes through as-is.
+    Returns bytes, or raises ValueError on a misaligned offset
+    (mid-stream garbage), a truncated member, or a decompression bomb
+    over ``_MAX_RANGE_OUT``."""
     import zlib
 
+    if _zstd_magic(blob):
+        from kiji_mapreduce_spark.io import zstd_codec
+
+        try:
+            if len(blob) > _MAX_ZSTD_ARCHIVE_BYTES:
+                raise ValueError(
+                    f"zstd range over the "
+                    f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
+                    "decode gate")
+            return zstd_codec.decompress(
+                blob, max_output=_MAX_RANGE_OUT,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+        except ValueError as e:
+            raise ValueError(f"{where}: corrupt zstd range: {e}") from e
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = bytearray()
@@ -1221,6 +1250,32 @@ def _walk_gz_members(raw: bytes, where: str):
         yield start, pos - start, bytes(out)
 
 
+def _walk_zst_members(raw: bytes, where: str):
+    """Yield (offset, compressed_length, decompressed bytes) per zstd
+    DATA frame of a per-record-frame ``.warc.zst`` — the zstd analogue
+    of ``_walk_gz_members`` (RFC 8878 frames are self-delimiting and
+    concatenable, so the frame offsets are exactly what a CDX index
+    records). Skippable frames (the seekable format's seek table, or
+    tool metadata) carry no records and are passed over. Boundaries
+    come from ``zstd_codec.frame_spans`` (header-only walk); every
+    data frame is then fully validated by ``decompress`` under the
+    same per-member ``_MAX_RANGE_OUT`` ceiling as gzip members and
+    the archive-level ``_MAX_ZSTD_ARCHIVE_BYTES`` input gate."""
+    from kiji_mapreduce_spark.io import zstd_codec
+
+    try:
+        for start, end, skippable in zstd_codec.frame_spans(
+                raw, max_input=_MAX_ZSTD_ARCHIVE_BYTES):
+            if skippable:
+                continue
+            data = zstd_codec.decompress(
+                raw[start:end], max_output=_MAX_RANGE_OUT,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+            yield start, end - start, data
+    except ValueError as e:
+        raise ValueError(f"{where}: {e}") from e
+
+
 def _walk_plain_records(raw: bytes, where: str):
     """Yield (offset, byte_length, record bytes) per record of an
     UNCOMPRESSED .warc — the offset-tracking twin of the framer's
@@ -1262,8 +1317,11 @@ def warc_member_index(files: DataFrame,
     """Build the raw material of a CDX index from WARC archives: one
     row per record with the (``offset``, ``length``) BYTE RANGE that
     fetches it back — per-gzip-member offsets for ``.warc.gz`` (each
-    member is its own range) and record byte spans for plain
-    ``.warc`` — plus the record headers and the HTTP status / mime /
+    member is its own range), per-zstd-frame offsets for
+    per-record-frame ``.warc.zst`` (RFC 8878 frames are
+    self-delimiting; skippable frames are passed over), and record
+    byte spans for plain ``.warc`` — plus the record headers and the
+    HTTP status / mime /
     content digest the standard CDXJ fields carry. ``cdx_lines``
     renders these rows as CDXJ text; ``warc_records_from_ranges``
     consumes the ranges. Together they close the index-first loop for
@@ -1297,37 +1355,34 @@ def warc_member_index(files: DataFrame,
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
-                walker = (_walk_gz_members if raw[:2] == b"\x1f\x8b"
+                is_gz = raw[:2] == b"\x1f\x8b"
+                is_zst = _zstd_magic(raw)
+                walker = (_walk_gz_members if is_gz
+                          else _walk_zst_members if is_zst
                           else _walk_plain_records)
                 rows = {k: [] for k in cols}
-                is_gz = raw[:2] == b"\x1f\x8b"
                 try:
-                    if raw[:4] == b"\x28\xb5\x2f\xfd":
-                        # whole-archive zstd has no per-record members
-                        # to point ranges at — a silent "malformed
-                        # WARC" would misdiagnose the fix
-                        raise ValueError(
-                            f"{path}: .warc.zst has no per-record "
-                            "compression members to index — "
-                            "recompress as per-member .warc.gz")
                     for off, ln, data in walker(raw, path):
                         member = list(_frame_warc_records([data], path,
                                                           lenient))
-                        if is_gz and len(member) > 1:
-                            # a whole-file (or multi-record) gzip
-                            # member is NOT the per-record-member
-                            # layout: every index line would point at
-                            # the same range and a fetch would yield
-                            # N copies of every record (r13 review
-                            # finding) — refuse rather than emit a
-                            # silently-duplicating index
+                        if (is_gz or is_zst) and len(member) > 1:
+                            # a whole-file (or multi-record)
+                            # compression member is NOT the per-record-
+                            # member layout: every index line would
+                            # point at the same range and a fetch
+                            # would yield N copies of every record
+                            # (r13 review finding) — refuse rather
+                            # than emit a silently-duplicating index
+                            kind = "gzip member" if is_gz \
+                                else "zstd frame"
                             raise ValueError(
-                                f"{path}: gzip member at byte {off} "
+                                f"{path}: {kind} at byte {off} "
                                 f"frames {len(member)} records — not "
                                 "the per-record-member layout, so "
                                 "ranges would fetch duplicates; "
                                 "index the uncompressed .warc or "
-                                "recompress one record per member")
+                                "recompress one record per "
+                                "member/frame")
                         for rec in member:
                             (rec_no, wtype, uri, date, rid,
                              clen, body) = rec

@@ -763,3 +763,77 @@ def is_zstd(data: bytes) -> bool:
     (magic,) = struct.unpack_from("<I", data, 0)
     return magic == _FRAME_MAGIC or \
         _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI
+
+
+def frame_spans(data: bytes, max_input: int = _MAX_COMPRESSED_INPUT):
+    """Yield ``(start, end, is_skippable)`` byte spans for each frame
+    of a concatenated zstd stream WITHOUT decoding payloads — the seam
+    that lets the CDX member walk treat every data frame of a
+    per-record-frame ``.warc.zst`` as an indexable member (the gzip-
+    member analogue; RFC 8878 §3.1: frames are self-delimiting and
+    concatenable, skippable frames carry metadata such as the seekable
+    format's seek table).
+
+    Only frame and block HEADERS are parsed — sizes are declared, so
+    entropy decode never runs and the walk is O(frames + blocks).
+    Field validation beyond sizing (reserved bits, dictionary IDs,
+    content-size checks) is deliberately left to ``decompress``, which
+    callers run on each yielded span: a span this walk mis-slices can
+    only FAIL there, never decode silently wrong. ValueError on any
+    structural malformation, the decoder's shared contract."""
+    if len(data) > max_input:
+        raise ValueError("zstd: compressed input over the decoder's "
+                         "pure-Python ceiling")
+    if not data:
+        # mirror decompress's empty-input contract so the two can
+        # never disagree on acceptance (differential fuzz pin)
+        raise ValueError("zstd: no zstd frame in input")
+    pos = 0
+    while pos < len(data):
+        start = pos
+        if pos + 4 > len(data):
+            raise ValueError("zstd: truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if pos + 4 > len(data):
+                raise ValueError("zstd: truncated skippable frame")
+            (sz,) = struct.unpack_from("<I", data, pos)
+            pos += 4 + sz
+            if pos > len(data):
+                raise ValueError("zstd: skippable frame overruns input")
+            yield start, pos, True
+            continue
+        if magic != _FRAME_MAGIC:
+            raise ValueError("zstd: bad frame magic")
+        if pos >= len(data):
+            raise ValueError("zstd: truncated frame header")
+        fhd = data[pos]
+        pos += 1
+        single = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        fcs_size = (0, 2, 4, 8)[fhd >> 6]
+        if fhd >> 6 == 0 and single:
+            fcs_size = 1
+        if not single:
+            pos += 1  # window descriptor
+        pos += did_size + fcs_size
+        while True:
+            if pos + 3 > len(data):
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 3:
+                raise ValueError("zstd: reserved block type")
+            pos += 1 if btype == 1 else bsize
+            if pos > len(data):
+                raise ValueError("zstd: block overruns input")
+            if last:
+                break
+        if checksum:
+            pos += 4
+            if pos > len(data):
+                raise ValueError("zstd: truncated content checksum")
+        yield start, pos, False

@@ -1606,23 +1606,149 @@ def test_warc_member_index_lenient_truncation(spark, tmp_path):
         warc_member_index(files, lenient=False).collect()
 
 
-def test_warc_member_index_rejects_warc_zst(spark, tmp_path):
-    """Whole-archive .warc.zst has no per-record members to point
-    ranges at: strict mode says so explicitly instead of 'malformed
-    WARC'; lenient skips the file."""
+def _cc_warc_zst(records, lead_skippable=False, seek_table=False):
+    """Per-record-frame .warc.zst layout (the zstd twin of
+    ``_cc_warc_gz``): each record is its own zstd frame, frames
+    concatenated, optionally book-ended by skippable frames (tool
+    metadata up front, the seekable format's seek table at the end —
+    neither carries records, so neither gets an index row). Returns
+    (blob, [(offset, length)]) for the DATA frames only."""
+    import struct as _struct
+
+    from tests.test_zstd import _store_frame
+
+    blob = bytearray()
+    if lead_skippable:
+        blob += _struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    ranges = []
+    for rec in records:
+        frame = _store_frame(rec)
+        ranges.append((len(blob), len(frame)))
+        blob += frame
+    if seek_table:
+        blob += _struct.pack("<II", 0x184D2A5E, 8) + bytes(8)
+    return bytes(blob), ranges
+
+
+def test_warc_member_index_whole_frame_zst_refused(spark, tmp_path):
+    """A .warc.zst whose single frame holds the WHOLE archive is not
+    the per-record-frame layout — every index line would point at the
+    same range and a fetch would duplicate every record. Strict mode
+    says so explicitly; lenient skips the file."""
     import pytest as _pytest
 
-    from tests.test_zstd import FIXTURES
-    import base64 as _b64
+    from tests.test_zstd import _store_frame
 
     from kiji_mapreduce_spark.io.inputs import warc_member_index
 
-    (tmp_path / "z.warc.zst").write_bytes(
-        _b64.b64decode(FIXTURES["text_l3"][1]))
+    recs = [_warc_record("response", "http://w.example.com/1",
+                         b"HTTP/1.1 200 OK\r\n\r\nbody one"),
+            _warc_record("response", "http://w.example.com/2",
+                         b"HTTP/1.1 200 OK\r\n\r\nbody two")]
+    (tmp_path / "z.warc.zst").write_bytes(_store_frame(b"".join(recs)))
     files = spark.read.format("binaryFile").load(str(tmp_path))
     assert warc_member_index(files, lenient=True).collect() == []
-    with _pytest.raises(Exception, match="per-record|recompress"):
+    with _pytest.raises(Exception,
+                        match="per-record|frames 2 records"):
         warc_member_index(files, lenient=False).collect()
+
+
+def test_warc_member_index_zst_roundtrip_byte_identity(spark,
+                                                       tmp_path):
+    """The r13 verdict ask: per-record-frame .warc.zst archives are
+    seekable through the whole index-first loop — warc_member_index
+    records per-frame byte ranges (skippable frames passed over),
+    cdx_lines renders them, read_cdx parses them back, and
+    warc_records_from_ranges fetches records BYTE-IDENTICAL to the
+    whole-file .warc.zst parse."""
+    from kiji_mapreduce_spark.io.inputs import (
+        cdx_lines, read_cdx, read_warc_records, warc_member_index,
+        warc_records_from_ranges)
+
+    def resp(tail, words):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                b"<html><p>" + (words.encode() + b" ") * 12
+                + b"</p></html>")
+        return _warc_record("response",
+                            f"http://zr.example.com/{tail}", body)
+
+    recs = [resp("a", "alpha zst words"), resp("b", "bravo zst words"),
+            resp("c", "charlie zst words")]
+    blob, ranges = _cc_warc_zst(recs, lead_skippable=True,
+                                seek_table=True)
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    (warcs / "z.warc.zst").write_bytes(blob)
+
+    files = spark.read.format("binaryFile").load(str(warcs))
+    idx = warc_member_index(files).collect()
+    assert sorted((r.offset, r.length) for r in idx) == sorted(ranges)
+    assert all(r.status == 200 and r.mime == "text/html" for r in idx)
+
+    cdx_lines(warc_member_index(files), base=str(warcs)) \
+        .write.mode("overwrite").text(f"{tmp_path}/cdx")
+    parsed = read_cdx(spark, [f"{tmp_path}/cdx"])
+    whole = {r.target_uri: r
+             for r in read_warc_records(
+                 spark, [str(warcs)], decode_http=False).collect()}
+    fetched = {r.target_uri: r
+               for r in warc_records_from_ranges(
+                   parsed, base=str(warcs),
+                   decode_http=False).collect()}
+    assert len(fetched) == len(whole) == 3
+    for uri, w in whole.items():
+        assert bytes(fetched[uri].content) == bytes(w.content)
+
+    # truncation inside the LAST data frame: lenient indexes the
+    # parsed prefix (the walker's contract), strict raises
+    import pytest as _pytest
+
+    (warcs / "z.warc.zst").write_bytes(
+        blob[:ranges[-1][0] + 10])
+    files = spark.read.format("binaryFile").load(str(warcs))
+    kept = warc_member_index(files, lenient=True).collect()
+    assert sorted(r.target_uri for r in kept) == [
+        "http://zr.example.com/a", "http://zr.example.com/b"]
+    with _pytest.raises(Exception,
+                        match="truncated|corrupt|overruns"):
+        warc_member_index(files, lenient=False).collect()
+
+
+def test_warc_zst_range_fetch_corrupt_range(spark, tmp_path):
+    """A CDX-pointed range whose zstd frame is corrupt is a per-range
+    error: strict raises 'corrupt zstd range', lenient skips it and
+    keeps the good ranges — never a silent wrong record."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import warc_records_from_ranges
+
+    page = b"HTTP/1.1 200 OK\r\n\r\n<p>zst range ok</p>"
+    recs = [_warc_record("response", "http://zc.example.com/good",
+                         page),
+            _warc_record("response", "http://zc.example.com/bad",
+                         page)]
+    blob, ranges = _cc_warc_zst(recs)
+    # corrupt the second frame's block header: reserved block type
+    # (valid magic, so it routes into the zstd branch and FAILS there)
+    broken = bytearray(blob)
+    off2 = ranges[1][0]
+    # magic + fhd + FCS (single-segment: 1 byte when fhd>>6==0, else 2)
+    hdr = 4 + 1 + (1 if blob[off2 + 4] >> 6 == 0 else 2)
+    broken[off2 + hdr:off2 + hdr + 3] = _struct.pack(
+        "<I", (1 << 3) | (3 << 1) | 1)[:3]
+    (tmp_path / "c.warc.zst").write_bytes(bytes(broken))
+
+    df = spark.createDataFrame(
+        [("c.warc.zst", o, ln) for o, ln in ranges],
+        "filename string, offset long, length long")
+    kept = warc_records_from_ranges(
+        df, base=str(tmp_path), lenient=True).collect()
+    assert [r.target_uri for r in kept] == [
+        "http://zc.example.com/good"]
+    with _pytest.raises(Exception, match="corrupt zstd range"):
+        warc_records_from_ranges(df, base=str(tmp_path)).collect()
 
 
 def test_warc_range_fetch_unknown_scheme(spark, tmp_path):

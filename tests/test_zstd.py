@@ -489,3 +489,60 @@ def test_raw_and_compressed_blocks_over_maximum_rejected():
                  + bh.to_bytes(3, "little") + b"\x00" * 16)
         with pytest.raises(ValueError, match="over maximum"):
             zstd_codec.decompress(frame)
+
+
+def test_frame_spans_fixture_coverage():
+    """frame_spans boundaries tile the input exactly and per-span
+    decompression reproduces the whole-stream decode — over every
+    reference fixture, concatenations of them, and interleaved
+    skippable frames (the seam warc_member_index stands on)."""
+    skip = struct.pack("<II", 0x184D2A50, 3) + b"xyz"
+    streams = [base64.b64decode(b64) for _, b64 in FIXTURES.values()]
+    streams.append(b"".join(streams))
+    streams.append(skip + streams[0] + skip + streams[1] + skip)
+    for stream in streams:
+        spans = list(zstd_codec.frame_spans(stream))
+        assert spans[0][0] == 0 and spans[-1][1] == len(stream)
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        got = b"".join(
+            zstd_codec.decompress(stream[s:e])
+            for s, e, skippable in spans if not skippable)
+        assert got == zstd_codec.decompress(stream)
+
+
+def test_frame_spans_mutation_parity():
+    """No silent mis-slice: for bit-flipped/truncated streams, the
+    span walk + per-span decode must agree with the whole-stream
+    decoder — same bytes when both accept, and whenever the whole
+    stream is rejected, the walk or some span's decode rejects too
+    (frame_spans validates only sizing; everything else fails in
+    decompress on the span)."""
+    import os
+    import random
+
+    random.seed(20260816)
+    base = (struct.pack("<II", 0x184D2A50, 2) + b"md"
+            + base64.b64decode(FIXTURES["text_l3"][1])
+            + base64.b64decode(FIXTURES["periodic_l1"][1]))
+    trials = 300 * int(os.environ.get("KIJI_FUZZ_MULT", "1"))
+    for trial in range(trials):
+        blob = bytearray(base)
+        if trial % 2:
+            blob = blob[:random.randrange(len(blob))]
+        else:
+            for _ in range(random.randint(1, 4)):
+                blob[random.randrange(len(blob))] ^= \
+                    1 << random.randrange(8)
+        blob = bytes(blob)
+        try:
+            whole = zstd_codec.decompress(blob, max_output=1 << 22)
+        except ValueError:
+            whole = None
+        try:
+            parts = b"".join(
+                zstd_codec.decompress(blob[s:e], max_output=1 << 22)
+                for s, e, skippable
+                in zstd_codec.frame_spans(blob) if not skippable)
+        except ValueError:
+            parts = None
+        assert parts == whole, trial
