@@ -454,6 +454,90 @@ SELECT query_id, {id_col}, round(score, 6) AS score, rank FROM (
 """
 
 
+def hybrid_rrf_sql(n_queries: int = 5, qterms: int = 6, k_each: int = 20,
+                   k0: int = 60, topn: int = 10, k1: float = 1.2,
+                   b: float = 0.75) -> str:
+    """Mirror of the hybrid text+vector RRF query: BM25 top-``k_each``
+    (the ``bm25_sql`` CTEs with queries DERIVED from the corpus — each
+    query doc's first ``qterms`` tokens) and exact-cosine
+    top-``k_each`` (the ``knn_cosine`` shape: unrounded-cos rank,
+    driver-green since r3 via that seat), fused by Reciprocal Rank
+    Fusion ``sum(1 / (k0 + rank))`` (Cormack et al., SIGIR 2009),
+    ranked on the 6-dp-rounded fused score with doc_id tiebreak."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents),
+q AS (
+  SELECT doc_id AS query_id, t[1:{qterms}] AS qtok
+  FROM toks WHERE doc_id < {n_queries}
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2
+),
+len AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM len),
+qt AS (SELECT DISTINCT query_id, unnest(qtok) AS term FROM q),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+),
+bm_scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+         ) AS score
+  FROM post
+  JOIN qt USING (term)
+  JOIN len USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+bm AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM bm_scored
+  ) WHERE rank <= {k_each}
+),
+cosq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+cos_scored AS (
+  SELECT cosq.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM cosq CROSS JOIN embeddings e
+  WHERE e.vec_id != cosq.query_id
+),
+vec AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, doc_id) AS rank
+    FROM cos_scored
+  ) WHERE rank <= {k_each}
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({k0} + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({k0} + rank) AS c FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score + 0.0 AS rrf_score, rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {topn}
+"""
+
+
 def bigram_lm_sql(alpha: float = 0.1, source: str = "documents",
                   id_col: str = "doc_id") -> str:
     """Mirror of lm.bigram_lm_scores(hash_fn="md5") in self-scoring mode

@@ -124,3 +124,59 @@ def bm25_topk(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, rounded.alias("score"), "rank"))
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k0: int = 60,
+    topn: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over per-query ranked lists — the
+    standard combiner for hybrid text+vector retrieval (Cormack,
+    Clarke & Büttcher, SIGIR 2009: RRF with k0=60 beats Condorcet
+    fusion and learned rank combinations; every major hybrid-search
+    engine ships this formula).
+
+    Each input carries (``query_id_col``, ``id_col``, ``rank_col``)
+    rows — e.g. ``bm25_topk`` output and a ``brute_force_topk`` /
+    ``ivf_topk`` output with ``neighbor_id`` renamed. A document's
+    fused score is ``sum over lists of 1 / (k0 + rank)``; documents
+    absent from a list simply contribute nothing for it (the paper's
+    convention). Returns (query_id, id, rrf_score, rank) with the
+    score rounded to 6 dp and ranking on (rounded score desc, id asc)
+    so the order is engine-independent — with two lists the unrounded
+    sum is already bit-stable (IEEE addition of two addends is
+    commutative), with three or more the rounding absorbs
+    association-order noise.
+
+    Scale shape (100 TB corpus): fusion never touches the corpus —
+    inputs are already per-query top-k lists, so the union holds at
+    most ``len(ranked) * k`` rows per query regardless of corpus
+    size. One narrow union + one partial-agg groupBy shuffle; the
+    final window is safe un-salted because each query group is
+    bounded by that same constant.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    contribs = [
+        df.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k0)
+                           + F.col(rank_col).cast("double"))).alias("_c"))
+        for df in ranked
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = (allc
+             .groupBy(query_id_col, id_col)
+             .agg(F.round(F.sum("_c"), 6).alias("rrf_score")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col))
+    return (fused
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topn))

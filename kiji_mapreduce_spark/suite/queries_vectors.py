@@ -7,7 +7,9 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from kiji_mapreduce_spark import oracles
-from kiji_mapreduce_spark.pipeline import classifier, graph, sample, similarity
+from kiji_mapreduce_spark.pipeline import (classifier, graph, sample,
+                                           search, similarity)
+from kiji_mapreduce_spark.pipeline.dedup import tokens
 from kiji_mapreduce_spark.suite.common import _t
 
 
@@ -38,6 +40,39 @@ WITH q AS (
 SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid text+vector retrieval, the 'more like this' shape: for
+    query docs 0-4, BM25 top-20 on the doc's first 6 tokens (the
+    text half, `search.bm25_topk`) and exact-cosine top-20 on the
+    doc's embedding (the vector half, `similarity.brute_force_topk` —
+    doc_id and vec_id align 1:1 in the corpus), fused by Reciprocal
+    Rank Fusion sum(1/(60+rank)) (Cormack et al., SIGIR 2009) and
+    ranked on the 6-dp-rounded fused score. Fusion cost is
+    O(queries x k) regardless of corpus size — the lists are already
+    top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = (docs.filter(F.col("doc_id") < 5)
+             .select(F.col("doc_id").alias("query_id"),
+                     F.array_join(F.slice(tokens(F.col("text")), 1, 6),
+                                  " ").alias("query_text")))
+    bm = search.bm25_topk(docs, qtext, k=20)
+    knn = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=20)
+    fused = search.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"),
+         knn.select("query_id", F.col("neighbor_id").alias("doc_id"),
+                    "rank")],
+        k0=60, topn=10)
+    return fused.select(
+        "query_id", "doc_id",
+        (F.col("rrf_score") + F.lit(0.0)).alias("rrf_score"), "rank")
+
+
+SQL_HYBRID_RRF = oracles.hybrid_rrf_sql(n_queries=5, qterms=6,
+                                        k_each=20, k0=60, topn=10)
 
 
 def q_embedding_label_cosine_stats(spark, sf_dir):

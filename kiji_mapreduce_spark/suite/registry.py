@@ -237,14 +237,19 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #
 # r15 planning: the tail's 50 r13-green queries all hit the freshness
 # cap in r15, so the window is again fully determined — zero slack.
-# TWO transplant-ready oracle seats remain staged with committed,
+# THREE transplant-ready oracle seats are staged with committed,
 # hash-matching DuckDB cross-checks, per the C4/DSIR precedent:
 #   (a) main_content — q_main_content + SQL_MAIN_CONTENT
 #       (tests/test_main_content_oracle.py; exact at both sfs) — the
 #       WSDM-2010 densitometric tree replayed via lag/lead;
 #   (b) semantic_dedup — q_semantic_dedup + SQL_SEMANTIC_DEDUP
 #       (tests/test_semantic_dedup_oracle.py; exact at both sfs) —
-#       the full SemDeDup chain with a recursive-CTE closure.
+#       the full SemDeDup chain with a recursive-CTE closure;
+#   (c) hybrid_search_rrf (r14) — q_hybrid_search_rrf +
+#       SQL_HYBRID_RRF (tests/test_hybrid_rrf_oracle.py; exact at
+#       both sfs) — BM25 + exact-cosine fused by Reciprocal Rank
+#       Fusion (Cormack et al., SIGIR 2009), the text+vector hybrid
+#       retrieval shape.
 # Seating either needs a judge-endorsed retirement. Strongest
 # candidates, for the judge to rule on (NOT retired unilaterally):
 #   (1) cube_order_stats — the grouping-sets family keeps TWO other
