@@ -248,6 +248,42 @@ def _inflate_members(raw: bytes, path: str, lenient: bool):
         pos -= len(d.unused_data)  # overshoot into the next member
 
 
+def _inflate_zst_frames(raw: bytes, path: str, lenient: bool):
+    """Yield decompressed chunks across the zstd frames of a
+    ``.warc.zst`` — the zstd twin of ``_inflate_members``: frame
+    boundaries come from the header-only ``frame_spans`` walk, each
+    data frame decodes independently (RFC 8878 frames are
+    self-contained), and decoded bytes re-slice into bounded 1 MiB
+    chunks so the record framer's rolling buffer never doubles on one
+    huge frame (the r8 O(record + chunk) contract). Lenient keeps
+    everything decoded before the first truncated/corrupt/dictionary
+    frame — the same parsed-prefix contract as the gzip path and the
+    CDX member walk; strict raises ValueError."""
+    from kiji_mapreduce_spark.io import zstd_codec
+
+    step = 1 << 20
+    try:
+        if len(raw) > _MAX_ZSTD_ARCHIVE_BYTES:
+            raise ValueError(
+                f".warc.zst over the "
+                f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
+                "decode gate — recompress as .warc.gz or split")
+        for start, end, skippable in zstd_codec.frame_spans(
+                raw, max_input=_MAX_ZSTD_ARCHIVE_BYTES):
+            if skippable:
+                continue
+            data = zstd_codec.decompress(
+                raw[start:end], max_output=_MAX_ZSTD_ARCHIVE_OUT,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+            mv = memoryview(data)
+            for i in range(0, len(data), step):
+                yield mv[i:i + step]
+    except ValueError as e:
+        if lenient:
+            return
+        raise ValueError(f"{path}: corrupt zstd WARC: {e}") from e
+
+
 #: header-block ceiling for the incremental WARC framer: real WARC
 #: headers are a few hundred bytes; a WARC/-prefixed stream with no
 #: CRLF CRLF must not buffer the whole archive hunting for one
@@ -381,34 +417,17 @@ def _parse_warc(raw: bytes, path: str, lenient: bool):
         chunks = _inflate_members(raw, path, lenient)
     elif _zstd_magic(raw):
         # .warc.zst (newer archive tooling ships these; _zstd_magic
-        # also admits a leading skippable frame — the decoder passes
-        # over those): inflate the
-        # frame sequence via the pure-Python RFC 8878 decoder under
-        # the same compressed/decompressed gates as .tar.zst shards.
-        # O(archive) memory for this one compression; archives built
-        # with an external dictionary (a skippable-frame convention
-        # some tools use) fail the decoder loudly — strict raises,
-        # lenient keeps nothing (decompression is all-or-nothing, so
-        # there is no parsed prefix to keep)
-        from kiji_mapreduce_spark.io import zstd_codec
-
-        try:
-            if len(raw) > _MAX_ZSTD_ARCHIVE_BYTES:
-                raise ValueError(
-                    f"{path}: .warc.zst over the "
-                    f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
-                    "decode gate — recompress as .warc.gz or split")
-            raw = zstd_codec.decompress(
-                raw, max_output=_MAX_ZSTD_ARCHIVE_OUT,
-                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
-        except ValueError as e:
-            if not lenient:
-                raise ValueError(
-                    f"{path}: corrupt zstd WARC: {e}") from e
-            return
-        mv = memoryview(raw)
-        chunks = (mv[i:i + (1 << 20)]
-                  for i in range(0, len(raw), 1 << 20))
+        # also admits a leading skippable frame): decode FRAME BY
+        # FRAME via frame_spans + the pure-Python RFC 8878 decoder
+        # under the same compressed/decompressed gates as .tar.zst
+        # shards — memory is O(frame + record), and lenient keeps the
+        # parsed prefix when a later frame is truncated or corrupt
+        # (the gzip-member contract; the index path's member walk
+        # keeps the same prefix, so read and index agree). A
+        # whole-archive single frame still decodes — it is just one
+        # big "member". Dictionary frames fail that frame's decode
+        # loudly: strict raises, lenient keeps the frames before it.
+        chunks = _inflate_zst_frames(raw, path, lenient)
     else:
         # bounded memoryview slices, NOT one whole-archive chunk: the
         # framer copies every chunk into its rolling buffer, so a
@@ -964,11 +983,11 @@ def _zstd_magic(raw: bytes) -> bool:
     """True when ``raw`` opens with a zstd frame — data OR skippable
     (RFC 8878 §3.1.2: tools may prepend metadata frames, and the
     seekable format is skippable-framed), so format routing cannot be
-    dodged by a leading seek table."""
-    if len(raw) < 4:
-        return False
-    magic = int.from_bytes(raw[:4], "little")
-    return magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F
+    dodged by a leading seek table. Delegates to the codec's probe so
+    the routing predicate has exactly one definition."""
+    from kiji_mapreduce_spark.io import zstd_codec
+
+    return zstd_codec.is_zstd(raw)
 
 
 def _inflate_range(blob: bytes, where: str):
@@ -986,12 +1005,16 @@ def _inflate_range(blob: bytes, where: str):
     if _zstd_magic(blob):
         from kiji_mapreduce_spark.io import zstd_codec
 
+        # over-limit is a DISTINCT condition from corruption (the gzip
+        # path keeps its ceiling error separate too): a valid range
+        # past the pure-Python decode gate must say "recompress/split",
+        # not misdirect diagnosis toward archive damage
+        if len(blob) > _MAX_ZSTD_ARCHIVE_BYTES:
+            raise ValueError(
+                f"{where}: zstd range over the "
+                f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
+                "decode gate — recompress as .warc.gz or split")
         try:
-            if len(blob) > _MAX_ZSTD_ARCHIVE_BYTES:
-                raise ValueError(
-                    f"zstd range over the "
-                    f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
-                    "decode gate")
             return zstd_codec.decompress(
                 blob, max_output=_MAX_RANGE_OUT,
                 max_input=_MAX_ZSTD_ARCHIVE_BYTES)

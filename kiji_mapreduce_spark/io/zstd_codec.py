@@ -621,6 +621,59 @@ def _xxh64(data: bytes, seed: int = 0) -> int:
     return h ^ (h >> 32)
 
 
+def _data_frame_header(data: bytes, pos: int):
+    """Parse a data-frame header starting AFTER the magic: returns
+    (pos_past_header, fhd, single, checksum, dictionary_id, fcs).
+    The single source of the RFC 8878 §3.1.1.1 size arithmetic
+    (did_size/fcs_size tables, the single-segment 1-byte-FCS special
+    case, the window-descriptor skip), shared by ``decompress`` and
+    ``frame_spans`` so the two can never disagree on where a frame's
+    blocks begin. Semantic validation beyond sizing (reserved bit,
+    dictionary-id rejection) stays with the caller."""
+    if pos >= len(data):
+        raise ValueError("zstd: truncated frame header")
+    fhd = data[pos]
+    pos += 1
+    single = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    fcs_size = (0, 2, 4, 8)[fhd >> 6]
+    if fhd >> 6 == 0 and single:
+        fcs_size = 1
+    if not single:
+        pos += 1  # window descriptor: informational (offsets are
+        # validated against actual decoded history in _decode_block)
+    did = 0
+    if did_size:
+        if pos + did_size > len(data):
+            raise ValueError("zstd: truncated dictionary ID")
+        did = int.from_bytes(data[pos:pos + did_size], "little")
+        pos += did_size
+    fcs = None
+    if fcs_size:
+        if pos + fcs_size > len(data):
+            raise ValueError("zstd: truncated frame content size")
+        fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    return pos, fhd, single, checksum, did, fcs
+
+
+def _block_header(data: bytes, pos: int):
+    """Decode one 3-byte block header: returns (pos_past_header,
+    last, btype, bsize). Shared by ``decompress`` and
+    ``frame_spans`` (same can-never-disagree rationale as
+    ``_data_frame_header``); rejects the reserved block type."""
+    if pos + 3 > len(data):
+        raise ValueError("zstd: truncated block header")
+    bh = int.from_bytes(data[pos:pos + 3], "little")
+    last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+    if btype == 3:
+        raise ValueError("zstd: reserved block type")
+    return pos + 3, last, btype, bsize
+
+
 def decompress(data: bytes, max_output: int = 1 << 28,
                verify_checksum: bool = False,
                max_input: int = _MAX_COMPRESSED_INPUT) -> bytes:
@@ -661,52 +714,22 @@ def decompress(data: bytes, max_output: int = 1 << 28,
         if magic != _FRAME_MAGIC:
             raise ValueError("zstd: bad frame magic")
         saw_frame = True
-        if pos >= len(data):
-            raise ValueError("zstd: truncated frame header")
-        fhd = data[pos]
-        pos += 1
+        pos, fhd, single, checksum, did, fcs = _data_frame_header(
+            data, pos)
         if fhd & 0x08:
             raise ValueError("zstd: reserved frame-header bit set")
-        single = bool(fhd & 0x20)
-        checksum = bool(fhd & 0x04)
-        did_size = (0, 1, 2, 4)[fhd & 3]
-        fcs_size = (0, 2, 4, 8)[fhd >> 6]
-        if fhd >> 6 == 0 and single:
-            fcs_size = 1
-        if not single:
-            pos += 1  # window descriptor: informational (offsets are
-            # validated against actual decoded history below)
-        if did_size:
+        if did:
             # an EXPLICIT Dictionary_ID of 0 means "no dictionary"
             # (RFC 8878 §3.1.1.1.3): such frames are self-contained
             # and the reference decoder accepts them (r13 review
             # finding, verified differentially) — only a real
             # dictionary reference is out of scope here
-            if pos + did_size > len(data):
-                raise ValueError("zstd: truncated dictionary ID")
-            did = int.from_bytes(data[pos:pos + did_size], "little")
-            pos += did_size
-            if did:
-                raise ValueError("zstd: dictionary frames unsupported")
-        fcs = None
-        if fcs_size:
-            if pos + fcs_size > len(data):
-                raise ValueError("zstd: truncated frame content size")
-            fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
-            if fcs_size == 2:
-                fcs += 256
-            pos += fcs_size
+            raise ValueError("zstd: dictionary frames unsupported")
         frame_start = len(out)
         ctx = {"huf": None, "ll": None, "ml": None, "of": None,
                "rep": [1, 4, 8]}
         while True:
-            if pos + 3 > len(data):
-                raise ValueError("zstd: truncated block header")
-            bh = int.from_bytes(data[pos:pos + 3], "little")
-            pos += 3
-            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
-            if btype == 3:
-                raise ValueError("zstd: reserved block type")
+            pos, last, btype, bsize = _block_header(data, pos)
             if btype == 1:  # RLE: bsize is the REGENERATED size
                 if pos >= len(data):
                     raise ValueError("zstd: truncated RLE block")
@@ -806,28 +829,11 @@ def frame_spans(data: bytes, max_input: int = _MAX_COMPRESSED_INPUT):
             continue
         if magic != _FRAME_MAGIC:
             raise ValueError("zstd: bad frame magic")
-        if pos >= len(data):
-            raise ValueError("zstd: truncated frame header")
-        fhd = data[pos]
-        pos += 1
-        single = bool(fhd & 0x20)
-        checksum = bool(fhd & 0x04)
-        did_size = (0, 1, 2, 4)[fhd & 3]
-        fcs_size = (0, 2, 4, 8)[fhd >> 6]
-        if fhd >> 6 == 0 and single:
-            fcs_size = 1
-        if not single:
-            pos += 1  # window descriptor
-        pos += did_size + fcs_size
+        pos, _fhd, _single, checksum, _did, _fcs = _data_frame_header(
+            data, pos)
         while True:
-            if pos + 3 > len(data):
-                raise ValueError("zstd: truncated block header")
-            bh = int.from_bytes(data[pos:pos + 3], "little")
-            pos += 3
-            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
-            if btype == 3:
-                raise ValueError("zstd: reserved block type")
-            pos += 1 if btype == 1 else bsize
+            pos, last, btype, _bsize = _block_header(data, pos)
+            pos += 1 if btype == 1 else _bsize
             if pos > len(data):
                 raise ValueError("zstd: block overruns input")
             if last:

@@ -34,11 +34,11 @@ def test_hybrid_rrf_matches_duckdb_oracle(spark, sf_dir):
 
     # the fixture actually FUSES: at least one fused top-10 doc must
     # carry contributions from both lists (score > max single-list
-    # contribution 1/61), and the self-doc (BM25's trivial #1, absent
-    # from the cosine list) must not sweep every rank
+    # contribution 1/61), and the self-doc (which BM25 alone would
+    # rank near the top) must not win rank 1 for every query — the
+    # vector list demonstrably influences the final order
     assert any(score > 1.0 / 61 + 1e-9 for _, _, score, _ in got)
-    assert any(qid != doc for qid, doc, _, rank in got if rank == 1) \
-        or any(qid == doc for qid, doc, _, _ in got)
+    assert any(qid != doc for qid, doc, _, rank in got if rank == 1)
 
 
 def test_rrf_fuse_semantics(spark):

@@ -1709,9 +1709,17 @@ def test_warc_member_index_zst_roundtrip_byte_identity(spark,
     kept = warc_member_index(files, lenient=True).collect()
     assert sorted(r.target_uri for r in kept) == [
         "http://zr.example.com/a", "http://zr.example.com/b"]
+    # the READ path keeps the same parsed prefix (read and index must
+    # agree on what a truncated archive contains)
+    read_kept = read_warc_records(spark, [str(warcs)],
+                                  lenient=True).collect()
+    assert sorted(r.target_uri for r in read_kept) == [
+        "http://zr.example.com/a", "http://zr.example.com/b"]
     with _pytest.raises(Exception,
                         match="truncated|corrupt|overruns"):
         warc_member_index(files, lenient=False).collect()
+    with _pytest.raises(Exception, match="corrupt zstd WARC"):
+        read_warc_records(spark, [str(warcs)]).collect()
 
 
 def test_warc_zst_range_fetch_corrupt_range(spark, tmp_path):
