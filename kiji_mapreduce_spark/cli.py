@@ -116,7 +116,7 @@ _PIPELINE_HISTORY_COMMANDS = frozenset({
     "crawl-ingest", "shard-ingest", "drift", "media-dedup",
     "media-probe", "ann-tune", "dedup-index", "compact",
     "corpus-stats", "webdataset-pack", "dsir", "link-graph",
-    "span-dedup", "substr-dedup"})
+    "span-dedup", "substr-dedup", "warc-pack"})
 
 
 #: parsed-run context for _record_pipeline_failure, set by _main once
@@ -780,6 +780,38 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     help="also write the per-shard manifest (shard_id,"
                     " path, n_samples, n_bytes) parquet here")
 
+    wk = sub.add_parser(
+        "warc-pack", help="WARC record rows (parquet) or existing "
+        "archives -> per-record-member shard-NNNNNN.warc[.gz|.zst] "
+        "files: the write side of crawl-ingest/cdx-index (re-shard "
+        "crawl dumps, write curated survivors back as archives); "
+        "output is immediately cdx-index-able, shard bytes "
+        "deterministic under replay")
+    wk.add_argument("--input", required=True,
+                    help="parquet of (warc_type, target_uri, "
+                    "warc_date, record_id, content) rows, or with "
+                    "--from-warc a dir/glob of WARC archives to "
+                    "re-shard")
+    wk.add_argument("--from-warc", action="store_true",
+                    help="treat --input as WARC archives (read via "
+                    "the record parser, bodies kept byte-identical)")
+    wk.add_argument("--output", required=True,
+                    help="locally-mounted dir for the shard files "
+                    "(object-store schemes raise loudly)")
+    wk.add_argument("--compression", default="gzip",
+                    choices=["gzip", "zstd", "none"],
+                    help="per-record member codec (default gzip, the "
+                    "Common Crawl layout; zstd = seekable store-mode "
+                    "frames)")
+    wk.add_argument("--shard-bytes", type=int, default=1 << 30,
+                    help="target shard size (default 1 GiB)")
+    wk.add_argument("--n-shards", type=int, default=None,
+                    help="fixed shard count (default: sized from the "
+                    "corpus total)")
+    wk.add_argument("--manifest", default=None,
+                    help="also write the per-shard manifest "
+                    "(shard_id, path, n_records, n_bytes) parquet")
+
     mb = sub.add_parser("media-probe", help="container-level technical "
                         "metadata (container, kind, codec, duration, "
                         "dims, rate) from headers alone — covers "
@@ -864,7 +896,7 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     # link-graph, shard-ingest, webdataset-pack, media-probe) listed
     # in the frozenset but rejecting --history with exit 2
     for sp in (cu, ct, cs, sk, tv, ci, dr, md, at, di, mp, st,
-               sd, es, ds, lg, si, wp, mb):
+               sd, es, ds, lg, si, wp, wk, mb):
         sp.add_argument("--history", default=None,
                         help="job-history table path: record this "
                         "run's id/name/start/end/status/counters")
@@ -1315,6 +1347,36 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
             spark.createDataFrame(
                 manifest, "shard_id int, path string, "
                 "n_samples long, n_bytes long") \
+                .write.mode("overwrite").parquet(args.manifest)
+            stats["manifest"] = args.manifest
+        return _emit(args, stats)
+
+    if args.command == "warc-pack":
+        from kiji_mapreduce_spark.io.outputs import write_warc
+
+        spark = make_session(app_name="kiji-warc-pack")
+        if args.from_warc:
+            from kiji_mapreduce_spark.io.inputs import read_warc_records
+
+            records = read_warc_records(
+                spark, [args.input], decode_http=False).select(
+                "warc_type", "target_uri", "warc_date", "record_id",
+                "content")
+        else:
+            records = spark.read.parquet(args.input)
+        manifest = write_warc(
+            records, args.output, compression=args.compression,
+            shard_bytes=args.shard_bytes, n_shards=args.n_shards)
+        stats = {
+            "output": args.output,
+            "compression": args.compression,
+            "n_shards": len(manifest),
+            "n_records": sum(m["n_records"] for m in manifest),
+            "n_bytes": sum(m["n_bytes"] for m in manifest)}
+        if args.manifest:
+            spark.createDataFrame(
+                manifest, "shard_id int, path string, "
+                "n_records long, n_bytes long") \
                 .write.mode("overwrite").parquet(args.manifest)
             stats["manifest"] = args.manifest
         return _emit(args, stats)

@@ -1048,7 +1048,18 @@ def _open_range_source(resolved: str):
     index-first pattern work against the object stores 100 TB crawls
     actually live on (pyarrow translates seek+read into ranged GETs).
     pyarrow errors map onto the caller's (OSError, ValueError)
-    contract: ArrowIOError is an OSError, ArrowInvalid a ValueError."""
+    contract: ArrowIOError is an OSError, ArrowInvalid a ValueError.
+
+    ``file:`` URIs normalize to plain local paths FIRST:
+    ``warc_member_index`` carries Spark's binaryFile paths, which
+    render in the single-slash ``file:/tmp/x`` form — pyarrow's
+    ``from_uri`` rejects that spelling and the bare ``"://"`` probe
+    missed it entirely, so an in-engine index -> fetch loop (no CDX
+    base-strip in between) couldn't open its own files."""
+    if resolved.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return open(urlparse(resolved).path, "rb")
     if "://" in resolved:
         from pyarrow import fs as _pafs
 

@@ -748,3 +748,158 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     stats["files_after"] = len(staged.inputFiles())
     bulk_load(staging, path, spark)
     return stats
+
+
+def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
+              n_shards: int | None = None,
+              compression: str = "gzip") -> DataFrame:
+    """Typed WARC record rows -> archive SHARD rows (shard_id,
+    n_records, n_bytes, content binary) — the write side of
+    ``io.inputs.read_warc_records`` and the generation side of the
+    index-first loop: every shard uses the per-record-member layout
+    (one gzip member or one store-mode zstd frame per record), so
+    ``warc_member_index`` can CDX-index the output and
+    ``warc_records_from_ranges`` can fetch any single record back.
+    The reference's sink palette (``JobOutputSpec.java:53-66``) stops
+    at text/seq/avro; crawl re-sharding (merge small dumps, split
+    giant ones, strip rejected records and write what survives) needs
+    the archive format itself to be writable.
+
+    Input columns: ``warc_type``, ``target_uri``, ``warc_date``,
+    ``record_id``, ``content`` (the reader's schema — missing/empty
+    header fields are omitted from the written record, which the
+    reader returns as "" again: lossless round trip). ``compression``
+    is ``gzip`` (the Common Crawl layout), ``zstd`` (store-mode
+    frames via ``zstd_codec.compress_store`` — seekable, checksummed,
+    decodable by any zstd tool), or ``none`` (plain ``.warc``).
+
+    Scale shape (the ``pack_webdataset`` discipline): shard count
+    from ONE aggregate, records hash-assign to shards via
+    ``pmod(xxhash64(record_id, target_uri), n)`` — size-balanced in
+    expectation, NO global sort or running-total window. One
+    ``applyInPandas`` group builds one shard in memory
+    (~``shard_bytes``); members sort by (record_id, target_uri) and
+    gzip writes zeroed mtimes, so shard bytes are deterministic under
+    replay (speculative attempts produce identical files)."""
+    import pandas as pd
+
+    if compression not in ("gzip", "zstd", "none"):
+        raise ValueError(
+            f"pack_warc: compression must be gzip|zstd|none, "
+            f"got {compression!r}")
+    sized = records.withColumn(
+        "_bytes", F.coalesce(F.length("content"), F.lit(0)) + 512)
+    if n_shards is None:
+        total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
+        n_shards = max(1, -(-int(total) // shard_bytes))
+    assigned = sized.withColumn(
+        "shard_id",
+        F.pmod(F.xxhash64(F.col("record_id"), F.col("target_uri")),
+               F.lit(n_shards)).cast("int"))
+    schema = ("shard_id int, n_records long, n_bytes long, "
+              "content binary")
+
+    def _render(wtype, uri, date, rid, body: bytes) -> bytes:
+        head = ["WARC/1.0"]
+        if wtype:
+            head.append(f"WARC-Type: {wtype}")
+        if rid:
+            head.append(f"WARC-Record-ID: {rid}")
+        if date:
+            head.append(f"WARC-Date: {date}")
+        if uri:
+            head.append(f"WARC-Target-URI: {uri}")
+        head.append(f"Content-Length: {len(body)}")
+        return ("\r\n".join(head) + "\r\n\r\n").encode() \
+            + body + b"\r\n\r\n"
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import gzip as _gzip
+
+        from kiji_mapreduce_spark.io import zstd_codec
+
+        order = pdf.sort_values(["record_id", "target_uri"],
+                                na_position="first")
+        parts: list[bytes] = []
+        for wtype, uri, date, rid, body in zip(
+                order["warc_type"], order["target_uri"],
+                order["warc_date"], order["record_id"],
+                order["content"]):
+            rec = _render(
+                "" if wtype is None else str(wtype),
+                "" if uri is None else str(uri),
+                "" if date is None else str(date),
+                "" if rid is None else str(rid),
+                b"" if body is None else bytes(body))
+            if compression == "gzip":
+                parts.append(_gzip.compress(rec, mtime=0))
+            elif compression == "zstd":
+                parts.append(zstd_codec.compress_store(rec))
+            else:
+                parts.append(rec)
+        blob = b"".join(parts)
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "n_records": [len(parts)], "n_bytes": [len(blob)],
+            "content": [blob]})
+
+    return (assigned
+            .select("shard_id", "warc_type", "target_uri", "warc_date",
+                    "record_id", "content")
+            .groupBy("shard_id").applyInPandas(_build, schema))
+
+
+def write_warc(records: DataFrame, out_dir: str,
+               compression: str = "gzip", shard_bytes: int = 1 << 30,
+               n_shards: int | None = None) -> list[dict]:
+    """``pack_warc`` + executor-side shard write (the
+    ``write_webdataset`` pattern: each task writes its
+    ``shard-NNNNNN.warc[.gz|.zst]`` straight to a locally-mounted
+    ``out_dir`` via a per-attempt temp name + atomic rename — no
+    driver round-trip of shard bytes). Returns the shard manifest
+    (small rows only)."""
+    import os as _os
+
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise NotImplementedError(
+            f"write_warc needs a locally-mounted out_dir, got "
+            f"{out_dir!r} — mount the object store (s3fs/goofys) or "
+            f"write shards from pack_warc rows yourself")
+    local = out_dir[7:] if out_dir.startswith("file://") else out_dir
+    # pin relative paths to the DRIVER's cwd before the closure
+    # captures them (executor cwd != shell cwd on a real cluster)
+    local = _os.path.abspath(local)
+    _os.makedirs(local, exist_ok=True)
+    ext = {"gzip": ".warc.gz", "zstd": ".warc.zst",
+           "none": ".warc"}[compression]
+    shards = pack_warc(records, shard_bytes=shard_bytes,
+                       n_shards=n_shards, compression=compression)
+    schema = "shard_id int, path string, n_records long, n_bytes long"
+
+    def _write(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"shard_id": [], "path": [], "n_records": [],
+                    "n_bytes": []}
+            for sid, n, nb, blob in zip(
+                    pdf["shard_id"], pdf["n_records"],
+                    pdf["n_bytes"], pdf["content"]):
+                path = _os.path.join(
+                    local, f"shard-{int(sid):06d}{ext}")
+                tmp = (f"{path}.inprogress-{_os.getpid()}-"
+                       f"{_uuid.uuid4().hex}")
+                with open(tmp, "wb") as f:
+                    f.write(bytes(blob))
+                _os.replace(tmp, path)  # atomic publish per shard
+                rows["shard_id"].append(int(sid))
+                rows["path"].append(path)
+                rows["n_records"].append(int(n))
+                rows["n_bytes"].append(int(nb))
+            yield pd.DataFrame(rows)
+
+    return [r.asDict() for r in
+            shards.mapInPandas(_write, schema).collect()]

@@ -9,10 +9,14 @@ Huffman coding, and the predefined distributions verbatim — so the
 decode half is implementable exactly like the repo's other from-spec
 codecs (FLAC per RFC 9639, JPEG per T.81, VP8L, GIF89a).
 
-Decoder only, by design: nothing in the pipeline needs to EMIT zstd,
-and the encoder half (optimal parsing, table construction) is where
-the engineering burden lives. No dictionary support — HTTP bodies and
-shard files are self-contained frames (a ``Dictionary_ID`` raises).
+Decode-complete, encode-minimal by design: the full decoder handles
+any conformant frame, while the only encoder is ``compress_store``
+(store-mode frames — raw blocks + exact FCS + XXH64 checksum, the
+write half of the seekable per-record-frame ``.warc.zst`` layout);
+the COMPRESSING encoder half (optimal parsing, table construction) is
+where the engineering burden lives and stays out of scope. No
+dictionary support — HTTP bodies and shard files are self-contained
+frames (a ``Dictionary_ID`` raises).
 
 Scale shape: this is a per-record Python fallback on the lenient ingest
 path, not a bulk codec — throughput is ~1 MB/s of decompressed output,
@@ -843,3 +847,42 @@ def frame_spans(data: bytes, max_input: int = _MAX_COMPRESSED_INPUT):
             if pos > len(data):
                 raise ValueError("zstd: truncated content checksum")
         yield start, pos, False
+
+
+def compress_store(data: bytes, checksum: bool = True) -> bytes:
+    """Encode ``data`` as one STORE-mode zstd frame (RFC 8878:
+    single-segment header with exact Frame_Content_Size, raw blocks
+    only — no entropy coding, so output = input + ~6 bytes/128 KiB).
+
+    The write half of the per-record-frame ``.warc.zst`` layout: each
+    record becomes its own self-contained frame, which is exactly what
+    ``frame_spans`` / ``warc_member_index`` need to make the archive
+    seekable. Store mode is deliberate — the engine's decoder is
+    pure-Python and the layout's value is SEEKABILITY, not ratio; any
+    real zstd tool re-compresses frames losslessly if ratio matters.
+    ``checksum`` appends the XXH64 content checksum so
+    ``decompress(verify_checksum=True)`` validates round trips."""
+    n = len(data)
+    out = bytearray(struct.pack("<I", _FRAME_MAGIC))
+    chk = 0x04 if checksum else 0x00
+    if n < 256:
+        out.append(0x20 | chk)          # single-segment, 1-byte FCS
+        out.append(n)
+    elif n < 65536 + 256:
+        out.append(0x60 | chk)          # 2-byte FCS, stored - 256
+        out += (n - 256).to_bytes(2, "little")
+    else:
+        out.append(0xA0 | chk)          # 4-byte FCS
+        out += n.to_bytes(4, "little")
+    pos = 0
+    while True:
+        blk = data[pos:pos + _BLOCK_MAX]
+        pos += len(blk)
+        last = 1 if pos >= n else 0
+        out += ((len(blk) << 3) | last).to_bytes(3, "little")  # raw
+        out += blk
+        if last:
+            break
+    if checksum:
+        out += struct.pack("<I", _xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
