@@ -799,16 +799,24 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
     schema = ("shard_id int, n_records long, n_bytes long, "
               "content binary")
 
+    def _hdr(value: str) -> str:
+        # raw CR/LF in a header value is WARC header INJECTION — a
+        # hostile crawled "URI" could terminate the header block early
+        # and desync every record after it. Legal URIs cannot contain
+        # raw CR/LF, so percent-encode the two bytes (deterministic,
+        # URI-shaped); the body is length-framed and needs no escaping
+        return value.replace("\r", "%0D").replace("\n", "%0A")
+
     def _render(wtype, uri, date, rid, body: bytes) -> bytes:
         head = ["WARC/1.0"]
         if wtype:
-            head.append(f"WARC-Type: {wtype}")
+            head.append(f"WARC-Type: {_hdr(wtype)}")
         if rid:
-            head.append(f"WARC-Record-ID: {rid}")
+            head.append(f"WARC-Record-ID: {_hdr(rid)}")
         if date:
-            head.append(f"WARC-Date: {date}")
+            head.append(f"WARC-Date: {_hdr(date)}")
         if uri:
-            head.append(f"WARC-Target-URI: {uri}")
+            head.append(f"WARC-Target-URI: {_hdr(uri)}")
         head.append(f"Content-Length: {len(body)}")
         return ("\r\n".join(head) + "\r\n\r\n").encode() \
             + body + b"\r\n\r\n"

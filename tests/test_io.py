@@ -2229,3 +2229,42 @@ def test_cli_warc_pack_reshard_and_index(spark, tmp_path, capsys):
     stats = _json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_lines"] == 5
+
+
+def test_write_warc_hostile_headers_and_big_bodies(spark, tmp_path):
+    """Writer hardening: raw CR/LF in header values (a hostile
+    crawled 'URI' attempting WARC header injection) percent-encodes
+    instead of desyncing the archive; a body over the 128 KiB zstd
+    block ceiling spans multiple raw blocks in one frame; unicode
+    survives."""
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.io.outputs import write_warc
+
+    big = bytes(range(256)) * 1200  # 300 KB > one store block
+    rows = [
+        ("response", "http://evil.example.com/\r\nWARC-Type: fake",
+         "2024-01-01T00:00:00Z", "<urn:uuid:inj>", b"body one"),
+        ("response", "http://big.example.com/x",
+         "2024-01-01T00:00:00Z", "<urn:uuid:big>", big),
+        ("response", "http://uni.example.com/café",
+         "2024-01-01T00:00:00Z", "<urn:uuid:uni>",
+         "café 中文".encode()),
+    ]
+    df = spark.createDataFrame(
+        rows, "warc_type string, target_uri string, warc_date string, "
+              "record_id string, content binary")
+    for comp in ("gzip", "zstd", "none"):
+        out = tmp_path / comp
+        write_warc(df, str(out), compression=comp, n_shards=1)
+        got = {r.record_id: r
+               for r in read_warc_records(
+                   spark, [str(out)], decode_http=False).collect()}
+        assert len(got) == 3, comp  # injection did NOT split records
+        assert got["<urn:uuid:inj>"].target_uri == \
+            "http://evil.example.com/%0D%0AWARC-Type: fake"
+        assert got["<urn:uuid:inj>"].warc_type == "response"
+        assert bytes(got["<urn:uuid:big>"].content) == big
+        assert got["<urn:uuid:uni>"].target_uri == \
+            "http://uni.example.com/café"
+        assert bytes(got["<urn:uuid:uni>"].content) == \
+            "café 中文".encode()
