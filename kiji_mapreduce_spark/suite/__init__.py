@@ -44,4 +44,5 @@ from kiji_mapreduce_spark.suite.queries_text import *  # noqa: F401,F403
 from kiji_mapreduce_spark.suite.queries_vectors import *  # noqa: F401,F403
 from kiji_mapreduce_spark.suite.registry import (  # noqa: F401
     FIRST_WINDOW_REQUIRED, NEW_PENDING_WINDOW, ORACLES, QUERIES,
+    STAGED, STAGED_ORACLES,
 )

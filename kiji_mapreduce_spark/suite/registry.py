@@ -274,6 +274,24 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #: slot in the r14 rotation, closing the exemption.
 NEW_PENDING_WINDOW: dict[str, int] = {}
 
+#: Transplant-ready seat candidates NOT in QUERIES (seating needs a
+#: judge-endorsed retirement — see the r15 planning comment above).
+#: Kept OUT of QUERIES so the driver window, bench set, and the
+#: freshness ledger are untouched, but enumerable so plan_lint lints
+#: their plans every round and check_correctness drives them BY NAME
+#: — a staged query must not rot between staging and seating.
+STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "main_content": q_main_content,
+    "semantic_dedup": q_semantic_dedup,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+}
+
+STAGED_ORACLES: dict[str, str] = {
+    "main_content": SQL_MAIN_CONTENT,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "hybrid_search_rrf": SQL_HYBRID_RRF,
+}
+
 
 ORACLES: dict[str, str] = {
     "c4_filter": SQL_C4_FILTER,

@@ -124,6 +124,14 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        # staged seat candidates (registry.STAGED) drive BY NAME only:
+        # the default full drive stays the driver-parity queries() set
+        from kiji_mapreduce_spark import suite
+
+        for name in only & set(suite.STAGED):
+            qs[name] = suite.STAGED[name]
+            oracles[name] = suite.STAGED_ORACLES[name]
     unknown = only - set(qs)
     if unknown:
         # a misspelled name previously matched nothing and the harness

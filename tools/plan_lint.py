@@ -38,7 +38,10 @@ BNLJ_ALLOWED = {"knn_cosine_topk", "knn_ivf_topk", "knn_pq_topk",
                 "tfidf_top_terms", "bm25_search_topk", "lm_bigram_quality",
                 # 5 broadcast anchors x corpus with a non-equi (label
                 # mismatch) predicate — same intended shape as knn
-                "hard_negative_mining"}
+                "hard_negative_mining",
+                # embeds brute_force_topk's 5-row broadcast query set
+                # (non-equi self-exclusion) — the knn_cosine shape
+                "staged:hybrid_search_rrf"}
 # queries whose whole point is reading most of a table
 WIDE_SCAN_ALLOWED = {"producer_price_band", "window_top3_orders_per_customer",
                      "window_running_revenue", "quantiles_order_price",
@@ -141,7 +144,12 @@ def main() -> None:
                                  "10000",
                          })
     errors, warnings = [], []
-    for name, fn in suite.QUERIES.items():
+    # staged seat candidates lint alongside the registry: a staged
+    # query must not grow a CartesianProduct or a Python UDF while it
+    # waits for a window slot
+    all_queries = {**suite.QUERIES,
+                   **{f"staged:{n}": f for n, f in suite.STAGED.items()}}
+    for name, fn in all_queries.items():
         if name == "streaming_windowed_counts":
             continue  # streaming plans are inspected via their own API
         try:
@@ -174,7 +182,7 @@ def main() -> None:
     for e in errors:
         print(f"ERROR {e}")
     print(f"\n{len(errors)} errors, {len(warnings)} warnings "
-          f"across {len(suite.QUERIES) - 1} plans")
+          f"across {len(all_queries) - 1} plans")
     sys.exit(1 if errors else 0)
 
 
