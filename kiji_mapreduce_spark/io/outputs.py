@@ -829,6 +829,7 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
         order = pdf.sort_values(["record_id", "target_uri"],
                                 na_position="first")
         parts: list[bytes] = []
+        frame_sizes: list[tuple[int, int]] = []
         for wtype, uri, date, rid, body in zip(
                 order["warc_type"], order["target_uri"],
                 order["warc_date"], order["record_id"],
@@ -842,13 +843,22 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
             if compression == "gzip":
                 parts.append(_gzip.compress(rec, mtime=0))
             elif compression == "zstd":
-                parts.append(zstd_codec.compress_store(rec))
+                frame = zstd_codec.compress_store(rec)
+                frame_sizes.append((len(frame), len(rec)))
+                parts.append(frame)
             else:
                 parts.append(rec)
+        n_recs = len(parts)
+        if compression == "zstd" and parts:
+            # the official seekable-format seek table (one skippable
+            # frame at EOF): external zstd-seekable tooling can then
+            # seek the shard without a CDX index; every in-engine
+            # reader passes over skippable frames untouched
+            parts.append(zstd_codec.seek_table(frame_sizes))
         blob = b"".join(parts)
         return pd.DataFrame({
             "shard_id": [int(pdf["shard_id"].iloc[0])],
-            "n_records": [len(parts)], "n_bytes": [len(blob)],
+            "n_records": [n_recs], "n_bytes": [len(blob)],
             "content": [blob]})
 
     return (assigned

@@ -886,3 +886,22 @@ def compress_store(data: bytes, checksum: bool = True) -> bytes:
     if checksum:
         out += struct.pack("<I", _xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+def seek_table(frames: "list[tuple[int, int]]") -> bytes:
+    """Render the zstd seekable-format seek table as one skippable
+    frame (public spec: zstd/contrib/seekable_format, v0.1.0 —
+    skippable magic 0x184D2A5E, per-frame (compressed_size,
+    decompressed_size) u32 pairs, then a 9-byte footer of
+    frame count + descriptor + magic 0x8F92EAB1). Appending it to a
+    per-record-frame archive makes the file seekable by EXTERNAL
+    zstd-seekable tooling; this decoder and ``frame_spans`` already
+    pass over skippable frames, so every in-engine read path is
+    unaffected."""
+    body = bytearray()
+    for csize, dsize in frames:
+        if not (0 <= csize < 1 << 32 and 0 <= dsize < 1 << 32):
+            raise ValueError("zstd: seek-table entry over u32")
+        body += struct.pack("<II", csize, dsize)
+    body += struct.pack("<IBI", len(frames), 0x00, 0x8F92EAB1)
+    return struct.pack("<II", _SKIPPABLE_HI - 1, len(body)) + bytes(body)

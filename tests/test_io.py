@@ -2185,6 +2185,20 @@ def test_write_warc_zst_closes_index_first_loop(spark, tmp_path):
         frame = f.read(target.length)
     assert zstd_codec.decompress(frame, verify_checksum=True)
 
+    # the shard ends with the official seekable-format seek table:
+    # footer magic + one (csize, dsize) entry per record frame, and
+    # the entries point exactly at the indexed ranges
+    import struct as _struct
+
+    blob = open(urlparse(target.path).path, "rb").read()
+    assert _struct.unpack("<I", blob[-4:])[0] == 0x8F92EAB1
+    n_frames = _struct.unpack("<I", blob[-9:-5])[0]
+    assert n_frames == 6
+    entries = blob[-9 - 8 * n_frames:-9]
+    csizes = [_struct.unpack_from("<II", entries, 8 * i)[0]
+              for i in range(n_frames)]
+    assert sorted(csizes) == sorted(r.length for r in rows)
+
 
 def test_cli_warc_pack_reshard_and_index(spark, tmp_path, capsys):
     """kiji-mr warc-pack --from-warc re-shards archives into
