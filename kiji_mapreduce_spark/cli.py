@@ -1355,18 +1355,22 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
         from kiji_mapreduce_spark.io.outputs import write_warc
 
         spark = make_session(app_name="kiji-warc-pack")
+        raw_col = None
         if args.from_warc:
-            from kiji_mapreduce_spark.io.inputs import read_warc_records
+            # raw record bytes, NOT the 5-column parse: re-rendering
+            # would silently strip every other header (Content-Type,
+            # digests, IP, Concurrent-To, ...) from the re-sharded
+            # archives
+            from kiji_mapreduce_spark.io.inputs import read_warc_raw
 
-            records = read_warc_records(
-                spark, [args.input], decode_http=False).select(
-                "warc_type", "target_uri", "warc_date", "record_id",
-                "content")
+            records = read_warc_raw(spark, [args.input])
+            raw_col = "record"
         else:
             records = spark.read.parquet(args.input)
         manifest = write_warc(
             records, args.output, compression=args.compression,
-            shard_bytes=args.shard_bytes, n_shards=args.n_shards)
+            shard_bytes=args.shard_bytes, n_shards=args.n_shards,
+            raw_col=raw_col)
         stats = {
             "output": args.output,
             "compression": args.compression,

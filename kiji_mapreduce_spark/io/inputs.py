@@ -248,6 +248,42 @@ def _inflate_members(raw: bytes, path: str, lenient: bool):
         pos -= len(d.unused_data)  # overshoot into the next member
 
 
+def _zst_data_frames(raw: bytes, where: str):
+    """Yield ``(offset, compressed_length, decompressed bytes)`` per
+    zstd DATA frame — the single decode loop under BOTH the
+    ``.warc.zst`` read path and the CDX member walk, so the two can
+    never disagree on which frames of an archive decode (the
+    lenient-prefix read/index agreement contract). Skippable frames
+    are passed over. Gates: 256 MiB compressed input (checked BEFORE
+    the walk, reported as the over-limit condition it is — not
+    corruption), ``_MAX_RANGE_OUT`` per frame (the gzip member
+    ceiling), and ``_MAX_ZSTD_ARCHIVE_OUT`` CUMULATIVE across frames —
+    frame-by-frame decode must not turn the old archive-level bomb
+    gate into an unbounded sum of under-the-cap frames."""
+    from kiji_mapreduce_spark.io import zstd_codec
+
+    if len(raw) > _MAX_ZSTD_ARCHIVE_BYTES:
+        raise ValueError(
+            f"{where}: .warc.zst over the "
+            f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
+            "decode gate — recompress as .warc.gz or split")
+    total = 0
+    try:
+        for start, end, skippable in zstd_codec.frame_spans(
+                raw, max_input=_MAX_ZSTD_ARCHIVE_BYTES):
+            if skippable:
+                continue
+            budget = min(_MAX_RANGE_OUT,
+                         _MAX_ZSTD_ARCHIVE_OUT - total)
+            data = zstd_codec.decompress(
+                raw[start:end], max_output=budget,
+                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+            total += len(data)
+            yield start, end - start, data
+    except ValueError as e:
+        raise ValueError(f"{where}: corrupt zstd WARC: {e}") from e
+
+
 def _inflate_zst_frames(raw: bytes, path: str, lenient: bool):
     """Yield decompressed chunks across the zstd frames of a
     ``.warc.zst`` — the zstd twin of ``_inflate_members``: frame
@@ -258,30 +294,19 @@ def _inflate_zst_frames(raw: bytes, path: str, lenient: bool):
     huge frame (the r8 O(record + chunk) contract). Lenient keeps
     everything decoded before the first truncated/corrupt/dictionary
     frame — the same parsed-prefix contract as the gzip path and the
-    CDX member walk; strict raises ValueError."""
-    from kiji_mapreduce_spark.io import zstd_codec
-
+    CDX member walk (which shares ``_zst_data_frames``, gates
+    included, so read and index agree on every archive); strict
+    raises ValueError."""
     step = 1 << 20
     try:
-        if len(raw) > _MAX_ZSTD_ARCHIVE_BYTES:
-            raise ValueError(
-                f".warc.zst over the "
-                f"{_MAX_ZSTD_ARCHIVE_BYTES >> 20} MiB pure-Python "
-                "decode gate — recompress as .warc.gz or split")
-        for start, end, skippable in zstd_codec.frame_spans(
-                raw, max_input=_MAX_ZSTD_ARCHIVE_BYTES):
-            if skippable:
-                continue
-            data = zstd_codec.decompress(
-                raw[start:end], max_output=_MAX_ZSTD_ARCHIVE_OUT,
-                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
+        for _off, _ln, data in _zst_data_frames(raw, path):
             mv = memoryview(data)
             for i in range(0, len(data), step):
                 yield mv[i:i + step]
-    except ValueError as e:
+    except ValueError:
         if lenient:
             return
-        raise ValueError(f"{path}: corrupt zstd WARC: {e}") from e
+        raise
 
 
 #: header-block ceiling for the incremental WARC framer: real WARC
@@ -1290,24 +1315,11 @@ def _walk_zst_members(raw: bytes, where: str):
     of ``_walk_gz_members`` (RFC 8878 frames are self-delimiting and
     concatenable, so the frame offsets are exactly what a CDX index
     records). Skippable frames (the seekable format's seek table, or
-    tool metadata) carry no records and are passed over. Boundaries
-    come from ``zstd_codec.frame_spans`` (header-only walk); every
-    data frame is then fully validated by ``decompress`` under the
-    same per-member ``_MAX_RANGE_OUT`` ceiling as gzip members and
-    the archive-level ``_MAX_ZSTD_ARCHIVE_BYTES`` input gate."""
-    from kiji_mapreduce_spark.io import zstd_codec
-
-    try:
-        for start, end, skippable in zstd_codec.frame_spans(
-                raw, max_input=_MAX_ZSTD_ARCHIVE_BYTES):
-            if skippable:
-                continue
-            data = zstd_codec.decompress(
-                raw[start:end], max_output=_MAX_RANGE_OUT,
-                max_input=_MAX_ZSTD_ARCHIVE_BYTES)
-            yield start, end - start, data
-    except ValueError as e:
-        raise ValueError(f"{where}: {e}") from e
+    tool metadata) carry no records and are passed over. Pure
+    delegation to ``_zst_data_frames`` — the READ path decodes
+    through the same loop and the same gates, so index and read
+    agree on every archive's decodable prefix."""
+    yield from _zst_data_frames(raw, where)
 
 
 def _walk_plain_records(raw: bytes, where: str):
@@ -1344,6 +1356,85 @@ def _walk_plain_records(raw: bytes, where: str):
                 f"{where}: WARC record at byte {pos} truncated")
         yield pos, end - pos, bytes(raw[pos:end])
         pos = end
+
+
+def read_warc_raw(spark: SparkSession, paths: list[str],
+                  lenient: bool = False) -> DataFrame:
+    """WARC records as their ORIGINAL bytes — (path, offset, record
+    binary, record_id, target_uri) — for byte-faithful re-sharding:
+    ``read_warc_records`` parses records into 5 typed columns and
+    DROPS every other header (Content-Type's
+    ``application/http; msgtype=response``, WARC-Payload-Digest,
+    WARC-IP-Address, WARC-Concurrent-To, ...), so re-rendering from
+    those columns would silently strip metadata replay tools and
+    digest-based dedup depend on. This reader keeps each record's
+    exact bytes (header block + body; the inter-record CRLFCRLF
+    separator is framing, not record data — ``pack_warc`` re-appends
+    it); ``record_id``/``target_uri`` are pulled out only as
+    shard/sort keys. ``pack_warc(raw_col=...)`` wraps these bytes
+    verbatim in fresh per-record members.
+
+    Scale shape: file = unit of parallelism (the WARC reader's
+    contract); per-record-member archives split at member boundaries
+    and multi-record members re-frame with the offset-tracking plain
+    walker — memory O(member + record). Lenient keeps each file's
+    parsed prefix; strict raises."""
+    import re as _re
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+    schema = ("path string, offset long, record binary, "
+              "record_id string, target_uri string")
+    rid_re = _re.compile(rb"(?im)^WARC-Record-ID:[ \t]*([^\r\n]+)")
+    uri_re = _re.compile(rb"(?im)^WARC-Target-URI:[ \t]*([^\r\n]+)")
+
+    def _records(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                is_plain = not (raw[:2] == b"\x1f\x8b"
+                                or _zstd_magic(raw))
+                walker = (_walk_plain_records if is_plain
+                          else _walk_gz_members
+                          if raw[:2] == b"\x1f\x8b"
+                          else _walk_zst_members)
+                rows = {"path": [], "offset": [], "record": [],
+                        "record_id": [], "target_uri": []}
+
+                def _add(off, rec: bytes):
+                    head = rec[:rec.find(b"\r\n\r\n")
+                               if b"\r\n\r\n" in rec else len(rec)]
+                    m = rid_re.search(head)
+                    u = uri_re.search(head)
+                    rows["path"].append(path)
+                    rows["offset"].append(off)
+                    rows["record"].append(rec)
+                    rows["record_id"].append(
+                        m.group(1).strip().decode("utf-8", "replace")
+                        if m else "")
+                    rows["target_uri"].append(
+                        u.group(1).strip().decode("utf-8", "replace")
+                        if u else "")
+
+                try:
+                    for off, _ln, data in walker(raw, path):
+                        if is_plain:
+                            _add(off, data)
+                        else:
+                            # a member may frame several records:
+                            # split with the offset-tracking plain
+                            # walker over the DECOMPRESSED bytes
+                            for _o, _l, rec in _walk_plain_records(
+                                    data, path):
+                                _add(off, rec)
+                except ValueError:
+                    if not lenient:
+                        raise
+                yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(_records,
+                                                       schema)
 
 
 def warc_member_index(files: DataFrame,

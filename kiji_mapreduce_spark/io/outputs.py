@@ -752,7 +752,9 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
 
 def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
               n_shards: int | None = None,
-              compression: str = "gzip") -> DataFrame:
+              compression: str = "gzip",
+              materialize: bool = True,
+              raw_col: str | None = None) -> DataFrame:
     """Typed WARC record rows -> archive SHARD rows (shard_id,
     n_records, n_bytes, content binary) — the write side of
     ``io.inputs.read_warc_records`` and the generation side of the
@@ -768,7 +770,13 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
     Input columns: ``warc_type``, ``target_uri``, ``warc_date``,
     ``record_id``, ``content`` (the reader's schema — missing/empty
     header fields are omitted from the written record, which the
-    reader returns as "" again: lossless round trip). ``compression``
+    reader returns as "" again: lossless round trip). With
+    ``raw_col``, rows instead carry COMPLETE original record bytes
+    (``read_warc_raw``'s output — plus ``record_id``/``target_uri``
+    shard keys) wrapped verbatim in fresh members, so re-sharding
+    existing archives preserves every header (Content-Type, digests,
+    IP, Concurrent-To, ...) byte-for-byte — re-rendering from the
+    5-column parse would silently strip them. ``compression``
     is ``gzip`` (the Common Crawl layout), ``zstd`` (store-mode
     frames via ``zstd_codec.compress_store`` — seekable, checksummed,
     decodable by any zstd tool), or ``none`` (plain ``.warc``).
@@ -778,18 +786,30 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
     ``pmod(xxhash64(record_id, target_uri), n)`` — size-balanced in
     expectation, NO global sort or running-total window. One
     ``applyInPandas`` group builds one shard in memory
-    (~``shard_bytes``); members sort by (record_id, target_uri) and
-    gzip writes zeroed mtimes, so shard bytes are deterministic under
-    replay (speculative attempts produce identical files)."""
+    (~``shard_bytes``); members sort by (record_id, target_uri,
+    warc_date, warc_type, content) — content as the FINAL tiebreak,
+    because a stable sort on non-unique keys alone would keep
+    shuffle-arrival order for ties, and two task attempts could then
+    publish byte-different files for the same shard path — and gzip
+    writes zeroed mtimes, so shard bytes are deterministic under
+    replay (speculative attempts produce identical files). When
+    ``n_shards`` is derived (None), ``materialize`` pins the sized
+    input with an eager localCheckpoint so the sizing aggregate and
+    the shard build don't each re-run the full source lineage (the
+    bm25 postings discipline — for ``--from-warc`` re-shards that
+    lineage is a full archive re-parse)."""
     import pandas as pd
 
     if compression not in ("gzip", "zstd", "none"):
         raise ValueError(
             f"pack_warc: compression must be gzip|zstd|none, "
             f"got {compression!r}")
+    size_col = raw_col if raw_col else "content"
     sized = records.withColumn(
-        "_bytes", F.coalesce(F.length("content"), F.lit(0)) + 512)
+        "_bytes", F.coalesce(F.length(size_col), F.lit(0)) + 512)
     if n_shards is None:
+        if materialize:
+            sized = sized.localCheckpoint(eager=True)
         total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
         n_shards = max(1, -(-int(total) // shard_bytes))
     assigned = sized.withColumn(
@@ -821,25 +841,37 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
         return ("\r\n".join(head) + "\r\n\r\n").encode() \
             + body + b"\r\n\r\n"
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        import gzip as _gzip
-
-        from kiji_mapreduce_spark.io import zstd_codec
-
-        order = pdf.sort_values(["record_id", "target_uri"],
-                                na_position="first")
-        parts: list[bytes] = []
-        frame_sizes: list[tuple[int, int]] = []
+    def _rendered(order):
+        if raw_col:
+            for raw in order[raw_col]:
+                # the inter-record CRLFCRLF is framing the walkers
+                # strip — re-append it; record bytes stay verbatim
+                yield (b"" if raw is None else bytes(raw)) + b"\r\n\r\n"
+            return
         for wtype, uri, date, rid, body in zip(
                 order["warc_type"], order["target_uri"],
                 order["warc_date"], order["record_id"],
                 order["content"]):
-            rec = _render(
+            yield _render(
                 "" if wtype is None else str(wtype),
                 "" if uri is None else str(uri),
                 "" if date is None else str(date),
                 "" if rid is None else str(rid),
                 b"" if body is None else bytes(body))
+
+    sort_cols = (["record_id", "target_uri", raw_col] if raw_col
+                 else ["record_id", "target_uri", "warc_date",
+                       "warc_type", "content"])
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import gzip as _gzip
+
+        from kiji_mapreduce_spark.io import zstd_codec
+
+        order = pdf.sort_values(sort_cols, na_position="first")
+        parts: list[bytes] = []
+        frame_sizes: list[tuple[int, int]] = []
+        for rec in _rendered(order):
             if compression == "gzip":
                 parts.append(_gzip.compress(rec, mtime=0))
             elif compression == "zstd":
@@ -861,38 +893,82 @@ def pack_warc(records: DataFrame, shard_bytes: int = 1 << 30,
             "n_records": [n_recs], "n_bytes": [len(blob)],
             "content": [blob]})
 
-    return (assigned
-            .select("shard_id", "warc_type", "target_uri", "warc_date",
-                    "record_id", "content")
+    keep = (["shard_id", "record_id", "target_uri", raw_col]
+            if raw_col
+            else ["shard_id", "warc_type", "target_uri", "warc_date",
+                  "record_id", "content"])
+    return (assigned.select(*keep)
             .groupBy("shard_id").applyInPandas(_build, schema))
 
 
-def write_warc(records: DataFrame, out_dir: str,
-               compression: str = "gzip", shard_bytes: int = 1 << 30,
-               n_shards: int | None = None) -> list[dict]:
-    """``pack_warc`` + executor-side shard write (the
-    ``write_webdataset`` pattern: each task writes its
-    ``shard-NNNNNN.warc[.gz|.zst]`` straight to a locally-mounted
-    ``out_dir`` via a per-attempt temp name + atomic rename — no
-    driver round-trip of shard bytes). Returns the shard manifest
-    (small rows only)."""
+def resolve_local_dir(out_dir: str, what: str) -> str:
+    """Normalize a caller's output directory to a plain local path.
+
+    Handles BOTH file-URI spellings — ``file:///p`` AND Spark's
+    single-slash ``file:/p`` render (the exact form
+    ``warc_member_index`` emits, which the old ``"://" in`` probe
+    missed: ``file:/data/out`` sailed past the scheme guard, wasn't
+    prefix-stripped, and abspath planted the shards in a literal
+    ``./file:`` directory). ``file://host/path`` (a REMOTE host) and
+    any other URI scheme raise loudly — Python workers hold no Hadoop
+    filesystem client, so only locally-mounted paths are writable.
+    Relative paths pin to the DRIVER's cwd before any closure
+    captures them (executor cwd != shell cwd on a real cluster)."""
     import os as _os
 
-    if "://" in out_dir and not out_dir.startswith("file://"):
+    if out_dir.startswith("file:"):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(out_dir)
+        if parsed.netloc:
+            raise NotImplementedError(
+                f"{what}: file:// with a remote host is not a local "
+                f"path: {out_dir!r}")
+        local = parsed.path
+    elif "://" in out_dir:
         raise NotImplementedError(
-            f"write_warc needs a locally-mounted out_dir, got "
+            f"{what} needs a locally-mounted out_dir, got "
             f"{out_dir!r} — mount the object store (s3fs/goofys) or "
-            f"write shards from pack_warc rows yourself")
-    local = out_dir[7:] if out_dir.startswith("file://") else out_dir
-    # pin relative paths to the DRIVER's cwd before the closure
-    # captures them (executor cwd != shell cwd on a real cluster)
-    local = _os.path.abspath(local)
+            f"write shards from the pack rows yourself")
+    else:
+        local = out_dir
+    return _os.path.abspath(local)
+
+
+def write_shards(shards: DataFrame, out_dir: str, ext: str,
+                 count_col: str, mode: str = "overwrite",
+                 what: str = "write_shards") -> list[dict]:
+    """Executor-side shard write shared by ``write_warc`` and
+    ``write_webdataset``: each task writes its ``shard-NNNNNN{ext}``
+    straight to a locally-mounted ``out_dir`` via a per-attempt
+    unique temp name + atomic rename (speculative attempts produce
+    identical bytes — the pack stage's determinism contract — so
+    last-rename-wins is safe). No driver round-trip of shard bytes;
+    returns the manifest (small rows only).
+
+    ``mode``: ``overwrite`` (default) REMOVES existing
+    ``shard-*{ext}`` files first — a rerun that derives fewer shards
+    must not leave stale shards silently re-entering the corpus when
+    the directory is read back; ``error`` refuses a directory that
+    already holds shard files (the Spark-writer default posture)."""
+    import glob as _glob
+    import os as _os
+
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"{what}: mode must be overwrite|error, "
+                         f"got {mode!r}")
+    local = resolve_local_dir(out_dir, what)
     _os.makedirs(local, exist_ok=True)
-    ext = {"gzip": ".warc.gz", "zstd": ".warc.zst",
-           "none": ".warc"}[compression]
-    shards = pack_warc(records, shard_bytes=shard_bytes,
-                       n_shards=n_shards, compression=compression)
-    schema = "shard_id int, path string, n_records long, n_bytes long"
+    existing = sorted(_glob.glob(_os.path.join(local, f"shard-*{ext}")))
+    if existing:
+        if mode == "error":
+            raise FileExistsError(
+                f"{what}: {len(existing)} shard file(s) already in "
+                f"{local} (first: {existing[0]}) — pass "
+                f"mode='overwrite' to replace them")
+        for stale in existing:
+            _os.remove(stale)
+    schema = f"shard_id int, path string, {count_col} long, n_bytes long"
 
     def _write(batches):
         import os as _os
@@ -901,10 +977,10 @@ def write_warc(records: DataFrame, out_dir: str,
         import pandas as pd
 
         for pdf in batches:
-            rows = {"shard_id": [], "path": [], "n_records": [],
+            rows = {"shard_id": [], "path": [], count_col: [],
                     "n_bytes": []}
             for sid, n, nb, blob in zip(
-                    pdf["shard_id"], pdf["n_records"],
+                    pdf["shard_id"], pdf[count_col],
                     pdf["n_bytes"], pdf["content"]):
                 path = _os.path.join(
                     local, f"shard-{int(sid):06d}{ext}")
@@ -915,9 +991,29 @@ def write_warc(records: DataFrame, out_dir: str,
                 _os.replace(tmp, path)  # atomic publish per shard
                 rows["shard_id"].append(int(sid))
                 rows["path"].append(path)
-                rows["n_records"].append(int(n))
+                rows[count_col].append(int(n))
                 rows["n_bytes"].append(int(nb))
             yield pd.DataFrame(rows)
 
     return [r.asDict() for r in
             shards.mapInPandas(_write, schema).collect()]
+
+
+def write_warc(records: DataFrame, out_dir: str,
+               compression: str = "gzip", shard_bytes: int = 1 << 30,
+               n_shards: int | None = None,
+               mode: str = "overwrite",
+               raw_col: str | None = None) -> list[dict]:
+    """``pack_warc`` + ``write_shards``: shard-NNNNNN.warc[.gz|.zst]
+    files in a locally-mounted ``out_dir``, stale shards from prior
+    runs removed (or refused with ``mode='error'``). ``raw_col``
+    passes through to ``pack_warc`` for byte-faithful re-sharding of
+    ``read_warc_raw`` rows. Returns the shard manifest (small rows
+    only)."""
+    ext = {"gzip": ".warc.gz", "zstd": ".warc.zst",
+           "none": ".warc"}[compression]
+    shards = pack_warc(records, shard_bytes=shard_bytes,
+                       n_shards=n_shards, compression=compression,
+                       raw_col=raw_col)
+    return write_shards(shards, out_dir, ext, "n_records",
+                        mode=mode, what="write_warc")

@@ -788,66 +788,24 @@ def pack_webdataset(df: DataFrame, key_col: str = "key",
 def write_webdataset(df: DataFrame, out_dir: str,
                      key_col: str = "key", sample_col: str = "sample",
                      shard_bytes: int = 1 << 30,
-                     n_shards: int | None = None) -> list[dict]:
-    """``pack_webdataset`` + executor-side shard write: each task
-    writes its ``shard-NNNNNN.tar`` straight to ``out_dir`` (no
-    driver round-trip — a driver collect of 1 GiB shards is the
-    anti-pattern). Returns the shard manifest (small rows only).
+                     n_shards: int | None = None,
+                     mode: str = "overwrite") -> list[dict]:
+    """``pack_webdataset`` + ``io.outputs.write_shards`` (the shared
+    executor-side shard writer: locally-mounted ``out_dir``,
+    per-attempt temp name + atomic rename, no driver round-trip of
+    shard bytes; ``mode='overwrite'`` removes stale ``shard-*.tar``
+    files from prior runs so a re-pack that derives fewer shards
+    cannot leave old shards silently re-entering the corpus,
+    ``mode='error'`` refuses a non-empty shard dir). Returns the
+    shard manifest (small rows only)."""
+    from kiji_mapreduce_spark.io.outputs import write_shards
 
-    Python workers hold no Hadoop filesystem client, so ``out_dir``
-    must be a locally-mounted path (plain, ``file://``, NFS/FUSE
-    mounts — which is how WebDataset corpora are written in practice);
-    object-store schemes raise loudly rather than silently writing
-    nowhere."""
-    import os
-
-    if "://" in out_dir and not out_dir.startswith("file://"):
-        raise NotImplementedError(
-            f"write_webdataset needs a locally-mounted out_dir, got "
-            f"{out_dir!r} — mount the object store (s3fs/goofys) or "
-            f"write shards from pack_webdataset rows yourself")
-    local = out_dir[7:] if out_dir.startswith("file://") else out_dir
-    # pin a relative path to the DRIVER's cwd before the closure
-    # captures it: executor tasks os.path.join against THEIR OWN cwd
-    # otherwise (r13 review finding — the warc_records_from_ranges
-    # base lesson)
-    local = os.path.abspath(local)
-    os.makedirs(local, exist_ok=True)
     shards = pack_webdataset(df, key_col=key_col,
                              sample_col=sample_col,
                              shard_bytes=shard_bytes,
                              n_shards=n_shards)
-    schema = "shard_id int, path string, n_samples long, n_bytes long"
-
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-        import uuid
-
-        for pdf in batches:
-            rows = {"shard_id": [], "path": [], "n_samples": [],
-                    "n_bytes": []}
-            for sid, n, nb, blob in zip(
-                    pdf["shard_id"], pdf["n_samples"],
-                    pdf["n_bytes"], pdf["content"]):
-                path = os.path.join(local, f"shard-{int(sid):06d}.tar")
-                # per-attempt unique temp name: a speculative or
-                # zombie task attempt racing this one must not
-                # interleave writes into the same file before the
-                # atomic rename — both attempts produce identical
-                # bytes (deterministic shards), so last-rename-wins
-                # is safe only when each rename source is whole
-                tmp = f"{path}.inprogress-{os.getpid()}-{uuid.uuid4().hex}"
-                with open(tmp, "wb") as f:
-                    f.write(bytes(blob))
-                os.replace(tmp, path)  # atomic publish per shard
-                rows["shard_id"].append(int(sid))
-                rows["path"].append(path)
-                rows["n_samples"].append(int(n))
-                rows["n_bytes"].append(int(nb))
-            yield pd.DataFrame(rows)
-
-    return [r.asDict() for r in
-            shards.mapInPandas(_write, schema).collect()]
+    return write_shards(shards, out_dir, ".tar", "n_samples",
+                        mode=mode, what="write_webdataset")
 
 
 def sample_frames(df: DataFrame, content_col: str = "content",

@@ -2213,7 +2213,23 @@ def test_cli_warc_pack_reshard_and_index(spark, tmp_path, capsys):
     recs = [_warc_record("response", f"http://p.example.com/{i}",
                          f"HTTP/1.1 200 OK\r\n\r\n<p>pg {i}</p>"
                          .encode(), rid=f"<urn:uuid:{i}>")
-            for i in range(5)]
+            for i in range(4)]
+    # one record with headers OUTSIDE the 5-column parse: re-sharding
+    # must preserve them byte-for-byte (the r14 review finding — the
+    # parsed-then-re-rendered path silently stripped Content-Type,
+    # digests, IP, ...)
+    extra_body = b"HTTP/1.1 200 OK\r\n\r\n<p>extra</p>"
+    recs.append(
+        (b"WARC/1.0\r\n"
+         b"WARC-Type: response\r\n"
+         b"WARC-Record-ID: <urn:uuid:extra>\r\n"
+         b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+         b"WARC-Target-URI: http://p.example.com/extra\r\n"
+         b"Content-Type: application/http; msgtype=response\r\n"
+         b"WARC-Payload-Digest: sha1:FAKEDIGESTFAKEDIGEST\r\n"
+         b"WARC-IP-Address: 192.0.2.7\r\n"
+         + f"Content-Length: {len(extra_body)}\r\n\r\n".encode()
+         + extra_body + b"\r\n\r\n"))
     src = tmp_path / "src"
     src.mkdir()
     (src / "a.warc").write_bytes(b"".join(recs[:3]))
@@ -2236,6 +2252,21 @@ def test_cli_warc_pack_reshard_and_index(spark, tmp_path, capsys):
                  spark, [f"{tmp_path}/packed"],
                  decode_http=False).collect()}
     assert after == before
+
+    # raw byte identity: the FULL record bytes — every header
+    # included — survive the re-shard verbatim
+    from kiji_mapreduce_spark.io.inputs import read_warc_raw
+
+    raw_before = sorted(
+        bytes(r.record)
+        for r in read_warc_raw(spark, [str(src)]).collect())
+    raw_after = sorted(
+        bytes(r.record)
+        for r in read_warc_raw(spark,
+                               [f"{tmp_path}/packed"]).collect())
+    assert raw_after == raw_before
+    assert any(b"WARC-Payload-Digest: sha1:FAKEDIGEST" in r
+               for r in raw_after)
 
     rc = cli.main(["cdx-index", "--input", f"{tmp_path}/packed",
                    "--output", f"{tmp_path}/cdx"])
@@ -2282,3 +2313,40 @@ def test_write_warc_hostile_headers_and_big_bodies(spark, tmp_path):
             "http://uni.example.com/café"
         assert bytes(got["<urn:uuid:uni>"].content) == \
             "café 中文".encode()
+
+
+def test_write_warc_modes_and_file_uri(spark, tmp_path):
+    """r14 review findings: a rerun deriving FEWER shards removes the
+    stale shard files (mode='overwrite', the default) instead of
+    leaving them to silently re-enter the corpus; mode='error'
+    refuses a non-empty shard dir; and Spark's single-slash
+    file:/path out_dir spelling lands in the real directory, not a
+    literal './file:' one."""
+    import pytest as _pytest
+
+    from kiji_mapreduce_spark.io.inputs import read_warc_records
+    from kiji_mapreduce_spark.io.outputs import write_warc
+
+    def df(n):
+        return spark.createDataFrame(
+            [("response", f"http://m.example.com/{i}",
+              "2024-01-01T00:00:00Z", f"<urn:uuid:{i}>", b"x")
+             for i in range(n)],
+            "warc_type string, target_uri string, warc_date string, "
+            "record_id string, content binary")
+
+    out = tmp_path / "m"
+    write_warc(df(40), str(out), n_shards=4)
+    assert len(list(out.glob("shard-*.warc.gz"))) == 4
+    write_warc(df(2), str(out), n_shards=1)
+    assert len(list(out.glob("shard-*.warc.gz"))) == 1  # stale gone
+    assert read_warc_records(spark, [str(out)]).count() == 2
+
+    with _pytest.raises(Exception, match="already in"):
+        write_warc(df(2), str(out), n_shards=1, mode="error")
+
+    # single-slash file: URI (the form Spark itself emits)
+    uri_out = f"file:{tmp_path}/uri_form"
+    write_warc(df(3), uri_out, n_shards=1)
+    assert (tmp_path / "uri_form" / "shard-000000.warc.gz").exists()
+    assert not (tmp_path / "file:").exists()

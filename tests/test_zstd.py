@@ -546,3 +546,39 @@ def test_frame_spans_mutation_parity():
         except ValueError:
             parts = None
         assert parts == whole, trial
+
+
+def test_warc_zst_cumulative_output_gate(monkeypatch):
+    """Frame-by-frame decode keeps the ARCHIVE-level bomb gate: many
+    under-the-per-frame-cap frames must trip the cumulative ceiling
+    (r14 review finding — the per-frame rewrite had silently dropped
+    the total bound), and the read and index loops share one decode
+    path so both stop at the same frame."""
+    from kiji_mapreduce_spark.io import inputs
+
+    frame = _store_frame(b"x" * 1000)
+    blob = frame * 5
+    monkeypatch.setattr(inputs, "_MAX_ZSTD_ARCHIVE_OUT", 2500)
+    out = []
+    with pytest.raises(ValueError, match="ceiling|corrupt"):
+        for _off, _ln, data in inputs._zst_data_frames(blob, "t"):
+            out.append(len(data))
+    assert out == [1000, 1000]  # frame 3 would cross 2500
+    # lenient read keeps exactly those two frames' records: the
+    # member walk (index path) is the same generator, so the
+    # agreement holds by construction
+    kept = list(inputs._walk_zst_members(blob[:len(frame) * 2], "t"))
+    assert [len(d) for _o, _l, d in kept] == [1000, 1000]
+
+
+def test_warc_zst_input_gate_is_not_corruption():
+    """The 256 MiB compressed-input gate reports over-limit, not
+    'corrupt' (the r14 _inflate_range distinction, applied to the
+    shared frame loop)."""
+    from kiji_mapreduce_spark.io import inputs
+
+    big = b"\x28\xb5\x2f\xfd" + bytes(inputs._MAX_ZSTD_ARCHIVE_BYTES)
+    with pytest.raises(ValueError) as ei:
+        list(inputs._zst_data_frames(big, "t.warc.zst"))
+    assert "decode gate" in str(ei.value)
+    assert "corrupt" not in str(ei.value)
