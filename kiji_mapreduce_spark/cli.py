@@ -793,8 +793,18 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
                     "--from-warc a dir/glob of WARC archives to "
                     "re-shard")
     wk.add_argument("--from-warc", action="store_true",
-                    help="treat --input as WARC archives (read via "
-                    "the record parser, bodies kept byte-identical)")
+                    help="treat --input as WARC archives (raw record "
+                    "bytes re-shard verbatim — every header kept)")
+    wk.add_argument("--keep-ids", default=None,
+                    help="with --from-warc: parquet whose doc_id "
+                    "column names the records to KEEP (the curated-"
+                    "survivors loop: crawl-ingest -> curate -> write "
+                    "survivors back as archives; ids match the "
+                    "whole-file ingest's doc_id minting)")
+    wk.add_argument("--drop-ids", default=None,
+                    help="with --from-warc: parquet whose doc_id "
+                    "column names the records to DROP (rejects, "
+                    "dedup losers)")
     wk.add_argument("--output", required=True,
                     help="locally-mounted dir for the shard files "
                     "(object-store schemes raise loudly)")
@@ -1354,17 +1364,29 @@ def _main(argv: list[str] | None, start_ms: int) -> int:
     if args.command == "warc-pack":
         from kiji_mapreduce_spark.io.outputs import write_warc
 
+        if (args.keep_ids or args.drop_ids) and not args.from_warc:
+            p.error("--keep-ids/--drop-ids require --from-warc")
         spark = make_session(app_name="kiji-warc-pack")
         raw_col = None
         if args.from_warc:
             # raw record bytes, NOT the 5-column parse: re-rendering
             # would silently strip every other header (Content-Type,
             # digests, IP, Concurrent-To, ...) from the re-sharded
-            # archives
+            # archives. The id joins are plain equi-joins — no forced
+            # broadcast; a 100 TB curate's survivor list is itself
+            # huge, and AQE picks broadcast when it IS small.
             from kiji_mapreduce_spark.io.inputs import read_warc_raw
 
             records = read_warc_raw(spark, [args.input])
             raw_col = "record"
+            if args.keep_ids:
+                keep = spark.read.parquet(args.keep_ids) \
+                    .select("doc_id").distinct()
+                records = records.join(keep, "doc_id", "left_semi")
+            if args.drop_ids:
+                drop = spark.read.parquet(args.drop_ids) \
+                    .select("doc_id").distinct()
+                records = records.join(drop, "doc_id", "left_anti")
         else:
             records = spark.read.parquet(args.input)
         manifest = write_warc(

@@ -1378,14 +1378,20 @@ def read_warc_raw(spark: SparkSession, paths: list[str],
     contract); per-record-member archives split at member boundaries
     and multi-record members re-frame with the offset-tracking plain
     walker — memory O(member + record). Lenient keeps each file's
-    parsed prefix; strict raises."""
+    parsed prefix; strict raises.
+
+    ``doc_id`` is ``xxhash64(path, record_no)`` — EXACTLY the id the
+    whole-file crawl ingest mints (``crawl._record_key``), so a
+    curated survivor/reject table from ``crawl_documents`` downstream
+    joins straight back to the raw records: the write-curated-
+    survivors-as-archives loop (``warc-pack --keep-ids``)."""
     import re as _re
 
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(paths)
-    schema = ("path string, offset long, record binary, "
-              "record_id string, target_uri string")
+    schema = ("path string, offset long, record_no int, "
+              "record binary, record_id string, target_uri string")
     rid_re = _re.compile(rb"(?im)^WARC-Record-ID:[ \t]*([^\r\n]+)")
     uri_re = _re.compile(rb"(?im)^WARC-Target-URI:[ \t]*([^\r\n]+)")
 
@@ -1399,8 +1405,9 @@ def read_warc_raw(spark: SparkSession, paths: list[str],
                           else _walk_gz_members
                           if raw[:2] == b"\x1f\x8b"
                           else _walk_zst_members)
-                rows = {"path": [], "offset": [], "record": [],
-                        "record_id": [], "target_uri": []}
+                rows = {"path": [], "offset": [], "record_no": [],
+                        "record": [], "record_id": [],
+                        "target_uri": []}
 
                 def _add(off, rec: bytes):
                     head = rec[:rec.find(b"\r\n\r\n")
@@ -1409,6 +1416,7 @@ def read_warc_raw(spark: SparkSession, paths: list[str],
                     u = uri_re.search(head)
                     rows["path"].append(path)
                     rows["offset"].append(off)
+                    rows["record_no"].append(len(rows["record_no"]))
                     rows["record"].append(rec)
                     rows["record_id"].append(
                         m.group(1).strip().decode("utf-8", "replace")
@@ -1433,8 +1441,12 @@ def read_warc_raw(spark: SparkSession, paths: list[str],
                         raise
                 yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(_records,
-                                                       schema)
+    return (files.select("path", "content")
+            .mapInPandas(_records, schema)
+            # the whole-file parser's id arithmetic, verbatim: the
+            # per-file record counter matches _frame_warc_records'
+            # numbering because both walk records in file order
+            .withColumn("doc_id", F.xxhash64("path", "record_no")))
 
 
 def warc_member_index(files: DataFrame,

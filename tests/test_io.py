@@ -2350,3 +2350,53 @@ def test_write_warc_modes_and_file_uri(spark, tmp_path):
     write_warc(df(3), uri_out, n_shards=1)
     assert (tmp_path / "uri_form" / "shard-000000.warc.gz").exists()
     assert not (tmp_path / "file:").exists()
+
+
+def test_warc_pack_keep_ids_survivor_loop(spark, tmp_path, capsys):
+    """The curated-survivors loop: read_warc_raw mints the SAME
+    doc_id as the whole-file crawl ingest (xxhash64(path,
+    record_no)), so a curate verdict table filters the raw records
+    directly — warc-pack --keep-ids writes ONLY the survivors back,
+    byte-identical."""
+    import json as _json
+
+    from kiji_mapreduce_spark import cli
+    from kiji_mapreduce_spark.io.inputs import (read_warc_raw,
+                                                read_warc_records)
+    from kiji_mapreduce_spark.pipeline.crawl import crawl_documents
+
+    page = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>survivor loop page words here</p>")
+    recs = [_warc_record("response", f"http://s.example.com/{i}",
+                         page, rid=f"<urn:uuid:{i}>")
+            for i in range(6)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.warc").write_bytes(b"".join(recs))
+
+    docs = crawl_documents(
+        read_warc_records(spark, [str(src)]), spark)
+    raw = read_warc_raw(spark, [str(src)])
+    # id parity: every crawl doc_id appears among the raw ids
+    doc_ids = {r.doc_id for r in docs.collect()}
+    raw_ids = {r.doc_id for r in raw.collect()}
+    assert doc_ids <= raw_ids and len(doc_ids) == 6
+
+    survivors = docs.filter(
+        F.col("url").isin("http://s.example.com/1",
+                          "http://s.example.com/4"))
+    survivors.select("doc_id").write.mode("overwrite") \
+        .parquet(f"{tmp_path}/keep")
+
+    rc = cli.main(["warc-pack", "--from-warc", "--input", str(src),
+                   "--keep-ids", f"{tmp_path}/keep",
+                   "--output", f"{tmp_path}/kept",
+                   "--n-shards", "1"])
+    assert rc == 0
+    stats = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_records"] == 2
+    kept = read_warc_records(spark, [f"{tmp_path}/kept"],
+                             decode_http=False).collect()
+    assert sorted(r.target_uri for r in kept) == [
+        "http://s.example.com/1", "http://s.example.com/4"]
