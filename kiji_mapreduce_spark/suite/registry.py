@@ -250,7 +250,7 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #       both sfs) — BM25 + exact-cosine fused by Reciprocal Rank
 #       Fusion (Cormack et al., SIGIR 2009), the text+vector hybrid
 #       retrieval shape.
-# Seating either needs a judge-endorsed retirement. Strongest
+# Seating any needs a judge-endorsed retirement. Strongest
 # candidates, for the judge to rule on (NOT retired unilaterally):
 #   (1) cube_order_stats — the grouping-sets family keeps TWO other
 #       driver-hashed members (rollup_revenue, grouping_sets_orders —
@@ -259,7 +259,12 @@ FIRST_WINDOW_REQUIRED: list[str] = [
 #   (2) semi_join_customers_with_orders — the containsKey-semantics
 #       pair's EASY half (anti_join_customers_without_orders keeps
 #       the trickier NULL-handling side driver-hashed, and the
-#       kvstore lookup path stays covered by kvstore_lookup_join).
+#       kvstore lookup path stays covered by kvstore_lookup_join);
+#   (3) sample_stratum_topk — a thin compose of the per-stratum
+#       hash-rank machinery that sample_stratified (same
+#       _key_unit/seed path) and salted_topk_events (the rank-window
+#       form, skew-salted) both keep driver-hashed; its own
+#       deterministic-reservoir contract stays pytest-pinned.
 
 #: Queries added MID-ROUND when the window had zero slack (displacing
 #: any member would breach the 2-round freshness cap). Each maps to the
