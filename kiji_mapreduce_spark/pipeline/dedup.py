@@ -601,12 +601,19 @@ def minhash_dedup_incremental(
     threshold: float = 0.8, hash_fn: str = "xx",
     max_bucket: int | None = None,
     return_index: bool = False,
+    new_index: DataFrame | None = None,
 ):
     """Dedup a NEW batch against an existing corpus ``minhash_index``
     (plus within the batch itself) — no corpus text is read.
     ``return_index=True`` additionally returns the batch's (already
     checkpointed) index rows as ``(pairs, batch_index)`` so callers
     appending to the persisted index don't re-run the shingle scan.
+
+    ``new_index``: a pre-built, already-materialized ``minhash_index``
+    of the batch. When given, ``new_df`` is ignored and no shingle
+    scan runs here — the seam for callers that already indexed the
+    batch (e.g. one fused index build over co-located batch + corpus
+    text: one scan and one shuffle instead of two of each).
 
     Emits verified pairs (id_a, id_b, jaccard) where at least one side
     is new. This is the steady-state shape of corpus dedup at 100 TB:
@@ -616,9 +623,12 @@ def minhash_dedup_incremental(
     to the index afterwards. Candidate volume scales with the batch,
     not the corpus.
     """
-    new_idx = (minhash_index(new_df, text_col, id_col, num_hashes,
-                             shingle_n, hash_fn)
-               .localCheckpoint(eager=True))
+    if new_index is not None:
+        new_idx = new_index
+    else:
+        new_idx = (minhash_index(new_df, text_col, id_col, num_hashes,
+                                 shingle_n, hash_fn)
+                   .localCheckpoint(eager=True))
     # an id present in BOTH the batch and the persisted index (a
     # re-ingest after a partial failure) must count once, as its NEW
     # row: keeping the stale index row fans every candidate touching

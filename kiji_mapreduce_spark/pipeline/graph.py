@@ -40,6 +40,7 @@ def pagerank(
     iters: int = 5,
     round_dp: int = 12,
     checkpoint_every: int = 10,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over a directed edge table.
 
@@ -54,6 +55,18 @@ def pagerank(
 
     Returns (node, rank) for every node appearing as a source or a
     destination. Deterministic: fixed iteration count, no sampling.
+
+    Join strategy (optimization guide §3.1): the rank vector holds
+    exactly one row per node, and the node count is already on the
+    driver (the ``n`` scalar below). When ``n <=
+    broadcast_max_nodes`` the per-round joins broadcast the rank /
+    contribution tables — the edge table is then NEVER re-shuffled
+    (each round is ONE partial-agg exchange on the destination key
+    instead of four: checkpointed RDD relations carry no stats, so
+    Catalyst otherwise falls back to sort-merge with both sides
+    exchanged every round, measured ~34 AQE micro-jobs per execution
+    on the suite's 25-node graph). Past the threshold the shuffled
+    form stands — a web-scale rank vector cannot broadcast.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
@@ -91,13 +104,16 @@ def pagerank(
     # a linear DAG that executes every shuffle exactly once. Lineage is
     # cut every ``checkpoint_every`` rounds purely to bound analyzer
     # cost on deep iteration counts.
+    tiny = n <= broadcast_max_nodes
     for i in range(iters):
+        rank_src = rank.withColumnRenamed("node", "_src")
         contrib = (norm.join(
-            rank.withColumnRenamed("node", "_src"), on="_src")
+            F.broadcast(rank_src) if tiny else rank_src, on="_src")
             .groupBy("_dst")
             .agg(F.sum(F.col("rank") * F.col("_norm")).alias("_c")))
+        contrib_n = contrib.withColumnRenamed("_dst", "node")
         rank = (nodes.join(
-            contrib.withColumnRenamed("_dst", "node"),
+            F.broadcast(contrib_n) if tiny else contrib_n,
             on="node", how="left")
             .select("node", F.round(
                 F.lit(base)

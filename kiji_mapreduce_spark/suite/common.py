@@ -58,9 +58,27 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         pass  # workers already have the package (e.g. installed/PYTHONPATH)
 
 
+#: (applicationId, path) -> inferred StructType. Schema METADATA only —
+#: never data, plans, or results: every action still scans the parquet
+#: files. Rationale (optimization guide §1/§6): each bare
+#: ``spark.read.parquet`` call pays a driver-side footer-inference job
+#: (~130 ms measured at sf0.1), and the suite re-resolves the same
+#: static driver tables hundreds of times per bench sweep; a catalog
+#: would cache exactly this. Keyed on applicationId so a new session
+#: (or a driver-owned session) re-infers once.
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

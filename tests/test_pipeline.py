@@ -80,6 +80,13 @@ def test_minhash_incremental_matches_batch(spark, docs):
             for r in dedup.minhash_dedup(docs, threshold=0.5).collect()}
     want = {p for p in full if p[0] in (3, 4) or p[1] in (3, 4)}
     assert got == want and (1, 4) in got  # 4 is an exact dup of corpus doc 1
+    # the new_index seam (r14: one fused index build instead of two
+    # scans) must yield exactly the default path's pairs
+    combined = dedup.minhash_index(docs)
+    via_seam = {(r.id_a, r.id_b) for r in dedup.minhash_dedup_incremental(
+        None, combined.filter("doc_id IN (1, 2)"), threshold=0.5,
+        new_index=combined.filter("doc_id IN (3, 4)")).collect()}
+    assert via_seam == want
 
 
 def test_connected_keep_ids_transitive(spark):
