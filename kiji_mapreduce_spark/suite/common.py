@@ -81,6 +81,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, repartitioned for compute-dense kernels.
+
+    The bench corpus is ONE small parquet file, so the scan is a single
+    partition — and every vector kernel downstream (SQ8/PQ code scans,
+    LSH matmuls, cosine folds) inherited that serial stage (profiled:
+    ``knn_sq8_topk``'s dominant job ran 1.45 s task-time in ONE task at
+    sf0.1; 16-way it runs ~0.1 s/task). Guide §2.5 "input skew":
+    repartition immediately after the read. Deterministic hash
+    partitioning on the id; capped at 16 because the Arrow/pandas-UDF
+    consumers spawn one Python worker per task and full-width fan-out
+    at local[32] oversubscribes cores against the JVM (measured on the
+    media queries: 32 parts = 3.4 s vs 16 parts = 1.2 s). Production
+    embedding tables arrive as many files and skip this exchange."""
+    dp = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "embeddings").repartition(
+        max(2, min(16, dp)), "vec_id")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized: the driver writes TIMESTAMP(NANOS),
     which Spark reads as long nanos (nanosAsLong); expose epoch-millis

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import curate, decontaminate, dedup, sample
-from kiji_mapreduce_spark.suite.common import _t
+from kiji_mapreduce_spark.suite.common import _emb, _t
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +262,7 @@ def q_embedding_near_dups(spark, sf_dir):
     so DuckDB reproduces the band bucketing bit-for-bit with
     ``list_dot_product`` (see ``_embedding_lsh_oracle_sql``) — both
     engines compute the SAME candidate set, then the same cosine filter."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     p = _EMB_LSH
     pairs = dedup.embedding_near_duplicates(
         emb, threshold=p["threshold"], bands=p["bands"],

@@ -491,26 +491,15 @@ def q_image_near_duplicates(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from kiji_mapreduce_spark.pipeline import dedup as dd
     from kiji_mapreduce_spark.pipeline import multimodal
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = dd.tokens(F.col("text"))
-    n = F.size(toks)
-    # pixel i = md5-60bit(token[i mod n]) % 256. Hash the token array
-    # ONCE, then cycle it with array_repeat+slice: higher-order lambdas
-    # run interpreted (no codegen subexpression elimination), so an
-    # element_at(toks, i mod n) form re-tokenizes the text per PIXEL
-    # (~144 regexp splits/row — measured 9.5s for 5k rows at sf0.1;
-    # this form is ~20x faster and value-identical).
-    hashed = F.transform(
-        toks,
-        lambda t: F.pmod(dd.token_hash64(t, "md5"), F.lit(256))
-        .cast("int"))
-    reps = F.floor((F.lit(71) + n) / n).cast("int")
-    px = F.slice(F.flatten(F.array_repeat(hashed, reps)), 1, 72)
-    pixels = (docs.filter(F.size(dd.tokens(F.col("text"))) >= 1)
-              .select(F.col("doc_id").alias("media_id"), px.alias("_px")))
+    # pixel i = md5-60bit(token[i mod n]) % 256. The shared synthesizer
+    # hashes the token array ONCE and cycles it with array_repeat+slice:
+    # higher-order lambdas run interpreted (no codegen subexpression
+    # elimination), so an element_at(toks, i mod n) form re-tokenizes
+    # the text per PIXEL (~144 regexp splits/row — measured 9.5s for 5k
+    # rows at sf0.1; this form is ~20x faster and value-identical).
+    pixels = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 72)
 
     def _encode(batches):
         from kiji_mapreduce_spark.pipeline import media_codecs
@@ -536,12 +525,28 @@ SQL_IMAGE_NEAR_DUPLICATES = oracles.image_near_dup_sql(
 def _doc_pixel_stream(docs, n_pixels: int, modulus: int = 256):
     """(media_id, _px array<int>) with value i = md5-60bit(token[i mod
     n]) % modulus — the deterministic media synthesizer shared by the
-    video (pixels, % 256) and audio (PCM samples, % 4096) dedup
+    image/video (pixels, % 256) and audio (PCM samples, % 4096) dedup
     queries. Token hashes are computed ONCE per row and cycled with
-    array_repeat+slice (see ``q_image_near_duplicates`` for why
+    array_repeat+slice (see the r13 image-query note for why
     element_at-in-a-lambda is ~20x slower)."""
     from kiji_mapreduce_spark.pipeline import dedup as dd
 
+    # the bench corpus is ONE small parquet file -> a 1-partition scan,
+    # and everything downstream of it here is compute-dense (per-token
+    # md5 + the Python PNG/WAV encode + the real decode), so the whole
+    # media chain was running in a single task (profiled: the decode
+    # checkpoint job = 1.8 s wall at 1.77 s task-time at sf0.1).
+    # Guide §2.5 "input skew": repartition immediately after the read —
+    # BEFORE the projection, so the md5 pixel synthesis parallelizes
+    # too. Deterministic hash partitioning on the id. Partition count
+    # measured at sf0.1/local[32]: 8-16 run ~1.2s vs 2.5s serial vs
+    # 3.4s at 32 (one Python worker per task — full-width fan-out
+    # oversubscribes cores against the JVM), so cap at 16 and halve
+    # the core count below it. This is fixture code: the production
+    # operators (multimodal.*) take media tables that are already many
+    # files wide and never repartition bytes.
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(max(2, min(16, dp // 2)), "doc_id")
     toks = dd.tokens(F.col("text"))
     n = F.size(toks)
     hashed = F.transform(

@@ -10,11 +10,11 @@ from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import (classifier, graph, sample,
                                            search, similarity)
 from kiji_mapreduce_spark.pipeline.dedup import tokens
-from kiji_mapreduce_spark.suite.common import _t
+from kiji_mapreduce_spark.suite.common import _emb, _t
 
 
 def q_knn_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.select("query_id", "neighbor_id",
@@ -53,7 +53,7 @@ def q_hybrid_search_rrf(spark, sf_dir):
     O(queries x k) regardless of corpus size — the lists are already
     top-k."""
     docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qtext = (docs.filter(F.col("doc_id") < 5)
              .select(F.col("doc_id").alias("query_id"),
                      F.array_join(F.slice(tokens(F.col("text")), 1, 6),
@@ -82,7 +82,7 @@ def q_embedding_label_cosine_stats(spark, sf_dir):
     synthetic embeddings have no true near-dups, so the check targets the
     scoring math itself). avg rounds to 3dp: numpy pairwise-mean vs
     DuckDB's sequential sum agree to ~1e-12, far inside 3dp."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = similarity.label_cosine_stats(emb)
     return out.select(
         "label", "n_pairs",
@@ -107,7 +107,7 @@ def q_hard_negative_mining(spark, sf_dir):
     with a DIFFERENT label — broadcast anchors, one corpus scan, label
     mismatch applied as the join predicate. Oracle: the knn SQL with the
     label filter."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     anchors = emb.filter(F.col("vec_id") < 5)
     out = similarity.hard_negative_topk(emb, anchors, k=5)
     return out.select(
@@ -177,7 +177,7 @@ def q_kmeans_clusters(spark, sf_dir):
     codegen'd projection); the update shuffles k*dim partial means."""
     from kiji_mapreduce_spark.pipeline import cluster
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return cluster.kmeans_assign(emb, k=4, iters=2)
 
 
@@ -232,7 +232,7 @@ def q_sample_cluster_balanced(spark, sf_dir):
     deterministic function of the id alone."""
     from kiji_mapreduce_spark.pipeline import cluster
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     assign = cluster.kmeans_assign(emb, k=4, iters=2).select(
         "vec_id", "cluster")
     out = sample.cluster_balanced_sample(
@@ -261,7 +261,7 @@ def q_knn_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate KNN, oracle-checked: the hyperplanes are
     literal constants, so DuckDB reproduces the buckets, candidate sets,
     and cosines exactly (``oracles.knn_lsh_sql``)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.lsh_topk(emb, queries, k=5, n_planes=4)
     return out.select("query_id", "neighbor_id",
@@ -274,7 +274,7 @@ def q_knn_ivf_topk(spark, sf_dir):
     cell assignment and probing reproducible in DuckDB
     (``oracles.knn_ivf_sql``). The KMeans-fit path stays the default for
     production use; this query exercises the probe machinery."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     w = Window.orderBy("vec_id")
     cents = (emb.orderBy("vec_id").limit(8)
@@ -296,7 +296,7 @@ def q_knn_pq_topk(spark, sf_dir):
     ``fit_pq_codebooks`` (per-subspace KMeans) stays the production
     fit path, exercised in pytest."""
     n_subspaces, n_codes = 8, 16
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     first = emb.orderBy("vec_id").limit(n_codes).collect()  # 16 rows
     dim = len(first[0]["embedding"])
     ds = dim // n_subspaces
@@ -316,7 +316,7 @@ def q_knn_sq8_topk(spark, sf_dir):
     code dot products are exact small-integer sums — so DuckDB
     reproduces codes, candidates, and ranks (``oracles.knn_sq8_sql``).
     Completes the quantization family: brute / LSH / IVF / PQ / SQ8."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.sq8_topk(emb, queries, k=5, refine=4)
 
@@ -379,7 +379,7 @@ def q_knn_recall_ivf(spark, sf_dir):
     centroids, nprobe=2 — the same construction as ``knn_ivf_topk``)
     against exact brute-force top-5, per query. Both sides are k-row
     tables; the recall join never touches the corpus."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     w = Window.orderBy("vec_id")
     cents = (emb.orderBy("vec_id").limit(8)
@@ -429,7 +429,7 @@ def q_semantic_dedup(spark, sf_dir):
     pointer-jumping loop shared with every dedup family."""
     from kiji_mapreduce_spark.pipeline.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return semantic_dedup(emb, threshold=0.4, k=4, iters=2,
                           round_digits=6)
 
