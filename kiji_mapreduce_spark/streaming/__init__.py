@@ -1,4 +1,5 @@
 from kiji_mapreduce_spark.streaming.jobs import (
+    drain_to_memory,
     stream_operator, windowed_aggregate, sessionized_aggregate,
     running_latest, stream_into_table,
     stream_dedup_exact, stream_interval_join,
@@ -8,7 +9,7 @@ from kiji_mapreduce_spark.streaming.jobs import (
     stream_media_dedup,
 )
 
-__all__ = ["stream_operator", "windowed_aggregate",
+__all__ = ["drain_to_memory", "stream_operator", "windowed_aggregate",
            "sessionized_aggregate", "running_latest",
            "stream_into_table", "stream_dedup_exact",
            "stream_interval_join", "stream_rollup_into_table",

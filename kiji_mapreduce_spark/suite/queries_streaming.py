@@ -14,9 +14,8 @@ def q_streaming_windowed_counts(spark, sf_dir):
     drain with availableNow into a memory sink, return the final result.
     The streaming output is deterministic, so the ORACLE IS PLAIN BATCH
     SQL — stream/batch consistency is the check."""
-    import uuid
-
-    from kiji_mapreduce_spark.streaming import windowed_aggregate
+    from kiji_mapreduce_spark.streaming import (drain_to_memory,
+                                               windowed_aggregate)
 
     static = _t(spark, sf_dir, "events")
     # the file-stream source wants a directory: stream the sf_dir with a
@@ -35,11 +34,7 @@ def q_streaming_windowed_counts(spark, sf_dir):
         stream, "ts", "1 hour", "2 hours", group_cols=["event_type"],
         aggs=[F.count(F.lit(1)).alias("n_events"),
               F.round(F.sum("value"), 2).alias("sum_value")])
-    qname = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    out = spark.table(qname)
+    out = drain_to_memory(agg, "complete", "stream_win")
     # window.start is TIMESTAMP already: _ensure_event_time (inside
     # windowed_aggregate) owns the NTZ coercion, and the long/nanos case
     # was converted above — no suite-level cast needed (ADVICE r3)
@@ -63,9 +58,8 @@ def q_streaming_sessionize(spark, sf_dir):
     (``streaming.sessionized_aggregate`` — watermark-bounded session
     state). availableNow drains deterministically and the ORACLE IS THE
     BATCH SESSIONIZATION SQL — stream/batch consistency is the check."""
-    import uuid
-
-    from kiji_mapreduce_spark.streaming import sessionized_aggregate
+    from kiji_mapreduce_spark.streaming import (drain_to_memory,
+                                               sessionized_aggregate)
     from kiji_mapreduce_spark.streaming.jobs import _ensure_event_time
 
     static = _t(spark, sf_dir, "events")
@@ -87,11 +81,7 @@ def q_streaming_sessionize(spark, sf_dir):
         group_cols=["user_id"],
         aggs=[F.count(F.lit(1)).alias("n_events"),
               F.round(F.sum("value"), 2).alias("session_value")])
-    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    out = spark.table(qname)
+    out = drain_to_memory(agg, "complete", "stream_sess")
     return out.select(
         "user_id",
         F.unix_millis(F.col("session_window.start"))
@@ -132,9 +122,8 @@ def q_streaming_dedup_docs(spark, sf_dir):
     arbitrary, so the query emits only digest-determined columns; the
     oracle is the batch DISTINCT — stream/batch consistency is the
     check."""
-    import uuid
-
-    from kiji_mapreduce_spark.streaming import stream_dedup_exact
+    from kiji_mapreduce_spark.streaming import (drain_to_memory,
+                                                stream_dedup_exact)
 
     static = _t(spark, sf_dir, "documents")
     stream = (spark.readStream.schema(static.schema)
@@ -147,11 +136,7 @@ def q_streaming_dedup_docs(spark, sf_dir):
     stream = stream.withColumn(
         "_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000)))
     deduped = stream_dedup_exact(stream, ts_col="_ts")
-    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (deduped.writeStream.outputMode("append").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(qname).select(
+    return drain_to_memory(deduped, "append", "stream_dedup").select(
         "digest", F.length("text").alias("n_chars_txt"))
 
 
@@ -173,9 +158,8 @@ def q_streaming_interval_join(spark, sf_dir):
     file-streamed. The range bound is what keeps join state finite on
     an unbounded stream; availableNow drains deterministically, so the
     ORACLE IS THE BATCH JOIN — stream/batch consistency is the check."""
-    import uuid
-
-    from kiji_mapreduce_spark.streaming import stream_interval_join
+    from kiji_mapreduce_spark.streaming import (drain_to_memory,
+                                               stream_interval_join)
 
     static = _t(spark, sf_dir, "events")
 
@@ -204,20 +188,9 @@ def q_streaming_interval_join(spark, sf_dir):
         "p_event_id", F.col("_r.c_event_id").alias("c_event_id"),
         F.col("_l.user_id").alias("user_id"),
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"))
-    qname = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    # state-store partition count is fixed at stream start from
-    # spark.sql.shuffle.partitions; size it to the stream's key volume
-    # (join state = 2 stores x partitions, each with per-batch commit
-    # overhead), not the batch shuffle default
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (out.writeStream.outputMode("append").format("memory")
-             .queryName(qname).trigger(availableNow=True).start())
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(qname)
+    # state sizing rationale lives on drain_to_memory (join state =
+    # 2 stores x partitions, each with per-batch commit overhead)
+    return drain_to_memory(out, "append", "stream_ij")
 
 
 SQL_STREAMING_INTERVAL_JOIN = """
@@ -242,9 +215,7 @@ def q_streaming_drift_psi(spark, sf_dir):
     deterministically and the ORACLE IS THE BATCH SQL
     (``oracles.stream_drift_sql``) — stream/batch consistency is the
     check."""
-    import uuid
-
-    from kiji_mapreduce_spark.streaming import stream_drift
+    from kiji_mapreduce_spark.streaming import drain_to_memory, stream_drift
 
     from kiji_mapreduce_spark.functions import bin_index
 
@@ -271,11 +242,7 @@ def q_streaming_drift_psi(spark, sf_dir):
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
     drift = stream_drift(stream, "value", "ts", ref_hist, lo, hi,
                          window_duration="1 hour", watermark="2 hours")
-    qname = f"stream_drift_{uuid.uuid4().hex[:8]}"
-    q = (drift.writeStream.outputMode("complete").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    out = spark.table(qname)
+    out = drain_to_memory(drift, "complete", "stream_drift")
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n_events", "psi", "ks", "drifted")

@@ -2337,3 +2337,33 @@ def test_running_latest_string_keys(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.key: (r.ts, r.value) for r in out}
     assert got == {"u-a": (30, 2.5), "u-b": (20, 9.0)}
+
+
+def test_drain_to_memory_state_partitions_and_restore(spark, tmp_path):
+    """drain_to_memory pins the streaming query's state partition count
+    (r14: the batch shuffle default leaked into every micro-batch as
+    per-partition state-store commit overhead) and ALWAYS restores the
+    session conf afterwards — including when the stream itself fails."""
+    from kiji_mapreduce_spark.streaming import drain_to_memory
+
+    src = _write_stream_input(tmp_path, [
+        {"k": "a", "ts_ms": 1_000_000 + i} for i in range(5)
+    ] + [{"k": "b", "ts_ms": 1_000_500}])
+    stream = (spark.readStream.schema("k string, ts_ms long").json(src)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = drain_to_memory(agg, "complete", "t_drain", state_partitions=3)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    got = {r.k: r.n for r in out.collect()}
+    assert got == {"a": 5, "b": 1}
+
+    # conf restored even when start() raises (bad output mode for agg)
+    try:
+        drain_to_memory(stream, "complete", "t_drain_bad",
+                        state_partitions=3)
+    except Exception:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
