@@ -135,8 +135,10 @@ def merges_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """The merge list as a (rank, left, right) DataFrame — the
     persistable artifact (`kiji-mr bpe-train` writes it; encoders
     read it back)."""
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
+    from kiji_mapreduce_spark.functions import local_table
+
+    return local_table(
+        spark, [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string")
 
 

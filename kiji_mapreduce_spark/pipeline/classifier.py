@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kiji_mapreduce_spark.functions import local_table
 from kiji_mapreduce_spark.pipeline.dedup import tokens
 
 
@@ -96,7 +97,8 @@ def train_logreg(
     w = np.zeros(dim)
     bias = 0.0
     for _ in range(iters):
-        wt = spark.createDataFrame(
+        wt = local_table(
+            spark,
             [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0]
             or [(0, 0.0)],
             "feature_idx int, _w double")
@@ -143,7 +145,8 @@ def score_logreg(
     ``binary_metrics`` distinct-score table bounded at 10^digits rows
     (its documented precondition)."""
     spark = features.sparkSession
-    wt = spark.createDataFrame(
+    wt = local_table(
+        spark,
         [(int(i), float(v)) for i, v in enumerate(weights) if v != 0.0]
         or [(0, 0.0)],
         "feature_idx int, _w double")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kiji_mapreduce_spark.functions import local_table
 from kiji_mapreduce_spark.pipeline import media_codecs
 
 DOC_COLUMNS = ("doc_id", "url", "domain", "content_type", "warc_date",
@@ -215,7 +216,7 @@ def blocklist_table(spark: SparkSession, entries) -> DataFrame:
     clean = sorted({e.strip().lower() for e in (entries or ())
                     if e and e.strip()
                     and not e.lstrip().startswith("#")})
-    return spark.createDataFrame([(e,) for e in clean], "entry string")
+    return local_table(spark, [(e,) for e in clean], "entry string")
 
 
 def _clean_patterns(url_patterns) -> list[str]:

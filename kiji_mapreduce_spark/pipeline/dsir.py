@@ -40,6 +40,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from kiji_mapreduce_spark.functions import local_table
 from kiji_mapreduce_spark.pipeline.dedup import token_hash64, tokens
 from kiji_mapreduce_spark.pipeline.sample import weighted_sample_topk
 
@@ -175,8 +176,11 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
 
     log_p = _log_probs_from_totals(totals["p"], dim, smoothing)
     log_q = _log_probs_from_totals(totals["q"], dim, smoothing)
-    ratio = spark.createDataFrame(
-        [(b, log_p[b] - log_q[b]) for b in range(dim)],
+    # Arrow-local model table: the classic list createDataFrame ships
+    # a pickled RDD whose Python-worker replay cost dominated this
+    # query's scoring job (functions.local_table)
+    ratio = local_table(
+        spark, [(b, log_p[b] - log_q[b]) for b in range(dim)],
         "bucket int, log_ratio double")
     return (raw_counts
             .join(F.broadcast(ratio), on="bucket", how="inner")

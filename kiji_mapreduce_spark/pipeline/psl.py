@@ -39,6 +39,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kiji_mapreduce_spark.functions import local_table
+
 # A curated snapshot SUBSET of the Public Suffix List (the list itself
 # is public-domain data, publicsuffix.org). Same file format as the
 # real list: one rule per line, ``//`` comments, ``*`` wildcards, ``!``
@@ -467,7 +469,8 @@ def with_registered_domain(df: DataFrame, host_col: str,
     labels = F.split(F.col("_rd_h"), r"\.")
     n = F.size(labels)
     for j in js:
-        tbl = spark.createDataFrame(
+        tbl = local_table(
+            spark,
             [(k, v[0], v[1], v[2]) for k, v in rules.tables[j].items()],
             f"_psl_tail_{j} string, _psl_ex_{j} boolean, "
             f"_psl_exc_{j} boolean, _psl_wd_{j} boolean")

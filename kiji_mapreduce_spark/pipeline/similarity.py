@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from kiji_mapreduce_spark.functions import salted_topk
+from kiji_mapreduce_spark.functions import local_table, salted_topk
 
 
 def as_double(vec: Column) -> Column:
@@ -206,7 +206,8 @@ def _fit_ivf_quantizer(embeddings: DataFrame, id_col: str, vec_col: str,
           .fit(with_vec))
     indexed = km.transform(with_vec).select("neighbor_id", "_cvec",
                                             "_cell")
-    centers_df = embeddings.sparkSession.createDataFrame(
+    centers_df = local_table(
+        embeddings.sparkSession,
         [(i, [float(x) for x in c])
          for i, c in enumerate(km.clusterCenters())],
         "_cell int, _center array<double>")

@@ -281,10 +281,12 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
 def q_range_join_price_bands(spark, sf_dir):
     """Binned range join (engine extension): parts priced into static
     bands via equi-join on bins instead of a nested-loop range join."""
-    from kiji_mapreduce_spark.functions import range_join_binned
+    from kiji_mapreduce_spark.functions import (local_table,
+                                                 range_join_binned)
 
     part = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_table(
+        spark,
         [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
          ("premium", 1500.0, 10000.0)],
         "band string, lo double, hi double")

@@ -9,6 +9,7 @@ from pyspark.sql import Window, functions as F
 from kiji_mapreduce_spark.operators import Gatherer
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import lm, search, text as text_ops
+from kiji_mapreduce_spark.functions import local_table
 from kiji_mapreduce_spark.suite.common import _t
 
 
@@ -423,8 +424,8 @@ def q_bm25_search_topk(spark, sf_dir):
     the postings; ranked on the 6-dp-rounded score so order matches the
     oracle bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(_BM25_QUERIES,
-                               "query_id string, query_text string")
+    qs = local_table(spark, _BM25_QUERIES,
+                     "query_id string, query_text string")
     return search.bm25_topk(docs, qs, k=10)
 
 

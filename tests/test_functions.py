@@ -375,3 +375,29 @@ def test_snapshot_diff_null_keys_match_null_safely(spark):
     got2 = {(r.k, r.change) for r in snapshot_diff(
         before, after_changed, key_cols=["k"]).collect()}
     assert got2 == {(None, "updated")}
+
+
+def test_local_table_matches_classic_create(spark):
+    """local_table (r14: Arrow-local model tables — the classic list
+    createDataFrame replays a pickled RDD through defaultParallelism
+    Python workers on every action) must be value- and schema-identical
+    to the classic path across the call sites' shapes."""
+    from kiji_mapreduce_spark.functions import local_table
+
+    cases = [
+        ([(b, b * 0.001) for b in range(100)], "bucket int, lr double"),
+        ([("a.b", True, False, True), ("c", False, True, False)],
+         "t string, x boolean, y boolean, z boolean"),
+        ([(0, [1.0, 2.0]), (1, [3.0, 4.5])],
+         "cell int, center array<double>"),
+        ([("q1", "alpha beta")], "query_id string, query_text string"),
+    ]
+    for rows, schema in cases:
+        a = local_table(spark, rows, schema)
+        b = spark.createDataFrame(rows, schema)
+        assert a.schema == b.schema, schema
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect())), schema
+    # empty rows fall back to the classic path with the right schema
+    e = local_table(spark, [], "k int, v double")
+    assert e.count() == 0 and [f.name for f in e.schema.fields] == ["k", "v"]
