@@ -44,6 +44,43 @@ def local_table(spark, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def lit_array(values, kind: str) -> Column:
+    """A literal array column from ONE generated SQL expression.
+
+    ``F.array(*[F.lit(v) ...])`` costs a py4j round trip per element
+    (a 64-dim hyperplane = ~70 driver round trips, ~0.5 ms each, paid
+    on every query construction), and ``F.lit(list)`` is documented
+    sugar for exactly that loop. Embedding the values in one parsed
+    ``array(...)`` string is a single round trip and yields a FOLDABLE
+    literal. Doubles are emitted as ``repr(v)D`` — Python repr is the
+    shortest exact round-trip decimal and Java's parseDouble is
+    correctly rounded, so every IEEE double (verified incl. denormals
+    and DBL_MAX) reproduces bit-exactly; non-finite values fall back
+    to the per-element form (SQL has no nan/inf literals). ``kind`` is
+    'double' | 'int' | 'long' | 'string'."""
+    import math
+
+    vals = list(values)
+    if not vals:
+        raise ValueError("lit_array requires at least one element")
+    if kind == "double":
+        vals = [float(v) for v in vals]
+        if not all(math.isfinite(v) for v in vals):
+            return F.array(*[F.lit(v) for v in vals])
+        body = ", ".join(f"{v!r}D" for v in vals)
+    elif kind == "int":
+        body = ", ".join(str(int(v)) for v in vals)
+    elif kind == "long":
+        body = ", ".join(f"{int(v)}L" for v in vals)
+    elif kind == "string":
+        body = ", ".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals)
+    else:
+        raise ValueError(f"unsupported lit_array kind: {kind!r}")
+    return F.expr(f"array({body})")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -371,7 +408,7 @@ def histogram_quantiles(
                              Window.unboundedFollowing))))
     # one explode over the (tiny) cumulative histogram — NOT a per-prob
     # loop of filters, which would replay the corpus scan once per prob
-    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    probs_arr = lit_array(probs, "double")
     return (cum.withColumn("prob", F.explode(probs_arr))
             .filter(F.col("_cum") >= F.col("prob") * F.col("_n"))
             .groupBy(*keys, "prob")

@@ -111,24 +111,30 @@ def kmeans_assign_with_dim(
     def _assign(frame: DataFrame) -> DataFrame:
         """Distance to every centroid in one projection; argmin via
         array_min over (dist, cid) structs (struct ordering = tie-break
-        on cid)."""
-        pairs = [
-            F.struct(
-                F.round(
-                    F.sqrt(F.aggregate(
-                        F.zip_with(
-                            F.col("_v"),
-                            F.array(*[F.lit(x) for x in vec]),
-                            lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, x: acc + x)),
-                    round_digits).alias("dist"),
-                F.lit(cid).alias("cid"))
-            for cid, vec in centroids
-        ]
-        best = F.array_min(F.array(*pairs))
-        return frame.select(
+        on cid). The k (dist, cid) struct expressions are generated SQL
+        text — the Column-API form cost ~20 py4j round trips per
+        centroid per iteration (see functions.lit_array); the parser
+        yields the same zip_with/aggregate/round tree, with doubles as
+        exact repr()D literals and int/string cids mapping to the same
+        literal types F.lit produced."""
+
+        def _cid_sql(v) -> str:
+            if isinstance(v, str):
+                esc = v.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{esc}'"
+            return str(int(v))
+
+        structs = ", ".join(
+            "struct(round(sqrt(aggregate(zip_with(_v, array("
+            + ", ".join(f"{float(x)!r}D" for x in vec)
+            + "), (a, b) -> (a - b) * (a - b)), 0.0D,"
+            f" (acc, x) -> acc + x)), {round_digits}) AS dist,"
+            f" {_cid_sql(cid)} AS cid)"
+            for cid, vec in centroids)
+        best = f"array_min(array({structs}))"
+        return frame.selectExpr(
             id_col, "_v",
-            best["cid"].alias("cluster"), best["dist"].alias("dist"))
+            f"{best}.cid AS cluster", f"{best}.dist AS dist")
 
     assigned = _assign(emb)
     for _ in range(iters - 1):

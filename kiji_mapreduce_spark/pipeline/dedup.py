@@ -178,6 +178,27 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _perm_min_exprs(num_hashes: int, seed: int = 42,
+                    src: str = "_h", pre_mod: bool = False) -> list:
+    """The ``num_hashes`` affine-permutation min-aggregates as
+    ``F.expr`` columns built from ONE generated SQL string each.
+
+    The hand-built Column form cost ~6 py4j round-trips per
+    permutation (~200 per index build, ~0.5 ms each — profiled at
+    1.7 s of pure driver-side construction per dedup query, paid on
+    every execution). The parser yields the SAME Catalyst expressions
+    (pmod/*/+ on int literals; every intermediate < 2^62, so ANSI
+    arithmetic is untouched) — bit-identical signatures, ~30 round
+    trips. ``pre_mod`` inlines the ``pmod(src, M)`` reduction for
+    callers that don't pre-project it (codegen CSEs the common
+    subexpression exactly as before)."""
+    base = f"pmod({src}, {_MERSENNE})" if pre_mod else src
+    return [
+        F.expr(f"min(pmod({base} * {a} + {b}, {_MERSENNE})) AS m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+
+
 def shingle_hashes(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
                    hash_fn: str = "xx", with_pos: bool = False,
@@ -258,12 +279,8 @@ def minhash_signatures(
     """
     hashed = shingle_hashes(df, text_col, id_col, n, hash_fn).select(
         id_col, F.pmod(F.col("_h"), F.lit(_MERSENNE)).alias("_h"))
-    aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-        .alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(
+        *_perm_min_exprs(num_hashes, seed))
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3,
@@ -296,18 +313,8 @@ def minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
     # band bucket = hash of the band's signature slice; the md5 mode keys
     # on the joined string itself (any-engine-reproducible, same join)
-    def _bucket(b):
-        joined = F.concat_ws(
-            ",", *[F.col(f"m{b * rows + r}").cast("string")
-                   for r in range(rows)])
-        return F.xxhash64(joined) if hash_fn == "xx" else joined
-    band_entries = with_sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_entries = _band_entries(with_sig, id_col, num_hashes, bands,
+                                 hash_fn)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -453,12 +460,8 @@ def minhash_index(
     against the corpus WITHOUT re-reading any corpus text.
     """
     hashed = shingle_hashes(df, text_col, id_col, n, hash_fn)
-    hm = F.pmod(F.col("_h"), F.lit(_MERSENNE))
-    aggs = [
-        F.min(F.pmod(hm * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-        .alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes))
-    ] + [F.collect_set("_h").alias("_sh")]
+    aggs = _perm_min_exprs(num_hashes, pre_mod=True) \
+        + [F.collect_set("_h").alias("_sh")]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -477,13 +480,9 @@ def corpus_index(
         df, text_col, id_col, n, hash_fn,
         carry_cols=[("digest", F.md5(F.col(text_col)))], outer=True,
         carry_first_only=True)
-    hm = F.pmod(F.col("_h"), F.lit(_MERSENNE))
-    aggs = [
-        F.min(F.pmod(hm * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-        .alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes))
-    ] + [F.collect_set("_h").alias("_sh"),
-         F.first("digest", ignorenulls=True).alias("digest")]
+    aggs = _perm_min_exprs(num_hashes, pre_mod=True) \
+        + [F.collect_set("_h").alias("_sh"),
+           F.first("digest", ignorenulls=True).alias("digest")]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -502,23 +501,26 @@ def _check_minhash_bands(num_hashes: int, bands: int) -> None:
 
 def _band_entries(sig_df: DataFrame, id_col: str, num_hashes: int,
                   bands: int, hash_fn: str) -> DataFrame:
-    """(id, band, bucket) rows from an index's signature columns."""
+    """(id, band, bucket) rows from an index's signature columns.
+
+    Built as ONE generated SQL string (py4j round-trip discipline —
+    see ``_perm_min_exprs``): the hand-built struct/explode Column
+    form cost ~100 driver round trips per call. ``inline`` explodes
+    the struct array straight to (band, bucket) columns — same rows,
+    one Generate node."""
     _check_minhash_bands(num_hashes, bands)
     rows = num_hashes // bands
 
-    def _bucket(b):
-        joined = F.concat_ws(
-            ",", *[F.col(f"m{b * rows + r}").cast("string")
-                   for r in range(rows)])
-        return F.xxhash64(joined) if hash_fn == "xx" else joined
+    def _bucket_sql(b: int) -> str:
+        cols = ", ".join(f"CAST(m{b * rows + r} AS STRING)"
+                         for r in range(rows))
+        joined = f"concat_ws(',', {cols})"
+        return f"xxhash64({joined})" if hash_fn == "xx" else joined
 
-    return sig_df.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    structs = ", ".join(
+        f"struct({b} AS band, {_bucket_sql(b)} AS bucket)"
+        for b in range(bands))
+    return sig_df.selectExpr(id_col, f"inline(array({structs}))")
 
 
 def _prune_hot_buckets(entries: DataFrame, keys: list[str],
@@ -1001,47 +1003,43 @@ def simhash_fingerprints(
     # pass. Fields can't bleed into each other while every per-bit
     # count stays under 2^21 — enforced below via _n (a count of the
     # same rows), which upper-bounds every bit count.
-    one = F.lit(1).cast("long")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    # The whole vote/unpack/fold pipeline is generated SQL text, not
+    # hand-built Columns: the Column form cost ~250 py4j round trips
+    # (~1.7 s of pure driver-side construction per execution at 0.5 ms
+    # a call — see _perm_min_exprs); the parser yields the same
+    # shift/and/sum expressions, so fingerprints stay bit-identical.
+    aggs = [F.expr("count(1) AS _n")]
     for g in range(0, 64, 3):
-        packed = None
-        for i, b in enumerate(range(g, min(g + 3, 64))):
-            bit = F.shiftrightunsigned("_h", b).bitwiseAND(one)
-            term = F.shiftleft(bit, (2 - i) * 21)
-            packed = term if packed is None else packed + term
-        aggs.append(F.sum(packed).alias(f"p{g // 3}"))
+        terms = " + ".join(
+            f"shiftleft(shiftrightunsigned(_h, {b}) & 1L, {(2 - i) * 21})"
+            for i, b in enumerate(range(g, min(g + 3, 64))))
+        aggs.append(F.expr(f"sum({terms}) AS p{g // 3}"))
     votes = hashed.groupBy(id_col).agg(*aggs)
     # unpack: bit b lives in packed word b//3, field (2 - b%3)
-    field = F.lit((1 << 21) - 1).cast("long")
-    guard = F.when(
-        F.col("_n") >= (1 << 21),
-        F.raise_error(F.concat(
-            F.lit("simhash_fingerprints: document with "),
-            F.col("_n").cast("string"),
-            F.lit(" tokens overflows the 21-bit packed vote fields "
-                  "(max 2097151); split or truncate the document"))),
-    ).otherwise(F.col("_n")).alias("_n")
-    votes = votes.select(
+    guard = (f"CASE WHEN _n >= {1 << 21} THEN raise_error(concat("
+             "'simhash_fingerprints: document with ', CAST(_n AS STRING),"
+             " ' tokens overflows the 21-bit packed vote fields"
+             " (max 2097151); split or truncate the document'))"
+             " ELSE _n END AS _n")
+    votes = votes.selectExpr(
         id_col, guard,
-        *[F.shiftrightunsigned(f"p{b // 3}", (2 - b % 3) * 21)
-          .bitwiseAND(field).alias(f"s{b}") for b in range(64)])
+        *[f"shiftrightunsigned(p{b // 3}, {(2 - b % 3) * 21})"
+          f" & {(1 << 21) - 1} AS s{b}" for b in range(64)])
     # pack via zip_with + fold, not 64 instantiated `when` subtrees: the
     # majority-vote conditional lives INSIDE one lambda, so the driver
-    # analyzes it once instead of 64 times per execution (the 64-when
-    # array cost ~0.65s → ~0.2s of per-execution analysis; constant in
-    # data size, so invisible at scale but a chunk of the local query —
-    # bit-identical fingerprints, measured). Bit b set when
-    # ones >= zeros <=> 2*ones >= n; b=63 carries the sign mask.
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    counts = F.array(*[F.col(f"s{b}") for b in range(64)])
-    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
-    bits = F.zip_with(
-        counts, mask_arr,
-        lambda c, m: F.when(2 * c >= F.col("_n"), m)
-                      .otherwise(F.lit(0).cast("long")))
-    fp = F.aggregate(bits, F.lit(0).cast("long"),
-                     lambda acc, x: acc.bitwiseOR(x))
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    # analyzes it once instead of 64 times per execution (bit-identical
+    # fingerprints, measured). Bit b set when ones >= zeros <=>
+    # 2*ones >= n; b=63 carries the sign mask (shiftleft(1L, 63) — the
+    # literal -2^63 cannot be written directly, the parser would
+    # overflow on 2^63 before negating).
+    masks = ", ".join(f"{1 << b}L" if b < 63 else "shiftleft(1L, 63)"
+                      for b in range(64))
+    counts = ", ".join(f"s{b}" for b in range(64))
+    return votes.selectExpr(
+        id_col,
+        f"aggregate(zip_with(array({counts}), array({masks}),"
+        " (c, m) -> CASE WHEN 2 * c >= _n THEN m ELSE 0L END),"
+        " 0L, (acc, x) -> acc | x) AS simhash")
 
 
 def banded_hamming_pairs(

@@ -32,7 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from kiji_mapreduce_spark.functions import local_table, salted_topk
+from kiji_mapreduce_spark.functions import (lit_array, local_table,
+                                            salted_topk)
 
 
 def as_double(vec: Column) -> Column:
@@ -128,7 +129,7 @@ def random_hyperplane_buckets(
     v = as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        comps = F.array(*[F.lit(c) for c in _plane(seed, p, dim)])
+        comps = lit_array(_plane(seed, p, dim), "double")
         sign_bit = (dot(v, comps) >= 0).cast("long")
         bucket = bucket * 2 + sign_bit
     return df.withColumn("bucket", bucket)
@@ -877,10 +878,10 @@ def project_embeddings(
     the whole PCA scoring pass compiles to one codegen'd fold per row,
     zero exchanges, exactly like the k-means assignment pass. ``mean``
     (if given) centers each vector first."""
-    comp = F.array(*[F.lit(float(c)) for c in component])
+    comp = lit_array(component, "double")
     v = as_double(F.col(vec_col))
     if mean is not None:
-        mu = F.array(*[F.lit(float(m)) for m in mean])
+        mu = lit_array(mean, "double")
         v = F.zip_with(v, mu, lambda x, m: x - m)
     return embeddings.withColumn(out_col, dot(v, comp))
 
@@ -913,11 +914,11 @@ def project_embeddings_multi(
     dot products share the single centered-vector subexpression."""
     v = as_double(F.col(vec_col))
     if mean is not None:
-        mu = F.array(*[F.lit(float(m)) for m in mean])
+        mu = lit_array(mean, "double")
         v = F.zip_with(v, mu, lambda x, m: x - m)
     out = embeddings
     cols = []
     for i, comp in enumerate(components):
-        c = F.array(*[F.lit(float(x)) for x in comp])
+        c = lit_array(comp, "double")
         cols.append(dot(v, c).alias(f"{out_prefix}{i + 1}"))
     return out.select("*", *cols)

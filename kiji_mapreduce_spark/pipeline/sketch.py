@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kiji_mapreduce_spark.functions import salted_topk
+from kiji_mapreduce_spark.functions import lit_array, salted_topk
 from kiji_mapreduce_spark.pipeline.dedup import token_hash64
 
 #: hash range: md5-derived 60-bit hashes land in [0, 2^60)
@@ -91,7 +91,7 @@ def cm_expand(df: DataFrame, value_col: str, depth: int, width: int,
     probe, and the streaming sketch, so a bucket-scheme change can never
     desynchronize them (they must stay cell-for-cell mergeable)."""
     _cm_check(depth, width)
-    rows = F.array(*[F.lit(i) for i in range(depth)])
+    rows = lit_array(range(depth), "int")
     return (df.filter(F.col(value_col).isNotNull())
             .withColumn("cm_row", F.explode(rows))
             .withColumn("cm_bucket",

@@ -11,6 +11,8 @@ import unicodedata
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from kiji_mapreduce_spark.functions import lit_array
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small and deterministic (public common-word lists).
 _STOPWORDS = {
@@ -84,7 +86,7 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
     skewing the language-ID vote (r5 review finding; the SQL oracles
     count with the same list_filter form)."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
-    word_arr = F.array(*[F.lit(w) for w in words])
+    word_arr = lit_array(words, "string")
     return F.size(F.filter(toks, lambda x: F.array_contains(word_arr, x)))
 
 
@@ -271,7 +273,7 @@ def language_id(text: Column, langs: list[str] | None = None) -> Column:
         lambda acc, m: F.zip_with(
             acc, lang_idx, lambda c, i: c + F.bit_get(m, i).cast("int")))
     scores = F.zip_with(
-        counts, F.array(*[F.lit(lg) for lg in langs]),
+        counts, lit_array(langs, "string"),
         lambda h, lg: F.struct(h.alias("hits"), lg.alias("lang")))
     best = F.array_max(F.filter(scores, lambda s: s["hits"] > 0))
     # array_max on struct orders by (hits, lang) — argmax with lang tiebreak
@@ -545,7 +547,7 @@ def registered_domain(host) -> Column:
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
     last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
-    suffixes = F.array(*[F.lit(s) for s in _SECOND_LEVEL_TLDS])
+    suffixes = lit_array(_SECOND_LEVEL_TLDS, "string")
     # dotted-quad hosts have no registrable domain — last-two-labels
     # would merge every 10.77.*.1 and 192.168.*.1 into one "0.1" bucket
     is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kiji_mapreduce_spark.functions import lit_array
 from kiji_mapreduce_spark.operators.base import Operator, OperatorContext
 
 
@@ -603,8 +604,8 @@ def stream_drift(
     # keeps the exact left-to-right add order, so values are
     # bit-identical and the batch-SQL oracle still matches.
     win_fracs = F.array(*[F.col(f"_b{i}") / n for i in range(bins)])
-    ref_fracs = F.array(*[F.lit(ref_hist[i] / ref_total)
-                          for i in range(bins)])
+    ref_fracs = lit_array(
+        [ref_hist[i] / ref_total for i in range(bins)], "double")
     zipped = F.zip_with(
         win_fracs, ref_fracs, lambda w, r: F.struct(w.alias("w"),
                                                     r.alias("r")))

@@ -9,7 +9,7 @@ from pyspark.sql import Window, functions as F
 from kiji_mapreduce_spark.operators import Gatherer
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import lm, search, text as text_ops
-from kiji_mapreduce_spark.functions import local_table
+from kiji_mapreduce_spark.functions import lit_array, local_table
 from kiji_mapreduce_spark.suite.common import _t
 
 
@@ -818,7 +818,7 @@ def q_crawl_registered_domain(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = len(_PSL_HOSTS)
     host = F.element_at(
-        F.array(*[F.lit(h) for h in _PSL_HOSTS]),
+        lit_array(_PSL_HOSTS, "string"),
         (F.col("doc_id") % n).cast("int") + 1)
     df = docs.select("doc_id", host.alias("host"))
     out = psl.with_registered_domain(
@@ -1061,7 +1061,7 @@ def q_robots_filter(spark, sf_dir):
     # (doc_id % 8 and % 12 share a factor of 4, which would leave 3/4
     # of the (host, path) grid unexercised)
     path = F.element_at(
-        F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+        lit_array(_ROBOTS_PATHS, "string"),
         (F.floor(F.col("doc_id") / 8) % 12).cast("int") + 1)
     docs = docs0.select(
         "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
