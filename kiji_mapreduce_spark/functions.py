@@ -44,6 +44,37 @@ def local_table(spark, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def lit_array_sql(values, kind: str) -> str | None:
+    """The SQL text of a literal array, or ``None`` when the values are
+    not expressible as SQL literals (non-finite doubles — SQL has no
+    nan/inf literals). The text form exists so callers composing LARGER
+    generated expressions (``similarity.random_hyperplane_buckets``'
+    per-plane dot products, the simhash vote aggregates) can inline the
+    array into one parsed string instead of paying a py4j round trip
+    per fragment. ``kind`` is 'double' | 'int' | 'long' | 'string'."""
+    import math
+
+    vals = list(values)
+    if not vals:
+        raise ValueError("lit_array requires at least one element")
+    if kind == "double":
+        vals = [float(v) for v in vals]
+        if not all(math.isfinite(v) for v in vals):
+            return None
+        body = ", ".join(f"{v!r}D" for v in vals)
+    elif kind == "int":
+        body = ", ".join(str(int(v)) for v in vals)
+    elif kind == "long":
+        body = ", ".join(f"{int(v)}L" for v in vals)
+    elif kind == "string":
+        body = ", ".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals)
+    else:
+        raise ValueError(f"unsupported lit_array kind: {kind!r}")
+    return f"array({body})"
+
+
 def lit_array(values, kind: str) -> Column:
     """A literal array column from ONE generated SQL expression.
 
@@ -58,27 +89,10 @@ def lit_array(values, kind: str) -> Column:
     and DBL_MAX) reproduces bit-exactly; non-finite values fall back
     to the per-element form (SQL has no nan/inf literals). ``kind`` is
     'double' | 'int' | 'long' | 'string'."""
-    import math
-
-    vals = list(values)
-    if not vals:
-        raise ValueError("lit_array requires at least one element")
-    if kind == "double":
-        vals = [float(v) for v in vals]
-        if not all(math.isfinite(v) for v in vals):
-            return F.array(*[F.lit(v) for v in vals])
-        body = ", ".join(f"{v!r}D" for v in vals)
-    elif kind == "int":
-        body = ", ".join(str(int(v)) for v in vals)
-    elif kind == "long":
-        body = ", ".join(f"{int(v)}L" for v in vals)
-    elif kind == "string":
-        body = ", ".join(
-            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
-            for v in vals)
-    else:
-        raise ValueError(f"unsupported lit_array kind: {kind!r}")
-    return F.expr(f"array({body})")
+    text = lit_array_sql(values, kind)
+    if text is None:
+        return F.array(*[F.lit(float(v)) for v in values])
+    return F.expr(text)
 
 
 def asof_join(

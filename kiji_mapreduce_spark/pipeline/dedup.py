@@ -757,7 +757,7 @@ def embedding_near_duplicates(
     semantics (the oracle-checked default).
     """
     from kiji_mapreduce_spark.pipeline.similarity import (
-        as_double, dot, l2_norm)
+        as_double_sql, cosine_guarded_sql, l2_norm_sql, quote_col)
 
     # norms are per-VECTOR, so compute them once on the (small) id ->
     # vector table instead of re-folding both sides' norms per candidate
@@ -766,9 +766,11 @@ def embedding_near_duplicates(
     # results — l2_norm over the same vector yields the same float, and
     # the denominator norm_a * norm_b is unchanged arithmetic
     # (measured 3.0 s -> 1.1 s verify at sf0.1 / 131k candidates).
-    e = embeddings.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v"),
-        l2_norm(as_double(F.col(vec_col))).alias("_n"))
+    # Projections are generated SQL — one parse instead of per-lambda
+    # py4j round trips on every construction (r14 batch 6).
+    v = as_double_sql(quote_col(vec_col))
+    e = embeddings.selectExpr(
+        quote_col(id_col), f"{v} AS _v", f"{l2_norm_sql(v)} AS _n")
     if exact:
         a, b = e.alias("a"), e.alias("b")
         pairs = (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -790,10 +792,7 @@ def embedding_near_duplicates(
             .join(e.select(F.col(id_col).alias("id_b"),
                            F.col("_v").alias("_v_b"),
                            F.col("_n").alias("_n_b")), on="id_b"))
-    denom = F.col("_n_a") * F.col("_n_b")
-    cos = F.when(denom != 0,
-                 dot(F.col("_v_a"), F.col("_v_b")) / denom
-                 ).otherwise(F.lit(0.0))
+    cos = F.expr(cosine_guarded_sql("_v_a", "_v_b", "(_n_a * _n_b)"))
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 

@@ -32,8 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from kiji_mapreduce_spark.functions import (lit_array, local_table,
-                                            salted_topk)
+from kiji_mapreduce_spark.functions import (lit_array, lit_array_sql,
+                                            local_table, salted_topk)
 
 
 def as_double(vec: Column) -> Column:
@@ -49,6 +49,48 @@ def dot(a: Column, b: Column) -> Column:
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+# -- generated-SQL twins of the fold helpers ---------------------------------
+#
+# Each Column-API lambda above costs tens of py4j driver round trips to
+# construct, and the ANN paths build them per plane / per select — the
+# construction (not execution) of knn_lsh_topk measured ~1 s/call after
+# the r14 batch-5 pass. These twins emit the SAME expressions as SQL
+# text, so a whole projection parses in ONE round trip (the
+# dedup._perm_min_exprs precedent). The SQL parser yields identical
+# Catalyst trees (same fold structure, same literal types), so results
+# are unchanged — re-proven against the DuckDB oracles after the
+# rewrite. Inputs are SQL fragments; quote raw column names with
+# ``quote_col`` first.
+
+def quote_col(name: str) -> str:
+    """Backtick-quote an identifier for embedding in generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def as_double_sql(vec: str) -> str:
+    return f"transform({vec}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Sequential left-to-right fold — deterministic accumulation order."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)")
+
+
+def l2_norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+            f"(acc, x) -> acc + x))")
+
+
+def cosine_guarded_sql(a: str, b: str, denom: str | None = None) -> str:
+    """Zero-norm-guarded cosine (see ``cosine``): ``denom`` can name a
+    precomputed ``norm_a * norm_b`` product column; otherwise the norms
+    fold inline, exactly like the Column form."""
+    d = denom or f"({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+    return (f"CASE WHEN {d} != 0 THEN {dot_sql(a, b)} / {d} "
+            f"ELSE 0.0D END")
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -74,20 +116,20 @@ def brute_force_topk(
     # norms fold once per VECTOR (query norms would otherwise re-fold
     # once per corpus row); the division is unchanged arithmetic, so
     # results are bit-identical while the per-pair work drops from
-    # three interpreted folds to one
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        as_double(F.col(vec_col)).alias("_qvec"),
-        l2_norm(as_double(F.col(vec_col))).alias("_qn"),
+    # three interpreted folds to one. All projections are generated SQL
+    # (one parse each) — the Column-lambda forms cost tens of py4j
+    # round trips per fold on every construction.
+    v = as_double_sql(quote_col(vec_col))
+    q = queries.selectExpr(
+        f"{quote_col(id_col)} AS {quote_col(query_id_col)}",
+        f"{v} AS _qvec",
+        f"{l2_norm_sql(v)} AS _qn",
     )
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cvec"),
-        l2_norm(as_double(F.col(vec_col))).alias("_cn"))
-    denom = F.col("_qn") * F.col("_cn")
-    cos = F.when(denom != 0,
-                 dot(F.col("_qvec"), F.col("_cvec")) / denom
-                 ).otherwise(F.lit(0.0))
+    corpus = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{v} AS _cvec",
+        f"{l2_norm_sql(v)} AS _cn")
+    cos = F.expr(cosine_guarded_sql("_qvec", "_cvec", "(_qn * _cn)"))
     scored = (
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", cos.alias("_cos"))
@@ -122,17 +164,21 @@ def random_hyperplane_buckets(
     """SimHash-style LSH bucketing: sign pattern against ``n_planes``
     pseudo-random hyperplanes -> integer bucket id column ``bucket``.
     Planes are literal constants — per row the work is n_planes dot
-    products, nothing else."""
+    products, nothing else. The whole bucket expression (every plane's
+    literal array and fold) is ONE generated SQL string parsed in one
+    round trip; the per-plane Column loop cost ~100s of py4j calls per
+    construction (r14 batch 6). ``_plane`` output is always finite, so
+    the literal arrays are always SQL-expressible."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = first["d"] if first else 0
-    v = as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
+    v = as_double_sql(quote_col(vec_col))
+    bucket = "CAST(0 AS BIGINT)"
     for p in range(n_planes):
-        comps = lit_array(_plane(seed, p, dim), "double")
-        sign_bit = (dot(v, comps) >= 0).cast("long")
-        bucket = bucket * 2 + sign_bit
-    return df.withColumn("bucket", bucket)
+        comps = lit_array_sql(_plane(seed, p, dim), "double")
+        sign_bit = f"CAST(({dot_sql(v, comps)}) >= 0 AS BIGINT)"
+        bucket = f"({bucket} * 2 + {sign_bit})"
+    return df.withColumn("bucket", F.expr(bucket))
 
 
 def label_cosine_stats(embeddings: DataFrame, label_col: str = "label",
@@ -198,9 +244,9 @@ def _fit_ivf_quantizer(embeddings: DataFrame, id_col: str, vec_col: str,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cvec"))
+    corpus = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{as_double_sql(quote_col(vec_col))} AS _cvec")
     with_vec = corpus.withColumn("_features", array_to_vector("_cvec"))
     km = (KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
                  featuresCol="_features", predictionCol="_cell")
@@ -238,15 +284,14 @@ def ivf_topk(
     With deterministic centroids the whole query is reproducible in any
     SQL engine — the suite uses this for its DuckDB oracle.
     """
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cvec"))
-    d2_to = {}
-    for src in ("_cvec", "_qvec"):
-        d2_to[src] = F.aggregate(
-            F.zip_with(F.col(src), F.col("_center"),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    corpus = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{as_double_sql(quote_col(vec_col))} AS _cvec")
+    d2_to = {
+        src: F.expr(f"aggregate(zip_with({src}, _center, "
+                    f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                    f"(acc, x) -> acc + x)")
+        for src in ("_cvec", "_qvec")}
     if centroids is None:
         indexed, centers_df = _fit_ivf_quantizer(
             embeddings, id_col, vec_col, n_centroids, seed, max_iter)
@@ -262,9 +307,10 @@ def ivf_topk(
 
     # nprobe nearest cells per query: centers are tiny -> broadcast,
     # distance ranked per query
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qvec"),
-        l2_norm(as_double(F.col(vec_col))).alias("_qn"))
+    v = as_double_sql(quote_col(vec_col))
+    q = queries.selectExpr(
+        f"{quote_col(id_col)} AS query_id", f"{v} AS _qvec",
+        f"{l2_norm_sql(v)} AS _qn")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("_d2"), F.col("_cell"))
     probes = (q.crossJoin(F.broadcast(centers_df))
@@ -275,11 +321,8 @@ def ivf_topk(
 
     # per-vector norm reuse (see brute_force_topk): corpus norms fold
     # once in the indexed table, query norms once in the probe table
-    indexed_n = indexed.withColumn("_cn", l2_norm(F.col("_cvec")))
-    denom = F.col("_qn") * F.col("_cn")
-    cos = F.when(denom != 0,
-                 dot(F.col("_qvec"), F.col("_cvec")) / denom
-                 ).otherwise(F.lit(0.0))
+    indexed_n = indexed.withColumn("_cn", F.expr(l2_norm_sql("_cvec")))
+    cos = F.expr(cosine_guarded_sql("_qvec", "_cvec", "(_qn * _cn)"))
     scored = (indexed_n.join(F.broadcast(probes), on="_cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id", cos.alias("cosine")))
@@ -311,16 +354,16 @@ def lsh_topk(
     dim = dim_row["d"] if dim_row else 0
 
     def _bucketed(df, alias_id):
+        v = as_double_sql(quote_col(vec_col))
         parts = []
         for p in range(n_probes):
             b = random_hyperplane_buckets(
                 df, vec_col, n_planes, seed + 7919 * p, dim)
-            parts.append(b.select(
-                F.col(id_col).alias(alias_id),
-                as_double(F.col(vec_col)).alias(f"_{alias_id}_v"),
-                l2_norm(as_double(F.col(vec_col)))
-                .alias(f"_{alias_id}_n"),
-                F.lit(p).alias("probe"), "bucket"))
+            parts.append(b.selectExpr(
+                f"{quote_col(id_col)} AS {quote_col(alias_id)}",
+                f"{v} AS {quote_col(f'_{alias_id}_v')}",
+                f"{l2_norm_sql(v)} AS {quote_col(f'_{alias_id}_n')}",
+                f"{p} AS probe", "bucket"))
         out = parts[0]
         for more in parts[1:]:
             out = out.unionByName(more)
@@ -340,10 +383,9 @@ def lsh_topk(
     )
     scored = cands.select(
         "query_id", "neighbor_id",
-        F.when(F.col("_query_id_n") * F.col("_neighbor_id_n") != 0,
-               dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
-               / (F.col("_query_id_n") * F.col("_neighbor_id_n")))
-        .otherwise(F.lit(0.0)).alias("cosine"))
+        F.expr(cosine_guarded_sql(
+            "_query_id_v", "_neighbor_id_v",
+            "(_query_id_n * _neighbor_id_n)")).alias("cosine"))
     # skew-safe two-phase top-k: a boilerplate-heavy corpus collapses
     # into one hot bucket, so the candidate set per query scales with
     # the corpus — same salted discipline as brute_force/ivf/pq/sq8
@@ -393,11 +435,12 @@ def fit_pq_codebooks(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     ds = dim // n_subspaces
-    v = as_double(F.col(vec_col))
+    v = as_double_sql(quote_col(vec_col))
     books = []
     for m in range(n_subspaces):
         sub = embeddings.select(
-            array_to_vector(F.slice(v, m * ds + 1, ds)).alias("_f"))
+            array_to_vector(
+                F.expr(f"slice({v}, {m * ds + 1}, {ds})")).alias("_f"))
         km = KMeans(k=n_codes, seed=seed + m, maxIter=max_iter,
                     featuresCol="_f", predictionCol="_c").fit(sub)
         books.append([[float(x) for x in c] for c in km.clusterCenters()])
@@ -473,13 +516,13 @@ def pq_topk(
                           for i in range(len(x))])
 
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qvec"),
+        F.expr(f"{quote_col(id_col)} AS query_id"),
+        F.expr(f"{as_double_sql(quote_col(vec_col))} AS _qvec"),
         _dtabs(vec_col).alias("_dt"))
 
-    approx_d2 = F.round(F.aggregate(
-        F.zip_with("_codes", "_dt", lambda c, t: F.get(t, c - 1)),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
+    approx_d2 = F.expr(
+        "round(aggregate(zip_with(_codes, _dt, (c, t) -> get(t, c - 1)), "
+        "0.0D, (acc, x) -> acc + x), 6)")
     # candidate ranking spans the FULL code corpus per query — the one
     # window in this path that grows with corpus size, so it goes through
     # the skew-safe two-phase salted_topk (exact: same order, same ties;
@@ -493,13 +536,14 @@ def pq_topk(
         tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
         .select("query_id", "neighbor_id"))
 
-    corpus_v = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cvec"))
+    corpus_v = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{as_double_sql(quote_col(vec_col))} AS _cvec")
     exact = (corpus_v.join(F.broadcast(cands), on="neighbor_id")
              .join(F.broadcast(q.select("query_id", "_qvec")), on="query_id")
              .select("query_id", "neighbor_id",
-                     F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
-                     .alias("cosine")))
+                     F.expr(f"round({cosine_guarded_sql('_qvec', '_cvec')}, "
+                            f"6)").alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
@@ -519,13 +563,13 @@ def sq8_encode(
     per-vector scale cancels out of the ratio), so scoring never touches
     the float vectors. All-zero vectors encode to all-zero codes (scale
     guard) and score 0 through ``cosine``'s zero-norm guard."""
-    v = as_double(F.col(vec_col))
-    m = F.array_max(F.transform(v, F.abs))
-    s = m / F.lit(127.0)
-    safe = F.when(s != 0, s).otherwise(F.lit(1.0))
-    codes = F.transform(v, lambda x: F.round(x / safe).cast("int"))
-    return df.select(F.col(id_col).alias("neighbor_id"),
-                     s.alias("_scale"), codes.alias(out_col))
+    v = as_double_sql(quote_col(vec_col))
+    s = f"(array_max(transform({v}, x -> abs(x))) / 127.0D)"
+    safe = f"(CASE WHEN {s} != 0 THEN {s} ELSE 1.0D END)"
+    codes = f"transform({v}, x -> CAST(round(x / {safe}) AS INT))"
+    return df.selectExpr(f"{quote_col(id_col)} AS neighbor_id",
+                         f"{s} AS _scale",
+                         f"{codes} AS {quote_col(out_col)}")
 
 
 def sq8_topk(
@@ -544,8 +588,8 @@ def sq8_topk(
     codes = sq8_encode(embeddings, id_col, vec_col)
     qcodes = (sq8_encode(queries, id_col, vec_col, out_col="_qcodes")
               .select(F.col("neighbor_id").alias("query_id"), "_qcodes"))
-    approx = F.round(
-        cosine(as_double(F.col("_qcodes")), as_double(F.col("_codes"))), 6)
+    approx = F.expr(
+        f"round({cosine_guarded_sql(as_double_sql('_qcodes'), as_double_sql('_codes'))}, 6)")
     # same scale shape as pq_topk's candidate stage: the approx ranking
     # spans the full code corpus per query, so it is two-phase salted —
     # one task never holds a whole query's candidate scores
@@ -557,16 +601,16 @@ def sq8_topk(
         "query_id", "_ac", refine * k, tiebreak_cols=["neighbor_id"], salt_cols=["neighbor_id"])
         .select("query_id", "neighbor_id"))
 
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("_qvec"))
-    corpus_v = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cvec"))
+    q = queries.selectExpr(f"{quote_col(id_col)} AS query_id",
+                           f"{as_double_sql(quote_col(vec_col))} AS _qvec")
+    corpus_v = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{as_double_sql(quote_col(vec_col))} AS _cvec")
     exact = (corpus_v.join(F.broadcast(cands), on="neighbor_id")
              .join(F.broadcast(q), on="query_id")
              .select("query_id", "neighbor_id",
-                     F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
-                     .alias("cosine")))
+                     F.expr(f"round({cosine_guarded_sql('_qvec', '_cvec')}, "
+                            f"6)").alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
@@ -671,15 +715,14 @@ def ann_tune(
         cell_sizes = (indexed
                       .groupBy("_cell").agg(F.count(F.lit(1)).alias("_sz"))
                       .localCheckpoint(eager=True))
-        d2 = F.aggregate(
-            F.zip_with(F.col("_qvec"), F.col("_center"),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+        d2 = F.expr("aggregate(zip_with(_qvec, _center, "
+                    "(a, b) -> (a - b) * (a - b)), 0.0D, "
+                    "(acc, x) -> acc + x)")
         probe_w = Window.partitionBy("query_id").orderBy(
             F.col("_d2"), F.col("_cell"))
-        ranked_probes = (queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double(F.col(vec_col)).alias("_qvec"))
+        ranked_probes = (queries.selectExpr(
+            f"{quote_col(id_col)} AS query_id",
+            f"{as_double_sql(quote_col(vec_col))} AS _qvec")
             .crossJoin(F.broadcast(centers_df))
             .withColumn("_d2", d2)
             .withColumn("_pr", F.row_number().over(probe_w))
@@ -772,16 +815,17 @@ def hard_negative_topk(
     Returns (query_id, query_label, neighbor_id, neighbor_label,
     cosine, rank).
     """
-    q = anchors.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        as_double(F.col(vec_col)).alias("_qvec"),
-        l2_norm(as_double(F.col(vec_col))).alias("_qn"))
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        as_double(F.col(vec_col)).alias("_cvec"),
-        l2_norm(as_double(F.col(vec_col))).alias("_cn"))
+    v = as_double_sql(quote_col(vec_col))
+    q = anchors.selectExpr(
+        f"{quote_col(id_col)} AS query_id",
+        f"{quote_col(label_col)} AS query_label",
+        f"{v} AS _qvec",
+        f"{l2_norm_sql(v)} AS _qn")
+    corpus = embeddings.selectExpr(
+        f"{quote_col(id_col)} AS neighbor_id",
+        f"{quote_col(label_col)} AS neighbor_label",
+        f"{v} AS _cvec",
+        f"{l2_norm_sql(v)} AS _cn")
     # exclude ONLY a known-equal label: two NULL-labeled rows are not
     # known to share a class, so a NULL-labeled anchor keeps NULL-labeled
     # neighbors as negatives (eqNullSafe treated NULL==NULL as a match
@@ -794,10 +838,8 @@ def hard_negative_topk(
         F.broadcast(q),
         (F.col("neighbor_id") != F.col("query_id")) & ~label_known_equal)
         .select("query_id", "query_label", "neighbor_id", "neighbor_label",
-                F.when(F.col("_qn") * F.col("_cn") != 0,
-                       dot(F.col("_qvec"), F.col("_cvec"))
-                       / (F.col("_qn") * F.col("_cn")))
-                .otherwise(F.lit(0.0)).alias("_cos")))
+                F.expr(cosine_guarded_sql("_qvec", "_cvec", "(_qn * _cn)"))
+                .alias("_cos")))
     if min_cosine is not None:
         scored = scored.filter(F.col("_cos") >= min_cosine)
     # skew-safe per-anchor top-k (full-corpus candidate set — same
@@ -878,12 +920,20 @@ def project_embeddings(
     the whole PCA scoring pass compiles to one codegen'd fold per row,
     zero exchanges, exactly like the k-means assignment pass. ``mean``
     (if given) centers each vector first."""
-    comp = lit_array(component, "double")
-    v = as_double(F.col(vec_col))
-    if mean is not None:
-        mu = lit_array(mean, "double")
-        v = F.zip_with(v, mu, lambda x, m: x - m)
-    return embeddings.withColumn(out_col, dot(v, comp))
+    comp = lit_array_sql(component, "double")
+    mu = lit_array_sql(mean, "double") if mean is not None else None
+    if comp is None or (mean is not None and mu is None):
+        # non-finite entries: fall back to the per-element Column form
+        c = lit_array(component, "double")
+        v = as_double(F.col(vec_col))
+        if mean is not None:
+            v = F.zip_with(v, lit_array(mean, "double"),
+                           lambda x, m: x - m)
+        return embeddings.withColumn(out_col, dot(v, c))
+    v = as_double_sql(quote_col(vec_col))
+    if mu is not None:
+        v = f"zip_with({v}, {mu}, (x, m) -> x - m)"
+    return embeddings.withColumn(out_col, F.expr(dot_sql(v, comp)))
 
 
 def top_principal_components(cov, k: int = 2, iters: int = 100,
@@ -912,13 +962,22 @@ def project_embeddings_multi(
     """Project every vector onto k (literal) components in ONE
     projection pass -> columns pc1..pck. Still zero exchanges: the k
     dot products share the single centered-vector subexpression."""
-    v = as_double(F.col(vec_col))
-    if mean is not None:
-        mu = lit_array(mean, "double")
-        v = F.zip_with(v, mu, lambda x, m: x - m)
-    out = embeddings
-    cols = []
-    for i, comp in enumerate(components):
-        c = lit_array(comp, "double")
-        cols.append(dot(v, c).alias(f"{out_prefix}{i + 1}"))
-    return out.select("*", *cols)
+    comp_sqls = [lit_array_sql(c, "double") for c in components]
+    mu = lit_array_sql(mean, "double") if mean is not None else None
+    if any(c is None for c in comp_sqls) or (mean is not None
+                                             and mu is None):
+        # non-finite entries: fall back to the per-element Column form
+        v = as_double(F.col(vec_col))
+        if mean is not None:
+            v = F.zip_with(v, lit_array(mean, "double"),
+                           lambda x, m: x - m)
+        cols = [dot(v, lit_array(c, "double")).alias(f"{out_prefix}{i + 1}")
+                for i, c in enumerate(components)]
+        return embeddings.select("*", *cols)
+    v = as_double_sql(quote_col(vec_col))
+    if mu is not None:
+        v = f"zip_with({v}, {mu}, (x, m) -> x - m)"
+    cols = [F.expr(f"{dot_sql(v, c)} AS "
+                   f"{quote_col(f'{out_prefix}{i + 1}')}")
+            for i, c in enumerate(comp_sqls)]
+    return embeddings.select("*", *cols)
