@@ -33,7 +33,8 @@ LINE_BUDGET = 1800
 
 def bench_line(timings: dict[str, float], total: float, sf: float,
                reps: int, n_regressed: int,
-               priority: set[str] | None = None) -> str:
+               priority: set[str] | None = None,
+               run_env: dict | None = None) -> str:
     """One compact JSON line guaranteed to fit the driver's tail capture.
 
     Per-query medians are included greedily under LINE_BUDGET —
@@ -41,6 +42,11 @@ def bench_line(timings: dict[str, float], total: float, sf: float,
     compares against), then the slowest of the rest; the complete
     payload is always in BENCH_LOCAL.json (pointed to by
     ``queries_full``).
+
+    ``run_env`` (r15, VERDICT r14 ask #2) echoes the session's actual
+    ``master`` / ``default_parallelism`` / ``cpus_env`` so the
+    core-count contract ($SPARK_GRAFT_CPUS -> local[N]) is provable
+    from the one printed line instead of inferred from timing ratios.
     """
     priority = priority or set()
     first = [n for n in timings if n in priority]
@@ -52,8 +58,9 @@ def bench_line(timings: dict[str, float], total: float, sf: float,
         "unit": "sec",
         "sf": sf,
         "reps": reps,
-        "n_queries": len(timings),
+        "n_queries": len([n for n in timings if n != "scaling_sentinel"]),
         "n_regressed": n_regressed,
+        **(run_env or {}),
         "queries_full": "BENCH_LOCAL.json",
         "queries": {},
     }
@@ -94,7 +101,40 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    samples: dict[str, list[float]] = {name: [] for name in suite.QUERIES}
+    # The environment the suite ACTUALLY ran under, echoed in the one
+    # printed JSON line (VERDICT r14 ask #2: the driver's
+    # suspect_cpus_ignored flag fired because at sf0.1 the suite is
+    # fixed-overhead-bound and core count is invisible in the timings;
+    # echoing master/parallelism makes the contract mechanically
+    # checkable instead).
+    run_env = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_env": cpus,
+    }
+
+    def _scaling_sentinel(spark, sf_dir):
+        """Compute-dense scaling sentinel (ADDED r15, not a registry
+        query): an embarrassingly parallel md5 chain over the lineitem
+        keys, repartitioned to defaultParallelism. Its runtime tracks
+        1/cores where the real suite queries are dominated by fixed
+        per-query costs at sf0.1, so the low-core/high-core bench ratio
+        has at least one row that visibly scales with
+        $SPARK_GRAFT_CPUS. Computes from the parquet inputs on every
+        rep like every other entry; nothing is cached."""
+        dp = spark.sparkContext.defaultParallelism
+        keys = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .select("l_orderkey", "l_linenumber")
+                .repartition(max(2, dp), "l_orderkey", "l_linenumber"))
+        col = F.concat_ws("|", "l_orderkey", "l_linenumber")
+        for _ in range(64):
+            col = F.md5(col)
+        return keys.select(col.alias("h"))
+
+    bench_queries = dict(suite.QUERIES)
+    bench_queries["scaling_sentinel"] = _scaling_sentinel
+
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     failed: set[str] = set()
     # one untimed warm-up sweep first: each query's codegen/JIT cost is
     # paid here, so the timed samples measure the steady-state plan (a
@@ -106,7 +146,7 @@ def main() -> None:
     warm_sweep = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     for rep in range(reps + (1 if warm_sweep else 0)):
         timed = not (warm_sweep and rep == 0)
-        for name, fn in suite.QUERIES.items():
+        for name, fn in bench_queries.items():
             if name in failed:
                 continue
             t0 = time.time()
@@ -129,7 +169,12 @@ def main() -> None:
         timings[name] = round(statistics.median(ts), 3)
         spread[name] = round(max(ts) - min(ts), 3)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # the sentinel is a measurement aid, not a suite query: it reports
+    # its own median (for the low/high-core ratio) but stays OUT of the
+    # suite total and query count, so round-over-round totals keep
+    # comparing the same 100-query suite
+    total = round(sum(t for n, t in timings.items()
+                      if t >= 0 and n != "scaling_sentinel"), 3)
     # auto-flag regressions against the previous local run (r5 verdict
     # ask #8): any query whose median grew >1.5x vs the last
     # BENCH_LOCAL.json is listed, so a plan regression is caught the
@@ -184,6 +229,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "reps": reps,
+        **run_env,
         "spread": spread,
         "regressed": regressed,
         "queries": timings,
@@ -208,7 +254,10 @@ def main() -> None:
         r1_queries = set(r1_parsed.get("queries", {}))
     except (OSError, ValueError):
         pass
-    print(bench_line(timings, total, sf, reps, len(regressed), r1_queries))
+    # the sentinel exists to be READ from the line: pack it first
+    r1_queries.add("scaling_sentinel")
+    print(bench_line(timings, total, sf, reps, len(regressed), r1_queries,
+                     run_env))
 
 
 if __name__ == "__main__":

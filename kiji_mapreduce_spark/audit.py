@@ -171,6 +171,7 @@ def split_leakage(
     text_col: str = "text",
     train_split: str = "train",
     hash_fn: str = "xx",
+    materialize: bool = True,
 ) -> DataFrame:
     """Eval-set contamination check: for each held-out split, how many
     of its documents share a content digest with a training document ->
@@ -203,6 +204,17 @@ def split_leakage(
                           token_hash64(F.col(text_col), hash_fn)))
     hashed = df.select(
         F.col(split_col).alias("_split"), digest.alias("_h"))
+    # the (split, digest) table feeds BOTH join sides (train set +
+    # held-out rows), and its upstream can be arbitrarily expensive
+    # (the suite drives it with text.fingerprints — a full
+    # posexplode+window pass); the pushed-down split filters differ
+    # per side, so Spark cannot reuse the exchange and executed the
+    # whole upstream twice (r15 plan diff: 2 fingerprint subtrees ->
+    # 1). Pin the two-column table once — the dedup.minhash_dedup
+    # diamond discipline; ``materialize=False`` keeps the operator
+    # fully lazy for callers that can't afford executor-disk pins.
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=True)
     train_h = (hashed.filter(F.col("_split") == train_split)
                .select("_h").distinct()
                .withColumn("_in_train", F.lit(1)))

@@ -89,9 +89,14 @@ def lit_array(values, kind: str) -> Column:
     and DBL_MAX) reproduces bit-exactly; non-finite values fall back
     to the per-element form (SQL has no nan/inf literals). ``kind`` is
     'double' | 'int' | 'long' | 'string'."""
-    text = lit_array_sql(values, kind)
+    # listify ONCE before both uses: lit_array_sql consumes its input
+    # via list(values), so a generator argument would arrive exhausted
+    # at the non-finite fallback and silently yield an empty array
+    # (ADVICE r14)
+    vals = list(values)
+    text = lit_array_sql(vals, kind)
     if text is None:
-        return F.array(*[F.lit(float(v)) for v in values])
+        return F.array(*[F.lit(float(v)) for v in vals])
     return F.expr(text)
 
 

@@ -1663,11 +1663,16 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                    F.max("_end").alias("_end")))
     if materialize:
         merged = merged.localCheckpoint(eager=True)
-    rm_agg = (merged.groupBy("_es_id")
-              .agg(F.sum(F.col("_end") - F.col("_start"))
-                   .alias("_dropped")))
-    # Rebuild ONLY affected docs: posexplode their tokens, anti-join
-    # the (disjoint, post-merge) removal positions, re-agg in order.
+    # Rebuild ONLY affected docs: posexplode their tokens (semi-join on
+    # the merged span table's ids — a semi build side needs no distinct
+    # aggregate), LEFT-join the (disjoint, post-merge) removal
+    # positions as a flag, and compute the dropped count AND the
+    # surviving text in ONE aggregation. r14 ran this phase as three
+    # separate aggregations over the merged checkpoint (rm_agg for the
+    # count, a second rm_agg for the semi side, the rebuild
+    # collect_list) plus an rm_agg-rebuilt join — 3 Exchanges and 2
+    # joins where one Exchange does (guide §2.4; the r15 plan diff
+    # shows Exchange x3 -> x1 in the post-winner phase).
     rm_pos = merged.select(
         "_es_id",
         F.explode(F.sequence(F.col("_start"), F.col("_end") - 1))
@@ -1675,17 +1680,23 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     rebuild_rows = (df.select(F.col(id_col).alias("_es_id"),
                               F.posexplode(toks).alias("_tok_pos",
                                                        "_tok"))
-                    .join(rm_agg.select("_es_id"), "_es_id",
+                    .join(merged.select("_es_id"), "_es_id",
                           "left_semi"))
-    rebuilt = (rebuild_rows.join(rm_pos, ["_es_id", "_tok_pos"],
-                                 "left_anti")
-               .groupBy("_es_id")
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct("_tok_pos", "_tok"))),
-                       lambda s: s["_tok"]), " ").alias("_new_text")))
-    info = rm_agg.join(rebuilt, "_es_id", "left")
+    flagged = rebuild_rows.join(
+        rm_pos.withColumn("_rm", F.lit(1)),
+        ["_es_id", "_tok_pos"], "left")
+    # collect_list skips NULLs, so the when() keeps only surviving
+    # tokens; count(_rm) counts removed positions — identical to the
+    # old sum(_end - _start) because merged spans are disjoint and
+    # in-bounds, so every removed position matches exactly one token
+    info = (flagged.groupBy("_es_id")
+            .agg(F.count("_rm").alias("_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_rm").isNull(),
+                                    F.struct("_tok_pos", "_tok")))),
+                         lambda s: s["_tok"]), " ").alias("_new_text")))
     out = df.join(info, on=df[id_col] == info["_es_id"], how="left")
     return (out
             .withColumn("tokens_dropped",

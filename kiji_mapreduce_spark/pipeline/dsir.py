@@ -141,24 +141,45 @@ def bucket_log_probs(counts: DataFrame, dim: int,
     return _log_probs_from_totals(totals, dim, smoothing)
 
 
-def dsir_log_weights(raw: DataFrame, target: DataFrame,
+def dsir_log_weights(raw: DataFrame, target: DataFrame | None = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      dim: int = 10_000, ns: tuple[int, ...] = (1, 2),
                      smoothing: float = 1.0,
-                     hash_fn: str = "xx") -> DataFrame:
+                     hash_fn: str = "xx",
+                     target_pred=None) -> DataFrame:
     """Per-raw-document DSIR log importance weights: (id, log_w) with
     ``log_w = sum_b counts_b * (log p_b - log q_b)`` for target model
     p and raw model q. The raw corpus text is read once (the
     featurize pass feeds both the q fit and the scoring); the
-    log-ratio table is dim rows, joined broadcast."""
+    log-ratio table is dim rows, joined broadcast.
+
+    ``target_pred`` (a Column predicate over ``id_col``, mutually
+    exclusive with ``target``) declares the target corpus as a
+    FILTERED SUBSET of ``raw``: the p-side counts are then derived by
+    filtering the already-checkpointed raw featurize instead of
+    tokenizing the target documents a second time — featurization is
+    per-document, so ``featurize(raw.filter(pred)) ==
+    featurize(raw).filter(pred)`` exactly, and one whole corpus scan
+    disappears (guide §2.4 "remove shuffles/passes outright"; measured
+    at sf0.1: the target pass was a second 19 MB text scan +
+    tokenize + window per execution). The predicate may reference
+    ``id_col`` ONLY — any text-derived column would not survive into
+    the count table."""
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target / target_pred")
     spark = raw.sparkSession
     raw_counts = hashed_ngram_counts(raw, text_col, id_col, dim, ns,
                                      hash_fn)
-    # the exploded gram table is a diamond (q fit + scoring) — pin it
-    # once rather than re-tokenizing the 100 TB side per consumer
+    # the exploded gram table is a diamond (q fit + scoring, and the
+    # p fit too under target_pred) — pin it once rather than
+    # re-tokenizing the 100 TB side per consumer
     raw_counts = raw_counts.localCheckpoint(eager=True)
-    tgt_counts = hashed_ngram_counts(target, text_col, id_col, dim, ns,
-                                     hash_fn)
+    if target_pred is not None:
+        tgt_counts = raw_counts.filter(target_pred)
+    else:
+        tgt_counts = hashed_ngram_counts(target, text_col, id_col,
+                                         dim, ns, hash_fn)
     # BOTH model fits in ONE Spark job: union the side-tagged count
     # tables and aggregate (side, bucket) together — same dim-bounded
     # collect and identical arithmetic as two bucket_log_probs calls,

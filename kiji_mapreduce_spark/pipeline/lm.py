@@ -86,21 +86,36 @@ def bigram_lm_scores(
     tokens report ``(0, NULL, NULL)``.
 
     In self-scoring mode the candidate bigrams ARE the training
-    bigrams, so they are materialized once (eager localCheckpoint, the
-    ``dedup.minhash_dedup`` diamond discipline) instead of re-running
-    the tokenize + window per branch.
+    bigrams, so the reference is materialized once (eager
+    localCheckpoint, the ``dedup.minhash_dedup`` diamond discipline)
+    instead of re-running the tokenize + window per branch. The ONE
+    pinned table is per-TOKEN rows carrying (token, context hash,
+    bigram hash — NULL on each document's final token): it feeds the
+    model aggregate, the context table, the vocabulary count AND the
+    candidate side, where r14 pinned two tables (token rows, then
+    bigram rows derived from them) — one checkpoint job and one
+    materialization instead of two for identical results (guide
+    §2.4/§5; the vocabulary count stays an exact countDistinct over
+    token STRINGS, not hashes).
     """
     self_scoring = reference is None
     ref = docs if self_scoring else reference
     # ONE tokenize pass over the reference: the pinned token table
-    # feeds BOTH the bigram build and the vocabulary count — the
-    # vocab aggregate was a second complete corpus text scan
-    # (r13 review finding)
-    ref_ex = _token_rows(ref, text_col, id_col).localCheckpoint(
-        eager=True)
-    ref_bi = _bigrams_from_tokens(ref_ex, id_col, hash_fn)
-    if self_scoring:
-        ref_bi = ref_bi.localCheckpoint(eager=True)
+    # feeds the bigram build, the vocabulary count (a second complete
+    # corpus text scan before r13) and, when self-scoring, the
+    # candidate side
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead("_v", 1).over(w)
+    ref_tok = (_token_rows(ref, text_col, id_col)
+               .select(F.col(id_col), F.col("_v"),
+                       token_hash64(F.col("_v"), hash_fn).alias("_hv"),
+                       F.when(nxt.isNotNull(),
+                              token_hash64(
+                                  F.concat_ws(" ", F.col("_v"), nxt),
+                                  hash_fn)).alias("_hvw"))
+               .localCheckpoint(eager=True))
+    ref_bi = (ref_tok.filter(F.col("_hvw").isNotNull())
+              .drop("_v"))
     model = ref_bi.groupBy("_hvw").agg(
         F.count(F.lit(1)).alias("_cbw"),
         # every vw row shares one v; carrying it through lets the
@@ -109,7 +124,7 @@ def bigram_lm_scores(
         F.first("_hv").alias("_mhv"))
     context = model.groupBy("_mhv").agg(F.sum("_cbw").alias("_cv"))
     vocab = F.broadcast(
-        ref_ex.agg(F.countDistinct("_v").cast("double").alias("_vsz")))
+        ref_tok.agg(F.countDistinct("_v").cast("double").alias("_vsz")))
     cand = ref_bi if self_scoring else _bigrams(docs, text_col, id_col,
                                                 hash_fn)
     logp = F.log(

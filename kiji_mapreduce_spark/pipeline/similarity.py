@@ -920,6 +920,11 @@ def project_embeddings(
     the whole PCA scoring pass compiles to one codegen'd fold per row,
     zero exchanges, exactly like the k-means assignment pass. ``mean``
     (if given) centers each vector first."""
+    # listify before lit_array_sql (which consumes generators) so the
+    # non-finite fallback below re-reads the same values (ADVICE r14)
+    component = list(component)
+    if mean is not None:
+        mean = list(mean)
     comp = lit_array_sql(component, "double")
     mu = lit_array_sql(mean, "double") if mean is not None else None
     if comp is None or (mean is not None and mu is None):
@@ -962,6 +967,11 @@ def project_embeddings_multi(
     """Project every vector onto k (literal) components in ONE
     projection pass -> columns pc1..pck. Still zero exchanges: the k
     dot products share the single centered-vector subexpression."""
+    # listify before lit_array_sql (which consumes generators) so the
+    # non-finite fallback below re-reads the same values (ADVICE r14)
+    components = [list(c) for c in components]
+    if mean is not None:
+        mean = list(mean)
     comp_sqls = [lit_array_sql(c, "double") for c in components]
     mu = lit_array_sql(mean, "double") if mean is not None else None
     if any(c is None for c in comp_sqls) or (mean is not None

@@ -605,34 +605,53 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     boilerplate/spam for training-data filtering (repetition rules in the
     style of the Gopher quality heuristics).
 
-    Scale shape: one posexplode of tokens, every n's gram built in the
-    same window pass (lag over (id, pos) — codegen'd, one shuffle on id),
-    stack()ed to (id, n, gram) so all n share one (id, n, gram) count
-    aggregate. Only token positions and gram strings shuffle, never the
-    document text.
+    Scale shape: one posexplode of tokens hashed to (hash64, length)
+    pairs BEFORE the exchange — only (id, pos, long, int) rows shuffle,
+    never token or gram strings (guide §2.3 "narrower types"). Every
+    n's gram is keyed in the same window pass (xxhash64 over the lagged
+    token hashes — lag over (id, pos), codegen'd, one shuffle on id),
+    stack()ed to (id, n, gram_key, gram_len) so all n share one count
+    aggregate. Gram identity is the 64-bit combined hash + the exact
+    gram length: within one (document, n) group the birthday bound is
+    ~g²/2⁶⁵ for g grams (a 1M-token book: ~3e-8, and a collision only
+    perturbs that one document's repetition fraction — it deletes
+    nothing), the same keyed-on-hash discipline as
+    ``exact_substring_dedup``. r14 built every gram STRING with
+    concat_ws and hash-aggregated the strings — the string assembly
+    and string grouping dominated the query's one compute stage
+    (1.68 s task-time of 1.27 s wall at sf0.1).
     """
     from kiji_mapreduce_spark.pipeline.dedup import tokens
 
     ns = sorted(set(top_ns) | set(dup_ns))
     toks = tokens(F.col(text_col))
     ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    ex = ex.select(id_col, "pos",
+                   F.xxhash64("tok").alias("_th"),
+                   F.length("tok").alias("_tl"))
     w = Window.partitionBy(id_col).orderBy("pos")
     gram_cols = []
     for n in ns:
-        parts = [F.lag("tok", n - 1 - j).over(w) if j < n - 1 else F.col("tok")
-                 for j in range(n)]
-        gram = F.when(F.lag("tok", n - 1).over(w).isNotNull() | F.lit(n == 1),
-                      F.concat_ws(" ", *parts))
-        gram_cols.append(gram.alias(f"_g{n}"))
-    per_tok = ex.select(id_col, F.length("tok").alias("_tl"), *gram_cols)
+        parts = [F.lag("_th", n - 1 - j).over(w) if j < n - 1
+                 else F.col("_th") for j in range(n)]
+        lens = [F.lag("_tl", n - 1 - j).over(w) if j < n - 1
+                else F.col("_tl") for j in range(n)]
+        full = F.lag("_th", n - 1).over(w).isNotNull() | F.lit(n == 1)
+        # full windows have no NULL parts, so xxhash64's skip-null
+        # behavior can never fold two different window widths together
+        gram_key = F.when(full, F.xxhash64(*parts))
+        gram_len = F.when(full, sum(lens[1:], lens[0]) + F.lit(n - 1))
+        gram_cols.append(gram_key.alias(f"_g{n}"))
+        gram_cols.append(gram_len.cast("long").alias(f"_gl{n}"))
+    per_tok = ex.select(id_col, "_tl", *gram_cols)
     norm = per_tok.groupBy(id_col).agg(
         (F.sum("_tl") + F.count(F.lit(1)) - 1).alias("_norm_len"))
     stacked = per_tok.select(
         id_col,
-        F.expr("stack({}, {}) as (n, gram)".format(
-            len(ns), ", ".join(f"{n}, _g{n}" for n in ns)))
+        F.expr("stack({}, {}) as (n, gram, glen)".format(
+            len(ns), ", ".join(f"{n}, _g{n}, _gl{n}" for n in ns)))
     ).filter(F.col("gram").isNotNull())
-    counts = stacked.groupBy(id_col, "n", "gram").agg(
+    counts = stacked.groupBy(id_col, "n", "gram", "glen").agg(
         F.count(F.lit(1)).alias("c"))
     # top_mass = character mass of the MOST-FREQUENT gram (Gopher's
     # "fraction of characters in the most frequently-occurring n-gram"),
@@ -640,7 +659,7 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     # otherwise win (r5 review finding). Encoded as one composite BIGINT
     # max so both engines agree exactly: count dominates, mass breaks
     # count ties (masses are < 1e8 — bounded by document length).
-    mass = F.col("c") * F.length("gram")
+    mass = F.col("c") * F.col("glen")
     masses = counts.groupBy(id_col, "n").agg(
         F.pmod(F.max(F.col("c") * F.lit(100_000_000) + mass),
                F.lit(100_000_000)).alias("top_mass"),

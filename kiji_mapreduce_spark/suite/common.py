@@ -81,23 +81,70 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table, repartitioned for compute-dense kernels.
+def compute_parallel_target(spark: SparkSession) -> int:
+    """Fan-out for compute-dense stages with Python-worker consumers:
+    HALF the scheduler width. Each Arrow/pandas-UDF task runs a Python
+    worker process beside its JVM task thread, so full-width fan-out
+    oversubscribes the cores (measured at local[32] on the media
+    chain: 32 partitions = 3.4 s vs 16 = 1.2 s); dp/2 gives every task
+    pair a core and scales with the cluster instead of a constant
+    (VERDICT r14 ask #3 — the old hard cap of 16 was a local[32]
+    tuning that would pin these stages to 16 tasks on any cluster)."""
+    return max(2, spark.sparkContext.defaultParallelism // 2)
 
-    The bench corpus is ONE small parquet file, so the scan is a single
+
+#: (applicationId, path) -> the bare scan's partition count. Scan
+#: METADATA only (number of file splits — a pure function of the
+#: static fixture files and the session's split config), cached for
+#: the same reason and under the same key discipline as _SCHEMA_CACHE:
+#: ``df.rdd.getNumPartitions()`` costs a ~40-60 ms driver-side plan
+#: conversion per call, and the widen decision needs it on every
+#: query construction.
+_SCAN_PARTS_CACHE: dict = {}
+
+
+def widen_narrow_scan(df: DataFrame, target: int, *key_cols: str,
+                      cache_key: tuple | None = None) -> DataFrame:
+    """Hash-repartition ``df`` to ``target`` partitions ONLY when its
+    scan is actually narrower than that. The bench tables are ONE small
+    parquet file each, so their scans start as a single partition and
+    every compute-dense kernel downstream inherits the serial stage
+    (guide §2.5 "input skew": repartition immediately after the read).
+    Production tables arrive as many files/splits and skip the exchange
+    entirely — the partition check keeps this fixture aid from adding a
+    shuffle to a table that is already wide."""
+    n = _SCAN_PARTS_CACHE.get(cache_key) if cache_key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if cache_key:
+            _SCAN_PARTS_CACHE[cache_key] = n
+    if n >= target:
+        return df
+    return df.repartition(target, *key_cols)
+
+
+def _t_widened(spark: SparkSession, sf_dir: str, name: str,
+               *key_cols: str) -> DataFrame:
+    """``_t`` + ``widen_narrow_scan`` with the metadata caches keyed
+    consistently on (applicationId, path)."""
+    path = f"{sf_dir}/{name}.parquet"
+    return widen_narrow_scan(
+        _t(spark, sf_dir, name), compute_parallel_target(spark),
+        *key_cols,
+        cache_key=(spark.sparkContext.applicationId, path))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, widened for compute-dense kernels.
+
+    The bench table is ONE small parquet file, so the scan is a single
     partition — and every vector kernel downstream (SQ8/PQ code scans,
     LSH matmuls, cosine folds) inherited that serial stage (profiled:
     ``knn_sq8_topk``'s dominant job ran 1.45 s task-time in ONE task at
-    sf0.1; 16-way it runs ~0.1 s/task). Guide §2.5 "input skew":
-    repartition immediately after the read. Deterministic hash
-    partitioning on the id; capped at 16 because the Arrow/pandas-UDF
-    consumers spawn one Python worker per task and full-width fan-out
-    at local[32] oversubscribes cores against the JVM (measured on the
-    media queries: 32 parts = 3.4 s vs 16 parts = 1.2 s). Production
-    embedding tables arrive as many files and skip this exchange."""
-    dp = spark.sparkContext.defaultParallelism
-    return _t(spark, sf_dir, "embeddings").repartition(
-        max(2, min(16, dp)), "vec_id")
+    sf0.1; 16-way it runs ~0.1 s/task). Deterministic hash partitioning
+    on the id; fan-out and the skip-when-already-wide check live on
+    ``widen_narrow_scan``/``compute_parallel_target``."""
+    return _t_widened(spark, sf_dir, "embeddings", "vec_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

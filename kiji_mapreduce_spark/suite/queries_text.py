@@ -10,6 +10,7 @@ from kiji_mapreduce_spark.operators import Gatherer
 from kiji_mapreduce_spark import oracles
 from kiji_mapreduce_spark.pipeline import lm, search, text as text_ops
 from kiji_mapreduce_spark.functions import lit_array, local_table
+from kiji_mapreduce_spark.suite import common
 from kiji_mapreduce_spark.suite.common import _t
 
 
@@ -500,7 +501,8 @@ def q_image_near_duplicates(spark, sf_dir):
     # elimination), so an element_at(toks, i mod n) form re-tokenizes
     # the text per PIXEL (~144 regexp splits/row — measured 9.5s for 5k
     # rows at sf0.1; this form is ~20x faster and value-identical).
-    pixels = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 72)
+    pixels = _doc_pixel_stream(
+        common._t_widened(spark, sf_dir, "documents", "doc_id"), 72)
 
     def _encode(batches):
         from kiji_mapreduce_spark.pipeline import media_codecs
@@ -539,15 +541,12 @@ def _doc_pixel_stream(docs, n_pixels: int, modulus: int = 256):
     # checkpoint job = 1.8 s wall at 1.77 s task-time at sf0.1).
     # Guide §2.5 "input skew": repartition immediately after the read —
     # BEFORE the projection, so the md5 pixel synthesis parallelizes
-    # too. Deterministic hash partitioning on the id. Partition count
-    # measured at sf0.1/local[32]: 8-16 run ~1.2s vs 2.5s serial vs
-    # 3.4s at 32 (one Python worker per task — full-width fan-out
-    # oversubscribes cores against the JVM), so cap at 16 and halve
-    # the core count below it. This is fixture code: the production
-    # operators (multimodal.*) take media tables that are already many
-    # files wide and never repartition bytes.
-    dp = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(max(2, min(16, dp // 2)), "doc_id")
+    # too. Deterministic hash partitioning on the id; fan-out sizing
+    # (half the scheduler width — one Python worker per task) and the
+    # skip-when-already-wide check live on common.widen_narrow_scan /
+    # compute_parallel_target; callers hand in the widened docs table
+    # (common._t_widened). Production operators (multimodal.*) take
+    # media tables that are already many files wide.
     toks = dd.tokens(F.col("text"))
     n = F.size(toks)
     hashed = F.transform(
@@ -579,7 +578,8 @@ def q_video_near_duplicates(spark, sf_dir):
 
     from kiji_mapreduce_spark.pipeline import multimodal
 
-    pixels = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 3 * 72)
+    pixels = _doc_pixel_stream(
+        common._t_widened(spark, sf_dir, "documents", "doc_id"), 3 * 72)
 
     def _encode(batches):
         from kiji_mapreduce_spark.pipeline import media_codecs
@@ -621,7 +621,8 @@ def q_audio_near_duplicates(spark, sf_dir):
 
     from kiji_mapreduce_spark.pipeline import multimodal
 
-    pcm = _doc_pixel_stream(_t(spark, sf_dir, "documents"), 260,
+    pcm = _doc_pixel_stream(
+        common._t_widened(spark, sf_dir, "documents", "doc_id"), 260,
                             modulus=4096)
 
     def _encode(batches):
@@ -938,15 +939,19 @@ def q_dsir_log_weights(spark, sf_dir):
     candidate, seated r13).
 
     Scale shape: the raw corpus is featurized ONCE (localCheckpoint
-    pins the diamond); both model fits are dim-bounded partial
-    aggregations collecting 64 doubles; scoring is one broadcast join
-    + one id-keyed (unique-key) aggregation."""
+    pins the diamond); the target is an id-predicate SUBSET of raw, so
+    its counts come from filtering the same checkpoint
+    (``target_pred`` — featurization is per-document, so the rows are
+    identical to featurizing the slice, minus a second corpus scan);
+    both model fits are dim-bounded partial aggregations collecting
+    64 doubles; scoring is one broadcast join + one id-keyed
+    (unique-key) aggregation."""
     from kiji_mapreduce_spark.pipeline import dsir
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 10 == 3)
-    return dsir.dsir_log_weights(docs, target, dim=64, hash_fn="md5",
-                                 smoothing=1.0)
+    return dsir.dsir_log_weights(docs, dim=64, hash_fn="md5",
+                                 smoothing=1.0,
+                                 target_pred=F.col("doc_id") % 10 == 3)
 
 
 SQL_DSIR_LOG_WEIGHTS = r"""

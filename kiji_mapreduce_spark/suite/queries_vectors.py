@@ -279,7 +279,8 @@ def q_knn_ivf_topk(spark, sf_dir):
     w = Window.orderBy("vec_id")
     cents = (emb.orderBy("vec_id").limit(8)
              .select((F.row_number().over(w) - 1).alias("_cell"),
-                     F.expr(similarity.as_double_sql("embedding") + " AS _center")))
+                     F.expr(similarity.as_double_sql(
+                         similarity.quote_col("embedding")) + " AS _center")))
     out = similarity.ivf_topk(
         emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
     return out.select("query_id", "neighbor_id",
@@ -384,7 +385,8 @@ def q_knn_recall_ivf(spark, sf_dir):
     w = Window.orderBy("vec_id")
     cents = (emb.orderBy("vec_id").limit(8)
              .select((F.row_number().over(w) - 1).alias("_cell"),
-                     F.expr(similarity.as_double_sql("embedding") + " AS _center")))
+                     F.expr(similarity.as_double_sql(
+                         similarity.quote_col("embedding")) + " AS _center")))
     approx = similarity.ivf_topk(
         emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
     exact = similarity.brute_force_topk(emb, queries, k=5)
