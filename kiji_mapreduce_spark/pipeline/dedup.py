@@ -875,9 +875,18 @@ def connected_keep_ids(pairs: DataFrame, id_a: str = "id_a",
             ).alias("keep_id")))
         # pointer jumping: keep_id <- min(keep_id, label(keep_id));
         # the changed flag rides the same plan so convergence costs a
-        # scan of the checkpointed partitions, not another join
-        parent = stepped.select(F.col("doc_id").alias("keep_id"),
-                                F.col("keep_id").alias("_pk"))
+        # scan of the checkpointed partitions, not another join. The
+        # jump table is the PREVIOUS round's (checkpointed) labels,
+        # not `stepped` itself: a stepped self-join duplicated the
+        # whole stepped subtree (2 joins + the init aggregate) in
+        # every round's plan — the two sides shuffle by different
+        # keys, so Spark cannot reuse the exchange (r15; guide §2.4).
+        # The one-round-delayed jump still doubles reach per round
+        # (reach_t >= 2*reach_{t-1}+1), converges to the identical
+        # unique fixpoint (every label is the component minimum), and
+        # the changed==0 confirmation is unchanged.
+        parent = labels.select(F.col("doc_id").alias("keep_id"),
+                               F.col("keep_id").alias("_pk"))
         new_labels = (stepped.join(parent, on="keep_id", how="left")
                       .select("doc_id", "_old", F.least(
                           F.col("keep_id"),

@@ -68,6 +68,13 @@ def drain_to_memory(result: DataFrame, output_mode: str,
     inherently a test/bench surface: production jobs use the
     table/foreachBatch writers above and pick a real checkpoint and a
     state partition count matched to their key cardinality.
+
+    NOT re-entrant: the helper temporarily sets the session-global
+    ``spark.sql.shuffle.partitions`` (restored in ``finally``), so two
+    concurrent query BUILDS in one session would race, and a batch
+    query planned inside the window would capture the streaming value.
+    The suite builds queries sequentially; a concurrent caller should
+    clone the session (``spark.newSession()``) first (VERDICT r14).
     """
     import uuid
 
