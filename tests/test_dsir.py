@@ -261,3 +261,35 @@ def test_hashed_ngram_counts_duplicate_ids_stay_row_local(spark):
     cross = _bucket("beta gamma", 64)
     # the forbidden cross-row bigram's bucket carries no EXTRA count
     assert got[1].get(cross, 0) == expect1.get(cross, 0)
+
+
+def test_dsir_target_pred_matches_explicit_target(spark):
+    """The r15 subset seam: target_pred (deriving the p-side counts by
+    filtering the checkpointed raw featurize) must produce exactly the
+    log weights of featurizing the same slice as an explicit target
+    DataFrame — featurization is per-document, so the two forms are
+    algebraically identical."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta tok{i % 3}") for i in range(40)]
+        + [(40, None), (41, "")],
+        "doc_id long, text string")
+    pred = F.col("doc_id") % 10 == 3
+    via_pred = {r.doc_id: r.log_w for r in dsir.dsir_log_weights(
+        df, dim=32, hash_fn="md5", target_pred=pred).collect()}
+    via_target = {r.doc_id: r.log_w for r in dsir.dsir_log_weights(
+        df, df.filter(pred), dim=32, hash_fn="md5").collect()}
+    assert via_pred == via_target
+
+
+def test_dsir_target_and_pred_mutually_exclusive(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.dsir_log_weights(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.dsir_log_weights(df, df, target_pred=F.col("doc_id") > 0)

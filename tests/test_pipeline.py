@@ -3930,3 +3930,18 @@ def test_kmeans_assign_backfills_ragged_seed_candidates(spark):
            cluster.kmeans_assign(emb, k=2, iters=2).collect()}
     assert set(got) == {1, 3, 4}
     assert got[3] == got[4] != got[1]
+
+
+def test_split_leakage_materialize_off_matches_on(spark):
+    """The r15 digest-table pin must be a pure execution-shape change:
+    materialize=False (fully lazy) and the default eager checkpoint
+    return identical leak tables."""
+    from kiji_mapreduce_spark import audit
+
+    rows = [(i, "train" if i % 3 else "val", i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, _d long")
+    on = sorted(tuple(r) for r in audit.split_leakage(
+        df, digest_col="_d").collect())
+    off = sorted(tuple(r) for r in audit.split_leakage(
+        df, digest_col="_d", materialize=False).collect())
+    assert on == off
