@@ -25,9 +25,14 @@ sys.path.insert(0, ".")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: the r14 round-end tree — the "old" side of every A/B this round
+BASELINE_REF = os.environ.get("AB_BASELINE_REF", "36fc6c7")
+
+
 def load_old(rel: str, name: str):
-    src = subprocess.run(["git", "-C", REPO, "show", f"HEAD:{rel}"],
-                         capture_output=True, text=True, check=True).stdout
+    src = subprocess.run(
+        ["git", "-C", REPO, "show", f"{BASELINE_REF}:{rel}"],
+        capture_output=True, text=True, check=True).stdout
     path = f"/tmp/old_{name}.py"
     with open(path, "w") as fh:
         fh.write(src)
